@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.PxTable
+import graft.functions.PixieFunctions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The canonical reference workload shape
+    * (src/pxl_scripts/px/http_request_stats/stats.pxl): time-range scan ->
+    * px.bin tumbling window -> two-level group-by aggregation -> self-join
+    * of the per-window totals -> map (rate/share) -> filter -> capped,
+    * time-ordered result.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = PxTable.timeRange(spark, dir, "events", "ts", "2024-01-01", "2024-02-01")
+      .withCol("bucket", timeBinNs(col("ts"), 3600))
+    val perType = ev.groupbyAgg(Seq("bucket", "event_type"),
+      "n" -> count(lit(1)),
+      "sum_value" -> sum(col("value")))
+    val perBucket = perType.groupbyAgg(Seq("bucket"),
+      "total" -> sum(col("n")))
+    perType.merge(perBucket, "inner", Seq("bucket"), Seq("bucket"))
+      .withCol("share", col("n").cast("double") / col("total"))
+      .where(col("n") > 0)
+      .orderedByTime("bucket", "event_type")
+      .resultCap()
+      .df
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles
 }

@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named-table catalog over the harness parquet layout.
+  *
+  * Mirrors the reference's TableStore (name -> Table registry,
+  * reference: src/table_store/table_store.h) re-expressed as a thin
+  * resolver over partitioned parquet. At 100 TB the same API points at a
+  * partitioned table (e.g. date-partitioned parquet / Delta); nothing in
+  * the query layer changes because all access goes through `Tables(...)`.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Batch scan of a named table. Column pruning + predicate pushdown are
+    * delegated to the parquet datasource (verify with explain: PushedFilters).
+    *
+    * Parquet TIMESTAMP(NANOS) columns (events.ts) are read as LongType
+    * epoch-ns — exactly the reference's TIME64NS convention (SURVEY §1.2):
+    * time is int64 ns everywhere in the engine, converted only at edges.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Streaming tail of a named table — the analog of PxL df.stream()
+    * (reference: src/carnot/planner/objects/dataframe.h:404-420). The file
+    * source replays existing data then tails new files; in production this
+    * would be Kafka or a Delta streaming source behind the same name.
+    */
+  def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = apply(spark, dir, name).schema
+    spark.readStream.schema(schema).parquet(s"$dir/$name.parquet")
+  }
+}

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference engine's scalar-function (UDF) surface re-expressed as
+  * Catalyst built-ins — every function here compiles to codegen'd Spark
+  * expressions, never a Scala closure, so the whole map/filter pipeline
+  * stays inside WholeStageCodegen.
+  *
+  * Reference registrations:
+  *   math:    src/carnot/funcs/builtins/math_ops.cc
+  *   string:  src/carnot/funcs/builtins/string_ops.cc
+  *   regex:   src/carnot/funcs/builtins/regex_ops.cc
+  *   json:    src/carnot/funcs/builtins/json_ops.cc
+  *   cond:    src/carnot/funcs/builtins/conditionals.cc
+  */
+object PixieFunctions {
+
+  // ---- math_ops ------------------------------------------------------
+
+  /** px.bin(x, w): floor x to a multiple of w (the tumbling-window engine;
+    * reference math_ops registers `bin` via modulo). Integer semantics.
+    */
+  def bin(x: Column, width: Long): Column =
+    (x - pmod(x, lit(width))).cast(LongType)
+
+  /** Exact int64 division. Column./ promotes to double, which silently
+    * corrupts epoch-ns values (2^63-scale longs exceed double's 2^53 exact
+    * range) — every time computation in the engine goes through this.
+    */
+  def idiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+
+  /** Time bin over an epoch-ns long column (the engine's TIME64NS
+    * convention), result = epoch *seconds* of the window start. All window
+    * math is exact int64 like the reference.
+    */
+  def timeBinNs(tsNs: Column, widthSeconds: Long): Column =
+    idiv(tsNs, widthSeconds * 1000000000L) * widthSeconds
+
+  /** Exact ns -> µs floor conversion (integer div, no double rounding). */
+  def nsToUs(tsNs: Column): Column = idiv(tsNs, 1000L)
+
+  def modulo(x: Column, y: Column): Column = pmod(x, y)
+
+  /** Epoch-ns literal for a UTC date/datetime string — the query-build-time
+    * analog of PxL's compile-time time resolution (planner/ir/time.cc).
+    */
+  def tsNsLit(s: String): Long = {
+    val fmt = if (s.length == 10) s + "T00:00:00Z" else s.replace(' ', 'T') + "Z"
+    java.time.Instant.parse(fmt).getEpochSecond * 1000000000L
+  }
+
+  // ---- time ops (reference: time_to_int64 / int64_to_time,
+  //      px.now/px.seconds..., planner/ir/time.cc duration strings) -----
+
+  /** TIME64NS convention: longs are ns since epoch. */
+  def timeToInt64(ts: Column): Column = unix_micros(ts) * 1000L
+  def int64ToTime(ns: Column): Column = timestamp_micros((ns / 1000L).cast(LongType))
+
+  /** px.parse_duration('-30s') — compile-time in the reference
+    * (planner/ir/time.cc:25-44); here a plain Scala helper returning ns.
+    */
+  def parseDurationNs(s: String): Long = {
+    val m = raw"(-?)(\d+)(ns|us|ms|s|m|h|d)".r
+    s match {
+      case m(sign, n, unit) =>
+        val mult = unit match {
+          case "ns" => 1L; case "us" => 1000L; case "ms" => 1000000L
+          case "s" => 1000000000L; case "m" => 60L * 1000000000L
+          case "h" => 3600L * 1000000000L; case "d" => 86400L * 1000000000L
+        }
+        (if (sign == "-") -1L else 1L) * n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"bad duration: $s")
+    }
+  }
+
+  // ---- string_ops ----------------------------------------------------
+
+  def containsStr(s: Column, sub: Column): Column = s.contains(sub)
+  /** Pixie find: first index of sub, -1 if absent (0-based). */
+  def find(s: Column, sub: String): Column = locate(sub, s) - 1
+  def stripPrefix(prefix: String, s: Column): Column =
+    when(s.startsWith(prefix), s.substr(lit(prefix.length + 1), length(s))).otherwise(s)
+  def hexToAscii(h: Column): Column = unhex(h).cast(StringType)
+  def bytesToHex(b: Column): Column = hex(b)
+  def atoi(s: Column): Column = s.cast(LongType)
+  def itoa(x: Column): Column = x.cast(StringType)
+
+  // ---- regex_ops -----------------------------------------------------
+
+  def regexMatch(pattern: String, s: Column): Column = s.rlike(pattern)
+  def regexReplace(pattern: String, s: Column, sub: String): Column =
+    regexp_replace(s, pattern, sub)
+
+  // ---- json_ops ------------------------------------------------------
+
+  /** pluck: JSON string field -> string (reference json_ops.cc). */
+  def pluck(json: Column, key: String): Column =
+    get_json_object(json, s"$$.$key")
+  def pluckInt64(json: Column, key: String): Column =
+    pluck(json, key).cast(LongType)
+  def pluckFloat64(json: Column, key: String): Column =
+    pluck(json, key).cast(DoubleType)
+  /** pluck_array: element at index of a JSON array, as string. */
+  def pluckArray(json: Column, idx: Int): Column =
+    get_json_object(json, s"$$[$idx]")
+
+  // ---- conditionals --------------------------------------------------
+
+  /** select(cond, a, b) (reference conditionals.cc). */
+  def select3(cond: Column, ifTrue: Column, ifFalse: Column): Column =
+    when(cond, ifTrue).otherwise(ifFalse)
+
+  /** px.equals_any(col, values) — OR-fold of equals (pixie_module.h:120). */
+  def equalsAny(c: Column, values: Seq[Any]): Column = c.isin(values: _*)
+
+  // ---- util / protocol decoders (enum -> string lookup tables) --------
+
+  /** Build a codegen'd CASE WHEN chain from a lookup table — the pattern
+    * for all protocol_ops decoders (protocol_name, dns_rcode_name, ...).
+    */
+  def lookupMap(c: Column, m: Map[Long, String], default: String): Column =
+    m.foldLeft(lit(default)) { case (acc, (k, v)) => when(c === k, lit(v)).otherwise(acc) }
+
+  /** grpc_status_code_to_str (reference util_ops.cc). */
+  def grpcStatusCodeToStr(c: Column): Column = lookupMap(c, Map(
+    0L -> "OK", 1L -> "Cancelled", 2L -> "Unknown", 3L -> "InvalidArgument",
+    4L -> "DeadlineExceeded", 5L -> "NotFound", 6L -> "AlreadyExists",
+    7L -> "PermissionDenied", 8L -> "ResourceExhausted", 9L -> "FailedPrecondition",
+    10L -> "Aborted", 11L -> "OutOfRange", 12L -> "Unimplemented", 13L -> "Internal",
+    14L -> "Unavailable", 15L -> "DataLoss", 16L -> "Unauthenticated"), "Unknown")
+
+  /** http_resp_message (reference funcs/protocols) — common subset. */
+  def httpRespMessage(status: Column): Column = lookupMap(status, Map(
+    200L -> "OK", 201L -> "Created", 204L -> "No Content", 301L -> "Moved Permanently",
+    302L -> "Found", 304L -> "Not Modified", 400L -> "Bad Request", 401L -> "Unauthorized",
+    403L -> "Forbidden", 404L -> "Not Found", 408L -> "Request Timeout",
+    429L -> "Too Many Requests", 500L -> "Internal Server Error", 502L -> "Bad Gateway",
+    503L -> "Service Unavailable", 504L -> "Gateway Timeout"), "Unknown")
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PxL DataFrame operator surface (reference:
+  * src/carnot/planner/objects/dataframe.h) as a thin façade over Spark
+  * DataFrames. Each method encodes a *semantic* the reference guarantees
+  * (suffix handling, right->left join normalization, union-by-name with
+  * time ordering, implicit result caps) and otherwise stays declarative so
+  * Catalyst owns optimization (pushdown, pruning, join strategy, AQE).
+  */
+final case class PxTable(df: DataFrame) {
+
+  /** Map: add/replace a column (dataframe.h:118-156). */
+  def withCol(name: String, e: Column): PxTable = PxTable(df.withColumn(name, e))
+
+  /** Map: full projection (N exprs -> N columns), like the physical Map
+    * operator (plan.proto:233-239).
+    */
+  def mapCols(cols: (String, Column)*): PxTable =
+    PxTable(df.select(cols.map { case (n, c) => c.as(n) }: _*))
+
+  /** df[['a','b']] — keep columns (dataframe.h:157-176). */
+  def keep(cols: String*): PxTable = PxTable(df.select(cols.map(col): _*))
+
+  /** df.drop (dataframe.h:177-205); IR Drop compiles to Map in the
+    * reference (drop_to_map_rule.h) — Spark's drop is already a Project.
+    */
+  def dropCols(cols: String*): PxTable = PxTable(df.drop(cols: _*))
+
+  /** Filter (dataframe.h:206-229). Filter expr must be boolean — Catalyst
+    * analysis enforces what VerifyFilterExpressionRule does.
+    */
+  def where(cond: Column): PxTable = PxTable(df.filter(cond))
+
+  /** groupby().agg(out=(col, fn)) (dataframe.h:230-262). Spark plans
+    * partial + final HashAggregate automatically — the reference's
+    * partial_agg/finalize split (splitter/partial_op_mgr) is free here.
+    */
+  def groupbyAgg(keys: Seq[String], aggs: (String, Column)*): PxTable =
+    PxTable(df.groupBy(keys.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+           aggs.tail.map { case (n, c) => c.as(n) }: _*))
+
+  /** groupby().agg() with no aggregates = distinct groups
+    * (dataframe.h:230-248 docstring).
+    */
+  def distinctGroups(keys: String*): PxTable =
+    PxTable(df.select(keys.map(col): _*).distinct())
+
+  /** head(n) (dataframe.h:263-283). Spark's LocalLimit/GlobalLimit split
+    * subsumes the reference's Limit + abortable-source early termination.
+    */
+  def head(n: Int): PxTable = PxTable(df.limit(n))
+
+  /** merge (dataframe.h:284-329): equijoin with pandas-style suffix
+    * disambiguation of non-key duplicate columns. `how` ∈
+    * inner|left|right|outer. The reference compiler rewrites RIGHT to LEFT
+    * by swapping inputs (setup_join_type_rule.h) — we do the same so only
+    * 3 physical join types exist, then restore the user's column order.
+    */
+  def merge(right: PxTable, how: String, leftOn: Seq[String],
+            rightOn: Seq[String], suffixes: (String, String) = ("_x", "_y")): PxTable = {
+    require(leftOn.length == rightOn.length, "merge: key arity mismatch")
+    if (how == "right")
+      return right.merge(this, "left", rightOn, leftOn, (suffixes._2, suffixes._1))
+    val joinType = how match {
+      case "inner" => "inner"; case "left" => "left_outer"
+      case "outer" => "full_outer"
+      case other => throw new IllegalArgumentException(s"merge: how=$other")
+    }
+    // Same-named key pairs collapse to one output column (coalesced for
+    // full outer, pandas `on=` style); other overlapping columns get
+    // suffixes (dataframe.h merge docstring). Both sides are renamed to
+    // disjoint temp names before the join so self-joins (shared lineage,
+    // e.g. per-window totals joined back) are never ambiguous.
+    val sharedKeys = leftOn.zip(rightOn).filter { case (a, b) => a == b }.map(_._1).toSet
+    val overlap = (df.columns.toSet & right.df.columns.toSet) -- sharedKeys
+    def out(side: String, c: String): String =
+      if (overlap(c)) c + (if (side == "l") suffixes._1 else suffixes._2) else c
+    val l = df.toDF(df.columns.map("graft_l__" + _): _*)
+    val r = right.df.toDF(right.df.columns.map("graft_r__" + _): _*)
+    val cond = leftOn.zip(rightOn)
+      .map { case (a, b) => col("graft_l__" + a) === col("graft_r__" + b) }
+      .reduce(_ && _)
+    val joined = l.join(r, cond, joinType)
+    val outCols = df.columns.map { c =>
+      if (sharedKeys(c) && joinType == "full_outer")
+        coalesce(col("graft_l__" + c), col("graft_r__" + c)).as(c)
+      else col("graft_l__" + c).as(out("l", c))
+    } ++ right.df.columns.filterNot(sharedKeys).map(c => col("graft_r__" + c).as(out("r", c)))
+    PxTable(joined.select(outCols.toSeq: _*))
+  }
+
+  /** append (dataframe.h:354-380): n-ary union by column name. The
+    * reference preserves time_ order through the union (plan.proto:302);
+    * Spark has no order invariant, so callers observing time order sort
+    * explicitly via [[orderedByTime]] — the documented policy, not an
+    * accident (SURVEY §2.8).
+    */
+  def append(others: PxTable*): PxTable =
+    PxTable(others.foldLeft(df)((a, b) => a.unionByName(b.df)))
+
+  /** The observable time-order contract at result boundaries. */
+  def orderedByTime(timeCol: String, tieBreak: String*): PxTable =
+    PxTable(df.orderBy((timeCol +: tieBreak).map(col): _*))
+
+  /** AddLimitToBatchResultSinkRule: every batch result is capped
+    * (add_limit_to_batch_result_sink_rule.cc:55-66; clamps larger user
+    * limits). Engine policy applied at sink time.
+    */
+  def resultCap(maxRows: Int = PxTable.MaxOutputRowsPerTable): PxTable =
+    PxTable(df.limit(maxRows))
+}
+
+object PxTable {
+  /** Reference default broker config for max_output_rows_per_table. */
+  val MaxOutputRowsPerTable = 10000
+
+  def apply(spark: SparkSession, dir: String, name: String): PxTable =
+    PxTable(graft.core.Tables(spark, dir, name))
+
+  /** px.DataFrame(table, select, start_time, end_time)
+    * (objects/pixie_module.h:48): source + time-range scan over the
+    * engine's epoch-ns long time column. The predicate lands in
+    * PushedFilters on the parquet scan; at 100 TB this is the
+    * partition-pruning hook (time-partitioned tables).
+    */
+  def timeRange(spark: SparkSession, dir: String, name: String,
+                timeCol: String, start: String, stop: String): PxTable = {
+    import graft.functions.PixieFunctions.tsNsLit
+    PxTable(graft.core.Tables(spark, dir, name)
+      .filter(col(timeCol) >= lit(tsNsLit(start)) &&
+              col(timeCol) < lit(tsNsLit(stop))))
+  }
+}
