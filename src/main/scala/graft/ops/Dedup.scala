@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators (SURVEY §7.9 north
+  * star). All hashing is built from md5 + integer arithmetic so results
+  * are engine-independent (reproducible in any SQL dialect) and
+  * partitioning-independent — at 100 TB these run as: shingle explode
+  * (map-side), partial-agg min-signatures (one shuffle keyed by doc),
+  * band-bucket self-join (one shuffle keyed by band hash — never the
+  * O(n²) all-pairs join).
+  */
+object Dedup {
+
+  /** Prime modulus for all permutation arithmetic (2^31-1, Mersenne). */
+  val P: Long = 2147483647L
+
+  /** k universal-hash permutations (a_i, b_i): a*h+b stays < 2^62 so the
+    * identical expression evaluates exactly in any engine.
+    */
+  def perms(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => (2L * 976369L * i + 1L, (1013904223L * i) % P))
+
+  /** 60-bit integer hash of a string via md5 (cross-engine exact). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  def h60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Word n-gram shingles of a text column (array<string>). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+  }
+
+  def shinglesSql(x: String, n: Int): String =
+    s"list_transform(range(greatest(len(string_split($x,' ')) - ${n - 1}, 1)), " +
+      s"i -> array_to_string(string_split($x,' ')[i+1:i+$n], ' '))"
+
+  /** Exact dedup: content-hash groups with the surviving (minimum) id —
+    * one shuffle keyed by the hash.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: k permutation-minima over word-n-gram shingles.
+    * Returns (id, s0..s{k-1}).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, k: Int = 16): DataFrame = {
+    val ex = df
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+      .withColumn("h", pmod(h60(col("sh")), lit(P)))
+    val aggs = perms(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"s$i")
+    }
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (id, band, band_hash) — b bands of r signature rows.
+    * Candidate generation is a self-join on (band, band_hash): documents
+    * only meet if some band collides, which is what keeps this sub-O(n²)
+    * at scale.
+    */
+  def lshBands(sigs: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
+    val perBand = (0 until bands).map { bIdx =>
+      val cols = (bIdx * rows until (bIdx + 1) * rows)
+        .map(i => col(s"s$i").cast("string"))
+      sigs.select(col(idCol), lit(bIdx).as("band"),
+        md5(concat_ws(",", cols: _*).cast("binary")).as("band_hash"))
+    }
+    perBand.reduce(_ unionByName _)
+  }
+
+  /** Near-dup candidate pairs via MinHash + LSH. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val b = lshBands(minhashSignatures(df, textCol, idCol, n, k), idCol, bands, rows)
+    val l = b.toDF("doc_a", "band", "band_hash")
+    val r = b.toDF("doc_b", "band", "band_hash")
+    l.join(r, Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** SimHash: 32-bit signature from per-bit majority vote over the
+    * distinct-word hash set. Near-dups differ in few bits (compare by
+    * hamming distance downstream).
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .withColumn("h", pmod(h60(col("w")), lit(4294967296L)))
+    val bitSums = (0 until 32).map { b =>
+      val bit = pmod(call_function("div", col("h"), lit(1L << b)), lit(2L))
+      sum(bit * 2 - 1).as(s"b$b")
+    }
+    val summed = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs sharing a blocking key
+    * (e.g. source): |A∩B| / |A∪B| on distinct shingle sets. The blocking
+    * key is what bounds the pair count at scale.
+    */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
+                   blockCol: String, n: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val g = df.select(col(idCol), col(blockCol),
+      explode(shingles(col(textCol), n)).as("g")).distinct()
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val ga = g.toDF("doc_a", "blk", "g")
+    val gb = g.toDF("doc_b", "blk", "g")
+    val inter = ga.join(gb, Seq("blk", "g"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY §7.9 north star). Baseline:
+  * brute-force cosine top-k (exact, broadcast the query side). Scale path:
+  * sign-random-projection LSH buckets so each query only scores its
+  * bucket's candidates — the 100 TB shape is a broadcast of the (small)
+  * query set against a bucket-partitioned corpus, never corpus × corpus.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns (codegen'd
+    * higher-order functions — no UDF).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself). Query side is broadcast; norms are
+    * precomputed once per side.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  /** Deterministic pseudo-random projection component r_{j,i} in
+    * [-1, 1): derived from md5 so every engine/run agrees.
+    */
+  private def proj(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-proj-$j-$i".getBytes("UTF-8"))
+    val v = java.lang.Long.parseLong(
+      md.take(7).map("%02x".format(_)).mkString, 16)
+    (v % 2000001L - 1000000L) / 1000000.0
+  }
+
+  /** Sign-LSH bucket id for one hash table: bitsPerTable sign bits of
+    * deterministic random projections (table-distinct projection seeds).
+    */
+  def lshBucket(vec: Column, dim: Int, table: Int, bitsPerTable: Int): Column =
+    (0 until bitsPerTable).map { j =>
+      val d = (0 until dim)
+        .map(i => element_at(vec, i + 1) * proj(table * bitsPerTable + j, i))
+        .reduce(_ + _)
+      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate cosine top-k through multi-table sign LSH: L independent
+    * hash tables of r bits; a corpus vector is a candidate if it collides
+    * with the query in ANY table (standard OR-construction — one table's
+    * sign bits are far too selective for weakly-correlated neighbors).
+    * Candidates are deduped before scoring. Recall < 1 by construction;
+    * asserted against the exact baseline in NorthStarSpec.
+    *
+    * Scale shape: corpus is hashed once per table (map-only), candidate
+    * generation is L broadcast joins on bucket id, scoring touches only
+    * candidates — never corpus × corpus.
+    */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dim: Int,
+                    bitsPerTable: Int = 4, nTables: Int = 8): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("ce"))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qe"))
+    val candidates = (0 until nTables).map { t =>
+      val c = c0.withColumn("bucket", lshBucket(col("ce"), dim, t, bitsPerTable))
+      val q = q0.withColumn("bucket", lshBucket(col("qe"), dim, t, bitsPerTable))
+        .select("query_id", "bucket")
+      c.join(broadcast(q), Seq("bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    }.reduce(_ unionByName _).distinct()
+    val cn = c0.withColumn("cn", norm(col("ce")))
+    val qn = q0.withColumn("qn", norm(col("qe")))
+    val scored = candidates
+      .join(cn, "neighbor_id").join(broadcast(qn), "query_id")
+      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import Q._
+
+/** North-star LLM-data-pipeline operators (SURVEY §7.9) over the
+  * documents/embeddings tables: dedup (exact / MinHash+LSH / SimHash /
+  * n-gram Jaccard), similarity search, text analysis, multimodal binary
+  * plumbing. Oracle SQL is *generated from the same constants* as the
+  * Scala operators so both engines evaluate the identical algorithm.
+  */
+object NorthStar {
+
+  private val K = 16; private val BANDS = 4; private val NGRAM = 3
+
+  val queries: Map[String, QFn] = Map(
+    // Exact dedup: content-hash groups, surviving id, copy count.
+    "q24_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("content_hash")
+    }),
+
+    // MinHash signatures (16 permutation-minima over word-3-gram
+    // shingles) — checked column-by-column against SQL.
+    "q25_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id", NGRAM, K)
+        .orderBy("doc_id")
+    }),
+
+    // LSH banding self-join -> near-dup candidate pairs.
+    "q26_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id", NGRAM, K, BANDS)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // 32-bit SimHash from distinct-word majority votes.
+    "q27_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Exact n-gram Jaccard over source-blocked pairs.
+    "q28_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", "source", NGRAM, 0.2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Brute-force cosine top-5 (queries = vec_id < 10), exact baseline.
+    "q29_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("score", round(col("score"), 6).cast("float"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed approximate ANN (the 100 TB scale path) — rows-only
+    // check; recall vs the exact baseline is asserted in SimilaritySpec.
+    "q30_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", 5, dim = 64, bitsPerTable = 4, nTables = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Language-ID marker heuristic with deterministic tie-break.
+    "q31_lang_id" -> ((s, dir) => {
+      TextOps.langId(t(s, dir, "documents"), "text")
+        .select("doc_id", "score_en", "score_de", "score_es", "score_fr", "lang_pred")
+        .orderBy("doc_id")
+    }),
+
+    // Quality features + composite score.
+    "q32_quality" -> ((s, dir) => {
+      TextOps.qualityScore(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "n_distinct_words", "avg_word_len",
+          "stop_ratio", "distinct_ratio", "quality_score")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting (whitespace + BPE-ish regex), aggregated per source.
+    "q33_tokens" -> ((s, dir) => {
+      TextOps.tokenCounts(t(s, dir, "documents"), "text")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("re_tokens")).as("sum_re_tokens"))
+        .orderBy("source")
+    }),
+
+    // Order-independent document set-fingerprint (XOR/sum of word hashes).
+    "q34_fingerprint" -> ((s, dir) => {
+      TextOps.fingerprint(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal binary plumbing: opaque payload + metadata + frame
+    // sampling offsets (video-style row expansion).
+    "q35_media_frames" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, everyK = 4, frameBytes = 16)
+        .orderBy("media_id", "frame_no")
+    }),
+
+    // Stubbed batched decode (mapPartitions) — rows-only; exactness is
+    // covered by MultimodalSpec against the stub decoder.
+    "q36_media_decode" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(s, media)
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("media_id")
+    })
+  )
+
+  // ---- generated oracle SQL ------------------------------------------
+
+  private val sh = Dedup.shinglesSql("text", NGRAM)
+  private def h60 (x: String) = Dedup.h60Sql(x)
+  private val P = Dedup.P
+
+  private val sigCte =
+    s"""WITH sh AS (SELECT doc_id, unnest($sh) AS sh FROM documents),
+       |h AS (SELECT doc_id, (${h60("sh")}) % $P AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |${Dedup.perms(K).zipWithIndex.map { case ((a, b), i) =>
+             s"  min(($a * h + $b) % $P) AS s$i" }.mkString(",\n")}
+       |FROM h GROUP BY doc_id)""".stripMargin
+
+  private val bandsSql = (0 until BANDS).map { b =>
+    val cols = (b * (K / BANDS) until (b + 1) * (K / BANDS))
+      .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+    s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
+  }.mkString("\nUNION ALL\n")
+
+  private val simhashBits = (0 until 32)
+  private val markerSql = TextOps.langMarkers.map { case (lang, ms) =>
+    s"len(list_filter(string_split(text,' '), x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS score_$lang"
+  }.mkString(",\n  ")
+
+  val oracles: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q25_minhash_sig" ->
+      s"$sigCte SELECT * FROM sig ORDER BY doc_id",
+    "q26_minhash_pairs" ->
+      s"""$sigCte, bands AS ($bandsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |  AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q27_simhash" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, (${h60("w")}) % 4294967296 AS h FROM w),
+         |s AS (SELECT doc_id,
+         |${simhashBits.map(b => s"  CAST(sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b$b").mkString(",\n")}
+         |FROM h GROUP BY doc_id)
+         |SELECT doc_id,
+         |${simhashBits.map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q28_ngram_jaccard" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, source, unnest($sh) AS g FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM g a JOIN g b ON a.source = b.source AND a.g = b.g
+         |    AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, i AS inter,
+         |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q29_ann_cosine" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nid,
+        |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1])) / (qn * nrm) AS cos
+        |  FROM q, n WHERE vec_id <> qid)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank,
+        |  CAST(round(cos, 6) AS REAL) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |      FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q31_lang_id" ->
+      s"""SELECT doc_id,
+         |  $markerSql,
+         |  CASE WHEN score_en + score_de + score_es + score_fr = 0 THEN 'unknown'
+         |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+         |       WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+         |       WHEN score_es >= score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |       WHEN score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+         |       ELSE 'unknown' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_words,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct_words,
+        |  CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text,' ')) AS avg_word_len,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS distinct_ratio,
+        |  least(len(string_split(text,' ')) / 100.0, 1.0) * 0.4
+        |    + (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |       / len(string_split(text,' '))) * 0.3
+        |    + (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |         x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+        |       / len(string_split(text,' '))) * 0.3 AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_tokens" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '${TextOps.tokenPattern}'))) AS BIGINT) AS sum_re_tokens
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q34_fingerprint" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+         |h AS (SELECT doc_id, (${h60("w")}) % $P AS h FROM w)
+         |SELECT doc_id, bit_xor(h) AS xor_fp, CAST(sum(h) AS BIGINT) AS sum_fp,
+         |  count(*) AS n_distinct_words
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q35_media_frames" ->
+      """SELECT doc_id AS media_id,
+        |  unnest(range((octet_length(CAST(text AS BLOB)) - 1) // 64 + 1)) AS frame_no,
+        |  unnest(range((octet_length(CAST(text AS BLOB)) - 1) // 64 + 1)) * 64 AS frame_offset
+        |FROM documents ORDER BY media_id, frame_no""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class NorthStarSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  def docs = graft.core.Tables(spark, sf, "documents")
+  def emb = graft.core.Tables(spark, sf, "embeddings")
+
+  test("minhash LSH finds near-duplicate pairs and not unrelated ones") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different content about spark catalyst optimizer internals here"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "text", "doc_id", n = 3, k = 16, bands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = base.replace("word40", "word41")
+    val df = Seq((1L, base), (2L, near), (3L, "x y z")).toDF("doc_id", "text")
+    val sig = Dedup.simhash(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0), sig(1)) <= 8)
+    assert(hamming(sig(0), sig(2)) > 8)
+  }
+
+  test("ngram jaccard is 1.0 for identical docs in the same block") {
+    val df = Seq((1L, "a b c d e", "s1"), (2L, "a b c d e", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.ngramJaccard(df, "text", "doc_id", "source", 3, 0.0)
+      .select("jaccard").as[Double].head()
+    assert(got == 1.0)
+  }
+
+  test("LSH ANN achieves >=60% recall@5 vs exact brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshCosineTopK(emb, queries, "vec_id", "embedding",
+        5, dim = 64, bitsPerTable = 4, nTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("LSH ANN candidate generation uses broadcast joins (scale contract)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val plan = Similarity.lshCosineTopK(emb, queries, "vec_id", "embedding",
+      5, 64).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("stub media decode produces deterministic batched features") {
+    val media = Multimodal.asMediaTable(docs.limit(10), "doc_id", "text")
+    val out = Multimodal.decodeFeatures(spark, media).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getAs[Seq[Float]]("features").length == 8))
+    val again = Multimodal.decodeFeatures(spark, media).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("lang id is deterministic and covers marker languages") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextOps.langId(df, "text").select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "unknown")
+  }
+}
