@@ -34,6 +34,8 @@ object Tables {
     */
   def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
     val schema = apply(spark, dir, name).schema
-    spark.readStream.schema(schema).parquet(s"$dir/$name.parquet")
+    // FileStreamSource requires a directory base path; a {name} glob keeps
+    // the parent dir as base while matching just this table's file.
+    spark.readStream.schema(schema).parquet(s"$dir/{$name}.parquet")
   }
 }

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming parity (SURVEY §1.3/§2.1): the reference's df.stream() tails
+  * an append-only table and its windowed agg flushes per end-of-window
+  * marker (agg_node.h:92). In Spark that is Structured Streaming with
+  * event-time windows + watermark-driven state eviction. The reference has
+  * NO late-data handling (eow is ingestion order), so any finite watermark
+  * is a faithful superset; we default to a small skew allowance.
+  */
+object Streaming {
+
+  /** Windowed aggregation over a streaming frame whose time column is the
+    * engine's epoch-ns long: tumbling window of `widthSeconds`, watermark
+    * `lateSeconds`. Emits (bucket epoch-sec, keys..., aggs...) on window
+    * close — the eow-flush analog.
+    */
+  def windowedCounts(stream: DataFrame, tsNsCol: String, widthSeconds: Long,
+                     lateSeconds: Long, keys: String*): DataFrame = {
+    import graft.functions.PixieFunctions.{idiv, nsToUs}
+    val withTs = stream.withColumn("event_time",
+      timestamp_micros(nsToUs(col(tsNsCol))))
+    withTs
+      .withWatermark("event_time", s"$lateSeconds seconds")
+      .groupBy(window(col("event_time"), s"$widthSeconds seconds") +:
+        keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        (unix_micros(col("window.start")) / 1000000L).cast("long").as("bucket") +:
+          keys.map(col) :+ col("n") :+ col("sum_value"): _*)
+  }
+
+  case class SessionEvent(user_id: Long, ts_ns: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)
+
+  /** Custom streaming state: gap-based sessionization with
+    * flatMapGroupsWithState — the analog of the reference's bespoke
+    * stateful exec nodes, using Spark's state store (checkpointed,
+    * partition-distributed) instead of per-agent memory.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapNs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_ns)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (e <- sorted) {
+            cur match {
+              case Some(s) if e.ts_ns - s.last <= gapNs =>
+                cur = Some(s.copy(last = e.ts_ns, n = s.n + 1))
+              case Some(s) =>
+                out += Session(uid, s.start, s.last, s.n)
+                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

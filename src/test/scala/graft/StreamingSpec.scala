@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{OtelSink, Streaming}
+import graft.functions.PixieFunctions._
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg matches the batch bin-agg result") {
+    val out = s"stream_agg_${System.nanoTime()}"
+    val stream = graft.core.Tables.stream(spark, sf, "events")
+    val q = Streaming.windowedCounts(stream, "ts", 3600, 0)
+      .writeStream.outputMode("append").format("memory").queryName(out).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(out)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    val batch = graft.core.Tables(spark, sf, "events")
+      .groupBy(timeBinNs(col("ts"), 3600).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // watermark(0) closes every window once data is exhausted except the
+    // final one, which stays open in append mode — compare the closed set.
+    assert(streamed.nonEmpty)
+    assert(streamed.forall { case (b, n) => batch.get(b).contains(n) })
+    assert(batch.size - streamed.size <= 1)
+  }
+
+  test("sessionize groups events by gap with flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.SessionEvent]
+    val sessions = Streaming.sessionize(mem.toDS(), gapNs = 100L)
+    val out = s"sessions_${System.nanoTime()}"
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(out).start()
+    // user 1: two bursts separated by > gap; second burst stays open (no
+    // eos in streaming) — only the first session is emitted.
+    mem.addData(Streaming.SessionEvent(1, 10), Streaming.SessionEvent(1, 50),
+      Streaming.SessionEvent(1, 120))
+    q.processAllAvailable()
+    mem.addData(Streaming.SessionEvent(1, 1000))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(out).as[Streaming.Session].collect().toSeq
+    assert(got == Seq(Streaming.Session(1, 10, 120, 3)))
+  }
+
+  test("otel gauge export maps rows to metric records (batch + stream)") {
+    val transport = new OtelSink.InMemoryTransport
+    val spec = OtelSink.GaugeSpec("event.value", "value", "ts", Seq("event_type"))
+    val df = graft.core.Tables(spark, sf, "events")
+      .select("ts", "value", "event_type").limit(100)
+    val n = OtelSink.exportGauges(df, spec, transport)
+    assert(n == 100 && transport.sent.size() == 100)
+    val rec = transport.sent.peek()
+    assert(rec.name == "event.value" && rec.attributes.contains("event_type"))
+  }
+
+  test("upid helpers round-trip (asid, pid, start_ts)") {
+    val df = Seq((7L, 12345L, 1704067798778549L)).toDF("asid", "pid", "ts")
+      .withColumn("upid", graft.types.Upid.makeUpid(col("asid"), col("pid"), col("ts")))
+    val r = df.select(
+      graft.types.Upid.upidToAsid(col("upid")),
+      graft.types.Upid.upidToPid(col("upid")),
+      graft.types.Upid.upidToStartTs(col("upid")),
+      graft.types.Upid.upidToString(col("upid")))
+      .as[(Long, Long, Long, String)].head()
+    assert(r == ((7L, 12345L, 1704067798778549L, "7:12345:1704067798778549")))
+  }
+
+  test("metadata as-of join resolves generations by timestamp") {
+    val ev = Seq((1L, 100L, 5L), (2L, 300L, 5L)).toDF("event_id", "ts", "user_id")
+    val dim = Seq(
+      (5L, "pod-5-gen0", 0L, 200L, "svc-5"),
+      (5L, "pod-5-gen1", 200L, Long.MaxValue, "svc-5"))
+      .toDF("owner_id", "pod_name", "start_ns", "stop_ns", "service_name")
+    val got = graft.meta.K8sMetadata
+      .resolveAsOf(ev, dim, "user_id", "owner_id", "ts", Seq("pod_name"))
+      .select("event_id", "pod_name").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "pod-5-gen0", 2L -> "pod-5-gen1"))
+  }
+}
