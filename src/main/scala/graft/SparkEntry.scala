@@ -36,12 +36,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Functions.queries ++
-      graft.queries.NorthStar.queries ++ graft.queries.Meta.queries
+      graft.queries.NorthStar.queries ++ graft.queries.Meta.queries ++
+      graft.queries.Surface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Functions.oracles ++
-      graft.queries.NorthStar.oracles ++ graft.queries.Meta.oracles
+      graft.queries.NorthStar.oracles ++ graft.queries.Meta.oracles ++
+      graft.queries.Surface.oracles
 }

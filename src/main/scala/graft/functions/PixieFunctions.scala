@@ -107,6 +107,30 @@ object PixieFunctions {
   def pluckArray(json: Column, idx: Int): Column =
     get_json_object(json, s"$$[$idx]")
 
+  /** split (json_ops.cc SplitUDF): split on a LITERAL delimiter and
+    * return the result as a JSON array *string* (not a Spark array) —
+    * byte-parity with the reference's string-in/string-out contract.
+    */
+  def splitToJson(s: Column, delimiter: String): Column =
+    to_json(split(s, java.util.regex.Pattern.quote(delimiter)))
+
+  /** _script_reference (json_ops.cc ScriptReferenceUDF): deep-link cell
+    * payload {"label":..,"script":..,"args":{k:v,...}} with
+    * struct-declaration key order (deterministic).
+    */
+  def scriptReference(label: Column, script: Column, args: (String, Column)*): Column =
+    to_json(struct(
+      label.as("label"), script.as("script"),
+      struct(args.map { case (k, v) => v.as(k) }: _*).as("args")))
+
+  /** _match_regex_rule (regex_ops.cc): first rule whose pattern matches
+    * wins; default when none do. Codegen'd CASE WHEN rlike chain.
+    */
+  def matchRegexRule(c: Column, rules: Seq[(String, String)], default: String): Column =
+    rules.foldRight(lit(default): Column) { case ((name, pattern), acc) =>
+      when(c.rlike(pattern), lit(name)).otherwise(acc)
+    }
+
   // ---- conditionals --------------------------------------------------
 
   /** select(cond, a, b) (reference conditionals.cc). */
