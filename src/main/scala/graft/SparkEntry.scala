@@ -37,7 +37,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Functions.queries ++
       graft.queries.NorthStar.queries ++ graft.queries.Meta.queries ++
-      graft.queries.Surface.queries
+      graft.queries.Surface.queries ++ graft.queries.Ml.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -45,5 +45,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Functions.oracles ++
       graft.queries.NorthStar.oracles ++ graft.queries.Meta.oracles ++
-      graft.queries.Surface.oracles
+      graft.queries.Surface.oracles ++ graft.queries.Ml.oracles
 }

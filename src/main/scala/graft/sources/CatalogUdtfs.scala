@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** The reference's metadata UDTF-source family (SURVEY §2.7;
+  * src/vizier/funcs/md_udtfs/md_udtfs.cc — GetTables, GetSchemas,
+  * GetUDFList, GetUDAList, GetUDTFList, GetAgentStatus): table-generating
+  * functions that expose engine introspection as relations. Here they are
+  * plain Scala functions returning DataFrames over the catalog — the
+  * idiomatic Spark shape for constant-ish metadata (tiny, broadcastable).
+  */
+object CatalogUdtfs {
+
+  /** The fixture catalog (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Spark type -> engine type name (DuckDB-compatible spelling so the
+    * schema UDTF is oracle-checkable).
+    */
+  private def typeName(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case StringType => "VARCHAR"
+    case BooleanType => "BOOLEAN"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case BinaryType => "BLOB"
+    case ArrayType(e, _) => typeName(e) + "[]"
+    case other => other.simpleString.toUpperCase
+  }
+
+  /** GetTables: name + column count per registered table. */
+  def getTables(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tableNames
+      .map(n => (n, graft.core.Tables(spark, dir, n).schema.fields.length.toLong))
+      .toDF("table_name", "n_cols")
+  }
+
+  /** GetSchemas: one row per column with 1-based ordinal and type name. */
+  def getSchemas(spark: SparkSession, dir: String, tables: Seq[String] = tableNames): DataFrame = {
+    import spark.implicits._
+    tables.flatMap { n =>
+      graft.core.Tables(spark, dir, n).schema.fields.zipWithIndex.map {
+        case (f, i) => (n, f.name, (i + 1).toLong, typeName(f.dataType))
+      }
+    }.toDF("table_name", "column_name", "column_index", "data_type")
+  }
+
+  /** GetUDFList / GetUDAList / GetUDTFList: the engine's registered
+    * function surface (names mirror the reference registry).
+    */
+  val udfNames: Seq[(String, String)] = Seq(
+    "bin" -> "math_ops", "modulo" -> "math_ops", "time_to_int64" -> "math_ops",
+    "int64_to_time" -> "math_ops", "contains" -> "string_ops",
+    "length" -> "string_ops", "find" -> "string_ops", "substring" -> "string_ops",
+    "tolower" -> "string_ops", "toupper" -> "string_ops", "trim" -> "string_ops",
+    "strip_prefix" -> "string_ops", "hex_to_ascii" -> "string_ops",
+    "bytes_to_hex" -> "string_ops", "atoi" -> "string_ops", "itoa" -> "string_ops",
+    "regex_match" -> "regex_ops", "replace" -> "regex_ops",
+    "_match_regex_rule" -> "regex_ops", "pluck" -> "json_ops",
+    "pluck_int64" -> "json_ops", "pluck_float64" -> "json_ops",
+    "pluck_array" -> "json_ops", "split" -> "json_ops",
+    "_script_reference" -> "json_ops", "select" -> "conditionals",
+    "equals_any" -> "conditionals", "uri_parse" -> "uri_ops",
+    "uri_recompose" -> "uri_ops", "redact_pii_best_effort" -> "pii_ops",
+    "normalize_mysql" -> "sql_ops", "normalize_pgsql" -> "sql_ops",
+    "cidrs_contain_ip" -> "net_ops", "nslookup" -> "net_ops",
+    "protocol_name" -> "protocol_ops", "http_resp_message" -> "protocol_ops",
+    "kafka_api_key_name" -> "protocol_ops", "mysql_command_name" -> "protocol_ops",
+    "cql_opcode_name" -> "protocol_ops", "amqp_frame_type_name" -> "protocol_ops",
+    "amqp_method_name" -> "protocol_ops", "dns_rcode_name" -> "protocol_ops",
+    "mux_frame_type_name" -> "protocol_ops",
+    "grpc_status_code_to_str" -> "util_ops",
+    "upid_to_asid" -> "metadata_ops", "upid_to_pid" -> "metadata_ops",
+    "upid_to_string" -> "metadata_ops", "upid_to_pod_name" -> "metadata_ops",
+    "upid_to_service_name" -> "metadata_ops")
+
+  val udaNames: Seq[(String, String)] = Seq(
+    "mean" -> "math_ops", "sum" -> "math_ops", "max" -> "math_ops",
+    "min" -> "math_ops", "count" -> "math_ops", "quantiles" -> "math_sketches",
+    "any" -> "collections", "sample" -> "ml_ops", "_kmeans" -> "ml_ops",
+    "pprof" -> "pprof_ops", "_build_request_path_clusters" -> "request_path_ops")
+
+  val udtfNames: Seq[String] = Seq(
+    "GetTables", "GetSchemas", "GetUDFList", "GetUDAList", "GetUDTFList",
+    "GetAgentStatus")
+
+  def getUdfList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    udfNames.toDF("name", "module")
+  }
+  def getUdaList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    udaNames.toDF("name", "module")
+  }
+  def getUdtfList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    udtfNames.map(Tuple1(_)).toDF("name")
+  }
+
+  /** GetAgentStatus: single local "agent" (Spark has no PEM fleet; the
+    * executor topology is Spark's concern).
+    */
+  def getAgentStatus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("local", "KERNEL_HEADERS_INSTALLED", 1L))
+      .toDF("agent_id", "status", "create_time")
+  }
+}
