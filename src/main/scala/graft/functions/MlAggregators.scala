@@ -47,9 +47,20 @@ object MlAggregators {
     }
 
     def zero: KMBuf = KMBuf(cap, Array.empty, 0)
+    /** Amortized: append rows and compact only when the buffer exceeds
+      * 4x cap. Dropping a point at compaction is safe — the kept set is
+      * the cap smallest DISTINCT points, all <= any dropped point, so no
+      * dropped point can re-enter the canonical set later. O(1) amortized
+      * per row instead of a full sort per row.
+      */
     def reduce(b: KMBuf, x: Seq[Double]): KMBuf =
       if (x == null || x.isEmpty) b
-      else canon(b.cap, x.length, pts(b) :+ x.toArray)
+      else {
+        val grown = KMBuf(b.cap, b.flat ++ x, x.length)
+        if (grown.flat.length > 4 * b.cap * x.length)
+          canon(b.cap, x.length, pts(grown))
+        else grown
+      }
     def merge(a: KMBuf, b: KMBuf): KMBuf = {
       val dim = if (a.dim != 0) a.dim else b.dim
       canon(a.cap, dim, pts(a) ++ pts(b))
@@ -58,7 +69,8 @@ object MlAggregators {
     /** Lloyd's iterations with deterministic evenly-spaced init over the
       * canonical point set; centroids reported sorted, 1e-6-rounded.
       */
-    def finish(b: KMBuf): String = {
+    def finish(b0: KMBuf): String = {
+      val b = if (b0.dim == 0) b0 else canon(b0.cap, b0.dim, pts(b0))
       val ps = pts(b)
       if (ps.isEmpty) return "[]"
       val kk = math.min(k, ps.length)

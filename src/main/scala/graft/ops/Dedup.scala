@@ -68,13 +68,15 @@ object Dedup {
     * at scale.
     */
   def lshBands(sigs: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
-    val perBand = (0 until bands).map { bIdx =>
+    // One posexplode pass, NOT a b-way union of selects — a union would
+    // recompute the signature aggregate once per band.
+    val bandHashes = (0 until bands).map { bIdx =>
       val cols = (bIdx * rows until (bIdx + 1) * rows)
         .map(i => col(s"s$i").cast("string"))
-      sigs.select(col(idCol), lit(bIdx).as("band"),
-        md5(concat_ws(",", cols: _*).cast("binary")).as("band_hash"))
+      md5(concat_ws(",", cols: _*).cast("binary"))
     }
-    perBand.reduce(_ unionByName _)
+    sigs.select(col(idCol),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
   }
 
   /** Near-dup candidate pairs via MinHash + LSH. */

@@ -54,14 +54,19 @@ object Similarity {
 
   /** Sign-LSH bucket id for one hash table: bitsPerTable sign bits of
     * deterministic random projections (table-distinct projection seeds).
+    * Projection rows are array literals folded with zip_with/aggregate —
+    * compact expression trees instead of dim-wide element_at chains.
     */
   def lshBucket(vec: Column, dim: Int, table: Int, bitsPerTable: Int): Column =
     (0 until bitsPerTable).map { j =>
-      val d = (0 until dim)
-        .map(i => element_at(vec, i + 1) * proj(table * bitsPerTable + j, i))
-        .reduce(_ + _)
+      val row = typedLit(Array.tabulate(dim)(i => proj(table * bitsPerTable + j, i)))
+      val d = aggregate(zip_with(vec, row, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** All nTables bucket ids as one array column (single pass per row). */
+  def lshBuckets(vec: Column, dim: Int, bitsPerTable: Int, nTables: Int): Column =
+    array((0 until nTables).map(t => lshBucket(vec, dim, t, bitsPerTable)): _*)
 
   /** Approximate cosine top-k through multi-table sign LSH: L independent
     * hash tables of r bits; a corpus vector is a candidate if it collides
@@ -81,14 +86,17 @@ object Similarity {
       col(vecCol).cast("array<double>").as("ce"))
     val q0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qe"))
-    val candidates = (0 until nTables).map { t =>
-      val c = c0.withColumn("bucket", lshBucket(col("ce"), dim, t, bitsPerTable))
-      val q = q0.withColumn("bucket", lshBucket(col("qe"), dim, t, bitsPerTable))
-        .select("query_id", "bucket")
-      c.join(broadcast(q), Seq("bucket"))
-        .where(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    }.reduce(_ unionByName _).distinct()
+    // One hash pass + ONE join on (table, bucket) — not nTables separate
+    // joins, which would rescan and rehash the corpus per table.
+    val cb = c0.select(col("neighbor_id"),
+      posexplode(lshBuckets(col("ce"), dim, bitsPerTable, nTables))
+        .as(Seq("tbl", "bucket")))
+    val qb = q0.select(col("query_id"),
+      posexplode(lshBuckets(col("qe"), dim, bitsPerTable, nTables))
+        .as(Seq("tbl", "bucket")))
+    val candidates = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
     val cn = c0.withColumn("cn", norm(col("ce")))
     val qn = q0.withColumn("qn", norm(col("qe")))
     val scored = candidates
