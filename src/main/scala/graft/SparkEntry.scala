@@ -37,7 +37,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Functions.queries ++
       graft.queries.NorthStar.queries ++ graft.queries.Meta.queries ++
-      graft.queries.Surface.queries ++ graft.queries.Ml.queries
+      graft.queries.Surface.queries ++ graft.queries.Ml.queries ++
+      graft.queries.Extended.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -45,5 +46,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Functions.oracles ++
       graft.queries.NorthStar.oracles ++ graft.queries.Meta.oracles ++
-      graft.queries.Surface.oracles ++ graft.queries.Ml.oracles
+      graft.queries.Surface.oracles ++ graft.queries.Ml.oracles ++
+      graft.queries.Extended.oracles
 }

@@ -76,6 +76,41 @@ object PixieFunctions {
     }
   }
 
+  /** px.strptime(col, fmt) (pixie_module.h:183-247): parse a formatted
+    * UTC time string to epoch-ns. fmt uses Java/Spark datetime patterns
+    * (the engine-native spelling of the reference's strptime format).
+    */
+  def strptime(s: Column, fmt: String): Column =
+    unix_micros(to_timestamp(s, fmt)) * 1000L
+
+  /** px.parse_time: absolute ('2024-01-02', '2024-01-02 03:04:05') or
+    * relative ('-30s', '5m') time to epoch-ns against a reference now.
+    * Compile-time resolution like planner/ir/time.cc ParseStringToTime.
+    */
+  def parseTimeNs(s: String, nowNs: Long): Long =
+    if (s.matches(raw"-?\d+(ns|us|ms|s|m|h|d)")) nowNs + parseDurationNs(s)
+    else tsNsLit(s)
+
+  /** px.format_duration(ns): compact "1d2h3m4s" rendering (largest-unit
+    * first, zero components omitted, "0s" for zero, '-' prefix).
+    * Declarative column version so it runs in the row pipeline.
+    */
+  def formatDuration(ns: Column): Column = {
+    val a = abs(ns)
+    val d = idiv(a, 86400L * 1000000000L)
+    val h = pmod(idiv(a, 3600L * 1000000000L), lit(24L))
+    val m = pmod(idiv(a, 60L * 1000000000L), lit(60L))
+    val sec = pmod(idiv(a, 1000000000L), lit(60L))
+    val body = concat(
+      when(d > 0, concat(d.cast(StringType), lit("d"))).otherwise(lit("")),
+      when(h > 0, concat(h.cast(StringType), lit("h"))).otherwise(lit("")),
+      when(m > 0, concat(m.cast(StringType), lit("m"))).otherwise(lit("")),
+      when(sec > 0, concat(sec.cast(StringType), lit("s"))).otherwise(lit("")))
+    when(a < 1000000000L, lit("0s"))
+      .when(ns < 0, concat(lit("-"), body))
+      .otherwise(body)
+  }
+
   // ---- string_ops ----------------------------------------------------
 
   def containsStr(s: Column, sub: Column): Column = s.contains(sub)

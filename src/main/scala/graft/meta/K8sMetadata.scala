@@ -45,6 +45,56 @@ object K8sMetadata {
     case other => throw new IllegalArgumentException(s"unknown ctx property: $other")
   }
 
+  /** Generic entity-attribute lookup: the Spark shape of the reference's
+    * 95 `X_id_to_Y` metadata UDFs (funcs/metadata/metadata_ops.cc —
+    * pod_id_to_pod_name, pod_name_to_service_id, service_id_to_service_name,
+    * replica_set_id_to_deployment_name, ip_to_pod_id, ...). Each family
+    * member is this one broadcast join with a different (dimKey, attr)
+    * binding; the dimension is small, the fact table never shuffles.
+    */
+  def lookupAttr(facts: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, attrs: Seq[String]): DataFrame = {
+    // Unique key alias: fact and dim often share lineage (dims derived
+    // from the fact table), and a same-expression-ID join + drop would
+    // resolve against the wrong side.
+    val k = s"__dim_$dimKey"
+    val d = broadcast(dim.select((dimKey +: attrs).map(col): _*)
+      .dropDuplicates(dimKey).withColumnRenamed(dimKey, k))
+    facts.join(d, facts(factKey) === col(k), "left").drop(k)
+  }
+
+  /** has_service_name (metadata_ops.cc): key resolves to a service. */
+  def hasServiceName(facts: DataFrame, dim: DataFrame, factKey: String,
+                     dimKey: String): DataFrame = {
+    val out = lookupAttr(facts, dim.withColumnRenamed("service_name", "_svc"),
+      factKey, dimKey, Seq("_svc"))
+    out.withColumn("has_service", col("_svc").isNotNull).drop("_svc")
+  }
+
+  /** Full synthetic entity model over the user_id space: pod, service,
+    * replica set, deployment, namespace and pod IP, with deterministic
+    * id/name forms — the dimension every `X_to_Y` lookup resolves against.
+    * One row per (owner_id, generation); ids embed the generation like the
+    * reference's UID-per-incarnation semantics.
+    */
+  def syntheticEntityDim(events: DataFrame, splitNs: Long): DataFrame = {
+    syntheticPodDim(events, splitNs)
+      .withColumn("gen", when(col("start_ns") === 0L, lit(0)).otherwise(lit(1)))
+      .withColumn("namespace", concat(lit("ns"), pmod(col("owner_id"), lit(3))))
+      .withColumn("pod_id",
+        concat(col("namespace"), lit("/pod-"), col("owner_id"), lit("-g"), col("gen")))
+      .withColumn("service_id", concat(lit("svcid-"), pmod(col("owner_id"), lit(10))))
+      .withColumn("replica_set",
+        concat(lit("rs-"), pmod(col("owner_id"), lit(10)), lit("-g"), col("gen")))
+      .withColumn("deployment", concat(lit("deploy-"), pmod(col("owner_id"), lit(10))))
+      .withColumn("pod_ip",
+        concat(lit("10.1."), pmod(col("owner_id"), lit(250)), lit("."),
+          lit(10) + col("gen")))
+  }
+
+  /** get_cidrs (metadata_ops.cc): the cluster's pod/service CIDR set. */
+  def getCidrs: Seq[String] = Seq("10.1.0.0/16", "10.2.0.0/16")
+
   /** Deterministic synthetic pod dimension derived from the events table's
     * user_id space — two validity generations split mid-month, so as-of
     * correctness is actually exercised (same key resolves differently

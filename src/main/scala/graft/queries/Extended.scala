@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MlScalars, PixieFunctions}
+import graft.functions.PixieFunctions._
+import graft.meta.K8sMetadata
+import Q._
+
+/** Coverage tail: px time functions, the full k8s entity lookup family,
+  * scalar ML surface, and a pxl-script-corpus shape (net_flow_graph).
+  */
+object Extended {
+
+  private val SplitTs = "2024-01-15"
+
+  // q53: entity attributes are pure functions of (user_id, generation);
+  // generation flips when ts crosses the split. Spark resolves via the
+  // broadcast as-of join against the synthetic dimension; the oracle
+  // re-derives the attributes directly.
+  private def splitNs = tsNsLit(SplitTs)
+
+  // q54 fixtures: 3 fixed 2-d centroids + a 3-template endpoint set.
+  private val cents = Seq((0.0, 0.0), (0.5, -0.5), (-0.5, 0.5))
+  private val templates = Seq("/healthz", "/api/v1/users/*/posts/*")
+
+  val queries: Map[String, QFn] = Map(
+    // px.strptime / px.format_duration / px.parse_time / px.parse_duration
+    // (pixie_module.h:183-247, planner/ir/time.cc).
+    "q52_time_fns" -> ((s, dir) => {
+      val dateStr = concat(lit("2024-01-"),
+        lpad((pmod(col("event_id"), lit(28)) + 1).cast("string"), 2, "0"),
+        lit(" 03:04:05"))
+      val durNs = (pmod(col("event_id"), lit(200000L)) - 100000L) * 1000000000L
+      t(s, dir, "events").select(
+        col("event_id"),
+        strptime(dateStr, "yyyy-MM-dd HH:mm:ss").as("parsed_ns"),
+        formatDuration(durNs).as("dur_str"),
+        lit(PixieFunctions.parseTimeNs("-30s", tsNsLit("2024-02-01"))).as("rel_time_ns"),
+        lit(PixieFunctions.parseDurationNs("90m")).as("dur_90m_ns")
+      ).orderBy("event_id")
+    }),
+
+    // The X_id_to_Y metadata lookup family (metadata_ops.cc) through the
+    // synthetic entity dimension: pod/namespace/service/replicaset/
+    // deployment/ip resolution + has_service_name over a partial service
+    // dim (null path through the left broadcast join).
+    "q53_entities" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = K8sMetadata.syntheticEntityDim(ev, splitNs)
+      val resolved = K8sMetadata.resolveAsOf(ev, dim, "user_id", "owner_id", "ts",
+        Seq("pod_id", "namespace", "service_id", "replica_set", "deployment", "pod_ip"))
+      val svcDim = dim.filter(pmod(col("owner_id"), lit(10)) < 7)
+        .select(col("pod_id"), col("service_name"))
+      K8sMetadata.hasServiceName(resolved, svcDim, "pod_id", "pod_id")
+        .select("event_id", "pod_id", "namespace", "service_id",
+          "replica_set", "deployment", "pod_ip", "has_service")
+        .orderBy("event_id")
+    }),
+
+    // Scalar ML surface: _kmeans_inference on fixed centroids,
+    // _predict_request_path_cluster on a template set, _text_embedding /
+    // _encode_sentence_piece deterministic stubs (ml_ops.cc,
+    // request_path_ops.cc).
+    "q54_ml_scalars" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val v2 = array(element_at(col("embedding"), 1).cast("double"),
+        element_at(col("embedding"), 2).cast("double"))
+      val centLit = typedLit(cents.map(c => Seq(c._1, c._2)))
+      val path = when(pmod(col("vec_id"), lit(3)) === 0, lit("/healthz"))
+        .when(pmod(col("vec_id"), lit(3)) === 1,
+          concat(lit("/api/v1/users/"), col("vec_id"), lit("/posts/7")))
+        .otherwise(concat(lit("/other/"), col("vec_id")))
+      emb.select(
+        col("vec_id"),
+        MlScalars.kmeansInference(v2, centLit).as("cluster"),
+        MlScalars.predictRequestPathCluster(path, typedLit(templates)).as("endpoint"),
+        element_at(MlScalars.textEmbedding(
+          concat(lit("vec"), col("vec_id")), 4), 1).as("e0"),
+        element_at(MlScalars.textEmbedding(
+          concat(lit("vec"), col("vec_id")), 4), 4).as("e3"),
+        to_json(MlScalars.encodeSentencePiece(
+          concat(lit("hello worldwide w"), col("vec_id")))).as("pieces")
+      ).orderBy("vec_id")
+    }),
+
+    // pxl script-corpus shape (src/pxl_scripts/px/net_flow_graph): edge
+    // aggregation src->dst plus per-src fan-out degree — one shuffle for
+    // the edge agg, the degree from a second small agg over edges.
+    "q56_flow_graph" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        concat(lit("u"), pmod(col("user_id"), lit(20))).as("src"),
+        concat(lit("svc-"), pmod(col("event_id"), lit(7))).as("dst"),
+        col("value"))
+      val edges = ev.groupBy("src", "dst")
+        .agg(count(lit(1)).as("n_flows"), qsum(col("value")).as("bytes"))
+      val degree = edges.groupBy("src").agg(count(lit(1)).as("fan_out"))
+      edges.join(broadcast(degree), "src").orderBy("src", "dst")
+    })
+  )
+
+  private def h60(x: String) = s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+  private def h1Sql(x: String) = s"((${h60(x)}) % 2000001 - 1000000) / 1000000.0"
+
+  val oracles: Map[String, String] = Map(
+    "q52_time_fns" -> (
+      s"""SELECT event_id,
+         |  epoch_us(strptime('2024-01-' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+         |    || ' 03:04:05', '%Y-%m-%d %H:%M:%S')) * 1000 AS parsed_ns,
+         |  CASE WHEN abs(event_id % 200000 - 100000) < 1 THEN '0s'
+         |       ELSE (CASE WHEN event_id % 200000 - 100000 < 0 THEN '-' ELSE '' END) ||
+         |    (CASE WHEN abs(event_id % 200000 - 100000) // 86400 > 0
+         |          THEN CAST(abs(event_id % 200000 - 100000) // 86400 AS VARCHAR) || 'd' ELSE '' END) ||
+         |    (CASE WHEN (abs(event_id % 200000 - 100000) // 3600) % 24 > 0
+         |          THEN CAST((abs(event_id % 200000 - 100000) // 3600) % 24 AS VARCHAR) || 'h' ELSE '' END) ||
+         |    (CASE WHEN (abs(event_id % 200000 - 100000) // 60) % 60 > 0
+         |          THEN CAST((abs(event_id % 200000 - 100000) // 60) % 60 AS VARCHAR) || 'm' ELSE '' END) ||
+         |    (CASE WHEN abs(event_id % 200000 - 100000) % 60 > 0
+         |          THEN CAST(abs(event_id % 200000 - 100000) % 60 AS VARCHAR) || 's' ELSE '' END)
+         |  END AS dur_str,
+         |  CAST(${tsNsLit("2024-02-01") - 30L * 1000000000L} AS BIGINT) AS rel_time_ns,
+         |  CAST(${90L * 60L * 1000000000L} AS BIGINT) AS dur_90m_ns
+         |FROM events ORDER BY event_id""".stripMargin),
+
+    "q53_entities" -> (
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 0 ELSE 1 END AS gen
+         |  FROM events)
+         |SELECT event_id,
+         |  'ns' || (user_id % 3) || '/pod-' || user_id || '-g' || gen AS pod_id,
+         |  'ns' || (user_id % 3) AS namespace,
+         |  'svcid-' || (user_id % 10) AS service_id,
+         |  'rs-' || (user_id % 10) || '-g' || gen AS replica_set,
+         |  'deploy-' || (user_id % 10) AS deployment,
+         |  '10.1.' || (user_id % 250) || '.' || (10 + gen) AS pod_ip,
+         |  (user_id % 10 < 7) AS has_service
+         |FROM e ORDER BY event_id""".stripMargin),
+
+    "q54_ml_scalars" -> (
+      s"""WITH v AS (SELECT vec_id,
+         |    CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
+         |  FROM embeddings),
+         |d AS (SELECT vec_id, x, y,
+         |${cents.zipWithIndex.map { case ((cx, cy), i) =>
+             s"  (x - ($cx)) * (x - ($cx)) + (y - ($cy)) * (y - ($cy)) AS d$i" }
+             .mkString(",\n")}
+         |  FROM v)
+         |SELECT vec_id,
+         |  CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+         |       WHEN d1 <= d2 THEN 1 ELSE 2 END AS cluster,
+         |  CASE WHEN vec_id % 3 = 0 THEN '/healthz'
+         |       WHEN vec_id % 3 = 1 THEN '/api/v1/users/*/posts/*'
+         |       ELSE NULL END AS endpoint,
+         |  ${h1Sql("'vec' || vec_id || '#0'")} AS e0,
+         |  ${h1Sql("'vec' || vec_id || '#3'")} AS e3,
+         |  to_json(flatten(list_transform(
+         |    list_filter(string_split('hello worldwide w' || vec_id, ' '), w -> len(w) > 0),
+         |    w -> list_transform(range((len(w) + 3) // 4),
+         |      j -> (CASE WHEN j = 0 THEN '▁' ELSE '' END) || substr(w, j * 4 + 1, 4))))) AS pieces
+         |FROM d ORDER BY vec_id""".stripMargin),
+
+    "q56_flow_graph" -> (
+      s"""WITH ev AS (SELECT 'u' || (user_id % 20) AS src,
+         |    'svc-' || (event_id % 7) AS dst, value FROM events),
+         |edges AS (SELECT src, dst, COUNT(*) AS n_flows,
+         |    ${qsumSql("value")} AS bytes FROM ev GROUP BY src, dst),
+         |degree AS (SELECT src, COUNT(*) AS fan_out FROM edges GROUP BY src)
+         |SELECT e.src, e.dst, e.n_flows, e.bytes, d.fan_out
+         |FROM edges e JOIN degree d ON e.src = d.src
+         |ORDER BY e.src, e.dst""".stripMargin)
+  )
+}

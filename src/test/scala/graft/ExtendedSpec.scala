@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{MlScalars, PixieFunctions}
+
+/** Edge cases for the time-fn / ML-scalar surface beyond the oracle
+  * queries' fully-populated inputs.
+  */
+class ExtendedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    Seq(1).toDF("x").select(c.cast("string")).as[String].head()
+
+  test("format_duration edges: zero, sub-second, exact units, negative") {
+    assert(one(PixieFunctions.formatDuration(lit(0L))) == "0s")
+    assert(one(PixieFunctions.formatDuration(lit(999999999L))) == "0s")
+    assert(one(PixieFunctions.formatDuration(lit(86400L * 1000000000L))) == "1d")
+    assert(one(PixieFunctions.formatDuration(
+      lit(-90L * 60L * 1000000000L))) == "-1h30m")
+    assert(one(PixieFunctions.formatDuration(
+      lit((86400L + 3661L) * 1000000000L))) == "1d1h1m1s")
+  }
+
+  test("parse_time: absolute and relative forms") {
+    val now = PixieFunctions.tsNsLit("2024-02-01")
+    assert(PixieFunctions.parseTimeNs("-5m", now) == now - 300L * 1000000000L)
+    assert(PixieFunctions.parseTimeNs("2024-01-31", now) ==
+      now - 86400L * 1000000000L)
+  }
+
+  test("predict_request_path_cluster: no match is null, depth must agree") {
+    val ts = typedLit(Seq("/a/*/c", "/a/b"))
+    assert(one(MlScalars.predictRequestPathCluster(lit("/a/x/c"), ts)) == "/a/*/c")
+    assert(one(MlScalars.predictRequestPathCluster(lit("/a/b"), ts)) == "/a/b")
+    val noMatch = Seq(1).toDF("x")
+      .select(MlScalars.predictRequestPathCluster(lit("/a/b/c/d"), ts))
+      .collect()(0)
+    assert(noMatch.isNullAt(0))
+  }
+
+  test("kmeans_inference: first minimum wins ties; centroids JSON round-trip") {
+    val cents = MlScalars.parseCentroids(lit("[[0.0],[2.0]]"))
+    assert(one(MlScalars.kmeansInference(typedLit(Seq(1.0)), cents)) == "0")
+    assert(one(MlScalars.kmeansInference(typedLit(Seq(1.9)), cents)) == "1")
+  }
+
+  test("sentencepiece stub: word-boundary marker + 4-char pieces") {
+    val out = Seq(1).toDF("x")
+      .select(MlScalars.encodeSentencePiece(lit("hello ab")))
+      .as[Seq[String]].head()
+    assert(out == Seq("▁hell", "o", "▁ab"))
+  }
+
+  test("text_embedding stub: deterministic, bounded, dim-sized") {
+    val e = Seq(1).toDF("x")
+      .select(MlScalars.textEmbedding(lit("doc"), 8)).as[Seq[Double]].head()
+    assert(e.length == 8)
+    assert(e.forall(v => v >= -1.0 && v < 1.0))
+    val e2 = Seq(1).toDF("x")
+      .select(MlScalars.textEmbedding(lit("doc"), 8)).as[Seq[Double]].head()
+    assert(e == e2)
+  }
+}
