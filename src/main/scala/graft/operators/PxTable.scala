@@ -106,6 +106,39 @@ final case class PxTable(df: DataFrame) {
   def orderedByTime(timeCol: String, tieBreak: String*): PxTable =
     PxTable(df.orderBy((timeCol +: tieBreak).map(col): _*))
 
+  /** Top-k by an ordering — absent from the reference engine (§2.8:
+    * scripts emulate it UI-side) but free and scale-correct in Spark:
+    * orderBy+limit plans TakeOrderedAndProject (per-partition heaps, no
+    * global sort/shuffle of the full input).
+    */
+  def topK(n: Int, ordering: Column*): PxTable =
+    PxTable(df.orderBy(ordering: _*).limit(n))
+
+  /** df.rolling(window) (dataframe.h:381-403) — declared but NOT
+    * executable in the reference (ir/rolling_ir.cc:55-56). Spark executes
+    * it: event-time sliding windows over the epoch-ns long time column.
+    * slideSeconds == widthSeconds degenerates to the tumbling px.bin.
+    */
+  def rollingAgg(timeCol: String, widthSeconds: Long, slideSeconds: Long,
+                 keys: Seq[String], aggs: (String, Column)*): PxTable = {
+    import graft.functions.PixieFunctions.nsToUs
+    val w = window(timestamp_micros(nsToUs(col(timeCol))),
+      s"$widthSeconds seconds", s"$slideSeconds seconds")
+    PxTable(df
+      .groupBy(w.as("w") +: keys.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+           aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("window_start_ns", unix_micros(col("w.start")) * 1000L)
+      .drop("w"))
+  }
+
+  /** df.ctx['property'] sugar (dataframe.h:422; §2.9 ConvertMetadataRule):
+    * resolve a metadata property through the dimension snapshot.
+    */
+  def ctx(dims: Map[String, DataFrame], property: String,
+          factKey: String, tsCol: String): PxTable =
+    PxTable(graft.meta.K8sMetadata.ctx(df, dims, property, factKey, tsCol))
+
   /** AddLimitToBatchResultSinkRule: every batch result is capped
     * (add_limit_to_batch_result_sink_rule.cc:55-66; clamps larger user
     * limits). Engine policy applied at sink time.
@@ -127,6 +160,15 @@ object PxTable {
     * PushedFilters on the parquet scan; at 100 TB this is the
     * partition-pruning hook (time-partitioned tables).
     */
+  /** EmptySource (plan.proto:354-360): one empty batch with a schema. */
+  def empty(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): PxTable =
+    PxTable(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  /** df.stream() (dataframe.h:404-420): streaming tail of a named table. */
+  def stream(spark: SparkSession, dir: String, name: String): PxTable =
+    PxTable(graft.core.Tables.stream(spark, dir, name))
+
   def timeRange(spark: SparkSession, dir: String, name: String,
                 timeCol: String, start: String, stop: String): PxTable = {
     import graft.functions.PixieFunctions.tsNsLit

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.PxTable
+import graft.meta.K8sMetadata
+import graft.functions.PixieFunctions._
+
+/** Physical-plan assertions: the scale properties the 100 TB design
+  * depends on must be visible in explain output, not assumed — time-range
+  * predicates reach the parquet scan, dimension joins broadcast, top-k
+  * avoids global sorts, aggregates are partial+final.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("time-range scan pushes the ns predicate into the parquet source") {
+    val df = PxTable.timeRange(spark, dir, "events", "ts",
+      "2024-01-01", "2024-02-01").df
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PushedFilters") &&
+      (scan.contains("GreaterThanOrEqual(ts") || scan.contains("IsNotNull(ts")),
+      s"no pushed ts filter in:\n$scan")
+  }
+
+  test("column pruning reaches the scan (ReadSchema is the projection)") {
+    val df = graft.core.Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("l_orderkey") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipdate"),
+      s"unpruned scan:\n$scan")
+  }
+
+  test("as-of metadata resolution is a broadcast join (no fact shuffle)") {
+    val ev = graft.core.Tables(spark, dir, "events")
+    val dim = K8sMetadata.syntheticPodDim(ev, tsNsLit("2024-01-15"))
+    val out = K8sMetadata.resolveAsOf(ev, dim, "user_id", "owner_id", "ts",
+      Seq("pod_name"))
+    assert(plan(out).contains("BroadcastNestedLoopJoin") ||
+      plan(out).contains("BroadcastHashJoin"), plan(out).take(2000))
+  }
+
+  test("entity lookup is a broadcast hash join") {
+    val ev = graft.core.Tables(spark, dir, "events")
+    val dim = K8sMetadata.syntheticEntityDim(ev, tsNsLit("2024-01-15"))
+    val out = K8sMetadata.lookupAttr(ev, dim, "user_id", "owner_id",
+      Seq("deployment"))
+    assert(plan(out).contains("BroadcastHashJoin"), plan(out).take(2000))
+  }
+
+  test("topK plans TakeOrderedAndProject, not a global sort") {
+    val t = PxTable(graft.core.Tables(spark, dir, "lineitem"))
+      .topK(10, col("l_quantity").desc)
+    assert(plan(t.df).contains("TakeOrderedAndProject"), plan(t.df).take(2000))
+  }
+
+  test("groupbyAgg is partial+final hash aggregation") {
+    val t = PxTable(graft.core.Tables(spark, dir, "lineitem"))
+      .groupbyAgg(Seq("l_returnflag"), "s" -> sum(col("l_quantity")))
+    val p = plan(t.df)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2 ||
+      p.contains("partial_sum"), "no partial aggregation visible")
+  }
+
+  test("whole-stage codegen covers the scalar pipeline") {
+    val df = graft.core.Tables(spark, dir, "events")
+      .select(timeBinNs(col("ts"), 3600).as("b"),
+        (col("value") * 2 + 1).as("v"))
+      .filter(col("v") > 0)
+    // executedPlan.toString renders codegen stages as "*(n)" prefixes
+    assert(plan(df).contains("*(1)") || plan(df).contains("WholeStageCodegen"),
+      plan(df).take(2000))
+  }
+
+  test("EmptySource has schema and zero rows; rolling window executes") {
+    val s = graft.core.Tables(spark, dir, "events").schema
+    val e = PxTable.empty(spark, s)
+    assert(e.df.count() == 0 && e.df.schema == s)
+    val r = PxTable(graft.core.Tables(spark, dir, "events"))
+      .rollingAgg("ts", 7200, 3600, Seq("event_type"),
+        "n" -> count(lit(1)))
+    assert(r.df.count() > 0)
+    assert(r.df.columns.toSeq ==
+      Seq("event_type", "n", "window_start_ns"))
+  }
+
+  test("script runner executes each script per round") {
+    var n = 0
+    val scripts = Seq(graft.streaming.ScriptRunner.CronScript(
+      "count-events", 1000L,
+      s => graft.core.Tables(s, dir, "events").groupBy("event_type").count(),
+      df => n += df.collect().length))
+    graft.streaming.ScriptRunner.runOnce(spark, scripts)
+    assert(n > 0)
+  }
+}
