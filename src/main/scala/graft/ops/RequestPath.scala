@@ -28,9 +28,11 @@ object RequestPath {
       .withColumn("seg0", col("segs").getItem(0))
       .select(col("path"), col("depth"), col("seg0"),
         posexplode(col("segs")).as(Seq("pos", "seg")))
+    // cards is tiny (one row per family-position): broadcast it back so
+    // the exploded segment stream never shuffles for this join.
     val cards = segs.groupBy("depth", "seg0", "pos")
       .agg(countDistinct("seg").as("card"))
-    segs.join(cards, Seq("depth", "seg0", "pos"))
+    segs.join(broadcast(cards), Seq("depth", "seg0", "pos"))
       .withColumn("tseg", when(col("card") > maxCard, lit("*")).otherwise(col("seg")))
       .groupBy("path")
       .agg(concat(lit("/"), array_join(
