@@ -95,6 +95,31 @@ object Extended {
         .agg(count(lit(1)).as("n_flows"), qsum(col("value")).as("bytes"))
       val degree = edges.groupBy("src").agg(count(lit(1)).as("fan_out"))
       edges.join(broadcast(degree), "src").orderBy("src", "dst")
+    }),
+
+    // Sliding event-time windows in batch (PxTable.rollingAgg — the
+    // reference declares df.rolling but cannot execute it;
+    // ir/rolling_ir.cc:55-56). 2h windows sliding 1h: every event lands
+    // in exactly two windows.
+    "q57_rolling" -> ((s, dir) => {
+      graft.operators.PxTable(t(s, dir, "events"))
+        .rollingAgg("ts", 7200, 3600, Seq("event_type"),
+          "n" -> count(lit(1)), "sum_value" -> qsum(col("value")))
+        .df.orderBy("window_start_ns", "event_type")
+    }),
+
+    // dns_stats script shape (src/pxl_scripts/px/dns_*): tumbling px.bin
+    // + protocol decoder rollup with error share.
+    "q58_dns_stats" -> ((s, dir) => {
+      val rcode = graft.functions.ProtocolOps.dnsRcodeName
+        .column(pmod(col("event_id"), lit(6)))
+      val ev = t(s, dir, "events")
+        .select(timeBinNs(col("ts"), 86400).as("day"), rcode.as("rcode"),
+          col("value"))
+      ev.groupBy("day", "rcode")
+        .agg(count(lit(1)).as("n"), qsum(col("value")).as("sum_value"))
+        .withColumn("is_error", col("rcode") =!= "NOERROR")
+        .orderBy("day", "rcode")
     })
   )
 
@@ -157,6 +182,24 @@ object Extended {
          |    w -> list_transform(range((len(w) + 3) // 4),
          |      j -> (CASE WHEN j = 0 THEN '▁' ELSE '' END) || substr(w, j * 4 + 1, 4))))) AS pieces
          |FROM d ORDER BY vec_id""".stripMargin),
+
+    "q57_rolling" -> (
+      s"""WITH b AS (SELECT event_type, value,
+         |    (epoch_us(ts) // 3600000000) * 3600 AS h FROM events),
+         |w AS (SELECT event_type, value, (h - 3600) * 1000000000 AS wsn FROM b
+         |      UNION ALL
+         |      SELECT event_type, value, h * 1000000000 AS wsn FROM b)
+         |SELECT wsn AS window_start_ns, event_type, COUNT(*) AS n,
+         |       ${qsumSql("value")} AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q58_dns_stats" -> (
+      s"""WITH ev AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS day,
+         |    ${graft.functions.ProtocolOps.dnsRcodeName.sql("(event_id % 6)")} AS rcode,
+         |    value FROM events)
+         |SELECT day, rcode, COUNT(*) AS n, ${qsumSql("value")} AS sum_value,
+         |       (rcode <> 'NOERROR') AS is_error
+         |FROM ev GROUP BY day, rcode ORDER BY day, rcode""".stripMargin),
 
     "q56_flow_graph" -> (
       s"""WITH ev AS (SELECT 'u' || (user_id % 20) AS src,
