@@ -57,4 +57,70 @@ object OtelSink {
         transport.send(batch.collect().map(rowToGauge(spec)).toSeq)
       }
       .start()
+
+  // ---- Summary / Span / Log signals (plan.proto OTelMetricSummary
+  //      :430-460, OTelSpan :470-520, OTelLog :380-420) ----------------
+
+  /** Summary: quantile-valued metric; quantileCols maps q -> column. */
+  case class SummarySpec(name: String, timeNsCol: String, countCol: String,
+                         quantileCols: Map[Double, String],
+                         attributeCols: Seq[String])
+
+  case class SummaryRecord(name: String, timeNs: Long, count: Long,
+                           quantiles: Map[Double, Double],
+                           attributes: Map[String, String])
+
+  /** Span: trace/span ids are generated from the row when not bound —
+    * the reference generates ids when columns are absent
+    * (otel_export_sink_node.cc span id handling).
+    */
+  case class SpanSpec(nameCol: String, startNsCol: String, endNsCol: String,
+                      traceIdCol: Option[String], spanIdCol: Option[String],
+                      attributeCols: Seq[String])
+
+  case class SpanRecord(name: String, startNs: Long, endNs: Long,
+                        traceId: String, spanId: String,
+                        attributes: Map[String, String])
+
+  case class LogSpec(timeNsCol: String, severityCol: String, bodyCol: String,
+                     attributeCols: Seq[String])
+
+  case class LogRecord(timeNs: Long, severity: String, body: String,
+                       attributes: Map[String, String])
+
+  private def attrs(cols: Seq[String], r: Row): Map[String, String] =
+    cols.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap
+
+  def rowToSummary(spec: SummarySpec)(r: Row): SummaryRecord = SummaryRecord(
+    spec.name, r.getAs[Long](spec.timeNsCol), r.getAs[Long](spec.countCol),
+    spec.quantileCols.map { case (q, c) => q -> r.getAs[Double](c) },
+    attrs(spec.attributeCols, r))
+
+  def rowToSpan(spec: SpanSpec)(r: Row): SpanRecord = {
+    def gen(bits: Int): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.mkString("|").getBytes("UTF-8"))
+      h.take(bits / 8).map("%02x".format(_)).mkString
+    }
+    SpanRecord(
+      r.getAs[String](spec.nameCol),
+      r.getAs[Long](spec.startNsCol), r.getAs[Long](spec.endNsCol),
+      spec.traceIdCol.map(r.getAs[String]).getOrElse(gen(128)),
+      spec.spanIdCol.map(r.getAs[String]).getOrElse(gen(64)),
+      attrs(spec.attributeCols, r))
+  }
+
+  def rowToLog(spec: LogSpec)(r: Row): LogRecord = LogRecord(
+    r.getAs[Long](spec.timeNsCol), r.getAs[String](spec.severityCol),
+    r.getAs[String](spec.bodyCol), attrs(spec.attributeCols, r))
+
+  /** Generic collector for any signal type mapped by `f`. */
+  class SignalCollector[T] extends Serializable {
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[T]()
+    def export(df: DataFrame, f: Row => T): Long = {
+      val rows = df.collect()
+      rows.foreach(r => sent.add(f(r)))
+      rows.length.toLong
+    }
+  }
 }

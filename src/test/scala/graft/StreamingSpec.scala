@@ -84,4 +84,30 @@ class StreamingSpec extends AnyFunSuite {
       .select("event_id", "pod_name").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "pod-5-gen0", 2L -> "pod-5-gen1"))
   }
+
+  test("otel summary/span/log signal mapping (plan.proto OTel* bindings)") {
+    import OtelSink._
+    val df = Seq(
+      ("checkout", 100L, 250L, 42L, 0.5, 0.99, "WARN", "slow request"),
+      ("login", 300L, 310L, 7L, 0.1, 0.2, "INFO", "ok"))
+      .toDF("span_name", "start_ns", "end_ns", "n", "p50", "p99", "sev", "msg")
+
+    val summaries = new SignalCollector[SummaryRecord]
+    summaries.export(df, rowToSummary(SummarySpec(
+      "latency", "start_ns", "n", Map(0.5 -> "p50", 0.99 -> "p99"), Seq("span_name"))))
+    val s = summaries.sent.peek()
+    assert(s.count == 42L && s.quantiles(0.99) == 0.99 * 1 &&
+      s.attributes("span_name") == "checkout")
+
+    val spans = new SignalCollector[SpanRecord]
+    spans.export(df, rowToSpan(SpanSpec(
+      "span_name", "start_ns", "end_ns", None, None, Seq("sev"))))
+    val sp = spans.sent.peek()
+    assert(sp.name == "checkout" && sp.endNs == 250L)
+    assert(sp.traceId.length == 32 && sp.spanId.length == 16)
+
+    val logs = new SignalCollector[LogRecord]
+    logs.export(df, rowToLog(LogSpec("start_ns", "sev", "msg", Nil)))
+    assert(logs.sent.size == 2 && logs.sent.peek().severity == "WARN")
+  }
 }
