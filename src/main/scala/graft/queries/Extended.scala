@@ -108,6 +108,40 @@ object Extended {
         .df.orderBy("window_start_ns", "event_type")
     }),
 
+    // http_data script shape (src/pxl_scripts/px/http_data): scan ->
+    // status decode -> service resolution -> error filter -> time-ordered
+    // capped result.
+    "q59_http_data" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = K8sMetadata.syntheticEntityDim(ev, splitNs)
+      val status = (lit(100) + pmod(col("event_id"), lit(460)))
+      val withHttp = ev
+        .withColumn("status", status)
+        .withColumn("msg", graft.functions.ProtocolOps.httpRespMessage.column(status))
+      K8sMetadata.resolveAsOf(withHttp, dim, "user_id", "owner_id", "ts",
+          Seq("service_name"))
+        .where(col("status") >= 400)
+        .select("event_id", "status", "msg", "service_name")
+        .orderBy("event_id").limit(2000)
+    }),
+
+    // UINT128/UPID equality join (SURVEY §1.2: binary(16) keys join
+    // exactly): facts and a per-process dimension meet on the composed
+    // upid bytes, dimension broadcast.
+    "q60_upid_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mk = (uid: org.apache.spark.sql.Column) =>
+        graft.types.Upid.makeUpid(uid, uid * 2, lit(1700000000000000000L))
+      val dim = ev.select(col("user_id")).distinct().select(
+        mk(col("user_id")).as("upid"),
+        concat(lit("owner-"), pmod(col("user_id"), lit(5))).as("owner"))
+      ev.select(col("event_id"), mk(col("user_id")).as("upid"))
+        .join(broadcast(dim), Seq("upid"))
+        .select(col("event_id"), lower(hex(col("upid"))).as("upid_hex"),
+          col("owner"))
+        .orderBy("event_id")
+    }),
+
     // dns_stats script shape (src/pxl_scripts/px/dns_*): tumbling px.bin
     // + protocol decoder rollup with error share.
     "q58_dns_stats" -> ((s, dir) => {
@@ -182,6 +216,23 @@ object Extended {
          |    w -> list_transform(range((len(w) + 3) // 4),
          |      j -> (CASE WHEN j = 0 THEN '▁' ELSE '' END) || substr(w, j * 4 + 1, 4))))) AS pieces
          |FROM d ORDER BY vec_id""".stripMargin),
+
+    "q59_http_data" -> (
+      s"""WITH h AS (SELECT event_id, user_id, 100 + event_id % 460 AS status,
+         |    CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 0 ELSE 1 END AS gen
+         |  FROM events)
+         |SELECT event_id, status,
+         |  ${graft.functions.ProtocolOps.httpRespMessage.sql("status")} AS msg,
+         |  'svc-' || (user_id % 10) AS service_name
+         |FROM h WHERE status >= 400 ORDER BY event_id LIMIT 2000""".stripMargin),
+
+    "q60_upid_join" -> (
+      """WITH mk AS (SELECT event_id, user_id,
+        |    lower(lpad(to_hex(user_id), 8, '0') || lpad(to_hex(user_id * 2), 8, '0') ||
+        |          lpad(to_hex(1700000000000000000), 16, '0')) AS upid_hex
+        |  FROM events)
+        |SELECT event_id, upid_hex, 'owner-' || (user_id % 5) AS owner
+        |FROM mk ORDER BY event_id""".stripMargin),
 
     "q57_rolling" -> (
       s"""WITH b AS (SELECT event_type, value,
