@@ -53,7 +53,7 @@ object MlScalars {
 
   /** Cross-engine-exact 60-bit string hash scaled to [-1, 1). */
   private def h1(c: Column): Column =
-    (conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    (graft.expressions.Md5Long60.column(c.cast("binary"))
       % 2000001L - 1000000L) / 1000000.0
 
   /** _text_embedding STUB: the reference runs an embedded transformer

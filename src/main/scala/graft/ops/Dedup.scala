@@ -22,9 +22,11 @@ object Dedup {
   def perms(k: Int): Seq[(Long, Long)] =
     (1 to k).map(i => (2L * 976369L * i + 1L, (1013904223L * i) % P))
 
-  /** 60-bit integer hash of a string via md5 (cross-engine exact). */
+  /** 60-bit integer hash of a string via md5 (cross-engine exact).
+    * Native codegen expression — no hex-string round-trip per shingle.
+    */
   def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.expressions.Md5Long60.column(c.cast("binary"))
 
   def h60Sql(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
