@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{ExecStats, MultiOutput}
+import graft.functions.PixieFunctions._
+
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multi-output script reuses the shared prefix via cache") {
+    val base = graft.core.Tables(spark, dir, "events")
+      .withColumn("bucket", timeBinNs(col("ts"), 3600))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val perType = base.groupBy("event_type").agg(sum("n").as("total"))
+    val perBucket = base.groupBy("bucket").agg(sum("n").as("total"))
+
+    var plans = Map.empty[String, String]
+    MultiOutput.run(MultiOutput.Script("stats", Seq(base),
+      Map("by_type" -> perType, "by_bucket" -> perBucket))) { (name, df) =>
+      df.collect()
+      plans += name -> df.queryExecution.executedPlan.toString
+    }
+    // Both outputs must read the cached shared prefix, not rescan parquet.
+    assert(plans("by_type").contains("InMemoryTableScan"), plans("by_type").take(800))
+    assert(plans("by_bucket").contains("InMemoryTableScan"))
+    // cache released after the script (unpersist is async; storage level
+    // reverts to NONE immediately)
+    assert(base.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("observe metrics reach the listener per action") {
+    val collector = ExecStats.install(spark)
+    val df = ExecStats.observed(
+      graft.core.Tables(spark, dir, "nation"), approxRowBytes = 32)
+    df.collect()
+    // listener delivery is async; poll briefly
+    val deadline = System.currentTimeMillis() + 5000
+    while (collector.metrics.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    val m = collector.metrics.values.headOption
+    assert(m.isDefined, "no observed metrics arrived")
+    assert(m.get.getAs[Long]("output_rows") == 25L)
+    assert(m.get.getAs[Long]("approx_bytes") == 800L)
+  }
+}
