@@ -45,4 +45,25 @@ class PlansSpec extends AnyFunSuite {
     assert(m.get.getAs[Long]("output_rows") == 25L)
     assert(m.get.getAs[Long]("approx_bytes") == 800L)
   }
+
+  test("restrict-columns policy drops, redacts, and prunes the scan") {
+    import graft.plans.RestrictColumns
+    val policy = RestrictColumns.Policy(
+      dropped = Map("events" -> Set("props")),
+      redacted = Map("events" -> Set("user_id")))
+    val ev = RestrictColumns(
+      graft.core.Tables(spark, dir, "events"), "events", policy)
+    assert(!ev.columns.contains("props"))
+    val r = ev.select("user_id").distinct().collect()
+    assert(r.length == 1 && r(0).getString(0) == "<redacted>")
+    // restricted column never reaches the scan
+    val leaves = ev.select("event_id").queryExecution.executedPlan
+      .collectLeaves().mkString
+    assert(!leaves.contains("props"))
+    RestrictColumns.verify(ev, "events", policy)
+    intercept[IllegalArgumentException] {
+      RestrictColumns.verify(
+        graft.core.Tables(spark, dir, "events"), "events", policy)
+    }
+  }
 }
