@@ -112,6 +112,29 @@ object Dedup {
     summed.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs within a blocking key: exact
+    * cosine on all within-block pairs above `minCos`, keeper = lower id.
+    * The block bounds the pair count; for unblocked 100 TB corpora use
+    * [[graft.ops.Similarity.lshCosineTopK]] buckets as the candidate
+    * generator and this scorer on the candidates.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, minCos: Double): DataFrame = {
+    import graft.ops.Similarity.{dot, norm}
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).cast("array<double>").as("e"))
+      .withColumn("n", norm(col("e")))
+    val a = v.toDF("doc_a", "blk", "ea", "na")
+    val b = v.toDF("doc_b", "blk", "eb", "nb")
+    a.join(b, Seq("blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .where(col("cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"),
+        least(col("doc_a"), col("doc_b")).as("keeper_id"),
+        round(col("cos"), 6).cast("float").as("cos"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs sharing a blocking key
     * (e.g. source): |A∩B| / |A∪B| on distinct shingle sets. The blocking
     * key is what bounds the pair count at scale.

@@ -142,6 +142,13 @@ object Extended {
         .orderBy("event_id")
     }),
 
+    // Embedding-cosine near-dup (north-star dedup family): exact
+    // within-block pairs over the embeddings table.
+    "q61_embed_neardup" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingNearDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.2)
+        .orderBy("doc_a", "doc_b")),
+
     // dns_stats script shape (src/pxl_scripts/px/dns_*): tumbling px.bin
     // + protocol decoder rollup with error share.
     "q58_dns_stats" -> ((s, dir) => {
@@ -243,6 +250,20 @@ object Extended {
          |SELECT wsn AS window_start_ns, event_type, COUNT(*) AS n,
          |       ${qsumSql("value")} AS sum_value
          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q61_embed_neardup" -> (
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v)
+        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |  least(a.vec_id, b.vec_id) AS keeper_id,
+        |  CAST(round(list_sum(list_transform(range(64),
+        |    i -> a.e[i+1] * b.e[i+1])) / (a.nrm * b.nrm), 6) AS REAL) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(64),
+        |    i -> a.e[i+1] * b.e[i+1])) / (a.nrm * b.nrm) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "q58_dns_stats" -> (
       s"""WITH ev AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS day,

@@ -17,6 +17,17 @@ object CatalogUdtfs {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Schema lookups memoized per (dir, table): parquet footer reads are
+    * driver-side metadata operations a catalog caches (fixture schemas
+    * are immutable for a run).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+
+  private def schemaOf(spark: SparkSession, dir: String, name: String): StructType =
+    schemaCache.computeIfAbsent((dir, name),
+      _ => graft.core.Tables(spark, dir, name).schema)
+
   /** Spark type -> engine type name (DuckDB-compatible spelling so the
     * schema UDTF is oracle-checkable).
     */
@@ -37,7 +48,7 @@ object CatalogUdtfs {
   def getTables(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     tableNames
-      .map(n => (n, graft.core.Tables(spark, dir, n).schema.fields.length.toLong))
+      .map(n => (n, schemaOf(spark, dir, n).fields.length.toLong))
       .toDF("table_name", "n_cols")
   }
 
@@ -45,7 +56,7 @@ object CatalogUdtfs {
   def getSchemas(spark: SparkSession, dir: String, tables: Seq[String] = tableNames): DataFrame = {
     import spark.implicits._
     tables.flatMap { n =>
-      graft.core.Tables(spark, dir, n).schema.fields.zipWithIndex.map {
+      schemaOf(spark, dir, n).fields.zipWithIndex.map {
         case (f, i) => (n, f.name, (i + 1).toLong, typeName(f.dataType))
       }
     }.toDF("table_name", "column_name", "column_index", "data_type")
