@@ -142,6 +142,24 @@ object Extended {
         .orderBy("event_id")
     }),
 
+    // Per-protocol stats rollup (the mysql_/pgsql_/cql_/kafka_ stats
+    // script family): tumbling bin x protocol decode -> counts, payload
+    // sum, error share — one shuffle.
+    "q62_protocol_stats" -> ((s, dir) => {
+      val proto = graft.functions.ProtocolOps.protocolName
+        .column(pmod(col("event_id"), lit(8)))
+      val status = lit(100) + pmod(col("event_id"), lit(460))
+      t(s, dir, "events")
+        .select(timeBinNs(col("ts"), 86400).as("day"), proto.as("protocol"),
+          col("value"), (status >= 400).cast("long").as("is_err"))
+        .groupBy("day", "protocol")
+        .agg(count(lit(1)).as("n"), qsum(col("value")).as("bytes"),
+          sum(col("is_err")).as("n_err"))
+        .withColumn("err_share",
+          round(col("n_err").cast("double") / col("n"), 6))
+        .orderBy("day", "protocol")
+    }),
+
     // Embedding-cosine near-dup (north-star dedup family): exact
     // within-block pairs over the embeddings table.
     "q61_embed_neardup" -> ((s, dir) =>
@@ -250,6 +268,17 @@ object Extended {
          |SELECT wsn AS window_start_ns, event_type, COUNT(*) AS n,
          |       ${qsumSql("value")} AS sum_value
          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q62_protocol_stats" -> (
+      s"""WITH ev AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS day,
+         |    ${graft.functions.ProtocolOps.protocolName.sql("(event_id % 8)")} AS protocol,
+         |    value,
+         |    CASE WHEN 100 + event_id % 460 >= 400 THEN 1 ELSE 0 END AS is_err
+         |  FROM events)
+         |SELECT day, protocol, COUNT(*) AS n, ${qsumSql("value")} AS bytes,
+         |  SUM(is_err) AS n_err,
+         |  round(CAST(SUM(is_err) AS DOUBLE) / COUNT(*), 6) AS err_share
+         |FROM ev GROUP BY day, protocol ORDER BY day, protocol""".stripMargin),
 
     "q61_embed_neardup" -> (
       """WITH v AS (SELECT vec_id, label,
