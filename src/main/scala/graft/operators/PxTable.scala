@@ -43,6 +43,25 @@ final case class PxTable(df: DataFrame) {
       .agg(aggs.head._2.as(aggs.head._1),
            aggs.tail.map { case (n, c) => c.as(n) }: _*))
 
+  /** Skew-resilient two-phase aggregation: pre-aggregate under a
+    * deterministic salt derived from the row content, then combine per
+    * key. For a hot key at 100 TB this spreads the partial aggregation
+    * over `salt` reducers instead of one; AQE's skew handling covers
+    * joins, but a single pathological group-by key still needs salting.
+    * Each agg is (outName, phase1Expr, phase2Combiner-of-partial).
+    */
+  def saltedGroupbyAgg(keys: Seq[String], salt: Int,
+                       aggs: (String, Column, Column => Column)*): PxTable = {
+    val saltCol = pmod(xxhash64(df.columns.map(col): _*), lit(salt))
+    val phase1 = df.groupBy((keys.map(col) :+ saltCol.as("__salt")): _*)
+      .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map { case (n, c, _) => c.as(s"__p_$n") }: _*)
+    val phase2 = phase1.groupBy(keys.map(col): _*)
+      .agg(aggs.head._3(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
+        aggs.tail.map { case (n, _, f) => f(col(s"__p_$n")).as(n) }: _*)
+    PxTable(phase2)
+  }
+
   /** groupby().agg() with no aggregates = distinct groups
     * (dataframe.h:230-248 docstring).
     */

@@ -99,4 +99,16 @@ class PlanSpec extends AnyFunSuite {
     graft.streaming.ScriptRunner.runOnce(spark, scripts)
     assert(n > 0)
   }
+
+  test("salted two-phase agg equals direct agg and adds a pre-shuffle stage") {
+    val t = PxTable(graft.core.Tables(spark, dir, "events"))
+    val direct = t.groupbyAgg(Seq("event_type"),
+      "n" -> count(lit(1)), "mx" -> max(col("value"))).df
+      .orderBy("event_type").collect()
+    val salted = t.saltedGroupbyAgg(Seq("event_type"), 16,
+      ("n", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+      ("mx", max(col("value")), (c: org.apache.spark.sql.Column) => max(c))).df
+      .orderBy("event_type").collect()
+    assert(direct.toSeq == salted.toSeq)
+  }
 }

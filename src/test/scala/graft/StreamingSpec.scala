@@ -110,4 +110,27 @@ class StreamingSpec extends AnyFunSuite {
     logs.export(df, rowToLog(LogSpec("start_ns", "sev", "msg", Nil)))
     assert(logs.sent.size == 2 && logs.sent.peek().severity == "WARN")
   }
+
+  test("stream-static as-of metadata join resolves generations in streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val splitNs = tsNsLit("2024-01-15")
+    val batchEv = graft.core.Tables(spark, sf, "events")
+    val dim = graft.meta.K8sMetadata.syntheticPodDim(batchEv, splitNs)
+
+    val mem = MemoryStream[(Long, Long, Long)] // (event_id, user_id, ts)
+    val uid = batchEv.select("user_id").head().getLong(0)
+    mem.addData((1L, uid, splitNs - 5L), (2L, uid, splitNs + 5L))
+    val stream = mem.toDF.toDF("event_id", "user_id", "ts")
+    val resolved = graft.meta.K8sMetadata.resolveAsOf(
+      stream, dim, "user_id", "owner_id", "ts", Seq("pod_name"))
+
+    val q = resolved.writeStream.format("memory")
+      .queryName("asof_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table("asof_out").orderBy("event_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("pod_name").endsWith("-gen0"))
+    assert(out(1).getAs[String]("pod_name").endsWith("-gen1"))
+  }
 }
