@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 100 TB storage layouts behind the `Tables` catalog. The fixture
+  * tables are single parquet files; at scale the same queries run over
+  * these layouts unchanged because all access goes through the catalog:
+  *
+  * - time-partitioned parquet (dt=YYYY-MM-DD dirs): time-range scans
+  *   become partition pruning (the MemorySource [start,stop] analog);
+  * - bucketed tables on hot join keys: co-located joins with no exchange
+  *   (the pre-shuffle the reference's per-agent data locality gives it
+  *   for free, recreated deliberately).
+  */
+object Layout {
+
+  /** Write time-partitioned by UTC date derived from the epoch-ns column. */
+  def writeTimePartitioned(df: DataFrame, tsNsCol: String, path: String): Unit =
+    df.withColumn("dt",
+        date_format(timestamp_micros(
+          graft.functions.PixieFunctions.nsToUs(col(tsNsCol))), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+
+  def readTimePartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Register a bucketed+sorted table on a join key; joins between tables
+    * bucketed the same way need no shuffle and no sort.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+}
