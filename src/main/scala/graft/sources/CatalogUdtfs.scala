@@ -89,13 +89,26 @@ object CatalogUdtfs {
     "grpc_status_code_to_str" -> "util_ops",
     "upid_to_asid" -> "metadata_ops", "upid_to_pid" -> "metadata_ops",
     "upid_to_string" -> "metadata_ops", "upid_to_pod_name" -> "metadata_ops",
-    "upid_to_service_name" -> "metadata_ops")
+    "upid_to_service_name" -> "metadata_ops",
+    "pod_id_to_pod_name" -> "metadata_ops", "pod_id_to_namespace" -> "metadata_ops",
+    "pod_id_to_service_id" -> "metadata_ops", "pod_id_to_replica_set" -> "metadata_ops",
+    "pod_id_to_deployment_name" -> "metadata_ops", "ip_to_pod_id" -> "metadata_ops",
+    "service_id_to_service_name" -> "metadata_ops",
+    "has_service_name" -> "metadata_ops", "get_cidrs" -> "metadata_ops",
+    "strptime" -> "time_ops", "parse_time" -> "time_ops",
+    "parse_duration" -> "time_ops", "format_duration" -> "time_ops",
+    "_kmeans_inference" -> "ml_ops", "_encode_sentence_piece" -> "ml_ops",
+    "_text_embedding" -> "ml_ops",
+    "_predict_request_path_cluster" -> "request_path_ops",
+    "md5_long60" -> "hash_ops")
 
   val udaNames: Seq[(String, String)] = Seq(
     "mean" -> "math_ops", "sum" -> "math_ops", "max" -> "math_ops",
     "min" -> "math_ops", "count" -> "math_ops", "quantiles" -> "math_sketches",
     "any" -> "collections", "sample" -> "ml_ops", "_kmeans" -> "ml_ops",
-    "pprof" -> "pprof_ops", "_build_request_path_clusters" -> "request_path_ops")
+    "pprof" -> "pprof_ops", "_build_request_path_clusters" -> "request_path_ops",
+    "exact_dedup" -> "dedup_ops", "minhash" -> "dedup_ops",
+    "simhash" -> "dedup_ops")
 
   val udtfNames: Seq[String] = Seq(
     "GetTables", "GetSchemas", "GetUDFList", "GetUDAList", "GetUDTFList",
