@@ -44,7 +44,7 @@ object Similarity {
   /** Deterministic pseudo-random projection component r_{j,i} in
     * [-1, 1): derived from md5 so every engine/run agrees.
     */
-  private def proj(j: Int, i: Int): Double = {
+  def proj(j: Int, i: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"graft-proj-$j-$i".getBytes("UTF-8"))
     val v = java.lang.Long.parseLong(

@@ -139,7 +139,47 @@ object NorthStar {
     s"len(list_filter(string_split(text,' '), x -> x IN (${ms.map("'" + _ + "'").mkString(",")}))) AS score_$lang"
   }.mkString(",\n  ")
 
+  // q30 oracle: the sign-LSH projections are deterministic literals
+  // (Similarity.proj), so the whole multi-table bucket -> candidate ->
+  // score -> rank pipeline is re-derivable in SQL. Dot products use the
+  // same sequential-sum shape as q29 (bit-exact across engines).
+  private def lshBucketSql(table: Int, bits: Int): String =
+    (0 until bits).map { j =>
+      val row = (0 until 64).map(i => Similarity.proj(table * bits + j, i))
+      s"(CASE WHEN list_sum(list_transform(range(64), i -> e[i+1] * " +
+        s"(list_value(${row.mkString(",")}))[i+1])) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val q30OracleSql: String = {
+    val bucketCols = (0 until 8)
+      .map(t => s"(${lshBucketSql(t, 4)}) AS b$t").mkString(",\n    ")
+    val bucketCase = (0 until 8)
+      .map(t => s"WHEN $t THEN b$t").mkString(" ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+       |bk AS (SELECT vec_id,
+       |    $bucketCols
+       |  FROM n),
+       |cb AS (SELECT vec_id, t.tbl, (CASE t.tbl $bucketCase END) AS bucket
+       |  FROM bk, (SELECT unnest(range(8)) AS tbl) t),
+       |qb AS (SELECT * FROM cb WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |    AND c.vec_id <> q.vec_id),
+       |s AS (SELECT cand.qid, cand.nid,
+       |    list_sum(list_transform(range(64), i -> qn.e[i+1] * cn.e[i+1]))
+       |      / (qn.nrm * cn.nrm) AS cos
+       |  FROM cand JOIN n qn ON qn.vec_id = cand.qid
+       |            JOIN n cn ON cn.vec_id = cand.nid)
+       |SELECT qid AS query_id, nid AS neighbor_id, rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |      FROM s)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q30_ann_lsh" -> q30OracleSql,
     "q24_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
