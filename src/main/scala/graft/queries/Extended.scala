@@ -142,6 +142,28 @@ object Extended {
         .orderBy("event_id")
     }),
 
+    // Batch gap sessionization (window-function counterpart of
+    // Streaming.sessionize): per-user sessions split on >1h gaps. Time
+    // math at µs granularity so both engines see identical deltas (the
+    // DuckDB view of the ns column is µs-truncated).
+    "q63_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), nsToUs(col("ts")).as("ts_us"))
+      ev.withColumn("new_sess",
+          when(lag(col("ts_us"), 1).over(w).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("new_sess")).over(
+          Window.partitionBy("user_id").orderBy("ts_us")))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy("user_id", "session_no")
+    }),
+
     // Per-protocol stats rollup (the mysql_/pgsql_/cql_/kafka_ stats
     // script family): tumbling bin x protocol decode -> counts, payload
     // sum, error share — one shuffle.
@@ -268,6 +290,21 @@ object Extended {
          |SELECT wsn AS window_start_ns, event_type, COUNT(*) AS n,
          |       ${qsumSql("value")} AS sum_value
          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q63_sessions" -> (
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |              > 3600000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (SELECT user_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us) AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM g GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin),
 
     "q62_protocol_stats" -> (
       s"""WITH ev AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS day,
