@@ -71,4 +71,12 @@ class SurfaceSpec extends AnyFunSuite {
     assert(q3 == "VALUES ($1)")
     assert(p3 == Seq("E'\\xDE'"))
   }
+
+  test("nslookup + shared_libraries stubs: deterministic, null-safe") {
+    import graft.functions.{NetOps, ProcessOps}
+    val a = one(NetOps.nslookupStub(lit("svc.example.com")))
+    assert(a.startsWith("203.0.113.") && a == one(NetOps.nslookupStub(lit("svc.example.com"))))
+    assert(one(NetOps.nslookupStub(lit(null).cast("string"))) == "")
+    assert(one(ProcessOps.sharedLibraries(lit("some-upid").cast("binary"))) == "[]")
+  }
 }
