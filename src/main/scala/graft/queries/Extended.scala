@@ -299,7 +299,7 @@ object Extended {
         |              > 3600000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM e),
         |g AS (SELECT user_id, ts_us,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us) AS session_no
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_no
         |  FROM f)
         |SELECT user_id, session_no, COUNT(*) AS n_events,
         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
@@ -313,7 +313,7 @@ object Extended {
          |    CASE WHEN 100 + event_id % 460 >= 400 THEN 1 ELSE 0 END AS is_err
          |  FROM events)
          |SELECT day, protocol, COUNT(*) AS n, ${qsumSql("value")} AS bytes,
-         |  SUM(is_err) AS n_err,
+         |  CAST(SUM(is_err) AS BIGINT) AS n_err,
          |  round(CAST(SUM(is_err) AS DOUBLE) / COUNT(*), 6) AS err_share
          |FROM ev GROUP BY day, protocol ORDER BY day, protocol""".stripMargin),
 

@@ -38,7 +38,9 @@ for name in names:
     es = e.sort_values(ecols, na_position="first").reset_index(drop=True)
     try:
         import pandas as pd
-        pd.testing.assert_frame_equal(gs, es, check_dtype=False,
+        # dtype-strict: the driver's hash is dtype-sensitive (e.g. DuckDB
+        # HUGEINT from un-cast SUM must be CAST to BIGINT in the oracle SQL).
+        pd.testing.assert_frame_equal(gs, es, check_dtype=True,
                                       check_exact=True)
         print(f"PASS {name} ({len(g)} rows)")
     except AssertionError as ex:
