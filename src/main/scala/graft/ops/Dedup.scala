@@ -81,7 +81,11 @@ object Dedup {
       posexplode(array(bandHashes: _*)).as(Seq("band", "band_hash")))
   }
 
-  /** Near-dup candidate pairs via MinHash + LSH. */
+  /** Near-dup candidate pairs via MinHash + LSH. The band self-join
+    * shares ONE lineage: both sides read the same shuffle output
+    * (ReusedExchange — pinned in PlanSpec), so signatures are computed
+    * once, not once per join side.
+    */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
@@ -112,22 +116,36 @@ object Dedup {
     summed.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Embedding-cosine near-duplicate pairs within a blocking key: exact
-    * cosine on all within-block pairs above `minCos`, keeper = lower id.
-    * The block bounds the pair count; for unblocked 100 TB corpora use
-    * [[graft.ops.Similarity.lshCosineTopK]] buckets as the candidate
-    * generator and this scorer on the candidates.
+  /** Embedding-cosine near-duplicate pairs: sign-LSH bucket collisions
+    * ([[graft.ops.Similarity.lshBuckets]] — same deterministic
+    * projections as the ANN path) generate candidates, exact cosine
+    * scores them, keeper = lower id. A pair is emitted iff it collides
+    * in ANY of the `nTables` hash tables AND cos >= `minCos`.
+    *
+    * 100 TB shape: one map-only hash pass, one self-join keyed on
+    * (tbl, bucket) — never an all-pairs or blocked-all-pairs join
+    * (bucket population ~ n / 2^bitsPerTable per table bounds the pair
+    * fan-out; raise `bitsPerTable` as the corpus grows). Recall per true
+    * pair is 1-(1-p^bits)^tables with p = 1 - acos(cos)/π — tune both
+    * knobs to the similarity band being hunted.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       blockCol: String, minCos: Double): DataFrame = {
-    import graft.ops.Similarity.{dot, norm}
-    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+                       dim: Int, minCos: Double,
+                       bitsPerTable: Int = 4, nTables: Int = 8): DataFrame = {
+    import graft.ops.Similarity.{dot, norm, lshBuckets}
+    val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("e"))
-      .withColumn("n", norm(col("e")))
-    val a = v.toDF("doc_a", "blk", "ea", "na")
-    val b = v.toDF("doc_b", "blk", "eb", "nb")
-    a.join(b, Seq("blk"))
+    val b = v.select(col("id"),
+      posexplode(lshBuckets(col("e"), dim, bitsPerTable, nTables))
+        .as(Seq("tbl", "bucket")))
+    val cand = b.toDF("doc_a", "tbl", "bucket")
+      .join(b.toDF("doc_b", "tbl", "bucket"), Seq("tbl", "bucket"))
       .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val n = v.withColumn("n", norm(col("e")))
+    cand
+      .join(n.toDF("doc_a", "ea", "na"), "doc_a")
+      .join(n.toDF("doc_b", "eb", "nb"), "doc_b")
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .where(col("cos") >= minCos)
       .select(col("doc_a"), col("doc_b"),
@@ -135,19 +153,24 @@ object Dedup {
         round(col("cos"), 6).cast("float").as("cos"))
   }
 
-  /** Exact n-gram Jaccard over candidate pairs sharing a blocking key
-    * (e.g. source): |A∩B| / |A∪B| on distinct shingle sets. The blocking
-    * key is what bounds the pair count at scale.
+  /** Exact n-gram Jaccard scored over MinHash-LSH candidate pairs
+    * ([[minhashPairs]]): |A∩B| / |A∪B| on distinct shingle sets, but
+    * only for pairs that collide in some signature band — the shingle
+    * work per pair is bounded by document length, and the pair count by
+    * the banding, so no step is quadratic in a block or corpus. (A pair
+    * below every band's collision is not scored: candidates-then-verify
+    * semantics, the standard large-corpus dedup contract.)
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
-                   blockCol: String, n: Int = 3, minJaccard: Double = 0.2): DataFrame = {
-    val g = df.select(col(idCol), col(blockCol),
+                   n: Int = 3, k: Int = 16, bands: Int = 4,
+                   minJaccard: Double = 0.2): DataFrame = {
+    val cand = minhashPairs(df, textCol, idCol, n, k, bands)
+    val g = df.select(col(idCol).as("did"),
       explode(shingles(col(textCol), n)).as("g")).distinct()
-    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val ga = g.toDF("doc_a", "blk", "g")
-    val gb = g.toDF("doc_b", "blk", "g")
-    val inter = ga.join(gb, Seq("blk", "g"))
-      .where(col("doc_a") < col("doc_b"))
+    val sizes = g.groupBy(col("did")).agg(count(lit(1)).as("n_grams"))
+    val inter = cand
+      .join(g.toDF("doc_a", "g"), "doc_a")
+      .join(g.toDF("doc_b", "g"), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.toDF("doc_a", "na"), "doc_a")

@@ -68,6 +68,17 @@ object Similarity {
   def lshBuckets(vec: Column, dim: Int, bitsPerTable: Int, nTables: Int): Column =
     array((0 until nTables).map(t => lshBucket(vec, dim, t, bitsPerTable)): _*)
 
+  /** DuckDB SQL for one table's sign-LSH bucket id over list column
+    * `vecExpr` — generated from the same [[proj]] constants as
+    * [[lshBucket]], so both engines compute the identical bucket.
+    */
+  def lshBucketSql(vecExpr: String, dim: Int, table: Int, bits: Int): String =
+    (0 until bits).map { j =>
+      val row = (0 until dim).map(i => proj(table * bits + j, i))
+      s"(CASE WHEN list_sum(list_transform(range($dim), i -> $vecExpr[i+1] * " +
+        s"(list_value(${row.mkString(",")}))[i+1])) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** Approximate cosine top-k through multi-table sign LSH: L independent
     * hash tables of r bits; a corpus vector is a candidate if it collides
     * with the query in ANY table (standard OR-construction — one table's

@@ -182,11 +182,13 @@ object Extended {
         .orderBy("day", "protocol")
     }),
 
-    // Embedding-cosine near-dup (north-star dedup family): exact
-    // within-block pairs over the embeddings table.
+    // Embedding-cosine near-dup (north-star dedup family): sign-LSH
+    // bucket candidates + exact cosine scorer over the embeddings table
+    // — no blocked all-pairs join (the 100 TB shape).
     "q61_embed_neardup" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDup(
-        t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.2)
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, minCos = 0.2, bitsPerTable = 4, nTables = 8)
         .orderBy("doc_a", "doc_b")),
 
     // dns_stats script shape (src/pxl_scripts/px/dns_*): tumbling px.bin
@@ -251,8 +253,8 @@ object Extended {
              .mkString(",\n")}
          |  FROM v)
          |SELECT vec_id,
-         |  CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
-         |       WHEN d1 <= d2 THEN 1 ELSE 2 END AS cluster,
+         |  CAST(CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+         |       WHEN d1 <= d2 THEN 1 ELSE 2 END AS BIGINT) AS cluster,
          |  CASE WHEN vec_id % 3 = 0 THEN '/healthz'
          |       WHEN vec_id % 3 = 1 THEN '/api/v1/users/*/posts/*'
          |       ELSE NULL END AS endpoint,
@@ -317,19 +319,31 @@ object Extended {
          |  round(CAST(SUM(is_err) AS DOUBLE) / COUNT(*), 6) AS err_share
          |FROM ev GROUP BY day, protocol ORDER BY day, protocol""".stripMargin),
 
-    "q61_embed_neardup" -> (
-      """WITH v AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-        |n AS (SELECT vec_id, label, e,
-        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v)
-        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        |  least(a.vec_id, b.vec_id) AS keeper_id,
-        |  CAST(round(list_sum(list_transform(range(64),
-        |    i -> a.e[i+1] * b.e[i+1])) / (a.nrm * b.nrm), 6) AS REAL) AS cos
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(range(64),
-        |    i -> a.e[i+1] * b.e[i+1])) / (a.nrm * b.nrm) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q61_embed_neardup" -> {
+      val bucketCols = (0 until 8)
+        .map(t => s"(${graft.ops.Similarity.lshBucketSql("e", 64, t, 4)}) AS b$t")
+        .mkString(",\n    ")
+      val bucketCase = (0 until 8).map(t => s"WHEN $t THEN b$t").mkString(" ")
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |n AS (SELECT vec_id, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+         |bk AS (SELECT vec_id,
+         |    $bucketCols
+         |  FROM n),
+         |cb AS (SELECT vec_id, t.tbl, (CASE t.tbl $bucketCase END) AS bucket
+         |  FROM bk, (SELECT unnest(range(8)) AS tbl) t),
+         |cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+         |  FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id),
+         |s AS (SELECT da, db,
+         |    list_sum(list_transform(range(64), i -> na.e[i+1] * nb.e[i+1]))
+         |      / (na.nrm * nb.nrm) AS cos
+         |  FROM cand JOIN n na ON na.vec_id = da JOIN n nb ON nb.vec_id = db)
+         |SELECT da AS doc_a, db AS doc_b, least(da, db) AS keeper_id,
+         |  CAST(round(cos, 6) AS REAL) AS cos
+         |FROM s WHERE cos >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q58_dns_stats" -> (
       s"""WITH ev AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS day,

@@ -165,7 +165,7 @@ object Ml {
 
     "q50_schemas" -> (
       s"""WITH s AS (SELECT * FROM $schemaValues)
-         |SELECT table_name, column_name, column_index, data_type,
+         |SELECT table_name, column_name, CAST(column_index AS BIGINT) AS column_index, data_type,
          |       COUNT(*) OVER (PARTITION BY table_name) AS n_cols
          |FROM s ORDER BY table_name, column_index""".stripMargin),
 

@@ -40,9 +40,10 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
-    // Exact n-gram Jaccard over source-blocked pairs.
+    // Exact n-gram Jaccard scored over MinHash-LSH candidate pairs (no
+    // blocked all-pairs join — the 100 TB candidates-then-verify shape).
     "q28_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", "source", NGRAM, 0.2)
+      Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id", NGRAM, K, BANDS, 0.2)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -143,16 +144,9 @@ object NorthStar {
   // (Similarity.proj), so the whole multi-table bucket -> candidate ->
   // score -> rank pipeline is re-derivable in SQL. Dot products use the
   // same sequential-sum shape as q29 (bit-exact across engines).
-  private def lshBucketSql(table: Int, bits: Int): String =
-    (0 until bits).map { j =>
-      val row = (0 until 64).map(i => Similarity.proj(table * bits + j, i))
-      s"(CASE WHEN list_sum(list_transform(range(64), i -> e[i+1] * " +
-        s"(list_value(${row.mkString(",")}))[i+1])) >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-
   private val q30OracleSql: String = {
     val bucketCols = (0 until 8)
-      .map(t => s"(${lshBucketSql(t, 4)}) AS b$t").mkString(",\n    ")
+      .map(t => s"(${Similarity.lshBucketSql("e", 64, t, 4)}) AS b$t").mkString(",\n    ")
     val bucketCase = (0 until 8)
       .map(t => s"WHEN $t THEN b$t").mkString(" ")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -172,7 +166,7 @@ object NorthStar {
        |      / (qn.nrm * cn.nrm) AS cos
        |  FROM cand JOIN n qn ON qn.vec_id = cand.qid
        |            JOIN n cn ON cn.vec_id = cand.nid)
-       |SELECT qid AS query_id, nid AS neighbor_id, rank
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
        |      FROM s)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
@@ -201,11 +195,16 @@ object NorthStar {
          |${simhashBits.map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS simhash
          |FROM s ORDER BY doc_id""".stripMargin,
     "q28_ngram_jaccard" ->
-      s"""WITH g AS (SELECT DISTINCT doc_id, source, unnest($sh) AS g FROM documents),
+      s"""$sigCte, bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM documents),
          |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-         |  FROM g a JOIN g b ON a.source = b.source AND a.g = b.g
-         |    AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2)
          |SELECT da AS doc_a, db AS doc_b, i AS inter,
          |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
          |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
@@ -219,7 +218,7 @@ object NorthStar {
         |s AS (SELECT qid, vec_id AS nid,
         |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1])) / (qn * nrm) AS cos
         |  FROM q, n WHERE vec_id <> qid)
-        |SELECT qid AS query_id, nid AS neighbor_id, rank,
+        |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
         |  CAST(round(cos, 6) AS REAL) AS score
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
         |      FROM s)

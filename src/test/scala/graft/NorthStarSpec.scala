@@ -34,12 +34,22 @@ class NorthStarSpec extends AnyFunSuite {
     assert(hamming(sig(0), sig(2)) > 8)
   }
 
-  test("ngram jaccard is 1.0 for identical docs in the same block") {
-    val df = Seq((1L, "a b c d e", "s1"), (2L, "a b c d e", "s1"))
-      .toDF("doc_id", "text", "source")
-    val got = Dedup.ngramJaccard(df, "text", "doc_id", "source", 3, 0.0)
-      .select("jaccard").as[Double].head()
-    assert(got == 1.0)
+  test("ngram jaccard is 1.0 for identical docs and skips unrelated ones") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(df, "text", "doc_id", 3, 16, 4, 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("embedding near-dup finds LSH-colliding identical vectors, not opposites") {
+    val v = Array.fill(8)(0.5f)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(-_)))
+      .toDF("doc_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, "doc_id", "embedding",
+        dim = 8, minCos = 0.9, bitsPerTable = 2, nTables = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
   }
 
   test("LSH ANN achieves >=60% recall@5 vs exact brute force") {

@@ -90,6 +90,29 @@ class PlanSpec extends AnyFunSuite {
       Seq("event_type", "n", "window_start_ns"))
   }
 
+  test("dedup candidate joins are bucket-keyed, never unblocked all-pairs") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val p1 = plan(graft.ops.Dedup.embeddingNearDup(
+      emb, "vec_id", "embedding", dim = 64, minCos = 0.2))
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"), p1.take(2000))
+    assert(p1.contains("bucket"), "candidate join not keyed on LSH bucket")
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val p2 = plan(graft.ops.Dedup.ngramJaccard(docs, "text", "doc_id"))
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2.take(2000))
+    assert(p2.contains("band_hash"), "candidate join not keyed on band hash")
+  }
+
+  test("minhashPairs band self-join reuses one exchange (signatures computed once)") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val df = graft.ops.Dedup.minhashPairs(docs, "text", "doc_id")
+    df.collect() // materialize so the AQE plan is final (stage reuse decided)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"), p.take(4000))
+  }
+
   test("script runner executes each script per round") {
     var n = 0
     val scripts = Seq(graft.streaming.ScriptRunner.CronScript(
