@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR,
+  * timed end-to-end through a `noop` datasource write — unlike count(),
+  * the noop sink materializes every projected column and executes sorts,
+  * so map-heavy queries and orderBy are fully measured. Emits ONE JSON
+  * line: to bench_result.json and as the final stdout line (after
+  * spark.stop(), so no log noise follows it).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,20 +18,26 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session (executor threads, codegen, parquet footers) so the
     // first measured query isn't charged Spark's one-time init.
     graft.core.Tables.all.foreach(t =>
       graft.core.Tables(spark, sfDir, t).count())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_result.json"), json + "\n")
     spark.stop()
+    println(json)
   }
 }
