@@ -46,12 +46,16 @@ object Aggregators {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
-  /** Deterministic uniform sample: bottom-k by a salted 64-bit hash of the
-    * value. The reference's `sample` is a reservoir
+  /** Deterministic DISTINCT-VALUE sample: bottom-k by hash over the
+    * distinct value set — duplicate input values share one hash and
+    * collapse to a single sample slot (min-wise sampling of the value
+    * SET, not of rows). The reference's `sample` is a row reservoir
     * (ml_ops.h:145-160 ReservoirSampleUDA) whose output depends on row
-    * order — unreproducible under Spark partitioning, so we use the
-    * order-independent min-wise construction instead: same uniform-sample
-    * semantics, mergeable, and stable at any scale/partitioning.
+    * order — unreproducible under Spark partitioning; a row-uniform
+    * order-independent variant would need a per-row id salted into the
+    * hash, which the single-argument UDA input doesn't carry. The
+    * distinct-value contract is mergeable and stable at any
+    * scale/partitioning, and the oracle replicates it exactly.
     */
   case class BottomK(k: Int, items: Array[Long], hashes: Array[Long])
 

@@ -71,10 +71,13 @@ object MlScalars {
     * embedded sentencepiece model (ml_ops.cc SentencePieceUDF). Stub
     * policy: whitespace words split into <=4-char pieces, first piece of
     * each word marked with the sentencepiece word-boundary marker. Real
-    * BPE drops in behind the same array<string> signature.
+    * BPE drops in behind the same array<string> signature. Empty words
+    * (consecutive spaces) are dropped BEFORE the per-word transform —
+    * length 0 would make sequence(0, -1) count down and emit bogus
+    * pieces.
     */
   def encodeSentencePiece(text: Column): Column =
-    flatten(transform(split(text, " "), w =>
+    flatten(transform(filter(split(text, " "), w => length(w) > 0), w =>
       transform(sequence(lit(0), floor((length(w) - 1) / lit(4)).cast("int")),
         j => concat(
           when(j === 0, lit("▁")).otherwise(lit("")),

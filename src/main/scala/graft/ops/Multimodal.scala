@@ -61,10 +61,13 @@ object Multimodal {
   }
 
   /** Frame sampling stub: every k-th "frame" (byte window) of a payload —
-    * the row-expanding shape of video frame extraction.
+    * the row-expanding shape of video frame extraction. Zero-byte
+    * payloads yield zero frames (without the guard, sequence(0, div(-1,
+    * k)) = [0] would fabricate one frame for an empty payload).
     */
   def sampleFrames(media: DataFrame, everyK: Int = 4, frameBytes: Int = 16): DataFrame =
-    media.select(col("media_id"), col("payload"),
+    media.where(col("n_bytes") > 0)
+      .select(col("media_id"), col("payload"),
         sequence(lit(0), call_function("div", col("n_bytes") - 1, lit(frameBytes.toLong * everyK)))
           .as("frame_idx"))
       .select(col("media_id"), explode(col("frame_idx")).as("frame_no"))

@@ -266,6 +266,7 @@ object NorthStar {
       """SELECT doc_id AS media_id,
         |  unnest(range((octet_length(CAST(text AS BLOB)) - 1) // 64 + 1)) AS frame_no,
         |  unnest(range((octet_length(CAST(text AS BLOB)) - 1) // 64 + 1)) * 64 AS frame_offset
-        |FROM documents ORDER BY media_id, frame_no""".stripMargin
+        |FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+        |ORDER BY media_id, frame_no""".stripMargin
   )
 }

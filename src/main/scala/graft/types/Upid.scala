@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Upid {
 
-  private def hex8(c: Column): Column = lpad(hex(c.cast("long")), 8, "0")
+  // Mask to the 32-bit field width BEFORE hex: lpad truncates over-long
+  // input to its LEFTMOST chars, so an out-of-contract asid/pid would
+  // otherwise corrupt the UPID silently. (hex of a long is at most 16
+  // chars, so the 16-wide field needs no mask.)
+  private def hex8(c: Column): Column =
+    lpad(hex(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0")
   private def hex16(c: Column): Column = lpad(hex(c.cast("long")), 16, "0")
 
   /** px.make_upid(asid, pid, start_ts) (pixie_module.cc:460-479). */

@@ -54,6 +54,13 @@ class AggregatorSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("sample is a distinct-VALUE sample: duplicates collapse to one slot") {
+    val agg = new Aggregators.SampleAgg(3)
+    val dups = List(5L, 5L, 5L, 9L, 9L, 2L)
+    val got = agg.finish(dups.foldLeft(agg.zero)(agg.reduce)).toSeq
+    assert(got == Seq(2L, 5L, 9L), s"expected each value once, got $got")
+  }
+
   test("sample matches SQL-oracle semantics (bottom-k by LCG hash)") {
     val agg = new Aggregators.SampleAgg(3)
     val xs = (1L to 100L).toList

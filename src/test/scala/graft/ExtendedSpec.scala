@@ -54,6 +54,26 @@ class ExtendedSpec extends AnyFunSuite {
     assert(out == Seq("▁hell", "o", "▁ab"))
   }
 
+  test("sentencepiece stub: consecutive/leading spaces drop empty words") {
+    val out = Seq(1).toDF("x")
+      .select(MlScalars.encodeSentencePiece(lit(" a  b ")))
+      .as[Seq[String]].head()
+    assert(out == Seq("▁a", "▁b"))
+  }
+
+  test("make_upid masks out-of-contract asid/pid to 32 bits") {
+    val wide = lit(0x1FFFFFFFFL) // 33 bits; in-field value is 0xFFFFFFFF
+    val hexStr = Seq(1).toDF("x")
+      .select(lower(hex(graft.types.Upid.makeUpid(wide, lit(7L), lit(9L)))))
+      .as[String].head()
+    assert(hexStr == "ffffffff" + "00000007" + "0000000000000009")
+    val asid = Seq(1).toDF("x")
+      .select(graft.types.Upid.upidToAsid(
+        graft.types.Upid.makeUpid(wide, lit(7L), lit(9L))))
+      .as[Long].head()
+    assert(asid == 0xFFFFFFFFL)
+  }
+
   test("text_embedding stub: deterministic, bounded, dim-sized") {
     val e = Seq(1).toDF("x")
       .select(MlScalars.textEmbedding(lit("doc"), 8)).as[Seq[Double]].head()

@@ -70,6 +70,14 @@ class NorthStarSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("frame sampling yields zero frames for a zero-byte payload") {
+    val media = Multimodal.asMediaTable(
+      Seq((1L, ""), (2L, "x" * 100)).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, everyK = 4, frameBytes = 16)
+      .groupBy("media_id").count().as[(Long, Long)].collect().toMap
+    assert(!frames.contains(1L) && frames(2L) == 2L)
+  }
+
   test("stub media decode produces deterministic batched features") {
     val media = Multimodal.asMediaTable(docs.limit(10), "doc_id", "text")
     val out = Multimodal.decodeFeatures(spark, media).collect()
