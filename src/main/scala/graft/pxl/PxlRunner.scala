@@ -1,0 +1,339 @@
+package graft.pxl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PixieFunctions
+import graft.operators.PxTable
+import scala.collection.mutable
+
+/** Minimal PxL front-end — evaluator half. Executes the parsed statement
+  * list against the PxTable operator surface, so a user's existing PxL
+  * script (px.DataFrame / ctx / groupby.agg / merge / head / display, the
+  * px.* scalar+agg module) runs unmodified on the Spark engine.
+  *
+  * Reference semantics sources: objects/dataframe.h (operator surface),
+  * objects/pixie_module.h + pixie_module.cc:438-479 (px.* module,
+  * compile-time time resolution), planner/ir/time.cc (relative time
+  * strings), compiler/ast_visitor.h (evaluation order: flat statements,
+  * assignments rebind, attribute/subscript column assignment).
+  *
+  * Engine policy notes:
+  * - `px.quantiles` maps to exact interpolated percentiles reported as
+  *   the ST_QUANTILES JSON (the oracle-checkable stand-in for the
+  *   t-digest sketch — graft.functions.Aggregators.QuantilesAgg is the
+  *   sketch variant, q22).
+  * - `px.now()` / relative start_time strings resolve against
+  *   [[PxlEnv.nowNs]] at script-build time, exactly like the reference
+  *   planner folds px.now() into literals before execution.
+  */
+object PxlRunner {
+  import PxlParser._
+
+  /** Execution environment: the deterministic "now", the table catalog,
+    * and the ctx metadata resolver ((df, property, outName) => df with
+    * the resolved column attached).
+    */
+  final case class PxlEnv(
+      nowNs: Long,
+      tables: String => DataFrame,
+      ctx: (DataFrame, String, String) => DataFrame)
+
+  // ---- value domain --------------------------------------------------
+  private sealed trait V
+  private case class VTab(t: PxTable) extends V
+  private case class VGrouped(t: PxTable, keys: Seq[String]) extends V
+  private case class VCol(c: Column) extends V
+  private case class VInt(v: Long) extends V
+  private case class VFloat(v: Double) extends V
+  private case class VStr(v: String) extends V
+  private case class VBool(v: Boolean) extends V
+  private case class VList(xs: Seq[V]) extends V
+  private case class VBuiltin(name: String) extends V
+  private case class VMethod(recv: V, name: String) extends V
+  private case class VCtxObj(t: PxTable) extends V
+  private case class VCtx(property: String) extends V
+
+  private val TableMethods = Set("groupby", "agg", "merge", "head", "drop", "append")
+
+  final class PxlError(msg: String) extends RuntimeException(msg)
+
+  /** Parse + execute; returns the displayed tables (name -> DataFrame). */
+  def run(script: String, env: PxlEnv): Map[String, DataFrame] = {
+    val stmts = PxlParser.parse(script)
+    val vars = mutable.LinkedHashMap[String, V]()
+    val results = mutable.LinkedHashMap[String, DataFrame]()
+
+    // Quote a column name for functions.col (names like "latency(p50)").
+    def c(name: String): Column =
+      if (name.forall(ch => ch.isLetterOrDigit || ch == '_')) col(name)
+      else col(s"`$name`")
+
+    def asCol(v: V): Column = v match {
+      case VCol(x) => x
+      case VInt(x) => lit(x)
+      case VFloat(x) => lit(x)
+      case VStr(x) => lit(x)
+      case VBool(x) => lit(x)
+      case other => throw new PxlError(s"expected a column/literal, got $other")
+    }
+
+    def asStrings(v: V): Seq[String] = v match {
+      case VStr(s) => Seq(s)
+      case VList(xs) => xs.map { case VStr(s) => s
+        case o => throw new PxlError(s"expected string, got $o") }
+      case other => throw new PxlError(s"expected column name(s), got $other")
+    }
+
+    def asLongV(v: V): Long = v match {
+      case VInt(x) => x
+      case VFloat(x) => x.toLong
+      case other => throw new PxlError(s"expected a number, got $other")
+    }
+
+    def binop(op: String, l: V, r: V): V = (l, r) match {
+      case (VInt(a), VInt(b)) => op match {
+        case "+" => VInt(a + b); case "-" => VInt(a - b); case "*" => VInt(a * b)
+        case "/" => VFloat(a.toDouble / b); case "//" => VInt(Math.floorDiv(a, b))
+        case "%" => VInt(Math.floorMod(a, b))
+        case "==" => VBool(a == b); case "!=" => VBool(a != b)
+        case ">=" => VBool(a >= b); case "<=" => VBool(a <= b)
+        case ">" => VBool(a > b); case "<" => VBool(a < b)
+        case o => throw new PxlError(s"int op $o")
+      }
+      case _ if l.isInstanceOf[VCol] || r.isInstanceOf[VCol] =>
+        val (a, b) = (asCol(l), asCol(r))
+        VCol(op match {
+          case "+" => a + b; case "-" => a - b; case "*" => a * b
+          case "/" => a / b; case "%" => pmod(a, b)
+          case "==" => a === b; case "!=" => a =!= b
+          case ">=" => a >= b; case "<=" => a <= b
+          case ">" => a > b; case "<" => a < b
+          case "and" => a && b; case "or" => a || b
+          case o => throw new PxlError(s"column op $o")
+        })
+      case (VFloat(_) | VInt(_), VFloat(_) | VInt(_)) =>
+        val (a, b) = (asLongV(l).toDouble, asLongV(r).toDouble)
+        op match {
+          case "+" => VFloat(a + b); case "-" => VFloat(a - b)
+          case "*" => VFloat(a * b); case "/" => VFloat(a / b)
+          case o => throw new PxlError(s"float op $o")
+        }
+      case (VStr(a), VStr(b)) => op match {
+        case "+" => VStr(a + b); case "==" => VBool(a == b)
+        case "!=" => VBool(a != b)
+        case o => throw new PxlError(s"string op $o")
+      }
+      case other => throw new PxlError(s"binop $op on $other")
+    }
+
+    /** out=(column, px.aggfn) tuples -> named Spark aggregate exprs. */
+    def aggExpr(fn: String, colName: String): Column = fn match {
+      case "count" => count(c(colName))
+      case "mean" => avg(c(colName).cast("double"))
+      case "sum" => sum(c(colName))
+      case "max" => max(c(colName))
+      case "min" => min(c(colName))
+      case "any" => any_value(c(colName))
+      case "quantiles" =>
+        val ps = Seq("p01" -> 0.01, "p10" -> 0.10, "p25" -> 0.25, "p50" -> 0.50,
+          "p75" -> 0.75, "p90" -> 0.90, "p99" -> 0.99)
+        to_json(struct(ps.map { case (k, q) =>
+          call_function("percentile", c(colName), lit(q)).as(k) }: _*))
+      case other => throw new PxlError(s"unknown aggregate px.$other")
+    }
+
+    def callBuiltin(name: String, args: Seq[V], kwargs: Seq[(String, V)]): V = {
+      val kw = kwargs.toMap
+      name match {
+      case "DataFrame" =>
+        val table = kw.get("table").orElse(args.headOption) match {
+          case Some(VStr(s)) => s
+          case other => throw new PxlError(s"DataFrame(table=?): $other")
+        }
+        var t = PxTable(env.tables(table))
+        kw.get("select").foreach(sel => t = t.keep(asStrings(sel): _*))
+        // MemorySource scans [start_time, stop_time]; stop defaults to
+        // "now" (plan.proto:156-175) — without the upper bound a -30s
+        // window would leak future rows when now is pinned mid-fixture.
+        kw.get("start_time").foreach { v =>
+          val startNs = PixieFunctions.parseTimeNs(
+            v match { case VStr(s) => s case o => asLongV(o).toString }, env.nowNs)
+          t = t.where(col("time_") >= lit(startNs))
+        }
+        kw.get("end_time") match {
+          case Some(v) =>
+            val endNs = PixieFunctions.parseTimeNs(
+              v match { case VStr(s) => s case o => asLongV(o).toString }, env.nowNs)
+            t = t.where(col("time_") < lit(endNs))
+          case None if kw.contains("start_time") =>
+            // Strict bound: with µs-granular oracle views of the ns
+            // column, only exclusive bounds at multiples of 1000 compare
+            // identically across engines.
+            t = t.where(col("time_") < lit(env.nowNs))
+          case None =>
+        }
+        VTab(t)
+      case "display" =>
+        val df = args.head match {
+          case VTab(t) => t.df
+          case o => throw new PxlError(s"display: $o")
+        }
+        val nm = args.lift(1) match { case Some(VStr(s)) => s case _ => "output" }
+        results(nm) = df
+        VBool(true)
+      case "now" => VInt(env.nowNs)
+      case "seconds" => VInt(asLongV(args.head) * 1000000000L)
+      case "minutes" => VInt(asLongV(args.head) * 60L * 1000000000L)
+      case "hours" => VInt(asLongV(args.head) * 3600L * 1000000000L)
+      case "days" => VInt(asLongV(args.head) * 86400L * 1000000000L)
+      case "millis" | "ms" => VInt(asLongV(args.head) * 1000000L)
+      case "micros" | "us" => VInt(asLongV(args.head) * 1000L)
+      case "nanos" | "ns" => VInt(asLongV(args.head))
+      case "DurationNanos" | "Percent" | "Bytes" => args.head // semantic wrappers
+      case "bin" =>
+        VCol(PixieFunctions.bin(asCol(args.head), asLongV(args(1))))
+      case "floor" => VCol(floor(asCol(args.head)))
+      case "abs" => VCol(abs(asCol(args.head)))
+      case "pluck" =>
+        VCol(get_json_object(asCol(args.head),
+          "$." + asStrings(args(1)).head))
+      case "pluck_int64" =>
+        VCol(get_json_object(asCol(args.head),
+          "$." + asStrings(args(1)).head).cast("long"))
+      case "pluck_float64" =>
+        VCol(get_json_object(asCol(args.head),
+          "$." + asStrings(args(1)).head).cast("double"))
+      case "select" =>
+        VCol(when(asCol(args.head), asCol(args(1))).otherwise(asCol(args(2))))
+      case "equals_any" =>
+        VCol(asCol(args.head).isin(args(1).asInstanceOf[VList].xs.map {
+          case VStr(s) => s: Any
+          case VInt(i) => i: Any
+          case o => throw new PxlError(s"equals_any: $o")
+        }: _*))
+      case "upid_to_service_name" | "upid_to_pod_name" => // common ctx aliases
+        throw new PxlError(s"px.$name: use df.ctx[...] (resolved via the dimension join)")
+      case other => throw new PxlError(s"unknown builtin px.$other")
+    } }
+
+    def callMethod(recv: V, name: String, args: Seq[V],
+                   kwargs: Seq[(String, V)]): V = { val kw = kwargs.toMap
+      (recv, name) match {
+      case (VTab(t), "groupby") =>
+        VGrouped(t, asStrings(args.head))
+      case (VGrouped(t, keys), "agg") =>
+        val aggs = kwargs.map {
+          case (out, VList(Seq(VStr(colName), VBuiltin(fn)))) =>
+            out -> aggExpr(fn, colName)
+          case (out, other) => throw new PxlError(s"agg $out=$other")
+        }
+        if (aggs.isEmpty) VTab(t.distinctGroups(keys: _*))
+        else VTab(t.groupbyAgg(keys, aggs: _*))
+      case (VTab(t), "merge") =>
+        val right = args.head match {
+          case VTab(r) => r
+          case o => throw new PxlError(s"merge: $o")
+        }
+        val how = kw.get("how") match {
+          case Some(VStr(s)) => s case _ => "inner"
+        }
+        val leftOn = asStrings(kw("left_on"))
+        val rightOn = asStrings(kw("right_on"))
+        val sfx = kw.get("suffixes") match {
+          case Some(VList(Seq(VStr(a), VStr(b)))) => (a, b)
+          case _ => ("_x", "_y")
+        }
+        VTab(t.merge(right, how, leftOn, rightOn, sfx))
+      case (VTab(t), "head") =>
+        VTab(t.head(args.headOption.map(asLongV).getOrElse(5L).toInt))
+      case (VTab(t), "drop") =>
+        VTab(t.dropCols(asStrings(args.head): _*))
+      case (VTab(t), "append") =>
+        VTab(t.append(args.map { case VTab(o) => o
+          case o => throw new PxlError(s"append: $o") }: _*))
+      case other => throw new PxlError(s"unknown method $name on $other")
+    } }
+
+    def eval(e: Expr): V = e match {
+      case Str(s) => VStr(s)
+      case IntLit(v) => VInt(v)
+      case FloatLit(v) => VFloat(v)
+      case BoolLit(v) => VBool(v)
+      case ListE(xs) => VList(xs.map(eval))
+      case NameE("px") => VBuiltin("__module__")
+      case NameE(n) =>
+        vars.getOrElse(n, throw new PxlError(s"undefined variable $n"))
+      case AttrE(base, name) => eval(base) match {
+        case VBuiltin("__module__") => VBuiltin(name)
+        case v @ VTab(t) =>
+          if (TableMethods(name)) VMethod(v, name)
+          else if (name == "ctx") VCtxObj(t)
+          else VCol(c(name))
+        case v @ VGrouped(_, _) => VMethod(v, name)
+        case other => throw new PxlError(s"attribute $name on $other")
+      }
+      case SubE(base, idx) => eval(base) match {
+        case VCtxObj(_) => eval(idx) match {
+          case VStr(p) => VCtx(p)
+          case o => throw new PxlError(s"ctx[$o]")
+        }
+        case VTab(t) => eval(idx) match {
+          case VList(xs) => VTab(t.keep(xs.map {
+            case VStr(s) => s
+            case o => throw new PxlError(s"projection: $o") }: _*))
+          case VCol(cond) => VTab(t.where(cond))
+          case VStr(s) => VCol(c(s))
+          case o => throw new PxlError(s"df[$o]")
+        }
+        case other => throw new PxlError(s"subscript on $other")
+      }
+      case CallE(fn, args, kwargs) =>
+        val a = args.map(eval)
+        val k = kwargs.map { case (n, ex) => n -> eval(ex) }
+        eval(fn) match {
+          case VBuiltin(name) => callBuiltin(name, a, k)
+          case VMethod(recv, name) => callMethod(recv, name, a, k)
+          case other => throw new PxlError(s"not callable: $other")
+        }
+      case BinE(op, l, r) => binop(op, eval(l), eval(r))
+      case UnaryE("-", x) => eval(x) match {
+        case VInt(v) => VInt(-v)
+        case VFloat(v) => VFloat(-v)
+        case VCol(cc) => VCol(-cc)
+        case o => throw new PxlError(s"unary - on $o")
+      }
+      case UnaryE("not", x) => eval(x) match {
+        case VBool(v) => VBool(!v)
+        case VCol(cc) => VCol(!cc)
+        case o => throw new PxlError(s"not on $o")
+      }
+      case UnaryE(op, _) => throw new PxlError(s"unary $op")
+    }
+
+    /** Column assignment (t.x = e / t['x'] = e) rebinds the table var —
+      * the ast_visitor's subscript/attribute-assign semantics.
+      */
+    def assignColumn(varName: String, colName: String, value: V): Unit = {
+      val t = vars.get(varName) match {
+        case Some(VTab(x)) => x
+        case other => throw new PxlError(s"column assign on $other")
+      }
+      val updated = value match {
+        case VCtx(prop) => PxTable(env.ctx(t.df, prop, colName))
+        case v => t.withCol(colName, asCol(v))
+      }
+      vars(varName) = VTab(updated)
+    }
+
+    stmts.foreach {
+      case ImportS(_) => // `import px` — the module is ambient
+      case Assign(NameE(n), rhs) => vars(n) = eval(rhs)
+      case Assign(AttrE(NameE(n), attr), rhs) => assignColumn(n, attr, eval(rhs))
+      case Assign(SubE(NameE(n), Str(colName)), rhs) =>
+        assignColumn(n, colName, eval(rhs))
+      case Assign(tgt, _) => throw new PxlError(s"unsupported assign target $tgt")
+      case ExprStmt(e) => eval(e)
+    }
+    results.toMap
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pxl.{PxlParser, PxlRunner}
+import graft.queries.Pxl
+
+/** PxL front-end: parser subset + evaluator semantics + the verbatim
+  * reference script end-to-end.
+  */
+class PxlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("parser covers the ast_visitor subset used by bundled scripts") {
+    val stmts = PxlParser.parse(
+      """import px
+        |# comment
+        |t = px.DataFrame(table='http_events', start_time='-30s')
+        |t.x = t.a >= 400
+        |t['y z'] = t.b / 7
+        |g = t.groupby(['a', 'b']).agg(
+        |    n=('a', px.count),
+        |)
+        |u = g[g.n > 0][['a', 'n']]
+        |px.display(u, 'out')
+        |""".stripMargin)
+    assert(stmts.length == 7)
+  }
+
+  test("verbatim http_request_stats/stats.pxl parses and executes") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Pxl.StatsPxlPath)), "UTF-8")
+    assert(PxlParser.parse(script).nonEmpty)
+    val now = graft.core.Tables(spark, dir, "events")
+      .agg(max(col("ts"))).head().getLong(0) / 1000 * 1000 + 1000
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("output")
+    assert(out.columns.toSeq == Seq("service", "latency(p50)", "latency(p90)",
+      "latency(p99)", "errors", "throughput", "throughput total"))
+    assert(out.count() >= 1)
+  }
+
+  test("evaluator: filter, projection, head, ctx resolution, time window") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |df.service = df.ctx['service']
+        |df.ok = px.select(df.resp_status < 400, 'ok', 'err')
+        |small = df[df.resp_status == 101][['service', 'ok', 'resp_status']]
+        |px.display(small.head(5), 'a')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("a")
+    val rows = out.collect()
+    assert(rows.length <= 5 && rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("ok") == "ok"))
+    assert(rows.forall(_.getAs[String]("service").startsWith("svc-")))
+  }
+
+  test("evaluator: quantiles JSON + pluck_float64 round-trip") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |q = df.groupby('user_id').agg(lat=('latency', px.quantiles))
+        |q.p50 = px.pluck_float64(q.lat, 'p50')
+        |px.display(q[['user_id', 'p50']], 'q')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("q")
+    assert(out.where(col("p50").isNull).count() == 0)
+  }
+
+  test("relative time strings gate the scan window") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-30s')
+        |px.display(df, 'w')
+        |""".stripMargin
+    // now = just after the first event: the -30s window sees only the tail
+    val tiny = PxlRunner.run(script,
+      Pxl.env(spark, dir, graft.functions.PixieFunctions.tsNsLit("2024-01-01")))("w")
+    assert(tiny.count() == 0)
+  }
+}
