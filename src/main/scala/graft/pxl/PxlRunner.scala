@@ -205,6 +205,21 @@ object PxlRunner {
           "$." + asStrings(args(1)).head).cast("double"))
       case "select" =>
         VCol(when(asCol(args.head), asCol(args(1))).otherwise(asCol(args(2))))
+      case "contains" =>
+        VCol(asCol(args.head).contains(asCol(args(1))))
+      // protocol_ops decoders (funcs/protocols/protocol_ops.cc)
+      case "protocol_name" =>
+        VCol(graft.functions.ProtocolOps.protocolName.column(asCol(args.head)))
+      case "http_resp_message" =>
+        VCol(graft.functions.ProtocolOps.httpRespMessage.column(asCol(args.head)))
+      case "mysql_command_name" =>
+        VCol(graft.functions.ProtocolOps.mysqlCommandName.column(asCol(args.head)))
+      case "kafka_api_key_name" =>
+        VCol(graft.functions.ProtocolOps.kafkaApiKeyName.column(asCol(args.head)))
+      case "dns_rcode_name" =>
+        VCol(graft.functions.ProtocolOps.dnsRcodeName.column(asCol(args.head)))
+      case "cql_opcode_name" =>
+        VCol(graft.functions.ProtocolOps.cqlOpcodeName.column(asCol(args.head)))
       case "equals_any" =>
         VCol(asCol(args.head).isin(args(1).asInstanceOf[VList].xs.map {
           case VStr(s) => s: Any

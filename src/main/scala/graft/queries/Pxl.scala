@@ -27,7 +27,21 @@ object Pxl {
       col("ts").as("time_"),
       col("user_id"),
       (lit(100) + pmod(col("event_id"), lit(460))).as("resp_status"),
-      col("value").as("latency"))
+      col("value").as("latency"),
+      when(pmod(col("event_id"), lit(25)) === 0, lit("/healthz"))
+        .when(pmod(col("event_id"), lit(25)) === 1, lit("/readyz"))
+        .otherwise(concat(lit("/api/v1/users/"), col("user_id"))).as("req_path"))
+
+  /** mysql_events shape (stirling's mysql table): command byte, response
+    * code, latency — synthesized deterministically from the fixture.
+    */
+  def mysqlEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("ts").as("time_"),
+      col("user_id"),
+      pmod(col("event_id"), lit(32)).as("req_cmd"),
+      pmod(col("event_id"), lit(4)).as("resp_code"),
+      col("value").as("latency_ns"))
 
   /** Script-execution environment over the fixture catalog. ctx
     * properties resolve through the point-in-time pod dimension
@@ -37,16 +51,20 @@ object Pxl {
     nowNs,
     tables = {
       case "http_events" => httpEvents(s, dir)
+      case "mysql_events" => mysqlEvents(s, dir)
       case other => graft.core.Tables(s, dir, other)
     },
     ctx = (df, prop, out) => {
-      val dim = K8sMetadata.syntheticPodDim(df, splitNs)
-      val attr = prop match {
-        case "service" => "service_name"
-        case "pod" => "pod_name"
+      val (dim, attr) = prop match {
+        case "service" => (K8sMetadata.syntheticPodDim(df, splitNs), "service_name")
+        case "pod" => (K8sMetadata.syntheticPodDim(df, splitNs), "pod_name")
+        case "namespace" =>
+          (graft.meta.MetadataOps.fullEntityDim(df, splitNs), "namespace")
         case other => throw new IllegalArgumentException(s"ctx['$other']")
       }
-      K8sMetadata.resolveAsOf(df, dim, "user_id", "owner_id", "time_", Seq(attr))
+      K8sMetadata.resolveAsOf(df,
+        dim.select(col("owner_id"), col("start_ns"), col("stop_ns"), col(attr)),
+        "user_id", "owner_id", "time_", Seq(attr))
         .withColumnRenamed(attr, out)
     })
 
@@ -96,6 +114,78 @@ object Pxl {
       |px.display(out, 'svc')
       |""".stripMargin
 
+  /** service_stats/service_stats.pxl `svc_let` shape: health-check
+    * filter, 10s LET windows per service with latency quantiles.
+    */
+  val ServiceLetScript: String =
+    """import px
+      |df = px.DataFrame(table='http_events', start_time='-45d')
+      |df.service = df.ctx['service']
+      |df = df[px.contains(df.req_path, 'healthz') == False]
+      |df = df[px.contains(df.req_path, 'readyz') == False]
+      |df.timestamp = px.bin(df.time_, px.seconds(10))
+      |df.failure = df.resp_status >= 400
+      |per = df.groupby(['service', 'timestamp']).agg(
+      |    latency_quantiles=('latency', px.quantiles),
+      |    error_rate=('failure', px.mean),
+      |    throughput_total=('resp_status', px.count),
+      |)
+      |per.latency_p50 = px.pluck_float64(per.latency_quantiles, 'p50')
+      |per.latency_p90 = px.pluck_float64(per.latency_quantiles, 'p90')
+      |per.latency_p99 = px.pluck_float64(per.latency_quantiles, 'p99')
+      |per['time_'] = per.timestamp
+      |out = per[['time_', 'service', 'latency_p50', 'latency_p90',
+      |           'latency_p99', 'error_rate', 'throughput_total']]
+      |px.display(out, 'let')
+      |""".stripMargin
+
+  /** namespaces/namespaces.pxl shape: pod + service counts and resource
+    * rollup per namespace.
+    */
+  val NamespacesScript: String =
+    """import px
+      |df = px.DataFrame(table='http_events', start_time='-45d')
+      |df.namespace = df.ctx['namespace']
+      |df.pod = df.ctx['pod']
+      |df.service = df.ctx['service']
+      |pods = df.groupby(['namespace', 'pod']).agg()
+      |pod_count = pods.groupby('namespace').agg(pod_count=('pod', px.count))
+      |svcs = df.groupby(['namespace', 'service']).agg()
+      |svc_count = svcs.groupby('namespace').agg(service_count=('service', px.count))
+      |io = df.groupby('namespace').agg(
+      |    total_bytes=('resp_status', px.sum),
+      |    requests=('resp_status', px.count),
+      |)
+      |joined = pod_count.merge(svc_count, how='inner', left_on=['namespace'],
+      |                         right_on=['namespace'], suffixes=['', '_x'])
+      |joined = joined.merge(io, how='inner', left_on=['namespace'],
+      |                      right_on=['namespace'], suffixes=['', '_y'])
+      |out = joined[['namespace', 'pod_count', 'service_count',
+      |              'total_bytes', 'requests']]
+      |px.display(out, 'ns')
+      |""".stripMargin
+
+  /** mysql_stats/mysql_stats.pxl `pod_mysql_let` shape: none-response
+    * filter, command decode, 10min LET windows per (pod, command).
+    */
+  val MysqlLetScript: String =
+    """import px
+      |df = px.DataFrame(table='mysql_events', start_time='-45d')
+      |df.pod = df.ctx['pod']
+      |df = df[df.resp_code != 1]
+      |df.cmd = px.mysql_command_name(df.req_cmd)
+      |df.failure = df.resp_code == 3
+      |df.timestamp = px.bin(df.time_, px.seconds(600))
+      |per = df.groupby(['pod', 'cmd', 'timestamp']).agg(
+      |    n=('req_cmd', px.count),
+      |    error_rate=('failure', px.mean),
+      |    latency_quantiles=('latency_ns', px.quantiles),
+      |)
+      |per.latency_p50 = px.pluck_float64(per.latency_quantiles, 'p50')
+      |out = per[['timestamp', 'pod', 'cmd', 'n', 'error_rate', 'latency_p50']]
+      |px.display(out, 'mysql')
+      |""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     // The verbatim reference script, end-to-end through parser+runner.
     // now = max event time, so its '-30s' window covers the data tail.
@@ -110,6 +200,24 @@ object Pxl {
       val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
       PxlRunner.run(ServiceStatsScript, env(s, dir, now))("svc")
         .orderBy("service")
+    }),
+
+    "q67_pxl_service_let" -> ((s, dir) => {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.run(ServiceLetScript, env(s, dir, now))("let")
+        .orderBy("time_", "service")
+    }),
+
+    "q68_pxl_namespaces" -> ((s, dir) => {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.run(NamespacesScript, env(s, dir, now))("ns")
+        .orderBy("namespace")
+    }),
+
+    "q69_pxl_mysql_let" -> ((s, dir) => {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.run(MysqlLetScript, env(s, dir, now))("mysql")
+        .orderBy("timestamp", "pod", "cmd")
     })
   )
 
@@ -142,6 +250,72 @@ object Pxl {
         |FROM qa JOIN rps ON qa.service = rps.service
         |WHERE qa.service <> ''
         |ORDER BY qa.service""".stripMargin,
+
+    "q67_pxl_service_let" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT epoch_us(ts) * 1000 AS t, user_id,
+         |        100 + event_id % 460 AS resp_status, value AS latency,
+         |        CASE WHEN event_id % 25 = 0 THEN '/healthz'
+         |             WHEN event_id % 25 = 1 THEN '/readyz'
+         |             ELSE '/api/v1/users/' || user_id END AS req_path
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now),
+         |w AS (SELECT *, 'svc-' || (user_id % 10) AS service,
+         |        CASE WHEN resp_status >= 400 THEN 1 ELSE 0 END AS failure,
+         |        t - t % 10000000000 AS ts_bin FROM e
+         |      WHERE NOT contains(req_path, 'healthz')
+         |        AND NOT contains(req_path, 'readyz'))
+         |SELECT ts_bin AS time_, service,
+         |  quantile_cont(latency, 0.50) AS latency_p50,
+         |  quantile_cont(latency, 0.90) AS latency_p90,
+         |  quantile_cont(latency, 0.99) AS latency_p99,
+         |  avg(CAST(failure AS DOUBLE)) AS error_rate,
+         |  count(resp_status) AS throughput_total
+         |FROM w GROUP BY 1, 2 ORDER BY time_, service""".stripMargin
+    },
+
+    "q68_pxl_namespaces" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT user_id, 100 + event_id % 460 AS resp_status,
+         |        CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 0 ELSE 1 END AS g
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now),
+         |w AS (SELECT *, 'ns' || (user_id % 10 % 3) AS namespace,
+         |        'pod-' || user_id || '-gen' || g AS pod,
+         |        'svc-' || (user_id % 10) AS service FROM e),
+         |pc AS (SELECT namespace, count(pod) AS pod_count
+         |       FROM (SELECT DISTINCT namespace, pod FROM w) GROUP BY 1),
+         |sc AS (SELECT namespace, count(service) AS service_count
+         |       FROM (SELECT DISTINCT namespace, service FROM w) GROUP BY 1),
+         |io AS (SELECT namespace, CAST(sum(resp_status) AS BIGINT) AS total_bytes,
+         |         count(resp_status) AS requests FROM w GROUP BY 1)
+         |SELECT pc.namespace, pod_count, service_count, total_bytes, requests
+         |FROM pc JOIN sc ON pc.namespace = sc.namespace
+         |        JOIN io ON pc.namespace = io.namespace
+         |ORDER BY pc.namespace""".stripMargin
+    },
+
+    "q69_pxl_mysql_let" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      val cmdSql = graft.functions.ProtocolOps.mysqlCommandName.sql("req_cmd")
+      s"""WITH e AS (SELECT epoch_us(ts) * 1000 AS t, user_id,
+         |        event_id % 32 AS req_cmd, event_id % 4 AS resp_code,
+         |        value AS latency_ns,
+         |        CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 0 ELSE 1 END AS g
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now AND event_id % 4 <> 1),
+         |w AS (SELECT *, 'pod-' || user_id || '-gen' || g AS pod,
+         |        $cmdSql AS cmd,
+         |        CASE WHEN resp_code = 3 THEN 1 ELSE 0 END AS failure,
+         |        t - t % 600000000000 AS ts_bin FROM e)
+         |SELECT ts_bin AS "timestamp", pod, cmd, count(req_cmd) AS n,
+         |  avg(CAST(failure AS DOUBLE)) AS error_rate,
+         |  quantile_cont(latency_ns, 0.50) AS latency_p50
+         |FROM w GROUP BY 1, 2, 3 ORDER BY ts_bin, pod, cmd""".stripMargin
+    },
 
     "q66_pxl_service_stats" -> {
       val start = graft.functions.PixieFunctions.tsNsLit("2024-02-01") -
