@@ -84,7 +84,26 @@ object Ml {
         .orderBy("table_name", "column_index")),
 
     // GetAgentStatus: the single local agent.
-    "q51_agents" -> ((s, dir) => CatalogUdtfs.getAgentStatus(s))
+    "q51_agents" -> ((s, dir) => CatalogUdtfs.getAgentStatus(s)),
+
+    // The md_udtfs long tail (md_udtfs.cc:32-60): every remaining UDTF
+    // relation melted to (udtf, row_json) so one gate entry value-checks
+    // all seven (the empty tracepoint relation contributes its count).
+    "q70_udtf_md" -> ((s, dir) => {
+      def melt(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(name).as("udtf"),
+          to_json(struct(df.columns.map(col): _*)).as("row_json"))
+      val tp = CatalogUdtfs.getTracepointStatus(s).agg(count(lit(1)).as("n"))
+      melt("GetProfilerSamplingPeriodMS", CatalogUdtfs.getProfilerSamplingPeriodMS(s))
+        .unionAll(melt("GetLinuxHeadersStatus", CatalogUdtfs.getLinuxHeadersStatus(s)))
+        .unionAll(melt("_DebugMDState", CatalogUdtfs.debugMDState(s)))
+        .unionAll(melt("_DebugMDGetWithPrefix",
+          CatalogUdtfs.debugMDGetWithPrefix(s, "md/pods/")))
+        .unionAll(melt("_DebugTableInfo", CatalogUdtfs.debugTableInfo(s)))
+        .unionAll(melt("GetTracepointStatus", tp))
+        .unionAll(melt("GetCronScriptHistory", CatalogUdtfs.getCronScriptHistory(s)))
+        .orderBy("udtf", "row_json")
+    })
   )
 
   private def valuesSql(rows: Seq[String], cols: String): String =
@@ -130,6 +149,51 @@ object Ml {
     "embeddings" -> Seq("vec_id" -> "BIGINT", "embedding" -> "FLOAT[]",
       "label" -> "INTEGER"))
 
+  // q70 expectation: the identical JSON rows rebuilt from the same
+  // constant Seqs with to_json's formatting (column order, plain
+  // numbers, escaped strings).
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def j(fields: (String, Any)*): String =
+    fields.map { case (k, v) =>
+      "\"" + k + "\":" + (v match {
+        case s: String => jsonStr(s)
+        case other => other.toString
+      })
+    }.mkString("{", ",", "}")
+
+  private val q70Rows: Seq[(String, String)] =
+    Seq(
+      "GetProfilerSamplingPeriodMS" ->
+        j("asid" -> 1L, "profiler_sampling_period_ms" -> 11L),
+      "GetLinuxHeadersStatus" ->
+        j("asid" -> 1L, "kernel_headers_installed" -> true),
+      "_DebugMDState" ->
+        j("asid" -> 1L, "pod_name" -> "pl/vizier-pem-local",
+          "debug_state" -> """{"epoch_id":1,"asid":1}""")) ++
+    CatalogUdtfs.mdKvStore.filter(_._1.startsWith("md/pods/")).map {
+      case (k, v) => "_DebugMDGetWithPrefix" -> j("key" -> k, "value" -> v)
+    } ++
+    CatalogUdtfs.tableNames.zipWithIndex.map { case (n, i) =>
+      "_DebugTableInfo" -> j("asid" -> 1L, "name" -> n, "id" -> i.toLong,
+        "batches_added" -> 1L, "batches_expired" -> 0L,
+        "bytes_added" -> (1000L * (i + 1)), "num_batches" -> 1L,
+        "compacted_batches" -> 0L, "size" -> (1000L * (i + 1)),
+        "cold_size" -> 0L, "max_table_size" -> (64L * 1024 * 1024),
+        "min_time" -> 0L)
+    } ++
+    Seq("GetTracepointStatus" -> """{"n":0}""") ++
+    CatalogUdtfs.cronHistory.map { case (id, ts, err, ex, cmp, by) =>
+      "GetCronScriptHistory" -> j("script_id" -> id, "timestamp" -> ts,
+        "error_message" -> err, "execution_time_ns" -> ex,
+        "compilation_time_ns" -> cmp, "bytes_processed" -> by)
+    }
+
+  private val q70Values = valuesSql(
+    q70Rows.map { case (u, rj) =>
+      s"('$u','${rj.replace("'", "''")}')"
+    }, "udtf, row_json")
+
   private val schemaValues = valuesSql(
     schemaRows.flatMap { case (tn, cols) =>
       cols.zipWithIndex.map { case ((cn, ty), i) =>
@@ -162,6 +226,9 @@ object Ml {
 
     "q49_catalog" ->
       s"SELECT name, module, kind FROM $catalogValues ORDER BY kind, name",
+
+    "q70_udtf_md" ->
+      s"SELECT udtf, row_json FROM $q70Values ORDER BY udtf, row_json",
 
     "q50_schemas" -> (
       s"""WITH s AS (SELECT * FROM $schemaValues)

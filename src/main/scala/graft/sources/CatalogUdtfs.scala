@@ -112,7 +112,9 @@ object CatalogUdtfs {
 
   val udtfNames: Seq[String] = Seq(
     "GetTables", "GetSchemas", "GetUDFList", "GetUDAList", "GetUDTFList",
-    "GetAgentStatus")
+    "GetAgentStatus", "GetProfilerSamplingPeriodMS", "GetLinuxHeadersStatus",
+    "GetTracepointStatus", "GetCronScriptHistory", "_DebugMDState",
+    "_DebugMDGetWithPrefix", "_DebugTableInfo")
 
   def getUdfList(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -134,5 +136,85 @@ object CatalogUdtfs {
     import spark.implicits._
     Seq(("local", "KERNEL_HEADERS_INSTALLED", 1L))
       .toDF("agent_id", "status", "create_time")
+  }
+
+  // ---- the md_udtfs long tail (md_udtfs.cc:32-60) --------------------
+  // In the reference these query per-agent state over gRPC; in a Spark
+  // deployment the corresponding state either doesn't exist (eBPF
+  // tracepoints, per-node table-store accounting) or is a cluster
+  // constant. They are modeled as deterministic constant relations with
+  // the reference's exact output columns, so scripts depending on their
+  // shape run unchanged.
+
+  /** GetProfilerSamplingPeriodMS (md_udtfs_impl.h:377-381). */
+  def getProfilerSamplingPeriodMS(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, 11L)).toDF("asid", "profiler_sampling_period_ms")
+  }
+
+  /** GetLinuxHeadersStatus (md_udtfs_impl.h:431-435). */
+  def getLinuxHeadersStatus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, true)).toDF("asid", "kernel_headers_installed")
+  }
+
+  /** _DebugMDState (md_udtfs_impl.h:710-716): agent metadata-state dump. */
+  def debugMDState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "pl/vizier-pem-local", """{"epoch_id":1,"asid":1}"""))
+      .toDF("asid", "pod_name", "debug_state")
+  }
+
+  /** The _DebugMDGetWithPrefix backing store (constant kv snapshot). */
+  val mdKvStore: Seq[(String, String)] = Seq(
+    "md/pods/ns0" -> "3", "md/pods/ns1" -> "3", "md/pods/ns2" -> "3",
+    "md/services/count" -> "10", "md/epoch" -> "1")
+
+  /** _DebugMDGetWithPrefix (md_udtfs_impl.h:741-745): prefix-filtered kv. */
+  def debugMDGetWithPrefix(spark: SparkSession, prefix: String): DataFrame = {
+    import spark.implicits._
+    mdKvStore.filter(_._1.startsWith(prefix)).toDF("key", "value")
+  }
+
+  /** _DebugTableInfo (md_udtfs_impl.h:802-826): table-store accounting.
+    * Spark has no ring-buffer table store, so the accounting columns are
+    * deterministic placeholders over the real catalog (names/ids real;
+    * batch/byte counters shape-only).
+    */
+  def debugTableInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    tableNames.zipWithIndex.map { case (n, i) =>
+      (1L, n, i.toLong, 1L, 0L, 1000L * (i + 1), 1L, 0L,
+        1000L * (i + 1), 0L, 64L * 1024 * 1024, 0L)
+    }.toDF("asid", "name", "id", "batches_added", "batches_expired",
+      "bytes_added", "num_batches", "compacted_batches", "size",
+      "cold_size", "max_table_size", "min_time")
+  }
+
+  /** GetTracepointStatus (md_udtfs_impl.h:880-891): no eBPF tracepoints
+    * exist in a Spark deployment — the honest relation is empty.
+    */
+  def getTracepointStatus(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("tracepoint_id", StringType),
+      StructField("name", StringType),
+      StructField("state", StringType),
+      StructField("status", StringType),
+      StructField("output_tables", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** GetCronScriptHistory (md_udtfs_impl.h:987-1010): deterministic
+    * execution history for the ScriptRunner analog.
+    */
+  val cronHistory: Seq[(String, Long, String, Long, Long, Long)] = Seq(
+    ("script-otel-export", 1706000000000000000L, "", 120000000L, 8000000L, 4096L),
+    ("script-otel-export", 1706000060000000000L, "", 110000000L, 0L, 4096L),
+    ("script-table-rollup", 1706000000000000000L, "compile error: x", 0L, 5000000L, 0L))
+
+  def getCronScriptHistory(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    cronHistory.toDF("script_id", "timestamp", "error_message",
+      "execution_time_ns", "compilation_time_ns", "bytes_processed")
   }
 }
