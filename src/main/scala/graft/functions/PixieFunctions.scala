@@ -184,12 +184,17 @@ object PixieFunctions {
     m.foldLeft(lit(default)) { case (acc, (k, v)) => when(c === k, lit(v)).otherwise(acc) }
 
   /** grpc_status_code_to_str (reference util_ops.cc). */
-  def grpcStatusCodeToStr(c: Column): Column = lookupMap(c, Map(
+  val grpcStatusMap: Seq[(Long, String)] = Seq(
     0L -> "OK", 1L -> "Cancelled", 2L -> "Unknown", 3L -> "InvalidArgument",
     4L -> "DeadlineExceeded", 5L -> "NotFound", 6L -> "AlreadyExists",
     7L -> "PermissionDenied", 8L -> "ResourceExhausted", 9L -> "FailedPrecondition",
     10L -> "Aborted", 11L -> "OutOfRange", 12L -> "Unimplemented", 13L -> "Internal",
-    14L -> "Unavailable", 15L -> "DataLoss", 16L -> "Unauthenticated"), "Unknown")
+    14L -> "Unavailable", 15L -> "DataLoss", 16L -> "Unauthenticated")
+  def grpcStatusCodeToStr(c: Column): Column =
+    lookupMap(c, grpcStatusMap.toMap, "Unknown")
+  def grpcStatusCodeToStrSql(expr: String): String =
+    grpcStatusMap.map { case (k, v) => s"WHEN $k THEN '$v'" }
+      .mkString(s"(CASE $expr ", " ", " ELSE 'Unknown' END)")
 
   /** http_resp_message (reference funcs/protocols) — common subset. */
   def httpRespMessage(status: Column): Column = lookupMap(status, Map(

@@ -41,7 +41,8 @@ object Surface {
         ProtocolOps.muxFrameTypeName.column(pmod(col("event_id"), lit(260)) - 130).as("mux_frame"),
         ProtocolOps.amqpFrameTypeName.column(pmod(col("event_id"), lit(10))).as("amqp_frame"),
         ProtocolOps.amqpMethodName(
-          pmod(col("event_id"), lit(100)), pmod(col("event_id"), lit(120))).as("amqp_method")
+          pmod(col("event_id"), lit(100)), pmod(col("event_id"), lit(120))).as("amqp_method"),
+        grpcStatusCodeToStr(pmod(col("event_id"), lit(20))).as("grpc_status")
       ).orderBy("event_id")
     }),
 
@@ -107,7 +108,8 @@ object Surface {
     }),
 
     // json_ops split (JSON array string) + _script_reference payload +
-    // regex_ops _match_regex_rule chain.
+    // regex_ops _match_regex_rule chain + the string/json orphans
+    // (hex_to_ascii, bytes_to_hex, itoa, pluck_array).
     "q45_split_scriptref" -> ((s, dir) => {
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -117,7 +119,12 @@ object Surface {
           "part" -> col("p_partkey").cast("string")).as("ref"),
         matchRegexRule(col("p_name"),
           Seq("widget_rule" -> "widget$", "blue_rule" -> "^blue ",
-              "bolt_rule" -> "bolt"), "other").as("rule")
+              "bolt_rule" -> "bolt"), "other").as("rule"),
+        lower(bytesToHex(col("p_name").cast("binary"))).as("name_hex"),
+        (hexToAscii(bytesToHex(col("p_name").cast("binary")))
+          === col("p_name")).as("hex_rt"),
+        itoa(col("p_partkey")).as("key_str"),
+        pluckArray(splitToJson(col("p_name"), " "), 1).as("second_tok")
       ).orderBy("p_partkey")
     }))
 
@@ -132,7 +139,8 @@ object Surface {
         ProtocolOps.dnsRcodeName.sql("(event_id % 30)") + " AS dns_rcode, " +
         ProtocolOps.muxFrameTypeName.sql("(event_id % 260 - 130)") + " AS mux_frame, " +
         ProtocolOps.amqpFrameTypeName.sql("(event_id % 10)") + " AS amqp_frame, " +
-        ProtocolOps.amqpMethodNameSql("(event_id % 100)", "(event_id % 120)") + " AS amqp_method " +
+        ProtocolOps.amqpMethodNameSql("(event_id % 100)", "(event_id % 120)") + " AS amqp_method, " +
+        graft.functions.PixieFunctions.grpcStatusCodeToStrSql("(event_id % 20)") + " AS grpc_status " +
         "FROM events ORDER BY event_id"),
 
     "q41_uri" -> (
@@ -178,6 +186,10 @@ object Surface {
         |  CASE WHEN regexp_matches(p_name, 'widget$') THEN 'widget_rule'
         |       WHEN regexp_matches(p_name, '^blue ') THEN 'blue_rule'
         |       WHEN regexp_matches(p_name, 'bolt') THEN 'bolt_rule'
-        |       ELSE 'other' END AS rule
+        |       ELSE 'other' END AS rule,
+        |  lower(hex(p_name)) AS name_hex,
+        |  (decode(unhex(hex(p_name))) = p_name) AS hex_rt,
+        |  CAST(p_partkey AS VARCHAR) AS key_str,
+        |  string_split(p_name, ' ')[2] AS second_tok
         |FROM part ORDER BY p_partkey""".stripMargin))
 }

@@ -27,9 +27,20 @@ object OtelSink {
     def send(batch: Seq[MetricRecord]): Unit
   }
 
-  /** Test/collector transport (driver-side accumulation). */
+  /** Test/collector transport. The instance is serialized into executor
+    * tasks, so the accumulation buffer lives in a JVM-static store keyed
+    * by transport id (valid in local/test mode; a production OTLP
+    * transport is stateless per partition and needs no store).
+    */
+  object InMemoryTransport {
+    private[OtelSink] val store = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[MetricRecord]]()
+  }
   class InMemoryTransport extends Transport {
-    val sent = new java.util.concurrent.ConcurrentLinkedQueue[MetricRecord]()
+    private val id = java.util.UUID.randomUUID().toString
+    def sent: java.util.concurrent.ConcurrentLinkedQueue[MetricRecord] =
+      InMemoryTransport.store.computeIfAbsent(id,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[MetricRecord]())
     def send(batch: Seq[MetricRecord]): Unit = batch.foreach(sent.add)
   }
 
@@ -39,22 +50,36 @@ object OtelSink {
     r.getAs[Double](spec.valueCol),
     spec.attributeCols.map(c => c -> String.valueOf(r.getAs[Any](c))).toMap)
 
-  /** Batch export: one-shot mapping of a result DataFrame. */
+  /** Batch export: rows map to signals and ship FROM THE EXECUTORS
+    * (foreachPartition), like the reference's per-node export
+    * (exec/otel_export_sink_node.cc) — the driver only aggregates the
+    * exported-row count. No result collect: at 100 TB the export path
+    * must scale with partitions, not driver memory.
+    */
   def exportGauges(df: DataFrame, spec: GaugeSpec, transport: Transport): Long = {
-    val rows = df.collect()
-    transport.send(rows.map(rowToGauge(spec)).toSeq)
-    rows.length.toLong
+    val acc = df.sparkSession.sparkContext.longAccumulator("otel_gauges_exported")
+    df.foreachPartition { it: Iterator[Row] =>
+      val batch = it.map(rowToGauge(spec)).toSeq
+      if (batch.nonEmpty) transport.send(batch)
+      acc.add(batch.size)
+    }
+    acc.value
   }
 
   /** Streaming export: foreachBatch sink (the cron/script-runner analog —
-    * reference src/vizier/services/query_broker/script_runner/).
+    * reference src/vizier/services/query_broker/script_runner/). Each
+    * micro-batch exports partition-locally; exactly-once per batch id is
+    * the streaming contract.
     */
   def streamGauges(df: DataFrame, spec: GaugeSpec, transport: Transport,
                    checkpoint: String): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        transport.send(batch.collect().map(rowToGauge(spec)).toSeq)
+        batch.foreachPartition { it: Iterator[Row] =>
+          val recs = it.map(rowToGauge(spec)).toSeq
+          if (recs.nonEmpty) transport.send(recs)
+        }
       }
       .start()
 
@@ -114,13 +139,28 @@ object OtelSink {
     r.getAs[Long](spec.timeNsCol), r.getAs[String](spec.severityCol),
     r.getAs[String](spec.bodyCol), attrs(spec.attributeCols, r))
 
-  /** Generic collector for any signal type mapped by `f`. */
+  /** Generic collector for any signal type mapped by `f` — same
+    * executor-side export shape as [[exportGauges]] (JVM-static buffer
+    * for local/test mode).
+    */
+  object SignalCollector {
+    private[OtelSink] val store = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentLinkedQueue[Any]]()
+  }
   class SignalCollector[T] extends Serializable {
-    val sent = new java.util.concurrent.ConcurrentLinkedQueue[T]()
+    private val id = java.util.UUID.randomUUID().toString
+    def sent: java.util.concurrent.ConcurrentLinkedQueue[T] =
+      SignalCollector.store.computeIfAbsent(id,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Any]())
+        .asInstanceOf[java.util.concurrent.ConcurrentLinkedQueue[T]]
     def export(df: DataFrame, f: Row => T): Long = {
-      val rows = df.collect()
-      rows.foreach(r => sent.add(f(r)))
-      rows.length.toLong
+      val acc = df.sparkSession.sparkContext.longAccumulator("otel_signals_exported")
+      df.foreachPartition { it: Iterator[Row] =>
+        var n = 0L
+        it.foreach { r => sent.add(f(r)); n += 1 }
+        acc.add(n)
+      }
+      acc.value
     }
   }
 }

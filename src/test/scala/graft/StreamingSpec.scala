@@ -92,23 +92,27 @@ class StreamingSpec extends AnyFunSuite {
       ("login", 300L, 310L, 7L, 0.1, 0.2, "INFO", "ok"))
       .toDF("span_name", "start_ns", "end_ns", "n", "p50", "p99", "sev", "msg")
 
+    // Partition-parallel export: arrival order is not defined (matches
+    // the reference — per-node exporters have no cross-node order), so
+    // look records up by key.
+    import scala.jdk.CollectionConverters._
     val summaries = new SignalCollector[SummaryRecord]
     summaries.export(df, rowToSummary(SummarySpec(
       "latency", "start_ns", "n", Map(0.5 -> "p50", 0.99 -> "p99"), Seq("span_name"))))
-    val s = summaries.sent.peek()
-    assert(s.count == 42L && s.quantiles(0.99) == 0.99 * 1 &&
-      s.attributes("span_name") == "checkout")
+    val s = summaries.sent.asScala.find(_.attributes("span_name") == "checkout").get
+    assert(s.count == 42L && s.quantiles(0.99) == 0.99 * 1)
 
     val spans = new SignalCollector[SpanRecord]
     spans.export(df, rowToSpan(SpanSpec(
       "span_name", "start_ns", "end_ns", None, None, Seq("sev"))))
-    val sp = spans.sent.peek()
-    assert(sp.name == "checkout" && sp.endNs == 250L)
+    val sp = spans.sent.asScala.find(_.name == "checkout").get
+    assert(sp.endNs == 250L)
     assert(sp.traceId.length == 32 && sp.spanId.length == 16)
 
     val logs = new SignalCollector[LogRecord]
     logs.export(df, rowToLog(LogSpec("start_ns", "sev", "msg", Nil)))
-    assert(logs.sent.size == 2 && logs.sent.peek().severity == "WARN")
+    assert(logs.sent.size == 2 &&
+      logs.sent.asScala.exists(_.severity == "WARN"))
   }
 
   test("stream-static as-of metadata join resolves generations in streaming") {
