@@ -13,36 +13,25 @@ import org.apache.spark.sql.functions.udaf
   */
 object Aggregators {
 
-  /** Serializable t-digest buffer (centroids only, buffer flushed). */
-  case class TDBuf(compression: Double, means: Array[Double], weights: Array[Double])
-
-  private def toBuf(d: TDigest): TDBuf = {
-    d.compress(); TDBuf(d.compression, d.means.toArray, d.weights.toArray)
-  }
-  private def fromBuf(b: TDBuf): TDigest = {
-    val d = new TDigest(b.compression)
-    d.means ++= b.means; d.weights ++= b.weights
-    d.totalWeight = b.weights.sum
-    d
-  }
-
   /** `quantiles` UDA (math_sketches.h:42-129): t-digest sketch reported as
     * the reference's ST_QUANTILES JSON {p01,p10,p25,p50,p75,p90,p99}.
+    *
+    * The buffer IS the mutable digest: Spark's ScalaAggregator keeps the
+    * buffer object live per group and only serializes it at the
+    * partial/final exchange, so per-row cost is the digest's amortized
+    * buffered insert — not a decode + full compress per row.
     */
-  class QuantilesAgg extends Aggregator[Double, TDBuf, String] {
-    def zero: TDBuf = TDBuf(100.0, Array.empty, Array.empty)
-    def reduce(b: TDBuf, x: Double): TDBuf = {
-      val d = fromBuf(b); d.add(x); toBuf(d)
-    }
-    def merge(a: TDBuf, b: TDBuf): TDBuf = toBuf(fromBuf(a).merge(fromBuf(b)))
-    def finish(b: TDBuf): String = {
-      val d = fromBuf(b)
+  class QuantilesAgg extends Aggregator[Double, TDigest, String] {
+    def zero: TDigest = new TDigest(100.0)
+    def reduce(d: TDigest, x: Double): TDigest = { d.add(x); d }
+    def merge(a: TDigest, b: TDigest): TDigest = a.merge(b)
+    def finish(d: TDigest): String = {
       val ps = Seq("p01" -> 0.01, "p10" -> 0.10, "p25" -> 0.25, "p50" -> 0.50,
         "p75" -> 0.75, "p90" -> 0.90, "p99" -> 0.99)
       ps.map { case (k, q) => s""""$k": ${d.quantile(q)}""" }
         .mkString("{", ", ", "}")
     }
-    def bufferEncoder: Encoder[TDBuf] = Encoders.product[TDBuf]
+    def bufferEncoder: Encoder[TDigest] = Encoders.javaSerialization[TDigest]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 

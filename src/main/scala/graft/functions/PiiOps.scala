@@ -37,14 +37,26 @@ object PiiOps {
     ("\\b[0-9]{15}\\b", "<REDACTED_IMEI>"),
     ("\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}\\b", "<REDACTED_IBAN>"))
 
+  /** Adjacent rules with the same replacement fuse into one alternation
+    * pass (leftmost-first in both Java regex and RE2): each pass is a
+    * full scan + string rebuild, so 10 rules -> 8 passes is a direct
+    * per-row win. Both engines run the same fused list.
+    */
+  val passes: Seq[(String, String)] =
+    rules.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, (p, r)) if acc.nonEmpty && acc.last._2 == r =>
+        acc.init :+ ((acc.last._1 + "|" + p, r))
+      case (acc, pr) => acc :+ pr
+    }
+
   def redactPii(c: Column): Column =
-    rules.foldLeft(c) { case (acc, (pat, repl)) => regexp_replace(acc, pat, repl) }
+    passes.foldLeft(c) { case (acc, (pat, repl)) => regexp_replace(acc, pat, repl) }
 
   /** The identical chain as DuckDB SQL (RE2; 'g' = replace all). DuckDB
     * single-quoted literals are escape-free, so backslashes pass verbatim.
     */
   def redactPiiSql(expr: String): String =
-    rules.foldLeft(expr) { case (acc, (pat, repl)) =>
+    passes.foldLeft(expr) { case (acc, (pat, repl)) =>
       s"regexp_replace($acc, '${pat.replace("'", "''")}', '$repl', 'g')"
     }
 }

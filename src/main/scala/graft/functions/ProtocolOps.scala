@@ -23,14 +23,27 @@ object ProtocolOps {
   case object UnknownParen extends Default
 
   final case class Lookup(entries: Seq[(Long, String)], default: Default) {
-    /** Codegen'd CASE WHEN chain over a long column. */
+    /** O(1) dense-array lookup when the code domain is small (every
+      * protocol table is), else a CASE WHEN chain. A 60-entry CaseWhen
+      * costs ~30 branches + string copies per row; the array literal is
+      * one bounds check + one index.
+      */
     def column(c: Column): Column = {
       val dflt = default match {
         case Const(s)     => lit(s)
         case CodeString   => c.cast("string")
         case UnknownParen => concat(lit("Unknown ("), c.cast("string"), lit(")"))
       }
-      entries.foldRight(dflt) { case ((k, v), acc) => when(c === k, lit(v)).otherwise(acc) }
+      val keys = entries.map(_._1)
+      val (mn, mx) = (keys.min, keys.max)
+      if (mx - mn < 16384) {
+        val byKey = entries.toMap
+        val arr = Array.tabulate((mx - mn + 1).toInt)(i => byKey.getOrElse(mn + i, null))
+        val hit = try_element_at(typedLit(arr), (c - mn + 1).cast("int"))
+        when(c.between(mn, mx) && hit.isNotNull, hit).otherwise(dflt)
+      } else {
+        entries.foldRight(dflt) { case ((k, v), acc) => when(c === k, lit(v)).otherwise(acc) }
+      }
     }
 
     /** The same table as a DuckDB SQL CASE expression. */
@@ -188,15 +201,20 @@ object ProtocolOps {
     (90L, 20L) -> "TxCommit", (90L, 21L) -> "TxCommit-ok",
     (90L, 30L) -> "TxRollback", (90L, 31L) -> "TxRollback-ok")
 
-  /** Combined-key lookup for (class_id, method_id) pairs. */
+  /** Combined-key lookup for (class_id, method_id) pairs. Key encoding
+    * class*128+method keeps the domain dense (max 11631) so the O(1)
+    * array path applies; method_id < 128 for every AMQP 0-9-1 method.
+    */
   private val amqpMethodLookup: Lookup =
-    Lookup(amqpMethods.map { case ((c, m), v) => (c * 1000 + m) -> v }, Const("Unknown"))
+    Lookup(amqpMethods.map { case ((c, m), v) => (c * 128 + m) -> v }, Const("Unknown"))
 
   def amqpMethodName(classId: Column, methodId: Column): Column =
     when(classId =!= 0 && methodId === 0, amqpClassName.column(classId))
-      .otherwise(amqpMethodLookup.column(classId * 1000 + methodId))
+      .otherwise(when(methodId < 128,
+        amqpMethodLookup.column(classId * 128 + methodId)).otherwise(lit("Unknown")))
 
   def amqpMethodNameSql(classExpr: String, methodExpr: String): String =
     s"(CASE WHEN $classExpr <> 0 AND $methodExpr = 0 THEN ${amqpClassName.sql(classExpr)} " +
-      s"ELSE ${amqpMethodLookup.sql(s"($classExpr * 1000 + $methodExpr)")} END)"
+      s"WHEN $methodExpr < 128 THEN ${amqpMethodLookup.sql(s"($classExpr * 128 + $methodExpr)")} " +
+      "ELSE 'Unknown' END)"
 }
