@@ -43,6 +43,21 @@ object Pxl {
       pmod(col("event_id"), lit(4)).as("resp_code"),
       col("value").as("latency_ns"))
 
+  /** redis_events shape (stirling's redis table): command string +
+    * latency, synthesized deterministically from the fixture.
+    */
+  def redisEvents(s: SparkSession, dir: String): DataFrame = {
+    val cmds = Seq("GET", "SET", "DEL", "INCR", "EXPIRE", "HGETALL")
+    val cmd = cmds.zipWithIndex.foldLeft(lit(cmds.last)) { case (acc, (c, i)) =>
+      when(pmod(col("event_id"), lit(6)) === i, lit(c)).otherwise(acc)
+    }
+    t(s, dir, "events").select(
+      col("ts").as("time_"),
+      col("user_id"),
+      cmd.as("req_cmd"),
+      col("value").as("latency_ns"))
+  }
+
   /** Script-execution environment over the fixture catalog. ctx
     * properties resolve through the point-in-time pod dimension
     * (ConvertMetadataRule's expansion, as a broadcast as-of join).
@@ -52,6 +67,7 @@ object Pxl {
     tables = {
       case "http_events" => httpEvents(s, dir)
       case "mysql_events" => mysqlEvents(s, dir)
+      case "redis_events" => redisEvents(s, dir)
       case other => graft.core.Tables(s, dir, other)
     },
     ctx = (df, prop, out) => {
@@ -186,6 +202,37 @@ object Pxl {
       |px.display(out, 'mysql')
       |""".stripMargin
 
+  /** pods/pods.pxl overview shape: per-(namespace, pod) request rollup. */
+  val PodsScript: String =
+    """import px
+      |df = px.DataFrame(table='http_events', start_time='-45d')
+      |df.pod = df.ctx['pod']
+      |df.namespace = df.ctx['namespace']
+      |df.failure = df.resp_status >= 400
+      |per_pod = df.groupby(['namespace', 'pod']).agg(
+      |    requests=('resp_status', px.count),
+      |    error_rate=('failure', px.mean),
+      |    max_latency=('latency', px.max),
+      |)
+      |out = per_pod[per_pod.requests > 0]
+      |px.display(out, 'pods')
+      |""".stripMargin
+
+  /** redis_stats LET shape: per (pod, command, day) windows. */
+  val RedisLetScript: String =
+    """import px
+      |df = px.DataFrame(table='redis_events', start_time='-45d')
+      |df.pod = df.ctx['pod']
+      |df.timestamp = px.bin(df.time_, px.hours(24))
+      |per = df.groupby(['pod', 'req_cmd', 'timestamp']).agg(
+      |    n=('req_cmd', px.count),
+      |    lat=('latency_ns', px.quantiles),
+      |)
+      |per.latency_p50 = px.pluck_float64(per.lat, 'p50')
+      |out = per[['timestamp', 'pod', 'req_cmd', 'n', 'latency_p50']]
+      |px.display(out, 'redis')
+      |""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     // The verbatim reference script, end-to-end through parser+runner.
     // now = max event time, so its '-30s' window covers the data tail.
@@ -218,6 +265,18 @@ object Pxl {
       val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
       PxlRunner.run(MysqlLetScript, env(s, dir, now))("mysql")
         .orderBy("timestamp", "pod", "cmd")
+    }),
+
+    "q71_pxl_pods" -> ((s, dir) => {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.run(PodsScript, env(s, dir, now))("pods")
+        .orderBy("namespace", "pod")
+    }),
+
+    "q72_pxl_redis_let" -> ((s, dir) => {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.run(RedisLetScript, env(s, dir, now))("redis")
+        .orderBy("timestamp", "pod", "req_cmd")
     })
   )
 
@@ -315,6 +374,41 @@ object Pxl {
          |  avg(CAST(failure AS DOUBLE)) AS error_rate,
          |  quantile_cont(latency_ns, 0.50) AS latency_p50
          |FROM w GROUP BY 1, 2, 3 ORDER BY ts_bin, pod, cmd""".stripMargin
+    },
+
+    "q71_pxl_pods" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT user_id, 100 + event_id % 460 AS resp_status,
+         |        value AS latency,
+         |        CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 0 ELSE 1 END AS g
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now),
+         |w AS (SELECT *, 'ns' || (user_id % 10 % 3) AS namespace,
+         |        'pod-' || user_id || '-gen' || g AS pod,
+         |        CASE WHEN resp_status >= 400 THEN 1 ELSE 0 END AS failure FROM e)
+         |SELECT namespace, pod, count(resp_status) AS requests,
+         |  avg(CAST(failure AS DOUBLE)) AS error_rate, max(latency) AS max_latency
+         |FROM w GROUP BY 1, 2 HAVING count(resp_status) > 0
+         |ORDER BY namespace, pod""".stripMargin
+    },
+
+    "q72_pxl_redis_let" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT epoch_us(ts) * 1000 AS t, user_id,
+         |        CASE event_id % 6 WHEN 0 THEN 'GET' WHEN 1 THEN 'SET'
+         |          WHEN 2 THEN 'DEL' WHEN 3 THEN 'INCR' WHEN 4 THEN 'EXPIRE'
+         |          ELSE 'HGETALL' END AS req_cmd,
+         |        value AS latency_ns,
+         |        CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 0 ELSE 1 END AS g
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now),
+         |w AS (SELECT *, 'pod-' || user_id || '-gen' || g AS pod,
+         |        t - t % 86400000000000 AS ts_bin FROM e)
+         |SELECT ts_bin AS "timestamp", pod, req_cmd, count(req_cmd) AS n,
+         |  quantile_cont(latency_ns, 0.50) AS latency_p50
+         |FROM w GROUP BY 1, 2, 3 ORDER BY ts_bin, pod, req_cmd""".stripMargin
     },
 
     "q66_pxl_service_stats" -> {
