@@ -30,13 +30,18 @@ object PxlRunner {
   import PxlParser._
 
   /** Execution environment: the deterministic "now", the table catalog,
-    * and the ctx metadata resolver ((df, property, outName) => df with
-    * the resolved column attached).
+    * the ctx metadata resolver ((df, property, outName) => df with the
+    * resolved column attached), and the metadata scalar-call surface
+    * (px.ip_to_pod_id(col) style — joins under the hood, so they resolve
+    * through a callback: (df, fnName, inCol, outCol) => df').
     */
   final case class PxlEnv(
       nowNs: Long,
       tables: String => DataFrame,
-      ctx: (DataFrame, String, String) => DataFrame)
+      ctx: (DataFrame, String, String) => DataFrame,
+      metaFns: Set[String] = Set.empty,
+      meta: (DataFrame, String, String, String) => DataFrame =
+        (_, fn, _, _) => throw new PxlError(s"metadata fn $fn: no resolver bound"))
 
   // ---- value domain --------------------------------------------------
   private sealed trait V
@@ -52,15 +57,41 @@ object PxlRunner {
   private case class VMethod(recv: V, name: String) extends V
   private case class VCtxObj(t: PxTable) extends V
   private case class VCtx(property: String) extends V
+  private case class VFunc(params: Seq[String], body: Seq[PxlParser.Stmt]) extends V
+  /** A deferred metadata-fn application (expands to a join at column
+    * assignment, like ConvertMetadataRule's UDF-to-join expansion).
+    */
+  private case class VMetaCall(fn: String, arg: V) extends V
 
   private val TableMethods = Set("groupby", "agg", "merge", "head", "drop", "append")
 
   final class PxlError(msg: String) extends RuntimeException(msg)
+  private final class ReturnSignal(val value: V) extends RuntimeException
 
-  /** Parse + execute; returns the displayed tables (name -> DataFrame). */
-  def run(script: String, env: PxlEnv): Map[String, DataFrame] = {
+  /** Parse + execute top-level; returns displayed tables (name -> DataFrame). */
+  def run(script: String, env: PxlEnv): Map[String, DataFrame] =
+    exec(script, env, None)._1
+
+  /** ExecuteScript-with-exec_funcs (SURVEY §3 entry point 2 —
+    * compiler.cc ProcessExecFuncs): run the module, then invoke `fn`
+    * with string args and return its DataFrame result.
+    */
+  def runFunction(script: String, env: PxlEnv, fn: String,
+                  args: Seq[String]): DataFrame =
+    exec(script, env, Some((fn, args)))._2.getOrElse(
+      throw new PxlError(s"$fn did not return a DataFrame"))
+
+  private def exec(script: String, env: PxlEnv,
+                   call: Option[(String, Seq[String])])
+      : (Map[String, DataFrame], Option[DataFrame]) = {
     val stmts = PxlParser.parse(script)
-    val vars = mutable.LinkedHashMap[String, V]()
+    // Scope chain: function locals shadow module globals (defs close
+    // over the module scope — the subset has no nested defs).
+    val moduleScope = mutable.LinkedHashMap[String, V]()
+    var scopes: List[mutable.LinkedHashMap[String, V]] = List(moduleScope)
+    def lookupVar(n: String): Option[V] =
+      scopes.collectFirst { case s if s.contains(n) => s(n) }
+    def vars = scopes.head
     val results = mutable.LinkedHashMap[String, DataFrame]()
 
     // Quote a column name for functions.col (names like "latency(p50)").
@@ -207,6 +238,7 @@ object PxlRunner {
         VCol(when(asCol(args.head), asCol(args(1))).otherwise(asCol(args(2))))
       case "contains" =>
         VCol(asCol(args.head).contains(asCol(args(1))))
+      case mfn if env.metaFns(mfn) => VMetaCall(mfn, args.head)
       // protocol_ops decoders (funcs/protocols/protocol_ops.cc)
       case "protocol_name" =>
         VCol(graft.functions.ProtocolOps.protocolName.column(asCol(args.head)))
@@ -277,7 +309,7 @@ object PxlRunner {
       case ListE(xs) => VList(xs.map(eval))
       case NameE("px") => VBuiltin("__module__")
       case NameE(n) =>
-        vars.getOrElse(n, throw new PxlError(s"undefined variable $n"))
+        lookupVar(n).getOrElse(throw new PxlError(s"undefined variable $n"))
       case AttrE(base, name) => eval(base) match {
         case VBuiltin("__module__") => VBuiltin(name)
         case v @ VTab(t) =>
@@ -308,6 +340,7 @@ object PxlRunner {
         eval(fn) match {
           case VBuiltin(name) => callBuiltin(name, a, k)
           case VMethod(recv, name) => callMethod(recv, name, a, k)
+          case VFunc(params, body) => callUserFunction(params, body, a, k)
           case other => throw new PxlError(s"not callable: $other")
         }
       case BinE(op, l, r) => binop(op, eval(l), eval(r))
@@ -325,30 +358,87 @@ object PxlRunner {
       case UnaryE(op, _) => throw new PxlError(s"unary $op")
     }
 
-    /** Column assignment (t.x = e / t['x'] = e) rebinds the table var —
-      * the ast_visitor's subscript/attribute-assign semantics.
+    /** Execute a user function body in a fresh scope over the module
+      * scope; `return` unwinds via ReturnSignal.
+      */
+    def callUserFunction(params: Seq[String], body: Seq[PxlParser.Stmt],
+                         args: Seq[V], kwargs: Seq[(String, V)]): V = {
+      val local = mutable.LinkedHashMap[String, V]()
+      params.zip(args).foreach { case (pn, v) => local(pn) = v }
+      kwargs.foreach { case (k, v) =>
+        if (!params.contains(k)) throw new PxlError(s"unknown kwarg $k")
+        local(k) = v
+      }
+      val missing = params.filterNot(local.contains)
+      if (missing.nonEmpty) throw new PxlError(s"missing args: $missing")
+      val saved = scopes
+      scopes = local :: List(moduleScope)
+      try { execStmts(body); VBool(true) }
+      catch { case r: ReturnSignal => r.value }
+      finally { scopes = saved }
+    }
+
+    /** Attach `outName` by expanding (possibly nested) metadata calls
+      * into their joins, innermost first.
+      */
+    def materializeMeta(t: PxTable, fn: String, arg: V, outName: String): PxTable =
+      arg match {
+        case VCol(c) =>
+          PxTable(env.meta(t.withCol("__meta_in", c).df, fn, "__meta_in", outName))
+            .dropCols("__meta_in")
+        case VMetaCall(innerFn, innerArg) =>
+          val mid = materializeMeta(t, innerFn, innerArg, "__meta_mid")
+          PxTable(env.meta(mid.df, fn, "__meta_mid", outName)).dropCols("__meta_mid")
+        case other => throw new PxlError(s"metadata fn $fn on $other")
+      }
+
+    /** Column assignment (t.x = e / t['x'] = e) rebinds the table var in
+      * the scope where it lives — the ast_visitor's subscript/attribute-
+      * assign semantics.
       */
     def assignColumn(varName: String, colName: String, value: V): Unit = {
-      val t = vars.get(varName) match {
-        case Some(VTab(x)) => x
+      val scope = scopes.find(_.contains(varName)).getOrElse(
+        throw new PxlError(s"undefined variable $varName"))
+      val t = scope(varName) match {
+        case VTab(x) => x
         case other => throw new PxlError(s"column assign on $other")
       }
       val updated = value match {
         case VCtx(prop) => PxTable(env.ctx(t.df, prop, colName))
+        case VMetaCall(fn, arg) => materializeMeta(t, fn, arg, colName)
         case v => t.withCol(colName, asCol(v))
       }
-      vars(varName) = VTab(updated)
+      scope(varName) = VTab(updated)
     }
 
-    stmts.foreach {
+    def execStmts(body: Seq[PxlParser.Stmt]): Unit = body.foreach {
       case ImportS(_) => // `import px` — the module is ambient
+      case DefS(name, params, fnBody) => vars(name) = VFunc(params, fnBody)
+      case ReturnS(e) => throw new ReturnSignal(eval(e))
       case Assign(NameE(n), rhs) => vars(n) = eval(rhs)
       case Assign(AttrE(NameE(n), attr), rhs) => assignColumn(n, attr, eval(rhs))
       case Assign(SubE(NameE(n), Str(colName)), rhs) =>
         assignColumn(n, colName, eval(rhs))
+      case Assign(SubE(NameE(n), idx), rhs) =>
+        eval(idx) match {
+          case VStr(colName) => assignColumn(n, colName, eval(rhs))
+          case other => throw new PxlError(s"subscript assign with $other")
+        }
       case Assign(tgt, _) => throw new PxlError(s"unsupported assign target $tgt")
       case ExprStmt(e) => eval(e)
     }
-    results.toMap
+
+    execStmts(stmts)
+    val fnResult = call.map { case (fn, args) =>
+      moduleScope.get(fn) match {
+        case Some(VFunc(params, body)) =>
+          callUserFunction(params, body, args.map(VStr(_)), Nil) match {
+            case VTab(t) => t.df
+            case other => throw new PxlError(s"$fn returned $other")
+          }
+        case _ => throw new PxlError(s"no function $fn in script")
+      }
+    }
+    (results.toMap, fnResult)
   }
 }

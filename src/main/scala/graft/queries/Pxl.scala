@@ -22,7 +22,11 @@ object Pxl {
   /** The reference's http_events shape synthesized from the events
     * fixture: time_ (ns), upid stand-in (user_id), resp_status, latency.
     */
-  def httpEvents(s: SparkSession, dir: String): DataFrame =
+  def httpEvents(s: SparkSession, dir: String): DataFrame = {
+    val g = when(col("ts") < splitNs, lit(0)).otherwise(lit(1))
+    val selfIp = concat(lit("10."), g + 10, lit("."),
+      pmod(col("user_id"), lit(250)), lit("."),
+      lit(1) + call_function("div", col("user_id"), lit(250L)))
     t(s, dir, "events").select(
       col("ts").as("time_"),
       col("user_id"),
@@ -30,7 +34,13 @@ object Pxl {
       col("value").as("latency"),
       when(pmod(col("event_id"), lit(25)) === 0, lit("/healthz"))
         .when(pmod(col("event_id"), lit(25)) === 1, lit("/readyz"))
-        .otherwise(concat(lit("/api/v1/users/"), col("user_id"))).as("req_path"))
+        .otherwise(concat(lit("/api/v1/users/"), col("user_id"))).as("req_path"),
+      // requester address: '-' for unresolved (every 5th event), else
+      // the pod IP of the event's own pod incarnation
+      when(pmod(col("event_id"), lit(5)) === 0, lit("-"))
+        .otherwise(selfIp).as("remote_addr"),
+      (lit(100) + pmod(col("event_id"), lit(1000))).as("resp_body_size"))
+  }
 
   /** mysql_events shape (stirling's mysql table): command byte, response
     * code, latency — synthesized deterministically from the fixture.
@@ -82,10 +92,16 @@ object Pxl {
         dim.select(col("owner_id"), col("start_ns"), col("stop_ns"), col(attr)),
         "user_id", "owner_id", "time_", Seq(attr))
         .withColumnRenamed(attr, out)
-    })
+    },
+    metaFns = graft.meta.MetadataOps.bindings.keySet,
+    meta = (df, fn, in, out) => graft.meta.MetadataOps.resolve(
+      fn, df, graft.meta.MetadataOps.fullEntityDim(
+        t(s, dir, "events"), splitNs), in, out))
 
   val StatsPxlPath =
     "/root/reference/src/pxl_scripts/px/http_request_stats/stats.pxl"
+  val ServiceStatsPxlPath =
+    "/root/reference/src/pxl_scripts/px/service_stats/service_stats.pxl"
 
   /** Deterministic "now" for relative start_time strings: the fixture's
     * max event time ceiled to the next µs. Scans bound time_ < now
@@ -277,6 +293,27 @@ object Pxl {
       val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
       PxlRunner.run(RedisLetScript, env(s, dir, now))("redis")
         .orderBy("timestamp", "pod", "req_cmd")
+    }),
+
+    // The VERBATIM def-based reference script, executed through the
+    // exec_funcs entry point (SURVEY §3 entry 2): svc_let computes the
+    // service LET time series; http_code_histogram the status rollup.
+    "q73_pxl_svc_let" -> ((s, dir) => {
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ServiceStatsPxlPath)), "UTF-8")
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.runFunction(script, env(s, dir, now), "svc_let",
+          Seq("-45d", "svc-1"))
+        .orderBy("time_", "k8s")
+    }),
+
+    "q74_pxl_http_code_hist" -> ((s, dir) => {
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ServiceStatsPxlPath)), "UTF-8")
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.runFunction(script, env(s, dir, now), "http_code_histogram",
+          Seq("-45d", "svc-3"))
+        .orderBy("resp_status")
     })
   )
 
@@ -409,6 +446,62 @@ object Pxl {
          |SELECT ts_bin AS "timestamp", pod, req_cmd, count(req_cmd) AS n,
          |  quantile_cont(latency_ns, 0.50) AS latency_p50
          |FROM w GROUP BY 1, 2, 3 ORDER BY ts_bin, pod, req_cmd""".stripMargin
+    },
+
+    "q73_pxl_svc_let" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT epoch_us(ts) * 1000 AS t, user_id,
+         |        100 + event_id % 460 AS resp_status, value AS latency,
+         |        CASE WHEN event_id % 25 = 0 THEN '/healthz'
+         |             WHEN event_id % 25 = 1 THEN '/readyz'
+         |             ELSE '/api/v1/users/' || user_id END AS req_path,
+         |        CASE WHEN event_id % 5 = 0 THEN '-' ELSE
+         |          '10.' || (CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 10 ELSE 11 END)
+         |          || '.' || (user_id % 250) || '.' || (1 + user_id // 250) END AS remote_addr,
+         |        100 + event_id % 1000 AS resp_body_size
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now),
+         |f AS (SELECT *, 'svc-' || (user_id % 10) AS service,
+         |        t - t % 10000000000 AS ts_bin,
+         |        CASE WHEN resp_status >= 400 THEN 1 ELSE 0 END AS failure
+         |      FROM e WHERE req_path <> '/healthz' AND req_path <> '/readyz'
+         |        AND remote_addr <> '-'),
+         |m AS (SELECT * FROM f WHERE contains(service, 'svc-1')),
+         |a AS (SELECT service, ts_bin,
+         |        quantile_cont(latency, 0.50) AS p50d,
+         |        quantile_cont(latency, 0.90) AS p90d,
+         |        quantile_cont(latency, 0.99) AS p99d,
+         |        avg(CAST(failure AS DOUBLE)) AS erw,
+         |        count(latency) AS tput,
+         |        CAST(sum(resp_body_size) AS BIGINT) AS bytes_total
+         |      FROM m GROUP BY 1, 2)
+         |SELECT ts_bin AS time_, service AS k8s,
+         |  CAST(floor(p50d) AS BIGINT) AS latency_p50,
+         |  CAST(floor(p90d) AS BIGINT) AS latency_p90,
+         |  CAST(floor(p99d) AS BIGINT) AS latency_p99,
+         |  erw * (tput / 10000000000) / 1 AS error_rate,
+         |  tput / 10000000000 AS request_throughput,
+         |  bytes_total / 10000000000 AS bytes_throughput
+         |FROM a ORDER BY time_, k8s""".stripMargin
+    },
+
+    "q74_pxl_http_code_hist" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT epoch_us(ts) * 1000 AS t, user_id,
+         |        100 + event_id % 460 AS resp_status, value AS latency,
+         |        CASE WHEN event_id % 25 = 0 THEN '/healthz'
+         |             WHEN event_id % 25 = 1 THEN '/readyz'
+         |             ELSE '/api/v1/users/' || user_id END AS req_path,
+         |        CASE WHEN event_id % 5 = 0 THEN '-' ELSE '10.x' END AS remote_addr
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now),
+         |f AS (SELECT * FROM e
+         |      WHERE req_path <> '/healthz' AND req_path <> '/readyz'
+         |        AND remote_addr <> '-' AND contains('svc-' || (user_id % 10), 'svc-3'))
+         |SELECT resp_status, count(latency) AS "count"
+         |FROM f GROUP BY 1 ORDER BY resp_status""".stripMargin
     },
 
     "q66_pxl_service_stats" -> {

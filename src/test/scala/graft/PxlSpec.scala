@@ -72,6 +72,38 @@ class PxlSpec extends AnyFunSuite {
     assert(out.where(col("p50").isNull).count() == 0)
   }
 
+  test("def/return/exec_funcs: verbatim service_stats.pxl functions run") {
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Pxl.ServiceStatsPxlPath)), "UTF-8")
+    val stmts = PxlParser.parse(script)
+    assert(stmts.count(_.isInstanceOf[PxlParser.DefS]) == 14)
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.runFunction(script, Pxl.env(spark, dir, now),
+      "svc_let", Seq("-45d", "svc-1"))
+    assert(out.columns.toSeq == Seq("time_", "k8s", "latency_p50",
+      "latency_p90", "latency_p99", "error_rate", "request_throughput",
+      "bytes_throughput"))
+    assert(out.where(col("k8s") =!= "svc-1").count() == 0 && out.count() > 0)
+  }
+
+  test("nested metadata scalar calls expand to dimension joins") {
+    // ip_to_pod_id then pod_id_to_service_name, as ip_to_svc_name does
+    val script =
+      """import px
+        |def f(start_time: str):
+        |    df = px.DataFrame(table='http_events', start_time=start_time)
+        |    df = df[df.remote_addr != '-']
+        |    df.svc = px.pod_id_to_service_name(px.ip_to_pod_id(df.remote_addr))
+        |    return df[['user_id', 'svc']]
+        |px.display(f('-60d'), 'x')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("x")
+    val bad = out.where(col("svc").isNull ||
+      col("svc") =!= concat(lit("svc-"), pmod(col("user_id"), lit(10))))
+    assert(bad.count() == 0)
+  }
+
   test("relative time strings gate the scan window") {
     val script =
       """import px
