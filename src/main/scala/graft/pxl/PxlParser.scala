@@ -24,6 +24,7 @@ object PxlParser {
   final case class SubE(base: Expr, index: Expr) extends Expr
   final case class CallE(fn: Expr, args: Seq[Expr], kwargs: Seq[(String, Expr)]) extends Expr
   final case class ListE(xs: Seq[Expr]) extends Expr
+  final case class DictE(entries: Seq[(Expr, Expr)]) extends Expr
   final case class BinE(op: String, l: Expr, r: Expr) extends Expr
   final case class UnaryE(op: String, e: Expr) extends Expr
 
@@ -98,6 +99,13 @@ object PxlParser {
             (src(i - 1) == 'e' || src(i - 1) == 'E')))) i += 1
         out += TNum(src.substring(s, i))
       }
+      else if ((c == 'r' || c == 'R') && (peek(1) == '\'' || peek(1) == '"')) {
+        // raw string literal: backslashes are literal (regex patterns)
+        val q = peek(1); val sb = new StringBuilder; i += 2
+        while (i < n && src(i) != q) { sb += src(i); i += 1 }
+        i += 1
+        out += TStr(sb.toString)
+      }
       else if (c.isLetter || c == '_') {
         val s = i
         while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
@@ -129,7 +137,15 @@ object PxlParser {
     }
 
     def atom(): Expr = bump() match {
-      case TStr(s) => Str(s)
+      case TStr(s) =>
+        // Python adjacent-string-literal concatenation: 'a' 'b' == 'ab'
+        var acc = s
+        var more = true
+        while (more) cur match {
+          case TStr(s2) => acc += s2; p += 1
+          case _ => more = false
+        }
+        Str(acc)
       case TNum(s) =>
         if (s.exists(ch => ch == '.' || ch == 'e' || ch == 'E')) FloatLit(s.toDouble)
         else IntLit(s.toLong)
@@ -144,6 +160,18 @@ object PxlParser {
         val xs = exprList("]")
         expectOp("]")
         ListE(xs)
+      case TOp("{") =>
+        val entries = Seq.newBuilder[(Expr, Expr)]
+        var first = true
+        while (cur != TOp("}")) {
+          if (!first) expectOp(",")
+          first = false
+          if (cur != TOp("}")) {
+            val k = expr(); expectOp(":"); entries += (k -> expr())
+          }
+        }
+        expectOp("}")
+        DictE(entries.result())
       case other => throw new ParseError(s"unexpected token $other")
     }
 
@@ -163,7 +191,7 @@ object PxlParser {
       val args = Seq.newBuilder[Expr]; val kwargs = Seq.newBuilder[(String, Expr)]
       var first = true
       while (cur != TOp(")")) {
-        if (!first) expectOp(",")
+        if (!first && cur == TOp(",")) p += 1
         first = false
         if (cur == TOp(")")) { expectOp(")"); return (args.result(), kwargs.result()) }
         (cur, toks(p + 1)) match {
@@ -187,7 +215,11 @@ object PxlParser {
             case other => throw new ParseError(s"expected attribute name, got $other")
           }
         case TOp("(") => p += 1; val (a, k) = callArgs(); e = CallE(e, a, k)
-        case TOp("[") => p += 1; val idx = expr(); expectOp("]"); e = SubE(e, idx)
+        case TOp("[") =>
+          p += 1
+          val xs = exprList("]")
+          expectOp("]")
+          e = SubE(e, if (xs.length == 1) xs.head else ListE(xs))
         case _ => done = true
       }
       e

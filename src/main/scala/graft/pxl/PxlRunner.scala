@@ -53,6 +53,7 @@ object PxlRunner {
   private case class VStr(v: String) extends V
   private case class VBool(v: Boolean) extends V
   private case class VList(xs: Seq[V]) extends V
+  private case class VDict(entries: Seq[(V, V)]) extends V
   private case class VBuiltin(name: String) extends V
   private case class VMethod(recv: V, name: String) extends V
   private case class VCtxObj(t: PxTable) extends V
@@ -238,6 +239,16 @@ object PxlRunner {
         VCol(when(asCol(args.head), asCol(args(1))).otherwise(asCol(args(2))))
       case "contains" =>
         VCol(asCol(args.head).contains(asCol(args(1))))
+      case "script_reference" =>
+        val pairs = args(2) match {
+          case VDict(entries) => entries.map {
+            case (VStr(k), v) => k -> asCol(v)
+            case (k, _) => throw new PxlError(s"script_reference key $k")
+          }
+          case other => throw new PxlError(s"script_reference args: $other")
+        }
+        VCol(PixieFunctions.scriptReference(
+          asCol(args.head), asCol(args(1)), pairs: _*))
       case mfn if env.metaFns(mfn) => VMetaCall(mfn, args.head)
       // protocol_ops decoders (funcs/protocols/protocol_ops.cc)
       case "protocol_name" =>
@@ -307,6 +318,8 @@ object PxlRunner {
       case FloatLit(v) => VFloat(v)
       case BoolLit(v) => VBool(v)
       case ListE(xs) => VList(xs.map(eval))
+      case DictE(entries) =>
+        VDict(entries.map { case (k, v) => eval(k) -> eval(v) })
       case NameE("px") => VBuiltin("__module__")
       case NameE(n) =>
         lookupVar(n).getOrElse(throw new PxlError(s"undefined variable $n"))

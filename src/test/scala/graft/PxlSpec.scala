@@ -72,6 +72,20 @@ class PxlSpec extends AnyFunSuite {
     assert(out.where(col("p50").isNull).count() == 0)
   }
 
+  test("every bundled reference script parses (67/67 of pxl_scripts/px)") {
+    val root = java.nio.file.Paths.get("/root/reference/src/pxl_scripts/px")
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".pxl")).toSeq
+    assert(files.size == 67)
+    val failures = files.flatMap { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      try { PxlParser.parse(src); None }
+      catch { case e: Throwable => Some(s"$f: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("def/return/exec_funcs: verbatim service_stats.pxl functions run") {
     val script = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(Pxl.ServiceStatsPxlPath)), "UTF-8")
