@@ -191,6 +191,27 @@ object Extended {
         dim = 64, minCos = 0.2, bitsPerTable = 4, nTables = 8)
         .orderBy("doc_a", "doc_b")),
 
+    // Structured Streaming in the ORACLE GATE: the windowed eow-flush
+    // aggregation (Streaming.windowedCounts) replayed over the parquet
+    // file stream with an AvailableNow trigger into a memory sink — the
+    // streaming path must produce exactly the batch answer. Values are
+    // pre-quantized (Q.qsum pattern) so the sum is order-independent.
+    "q75_streaming_window" -> ((s, dir) => {
+      val stream = graft.core.Tables.stream(s, dir, "events")
+        .withColumn("value", floor(col("value") * 1000000.0 + 0.5))
+      val counts = graft.streaming.Streaming
+        .windowedCounts(stream, "ts", 86400, 0, "event_type")
+      val qn = "q75_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = counts.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).select(col("bucket"), col("event_type"), col("n"),
+          (col("sum_value") / 1000000.0).as("sum_value"))
+        .orderBy("bucket", "event_type")
+    }),
+
     // dns_stats script shape (src/pxl_scripts/px/dns_*): tumbling px.bin
     // + protocol decoder rollup with error share.
     "q58_dns_stats" -> ((s, dir) => {
@@ -344,6 +365,12 @@ object Extended {
          |  CAST(round(cos, 6) AS REAL) AS cos
          |FROM s WHERE cos >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q75_streaming_window" -> (
+      s"""SELECT (epoch_us(ts) // 86400000000) * 86400 AS bucket, event_type,
+         |  COUNT(*) AS n,
+         |  SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin),
 
     "q58_dns_stats" -> (
       s"""WITH ev AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS day,
