@@ -221,7 +221,9 @@ object PxlRunner {
       case "millis" | "ms" => VInt(asLongV(args.head) * 1000000L)
       case "micros" | "us" => VInt(asLongV(args.head) * 1000L)
       case "nanos" | "ns" => VInt(asLongV(args.head))
-      case "DurationNanos" | "Percent" | "Bytes" => args.head // semantic wrappers
+      // semantic-type wrappers (ST_* annotations — value-transparent)
+      case "DurationNanos" | "Percent" | "Bytes" | "Pod" | "Service" |
+           "Namespace" | "Node" | "UPID" => args.head
       case "bin" =>
         VCol(PixieFunctions.bin(asCol(args.head), asLongV(args(1))))
       case "floor" => VCol(floor(asCol(args.head)))
@@ -237,6 +239,64 @@ object PxlRunner {
           "$." + asStrings(args(1)).head).cast("double"))
       case "select" =>
         VCol(when(asCol(args.head), asCol(args(1))).otherwise(asCol(args(2))))
+      case "parse_duration" => args.head match {
+        case VStr(d) => VInt(PixieFunctions.parseDurationNs(d))
+        case o => throw new PxlError(s"parse_duration($o)")
+      }
+      case "parse_time" => args.head match {
+        case VStr(t) => VInt(PixieFunctions.parseTimeNs(t, env.nowNs))
+        case o => throw new PxlError(s"parse_time($o)")
+      }
+      case "format_duration" =>
+        VCol(PixieFunctions.formatDuration(asCol(args.head)))
+      case "strptime" => (args.head, args(1)) match {
+        case (c, VStr(fmt)) =>
+          VCol(PixieFunctions.strptime(asCol(c),
+            fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+              .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")))
+        case o => throw new PxlError(s"strptime$o")
+      }
+      case "pluck_array" => (asCol(args.head), args(1)) match {
+        case (c, VInt(i)) => VCol(get_json_object(c, s"$$[$i]"))
+        case o => throw new PxlError(s"pluck_array$o")
+      }
+      case "find" => args(1) match {
+        case VStr(sub) => VCol(PixieFunctions.find(asCol(args.head), sub))
+        case o => throw new PxlError(s"find($o)")
+      }
+      case "substring" =>
+        VCol(asCol(args.head).substr(asCol(args(1)) + 1, asCol(args(2))))
+      case "length" => VCol(length(asCol(args.head)))
+      case "tolower" => VCol(lower(asCol(args.head)))
+      case "toupper" => VCol(upper(asCol(args.head)))
+      case "regex_match" => args.head match {
+        case VStr(pat) => VCol(asCol(args(1)).rlike(pat))
+        case o => throw new PxlError(s"regex_match($o)")
+      }
+      case "replace" => (args.head, args(2)) match {
+        case (VStr(pat), VStr(sub)) =>
+          VCol(regexp_replace(asCol(args(1)), pat, sub))
+        case o => throw new PxlError(s"replace$o")
+      }
+      case "normalize_mysql" =>
+        VCol(graft.functions.SqlNormalize.normalizeMysql(asCol(args.head)))
+      case "normalize_pgsql" =>
+        VCol(graft.functions.SqlNormalize.normalizePgsql(asCol(args.head)))
+      case "redact_pii_best_effort" =>
+        VCol(graft.functions.PiiOps.redactPii(asCol(args.head)))
+      case "nslookup" =>
+        VCol(graft.functions.NetOps.nslookupStub(asCol(args.head)))
+      case "cidrs_contain_ip" =>
+        VCol(graft.functions.NetOps.cidrsContainIp(asCol(args.head), asCol(args(1))))
+      case "grpc_status_code_to_str" =>
+        VCol(PixieFunctions.grpcStatusCodeToStr(asCol(args.head)))
+      case "uint128" => VCol(graft.types.Upid.uint128(asCol(args.head)))
+      case "upid_to_asid" => VCol(graft.types.Upid.upidToAsid(asCol(args.head)))
+      case "upid_to_pid" => VCol(graft.types.Upid.upidToPid(asCol(args.head)))
+      case "upid_to_start_ts" =>
+        VCol(graft.types.Upid.upidToStartTs(asCol(args.head)))
+      case "upid_to_string" =>
+        VCol(graft.types.Upid.upidToString(asCol(args.head)))
       case "contains" =>
         VCol(asCol(args.head).contains(asCol(args(1))))
       case "script_reference" =>

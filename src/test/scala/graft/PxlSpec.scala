@@ -118,6 +118,34 @@ class PxlSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("px module long tail: string/regex/duration/upid/semantic-cast builtins") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |df.dur = px.DurationNanos(px.parse_duration('90m'))
+        |df.pod_typed = px.Pod(px.Service(df.req_path))
+        |df.low = px.tolower(px.substring(df.req_path, 1, 3))
+        |df.pos = px.find(df.req_path, 'api')
+        |df.clean = px.replace('[0-9]+', df.req_path, 'N')
+        |df.m = px.regex_match('^/api.*', df.req_path)
+        |df.grpc = px.grpc_status_code_to_str(df.resp_status % 17)
+        |df.upid = px.uint128('00000007000000090000000000000011')
+        |df.asid = px.upid_to_asid(df.upid)
+        |out = df[['req_path', 'dur', 'low', 'pos', 'clean', 'm', 'grpc', 'asid']]
+        |px.display(out.head(200), 'x')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val rows = PxlRunner.run(script, Pxl.env(spark, dir, now))("x").collect()
+    assert(rows.nonEmpty)
+    val api = rows.find(_.getAs[String]("req_path").startsWith("/api")).get
+    assert(api.getAs[Long]("dur") == 90L * 60 * 1000000000L)
+    assert(api.getAs[String]("low") == "api")   // substring(1,3) of /api...
+    assert(api.getAs[Int]("pos") == 1)          // 0-based find
+    assert(api.getAs[String]("clean") == "/api/vN/users/N")
+    assert(api.getAs[Boolean]("m"))
+    assert(api.getAs[Long]("asid") == 7L)
+  }
+
   test("relative time strings gate the scan window") {
     val script =
       """import px
