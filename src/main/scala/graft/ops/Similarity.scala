@@ -68,6 +68,58 @@ object Similarity {
   def lshBuckets(vec: Column, dim: Int, bitsPerTable: Int, nTables: Int): Column =
     array((0 until nTables).map(t => lshBucket(vec, dim, t, bitsPerTable)): _*)
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of
+    * `seeds.length` cells (deterministic seed vectors as centroids —
+    * swap in a kmeans fit at scale), the corpus partitioned by nearest
+    * cell, queries probing only their `nProbe` closest cells.
+    *
+    * 100 TB shape: cell assignment is one map pass; the corpus is
+    * stored/partitioned BY CELL (partition pruning at read time), and a
+    * query touches nProbe/nCells of the data — the classic IVF
+    * trade-off. Candidate generation is one join on the (small) cell
+    * key with the probe side broadcast; scoring touches only probed
+    * cells' members. Ties break toward the lower cell index in both
+    * engines (argmax-first == ORDER BY score DESC, cell ASC).
+    */
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, seeds: Array[Array[Double]],
+                    nProbe: Int): DataFrame = {
+    def cellScores(vec: Column): Column = array(seeds.map { s =>
+      val sNorm = math.sqrt(s.map(x => x * x).sum)
+      aggregate(zip_with(vec, typedLit(s), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (norm(vec) * sNorm)
+    }: _*)
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("ce"))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qe"))
+    val cc = c0.withColumn("scores", cellScores(col("ce")))
+      .withColumn("cell",
+        array_position(col("scores"), array_max(col("scores"))).cast("int"))
+      .drop("scores")
+    // top-nProbe cell indices per query: sort (−score, idx) ascending
+    val qp = q0.withColumn("scores", cellScores(col("qe")))
+      .withColumn("probe_cells", slice(transform(
+        sort_array(transform(col("scores"),
+          (s, i) => struct((-s).as("ns"), (i + 1).as("idx")))),
+        st => st.getField("idx")), 1, nProbe))
+      .select(col("query_id"), col("qe"),
+        explode(col("probe_cells")).as("cell"))
+    val candidates = cc.join(broadcast(qp.select("query_id", "cell")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val cn = c0.withColumn("cn", norm(col("ce")))
+    val qn = q0.withColumn("qn", norm(col("qe")))
+    val scored = candidates
+      .join(cn, "neighbor_id").join(broadcast(qn), "query_id")
+      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** DuckDB SQL for one table's sign-LSH bucket id over list column
     * `vecExpr` — generated from the same [[proj]] constants as
     * [[lshBucket]], so both engines compute the identical bucket.

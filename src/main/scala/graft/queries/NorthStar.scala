@@ -65,6 +65,20 @@ object NorthStar {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN (the cell-partitioned 100 TB scale path): seeded coarse
+    // quantizer, corpus partitioned by nearest cell, queries probe the
+    // 2 closest of 8 cells. Fully deterministic -> full SQL oracle.
+    "q76_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", 5, seeds, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Language-ID marker heuristic with deterministic tie-break.
     "q31_lang_id" -> ((s, dir) => {
       TextOps.langId(t(s, dir, "documents"), "text")
@@ -172,8 +186,34 @@ object NorthStar {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  private val q76OracleSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |seeds AS (SELECT vec_id AS sid, e AS se, nrm AS snrm FROM n WHERE vec_id < 8),
+      |cs AS (SELECT n.vec_id, sid,
+      |    list_sum(list_transform(range(64), i -> n.e[i+1] * se[i+1])) / (n.nrm * snrm) AS c
+      |  FROM n, seeds),
+      |cellof AS (SELECT vec_id, sid AS cell FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
+      |   FROM cs) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS qid, sid AS cell FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
+      |   FROM cs WHERE vec_id < 10) WHERE rn <= 2),
+      |cand AS (SELECT DISTINCT p.qid, co.vec_id AS nid
+      |  FROM probes p JOIN cellof co ON co.cell = p.cell AND co.vec_id <> p.qid),
+      |s AS (SELECT qid, nid,
+      |    list_sum(list_transform(range(64), i -> qn.e[i+1] * cn2.e[i+1]))
+      |      / (qn.nrm * cn2.nrm) AS cos
+      |  FROM cand JOIN n qn ON qn.vec_id = qid JOIN n cn2 ON cn2.vec_id = nid)
+      |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      |      FROM s)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q30_ann_lsh" -> q30OracleSql,
+    "q76_ann_ivf" -> q76OracleSql,
     "q24_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,

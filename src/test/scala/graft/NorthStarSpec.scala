@@ -63,6 +63,20 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF ANN probes a cell subset and still recalls most true neighbors") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfCosineTopK(emb, queries, "vec_id", "embedding",
+        5, seeds, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall") // 2 of 8 cells probed
+  }
+
   test("LSH ANN candidate generation uses broadcast joins (scale contract)") {
     val queries = emb.filter(col("vec_id") < 10)
     val plan = Similarity.lshCosineTopK(emb, queries, "vec_id", "embedding",
