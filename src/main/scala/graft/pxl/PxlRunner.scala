@@ -119,6 +119,9 @@ object PxlRunner {
     def asLongV(v: V): Long = v match {
       case VInt(x) => x
       case VFloat(x) => x.toLong
+      // exec_funcs args arrive as strings and are coerced by the
+      // function's declared type (compiler.cc ProcessExecFuncs)
+      case VStr(x) if x.matches("-?[0-9]+") => x.toLong
       case other => throw new PxlError(s"expected a number, got $other")
     }
 

@@ -27,10 +27,15 @@ object Pxl {
     val selfIp = concat(lit("10."), g + 10, lit("."),
       pmod(col("user_id"), lit(250)), lit("."),
       lit(1) + call_function("div", col("user_id"), lit(250L)))
+    val status = lit(100) + pmod(col("event_id"), lit(460))
     t(s, dir, "events").select(
-      col("ts").as("time_"),
+      // the engine stores ns; this table models stirling's µs-resolution
+      // capture (also what keeps raw time_ outputs oracle-comparable)
+      (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"),
-      (lit(100) + pmod(col("event_id"), lit(460))).as("resp_status"),
+      graft.types.Upid.makeUpid(col("user_id"), col("event_id"),
+        graft.functions.PixieFunctions.nsToUs(col("ts"))).as("upid"),
+      status.as("resp_status"),
       col("value").as("latency"),
       when(pmod(col("event_id"), lit(25)) === 0, lit("/healthz"))
         .when(pmod(col("event_id"), lit(25)) === 1, lit("/readyz"))
@@ -39,7 +44,21 @@ object Pxl {
       // the pod IP of the event's own pod incarnation
       when(pmod(col("event_id"), lit(5)) === 0, lit("-"))
         .otherwise(selfIp).as("remote_addr"),
-      (lit(100) + pmod(col("event_id"), lit(1000))).as("resp_body_size"))
+      (lit(100) + pmod(col("event_id"), lit(1000))).as("resp_body_size"),
+      // server-side tracing unless the event is client-traced (%3 == 0)
+      when(pmod(col("event_id"), lit(3)) === 0, lit(1)).otherwise(lit(2))
+        .as("trace_role"),
+      (lit(1) + pmod(col("event_id"), lit(2))).as("major_version"),
+      when(pmod(col("event_id"), lit(4)) === 0, "GET")
+        .when(pmod(col("event_id"), lit(4)) === 1, "POST")
+        .when(pmod(col("event_id"), lit(4)) === 2, "PUT")
+        .otherwise("DELETE").as("req_method"),
+      lit("""{"host":"svc"}""").as("req_headers"),
+      concat(lit("req-"), col("event_id")).as("req_body"),
+      pmod(col("event_id"), lit(512)).as("req_body_size"),
+      graft.functions.ProtocolOps.httpRespMessage.column(status).as("resp_message"),
+      lit("{}").as("resp_headers"),
+      concat(lit("resp-"), col("event_id")).as("resp_body"))
   }
 
   /** mysql_events shape (stirling's mysql table): command byte, response
@@ -86,22 +105,35 @@ object Pxl {
         case "pod" => (K8sMetadata.syntheticPodDim(df, splitNs), "pod_name")
         case "namespace" =>
           (graft.meta.MetadataOps.fullEntityDim(df, splitNs), "namespace")
+        case "node" =>
+          (graft.meta.MetadataOps.fullEntityDim(df, splitNs), "node_name")
         case other => throw new IllegalArgumentException(s"ctx['$other']")
       }
-      K8sMetadata.resolveAsOf(df,
+      blankOnMiss(K8sMetadata.resolveAsOf(df,
         dim.select(col("owner_id"), col("start_ns"), col("stop_ns"), col(attr)),
         "user_id", "owner_id", "time_", Seq(attr))
-        .withColumnRenamed(attr, out)
+        .withColumnRenamed(attr, out), out)
     },
     metaFns = graft.meta.MetadataOps.bindings.keySet,
-    meta = (df, fn, in, out) => graft.meta.MetadataOps.resolve(
+    meta = (df, fn, in, out) => blankOnMiss(graft.meta.MetadataOps.resolve(
       fn, df, graft.meta.MetadataOps.fullEntityDim(
-        t(s, dir, "events"), splitNs), in, out))
+        t(s, dir, "events"), splitNs), in, out), out))
+
+  /** The reference's metadata UDFs return '' (not null) on a miss
+    * (metadata_ops.cc lookups default-construct); scripts branch on
+    * `x != ''`, so the runner matches that contract for string attrs.
+    */
+  private def blankOnMiss(df: DataFrame, out: String): DataFrame =
+    if (df.schema(out).dataType == org.apache.spark.sql.types.StringType)
+      df.withColumn(out, coalesce(col(out), lit("")))
+    else df
 
   val StatsPxlPath =
     "/root/reference/src/pxl_scripts/px/http_request_stats/stats.pxl"
   val ServiceStatsPxlPath =
     "/root/reference/src/pxl_scripts/px/service_stats/service_stats.pxl"
+  val HttpDataPxlPath =
+    "/root/reference/src/pxl_scripts/px/http_data/data.pxl"
 
   /** Deterministic "now" for relative start_time strings: the fixture's
     * max event time ceiled to the next µs. Scans bound time_ < now
@@ -314,6 +346,19 @@ object Pxl {
       PxlRunner.runFunction(script, env(s, dir, now), "http_code_histogram",
           Seq("-45d", "svc-3"))
         .orderBy("resp_status")
+    }),
+
+    // The verbatim HTTP Data Tracer (the most-used bundled script):
+    // ctx node/pod/namespace, upid scalar, ip->pod->name fallback chain
+    // with the ''-on-miss contract, script_reference deep links with
+    // dict args, head cap — full row-level trace output, hash-checked.
+    "q77_pxl_http_data" -> ((s, dir) => {
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(HttpDataPxlPath)), "UTF-8")
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.runFunction(script, env(s, dir, now), "http_data",
+          Seq("-45d", "", "", "1000000"))
+        .orderBy("time_", "req_body")
     })
   )
 
@@ -446,6 +491,57 @@ object Pxl {
          |SELECT ts_bin AS "timestamp", pod, req_cmd, count(req_cmd) AS n,
          |  quantile_cont(latency_ns, 0.50) AS latency_p50
          |FROM w GROUP BY 1, 2, 3 ORDER BY ts_bin, pod, req_cmd""".stripMargin
+    },
+
+    "q77_pxl_http_data" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      val respMsg = graft.functions.ProtocolOps.httpRespMessage
+        .sql("(100 + event_id % 460)")
+      def link(col0: String, flag: String): String =
+        s"""CASE WHEN $flag
+           |    THEN '{"label":"' || $col0 || '","script":"px/pod","args":{"start_time":"-45d","pod":"' || $col0 || '"}}'
+           |    ELSE '{"label":"' || $col0 || '","script":"px/ip","args":{"start_time":"-45d","ip":"' || $col0 || '"}}'
+           |  END""".stripMargin
+      s"""WITH e AS (SELECT epoch_us(ts) * 1000 AS t, user_id, event_id,
+         |        value AS latency,
+         |        CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 0 ELSE 1 END AS g
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now),
+         |w AS (SELECT *,
+         |        CASE WHEN event_id % 25 = 0 THEN '/healthz'
+         |             WHEN event_id % 25 = 1 THEN '/readyz'
+         |             ELSE '/api/v1/users/' || user_id END AS req_path,
+         |        'pod-' || user_id || '-gen' || g AS pod,
+         |        event_id % 3 <> 0 AS is_server,
+         |        event_id % 5 <> 0 AS is_ra_pod
+         |      FROM e),
+         |x AS (SELECT *,
+         |        CASE WHEN is_ra_pod THEN pod ELSE '-' END AS ra_name,
+         |        CASE WHEN is_server THEN is_ra_pod ELSE true END AS is_src_pod,
+         |        CASE WHEN is_server THEN true ELSE is_ra_pod END AS is_dst_pod
+         |      FROM w),
+         |y AS (SELECT *,
+         |        CASE WHEN is_server THEN ra_name ELSE pod END AS src0,
+         |        CASE WHEN is_server THEN pod ELSE ra_name END AS dst0
+         |      FROM x)
+         |SELECT t AS time_,
+         |  ${link("src0", "is_src_pod")} AS source,
+         |  ${link("dst0", "is_dst_pod")} AS destination,
+         |  latency,
+         |  1 + event_id % 2 AS major_version,
+         |  req_path,
+         |  CASE event_id % 4 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+         |       WHEN 2 THEN 'PUT' ELSE 'DELETE' END AS req_method,
+         |  '{"host":"svc"}' AS req_headers,
+         |  'req-' || event_id AS req_body,
+         |  event_id % 512 AS req_body_size,
+         |  100 + event_id % 460 AS resp_status,
+         |  $respMsg AS resp_message,
+         |  '{}' AS resp_headers,
+         |  'resp-' || event_id AS resp_body,
+         |  100 + event_id % 1000 AS resp_body_size
+         |FROM y ORDER BY time_, req_body""".stripMargin
     },
 
     "q73_pxl_svc_let" -> {
