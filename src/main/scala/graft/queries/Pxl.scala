@@ -91,33 +91,38 @@ object Pxl {
     * properties resolve through the point-in-time pod dimension
     * (ConvertMetadataRule's expansion, as a broadcast as-of join).
     */
-  def env(s: SparkSession, dir: String, nowNs: Long): PxlEnv = PxlEnv(
-    nowNs,
-    tables = {
-      case "http_events" => httpEvents(s, dir)
-      case "mysql_events" => mysqlEvents(s, dir)
-      case "redis_events" => redisEvents(s, dir)
-      case other => graft.core.Tables(s, dir, other)
-    },
-    ctx = (df, prop, out) => {
-      val (dim, attr) = prop match {
-        case "service" => (K8sMetadata.syntheticPodDim(df, splitNs), "service_name")
-        case "pod" => (K8sMetadata.syntheticPodDim(df, splitNs), "pod_name")
-        case "namespace" =>
-          (graft.meta.MetadataOps.fullEntityDim(df, splitNs), "namespace")
-        case "node" =>
-          (graft.meta.MetadataOps.fullEntityDim(df, splitNs), "node_name")
-        case other => throw new IllegalArgumentException(s"ctx['$other']")
-      }
-      blankOnMiss(K8sMetadata.resolveAsOf(df,
-        dim.select(col("owner_id"), col("start_ns"), col("stop_ns"), col(attr)),
-        "user_id", "owner_id", "time_", Seq(attr))
-        .withColumnRenamed(attr, out), out)
-    },
-    metaFns = graft.meta.MetadataOps.bindings.keySet,
-    meta = (df, fn, in, out) => blankOnMiss(graft.meta.MetadataOps.resolve(
-      fn, df, graft.meta.MetadataOps.fullEntityDim(
-        t(s, dir, "events"), splitNs), in, out), out))
+  def env(s: SparkSession, dir: String, nowNs: Long): PxlEnv = {
+    // One dimension snapshot per script run: every ctx/metadata call
+    // reuses the same frame, so chained lookups share one broadcast
+    // build (ReuseExchange dedups identical BroadcastExchanges).
+    lazy val fullDim =
+      graft.meta.MetadataOps.fullEntityDim(t(s, dir, "events"), splitNs)
+    lazy val podDim = K8sMetadata.syntheticPodDim(t(s, dir, "events"), splitNs)
+    PxlEnv(
+      nowNs,
+      tables = {
+        case "http_events" => httpEvents(s, dir)
+        case "mysql_events" => mysqlEvents(s, dir)
+        case "redis_events" => redisEvents(s, dir)
+        case other => graft.core.Tables(s, dir, other)
+      },
+      ctx = (df, prop, out) => {
+        val (dim, attr) = prop match {
+          case "service" => (podDim, "service_name")
+          case "pod" => (podDim, "pod_name")
+          case "namespace" => (fullDim, "namespace")
+          case "node" => (fullDim, "node_name")
+          case other => throw new IllegalArgumentException(s"ctx['$other']")
+        }
+        blankOnMiss(K8sMetadata.resolveAsOf(df,
+          dim.select(col("owner_id"), col("start_ns"), col("stop_ns"), col(attr)),
+          "user_id", "owner_id", "time_", Seq(attr))
+          .withColumnRenamed(attr, out), out)
+      },
+      metaFns = graft.meta.MetadataOps.bindings.keySet,
+      meta = (df, fn, in, out) => blankOnMiss(
+        graft.meta.MetadataOps.resolve(fn, df, fullDim, in, out), out))
+  }
 
   /** The reference's metadata UDFs return '' (not null) on a miss
     * (metadata_ops.cc lookups default-construct); scripts branch on
