@@ -212,6 +212,11 @@ object Extended {
         .orderBy("bucket", "event_type")
     }),
 
+    // EmptySource (plan.proto:354-360): one empty batch with a schema —
+    // the schema must round-trip through the sink even with zero rows.
+    "q78_empty_source" -> ((s, dir) =>
+      graft.operators.PxTable.empty(s, t(s, dir, "nation").schema).df),
+
     // dns_stats script shape (src/pxl_scripts/px/dns_*): tumbling px.bin
     // + protocol decoder rollup with error share.
     "q58_dns_stats" -> ((s, dir) => {
@@ -365,6 +370,8 @@ object Extended {
          |  CAST(round(cos, 6) AS REAL) AS cos
          |FROM s WHERE cos >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q78_empty_source" -> "SELECT * FROM nation WHERE false",
 
     "q75_streaming_window" -> (
       s"""SELECT (epoch_us(ts) // 86400000000) * 86400 AS bucket, event_type,
