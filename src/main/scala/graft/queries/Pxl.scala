@@ -87,6 +87,27 @@ object Pxl {
       col("value").as("latency_ns"))
   }
 
+  /** process_stats shape (stirling's process table): per-process
+    * counters keyed by upid, synthesized deterministically.
+    */
+  def processStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
+      col("user_id"),
+      graft.types.Upid.makeUpid(col("user_id"), col("event_id"),
+        graft.functions.PixieFunctions.nsToUs(col("ts"))).as("upid"),
+      ((lit(100) + pmod(col("event_id"), lit(900))) * 1048576L).as("vsize_bytes"),
+      ((lit(50) + pmod(col("event_id"), lit(450))) * 1048576L).as("rss_bytes"),
+      (pmod(col("event_id"), lit(1000)) * 1000000L).as("cpu_utime_ns"),
+      (pmod(col("event_id"), lit(500)) * 1000000L).as("cpu_ktime_ns"),
+      (lit(1) + pmod(col("event_id"), lit(32))).as("num_threads"),
+      pmod(col("event_id"), lit(10)).as("major_faults"),
+      pmod(col("event_id"), lit(1000)).as("minor_faults"),
+      (pmod(col("event_id"), lit(4096)) * 512L).as("rchar_bytes"),
+      (pmod(col("event_id"), lit(2048)) * 512L).as("wchar_bytes"),
+      (pmod(col("event_id"), lit(1024)) * 512L).as("read_bytes"),
+      (pmod(col("event_id"), lit(512)) * 512L).as("write_bytes"))
+
   /** Script-execution environment over the fixture catalog. ctx
     * properties resolve through the point-in-time pod dimension
     * (ConvertMetadataRule's expansion, as a broadcast as-of join).
@@ -104,6 +125,7 @@ object Pxl {
         case "http_events" => httpEvents(s, dir)
         case "mysql_events" => mysqlEvents(s, dir)
         case "redis_events" => redisEvents(s, dir)
+        case "process_stats" => processStats(s, dir)
         case other => graft.core.Tables(s, dir, other)
       },
       ctx = (df, prop, out) => {
@@ -120,8 +142,19 @@ object Pxl {
           .withColumnRenamed(attr, out), out)
       },
       metaFns = graft.meta.MetadataOps.bindings.keySet,
-      meta = (df, fn, in, out) => blankOnMiss(
-        graft.meta.MetadataOps.resolve(fn, df, fullDim, in, out), out))
+      meta = (df, fn, in, out) => {
+        // upid-family bindings are generation-scoped: extract the asid
+        // from the upid bytes and resolve as-of the row's event time.
+        val resolved =
+          if (graft.meta.MetadataOps.bindings(fn)._1 == "owner_id")
+            graft.meta.MetadataOps.resolve(fn,
+              df.withColumn("__meta_asid", graft.types.Upid.upidToAsid(col(in))),
+              fullDim, "__meta_asid", out, Some("time_"))
+              .drop("__meta_asid")
+          else
+            graft.meta.MetadataOps.resolve(fn, df, fullDim, in, out)
+        blankOnMiss(resolved, out)
+      })
   }
 
   /** The reference's metadata UDFs return '' (not null) on a miss
@@ -139,6 +172,8 @@ object Pxl {
     "/root/reference/src/pxl_scripts/px/service_stats/service_stats.pxl"
   val HttpDataPxlPath =
     "/root/reference/src/pxl_scripts/px/http_data/data.pxl"
+  val PidMemoryPxlPath =
+    "/root/reference/src/pxl_scripts/px/pid_memory_usage/usage.pxl"
 
   /** Deterministic "now" for relative start_time strings: the fixture's
     * max event time ceiled to the next µs. Scans bound time_ < now
@@ -364,6 +399,17 @@ object Pxl {
       PxlRunner.runFunction(script, env(s, dir, now), "http_data",
           Seq("-45d", "", "", "1000000"))
         .orderBy("time_", "req_body")
+    }),
+
+    // Verbatim pid_memory_usage/usage.pxl over the process_stats table:
+    // top-level script (no defs), upid-keyed groupby, upid_to_cmdline/
+    // pid/asid scalars, spaced column names. The '-30s' window is the
+    // data tail (now pinned to max event time, as q65).
+    "q79_pxl_pid_memory" -> ((s, dir) => {
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(PidMemoryPxlPath)), "UTF-8")
+      PxlRunner.run(script, env(s, dir, nowNs(s, dir)))("output")
+        .orderBy("pid")
     })
   )
 
@@ -548,6 +594,19 @@ object Pxl {
          |  100 + event_id % 1000 AS resp_body_size
          |FROM y ORDER BY time_, req_body""".stripMargin
     },
+
+    "q79_pxl_pid_memory" -> (
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) * 1000 + 1000 AS now_ns FROM events),
+         |e AS (SELECT epoch_us(ts) * 1000 AS t, user_id, event_id
+         |      FROM events, mx WHERE epoch_us(ts) * 1000 >= mx.now_ns - 30000000000
+         |        AND epoch_us(ts) * 1000 < mx.now_ns)
+         |SELECT event_id AS pid,
+         |  '/bin/app --id=' || user_id AS "Process Name",
+         |  user_id AS asid,
+         |  t - t % 10000000000 AS "timestamp",
+         |  CAST((100 + event_id % 900) * 1048576 AS DOUBLE) AS "Virtual Memory",
+         |  CAST((50 + event_id % 450) * 1048576 AS DOUBLE) AS "Average Memory"
+         |FROM e ORDER BY pid""".stripMargin),
 
     "q73_pxl_svc_let" -> {
       val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
