@@ -491,6 +491,10 @@ object PxlRunner {
       case ImportS(_) => // `import px` — the module is ambient
       case DefS(name, params, fnBody) => vars(name) = VFunc(params, fnBody)
       case ReturnS(e) => throw new ReturnSignal(eval(e))
+      // `px.Node = str`-style module type aliases (jvm_stats et al.)
+      // configure the exec-arg parser in the reference; arguments reach
+      // us pre-coerced, so the alias is a no-op.
+      case Assign(AttrE(NameE("px"), _), _) =>
       case Assign(NameE(n), rhs) => vars(n) = eval(rhs)
       case Assign(AttrE(NameE(n), attr), rhs) => assignColumn(n, attr, eval(rhs))
       case Assign(SubE(NameE(n), Str(colName)), rhs) =>
