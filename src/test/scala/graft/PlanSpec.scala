@@ -113,6 +113,24 @@ class PlanSpec extends AnyFunSuite {
       p.contains("TableCacheQueryStage"), p.take(4000))
   }
 
+  test("metadata sweep joins all broadcast: the fact side never shuffles") {
+    val df = graft.SparkEntry.queries("q64_metadata_sweep")(spark, dir)
+    val p = plan(df)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 10, s"expected >=10 broadcast joins, got $broadcasts")
+    // the only exchanges allowed are broadcast builds + the final sort
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+  }
+
+  test("verbatim http_data plan: broadcast dimension joins, no fact shuffle") {
+    val df = graft.SparkEntry.queries("q77_pxl_http_data")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+  }
+
   test("script runner executes each script per round") {
     var n = 0
     val scripts = Seq(graft.streaming.ScriptRunner.CronScript(
