@@ -108,6 +108,22 @@ object Pxl {
       (pmod(col("event_id"), lit(1024)) * 512L).as("read_bytes"),
       (pmod(col("event_id"), lit(512)) * 512L).as("write_bytes"))
 
+  /** jvm_stats shape (stirling's jvm table): per-process monotonic GC
+    * counters + heap gauges, upid per PROCESS (q60 convention) so the
+    * script's two-level upid-then-pod aggregation does real work.
+    */
+  def jvmStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
+      col("user_id"),
+      graft.types.Upid.makeUpid(col("user_id"), col("user_id") * 2,
+        lit(1700000000000000000L)).as("upid"),
+      (col("event_id") * 1000000L).as("young_gc_time"),
+      (col("event_id") * 250000L).as("full_gc_time"),
+      ((lit(100) + pmod(col("event_id"), lit(400))) * 1048576L).as("used_heap_size"),
+      ((lit(600) + pmod(col("user_id"), lit(100))) * 1048576L).as("total_heap_size"),
+      lit(1073741824L).as("max_heap_size"))
+
   /** Script-execution environment over the fixture catalog. ctx
     * properties resolve through the point-in-time pod dimension
     * (ConvertMetadataRule's expansion, as a broadcast as-of join).
@@ -126,6 +142,7 @@ object Pxl {
         case "mysql_events" => mysqlEvents(s, dir)
         case "redis_events" => redisEvents(s, dir)
         case "process_stats" => processStats(s, dir)
+        case "jvm_stats" => jvmStats(s, dir)
         case other => graft.core.Tables(s, dir, other)
       },
       ctx = (df, prop, out) => {
@@ -133,7 +150,7 @@ object Pxl {
           case "service" => (podDim, "service_name")
           case "pod" => (podDim, "pod_name")
           case "namespace" => (fullDim, "namespace")
-          case "node" => (fullDim, "node_name")
+          case "node" | "node_name" => (fullDim, "node_name")
           case other => throw new IllegalArgumentException(s"ctx['$other']")
         }
         blankOnMiss(K8sMetadata.resolveAsOf(df,
@@ -174,6 +191,8 @@ object Pxl {
     "/root/reference/src/pxl_scripts/px/http_data/data.pxl"
   val PidMemoryPxlPath =
     "/root/reference/src/pxl_scripts/px/pid_memory_usage/usage.pxl"
+  val JvmStatsPxlPath =
+    "/root/reference/src/pxl_scripts/px/jvm_stats/jvm_stats.pxl"
 
   /** Deterministic "now" for relative start_time strings: the fixture's
     * max event time ceiled to the next µs. Scans bound time_ < now
@@ -410,6 +429,18 @@ object Pxl {
         java.nio.file.Paths.get(PidMemoryPxlPath)), "UTF-8")
       PxlRunner.run(script, env(s, dir, nowNs(s, dir)))("output")
         .orderBy("pid")
+    }),
+
+    // Verbatim jvm_stats/jvm_stats.pxl: monotonic GC counters resolved
+    // max-min per (upid, window), then rolled up per pod — the two-level
+    // sharded-by-UPID aggregation the script documents.
+    "q80_pxl_jvm_stats" -> ((s, dir) => {
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(JvmStatsPxlPath)), "UTF-8")
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.runFunction(script, env(s, dir, now), "jvm_stats",
+          Seq("-45d", "", ""))
+        .orderBy("timestamp", "pod")
     })
   )
 
@@ -607,6 +638,32 @@ object Pxl {
          |  CAST((100 + event_id % 900) * 1048576 AS DOUBLE) AS "Virtual Memory",
          |  CAST((50 + event_id % 450) * 1048576 AS DOUBLE) AS "Average Memory"
          |FROM e ORDER BY pid""".stripMargin),
+
+    "q80_pxl_jvm_stats" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT epoch_us(ts) * 1000 AS t, user_id, event_id,
+         |        CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 0 ELSE 1 END AS g
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now),
+         |w AS (SELECT *, t - t % 10000000000 AS ts_bin,
+         |        'pod-' || user_id || '-gen' || g AS pod FROM e),
+         |by_upid AS (SELECT user_id, pod, ts_bin,
+         |        max(event_id * 1000000) - min(event_id * 1000000) AS young_gc,
+         |        max(event_id * 250000) - min(event_id * 250000) AS full_gc,
+         |        avg(CAST((100 + event_id % 400) * 1048576 AS DOUBLE)) AS used_heap,
+         |        avg(CAST((600 + user_id % 100) * 1048576 AS DOUBLE)) AS total_heap,
+         |        avg(CAST(1073741824 AS DOUBLE)) AS max_heap
+         |      FROM w GROUP BY 1, 2, 3)
+         |SELECT pod, ts_bin AS "timestamp",
+         |  CAST(sum(young_gc) AS BIGINT) AS young_gc_time,
+         |  CAST(sum(full_gc) AS BIGINT) AS full_gc_time,
+         |  sum(used_heap) AS used_heap_size,
+         |  sum(max_heap) AS max_heap_size,
+         |  sum(total_heap) AS total_heap_size,
+         |  ts_bin AS time_, pod AS k8s
+         |FROM by_upid GROUP BY pod, ts_bin ORDER BY ts_bin, pod""".stripMargin
+    },
 
     "q73_pxl_svc_let" -> {
       val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
