@@ -118,6 +118,27 @@ object NorthStar {
         .orderBy("media_id", "frame_no")
     }),
 
+    // The COMPLETE training-data dedup pipeline composed end-to-end:
+    // exact content-hash dedup -> MinHash-LSH candidates on the kept set
+    // -> exact-Jaccard verification at 0.8 -> greedy keeper selection
+    // (drop the higher id of each confirmed pair) -> per-source corpus
+    // accounting. The whole chain is shuffles keyed by hash/doc/band —
+    // nothing quadratic, nothing driver-side.
+    "q81_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val kept = docs.join(keepers, "doc_id")
+      val pairs = Dedup.ngramJaccard(kept, "text", "doc_id", NGRAM, K, BANDS, 0.8)
+      val dropped = pairs
+        .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
+      kept.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_survivors"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
+    }),
+
     // Stubbed batched decode (mapPartitions) — rows-only; exactness is
     // covered by MultimodalSpec against the stub decoder.
     "q36_media_decode" -> ((s, dir) => {
@@ -135,13 +156,15 @@ object NorthStar {
   private def h60 (x: String) = Dedup.h60Sql(x)
   private val P = Dedup.P
 
-  private val sigCte =
-    s"""WITH sh AS (SELECT doc_id, unnest($sh) AS sh FROM documents),
+  private def sigCtes(src: String) =
+    s"""sh AS (SELECT doc_id, unnest($sh) AS sh FROM $src),
        |h AS (SELECT doc_id, (${h60("sh")}) % $P AS h FROM sh),
        |sig AS (SELECT doc_id,
        |${Dedup.perms(K).zipWithIndex.map { case ((a, b), i) =>
              s"  min(($a * h + $b) % $P) AS s$i" }.mkString(",\n")}
        |FROM h GROUP BY doc_id)""".stripMargin
+
+  private val sigCte = "WITH " + sigCtes("documents")
 
   private val bandsSql = (0 until BANDS).map { b =>
     val cols = (b * (K / BANDS) until (b + 1) * (K / BANDS))
@@ -214,6 +237,28 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q30_ann_lsh" -> q30OracleSql,
     "q76_ann_ivf" -> q76OracleSql,
+    "q81_dedup_pipeline" ->
+      s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d2 AS (SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+         |${sigCtes("d2")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM d2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT da, db FROM inter
+         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |dropped AS (SELECT DISTINCT greatest(da, db) AS doc_id FROM pairs)
+         |SELECT source, count(*) AS n_survivors,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q24_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
