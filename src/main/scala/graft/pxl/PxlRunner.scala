@@ -41,7 +41,8 @@ object PxlRunner {
       ctx: (DataFrame, String, String) => DataFrame,
       metaFns: Set[String] = Set.empty,
       meta: (DataFrame, String, String, String) => DataFrame =
-        (_, fn, _, _) => throw new PxlError(s"metadata fn $fn: no resolver bound"))
+        (_, fn, _, _) => throw new PxlError(s"metadata fn $fn: no resolver bound"),
+      modules: Map[String, String] = Map.empty)
 
   // ---- value domain --------------------------------------------------
   private sealed trait V
@@ -58,7 +59,9 @@ object PxlRunner {
   private case class VMethod(recv: V, name: String) extends V
   private case class VCtxObj(t: PxTable) extends V
   private case class VCtx(property: String) extends V
-  private case class VFunc(params: Seq[String], body: Seq[PxlParser.Stmt]) extends V
+  private case class VFunc(params: Seq[String], body: Seq[PxlParser.Stmt],
+      closure: mutable.Map[String, V]) extends V
+  private case class VModule(scope: mutable.Map[String, V]) extends V
   /** A deferred metadata-fn application (expands to a join at column
     * assignment, like ConvertMetadataRule's UDF-to-join expansion).
     */
@@ -89,7 +92,7 @@ object PxlRunner {
     // Scope chain: function locals shadow module globals (defs close
     // over the module scope — the subset has no nested defs).
     val moduleScope = mutable.LinkedHashMap[String, V]()
-    var scopes: List[mutable.LinkedHashMap[String, V]] = List(moduleScope)
+    var scopes: List[mutable.Map[String, V]] = List(moduleScope)
     def lookupVar(n: String): Option[V] =
       scopes.collectFirst { case s if s.contains(n) => s(n) }
     def vars = scopes.head
@@ -197,8 +200,10 @@ object PxlRunner {
         }
         kw.get("end_time") match {
           case Some(v) =>
-            val endNs = PixieFunctions.parseTimeNs(
-              v match { case VStr(s) => s case o => asLongV(o).toString }, env.nowNs)
+            val endNs = v match {
+              case VStr(str) => PixieFunctions.parseTimeNs(str, env.nowNs)
+              case o => asLongV(o) // absolute ns (px.now())
+            }
             t = t.where(col("time_") < lit(endNs))
           case None if kw.contains("start_time") =>
             // Strict bound: with µs-granular oracle views of the ns
@@ -248,8 +253,16 @@ object PxlRunner {
       }
       case "parse_time" => args.head match {
         case VStr(t) => VInt(PixieFunctions.parseTimeNs(t, env.nowNs))
+        case VInt(ns) => VInt(ns) // already an absolute ns value (px.now())
         case o => throw new PxlError(s"parse_time($o)")
       }
+      case "greaterThanEqual" =>
+        VCol(asCol(args.head) >= asCol(args(1)))
+      case "lessThanEqual" =>
+        VCol(asCol(args.head) <= asCol(args(1)))
+      case "_exec_hostname" | "_exec_host_num_cpus" | "vizier_id" |
+           "vizier_name" | "vizier_namespace" =>
+        VCol(graft.meta.MetadataOps.constants(name))
       case "format_duration" =>
         VCol(PixieFunctions.formatDuration(asCol(args.head)))
       case "strptime" => (args.head, args(1)) match {
@@ -388,6 +401,8 @@ object PxlRunner {
         lookupVar(n).getOrElse(throw new PxlError(s"undefined variable $n"))
       case AttrE(base, name) => eval(base) match {
         case VBuiltin("__module__") => VBuiltin(name)
+        case VModule(scope) =>
+          scope.getOrElse(name, throw new PxlError(s"module has no member $name"))
         case v @ VTab(t) =>
           if (TableMethods(name)) VMethod(v, name)
           else if (name == "ctx") VCtxObj(t)
@@ -416,7 +431,8 @@ object PxlRunner {
         eval(fn) match {
           case VBuiltin(name) => callBuiltin(name, a, k)
           case VMethod(recv, name) => callMethod(recv, name, a, k)
-          case VFunc(params, body) => callUserFunction(params, body, a, k)
+          case VFunc(params, body, closure) =>
+            callUserFunction(params, body, closure, a, k)
           case other => throw new PxlError(s"not callable: $other")
         }
       case BinE(op, l, r) => binop(op, eval(l), eval(r))
@@ -438,6 +454,7 @@ object PxlRunner {
       * scope; `return` unwinds via ReturnSignal.
       */
     def callUserFunction(params: Seq[String], body: Seq[PxlParser.Stmt],
+                         closure: mutable.Map[String, V],
                          args: Seq[V], kwargs: Seq[(String, V)]): V = {
       val local = mutable.LinkedHashMap[String, V]()
       params.zip(args).foreach { case (pn, v) => local(pn) = v }
@@ -448,7 +465,7 @@ object PxlRunner {
       val missing = params.filterNot(local.contains)
       if (missing.nonEmpty) throw new PxlError(s"missing args: $missing")
       val saved = scopes
-      scopes = local :: List(moduleScope)
+      scopes = local :: List(closure)
       try { execStmts(body); VBool(true) }
       catch { case r: ReturnSignal => r.value }
       finally { scopes = saved }
@@ -488,8 +505,18 @@ object PxlRunner {
     }
 
     def execStmts(body: Seq[PxlParser.Stmt]): Unit = body.foreach {
-      case ImportS(_) => // `import px` — the module is ambient
-      case DefS(name, params, fnBody) => vars(name) = VFunc(params, fnBody)
+      case ImportS("px") => // the px module is ambient
+      case ImportS(m) if env.modules.contains(m) =>
+        // execute the module's defs into its own scope (its functions
+        // close over that scope, not the importer's)
+        val modScope = mutable.LinkedHashMap[String, V]()
+        val saved = scopes
+        scopes = List(modScope)
+        try execStmts(PxlParser.parse(env.modules(m)))
+        finally scopes = saved
+        moduleScope(m) = VModule(modScope)
+      case ImportS(m) => throw new PxlError(s"unknown module $m")
+      case DefS(name, params, fnBody) => vars(name) = VFunc(params, fnBody, scopes.head)
       case ReturnS(e) => throw new ReturnSignal(eval(e))
       // `px.Node = str`-style module type aliases (jvm_stats et al.)
       // configure the exec-arg parser in the reference; arguments reach
@@ -511,8 +538,8 @@ object PxlRunner {
     execStmts(stmts)
     val fnResult = call.map { case (fn, args) =>
       moduleScope.get(fn) match {
-        case Some(VFunc(params, body)) =>
-          callUserFunction(params, body, args.map(VStr(_)), Nil) match {
+        case Some(VFunc(params, body, closure)) =>
+          callUserFunction(params, body, closure, args.map(VStr(_)), Nil) match {
             case VTab(t) => t.df
             case other => throw new PxlError(s"$fn returned $other")
           }

@@ -146,17 +146,34 @@ object Pxl {
         case other => graft.core.Tables(s, dir, other)
       },
       ctx = (df, prop, out) => {
-        val (dim, attr) = prop match {
-          case "service" => (podDim, "service_name")
-          case "pod" => (podDim, "pod_name")
-          case "namespace" => (fullDim, "namespace")
-          case "node" | "node_name" => (fullDim, "node_name")
-          case other => throw new IllegalArgumentException(s"ctx['$other']")
-        }
-        blankOnMiss(K8sMetadata.resolveAsOf(df,
-          dim.select(col("owner_id"), col("start_ns"), col("stop_ns"), col(attr)),
-          "user_id", "owner_id", "time_", Seq(attr))
-          .withColumnRenamed(attr, out), out)
+        // ConvertMetadataRule semantics: resolution is keyed by whatever
+        // key columns the frame still carries — the raw fact key (as-of
+        // by event time) before aggregation, or pod_id after.
+        val cols = df.columns.toSet
+        if (cols("user_id") && cols("time_")) {
+          val (dim, attr) = prop match {
+            case "service" => (podDim, "service_name")
+            case "pod" => (podDim, "pod_name")
+            case "namespace" => (fullDim, "namespace")
+            case "node" | "node_name" => (fullDim, "node_name")
+            case "container_name" => (fullDim, "container_name")
+            case "pod_id" => (fullDim, "pod_id")
+            case other => throw new IllegalArgumentException(s"ctx['$other']")
+          }
+          blankOnMiss(K8sMetadata.resolveAsOf(df,
+            dim.select(col("owner_id"), col("start_ns"), col("stop_ns"), col(attr)),
+            "user_id", "owner_id", "time_", Seq(attr))
+            .withColumnRenamed(attr, out), out)
+        } else if (cols("pod_id")) {
+          val fn = prop match {
+            case "pod" => "pod_id_to_pod_name"
+            case "service" => "pod_id_to_service_name"
+            case "namespace" => "pod_id_to_namespace"
+            case "node" | "node_name" => "pod_id_to_node_name"
+            case other => throw new IllegalArgumentException(s"ctx['$other'] via pod_id")
+          }
+          blankOnMiss(graft.meta.MetadataOps.resolve(fn, df, fullDim, "pod_id", out), out)
+        } else throw new IllegalArgumentException(s"ctx['$prop']: no key column")
       },
       metaFns = graft.meta.MetadataOps.bindings.keySet,
       meta = (df, fn, in, out) => {
@@ -171,7 +188,18 @@ object Pxl {
           else
             graft.meta.MetadataOps.resolve(fn, df, fullDim, in, out)
         blankOnMiss(resolved, out)
-      })
+      },
+      modules = Map("pxviews" -> pxviewsSource))
+  }
+
+  /** The REAL bundled helper library, loaded verbatim (it ships embedded
+    * in a C++ raw string literal — strip the R"( ... )" wrapper).
+    */
+  lazy val pxviewsSource: String = {
+    val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/src/carnot/planner/pxl_lib/pxviews.pxl")), "UTF-8")
+    raw.linesIterator
+      .filterNot(l => l.trim == "R\"(" || l.trim == ")\"").mkString("\n")
   }
 
   /** The reference's metadata UDFs return '' (not null) on a miss
@@ -193,6 +221,8 @@ object Pxl {
     "/root/reference/src/pxl_scripts/px/pid_memory_usage/usage.pxl"
   val JvmStatsPxlPath =
     "/root/reference/src/pxl_scripts/px/jvm_stats/jvm_stats.pxl"
+  val NamespacesPxlPath =
+    "/root/reference/src/pxl_scripts/px/namespaces/namespaces.pxl"
 
   /** Deterministic "now" for relative start_time strings: the fixture's
     * max event time ceiled to the next µs. Scans bound time_ < now
@@ -441,6 +471,28 @@ object Pxl {
       PxlRunner.runFunction(script, env(s, dir, now), "jvm_stats",
           Seq("-45d", "", ""))
         .orderBy("timestamp", "pod")
+    }),
+
+    // Verbatim namespaces.pxl through the REAL pxviews helper library
+    // (loaded as a module from the reference's pxl_lib): pod/service
+    // counts per namespace from pxviews.pod_resource_stats.
+    "q82_pxl_namespaces_lib" -> ((s, dir) => {
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(NamespacesPxlPath)), "UTF-8")
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.runFunction(script, env(s, dir, now), "namespaces_for_cluster",
+          Seq("-45d"))
+        .orderBy("namespace")
+    }),
+
+    // Same script, the per-namespace resource rollup function.
+    "q83_pxl_ns_process_stats" -> ((s, dir) => {
+      val script = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(NamespacesPxlPath)), "UTF-8")
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      PxlRunner.runFunction(script, env(s, dir, now),
+          "process_stats_by_namespace", Seq("-45d"))
+        .orderBy("namespace")
     })
   )
 
@@ -663,6 +715,41 @@ object Pxl {
          |  sum(total_heap) AS total_heap_size,
          |  ts_bin AS time_, pod AS k8s
          |FROM by_upid GROUP BY pod, ts_bin ORDER BY ts_bin, pod""".stripMargin
+    },
+
+    "q82_pxl_namespaces_lib" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT user_id,
+         |        CASE WHEN epoch_us(ts) * 1000 < $splitNs THEN 0 ELSE 1 END AS g
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now),
+         |pods AS (SELECT DISTINCT 'ns' || (user_id % 10 % 3) AS namespace,
+         |        'pod-' || user_id || '-gen' || g AS pod,
+         |        'svc-' || (user_id % 10) AS service FROM e),
+         |pc AS (SELECT namespace, count(pod) AS pod_count
+         |       FROM (SELECT DISTINCT namespace, pod FROM pods) GROUP BY 1),
+         |sc AS (SELECT namespace, count(service) AS service_count
+         |       FROM (SELECT DISTINCT namespace, service FROM pods) GROUP BY 1)
+         |SELECT pc.namespace, pod_count, service_count
+         |FROM pc JOIN sc ON pc.namespace = sc.namespace
+         |ORDER BY pc.namespace""".stripMargin
+    },
+
+    "q83_pxl_ns_process_stats" -> {
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+      val start = now - 45L * 86400L * 1000000000L
+      s"""WITH e AS (SELECT user_id, event_id
+         |      FROM events WHERE epoch_us(ts) * 1000 >= $start
+         |        AND epoch_us(ts) * 1000 < $now)
+         |SELECT 'ns' || (user_id % 10 % 3) AS namespace,
+         |  SUM(CAST((100 + event_id % 900) * 1048576 AS DOUBLE)) AS vsize,
+         |  SUM(CAST((50 + event_id % 450) * 1048576 AS DOUBLE)) AS rss,
+         |  CAST(0 AS DOUBLE) AS actual_disk_read_throughput,
+         |  CAST(0 AS DOUBLE) AS actual_disk_write_throughput,
+         |  CAST(0 AS DOUBLE) AS total_disk_read_throughput,
+         |  CAST(0 AS DOUBLE) AS total_disk_write_throughput
+         |FROM e GROUP BY 1 ORDER BY namespace""".stripMargin
     },
 
     "q73_pxl_svc_let" -> {
