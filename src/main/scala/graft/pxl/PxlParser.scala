@@ -47,8 +47,17 @@ object PxlParser {
   private case class TNewline(nextIndent: Int) extends Tok
   private case object TEof extends Tok
 
-  private def tokenize(src: String): Vector[Tok] = {
+  /** Tokens plus, per token, whether it is the first token on its
+    * physical source line — callArgs uses this to accept an omitted
+    * argument comma only at a line break (five bundled reference
+    * scripts carry that upstream typo, e.g. services.pxl:132-133)
+    * while still rejecting same-line `f(a b)`.
+    */
+  private def tokenize(src: String): (Vector[Tok], Vector[Boolean]) = {
     val out = Vector.newBuilder[Tok]
+    val lineStart = Vector.newBuilder[Boolean]
+    var sawNewline = true
+    def emit(t: Tok): Unit = { out += t; lineStart += sawNewline; sawNewline = false }
     var i = 0; var depth = 0
     val n = src.length
     def peek(k: Int = 0): Char = if (i + k < n) src(i + k) else ' '
@@ -69,7 +78,8 @@ object PxlParser {
       val c = src(i)
       if (c == '#') { while (i < n && src(i) != '\n') i += 1 }
       else if (c == '\n') {
-        if (depth == 0) out += TNewline(nextIndentFrom(i + 1))
+        if (depth == 0) emit(TNewline(nextIndentFrom(i + 1)))
+        sawNewline = true
         i += 1
       }
       else if (c == ' ' || c == '\t' || c == '\r') i += 1
@@ -81,7 +91,7 @@ object PxlParser {
           sb += src(i); i += 1
         }
         i += 3
-        out += TStr(sb.toString)
+        emit(TStr(sb.toString))
       }
       else if (c == '\'' || c == '"') {
         val q = c; val sb = new StringBuilder; i += 1
@@ -90,44 +100,44 @@ object PxlParser {
           else { sb += src(i); i += 1 }
         }
         i += 1
-        out += TStr(sb.toString)
+        emit(TStr(sb.toString))
       }
       else if (c.isDigit || (c == '.' && peek(1).isDigit)) {
         val s = i
         while (i < n && (src(i).isDigit || src(i) == '.' || src(i) == 'e' ||
           src(i) == 'E' || ((src(i) == '+' || src(i) == '-') &&
             (src(i - 1) == 'e' || src(i - 1) == 'E')))) i += 1
-        out += TNum(src.substring(s, i))
+        emit(TNum(src.substring(s, i)))
       }
       else if ((c == 'r' || c == 'R') && (peek(1) == '\'' || peek(1) == '"')) {
         // raw string literal: backslashes are literal (regex patterns)
         val q = peek(1); val sb = new StringBuilder; i += 2
         while (i < n && src(i) != q) { sb += src(i); i += 1 }
         i += 1
-        out += TStr(sb.toString)
+        emit(TStr(sb.toString))
       }
       else if (c.isLetter || c == '_') {
         val s = i
         while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
-        out += TName(src.substring(s, i))
+        emit(TName(src.substring(s, i)))
       }
       else {
         if (c == '(' || c == '[' || c == '{') depth += 1
         if (c == ')' || c == ']' || c == '}') depth -= 1
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
-        if (Set("==", "!=", ">=", "<=", "//", "**")(two)) { out += TOp(two); i += 2 }
-        else { out += TOp(c.toString); i += 1 }
+        if (Set("==", "!=", ">=", "<=", "//", "**")(two)) { emit(TOp(two)); i += 2 }
+        else { emit(TOp(c.toString)); i += 1 }
       }
     }
-    out += TNewline(0) += TEof
-    out.result()
+    emit(TNewline(0)); emit(TEof)
+    (out.result(), lineStart.result())
   }
 
   // ---- parser --------------------------------------------------------
   final class ParseError(msg: String) extends RuntimeException(msg)
 
   def parse(src: String): Seq[Stmt] = {
-    val toks = tokenize(src)
+    val (toks, startsLine) = tokenize(src)
     var p = 0
     def cur: Tok = toks(p)
     def bump(): Tok = { val t = toks(p); p += 1; t }
@@ -191,7 +201,15 @@ object PxlParser {
       val args = Seq.newBuilder[Expr]; val kwargs = Seq.newBuilder[(String, Expr)]
       var first = true
       while (cur != TOp(")")) {
-        if (!first && cur == TOp(",")) p += 1
+        // Strict comma between same-line arguments (a typo like f(a b)
+        // must not silently become two args); an omitted comma is
+        // accepted only at a line break — five bundled reference scripts
+        // carry that upstream typo (e.g. services.pxl:132-133).
+        if (!first) {
+          if (cur == TOp(",")) p += 1
+          else if (!startsLine(p))
+            throw new ParseError(s"expected ',' between arguments, got $cur")
+        }
         first = false
         if (cur == TOp(")")) { expectOp(")"); return (args.result(), kwargs.result()) }
         (cur, toks(p + 1)) match {

@@ -128,6 +128,13 @@ object PxlRunner {
       case other => throw new PxlError(s"expected a number, got $other")
     }
 
+    def asDoubleV(v: V): Double = v match {
+      case VFloat(x) => x
+      case VInt(x) => x.toDouble
+      case VStr(x) if x.matches("-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?") => x.toDouble
+      case other => throw new PxlError(s"expected a number, got $other")
+    }
+
     def binop(op: String, l: V, r: V): V = (l, r) match {
       case (VInt(a), VInt(b)) => op match {
         case "+" => VInt(a + b); case "-" => VInt(a - b); case "*" => VInt(a * b)
@@ -149,11 +156,18 @@ object PxlRunner {
           case "and" => a && b; case "or" => a || b
           case o => throw new PxlError(s"column op $o")
         })
+      // At least one side is VFloat (pure-int pairs matched above):
+      // evaluate as doubles like the reference's Python-float semantics.
       case (VFloat(_) | VInt(_), VFloat(_) | VInt(_)) =>
-        val (a, b) = (asLongV(l).toDouble, asLongV(r).toDouble)
+        val (a, b) = (asDoubleV(l), asDoubleV(r))
         op match {
           case "+" => VFloat(a + b); case "-" => VFloat(a - b)
           case "*" => VFloat(a * b); case "/" => VFloat(a / b)
+          case "//" => VFloat(Math.floor(a / b))
+          case "%" => VFloat(a - b * Math.floor(a / b))
+          case "==" => VBool(a == b); case "!=" => VBool(a != b)
+          case ">=" => VBool(a >= b); case "<=" => VBool(a <= b)
+          case ">" => VBool(a > b); case "<" => VBool(a < b)
           case o => throw new PxlError(s"float op $o")
         }
       case (VStr(a), VStr(b)) => op match {
@@ -194,8 +208,13 @@ object PxlRunner {
         // "now" (plan.proto:156-175) — without the upper bound a -30s
         // window would leak future rows when now is pinned mid-fixture.
         kw.get("start_time").foreach { v =>
-          val startNs = PixieFunctions.parseTimeNs(
-            v match { case VStr(s) => s case o => asLongV(o).toString }, env.nowNs)
+          // px.now() - px.minutes(N) arrives as an absolute-ns VInt;
+          // only strings go through relative/duration parsing (mirrors
+          // the end_time branch below).
+          val startNs = v match {
+            case VStr(s) => PixieFunctions.parseTimeNs(s, env.nowNs)
+            case o => asLongV(o)
+          }
           t = t.where(col("time_") >= lit(startNs))
         }
         kw.get("end_time") match {

@@ -42,6 +42,10 @@ object OtelSink {
       InMemoryTransport.store.computeIfAbsent(id,
         _ => new java.util.concurrent.ConcurrentLinkedQueue[MetricRecord]())
     def send(batch: Seq[MetricRecord]): Unit = batch.foreach(sent.add)
+    /** Drop this instance's JVM-static queue (call from test teardown —
+      * otherwise every transport leaks its buffer for the JVM lifetime).
+      */
+    def close(): Unit = InMemoryTransport.store.remove(id)
   }
 
   def rowToGauge(spec: GaugeSpec)(r: Row): MetricRecord = MetricRecord(
@@ -162,5 +166,7 @@ object OtelSink {
       }
       acc.value
     }
+    /** Drop this instance's JVM-static queue (test teardown). */
+    def close(): Unit = SignalCollector.store.remove(id)
   }
 }

@@ -146,6 +146,43 @@ class PxlSpec extends AnyFunSuite {
     assert(api.getAs[Long]("asid") == 7L)
   }
 
+  test("scalar float arithmetic evaluates as doubles, not truncated longs") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |half = 0.5 * 2.0
+        |df.x = half
+        |df.frac = 3.0 / 2
+        |df.fdiv = 7.0 // 2.0
+        |df.cmp = px.select(2.5 >= 2, 'yes', 'no')
+        |px.display(df[['x', 'frac', 'fdiv', 'cmp']].head(1), 'f')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val r = PxlRunner.run(script, Pxl.env(spark, dir, now))("f").head()
+    assert(r.getAs[Double]("x") == 1.0)
+    assert(r.getAs[Double]("frac") == 1.5)
+    assert(r.getAs[Double]("fdiv") == 3.0)
+    assert(r.getAs[String]("cmp") == "yes")
+  }
+
+  test("start_time accepts absolute-ns numerics like px.now() - px.minutes(N)") {
+    def cnt(startExpr: String): Long = {
+      val script =
+        s"""import px
+           |df = px.DataFrame(table='http_events', start_time=$startExpr)
+           |px.display(df, 'w')
+           |""".stripMargin
+      val now = graft.functions.PixieFunctions.tsNsLit("2024-01-02")
+      PxlRunner.run(script, Pxl.env(spark, dir, now))("w").count()
+    }
+    val viaInt = cnt("px.now() - px.minutes(30)")
+    assert(viaInt == cnt("'-30m'")) // numeric and string forms agree
+  }
+
+  test("parser rejects a missing comma between call arguments") {
+    intercept[PxlParser.ParseError](PxlParser.parse("f(a b)"))
+  }
+
   test("relative time strings gate the scan window") {
     val script =
       """import px

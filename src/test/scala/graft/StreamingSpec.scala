@@ -59,6 +59,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 100 && transport.sent.size() == 100)
     val rec = transport.sent.peek()
     assert(rec.name == "event.value" && rec.attributes.contains("event_type"))
+    transport.close()
+    assert(transport.sent.isEmpty) // close() dropped the static store entry
   }
 
   test("upid helpers round-trip (asid, pid, start_ts)") {
@@ -113,6 +115,7 @@ class StreamingSpec extends AnyFunSuite {
     logs.export(df, rowToLog(LogSpec("start_ns", "sev", "msg", Nil)))
     assert(logs.sent.size == 2 &&
       logs.sent.asScala.exists(_.severity == "WARN"))
+    summaries.close(); spans.close(); logs.close()
   }
 
   test("stream-static as-of metadata join resolves generations in streaming") {
