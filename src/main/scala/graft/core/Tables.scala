@@ -23,8 +23,16 @@ object Tables {
     * time is int64 ns everywhere in the engine, converted only at edges.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** TIMESTAMP(NANOS) -> LongType needs this legacy flag; set it once per
+    * session instead of mutating RuntimeConfig on every table resolve.
+    */
+  private def ensureNanosAsLong(spark: SparkSession): Unit = {
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(k).contains("true")) spark.conf.set(k, "true")
   }
 
   /** Streaming tail of a named table — the analog of PxL df.stream()

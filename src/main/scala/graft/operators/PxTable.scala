@@ -39,7 +39,9 @@ final case class PxTable(df: DataFrame) {
     * partial_agg/finalize split (splitter/partial_op_mgr) is free here.
     */
   def groupbyAgg(keys: Seq[String], aggs: (String, Column)*): PxTable =
-    PxTable(df.groupBy(keys.map(col): _*)
+    // agg() with no aggregates = distinct groups (dataframe.h:230-248)
+    if (aggs.isEmpty) distinctGroups(keys: _*)
+    else PxTable(df.groupBy(keys.map(col): _*)
       .agg(aggs.head._2.as(aggs.head._1),
            aggs.tail.map { case (n, c) => c.as(n) }: _*))
 

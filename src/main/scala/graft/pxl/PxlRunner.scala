@@ -18,10 +18,16 @@ import scala.collection.mutable
   * assignments rebind, attribute/subscript column assignment).
   *
   * Engine policy notes:
-  * - `px.quantiles` maps to exact interpolated percentiles reported as
-  *   the ST_QUANTILES JSON (the oracle-checkable stand-in for the
-  *   t-digest sketch — graft.functions.Aggregators.QuantilesAgg is the
-  *   sketch variant, q22).
+  * - `px.quantiles` has two mappings selected by [[PxlEnv.sketchQuantiles]]:
+  *   exact interpolated percentiles reported as the ST_QUANTILES JSON
+  *   (default — oracle-checkable, but Spark's exact `percentile` buffers
+  *   every group value, an OOM risk for hot groups at scale), or the
+  *   mergeable t-digest sketch (graft.functions.Aggregators.QuantilesAgg,
+  *   the reference's own choice — math_sketches.h:42-129) whose per-group
+  *   state is O(compression) regardless of group size. Scale deployments
+  *   should run with the sketch; the exact mapping exists for the
+  *   DuckDB-hash gate (invariant: Spark `percentile` == DuckDB
+  *   `quantile_cont`).
   * - `px.now()` / relative start_time strings resolve against
   *   [[PxlEnv.nowNs]] at script-build time, exactly like the reference
   *   planner folds px.now() into literals before execution.
@@ -42,7 +48,8 @@ object PxlRunner {
       metaFns: Set[String] = Set.empty,
       meta: (DataFrame, String, String, String) => DataFrame =
         (_, fn, _, _) => throw new PxlError(s"metadata fn $fn: no resolver bound"),
-      modules: Map[String, String] = Map.empty)
+      modules: Map[String, String] = Map.empty,
+      sketchQuantiles: Boolean = false)
 
   // ---- value domain --------------------------------------------------
   private sealed trait V
@@ -186,6 +193,9 @@ object PxlRunner {
       case "max" => max(c(colName))
       case "min" => min(c(colName))
       case "any" => any_value(c(colName))
+      case "quantiles" if env.sketchQuantiles =>
+        // Scale mode: mergeable t-digest, O(compression) per-group state.
+        graft.functions.Aggregators.quantiles(c(colName).cast("double"))
       case "quantiles" =>
         val ps = Seq("p01" -> 0.01, "p10" -> 0.10, "p25" -> 0.25, "p50" -> 0.50,
           "p75" -> 0.75, "p90" -> 0.90, "p99" -> 0.99)

@@ -127,8 +127,13 @@ object Pxl {
   /** Script-execution environment over the fixture catalog. ctx
     * properties resolve through the point-in-time pod dimension
     * (ConvertMetadataRule's expansion, as a broadcast as-of join).
+    * sketchQuantiles: default exact (oracle gate); opt into the t-digest
+    * mapping per-call or fleet-wide via SPARK_GRAFT_SKETCH_QUANTILES=1 —
+    * the setting a 100 TB deployment runs with (see PxlRunner notes).
     */
-  def env(s: SparkSession, dir: String, nowNs: Long): PxlEnv = {
+  def env(s: SparkSession, dir: String, nowNs: Long,
+          sketchQuantiles: Boolean =
+            sys.env.get("SPARK_GRAFT_SKETCH_QUANTILES").contains("1")): PxlEnv = {
     // One dimension snapshot per script run: every ctx/metadata call
     // reuses the same frame, so chained lookups share one broadcast
     // build (ReuseExchange dedups identical BroadcastExchanges).
@@ -189,7 +194,8 @@ object Pxl {
             graft.meta.MetadataOps.resolve(fn, df, fullDim, in, out)
         blankOnMiss(resolved, out)
       },
-      modules = Map("pxviews" -> pxviewsSource))
+      modules = Map("pxviews" -> pxviewsSource),
+      sketchQuantiles = sketchQuantiles)
   }
 
   /** The REAL bundled helper library, loaded verbatim (it ships embedded
@@ -197,7 +203,7 @@ object Pxl {
     */
   lazy val pxviewsSource: String = {
     val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-      "/root/reference/src/carnot/planner/pxl_lib/pxviews.pxl")), "UTF-8")
+      s"$RefDir/src/carnot/planner/pxl_lib/pxviews.pxl")), "UTF-8")
     raw.linesIterator
       .filterNot(l => l.trim == "R\"(" || l.trim == ")\"").mkString("\n")
   }
@@ -211,18 +217,24 @@ object Pxl {
       df.withColumn(out, coalesce(col(out), lit("")))
     else df
 
+  /** Root of the reference checkout the verbatim scripts are read from
+    * at runtime (they are test INPUTS, not copied sources). Point
+    * SPARK_GRAFT_REF_DIR elsewhere to run against another checkout.
+    */
+  val RefDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_REF_DIR", "/root/reference")
   val StatsPxlPath =
-    "/root/reference/src/pxl_scripts/px/http_request_stats/stats.pxl"
+    s"$RefDir/src/pxl_scripts/px/http_request_stats/stats.pxl"
   val ServiceStatsPxlPath =
-    "/root/reference/src/pxl_scripts/px/service_stats/service_stats.pxl"
+    s"$RefDir/src/pxl_scripts/px/service_stats/service_stats.pxl"
   val HttpDataPxlPath =
-    "/root/reference/src/pxl_scripts/px/http_data/data.pxl"
+    s"$RefDir/src/pxl_scripts/px/http_data/data.pxl"
   val PidMemoryPxlPath =
-    "/root/reference/src/pxl_scripts/px/pid_memory_usage/usage.pxl"
+    s"$RefDir/src/pxl_scripts/px/pid_memory_usage/usage.pxl"
   val JvmStatsPxlPath =
-    "/root/reference/src/pxl_scripts/px/jvm_stats/jvm_stats.pxl"
+    s"$RefDir/src/pxl_scripts/px/jvm_stats/jvm_stats.pxl"
   val NamespacesPxlPath =
-    "/root/reference/src/pxl_scripts/px/namespaces/namespaces.pxl"
+    s"$RefDir/src/pxl_scripts/px/namespaces/namespaces.pxl"
 
   /** Deterministic "now" for relative start_time strings: the fixture's
     * max event time ceiled to the next µs. Scans bound time_ < now

@@ -25,4 +25,15 @@ object Q {
   /** Order-independent mean built from the quantized sum. */
   def qavg(c: Column): Column = qsum(c) / count(c)
   def qavgSql(x: String): String = s"(${qsumSql(x)}) / COUNT($x)"
+
+  /** Spread CPU-heavy per-row work across cores ONLY when the scan
+    * arrives under-parallel (the single-row-group fixture parquet scans
+    * as 1 partition). At 100 TB the scan is already thousands of
+    * partitions and an unconditional repartition would be a gratuitous
+    * full shuffle of the fact table — so this is a no-op there.
+    */
+  def spreadIfNarrow(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

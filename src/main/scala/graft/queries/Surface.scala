@@ -29,10 +29,7 @@ object Surface {
     // Protocol decoders (funcs/protocols/*): every table, full domain
     // sweep including out-of-table codes exercising each default kind.
     "q40_protocols" -> ((s, dir) => {
-      // single-row-group fixture files scan as ONE partition; spread the
-      // decoder work across cores before the per-row map
-      val e = t(s, dir, "events").select(col("event_id"))
-        .repartition(s.sparkContext.defaultParallelism)
+      val e = spreadIfNarrow(s, t(s, dir, "events").select(col("event_id")))
       e.select(
         col("event_id"),
         ProtocolOps.protocolName.column(pmod(col("event_id"), lit(15))).as("proto"),
@@ -75,8 +72,7 @@ object Surface {
         lit(" gw fe80::1 mac aa:bb:cc:dd:ee:0f card 4111 2222 3333 "),
         (lit(4000) + pmod(col("event_id"), lit(1000))),
         lit(" ssn 123-45-6789 imei 490154203237518"))
-      t(s, dir, "events")
-        .repartition(s.sparkContext.defaultParallelism)
+      spreadIfNarrow(s, t(s, dir, "events"))
         .select(col("event_id"), PiiOps.redactPii(txt).as("redacted"))
         .orderBy("event_id")
     }),

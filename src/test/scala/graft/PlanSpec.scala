@@ -131,6 +131,35 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("spreadIfNarrow repartitions narrow scans only (no-op when parallel)") {
+    val cores = spark.sparkContext.defaultParallelism
+    // fixture parquet arrives as 1 partition -> spread across cores
+    val narrow = graft.core.Tables(spark, dir, "events").select("event_id")
+    assert(narrow.rdd.getNumPartitions < cores)
+    val spread = graft.queries.Q.spreadIfNarrow(spark, narrow)
+    assert(spread.rdd.getNumPartitions == cores)
+    // an already-parallel input must pass through with NO added exchange
+    // (at 100 TB every scan is already thousands of partitions)
+    val wide = spark.range(0, 10000, 1, cores).toDF("event_id")
+    val passthrough = graft.queries.Q.spreadIfNarrow(spark, wide)
+    assert(passthrough eq wide, "expected identity pass-through")
+    assert(!plan(passthrough).contains("Exchange"), plan(passthrough).take(1000))
+  }
+
+  test("groupbyAgg with no aggregates is distinct groups (empty-agg guard)") {
+    val t = PxTable(graft.core.Tables(spark, dir, "events"))
+    val got = t.groupbyAgg(Seq("event_type")).df.orderBy("event_type").collect()
+    val want = t.distinctGroups("event_type").df.orderBy("event_type").collect()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
+  test("Tables resolve is conf-idempotent (nanosAsLong set once, kept true)") {
+    graft.core.Tables(spark, dir, "events")
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    graft.core.Tables(spark, dir, "events") // second resolve: no re-set, no throw
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
+
   test("script runner executes each script per round") {
     var n = 0
     val scripts = Seq(graft.streaming.ScriptRunner.CronScript(

@@ -73,7 +73,7 @@ class PxlSpec extends AnyFunSuite {
   }
 
   test("every bundled reference script parses (67/67 of pxl_scripts/px)") {
-    val root = java.nio.file.Paths.get("/root/reference/src/pxl_scripts/px")
+    val root = java.nio.file.Paths.get(s"${Pxl.RefDir}/src/pxl_scripts/px")
     import scala.jdk.CollectionConverters._
     val files = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".pxl")).toSeq
@@ -144,6 +144,34 @@ class PxlSpec extends AnyFunSuite {
     assert(api.getAs[String]("clean") == "/api/vN/users/N")
     assert(api.getAs[Boolean]("m"))
     assert(api.getAs[Long]("asid") == 7L)
+  }
+
+  test("px.quantiles sketch mode plans the t-digest, not buffer-all percentile") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |q = df.groupby('user_id').agg(lat=('latency', px.quantiles))
+        |q.p50 = px.pluck_float64(q.lat, 'p50')
+        |px.display(q[['user_id', 'p50']], 'q')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val exact = PxlRunner.run(script, Pxl.env(spark, dir, now))("q")
+    val sketch = PxlRunner.run(script,
+      Pxl.env(spark, dir, now, sketchQuantiles = true))("q")
+    // The scale-mode plan must not carry the exact `percentile` aggregate
+    // (its buffer holds every group value); the t-digest aggregator's
+    // buffer is O(compression) no matter how hot the group.
+    val plan = sketch.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("))
+    assert(plan.toLowerCase.contains("quantilesagg"))
+    val e = exact.select("user_id", "p50").as[(Long, Double)].collect().toMap
+    val sk = sketch.select("user_id", "p50").as[(Long, Double)].collect().toMap
+    assert(e.keySet == sk.keySet)
+    // t-digest is exact at these group sizes' mid-quantiles to within a
+    // small relative tolerance
+    e.foreach { case (k, v) =>
+      assert(math.abs(sk(k) - v) <= math.max(1.0, 0.05 * math.abs(v)),
+        s"user $k: sketch ${sk(k)} vs exact $v") }
   }
 
   test("scalar float arithmetic evaluates as doubles, not truncated longs") {
