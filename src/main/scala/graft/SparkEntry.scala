@@ -38,7 +38,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Functions.queries ++
       graft.queries.NorthStar.queries ++ graft.queries.Meta.queries ++
       graft.queries.Surface.queries ++ graft.queries.Ml.queries ++
-      graft.queries.Extended.queries ++ graft.queries.Pxl.queries
+      graft.queries.Extended.queries ++ graft.queries.Pxl.queries ++
+      graft.queries.Pxl2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -47,5 +48,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.Functions.oracles ++
       graft.queries.NorthStar.oracles ++ graft.queries.Meta.oracles ++
       graft.queries.Surface.oracles ++ graft.queries.Ml.oracles ++
-      graft.queries.Extended.oracles ++ graft.queries.Pxl.oracles
+      graft.queries.Extended.oracles ++ graft.queries.Pxl.oracles ++
+      graft.queries.Pxl2.oracles
 }

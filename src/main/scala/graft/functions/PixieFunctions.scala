@@ -196,6 +196,19 @@ object PixieFunctions {
     grpcStatusMap.map { case (k, v) => s"WHEN $k THEN '$v'" }
       .mkString(s"(CASE $expr ", " ", " ELSE 'Unknown' END)")
 
+  /** EqualsOrArrayContains (reference metadata_ops.h:3081-3096 — the
+    * has_service_name / has_service_id predicate core): plain equality,
+    * or membership when the stored value is a JSON string array (a pod
+    * can belong to several services).
+    */
+  def equalsOrArrayContains(value: Column, target: Column): Column = {
+    val arr = from_json(value, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+    when(value.startsWith("[") && arr.isNotNull,
+      coalesce(array_contains(arr, target), lit(false)))
+      .otherwise(value === target)
+  }
+
   /** http_resp_message (reference funcs/protocols) — common subset. */
   def httpRespMessage(status: Column): Column = lookupMap(status, Map(
     200L -> "OK", 201L -> "Created", 204L -> "No Content", 301L -> "Moved Permanently",

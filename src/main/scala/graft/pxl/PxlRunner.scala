@@ -73,6 +73,19 @@ object PxlRunner {
     * assignment, like ConvertMetadataRule's UDF-to-join expansion).
     */
   private case class VMetaCall(fn: String, arg: V) extends V
+  /** A column expression with pending ctx/metadata JOINS inside it —
+    * lets ctx properties and metadata calls appear anywhere a column
+    * can (`df[df.ctx['namespace'] == ns]`,
+    * `px.select(cond, df.pod, px.pod_id_to_pod_name(...))`): each
+    * pending join materializes into a temp column when the enclosing
+    * filter/assignment executes, exactly like ConvertMetadataRule
+    * expanding metadata refs in-place.
+    */
+  private sealed trait Pend
+  private case class PendCtx(prop: String) extends Pend
+  private case class PendMeta(fn: String, arg: V) extends Pend
+  private case class VDeferred(pends: Seq[Pend], build: Seq[Column] => Column)
+      extends V
 
   private val TableMethods = Set("groupby", "agg", "merge", "head", "drop", "append")
 
@@ -152,17 +165,10 @@ object PxlRunner {
         case ">" => VBool(a > b); case "<" => VBool(a < b)
         case o => throw new PxlError(s"int op $o")
       }
+      case _ if needsJoin(l) || needsJoin(r) =>
+        colCombine(Seq(l, r)) { case Seq(a, b) => binopCol(op, a, b) }
       case _ if l.isInstanceOf[VCol] || r.isInstanceOf[VCol] =>
-        val (a, b) = (asCol(l), asCol(r))
-        VCol(op match {
-          case "+" => a + b; case "-" => a - b; case "*" => a * b
-          case "/" => a / b; case "%" => pmod(a, b)
-          case "==" => a === b; case "!=" => a =!= b
-          case ">=" => a >= b; case "<=" => a <= b
-          case ">" => a > b; case "<" => a < b
-          case "and" => a && b; case "or" => a || b
-          case o => throw new PxlError(s"column op $o")
-        })
+        VCol(binopCol(op, asCol(l), asCol(r)))
       // At least one side is VFloat (pure-int pairs matched above):
       // evaluate as doubles like the reference's Python-float semantics.
       case (VFloat(_) | VInt(_), VFloat(_) | VInt(_)) =>
@@ -185,13 +191,71 @@ object PxlRunner {
       case other => throw new PxlError(s"binop $op on $other")
     }
 
-    /** out=(column, px.aggfn) tuples -> named Spark aggregate exprs. */
-    def aggExpr(fn: String, colName: String): Column = fn match {
+    /** Values whose column form requires a join first. */
+    def needsJoin(v: V): Boolean = v match {
+      case _: VCtx | _: VMetaCall | _: VDeferred => true
+      case _ => false
+    }
+
+    /** Lift a value into either a deferred column or a pure one. */
+    def liftDef(v: V): Either[VDeferred, Column] = v match {
+      case VCtx(p) => Left(VDeferred(Seq(PendCtx(p)), cs => cs.head))
+      case VMetaCall(fn, arg) =>
+        Left(VDeferred(Seq(PendMeta(fn, arg)), cs => cs.head))
+      case d: VDeferred => Left(d)
+      case other => Right(asCol(other))
+    }
+
+    /** Combine argument values with a pure column function, deferring
+      * the whole expression if any argument carries pending joins.
+      */
+    def colCombine(args: Seq[V])(f: Seq[Column] => Column): V = {
+      val lifted = args.map(liftDef)
+      if (lifted.forall(_.isRight))
+        VCol(f(lifted.collect { case Right(cc) => cc }))
+      else {
+        val pends = Seq.newBuilder[Pend]
+        var idx = 0
+        val getters: Seq[Seq[Column] => Column] = lifted.map {
+          case Right(cc) => (_: Seq[Column]) => cc
+          case Left(VDeferred(ps, build)) =>
+            val start = idx; idx += ps.length; pends ++= ps
+            (cs: Seq[Column]) => build(cs.slice(start, start + ps.length))
+        }
+        VDeferred(pends.result(), cs => f(getters.map(_(cs))))
+      }
+    }
+
+    def binopCol(op: String, a: Column, b: Column): Column = op match {
+      case "+" => a + b; case "-" => a - b; case "*" => a * b
+      case "/" => a / b; case "%" => pmod(a, b)
+      case "==" => a === b; case "!=" => a =!= b
+      case ">=" => a >= b; case "<=" => a <= b
+      case ">" => a > b; case "<" => a < b
+      case "and" => a && b; case "or" => a || b
+      case o => throw new PxlError(s"column op $o")
+    }
+
+    /** out=(column, px.aggfn) tuples -> named Spark aggregate exprs.
+      * Boolean inputs to numeric aggs follow the reference's implicit
+      * bool->int coercion (`num_errors=('failure', px.sum)` counts
+      * failures); Spark's sum/max reject BooleanType outright.
+      */
+    def aggExpr(fn: String, colName: String,
+                schema: org.apache.spark.sql.types.StructType): Column = {
+      def cc: Column = {
+        val base = c(colName)
+        if (schema.exists(f => f.name == colName &&
+            f.dataType == org.apache.spark.sql.types.BooleanType))
+          base.cast("long")
+        else base
+      }
+      fn match {
       case "count" => count(c(colName))
-      case "mean" => avg(c(colName).cast("double"))
-      case "sum" => sum(c(colName))
-      case "max" => max(c(colName))
-      case "min" => min(c(colName))
+      case "mean" => avg(cc.cast("double"))
+      case "sum" => sum(cc)
+      case "max" => max(cc)
+      case "min" => min(cc)
       case "any" => any_value(c(colName))
       case "quantiles" if env.sketchQuantiles =>
         // Scale mode: mergeable t-digest, O(compression) per-group state.
@@ -202,7 +266,7 @@ object PxlRunner {
         to_json(struct(ps.map { case (k, q) =>
           call_function("percentile", c(colName), lit(q)).as(k) }: _*))
       case other => throw new PxlError(s"unknown aggregate px.$other")
-    }
+    } }
 
     def callBuiltin(name: String, args: Seq[V], kwargs: Seq[(String, V)]): V = {
       val kw = kwargs.toMap
@@ -275,7 +339,8 @@ object PxlRunner {
         VCol(get_json_object(asCol(args.head),
           "$." + asStrings(args(1)).head).cast("double"))
       case "select" =>
-        VCol(when(asCol(args.head), asCol(args(1))).otherwise(asCol(args(2))))
+        colCombine(Seq(args.head, args(1), args(2))) { case Seq(p, a, b) =>
+          when(p, a).otherwise(b) }
       case "parse_duration" => args.head match {
         case VStr(d) => VInt(PixieFunctions.parseDurationNs(d))
         case o => throw new PxlError(s"parse_duration($o)")
@@ -354,6 +419,13 @@ object PxlRunner {
         }
         VCol(PixieFunctions.scriptReference(
           asCol(args.head), asCol(args(1)), pairs: _*))
+      // has_service_name / has_service_id (metadata_ops.h:3081-3121):
+      // equality, or membership when the value is a JSON string array.
+      // Works on plain columns and directly on ctx properties
+      // (`px.has_service_name(df.ctx['service'], svc)`).
+      case "has_service_name" | "has_service_id" =>
+        colCombine(Seq(args.head, args(1))) { case Seq(a, b) =>
+          PixieFunctions.equalsOrArrayContains(a, b) }
       case mfn if env.metaFns(mfn) => VMetaCall(mfn, args.head)
       // protocol_ops decoders (funcs/protocols/protocol_ops.cc)
       case "protocol_name" =>
@@ -387,7 +459,7 @@ object PxlRunner {
       case (VGrouped(t, keys), "agg") =>
         val aggs = kwargs.map {
           case (out, VList(Seq(VStr(colName), VBuiltin(fn)))) =>
-            out -> aggExpr(fn, colName)
+            out -> aggExpr(fn, colName, t.df.schema)
           case (out, other) => throw new PxlError(s"agg $out=$other")
         }
         if (aggs.isEmpty) VTab(t.distinctGroups(keys: _*))
@@ -406,7 +478,21 @@ object PxlRunner {
           case Some(VList(Seq(VStr(a), VStr(b)))) => (a, b)
           case _ => ("_x", "_y")
         }
-        VTab(t.merge(right, how, leftOn, rightOn, sfx))
+        val merged = t.merge(right, how, leftOn, rightOn, sfx)
+        // Carnot's join emits BOTH key columns suffixed and fills misses
+        // with '' (dataframe.h merge + default-value columns); scripts
+        // then coalesce manually (`px.select(df.k != '', df.k, df.k_x)`,
+        // e.g. pxviews connection_throughput_stats). Our merge coalesces
+        // pandas-style, so alias the already-coalesced key under the
+        // suffixed name — either access pattern sees the resolved value.
+        val out =
+          if (how != "outer") merged
+          else leftOn.zip(rightOn).filter { case (a, b) => a == b }
+            .foldLeft(merged) { case (acc, (k, _)) =>
+              val sk = k + sfx._2
+              if (acc.df.columns.contains(sk)) acc else acc.withCol(sk, c(k))
+            }
+        VTab(out)
       case (VTab(t), "head") =>
         VTab(t.head(args.headOption.map(asLongV).getOrElse(5L).toInt))
       case (VTab(t), "drop") =>
@@ -449,6 +535,11 @@ object PxlRunner {
             case VStr(s) => s
             case o => throw new PxlError(s"projection: $o") }: _*))
           case VCol(cond) => VTab(t.where(cond))
+          // deferred predicate (ctx/metadata joins inside the filter):
+          // materialize into temp columns, filter, drop them
+          case d: VDeferred =>
+            val (wide, cond, tmps) = materializeDeferred(t, d)
+            VTab(wide.where(cond).dropCols(tmps: _*))
           case VStr(s) => VCol(c(s))
           case o => throw new PxlError(s"df[$o]")
         }
@@ -514,6 +605,24 @@ object PxlRunner {
         case other => throw new PxlError(s"metadata fn $fn on $other")
       }
 
+    /** Materialize a deferred expression's pending joins as temp columns
+      * on `t`: returns the widened table, the built column, and the temp
+      * names for the caller to drop.
+      */
+    def materializeDeferred(t: PxTable, d: VDeferred)
+        : (PxTable, Column, Seq[String]) = {
+      var cur = t
+      val cols = d.pends.zipWithIndex.map { case (p, i) =>
+        val tmp = s"__defer_$i"
+        p match {
+          case PendCtx(prop) => cur = PxTable(env.ctx(cur.df, prop, tmp))
+          case PendMeta(fn, arg) => cur = materializeMeta(cur, fn, arg, tmp)
+        }
+        c(tmp)
+      }
+      (cur, d.build(cols), d.pends.indices.map(i => s"__defer_$i"))
+    }
+
     /** Column assignment (t.x = e / t['x'] = e) rebinds the table var in
       * the scope where it lives — the ast_visitor's subscript/attribute-
       * assign semantics.
@@ -521,14 +630,25 @@ object PxlRunner {
     def assignColumn(varName: String, colName: String, value: V): Unit = {
       val scope = scopes.find(_.contains(varName)).getOrElse(
         throw new PxlError(s"undefined variable $varName"))
-      val t = scope(varName) match {
+      val t0 = scope(varName) match {
         case VTab(x) => x
         case other => throw new PxlError(s"column assign on $other")
       }
+      // Reassigning an existing column through a ctx/metadata JOIN must
+      // overwrite, like the ast_visitor's column assign (plain withCol
+      // overwrites natively; the join paths would append a duplicate).
+      def dropped(v: V): PxTable = v match {
+        case VCol(_) | VInt(_) | VFloat(_) | VStr(_) | VBool(_) => t0
+        case _ if !t0.df.columns.contains(colName) => t0
+        case _ => t0.dropCols(colName)
+      }
       val updated = value match {
-        case VCtx(prop) => PxTable(env.ctx(t.df, prop, colName))
-        case VMetaCall(fn, arg) => materializeMeta(t, fn, arg, colName)
-        case v => t.withCol(colName, asCol(v))
+        case VCtx(prop) => PxTable(env.ctx(dropped(value).df, prop, colName))
+        case d: VDeferred =>
+          val (wide, cc, tmps) = materializeDeferred(dropped(value), d)
+          wide.withCol(colName, cc).dropCols(tmps: _*)
+        case VMetaCall(fn, arg) => materializeMeta(dropped(value), fn, arg, colName)
+        case v => t0.withCol(colName, asCol(v))
       }
       scope(varName) = VTab(updated)
     }

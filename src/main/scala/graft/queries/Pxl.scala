@@ -44,6 +44,7 @@ object Pxl {
       // the pod IP of the event's own pod incarnation
       when(pmod(col("event_id"), lit(5)) === 0, lit("-"))
         .otherwise(selfIp).as("remote_addr"),
+      (lit(1024) + pmod(col("event_id"), lit(32768))).as("remote_port"),
       (lit(100) + pmod(col("event_id"), lit(1000))).as("resp_body_size"),
       // server-side tracing unless the event is client-traced (%3 == 0)
       when(pmod(col("event_id"), lit(3)) === 0, lit(1)).otherwise(lit(2))
@@ -108,6 +109,53 @@ object Pxl {
       (pmod(col("event_id"), lit(1024)) * 512L).as("read_bytes"),
       (pmod(col("event_id"), lit(512)) * 512L).as("write_bytes"))
 
+  /** dns_events shape (stirling's dns table — reference
+    * src/stirling/source_connectors/socket_tracer/dns_table.h): query and
+    * response headers/bodies as JSON text, trace role, requester address.
+    */
+  def dnsEvents(s: SparkSession, dir: String): DataFrame = {
+    val g = when(col("ts") < splitNs, lit(0)).otherwise(lit(1))
+    val selfIp = concat(lit("10."), g + 10, lit("."),
+      pmod(col("user_id"), lit(250)), lit("."),
+      lit(1) + call_function("div", col("user_id"), lit(250L)))
+    t(s, dir, "events").select(
+      (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
+      col("user_id"),
+      when(pmod(col("event_id"), lit(3)) === 0, lit(1)).otherwise(lit(2))
+        .as("trace_role"),
+      when(pmod(col("event_id"), lit(5)) === 0, lit("-"))
+        .otherwise(selfIp).as("remote_addr"),
+      col("value").as("latency"),
+      concat(lit("""{"qname":"svc-"""), pmod(col("user_id"), lit(10)),
+        lit(""".local"}""")).as("req_header"),
+      concat(lit("dns-q-"), col("event_id")).as("req_body"),
+      concat(lit("""{"rcode":"""), pmod(col("event_id"), lit(4)), lit("}"))
+        .as("resp_header"),
+      concat(lit("dns-a-"), col("event_id")).as("resp_body"))
+  }
+
+  /** conn_stats shape (stirling's conn_stats table): per-connection
+    * MONOTONE byte counters — pxviews.connection_throughput_stats takes
+    * max-min deltas per connection key, so the counters are synthesized
+    * as monotone functions of event time and the upid is
+    * connection-stable (per user), giving the deltas real work.
+    */
+  def connStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
+      col("user_id"),
+      graft.types.Upid.makeUpid(col("user_id"), lit(1000) + col("user_id"),
+        lit(1700000000000000000L)).as("upid"),
+      (lit(1) + pmod(col("event_id"), lit(2))).as("trace_role"),
+      concat(lit("10.9."), pmod(col("user_id"), lit(50)), lit(".7"))
+        .as("remote_addr"),
+      (lit(3000) + pmod(col("user_id"), lit(7))).as("remote_port"),
+      pmod(col("event_id"), lit(2)).as("ssl"),
+      pmod(col("event_id"), lit(5)).as("protocol"),
+      graft.functions.PixieFunctions.idiv(col("ts"), 1000L).as("bytes_sent"),
+      graft.functions.PixieFunctions.idiv(
+        graft.functions.PixieFunctions.idiv(col("ts"), 1000L), 3L).as("bytes_recv"))
+
   /** jvm_stats shape (stirling's jvm table): per-process monotonic GC
     * counters + heap gauges, upid per PROCESS (q60 convention) so the
     * script's two-level upid-then-pod aggregation does real work.
@@ -148,6 +196,8 @@ object Pxl {
         case "redis_events" => redisEvents(s, dir)
         case "process_stats" => processStats(s, dir)
         case "jvm_stats" => jvmStats(s, dir)
+        case "dns_events" => dnsEvents(s, dir)
+        case "conn_stats" => connStats(s, dir)
         case other => graft.core.Tables(s, dir, other)
       },
       ctx = (df, prop, out) => {
@@ -158,7 +208,7 @@ object Pxl {
         if (cols("user_id") && cols("time_")) {
           val (dim, attr) = prop match {
             case "service" => (podDim, "service_name")
-            case "pod" => (podDim, "pod_name")
+            case "pod" | "pod_name" => (podDim, "pod_name")
             case "namespace" => (fullDim, "namespace")
             case "node" | "node_name" => (fullDim, "node_name")
             case "container_name" => (fullDim, "container_name")
@@ -171,7 +221,7 @@ object Pxl {
             .withColumnRenamed(attr, out), out)
         } else if (cols("pod_id")) {
           val fn = prop match {
-            case "pod" => "pod_id_to_pod_name"
+            case "pod" | "pod_name" => "pod_id_to_pod_name"
             case "service" => "pod_id_to_service_name"
             case "namespace" => "pod_id_to_namespace"
             case "node" | "node_name" => "pod_id_to_node_name"

@@ -211,6 +211,28 @@ class PxlSpec extends AnyFunSuite {
     intercept[PxlParser.ParseError](PxlParser.parse("f(a b)"))
   }
 
+  test("non-oracle script functions execute: let summaries, cluster services, http_graph") {
+    // These verbatim functions emit a raw quantiles-JSON column or use
+    // px.any over it (non-deterministic pick — the script's own TODO), so
+    // they cannot be hash-gated; prove they run and carry the documented
+    // shape instead.
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    def run(path: String, fn: String, args: Seq[String]) = {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      PxlRunner.runFunction(src, Pxl.env(spark, dir, now), fn, args)
+    }
+    val s1 = run(graft.queries.Pxl2.PodsPxlPath, "inbound_let_summary",
+      Seq("-45d", "ns1"))
+    assert(s1.count() > 0 && s1.columns.contains("requesting_svc"))
+    val s2 = run(graft.queries.Pxl2.ClusterPxlPath, "services_for_cluster",
+      Seq("-45d"))
+    assert(s2.count() > 0 && s2.columns.contains("inbound_conns"))
+    val s3 = run(graft.queries.Pxl2.ClusterPxlPath, "service_let_graph",
+      Seq("-45d"))
+    assert(s3.count() > 0 && s3.columns.toSeq.contains("responder_pod"))
+  }
+
   test("relative time strings gate the scan window") {
     val script =
       """import px
