@@ -158,6 +158,32 @@ object PixieFunctions {
       label.as("label"), script.as("script"),
       struct(args.map { case (k, v) => v.as(k) }: _*).as("args")))
 
+  /** Parse a flat JSON object of string->string into ordered pairs —
+    * the _match_regex_rule rules argument (rule order is match
+    * priority, so a Map would lose semantics).
+    */
+  def parseJsonStringMap(json: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    val n = json.length
+    def str(): String = { // at opening quote
+      val sb = new StringBuilder; i += 1
+      while (i < n && json(i) != '"') {
+        if (json(i) == '\\' && i + 1 < n) { sb += json(i + 1); i += 2 }
+        else { sb += json(i); i += 1 }
+      }
+      i += 1; sb.toString
+    }
+    while (i < n) {
+      if (json(i) == '"') {
+        val k = str()
+        while (i < n && json(i) != '"') i += 1 // skip ':' and spaces
+        if (i < n) out += (k -> str())
+      } else i += 1
+    }
+    out.result()
+  }
+
   /** _match_regex_rule (regex_ops.cc): first rule whose pattern matches
     * wins; default when none do. Codegen'd CASE WHEN rlike chain.
     */

@@ -17,6 +17,14 @@ import scala.collection.mutable
   * strings), compiler/ast_visitor.h (evaluation order: flat statements,
   * assignments rebind, attribute/subscript column assignment).
   *
+  * Resolvable px.* surface: 102 directly-bound builtin names (scalars,
+  * time/duration constructors, semantic-type casts, protocol decoders,
+  * 14 UDTF sources, display/debug sinks), PLUS the 81 metadata lookup
+  * bindings injected through [[PxlEnv.metaFns]]
+  * (graft.meta.MetadataOps.bindings) and 10 aggregate functions (count,
+  * mean, sum, max, min, any, quantiles, sample, pprof, _kmeans) — every
+  * name the 67 bundled scripts reference resolves (PxlSpec sweeps).
+  *
   * Engine policy notes:
   * - `px.quantiles` has two mappings selected by [[PxlEnv.sketchQuantiles]]:
   *   exact interpolated percentiles reported as the ST_QUANTILES JSON
@@ -49,7 +57,12 @@ object PxlRunner {
       meta: (DataFrame, String, String, String) => DataFrame =
         (_, fn, _, _) => throw new PxlError(s"metadata fn $fn: no resolver bound"),
       modules: Map[String, String] = Map.empty,
-      sketchQuantiles: Boolean = false)
+      sketchQuantiles: Boolean = false,
+      /** UDTF sources (`px.GetAgentStatus()` style): name + stringified
+        * args -> relation. Bound to graft.sources.CatalogUdtfs.
+        */
+      udtfs: (String, Seq[String]) => DataFrame =
+        (n, _) => throw new PxlError(s"UDTF $n: no resolver bound"))
 
   // ---- value domain --------------------------------------------------
   private sealed trait V
@@ -257,6 +270,12 @@ object PxlRunner {
       case "max" => max(cc)
       case "min" => min(cc)
       case "any" => any_value(c(colName))
+      // sample: deterministic distinct-value bottom-k (Aggregators.scala
+      // contract, q23); pprof: folded stack profile with weight 1/row
+      case "sample" => graft.functions.Aggregators.sampleK(cc, 10)
+      case "pprof" =>
+        graft.functions.MlAggregators.pprof(c(colName), lit(1L))
+      case "_kmeans" => graft.functions.MlAggregators.kmeans(c(colName), 2)
       case "quantiles" if env.sketchQuantiles =>
         // Scale mode: mergeable t-digest, O(compression) per-group state.
         graft.functions.Aggregators.quantiles(c(colName).cast("double"))
@@ -374,6 +393,66 @@ object PxlRunner {
         case VStr(sub) => VCol(PixieFunctions.find(asCol(args.head), sub))
         case o => throw new PxlError(s"find($o)")
       }
+      // string_ops tail (funcs/builtins/string_ops.cc)
+      case "atoi" => VCol(PixieFunctions.atoi(asCol(args.head)))
+      case "itoa" => VCol(PixieFunctions.itoa(asCol(args.head)))
+      case "hex_to_ascii" => VCol(PixieFunctions.hexToAscii(asCol(args.head)))
+      case "bytes_to_hex" => VCol(PixieFunctions.bytesToHex(asCol(args.head)))
+      case "trim" => VCol(trim(asCol(args.head)))
+      case "strip_prefix" => args.head match {
+        case VStr(p) => VCol(PixieFunctions.stripPrefix(p, asCol(args(1))))
+        case o => throw new PxlError(s"strip_prefix($o)")
+      }
+      // json_ops split: literal delimiter -> JSON array STRING
+      case "split" => args(1) match {
+        case VStr(d) => VCol(PixieFunctions.splitToJson(asCol(args.head), d))
+        case o => throw new PxlError(s"split($o)")
+      }
+      // math_ops tail
+      case "negate" => VCol(-asCol(args.head))
+      case "modulo" => VCol(pmod(asCol(args.head), asCol(args(1))))
+      case "time_to_int64" | "int64_to_time" =>
+        VCol(asCol(args.head).cast("long")) // time IS int64 ns (SURVEY §1.2)
+      // regex_ops _match_regex_rule: JSON dict of name->pattern, first
+      // full match wins, '' when none (regex_ops.h:120-148)
+      case "_match_regex_rule" => args.head match {
+        case VStr(rulesJson) =>
+          VCol(PixieFunctions.matchRegexRule(asCol(args(1)),
+            PixieFunctions.parseJsonStringMap(rulesJson)
+              .map { case (k, p) => k -> s"^(?:$p)$$" }, ""))
+        case o => throw new PxlError(s"_match_regex_rule($o)")
+      }
+      // protocol_ops decoder tail
+      case "mux_frame_type_name" =>
+        VCol(graft.functions.ProtocolOps.muxFrameTypeName.column(asCol(args.head)))
+      case "amqp_frame_type_name" =>
+        VCol(graft.functions.ProtocolOps.amqpFrameTypeName.column(asCol(args.head)))
+      case "amqp_class_name" =>
+        VCol(graft.functions.ProtocolOps.amqpClassName.column(asCol(args.head)))
+      case "amqp_method_name" =>
+        VCol(graft.functions.ProtocolOps.amqpMethodName(
+          asCol(args.head), asCol(args(1))))
+      // UDTF sources (md_udtfs.cc registry + internal _HeapGrowthStacks)
+      case "GetTables" | "GetSchemas" | "GetUDFList" | "GetUDAList" |
+           "GetUDTFList" | "GetAgentStatus" | "GetProfilerSamplingPeriodMS" |
+           "GetLinuxHeadersStatus" | "GetTracepointStatus" |
+           "GetCronScriptHistory" | "_DebugMDState" | "_DebugMDGetWithPrefix" |
+           "_DebugTableInfo" | "_HeapGrowthStacks" =>
+        VTab(PxTable(env.udtfs(name, args.map {
+          case VStr(s) => s
+          case VInt(i) => i.toString
+          case o => throw new PxlError(s"$name arg: $o")
+        })))
+      // px.debug(df[, name]): like display, under a '_'-prefixed table
+      // name (compiler.cc debug sink convention)
+      case "debug" =>
+        val df = args.head match {
+          case VTab(t) => t.df
+          case o => throw new PxlError(s"debug: $o")
+        }
+        val nm = args.lift(1) match { case Some(VStr(s)) => s case _ => "output" }
+        results("_" + nm) = df
+        VBool(true)
       case "substring" =>
         VCol(asCol(args.head).substr(asCol(args(1)) + 1, asCol(args(2))))
       case "length" => VCol(length(asCol(args.head)))
@@ -482,16 +561,16 @@ object PxlRunner {
         // Carnot's join emits BOTH key columns suffixed and fills misses
         // with '' (dataframe.h merge + default-value columns); scripts
         // then coalesce manually (`px.select(df.k != '', df.k, df.k_x)`,
-        // e.g. pxviews connection_throughput_stats). Our merge coalesces
-        // pandas-style, so alias the already-coalesced key under the
-        // suffixed name — either access pattern sees the resolved value.
-        val out =
-          if (how != "outer") merged
-          else leftOn.zip(rightOn).filter { case (a, b) => a == b }
-            .foldLeft(merged) { case (acc, (k, _)) =>
-              val sk = k + sfx._2
-              if (acc.df.columns.contains(sk)) acc else acc.withCol(sk, c(k))
+        // e.g. pxviews connection_throughput_stats) or read `df.k_x`
+        // directly after an inner join (collect_agent_heaps). Our merge
+        // collapses same-named keys pandas-style, so alias the resolved
+        // key under the suffixed name — both access patterns agree.
+        val out = leftOn.zip(rightOn).filter { case (a, b) => a == b }
+          .foldLeft(merged) { case (acc, (k, _)) =>
+            Seq(k + sfx._1, k + sfx._2).foldLeft(acc) { (a, sk) =>
+              if (a.df.columns.contains(sk)) a else a.withCol(sk, c(k))
             }
+          }
         VTab(out)
       case (VTab(t), "head") =>
         VTab(t.head(args.headOption.map(asLongV).getOrElse(5L).toInt))

@@ -237,7 +237,11 @@ object Ml {
          |FROM s ORDER BY table_name, column_index""".stripMargin),
 
     "q51_agents" -> (
-      "SELECT 'local' AS agent_id, 'KERNEL_HEADERS_INSTALLED' AS status, " +
-        "CAST(1 AS BIGINT) AS create_time")
+      "SELECT '00000000-0000-0000-0000-000000000001' AS agent_id, " +
+        "CAST(1 AS BIGINT) AS asid, 'host-local' AS hostname, " +
+        "'10.11.1.1:8080' AS ip_address, 'AGENT_STATE_HEALTHY' AS agent_state, " +
+        "CAST(1700000000000000000 AS BIGINT) AS create_time, " +
+        "CAST(5000000 AS BIGINT) AS last_heartbeat_ns, " +
+        "true AS kernel_headers_installed")
   )
 }

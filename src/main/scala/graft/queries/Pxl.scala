@@ -245,7 +245,30 @@ object Pxl {
         blankOnMiss(resolved, out)
       },
       modules = Map("pxviews" -> pxviewsSource),
-      sketchQuantiles = sketchQuantiles)
+      sketchQuantiles = sketchQuantiles,
+      udtfs = (name, args) => {
+        import graft.sources.CatalogUdtfs
+        name match {
+          case "GetTables" => CatalogUdtfs.getTables(s, dir)
+          case "GetSchemas" => CatalogUdtfs.getSchemas(s, dir)
+          case "GetUDFList" => CatalogUdtfs.getUdfList(s)
+          case "GetUDAList" => CatalogUdtfs.getUdaList(s)
+          case "GetUDTFList" => CatalogUdtfs.getUdtfList(s)
+          case "GetAgentStatus" => CatalogUdtfs.getAgentStatus(s)
+          case "GetProfilerSamplingPeriodMS" =>
+            CatalogUdtfs.getProfilerSamplingPeriodMS(s)
+          case "GetLinuxHeadersStatus" => CatalogUdtfs.getLinuxHeadersStatus(s)
+          case "GetTracepointStatus" => CatalogUdtfs.getTracepointStatus(s)
+          case "GetCronScriptHistory" => CatalogUdtfs.getCronScriptHistory(s)
+          case "_DebugMDState" => CatalogUdtfs.debugMDState(s)
+          case "_DebugMDGetWithPrefix" =>
+            CatalogUdtfs.debugMDGetWithPrefix(s, args.headOption.getOrElse(""))
+          case "_DebugTableInfo" => CatalogUdtfs.debugTableInfo(s)
+          case "_HeapGrowthStacks" =>
+            CatalogUdtfs.heapGrowthStacks(s, args.headOption.map(_.toLong).getOrElse(1L))
+          case other => throw new IllegalArgumentException(s"UDTF $other")
+        }
+      })
   }
 
   /** The REAL bundled helper library, loaded verbatim (it ships embedded

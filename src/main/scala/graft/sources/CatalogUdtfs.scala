@@ -129,13 +129,29 @@ object CatalogUdtfs {
     udtfNames.map(Tuple1(_)).toDF("name")
   }
 
-  /** GetAgentStatus: single local "agent" (Spark has no PEM fleet; the
-    * executor topology is Spark's concern).
+  /** GetAgentStatus (md_udtfs_impl.h:287-305 relation): single local
+    * "agent" (Spark has no PEM fleet; the executor topology is Spark's
+    * concern). agent_id is the UINT128 uuid in string form; ip_address
+    * carries host:port like the reference (scripts split on ':').
     */
   def getAgentStatus(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(("local", "KERNEL_HEADERS_INSTALLED", 1L))
-      .toDF("agent_id", "status", "create_time")
+    Seq(("00000000-0000-0000-0000-000000000001", 1L, "host-local",
+      "10.11.1.1:8080", "AGENT_STATE_HEALTHY", 1700000000000000000L,
+      5000000L, true))
+      .toDF("agent_id", "asid", "hostname", "ip_address", "agent_state",
+        "create_time", "last_heartbeat_ns", "kernel_headers_installed")
+  }
+
+  /** _HeapGrowthStacks (internal debug.h:141-143 relation: asid, heap).
+    * No Go heap profiler exists in a Spark deployment — deterministic
+    * stub rows with the reference's folded-stack text shape.
+    */
+  def heapGrowthStacks(spark: SparkSession, asid: Long): DataFrame = {
+    import spark.implicits._
+    Seq((asid, "runtime.mallocgc;runtime.makeslice;app.handle 1024"),
+      (asid, "runtime.mallocgc;bytes.growSlice;app.buffer 512"))
+      .toDF("asid", "heap")
   }
 
   // ---- the md_udtfs long tail (md_udtfs.cc:32-60) --------------------

@@ -233,6 +233,76 @@ class PxlSpec extends AnyFunSuite {
     assert(s3.count() > 0 && s3.columns.toSeq.contains("responder_pod"))
   }
 
+  test("builtin long tail: string/math/regex/protocol scalars resolve and compute") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |df.n = px.atoi('42')
+        |df.s = px.itoa(df.resp_status)
+        |df.hx = px.bytes_to_hex(px.substring(df.req_path, 0, 1))
+        |df.asc = px.hex_to_ascii('2f')
+        |df.t = px.trim('  x ')
+        |df.sp = px.strip_prefix('/api', df.req_path)
+        |df.parts = px.split(df.req_path, '/')
+        |df.neg = px.negate(df.resp_status)
+        |df.md = px.modulo(df.resp_status, 7)
+        |df.ti = px.time_to_int64(df.time_)
+        |df.rule = px._match_regex_rule('{"api": "/api/.*", "health": "/healthz"}', df.req_path)
+        |df.mux = px.mux_frame_type_name(2)
+        |df.amqf = px.amqp_frame_type_name(1)
+        |df.amqc = px.amqp_class_name(10)
+        |df.amqm = px.amqp_method_name(10, 10)
+        |out = df[['req_path', 'n', 's', 'hx', 'asc', 't', 'sp', 'parts',
+        |          'neg', 'md', 'ti', 'rule', 'mux', 'amqf', 'amqc', 'amqm']]
+        |px.display(out.head(50), 'x')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val rows = PxlRunner.run(script, Pxl.env(spark, dir, now))("x").collect()
+    val api = rows.find(_.getAs[String]("req_path").startsWith("/api")).get
+    assert(api.getAs[Long]("n") == 42L)
+    assert(api.getAs[String]("asc") == "/")
+    assert(api.getAs[String]("t") == "x")
+    assert(api.getAs[String]("sp").startsWith("/v"))
+    assert(api.getAs[String]("parts").startsWith("[\"\",\"api\""))
+    assert(api.getAs[Long]("neg") < 0)
+    assert(api.getAs[String]("rule") == "api")
+    val health = rows.find(_.getAs[String]("req_path") == "/healthz")
+    health.foreach(h => assert(h.getAs[String]("rule") == "health"))
+    assert(api.getAs[String]("amqc") == "Connection")
+  }
+
+  test("sample/pprof/_kmeans bind as PxL aggregates") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |g = df.groupby('user_id').agg(
+        |    ids=('resp_status', px.sample),
+        |    prof=('req_path', px.pprof),
+        |)
+        |px.display(g.head(20), 'a')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val rows = PxlRunner.run(script, Pxl.env(spark, dir, now))("a").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[scala.collection.Seq[Long]]("ids").nonEmpty)
+    assert(rows.head.getAs[String]("prof").nonEmpty)
+  }
+
+  test("UDTF sources bind: verbatim collect_agent_heaps runs end-to-end") {
+    val path = s"${Pxl.RefDir}/src/pxl_scripts/px/collect_agent_heaps/collect_agent_heaps.pxl"
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.runFunction(src, Pxl.env(spark, dir, now),
+      "collect_pprofs", Seq("1"))
+    val rows = out.collect()
+    assert(out.columns.toSeq == Seq("asid", "hostname", "heap"))
+    assert(rows.length == 2 && rows.forall(_.getAs[Long]("asid") == 1L))
+    // ip 10.11.1.1 resolves to a pod whose node the ctx chain finds
+    assert(rows.forall(r => r.getAs[String]("hostname").startsWith("node-") ||
+      r.getAs[String]("hostname") == "host-local"))
+  }
+
   test("relative time strings gate the scan window") {
     val script =
       """import px
