@@ -43,6 +43,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     spark.stop()
+    // The JSON must be the last stdout line AND fully drained: r3's run
+    // lost the tail of this line to a closing pipe, so flush explicitly
+    // and give the consumer a beat to drain before the JVM exits.
+    // (bench_result.json above always carries the complete record; run
+    // via tools/bench.sh for a guaranteed-clean single-line stdout.)
     println(json)
+    System.out.flush()
+    Thread.sleep(500)
   }
 }

@@ -137,6 +137,13 @@ object MlAggregators {
 
   /** Column entry points (2-arg udaf for pprof: stack, count). */
   def kmeans(c: Column, k: Int): Column = udaf(new KMeansAgg(k)).apply(c)
+  /** Parameterized fit — iters=0 is the init-only coarse quantizer
+    * (evenly-spaced picks from the canonical sorted point set): zero
+    * floating-point accumulation, so a SQL oracle can re-derive the
+    * identical model; raise iters for Lloyd refinement at deployment.
+    */
+  def kmeansFit(c: Column, k: Int, iters: Int, cap: Int = 128): Column =
+    udaf(new KMeansAgg(k, cap, iters)).apply(c)
   def pprof(stack: Column, count: Column): Column =
     udaf(new PprofAgg).apply(stack, count)
 }

@@ -56,16 +56,47 @@ object MlScalars {
     (graft.expressions.Md5Long60.column(c.cast("binary"))
       % 2000001L - 1000000L) / 1000000.0
 
-  /** _text_embedding STUB: the reference runs an embedded transformer
-    * (ml_ops.cc TransformerUDF -> exec/ml/transformer_executor.h). No
-    * model ships here, so the embedding is a deterministic per-dimension
-    * md5 feature hash — same column type (array<double>), same pipeline
-    * shape, reproducible in any engine. Swap `h1` for an ONNX-session UDF
-    * to make it real.
+  /** _text_embedding (ml_ops.cc TransformerUDF ->
+    * exec/ml/transformer_executor.h). The reference runs an embedded
+    * ONNX transformer we cannot ship; this dispatches between two
+    * self-contained implementations on SPARK_GRAFT_EMBEDDING:
+    *   - default: the deterministic per-dimension md5 STUB
+    *     (oracle-reproducible in any engine — the gate setting);
+    *   - "hashed": the hashing-trick bag-of-words embedding (real
+    *     lexical signal: token buckets + signs, L2-normalized) — still
+    *     model-free and deterministic, the setting for pipelines that
+    *     want usable near-dup/similarity behavior without a model.
+    * An ONNX-session implementation drops in as a third branch where a
+    * model runtime is available.
     */
   def textEmbedding(text: Column, dim: Int): Column =
+    sys.env.get("SPARK_GRAFT_EMBEDDING") match {
+      case Some("hashed") => textEmbeddingHashed(text, dim)
+      case _ => textEmbeddingStub(text, dim)
+    }
+
+  /** The per-dimension md5 feature stub (see [[textEmbedding]]). */
+  def textEmbeddingStub(text: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => h1(concat(text, lit("#"), i)))
+
+  /** Hashing-trick embedding: each lowercased token hashes to one of
+    * `dim` buckets with a ±1 sign, the bucket counts L2-normalize —
+    * the classic feature-hashing text vectorizer, exact under any
+    * partitioning (per-row, no state).
+    */
+  def textEmbeddingHashed(text: Column, dim: Int): Column = {
+    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    val raw = transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(toks, lit(0.0), (acc, t) => {
+        val h = graft.expressions.Md5Long60.column(t.cast("binary"))
+        acc + when(pmod(h, lit(dim)) === i,
+          when(pmod(h, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+          .otherwise(lit(0.0))
+      }))
+    val nrm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
+    transform(raw, x => when(nrm > 0, x / nrm).otherwise(x))
+  }
 
   /** _encode_sentence_piece STUB: the reference tokenizes with an
     * embedded sentencepiece model (ml_ops.cc SentencePieceUDF). Stub

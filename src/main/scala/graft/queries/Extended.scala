@@ -217,6 +217,52 @@ object Extended {
     "q78_empty_source" -> ((s, dir) =>
       graft.operators.PxTable.empty(s, t(s, dir, "nation").schema).df),
 
+    // Custom streaming STATE in the oracle gate: gap-sessionization via
+    // flatMapGroupsWithState replayed over the file stream. Append mode
+    // emits a session only when a LATER event closes it, so each user's
+    // final session stays open — the oracle drops it the same way. ts is
+    // µs-truncated before the gap math so both engines compare the same
+    // values (sub-µs ns parts are invisible to DuckDB).
+    "q94_streaming_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val stream = graft.core.Tables.stream(s, dir, "events")
+        .select(col("user_id"),
+          (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L)
+            .as("ts_ns"))
+        .as[graft.streaming.Streaming.SessionEvent]
+      val sessions = graft.streaming.Streaming
+        .sessionize(stream, gapNs = 3600L * 1000000000L)
+      val qn = "q94_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessions.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("user_id", "start_ns")
+    }),
+
+    // Stream-static as-of join in the oracle gate: the streaming fact
+    // resolves point-in-time pod metadata against the static two-
+    // generation dimension (the ctx-resolution shape, streaming side).
+    "q95_streaming_asof" -> ((s, dir) => {
+      val splitNs = tsNsLit("2024-01-15")
+      val dim = graft.meta.K8sMetadata.syntheticPodDim(t(s, dir, "events"), splitNs)
+      val stream = graft.core.Tables.stream(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L)
+            .as("ts"))
+      val resolved = graft.meta.K8sMetadata.resolveAsOf(
+        stream, dim, "user_id", "owner_id", "ts", Seq("pod_name", "service_name"))
+      val qn = "q95_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = resolved.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).select("event_id", "user_id", "ts", "pod_name", "service_name")
+        .orderBy("event_id")
+    }),
+
     // dns_stats script shape (src/pxl_scripts/px/dns_*): tumbling px.bin
     // + protocol decoder rollup with error share.
     "q58_dns_stats" -> ((s, dir) => {
@@ -372,6 +418,31 @@ object Extended {
     },
 
     "q78_empty_source" -> "SELECT * FROM nation WHERE false",
+
+    "q94_streaming_sessions" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) * 1000 AS t FROM events),
+        |l AS (SELECT user_id, t,
+        |        lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM o),
+        |m AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 3600000000000
+        |        THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |g AS (SELECT user_id, sid, min(t) AS start_ns, max(t) AS end_ns,
+        |        count(*) AS n_events FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM g)
+        |SELECT user_id, start_ns, end_ns, n_events
+        |FROM r WHERE sid < last_sid ORDER BY user_id, start_ns""".stripMargin,
+
+    "q95_streaming_asof" -> {
+      val split = tsNsLit("2024-01-15")
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) * 1000 AS t,
+         |        CASE WHEN epoch_us(ts) * 1000 < $split THEN 0 ELSE 1 END AS g
+         |      FROM events)
+         |SELECT event_id, user_id, t AS ts,
+         |  'pod-' || user_id || '-gen' || g AS pod_name,
+         |  'svc-' || (user_id % 10) AS service_name
+         |FROM e ORDER BY event_id""".stripMargin
+    },
 
     "q75_streaming_window" -> (
       s"""SELECT (epoch_us(ts) // 86400000000) * 86400 AS bucket, event_type,

@@ -65,14 +65,22 @@ object NorthStar {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF ANN (the cell-partitioned 100 TB scale path): seeded coarse
-    // quantizer, corpus partitioned by nearest cell, queries probe the
-    // 2 closest of 8 cells. Fully deterministic -> full SQL oracle.
+    // IVF ANN (the cell-partitioned 100 TB scale path): coarse quantizer
+    // FIT by the in-repo kmeans aggregator (one distributed agg; the
+    // driver receives only the 8-centroid model, never data rows),
+    // corpus partitioned by nearest cell, queries probe the 2 closest of
+    // 8 cells. The fit runs init-only (iters=0: evenly-spaced picks from
+    // the canonical sorted point set, no float accumulation) so the SQL
+    // oracle re-derives the identical model; Lloyd refinement is a
+    // deployment knob (MlAggregators.kmeansFit) the gate doesn't depend
+    // on. Fully deterministic -> full SQL oracle.
     "q76_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
-        .select(col("embedding").cast("array<double>")).collect()
-        .map(_.getSeq[Double](0).toArray)
+      val model = emb.agg(graft.functions.MlAggregators.kmeansFit(
+          col("embedding").cast("array<double>"), 8, iters = 0).as("m"))
+        .head().getString(0)
+      val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+        .map(_.split(",").map(_.toDouble))
       Similarity.ivfCosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
           "embedding", 5, seeds, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -213,10 +221,17 @@ object NorthStar {
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
-      |seeds AS (SELECT vec_id AS sid, e AS se, nrm AS snrm FROM n WHERE vec_id < 8),
+      |cv AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
+      |       FROM (SELECT DISTINCT e FROM v) ORDER BY e LIMIT 128),
+      |ccount AS (SELECT count(*) AS c FROM cv),
+      |seeds AS (SELECT r.i + 1 AS sid,
+      |    list_transform(cv.e, x -> round_even(x * 1000000, 0) / 1000000) AS se
+      |  FROM range(8) r(i), ccount, cv WHERE cv.rn = (r.i * ccount.c) // 8 + 1),
+      |sn AS (SELECT sid, se, sqrt(list_sum(list_transform(se, x -> x * x))) AS snrm
+      |       FROM seeds),
       |cs AS (SELECT n.vec_id, sid,
       |    list_sum(list_transform(range(64), i -> n.e[i+1] * se[i+1])) / (n.nrm * snrm) AS c
-      |  FROM n, seeds),
+      |  FROM n, sn),
       |cellof AS (SELECT vec_id, sid AS cell FROM
       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
       |   FROM cs) WHERE rn = 1),

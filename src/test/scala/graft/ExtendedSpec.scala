@@ -83,4 +83,29 @@ class ExtendedSpec extends AnyFunSuite {
       .select(MlScalars.textEmbedding(lit("doc"), 8)).as[Seq[Double]].head()
     assert(e == e2)
   }
+
+  test("text_embedding hashed path: unit-norm lexical vectors, env-selected") {
+    // both implementation paths behind the SPARK_GRAFT_EMBEDDING switch
+    def emb(t: String) = Seq(1).toDF("x")
+      .select(MlScalars.textEmbeddingHashed(lit(t), 16)).as[Seq[Double]].head()
+    val a = emb("the quick brown fox")
+    val b = emb("the quick brown fox")
+    val c = emb("completely different words here")
+    assert(a == b && a.length == 16)
+    val norm = math.sqrt(a.map(v => v * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    def cos(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    // shared tokens -> higher cosine than disjoint text
+    val d = emb("the quick brown dog")
+    assert(cos(a, d) > cos(a, c))
+    // empty text: zero vector, no NaNs from the normalize guard
+    assert(emb("").forall(_ == 0.0))
+    // the default (no env var) dispatch resolves to the stub
+    val viaDispatch = Seq(1).toDF("x")
+      .select(MlScalars.textEmbedding(lit("doc"), 8)).as[Seq[Double]].head()
+    val stub = Seq(1).toDF("x")
+      .select(MlScalars.textEmbeddingStub(lit("doc"), 8)).as[Seq[Double]].head()
+    assert(viaDispatch == stub)
+  }
 }

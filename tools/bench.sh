@@ -1,0 +1,13 @@
+#!/bin/sh
+# Benchmark launcher whose stdout is EXACTLY one line: the Bench JSON.
+# sbt -error suppresses [info]/[success] wrappers; the JSON is then read
+# from bench_result.json (written atomically by Bench before exit), so a
+# truncated pipe can never clip it.
+#
+#   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/bench.sh
+cd "$(dirname "$0")/.." || exit 1
+SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+  sbt -error -batch "runMain graft.Bench" >/dev/null 2>bench_stderr.log
+rc=$?
+[ $rc -ne 0 ] && { echo "{\"metric\":\"total\",\"value\":-1,\"unit\":\"sec\",\"error\":\"bench exited $rc\"}"; exit $rc; }
+cat bench_result.json
