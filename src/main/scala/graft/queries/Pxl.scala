@@ -62,30 +62,158 @@ object Pxl {
       concat(lit("resp-"), col("event_id")).as("resp_body"))
   }
 
+  /** Shared tracer-table base (every stirling protocol table carries
+    * these): µs-aligned time_, the upid stand-in key, trace role,
+    * requester address (+port) with the '-'/own-pod-IP convention of
+    * [[httpEvents]], and the event latency.
+    */
+  private def tracerBase(s: SparkSession, dir: String): DataFrame = {
+    val g = when(col("ts") < splitNs, lit(0)).otherwise(lit(1))
+    val selfIp = concat(lit("10."), g + 10, lit("."),
+      pmod(col("user_id"), lit(250)), lit("."),
+      lit(1) + call_function("div", col("user_id"), lit(250L)))
+    t(s, dir, "events").select(
+      (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
+      col("user_id"), col("event_id"),
+      graft.types.Upid.makeUpid(col("user_id"), col("event_id"),
+        graft.functions.PixieFunctions.nsToUs(col("ts"))).as("upid"),
+      when(pmod(col("event_id"), lit(3)) === 0, lit(1)).otherwise(lit(2))
+        .as("trace_role"),
+      when(pmod(col("event_id"), lit(5)) === 0, lit("-"))
+        .otherwise(selfIp).as("remote_addr"),
+      (lit(1024) + pmod(col("event_id"), lit(32768))).as("remote_port"),
+      col("value").as("latency"))
+  }
+
   /** mysql_events shape (stirling's mysql table): command byte, response
-    * code, latency — synthesized deterministically from the fixture.
+    * code/status, bodies, latency + the tracer base columns.
     */
   def mysqlEvents(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
-      col("ts").as("time_"),
-      col("user_id"),
-      pmod(col("event_id"), lit(32)).as("req_cmd"),
-      pmod(col("event_id"), lit(4)).as("resp_code"),
-      col("value").as("latency_ns"))
+    tracerBase(s, dir)
+      .withColumn("req_cmd", pmod(col("event_id"), lit(32)))
+      .withColumn("resp_code", pmod(col("event_id"), lit(4)))
+      .withColumn("resp_status", pmod(col("event_id"), lit(4)))
+      .withColumn("req_body",
+        concat(lit("SELECT * FROM t"), pmod(col("event_id"), lit(5))))
+      .withColumn("resp_body", concat(lit("resp-"), col("event_id")))
+      .withColumn("latency_ns", col("latency"))
 
-  /** redis_events shape (stirling's redis table): command string +
-    * latency, synthesized deterministically from the fixture.
+  /** redis_events shape (stirling's redis table): command string, args,
+    * response, latency + the tracer base columns.
     */
   def redisEvents(s: SparkSession, dir: String): DataFrame = {
     val cmds = Seq("GET", "SET", "DEL", "INCR", "EXPIRE", "HGETALL")
     val cmd = cmds.zipWithIndex.foldLeft(lit(cmds.last)) { case (acc, (c, i)) =>
       when(pmod(col("event_id"), lit(6)) === i, lit(c)).otherwise(acc)
     }
+    tracerBase(s, dir)
+      .withColumn("req_cmd", cmd)
+      .withColumn("req_args",
+        concat(lit("""["k"""), col("event_id"), lit(""""]""")))
+      .withColumn("resp",
+        when(pmod(col("event_id"), lit(2)) === 0, lit("OK"))
+          .otherwise(concat(lit("v-"), col("event_id"))))
+      .withColumn("latency_ns", col("latency"))
+  }
+
+  /** pgsql_events shape (stirling's pgsql table). */
+  def pgsqlEvents(s: SparkSession, dir: String): DataFrame =
+    tracerBase(s, dir)
+      .withColumn("req",
+        concat(lit("SELECT * FROM rel"), pmod(col("event_id"), lit(7))))
+      .withColumn("resp",
+        concat(lit("SELECT "), pmod(col("event_id"), lit(100))))
+
+  /** mongodb_events shape (stirling's mongodb table). */
+  def mongodbEvents(s: SparkSession, dir: String): DataFrame = {
+    val cmds = Seq("find", "insert", "update", "delete")
+    val cmd = cmds.zipWithIndex.foldLeft(lit(cmds.last)) { case (acc, (c, i)) =>
+      when(pmod(col("event_id"), lit(4)) === i, lit(c)).otherwise(acc)
+    }
+    tracerBase(s, dir)
+      .withColumn("req_cmd", cmd)
+      .withColumn("req_body",
+        concat(lit("""{"q":"""), pmod(col("event_id"), lit(9)), lit("}")))
+      .withColumn("resp_status", pmod(col("event_id"), lit(2)))
+      .withColumn("resp_body", lit("""{"ok":1}"""))
+  }
+
+  /** cql_events shape (stirling's cassandra table): opcodes decoded by
+    * px.cql_opcode_name in the script.
+    */
+  def cqlEvents(s: SparkSession, dir: String): DataFrame =
+    tracerBase(s, dir)
+      .withColumn("req_op", pmod(col("event_id"), lit(20)))
+      .withColumn("resp_op", pmod(col("event_id") + 3, lit(20)))
+      .withColumn("req_body",
+        concat(lit("SELECT * FROM ks.tbl"), pmod(col("event_id"), lit(6))))
+      .withColumn("resp_body", concat(lit("rows-"), pmod(col("event_id"), lit(50))))
+
+  /** mux_events shape (stirling's mux table): frame type over the full
+    * signed mux domain (decoded by px.mux_frame_type_name).
+    */
+  def muxEvents(s: SparkSession, dir: String): DataFrame =
+    tracerBase(s, dir)
+      .withColumn("req_type", pmod(col("event_id"), lit(260)) - 130)
+
+  /** nats_events.beta shape (stirling's nats table). */
+  def natsEvents(s: SparkSession, dir: String): DataFrame = {
+    val cmds = Seq("PUB", "SUB", "MSG", "PING")
+    val cmd = cmds.zipWithIndex.foldLeft(lit(cmds.last)) { case (acc, (c, i)) =>
+      when(pmod(col("event_id"), lit(4)) === i, lit(c)).otherwise(acc)
+    }
+    tracerBase(s, dir)
+      .withColumn("cmd", cmd)
+      .withColumn("body", concat(lit("msg-"), col("event_id")))
+      .withColumn("resp", lit("+OK"))
+  }
+
+  /** kafka_events.beta shape (stirling's kafka table): api key decoded
+    * by px.kafka_api_key_name in the script.
+    */
+  def kafkaEvents(s: SparkSession, dir: String): DataFrame =
+    tracerBase(s, dir)
+      .withColumn("req_cmd", pmod(col("event_id"), lit(70)))
+      .withColumn("req_body",
+        concat(lit("""{"topic":"t"""), pmod(col("event_id"), lit(5)), lit(""""}""")))
+      .withColumn("resp", lit("""{"error":0}"""))
+
+  /** amqp_events shape (stirling's amqp table): frame/class/method ids
+    * decoded by the px.amqp_* family in the script.
+    */
+  def amqpEvents(s: SparkSession, dir: String): DataFrame =
+    tracerBase(s, dir)
+      .withColumn("frame_type", pmod(col("event_id"), lit(10)))
+      .withColumn("channel", pmod(col("event_id"), lit(8)))
+      .withColumn("req_class_id", pmod(col("event_id"), lit(100)))
+      .withColumn("req_method_id", pmod(col("event_id"), lit(120)))
+      .withColumn("resp_class_id", pmod(col("event_id") + 1, lit(100)))
+      .withColumn("resp_method_id", pmod(col("event_id") + 1, lit(120)))
+      .withColumn("req_msg",
+        concat(lit("""{"routing_key":"rk"""), pmod(col("event_id"), lit(6)),
+          lit("""","consumer_tag":"c"""), pmod(col("event_id"), lit(3)),
+          lit(""""}""")))
+      .withColumn("resp_msg",
+        concat(lit("""{"routing_key":"rk"""), pmod(col("event_id"), lit(6)),
+          lit("""","consumer_tag":"c"""), pmod(col("event_id"), lit(3)),
+          lit(""""}""")))
+
+  /** network_stats shape (stirling's network_stats table, sharded by
+    * pod): pod_id keyed with MONOTONE interface counters — the pod.pxl
+    * network_timeseries max-min rollup does real work.
+    */
+  def networkStats(s: SparkSession, dir: String): DataFrame = {
+    val g = when(col("ts") < splitNs, lit(0)).otherwise(lit(1))
+    val us = graft.functions.PixieFunctions.idiv(col("ts"), 1000L)
     t(s, dir, "events").select(
-      col("ts").as("time_"),
-      col("user_id"),
-      cmd.as("req_cmd"),
-      col("value").as("latency_ns"))
+      (us * 1000L).as("time_"),
+      concat(lit("pid-"), col("user_id"), lit("-g"), g).as("pod_id"),
+      us.as("rx_bytes"),
+      graft.functions.PixieFunctions.idiv(us, 2L).as("tx_bytes"),
+      graft.functions.PixieFunctions.idiv(us, 1000L).as("tx_errors"),
+      graft.functions.PixieFunctions.idiv(us, 1500L).as("rx_errors"),
+      graft.functions.PixieFunctions.idiv(us, 2000L).as("tx_drops"),
+      graft.functions.PixieFunctions.idiv(us, 3000L).as("rx_drops"))
   }
 
   /** process_stats shape (stirling's process table): per-process
@@ -198,20 +326,33 @@ object Pxl {
         case "jvm_stats" => jvmStats(s, dir)
         case "dns_events" => dnsEvents(s, dir)
         case "conn_stats" => connStats(s, dir)
+        case "pgsql_events" => pgsqlEvents(s, dir)
+        case "mongodb_events" => mongodbEvents(s, dir)
+        case "cql_events" => cqlEvents(s, dir)
+        case "mux_events" => muxEvents(s, dir)
+        case "nats_events.beta" => natsEvents(s, dir)
+        case "kafka_events.beta" => kafkaEvents(s, dir)
+        case "amqp_events" => amqpEvents(s, dir)
+        case "network_stats" => networkStats(s, dir)
         case other => graft.core.Tables(s, dir, other)
       },
       ctx = (df, prop, out) => {
         // ConvertMetadataRule semantics: resolution is keyed by whatever
         // key columns the frame still carries — the raw fact key (as-of
-        // by event time) before aggregation, or pod_id after.
+        // by event time) before aggregation, or pod_id after. ctx['pid']
+        // is upid-derived, no dimension involved.
         val cols = df.columns.toSet
-        if (cols("user_id") && cols("time_")) {
+        if (prop == "pid" && cols("upid"))
+          df.withColumn(out, graft.types.Upid.upidToPid(col("upid")))
+        else if (cols("user_id") && cols("time_")) {
           val (dim, attr) = prop match {
             case "service" => (podDim, "service_name")
             case "pod" | "pod_name" => (podDim, "pod_name")
             case "namespace" => (fullDim, "namespace")
             case "node" | "node_name" => (fullDim, "node_name")
             case "container_name" => (fullDim, "container_name")
+            case "container_id" => (fullDim, "container_id")
+            case "cmdline" => (fullDim, "cmdline")
             case "pod_id" => (fullDim, "pod_id")
             case other => throw new IllegalArgumentException(s"ctx['$other']")
           }

@@ -24,6 +24,15 @@ object Pxl2 {
   val ServicePxlPath = s"$RefPx/service/service.pxl"
   val ClusterPxlPath = s"$RefPx/cluster/cluster.pxl"
   val DnsDataPxlPath = s"$RefPx/dns_data/data.pxl"
+  val PodPxlPath = s"$RefPx/pod/pod.pxl"
+  val MysqlDataPxlPath = s"$RefPx/mysql_data/mysql_data.pxl"
+  val RedisDataPxlPath = s"$RefPx/redis_data/redis_data.pxl"
+  val PgsqlDataPxlPath = s"$RefPx/pgsql_data/pgsql_data.pxl"
+  val MongodbDataPxlPath = s"$RefPx/mongodb_data/mongodb_data.pxl"
+  val CqlDataPxlPath = s"$RefPx/cql_data/data.pxl"
+  val MuxDataPxlPath = s"$RefPx/mux_data/data.pxl"
+  val NatsDataPxlPath = s"$RefPx/nats_data/nats_data.pxl"
+  val KafkaDataPxlPath = s"$RefPx/kafka_data/kafka_data.pxl"
 
   private def script(path: String): String =
     new String(java.nio.file.Files.readAllBytes(
@@ -101,6 +110,72 @@ object Pxl2 {
     "q93_pxl_dns_data" -> ((s, dir) =>
       PxlRunner.runFunction(script(DnsDataPxlPath), Pxl.env(s, dir, nowNs),
           "dns_data", Seq("-45d", "", "", "1000000"))
+        .orderBy("time_", "req_body")),
+
+    // pod.pxl — the single-pod drill-down script, one entry per function.
+    "q96_pxl_pod_containers" -> ((s, dir) =>
+      PxlRunner.runFunction(script(PodPxlPath), Pxl.env(s, dir, nowNs),
+          "containers", Seq("-45d", "pod-7-gen1"))
+        .orderBy("name")),
+
+    "q97_pxl_pod_node" -> ((s, dir) =>
+      PxlRunner.runFunction(script(PodPxlPath), Pxl.env(s, dir, nowNs),
+          "node", Seq("-45d", "pod-7-gen1"))
+        .orderBy("node")),
+
+    // (pod.pxl `processes` emits the raw binary upid column, which the
+    // oracle hash cannot represent — it is exercised by PxlSpec instead.)
+    "q99_pxl_pod_resource" -> ((s, dir) =>
+      PxlRunner.runFunction(script(PodPxlPath), Pxl.env(s, dir, nowNs),
+          "resource_timeseries", Seq("-45d", "pod-7-gen1"))
+        .orderBy("time_")),
+
+    "q100_pxl_pod_network" -> ((s, dir) =>
+      PxlRunner.runFunction(script(PodPxlPath), Pxl.env(s, dir, nowNs),
+          "network_timeseries", Seq("-45d", "pod-7-gen1"))
+        .orderBy("time_")),
+
+    // The protocol data-tracer family: each script verbatim, full
+    // row-level trace output (same add_source_dest/deep-link chain as
+    // dns_data over its own stirling table).
+    "q101_pxl_mysql_data" -> ((s, dir) =>
+      PxlRunner.runFunction(script(MysqlDataPxlPath), Pxl.env(s, dir, nowNs),
+          "mysql_data", Seq("-45d", "", "", "1000000"))
+        .orderBy("time_", "resp_body")),
+
+    "q102_pxl_redis_data" -> ((s, dir) =>
+      PxlRunner.runFunction(script(RedisDataPxlPath), Pxl.env(s, dir, nowNs),
+          "redis_data", Seq("-45d", "", "", "1000000"))
+        .orderBy("time_", "req_args")),
+
+    "q103_pxl_pgsql_data" -> ((s, dir) =>
+      PxlRunner.runFunction(script(PgsqlDataPxlPath), Pxl.env(s, dir, nowNs),
+          "pgsql_data", Seq("-45d", "", "", "1000000"))
+        .orderBy("time_", "resp")),
+
+    "q104_pxl_mongodb_data" -> ((s, dir) =>
+      PxlRunner.runFunction(script(MongodbDataPxlPath), Pxl.env(s, dir, nowNs),
+          "mongodb_data", Seq("-45d", "", "", "1000000"))
+        .orderBy("time_", "req_body")),
+
+    "q105_pxl_cql_data" -> ((s, dir) =>
+      PxlRunner.runFunction(script(CqlDataPxlPath), Pxl.env(s, dir, nowNs),
+          "cql_data", Seq("-45d", "", "", "1000000"))
+        .orderBy("time_", "resp_body")),
+
+    "q106_pxl_mux_data" -> ((s, dir) =>
+      PxlRunner.runFunction(script(MuxDataPxlPath), Pxl.env(s, dir, nowNs),
+          "mux_data", Seq("-45d", "", "", "1000000"))
+        .orderBy("time_", "req_name")),
+
+    "q107_pxl_nats_data" -> ((s, dir) =>
+      PxlRunner.runFunction(script(NatsDataPxlPath), Pxl.env(s, dir, nowNs),
+          "nats_data", Seq("-45d", "", "", "1000000"))
+        .orderBy("time_", "body")),
+
+    "q108_pxl_kafka_data" -> ((s, dir) =>
+      PxlRunner.runFunction(script(KafkaDataPxlPath), Pxl.env(s, dir, nowNs),
+          "kafka_data", Seq("-45d", "", "", "1000000"))
         .orderBy("time_", "req_body"))
   )
 
@@ -117,7 +192,147 @@ object Pxl2 {
     """CASE user_id % 4 WHEN 0 THEN 'Running' WHEN 1 THEN 'Pending'
       |     WHEN 2 THEN 'Succeeded' ELSE 'Failed' END""".stripMargin
 
+  /** Deep-link JSON for the tracer scripts' source/destination columns
+    * (px.script_reference, pod vs ip target).
+    */
+  private def linkSql(c: String, flag: String): String =
+    s"""CASE WHEN $flag
+       |    THEN '{"label":"' || $c || '","script":"px/pod","args":{"start_time":"-45d","pod":"' || $c || '"}}'
+       |    ELSE '{"label":"' || $c || '","script":"px/ip","args":{"start_time":"-45d","ip":"' || $c || '"}}'
+       |  END""".stripMargin
+
+  /** Shared oracle skeleton for the data-tracer family: the
+    * add_source_dest_columns / add_source_dest_links derivation over the
+    * tracerBase synth, with per-protocol output columns plugged in.
+    */
+  private def tracerOracle(outputSql: String, orderBy: String): String =
+    s"""WITH ${eventsCte()},
+       |w AS (SELECT *, 'pod-' || user_id || '-gen' || g AS pod,
+       |        event_id % 3 <> 0 AS is_server,
+       |        event_id % 5 <> 0 AS is_ra_pod,
+       |        CASE WHEN event_id % 5 = 0 THEN '-'
+       |             ELSE 'pod-' || user_id || '-gen' || g END AS ra_name,
+       |        1024 + event_id % 32768 AS remote_port
+       |      FROM e),
+       |x AS (SELECT *,
+       |        CASE WHEN is_server THEN is_ra_pod ELSE true END AS is_src_pod,
+       |        CASE WHEN is_server THEN true ELSE is_ra_pod END AS is_dst_pod,
+       |        CASE WHEN is_server THEN ra_name ELSE pod END AS src0,
+       |        CASE WHEN is_server THEN pod ELSE ra_name END AS dst0
+       |      FROM w)
+       |SELECT t AS time_,
+       |  ${linkSql("src0", "is_src_pod")} AS source,
+       |  ${linkSql("dst0", "is_dst_pod")} AS destination,
+       |  $outputSql
+       |FROM x ORDER BY time_, $orderBy""".stripMargin
+
+  /** The pod.pxl single-pod window: user 7's generation-1 rows. */
+  private def pod7Gen1Cte: String =
+    s"""e AS (SELECT epoch_us(ts) * 1000 AS t, epoch_us(ts) AS us, user_id, event_id
+       |      FROM events WHERE user_id = 7
+       |        AND epoch_us(ts) * 1000 >= $splitNs
+       |        AND epoch_us(ts) * 1000 >= $startNs
+       |        AND epoch_us(ts) * 1000 < $nowNs)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q96_pxl_pod_containers" ->
+      s"""WITH $pod7Gen1Cte
+         |SELECT DISTINCT 'ctr-' || user_id || '-g1' AS name,
+         |  'cid-' || user_id || '-g1' AS id,
+         |  CASE user_id % 3 WHEN 0 THEN 'Running' WHEN 1 THEN 'Waiting'
+         |       ELSE 'Terminated' END AS status
+         |FROM e ORDER BY name""".stripMargin,
+
+    "q97_pxl_pod_node" ->
+      s"""WITH $pod7Gen1Cte
+         |SELECT DISTINCT 'node-' || (user_id % 5) AS node,
+         |  'svc-' || (user_id % 10) AS service,
+         |  'pid-' || user_id || '-g1' AS pod_id,
+         |  $splitNs AS pod_start_time, $podStatusSql AS status
+         |FROM e ORDER BY node""".stripMargin,
+
+    "q99_pxl_pod_resource" ->
+      s"""WITH $pod7Gen1Cte,
+         |w AS (SELECT t - t % 10000000000 AS ts_bin,
+         |        'ctr-' || user_id || '-g1' AS container,
+         |        (50 + event_id % 450) * 1048576 AS rss_b,
+         |        (100 + event_id % 900) * 1048576 AS vsize_b
+         |      FROM e)
+         |SELECT ts_bin AS time_, container,
+         |  sum(CAST(rss_b AS DOUBLE)) AS rss,
+         |  sum(CAST(vsize_b AS DOUBLE)) AS vsize,
+         |  CAST(0 AS DOUBLE) AS actual_disk_read_throughput,
+         |  CAST(0 AS DOUBLE) AS actual_disk_write_throughput,
+         |  CAST(0 AS DOUBLE) AS total_disk_read_throughput,
+         |  CAST(0 AS DOUBLE) AS total_disk_write_throughput,
+         |  CAST(0 AS DOUBLE) AS cpu_usage
+         |FROM w GROUP BY 1, 2 ORDER BY ts_bin""".stripMargin,
+
+    "q100_pxl_pod_network" ->
+      s"""WITH $pod7Gen1Cte,
+         |b AS (SELECT t - t % 10000000000 AS ts_bin, us FROM e),
+         |a AS (SELECT ts_bin,
+         |    (max(us) - min(us)) / 10000000000 AS rx_bytes_per_ns,
+         |    (max(us // 2) - min(us // 2)) / 10000000000 AS tx_bytes_per_ns,
+         |    (max(us // 3000) - min(us // 3000)) / 10000000000 AS rx_drop_per_ns,
+         |    (max(us // 2000) - min(us // 2000)) / 10000000000 AS tx_drops_per_ns,
+         |    (max(us // 1500) - min(us // 1500)) / 10000000000 AS rx_errors_per_ns,
+         |    (max(us // 1000) - min(us // 1000)) / 10000000000 AS tx_errors_per_ns
+         |  FROM b GROUP BY 1)
+         |SELECT ts_bin AS "timestamp", rx_bytes_per_ns, tx_bytes_per_ns,
+         |  rx_drop_per_ns, tx_drops_per_ns, rx_errors_per_ns, tx_errors_per_ns,
+         |  ts_bin AS time_
+         |FROM a ORDER BY ts_bin""".stripMargin,
+
+    "q101_pxl_mysql_data" -> tracerOracle(
+      """remote_port, event_id % 32 AS req_cmd,
+        |  'SELECT * FROM t' || (event_id % 5) AS req_body,
+        |  event_id % 4 AS resp_status, 'resp-' || event_id AS resp_body,
+        |  value AS latency""".stripMargin, "resp_body"),
+
+    "q102_pxl_redis_data" -> tracerOracle(
+      """remote_port,
+        |  CASE event_id % 6 WHEN 0 THEN 'GET' WHEN 1 THEN 'SET' WHEN 2 THEN 'DEL'
+        |       WHEN 3 THEN 'INCR' WHEN 4 THEN 'EXPIRE' ELSE 'HGETALL' END AS req_cmd,
+        |  '["k' || event_id || '"]' AS req_args,
+        |  CASE WHEN event_id % 2 = 0 THEN 'OK' ELSE 'v-' || event_id END AS resp,
+        |  value AS latency""".stripMargin, "req_args"),
+
+    "q103_pxl_pgsql_data" -> tracerOracle(
+      """remote_port, 'SELECT * FROM rel' || (event_id % 7) AS req,
+        |  'SELECT ' || (event_id % 100) AS resp, value AS latency""".stripMargin,
+      "resp"),
+
+    "q104_pxl_mongodb_data" -> tracerOracle(
+      """CASE event_id % 4 WHEN 0 THEN 'find' WHEN 1 THEN 'insert'
+        |       WHEN 2 THEN 'update' ELSE 'delete' END AS req_cmd,
+        |  '{"q":' || (event_id % 9) || '}' AS req_body,
+        |  event_id % 2 AS resp_status, '{"ok":1}' AS resp_body,
+        |  value AS latency""".stripMargin, "req_body"),
+
+    "q105_pxl_cql_data" -> tracerOracle(
+      s"""value AS latency,
+         |  ${graft.functions.ProtocolOps.cqlOpcodeName.sql("(event_id % 20)")} AS req_op,
+         |  'SELECT * FROM ks.tbl' || (event_id % 6) AS req_body,
+         |  ${graft.functions.ProtocolOps.cqlOpcodeName.sql("((event_id + 3) % 20)")} AS resp_op,
+         |  'rows-' || (event_id % 50) AS resp_body""".stripMargin, "resp_body"),
+
+    "q106_pxl_mux_data" -> tracerOracle(
+      s"""value AS latency,
+         |  ${graft.functions.ProtocolOps.muxFrameTypeName.sql("((event_id % 260) - 130)")} AS req_name""".stripMargin,
+      "req_name"),
+
+    "q107_pxl_nats_data" -> tracerOracle(
+      """CASE event_id % 4 WHEN 0 THEN 'PUB' WHEN 1 THEN 'SUB'
+        |       WHEN 2 THEN 'MSG' ELSE 'PING' END AS cmd,
+        |  'msg-' || event_id AS body, '+OK' AS resp,
+        |  event_id AS pid""".stripMargin, "body"),
+
+    "q108_pxl_kafka_data" -> tracerOracle(
+      s"""remote_port,
+         |  ${graft.functions.ProtocolOps.kafkaApiKeyName.sql("(event_id % 70)")} AS req_cmd,
+         |  '{"topic":"t' || (event_id % 5) || '"}' AS req_body,
+         |  '{"error":0}' AS resp, value AS latency""".stripMargin, "req_body"),
     "q84_pxl_pods_list" ->
       s"""WITH ${eventsCte()},
          |w AS (SELECT DISTINCT 'svc-' || (user_id % 10) AS service,

@@ -303,6 +303,23 @@ class PxlSpec extends AnyFunSuite {
       r.getAs[String]("hostname") == "host-local"))
   }
 
+  test("pod.pxl processes(): upid-keyed process list (binary upid — spec-gated)") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(graft.queries.Pxl2.PodPxlPath)), "UTF-8")
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.runFunction(src, Pxl.env(spark, dir, now),
+      "processes", Seq("-45d", "pod-7-gen1"))
+    assert(out.columns.toSeq == Seq("pid", "cmd", "upid"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("cmd") == "/bin/app --id=7"))
+    // pid decodes from the upid bytes (ctx['pid'] = upid_to_pid)
+    assert(rows.forall { r =>
+      val hex = r.getAs[Array[Byte]]("upid").map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(8, 16), 16) == r.getAs[Long]("pid")
+    })
+  }
+
   test("relative time strings gate the scan window") {
     val script =
       """import px
