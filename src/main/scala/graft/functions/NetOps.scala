@@ -53,8 +53,15 @@ object NetOps {
 
   /** Deterministic fake resolver (see scaladoc): stable per-name address
     * in 203.0.113.0/24 (TEST-NET-3), "" for null — NOT a real lookup.
+    * md5-derived so any SQL engine reproduces it
+    * (`('0x' || substr(md5(x),1,6))::BIGINT % 256` in DuckDB).
     */
   def nslookupStub(name: Column): Column =
     when(name.isNull, lit(""))
-      .otherwise(concat(lit("203.0.113."), pmod(crc32(name), lit(256)).cast("string")))
+      .otherwise(concat(lit("203.0.113."),
+        pmod(conv(substring(md5(name), 1, 6), 16, 10).cast("long"), lit(256))))
+
+  /** The DuckDB rendering of [[nslookupStub]] for oracle dual-emission. */
+  def nslookupStubSql(x: String): String =
+    s"'203.0.113.' || (('0x' || substr(md5($x),1,6))::BIGINT % 256)"
 }

@@ -573,9 +573,15 @@ object PxlRunner {
           }
         VTab(out)
       case (VTab(t), "head") =>
-        VTab(t.head(args.headOption.map(asLongV).getOrElse(5L).toInt))
+        // positional or keyword form: df.head(100) / df.head(n=100)
+        VTab(t.head(args.headOption.orElse(kw.get("n"))
+          .map(asLongV).getOrElse(5L).toInt))
       case (VTab(t), "drop") =>
-        VTab(t.dropCols(asStrings(args.head): _*))
+        // both df.drop(['a']) and df.drop(columns=['a']) (dataframe.py
+        // accepts the pandas-style keyword form)
+        VTab(t.dropCols(asStrings(
+          args.headOption.orElse(kw.get("columns")).getOrElse(
+            throw new PxlError("drop: no columns"))): _*))
       case (VTab(t), "append") =>
         VTab(t.append(args.map { case VTab(o) => o
           case o => throw new PxlError(s"append: $o") }: _*))

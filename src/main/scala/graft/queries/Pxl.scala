@@ -284,6 +284,44 @@ object Pxl {
       graft.functions.PixieFunctions.idiv(
         graft.functions.PixieFunctions.idiv(col("ts"), 1000L), 3L).as("bytes_recv"))
 
+  /** stirling_error shape (stirling's stirling_error table — reference
+    * src/stirling/source_connectors/stirling_error/): per-node source
+    * connector status reports. Carries user_id + time_ so ctx['node']
+    * resolves through the standard as-of dimension path.
+    */
+  def stirlingError(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
+      col("user_id"),
+      when(pmod(col("event_id"), lit(5)) === 0, "socket_tracer")
+        .when(pmod(col("event_id"), lit(5)) === 1, "perf_profiler")
+        .when(pmod(col("event_id"), lit(5)) === 2, "jvm_stats")
+        .when(pmod(col("event_id"), lit(5)) === 3, "process_stats")
+        .otherwise("dns_probe").as("source_connector"),
+      when(pmod(col("event_id"), lit(3)) === 0, "OK")
+        .when(pmod(col("event_id"), lit(3)) === 1, "INTERNAL")
+        .otherwise("FAILED_PRECONDITION").as("status"),
+      when(pmod(col("event_id"), lit(3)) === 0, lit(""))
+        .otherwise(concat(lit("error-"), col("event_id"))).as("error"),
+      concat(lit("""{"probe":"p"""), pmod(col("event_id"), lit(10)), lit("\"}"))
+        .as("context"))
+
+  /** probe_status shape (stirling's probe_status table): per-node eBPF
+    * tracepoint deployment statuses.
+    */
+  def probeStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
+      col("user_id"),
+      concat(lit("tp-"), pmod(col("event_id"), lit(8))).as("tracepoint"),
+      when(pmod(col("event_id"), lit(3)) === 0, "OK")
+        .when(pmod(col("event_id"), lit(3)) === 1, "INTERNAL")
+        .otherwise("FAILED_PRECONDITION").as("status"),
+      when(pmod(col("event_id"), lit(3)) === 0, lit(""))
+        .otherwise(concat(lit("error-"), col("event_id"))).as("error"),
+      concat(lit("""{"binary":"/bin/app"""), pmod(col("event_id"), lit(4)),
+        lit("\"}")).as("info"))
+
   /** jvm_stats shape (stirling's jvm table): per-process monotonic GC
     * counters + heap gauges, upid per PROCESS (q60 convention) so the
     * script's two-level upid-then-pod aggregation does real work.
@@ -334,6 +372,8 @@ object Pxl {
         case "kafka_events.beta" => kafkaEvents(s, dir)
         case "amqp_events" => amqpEvents(s, dir)
         case "network_stats" => networkStats(s, dir)
+        case "stirling_error" => stirlingError(s, dir)
+        case "probe_status" => probeStatus(s, dir)
         case other => graft.core.Tables(s, dir, other)
       },
       ctx = (df, prop, out) => {
@@ -342,9 +382,9 @@ object Pxl {
         // by event time) before aggregation, or pod_id after. ctx['pid']
         // is upid-derived, no dimension involved.
         val cols = df.columns.toSet
-        if (prop == "pid" && cols("upid"))
-          df.withColumn(out, graft.types.Upid.upidToPid(col("upid")))
-        else if (cols("user_id") && cols("time_")) {
+        // Entity-keyed as-of resolution, parameterized by the key column
+        // (the raw fact key, or the asid extracted from a upid).
+        def asOfResolve(in: DataFrame, keyCol: String): DataFrame = {
           val (dim, attr) = prop match {
             case "service" => (podDim, "service_name")
             case "pod" | "pod_name" => (podDim, "pod_name")
@@ -356,11 +396,23 @@ object Pxl {
             case "pod_id" => (fullDim, "pod_id")
             case other => throw new IllegalArgumentException(s"ctx['$other']")
           }
-          blankOnMiss(K8sMetadata.resolveAsOf(df,
+          blankOnMiss(K8sMetadata.resolveAsOf(in,
             dim.select(col("owner_id"), col("start_ns"), col("stop_ns"), col(attr)),
-            "user_id", "owner_id", "time_", Seq(attr))
+            keyCol, "owner_id", "time_", Seq(attr))
             .withColumnRenamed(attr, out), out)
-        } else if (cols("pod_id")) {
+        }
+        if (prop == "pid" && cols("upid"))
+          df.withColumn(out, graft.types.Upid.upidToPid(col("upid")))
+        else if (cols("user_id") && cols("time_"))
+          asOfResolve(df, "user_id")
+        else if (cols("upid") && cols("time_"))
+          // select=[...] projections can drop the raw key but keep upid:
+          // the asid field IS the entity key (upid-family convention), so
+          // resolution extracts it and rejoins the as-of path.
+          asOfResolve(df.withColumn("__ctx_uid",
+            graft.types.Upid.upidToAsid(col("upid"))), "__ctx_uid")
+            .drop("__ctx_uid")
+        else if (cols("pod_id")) {
           val fn = prop match {
             case "pod" | "pod_name" => "pod_id_to_pod_name"
             case "service" => "pod_id_to_service_name"

@@ -59,6 +59,35 @@ class PxlSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("service").startsWith("svc-")))
   }
 
+  test("head/drop accept keyword arguments (df.head(n=...), df.drop(columns=...))") {
+    // http_data_filtered/data.pxl's exact forms: a silent head(n=) default
+    // of 5 truncated results before this was pinned.
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |df = df.drop(columns=['upid'])
+        |df = df.head(n=1000000)
+        |px.display(df, 'a')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("a")
+    assert(!out.columns.contains("upid"))
+    assert(out.count() > 5)
+  }
+
+  test("ctx resolves through upid asid when select=[...] drops the raw key") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', select=['time_', 'upid', 'resp_status'], start_time='-60d')
+        |df.svc = df.ctx['service']
+        |px.display(df, 'a')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("a")
+    val rows = out.limit(10).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("svc").startsWith("svc-")))
+  }
+
   test("evaluator: quantiles JSON + pluck_float64 round-trip") {
     val script =
       """import px
