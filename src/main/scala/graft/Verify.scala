@@ -5,6 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // The gate runs the EXACT quantile mapping: the oracle invariant is
+    // Spark `percentile` == DuckDB `quantile_cont`. Everything else
+    // (Bench, library users) gets the scale-safe t-digest default
+    // (Pxl.defaultSketchQuantiles).
+    if (!sys.env.contains("SPARK_GRAFT_SKETCH_QUANTILES"))
+      System.setProperty("graft.sketchQuantiles", "0")
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg (dev iteration only; the driver passes two):
     // regex over query names — run just the matching subset.

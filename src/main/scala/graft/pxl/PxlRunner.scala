@@ -27,15 +27,14 @@ import scala.collection.mutable
   *
   * Engine policy notes:
   * - `px.quantiles` has two mappings selected by [[PxlEnv.sketchQuantiles]]:
-  *   exact interpolated percentiles reported as the ST_QUANTILES JSON
-  *   (default — oracle-checkable, but Spark's exact `percentile` buffers
-  *   every group value, an OOM risk for hot groups at scale), or the
-  *   mergeable t-digest sketch (graft.functions.Aggregators.QuantilesAgg,
-  *   the reference's own choice — math_sketches.h:42-129) whose per-group
-  *   state is O(compression) regardless of group size. Scale deployments
-  *   should run with the sketch; the exact mapping exists for the
-  *   DuckDB-hash gate (invariant: Spark `percentile` == DuckDB
-  *   `quantile_cont`).
+  *   the mergeable t-digest sketch (graft.functions.Aggregators
+  *   .QuantilesAgg, the reference's own choice — math_sketches.h:42-129)
+  *   whose per-group state is O(compression) regardless of group size —
+  *   this is the DEFAULT (graft.queries.Pxl.defaultSketchQuantiles) — or
+  *   exact interpolated percentiles reported as the same ST_QUANTILES
+  *   JSON. Exact buffers every group value (an OOM risk for hot groups at
+  *   scale) and exists for the DuckDB-hash gate (invariant: Spark
+  *   `percentile` == DuckDB `quantile_cont`); Verify opts into it.
   * - `px.now()` / relative start_time strings resolve against
   *   [[PxlEnv.nowNs]] at script-build time, exactly like the reference
   *   planner folds px.now() into literals before execution.

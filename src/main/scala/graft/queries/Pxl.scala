@@ -341,13 +341,20 @@ object Pxl {
   /** Script-execution environment over the fixture catalog. ctx
     * properties resolve through the point-in-time pod dimension
     * (ConvertMetadataRule's expansion, as a broadcast as-of join).
-    * sketchQuantiles: default exact (oracle gate); opt into the t-digest
-    * mapping per-call or fleet-wide via SPARK_GRAFT_SKETCH_QUANTILES=1 —
-    * the setting a 100 TB deployment runs with (see PxlRunner notes).
+    * sketchQuantiles: DEFAULT is the t-digest sketch — the only mapping
+    * whose per-group state stays O(compression) on a hot (service,
+    * window) group at 100 TB (PxlRunner notes; reference
+    * math_sketches.h:42-129). Exact interpolated percentiles are opt-in
+    * (SPARK_GRAFT_SKETCH_QUANTILES=0 or -Dgraft.sketchQuantiles=0) and
+    * exist for the DuckDB-hash gate, which Verify requests explicitly.
     */
+  def defaultSketchQuantiles: Boolean =
+    sys.env.get("SPARK_GRAFT_SKETCH_QUANTILES")
+      .orElse(sys.props.get("graft.sketchQuantiles"))
+      .forall(_ != "0")
+
   def env(s: SparkSession, dir: String, nowNs: Long,
-          sketchQuantiles: Boolean =
-            sys.env.get("SPARK_GRAFT_SKETCH_QUANTILES").contains("1")): PxlEnv = {
+          sketchQuantiles: Boolean = defaultSketchQuantiles): PxlEnv = {
     // One dimension snapshot per script run: every ctx/metadata call
     // reuses the same frame, so chained lookups share one broadcast
     // build (ReuseExchange dedups identical BroadcastExchanges).

@@ -165,7 +165,7 @@ object Pxl2 {
 
     "q106_pxl_mux_data" -> ((s, dir) =>
       PxlRunner.runFunction(script(MuxDataPxlPath), Pxl.env(s, dir, nowNs),
-          "mux_data", Seq("-45d", "", "", "1000000"))
+          "mux_data", Seq("-45d", "1000000"))
         .orderBy("time_", "req_name")),
 
     "q107_pxl_nats_data" -> ((s, dir) =>

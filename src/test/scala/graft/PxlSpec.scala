@@ -175,6 +175,24 @@ class PxlSpec extends AnyFunSuite {
     assert(api.getAs[Long]("asid") == 7L)
   }
 
+  test("px.quantiles DEFAULT plans the t-digest; exact is opt-in for the gate") {
+    // A naive deployer must get the scale-safe sketch, not buffer-all
+    // `percentile` — the gate (Verify) asks for exact explicitly.
+    assert(graft.queries.Pxl.defaultSketchQuantiles,
+      "env/prop leaked into the test JVM?")
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |q = df.groupby('user_id').agg(lat=('latency', px.quantiles))
+        |px.display(q, 'q')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val dflt = PxlRunner.run(script, Pxl.env(spark, dir, now))("q")
+    val plan = dflt.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("))
+    assert(plan.toLowerCase.contains("quantilesagg"))
+  }
+
   test("px.quantiles sketch mode plans the t-digest, not buffer-all percentile") {
     val script =
       """import px
@@ -184,7 +202,8 @@ class PxlSpec extends AnyFunSuite {
         |px.display(q[['user_id', 'p50']], 'q')
         |""".stripMargin
     val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
-    val exact = PxlRunner.run(script, Pxl.env(spark, dir, now))("q")
+    val exact = PxlRunner.run(script,
+      Pxl.env(spark, dir, now, sketchQuantiles = false))("q")
     val sketch = PxlRunner.run(script,
       Pxl.env(spark, dir, now, sketchQuantiles = true))("q")
     // The scale-mode plan must not carry the exact `percentile` aggregate
