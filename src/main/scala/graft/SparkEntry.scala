@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.NorthStar.queries ++ graft.queries.Meta.queries ++
       graft.queries.Surface.queries ++ graft.queries.Ml.queries ++
       graft.queries.Extended.queries ++ graft.queries.Pxl.queries ++
-      graft.queries.Pxl2.queries ++ graft.queries.Pxl3.queries
+      graft.queries.Pxl2.queries ++ graft.queries.Pxl3.queries ++
+      graft.queries.Pxl4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.NorthStar.oracles ++ graft.queries.Meta.oracles ++
       graft.queries.Surface.oracles ++ graft.queries.Ml.oracles ++
       graft.queries.Extended.oracles ++ graft.queries.Pxl.oracles ++
-      graft.queries.Pxl2.oracles ++ graft.queries.Pxl3.oracles
+      graft.queries.Pxl2.oracles ++ graft.queries.Pxl3.oracles ++
+      graft.queries.Pxl4.oracles
 }

@@ -69,9 +69,21 @@ object MlScalars {
     * An ONNX-session implementation drops in as a third branch where a
     * model runtime is available.
     */
-  def textEmbedding(text: Column, dim: Int): Column =
-    sys.env.get("SPARK_GRAFT_EMBEDDING") match {
+  def textEmbedding(text: Column, dim: Int,
+                    mode: Option[String] = sys.env.get("SPARK_GRAFT_EMBEDDING"))
+      : Column =
+    mode match {
       case Some("hashed") => textEmbeddingHashed(text, dim)
+      case Some("onnx") =>
+        // The named drop-in point: an onnxruntime session per executor
+        // (mapInPandas/mapPartitions batching, model path from
+        // SPARK_GRAFT_ONNX_MODEL) slots in here; the runtime jar is not
+        // on this classpath, so the dispatch fails loudly rather than
+        // silently falling back to a stub embedding.
+        throw new IllegalStateException(
+          "SPARK_GRAFT_EMBEDDING=onnx: no ONNX runtime on the classpath — " +
+            "add onnxruntime, set SPARK_GRAFT_ONNX_MODEL, and implement " +
+            "textEmbeddingOnnx behind this dispatch")
       case _ => textEmbeddingStub(text, dim)
     }
 
@@ -84,16 +96,27 @@ object MlScalars {
     * `dim` buckets with a ±1 sign, the bucket counts L2-normalize —
     * the classic feature-hashing text vectorizer, exact under any
     * partitioning (per-row, no state).
+    *
+    * ONE pass over the tokens: fold them into a bucket->sum map, then
+    * read the map per dimension. The md5 hash (the dominant cost) is
+    * computed O(tokens) times, not O(dim * tokens) as a per-dimension
+    * re-scan would; per-bucket sums accumulate in token order, and ±1.0
+    * sums are integer-exact in double, so the output is bit-identical
+    * to the per-dimension formulation.
     */
   def textEmbeddingHashed(text: Column, dim: Int): Column = {
     val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
-    val raw = transform(sequence(lit(0), lit(dim - 1)), i =>
-      aggregate(toks, lit(0.0), (acc, t) => {
-        val h = graft.expressions.Md5Long60.column(t.cast("binary"))
-        acc + when(pmod(h, lit(dim)) === i,
-          when(pmod(h, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
-          .otherwise(lit(0.0))
-      }))
+    val emptyMap = map_from_arrays(
+      array().cast("array<int>"), array().cast("array<double>"))
+    val buckets = aggregate(toks, emptyMap, (acc, t) => {
+      val h = graft.expressions.Md5Long60.column(t.cast("binary"))
+      val b = pmod(h, lit(dim)).cast("int")
+      val s = when(pmod(h, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+      map_concat(map_filter(acc, (k, _) => k =!= b),
+        map_from_arrays(array(b), array(coalesce(element_at(acc, b), lit(0.0)) + s)))
+    })
+    val raw = transform(sequence(lit(0), lit(dim - 1)),
+      i => coalesce(element_at(buckets, i.cast("int")), lit(0.0)))
     val nrm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
     transform(raw, x => when(nrm > 0, x / nrm).otherwise(x))
   }

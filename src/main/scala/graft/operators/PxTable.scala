@@ -102,10 +102,17 @@ final case class PxTable(df: DataFrame) {
       if (overlap(c)) c + (if (side == "l") suffixes._1 else suffixes._2) else c
     val l = df.toDF(df.columns.map("graft_l__" + _): _*)
     val r = right.df.toDF(right.df.columns.map("graft_r__" + _): _*)
-    val cond = leftOn.zip(rightOn)
-      .map { case (a, b) => col("graft_l__" + a) === col("graft_r__" + b) }
-      .reduce(_ && _)
-    val joined = l.join(r, cond, joinType)
+    // merge(left_on=[], right_on=[]) is the reference's scalar-broadcast
+    // idiom (a 1-row global-agg table joined onto every row, e.g.
+    // net_flow_graph's time_window): a cross join, which Spark plans as
+    // BroadcastNestedLoopJoin — free when the keyless side is one row.
+    val joined =
+      if (leftOn.isEmpty) l.crossJoin(r)
+      else l.join(r,
+        leftOn.zip(rightOn)
+          .map { case (a, b) => col("graft_l__" + a) === col("graft_r__" + b) }
+          .reduce(_ && _),
+        joinType)
     val outCols = df.columns.map { c =>
       if (sharedKeys(c) && joinType == "full_outer")
         coalesce(col("graft_l__" + c), col("graft_r__" + c)).as(c)

@@ -32,7 +32,13 @@ object PxlParser {
   final case class Assign(target: Expr, value: Expr) extends Stmt
   final case class ExprStmt(e: Expr) extends Stmt
   final case class ImportS(module: String) extends Stmt
-  final case class DefS(name: String, params: Seq[String], body: Seq[Stmt]) extends Stmt
+  /** paramTypes holds the declared annotation per param ("str", "int",
+    * "float", "px.Namespace", ...) or None — the runner coerces exec_funcs
+    * string args by it, like compiler.cc ProcessExecFuncs coerces by the
+    * declared arg type.
+    */
+  final case class DefS(name: String, params: Seq[String],
+      paramTypes: Seq[Option[String]], body: Seq[Stmt]) extends Stmt
   final case class ReturnS(e: Expr) extends Stmt
 
   // ---- tokenizer -----------------------------------------------------
@@ -245,7 +251,6 @@ object PxlParser {
 
     def unary(): Expr = cur match {
       case TOp("-") => p += 1; UnaryE("-", unary())
-      case TName("not") => p += 1; UnaryE("not", unary())
       case _ => postfix()
     }
 
@@ -280,9 +285,16 @@ object PxlParser {
       e
     }
 
+    // Python precedence: or < and < not < comparison — `not x == y`
+    // negates the comparison, not x.
+    def notE(): Expr = cur match {
+      case TName("not") => p += 1; UnaryE("not", notE())
+      case _ => cmp()
+    }
+
     def andE(): Expr = {
-      var e = cmp()
-      while (cur == TName("and")) { p += 1; e = BinE("and", e, cmp()) }
+      var e = notE()
+      while (cur == TName("and")) { p += 1; e = BinE("and", e, notE()) }
       e
     }
 
@@ -312,6 +324,7 @@ object PxlParser {
       }
       expectOp("(")
       val params = Seq.newBuilder[String]
+      val ptypes = Seq.newBuilder[Option[String]]
       var first = true
       while (cur != TOp(")")) {
         if (!first) expectOp(",")
@@ -320,7 +333,16 @@ object PxlParser {
           bump() match {
             case TName(pn) =>
               params += pn
-              if (cur == TOp(":")) { p += 1; expr() } // type annotation: parse & discard
+              // type annotation: keep its dotted-name form for arg coercion
+              if (cur == TOp(":")) {
+                p += 1
+                def nameOf(e: Expr): Option[String] = e match {
+                  case NameE(n) => Some(n)
+                  case AttrE(b, n) => nameOf(b).map(_ + "." + n)
+                  case _ => None
+                }
+                ptypes += nameOf(expr())
+              } else ptypes += None
             case other => throw new ParseError(s"bad param: $other")
           }
         }
@@ -331,7 +353,7 @@ object PxlParser {
       eatNewline()
       if (lineIndent <= defIndent)
         throw new ParseError(s"def $name: empty body")
-      DefS(name, params.result(), stmtList(lineIndent))
+      DefS(name, params.result(), ptypes.result(), stmtList(lineIndent))
     }
 
     def stmt(): Stmt = cur match {

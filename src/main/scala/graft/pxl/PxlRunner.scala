@@ -78,8 +78,12 @@ object PxlRunner {
   private case class VMethod(recv: V, name: String) extends V
   private case class VCtxObj(t: PxTable) extends V
   private case class VCtx(property: String) extends V
-  private case class VFunc(params: Seq[String], body: Seq[PxlParser.Stmt],
-      closure: mutable.Map[String, V]) extends V
+  /** A string-TYPED column (concat chains): `+` on it means concat, not
+    * numeric add — PxL's `"topic" + "/" + df.topic_name` idiom.
+    */
+  private case class VSCol(c: Column) extends V
+  private case class VFunc(params: Seq[String], paramTypes: Seq[Option[String]],
+      body: Seq[PxlParser.Stmt], closure: mutable.Map[String, V]) extends V
   private case class VModule(scope: mutable.Map[String, V]) extends V
   /** A deferred metadata-fn application (expands to a join at column
     * assignment, like ConvertMetadataRule's UDF-to-join expansion).
@@ -137,6 +141,7 @@ object PxlRunner {
 
     def asCol(v: V): Column = v match {
       case VCol(x) => x
+      case VSCol(x) => x
       case VInt(x) => lit(x)
       case VFloat(x) => lit(x)
       case VStr(x) => lit(x)
@@ -179,7 +184,16 @@ object PxlRunner {
       }
       case _ if needsJoin(l) || needsJoin(r) =>
         colCombine(Seq(l, r)) { case Seq(a, b) => binopCol(op, a, b) }
-      case _ if l.isInstanceOf[VCol] || r.isInstanceOf[VCol] =>
+      // `+` where a side is string-typed (a string literal mixed with a
+      // column, or a concat-chain column) is concatenation — the result
+      // stays string-typed so chains like a + "/" + b keep concatenating.
+      case _ if op == "+" &&
+          (l.isInstanceOf[VSCol] || r.isInstanceOf[VSCol] ||
+            ((l.isInstanceOf[VCol] || r.isInstanceOf[VCol]) &&
+              (l.isInstanceOf[VStr] || r.isInstanceOf[VStr]))) =>
+        VSCol(concat(asCol(l), asCol(r)))
+      case _ if l.isInstanceOf[VCol] || r.isInstanceOf[VCol] ||
+          l.isInstanceOf[VSCol] || r.isInstanceOf[VSCol] =>
         VCol(binopCol(op, asCol(l), asCol(r)))
       // At least one side is VFloat (pure-int pairs matched above):
       // evaluate as doubles like the reference's Python-float semantics.
@@ -392,8 +406,13 @@ object PxlRunner {
         case VStr(sub) => VCol(PixieFunctions.find(asCol(args.head), sub))
         case o => throw new PxlError(s"find($o)")
       }
-      // string_ops tail (funcs/builtins/string_ops.cc)
-      case "atoi" => VCol(PixieFunctions.atoi(asCol(args.head)))
+      // string_ops tail (funcs/builtins/string_ops.cc); the 2-arg form
+      // substitutes the default where the parse fails (string_ops atoi
+      // default-value overload)
+      case "atoi" =>
+        val parsed = PixieFunctions.atoi(asCol(args.head))
+        if (args.length > 1) VCol(coalesce(parsed, asCol(args(1))))
+        else VCol(parsed)
       case "itoa" => VCol(PixieFunctions.itoa(asCol(args.head)))
       case "hex_to_ascii" => VCol(PixieFunctions.hexToAscii(asCol(args.head)))
       case "bytes_to_hex" => VCol(PixieFunctions.bytesToHex(asCol(args.head)))
@@ -534,6 +553,17 @@ object PxlRunner {
       (recv, name) match {
       case (VTab(t), "groupby") =>
         VGrouped(t, asStrings(args.head))
+      // df.agg(...) without groupby: global one-row aggregate
+      // (dataframe.h:230-248 with empty groups — net_flow_graph's
+      // time_window, kafka_overview's get_time_window).
+      case (VTab(t), "agg") =>
+        val aggs = kwargs.map {
+          case (out, VList(Seq(VStr(colName), VBuiltin(fn)))) =>
+            out -> aggExpr(fn, colName, t.df.schema).as(out)
+          case (out, other) => throw new PxlError(s"agg $out=$other")
+        }
+        if (aggs.isEmpty) throw new PxlError("global agg with no aggregates")
+        VTab(PxTable(t.df.groupBy().agg(aggs.head._2, aggs.tail.map(_._2): _*)))
       case (VGrouped(t, keys), "agg") =>
         val aggs = kwargs.map {
           case (out, VList(Seq(VStr(colName), VBuiltin(fn)))) =>
@@ -563,12 +593,17 @@ object PxlRunner {
         // e.g. pxviews connection_throughput_stats) or read `df.k_x`
         // directly after an inner join (collect_agent_heaps). Our merge
         // collapses same-named keys pandas-style, so alias the resolved
-        // key under the suffixed name — both access patterns agree.
+        // key under the suffixed names — and when NEITHER suffix is
+        // empty, drop the bare collapsed key afterwards: Carnot's output
+        // has only k_x/k_y then (net_flow_graph relies on exactly that,
+        // dropping both suffixed join_keys to end with no key column).
         val out = leftOn.zip(rightOn).filter { case (a, b) => a == b }
           .foldLeft(merged) { case (acc, (k, _)) =>
-            Seq(k + sfx._1, k + sfx._2).foldLeft(acc) { (a, sk) =>
+            val aliased = Seq(k + sfx._1, k + sfx._2).foldLeft(acc) { (a, sk) =>
               if (a.df.columns.contains(sk)) a else a.withCol(sk, c(k))
             }
+            if (sfx._1.nonEmpty && sfx._2.nonEmpty) aliased.dropCols(k)
+            else aliased
           }
         VTab(out)
       case (VTab(t), "head") =>
@@ -635,8 +670,8 @@ object PxlRunner {
         eval(fn) match {
           case VBuiltin(name) => callBuiltin(name, a, k)
           case VMethod(recv, name) => callMethod(recv, name, a, k)
-          case VFunc(params, body, closure) =>
-            callUserFunction(params, body, closure, a, k)
+          case VFunc(params, ptypes, body, closure) =>
+            callUserFunction(params, ptypes, body, closure, a, k)
           case other => throw new PxlError(s"not callable: $other")
         }
       case BinE(op, l, r) => binop(op, eval(l), eval(r))
@@ -655,16 +690,29 @@ object PxlRunner {
     }
 
     /** Execute a user function body in a fresh scope over the module
-      * scope; `return` unwinds via ReturnSignal.
+      * scope; `return` unwinds via ReturnSignal. String args are coerced
+      * by the param's declared annotation (int/float) — exec_funcs args
+      * arrive as strings and the reference coerces by declared type
+      * (compiler.cc ProcessExecFuncs).
       */
-    def callUserFunction(params: Seq[String], body: Seq[PxlParser.Stmt],
+    def callUserFunction(params: Seq[String], paramTypes: Seq[Option[String]],
+                         body: Seq[PxlParser.Stmt],
                          closure: mutable.Map[String, V],
                          args: Seq[V], kwargs: Seq[(String, V)]): V = {
+      val declared: Map[String, String] =
+        params.zip(paramTypes).collect { case (p, Some(t)) => p -> t }.toMap
+      def coerce(pn: String, v: V): V = (declared.get(pn), v) match {
+        case (Some("int"), VStr(s)) if s.matches("-?[0-9]+") => VInt(s.toLong)
+        case (Some("float"), VStr(s))
+            if s.matches("-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?") =>
+          VFloat(s.toDouble)
+        case _ => v
+      }
       val local = mutable.LinkedHashMap[String, V]()
-      params.zip(args).foreach { case (pn, v) => local(pn) = v }
+      params.zip(args).foreach { case (pn, v) => local(pn) = coerce(pn, v) }
       kwargs.foreach { case (k, v) =>
         if (!params.contains(k)) throw new PxlError(s"unknown kwarg $k")
-        local(k) = v
+        local(k) = coerce(k, v)
       }
       val missing = params.filterNot(local.contains)
       if (missing.nonEmpty) throw new PxlError(s"missing args: $missing")
@@ -680,6 +728,9 @@ object PxlRunner {
       */
     def materializeMeta(t: PxTable, fn: String, arg: V, outName: String): PxTable =
       arg match {
+        case VSCol(c) =>
+          PxTable(env.meta(t.withCol("__meta_in", c).df, fn, "__meta_in", outName))
+            .dropCols("__meta_in")
         case VCol(c) =>
           PxTable(env.meta(t.withCol("__meta_in", c).df, fn, "__meta_in", outName))
             .dropCols("__meta_in")
@@ -722,7 +773,7 @@ object PxlRunner {
       // overwrite, like the ast_visitor's column assign (plain withCol
       // overwrites natively; the join paths would append a duplicate).
       def dropped(v: V): PxTable = v match {
-        case VCol(_) | VInt(_) | VFloat(_) | VStr(_) | VBool(_) => t0
+        case VCol(_) | VSCol(_) | VInt(_) | VFloat(_) | VStr(_) | VBool(_) => t0
         case _ if !t0.df.columns.contains(colName) => t0
         case _ => t0.dropCols(colName)
       }
@@ -749,7 +800,8 @@ object PxlRunner {
         finally scopes = saved
         moduleScope(m) = VModule(modScope)
       case ImportS(m) => throw new PxlError(s"unknown module $m")
-      case DefS(name, params, fnBody) => vars(name) = VFunc(params, fnBody, scopes.head)
+      case DefS(name, params, ptypes, fnBody) =>
+        vars(name) = VFunc(params, ptypes, fnBody, scopes.head)
       case ReturnS(e) => throw new ReturnSignal(eval(e))
       // `px.Node = str`-style module type aliases (jvm_stats et al.)
       // configure the exec-arg parser in the reference; arguments reach
@@ -771,8 +823,8 @@ object PxlRunner {
     execStmts(stmts)
     val fnResult = call.map { case (fn, args) =>
       moduleScope.get(fn) match {
-        case Some(VFunc(params, body, closure)) =>
-          callUserFunction(params, body, closure, args.map(VStr(_)), Nil) match {
+        case Some(VFunc(params, ptypes, body, closure)) =>
+          callUserFunction(params, ptypes, body, closure, args.map(VStr(_)), Nil) match {
             case VTab(t) => t.df
             case other => throw new PxlError(s"$fn returned $other")
           }

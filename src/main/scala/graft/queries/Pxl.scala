@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.meta.K8sMetadata
 import graft.pxl.PxlRunner
@@ -169,14 +169,28 @@ object Pxl {
   }
 
   /** kafka_events.beta shape (stirling's kafka table): api key decoded
-    * by px.kafka_api_key_name in the script.
+    * by px.kafka_api_key_name; client_id plus the nested
+    * topics/partitions/message_set JSON bodies kafka_overview.pxl
+    * unnests (req_cmd 0 = produce, 1 = fetch).
     */
-  def kafkaEvents(s: SparkSession, dir: String): DataFrame =
+  def kafkaEvents(s: SparkSession, dir: String): DataFrame = {
+    def topicsJson(name: Column, idx: Column, size: Column): Column =
+      concat(lit("""{"topics":[{"name":""""), name,
+        lit("""","partitions":[{"index":"""), idx,
+        lit(""","message_set":{"size":"""), size, lit("}}]}]}"))
     tracerBase(s, dir)
       .withColumn("req_cmd", pmod(col("event_id"), lit(70)))
-      .withColumn("req_body",
-        concat(lit("""{"topic":"t"""), pmod(col("event_id"), lit(5)), lit(""""}""")))
-      .withColumn("resp", lit("""{"error":0}"""))
+      .withColumn("client_id",
+        concat(lit("client-"), pmod(col("user_id"), lit(20))))
+      .withColumn("req_body", topicsJson(
+        concat(lit("t"), pmod(col("user_id"), lit(4))),
+        pmod(col("event_id"), lit(3)),
+        lit(100) + pmod(col("event_id"), lit(900))))
+      .withColumn("resp", topicsJson(
+        concat(lit("t"), pmod(col("user_id") + 1, lit(4))),
+        pmod(col("event_id") + 1, lit(3)),
+        lit(100) + pmod(col("event_id") * 2, lit(900))))
+  }
 
   /** amqp_events shape (stirling's amqp table): frame/class/method ids
     * decoded by the px.amqp_* family in the script.
@@ -249,6 +263,8 @@ object Pxl {
     t(s, dir, "events").select(
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"),
+      graft.types.Upid.makeUpid(col("user_id"), col("event_id"),
+        graft.functions.PixieFunctions.nsToUs(col("ts"))).as("upid"),
       when(pmod(col("event_id"), lit(3)) === 0, lit(1)).otherwise(lit(2))
         .as("trace_role"),
       when(pmod(col("event_id"), lit(5)) === 0, lit("-"))
@@ -305,6 +321,25 @@ object Pxl {
         .otherwise(concat(lit("error-"), col("event_id"))).as("error"),
       concat(lit("""{"probe":"p"""), pmod(col("event_id"), lit(10)), lit("\"}"))
         .as("context"))
+
+  /** stack_traces.beta shape (stirling's perf-profiler table — reference
+    * src/stirling/source_connectors/perf_profiler/stack_traces_table.h):
+    * folded stack string + sample count keyed by (upid, stack_trace_id);
+    * stack_trace is functionally dependent on stack_trace_id so the
+    * script's px.any over it is deterministic.
+    */
+  def stackTraces(s: SparkSession, dir: String): DataFrame = {
+    val id = pmod(col("event_id"), lit(20))
+    t(s, dir, "events").select(
+      (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
+      col("user_id"),
+      graft.types.Upid.makeUpid(col("user_id"), col("event_id"),
+        graft.functions.PixieFunctions.nsToUs(col("ts"))).as("upid"),
+      id.as("stack_trace_id"),
+      concat(lit("app;frame_"), id, lit(";leaf_"), pmod(id, lit(5)))
+        .as("stack_trace"),
+      (lit(1) + pmod(col("event_id"), lit(7))).as("count"))
+  }
 
   /** probe_status shape (stirling's probe_status table): per-node eBPF
     * tracepoint deployment statuses.
@@ -381,6 +416,7 @@ object Pxl {
         case "network_stats" => networkStats(s, dir)
         case "stirling_error" => stirlingError(s, dir)
         case "probe_status" => probeStatus(s, dir)
+        case "stack_traces.beta" => stackTraces(s, dir)
         case other => graft.core.Tables(s, dir, other)
       },
       ctx = (df, prop, out) => {
@@ -397,7 +433,7 @@ object Pxl {
             case "pod" | "pod_name" => (podDim, "pod_name")
             case "namespace" => (fullDim, "namespace")
             case "node" | "node_name" => (fullDim, "node_name")
-            case "container_name" => (fullDim, "container_name")
+            case "container" | "container_name" => (fullDim, "container_name")
             case "container_id" => (fullDim, "container_id")
             case "cmdline" => (fullDim, "cmdline")
             case "pod_id" => (fullDim, "pod_id")

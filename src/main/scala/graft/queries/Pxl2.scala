@@ -328,11 +328,21 @@ object Pxl2 {
         |  'msg-' || event_id AS body, '+OK' AS resp,
         |  event_id AS pid""".stripMargin, "body"),
 
+    // NOTE: continuation lines here must END with `||` — this block is
+    // re-embedded in tracerOracle's stripMargin, which would eat the
+    // first pipe of a line-leading `||`.
     "q108_pxl_kafka_data" -> tracerOracle(
       s"""remote_port,
          |  ${graft.functions.ProtocolOps.kafkaApiKeyName.sql("(event_id % 70)")} AS req_cmd,
-         |  '{"topic":"t' || (event_id % 5) || '"}' AS req_body,
-         |  '{"error":0}' AS resp, value AS latency""".stripMargin, "req_body"),
+         |  '{"topics":[{"name":"t' || (user_id % 4) ||
+         |    '","partitions":[{"index":' || (event_id % 3) ||
+         |    ',"message_set":{"size":' || (100 + event_id % 900) ||
+         |    '}}]}]}' AS req_body,
+         |  '{"topics":[{"name":"t' || ((user_id + 1) % 4) ||
+         |    '","partitions":[{"index":' || ((event_id + 1) % 3) ||
+         |    ',"message_set":{"size":' || (100 + (event_id * 2) % 900) ||
+         |    '}}]}]}' AS resp,
+         |  value AS latency""".stripMargin, "req_body"),
     "q84_pxl_pods_list" ->
       s"""WITH ${eventsCte()},
          |w AS (SELECT DISTINCT 'svc-' || (user_id % 10) AS service,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{MlScalars, PixieFunctions}
@@ -107,5 +108,45 @@ class ExtendedSpec extends AnyFunSuite {
     val stub = Seq(1).toDF("x")
       .select(MlScalars.textEmbeddingStub(lit("doc"), 8)).as[Seq[Double]].head()
     assert(viaDispatch == stub)
+  }
+
+  test("hashed embedding one-token-pass == per-dimension formulation, bit-exact") {
+    // The single-pass bucket-map fold must reproduce the O(dim*tokens)
+    // per-dimension rescan exactly (per-bucket ±1.0 sums are integer-
+    // valued doubles — order-free), per the restructure contract.
+    def perDimension(text: Column, dim: Int): Column = {
+      val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+      val raw = transform(sequence(lit(0), lit(dim - 1)), i =>
+        aggregate(toks, lit(0.0), (acc, t) => {
+          val h = graft.expressions.Md5Long60.column(t.cast("binary"))
+          acc + when(pmod(h, lit(dim)) === i,
+            when(pmod(h, lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0)))
+            .otherwise(lit(0.0))
+        }))
+      val nrm = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
+      transform(raw, x => when(nrm > 0, x / nrm).otherwise(x))
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "to be or not to be that is the question", "", "a a a a b b c")
+    texts.foreach { t =>
+      val fast = Seq(1).toDF("x")
+        .select(MlScalars.textEmbeddingHashed(lit(t), 16)).as[Seq[Double]].head()
+      val ref = Seq(1).toDF("x")
+        .select(perDimension(lit(t), 16)).as[Seq[Double]].head()
+      assert(fast == ref, s"mismatch for '$t'")
+    }
+  }
+
+  test("SPARK_GRAFT_EMBEDDING dispatch: hashed/stub routes, onnx fails loudly") {
+    def head(c: Column) = Seq(1).toDF("x").select(c).as[Seq[Double]].head()
+    assert(head(MlScalars.textEmbedding(lit("a b"), 8, Some("hashed"))) ==
+      head(MlScalars.textEmbeddingHashed(lit("a b"), 8)))
+    assert(head(MlScalars.textEmbedding(lit("a b"), 8, None)) ==
+      head(MlScalars.textEmbeddingStub(lit("a b"), 8)))
+    // onnx must not silently fall back to a stub embedding
+    val ex = intercept[IllegalStateException] {
+      MlScalars.textEmbedding(lit("x"), 8, Some("onnx"))
+    }
+    assert(ex.getMessage.contains("ONNX runtime"))
   }
 }

@@ -368,6 +368,99 @@ class PxlSpec extends AnyFunSuite {
     })
   }
 
+  test("`not` binds below comparisons (not x == y negates the comparison)") {
+    // dns_flow_graph.pxl relies on `df[not df.pod == ""]`; the wrong
+    // precedence casts the string column to boolean and crashes.
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |df = df[not df.remote_addr == '-']
+        |df = df[not px.contains(df.req_path, 'healthz')]
+        |px.display(df[['remote_addr', 'req_path']], 'x')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val rows = PxlRunner.run(script, Pxl.env(spark, dir, now))("x").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("remote_addr") != "-" &&
+      !r.getAs[String]("req_path").contains("healthz")))
+  }
+
+  test("string + concatenates (literal-column and chained column forms)") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |df.a = "topic" + "/" + df.req_method
+        |df.b = df.req_method + "/routing_key/" + df.req_path
+        |px.display(df[['req_method', 'req_path', 'a', 'b']].head(5), 'x')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val rows = PxlRunner.run(script, Pxl.env(spark, dir, now))("x").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getAs[String]("a") == "topic/" + r.getAs[String]("req_method") &&
+        r.getAs[String]("b") == r.getAs[String]("req_method") +
+          "/routing_key/" + r.getAs[String]("req_path")
+    })
+  }
+
+  test("global df.agg() + keyless merge broadcast the scalar time window") {
+    // net_flow_graph / kafka get_time_window: a 1-row global aggregate
+    // cross-joined onto every row.
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |tw = df.agg(tmin=('time_', px.min), tmax=('time_', px.max))
+        |tw.window = tw.tmax - tw.tmin
+        |tw = tw[['window']]
+        |per = df.groupby('user_id').agg(n=('latency', px.count))
+        |per = per.merge(tw, how='inner', left_on=[], right_on=[])
+        |per.rate = per.n / per.window
+        |px.display(per, 'x')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("x")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val w = rows.head.getAs[Long]("window")
+    assert(w > 0 && rows.forall(_.getAs[Long]("window") == w))
+    assert(rows.forall(r =>
+      r.getAs[Double]("rate") == r.getAs[Long]("n").toDouble / w))
+  }
+
+  test("exec arg coercion by declared annotation (int/float params)") {
+    val script =
+      """import px
+        |def f(start_time: str, thresh: float, n: int):
+        |    df = px.DataFrame(table='http_events', start_time=start_time)
+        |    df = df[df.latency > thresh / 1000000000]
+        |    return df.head(n)
+        |px.display(f('-60d', '500', '7'), 'x')
+        |""".stripMargin
+    // "500"/1e9 only works if the float annotation coerces the string
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("x")
+    assert(out.count() == 7)
+  }
+
+  test("verbatim flow-graph scripts run end-to-end (shape checks)") {
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val net = PxlRunner.runFunction(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(graft.queries.Pxl4.NetFlowPath)), "UTF-8"),
+      Pxl.env(spark, dir, now), "net_flow_graph", Seq("-45d", "ns1", "", "", "0"))
+    assert(net.columns.toSeq == Seq("from_entity", "to_entity",
+      "bytes_sent", "bytes_recv", "bytes_total"))
+    assert(net.count() > 0)
+    val mysql = PxlRunner.runFunction(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(graft.queries.Pxl4.MysqlFlowPath)), "UTF-8"),
+      Pxl.env(spark, dir, now), "mysql_flow_graph", Seq("-45d", "ns1", "", ""))
+    assert(mysql.columns.toSet == Set("source", "destination",
+      "is_source_pod_type", "is_dest_pod_type", "namespace", "latency_p50",
+      "latency_p90", "latency_p99", "request_throughput", "throughput_total"))
+    assert(mysql.count() > 0)
+  }
+
   test("relative time strings gate the scan window") {
     val script =
       """import px

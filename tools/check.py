@@ -27,7 +27,10 @@ for name in names:
     if name not in oracle:
         print(f"ok   {name}: rows-only ({len(got)} rows, no oracle)")
         continue
-    exp = con.execute(oracle[name]).df()
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as ex:
+        print(f"FAIL {name}: oracle error {str(ex)[:300]}"); fail += 1; continue
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         print(f"FAIL {name}: schema {gcols} != {ecols}"); fail += 1; continue
