@@ -31,7 +31,11 @@ object Bench {
         if (!failed.contains(name)) failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-script persisted subplans so caches never carry between
+      // measured queries (each measurement pays its own materialization)
+      spark.catalog.clearCache()
+      dt
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val first = sorted.map { case (name, fn) => name -> time1(name, fn) }

@@ -40,7 +40,7 @@ object SparkEntry {
       graft.queries.Surface.queries ++ graft.queries.Ml.queries ++
       graft.queries.Extended.queries ++ graft.queries.Pxl.queries ++
       graft.queries.Pxl2.queries ++ graft.queries.Pxl3.queries ++
-      graft.queries.Pxl4.queries
+      graft.queries.Pxl4.queries ++ graft.queries.Pxl5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +51,5 @@ object SparkEntry {
       graft.queries.Surface.oracles ++ graft.queries.Ml.oracles ++
       graft.queries.Extended.oracles ++ graft.queries.Pxl.oracles ++
       graft.queries.Pxl2.oracles ++ graft.queries.Pxl3.oracles ++
-      graft.queries.Pxl4.oracles
+      graft.queries.Pxl4.oracles ++ graft.queries.Pxl5.oracles
 }

@@ -34,6 +34,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         if (sys.env.contains("SPARK_GRAFT_VERBOSE")) e.printStackTrace()
       }
+      // drop per-script persisted subplans (PxlRunner's MergeNodesRule
+      // analog) so caches never accumulate across the gate's 100+ queries
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -788,7 +788,47 @@ object PxlRunner {
       scope(varName) = VTab(updated)
     }
 
-    def execStmts(body: Seq[PxlParser.Stmt]): Unit = body.foreach {
+    // ---- shared-subplan materialization (MergeNodesRule analog) ------
+    // Carnot's planner merges identical operator subtrees so a forked
+    // dataframe executes once (merge_nodes_rule.h; its executor also
+    // materializes every operator's output batches). Spark recomputes
+    // forked lineage by default, which turns an N-way script fork into N
+    // full rescans (kafka_overview's producer_df feeds 3 aggregates =
+    // ~30 rescans of the unnest chain). When a table variable is READ by
+    // 2+ later statements before being rebound, persist it
+    // (MEMORY_AND_DISK default — spills, never OOMs); linear
+    // `df.x = ...` / `df = df[...]` chains rebind immediately and are
+    // never persisted, so a raw scan is never pinned.
+    def readsOf(e: Expr, n: String): Int = e match {
+      case NameE(`n`) => 1
+      case NameE(_) | Str(_) | IntLit(_) | FloatLit(_) | BoolLit(_) => 0
+      case AttrE(b, _) => readsOf(b, n)
+      case SubE(b, ix) => readsOf(b, n) + readsOf(ix, n)
+      case CallE(f, a, k) => readsOf(f, n) + a.map(readsOf(_, n)).sum +
+        k.map(kv => readsOf(kv._2, n)).sum
+      case ListE(xs) => xs.map(readsOf(_, n)).sum
+      case DictE(es) => es.map { case (a, b) => readsOf(a, n) + readsOf(b, n) }.sum
+      case BinE(_, l, r) => readsOf(l, n) + readsOf(r, n)
+      case UnaryE(_, x) => readsOf(x, n)
+    }
+    def forkCount(n: String, rest: Seq[PxlParser.Stmt]): Int = {
+      var count = 0
+      rest.foreach {
+        // any rebinding of n ends the sharing window (a self-referencing
+        // rebind is a linear chain, not a fork)
+        case Assign(NameE(`n`), _) => return count
+        case Assign(AttrE(NameE(`n`), _), _) => return count
+        case Assign(SubE(NameE(`n`), _), _) => return count
+        case Assign(_, rhs) => count += readsOf(rhs, n)
+        case ExprStmt(e) => count += readsOf(e, n)
+        case ReturnS(e) => count += readsOf(e, n)
+        case _ =>
+      }
+      count
+    }
+
+    def execStmts(body: Seq[PxlParser.Stmt]): Unit =
+      body.zipWithIndex.foreach { case (stmt, i) => stmt match {
       case ImportS("px") => // the px module is ambient
       case ImportS(m) if env.modules.contains(m) =>
         // execute the module's defs into its own scope (its functions
@@ -807,7 +847,12 @@ object PxlRunner {
       // configure the exec-arg parser in the reference; arguments reach
       // us pre-coerced, so the alias is a no-op.
       case Assign(AttrE(NameE("px"), _), _) =>
-      case Assign(NameE(n), rhs) => vars(n) = eval(rhs)
+      case Assign(NameE(n), rhs) =>
+        vars(n) = eval(rhs) match {
+          case VTab(t) if forkCount(n, body.drop(i + 1)) >= 2 =>
+            VTab(PxTable(t.df.persist()))
+          case v => v
+        }
       case Assign(AttrE(NameE(n), attr), rhs) => assignColumn(n, attr, eval(rhs))
       case Assign(SubE(NameE(n), Str(colName)), rhs) =>
         assignColumn(n, colName, eval(rhs))
@@ -818,7 +863,7 @@ object PxlRunner {
         }
       case Assign(tgt, _) => throw new PxlError(s"unsupported assign target $tgt")
       case ExprStmt(e) => eval(e)
-    }
+    } }
 
     execStmts(stmts)
     val fnResult = call.map { case (fn, args) =>

@@ -298,7 +298,9 @@ object Pxl {
       pmod(col("event_id"), lit(5)).as("protocol"),
       graft.functions.PixieFunctions.idiv(col("ts"), 1000L).as("bytes_sent"),
       graft.functions.PixieFunctions.idiv(
-        graft.functions.PixieFunctions.idiv(col("ts"), 1000L), 3L).as("bytes_recv"))
+        graft.functions.PixieFunctions.idiv(col("ts"), 1000L), 3L).as("bytes_recv"),
+      graft.functions.PixieFunctions.idiv(
+        graft.functions.PixieFunctions.idiv(col("ts"), 1000L), 1000L).as("conn_open"))
 
   /** stirling_error shape (stirling's stirling_error table — reference
     * src/stirling/source_connectors/stirling_error/): per-node source
