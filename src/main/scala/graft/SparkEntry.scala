@@ -40,7 +40,9 @@ object SparkEntry {
       graft.queries.Surface.queries ++ graft.queries.Ml.queries ++
       graft.queries.Extended.queries ++ graft.queries.Pxl.queries ++
       graft.queries.Pxl2.queries ++ graft.queries.Pxl3.queries ++
-      graft.queries.Pxl4.queries ++ graft.queries.Pxl5.queries
+      graft.queries.Pxl4.queries ++ graft.queries.Pxl5.queries ++
+      graft.queries.Pxl6.queries ++ graft.queries.Pxl7.queries ++
+      graft.queries.Pxl8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +53,7 @@ object SparkEntry {
       graft.queries.Surface.oracles ++ graft.queries.Ml.oracles ++
       graft.queries.Extended.oracles ++ graft.queries.Pxl.oracles ++
       graft.queries.Pxl2.oracles ++ graft.queries.Pxl3.oracles ++
-      graft.queries.Pxl4.oracles ++ graft.queries.Pxl5.oracles
+      graft.queries.Pxl4.oracles ++ graft.queries.Pxl5.oracles ++
+      graft.queries.Pxl6.oracles ++ graft.queries.Pxl7.oracles ++
+      graft.queries.Pxl8.oracles
 }

@@ -459,6 +459,7 @@ object PxlRunner {
         VTab(PxTable(env.udtfs(name, args.map {
           case VStr(s) => s
           case VInt(i) => i.toString
+          case VBool(b) => b.toString
           case o => throw new PxlError(s"$name arg: $o")
         })))
       // px.debug(df[, name]): like display, under a '_'-prefixed table
@@ -485,6 +486,10 @@ object PxlRunner {
           VCol(regexp_replace(asCol(args(1)), pat, sub))
         case o => throw new PxlError(s"replace$o")
       }
+      // 1- or 2-arg form: the reference's second (command) arg selects
+      // the statement-vs-prepared parse path (sql_ops.h); the literal
+      // scanner normalizes both identically, so it is accepted and
+      // ignored here.
       case "normalize_mysql" =>
         VCol(graft.functions.SqlNormalize.normalizeMysql(asCol(args.head)))
       case "normalize_pgsql" =>

@@ -94,7 +94,8 @@ object Pxl {
       .withColumn("resp_code", pmod(col("event_id"), lit(4)))
       .withColumn("resp_status", pmod(col("event_id"), lit(4)))
       .withColumn("req_body",
-        concat(lit("SELECT * FROM t"), pmod(col("event_id"), lit(5))))
+        concat(lit("SELECT * FROM t"), pmod(col("event_id"), lit(5)),
+          lit(" WHERE id="), pmod(col("event_id"), lit(100))))
       .withColumn("resp_body", concat(lit("resp-"), col("event_id")))
       .withColumn("latency_ns", col("latency"))
 
@@ -116,11 +117,19 @@ object Pxl {
       .withColumn("latency_ns", col("latency"))
   }
 
-  /** pgsql_events shape (stirling's pgsql table). */
+  /** pgsql_events shape (stirling's pgsql table): request tag + query
+    * text with an id literal (sql_queries normalizes it to $1).
+    */
   def pgsqlEvents(s: SparkSession, dir: String): DataFrame =
     tracerBase(s, dir)
+      .withColumn("req_cmd",
+        when(pmod(col("event_id"), lit(4)) === 0, "Query")
+          .when(pmod(col("event_id"), lit(4)) === 1, "Execute")
+          .when(pmod(col("event_id"), lit(4)) === 2, "Parse")
+          .otherwise("Bind"))
       .withColumn("req",
-        concat(lit("SELECT * FROM rel"), pmod(col("event_id"), lit(7))))
+        concat(lit("SELECT * FROM rel"), pmod(col("event_id"), lit(7)),
+          lit(" WHERE id="), pmod(col("event_id"), lit(100))))
       .withColumn("resp",
         concat(lit("SELECT "), pmod(col("event_id"), lit(100))))
 
@@ -224,6 +233,8 @@ object Pxl {
       concat(lit("pid-"), col("user_id"), lit("-g"), g).as("pod_id"),
       us.as("rx_bytes"),
       graft.functions.PixieFunctions.idiv(us, 2L).as("tx_bytes"),
+      graft.functions.PixieFunctions.idiv(us, 700L).as("rx_packets"),
+      graft.functions.PixieFunctions.idiv(us, 800L).as("tx_packets"),
       graft.functions.PixieFunctions.idiv(us, 1000L).as("tx_errors"),
       graft.functions.PixieFunctions.idiv(us, 1500L).as("rx_errors"),
       graft.functions.PixieFunctions.idiv(us, 2000L).as("tx_drops"),
@@ -272,10 +283,17 @@ object Pxl {
       col("value").as("latency"),
       concat(lit("""{"qname":"svc-"""), pmod(col("user_id"), lit(10)),
         lit(""".local"}""")).as("req_header"),
-      concat(lit("dns-q-"), col("event_id")).as("req_body"),
+      // dns_table.h body shapes: queries/answers JSON arrays
+      // (dns_query_summary plucks + prefix-parses these)
+      concat(lit("""{"queries":[{"name":"svc-"""), pmod(col("user_id"), lit(10)),
+        lit(""".local"}]}""")).as("req_body"),
       concat(lit("""{"rcode":"""), pmod(col("event_id"), lit(4)), lit("}"))
         .as("resp_header"),
-      concat(lit("dns-a-"), col("event_id")).as("resp_body"))
+      when(pmod(col("event_id"), lit(4)) === 0,
+        concat(lit("""{"answers":[{"name":"svc-"""), pmod(col("user_id"), lit(10)),
+          lit(""".local","addr":"203.0.113."""), pmod(col("event_id"), lit(250)),
+          lit(""""}]}""")))
+        .otherwise(lit("""{"answers":[]}""")).as("resp_body"))
   }
 
   /** conn_stats shape (stirling's conn_stats table): per-connection

@@ -286,7 +286,8 @@ object Pxl2 {
 
     "q101_pxl_mysql_data" -> tracerOracle(
       """remote_port, event_id % 32 AS req_cmd,
-        |  'SELECT * FROM t' || (event_id % 5) AS req_body,
+        |  'SELECT * FROM t' || (event_id % 5) || ' WHERE id=' ||
+        |    (event_id % 100) AS req_body,
         |  event_id % 4 AS resp_status, 'resp-' || event_id AS resp_body,
         |  value AS latency""".stripMargin, "resp_body"),
 
@@ -299,7 +300,8 @@ object Pxl2 {
         |  value AS latency""".stripMargin, "req_args"),
 
     "q103_pxl_pgsql_data" -> tracerOracle(
-      """remote_port, 'SELECT * FROM rel' || (event_id % 7) AS req,
+      """remote_port, 'SELECT * FROM rel' || (event_id % 7) || ' WHERE id=' ||
+        |    (event_id % 100) AS req,
         |  'SELECT ' || (event_id % 100) AS resp, value AS latency""".stripMargin,
       "resp"),
 
@@ -539,9 +541,12 @@ object Pxl2 {
          |  ${link("dst0", "is_dst_pod")} AS destination,
          |  value AS latency,
          |  '{"qname":"svc-' || (user_id % 10) || '.local"}' AS req_header,
-         |  'dns-q-' || event_id AS req_body,
+         |  '{"queries":[{"name":"svc-' || (user_id % 10) || '.local"}]}' AS req_body,
          |  '{"rcode":' || (event_id % 4) || '}' AS resp_header,
-         |  'dns-a-' || event_id AS resp_body
+         |  CASE WHEN event_id % 4 = 0
+         |    THEN '{"answers":[{"name":"svc-' || (user_id % 10) ||
+         |      '.local","addr":"203.0.113.' || (event_id % 250) || '"}]}'
+         |    ELSE '{"answers":[]}' END AS resp_body
          |FROM x ORDER BY time_, req_body""".stripMargin
     }
   )
