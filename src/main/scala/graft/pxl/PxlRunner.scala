@@ -483,9 +483,16 @@ object PxlRunner {
       }
       case "replace" => (args.head, args(2)) match {
         case (VStr(pat), VStr(sub)) =>
-          VCol(regexp_replace(asCol(args(1)), pat, sub))
+          // RE2's Rewrite uses \N group references (regex_ops.cc); Java's
+          // replaceAll uses $N — translate so reference scripts' \1 works.
+          val javaSub = """\\(\d)""".r.replaceAllIn(sub, m => "\\$" + m.group(1))
+          VCol(regexp_replace(asCol(args(1)), pat, javaSub))
         case o => throw new PxlError(s"replace$o")
       }
+      // util_ops equality scalar (scripts use it where == would collide
+      // with a compile-time string comparison)
+      case "equal" =>
+        VCol(asCol(args.head) === asCol(args(1)))
       // 1- or 2-arg form: the reference's second (command) arg selects
       // the statement-vs-prepared parse path (sql_ops.h); the literal
       // scanner normalizes both identically, so it is accepted and

@@ -54,7 +54,15 @@ object Pxl {
         .when(pmod(col("event_id"), lit(4)) === 1, "POST")
         .when(pmod(col("event_id"), lit(4)) === 2, "PUT")
         .otherwise("DELETE").as("req_method"),
-      lit("""{"host":"svc"}""").as("req_headers"),
+      // even events carry an Otel traceparent (http_trace_id parses it;
+      // ids are md5-derived so any engine reproduces them)
+      when(pmod(col("event_id"), lit(2)) === 0,
+        concat(lit("""{"host":"svc","traceparent":"00-"""),
+          md5(col("event_id").cast("string").cast("binary")), lit("-"),
+          substring(md5((col("event_id") + 1).cast("string").cast("binary")),
+            1, 16),
+          lit("""-01"}""")))
+        .otherwise(lit("""{"host":"svc"}""")).as("req_headers"),
       concat(lit("req-"), col("event_id")).as("req_body"),
       pmod(col("event_id"), lit(512)).as("req_body_size"),
       graft.functions.ProtocolOps.httpRespMessage.column(status).as("resp_message"),
@@ -187,18 +195,31 @@ object Pxl {
       concat(lit("""{"topics":[{"name":""""), name,
         lit("""","partitions":[{"index":"""), idx,
         lit(""","message_set":{"size":"""), size, lit("}}]}]}"))
+    // JoinGroup (11) / SyncGroup (14) events carry consumer-group bodies
+    // (kafka_consumer_rebalancing joins them on group/generation/member)
+    val e70 = pmod(col("event_id"), lit(70))
+    val groupId = concat(lit("""{"group_id":"cg-"""), pmod(col("user_id"), lit(4)))
     tracerBase(s, dir)
-      .withColumn("req_cmd", pmod(col("event_id"), lit(70)))
+      .withColumn("req_cmd", e70)
       .withColumn("client_id",
         concat(lit("client-"), pmod(col("user_id"), lit(20))))
-      .withColumn("req_body", topicsJson(
-        concat(lit("t"), pmod(col("user_id"), lit(4))),
-        pmod(col("event_id"), lit(3)),
-        lit(100) + pmod(col("event_id"), lit(900))))
-      .withColumn("resp", topicsJson(
-        concat(lit("t"), pmod(col("user_id") + 1, lit(4))),
-        pmod(col("event_id") + 1, lit(3)),
-        lit(100) + pmod(col("event_id") * 2, lit(900))))
+      .withColumn("req_body",
+        when(e70 === 11, concat(groupId, lit(""""}""")))
+          .when(e70 === 14, concat(groupId,
+            lit("""","generation_id":"""), pmod(col("user_id"), lit(3)),
+            lit(""","member_id":"m-"""), col("user_id"), lit(""""}""")))
+          .otherwise(topicsJson(
+            concat(lit("t"), pmod(col("user_id"), lit(4))),
+            pmod(col("event_id"), lit(3)),
+            lit(100) + pmod(col("event_id"), lit(900)))))
+      .withColumn("resp",
+        when(e70 === 11,
+          concat(lit("""{"generation_id":"""), pmod(col("user_id"), lit(3)),
+            lit(""","member_id":"m-"""), col("user_id"), lit(""""}""")))
+          .otherwise(topicsJson(
+            concat(lit("t"), pmod(col("user_id") + 1, lit(4))),
+            pmod(col("event_id") + 1, lit(3)),
+            lit(100) + pmod(col("event_id") * 2, lit(900)))))
   }
 
   /** amqp_events shape (stirling's amqp table): frame/class/method ids
@@ -1008,7 +1029,11 @@ object Pxl {
          |  req_path,
          |  CASE event_id % 4 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
          |       WHEN 2 THEN 'PUT' ELSE 'DELETE' END AS req_method,
-         |  '{"host":"svc"}' AS req_headers,
+         |  CASE WHEN event_id % 2 = 0
+         |    THEN '{"host":"svc","traceparent":"00-' ||
+         |      md5(CAST(event_id AS VARCHAR)) || '-' ||
+         |      substr(md5(CAST(event_id + 1 AS VARCHAR)), 1, 16) || '-01"}'
+         |    ELSE '{"host":"svc"}' END AS req_headers,
          |  'req-' || event_id AS req_body,
          |  event_id % 512 AS req_body_size,
          |  100 + event_id % 460 AS resp_status,

@@ -336,14 +336,23 @@ object Pxl2 {
     "q108_pxl_kafka_data" -> tracerOracle(
       s"""remote_port,
          |  ${graft.functions.ProtocolOps.kafkaApiKeyName.sql("(event_id % 70)")} AS req_cmd,
-         |  '{"topics":[{"name":"t' || (user_id % 4) ||
-         |    '","partitions":[{"index":' || (event_id % 3) ||
-         |    ',"message_set":{"size":' || (100 + event_id % 900) ||
-         |    '}}]}]}' AS req_body,
-         |  '{"topics":[{"name":"t' || ((user_id + 1) % 4) ||
-         |    '","partitions":[{"index":' || ((event_id + 1) % 3) ||
-         |    ',"message_set":{"size":' || (100 + (event_id * 2) % 900) ||
-         |    '}}]}]}' AS resp,
+         |  CASE WHEN event_id % 70 = 11
+         |    THEN '{"group_id":"cg-' || (user_id % 4) || '"}'
+         |    WHEN event_id % 70 = 14
+         |    THEN '{"group_id":"cg-' || (user_id % 4) ||
+         |      '","generation_id":' || (user_id % 3) ||
+         |      ',"member_id":"m-' || user_id || '"}'
+         |    ELSE '{"topics":[{"name":"t' || (user_id % 4) ||
+         |      '","partitions":[{"index":' || (event_id % 3) ||
+         |      ',"message_set":{"size":' || (100 + event_id % 900) ||
+         |      '}}]}]}' END AS req_body,
+         |  CASE WHEN event_id % 70 = 11
+         |    THEN '{"generation_id":' || (user_id % 3) ||
+         |      ',"member_id":"m-' || user_id || '"}'
+         |    ELSE '{"topics":[{"name":"t' || ((user_id + 1) % 4) ||
+         |      '","partitions":[{"index":' || ((event_id + 1) % 3) ||
+         |      ',"message_set":{"size":' || (100 + (event_id * 2) % 900) ||
+         |      '}}]}]}' END AS resp,
          |  value AS latency""".stripMargin, "req_body"),
     "q84_pxl_pods_list" ->
       s"""WITH ${eventsCte()},
