@@ -461,6 +461,28 @@ class PxlSpec extends AnyFunSuite {
     assert(mysql.count() > 0)
   }
 
+  test("forked script variables persist once (MergeNodesRule analog)") {
+    // `a` is read by two later statements -> persisted; the linear df
+    // chain rebinding every statement must NOT be (no pinned raw scan).
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |a = df.groupby('user_id').agg(n=('latency', px.count))
+        |b = a.groupby('n').agg(m=('user_id', px.count))
+        |c = a.merge(b, how='inner', left_on=['n'], right_on=['n'],
+        |            suffixes=['', '_x'])
+        |px.display(c, 'x')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    try {
+      val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("x")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        "forked aggregate should execute from the persisted subplan")
+      assert(out.count() > 0)
+    } finally spark.catalog.clearCache()
+  }
+
   test("relative time strings gate the scan window") {
     val script =
       """import px
