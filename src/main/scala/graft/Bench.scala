@@ -37,22 +37,33 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
+    // Optional dev-only subset (the driver sets no filter): regex over
+    // query names, e.g. SPARK_GRAFT_BENCH_FILTER='q13[12]_'.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        nameFilter.forall(_.findFirstIn(name).isDefined) }
     val first = sorted.map { case (name, fn) => name -> time1(name, fn) }
     // Contention guard: a loaded host can inflate individual queries 3-7x
     // (observed on shared driver runs). Re-measure the outliers — first
     // run > max(2s, 3x the median) — and keep the better of the two, so a
     // single-shot run reports times within noise of an idle box while the
-    // total re-run budget stays bounded by the outlier count.
+    // total re-run budget stays bounded by the outlier count. The policy
+    // is asymmetric by design (fast queries are single-shot); every
+    // re-measurement is DISCLOSED in `remeasured` (name -> [first,
+    // second]) so downstream comparisons can detect the substitution.
     val med = {
       val ts = first.map(_._2).sorted
       if (ts.isEmpty) 0.0 else ts(ts.length / 2)
     }
     val threshold = math.max(2.0, 3 * med)
+    val remeasured = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = first.map { case (name, t) =>
-      if (t > threshold && !failed.contains(name))
-        name -> math.min(t, time1(name, SparkEntry.queries(name)))
-      else name -> t
+      if (t > threshold && !failed.contains(name)) {
+        val t2 = time1(name, SparkEntry.queries(name))
+        remeasured(name) = (t, t2)
+        name -> math.min(t, t2)
+      } else name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -60,8 +71,11 @@ object Bench {
     // Failed queries keep their elapsed time in `queries` but are listed
     // here so bench-series comparisons can exclude them.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val remeasuredJson = remeasured
+      .map { case (k, (a, b)) => s"\"" + k + "\":[" + a + "," + b + "]" }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"remeasured":$remeasuredJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     spark.stop()
     // The JSON must be the last stdout line AND fully drained: r3's run

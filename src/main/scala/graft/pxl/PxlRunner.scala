@@ -807,10 +807,19 @@ object PxlRunner {
     // forked lineage by default, which turns an N-way script fork into N
     // full rescans (kafka_overview's producer_df feeds 3 aggregates =
     // ~30 rescans of the unnest chain). When a table variable is READ by
-    // 2+ later statements before being rebound, persist it
-    // (MEMORY_AND_DISK default — spills, never OOMs); linear
-    // `df.x = ...` / `df = df[...]` chains rebind immediately and are
-    // never persisted, so a raw scan is never pinned.
+    // 2+ later statements before being rebound, localCheckpoint it
+    // eagerly: the fork computes ONCE (Carnot materializes every
+    // operator's output) into executor-local MEMORY_AND_DISK blocks
+    // (spills, never OOMs) and the lineage is TRUNCATED, so every
+    // consuming branch plans against a leaf — an N-branch fan-in carries
+    // N small plans, not N copies of the fork's whole subtree. Unlike
+    // Dataset.persist there is no CacheManager entry to release: the
+    // blocks are dropped by the ContextCleaner as soon as the script's
+    // result frames become unreachable, so repeated runs in a long-lived
+    // session cannot accumulate pinned storage (PxlSpec pins the
+    // empty-cache contract). Linear `df.x = ...` / `df = df[...]` chains
+    // rebind immediately and are never checkpointed, so a raw scan is
+    // never materialized wholesale.
     def readsOf(e: Expr, n: String): Int = e match {
       case NameE(`n`) => 1
       case NameE(_) | Str(_) | IntLit(_) | FloatLit(_) | BoolLit(_) => 0
@@ -862,7 +871,12 @@ object PxlRunner {
       case Assign(NameE(n), rhs) =>
         vars(n) = eval(rhs) match {
           case VTab(t) if forkCount(n, body.drop(i + 1)) >= 2 =>
-            VTab(PxTable(t.df.persist()))
+            // eager=false: the plan is truncated immediately (the Dataset
+            // wraps the physical RDD), but the blocks materialize inside
+            // the caller's FIRST action — branches share the partition-
+            // level cache without paying one blocking job per fork, and a
+            // fork feeding only un-consumed outputs costs nothing.
+            VTab(PxTable(t.df.localCheckpoint(false)))
           case v => v
         }
       case Assign(AttrE(NameE(n), attr), rhs) => assignColumn(n, attr, eval(rhs))

@@ -461,9 +461,13 @@ class PxlSpec extends AnyFunSuite {
     assert(mysql.count() > 0)
   }
 
-  test("forked script variables persist once (MergeNodesRule analog)") {
-    // `a` is read by two later statements -> persisted; the linear df
-    // chain rebinding every statement must NOT be (no pinned raw scan).
+  test("forked script variables materialize once (MergeNodesRule analog)") {
+    // `a` is read by two later statements -> eagerly localCheckpointed
+    // (computed once, lineage truncated); the linear df chain rebinding
+    // every statement must NOT be (no raw scan materialized wholesale).
+    // The runner must leave NO CacheManager entries behind: its blocks
+    // are RDD-level and ContextCleaner-owned, so a long-lived session
+    // running many scripts accumulates no pinned storage.
     val script =
       """import px
         |df = px.DataFrame(table='http_events', start_time='-60d')
@@ -474,13 +478,17 @@ class PxlSpec extends AnyFunSuite {
         |px.display(c, 'x')
         |""".stripMargin
     val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
-    try {
-      val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("x")
-      val plan = out.queryExecution.executedPlan.toString
-      assert(plan.contains("InMemoryTableScan"),
-        "forked aggregate should execute from the persisted subplan")
-      assert(out.count() > 0)
-    } finally spark.catalog.clearCache()
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("x")
+    // Both fork branches plan against the checkpointed leaf, not the
+    // scan->aggregate subtree.
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"forked aggregate should execute from the checkpointed leaf:\n$plan")
+    assert(!plan.contains("parquet"),
+      s"fork branches must not re-plan the parquet scan:\n$plan")
+    assert(out.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "runner must leave no CacheManager entries after run()")
   }
 
   test("relative time strings gate the scan window") {
