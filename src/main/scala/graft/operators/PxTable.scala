@@ -84,6 +84,13 @@ final case class PxTable(df: DataFrame) {
   def merge(right: PxTable, how: String, leftOn: Seq[String],
             rightOn: Seq[String], suffixes: (String, String) = ("_x", "_y")): PxTable = {
     require(leftOn.length == rightOn.length, "merge: key arity mismatch")
+    // Keyless merge is the reference's scalar-broadcast idiom (a 1-row
+    // global-agg table joined onto every row) and is only meaningful as
+    // an inner cross product — outer semantics would diverge (outer
+    // keeps unmatched rows with nulls; cross drops them), so reject
+    // like the reference's join-condition check does.
+    require(leftOn.nonEmpty || how == "inner",
+      s"merge: empty join keys require how='inner', got how='$how'")
     if (how == "right")
       return right.merge(this, "left", rightOn, leftOn, (suffixes._2, suffixes._1))
     val joinType = how match {

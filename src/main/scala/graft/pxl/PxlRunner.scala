@@ -139,6 +139,17 @@ object PxlRunner {
       if (name.forall(ch => ch.isLetterOrDigit || ch == '_')) col(name)
       else col(s"`$name`")
 
+    /** Column read off a table, typed from the SCHEMA dtype — Carnot's
+      * registry resolves overloads from column types, so `+` on two
+      * string columns concats (and on string+int fails) without any
+      * literal in the expression. Columns absent from the schema (never
+      * the case for bundled scripts) stay untyped.
+      */
+    def readCol(t: PxTable, name: String): V =
+      if (t.df.schema.fields.exists(f => f.name == name &&
+          f.dataType == org.apache.spark.sql.types.StringType)) VSCol(c(name))
+      else VCol(c(name))
+
     def asCol(v: V): Column = v match {
       case VCol(x) => x
       case VSCol(x) => x
@@ -182,16 +193,27 @@ object PxlRunner {
         case ">" => VBool(a > b); case "<" => VBool(a < b)
         case o => throw new PxlError(s"int op $o")
       }
+      // ctx properties and metadata-fn results are STRING-typed by
+      // construction (all k8s names/ids); a `+` mixing one with a string
+      // side concats through the deferred-join machinery.
       case _ if needsJoin(l) || needsJoin(r) =>
-        colCombine(Seq(l, r)) { case Seq(a, b) => binopCol(op, a, b) }
-      // `+` where a side is string-typed (a string literal mixed with a
-      // column, or a concat-chain column) is concatenation — the result
-      // stays string-typed so chains like a + "/" + b keep concatenating.
-      case _ if op == "+" &&
-          (l.isInstanceOf[VSCol] || r.isInstanceOf[VSCol] ||
-            ((l.isInstanceOf[VCol] || r.isInstanceOf[VCol]) &&
-              (l.isInstanceOf[VStr] || r.isInstanceOf[VStr]))) =>
-        VSCol(concat(asCol(l), asCol(r)))
+        val cc: (Column, Column) => Column =
+          if (op == "+" && (isStringy(l) || isStringy(r))) concat(_, _)
+          else binopCol(op, _, _)
+        colCombine(Seq(l, r)) { case Seq(a, b) => cc(a, b) }
+      // `+` with a string-typed side: concat when BOTH sides are string-
+      // typed (schema-typed column reads, string-returning builtins, or
+      // literals), a type error otherwise — Carnot's typed registry has
+      // no string+numeric `add` overload (funcs/builtins/math_ops.cc),
+      // so a script typo fails here like it fails in the reference
+      // instead of silently double-casting to nulls.
+      // two string LITERALS fold at compile time (scripts build column
+      // names this way, e.g. drop(entity + '_x')) — never a column.
+      case (VStr(a), VStr(b)) if op == "+" => VStr(a + b)
+      case _ if op == "+" && (isStringy(l) || isStringy(r)) =>
+        if (isStringy(l) && isStringy(r)) VSCol(concat(asCol(l), asCol(r)))
+        else throw new PxlError(
+          s"cannot add string and non-string operands: $l + $r")
       case _ if l.isInstanceOf[VCol] || r.isInstanceOf[VCol] ||
           l.isInstanceOf[VSCol] || r.isInstanceOf[VSCol] =>
         VCol(binopCol(op, asCol(l), asCol(r)))
@@ -220,6 +242,15 @@ object PxlRunner {
     /** Values whose column form requires a join first. */
     def needsJoin(v: V): Boolean = v match {
       case _: VCtx | _: VMetaCall | _: VDeferred => true
+      case _ => false
+    }
+
+    /** Known string-TYPED values: literals, schema/builtin-typed columns,
+      * ctx properties and metadata-fn results (k8s names/ids are all
+      * strings in the reference's registry, metadata_ops.h).
+      */
+    def isStringy(v: V): Boolean = v match {
+      case _: VStr | _: VSCol | _: VCtx | _: VMetaCall => true
       case _ => false
     }
 
@@ -300,8 +331,36 @@ object PxlRunner {
       case other => throw new PxlError(s"unknown aggregate px.$other")
     } }
 
+    // Builtins whose return is STRING-typed in the reference registry
+    // (string_ops.cc, json_ops.cc, protocol_ops.cc, sql_ops, net_ops,
+    // metadata_ops constants) — their results participate in `+` as
+    // concatenation, matching Carnot's type-resolved overloads.
+    val StringBuiltins: Set[String] = Set(
+      "pluck", "pluck_array", "split", "itoa", "hex_to_ascii",
+      "bytes_to_hex", "trim", "strip_prefix", "substring", "tolower",
+      "toupper", "replace", "_match_regex_rule", "format_duration",
+      "normalize_mysql", "normalize_pgsql", "redact_pii_best_effort",
+      "nslookup", "grpc_status_code_to_str", "upid_to_string",
+      "script_reference", "protocol_name", "http_resp_message",
+      "mysql_command_name", "kafka_api_key_name", "dns_rcode_name",
+      "cql_opcode_name", "mux_frame_type_name", "amqp_frame_type_name",
+      "amqp_class_name", "amqp_method_name", "_exec_hostname",
+      "vizier_id", "vizier_name", "vizier_namespace")
+
     def callBuiltin(name: String, args: Seq[V], kwargs: Seq[(String, V)]): V = {
       val kw = kwargs.toMap
+      val res = callBuiltin0(name, args, kw, kwargs)
+      res match {
+        case VCol(cc) if StringBuiltins(name) => VSCol(cc)
+        // px.select with two string-typed branches yields a string
+        case VCol(cc) if name == "select" && args.length == 3 &&
+            isStringy(args(1)) && isStringy(args(2)) => VSCol(cc)
+        case v => v
+      }
+    }
+
+    def callBuiltin0(name: String, args: Seq[V], kw: Map[String, V],
+                     kwargs: Seq[(String, V)]): V = {
       name match {
       case "DataFrame" =>
         val table = kw.get("table").orElse(args.headOption) match {
@@ -652,7 +711,7 @@ object PxlRunner {
         case v @ VTab(t) =>
           if (TableMethods(name)) VMethod(v, name)
           else if (name == "ctx") VCtxObj(t)
-          else VCol(c(name))
+          else readCol(t, name)
         case v @ VGrouped(_, _) => VMethod(v, name)
         case other => throw new PxlError(s"attribute $name on $other")
       }
@@ -671,7 +730,7 @@ object PxlRunner {
           case d: VDeferred =>
             val (wide, cond, tmps) = materializeDeferred(t, d)
             VTab(wide.where(cond).dropCols(tmps: _*))
-          case VStr(s) => VCol(c(s))
+          case VStr(s) => readCol(t, s)
           case o => throw new PxlError(s"df[$o]")
         }
         case other => throw new PxlError(s"subscript on $other")
@@ -718,6 +777,12 @@ object PxlRunner {
         case (Some("float"), VStr(s))
             if s.matches("-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?") =>
           VFloat(s.toDouble)
+        // The reference FAILS exec-arg parsing on a malformed numeric
+        // (compiler.cc ProcessExecFuncs) — surface the error at the call
+        // site instead of a confusing binop failure downstream.
+        case (Some("int" | "float"), VStr(s)) =>
+          throw new PxlError(
+            s"arg $pn: '$s' is not a valid ${declared(pn)}")
         case _ => v
       }
       val local = mutable.LinkedHashMap[String, V]()

@@ -491,6 +491,79 @@ class PxlSpec extends AnyFunSuite {
       "runner must leave no CacheManager entries after run()")
   }
 
+  test("string typing: schema-typed + concats, string+numeric rejects") {
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    // Two string-TYPED table columns added directly (no literal anywhere
+    // in the chain) must CONCAT — Carnot resolves the overload from the
+    // column types, not from literal presence.
+    val concatScript =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |df.both = df.req_method + df.req_path
+        |px.display(df[['both']].head(3), 'x')
+        |""".stripMargin
+    val out = PxlRunner.run(concatScript, Pxl.env(spark, dir, now))("x").collect()
+    assert(out.nonEmpty && out.forall { r =>
+      val s = r.getAs[String]("both")
+      s != null && s.matches("(GET|POST|PUT|DELETE)/.*")
+    })
+    // string column + numeric column: no add overload in the reference
+    // registry -> must fail at script build, not silently null.
+    val mixedScript =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |df.bad = df.req_method + df.resp_status
+        |px.display(df, 'x')
+        |""".stripMargin
+    val e = intercept[PxlRunner.PxlError] {
+      PxlRunner.run(mixedScript, Pxl.env(spark, dir, now))
+    }
+    assert(e.getMessage.contains("string"))
+    // string column + int literal likewise.
+    val mixedLit =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |df.bad = df.req_method + 1
+        |px.display(df, 'x')
+        |""".stripMargin
+    intercept[PxlRunner.PxlError] {
+      PxlRunner.run(mixedLit, Pxl.env(spark, dir, now))
+    }
+  }
+
+  test("exec-arg coercion rejects malformed numerics at the call site") {
+    val script =
+      """import px
+        |def f(start_time: str, n: int):
+        |    df = px.DataFrame(table='http_events', start_time=start_time)
+        |    return df.head(n)
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val e = intercept[PxlRunner.PxlError] {
+      PxlRunner.runFunction(script, Pxl.env(spark, dir, now), "f",
+        Seq("-60d", "abc"))
+    }
+    assert(e.getMessage.contains("not a valid int"))
+    // the valid form still coerces
+    assert(PxlRunner.runFunction(script, Pxl.env(spark, dir, now), "f",
+      Seq("-60d", "3")).count() == 3)
+  }
+
+  test("keyless merge requires how='inner'") {
+    val script =
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |tw = df.agg(lo=('time_', px.min), hi=('time_', px.max))
+        |out = df.merge(tw, how='outer', left_on=[], right_on=[])
+        |px.display(out, 'x')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val e = intercept[IllegalArgumentException] {
+      PxlRunner.run(script, Pxl.env(spark, dir, now))
+    }
+    assert(e.getMessage.contains("how='inner'"))
+  }
+
   test("relative time strings gate the scan window") {
     val script =
       """import px
