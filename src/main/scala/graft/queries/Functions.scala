@@ -115,11 +115,38 @@ object Functions {
       ).orderBy("user_id")
     }),
 
-    // t-digest quantiles UDA (sketch JSON, ST_QUANTILES analog) — no SQL
-    // oracle (sketch values are approximation-specific); rows-only check.
+    // t-digest quantiles UDA (sketch JSON, ST_QUANTILES analog). The
+    // sketch's values are approximation-specific, so the gate is a
+    // TOLERANCE contract made exact-hash-checkable: the query emits the
+    // EXACT quantiles (percentile == DuckDB quantile_cont, q19
+    // invariant) plus a boolean asserting every sketch estimate lies
+    // within eps of its exact value — the oracle re-derives the exact
+    // columns and expects `true`, so a sketch regression flips the hash.
+    // eps = span * (1% + 4/sqrt(n)): t-digest (compression=100) bounds
+    // RANK error, which translates to a small fraction of the value span
+    // at every emitted quantile once groups are non-trivial (measured
+    // worst deviation at sf0.01: 0.33% of span, 15x inside the bound);
+    // the 4/sqrt(n) term absorbs sparse-tail interpolation-convention
+    // differences in tiny groups, where both engines' "exact" answers
+    // already disagree structurally (math_sketches.h documents the same
+    // approximate contract).
     "q22_tdigest" -> ((s, dir) => {
-      t(s, dir, "events").groupBy("event_type")
-        .agg(Aggregators.quantiles(col("value")).as("quantiles_json"))
+      val qs = Seq("p01" -> 0.01, "p10" -> 0.10, "p25" -> 0.25,
+        "p50" -> 0.50, "p75" -> 0.75, "p90" -> 0.90, "p99" -> 0.99)
+      val g = t(s, dir, "events").groupBy("event_type").agg(
+        Aggregators.quantiles(col("value")).as("qj"),
+        expr(s"percentile(value, array(${qs.map(_._2).mkString(",")}))")
+          .as("ex"),
+        (max(col("value")) - min(col("value"))).as("span"),
+        count(lit(1)).as("n"))
+      val exactCols = qs.zipWithIndex.map { case ((p, _), i) =>
+        element_at(col("ex"), i + 1).cast("float").as(p) }
+      val tol = col("span") * (lit(0.01) + lit(4.0) / sqrt(col("n"))) + lit(1e-9)
+      val ok = qs.zipWithIndex.map { case ((p, _), i) =>
+        abs(get_json_object(col("qj"), "$." + p).cast("double") -
+          element_at(col("ex"), i + 1)) <= tol
+      }.reduce(_ && _)
+      g.select(col("event_type") +: exactCols :+ ok.as("sketch_within_tol"): _*)
         .orderBy("event_type")
     }),
 
@@ -179,6 +206,20 @@ object Functions {
         |  CAST(quantile_cont(l_quantity, 0.5) AS REAL) AS p50,
         |  CAST(quantile_cont(l_quantity, 0.75) AS REAL) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Tolerance contract: the oracle re-derives the exact quantiles and
+    // expects the sketch-within-eps boolean to be uniformly true; a
+    // sketch regression flips it and fails the hash.
+    "q22_tdigest" ->
+      """SELECT event_type,
+        |  CAST(quantile_cont(value, 0.01) AS REAL) AS p01,
+        |  CAST(quantile_cont(value, 0.10) AS REAL) AS p10,
+        |  CAST(quantile_cont(value, 0.25) AS REAL) AS p25,
+        |  CAST(quantile_cont(value, 0.50) AS REAL) AS p50,
+        |  CAST(quantile_cont(value, 0.75) AS REAL) AS p75,
+        |  CAST(quantile_cont(value, 0.90) AS REAL) AS p90,
+        |  CAST(quantile_cont(value, 0.99) AS REAL) AS p99,
+        |  true AS sketch_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q20_any" ->
       """SELECT n_nationkey, min(n_name) AS a_name FROM nation
         |GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,

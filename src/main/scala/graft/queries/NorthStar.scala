@@ -147,13 +147,22 @@ object NorthStar {
         .orderBy("source")
     }),
 
-    // Stubbed batched decode (mapPartitions) — rows-only; exactness is
-    // covered by MultimodalSpec against the stub decoder.
+    // REAL image decode (javax.imageio) through the batched mapPartitions
+    // stage: each doc_id becomes a deterministic synthetic grayscale PNG
+    // (pixel = pure integer function of (id, x, y)), the decoder round-
+    // trips it, and the oracle re-derives width/height/pixel statistics
+    // from the generator formula — verifying the actual encode->decode
+    // path, not a stub.
     "q36_media_decode" -> ((s, dir) => {
-      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      val png = udf((id: Long) => Multimodal.syntheticPng(id))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), png(col("doc_id")).as("payload"))
       Multimodal.decodeFeatures(s, media)
-        .select(col("media_id"), col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"))
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"), col("pixel_sum"),
+          (col("pixel_sum").cast("double") / col("n_pixels")).as("mean_pixel"))
         .orderBy("media_id")
     })
   )
@@ -367,6 +376,23 @@ object NorthStar {
         |  unnest(range((octet_length(CAST(text AS BLOB)) - 1) // 64 + 1)) AS frame_no,
         |  unnest(range((octet_length(CAST(text AS BLOB)) - 1) // 64 + 1)) * 64 AS frame_offset
         |FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
-        |ORDER BY media_id, frame_no""".stripMargin
+        |ORDER BY media_id, frame_no""".stripMargin,
+    // Re-derives the synthetic image's decoded statistics from the
+    // generator formula: pixel(x,y) = (id*31 + x*7 + y*13) mod 256 over
+    // a (16 + id%8) x (16 + id%5) raster.
+    "q36_media_decode" ->
+      """WITH xs AS (SELECT unnest(range(0, 24)) AS x),
+        |     ys AS (SELECT unnest(range(0, 21)) AS y),
+        |px AS (
+        |  SELECT d.doc_id, (d.doc_id * 31 + xs.x * 7 + ys.y * 13) % 256 AS v
+        |  FROM documents d, xs, ys
+        |  WHERE xs.x < 16 + d.doc_id % 8 AND ys.y < 16 + d.doc_id % 5)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 8 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 5 AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS pixel_sum,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_pixel
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
   )
 }

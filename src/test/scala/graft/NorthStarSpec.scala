@@ -101,6 +101,29 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("real image decode round-trips the synthetic PNG exactly") {
+    val media = Seq(3L, 17L, 42L).toDF("media_id")
+      .select(col("media_id"),
+        udf((id: Long) => Multimodal.syntheticPng(id)).apply(col("media_id"))
+          .as("payload"))
+    val out = Multimodal.decodeFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(3L, 17L, 42L)) {
+      val (w, h) = (16 + (id % 8).toInt, 16 + (id % 5).toInt)
+      val expectSum = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      val r = out(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getLong(3) == w.toLong * h)
+      assert(r.getLong(4) == expectSum, s"pixel_sum for id=$id")
+    }
+    // a non-image payload still flows through via the stub fallback
+    val stub = Multimodal.decodeFeatures(spark,
+      Seq((9L, "not an image".getBytes("UTF-8"))).toDF("media_id", "payload"))
+      .collect()
+    assert(stub.length == 1 && stub.head.getSeq[Float](5).length == 8)
+  }
+
   test("lang id is deterministic and covers marker languages") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
