@@ -592,10 +592,7 @@ object Pxl {
     * compares identically against the oracle's µs-truncated view of the
     * ns column.
     */
-  private def nowNs(s: SparkSession, dir: String): Long = {
-    val mx = t(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
-    mx / 1000 * 1000 + 1000
-  }
+  private def nowNs(s: SparkSession, dir: String): Long = Q.tailNowNs(s, dir)
 
   /** Authored PxL (same canonical shape as service_stats scripts) — runs
     * over the full fixture range so every operator path carries weight.

@@ -35,11 +35,10 @@ object Pxl6 {
   private val startNs = nowNs - 45L * 86400L * 1000000000L
   private val splitNs = graft.functions.PixieFunctions.tsNsLit("2024-01-15")
 
-  /** Deterministic "now" pinned at the fixture tail (q65 convention). */
-  private def tailNow(s: org.apache.spark.sql.SparkSession, dir: String): Long = {
-    val mx = t(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
-    mx / 1000 * 1000 + 1000
-  }
+  /** Deterministic "now" pinned at the fixture tail (q65 convention),
+    * memoized per (context, dataset) in [[Q.tailNowNs]]. */
+  private def tailNow(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    Q.tailNowNs(s, dir)
 
   val queries: Map[String, QFn] = Map(
     // dns_query_summary.pxl: pluck the queries/answers arrays, parse the

@@ -33,10 +33,8 @@ object Pxl8 {
   private val startNs = nowNs - 45L * 86400L * 1000000000L
   private val splitNs = graft.functions.PixieFunctions.tsNsLit("2024-01-15")
 
-  private def tailNow(s: org.apache.spark.sql.SparkSession, dir: String): Long = {
-    val mx = t(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
-    mx / 1000 * 1000 + 1000
-  }
+  private def tailNow(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    Q.tailNowNs(s, dir)
 
   val queries: Map[String, QFn] = Map(
     // pod_lifetime_resource: whole-lifetime (not windowed) per-pod

@@ -31,9 +31,36 @@ object Q {
     * as 1 partition). At 100 TB the scan is already thousands of
     * partitions and an unconditional repartition would be a gratuitous
     * full shuffle of the fact table — so this is a no-op there.
+    *
+    * The narrowness signal is STATIC — the source file's on-disk size vs
+    * `spark.sql.files.maxPartitionBytes` (exactly how FilePartition
+    * packing decides the scan's parallelism) — instead of
+    * `df.rdd.getNumPartitions`, which would force an eager physical
+    * planning of the frame (plan built twice per query) and sidestep
+    * AQE. An unstat-able path (object stores, globs) reports 0 bytes
+    * and conservatively leaves the frame alone.
     */
-  def spreadIfNarrow(s: SparkSession, df: DataFrame): DataFrame = {
+  def spreadIfNarrow(s: SparkSession, df: DataFrame, sourcePath: String): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val bytes = new java.io.File(sourcePath).length
+    val maxPartBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val scanPartitions = math.max(1L, (bytes + maxPartBytes - 1) / maxPartBytes)
+    if (bytes > 0 && scanPartitions < cores) df.repartition(cores) else df
   }
+
+  /** The fixture's "now" anchor — max event ts ceiled to the next µs —
+    * computed ONCE per (SparkContext, dataset) and memoized: without the
+    * memo every anchored query build paid a full `max(ts)` column scan
+    * (parquet aggregate pushdown is off by default), which at 100 TB is
+    * an extra blocking scan per query. Values are Longs keyed by
+    * (applicationId, dir): nothing pins a session reference.
+    */
+  private val tailNowCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+  def tailNowNs(s: SparkSession, dir: String): Long =
+    tailNowCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val mx = t(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
+      mx / 1000 * 1000 + 1000
+    })
 }

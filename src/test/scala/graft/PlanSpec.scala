@@ -133,15 +133,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("spreadIfNarrow repartitions narrow scans only (no-op when parallel)") {
     val cores = spark.sparkContext.defaultParallelism
-    // fixture parquet arrives as 1 partition -> spread across cores
+    // fixture parquet arrives as 1 partition -> spread across cores; the
+    // narrowness signal is the file's on-disk size (static), NOT an eager
+    // .rdd materialization of the frame's physical plan
     val narrow = graft.core.Tables(spark, dir, "events").select("event_id")
     assert(narrow.rdd.getNumPartitions < cores)
-    val spread = graft.queries.Q.spreadIfNarrow(spark, narrow)
+    val spread = graft.queries.Q.spreadIfNarrow(spark, narrow,
+      s"$dir/events.parquet")
     assert(spread.rdd.getNumPartitions == cores)
-    // an already-parallel input must pass through with NO added exchange
-    // (at 100 TB every scan is already thousands of partitions)
+    // a source too big to scan narrow (or un-stat-able: size 0) passes
+    // through with NO added exchange (at 100 TB every scan is already
+    // thousands of partitions)
     val wide = spark.range(0, 10000, 1, cores).toDF("event_id")
-    val passthrough = graft.queries.Q.spreadIfNarrow(spark, wide)
+    val passthrough = graft.queries.Q.spreadIfNarrow(spark, wide,
+      "/nonexistent/source.parquet")
     assert(passthrough eq wide, "expected identity pass-through")
     assert(!plan(passthrough).contains("Exchange"), plan(passthrough).take(1000))
   }
