@@ -143,6 +143,20 @@ object OtelSink {
     r.getAs[Long](spec.timeNsCol), r.getAs[String](spec.severityCol),
     r.getAs[String](spec.bodyCol), attrs(spec.attributeCols, r))
 
+  /** Executor-side span export over the wire transport — same
+    * per-partition shape as [[exportGauges]] (each partition POSTs its
+    * own OTLP batch; the driver aggregates only the count).
+    */
+  def exportSpans(df: DataFrame, spec: SpanSpec, transport: OtlpHttpTransport): Long = {
+    val acc = df.sparkSession.sparkContext.longAccumulator("otel_spans_exported")
+    df.foreachPartition { it: Iterator[Row] =>
+      val batch = it.map(rowToSpan(spec)).toSeq
+      if (batch.nonEmpty) transport.sendSpans(batch)
+      acc.add(batch.size)
+    }
+    acc.value
+  }
+
   /** Generic collector for any signal type mapped by `f` — same
     * executor-side export shape as [[exportGauges]] (JVM-static buffer
     * for local/test mode).

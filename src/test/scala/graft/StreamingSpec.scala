@@ -63,6 +63,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(transport.sent.isEmpty) // close() dropped the static store entry
   }
 
+  test("OTLP wire transport POSTs protobuf the collector can decode") {
+    import OtelSink._
+    import graft.streaming.{OtlpHttpTransport, OtlpProtoReader => R}
+    import scala.jdk.CollectionConverters._
+
+    // In-process OTLP/HTTP collector: records (path, content-type, body)
+    // for every POST, replies 200 — no network egress involved.
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Array[Byte])]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val handler = new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = ex.getRequestBody.readAllBytes()
+        received.add((ex.getRequestURI.getPath,
+          ex.getRequestHeaders.getFirst("Content-Type"), body))
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    }
+    server.createContext("/v1/metrics", handler)
+    server.createContext("/v1/traces", handler)
+    server.createContext("/v1/logs", handler)
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val transport = new OtlpHttpTransport(endpoint,
+        headers = Map("x-api-key" -> "test"), serviceName = "graft-test")
+
+      // Gauges ship from the executors through the real export path.
+      val df = graft.core.Tables(spark, sf, "events")
+        .select("ts", "value", "event_type").limit(10).coalesce(1)
+      val n = OtelSink.exportGauges(df,
+        GaugeSpec("event.value", "value", "ts", Seq("event_type")), transport)
+      assert(n == 10)
+
+      // Spans through the same wire.
+      val sdf = Seq(("checkout", 100L, 250L, "WARN"))
+        .toDF("span_name", "start_ns", "end_ns", "sev")
+      OtelSink.exportSpans(sdf,
+        SpanSpec("span_name", "start_ns", "end_ns", None, None, Seq("sev")),
+        transport)
+
+      val posts = received.asScala.toSeq
+      assert(posts.forall(_._2 == "application/x-protobuf"))
+
+      // Independent decode of the metrics payload: Request.resource_
+      // metrics[0] -> {resource{attrs}, scope_metrics[0] -> {scope,
+      // metrics[0] -> {name, gauge{data_points}}}}.
+      val (_, _, mBody) = posts.find(_._1 == "/v1/metrics").get
+      val rm = R.firstMessage(mBody, 1)
+      val res = R.firstMessage(rm, 1)
+      assert(R.keyValues(res, 1) == Map("service.name" -> "graft-test"))
+      val sm = R.firstMessage(rm, 2)
+      assert(new String(R.firstBytes(R.firstMessage(sm, 1), 1), "UTF-8") == "graft")
+      val metric = R.firstMessage(sm, 2)
+      assert(new String(R.firstBytes(metric, 1), "UTF-8") == "event.value")
+      val points = R.messages(R.firstMessage(metric, 5), 1)
+      assert(points.length == 10)
+      val expect = df.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      val got = points.map { p =>
+        (R.firstFixed64(p, 3),
+          java.lang.Double.longBitsToDouble(R.firstFixed64(p, 4)),
+          R.keyValues(p, 7)("event_type"))
+      }.toSet
+      assert(got == expect)
+
+      // And the trace payload: Span{trace_id(16B), span_id(8B), name,
+      // start=7, end=8, attrs=9}.
+      val (_, _, tBody) = posts.find(_._1 == "/v1/traces").get
+      val span = R.firstMessage(R.firstMessage(R.firstMessage(tBody, 1), 2), 2)
+      assert(R.firstBytes(span, 1).length == 16 && R.firstBytes(span, 2).length == 8)
+      assert(new String(R.firstBytes(span, 5), "UTF-8") == "checkout")
+      assert(R.firstFixed64(span, 7) == 100L && R.firstFixed64(span, 8) == 250L)
+      assert(R.keyValues(span, 9) == Map("sev" -> "WARN"))
+    } finally server.stop(0)
+  }
+
   test("upid helpers round-trip (asid, pid, start_ts)") {
     val df = Seq((7L, 12345L, 1704067798778549L)).toDF("asid", "pid", "ts")
       .withColumn("upid", graft.types.Upid.makeUpid(col("asid"), col("pid"), col("ts")))
