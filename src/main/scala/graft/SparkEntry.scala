@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.Pxl2.queries ++ graft.queries.Pxl3.queries ++
       graft.queries.Pxl4.queries ++ graft.queries.Pxl5.queries ++
       graft.queries.Pxl6.queries ++ graft.queries.Pxl7.queries ++
-      graft.queries.Pxl8.queries ++ graft.queries.Pxl9.queries
+      graft.queries.Pxl8.queries ++ graft.queries.Pxl9.queries ++
+      graft.queries.Pxl10.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.Pxl2.oracles ++ graft.queries.Pxl3.oracles ++
       graft.queries.Pxl4.oracles ++ graft.queries.Pxl5.oracles ++
       graft.queries.Pxl6.oracles ++ graft.queries.Pxl7.oracles ++
-      graft.queries.Pxl8.oracles ++ graft.queries.Pxl9.oracles
+      graft.queries.Pxl8.oracles ++ graft.queries.Pxl9.oracles ++
+      graft.queries.Pxl10.oracles
 }

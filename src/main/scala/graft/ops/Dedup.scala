@@ -125,9 +125,20 @@ object Dedup {
     * 100 TB shape: one map-only hash pass, one self-join keyed on
     * (tbl, bucket) — never an all-pairs or blocked-all-pairs join
     * (bucket population ~ n / 2^bitsPerTable per table bounds the pair
-    * fan-out; raise `bitsPerTable` as the corpus grows). Recall per true
-    * pair is 1-(1-p^bits)^tables with p = 1 - acos(cos)/π — tune both
-    * knobs to the similarity band being hunted.
+    * fan-out). Recall per true pair is 1-(1-p^bits)^tables with
+    * p = 1 - acos(cos)/π — tune both knobs to the similarity band being
+    * hunted.
+    *
+    * SCALING CONTRACT: for a fixed `bitsPerTable` the candidate count
+    * grows ~n²/2^bits — callers MUST grow bits with log2(n) (keep
+    * n/2^bits, the mean bucket occupancy, roughly constant) for linear
+    * behavior. Independently, true duplicate CLUSTERS of size k emit
+    * ~k²/2 verified pairs by definition of pairwise output — the sf1
+    * scale probe (BENCH_NOTES.md) measured exactly this blowup when
+    * every vector had 10 exact replicas, and the op survived the 100x
+    * pair volume (spill-backed shuffles, no driver state); on real
+    * corpora with heavy duplication, dedupe in stages (exact-hash
+    * collapse first, as q81's pipeline does) so k stays small here.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, minCos: Double,

@@ -433,13 +433,17 @@ object Pxl {
           sketchQuantiles: Boolean = defaultSketchQuantiles): PxlEnv = {
     // One dimension snapshot per script run: every ctx/metadata call
     // reuses the same frame, so chained lookups share one broadcast
-    // build (ReuseExchange dedups identical BroadcastExchanges).
-    lazy val fullDim =
-      graft.meta.MetadataOps.fullEntityDim(t(s, dir, "events"), splitNs)
-    lazy val podDim = K8sMetadata.syntheticPodDim(t(s, dir, "events"), splitNs)
+    // build (ReuseExchange dedups identical BroadcastExchanges). The
+    // frames memoize per (session, dir) through Q.memoDf — the synth
+    // tables are wide projections whose repeated ANALYSIS was pure
+    // driver CPU re-paid on every query build.
+    lazy val fullDim = Q.memoDf(s, dir, "__fullDim")(
+      graft.meta.MetadataOps.fullEntityDim(t(s, dir, "events"), splitNs))
+    lazy val podDim = Q.memoDf(s, dir, "__podDim")(
+      K8sMetadata.syntheticPodDim(t(s, dir, "events"), splitNs))
     PxlEnv(
       nowNs,
-      tables = {
+      tables = name => Q.memoDf(s, dir, name)(name match {
         case "http_events" => httpEvents(s, dir)
         case "mysql_events" => mysqlEvents(s, dir)
         case "redis_events" => redisEvents(s, dir)
@@ -459,7 +463,7 @@ object Pxl {
         case "probe_status" => probeStatus(s, dir)
         case "stack_traces.beta" => stackTraces(s, dir)
         case other => graft.core.Tables(s, dir, other)
-      },
+      }),
       ctx = (df, prop, out) => {
         // ConvertMetadataRule semantics: resolution is keyed by whatever
         // key columns the frame still carries — the raw fact key (as-of

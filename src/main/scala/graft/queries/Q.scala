@@ -49,6 +49,22 @@ object Q {
     if (bytes > 0 && scanPartitions < cores) df.repartition(cores) else df
   }
 
+  /** Memoized logical-plan reuse for the synthesized protocol tables:
+    * each is a wide projection over the fact scan whose ANALYSIS cost
+    * (withColumn chains re-resolve the growing plan) was being re-paid
+    * on every query build — pure driver CPU, identical frame every time.
+    * DataFrames are immutable, so handing the same instance to every
+    * query in a session is semantics-free. Keyed weakly by the session:
+    * nothing outlives it.
+    */
+  private val dfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+  def memoDf(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    dfCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate((dir, key), build)
+
   /** The fixture's "now" anchor — max event ts ceiled to the next µs —
     * computed ONCE per (SparkContext, dataset) and memoized: without the
     * memo every anchored query build paid a full `max(ts)` column scan

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** sf1 scale probe (opt-in: SPARK_GRAFT_SF1_PROBE=1, not part of the
+  * regular suite): synthesizes a 10x sf0.1 dataset under /tmp by
+  * replicating the scaled tables with shifted entity ids (10x the rows,
+  * 10x the pods/docs/vectors — densities preserved), then times the
+  * heaviest gate queries with AQE on. Purpose: evidence that the plans
+  * scale with data (no super-linear blowup, no plan degeneration) beyond
+  * what .explain reading shows. Results are recorded in BENCH_NOTES.md.
+  */
+class ScaleProbeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val src = "/root/testdata/sf0.1"
+  private val dst = "/tmp/sf1_probe"
+
+  private def generate(): Unit = {
+    val f = new java.io.File(s"$dst/events.parquet")
+    if (f.exists()) return
+    new java.io.File(dst).mkdirs()
+    def rep(name: String, idCols: Map[String, Long],
+            perturb: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame
+              = (df, _) => df): Unit = {
+      // read through Tables: events.ts is parquet TIMESTAMP(NANOS) and
+      // needs the nanosAsLong legacy flag (arrives as epoch-ns Long; the
+      // replica is written as plain INT64, which reads back identically)
+      val base = graft.core.Tables(spark, src, name)
+      val copies = (0 until 10).map { i =>
+        perturb(idCols.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(i * stride)) }, i)
+      }
+      copies.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    rep("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+    // Perturb replicated content: exact copies would turn the whole
+    // corpus into 10-way duplicate clusters and measure pathological-
+    // duplication behavior (pair counts x100), not data-volume scaling.
+    rep("documents", Map("doc_id" -> 10000000L),
+      (df, i) => df.withColumn("text", concat(col("text"), lit(s" v$i"))))
+    rep("embeddings", Map("vec_id" -> 10000000L),
+      (df, i) => df.withColumn("embedding",
+        expr(s"transform(embedding, (x, j) -> cast(x + cos(j * ${i + 1} * 0.7) * 0.2 as float))")))
+    rep("lineitem", Map("l_orderkey" -> 100000000L))
+    rep("orders", Map("o_orderkey" -> 100000000L))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      graft.core.Tables(spark, src, t)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+  }
+
+  test("sf1 probe: heaviest queries scale with data under AQE") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val names = Seq("q132_pxl_kafka_topics", "q171_pxl_http_trace",
+        "q129_pxl_redis_stats", "q81_dedup_pipeline", "q61_embed_neardup")
+      for (name <- names; dir <- Seq(src, dst)) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val label = if (dir == src) "sf0.1" else "sf1"
+        println(f"SCALEPROBE $name $label ${dt}%.2f s")
+      }
+      // The documented LSH scaling contract in action: q61's gate entry
+      // pins bitsPerTable=4 (16 buckets/table) for the oracle — at 10x
+      // corpus that is a ~100x candidate blowup by construction. Growing
+      // bits with log2(n) (4 -> 7 for 10x) keeps mean bucket occupancy
+      // constant and must restore ~linear behavior.
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.embeddingNearDup(
+        graft.core.Tables(spark, dst, "embeddings"), "vec_id", "embedding",
+        dim = 64, minCos = 0.2, bitsPerTable = 7, nTables = 8)
+        .write.format("noop").mode("overwrite").save()
+      println(f"SCALEPROBE q61_embed_neardup sf1(bits=7) ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+}
