@@ -811,6 +811,11 @@ object PxlRunner {
         case VCol(c) =>
           PxTable(env.meta(t.withCol("__meta_in", c).df, fn, "__meta_in", outName))
             .dropCols("__meta_in")
+        // literal argument (ip.pxl's ip_info resolves a plain exec-arg
+        // string: px.ip_to_pod_id(ip)) — lift to a constant column
+        case VStr(_) | VInt(_) | VFloat(_) | VBool(_) =>
+          PxTable(env.meta(t.withCol("__meta_in", asCol(arg)).df, fn,
+            "__meta_in", outName)).dropCols("__meta_in")
         case VMetaCall(innerFn, innerArg) =>
           val mid = materializeMeta(t, innerFn, innerArg, "__meta_mid")
           PxTable(env.meta(mid.df, fn, "__meta_mid", outName)).dropCols("__meta_mid")
