@@ -84,13 +84,6 @@ final case class PxTable(df: DataFrame) {
   def merge(right: PxTable, how: String, leftOn: Seq[String],
             rightOn: Seq[String], suffixes: (String, String) = ("_x", "_y")): PxTable = {
     require(leftOn.length == rightOn.length, "merge: key arity mismatch")
-    // Keyless merge is the reference's scalar-broadcast idiom (a 1-row
-    // global-agg table joined onto every row) and is only meaningful as
-    // an inner cross product — outer semantics would diverge (outer
-    // keeps unmatched rows with nulls; cross drops them), so reject
-    // like the reference's join-condition check does.
-    require(leftOn.nonEmpty || how == "inner",
-      s"merge: empty join keys require how='inner', got how='$how'")
     if (how == "right")
       return right.merge(this, "left", rightOn, leftOn, (suffixes._2, suffixes._1))
     val joinType = how match {
@@ -111,10 +104,15 @@ final case class PxTable(df: DataFrame) {
     val r = right.df.toDF(right.df.columns.map("graft_r__" + _): _*)
     // merge(left_on=[], right_on=[]) is the reference's scalar-broadcast
     // idiom (a 1-row global-agg table joined onto every row, e.g.
-    // net_flow_graph's time_window): a cross join, which Spark plans as
-    // BroadcastNestedLoopJoin — free when the keyless side is one row.
+    // net_flow_graph's time_window; service_endpoints spells it
+    // how="outer"). Carnot's equijoin with zero keys matches every row
+    // pair, so it is a cross join for 'inner' — but outer variants keep
+    // the non-empty side (null-padded) when the other side is empty.
+    // `join(cond = true)` reproduces exactly that for every join type,
+    // and Spark plans it as BroadcastNestedLoopJoin either way — free
+    // when the keyless side is one row.
     val joined =
-      if (leftOn.isEmpty) l.crossJoin(r)
+      if (leftOn.isEmpty) l.join(r, lit(true), joinType)
       else l.join(r,
         leftOn.zip(rightOn)
           .map { case (a, b) => col("graft_l__" + a) === col("graft_r__" + b) }

@@ -61,6 +61,21 @@ class CoreSpec extends AnyFunSuite {
     assert(out.select("v_x", "v_y").as[(Double, Double)].head() == ((10.0, 20.0)))
   }
 
+  test("keyless merge: cross for inner, null-padded outer vs empty side") {
+    val l = PxTable(Seq((1, "a"), (2, "b")).toDF("k", "lv"))
+    val r = PxTable(Seq(100L).toDF("total"))
+    val got = l.merge(r, "inner", Seq(), Seq()).df
+    assert(got.count() == 2 && got.columns.contains("total"))
+    // Carnot's zero-key equijoin under how='outer' keeps the non-empty
+    // side null-padded when the other side is empty (a plain cross
+    // join would drop those rows) — service_endpoints.pxl relies on
+    // keyless how='outer' being accepted.
+    val empty = PxTable(Seq.empty[Long].toDF("total"))
+    val outer = l.merge(empty, "outer", Seq(), Seq()).df
+    assert(outer.count() == 2)
+    assert(outer.filter(col("total").isNull).count() == 2)
+  }
+
   test("merge full outer coalesces shared keys from both sides") {
     val l = PxTable(Seq((1, "a")).toDF("k", "lv"))
     val r = PxTable(Seq((2, "b")).toDF("k", "rv"))

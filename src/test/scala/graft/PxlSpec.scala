@@ -549,7 +549,11 @@ class PxlSpec extends AnyFunSuite {
       Seq("-60d", "3")).count() == 3)
   }
 
-  test("keyless merge requires how='inner'") {
+  test("keyless merge accepts how='outer' (zero-key equijoin = cross)") {
+    // service_endpoints.pxl merges a 1-row global agg with how='outer',
+    // left_on=[] — Carnot's zero-key equijoin matches all row pairs, so
+    // with both sides non-empty the result is the same cross product as
+    // how='inner' (and keeps the non-empty side when one side is empty).
     val script =
       """import px
         |df = px.DataFrame(table='http_events', start_time='-60d')
@@ -558,10 +562,14 @@ class PxlSpec extends AnyFunSuite {
         |px.display(out, 'x')
         |""".stripMargin
     val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
-    val e = intercept[IllegalArgumentException] {
-      PxlRunner.run(script, Pxl.env(spark, dir, now))
-    }
-    assert(e.getMessage.contains("how='inner'"))
+    val out = PxlRunner.run(script, Pxl.env(spark, dir, now))("x")
+    val n = PxlRunner.run(
+      """import px
+        |df = px.DataFrame(table='http_events', start_time='-60d')
+        |px.display(df, 'x')
+        |""".stripMargin, Pxl.env(spark, dir, now))("x").count()
+    assert(out.count() == n)
+    assert(out.columns.contains("lo") && out.columns.contains("hi"))
   }
 
   test("relative time strings gate the scan window") {
