@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.Pxl4.queries ++ graft.queries.Pxl5.queries ++
       graft.queries.Pxl6.queries ++ graft.queries.Pxl7.queries ++
       graft.queries.Pxl8.queries ++ graft.queries.Pxl9.queries ++
-      graft.queries.Pxl10.queries ++ graft.queries.Pxl11.queries
+      graft.queries.Pxl10.queries ++ graft.queries.Pxl11.queries ++
+      graft.queries.Pxl12.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.Pxl4.oracles ++ graft.queries.Pxl5.oracles ++
       graft.queries.Pxl6.oracles ++ graft.queries.Pxl7.oracles ++
       graft.queries.Pxl8.oracles ++ graft.queries.Pxl9.oracles ++
-      graft.queries.Pxl10.oracles ++ graft.queries.Pxl11.oracles
+      graft.queries.Pxl10.oracles ++ graft.queries.Pxl11.oracles ++
+      graft.queries.Pxl12.oracles
 }
