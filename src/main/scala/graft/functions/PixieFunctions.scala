@@ -134,8 +134,13 @@ object PixieFunctions {
   /** pluck: JSON string field -> string (reference json_ops.cc). */
   def pluck(json: Column, key: String): Column =
     get_json_object(json, s"$$.$key")
+  /** pluck_int64 (json_ops.h PluckAsInt64UDF): 0 on missing key, bad
+    * JSON, null, or a non-int value — Carnot has no nulls, so every
+    * failure mode is 0, and amqp_average_stats relies on that for its
+    * absent body_size field.
+    */
   def pluckInt64(json: Column, key: String): Column =
-    pluck(json, key).cast(LongType)
+    coalesce(pluck(json, key).cast(LongType), lit(0L))
   def pluckFloat64(json: Column, key: String): Column =
     pluck(json, key).cast(DoubleType)
   /** pluck_array: element at index of a JSON array, as string. */

@@ -424,8 +424,10 @@ object PxlRunner {
         VCol(get_json_object(asCol(args.head),
           "$." + asStrings(args(1)).head))
       case "pluck_int64" =>
-        VCol(get_json_object(asCol(args.head),
-          "$." + asStrings(args(1)).head).cast("long"))
+        // 0 on every failure mode (json_ops.h PluckAsInt64UDF) — Carnot
+        // has no nulls; amqp_average_stats plucks an absent body_size.
+        VCol(PixieFunctions.pluckInt64(asCol(args.head),
+          asStrings(args(1)).head))
       case "pluck_float64" =>
         VCol(get_json_object(asCol(args.head),
           "$." + asStrings(args(1)).head).cast("double"))
