@@ -319,6 +319,8 @@ object PxlRunner {
       case "sample" => graft.functions.Aggregators.sampleK(cc, 10)
       case "pprof" =>
         graft.functions.MlAggregators.pprof(c(colName), lit(1L))
+      case "_build_request_path_clusters" =>
+        graft.ops.RequestPathClustering.fitAgg(c(colName))
       case "_kmeans" => graft.functions.MlAggregators.kmeans(c(colName), 2)
       case "quantiles" if env.sketchQuantiles =>
         // Scale mode: mergeable t-digest, O(compression) per-group state.
@@ -568,6 +570,12 @@ object PxlRunner {
         VCol(graft.functions.NetOps.nslookupStub(asCol(args.head)))
       case "cidrs_contain_ip" =>
         VCol(graft.functions.NetOps.cidrsContainIp(asCol(args.head), asCol(args(1))))
+      // get_cidrs (metadata_ops.cc): the cluster pod/service CIDR set as
+      // a constant JSON-array string (the reference UDF's string-out
+      // contract — cidrs_contain_ip parses it back).
+      case "get_cidrs" =>
+        VCol(lit(graft.meta.K8sMetadata.getCidrs
+          .mkString("[\"", "\",\"", "\"]")))
       case "grpc_status_code_to_str" =>
         VCol(PixieFunctions.grpcStatusCodeToStr(asCol(args.head)))
       case "uint128" => VCol(graft.types.Upid.uint128(asCol(args.head)))
@@ -593,6 +601,15 @@ object PxlRunner {
       // equality, or membership when the value is a JSON string array.
       // Works on plain columns and directly on ctx properties
       // (`px.has_service_name(df.ctx['service'], svc)`).
+      // request_path_ops scalars (service_endpoint(s).pxl): predict an
+      // endpoint template from the fitted clustering; match a path
+      // against a '*'-wildcarded template.
+      case "_predict_request_path_cluster" =>
+        colCombine(Seq(args.head, args(1))) { case Seq(p, m) =>
+          graft.ops.RequestPathClustering.predictUdf(p, m) }
+      case "_match_endpoint" =>
+        colCombine(Seq(args.head, args(1))) { case Seq(p, ep) =>
+          graft.ops.RequestPathClustering.matchUdf(p, ep) }
       case "has_service_name" | "has_service_id" =>
         colCombine(Seq(args.head, args(1))) { case Seq(a, b) =>
           PixieFunctions.equalsOrArrayContains(a, b) }
@@ -779,10 +796,14 @@ object PxlRunner {
         case (Some("float"), VStr(s))
             if s.matches("-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?") =>
           VFloat(s.toDouble)
+        case (Some("bool"), VStr(s)) if s == "true" || s == "True" =>
+          VBool(true)
+        case (Some("bool"), VStr(s)) if s == "false" || s == "False" =>
+          VBool(false)
         // The reference FAILS exec-arg parsing on a malformed numeric
         // (compiler.cc ProcessExecFuncs) — surface the error at the call
         // site instead of a confusing binop failure downstream.
-        case (Some("int" | "float"), VStr(s)) =>
+        case (Some("int" | "float" | "bool"), VStr(s)) =>
           throw new PxlError(
             s"arg $pn: '$s' is not a valid ${declared(pn)}")
         case _ => v

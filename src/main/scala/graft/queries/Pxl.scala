@@ -301,6 +301,7 @@ object Pxl {
         .as("trace_role"),
       when(pmod(col("event_id"), lit(5)) === 0, lit("-"))
         .otherwise(selfIp).as("remote_addr"),
+      (lit(1024) + pmod(col("event_id"), lit(32768))).as("remote_port"),
       col("value").as("latency"),
       concat(lit("""{"qname":"svc-"""), pmod(col("user_id"), lit(10)),
         lit(""".local"}""")).as("req_header"),

@@ -72,4 +72,24 @@ class MlSpec extends AnyFunSuite {
     assert(CatalogUdtfs.getUdfList(spark).count() ==
       CatalogUdtfs.udfNames.size)
   }
+
+  test("request-path clustering: member vs centroid by min-cardinality") {
+    import graft.ops.RequestPathClustering._
+    // Below min_cardinality (5): clusters act as singletons — Predict
+    // returns the member path itself (request_path_ops.h:108-120).
+    val small = fitModel(Seq("/api/u/1", "/api/u/2", "/api/u/3",
+      "/healthz"))
+    assert(predict(small, "/api/u/2") == "/api/u/2")
+    assert(predict(small, "/healthz") == "/healthz")
+    // Above: members cleared (.cc:163), Predict returns the centroid.
+    val big = fitModel((1 to 6).map(i => s"/api/u/$i"))
+    assert(predict(big, "/api/u/3") == "/api/u/*")
+    // Dissimilar same-depth paths stay separate clusters (sim < 0.5).
+    val sep = fitModel(Seq("/healthz", "/readyz"))
+    assert(predict(sep, "/healthz") == "/healthz")
+    // _match_endpoint: same depth, '*' wildcards one component.
+    assert(matches("/api/u/7", "/api/u/*"))
+    assert(!matches("/api/u/7/x", "/api/u/*"))
+    assert(!matches("/api/v/7", "/api/u/*"))
+  }
 }
