@@ -791,6 +791,22 @@ object PxlRunner {
                          args: Seq[V], kwargs: Seq[(String, V)]): V = {
       val declared: Map[String, String] =
         params.zip(paramTypes).collect { case (p, Some(t)) => p -> t }.toMap
+      // Fork detection for table-valued PARAMS (same MergeNodesRule
+      // analog as module-level assigns, see execStmts): a param read by
+      // 2+ statements in the body before being rebound is a fork —
+      // json_unnest_first5's 5-way append, nested twice in
+      // unnest_topics_and_partitions, otherwise duplicates the caller's
+      // whole subplan 25x, and every later withColumn re-analyzes all 25
+      // copies (kafka_overview producers: ~20 s of pure Catalyst
+      // analysis at ANY data size). Truncate at entry; skip leaves (a
+      // raw scan is never materialized wholesale, and an already-
+      // checkpointed frame isn't re-copied).
+      def forkParam(v: V, pn: String): V = v match {
+        case VTab(t) if forkCount(pn, body) >= 2 &&
+            t.df.queryExecution.logical.children.nonEmpty =>
+          VTab(graft.operators.PxTable(t.df.localCheckpoint(false)))
+        case other => other
+      }
       def coerce(pn: String, v: V): V = (declared.get(pn), v) match {
         case (Some("int"), VStr(s)) if s.matches("-?[0-9]+") => VInt(s.toLong)
         case (Some("float"), VStr(s))
@@ -809,10 +825,11 @@ object PxlRunner {
         case _ => v
       }
       val local = mutable.LinkedHashMap[String, V]()
-      params.zip(args).foreach { case (pn, v) => local(pn) = coerce(pn, v) }
+      params.zip(args).foreach { case (pn, v) =>
+        local(pn) = forkParam(coerce(pn, v), pn) }
       kwargs.foreach { case (k, v) =>
         if (!params.contains(k)) throw new PxlError(s"unknown kwarg $k")
-        local(k) = coerce(k, v)
+        local(k) = forkParam(coerce(k, v), k)
       }
       val missing = params.filterNot(local.contains)
       if (missing.nonEmpty) throw new PxlError(s"missing args: $missing")

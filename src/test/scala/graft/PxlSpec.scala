@@ -491,6 +491,47 @@ class PxlSpec extends AnyFunSuite {
       "runner must leave no CacheManager entries after run()")
   }
 
+  test("forked function PARAMS materialize once (json_unnest_first5 shape)") {
+    // A table param read by 2+ body statements before rebinding is the
+    // same fork as a module-level variable — kafka_overview's
+    // json_unnest_first5 reads its param 5x, nested twice = 25 copies of
+    // the caller's whole subplan without truncation (~20 s of Catalyst
+    // analysis at any data size). The param must plan as a leaf; a param
+    // that is immediately rebound (linear chain) must NOT checkpoint, so
+    // a raw scan is never materialized wholesale.
+    val script =
+      """import px
+        |def fanout(df):
+        |    a = df[df.n > 1]
+        |    b = df[df.n <= 1]
+        |    return a.append(b)
+        |def linear(df):
+        |    df = df[df.latency > 0]
+        |    return df
+        |base = px.DataFrame(table='http_events', start_time='-60d')
+        |agg = base.groupby('user_id').agg(n=('resp_status', px.count),
+        |                                  latency=('latency', px.max))
+        |out = fanout(agg)
+        |px.display(out, 'x')
+        |base2 = px.DataFrame(table='http_events', start_time='-60d')
+        |lin = linear(base2)
+        |px.display(lin, 'y')
+        |""".stripMargin
+    val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
+    val res = PxlRunner.run(script, Pxl.env(spark, dir, now))
+    val forked = res("x").queryExecution.optimizedPlan.toString
+    assert(forked.contains("LogicalRDD") || forked.contains("ExistingRDD"),
+      s"fanout branches should plan against the checkpointed param leaf:\n$forked")
+    assert(!forked.contains("parquet"),
+      s"fanout branches must not re-plan the scan->aggregate subtree:\n$forked")
+    val lin = res("y").queryExecution.optimizedPlan.toString
+    assert(lin.contains("parquet") &&
+        !lin.contains("LogicalRDD") && !lin.contains("ExistingRDD"),
+      s"linear param chain must stay a pushed-down scan:\n$lin")
+    assert(res("x").count() > 0 && res("y").count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("string typing: schema-typed + concats, string+numeric rejects") {
     val now = graft.functions.PixieFunctions.tsNsLit("2024-02-01")
     // Two string-TYPED table columns added directly (no literal anywhere
