@@ -68,6 +68,114 @@ object TextOps {
       .withColumn("re_tokens",
         size(regexp_extract_all(col(textCol), lit(tokenPattern), lit(0))).cast("long"))
 
+  // ---- BPE tokenizer (train + encode) -------------------------------
+  //
+  // Byte-pair encoding for training-data pipelines. Scale contract:
+  //  * ENCODE is a pure codegen'd Column — the trained merge table is
+  //    folded into a chain of `replace` calls over a marker symbol
+  //    string, so tokenization streams through WholeStageCodegen with no
+  //    UDF and no per-row allocation beyond the string builder. Each
+  //    symbol is wrapped '|sym|' (chars: '|a||b|'); sequential
+  //    left-to-right non-overlapping `replace` of '|a||b|'->'|ab|' IS
+  //    the BPE merge application in rank order. Both-side wrapping makes
+  //    a symbol-boundary false match impossible — the pattern anchors
+  //    the END of the first symbol and the END of the second, so neither
+  //    a tail of 'aa' nor a prefix of 'ab' can stand in for 'a' — and
+  //    unlike a shared single separator, adjacent matches don't consume
+  //    each other's anchor ('|a||b||a||b|' replaces twice in one scan).
+  //  * TRAIN follows the standard tokenizer-trainer shape: ONE corpus-
+  //    scale pass (distributed word-frequency aggregation, shuffle keyed
+  //    by word), then greedy merge learning over the BOUNDED word table
+  //    (capped at maxVocab by frequency with a deterministic tie-break).
+  //    At 100 TB the corpus pass is the only data-volume stage; the
+  //    merge loop is O(maxVocab · merges) driver work, same as the
+  //    word-count-then-train design used by production BPE trainers.
+
+  /** A fixed, sf-independent merge table for the gate (multi-level:
+    * 'table' collapses to a single token through four ranks; 'er'/'in'/
+    * 'ine' exercise merge-on-merged interactions). Any list is a valid
+    * encode input — the gate pins that Spark and the SQL oracle apply
+    * the SAME sequential-replace semantics.
+    */
+  val fixtureMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "e" -> "r", "a" -> "n", "o" -> "w", "i" -> "n", "in" -> "e",
+    "s" -> "t", "c" -> "o", "q" -> "u")
+
+  /** One corpus pass: distinct words with frequencies, capped at
+    * `maxVocab` (by count desc, then word asc — deterministic).
+    */
+  def bpeWordCounts(df: DataFrame, textCol: String, maxVocab: Int = 100000): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocab)
+
+  /** Learn `nMerges` BPE merges from the corpus. Deterministic: the best
+    * pair is max count, ties broken by the lexicographically smallest
+    * (a, b). Returns merges in rank order, ready for [[bpeEncodeWord]].
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+               maxVocab: Int = 100000): Seq[(String, String)] = {
+    var words: Array[(Vector[String], Long)] =
+      bpeWordCounts(df, textCol, maxVocab).collect()
+        .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val (a, b) = pairCounts.toSeq
+          .minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Greedy left-to-right, non-overlapping merge of adjacent (a, b) —
+    * the same contract as the `replace` chain in [[bpeEncodeWord]].
+    */
+  def mergePair(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one word into its marker symbol string: every char wrapped
+    * '|c|', then each merge applied as a sequential replace.
+    */
+  def bpeEncodeWord(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(regexp_replace(w, "(.)", "|$1|")) { case (s, (a, b)) =>
+      replace(s, lit("|" + a + "||" + b + "|"), lit("|" + a + b + "|"))
+    }
+
+  /** Token array for a whitespace-separated text column. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(split(text, " "), w =>
+      filter(split(bpeEncodeWord(w, merges), "\\|"), t => t =!= "")))
+
+  /** The matching DuckDB expression for [[bpeEncodeWord]] over a column
+    * expression `w` — used by the gate oracles (dev-side SQL only).
+    */
+  def bpeEncodeSql(w: String, merges: Seq[(String, String)]): String =
+    merges.foldLeft(s"regexp_replace($w,'(.)','|\\1|','g')") { case (s, (a, b)) =>
+      s"replace($s,'|$a||$b|','|$a$b|')"
+    }
+
   /** Set fingerprint: XOR + bounded-sum of distinct-word hashes —
     * order-independent, exact in any engine, mergeable.
     */

@@ -112,6 +112,33 @@ object NorthStar {
         .orderBy("source")
     }),
 
+    // BPE tokenization with a fixed merge table: encode is a pure
+    // codegen'd chain of marker-string replaces (no UDF); corpus-wide
+    // token histogram = one explode + one keyed shuffle.
+    "q234_bpe_tokenize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextOps.bpeTokens(col("text"), TextOps.fixtureMerges))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    }),
+
+    // The distributed stage of BPE TRAINING: word-frequency table (one
+    // corpus shuffle) -> adjacent-pair counts weighted by word freq (the
+    // argmax of this table is rank-1 merge). The driver-side greedy loop
+    // over the bounded word table is spec-checked (BpeSpec).
+    "q235_bpe_pair_stats" -> ((s, dir) => {
+      val wc = TextOps.bpeWordCounts(t(s, dir, "documents"), "text")
+      val pairs = when(length(col("w")) > lit(1),
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => concat(col("w").substr(i, lit(1)), lit(" "),
+              col("w").substr(i + lit(1), lit(1)))))
+        .otherwise(array().cast("array<string>"))
+      wc.select(col("c"), explode(pairs).as("pair"))
+        .groupBy("pair").agg(sum(col("c")).as("total"))
+        .orderBy("pair")
+    }),
+
     // Order-independent document set-fingerprint (XOR/sum of word hashes).
     "q34_fingerprint" -> ((s, dir) => {
       TextOps.fingerprint(t(s, dir, "documents"), "text", "doc_id")
@@ -365,6 +392,21 @@ object NorthStar {
          |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS sum_ws_tokens,
          |  CAST(sum(len(regexp_extract_all(text, '${TextOps.tokenPattern}'))) AS BIGINT) AS sum_re_tokens
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q234_bpe_tokenize" ->
+      s"""WITH words AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+         |enc AS (SELECT ${TextOps.bpeEncodeSql("w", TextOps.fixtureMerges)} AS s FROM words),
+         |toks AS (SELECT unnest(string_split(s,'|')) AS token FROM enc)
+         |SELECT token, count(*) AS n FROM toks WHERE token <> ''
+         |GROUP BY token ORDER BY token""".stripMargin,
+    "q235_bpe_pair_stats" ->
+      """WITH words AS (SELECT w, count(*) AS c FROM
+        |    (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |pairs AS (SELECT substr(w, CAST(i AS INT), 1) || ' ' ||
+        |    substr(w, CAST(i AS INT) + 1, 1) AS pair, c
+        |  FROM words, unnest(range(1, length(w))) AS t(i))
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS total FROM pairs
+        |GROUP BY pair ORDER BY pair""".stripMargin,
     "q34_fingerprint" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
          |h AS (SELECT doc_id, (${h60("w")}) % $P AS h FROM w)
