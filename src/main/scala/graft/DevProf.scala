@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only profiling harness: args = [queryName, sfDir, reps].
@@ -20,11 +21,22 @@ object DevProf {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val fn = SparkEntry.queries(name)
-    for (i <- 1 to reps) {
-      val df = t(s"build#$i") { fn(spark, dir) }
-      t(s"exec#$i") { df.write.format("noop").mode("overwrite").save() }
-      spark.catalog.clearCache()
+    if (name == "bpetrain") {
+      // dump a merge table (Scala literal) trained on dir's documents —
+      // used to (re)generate MlScalars.sentencePieceMerges
+      val docs = graft.core.Tables(spark, dir, "documents")
+      val merges = graft.ops.TextOps.bpeTrain(docs, "text", reps,
+        wordPrefix = "▁")
+      Files.writeString(Paths.get("/tmp/bpe_model.txt"),
+        merges.map { case (a, b) => s""""$a" -> "$b"""" }
+          .grouped(4).map(_.mkString(", ")).mkString("    ", ",\n    ", "\n"))
+    } else {
+      val fn = SparkEntry.queries(name)
+      for (i <- 1 to reps) {
+        val df = t(s"build#$i") { fn(spark, dir) }
+        t(s"exec#$i") { df.write.format("noop").mode("overwrite").save() }
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

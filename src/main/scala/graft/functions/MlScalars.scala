@@ -121,19 +121,40 @@ object MlScalars {
     transform(raw, x => when(nrm > 0, x / nrm).otherwise(x))
   }
 
-  /** _encode_sentence_piece STUB: the reference tokenizes with an
-    * embedded sentencepiece model (ml_ops.cc SentencePieceUDF). Stub
-    * policy: whitespace words split into <=4-char pieces, first piece of
-    * each word marked with the sentencepiece word-boundary marker. Real
-    * BPE drops in behind the same array<string> signature. Empty words
-    * (consecutive spaces) are dropped BEFORE the per-word transform —
-    * length 0 would make sequence(0, -1) count down and emit bogus
-    * pieces.
+  /** The bundled sentence-piece model: a BPE merge table trained by
+    * [[graft.ops.TextOps.bpeTrain]] on the fixture corpus (sf0.001
+    * documents, 48 merges, '▁' word prefix) — the merge list IS the
+    * model artifact, exactly as sentencepiece ships a learned model
+    * file. Regenerate with `runMain graft.DevProf bpetrain <sfDir> 48`.
+    * BpeSpec asserts the trainer reproduces this table.
     */
-  def encodeSentencePiece(text: Column): Column =
+  val sentencePieceMerges: Seq[(String, String)] = Seq(
+    "▁" -> "s", "e" -> "r", "o" -> "r", "i" -> "n",
+    "o" -> "w", "l" -> "u", "▁" -> "a", "▁" -> "v",
+    "a" -> "r", "p" -> "ar", "▁" -> "c", "a" -> "s",
+    "▁" -> "f", "m" -> "er", "▁" -> "t", "a" -> "t",
+    "▁" -> "b", "a" -> "n", "c" -> "an", "▁s" -> "can",
+    "lu" -> "m", "lum" -> "n", "o" -> "lumn", "▁c" -> "olumn",
+    "d" -> "ow", "in" -> "dow", "w" -> "indow", "▁" -> "window",
+    "d" -> "er", "or" -> "der", "▁" -> "order", "or" -> "t",
+    "▁s" -> "ort", "par" -> "t", "u" -> "p", "▁" -> "part",
+    "g" -> "g", "▁a" -> "gg", "a" -> "lu", "alu" -> "e",
+    "▁v" -> "alue", "in" -> "e", "l" -> "ine", "▁" -> "line",
+    "e" -> "y", "k" -> "ey", "▁" -> "key", "j" -> "o")
+
+  /** _encode_sentence_piece (ml_ops.cc SentencePieceUDF): real BPE
+    * subword tokenization in the sentencepiece framing — each word gets
+    * the '▁' word-boundary marker, then the bundled merge table applies
+    * via the codegen'd replace-chain encode (TextOps.bpeEncodeWord; no
+    * UDF). The reference's difference is the model, not the mechanism:
+    * its embedded .model file drops in as a different `merges` argument.
+    * Empty words (consecutive spaces) are dropped before encoding.
+    */
+  def encodeSentencePiece(text: Column,
+      merges: Seq[(String, String)] = sentencePieceMerges): Column =
     flatten(transform(filter(split(text, " "), w => length(w) > 0), w =>
-      transform(sequence(lit(0), floor((length(w) - 1) / lit(4)).cast("int")),
-        j => concat(
-          when(j === 0, lit("▁")).otherwise(lit("")),
-          w.substr(j * 4 + 1, lit(4))))))
+      filter(
+        split(graft.ops.TextOps.bpeEncodeWord(
+          concat(lit("▁"), w), merges), "\\|"),
+        t => t =!= "")))
 }

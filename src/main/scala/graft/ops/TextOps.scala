@@ -116,10 +116,11 @@ object TextOps {
     * (a, b). Returns merges in rank order, ready for [[bpeEncodeWord]].
     */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
-               maxVocab: Int = 100000): Seq[(String, String)] = {
+               maxVocab: Int = 100000, wordPrefix: String = ""): Seq[(String, String)] = {
     var words: Array[(Vector[String], Long)] =
       bpeWordCounts(df, textCol, maxVocab).collect()
-        .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+        .map(r => ((wordPrefix + r.getString(0)).map(_.toString).toVector,
+          r.getLong(1)))
     val merges = Seq.newBuilder[(String, String)]
     var k = 0
     var done = false

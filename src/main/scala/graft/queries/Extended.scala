@@ -334,8 +334,10 @@ object Extended {
          |  ${h1Sql("'vec' || vec_id || '#3'")} AS e3,
          |  to_json(flatten(list_transform(
          |    list_filter(string_split('hello worldwide w' || vec_id, ' '), w -> len(w) > 0),
-         |    w -> list_transform(range((len(w) + 3) // 4),
-         |      j -> (CASE WHEN j = 0 THEN '▁' ELSE '' END) || substr(w, j * 4 + 1, 4))))) AS pieces
+         |    w -> list_filter(string_split(
+         |      ${graft.ops.TextOps.bpeEncodeSql("('▁' || w)",
+                  graft.functions.MlScalars.sentencePieceMerges)}, '|'),
+         |      t -> t <> '')))) AS pieces
          |FROM d ORDER BY vec_id""".stripMargin),
 
     "q59_http_data" -> (

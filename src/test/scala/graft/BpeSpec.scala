@@ -68,6 +68,12 @@ class BpeSpec extends AnyFunSuite {
     assert(n < rows.map(_._1.count(_ != ' ')).sum)
   }
 
+  test("bundled sentencepiece model reproduces from the fixture corpus") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val merges = TextOps.bpeTrain(docs, "text", 48, wordPrefix = "▁")
+    assert(merges == graft.functions.MlScalars.sentencePieceMerges)
+  }
+
   test("bpeWordCounts cap is deterministic (count desc, word asc)") {
     val df = Seq("b b a a c").toDF("text")
     val top = TextOps.bpeWordCounts(df, "text", 2).as[(String, Long)].collect()

@@ -48,14 +48,17 @@ class ExtendedSpec extends AnyFunSuite {
     assert(one(MlScalars.kmeansInference(typedLit(Seq(1.9)), cents)) == "1")
   }
 
-  test("sentencepiece stub: word-boundary marker + 4-char pieces") {
+  test("sentencepiece BPE: in-vocab words collapse to whole-word tokens") {
+    // '▁window'/'▁value' are learned whole-word merges in the bundled
+    // model; 'hello' is out-of-vocab and stays at character pieces.
     val out = Seq(1).toDF("x")
-      .select(MlScalars.encodeSentencePiece(lit("hello ab")))
+      .select(MlScalars.encodeSentencePiece(lit("window value hello")))
       .as[Seq[String]].head()
-    assert(out == Seq("▁hell", "o", "▁ab"))
+    assert(out == Seq("▁window", "▁value",
+      "▁", "h", "e", "l", "l", "o"))
   }
 
-  test("sentencepiece stub: consecutive/leading spaces drop empty words") {
+  test("sentencepiece BPE: consecutive/leading spaces drop empty words") {
     val out = Seq(1).toDF("x")
       .select(MlScalars.encodeSentencePiece(lit(" a  b ")))
       .as[Seq[String]].head()
