@@ -342,7 +342,7 @@ object PxlRunner {
       "bytes_to_hex", "trim", "strip_prefix", "substring", "tolower",
       "toupper", "replace", "_match_regex_rule", "format_duration",
       "normalize_mysql", "normalize_pgsql", "redact_pii_best_effort",
-      "nslookup", "grpc_status_code_to_str", "upid_to_string",
+      "nslookup", "shared_libraries", "grpc_status_code_to_str", "upid_to_string",
       "script_reference", "protocol_name", "http_resp_message",
       "mysql_command_name", "kafka_api_key_name", "dns_rcode_name",
       "cql_opcode_name", "mux_frame_type_name", "amqp_frame_type_name",
@@ -568,6 +568,8 @@ object PxlRunner {
         VCol(graft.functions.PiiOps.redactPii(asCol(args.head)))
       case "nslookup" =>
         VCol(graft.functions.NetOps.nslookupStub(asCol(args.head)))
+      case "shared_libraries" =>
+        VCol(graft.functions.ProcessOps.sharedLibraries(asCol(args.head)))
       case "cidrs_contain_ip" =>
         VCol(graft.functions.NetOps.cidrsContainIp(asCol(args.head), asCol(args(1))))
       // get_cidrs (metadata_ops.cc): the cluster pod/service CIDR set as

@@ -72,11 +72,29 @@ class SurfaceSpec extends AnyFunSuite {
     assert(p3 == Seq("E'\\xDE'"))
   }
 
-  test("nslookup + shared_libraries stubs: deterministic, null-safe") {
-    import graft.functions.{NetOps, ProcessOps}
+  test("nslookup stub: deterministic, null-safe") {
+    import graft.functions.NetOps
     val a = one(NetOps.nslookupStub(lit("svc.example.com")))
     assert(a.startsWith("203.0.113.") && a == one(NetOps.nslookupStub(lit("svc.example.com"))))
     assert(one(NetOps.nslookupStub(lit(null).cast("string"))) == "")
-    assert(one(ProcessOps.sharedLibraries(lit("some-upid").cast("binary"))) == "[]")
+  }
+
+  test("shared_libraries reads the executing node's /proc for a live pid") {
+    import graft.functions.ProcessOps
+    import graft.types.Upid
+    // local mode: the executor is this JVM — its own mappings must list
+    // the JVM shared objects as a JSON array (>=2 mappings, .so paths).
+    val self = ProcessHandle.current().pid()
+    val out = one(ProcessOps.sharedLibraries(
+      Upid.makeUpid(lit(1L), lit(self), lit(0L))))
+    assert(out.startsWith("[") && out.contains(".so"),
+      s"expected a JSON mapping array for pid $self, got: ${out.take(120)}")
+    // reference contract: missing /proc/<pid> -> "" (not a failure)
+    assert(one(ProcessOps.sharedLibraries(
+      Upid.makeUpid(lit(1L), lit(3999999L), lit(0L)))) == "")
+    // null upid -> null
+    assert(Seq(1).toDF("x")
+      .select(ProcessOps.sharedLibraries(lit(null).cast("binary")))
+      .head().isNullAt(0))
   }
 }
