@@ -64,4 +64,25 @@ object NetOps {
   /** The DuckDB rendering of [[nslookupStub]] for oracle dual-emission. */
   def nslookupStubSql(x: String): String =
     s"'203.0.113.' || (('0x' || substr(md5($x),1,6))::BIGINT % 256)"
+
+  private val nslookupRealUdf = udf((name: String) =>
+    if (name == null) null
+    else
+      try java.net.InetAddress.getByName(name).getHostAddress
+      catch { case _: Exception => "" })
+
+  /** nslookup (net_ops.cc NSLookupUDF): blocking getaddrinfo on the
+    * executing node — the reference's exact behavior, including "" on
+    * resolution failure. A UDF by necessity (an OS call, like the
+    * reference's ScalarUDF). Dispatch: SPARK_GRAFT_NSLOOKUP=real picks
+    * this; the default stays the deterministic [[nslookupStub]] so gate
+    * results are engine-reproducible — real DNS answers vary by
+    * resolver/cluster, which is the one reason the stub exists.
+    */
+  def nslookup(name: Column,
+      mode: Option[String] = sys.env.get("SPARK_GRAFT_NSLOOKUP")): Column =
+    mode match {
+      case Some("real") => nslookupRealUdf(name)
+      case _ => nslookupStub(name)
+    }
 }

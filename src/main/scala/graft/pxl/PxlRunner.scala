@@ -567,7 +567,7 @@ object PxlRunner {
       case "redact_pii_best_effort" =>
         VCol(graft.functions.PiiOps.redactPii(asCol(args.head)))
       case "nslookup" =>
-        VCol(graft.functions.NetOps.nslookupStub(asCol(args.head)))
+        VCol(graft.functions.NetOps.nslookup(asCol(args.head)))
       case "shared_libraries" =>
         VCol(graft.functions.ProcessOps.sharedLibraries(asCol(args.head)))
       case "cidrs_contain_ip" =>

@@ -79,6 +79,18 @@ class SurfaceSpec extends AnyFunSuite {
     assert(one(NetOps.nslookupStub(lit(null).cast("string"))) == "")
   }
 
+  test("nslookup real mode resolves on the executing node") {
+    import graft.functions.NetOps
+    // localhost resolves without egress; an invalid name returns "" —
+    // the reference's failed-getaddrinfo contract (net_ops.cc).
+    assert(one(NetOps.nslookup(lit("localhost"), Some("real"))) == "127.0.0.1")
+    assert(one(NetOps.nslookup(
+      lit("no-such-host.invalid"), Some("real"))) == "")
+    // default dispatch stays the deterministic stub (gate contract)
+    assert(one(NetOps.nslookup(lit("svc.example.com"), None))
+      .startsWith("203.0.113."))
+  }
+
   test("shared_libraries reads the executing node's /proc for a live pid") {
     import graft.functions.ProcessOps
     import graft.types.Upid
