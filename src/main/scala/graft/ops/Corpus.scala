@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: the standard
+  * cleanup stages between raw crawl and training set that aren't
+  * per-document (TextOps) or pairwise (Dedup) — duplicate-span
+  * statistics (the C4/RefinedWeb boilerplate signal), benchmark
+  * contamination checks, and deterministic stratified sampling.
+  *
+  * Scale contract: every operator is explode -> keyed shuffle ->
+  * join-back — nothing quadratic, nothing driver-side, and all hashing
+  * is the cross-engine md5 arithmetic from [[Dedup]], so results are
+  * partitioning- and engine-independent at any corpus size.
+  */
+object Corpus {
+
+  /** C4-style duplicate-span statistics: per document, how much of it
+    * is made of word n-gram spans that also occur in OTHER documents
+    * (doc-frequency >= 2). High dup_ratio = boilerplate/templated text —
+    * the C4 pipeline drops repeated lines corpus-wide; with no line
+    * structure in the corpus the n-gram span is the unit. Two keyed
+    * shuffles (span frequency, span->doc join-back), then one per-doc
+    * aggregate.
+    */
+  def duplicateSpanStats(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 8): DataFrame = {
+    val sp = df.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("span"))
+    val freq = sp.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("dfreq"))
+    sp.join(freq, "span")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("dfreq") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
+  /** Benchmark-contamination check: per corpus document, the share of
+    * its distinct n-grams that appear anywhere in the evaluation set.
+    * The eval n-gram set is deduplicated once; the join is keyed by
+    * n-gram (broadcastable when the benchmark is small — the usual
+    * case — while the corpus side streams).
+    */
+  def contamination(corpus: DataFrame, eval: DataFrame, textCol: String,
+                    idCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+    val totals = corpus.select(col(idCol),
+      size(array_distinct(Dedup.shingles(col(textCol), n))).cast("long")
+        .as("n_grams"))
+    val hits = corpusGrams.join(evalGrams, "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Deterministic hash-based stratified sampling: keep a row iff its
+    * id hashes under the stratum's fraction — reproducible across runs,
+    * engines, and partitionings (no RNG, no seed plumbing), the
+    * property a 100 TB pipeline needs to re-derive the same sample in
+    * a later job. `fraction` is a per-row Column so the stratum policy
+    * is data-driven. Map-only: no shuffle at all.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String,
+                       fraction: Column): DataFrame =
+    df.where(pmod(Dedup.h60(col(idCol).cast("string")), lit(10000L)) <
+      (fraction * 10000.0).cast("long"))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("duplicateSpanStats flags shared boilerplate, not unique text") {
+    val boiler = "subscribe to our newsletter for updates and offers every day"
+    val df = Seq(
+      (1L, s"$boiler unique article one about spark catalyst internals"),
+      (2L, s"$boiler another unique piece on tungsten codegen here now"),
+      (3L, "entirely singular content with no repeated spans anywhere in corpus at all")
+    ).toDF("doc_id", "text")
+    val got = Corpus.duplicateSpanStats(df, "text", "doc_id", 8)
+      .orderBy("doc_id")
+      .select("doc_id", "dup_ratio").as[(Long, Double)].collect()
+    assert(got(0)._2 > 0.0 && got(1)._2 > 0.0)
+    assert(got(2)._2 == 0.0)
+  }
+
+  test("contamination is 1.0 for a doc copied into eval, 0 for disjoint text") {
+    val leaked = "what is the capital of france the capital of france is paris"
+    val corpus = Seq((1L, leaked),
+      (2L, "totally unrelated words in this training document nothing shared whatsoever today"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, leaked)).toDF("doc_id", "text")
+    val got = Corpus.contamination(corpus, eval, "text", "doc_id", 8)
+      .orderBy("doc_id")
+      .select("doc_id", "contamination_ratio").as[(Long, Double)].collect()
+    assert(got(0)._2 == 1.0)
+    assert(got(1)._2 == 0.0)
+  }
+
+  test("stratifiedSample is deterministic and tracks the requested fraction") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("doc_id", "bucket")
+    val frac = when(col("bucket") === "even", lit(0.5)).otherwise(lit(0.1))
+    val a = Corpus.stratifiedSample(df, "doc_id", frac)
+    val b = Corpus.stratifiedSample(df, "doc_id", frac)
+    val rowsA = a.select("doc_id").as[Long].collect().toSet
+    assert(rowsA == b.select("doc_id").as[Long].collect().toSet)
+    val evenKept = a.filter(col("bucket") === "even").count().toDouble / 2000
+    val oddKept = a.filter(col("bucket") === "odd").count().toDouble / 2000
+    assert(math.abs(evenKept - 0.5) < 0.05, s"even kept $evenKept")
+    assert(math.abs(oddKept - 0.1) < 0.05, s"odd kept $oddKept")
+  }
+}
