@@ -191,4 +191,70 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
+
+  /** Connected components over a duplicate-pair edge list: the stage
+    * between LSH candidate pairs and survivor selection that collapses
+    * transitive duplicate chains (A~B, B~C => one cluster even when A,C
+    * never collide) — per-pair drop heuristics over-keep local minima.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): both steps need only
+    * a per-node MIN — groupBy(node).min(neighbor) then a join back, two
+    * keyed shuffles per step, no neighbor-list materialization, no
+    * driver-side graph. Converges in O(log n) rounds on any graph (and
+    * 1–2 rounds on dedup graphs, which are near-cliques). Each round's
+    * edge set is localCheckpoint'ed to truncate lineage — on a real
+    * cluster swap for `checkpoint()` on durable storage.
+    *
+    * Returns (doc_id, component) for every node of `pairs`, where
+    * component is the minimum id in the node's component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // Large-star: every node links its LARGER neighbors to its minimum
+    // (keeps big stars shallow); small-star: links its smaller-or-self
+    // chain to the minimum. Emitted edges are (child, candidate-root).
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs =
+        if (large)
+          e.select(col("u"), col("v"))
+            .union(e.select(col("v").as("u"), col("u").as("v")))
+        else
+          e.select(greatest(col("u"), col("v")).as("u"),
+            least(col("u"), col("v")).as("v"))
+      val m = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val emitted =
+        if (large)
+          nbrs.where(col("v") > col("u"))
+            .join(m, "u").select(col("v").as("u"), col("m").as("v"))
+        else
+          nbrs.join(m, "u")
+            .select(col("v").as("u"), col("m").as("v"))
+            .union(m.select(col("u"), col("m").as("v")))
+      emitted.where(col("u") =!= col("v")).distinct()
+    }
+    var e = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = star(star(e, large = true), large = false)
+        .localCheckpoint(true)
+      // Star steps only ever lower the larger endpoint's target, so an
+      // unchanged edge set IS the fixpoint (paper Thm 1); exceptAll is
+      // one extra keyed job per round, bounded by O(log n) rounds.
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      i += 1
+    }
+    // Converged state is a forest of stars: every edge is (member, root).
+    e.select(greatest(col("u"), col("v")).as("doc_id"),
+        least(col("u"), col("v")).as("component"))
+      .union(e.select(least(col("u"), col("v")).as("doc_id"),
+        least(col("u"), col("v")).as("component")))
+      .distinct()
+  }
 }

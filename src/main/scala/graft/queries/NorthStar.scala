@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextOps}
 import Q._
 
 /** North-star LLM-data-pipeline operators (SURVEY §7.9) over the
@@ -137,6 +137,60 @@ object NorthStar {
       wc.select(col("c"), explode(pairs).as("pair"))
         .groupBy("pair").agg(sum(col("c")).as("total"))
         .orderBy("pair")
+    }),
+
+    // C4-style duplicate-span stats: share of each doc made of 8-gram
+    // spans that other docs also contain (the boilerplate signal).
+    "q236_dup_spans" -> ((s, dir) =>
+      Corpus.duplicateSpanStats(t(s, dir, "documents"), "text", "doc_id", 8)
+        .orderBy("doc_id")),
+
+    // Benchmark-contamination: distinct-8-gram overlap of each corpus
+    // doc (source != src0) against the src0 "benchmark" slice.
+    "q237_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.contamination(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 8)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic hash-stratified sample: 50% of even-numbered
+    // sources, 10% of odd — reproducible in any engine from the same
+    // md5 arithmetic, no RNG.
+    "q238_stratified_sample" -> ((s, dir) => {
+      val frac = when(
+        pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"),
+          lit(2)) === 0, lit(0.5)).otherwise(lit(0.1))
+      Corpus.stratifiedSample(t(s, dir, "documents"), "doc_id", frac)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Connected components over the LSH candidate-pair graph: transitive
+    // duplicate clusters (A~B, B~C => one cluster even when A,C never
+    // collide), labeled by component-minimum id.
+    "q239_dup_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "text",
+        "doc_id", NGRAM, K, BANDS)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
+    }),
+
+    // q81's pipeline with component-based survivor selection: keep one
+    // doc per transitive duplicate CLUSTER (the component minimum), not
+    // merely per colliding pair — the principled large-corpus contract.
+    "q240_dedup_cc_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val kept = docs.join(keepers, "doc_id")
+      val pairs = Dedup.ngramJaccard(kept, "text", "doc_id", NGRAM, K, BANDS, 0.8)
+      val dropped = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .where(col("component") =!= col("doc_id")).select("doc_id")
+      kept.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_survivors"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
     }),
 
     // Order-independent document set-fingerprint (XOR/sum of word hashes).
@@ -407,6 +461,71 @@ object NorthStar {
         |  FROM words, unnest(range(1, length(w))) AS t(i))
         |SELECT pair, CAST(sum(c) AS BIGINT) AS total FROM pairs
         |GROUP BY pair ORDER BY pair""".stripMargin,
+    "q236_dup_spans" ->
+      s"""WITH sp AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 8)}) AS span
+         |  FROM documents),
+         |f AS (SELECT span, count(DISTINCT doc_id) AS dfreq FROM sp GROUP BY span)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  round(CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS dup_ratio
+         |FROM sp JOIN f USING(span) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q237_contamination" ->
+      s"""WITH ev AS (SELECT DISTINCT unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
+         |  FROM documents WHERE source = 'src0'),
+         |cg AS (SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
+         |  FROM documents WHERE source <> 'src0'),
+         |tot AS (SELECT doc_id, CAST(len(list_distinct(${Dedup.shinglesSql("text", 8)})) AS BIGINT) AS n_grams
+         |  FROM documents WHERE source <> 'src0'),
+         |hit AS (SELECT doc_id, count(*) AS n_contaminated
+         |  FROM cg JOIN ev USING(g) GROUP BY doc_id)
+         |SELECT tot.doc_id, n_grams,
+         |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+         |    AS contamination_ratio
+         |FROM tot LEFT JOIN hit USING(doc_id) ORDER BY doc_id""".stripMargin,
+    "q238_stratified_sample" ->
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 10000 <
+         |  CAST((CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
+         |        THEN 0.5 ELSE 0.1 END) * 10000 AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+    "q239_dup_components" ->
+      s"""WITH RECURSIVE ${sigCtes("documents")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |e AS (SELECT da AS u, db AS v FROM cand UNION SELECT db, da FROM cand),
+         |reach AS (SELECT u AS a, v AS b FROM e
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)
+         |SELECT a AS doc_id, least(a, min(b)) AS component
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q240_dedup_cc_survivors" ->
+      s"""WITH RECURSIVE keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d2 AS (SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+         |${sigCtes("d2")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM d2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT da, db FROM inter
+         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+         |reach AS (SELECT u AS a, v AS b FROM e
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+         |dropped AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a)
+         |SELECT source, count(*) AS n_survivors,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q34_fingerprint" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
          |h AS (SELECT doc_id, (${h60("w")}) % $P AS h FROM w)

@@ -42,6 +42,21 @@ class NorthStarSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("connectedComponents collapses transitive chains and keeps components apart") {
+    // chain 1-2, 2-3 (1 and 3 never paired) + separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("connectedComponents converges on a long path (worst-case diameter)") {
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 1L))
+  }
+
   test("embedding near-dup finds LSH-colliding identical vectors, not opposites") {
     val v = Array.fill(8)(0.5f)
     val df = Seq((1L, v), (2L, v), (3L, v.map(-_)))
