@@ -62,6 +62,38 @@ object Corpus {
         round(col("n_contaminated").cast("double") / col("n_grams"), 6))
   }
 
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * §A1.1 "repetition" filters), word-token based since the corpus has
+    * no line structure: the character share of the single most frequent
+    * word 2-gram (ties broken to the lexicographically greatest gram so
+    * every engine picks the same one), and the duplicated-instance share
+    * of 5-gram / 10-gram occurrences. Each signal is one explode and at
+    * most two aggregates keyed by doc (map-side partial combine applies);
+    * the three signals join back on the doc key.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol), length(col(textCol)).as("len"))
+    val g2cnt = df.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), 2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val top2 = g2cnt.groupBy(col(idCol))
+      .agg(max(struct(col("c"), col("g"))).as("t"))
+      .select(col(idCol), col("t.c").as("top2_count"), col("t.g").as("top2_gram"))
+    def dupFrac(n: Int, name: String) =
+      df.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("tot"), countDistinct(col("g")).as("dist"))
+        .select(col(idCol), round(
+          (col("tot") - col("dist")).cast("double") / col("tot"), 6).as(name))
+    base.join(top2, idCol)
+      .join(dupFrac(5, "dup5_ratio"), idCol)
+      .join(dupFrac(10, "dup10_ratio"), idCol)
+      .withColumn("top2_char_ratio", round(
+        col("top2_count") * length(col("top2_gram")).cast("double") / col("len"), 6))
+      .select(col(idCol), col("top2_gram"), col("top2_count"),
+        col("top2_char_ratio"), col("dup5_ratio"), col("dup10_ratio"))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a row iff its
     * id hashes under the stratum's fraction — reproducible across runs,
     * engines, and partitionings (no RNG, no seed plumbing), the

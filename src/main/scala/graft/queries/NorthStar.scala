@@ -166,6 +166,12 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // Gopher repetition filters: top-2-gram char share + duplicated
+    // 5-/10-gram instance share, per document.
+    "q241_repetition" -> ((s, dir) =>
+      Corpus.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // Connected components over the LSH candidate-pair graph: transitive
     // duplicate clusters (A~B, B~C => one cluster even when A,C never
     // collide), labeled by component-minimum id.
@@ -490,6 +496,26 @@ object NorthStar {
          |  CAST((CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
          |        THEN 0.5 ELSE 0.1 END) * 10000 AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
+    "q241_repetition" ->
+      s"""WITH g2 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 2)}) AS g FROM documents),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         |t2 AS (SELECT doc_id, g, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+         |  FROM c2),
+         |g5 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 5)}) AS g FROM documents),
+         |d5 AS (SELECT doc_id, round(CAST(count(*) - count(DISTINCT g) AS DOUBLE)
+         |    / count(*), 6) AS dup5_ratio FROM g5 GROUP BY doc_id),
+         |g10 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 10)}) AS g FROM documents),
+         |d10 AS (SELECT doc_id, round(CAST(count(*) - count(DISTINCT g) AS DOUBLE)
+         |    / count(*), 6) AS dup10_ratio FROM g10 GROUP BY doc_id)
+         |SELECT d.doc_id, t2.g AS top2_gram, t2.c AS top2_count,
+         |  round(t2.c * CAST(len(t2.g) AS DOUBLE) / len(d.text), 6) AS top2_char_ratio,
+         |  dup5_ratio, dup10_ratio
+         |FROM documents d
+         |JOIN t2 ON t2.doc_id = d.doc_id AND t2.rn = 1
+         |JOIN d5 ON d5.doc_id = d.doc_id
+         |JOIN d10 ON d10.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q239_dup_components" ->
       s"""WITH RECURSIVE ${sigCtes("documents")},
          |bands AS ($bandsSql),

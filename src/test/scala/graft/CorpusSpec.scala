@@ -35,6 +35,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(1)._2 == 0.0)
   }
 
+  test("repetitionStats scores a repetitive doc above a varied one") {
+    val loop = (1 to 12).map(_ => "buy now click here pay less").mkString(" ")
+    val varied = (1 to 60).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, loop), (2L, varied)).toDF("doc_id", "text")
+    val got = Corpus.repetitionStats(df, "text", "doc_id").orderBy("doc_id")
+      .select("doc_id", "top2_char_ratio", "dup5_ratio", "dup10_ratio")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got(0)._2 > 0.15 && got(0)._3 > 0.8 && got(0)._4 > 0.8)
+    assert(got(1)._2 < 0.15 && got(1)._3 == 0.0 && got(1)._4 == 0.0)
+  }
+
   test("stratifiedSample is deterministic and tracks the requested fraction") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("doc_id", "bucket")
