@@ -24,6 +24,39 @@ object Extended {
   private val templates = Seq("/healthz", "/api/v1/users/*/posts/*")
 
   val queries: Map[String, QFn] = Map(
+    // Backward as-of join (one keyed shuffle + window, no BNLJ): each
+    // purchase picks up the user's latest preceding click.
+    "q242_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      graft.ops.AsOf.joinBackward(purchases, clicks, Seq("user_id"),
+          "ts", "ts", rightPrefix = "click_")
+        // join at full ns precision; emit µs-aligned (DuckDB reads the
+        // fixture's TIMESTAMP(NANOS) truncated to µs)
+        .select(col("event_id"), col("user_id"),
+          idiv(col("ts"), 1000L).as("ts_us"), col("value"),
+          idiv(col("click_ts"), 1000L).as("click_ts_us"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // Bounded range join via exact-int64 time bucketing (equi-join on
+    // (user, bucket) + range post-filter, never quadratic): per event,
+    // count/sum of the same user's OTHER events in the preceding hour.
+    "q243_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      graft.ops.AsOf.rangeJoin(ev,
+          ev.withColumnRenamed("event_id", "eid"), Seq("user_id"),
+          "ts", "ts", before = 3600L * 1000000000L, after = 0L, rightPrefix = "r_")
+        .where(col("r_eid") =!= col("event_id"))
+        .groupBy("event_id").agg(
+          count(lit(1)).as("n_prior"),
+          round(sum(col("r_value")), 6).as("sum_prior"))
+        .orderBy("event_id")
+    }),
+
     // px.strptime / px.format_duration / px.parse_time / px.parse_duration
     // (pixie_module.h:183-247, planner/ir/time.cc).
     "q52_time_fns" -> ((s, dir) => {
@@ -282,6 +315,21 @@ object Extended {
   private def h1Sql(x: String) = s"((${h60(x)}) % 2000001 - 1000000) / 1000000.0"
 
   val oracles: Map[String, String] = Map(
+    "q242_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+        |  epoch_us(r.ts) AS click_ts_us, r.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q243_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) * 1000 AS t, value
+        |  FROM events)
+        |SELECT l.event_id, count(*) AS n_prior, round(sum(r.value), 6) AS sum_prior
+        |FROM e l JOIN e r ON l.user_id = r.user_id
+        |  AND r.t BETWEEN l.t - 3600000000000 AND l.t AND r.event_id <> l.event_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q52_time_fns" -> (
       s"""SELECT event_id,
          |  epoch_us(strptime('2024-01-' || lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')

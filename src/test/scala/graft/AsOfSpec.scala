@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.AsOf
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("joinBackward picks the latest preceding right row, inclusive, per key") {
+    val left = Seq((1L, 100L), (1L, 250L), (2L, 100L))
+      .toDF("k", "t")
+    val right = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"))
+      .toDF("k", "t", "v")
+    val got = AsOf.joinBackward(left, right, Seq("k"), "t", "t")
+      .select("k", "t", "right_v").as[(Long, Long, String)]
+      .collect().toSet
+    // t=100 matches the equal-time right row (inclusive); k=2's only
+    // right row is later than its left row -> null
+    assert(got == Set((1L, 100L, "a"), (1L, 250L, "b"), (2L, 100L, null)))
+  }
+
+  test("joinBackward ties at equal time resolve to the greatest tieBreak") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 100L, 7L, "lo"), (1L, 100L, 9L, "hi"))
+      .toDF("k", "t", "seq", "v")
+    val got = AsOf.joinBackward(left, right, Seq("k"), "t", "t",
+        tieBreak = Some("seq"))
+      .select("right_v").as[String].head()
+    assert(got == "hi")
+  }
+
+  test("rangeJoin matches a brute-force non-equi join exactly") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextLong(100000L)))
+    val df = rows.toDF("id", "k", "t")
+    val got = AsOf.rangeJoin(df, df.toDF("rid", "k", "rt"), Seq("k"),
+        "t", "rt", before = 7000L, after = 3000L, rightPrefix = "")
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (a, ka, ta) <- rows; (b, kb, tb) <- rows
+      if ka == kb && tb >= ta - 7000L && tb <= ta + 3000L
+    } yield (a, b)).toSet
+    assert(got == want)
+  }
+}
