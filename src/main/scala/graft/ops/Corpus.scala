@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines: the standard
@@ -92,6 +93,39 @@ object Corpus {
         col("top2_count") * length(col("top2_gram")).cast("double") / col("len"), 6))
       .select(col(idCol), col("top2_gram"), col("top2_count"),
         col("top2_char_ratio"), col("dup5_ratio"), col("dup10_ratio"))
+  }
+
+  /** Training-sequence packing: lay documents out on one concatenated
+    * token stream in the deterministic order (groupCol, idCol) and cut
+    * it into fixed seqLen windows — the GPT-style concatenate-and-chunk
+    * prep. Per doc: its stream offset and the first/last sequence index
+    * it lands in.
+    *
+    * The global exclusive prefix-sum is TWO-LEVEL, never a
+    * single-partition window over the corpus: within-group cumsum runs
+    * partitioned by groupCol (parallel), group offsets come from a
+    * groupCol-cardinality aggregate (tiny — its global window and the
+    * broadcast join-back are O(#groups)). One giant group would
+    * serialize its own sort; sub-split such a group with a hash bucket
+    * as a secondary group key.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    groupCol: String, seqLen: Long): DataFrame = {
+    val wIn = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.withColumn("__cum", sum(col(tokenCol)).over(wIn))
+    val wOff = Window.orderBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = df.groupBy(col(groupCol)).agg(sum(col(tokenCol)).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(wOff) - col("__tot"))
+      .drop("__tot")
+    def idiv(a: Column, b: Long) = graft.functions.PixieFunctions.idiv(a, b)
+    local.join(broadcast(offsets), groupCol)
+      .withColumn("start_tok", col("__off") + col("__cum") - col(tokenCol))
+      .withColumn("first_seq", idiv(col("start_tok"), seqLen))
+      .withColumn("last_seq",
+        idiv(col("start_tok") + col(tokenCol) - 1, seqLen))
+      .drop("__cum", "__off")
   }
 
   /** Deterministic hash-based stratified sampling: keep a row iff its

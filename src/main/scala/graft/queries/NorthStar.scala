@@ -166,6 +166,18 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // GPT-style sequence packing: concatenated token stream in
+    // (source, doc_id) order cut into 512-token sequences; per doc its
+    // offset and first/last sequence index. Two-level prefix sum.
+    "q244_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      Corpus.packSequences(docs, "doc_id", "n_tok", "source", 512L)
+        .select("doc_id", "source", "n_tok", "start_tok", "first_seq", "last_seq")
+        .orderBy("doc_id")
+    }),
+
     // Gopher repetition filters: top-2-gram char share + duplicated
     // 5-/10-gram instance share, per document.
     "q241_repetition" -> ((s, dir) =>
@@ -496,6 +508,17 @@ object NorthStar {
          |  CAST((CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
          |        THEN 0.5 ELSE 0.1 END) * 10000 AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
+    "q244_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY source, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok FROM t)
+        |SELECT doc_id, source, n_tok, start_tok,
+        |  start_tok // 512 AS first_seq,
+        |  (start_tok + n_tok - 1) // 512 AS last_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q241_repetition" ->
       s"""WITH g2 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 2)}) AS g FROM documents),
          |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),

@@ -46,6 +46,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(1)._2 < 0.15 && got(1)._3 == 0.0 && got(1)._4 == 0.0)
   }
 
+  test("packSequences lays out a gapless stream and cuts exact 10-token windows") {
+    val df = Seq((1L, "a", 4L), (2L, "a", 7L), (3L, "b", 12L), (4L, "b", 3L))
+      .toDF("doc_id", "grp", "n_tok")
+    val got = Corpus.packSequences(df, "doc_id", "n_tok", "grp", 10L)
+      .select("doc_id", "start_tok", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // stream order (a,1)(a,2)(b,3)(b,4): offsets 0,4,11,23
+    assert(got.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 4L, 0L, 1L),
+      (3L, 11L, 1L, 2L), (4L, 23L, 2L, 2L)))
+  }
+
   test("stratifiedSample is deterministic and tracks the requested fraction") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("doc_id", "bucket")
