@@ -166,6 +166,25 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // Exact dedup ON THE STREAM: ingest-time duplicate collapse as a
+    // streaming stateful aggregation (complete mode, AvailableNow
+    // replay) — must produce exactly the batch q24 answer. The state
+    // store is hash-partitioned by content hash, so at ingest scale the
+    // dedup state distributes like the batch shuffle does.
+    "q245_streaming_dedup" -> ((s, dir) => {
+      val stream = graft.core.Tables.stream(s, dir, "documents")
+      val agg = stream
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      val qn = "q245_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("content_hash")
+    }),
+
     // GPT-style sequence packing: concatenated token stream in
     // (source, doc_id) order cut into 512-token sequences; per doc its
     // offset and first/last sequence index. Two-level prefix sum.
@@ -508,6 +527,9 @@ object NorthStar {
          |  CAST((CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
          |        THEN 0.5 ELSE 0.1 END) * 10000 AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
+    "q245_streaming_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "q244_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
