@@ -244,9 +244,11 @@ object Dedup {
       val next = star(star(e, large = true), large = false)
         .localCheckpoint(true)
       // Star steps only ever lower the larger endpoint's target, so an
-      // unchanged edge set IS the fixpoint (paper Thm 1); exceptAll is
-      // one extra keyed job per round, bounded by O(log n) rounds.
-      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      // unchanged edge set IS the fixpoint (paper Thm 1). Cheap count
+      // gate first (non-converged rounds almost always shrink the edge
+      // set); equal cardinality + empty multiset-difference one way
+      // implies set equality, so one exceptAll suffices.
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
       e = next
       i += 1
     }
