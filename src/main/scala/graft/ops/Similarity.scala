@@ -120,6 +120,79 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Product-quantization ADC top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", PAMI 2011): the vector
+    * is split into m subspaces, each quantized against its own ksub
+    * codebook; a corpus vector is stored as m small codes and scored
+    * against a query by summing per-subspace L2² distances from the
+    * query's subvectors to the ASSIGNED centroids (asymmetric distance
+    * computation).
+    *
+    * 100 TB shape: after the one-pass encode the scan touches only the
+    * m-byte codes + the broadcast codebooks — a 256-byte float vector
+    * becomes m log2(ksub) bits — so the exhaustive ADC scan is memory-
+    * bound on compressed data; compose with [[ivfCosineTopK]]'s cell
+    * partitioning for IVFADC. Encode and ADC are pure codegen
+    * higher-order functions (no UDF); a deployment kernel would
+    * precompute the m×ksub lookup table per query, which changes
+    * constant factors, not the result.
+    *
+    * Determinism: codebooks come from the init-only [[graft.functions
+    * .MlAggregators.kmeansFit]] contract (canonical sorted picks,
+    * 1e-6-rounded), encode ties break to the SMALLEST centroid index
+    * (array_position finds the first minimum), rank ties to the lower
+    * neighbor id — every engine reproduces the exact result.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int,
+             codebooks: Seq[Seq[Seq[Double]]], rerank: Int = 0): DataFrame = {
+    val m = codebooks.length
+    val sd = dim / m
+    require(m * sd == dim, s"dim $dim must divide into $m subspaces")
+    def sub(vec: Column, j: Int) = slice(vec, j * sd + 1, sd)
+    def l2(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("ce"))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qe"))
+    val codes = (0 until m).foldLeft(c0) { (df, j) =>
+      val dists = transform(typedLit(codebooks(j)),
+        cent => l2(sub(col("ce"), j), cent))
+      df.withColumn(s"code_$j",
+        array_position(dists, array_min(dists)).cast("int"))
+    }.drop("ce")
+    val adc = (0 until m).map { j =>
+      l2(sub(col("qe"), j), element_at(typedLit(codebooks(j)), col(s"code_$j")))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val ranked = codes
+      .join(broadcast(q0), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= (if (rerank > 0) rerank else k))
+    if (rerank == 0)
+      ranked.select("query_id", "neighbor_id", "rank", "adc")
+    else {
+      // Deployment path: the ADC scan only SHORTLISTS `rerank`
+      // candidates; exact distances are computed for those alone (an
+      // id-keyed fetch of raw vectors — candidates-then-verify, like
+      // every other approximate operator here). Quantization error then
+      // only costs recall when a true neighbor misses the shortlist.
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("dist").asc, col("neighbor_id").asc)
+      ranked.select("query_id", "neighbor_id")
+        .join(c0, "neighbor_id")
+        .join(broadcast(q0), "query_id")
+        .withColumn("dist", l2(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    }
+  }
+
   /** DuckDB SQL for one table's sign-LSH bucket id over list column
     * `vecExpr` — generated from the same [[proj]] constants as
     * [[lshBucket]], so both engines compute the identical bucket.

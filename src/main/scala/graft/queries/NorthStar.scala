@@ -87,6 +87,29 @@ object NorthStar {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ ANN (the compressed-scan scale path): 4 subspace codebooks of
+    // 8 centroids fit in ONE distributed agg pass (driver receives only
+    // the 4 models), corpus encoded to 4 small codes, queries scored by
+    // asymmetric distance over the codes. Init-only fit => full SQL
+    // oracle, same contract as q76.
+    "q246_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (m, sd) = (4, 16)
+      val row = emb.agg(
+        graft.functions.MlAggregators.kmeansFit(
+          slice(col("embedding").cast("array<double>"), 1, sd), 8, iters = 0).as("m0"),
+        (1 until m).map(j => graft.functions.MlAggregators.kmeansFit(
+          slice(col("embedding").cast("array<double>"), j * sd + 1, sd), 8,
+          iters = 0).as(s"m$j")): _*).head()
+      val cbs = (0 until m).map(j => row.getString(j)
+        .stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+        .map(_.split(",").map(_.toDouble).toSeq).toSeq)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", 5, 64, cbs)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Language-ID marker heuristic with deterministic tie-break.
     "q31_lang_id" -> ((s, dir) => {
       TextOps.langId(t(s, dir, "documents"), "text")
@@ -376,7 +399,51 @@ object NorthStar {
       |      FROM s)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Per-subspace re-derivation of the q246 PQ pipeline: seeds follow
+    * the exact kmeansFit canonical-pick contract (distinct-sorted,
+    * cap 128, evenly spaced, round_even 1e-6), encode ties to the
+    * smallest centroid, ADC summed in subspace order like the Spark
+    * expression — identical IEEE operation order, identical doubles.
+    */
+  private val q246OracleSql: String = {
+    val m = 4; val sd = 16; val ksub = 8
+    val subCtes = (0 until m).map { j =>
+      s"""sub$j AS (SELECT vec_id, e[${j * sd + 1}:${(j + 1) * sd}] AS se FROM v),
+         |cv$j AS (SELECT se, row_number() OVER (ORDER BY se) AS rn
+         |  FROM (SELECT DISTINCT se FROM sub$j) ORDER BY se LIMIT 128),
+         |cc$j AS (SELECT count(*) AS c FROM cv$j),
+         |seed$j AS (SELECT r.i + 1 AS sid,
+         |    list_transform(cv$j.se, x -> round_even(x * 1000000, 0) / 1000000) AS ce
+         |  FROM range($ksub) r(i), cc$j, cv$j
+         |  WHERE cv$j.rn = (r.i * cc$j.c) // $ksub + 1),
+         |cd$j AS (SELECT s.vec_id, d.sid,
+         |    list_sum(list_transform(range($sd),
+         |      i -> (s.se[i+1] - d.ce[i+1]) * (s.se[i+1] - d.ce[i+1]))) AS dist
+         |  FROM sub$j s, seed$j d),
+         |code$j AS (SELECT vec_id, sid AS code FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+         |   FROM cd$j) WHERE rn = 1),
+         |adc$j AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    list_sum(list_transform(range($sd),
+         |      i -> (q.se[i+1] - d.ce[i+1]) * (q.se[i+1] - d.ce[i+1]))) AS dist
+         |  FROM sub$j q JOIN code$j c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |  JOIN seed$j d ON d.sid = c.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |$subCtes,
+       |tot AS (SELECT adc0.qid, adc0.nid,
+       |    adc0.dist + adc1.dist + adc2.dist + adc3.dist AS adc
+       |  FROM adc0 JOIN adc1 USING (qid, nid) JOIN adc2 USING (qid, nid)
+       |    JOIN adc3 USING (qid, nid))
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+       |      FROM tot)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q246_ann_pq" -> q246OracleSql,
     "q30_ann_lsh" -> q30OracleSql,
     "q76_ann_ivf" -> q76OracleSql,
     "q81_dedup_pipeline" ->

@@ -67,6 +67,41 @@ class NorthStarSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L)))
   }
 
+  test("PQ ANN (refined codebooks + exact rerank) achieves >=80% recall@5 vs exact L2") {
+    // L2 ground truth (ADC approximates L2, not cosine). Deployment
+    // configuration: Lloyd-refined 8x64 codebooks over the full point
+    // set and an ADC shortlist of 50 re-ranked exactly. The q246 GATE
+    // instead pins iters=0/cap=128/no-rerank so its SQL oracle can
+    // re-derive the fit — that proves cross-engine parity, this proves
+    // retrieval quality.
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (for {
+      (qid, q) <- vecs if qid < 10
+      (nid, _) <- vecs.filter(_._1 != qid)
+        .sortBy { case (nid2, v) => (l2(q, v), nid2) }.take(5)
+    } yield (qid, nid)).toSet
+    val (m, sd) = (8, 8)
+    val row = emb.agg(
+      graft.functions.MlAggregators.kmeansFit(
+        slice(col("embedding").cast("array<double>"), 1, sd), 64,
+        iters = 20, cap = 100000).as("m0"),
+      (1 until m).map(j => graft.functions.MlAggregators.kmeansFit(
+        slice(col("embedding").cast("array<double>"), j * sd + 1, sd), 64,
+        iters = 20, cap = 100000).as(s"m$j")): _*).head()
+    val cbs = (0 until m).map(j => row.getString(j)
+      .stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.toDouble).toSeq).toSeq)
+    val approx = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, 64, cbs, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@5 = $recall")
+  }
+
   test("LSH ANN achieves >=60% recall@5 vs exact brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
