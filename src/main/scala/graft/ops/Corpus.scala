@@ -138,5 +138,28 @@ object Corpus {
   def stratifiedSample(df: DataFrame, idCol: String,
                        fraction: Column): DataFrame =
     df.where(pmod(Dedup.h60(col(idCol).cast("string")), lit(10000L)) <
-      (fraction * 10000.0).cast("long"))
+      floor(fraction * 10000.0).cast("long"))
+
+  /** Temperature-based mixture resampling (the mT5 / multilingual-LM
+    * data-mixing rule): group g's share of the output is proportional
+    * to n_g^alpha — alpha < 1 upweights rare groups — targeting
+    * `targetRows` total. Per-group keep fractions derive from one
+    * group-cardinality aggregate; the 1-row normalizer joins by
+    * broadcast (no driver round-trip) and rows are kept by the same
+    * deterministic hash rule as [[stratifiedSample]], so the mixture
+    * re-derives identically in any engine at any partitioning.
+    */
+  def temperatureResample(df: DataFrame, idCol: String, groupCol: String,
+                          alpha: Double, targetRows: Long): DataFrame = {
+    val weights = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", pow(col("__n"), alpha))
+    val tot = weights.agg(sum(col("__w")).as("__tot"))
+    val frac = weights.crossJoin(broadcast(tot))
+      .select(col(groupCol), least(lit(1.0),
+        lit(targetRows.toDouble) * col("__w") / (col("__tot") * col("__n")))
+        .as("__f"))
+    stratifiedSample(df.join(broadcast(frac), groupCol), idCol, col("__f"))
+      .drop("__f")
+  }
 }

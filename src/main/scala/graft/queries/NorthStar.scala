@@ -189,6 +189,16 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // Temperature resampling (alpha=0.5 upweights rare languages — the
+    // mT5 mixing rule) toward half the corpus; output is the per-lang
+    // keep count plus the doc ids, all re-derived from the hash rule.
+    "q247_temperature_resample" -> ((s, dir) => {
+      Corpus.temperatureResample(t(s, dir, "documents"), "doc_id",
+          "lang", alpha = 0.5, targetRows = 250L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup ON THE STREAM: ingest-time duplicate collapse as a
     // streaming stateful aggregation (complete mode, AvailableNow
     // replay) — must produce exactly the batch q24 answer. The state
@@ -593,6 +603,16 @@ object NorthStar {
          |WHERE (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 10000 <
          |  CAST((CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) % 2 = 0
          |        THEN 0.5 ELSE 0.1 END) * 10000 AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+    "q247_temperature_resample" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM c),
+         |t AS (SELECT sum(wt) AS tot FROM w),
+         |f AS (SELECT lang, least(1.0, 250.0 * wt / (tot * n)) AS fr FROM w, t)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+         |WHERE (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 10000 <
+         |  CAST(floor(fr * 10000.0) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
     "q245_streaming_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,

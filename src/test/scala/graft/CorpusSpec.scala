@@ -46,6 +46,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(1)._2 < 0.15 && got(1)._3 == 0.0 && got(1)._4 == 0.0)
   }
 
+  test("temperatureResample upweights rare groups and hits the target size") {
+    val df = ((1L to 9000L).map((_, "big")) ++ (9001L to 10000L).map((_, "small")))
+      .toDF("doc_id", "grp")
+    val kept = Corpus.temperatureResample(df, "doc_id", "grp",
+        alpha = 0.5, targetRows = 2000L)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    // alpha=0.5 weights: sqrt(9000):sqrt(1000) = 3:1 -> 1500 vs 500
+    // expected; the rare group's KEEP RATE (0.5) must far exceed the
+    // dominant group's (0.167).
+    val total = kept.values.sum
+    assert(math.abs(total - 2000L) < 200, s"total kept $total")
+    val rateBig = kept("big").toDouble / 9000
+    val rateSmall = kept("small").toDouble / 1000
+    assert(rateSmall > 2.5 * rateBig, s"rates $rateSmall vs $rateBig")
+  }
+
   test("packSequences lays out a gapless stream and cuts exact 10-token windows") {
     val df = Seq((1L, "a", 4L), (2L, "a", 7L), (3L, "b", 12L), (4L, "b", 3L))
       .toDF("doc_id", "grp", "n_tok")
