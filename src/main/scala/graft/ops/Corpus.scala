@@ -63,6 +63,41 @@ object Corpus {
         round(col("n_contaminated").cast("double") / col("n_grams"), 6))
   }
 
+  /** [[contamination]] with Spark's native bloom runtime-filter driven
+    * explicitly: the eval n-gram set builds a BloomFilterAggregate (the
+    * driver receives only the filter bytes — the same model-fetch
+    * pattern as the kmeans fits), and corpus grams probe it MAP-SIDE
+    * before the exact join, so at 100 TB ~every clean gram dies before
+    * the shuffle instead of being exchanged just to miss the join. The
+    * bloom admits false positives but never false negatives, and the
+    * exact join still runs — results are identical to [[contamination]]
+    * (the gate reuses its oracle).
+    */
+  def contaminationBloom(corpus: DataFrame, eval: DataFrame,
+                         textCol: String, idCol: String, n: Int = 8,
+                         estimatedItems: Long = 1000000L,
+                         numBits: Long = 8000000L): DataFrame = {
+    val evalGrams = eval
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .distinct()
+    val bf = evalGrams
+      .agg(graft.expressions.Bloom.agg(xxhash64(col("g")),
+        estimatedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpusGrams = corpus.select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .where(graft.expressions.Bloom.mightContain(lit(bf), xxhash64(col("g"))))
+    val totals = corpus.select(col(idCol),
+      size(array_distinct(Dedup.shingles(col(textCol), n))).cast("long")
+        .as("n_grams"))
+    val hits = corpusGrams.join(evalGrams, "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
+
   /** Gopher-style within-document repetition signals (Rae et al. 2021,
     * §A1.1 "repetition" filters), word-token based since the corpus has
     * no line structure: the character share of the single most frequent

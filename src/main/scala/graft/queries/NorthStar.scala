@@ -189,6 +189,16 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // Contamination with the bloom prefilter: must equal q237 exactly
+    // (bloom has no false negatives; the exact join runs after) — the
+    // oracle IS q237's, proving the accelerated path changes nothing.
+    "q248_contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.contaminationBloom(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 8)
+        .orderBy("doc_id")
+    }),
+
     // Temperature resampling (alpha=0.5 upweights rare languages — the
     // mT5 mixing rule) toward half the corpus; output is the per-lang
     // keep count plus the doc ids, all re-derived from the hash rule.
@@ -452,6 +462,21 @@ object NorthStar {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  private val contaminationOracle: String =
+    s"""WITH ev AS (SELECT DISTINCT unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
+       |  FROM documents WHERE source = 'src0'),
+       |cg AS (SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
+       |  FROM documents WHERE source <> 'src0'),
+       |tot AS (SELECT doc_id, CAST(len(list_distinct(${Dedup.shinglesSql("text", 8)})) AS BIGINT) AS n_grams
+       |  FROM documents WHERE source <> 'src0'),
+       |hit AS (SELECT doc_id, count(*) AS n_contaminated
+       |  FROM cg JOIN ev USING(g) GROUP BY doc_id)
+       |SELECT tot.doc_id, n_grams,
+       |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+       |    AS contamination_ratio
+       |FROM tot LEFT JOIN hit USING(doc_id) ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q30_ann_lsh" -> q30OracleSql,
@@ -584,20 +609,10 @@ object NorthStar {
          |  round(CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS dup_ratio
          |FROM sp JOIN f USING(span) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q237_contamination" ->
-      s"""WITH ev AS (SELECT DISTINCT unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
-         |  FROM documents WHERE source = 'src0'),
-         |cg AS (SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
-         |  FROM documents WHERE source <> 'src0'),
-         |tot AS (SELECT doc_id, CAST(len(list_distinct(${Dedup.shinglesSql("text", 8)})) AS BIGINT) AS n_grams
-         |  FROM documents WHERE source <> 'src0'),
-         |hit AS (SELECT doc_id, count(*) AS n_contaminated
-         |  FROM cg JOIN ev USING(g) GROUP BY doc_id)
-         |SELECT tot.doc_id, n_grams,
-         |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
-         |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
-         |    AS contamination_ratio
-         |FROM tot LEFT JOIN hit USING(doc_id) ORDER BY doc_id""".stripMargin,
+    "q237_contamination" -> contaminationOracle,
+    // q248 is the bloom-accelerated path — same exact answer by
+    // construction, so the SAME oracle gates it.
+    "q248_contamination_bloom" -> contaminationOracle,
     "q238_stratified_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
          |WHERE (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 10000 <

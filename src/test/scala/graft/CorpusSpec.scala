@@ -46,6 +46,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(1)._2 < 0.15 && got(1)._3 == 0.0 && got(1)._4 == 0.0)
   }
 
+  test("bloom-prefiltered contamination equals the exact path") {
+    val leaked = "what is the capital of france the capital of france is paris"
+    val corpus = Seq((1L, leaked),
+      (2L, "totally unrelated words in this training document nothing shared whatsoever today"),
+      (3L, s"prefix words then $leaked"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, leaked)).toDF("doc_id", "text")
+    val exact = Corpus.contamination(corpus, eval, "text", "doc_id", 8)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Corpus.contaminationBloom(corpus, eval, "text", "doc_id", 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+  }
+
   test("temperatureResample upweights rare groups and hits the target size") {
     val df = ((1L to 9000L).map((_, "big")) ++ (9001L to 10000L).map((_, "small")))
       .toDF("doc_id", "grp")
