@@ -27,7 +27,10 @@ object Extended {
     // Backward as-of join (one keyed shuffle + window, no BNLJ): each
     // purchase picks up the user's latest preceding click.
     "q242_asof_join" -> ((s, dir) => {
+      // µs-truncate BEFORE the as-of compare (the oracle's timestamps
+      // are µs-resolution; q94/q95 precedent), emit µs at the end.
       val ev = t(s, dir, "events")
+        .withColumn("ts", idiv(col("ts"), 1000L) * 1000L)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts", "value")
       val clicks = ev.filter(col("event_type") === "click")
@@ -45,8 +48,12 @@ object Extended {
     // Bounded range join via exact-int64 time bucketing (equi-join on
     // (user, bucket) + range post-filter, never quadratic): per event,
     // count/sum of the same user's OTHER events in the preceding hour.
+    // ts is µs-truncated BEFORE the range compare so the window edges
+    // agree with the oracle's µs-resolution timestamps.
     "q243_range_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (idiv(col("ts"), 1000L) * 1000L).as("ts"), col("value"))
       graft.ops.AsOf.rangeJoin(ev,
           ev.withColumnRenamed("event_id", "eid"), Seq("user_id"),
           "ts", "ts", before = 3600L * 1000000000L, after = 0L, rightPrefix = "r_")
