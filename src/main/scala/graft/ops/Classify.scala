@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed text classification for corpus curation — the
+  * quality-classifier stage every large-scale pretraining pipeline
+  * runs between crawl and training set (CCNet/GPT-3-style "does this
+  * look like the reference domain" scoring).
+  *
+  * The model is multinomial Naive Bayes over hashed unigram features:
+  * the fastText-style linear classifier reduced to its counting core,
+  * which makes both phases pure relational algebra —
+  *
+  *  - TRAINING is one groupBy pass over the labeled grams
+  *    (class × bucket counts + class totals + class priors); the
+  *    fitted model is a dense (class × bucket) grid small enough to
+  *    broadcast (classes × buckets rows).
+  *  - SCORING is explode → broadcast-join the model → per-(doc, class)
+  *    sum → per-doc argmax. One shuffle keyed by doc.
+  *
+  * Determinism contract (the oracle-parity rules of [[Corpus]]):
+  * log-probabilities are quantized to integer micro-nats BEFORE any
+  * sum, so scores are exact integers — order-independent at any
+  * partitioning — and the argmax tie-breaks to the lexicographically
+  * greatest class in every engine (max(struct) here ==
+  * row_number OVER (ORDER BY score DESC, class DESC) in SQL).
+  */
+object Classify {
+
+  /** Train on `train` (textCol labeled by labelCol), score `test`:
+    * one row per test doc with the argmax class and its total
+    * log-probability. Laplace-smoothed: an unseen (class, bucket)
+    * pair contributes ln(1/(tot_c + buckets)).
+    */
+  def naiveBayes(train: DataFrame, test: DataFrame, textCol: String,
+                 labelCol: String, idCol: String,
+                 buckets: Int = 256): DataFrame = {
+    def bucket(g: Column) = pmod(Dedup.h60(g), lit(buckets.toLong))
+    val tg = train.select(col(labelCol).as("cls"),
+        explode(Dedup.shingles(col(textCol), 1)).as("g"))
+      .select(col("cls"), bucket(col("g")).as("b"))
+    val cnt = tg.groupBy("cls", "b").agg(count(lit(1)).as("c"))
+    val totc = tg.groupBy("cls").agg(count(lit(1)).as("tot"))
+    // dense (class × bucket) grid: missing pairs take the Laplace floor
+    val grid = train.sparkSession.range(buckets).select(col("id").as("b"))
+      .crossJoin(totc)
+      .join(cnt, Seq("cls", "b"), "left").na.fill(0L, Seq("c"))
+      .select(col("cls"), col("b"),
+        floor((log(col("c") + 1.0) - log(col("tot") + buckets.toDouble))
+          * 1000000.0 + 0.5).cast("long").as("lp_q"))
+    val ndoc = train.agg(count(lit(1)).as("n"))
+    val priorQ = train.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(ndoc))
+      .select(col("cls"),
+        floor((log(col("nd").cast("double")) - log(col("n").cast("double")))
+          * 1000000.0 + 0.5).cast("long").as("prior_q"))
+    val sg = test.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), 1)).as("g"))
+      .select(col(idCol), bucket(col("g")).as("b"))
+    val scores = sg.join(broadcast(grid), "b")
+      .groupBy(col(idCol), col("cls")).agg(sum(col("lp_q")).as("ll_q"))
+      .join(broadcast(priorQ), "cls")
+      .select(col(idCol), col("cls"),
+        (col("ll_q") + col("prior_q")).as("score_q"))
+    scores.groupBy(col(idCol))
+      .agg(max(struct(col("score_q"), col("cls"))).as("t"))
+      .select(col(idCol), col("t.cls").as("predicted"),
+        round(col("t.score_q") / 1000000.0, 6).as("log_prob"))
+  }
+}

@@ -163,6 +163,61 @@ object Corpus {
       .drop("__cum", "__off")
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every raw document by how target-like its
+    * hashed n-gram profile is. Features are word unigrams + bigrams
+    * hashed into `buckets` slots; per-bucket Laplace-smoothed unigram
+    * models are fit for the target and raw corpora, and a document's
+    * log importance weight is the sum of per-gram log-likelihood
+    * ratios log p_target(b) − log p_raw(b).
+    *
+    * Scale shape: two count aggregates (target grams, raw grams), a
+    * ≤`buckets`-row log-ratio table broadcast against the raw gram
+    * stream, one per-doc sum — nothing quadratic, nothing driver-side.
+    * Per-gram ratios are quantized to integer micro-nats BEFORE the
+    * per-doc sum, so the sum is order-independent (exact at any
+    * partitioning) and re-derivable by any engine from the same md5
+    * bucket arithmetic.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, buckets: Int = 1024): DataFrame = {
+    def grams(c: Column) = concat(Dedup.shingles(c, 1), Dedup.shingles(c, 2))
+    def bucket(g: Column) = pmod(Dedup.h60(g), lit(buckets.toLong))
+    val rb = raw.select(col(idCol), explode(grams(col(textCol))).as("g"))
+      .select(col(idCol), bucket(col("g")).as("b"))
+    val tb = target.select(explode(grams(col(textCol))).as("g"))
+      .select(bucket(col("g")).as("b"))
+    val rc = rb.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tc = tb.groupBy("b").agg(count(lit(1)).as("tc"))
+    val totals = rc.agg(sum(col("rc")).as("rt"))
+      .crossJoin(tc.agg(sum(col("tc")).as("tt")))
+    // Every raw gram's bucket has rc >= 1 by construction, so the raw
+    // count table is the grid; target-absent buckets take the Laplace
+    // floor ln(1/(tt+B)) via the fill-0.
+    val lr = rc.join(tc, Seq("b"), "left").na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor((log(col("tc") + 1.0) - log(col("tt") + buckets.toDouble)
+          - log(col("rc") + 1.0) + log(col("rt") + buckets.toDouble))
+          * 1000000.0 + 0.5).cast("long").as("lr_q"))
+    rb.join(broadcast(lr), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr_q")).as("wq"))
+  }
+
+  /** [[dsirWeights]] + the deterministic selection step: the k most
+    * target-like documents (ties to the smaller id). Spark plans the
+    * sort+limit as a distributed TakeOrdered — no global sort, no
+    * single-partition window.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, textCol: String,
+                 idCol: String, k: Int, buckets: Int = 1024): DataFrame =
+    dsirWeights(raw, target, textCol, idCol, buckets)
+      .orderBy(col("wq").desc, col(idCol))
+      .limit(k)
+      .withColumn("log_weight", round(col("wq") / 1000000.0, 6))
+      .drop("wq")
+
   /** Deterministic hash-based stratified sampling: keep a row iff its
     * id hashes under the stratum's fraction — reproducible across runs,
     * engines, and partitionings (no RNG, no seed plumbing), the

@@ -164,6 +164,50 @@ object Dedup {
         round(col("cos"), 6).cast("float").as("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space with a coarse k-means quantizer, then look for
+    * near-duplicate pairs ONLY within each cluster — the cluster
+    * partition bounds the pairwise work the way LSH buckets do in
+    * [[embeddingNearDup]], but with data-adaptive cells, which is what
+    * makes it catch *semantic* duplicates that hash to different LSH
+    * buckets. `centroids` comes from one distributed
+    * [[graft.functions.MlAggregators.kmeansFit]] pass (the driver
+    * fetches only the model, same as the IVF/PQ fits).
+    *
+    * 100 TB shape: cell assignment is one map pass against broadcast
+    * centroids; the self-join is keyed by cell, so pair fan-out per
+    * cell is (cell population)² — grow k with corpus size to keep cell
+    * occupancy constant, exactly the [[embeddingNearDup]] bits-vs-n
+    * contract. Assignment ties break to the first (lowest-index)
+    * maximal-cosine centroid in every engine.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, centroids: Seq[Seq[Double]],
+                    minCos: Double): DataFrame = {
+    import graft.ops.Similarity.{dot, norm}
+    val v = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .withColumn("n", norm(col("e")))
+    val cellScores = array(centroids.map { s =>
+      val sNorm = math.sqrt(s.map(x => x * x).sum)
+      aggregate(zip_with(col("e"), typedLit(s), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col("n") * sNorm)
+    }: _*)
+    val assigned = v.withColumn("scores", cellScores)
+      .withColumn("cell",
+        array_position(col("scores"), array_max(col("scores"))).cast("int"))
+      .drop("scores")
+    assigned.toDF("doc_a", "ea", "na", "cell")
+      .join(assigned.toDF("doc_b", "eb", "nb", "cell"), Seq("cell"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .where(col("cos") >= minCos)
+      .select(col("cell"), col("doc_a"), col("doc_b"),
+        least(col("doc_a"), col("doc_b")).as("keeper_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Exact n-gram Jaccard scored over MinHash-LSH candidate pairs
     * ([[minhashPairs]]): |A∩B| / |A∪B| on distinct shingle sets, but
     * only for pairs that collide in some signature band — the shingle
