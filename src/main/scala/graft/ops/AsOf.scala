@@ -25,6 +25,12 @@ object AsOf {
     * the exact same time the GREATEST `tieBreak` value wins, so results
     * are deterministic under any partitioning.
     *
+    * The back-fill carries ONE struct of all right value columns, not
+    * one window per column: every right_* output column comes from the
+    * same (latest) right row, so a NULL inside that row stays NULL
+    * instead of being back-filled from an older row — the DuckDB
+    * ASOF JOIN row semantics, never chimera rows.
+    *
     * Right's non-key columns are emitted prefixed with `rightPrefix`.
     */
   def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
@@ -33,27 +39,27 @@ object AsOf {
                    tieBreak: Option[String] = None): DataFrame = {
     val lVals = left.columns.filterNot(keys.contains).toSeq
     val rVals = right.columns.filterNot(keys.contains).toSeq
-    val rOut = rVals.map(rightPrefix + _)
     val tie = tieBreak.getOrElse(rightTime)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rVals.map(c => right.schema(c).copy(name = c)))
     val l2 = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
         lit(null).cast(right.schema(tie).dataType).as("__tie")) ++
-        lVals.map(col) ++
-        rVals.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(rightPrefix + c)): _*)
+        lVals.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val r2 = right.select(
       keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
         col(tie).as("__tie")) ++
-        lVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rVals.map(c => col(c).as(rightPrefix + c)): _*)
+        lVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rVals.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rOut.foldLeft(l2.unionByName(r2)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__side") === 1)
-      .select(keys.map(col) ++ lVals.map(col) ++ rOut.map(col): _*)
+    l2.unionByName(r2)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(keys.map(col) ++ lVals.map(col) ++
+        rVals.map(c => col("__r").getField(c).as(rightPrefix + c)): _*)
   }
 
   /** Bounded range join: all (left, right) pairs with equal keys and

@@ -54,11 +54,15 @@ object Multimodal {
                            pixelSum: Long, features: Array[Float])
 
   /** Real JDK image decode. Returns None when the payload is not a
-    * format `javax.imageio` understands (the caller falls back to the
-    * stub) — mirrors the reference's decode-or-skip batch contract.
+    * format `javax.imageio` understands OR a claimed reader fails on it
+    * (truncated/corrupt bytes throw IOException/CMMException out of
+    * ImageIO.read — at corpus scale some payloads ARE broken, and one
+    * bad row must not kill the whole mapPartitions batch): either way
+    * the caller falls back to the stub — the reference's decode-or-skip
+    * batch contract.
     */
   object ImageDecoder {
-    def decode(payload: Array[Byte]): Option[Decoded] =
+    def decode(payload: Array[Byte]): Option[Decoded] = try {
       Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
@@ -82,6 +86,7 @@ object Multimodal {
           if (winCounts(i) == 0) 0f else winSums(i).toFloat / winCounts(i)).toArray
         Decoded(w, h, w.toLong * h, sum, feats)
       }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Deterministic synthetic grayscale PNG — the gate's image generator.

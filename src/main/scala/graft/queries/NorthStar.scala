@@ -225,7 +225,14 @@ object NorthStar {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(qn).orderBy("content_hash")
+      // The complete-mode sink already holds the full result in driver
+      // memory; lift it out and DROP the temp view so repeated runs in a
+      // long-lived session (bench loops) don't accumulate pinned result
+      // sets, one per invocation.
+      val out = s.table(qn).orderBy("content_hash")
+      val rows = out.collect()
+      s.catalog.dropTempView(qn)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
     // GPT-style sequence packing: concatenated token stream in

@@ -32,17 +32,25 @@ object Q {
     * partitions and an unconditional repartition would be a gratuitous
     * full shuffle of the fact table — so this is a no-op there.
     *
-    * The narrowness signal is STATIC — the source file's on-disk size vs
+    * The narrowness signal is STATIC — the source's on-disk size vs
     * `spark.sql.files.maxPartitionBytes` (exactly how FilePartition
     * packing decides the scan's parallelism) — instead of
     * `df.rdd.getNumPartitions`, which would force an eager physical
     * planning of the frame (plan built twice per query) and sidestep
-    * AQE. An unstat-able path (object stores, globs) reports 0 bytes
-    * and conservatively leaves the frame alone.
+    * AQE. A directory-layout dataset (the normal large-data shape) is
+    * sized by summing its direct child files — a dirent stat would
+    * report ~4 KB and misclassify an arbitrarily large scan as narrow.
+    * An unstat-able path (object stores, globs) reports 0 bytes and
+    * conservatively leaves the frame alone.
     */
   def spreadIfNarrow(s: SparkSession, df: DataFrame, sourcePath: String): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
-    val bytes = new java.io.File(sourcePath).length
+    val f = new java.io.File(sourcePath)
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.iterator.filter(_.isFile).map(_.length).sum)
+          .getOrElse(0L)
+      else f.length
     val maxPartBytes = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val scanPartitions = math.max(1L, (bytes + maxPartBytes - 1) / maxPartBytes)
@@ -54,16 +62,29 @@ object Q {
     * (withColumn chains re-resolve the growing plan) was being re-paid
     * on every query build — pure driver CPU, identical frame every time.
     * DataFrames are immutable, so handing the same instance to every
-    * query in a session is semantics-free. Keyed weakly by the session:
-    * nothing outlives it.
+    * query in a session is semantics-free.
+    *
+    * Entries are SoftReferences keyed by (applicationId, dir, key) —
+    * NOT a WeakHashMap keyed by the session: a cached DataFrame
+    * strongly references its SparkSession (values referencing keys),
+    * so that map could never evict and every retired session's plans
+    * would leak in a long-lived process. Soft values let the GC drop
+    * plans under memory pressure, and a hit is only served back to the
+    * very session that built it (a new session re-analyzes — which is
+    * all the memo ever saved).
     */
-  private val dfCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
-  def memoDf(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    dfCache.computeIfAbsent(s,
-        _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate((dir, key), build)
+  private val dfCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), java.lang.ref.SoftReference[DataFrame]]()
+  def memoDf(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    val k = (s.sparkContext.applicationId, dir, key)
+    Option(dfCache.get(k)).flatMap(r => Option(r.get))
+      .filter(_.sparkSession eq s)
+      .getOrElse {
+        val df = build
+        dfCache.put(k, new java.lang.ref.SoftReference(df))
+        df
+      }
+  }
 
   /** The fixture's "now" anchor — max event ts ceiled to the next µs —
     * computed ONCE per (SparkContext, dataset) and memoized: without the

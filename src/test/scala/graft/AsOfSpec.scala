@@ -31,6 +31,18 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == "hi")
   }
 
+  test("joinBackward preserves the latest right row's genuine NULLs (no chimera rows)") {
+    // The latest preceding right row (t=200) has v=null, u=20: v must
+    // stay null — NOT back-fill from the older (t=100, v="a") row, which
+    // would mix columns from two different right rows.
+    val left = Seq((1L, 250L)).toDF("k", "t")
+    val right = Seq((1L, 100L, Some("a"), 10L), (1L, 200L, None, 20L))
+      .toDF("k", "t", "v", "u")
+    val got = AsOf.joinBackward(left, right, Seq("k"), "t", "t")
+      .select("right_v", "right_u").as[(Option[String], Long)].head()
+    assert(got == (None, 20L))
+  }
+
   test("rangeJoin matches a brute-force non-equi join exactly") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 300).map(i =>
