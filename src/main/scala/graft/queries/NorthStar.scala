@@ -209,6 +209,27 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights (Xie et al., NeurIPS 2023): how
+    // target-like each raw doc's hashed unigram+bigram profile is,
+    // scored against the src0 "target domain" slice. Micro-nat
+    // quantized log-ratios -> exact integer sums, engine-independent.
+    "q249_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirWeights(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 1024)
+        .withColumn("log_weight", round(col("wq") / 1000000.0, 6))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR selection: the 50 most target-like docs (ties to the smaller
+    // id), planned as a distributed TakeOrdered — no global sort.
+    "q250_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirSelect(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 50, 1024)
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup ON THE STREAM: ingest-time duplicate collapse as a
     // streaming stateful aggregation (complete mode, AvailableNow
     // replay) — must produce exactly the batch q24 answer. The state
@@ -469,6 +490,35 @@ object NorthStar {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DSIR oracle CTEs: re-derive the micro-nat log-ratio table from the
+    * same md5 bucket arithmetic as [[Corpus.dsirWeights]] — unigram +
+    * bigram grams, 1024 hash buckets, Laplace-smoothed ln-ratios
+    * quantized to integer micro-nats before the per-doc sum (the sum is
+    * then exact, so it hash-matches at any partitioning).
+    */
+  private val dsirCtes: String = {
+    val sh1 = Dedup.shinglesSql("text", 1)
+    val sh2 = Dedup.shinglesSql("text", 2)
+    val B = 1024
+    s"""rg AS (SELECT doc_id, unnest(list_concat($sh1, $sh2)) AS g
+       |  FROM documents WHERE source <> 'src0'),
+       |rb AS (SELECT doc_id, (${Dedup.h60Sql("g")}) % $B AS b FROM rg),
+       |tb AS (SELECT (${Dedup.h60Sql("g")}) % $B AS b FROM
+       |  (SELECT unnest(list_concat($sh1, $sh2)) AS g
+       |   FROM documents WHERE source = 'src0')),
+       |rcnt AS (SELECT b, count(*) AS rc FROM rb GROUP BY b),
+       |tcnt AS (SELECT b, count(*) AS tc FROM tb GROUP BY b),
+       |tot AS (SELECT (SELECT sum(rc) FROM rcnt) AS rt,
+       |               (SELECT sum(tc) FROM tcnt) AS tt),
+       |lr AS (SELECT rcnt.b,
+       |    CAST(floor((ln(coalesce(tc, 0) + 1.0) - ln(tt + ${B}.0)
+       |      - ln(rc + 1.0) + ln(rt + ${B}.0)) * 1000000.0 + 0.5) AS BIGINT)
+       |      AS lr_q
+       |  FROM rcnt LEFT JOIN tcnt USING(b), tot),
+       |dw AS (SELECT doc_id, count(*) AS n_grams, CAST(sum(lr_q) AS BIGINT) AS wq
+       |  FROM rb JOIN lr USING(b) GROUP BY doc_id)""".stripMargin
+  }
+
   private val contaminationOracle: String =
     s"""WITH ev AS (SELECT DISTINCT unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
        |  FROM documents WHERE source = 'src0'),
@@ -636,6 +686,16 @@ object NorthStar {
          |WHERE (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 10000 <
          |  CAST(floor(fr * 10000.0) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
+    "q249_dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_grams, wq, round(wq / 1000000.0, 6) AS log_weight
+         |FROM dw ORDER BY doc_id""".stripMargin,
+    "q250_dsir_select" ->
+      s"""WITH $dsirCtes,
+         |sel AS (SELECT doc_id, n_grams, wq FROM dw
+         |        ORDER BY wq DESC, doc_id LIMIT 50)
+         |SELECT doc_id, n_grams, round(wq / 1000000.0, 6) AS log_weight
+         |FROM sel ORDER BY doc_id""".stripMargin,
     "q245_streaming_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
         |count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,

@@ -87,6 +87,38 @@ class CorpusSpec extends AnyFunSuite {
       (3L, 11L, 1L, 2L), (4L, 23L, 2L, 2L)))
   }
 
+  test("dsirWeights scores target-like docs above off-domain ones") {
+    val target = Seq(
+      (100L, "quantum physics lecture notes on entanglement and superposition states"),
+      (101L, "quantum mechanics problem set on entanglement and measurement"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "quantum physics notes on entanglement and superposition"),
+      (2L, "cheap shoes sale buy discount sneakers online free shipping now"))
+      .toDF("doc_id", "text")
+    val w = Corpus.dsirWeights(raw, target, "text", "doc_id", 1024)
+      .select("doc_id", "wq").as[(Long, Long)].collect().toMap
+    assert(w(1L) > w(2L), s"in-domain ${w(1L)} must beat off-domain ${w(2L)}")
+  }
+
+  test("dsirSelect is exact-k, partitioning-invariant, and ranks the target-like doc first") {
+    // DSIR weights are ln p_target - ln p_raw: a gram COMMON in raw is
+    // penalized, so the in-domain doc must be the only one carrying the
+    // target vocabulary while noise docs share a different vocabulary.
+    val docs = (1L, "alpha beta gamma delta epsilon zeta") +:
+      (2L to 40L).map(i => (i, "noise filler words here only common text"))
+    val target = Seq((999L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val raw = docs.toDF("doc_id", "text")
+    val a = Corpus.dsirSelect(raw, target, "text", "doc_id", 10, 1024)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Corpus.dsirSelect(raw.repartition(7), target.repartition(3),
+        "text", "doc_id", 10, 1024)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a.size == 10 && a == b)
+    assert(a.head == 1L, s"target-like doc must rank first, got ${a.mkString(",")}")
+  }
+
   test("stratifiedSample is deterministic and tracks the requested fraction") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("doc_id", "bucket")
