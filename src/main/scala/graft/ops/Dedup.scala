@@ -205,7 +205,7 @@ object Dedup {
       .where(col("cos") >= minCos)
       .select(col("cell"), col("doc_a"), col("doc_b"),
         least(col("doc_a"), col("doc_b")).as("keeper_id"),
-        round(col("cos"), 6).as("cos"))
+        round(col("cos"), 6).cast("float").as("cos"))
   }
 
   /** Exact n-gram Jaccard scored over MinHash-LSH candidate pairs

@@ -110,6 +110,24 @@ object NorthStar {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pairs found ONLY
+    // within coarse k-means cells. The 8-cell quantizer is the same
+    // init-only kmeansFit contract as q76/q246 (canonical sorted picks,
+    // 1e-6-rounded), so the whole cell-assign -> within-cell pair ->
+    // cosine-verify pipeline re-derives exactly in SQL. Lloyd-refined
+    // centroids are the deployment knob (spec'd in NorthStarSpec), not
+    // a gate dependency.
+    "q251_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = emb.agg(graft.functions.MlAggregators.kmeansFit(
+          col("embedding").cast("array<double>"), 8, iters = 0).as("m"))
+        .head().getString(0)
+      val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+        .map(_.split(",").map(_.toDouble).toSeq).toSeq
+      Dedup.semanticDedup(emb, "vec_id", "embedding", 64, seeds, minCos = 0.2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Language-ID marker heuristic with deterministic tie-break.
     "q31_lang_id" -> ((s, dir) => {
       TextOps.langId(t(s, dir, "documents"), "text")
@@ -490,6 +508,39 @@ object NorthStar {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SemDeDup oracle: the q76 seeds/cell-assignment CTE prefix (the
+    * init-only kmeansFit canonical-pick contract, identical IEEE
+    * operation order) + within-cell pair generation + exact-cosine
+    * verification — the whole SemDeDup pipeline re-derived in SQL.
+    */
+  private val q251OracleSql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |cv AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
+      |       FROM (SELECT DISTINCT e FROM v) ORDER BY e LIMIT 128),
+      |ccount AS (SELECT count(*) AS c FROM cv),
+      |seeds AS (SELECT r.i + 1 AS sid,
+      |    list_transform(cv.e, x -> round_even(x * 1000000, 0) / 1000000) AS se
+      |  FROM range(8) r(i), ccount, cv WHERE cv.rn = (r.i * ccount.c) // 8 + 1),
+      |sn AS (SELECT sid, se, sqrt(list_sum(list_transform(se, x -> x * x))) AS snrm
+      |       FROM seeds),
+      |cs AS (SELECT n.vec_id, sid,
+      |    list_sum(list_transform(range(64), i -> n.e[i+1] * se[i+1])) / (n.nrm * snrm) AS c
+      |  FROM n, sn),
+      |cellof AS (SELECT vec_id, sid AS cell FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
+      |   FROM cs) WHERE rn = 1),
+      |p AS (SELECT a.cell, a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |s AS (SELECT cell, doc_a, doc_b,
+      |    list_sum(list_transform(range(64), i -> na.e[i+1] * nb.e[i+1]))
+      |      / (na.nrm * nb.nrm) AS cos
+      |  FROM p JOIN n na ON na.vec_id = doc_a JOIN n nb ON nb.vec_id = doc_b)
+      |SELECT CAST(cell AS INTEGER) AS cell, doc_a, doc_b,
+      |  least(doc_a, doc_b) AS keeper_id, CAST(round(cos, 6) AS REAL) AS cos
+      |FROM s WHERE cos >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+
   /** DSIR oracle CTEs: re-derive the micro-nat log-ratio table from the
     * same md5 bucket arithmetic as [[Corpus.dsirWeights]] — unigram +
     * bigram grams, 1024 hash buckets, Laplace-smoothed ln-ratios
@@ -536,6 +587,7 @@ object NorthStar {
 
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
+    "q251_semantic_dedup" -> q251OracleSql,
     "q30_ann_lsh" -> q30OracleSql,
     "q76_ann_ivf" -> q76OracleSql,
     "q81_dedup_pipeline" ->

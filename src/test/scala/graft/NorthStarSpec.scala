@@ -34,6 +34,34 @@ class NorthStarSpec extends AnyFunSuite {
     assert(hamming(sig(0), sig(2)) > 8)
   }
 
+  test("semanticDedup (Lloyd-refined cells) recalls true pairs and never emits a false one") {
+    // Deployment config: kmeansFit WITH Lloyd refinement (the gate's
+    // q251 pins the init-only contract; this spec covers the refined
+    // knob). Within-cell exact verify => precision is 1.0 by
+    // construction; recall is bounded by cross-cell pairs, which is the
+    // documented occupancy trade-off.
+    val e = emb
+    val model = e.agg(graft.functions.MlAggregators.kmeansFit(
+        col("embedding").cast("array<double>"), 4, iters = 5).as("m"))
+      .head().getString(0)
+    val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.toDouble).toSeq).toSeq
+    val sem = Dedup.semanticDedup(e, "vec_id", "embedding", 64, seeds, 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib && cos(va, vb) >= 0.2
+    } yield (ia, ib)).toSet
+    assert(sem.subsetOf(truth), "within-cell exact verify emitted a false pair")
+    assert(truth.nonEmpty && sem.size >= (truth.size * 0.3).toInt,
+      s"recall ${sem.size}/${truth.size} below floor")
+  }
+
   test("ngram jaccard is 1.0 for identical docs and skips unrelated ones") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"),
       (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
