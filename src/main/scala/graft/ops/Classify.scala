@@ -42,9 +42,12 @@ object Classify {
       .select(col("cls"), bucket(col("g")).as("b"))
     val cnt = tg.groupBy("cls", "b").agg(count(lit(1)).as("c"))
     val totc = tg.groupBy("cls").agg(count(lit(1)).as("tot"))
-    // dense (class × bucket) grid: missing pairs take the Laplace floor
+    // dense (class × bucket) grid: missing pairs take the Laplace floor.
+    // The grid is MODEL-sized (classes × buckets), never data-sized —
+    // totc is broadcast explicitly so the densification is a local
+    // product of two tiny inputs, not a shuffle.
     val grid = train.sparkSession.range(buckets).select(col("id").as("b"))
-      .crossJoin(totc)
+      .crossJoin(broadcast(totc))
       .join(cnt, Seq("cls", "b"), "left").na.fill(0L, Seq("c"))
       .select(col("cls"), col("b"),
         floor((log(col("c") + 1.0) - log(col("tot") + buckets.toDouble))

@@ -128,6 +128,20 @@ object NorthStar {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Naive-Bayes quality/domain classifier (the CCNet/GPT-3-style
+    // curation stage): train on the docs with doc_id % 5 != 0 (label =
+    // lang), score the held-out fifth. Micro-nat quantized
+    // log-probabilities -> exact integer scores, argmax ties to the
+    // lexicographically greatest class in both engines.
+    "q252_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Classify.naiveBayes(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "text", "lang", "doc_id", buckets = 256)
+        .orderBy("doc_id")
+    }),
+
     // Language-ID marker heuristic with deterministic tie-break.
     "q31_lang_id" -> ((s, dir) => {
       TextOps.langId(t(s, dir, "documents"), "text")
@@ -541,6 +555,42 @@ object NorthStar {
       |  least(doc_a, doc_b) AS keeper_id, CAST(round(cos, 6) AS REAL) AS cos
       |FROM s WHERE cos >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Naive-Bayes oracle: re-derives the Laplace-smoothed micro-nat
+    * (class × bucket) grid, per-doc class scores, and the argmax with
+    * the row_number tie-break from the same md5 bucket arithmetic as
+    * [[graft.ops.Classify.naiveBayes]].
+    */
+  private val q252OracleSql: String = {
+    val sh1 = Dedup.shinglesSql("text", 1)
+    val B = 256
+    s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+       |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |tg AS (SELECT cls, (${Dedup.h60Sql("g")}) % $B AS b FROM
+       |  (SELECT lang AS cls, unnest($sh1) AS g FROM tr)),
+       |cnt AS (SELECT cls, b, count(*) AS c FROM tg GROUP BY cls, b),
+       |totc AS (SELECT cls, count(*) AS tot FROM tg GROUP BY cls),
+       |grid AS (SELECT totc.cls, r.i AS b,
+       |    CAST(floor((ln(coalesce(c, 0) + 1.0) - ln(tot + ${B}.0))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+       |  FROM totc CROSS JOIN range($B) r(i)
+       |  LEFT JOIN cnt ON cnt.cls = totc.cls AND cnt.b = r.i),
+       |ndoc AS (SELECT count(*) AS n FROM tr),
+       |prior AS (SELECT lang AS cls,
+       |    CAST(floor((ln(CAST(count(*) AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS prior_q
+       |  FROM tr, ndoc GROUP BY lang, n),
+       |sg AS (SELECT doc_id, (${Dedup.h60Sql("g")}) % $B AS b FROM
+       |  (SELECT doc_id, unnest($sh1) AS g FROM te)),
+       |ll AS (SELECT doc_id, cls, CAST(sum(lp_q) AS BIGINT) AS ll_q
+       |  FROM sg JOIN grid USING(b) GROUP BY doc_id, cls),
+       |sc AS (SELECT doc_id, ll.cls, ll_q + prior_q AS score_q
+       |  FROM ll JOIN prior ON prior.cls = ll.cls)
+       |SELECT doc_id, cls AS predicted, round(score_q / 1000000.0, 6) AS log_prob
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score_q DESC, cls DESC) AS rn FROM sc)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** DSIR oracle CTEs: re-derive the micro-nat log-ratio table from the
     * same md5 bucket arithmetic as [[Corpus.dsirWeights]] — unigram +
     * bigram grams, 1024 hash buckets, Laplace-smoothed ln-ratios
@@ -588,6 +638,7 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
+    "q252_nb_classify" -> q252OracleSql,
     "q30_ann_lsh" -> q30OracleSql,
     "q76_ann_ivf" -> q76OracleSql,
     "q81_dedup_pipeline" ->
