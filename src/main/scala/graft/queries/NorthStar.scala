@@ -333,6 +333,42 @@ object NorthStar {
         .orderBy("source")
     }),
 
+    // The staged dedup pipeline WITH the semantic stage composed in:
+    // exact content-hash dedup -> MinHash-LSH candidates + exact-Jaccard
+    // verify (lexical near-dups) -> SemDeDup cells on the kept
+    // embeddings (semantic near-dups lexical hashing can't see) ->
+    // union the pair lists -> connected components -> keep each
+    // cluster's minimum -> per-source accounting. Every stage is keyed
+    // shuffles; the quantizer follows q251's init-only contract so the
+    // whole chain re-derives in SQL end-to-end.
+    "q253_dedup_semantic_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val kept = docs.join(keepers, "doc_id")
+      val lexPairs = Dedup
+        .ngramJaccard(kept, "text", "doc_id", NGRAM, K, BANDS, 0.8)
+        .select("doc_a", "doc_b")
+      val keptEmb = t(s, dir, "embeddings")
+        .join(keepers.select(col("doc_id").as("vec_id")), "vec_id")
+      val model = keptEmb.agg(graft.functions.MlAggregators.kmeansFit(
+          col("embedding").cast("array<double>"), 8, iters = 0).as("m"))
+        .head().getString(0)
+      val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+        .map(_.split(",").map(_.toDouble).toSeq).toSeq
+      val semPairs = Dedup
+        .semanticDedup(keptEmb, "vec_id", "embedding", 64, seeds, minCos = 0.35)
+        .select("doc_a", "doc_b")
+      val dropped = Dedup.connectedComponents(
+          lexPairs.unionByName(semPairs).distinct(), "doc_a", "doc_b")
+        .where(col("component") =!= col("doc_id")).select("doc_id")
+      kept.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_survivors"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
+    }),
+
     // Order-independent document set-fingerprint (XOR/sum of word hashes).
     "q34_fingerprint" -> ((s, dir) => {
       TextOps.fingerprint(t(s, dir, "documents"), "text", "doc_id")
@@ -864,6 +900,55 @@ object NorthStar {
          |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
          |reach AS (SELECT u AS a, v AS b FROM e
          |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+         |dropped AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a)
+         |SELECT source, count(*) AS n_survivors,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q253_dedup_semantic_pipeline" ->
+      s"""WITH RECURSIVE keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d2 AS (SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
+         |${sigCtes("d2")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM d2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT da, db FROM inter
+         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings JOIN keepers k2 ON vec_id = k2.doc_id),
+         |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+         |cv AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
+         |       FROM (SELECT DISTINCT e FROM v) ORDER BY e LIMIT 128),
+         |ccount AS (SELECT count(*) AS c FROM cv),
+         |seeds AS (SELECT r.i + 1 AS sid,
+         |    list_transform(cv.e, x -> round_even(x * 1000000, 0) / 1000000) AS se
+         |  FROM range(8) r(i), ccount, cv WHERE cv.rn = (r.i * ccount.c) // 8 + 1),
+         |sn AS (SELECT sid, se, sqrt(list_sum(list_transform(se, x -> x * x))) AS snrm
+         |       FROM seeds),
+         |cs AS (SELECT n.vec_id, sid,
+         |    list_sum(list_transform(range(64), i -> n.e[i+1] * se[i+1])) / (n.nrm * snrm) AS c
+         |  FROM n, sn),
+         |cellof AS (SELECT vec_id, sid AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
+         |   FROM cs) WHERE rn = 1),
+         |sp AS (SELECT a.vec_id AS da, b.vec_id AS db
+         |  FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |sem AS (SELECT da, db FROM sp
+         |  JOIN n na ON na.vec_id = da JOIN n nb ON nb.vec_id = db
+         |  WHERE list_sum(list_transform(range(64), i -> na.e[i+1] * nb.e[i+1]))
+         |    / (na.nrm * nb.nrm) >= 0.35),
+         |pairs AS (SELECT da, db FROM lex UNION SELECT da, db FROM sem),
+         |ed AS (SELECT da AS u, db AS w FROM pairs UNION SELECT db, da FROM pairs),
+         |reach AS (SELECT u AS a, w AS b FROM ed
+         |  UNION SELECT r.a, ed.w FROM reach r JOIN ed ON r.b = ed.u),
          |dropped AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a)
          |SELECT source, count(*) AS n_survivors,
          |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
