@@ -71,12 +71,22 @@ object Corpus {
     * the shuffle instead of being exchanged just to miss the join. The
     * bloom admits false positives but never false negatives, and the
     * exact join still runs — results are identical to [[contamination]]
-    * (the gate reuses its oracle).
+    * (the gate reuses its oracle) even when the filter is undersized;
+    * undersizing only costs prefilter selectivity.
+    *
+    * Sizing is SELF-ENFORCING: when the caller leaves `numBits` at the
+    * `autoBits` sentinel it derives as estimatedItems × 8 (the ~3%-FPR
+    * rule for BloomFilterAggregate's default hash count), so a larger
+    * eval corpus can't silently shrink the bits-per-item ratio to a
+    * useless filter. Passing numBits explicitly is the expert knob.
     */
+  val autoBits: Long = -1L
   def contaminationBloom(corpus: DataFrame, eval: DataFrame,
                          textCol: String, idCol: String, n: Int = 8,
                          estimatedItems: Long = 1000000L,
-                         numBits: Long = 8000000L): DataFrame = {
+                         bits: Long = autoBits): DataFrame = {
+    val numBits = if (bits == autoBits) math.max(64L, estimatedItems * 8L)
+                  else bits
     val evalGrams = eval
       .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
       .distinct()

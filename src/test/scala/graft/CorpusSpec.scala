@@ -87,6 +87,23 @@ class CorpusSpec extends AnyFunSuite {
       (3L, 11L, 1L, 2L), (4L, 23L, 2L, 2L)))
   }
 
+  test("a deliberately undersized bloom filter still returns exact results") {
+    // the bloom is only a prefilter: false positives survive to the
+    // exact join and die there, so even a saturated 64-bit filter
+    // (every probe positive) must reproduce the exact answer
+    val leaked = "what is the capital of france the capital of france is paris"
+    val corpus = Seq((1L, leaked),
+      (2L, "totally unrelated words in this training document nothing shared whatsoever today"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, leaked)).toDF("doc_id", "text")
+    val exact = Corpus.contamination(corpus, eval, "text", "doc_id", 8)
+      .orderBy("doc_id").collect().toSeq
+    val tiny = Corpus.contaminationBloom(corpus, eval, "text", "doc_id", 8,
+        estimatedItems = 4L, bits = 64L)
+      .orderBy("doc_id").collect().toSeq
+    assert(tiny == exact)
+  }
+
   test("dsirWeights scores target-like docs above off-domain ones") {
     val target = Seq(
       (100L, "quantum physics lecture notes on entanglement and superposition states"),
