@@ -46,23 +46,25 @@ object Bench {
     val first = sorted.map { case (name, fn) => name -> time1(name, fn) }
     // Contention guard: a loaded host can inflate individual queries 3-7x
     // (observed on shared driver runs). Re-measure the outliers — first
-    // run > max(2s, 3x the median) — and keep the better of the two, so a
-    // single-shot run reports times within noise of an idle box while the
-    // total re-run budget stays bounded by the outlier count. The policy
-    // is asymmetric by design (fast queries are single-shot); every
-    // re-measurement is DISCLOSED in `remeasured` (name -> [first,
-    // second]) so downstream comparisons can detect the substitution.
+    // run > max(2s, 3x the median) — TWICE more and keep the MEDIAN of
+    // the three samples: min-of-2 biased the outliers low, median-of-3
+    // is robust to one slow AND one lucky sample. Fast queries stay
+    // single-shot so the re-run budget is bounded by the outlier count;
+    // every re-measurement is DISCLOSED in `remeasured` (name ->
+    // [first, second, third]) so downstream comparisons can detect the
+    // substitution.
     val med = {
       val ts = first.map(_._2).sorted
       if (ts.isEmpty) 0.0 else ts(ts.length / 2)
     }
     val threshold = math.max(2.0, 3 * med)
-    val remeasured = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val remeasured = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = first.map { case (name, t) =>
       if (t > threshold && !failed.contains(name)) {
         val t2 = time1(name, SparkEntry.queries(name))
-        remeasured(name) = (t, t2)
-        name -> math.min(t, t2)
+        val t3 = time1(name, SparkEntry.queries(name))
+        remeasured(name) = Seq(t, t2, t3)
+        name -> Seq(t, t2, t3).sorted.apply(1)
       } else name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -72,7 +74,7 @@ object Bench {
     // here so bench-series comparisons can exclude them.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val remeasuredJson = remeasured
-      .map { case (k, (a, b)) => s"\"" + k + "\":[" + a + "," + b + "]" }
+      .map { case (k, ts) => s"\"" + k + "\":[" + ts.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"remeasured":$remeasuredJson,"sf":"$sfDir"}"""
