@@ -253,31 +253,38 @@ object Dedup {
     * Returns (doc_id, component) for every node of `pairs`, where
     * component is the minimum id in the node's component.
     */
+  /** One large-/small-star step of [[connectedComponents]] (Kiveris et
+    * al.). Exposed package-private so PlanSpec can pin the per-round
+    * plan contract: only keyed exchanges (groupBy(u) min + join-back +
+    * distinct), never a cartesian or data-sized nested-loop join.
+    * Large-star: every node links its LARGER neighbors to its minimum
+    * (keeps big stars shallow); small-star: links its smaller-or-self
+    * chain to the minimum. Emitted edges are (child, candidate-root).
+    */
+  private[graft] def ccStar(e: DataFrame, large: Boolean): DataFrame = {
+    val nbrs =
+      if (large)
+        e.select(col("u"), col("v"))
+          .union(e.select(col("v").as("u"), col("u").as("v")))
+      else
+        e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+    val m = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    val emitted =
+      if (large)
+        nbrs.where(col("v") > col("u"))
+          .join(m, "u").select(col("v").as("u"), col("m").as("v"))
+      else
+        nbrs.join(m, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(m.select(col("u"), col("m").as("v")))
+    emitted.where(col("u") =!= col("v")).distinct()
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    // Large-star: every node links its LARGER neighbors to its minimum
-    // (keeps big stars shallow); small-star: links its smaller-or-self
-    // chain to the minimum. Emitted edges are (child, candidate-root).
-    def star(e: DataFrame, large: Boolean): DataFrame = {
-      val nbrs =
-        if (large)
-          e.select(col("u"), col("v"))
-            .union(e.select(col("v").as("u"), col("u").as("v")))
-        else
-          e.select(greatest(col("u"), col("v")).as("u"),
-            least(col("u"), col("v")).as("v"))
-      val m = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val emitted =
-        if (large)
-          nbrs.where(col("v") > col("u"))
-            .join(m, "u").select(col("v").as("u"), col("m").as("v"))
-        else
-          nbrs.join(m, "u")
-            .select(col("v").as("u"), col("m").as("v"))
-            .union(m.select(col("u"), col("m").as("v")))
-      emitted.where(col("u") =!= col("v")).distinct()
-    }
+    def star(e: DataFrame, large: Boolean): DataFrame = ccStar(e, large)
     var e = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))

@@ -151,6 +151,59 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan(passthrough).contains("Exchange"), plan(passthrough).take(1000))
   }
 
+  test("as-of join is union + one keyed window: NO join operator at all") {
+    val ev = graft.core.Tables(spark, dir, "events")
+    val left = ev.select(col("user_id"), col("ts"), col("value"))
+    val right = ev.select(col("user_id"), col("ts"), col("event_type"))
+    val p = plan(graft.ops.AsOf.joinBackward(
+      left, right, Seq("user_id"), "ts", "ts"))
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(j), s"unexpected $j in as-of plan:\n${p.take(2000)}")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected exactly 1 keyed exchange, got $keyed:\n${p.take(2000)}")
+  }
+
+  test("packSequences: the only single-partition exchange is the O(#groups) offsets frame") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val p = plan(graft.ops.Corpus.packSequences(docs, "doc_id", "n_tok",
+      "source", 512L))
+    val sp = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(sp == 1,
+      s"expected exactly 1 SinglePartition exchange (group offsets), got $sp:\n${p.take(3000)}")
+    // the corpus-wide cumsum stays partitioned; offsets broadcast back
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("contaminationBloom probes the bloom MAP-SIDE, below the exact join") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val df = graft.ops.Corpus.contaminationBloom(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "text", "doc_id", 8)
+    val p = plan(df)
+    val filterLine = p.linesIterator.toSeq
+      .exists(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(filterLine, s"no map-side bloom Filter in plan:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("connected-components star step: keyed exchanges only, no quadratic joins") {
+    val edges = graft.core.Tables(spark, dir, "documents")
+      .select((col("doc_id") % 50).as("u"), (col("doc_id") % 97).as("v"))
+      .where(col("u") =!= col("v"))
+    for (large <- Seq(true, false)) {
+      val p = plan(graft.ops.Dedup.ccStar(edges, large))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"quadratic join in star(large=$large):\n${p.take(2000)}")
+      val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(keyed <= 4,
+        s"star(large=$large) grew to $keyed keyed exchanges:\n${p.take(3000)}")
+    }
+  }
+
   test("groupbyAgg with no aggregates is distinct groups (empty-agg guard)") {
     val t = PxTable(graft.core.Tables(spark, dir, "events"))
     val got = t.groupbyAgg(Seq("event_type")).df.orderBy("event_type").collect()
