@@ -58,22 +58,23 @@ object MlScalars {
 
   /** _text_embedding (ml_ops.cc TransformerUDF ->
     * exec/ml/transformer_executor.h). The reference runs an embedded
-    * ONNX transformer we cannot ship; this dispatches between two
-    * self-contained implementations on SPARK_GRAFT_EMBEDDING:
-    *   - default: the deterministic per-dimension md5 STUB
-    *     (oracle-reproducible in any engine — the gate setting);
-    *   - "hashed": the hashing-trick bag-of-words embedding (real
-    *     lexical signal: token buckets + signs, L2-normalized) — still
-    *     model-free and deterministic, the setting for pipelines that
-    *     want usable near-dup/similarity behavior without a model.
+    * ONNX transformer we cannot ship; this dispatches on
+    * SPARK_GRAFT_EMBEDDING:
+    *   - default ("hashed"): the hashing-trick bag-of-words embedding —
+    *     real lexical signal (token buckets + signs, L2-normalized),
+    *     model-free, deterministic, and oracle-reproducible in any
+    *     engine (the gate setting since r7; previously the md5 stub).
+    *   - "stub": the legacy per-dimension md5 stub, kept only as an
+    *     explicit opt-in for comparing against r5/r6-era outputs.
     * An ONNX-session implementation drops in as a third branch where a
-    * model runtime is available.
+    * model runtime is available (resolution re-attempted and still
+    * impossible in this offline build env as of round 7 — see README).
     */
   def textEmbedding(text: Column, dim: Int,
                     mode: Option[String] = sys.env.get("SPARK_GRAFT_EMBEDDING"))
       : Column =
     mode match {
-      case Some("hashed") => textEmbeddingHashed(text, dim)
+      case Some("stub") => textEmbeddingStub(text, dim)
       case Some("onnx") =>
         // The named drop-in point: an onnxruntime session per executor
         // (mapInPandas/mapPartitions batching, model path from
@@ -84,10 +85,10 @@ object MlScalars {
           "SPARK_GRAFT_EMBEDDING=onnx: no ONNX runtime on the classpath — " +
             "add onnxruntime, set SPARK_GRAFT_ONNX_MODEL, and implement " +
             "textEmbeddingOnnx behind this dispatch")
-      case _ => textEmbeddingStub(text, dim)
+      case _ => textEmbeddingHashed(text, dim)
     }
 
-  /** The per-dimension md5 feature stub (see [[textEmbedding]]). */
+  /** The legacy per-dimension md5 feature stub (see [[textEmbedding]]). */
   def textEmbeddingStub(text: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => h1(concat(text, lit("#"), i)))

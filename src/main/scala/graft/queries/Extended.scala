@@ -321,6 +321,18 @@ object Extended {
   private def h60(x: String) = s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
   private def h1Sql(x: String) = s"((${h60(x)}) % 2000001 - 1000000) / 1000000.0"
 
+  /** Hashing-trick embedding component i of the single-token q54 input
+    * 'vecN' at dim=4: the token's one ±1 lands in bucket h%4 with sign
+    * by h%2, the L2 norm of a one-hot ±1 vector is exactly 1 — so
+    * component i is ±1 when i is the bucket, else 0 (MlScalars
+    * .textEmbeddingHashed re-derived for a single token).
+    */
+  private def hashedESql(i: Int): String = {
+    val h = h60("'vec' || vec_id")
+    s"CASE WHEN ($h) % 4 = $i THEN " +
+      s"(CASE WHEN ($h) % 2 = 0 THEN 1.0 ELSE -1.0 END) ELSE 0.0 END"
+  }
+
   val oracles: Map[String, String] = Map(
     "q242_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
@@ -385,8 +397,8 @@ object Extended {
          |  CASE WHEN vec_id % 3 = 0 THEN '/healthz'
          |       WHEN vec_id % 3 = 1 THEN '/api/v1/users/*/posts/*'
          |       ELSE NULL END AS endpoint,
-         |  ${h1Sql("'vec' || vec_id || '#0'")} AS e0,
-         |  ${h1Sql("'vec' || vec_id || '#3'")} AS e3,
+         |  ${hashedESql(0)} AS e0,
+         |  ${hashedESql(3)} AS e3,
          |  to_json(flatten(list_transform(
          |    list_filter(string_split('hello worldwide w' || vec_id, ' '), w -> len(w) > 0),
          |    w -> list_filter(string_split(

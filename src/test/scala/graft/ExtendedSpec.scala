@@ -78,11 +78,11 @@ class ExtendedSpec extends AnyFunSuite {
     assert(asid == 0xFFFFFFFFL)
   }
 
-  test("text_embedding stub: deterministic, bounded, dim-sized") {
+  test("text_embedding default: deterministic, bounded, dim-sized") {
     val e = Seq(1).toDF("x")
       .select(MlScalars.textEmbedding(lit("doc"), 8)).as[Seq[Double]].head()
     assert(e.length == 8)
-    assert(e.forall(v => v >= -1.0 && v < 1.0))
+    assert(e.forall(v => v >= -1.0 && v <= 1.0))
     val e2 = Seq(1).toDF("x")
       .select(MlScalars.textEmbedding(lit("doc"), 8)).as[Seq[Double]].head()
     assert(e == e2)
@@ -105,12 +105,13 @@ class ExtendedSpec extends AnyFunSuite {
     assert(cos(a, d) > cos(a, c))
     // empty text: zero vector, no NaNs from the normalize guard
     assert(emb("").forall(_ == 0.0))
-    // the default (no env var) dispatch resolves to the stub
+    // the default (no env var) dispatch resolves to the hashed mode —
+    // the one honest model-free embedding (r7; the md5 stub is opt-in)
     val viaDispatch = Seq(1).toDF("x")
       .select(MlScalars.textEmbedding(lit("doc"), 8)).as[Seq[Double]].head()
-    val stub = Seq(1).toDF("x")
-      .select(MlScalars.textEmbeddingStub(lit("doc"), 8)).as[Seq[Double]].head()
-    assert(viaDispatch == stub)
+    val hashed = Seq(1).toDF("x")
+      .select(MlScalars.textEmbeddingHashed(lit("doc"), 8)).as[Seq[Double]].head()
+    assert(viaDispatch == hashed)
   }
 
   test("hashed embedding one-token-pass == per-dimension formulation, bit-exact") {
@@ -145,6 +146,8 @@ class ExtendedSpec extends AnyFunSuite {
     assert(head(MlScalars.textEmbedding(lit("a b"), 8, Some("hashed"))) ==
       head(MlScalars.textEmbeddingHashed(lit("a b"), 8)))
     assert(head(MlScalars.textEmbedding(lit("a b"), 8, None)) ==
+      head(MlScalars.textEmbeddingHashed(lit("a b"), 8)))
+    assert(head(MlScalars.textEmbedding(lit("a b"), 8, Some("stub"))) ==
       head(MlScalars.textEmbeddingStub(lit("a b"), 8)))
     // onnx must not silently fall back to a stub embedding
     val ex = intercept[IllegalStateException] {

@@ -79,4 +79,43 @@ class ScaleProbeSpec extends AnyFunSuite {
       println(f"SCALEPROBE q61_embed_neardup sf1(bits=7) ${(System.nanoTime() - t0) / 1e9}%.2f s")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: semanticDedup occupancy contract and naiveBayes model scaling") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // SemDeDup's cell partition bounds pairwise work like q61's LSH
+      // buckets: k must grow with n to hold occupancy constant. Probe
+      // both the gate's k=8 (10x occupancy -> ~100x pair volume, the
+      // documented blowup) and k=80 (constant occupancy, the scale
+      // config a 10x corpus deploys).
+      for ((dir, label, k) <- Seq((src, "sf0.1", 8), (dst, "sf1", 8),
+          (dst, "sf1(k=80)", 80))) {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        val model = emb.agg(graft.functions.MlAggregators.kmeansFit(
+            col("embedding").cast("array<double>"), k, iters = 0).as("m"))
+          .head().getString(0)
+        val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+          .map(_.split(",").map(_.toDouble).toSeq).toSeq
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.semanticDedup(emb, "vec_id", "embedding", 64,
+            seeds, minCos = 0.35)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE semantic_dedup $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // naiveBayes: the model stays (classes x buckets) regardless of
+      // corpus size — scoring must scale with the gram stream only.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.Classify.naiveBayes(
+            docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+            "text", "lang", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE nb_classify $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
