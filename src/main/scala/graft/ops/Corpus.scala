@@ -228,6 +228,59 @@ object Corpus {
       .withColumn("log_weight", round(col("wq") / 1000000.0, 6))
       .drop("wq")
 
+  /** CCNet-style LM fluency scoring (Wenzek et al. 2020 — the KenLM
+    * perplexity filter between crawl and training set), reduced to its
+    * counting core the way [[graft.ops.Classify.naiveBayes]] reduces
+    * fastText: a Laplace-smoothed BIGRAM language model over hashed
+    * word buckets is fit on the target (in-domain) corpus, and every
+    * raw document is scored by its mean per-bigram log-likelihood —
+    * high avg_logp = target-fluent, the keep signal; low = the noise
+    * CCNet's perplexity tail-cut drops.
+    *
+    * Scale shape: one bigram-count aggregate over the target, the
+    * (<= buckets²-row, usually far sparser) model broadcast against the
+    * raw bigram stream, one per-doc sum — the [[dsirWeights]] pattern
+    * with a conditional (bigram) model instead of a marginal one.
+    * Per-bigram log-probs are quantized to integer micro-nats BEFORE
+    * the per-doc sum, so results are exact at any partitioning and
+    * re-derivable by any engine from the same md5 bucket arithmetic.
+    * Single-word documents have no bigram and no row (documented:
+    * fluency of a one-token doc is undefined).
+    */
+  def lmScore(raw: DataFrame, target: DataFrame, textCol: String,
+              idCol: String, buckets: Int = 256): DataFrame = {
+    def bucket(w: Column) = pmod(Dedup.h60(w), lit(buckets.toLong))
+    def bigrams(df: DataFrame, keep: Seq[Column]) =
+      df.select(keep :+ explode(Dedup.shingles(col(textCol), 2)).as("g"): _*)
+        .where(size(split(col("g"), " ")) === 2)
+        .select(keep ++ Seq(
+          bucket(element_at(split(col("g"), " "), 1)).as("b1"),
+          bucket(element_at(split(col("g"), " "), 2)).as("b2")): _*)
+    val tb = bigrams(target, Nil)
+    val big = tb.groupBy("b1", "b2").agg(count(lit(1)).as("c12"))
+    val ctx = tb.groupBy("b1").agg(count(lit(1)).as("c1"))
+    bigrams(raw, Seq(col(idCol)))
+      .join(broadcast(big), Seq("b1", "b2"), "left").na.fill(0L, Seq("c12"))
+      .join(broadcast(ctx), Seq("b1"), "left").na.fill(0L, Seq("c1"))
+      .select(col(idCol),
+        floor((log(col("c12") + 1.0) - log(col("c1") + buckets.toDouble))
+          * 1000000.0 + 0.5).cast("long").as("lp_q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("lp_sum_q"))
+      .withColumn("avg_logp",
+        round(col("lp_sum_q") / 1000000.0 / col("n_bigrams"), 6))
+  }
+
+  /** [[lmScore]] + CCNet's selection step: the k most target-fluent
+    * documents by mean bigram log-likelihood (ties to the smaller id).
+    * Distributed TakeOrdered — no global sort.
+    */
+  def lmSelect(raw: DataFrame, target: DataFrame, textCol: String,
+               idCol: String, k: Int, buckets: Int = 256): DataFrame =
+    lmScore(raw, target, textCol, idCol, buckets)
+      .orderBy(col("avg_logp").desc, col(idCol))
+      .limit(k)
+
   /** Deterministic hash-based stratified sampling: keep a row iff its
     * id hashes under the stratum's fraction — reproducible across runs,
     * engines, and partitionings (no RNG, no seed plumbing), the

@@ -262,6 +262,25 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style bigram-LM fluency scores (the KenLM perplexity-filter
+    // stage): model fit on the src0 "target domain" slice, every other
+    // doc scored by mean per-bigram log-likelihood in micro-nats.
+    "q254_lm_fluency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.lmScore(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 256)
+        .orderBy("doc_id")
+    }),
+
+    // The selection step: 50 most target-fluent docs (CCNet keeps the
+    // low-perplexity head), ties to the smaller id, TakeOrdered plan.
+    "q255_lm_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.lmSelect(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 50, 256)
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup ON THE STREAM: ingest-time duplicate collapse as a
     // streaming stateful aggregation (complete mode, AvailableNow
     // replay) — must produce exactly the batch q24 answer. The state
@@ -656,6 +675,34 @@ object NorthStar {
        |  FROM rb JOIN lr USING(b) GROUP BY doc_id)""".stripMargin
   }
 
+  /** Bigram-LM oracle CTEs: the same md5 word-bucket arithmetic as
+    * [[Corpus.lmScore]] — target bigram/context counts, Laplace-smoothed
+    * conditional ln-probs quantized to integer micro-nats before the
+    * per-doc sum.
+    */
+  private val lmCtes: String = {
+    val sh2 = Dedup.shinglesSql("text", 2)
+    val B = 256
+    def b(part: Int) = s"(${Dedup.h60Sql(s"split_part(g, ' ', $part)")}) % $B"
+    s"""tg AS (SELECT unnest($sh2) AS g FROM documents WHERE source = 'src0'),
+       |tb2 AS (SELECT ${b(1)} AS b1, ${b(2)} AS b2 FROM tg
+       |  WHERE len(string_split(g, ' ')) = 2),
+       |big AS (SELECT b1, b2, count(*) AS c12 FROM tb2 GROUP BY b1, b2),
+       |ctx AS (SELECT b1, count(*) AS c1 FROM tb2 GROUP BY b1),
+       |rg2 AS (SELECT doc_id, unnest($sh2) AS g
+       |  FROM documents WHERE source <> 'src0'),
+       |rb2 AS (SELECT doc_id, ${b(1)} AS b1, ${b(2)} AS b2 FROM rg2
+       |  WHERE len(string_split(g, ' ')) = 2),
+       |sc2 AS (SELECT doc_id,
+       |    CAST(floor((ln(coalesce(c12, 0) + 1.0) - ln(coalesce(c1, 0) + ${B}.0))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+       |  FROM rb2 LEFT JOIN big USING(b1, b2) LEFT JOIN ctx USING(b1)),
+       |lm AS (SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(lp_q) AS BIGINT) AS lp_sum_q,
+       |    round(CAST(sum(lp_q) AS BIGINT) / 1000000.0 / count(*), 6) AS avg_logp
+       |  FROM sc2 GROUP BY doc_id)""".stripMargin
+  }
+
   private val contaminationOracle: String =
     s"""WITH ev AS (SELECT DISTINCT unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
        |  FROM documents WHERE source = 'src0'),
@@ -829,6 +876,16 @@ object NorthStar {
       s"""WITH $dsirCtes
          |SELECT doc_id, n_grams, wq, round(wq / 1000000.0, 6) AS log_weight
          |FROM dw ORDER BY doc_id""".stripMargin,
+    "q254_lm_fluency" ->
+      s"""WITH $lmCtes
+         |SELECT doc_id, n_bigrams, lp_sum_q, avg_logp
+         |FROM lm ORDER BY doc_id""".stripMargin,
+    "q255_lm_select" ->
+      s"""WITH $lmCtes,
+         |sel AS (SELECT doc_id, n_bigrams, lp_sum_q, avg_logp FROM lm
+         |        ORDER BY avg_logp DESC, doc_id LIMIT 50)
+         |SELECT doc_id, n_bigrams, lp_sum_q, avg_logp
+         |FROM sel ORDER BY doc_id""".stripMargin,
     "q250_dsir_select" ->
       s"""WITH $dsirCtes,
          |sel AS (SELECT doc_id, n_grams, wq FROM dw

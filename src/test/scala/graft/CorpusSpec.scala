@@ -136,6 +136,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.head == 1L, s"target-like doc must rank first, got ${a.mkString(",")}")
   }
 
+  test("lmScore ranks target-fluent text above scrambled/off-domain text") {
+    // same vocabulary, different word ORDER: only a bigram (conditional)
+    // model separates these — a unigram model would tie them
+    val target = Seq(
+      (100L, "the cat sat on the mat and the dog sat on the rug"),
+      (101L, "the dog sat on the mat and the cat sat on the rug"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat on the rug and the dog sat on the mat"),
+      (2L, "rug the on sat mat dog the cat and the on sat the"),
+      (3L, "zq xv qy wk jj zz pf vv gg hh kk ll mm nn"))
+      .toDF("doc_id", "text")
+    val got = Corpus.lmScore(raw, target, "text", "doc_id", 256)
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L), s"fluent ${got(1L)} must beat scrambled ${got(2L)}")
+    assert(got(2L) > got(3L), s"in-vocab ${got(2L)} must beat OOV ${got(3L)}")
+    val sel = Corpus.lmSelect(raw, target, "text", "doc_id", 1, 256)
+      .select("doc_id").as[Long].collect()
+    assert(sel.toSeq == Seq(1L))
+  }
+
   test("stratifiedSample is deterministic and tracks the requested fraction") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("doc_id", "bucket")
