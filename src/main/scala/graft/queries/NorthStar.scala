@@ -142,6 +142,43 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // Priority-based duplicate-cluster survivor selection: real corpora
+    // keep the HIGHEST-QUALITY copy (prefer curated sources), not the
+    // minimum id — per component, the doc from the highest-ranked
+    // source, ties to the smaller id. One keyed agg over the component
+    // labels; max(struct(pri, -id)) == the SQL argmax tie-break.
+    "q256_cc_priority_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pri = docs.select(col("doc_id"),
+        regexp_extract(col("source"), "([0-9]+)$", 1).cast("long").as("pri"))
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", NGRAM, K, BANDS)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .join(pri, "doc_id")
+        .groupBy("component")
+        .agg(max(struct(col("pri"), (-col("doc_id")).as("nid"))).as("t"))
+        .select(col("component"), col("t.pri").as("keeper_pri"),
+          (-col("t.nid")).as("keeper_id"))
+        .orderBy("component")
+    }),
+
+    // GPT-3-style classifier-based filtering: a binary target-vs-other
+    // Naive-Bayes (trained on the doc_id%5!=0 slice labeled by source)
+    // keeps every held-out doc predicted "target" PLUS a deterministic
+    // 10% hash exception of the rest — the published pareto-noise keep
+    // rule re-expressed as the reproducible hash rule every sampler in
+    // this repo uses (no RNG, re-derivable at any partitioning).
+    "q257_classifier_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("y", when(col("source") === "src0", lit("target"))
+          .otherwise(lit("other")))
+      val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      graft.ops.Classify.naiveBayes(train, test, "text", "y", "doc_id", 256)
+        .where(col("predicted") === "target" ||
+          pmod(Dedup.h60(col("doc_id").cast("string")), lit(100L)) < 10)
+        .orderBy("doc_id")
+    }),
+
     // Language-ID marker heuristic with deterministic tie-break.
     "q31_lang_id" -> ((s, dir) => {
       TextOps.langId(t(s, dir, "documents"), "text")
@@ -610,18 +647,20 @@ object NorthStar {
       |  least(doc_a, doc_b) AS keeper_id, CAST(round(cos, 6) AS REAL) AS cos
       |FROM s WHERE cos >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Naive-Bayes oracle: re-derives the Laplace-smoothed micro-nat
-    * (class × bucket) grid, per-doc class scores, and the argmax with
-    * the row_number tie-break from the same md5 bucket arithmetic as
-    * [[graft.ops.Classify.naiveBayes]].
+  /** Naive-Bayes oracle builder: re-derives the Laplace-smoothed
+    * micro-nat (class × bucket) grid, per-doc class scores, and the
+    * argmax with the row_number tie-break from the same md5 bucket
+    * arithmetic as [[graft.ops.Classify.naiveBayes]]. `labelExpr` is
+    * the class SQL expression over the train slice; `finalWhere` lets a
+    * composition (q257) filter the argmax output.
     */
-  private val q252OracleSql: String = {
+  private def nbOracleSql(labelExpr: String, finalWhere: String = ""): String = {
     val sh1 = Dedup.shinglesSql("text", 1)
     val B = 256
     s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
        |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
        |tg AS (SELECT cls, (${Dedup.h60Sql("g")}) % $B AS b FROM
-       |  (SELECT lang AS cls, unnest($sh1) AS g FROM tr)),
+       |  (SELECT $labelExpr AS cls, unnest($sh1) AS g FROM tr)),
        |cnt AS (SELECT cls, b, count(*) AS c FROM tg GROUP BY cls, b),
        |totc AS (SELECT cls, count(*) AS tot FROM tg GROUP BY cls),
        |grid AS (SELECT totc.cls, r.i AS b,
@@ -630,10 +669,10 @@ object NorthStar {
        |  FROM totc CROSS JOIN range($B) r(i)
        |  LEFT JOIN cnt ON cnt.cls = totc.cls AND cnt.b = r.i),
        |ndoc AS (SELECT count(*) AS n FROM tr),
-       |prior AS (SELECT lang AS cls,
+       |prior AS (SELECT $labelExpr AS cls,
        |    CAST(floor((ln(CAST(count(*) AS DOUBLE)) - ln(CAST(n AS DOUBLE)))
        |      * 1000000.0 + 0.5) AS BIGINT) AS prior_q
-       |  FROM tr, ndoc GROUP BY lang, n),
+       |  FROM tr, ndoc GROUP BY 1, n),
        |sg AS (SELECT doc_id, (${Dedup.h60Sql("g")}) % $B AS b FROM
        |  (SELECT doc_id, unnest($sh1) AS g FROM te)),
        |ll AS (SELECT doc_id, cls, CAST(sum(lp_q) AS BIGINT) AS ll_q
@@ -643,7 +682,7 @@ object NorthStar {
        |SELECT doc_id, cls AS predicted, round(score_q / 1000000.0, 6) AS log_prob
        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
        |        ORDER BY score_q DESC, cls DESC) AS rn FROM sc)
-       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+       |WHERE rn = 1 $finalWhere ORDER BY doc_id""".stripMargin
   }
 
   /** DSIR oracle CTEs: re-derive the micro-nat log-ratio table from the
@@ -721,7 +760,10 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
-    "q252_nb_classify" -> q252OracleSql,
+    "q252_nb_classify" -> nbOracleSql("lang"),
+    "q257_classifier_filter" -> nbOracleSql(
+      "(CASE WHEN source = 'src0' THEN 'target' ELSE 'other' END)",
+      s"AND (cls = 'target' OR (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 100 < 10)"),
     "q30_ann_lsh" -> q30OracleSql,
     "q76_ann_ivf" -> q76OracleSql,
     "q81_dedup_pipeline" ->
@@ -937,6 +979,24 @@ object NorthStar {
          |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)
          |SELECT a AS doc_id, least(a, min(b)) AS component
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q256_cc_priority_survivors" ->
+      s"""WITH RECURSIVE ${sigCtes("documents")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |e AS (SELECT da AS u, db AS v FROM cand UNION SELECT db, da FROM cand),
+         |reach AS (SELECT u AS a, v AS b FROM e
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |p AS (SELECT comp.doc_id, component,
+         |    CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT) AS pri
+         |  FROM comp JOIN documents USING(doc_id))
+         |SELECT component, pri AS keeper_pri, doc_id AS keeper_id
+         |FROM (SELECT *, row_number() OVER (PARTITION BY component
+         |        ORDER BY pri DESC, doc_id) AS rn FROM p)
+         |WHERE rn = 1 ORDER BY component""".stripMargin,
     "q240_dedup_cc_survivors" ->
       s"""WITH RECURSIVE keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          |d2 AS (SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id),
