@@ -108,6 +108,44 @@ object Corpus {
         round(col("n_contaminated").cast("double") / col("n_grams"), 6))
   }
 
+  /** C4-style duplicate-span REMOVAL (Raffel et al. 2020 drop repeated
+    * three-sentence spans corpus-wide; the word n-gram is the unit here
+    * as in [[duplicateSpanStats]]): rewrite each document keeping only
+    * word positions NOT covered by any n-gram span that also occurs in
+    * another document. The transform counterpart of the stats operator
+    * — output is (id, clean_text, n_removed) with ALL input docs
+    * retained (fully-boilerplate docs come back empty).
+    *
+    * Scale shape: span explode -> span-frequency shuffle -> covered-
+    * position explode -> anti-join -> per-DOC ordered re-assembly. The
+    * collect_list is bounded by a single document's length (never
+    * corpus-wide), and every join is keyed by span or (doc, position).
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 8): DataFrame = {
+    val sp = df.select(col(idCol),
+      posexplode(Dedup.shingles(col(textCol), n)).as(Seq("pos", "span")))
+    val freq = sp.groupBy("span").agg(countDistinct(col(idCol)).as("dfreq"))
+    val covered = sp.join(freq.where(col("dfreq") >= 2), "span")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wi"))
+      .distinct()
+    val words = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("wi", "w")))
+    val kept = words.join(covered, Seq(idCol, "wi"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("wi"), col("w")))),
+            s => s.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("__nw"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__nw") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Gopher-style within-document repetition signals (Rae et al. 2021,
     * §A1.1 "repetition" filters), word-token based since the corpus has
     * no line structure: the character share of the single most frequent

@@ -237,6 +237,13 @@ object NorthStar {
       Corpus.duplicateSpanStats(t(s, dir, "documents"), "text", "doc_id", 8)
         .orderBy("doc_id")),
 
+    // C4-style duplicate-span REMOVAL: the transform counterpart of
+    // q236 — every word position covered by a cross-document 8-gram
+    // span is cut, docs re-assembled in word order, all docs retained.
+    "q258_dup_span_removal" -> ((s, dir) =>
+      Corpus.removeDuplicateSpans(t(s, dir, "documents"), "text", "doc_id", 8)
+        .orderBy("doc_id")),
+
     // Benchmark-contamination: distinct-8-gram overlap of each corpus
     // doc (source != src0) against the src0 "benchmark" slice.
     "q237_contamination" -> ((s, dir) => {
@@ -894,6 +901,27 @@ object NorthStar {
          |  round(CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS dup_ratio
          |FROM sp JOIN f USING(span) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q258_dup_span_removal" -> {
+      val sh8 = Dedup.shinglesSql("text", 8)
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, $sh8 AS sh
+         |  FROM documents),
+         |sp AS (SELECT doc_id, g.i - 1 AS pos, sh[g.i] AS span
+         |  FROM d, unnest(range(1, len(sh) + 1)) g(i)),
+         |freq AS (SELECT span, count(DISTINCT doc_id) AS dfreq FROM sp GROUP BY span),
+         |cov AS (SELECT DISTINCT sp.doc_id, sp.pos + j.jj AS wi
+         |  FROM sp JOIN freq USING(span), unnest(range(0, 8)) j(jj)
+         |  WHERE dfreq >= 2),
+         |w AS (SELECT doc_id, t.i - 1 AS wi, ws[t.i] AS w
+         |  FROM d, unnest(range(1, len(ws) + 1)) t(i)),
+         |kept AS (SELECT w.doc_id,
+         |    array_to_string(list(w.w ORDER BY w.wi), ' ') AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.wi = w.wi
+         |  WHERE cov.wi IS NULL GROUP BY w.doc_id)
+         |SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+         |  CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed
+         |FROM d LEFT JOIN kept USING(doc_id) ORDER BY doc_id""".stripMargin
+    },
     "q237_contamination" -> contaminationOracle,
     // q248 is the bloom-accelerated path — same exact answer by
     // construction, so the SAME oracle gates it.

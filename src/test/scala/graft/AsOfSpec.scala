@@ -43,6 +43,29 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == (None, 20L))
   }
 
+  test("joinBackward equals a brute-force as-of join on random data with nulls") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong))
+    val right = (1 to 150).map(i => (rnd.nextInt(4).toLong,
+      rnd.nextInt(1000).toLong,
+      if (rnd.nextBoolean()) Some(s"v$i") else None, i.toLong))
+    val got = AsOf.joinBackward(left.toDF("id", "k", "t"),
+        right.toDF("k", "t", "v", "seq"), Seq("k"), "t", "t",
+        tieBreak = Some("seq"))
+      .select("id", "right_v", "right_seq")
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    val want = left.map { case (id, k, t) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      if (cands.isEmpty) (id, None: Option[String], None: Option[Long])
+      else {
+        val best = cands.maxBy(c => (c._2, c._4))
+        (id, best._3, Some(best._4))
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("rangeJoin matches a brute-force non-equi join exactly") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 300).map(i =>

@@ -22,6 +22,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2)._2 == 0.0)
   }
 
+  test("removeDuplicateSpans cuts shared boilerplate, keeps unique text, retains all docs") {
+    val boiler = "subscribe to our newsletter for updates and offers every day"
+    val df = Seq(
+      (1L, s"$boiler unique article one about spark catalyst internals today"),
+      (2L, s"$boiler another unique piece on tungsten codegen here now"),
+      (3L, "entirely singular content with no repeated spans anywhere in corpus at all"),
+      (4L, boiler)
+    ).toDF("doc_id", "text")
+    val got = Corpus.removeDuplicateSpans(df, "text", "doc_id", 8)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect()
+    // the 10-word boilerplate prefix is covered by shared 8-gram spans
+    assert(got(0)._2 == "unique article one about spark catalyst internals today",
+      got(0)._2)
+    assert(got(1)._2 == "another unique piece on tungsten codegen here now")
+    assert(got(2)._2.startsWith("entirely singular") && got(2)._3 == 0L)
+    // the all-boilerplate doc survives as an empty row, not a dropped one
+    assert(got(3) == ((4L, "", 10L)))
+  }
+
   test("contamination is 1.0 for a doc copied into eval, 0 for disjoint text") {
     val leaked = "what is the capital of france the capital of france is paris"
     val corpus = Seq((1L, leaked),
