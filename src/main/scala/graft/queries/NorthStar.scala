@@ -237,6 +237,27 @@ object NorthStar {
       Corpus.duplicateSpanStats(t(s, dir, "documents"), "text", "doc_id", 8)
         .orderBy("doc_id")),
 
+    // The composed Gopher keep/drop rule (Rae et al. 2021 §A1.1): word-
+    // count and mean-word-length bounds, repetition caps (top-2-gram
+    // char share, duplicated 5-/10-gram instance shares — the repo's
+    // word-instance adaptation of the published char fractions), and a
+    // stop-word floor — the published DECISION RULE over the already-
+    // gated q32/q241 signals, composed into one filter.
+    "q259_gopher_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextOps.qualityScore(docs, "text")
+        .select("doc_id", "n_words", "avg_word_len", "stop_ratio")
+      val r = Corpus.repetitionStats(docs, "text", "doc_id")
+        .select("doc_id", "top2_char_ratio", "dup5_ratio", "dup10_ratio")
+      q.join(r, "doc_id")
+        .where(col("n_words").between(50, 100000) &&
+          col("avg_word_len").between(3.0, 10.0) &&
+          col("top2_char_ratio") < 0.18 &&
+          col("dup5_ratio") < 0.15 && col("dup10_ratio") < 0.10 &&
+          col("stop_ratio") > 0.02)
+        .orderBy("doc_id")
+    }),
+
     // C4-style duplicate-span REMOVAL: the transform counterpart of
     // q236 — every word position covered by a cross-document 8-gram
     // span is cut, docs re-assembled in word order, all docs retained.
@@ -901,6 +922,42 @@ object NorthStar {
          |  round(CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS dup_ratio
          |FROM sp JOIN f USING(span) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q259_gopher_filter" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+         |    CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+         |      / len(string_split(text,' ')) AS avg_word_len,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+         |      / len(string_split(text,' ')) AS stop_ratio
+         |  FROM documents),
+         |g2 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 2)}) AS g FROM documents),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         |t2 AS (SELECT doc_id, g, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+         |  FROM c2),
+         |g5 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 5)}) AS g FROM documents),
+         |d5 AS (SELECT doc_id, round(CAST(count(*) - count(DISTINCT g) AS DOUBLE)
+         |    / count(*), 6) AS dup5_ratio FROM g5 GROUP BY doc_id),
+         |g10 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 10)}) AS g FROM documents),
+         |d10 AS (SELECT doc_id, round(CAST(count(*) - count(DISTINCT g) AS DOUBLE)
+         |    / count(*), 6) AS dup10_ratio FROM g10 GROUP BY doc_id),
+         |r AS (SELECT d.doc_id,
+         |    round(t2.c * CAST(len(t2.g) AS DOUBLE) / len(d.text), 6) AS top2_char_ratio,
+         |    dup5_ratio, dup10_ratio
+         |  FROM documents d
+         |  JOIN t2 ON t2.doc_id = d.doc_id AND t2.rn = 1
+         |  JOIN d5 ON d5.doc_id = d.doc_id
+         |  JOIN d10 ON d10.doc_id = d.doc_id)
+         |SELECT q.doc_id, n_words, avg_word_len, stop_ratio,
+         |  top2_char_ratio, dup5_ratio, dup10_ratio
+         |FROM q JOIN r USING(doc_id)
+         |WHERE n_words BETWEEN 50 AND 100000
+         |  AND avg_word_len BETWEEN 3.0 AND 10.0
+         |  AND top2_char_ratio < 0.18
+         |  AND dup5_ratio < 0.15 AND dup10_ratio < 0.10
+         |  AND stop_ratio > 0.02
+         |ORDER BY doc_id""".stripMargin,
     "q258_dup_span_removal" -> {
       val sh8 = Dedup.shinglesSql("text", 8)
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, $sh8 AS sh
