@@ -372,6 +372,29 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // MinHash-LSH candidate pairs ON THE STREAM: ingest-time near-dup
+    // detection as per-bucket state (map-only signatures, one stateful
+    // op), AvailableNow replay distinct'd at read == the batch q26
+    // candidate set exactly.
+    "q260_streaming_minhash_pairs" -> ((s, dir) => {
+      val stream = graft.core.Tables.stream(s, dir, "documents")
+      val pairs = graft.streaming.Streaming
+        .streamingBandPairs(stream, "text", "doc_id", NGRAM, K, BANDS)
+      val qn = "q260_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = pairs.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // at-least-once emission per colliding band -> distinct at read
+      // (the downstream batch verify stage's first step); drop the temp
+      // view after collecting, as q245 does.
+      val out = s.table(qn).distinct().orderBy("doc_a", "doc_b")
+      val rows = out.collect()
+      s.catalog.dropTempView(qn)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
     // GPT-style sequence packing: concatenated token stream in
     // (source, doc_id) order cut into 512-token sequences; per doc its
     // offset and first/last sequence index. Two-level prefix sum.
@@ -822,6 +845,13 @@ object NorthStar {
     "q25_minhash_sig" ->
       s"$sigCte SELECT * FROM sig ORDER BY doc_id",
     "q26_minhash_pairs" ->
+      s"""$sigCte, bands AS ($bandsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |  AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the streaming replay must equal the batch candidate set exactly
+    "q260_streaming_minhash_pairs" ->
       s"""$sigCte, bands AS ($bandsSql)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh

@@ -33,6 +33,63 @@ object Streaming {
           keys.map(col) :+ col("n") :+ col("sum_value"): _*)
   }
 
+  case class BandDoc(bucket: String, doc: Long)
+  case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Streaming ingest-time MinHash-LSH near-dup candidate detection:
+    * the batch [[graft.ops.Dedup.minhashPairs]] self-join re-expressed
+    * as per-bucket STATE. Signatures are map-only per document (the
+    * per-doc shingle array min — identical values to the batch
+    * explode+groupBy formulation, no pre-state aggregation needed);
+    * each (band, band-hash) bucket's state holds the doc ids seen so
+    * far, and a new arrival emits a candidate pair with every prior
+    * occupant. An AvailableNow replay therefore produces exactly the
+    * batch candidate-pair set.
+    *
+    * Contract: pairs are emitted AT LEAST once (once per colliding
+    * band) — cross-band dedup belongs downstream (a second stateful op
+    * after flatMapGroupsWithState is unsupported, and at ingest scale
+    * the dedup/verify stage is a batch job anyway, q81's shape). State
+    * is hash-partitioned by bucket and bounded by bucket occupancy —
+    * the same bands/rows occupancy contract as the batch operator; a
+    * production deployment adds a state timeout for ring-buffer
+    * semantics (the reference's table expiry).
+    */
+  def streamingBandPairs(stream: DataFrame, textCol: String, idCol: String,
+                         n: Int, k: Int, bands: Int): Dataset[CandPair] = {
+    import stream.sparkSession.implicits._
+    import graft.ops.Dedup
+    val rows = k / bands
+    val sh = Dedup.shingles(col(textCol), n)
+    val h = transform(sh, s => pmod(Dedup.h60(s), lit(Dedup.P)))
+    val sigs = Dedup.perms(k).map { case (a, b) =>
+      array_min(transform(h, x => pmod(x * a + b, lit(Dedup.P))))
+    }
+    val bandHashes = (0 until bands).map { bIdx =>
+      md5(concat_ws(",", (bIdx * rows until (bIdx + 1) * rows)
+        .map(i => sigs(i).cast("string")): _*).cast("binary"))
+    }
+    stream.select(col(idCol).cast("long").as("doc"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+      .select(concat(col("band").cast("string"), lit(":"), col("bh"))
+        .as("bucket"), col("doc"))
+      .as[BandDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[Seq[Long], CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, arrivals, state: GroupState[Seq[Long]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          for (d <- arrivals.map(_.doc).toSeq.sorted if !seen.contains(d)) {
+            for (s <- seen)
+              out += CandPair(math.min(s, d), math.max(s, d))
+            seen = seen :+ d
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts_ns: Long)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)

@@ -195,6 +195,38 @@ class StreamingSpec extends AnyFunSuite {
     summaries.close(); spans.close(); logs.close()
   }
 
+  test("streaming MinHash-LSH replay equals the batch candidate-pair set") {
+    val out = s"stream_mh_${System.nanoTime()}"
+    val stream = graft.core.Tables.stream(spark, sf, "documents")
+    val q = Streaming.streamingBandPairs(stream, "text", "doc_id", 3, 16, 4)
+      .writeStream.outputMode("append").format("memory").queryName(out).start()
+    q.processAllAvailable(); q.stop()
+    // at-least-once per colliding band -> distinct at read
+    val streamed = spark.table(out).distinct()
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.ops.Dedup.minhashPairs(
+        graft.core.Tables(spark, sf, "documents"), "text", "doc_id", 3, 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    spark.catalog.dropTempView(out)
+  }
+
+  test("streaming MinHash-LSH state persists across micro-batches") {
+    val in = MemoryStream[(Long, String)](spark)
+    val out = s"stream_mh2_${System.nanoTime()}"
+    val q = Streaming.streamingBandPairs(
+        in.toDF.toDF("doc_id", "text"), "text", "doc_id", 3, 16, 4)
+      .writeStream.outputMode("append").format("memory").queryName(out).start()
+    val txt = "the quick brown fox jumps over the lazy dog"
+    in.addData((1L, txt), (2L, txt)); q.processAllAvailable()
+    in.addData((3L, txt)); q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table(out).distinct().as[(Long, Long)].collect().toSet
+    // doc 3 arrived a batch later and still pairs with both prior occupants
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    spark.catalog.dropTempView(out)
+  }
+
   test("stream-static as-of metadata join resolves generations in streaming") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
