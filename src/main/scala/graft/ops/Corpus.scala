@@ -319,6 +319,105 @@ object Corpus {
       .orderBy(col("avg_logp").desc, col(idCol))
       .limit(k)
 
+  /** Embedding-space eval-set decontamination — the semantic sibling of
+    * the lexical n-gram [[contamination]] check: a corpus document is
+    * contaminated when its embedding's cosine against ANY benchmark
+    * vector clears `minCos` (near-paraphrases of eval items that share
+    * no n-grams).
+    *
+    * Scale shape: the eval matrix (vectors + norms) aggregates to ONE
+    * row that broadcasts to every executor, and each corpus vector's
+    * max cosine is then a single codegen'd higher-order-function
+    * projection over that broadcast array — ZERO shuffle over the
+    * corpus, the only 100 TB-viable shape for a full-corpus scan
+    * against a small eval set. ([[contaminationBloom]] has the same
+    * asymmetry for the lexical signal.)
+    */
+  def embeddingContamination(corpus: DataFrame, eval: DataFrame,
+                             idCol: String, vecCol: String,
+                             minCos: Double): DataFrame = {
+    import graft.ops.Similarity.{dot, norm}
+    def prep(df: DataFrame, keep: Seq[Column]) =
+      df.select(keep :+ col(vecCol).cast("array<double>").as("e"): _*)
+        .withColumn("nrm", norm(col("e")))
+    val evalMat = prep(eval, Nil)
+      .agg(collect_list(struct(col("e"), col("nrm"))).as("evs"))
+    prep(corpus, Seq(col(idCol)))
+      .crossJoin(broadcast(evalMat))
+      .select(col(idCol),
+        round(array_max(transform(col("evs"), v =>
+          dot(col("e"), v.getField("e")) / (col("nrm") * v.getField("nrm")))),
+          6).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= minCos)
+  }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    * document by target-LM fluency ([[lmScore]]) and cut the corpus
+    * into perplexity terciles — `head` trains first, `tail` is usually
+    * dropped. Semantics are exactly SQL `ntile(3) OVER (ORDER BY
+    * avg_logp DESC, id)`.
+    *
+    * The global rank is NEVER a single-partition window: docs group
+    * into coarse score bands (a deterministic quantization of
+    * avg_logp), the within-band row_number runs partitioned by band
+    * (parallel), and band offsets come from a band-cardinality
+    * aggregate whose global window and broadcast join-back are
+    * O(#bands) — the [[packSequences]] two-level prefix-sum shape. A
+    * pathological all-one-band distribution degrades to the serial
+    * sort; narrow the band width for such data.
+    */
+  def lmTerciles(raw: DataFrame, target: DataFrame, textCol: String,
+                 idCol: String, buckets: Int = 256): DataFrame = {
+    val scored = lmScore(raw, target, textCol, idCol, buckets)
+    // band: higher fluency -> lower band id, so rank order follows bands
+    val band = (-floor(col("avg_logp") * 100.0)).cast("long")
+    val wIn = Window.partitionBy("__band")
+      .orderBy(col("avg_logp").desc, col(idCol))
+    val wOff = Window.orderBy("__band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val banded = scored.withColumn("__band", band)
+    val offsets = banded.groupBy("__band").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.orderBy("__band").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("__c")
+    // ntile(3): first (n % 3) buckets take one extra row
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val r = col("__off") + row_number().over(wIn)
+    val (q3, m3) = (idiv(col("__n"), lit(3L)), pmod(col("__n"), lit(3L)))
+    val tile = when(r <= (q3 + 1) * m3, idiv(r - 1, q3 + 1) + 1)
+      .otherwise(m3 + idiv(r - 1 - (q3 + 1) * m3, q3) + 1)
+    banded.join(broadcast(offsets), Seq("__band"))
+      .select(col(idCol), col("avg_logp"), r.as("rank"),
+        element_at(typedLit(Seq("head", "middle", "tail")),
+          tile.cast("int")).as("tercile"))
+  }
+
+  /** Cluster-balanced selection (the DataComp/DoReMi-adjacent topic
+    * balancer): assign every embedding to its nearest coarse k-means
+    * cell (the same init-only quantizer contract as SemDeDup) and keep
+    * at most `perCell` documents per cell, most-central first — a
+    * dominant topic cluster can no longer flood the training mix.
+    *
+    * Scale shape: cell assignment is map-only against a literal
+    * centroid matrix; the per-cell top-k is ONE window partitioned by
+    * cell, so parallelism = #cells and each task is bounded by cell
+    * occupancy — grow the cell count with the corpus (SemDeDup's k
+    * knob) to hold occupancy constant.
+    */
+  def clusterBalancedSelect(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: Seq[Seq[Double]],
+                            perCell: Int): DataFrame = {
+    val a = Similarity.cellAssign(df, idCol, vecCol, centroids)
+    val w = Window.partitionBy("cell")
+      .orderBy(col("cell_cos").desc, col("id"))
+    a.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= perCell)
+      .select(col("cell"), col("id").as(idCol),
+        round(col("cell_cos"), 6).cast("float").as("cos"), col("rank"))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a row iff its
     * id hashes under the stratum's fraction — reproducible across runs,
     * engines, and partitionings (no RNG, no seed plumbing), the

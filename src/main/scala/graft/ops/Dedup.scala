@@ -185,19 +185,9 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     dim: Int, centroids: Seq[Seq[Double]],
                     minCos: Double): DataFrame = {
-    import graft.ops.Similarity.{dot, norm}
-    val v = df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("e"))
-      .withColumn("n", norm(col("e")))
-    val cellScores = array(centroids.map { s =>
-      val sNorm = math.sqrt(s.map(x => x * x).sum)
-      aggregate(zip_with(col("e"), typedLit(s), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) / (col("n") * sNorm)
-    }: _*)
-    val assigned = v.withColumn("scores", cellScores)
-      .withColumn("cell",
-        array_position(col("scores"), array_max(col("scores"))).cast("int"))
-      .drop("scores")
+    import graft.ops.Similarity.dot
+    val assigned = Similarity
+      .cellAssign(df, idCol, vecCol, centroids).drop("cell_cos")
     assigned.toDF("doc_a", "ea", "na", "cell")
       .join(assigned.toDF("doc_b", "eb", "nb", "cell"), Seq("cell"))
       .where(col("doc_a") < col("doc_b"))

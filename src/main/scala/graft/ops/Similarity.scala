@@ -20,6 +20,30 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Nearest-centroid cell assignment shared by SemDeDup and
+    * cluster-balanced selection: (id, vec, norm, 1-based cell, winning
+    * cosine). Ties go to the lowest cell index (array_position returns
+    * the first maximum — `ORDER BY score DESC, cell ASC` in SQL).
+    * Map-only: the centroid matrix is a literal, broadcast by
+    * construction.
+    */
+  def cellAssign(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[Seq[Double]]): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("e"))
+      .withColumn("n", norm(col("e")))
+    val cellScores = array(centroids.map { s =>
+      val sNorm = math.sqrt(s.map(x => x * x).sum)
+      aggregate(zip_with(col("e"), typedLit(s), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col("n") * sNorm)
+    }: _*)
+    v.withColumn("scores", cellScores)
+      .withColumn("cell",
+        array_position(col("scores"), array_max(col("scores"))).cast("int"))
+      .withColumn("cell_cos", array_max(col("scores")))
+      .drop("scores")
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). Query side is broadcast; norms are
     * precomputed once per side.

@@ -346,6 +346,40 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // Embedding-space eval-set decontamination: max cosine of every
+    // corpus vector against a broadcast eval matrix — zero shuffle over
+    // the corpus (the 100 TB shape); semantic sibling of q237/q248.
+    "q261_embedding_contamination" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Corpus.embeddingContamination(
+          emb.filter(col("vec_id") >= 16), emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", minCos = 0.2)
+        .orderBy("vec_id")
+    }),
+
+    // CCNet head/middle/tail: perplexity terciles by target-LM fluency,
+    // exact ntile(3) semantics from a banded two-level prefix-sum rank
+    // (no single-partition window).
+    "q262_lm_terciles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.lmTerciles(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 256)
+        .orderBy("doc_id")
+    }),
+
+    // Cluster-balanced selection: nearest-cell assign under the q251
+    // init-only quantizer, keep the 20 most-central docs per cell.
+    "q263_cluster_balanced_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = emb.agg(graft.functions.MlAggregators.kmeansFit(
+          col("embedding").cast("array<double>"), 8, iters = 0).as("m"))
+        .head().getString(0)
+      val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+        .map(_.split(",").map(_.toDouble).toSeq).toSeq
+      Corpus.clusterBalancedSelect(emb, "vec_id", "embedding", seeds, 20)
+        .orderBy("cell", "rank")
+    }),
+
     // Exact dedup ON THE STREAM: ingest-time duplicate collapse as a
     // streaming stateful aggregation (complete mode, AvailableNow
     // replay) — must produce exactly the batch q24 answer. The state
@@ -670,8 +704,12 @@ object NorthStar {
     * operation order) + within-cell pair generation + exact-cosine
     * verification — the whole SemDeDup pipeline re-derived in SQL.
     */
-  private val q251OracleSql: String =
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  /** Shared SQL re-derivation of the init-only 8-cell quantizer +
+    * nearest-cell assignment (q251 SemDeDup, q263 cluster-balanced
+    * selection): `cellof` ends with (vec_id, cell, c = winning cosine).
+    */
+  private val cellAssignCtes: String =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
       |cv AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
@@ -685,9 +723,12 @@ object NorthStar {
       |cs AS (SELECT n.vec_id, sid,
       |    list_sum(list_transform(range(64), i -> n.e[i+1] * se[i+1])) / (n.nrm * snrm) AS c
       |  FROM n, sn),
-      |cellof AS (SELECT vec_id, sid AS cell FROM
+      |cellof AS (SELECT vec_id, sid AS cell, c FROM
       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, sid) AS rn
-      |   FROM cs) WHERE rn = 1),
+      |   FROM cs) WHERE rn = 1)""".stripMargin
+
+  private val q251OracleSql: String =
+    s"""WITH $cellAssignCtes,
       |p AS (SELECT a.cell, a.vec_id AS doc_a, b.vec_id AS doc_b
       |  FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.vec_id < b.vec_id),
       |s AS (SELECT cell, doc_a, doc_b,
@@ -1043,6 +1084,36 @@ object NorthStar {
          |        ORDER BY avg_logp DESC, doc_id LIMIT 50)
          |SELECT doc_id, n_bigrams, lp_sum_q, avg_logp
          |FROM sel ORDER BY doc_id""".stripMargin,
+    "q261_embedding_contamination" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |ev AS (SELECT e, nrm FROM n WHERE vec_id < 16),
+        |c AS (SELECT vec_id, e, nrm FROM n WHERE vec_id >= 16),
+        |s AS (SELECT c.vec_id,
+        |    max(list_sum(list_transform(range(64), i -> c.e[i+1] * ev.e[i+1]))
+        |      / (c.nrm * ev.nrm)) AS mc
+        |  FROM c CROSS JOIN ev GROUP BY c.vec_id)
+        |SELECT vec_id, round(mc, 6) AS max_cos, round(mc, 6) >= 0.2 AS contaminated
+        |FROM s ORDER BY vec_id""".stripMargin,
+    "q262_lm_terciles" ->
+      s"""WITH $lmCtes,
+         |rk AS (SELECT doc_id, avg_logp,
+         |    CAST(row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS BIGINT) AS rank,
+         |    ntile(3) OVER (ORDER BY avg_logp DESC, doc_id) AS tl
+         |  FROM lm)
+         |SELECT doc_id, avg_logp, rank,
+         |  CASE tl WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tercile
+         |FROM rk ORDER BY doc_id""".stripMargin,
+    "q263_cluster_balanced_select" ->
+      s"""WITH $cellAssignCtes,
+         |rk AS (SELECT cell, vec_id, c,
+         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY c DESC, vec_id)
+         |      AS INTEGER) AS rank
+         |  FROM cellof)
+         |SELECT CAST(cell AS INTEGER) AS cell, vec_id,
+         |  CAST(round(c, 6) AS REAL) AS cos, rank
+         |FROM rk WHERE rank <= 20 ORDER BY cell, rank""".stripMargin,
     "q250_dsir_select" ->
       s"""WITH $dsirCtes,
          |sel AS (SELECT doc_id, n_grams, wq FROM dw

@@ -178,6 +178,58 @@ class CorpusSpec extends AnyFunSuite {
     assert(sel.toSeq == Seq(1L))
   }
 
+  test("embeddingContamination flags the copied eval vector, not the orthogonal one") {
+    val evalDf = Seq((900L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)),   // near-copy of the eval item
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)))      // orthogonal
+      .toDF("vec_id", "embedding")
+    val got = Corpus.embeddingContamination(
+        corpus, evalDf, "vec_id", "embedding", minCos = 0.9)
+      .select("vec_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got(1L) && !got(2L))
+  }
+
+  test("lmTerciles reproduces exact ntile(3) semantics without a global window") {
+    val target = Seq((100L, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    // 7 docs -> ntile(3) buckets of sizes 3,2,2
+    val raw = (1L to 7L).map(i =>
+      (i, Seq.fill(i.toInt + 1)("the cat sat").mkString(" ") + " xq zz"))
+      .toDF("doc_id", "text")
+    val got = Corpus.lmTerciles(raw, target, "text", "doc_id", 256)
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      Corpus.lmScore(raw, target, "text", "doc_id", 256)
+        .withColumn("tl", ntile(3).over(
+          Window.orderBy(col("avg_logp").desc, col("doc_id"))))
+        .select(col("doc_id"), element_at(
+          typedLit(Seq("head", "middle", "tail")), col("tl")).as("tercile"))
+        .as[(Long, String)].collect().toMap
+    }
+    val gotMap = got.select("doc_id", "tercile")
+      .as[(Long, String)].collect().toMap
+    assert(gotMap == expected && gotMap.values.toSeq.sorted ==
+      Seq("head", "head", "head", "middle", "middle", "tail", "tail"))
+    // ranks are the global 1..n rank, duplicate-free
+    val ranks = got.select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 7L).toSeq)
+  }
+
+  test("clusterBalancedSelect caps every cell and keeps the most-central first") {
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(1.0f, 0.3f)), (3L, Array(1.0f, 0.6f)),
+      (4L, Array(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Corpus.clusterBalancedSelect(df, "vec_id", "embedding",
+        centroids, perCell = 2)
+      .select("cell", "vec_id", "rank").as[(Int, Long, Int)].collect().toSet
+    // cell 1 overflows: doc 3 (least central) is the one dropped
+    assert(got == Set((1, 1L, 1), (1, 2L, 2), (2, 4L, 1)))
+  }
+
   test("stratifiedSample is deterministic and tracks the requested fraction") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("doc_id", "bucket")
