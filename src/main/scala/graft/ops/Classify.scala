@@ -72,4 +72,46 @@ object Classify {
       .select(col(idCol), col("t.cls").as("predicted"),
         round(col("t.score_q") / 1000000.0, 6).as("log_prob"))
   }
+
+  /** Rocchio / nearest-class-centroid classifier over embeddings: each
+    * class's centroid is the per-dimension mean of its labeled
+    * vectors; a test vector takes the class whose centroid it is most
+    * cosine-similar to (ties to the smaller label).
+    *
+    * Determinism: components are quantized to integer micro-units
+    * BEFORE the per-class sum, so centroids are exact rationals
+    * (sum_q / 1e6 / n) at any partitioning and re-derivable in SQL.
+    * Scale shape: the fit is explode-by-dimension → one keyed sum
+    * (classes × dim rows — model-sized); the centroid matrix
+    * broadcasts as a single row and classification is a map-only HOF
+    * argmax — [[Similarity.knnClassify]]'s shape without even the vote
+    * shuffle.
+    */
+  def nearestCentroid(labeled: DataFrame, test: DataFrame, idCol: String,
+                      vecCol: String, labelCol: String): DataFrame = {
+    import graft.ops.Similarity.{dot, norm}
+    val eq = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * 1000000.0 + lit(0.5)).cast("long"))
+    val dims = labeled.select(col(labelCol).cast("int").as("lab"),
+        posexplode(eq).as(Seq("i", "q")))
+      .groupBy("lab", "i").agg(sum("q").as("sq"), count(lit(1)).as("n"))
+    val cents = dims.groupBy("lab")
+      .agg(array_sort(collect_list(struct(col("i"),
+        (col("sq") / 1000000.0 / col("n")).as("x")))).as("cs"))
+      .select(col("lab"),
+        transform(col("cs"), c => c.getField("x")).as("ce"))
+      .withColumn("cnrm", norm(col("ce")))
+    val model = cents
+      .agg(collect_list(struct(col("ce"), col("cnrm"), col("lab"))).as("M"))
+    test.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .crossJoin(broadcast(model))
+      .select(col(idCol),
+        array_min(transform(col("M"), m =>
+          struct((-dot(col("e"), m.getField("ce")) /
+              (col("nrm") * m.getField("cnrm"))).as("neg_cos"),
+            m.getField("lab").as("lab")))).as("t"))
+      .select(col(idCol), col("t.lab").as("label_pred"),
+        round(-col("t.neg_cos"), 6).as("cos"))
+  }
 }

@@ -44,6 +44,40 @@ object Similarity {
       .drop("scores")
   }
 
+  /** kNN label propagation (the embedding-space label-transfer stage: a
+    * small hand-labeled seed set labels the whole corpus): each
+    * unlabeled vector takes the majority label of its k nearest labeled
+    * vectors by cosine; vote ties break to the smaller label, neighbor
+    * ties at equal cosine to the smaller label (label-id-free — the
+    * seed set needs no stable ids).
+    *
+    * Scale shape: the labeled matrix aggregates to ONE broadcast row
+    * (it is the model, like [[graft.ops.Corpus.embeddingContamination]]'s
+    * eval matrix), the per-vector top-k is a map-only higher-order
+    * sort over that array, and only k vote rows per vector reach the
+    * keyed count — nothing pairwise ever materializes.
+    */
+  def knnClassify(unlabeled: DataFrame, labeled: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, keep: Seq[Column]) =
+      df.select(keep :+ col(vecCol).cast("array<double>").as("e"): _*)
+        .withColumn("nrm", norm(col("e")))
+    val lab = prep(labeled, Seq(col(labelCol).cast("int").as("lab")))
+      .agg(collect_list(struct(col("e"), col("nrm"), col("lab"))).as("L"))
+    val topk = prep(unlabeled, Seq(col(idCol).as("id")))
+      .crossJoin(broadcast(lab))
+      .select(col("id"), explode(slice(array_sort(transform(col("L"), v =>
+        struct((-dot(col("e"), v.getField("e")) /
+            (col("nrm") * v.getField("nrm"))).as("neg_cos"),
+          v.getField("lab").as("lab")))), 1, k)).as("t"))
+    val w = Window.partitionBy("id").orderBy(col("votes").desc, col("pred"))
+    topk.groupBy(col("id"), col("t.lab").as("pred"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("id").as(idCol), col("pred").as("label_pred"), col("votes"))
+  }
+
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding itself). Query side is broadcast; norms are
     * precomputed once per side.

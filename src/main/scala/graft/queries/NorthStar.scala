@@ -380,6 +380,29 @@ object NorthStar {
         .orderBy("cell", "rank")
     }),
 
+    // kNN label propagation: the held-out fifth takes the majority
+    // label of its 7 nearest labeled vectors — broadcast labeled
+    // matrix, map-only top-k, k-row-per-doc vote.
+    "q264_knn_label_prop" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnClassify(
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          "vec_id", "embedding", "label", k = 7)
+        .orderBy("vec_id")
+    }),
+
+    // Rocchio nearest-centroid: micro-quantized per-class mean vectors,
+    // map-only cosine argmax against the broadcast centroid matrix.
+    "q265_nearest_centroid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Classify.nearestCentroid(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+          "vec_id", "embedding", "label")
+        .orderBy("vec_id")
+    }),
+
     // Exact dedup ON THE STREAM: ingest-time duplicate collapse as a
     // streaming stateful aggregation (complete mode, AvailableNow
     // replay) — must produce exactly the batch q24 answer. The state
@@ -1084,6 +1107,48 @@ object NorthStar {
          |        ORDER BY avg_logp DESC, doc_id LIMIT 50)
          |SELECT doc_id, n_bigrams, lp_sum_q, avg_logp
          |FROM sel ORDER BY doc_id""".stripMargin,
+    "q264_knn_label_prop" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+        |l AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+        |s AS (SELECT u.vec_id AS id, l.label AS lab,
+        |    list_sum(list_transform(range(64), i -> u.e[i+1] * l.e[i+1]))
+        |      / (u.nrm * l.nrm) AS cos
+        |  FROM u CROSS JOIN l),
+        |tk AS (SELECT id, lab FROM
+        |  (SELECT id, lab, row_number() OVER
+        |     (PARTITION BY id ORDER BY cos DESC, lab) AS rn FROM s)
+        |  WHERE rn <= 7),
+        |vt AS (SELECT id, lab, count(*) AS votes FROM tk GROUP BY id, lab),
+        |p AS (SELECT id, lab, votes, row_number() OVER
+        |    (PARTITION BY id ORDER BY votes DESC, lab) AS rn FROM vt)
+        |SELECT id AS vec_id, lab AS label_pred, votes
+        |FROM p WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q265_nearest_centroid" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |q AS (SELECT vec_id, label, e,
+        |    list_transform(e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS eq
+        |  FROM v),
+        |l AS (SELECT * FROM q WHERE vec_id % 5 <> 0),
+        |d AS (SELECT label AS lab, r.i AS i, sum(eq[r.i + 1]) AS sq, count(*) AS n
+        |  FROM l, range(64) r(i) GROUP BY label, r.i),
+        |c AS (SELECT lab, list(sq / 1000000.0 / n ORDER BY i) AS ce FROM d GROUP BY lab),
+        |cn AS (SELECT lab, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm
+        |  FROM c),
+        |t AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        |  FROM q WHERE vec_id % 5 = 0),
+        |s AS (SELECT t.vec_id, cn.lab,
+        |    list_sum(list_transform(range(64), i -> t.e[i+1] * cn.ce[i+1]))
+        |      / (t.nrm * cn.cnrm) AS cos
+        |  FROM t CROSS JOIN cn),
+        |p AS (SELECT vec_id, lab, cos, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY cos DESC, lab) AS rn FROM s)
+        |SELECT vec_id, lab AS label_pred, round(cos, 6) AS cos
+        |FROM p WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q261_embedding_contamination" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings),

@@ -42,6 +42,41 @@ class ClassifySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("knnClassify takes the majority label among k nearest, ties to smaller label") {
+    import graft.ops.Similarity
+    // labeled: two tight clusters on orthogonal axes
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.95f, 0.05f), 7),
+      (4L, Array(0.0f, 1.0f), 3), (5L, Array(0.1f, 0.9f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val unlabeled = Seq(
+      (10L, Array(0.8f, 0.2f)),   // x-cluster -> 7
+      (11L, Array(0.2f, 0.8f)))   // y-cluster -> 3 (2 of top-3 votes)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnClassify(unlabeled, labeled,
+        "vec_id", "embedding", "label", k = 3)
+      .select("vec_id", "label_pred").as[(Long, Int)].collect().toMap
+    assert(got == Map(10L -> 7, 11L -> 3))
+  }
+
+  test("nearestCentroid classifies by class-mean cosine and is partitioning-invariant") {
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(0.8f, 0.2f), 7),
+      (3L, Array(0.0f, 1.0f), 3), (4L, Array(0.2f, 0.8f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val test = Seq((10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val a = Classify.nearestCentroid(labeled, test,
+        "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect().toSeq
+    val b = Classify.nearestCentroid(labeled.repartition(7), test.repartition(3),
+        "vec_id", "embedding", "label")
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+    assert(a.map(r => (r.getLong(0), r.getInt(1))) == Seq((10L, 7), (11L, 3)))
+  }
+
   test("scoring joins the model by broadcast; densification is model-sized") {
     val (train, test) = fixture
     val out = Classify.naiveBayes(train, test, "text", "lang", "doc_id")
