@@ -394,6 +394,42 @@ object Corpus {
           tile.cast("int")).as("tercile"))
   }
 
+  /** Token-budget corpus fill: order documents by target-LM fluency
+    * (best first, CCNet's priority) and keep them greedily until the
+    * token budget is exhausted — "fill a B-token training budget with
+    * the most fluent docs". A doc is kept iff the budget is not
+    * already full when it starts (start_tok < budget), so exactly one
+    * doc may straddle the boundary. Token count derives from
+    * [[lmScore]]'s bigram count (n_tok = n_bigrams + 1 for
+    * whitespace tokens); sub-2-token docs are out of scope, as in
+    * lmScore itself.
+    *
+    * The running token total is the same banded two-level prefix sum
+    * as [[lmTerciles]] — never a single-partition window over the
+    * corpus.
+    */
+  def tokenBudgetFill(raw: DataFrame, target: DataFrame, textCol: String,
+                      idCol: String, budget: Long,
+                      buckets: Int = 256): DataFrame = {
+    val scored = lmScore(raw, target, textCol, idCol, buckets)
+      .withColumn("n_tok", col("n_bigrams") + 1)
+    val band = (-floor(col("avg_logp") * 100.0)).cast("long")
+    val wIn = Window.partitionBy("__band")
+      .orderBy(col("avg_logp").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("__band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val banded = scored.withColumn("__band", band)
+    val offsets = banded.groupBy("__band").agg(sum(col("n_tok")).as("__t"))
+      .withColumn("__off", sum(col("__t")).over(wOff) - col("__t"))
+      .drop("__t")
+    banded.join(broadcast(offsets), Seq("__band"))
+      .withColumn("start_tok",
+        col("__off") + sum(col("n_tok")).over(wIn) - col("n_tok"))
+      .where(col("start_tok") < budget)
+      .select(col(idCol), col("avg_logp"), col("n_tok"), col("start_tok"))
+  }
+
   /** Cluster-balanced selection (the DataComp/DoReMi-adjacent topic
     * balancer): assign every embedding to its nearest coarse k-means
     * cell (the same init-only quantizer contract as SemDeDup) and keep

@@ -380,6 +380,16 @@ object NorthStar {
         .orderBy("cell", "rank")
     }),
 
+    // Token-budget fill: the most target-fluent docs greedily fill a
+    // 12k-token training budget (banded prefix sum, no global window).
+    "q266_token_budget_fill" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.tokenBudgetFill(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id",
+          budget = 12000L, 256)
+        .orderBy("doc_id")
+    }),
+
     // kNN label propagation: the held-out fifth takes the majority
     // label of its 7 nearest labeled vectors — broadcast labeled
     // matrix, map-only top-k, k-row-per-doc vote.
@@ -1107,6 +1117,16 @@ object NorthStar {
          |        ORDER BY avg_logp DESC, doc_id LIMIT 50)
          |SELECT doc_id, n_bigrams, lp_sum_q, avg_logp
          |FROM sel ORDER BY doc_id""".stripMargin,
+    "q266_token_budget_fill" ->
+      s"""WITH $lmCtes,
+         |tb AS (SELECT doc_id, avg_logp,
+         |    CAST(n_bigrams + 1 AS BIGINT) AS n_tok,
+         |    CAST(coalesce(sum(n_bigrams + 1) OVER (ORDER BY avg_logp DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_tok
+         |  FROM lm)
+         |SELECT doc_id, avg_logp, n_tok, start_tok
+         |FROM tb WHERE start_tok < 12000 ORDER BY doc_id""".stripMargin,
     "q264_knn_label_prop" ->
       """WITH v AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

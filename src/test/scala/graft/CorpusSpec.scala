@@ -217,6 +217,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(ranks.toSeq == (1L to 7L).toSeq)
   }
 
+  test("tokenBudgetFill equals the global-window greedy fill on fixture docs") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val raw = docs.filter(col("source") =!= "src0")
+    val tgt = docs.filter(col("source") === "src0")
+    val budget = 1500L
+    val got = Corpus.tokenBudgetFill(raw, tgt, "text", "doc_id", budget)
+      .select("doc_id", "start_tok").as[(Long, Long)].collect().toMap
+    // reference: the same greedy rule with a plain global window
+    val exp = Corpus.lmScore(raw, tgt, "text", "doc_id")
+      .withColumn("n_tok", col("n_bigrams") + 1)
+      .withColumn("start", coalesce(sum("n_tok").over(
+        Window.orderBy(col("avg_logp").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("start") < budget)
+      .select("doc_id", "start").as[(Long, Long)].collect().toMap
+    assert(got == exp && got.nonEmpty)
+    // greedy contract: every kept doc starts inside the budget
+    assert(got.values.forall(_ < budget))
+  }
+
   test("clusterBalancedSelect caps every cell and keeps the most-central first") {
     val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val df = Seq(
