@@ -235,7 +235,13 @@ object Corpus {
       .select(col(idCol), bucket(col("g")).as("b"))
     val tb = target.select(explode(grams(col(textCol))).as("g"))
       .select(bucket(col("g")).as("b"))
-    val rc = rb.groupBy("b").agg(count(lit(1)).as("rc"))
+    // One explode + one (doc, bucket) shuffle serves BOTH the raw
+    // model fit and the per-doc scoring: rc derives from db (identical
+    // subtree → ReusedExchange, the gram stream is never re-exploded),
+    // and the scoring join input shrinks from |grams| rows to
+    // |distinct (doc, bucket)|.
+    val db = rb.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
+    val rc = db.groupBy("b").agg(sum(col("n")).as("rc"))
     val tc = tb.groupBy("b").agg(count(lit(1)).as("tc"))
     val totals = rc.agg(sum(col("rc")).as("rt"))
       .crossJoin(tc.agg(sum(col("tc")).as("tt")))
@@ -248,9 +254,9 @@ object Corpus {
         floor((log(col("tc") + 1.0) - log(col("tt") + buckets.toDouble)
           - log(col("rc") + 1.0) + log(col("rt") + buckets.toDouble))
           * 1000000.0 + 0.5).cast("long").as("lr_q"))
-    rb.join(broadcast(lr), "b")
+    db.join(broadcast(lr), "b")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"), sum(col("lr_q")).as("wq"))
+      .agg(sum(col("n")).as("n_grams"), sum(col("n") * col("lr_q")).as("wq"))
   }
 
   /** [[dsirWeights]] + the deterministic selection step: the k most

@@ -517,14 +517,20 @@ object NorthStar {
     // whole chain re-derives in SQL end-to-end.
     "q253_dedup_semantic_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // Each stage's output feeds >1 downstream job (the kmeansFit
+      // action + the final collect, which itself reads kept twice and
+      // runs CC's iterative jobs) — lazy localCheckpoints materialize
+      // every stage exactly once and truncate the growing lineage, the
+      // standard stage-boundary move for a multi-job pipeline.
       val keepers = Dedup.exact(docs, "text", "doc_id")
-        .select(col("keeper_id").as("doc_id"))
-      val kept = docs.join(keepers, "doc_id")
+        .select(col("keeper_id").as("doc_id")).localCheckpoint(false)
+      val kept = docs.join(keepers, "doc_id").localCheckpoint(false)
       val lexPairs = Dedup
         .ngramJaccard(kept, "text", "doc_id", NGRAM, K, BANDS, 0.8)
         .select("doc_a", "doc_b")
       val keptEmb = t(s, dir, "embeddings")
         .join(keepers.select(col("doc_id").as("vec_id")), "vec_id")
+        .localCheckpoint(false)
       val model = keptEmb.agg(graft.functions.MlAggregators.kmeansFit(
           col("embedding").cast("array<double>"), 8, iters = 0).as("m"))
         .head().getString(0)
