@@ -460,6 +460,25 @@ object Corpus {
         round(col("cell_cos"), 6).cast("float").as("cos"), col("rank"))
   }
 
+  /** Deterministic training-shard layout (the WebDataset/tar-shard
+    * prep): every document lands in shard `h60(id) % nShards` with a
+    * pseudo-random but reproducible within-shard position, and
+    * `global_pos = pos * nShards + shard` is the round-robin interleave
+    * — a full deterministic corpus shuffle for training order with NO
+    * global sort: the only sorts are per-shard, so parallelism =
+    * nShards and each task is |corpus|/nShards (grow nShards with the
+    * corpus; a real writer keys the output files by shard).
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val h = Dedup.h60(col(idCol).cast("string"))
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), h.as("__h"),
+        pmod(h, lit(nShards.toLong)).cast("int").as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .withColumn("global_pos", col("pos") * nShards + col("shard"))
+      .drop("__h")
+  }
+
   /** Deterministic hash-based stratified sampling: keep a row iff its
     * id hashes under the stratum's fraction — reproducible across runs,
     * engines, and partitionings (no RNG, no seed plumbing), the

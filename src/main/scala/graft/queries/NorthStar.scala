@@ -380,6 +380,12 @@ object NorthStar {
         .orderBy("cell", "rank")
     }),
 
+    // Deterministic shard layout + round-robin interleave: the
+    // training-order shuffle with no global sort.
+    "q267_shard_assign" -> ((s, dir) =>
+      Corpus.shardAssign(t(s, dir, "documents"), "doc_id", 8)
+        .orderBy("doc_id")),
+
     // Token-budget fill: the most target-fluent docs greedily fill a
     // 12k-token training budget (banded prefix sum, no global window).
     "q266_token_budget_fill" -> ((s, dir) => {
@@ -1123,6 +1129,15 @@ object NorthStar {
          |        ORDER BY avg_logp DESC, doc_id LIMIT 50)
          |SELECT doc_id, n_bigrams, lp_sum_q, avg_logp
          |FROM sel ORDER BY doc_id""".stripMargin,
+    "q267_shard_assign" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) AS hh FROM documents),
+         |p AS (SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+         |    CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1
+         |      AS BIGINT) AS pos
+         |  FROM h)
+         |SELECT doc_id, shard, pos, pos * 8 + shard AS global_pos
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q266_token_budget_fill" ->
       s"""WITH $lmCtes,
          |tb AS (SELECT doc_id, avg_logp,

@@ -251,6 +251,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == Set((1, 1L, 1), (1, 2L, 2), (2, 4L, 1)))
   }
 
+  test("shardAssign permutes deterministically with contiguous per-shard positions") {
+    val df = (1L to 1000L).toDF("doc_id")
+    val got = Corpus.shardAssign(df, "doc_id", 8)
+      .select("doc_id", "shard", "pos", "global_pos")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.map(_._2).toSet == (0 until 8).toSet)
+    for ((sh, rows) <- got.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $sh positions not contiguous")
+    // round-robin interleave is injective and actually shuffles
+    assert(got.map(_._4).distinct.length == 1000)
+    assert(got.sortBy(_._4).map(_._1).take(20).toSeq != (1L to 20L).toSeq)
+    // partitioning-invariant
+    val again = Corpus.shardAssign(df.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos", "global_pos")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("stratifiedSample is deterministic and tracks the requested fraction") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("doc_id", "bucket")
