@@ -121,15 +121,45 @@ object Corpus {
     * collect_list is bounded by a single document's length (never
     * corpus-wide), and every join is keyed by span or (doc, position).
     */
-  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
-                           n: Int = 8): DataFrame = {
+  /** Word positions of `df` covered by any n-gram span that also
+    * occurs in another document (doc-freq >= 2) — the shared
+    * corpus-wide stage of [[removeDuplicateSpans]] and
+    * [[duplicateSpanRuns]]: one span-frequency shuffle + one
+    * span→doc join-back.
+    */
+  private def coveredPositions(df: DataFrame, textCol: String,
+                               idCol: String, n: Int): DataFrame = {
     val sp = df.select(col(idCol),
       posexplode(Dedup.shingles(col(textCol), n)).as(Seq("pos", "span")))
     val freq = sp.groupBy("span").agg(countDistinct(col(idCol)).as("dfreq"))
-    val covered = sp.join(freq.where(col("dfreq") >= 2), "span")
+    sp.join(freq.where(col("dfreq") >= 2), "span")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("wi"))
       .distinct()
+  }
+
+  /** Per-document MAXIMAL duplicated spans (the reporting half of Lee
+    * et al. 2022's ExactSubstr dedup, at n-gram window granularity):
+    * word positions covered by cross-document duplicate windows merge
+    * into maximal runs by per-doc gaps-and-islands — (doc, span start,
+    * span length). The only per-doc step is a window partitioned by
+    * document; everything corpus-wide is the same span-frequency
+    * shuffle as [[duplicateSpanStats]].
+    */
+  def duplicateSpanRuns(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 8): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy("wi")
+    coveredPositions(df, textCol, idCol, n)
+      .withColumn("__grp", col("wi") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("wi")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+  }
+
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 8): DataFrame = {
+    val covered = coveredPositions(df, textCol, idCol, n)
     val words = df.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("wi", "w")))
     val kept = words.join(covered, Seq(idCol, "wi"), "left_anti")

@@ -380,6 +380,12 @@ object NorthStar {
         .orderBy("cell", "rank")
     }),
 
+    // Maximal duplicated-span runs (Lee et al. ExactSubstr reporting):
+    // gaps-and-islands merge of duplicate-covered word positions.
+    "q268_dup_span_runs" -> ((s, dir) =>
+      Corpus.duplicateSpanRuns(t(s, dir, "documents"), "text", "doc_id", 8)
+        .orderBy("doc_id", "span_start")),
+
     // Deterministic shard layout + round-robin interleave: the
     // training-order shuffle with no global sort.
     "q267_shard_assign" -> ((s, dir) =>
@@ -1129,6 +1135,22 @@ object NorthStar {
          |        ORDER BY avg_logp DESC, doc_id LIMIT 50)
          |SELECT doc_id, n_bigrams, lp_sum_q, avg_logp
          |FROM sel ORDER BY doc_id""".stripMargin,
+    "q268_dup_span_runs" -> {
+      val sh8 = Dedup.shinglesSql("text", 8)
+      s"""WITH d AS (SELECT doc_id, $sh8 AS sh FROM documents),
+         |sp AS (SELECT doc_id, g.i - 1 AS pos, sh[g.i] AS span
+         |  FROM d, unnest(range(1, len(sh) + 1)) g(i)),
+         |freq AS (SELECT span, count(DISTINCT doc_id) AS dfreq FROM sp GROUP BY span),
+         |cov AS (SELECT DISTINCT sp.doc_id, sp.pos + j.jj AS wi
+         |  FROM sp JOIN freq USING(span), unnest(range(0, 8)) j(jj)
+         |  WHERE dfreq >= 2),
+         |g AS (SELECT doc_id, wi,
+         |    wi - row_number() OVER (PARTITION BY doc_id ORDER BY wi) AS grp
+         |  FROM cov)
+         |SELECT doc_id, CAST(min(wi) AS BIGINT) AS span_start,
+         |  count(*) AS span_len
+         |FROM g GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    },
     "q267_shard_assign" ->
       s"""WITH h AS (SELECT doc_id,
          |    (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) AS hh FROM documents),

@@ -178,6 +178,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(sel.toSeq == Seq(1L))
   }
 
+  test("duplicateSpanRuns merges overlapping duplicate windows into one maximal run") {
+    val boiler = "one two three four five six seven eight nine ten"  // 10 shared words
+    val a = s"alpha beta gamma delta epsilon zeta eta theta $boiler"
+    val b = s"$boiler iota kappa lambda mu nu xi omicron pi"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val runs = Corpus.duplicateSpanRuns(df, "text", "doc_id", 8)
+      .select("doc_id", "span_start", "span_len")
+      .as[(Long, Long, Long)].collect().toSet
+    // three 8-gram windows over the 10 shared words merge into ONE
+    // 10-word run per doc: at the end of doc 1, the start of doc 2
+    assert(runs == Set((1L, 8L, 10L), (2L, 0L, 10L)))
+  }
+
   test("embeddingContamination flags the copied eval vector, not the orthogonal one") {
     val evalDf = Seq((900L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
