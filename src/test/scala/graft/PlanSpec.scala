@@ -177,6 +177,59 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("embeddingContamination: broadcast eval matrix, zero corpus shuffle") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val p = plan(graft.ops.Corpus.embeddingContamination(
+      emb.filter(col("vec_id") >= 16), emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", 0.2))
+    // the 1-row eval model reaches the corpus as a broadcast nested-loop
+    // (free: one row), and the corpus side never hash-shuffles
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 0, s"corpus-side shuffle in map-only op ($keyed):\n${p.take(3000)}")
+  }
+
+  test("classifier models join broadcast: knn votes shuffle k rows, Rocchio none") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val (u, l) = (emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+    val knn = plan(graft.ops.Similarity.knnClassify(
+      u, l, "vec_id", "embedding", "label", 7))
+    assert(knn.contains("BroadcastNestedLoopJoin") &&
+      !knn.contains("SortMergeJoin"), knn.take(3000))
+    val rocchio = plan(graft.ops.Classify.nearestCentroid(
+      l, u, "vec_id", "embedding", "label"))
+    assert(rocchio.contains("BroadcastNestedLoopJoin") &&
+      !rocchio.contains("SortMergeJoin"), rocchio.take(3000))
+    // Rocchio classify is map-only: its exchanges are all model-sized
+    // (the per-(class, dim) fit), never keyed by the test corpus
+    assert(!rocchio.contains("hashpartitioning(vec_id"),
+      s"test-corpus shuffle in Rocchio plan:\n${rocchio.take(3000)}")
+  }
+
+  test("fluency rank ops: the only single-partition exchange is the band-offsets frame") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val (raw, tgt) = (docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"))
+    for ((name, df) <- Seq(
+        "lmTerciles" -> graft.ops.Corpus.lmTerciles(raw, tgt, "text", "doc_id"),
+        "tokenBudgetFill" -> graft.ops.Corpus.tokenBudgetFill(
+          raw, tgt, "text", "doc_id", 12000L))) {
+      val p = plan(df)
+      val sp = "Exchange SinglePartition".r.findAllIn(p).length
+      assert(sp == 1,
+        s"$name: expected 1 SinglePartition exchange (band offsets), got $sp:\n${p.take(3000)}")
+      assert(p.contains("BroadcastHashJoin"), s"$name offsets not broadcast back")
+    }
+  }
+
+  test("shardAssign sorts per shard only — no single-partition exchange anywhere") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val p = plan(graft.ops.Corpus.shardAssign(docs, "doc_id", 8))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global sort leaked into shard layout:\n${p.take(3000)}")
+  }
+
   test("contaminationBloom probes the bloom MAP-SIDE, below the exact join") {
     val docs = graft.core.Tables(spark, dir, "documents")
     val df = graft.ops.Corpus.contaminationBloom(
