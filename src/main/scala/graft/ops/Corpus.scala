@@ -543,4 +543,65 @@ object Corpus {
     stratifiedSample(df.join(broadcast(frac), groupCol), idCol, col("__f"))
       .drop("__f")
   }
+
+  /** Line/segment-level boilerplate removal (RefinedWeb, Penedo et al.
+    * 2023 §3; CCNet's paragraph dedup): drop every segment whose exact
+    * content recurs in >= `minDocs` DISTINCT documents (headers,
+    * navboxes, cookie banners, license footers), keeping each doc's
+    * remaining segments in original order. On a corpus without line
+    * structure the segment is a fixed `segWords`-word chunk; with real
+    * line-delimited text the same op applies to the line split.
+    *
+    * Shape: one segment explode → distinct-doc frequency keyed by the
+    * segment content → anti-join back keyed the same way → per-doc
+    * ordered reassembly (sort_array over (idx, seg) structs) — the
+    * [[removeDuplicateSpans]] skeleton with a doc-frequency gate, so the
+    * corpus-wide work is two keyed shuffles regardless of scale.
+    */
+  def removeRepeatedSegments(df: DataFrame, textCol: String, idCol: String,
+                             segWords: Int = 10, minDocs: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    val segArr = transform(
+      sequence(lit(0), floor((size(w) - 1) / lit(segWords)).cast("int")),
+      i => concat_ws(" ", slice(w, i * segWords + 1, lit(segWords))))
+    val segs = df.select(col(idCol),
+      posexplode(segArr).as(Seq("seg_idx", "seg")))
+    val boiler = segs.select(col(idCol), col("seg")).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs).select("seg")
+    val kept = segs.join(boiler, Seq("seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(segArr).cast("long").as("n_segs"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis, IPL
+    * 97(5), 2006): select `k` docs with inclusion probability
+    * proportional to `weightCol`, as one map pass + a top-k — the
+    * distributed-safe form of weighted selection (no sequential draws,
+    * no rejection loop, no RNG state). Each doc gets the E-S key
+    * ln(u)/w with u a deterministic md5-uniform in (0,1]; the k LARGEST
+    * keys are exactly an E-S sample (equivalent to ranking u^(1/w)).
+    *
+    * Keys are micro-nat quantized with an id tie-break (the
+    * lmScore/dsirWeights determinism contract), so the selected set is
+    * engine- and partitioning-exact. The top-k executes as
+    * TakeOrderedAndProject — per-partition heaps, no global sort — so
+    * at 100 TB the shuffle carries k rows per partition, not the corpus.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (pmod(Dedup.h60(col(idCol).cast("string")), lit(Dedup.P)) + 1)
+      .cast("double") / (Dedup.P + 1).toDouble
+    df.select(col(idCol), col(weightCol),
+        floor(log(u) / col(weightCol) * 1e6).cast("long").as("es_key"))
+      .orderBy(col("es_key").desc, col(idCol)).limit(k)
+  }
 }

@@ -300,4 +300,159 @@ object Dedup {
         least(col("u"), col("v")).as("component")))
       .distinct()
   }
+
+  /** Incremental (snapshot + delta) dedup: admit only the `batch` docs
+    * that are new w.r.t. an existing `corpus` — the production shape for
+    * a continuously-curated corpus, where re-deduplicating 100 TB for a
+    * sub-percent daily delta is not an option. Stages, all
+    * candidates-then-verify (never a corpus×batch product):
+    *
+    *  1. intra-batch exact — only the first (min-id) copy per content
+    *     hash can be admitted;
+    *  2. cross exact — drop batch docs whose content hash already exists
+    *     in the corpus (one shuffle keyed by the hash; at scale the
+    *     corpus hash set is a persisted index, re-derived here so the
+    *     whole op stays SQL-re-derivable);
+    *  3. cross near-dup — LSH bands of the surviving batch docs,
+    *     BROADCAST (the delta is small by definition) against the corpus
+    *     band stream, so the 100 TB side never shuffles for candidate
+    *     generation; candidates are then exact-n-gram-Jaccard verified at
+    *     `threshold`, with the corpus gram explode semi-join-pruned to
+    *     candidate ids first.
+    *
+    * Returns one row per batch doc: (idCol, decision), decision ∈
+    * {dup_exact_corpus, dup_exact_batch, near_dup_corpus, admitted},
+    * checked in that order. Batch-internal NEAR-dups are deliberately
+    * both admitted — the standing corpus pipeline (q81/q253) owns
+    * intra-corpus near-dedup; this op's contract is delta-vs-snapshot.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       textCol: String, idCol: String,
+                       n: Int = 3, k: Int = 16, bands: Int = 4,
+                       threshold: Double = 0.8): DataFrame = {
+    val hash = md5(col(textCol).cast("binary"))
+    val b = batch.select(col(idCol), col(textCol), hash.as("content_hash"))
+    val firstPerHash = b.groupBy("content_hash")
+      .agg(min(col(idCol)).as("first_id"))
+    val corpusHash = corpus.select(hash.as("content_hash")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val flagged = b.join(firstPerHash, "content_hash")
+      .join(corpusHash, Seq("content_hash"), "left")
+    val survivors = flagged
+      .where(col("in_corpus").isNull && col(idCol) === col("first_id"))
+      .select(col(idCol), col(textCol))
+    val rows = k / bands
+    val bandB = broadcast(
+      lshBands(minhashSignatures(survivors, textCol, idCol, n, k),
+        idCol, bands, rows).toDF("batch_id", "band", "band_hash"))
+    val bandC =
+      lshBands(minhashSignatures(corpus, textCol, idCol, n, k),
+        idCol, bands, rows).toDF("corpus_id", "band", "band_hash")
+    val cand = bandC.join(bandB, Seq("band", "band_hash"))
+      .select("batch_id", "corpus_id").distinct()
+    val gB = survivors.select(col(idCol).as("batch_id"),
+      explode(shingles(col(textCol), n)).as("g")).distinct()
+    val gC = corpus
+      .join(cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol))
+      .select(col(idCol).as("corpus_id"),
+        explode(shingles(col(textCol), n)).as("g")).distinct()
+    val szB = gB.groupBy("batch_id").agg(count(lit(1)).as("nb"))
+    val szC = gC.groupBy("corpus_id").agg(count(lit(1)).as("nc"))
+    val near = cand
+      .join(gB, "batch_id").join(gC, Seq("corpus_id", "g"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("i"))
+      .join(szB, "batch_id").join(szC, "corpus_id")
+      .where(col("i").cast("double") /
+        (col("nb") + col("nc") - col("i")) >= threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+      .withColumn("near_corpus", lit(true))
+    flagged.join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("in_corpus").isNotNull, lit("dup_exact_corpus"))
+          .when(col(idCol) =!= col("first_id"), lit("dup_exact_batch"))
+          .when(col("near_corpus").isNotNull, lit("near_dup_corpus"))
+          .otherwise(lit("admitted")).as("decision"))
+  }
+
+  /** SoftDeDup: duplicate REWEIGHTING instead of removal (He et al.,
+    * "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    * Language Model Pre-training", ACL 2024). Every doc stays in the
+    * corpus, but its sampling weight is divided by its duplicate-cluster
+    * size, so a 50-copy boilerplate cluster contributes ~one doc of
+    * expected training mass while hard removal's information loss is
+    * avoided. Clusters are the transitive closure of near-duplicate
+    * pairs ([[ngramJaccard]] → [[connectedComponents]]; exact copies
+    * have Jaccard 1, so they need no separate stage); docs in no pair
+    * are singletons with weight 1.
+    *
+    * The weight is the exact integer `1_000_000 / cluster_size`
+    * (micro-units, floor), so results are partitioning- and
+    * engine-exact. Shape: the dedup pipeline's own shuffles + one
+    * groupBy(component) count + a keyed join-back — nothing new at scale
+    * beyond what q240 already measures.
+    */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, k: Int = 16, bands: Int = 4,
+                       threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccard(df, textCol, idCol, n, k, bands, threshold)
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("doc_id", idCol)
+    val withComp = df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val sizes = withComp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    withComp.join(sizes, "component")
+      .select(col(idCol), col("component"), col("cluster_size"),
+        call_function("div", lit(1000000L), col("cluster_size"))
+          .as("weight_micro"))
+  }
+
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * signature-agreement estimate ĵ = |{i : sa_i = sb_i}| / k next to
+    * the exact n-gram Jaccard — the measurement that tells an operator
+    * how many signature rows a target similarity band actually needs
+    * (E[ĵ] = J, σ = sqrt(J(1−J)/k)), instead of guessing k. "Measure,
+    * don't guess" applied to the dedup index itself; run it on a sample
+    * before committing a 100 TB signature layout.
+    *
+    * All similarity numbers are exact integer micro-units (integer
+    * division), so the report is engine- and partitioning-exact. Shape:
+    * the signature aggregate is computed ONCE and feeds both the band
+    * self-join and the per-side signature lookup (ReusedExchange); the
+    * exact-Jaccard stage is the candidates-then-verify skeleton of
+    * [[ngramJaccard]].
+    */
+  def minhashCalibration(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, n, k)
+    val b = lshBands(sigs, idCol, bands, k / bands)
+    val cand = b.toDF("doc_a", "band", "band_hash")
+      .join(b.toDF("doc_b", "band", "band_hash"), Seq("band", "band_hash"))
+      .where(col("doc_a") < col("doc_b")).select("doc_a", "doc_b").distinct()
+    val sa = sigs.toDF("doc_a" +: (0 until k).map(i => s"a$i"): _*)
+    val sb = sigs.toDF("doc_b" +: (0 until k).map(i => s"b$i"): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val g = df.select(col(idCol).as("did"),
+      explode(shingles(col(textCol), n)).as("g")).distinct()
+    val sizes = g.groupBy("did").agg(count(lit(1)).as("ng"))
+    val inter = cand.join(g.toDF("doc_a", "g"), "doc_a")
+      .join(g.toDF("doc_b", "g"), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("sig_matches", matches)
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"), col("sig_matches"),
+        call_function("div", col("sig_matches") * lit(1000000L),
+          lit(k.toLong)).as("est_micro"),
+        call_function("div", col("i") * lit(1000000L),
+          col("na") + col("nb") - col("i")).as("jac_micro"))
+      .withColumn("err_micro", abs(col("est_micro") - col("jac_micro")))
+  }
 }

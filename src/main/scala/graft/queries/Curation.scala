@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Corpus, Dedup}
+import Q._
+
+/** Round-7 curation tranche: incremental (snapshot+delta) dedup, soft
+  * dedup reweighting, segment-level boilerplate removal, weighted
+  * sampling without replacement, MinHash estimator calibration, and the
+  * sketch-cardinality tolerance contract. Oracle SQL is generated from
+  * the same constants as the Scala operators (the NorthStar pattern) so
+  * both engines evaluate the identical algorithm.
+  */
+object Curation {
+
+  private val K = 16; private val BANDS = 4; private val NGRAM = 3
+
+  val queries: Map[String, QFn] = Map(
+    // Incremental dedup: the corpus is doc_id % 5 != 0, the incoming
+    // delta is doc_id % 5 == 0 — a deterministic 80/20 snapshot/delta
+    // split both engines re-derive. One decision row per batch doc.
+    "q269_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+      Dedup.incrementalDedup(corpus, batch, "text", "doc_id",
+          NGRAM, K, BANDS, 0.8)
+        .orderBy("doc_id")
+    }),
+
+    // SoftDeDup: every doc keeps an exact integer micro-weight
+    // 1e6 / duplicate-cluster-size; singletons weigh 1.0.
+    "q270_soft_dedup" -> ((s, dir) => {
+      Dedup.softDedupWeights(t(s, dir, "documents"), "text", "doc_id",
+          NGRAM, K, BANDS, 0.8)
+        .orderBy("doc_id")
+    }),
+
+    // Segment-level boilerplate removal: fixed 10-word segments, drop
+    // any segment recurring in >= 2 distinct docs, reassemble in order.
+    "q271_boilerplate_segments" -> ((s, dir) => {
+      Corpus.removeRepeatedSegments(t(s, dir, "documents"), "text",
+          "doc_id", segWords = 10, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // 40 docs, inclusion probability proportional to n_chars.
+    "q272_weighted_sample" -> ((s, dir) => {
+      Corpus.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", 40)
+        .orderBy("doc_id")
+    }),
+
+    // MinHash calibration: signature-agreement estimate vs exact
+    // Jaccard for every LSH candidate pair, integer micro-units.
+    "q273_minhash_calibration" -> ((s, dir) => {
+      Dedup.minhashCalibration(t(s, dir, "documents"), "text", "doc_id",
+          NGRAM, K, BANDS)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Sketch-cardinality tolerance contract (the q22 t-digest pattern):
+    // the gate row carries the EXACT per-type distinct-user count plus
+    // an engine-evaluated claim that the HLL++ sketch (rsd=0.02) lands
+    // within 10% (5 sigma) of it — the oracle pins the claim to TRUE.
+    // At 100 TB the sketch is the only viable distinct count; this row
+    // proves its error contract instead of assuming it.
+    "q274_hll_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("__n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.1).as("within_tol"))
+        .orderBy("event_type")
+    }))
+
+  // ---- generated oracle SQL ------------------------------------------
+
+  private val sh = Dedup.shinglesSql("text", NGRAM)
+  private def h60(x: String) = Dedup.h60Sql(x)
+  private val P = Dedup.P
+
+  /** MinHash signature CTEs over `src`, CTE names suffixed so two
+    * signature sets (corpus + batch) can coexist in one oracle query.
+    */
+  private def sigCtes(src: String, sfx: String) =
+    s"""sh$sfx AS (SELECT doc_id, unnest($sh) AS sh FROM $src),
+       |h$sfx AS (SELECT doc_id, (${h60("sh")}) % $P AS h FROM sh$sfx),
+       |sig$sfx AS (SELECT doc_id,
+       |${Dedup.perms(K).zipWithIndex.map { case ((a, b), i) =>
+             s"  min(($a * h + $b) % $P) AS s$i" }.mkString(",\n")}
+       |FROM h$sfx GROUP BY doc_id)""".stripMargin
+
+  private def bandsSql(sfx: String) = (0 until BANDS).map { b =>
+    val cols = (b * (K / BANDS) until (b + 1) * (K / BANDS))
+      .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+    s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig$sfx"
+  }.mkString("\nUNION ALL\n")
+
+  val oracles: Map[String, String] = Map(
+    "q269_incremental_dedup" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         |bhash AS (SELECT doc_id, md5(text) AS h FROM batch),
+         |firsts AS (SELECT h, min(doc_id) AS first_id FROM bhash GROUP BY h),
+         |chash AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+         |surv AS (SELECT b.doc_id, b.text FROM batch b
+         |  JOIN bhash ON bhash.doc_id = b.doc_id
+         |  JOIN firsts f ON f.h = bhash.h
+         |  WHERE b.doc_id = f.first_id
+         |    AND bhash.h NOT IN (SELECT h FROM chash)),
+         |${sigCtes("surv", "b")},
+         |${sigCtes("corpus", "c")},
+         |bandsb AS (${bandsSql("b")}),
+         |bandsc AS (${bandsSql("c")}),
+         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM bandsb b JOIN bandsc c ON b.band = c.band AND b.bh = c.bh),
+         |gb AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM surv),
+         |gc AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM corpus
+         |  WHERE doc_id IN (SELECT corpus_id FROM cand)),
+         |szb AS (SELECT doc_id, count(*) AS n FROM gb GROUP BY doc_id),
+         |szc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY doc_id),
+         |inter AS (SELECT cand.batch_id, cand.corpus_id, count(*) AS i
+         |  FROM cand JOIN gb ON gb.doc_id = cand.batch_id
+         |            JOIN gc ON gc.doc_id = cand.corpus_id AND gc.g = gb.g
+         |  GROUP BY 1, 2),
+         |near AS (SELECT DISTINCT batch_id FROM inter
+         |  JOIN szb ON szb.doc_id = inter.batch_id
+         |  JOIN szc ON szc.doc_id = inter.corpus_id
+         |  WHERE CAST(i AS DOUBLE) / (szb.n + szc.n - i) >= 0.8)
+         |SELECT b.doc_id,
+         |  CASE WHEN bhash.h IN (SELECT h FROM chash) THEN 'dup_exact_corpus'
+         |       WHEN b.doc_id <> f.first_id THEN 'dup_exact_batch'
+         |       WHEN b.doc_id IN (SELECT batch_id FROM near) THEN 'near_dup_corpus'
+         |       ELSE 'admitted' END AS decision
+         |FROM batch b
+         |JOIN bhash ON bhash.doc_id = b.doc_id
+         |JOIN firsts f ON f.h = bhash.h
+         |ORDER BY b.doc_id""".stripMargin,
+
+    "q270_soft_dedup" ->
+      s"""WITH RECURSIVE ${sigCtes("documents", "")},
+         |bands AS (${bandsSql("")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT da, db FROM inter
+         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+         |reach AS (SELECT u AS a, v AS b FROM e
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |csize AS (SELECT component, count(*) AS cluster_size
+         |  FROM allc GROUP BY component)
+         |SELECT a.doc_id, a.component, s.cluster_size,
+         |  1000000 // s.cluster_size AS weight_micro
+         |FROM allc a JOIN csize s USING (component)
+         |ORDER BY a.doc_id""".stripMargin,
+
+    "q271_boilerplate_segments" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |si AS (SELECT doc_id, w,
+        |    unnest(range((len(w) - 1) // 10 + 1)) AS seg_idx FROM ws),
+        |segs AS (SELECT doc_id, seg_idx,
+        |    array_to_string(w[seg_idx * 10 + 1 : seg_idx * 10 + 10], ' ') AS seg
+        |  FROM si),
+        |boiler AS (SELECT seg
+        |  FROM (SELECT DISTINCT doc_id, seg FROM segs)
+        |  GROUP BY seg HAVING count(*) >= 2),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |  FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)
+        |  GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_segs,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q272_weighted_sample" ->
+      s"""WITH ks AS (SELECT doc_id, n_chars,
+         |    CAST(floor(ln(((${h60("CAST(doc_id AS VARCHAR)")}) % $P + 1)
+         |      / ${P + 1}.0) / n_chars * 1000000) AS BIGINT) AS es_key
+         |  FROM documents),
+         |sel AS (SELECT * FROM ks ORDER BY es_key DESC, doc_id LIMIT 40)
+         |SELECT doc_id, n_chars, es_key FROM sel ORDER BY doc_id""".stripMargin,
+
+    "q273_minhash_calibration" ->
+      s"""WITH ${sigCtes("documents", "")},
+         |bands AS (${bandsSql("")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |m AS (SELECT cand.da, cand.db,
+         |    CAST(${(0 until K).map(i =>
+               s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS BIGINT) AS sig_matches
+         |  FROM cand JOIN sig sa ON sa.doc_id = cand.da
+         |            JOIN sig sb ON sb.doc_id = cand.db),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, sig_matches, est_micro, jac_micro,
+         |  abs(est_micro - jac_micro) AS err_micro
+         |FROM (SELECT m.da AS doc_a, m.db AS doc_b, m.sig_matches,
+         |    (m.sig_matches * 1000000) // $K AS est_micro,
+         |    (coalesce(i.i, 0) * 1000000)
+         |      // (sa.n + sb.n - coalesce(i.i, 0)) AS jac_micro
+         |  FROM m
+         |  LEFT JOIN inter i ON i.da = m.da AND i.db = m.db
+         |  JOIN sizes sa ON sa.doc_id = m.da
+         |  JOIN sizes sb ON sb.doc_id = m.db)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q274_hll_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

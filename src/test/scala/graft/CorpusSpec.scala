@@ -296,4 +296,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(evenKept - 0.5) < 0.05, s"even kept $evenKept")
     assert(math.abs(oddKept - 0.1) < 0.05, s"odd kept $oddKept")
   }
+
+  test("removeRepeatedSegments drops corpus-wide repeated chunks, keeps order") {
+    // With segWords=3 the shared 6-word prefix forms two aligned
+    // repeated segments in docs 1-2; their 3-word tails and doc 3 stay.
+    val boiler = "subscribe to our newsletter every day"
+    val df = Seq(
+      (1L, s"$boiler unique article one"),
+      (2L, s"$boiler second piece here"),
+      (3L, "entirely singular content kept")
+    ).toDF("doc_id", "text")
+    val got = Corpus.removeRepeatedSegments(df, "text", "doc_id",
+        segWords = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 3L, 1L, "unique article one")), got(0).toString)
+    assert(got(1) == ((2L, 3L, 1L, "second piece here")))
+    assert(got(2) == ((3L, 2L, 2L, "entirely singular content kept")))
+  }
+
+  test("weightedSample is exact-k, partitioning-invariant, and weight-biased") {
+    val df = (1L to 1000L)
+      .map(i => (i, if (i <= 100) 1000L else 1L)) // 100 heavy docs
+      .toDF("doc_id", "w")
+    val a = Corpus.weightedSample(df, "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.weightedSample(df.repartition(13), "doc_id", "w", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 50)
+    // heavy docs are 10% of the corpus but carry ~99% of the weight;
+    // an E-S sample of 50 must be dominated by them
+    assert(a.count(_ <= 100L) >= 40, s"heavy picked ${a.count(_ <= 100L)}")
+  }
 }

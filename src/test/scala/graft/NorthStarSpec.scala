@@ -211,4 +211,54 @@ class NorthStarSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "unknown")
   }
+
+  test("incrementalDedup classifies every delta-vs-snapshot case") {
+    val c2 = "query plan shuffles the fact table by join key and broadcasts " +
+      "the small dimension side to every executor for the hash join stage"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, c2)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact in corpus
+      (11L, "brand new content about catalyst rule ordering in the optimizer"),
+      (12L, "brand new content about catalyst rule ordering in the optimizer"), // copy of 11
+      (13L, c2 + " tonight"), // near-dup of corpus doc 2 (J = 18/19)
+      (14L, "completely fresh text with no relation to anything stored before")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .incrementalDedup(corpus, batch, "text", "doc_id", 3, 16, 4, 0.8)
+      .as[(Long, String)].collect().toMap
+    assert(got(10L) == "dup_exact_corpus", got.toString)
+    assert(got(11L) == "admitted")
+    assert(got(12L) == "dup_exact_batch")
+    assert(got(13L) == "near_dup_corpus", got.toString)
+    assert(got(14L) == "admitted")
+  }
+
+  test("softDedupWeights divides mass by cluster size, singletons keep 1.0") {
+    val dup = "repeated boilerplate text that appears in three documents verbatim today"
+    val df = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "unique document with entirely distinct content and no duplicates at all")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .softDedupWeights(df, "text", "doc_id", 3, 16, 4, 0.8)
+      .select("doc_id", "component", "cluster_size", "weight_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3, g._4)).toSeq == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L),
+      (3L, 1L, 3L, 333333L), (4L, 4L, 1L, 1000000L)))
+  }
+
+  test("minhashCalibration: exact copies estimate J=1 with zero error") {
+    val dup = "identical document text reused verbatim across a pair of rows here"
+    val df = Seq((1L, dup), (2L, dup),
+      (3L, "unrelated filler content that should never collide with the pair")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .minhashCalibration(df, "text", "doc_id", 3, 16, 4)
+      .select("doc_a", "doc_b", "est_micro", "jac_micro", "err_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1000000L, 1000000L, 0L)))
+  }
 }

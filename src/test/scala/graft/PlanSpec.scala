@@ -281,6 +281,26 @@ class PlanSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("incrementalDedup: delta side broadcasts, corpus never shuffles for candidates") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val out = graft.ops.Dedup
+      .incrementalDedup(corpus, batch, "text", "doc_id", 3, 16, 4, 0.8)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the band candidate join builds on the broadcast delta side
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("weightedSample is a TakeOrdered top-k, not a global sort") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val p = graft.ops.Corpus.weightedSample(docs, "doc_id", "n_chars", 40)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
   test("salted two-phase agg equals direct agg and adds a pre-shuffle stage") {
     val t = PxTable(graft.core.Tables(spark, dir, "events"))
     val direct = t.groupbyAgg(Seq("event_type"),
