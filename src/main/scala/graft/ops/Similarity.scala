@@ -251,6 +251,110 @@ object Similarity {
     }
   }
 
+  /** L2 residuals against a coarse quantizer: assigns each vector to
+    * its nearest `cellSeeds` centroid (first-min tie-break) and emits
+    * (idCol, vec, cell, residual = vec − centroid). The shared encode
+    * prefix of [[ivfPqTopK]], exposed so callers can train per-subspace
+    * codebooks ON the residuals (the IVFADC contract) with the same
+    * init-only kmeansFit used everywhere else. Map-only — no shuffle.
+    */
+  def l2Residuals(df: DataFrame, idCol: String, vecCol: String,
+                  cellSeeds: Seq[Seq[Double]]): DataFrame = {
+    def l2(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val dists = array(cellSeeds.map(s => l2(col("ve"), typedLit(s))): _*)
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("ve"))
+      .withColumn("cell",
+        array_position(dists, array_min(dists)).cast("int"))
+      .withColumn("residual",
+        zip_with(col("ve"),
+          element_at(typedLit(cellSeeds), col("cell")), (x, y) => x - y))
+  }
+
+  /** IVFADC (Jégou et al., PAMI 2011 §IV): the full composition a
+    * billion-vector index actually runs — a coarse inverted-file
+    * quantizer of `cellSeeds` cells, product quantization of the
+    * RESIDUAL (vector − cell centroid) with per-subspace `codebooks`,
+    * an ADC scan restricted to each query's `nProbe` closest cells,
+    * and an optional exact rerank of the shortlist.
+    *
+    * 100 TB shape: corpus storage is (cell, m codes) — partition BY
+    * CELL and the probe join prunes to nProbe/nCells of the data at
+    * read time; within a probed cell the scan touches only compressed
+    * codes + the broadcast codebooks. The probe side (queries ×
+    * nProbe rows) broadcasts; the residual/encode pass is map-only.
+    * Combining the [[ivfCosineTopK]] pruning with [[pqTopK]]
+    * compression multiplies their savings — the standard memory/recall
+    * trade curve is tuned by (nCells, nProbe, m, ksub, rerank).
+    *
+    * Determinism contract (same as pqTopK): cell seeds and codebooks
+    * from the init-only kmeansFit canonical picks, first-min encode
+    * and probe ties, (adc, neighbor_id) rank ties — every engine
+    * reproduces the exact result.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int,
+                cellSeeds: Seq[Seq[Double]], nProbe: Int,
+                codebooks: Seq[Seq[Seq[Double]]], rerank: Int = 0): DataFrame = {
+    val m = codebooks.length
+    val sd = dim / m
+    require(m * sd == dim, s"dim $dim must divide into $m subspaces")
+    def sub(vec: Column, j: Int) = slice(vec, j * sd + 1, sd)
+    def l2(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // corpus: cell + residual codes (one map pass; stored form at scale)
+    val enc = l2Residuals(corpus, idCol, vecCol, cellSeeds)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val codes = (0 until m).foldLeft(enc) { (df, j) =>
+      val dists = transform(typedLit(codebooks(j)),
+        cent => l2(sub(col("residual"), j), cent))
+      df.withColumn(s"code_$j",
+        array_position(dists, array_min(dists)).cast("int"))
+    }.drop("ve", "residual")
+    // queries: nProbe closest cells by L2 (dist asc, cell asc on ties)
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qe"))
+    val qDists = array(cellSeeds.map(s => l2(col("qe"), typedLit(s))): _*)
+    val probes = q0.withColumn("probe_cells", slice(transform(
+        sort_array(transform(qDists,
+          (d, i) => struct(d.as("d"), (i + 1).as("idx")))),
+        st => st.getField("idx")), 1, nProbe))
+      .select(col("query_id"), col("qe"),
+        explode(col("probe_cells")).as("cell"))
+      .withColumn("cell", col("cell").cast("int"))
+      // the query residual is against the PROBED cell's centroid
+      .withColumn("qre", zip_with(col("qe"),
+        element_at(typedLit(cellSeeds), col("cell")), (x, y) => x - y))
+    val adc = (0 until m).map { j =>
+      l2(sub(col("qre"), j),
+        element_at(typedLit(codebooks(j)), col(s"code_$j")))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val ranked = codes.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= (if (rerank > 0) rerank else k))
+    if (rerank == 0)
+      ranked.select("query_id", "neighbor_id", "rank", "adc")
+    else {
+      val c0 = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("ce"))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("dist").asc, col("neighbor_id").asc)
+      ranked.select("query_id", "neighbor_id")
+        .join(c0, "neighbor_id")
+        .join(broadcast(q0), "query_id")
+        .withColumn("dist", l2(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    }
+  }
+
   /** DuckDB SQL for one table's sign-LSH bucket id over list column
     * `vecExpr` — generated from the same [[proj]] constants as
     * [[lshBucket]], so both engines compute the identical bucket.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Corpus, Dedup}
+import graft.ops.{Corpus, Dedup, Similarity}
 import Q._
 
 /** Round-7 curation tranche: incremental (snapshot+delta) dedup, soft
@@ -65,6 +65,34 @@ object Curation {
     // within 10% (5 sigma) of it — the oracle pins the claim to TRUE.
     // At 100 TB the sketch is the only viable distinct count; this row
     // proves its error contract instead of assuming it.
+    // IVFADC (q246's PQ composed with coarse cells): cell quantizer and
+    // per-subspace RESIDUAL codebooks both follow the init-only
+    // kmeansFit contract (iters=0, canonical sorted picks) so the
+    // entire index — cells, residuals, codes, probes, ADC — re-derives
+    // in SQL. nProbe=2 of 8 cells; parity config, no rerank (the spec
+    // exercises the Lloyd-refined + rerank deployment config).
+    "q275_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (m, sd, ksub, ncell) = (4, 16, 8, 8)
+      def parse(s0: String) = s0.stripPrefix("[[").stripSuffix("]]")
+        .split("\\],\\[").map(_.split(",").map(_.toDouble).toSeq).toSeq
+      val cells = parse(emb.agg(graft.functions.MlAggregators.kmeansFit(
+          col("embedding").cast("array<double>"), ncell, iters = 0).as("m"))
+        .head().getString(0))
+      val resid = Similarity.l2Residuals(emb, "vec_id", "embedding", cells)
+      val cbRow = resid.agg(
+        graft.functions.MlAggregators.kmeansFit(
+          slice(col("residual"), 1, sd), ksub, iters = 0).as("m0"),
+        (1 until m).map(j => graft.functions.MlAggregators.kmeansFit(
+          slice(col("residual"), j * sd + 1, sd), ksub,
+          iters = 0).as(s"m$j")): _*).head()
+      val cbs = (0 until m).map(j => parse(cbRow.getString(j)))
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", 5, 64, cells, 2, cbs)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q274_hll_distinct" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("event_type")
@@ -99,7 +127,83 @@ object Curation {
     s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig$sfx"
   }.mkString("\nUNION ALL\n")
 
+  /** IVFADC oracle: the q246 per-subspace canonical-pick re-derivation,
+    * extended with the L2 cell quantizer and residual stage. Every tie
+    * break (first-min encode, probe order, rank) and every IEEE sum
+    * order (index-ascending within a subspace, subspace-ascending
+    * across) mirrors the Spark expressions exactly.
+    */
+  private val q275OracleSql: String = {
+    val m = 4; val sd = 16; val ksub = 8; val ncell = 8; val nprobe = 2
+    val subCtes = (0 until m).map { j =>
+      s"""rsub$j AS (SELECT vec_id, re[${j * sd + 1}:${(j + 1) * sd}] AS se FROM resid),
+         |rcv$j AS (SELECT se, row_number() OVER (ORDER BY se) AS rn
+         |  FROM (SELECT DISTINCT se FROM rsub$j) ORDER BY se LIMIT 128),
+         |rcc$j AS (SELECT count(*) AS c FROM rcv$j),
+         |seed$j AS (SELECT r.i + 1 AS sid,
+         |    list_transform(rcv$j.se, x -> round_even(x * 1000000, 0) / 1000000) AS ce
+         |  FROM range($ksub) r(i), rcc$j, rcv$j
+         |  WHERE rcv$j.rn = (r.i * rcc$j.c) // $ksub + 1),
+         |rcd$j AS (SELECT s.vec_id, d.sid,
+         |    list_sum(list_transform(range($sd),
+         |      i -> (s.se[i+1] - d.ce[i+1]) * (s.se[i+1] - d.ce[i+1]))) AS dist
+         |  FROM rsub$j s, seed$j d),
+         |code$j AS (SELECT vec_id, sid AS code FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+         |   FROM rcd$j) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val adcJ = (0 until m).map { j =>
+      s"""list_sum(list_transform(range($sd),
+         |      i -> (cand.re[${j * sd} + i + 1] - s$j.ce[i+1])
+         |         * (cand.re[${j * sd} + i + 1] - s$j.ce[i+1])))""".stripMargin
+    }.mkString("\n    + ")
+    val adcJoins = (0 until m)
+      .map(j => s"JOIN seed$j s$j ON s$j.sid = cand.k$j").mkString("\n  ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |cv AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
+       |  FROM (SELECT DISTINCT e FROM v) ORDER BY e LIMIT 128),
+       |cc AS (SELECT count(*) AS c FROM cv),
+       |cseed AS (SELECT r.i + 1 AS sid,
+       |    list_transform(cv.e, x -> round_even(x * 1000000, 0) / 1000000) AS ce
+       |  FROM range($ncell) r(i), cc, cv WHERE cv.rn = (r.i * cc.c) // $ncell + 1),
+       |cd AS (SELECT v.vec_id, s.sid,
+       |    list_sum(list_transform(range(64),
+       |      i -> (v.e[i+1] - s.ce[i+1]) * (v.e[i+1] - s.ce[i+1]))) AS dist
+       |  FROM v, cseed s),
+       |cellof AS (SELECT vec_id, sid AS cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+       |   FROM cd) WHERE rn = 1),
+       |resid AS (SELECT v.vec_id, c.cell,
+       |    list_transform(range(64), i -> v.e[i+1] - s.ce[i+1]) AS re
+       |  FROM v JOIN cellof c USING (vec_id) JOIN cseed s ON s.sid = c.cell),
+       |$subCtes,
+       |codesall AS (SELECT c.vec_id, c.cell,
+       |    ${(0 until m).map(j => s"c$j.code AS k$j").mkString(", ")}
+       |  FROM cellof c ${(0 until m)
+             .map(j => s"JOIN code$j c$j ON c$j.vec_id = c.vec_id")
+             .mkString(" ")}),
+       |probe AS (SELECT vec_id AS qid, sid AS cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+       |   FROM cd WHERE vec_id < 10) WHERE rn <= $nprobe),
+       |qre AS (SELECT p.qid, p.cell,
+       |    list_transform(range(64), i -> v.e[i+1] - s.ce[i+1]) AS re
+       |  FROM probe p JOIN v ON v.vec_id = p.qid JOIN cseed s ON s.sid = p.cell),
+       |cand AS (SELECT q.qid, q.re, ca.vec_id AS nid,
+       |    ${(0 until m).map(j => s"ca.k$j").mkString(", ")}
+       |  FROM qre q JOIN codesall ca ON ca.cell = q.cell AND ca.vec_id <> q.qid),
+       |adc AS (SELECT cand.qid, cand.nid,
+       |    $adcJ AS adist
+       |  FROM cand
+       |  $adcJoins)
+       |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+       |      FROM adc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q275_ann_ivfpq" -> q275OracleSql,
     "q269_incremental_dedup" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
          |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),

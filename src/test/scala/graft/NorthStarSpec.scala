@@ -130,6 +130,43 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"PQ recall@5 = $recall")
   }
 
+  test("IVFADC (refined cells + residual codebooks + rerank) recalls >=70% @5") {
+    // Deployment configuration of q275's parity pin: Lloyd-refined
+    // coarse cells, residual codebooks, nProbe=4 of 8, exact rerank.
+    // (nProbe is THE recall/cost knob: 3/8 measured 0.64 on this
+    // fixture, 4/8 clears the floor — cell pruning, not quantization,
+    // is what loses neighbors once rerank is on.)
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (for {
+      (qid, q) <- vecs if qid < 10
+      (nid, _) <- vecs.filter(_._1 != qid)
+        .sortBy { case (nid2, v) => (l2(q, v), nid2) }.take(5)
+    } yield (qid, nid)).toSet
+    def parse(s0: String) = s0.stripPrefix("[[").stripSuffix("]]")
+      .split("\\],\\[").map(_.split(",").map(_.toDouble).toSeq).toSeq
+    val cells = parse(emb.agg(graft.functions.MlAggregators.kmeansFit(
+        col("embedding").cast("array<double>"), 8, iters = 20,
+        cap = 100000).as("m")).head().getString(0))
+    val resid = Similarity.l2Residuals(emb, "vec_id", "embedding", cells)
+    val (m, sd) = (4, 16)
+    val row = resid.agg(
+      graft.functions.MlAggregators.kmeansFit(
+        slice(col("residual"), 1, sd), 16, iters = 20, cap = 100000).as("m0"),
+      (1 until m).map(j => graft.functions.MlAggregators.kmeansFit(
+        slice(col("residual"), j * sd + 1, sd), 16, iters = 20,
+        cap = 100000).as(s"m$j")): _*).head()
+    val cbs = (0 until m).map(j => parse(row.getString(j)))
+    val approx = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, 64, cells, 4, cbs, rerank = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVFADC recall@5 = $recall")
+  }
+
   test("LSH ANN achieves >=60% recall@5 vs exact brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
