@@ -60,17 +60,34 @@ object Streaming {
     import stream.sparkSession.implicits._
     import graft.ops.Dedup
     val rows = k / bands
+    // Higher-order functions are outside whole-stage codegen, so a
+    // naive "k independent array_min expressions" shape re-evaluates
+    // the md5-per-shingle subtree k times per row (measured 28s at
+    // sf0.1). Instead: ONE fold over the shingle-hash array carrying
+    // all k permutation minima, and the band hashes derived inside a
+    // single lambda — the whole tree evaluates once per row. Values
+    // are bit-identical to the batch explode+groupBy formulation.
     val sh = Dedup.shingles(col(textCol), n)
     val h = transform(sh, s => pmod(Dedup.h60(s), lit(Dedup.P)))
-    val sigs = Dedup.perms(k).map { case (a, b) =>
-      array_min(transform(h, x => pmod(x * a + b, lit(Dedup.P))))
-    }
-    val bandHashes = (0 until bands).map { bIdx =>
-      md5(concat_ws(",", (bIdx * rows until (bIdx + 1) * rows)
-        .map(i => sigs(i).cast("string")): _*).cast("binary"))
-    }
+    val aLit = typedLit(Dedup.perms(k).map(_._1))
+    val bLit = typedLit(Dedup.perms(k).map(_._2))
+    val sigArr = aggregate(h, array_repeat(lit(Dedup.P), k),
+      (acc, x) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (v, i) => least(v, pmod(
+          x * element_at(aLit, i + 1) + element_at(bLit, i + 1),
+          lit(Dedup.P)))))
+    // array(sigArr) + lambda binding is the expression-level "let":
+    // sigArr is computed once and the band lambda sees the VALUE, not
+    // the subtree (a captured outer expression would re-evaluate per
+    // band iteration).
+    val bandArr = element_at(
+      transform(array(sigArr), sa =>
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(array_join(
+            transform(slice(sa, b * rows + 1, lit(rows)),
+              v => v.cast("string")), ",").cast("binary")))), 1)
     stream.select(col(idCol).cast("long").as("doc"),
-        posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+        posexplode(bandArr).as(Seq("band", "bh")))
       .select(concat(col("band").cast("string"), lit(":"), col("bh"))
         .as("bucket"), col("doc"))
       .as[BandDoc]
