@@ -24,9 +24,9 @@ class ScaleProbeSpec extends AnyFunSuite {
     def rep(name: String, idCols: Map[String, Long],
             perturb: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame
               = (df, _) => df): Unit = {
-      // read through Tables: events.ts is parquet TIMESTAMP(NANOS) and
-      // needs the nanosAsLong legacy flag (arrives as epoch-ns Long; the
-      // replica is written as plain INT64, which reads back identically)
+      // read through Tables: events.ts arrives as epoch-ns Long (the
+      // TIME64NS load-boundary projection); the replica is written as
+      // plain INT64, which reads back identically
       val base = graft.core.Tables(spark, src, name)
       val copies = (0 until 10).map { i =>
         perturb(idCols.foldLeft(base) { case (df, (c, stride)) =>
@@ -115,6 +115,55 @@ class ScaleProbeSpec extends AnyFunSuite {
             "text", "lang", "doc_id")
           .write.format("noop").mode("overwrite").save()
         println(f"SCALEPROBE nb_classify $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
+  test("sf1 probe: incremental dedup delta contract and IVFADC cell occupancy") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // incrementalDedup's cost model: the broadcast/verify work scales
+      // with the DELTA, the corpus side is one scan for hashes + bands.
+      // Probe the same 20% delta fraction at both scales — sub-10x
+      // growth confirms the snapshot side never amplifies.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.incrementalDedup(
+            docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(5L)) === 0),
+            "text", "doc_id", 3, 16, 4, 0.8)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE incremental_dedup $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // IVFADC: nCells is the occupancy knob (cell population ~ n/nCells
+      // bounds the per-probe ADC scan). Probe the gate's 8 cells at both
+      // scales and 80 cells at sf1 — the constant-occupancy config.
+      def parse(s0: String) = s0.stripPrefix("[[").stripSuffix("]]")
+        .split("\\],\\[").map(_.split(",").map(_.toDouble).toSeq).toSeq
+      for ((dir, label, ncell, nprobe) <- Seq(
+          (src, "sf0.1", 8, 2), (dst, "sf1", 8, 2), (dst, "sf1(cells=80)", 80, 20))) {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        val cells = parse(emb.agg(graft.functions.MlAggregators.kmeansFit(
+            col("embedding").cast("array<double>"), ncell, iters = 0).as("m"))
+          .head().getString(0))
+        val resid = graft.ops.Similarity.l2Residuals(emb, "vec_id", "embedding", cells)
+        val (m, sd) = (4, 16)
+        val row = resid.agg(
+          graft.functions.MlAggregators.kmeansFit(
+            slice(col("residual"), 1, sd), 8, iters = 0).as("m0"),
+          (1 until m).map(j => graft.functions.MlAggregators.kmeansFit(
+            slice(col("residual"), j * sd + 1, sd), 8, iters = 0).as(s"m$j")): _*)
+          .head()
+        val cbs = (0 until m).map(j => parse(row.getString(j)))
+        val t0 = System.nanoTime()
+        graft.ops.Similarity.ivfPqTopK(emb,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            5, 64, cells, nprobe, cbs)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE ivfpq $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
