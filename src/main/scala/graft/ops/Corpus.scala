@@ -544,6 +544,47 @@ object Corpus {
       .drop("__f")
   }
 
+  /** Curriculum shard layout: exact global rank by (score, id) —
+    * easy-to-hard under a difficulty signal (length, perplexity,
+    * classifier margin) — cut into `nShards` contiguous rank ranges
+    * (shard 0 = the easiest slice), with the in-shard position, so a
+    * trainer can anneal difficulty across shards while each shard
+    * stays an independent file. Balanced cuts: shard sizes differ by
+    * at most one (floor((rank-1)·S/n) arithmetic, engine-exact).
+    *
+    * The global rank is the banded two-level prefix sum of
+    * [[lmTerciles]]: per-band windows + an O(#bands) offsets frame
+    * broadcast back — never a corpus-wide single-partition window.
+    * `bandWidth` sets band granularity in score units; a degenerate
+    * distribution collapsing into one band degrades to serial — narrow
+    * the width until bands are balanced.
+    */
+  def curriculumShards(df: DataFrame, idCol: String, scoreCol: String,
+                       nShards: Int, bandWidth: Double): DataFrame = {
+    val band = floor(col(scoreCol) / lit(bandWidth)).cast("long")
+    val wIn = Window.partitionBy("__band")
+      .orderBy(col(scoreCol), col(idCol))
+    val wOff = Window.orderBy("__band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val banded = df.select(col(idCol), col(scoreCol))
+      .withColumn("__band", band)
+    val offsets = banded.groupBy("__band").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.orderBy("__band").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("__c")
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val r = col("__off") + row_number().over(wIn)
+    val shard = idiv((r - 1) * nShards, col("__n"))
+    // shard s starts at global rank ceil(s*n/S) + 1
+    val pos = (r - 1) -
+      idiv(shard * col("__n") + (nShards - 1), lit(nShards.toLong))
+    banded.join(broadcast(offsets), Seq("__band"))
+      .select(col(idCol), col(scoreCol), r.as("rank"),
+        shard.cast("int").as("shard"), pos.as("pos"))
+  }
+
   /** Line/segment-level boilerplate removal (RefinedWeb, Penedo et al.
     * 2023 §3; CCNet's paragraph dedup): drop every segment whose exact
     * content recurs in >= `minDocs` DISTINCT documents (headers,

@@ -65,6 +65,26 @@ object Curation {
     // within 10% (5 sigma) of it — the oracle pins the claim to TRUE.
     // At 100 TB the sketch is the only viable distinct count; this row
     // proves its error contract instead of assuming it.
+    // Curriculum shard layout: exact global rank by (n_chars, doc_id)
+    // cut into 8 balanced contiguous shards — easy-to-hard annealing
+    // with the banded two-level rank (no global sort).
+    "q276_curriculum_shards" -> ((s, dir) => {
+      Corpus.curriculumShards(t(s, dir, "documents"), "doc_id", "n_chars",
+          nShards = 8, bandWidth = 16.0)
+        .orderBy("doc_id")
+    }),
+
+    // End-to-end mixture pipeline: temperature-resample the language
+    // mix (alpha=0.5, target 250 docs — q247's rule) then lay the kept
+    // set out as difficulty-ordered curriculum shards. Proves the
+    // mixture ops COMPOSE (the q253 pattern for selection).
+    "q277_mixture_pipeline" -> ((s, dir) => {
+      val kept = Corpus.temperatureResample(t(s, dir, "documents"),
+        "doc_id", "lang", 0.5, 250)
+      Corpus.curriculumShards(kept, "doc_id", "n_chars", 4, 16.0)
+        .orderBy("doc_id")
+    }),
+
     // IVFADC (q246's PQ composed with coarse cells): cell quantizer and
     // per-subspace RESIDUAL codebooks both follow the init-only
     // kmeansFit contract (iters=0, canonical sorted picks) so the
@@ -202,8 +222,41 @@ object Curation {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Balanced contiguous shard cut from a global rank: shard =
+    * floor((r-1)·S/n), in-shard pos = (r-1) − ceil(shard·n/S).
+    */
+  private def shardCutSql(nShards: Int) =
+    s"""CAST(((r - 1) * $nShards) // n AS INTEGER) AS shard,
+       |  (r - 1) - ((((r - 1) * $nShards) // n) * n + ${nShards - 1}) // $nShards AS pos""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q275_ann_ivfpq" -> q275OracleSql,
+
+    "q276_curriculum_shards" ->
+      s"""WITH rk AS (SELECT doc_id, n_chars,
+         |    row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+         |    count(*) OVER () AS n
+         |  FROM documents)
+         |SELECT doc_id, n_chars, r AS rank,
+         |  ${shardCutSql(8)}
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    "q277_mixture_pipeline" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM c),
+         |t AS (SELECT sum(wt) AS tot FROM w),
+         |f AS (SELECT lang, least(1.0, 250.0 * wt / (tot * n)) AS fr FROM w, t),
+         |kept AS (SELECT d.doc_id, d.n_chars FROM documents d JOIN f USING (lang)
+         |  WHERE (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 10000 <
+         |    CAST(floor(fr * 10000.0) AS BIGINT)),
+         |rk AS (SELECT doc_id, n_chars,
+         |    row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+         |    count(*) OVER () AS n
+         |  FROM kept)
+         |SELECT doc_id, n_chars, r AS rank,
+         |  ${shardCutSql(4)}
+         |FROM rk ORDER BY doc_id""".stripMargin,
     "q269_incremental_dedup" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
          |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),

@@ -316,6 +316,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 2L, 2L, "entirely singular content kept")))
   }
 
+  test("curriculumShards ranks globally and cuts balanced contiguous shards") {
+    val df = (1L to 103L).map(i => (i, (i * 7) % 50)).toDF("doc_id", "score")
+    val got = Corpus.curriculumShards(df, "doc_id", "score", 4, 5.0)
+      .select("doc_id", "score", "rank", "shard", "pos")
+      .as[(Long, Long, Long, Int, Long)].collect().sortBy(_._3)
+    // rank is the exact global (score, id) order
+    val want = (1L to 103L).map(i => (i, (i * 7) % 50))
+      .sortBy { case (id, sc) => (sc, id) }.map(_._1)
+    assert(got.map(_._1).toSeq == want)
+    // shards are contiguous in rank and balanced within one row
+    val sizes = got.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    for (g <- got) assert(g._5 >= 0 && g._5 < sizes(g._4) &&
+      got.filter(_._4 == g._4).map(_._3).sorted.zipWithIndex
+        .find(_._1 == g._3).exists(_._2 == g._5))
+    // partitioning-invariant
+    val again = Corpus.curriculumShards(df.repartition(11), "doc_id", "score", 4, 5.0)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toSet
+    assert(again == got.map(g => (g._1, g._3)).toSet)
+  }
+
   test("weightedSample is exact-k, partitioning-invariant, and weight-biased") {
     val df = (1L to 1000L)
       .map(i => (i, if (i <= 100) 1000L else 1L)) // 100 heavy docs

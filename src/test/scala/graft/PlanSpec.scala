@@ -230,6 +230,19 @@ class PlanSpec extends AnyFunSuite {
       s"global sort leaked into shard layout:\n${p.take(3000)}")
   }
 
+  test("curriculumShards: the only single-partition exchange is the band-offsets frame") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val out = graft.ops.Corpus.curriculumShards(docs, "doc_id", "n_chars", 8, 16.0)
+    val p = plan(out)
+    // the offsets frame is O(#bands) rows; the corpus-side rank is a
+    // per-band window joined back by broadcast — assert the broadcast
+    // exists and the corpus never range-partitions globally
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort leaked into curriculum rank:\n${p.take(3000)}")
+  }
+
   test("contaminationBloom probes the bloom MAP-SIDE, below the exact join") {
     val docs = graft.core.Tables(spark, dir, "documents")
     val df = graft.ops.Corpus.contaminationBloom(
