@@ -623,6 +623,40 @@ object Corpus {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Heavy-hitter vocabulary report under a Count-Min-Sketch error
+    * contract: the exact top-`k` words beside the CMS estimate's
+    * in-tolerance claim (est >= true always; est <= true + eps·N with
+    * the sketch's confidence). At 100 TB the sketch is how streaming
+    * ingest tracks vocabulary frequencies in O(1/eps) memory; this op
+    * PROVES the bound on real data instead of assuming it —
+    * completing the sketch family next to the t-digest (q22), HLL
+    * (q274) and bloom (q248) contracts.
+    *
+    * Shape: one partial-agg pass builds the sketch (mergeable,
+    * map-side combined); the driver fetches only the sketch bytes (the
+    * model-fetch pattern, same as the bloom filter) and probes the k
+    * result rows. The exact side is a groupBy + TakeOrdered top-k.
+    */
+  def heavyHittersCms(df: DataFrame, textCol: String, k: Int = 20,
+                      eps: Double = 0.001): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(split(col(textCol), " ")).as("word"))
+    val skBytes = words.agg(
+        count_min_sketch(col("word"), lit(eps), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val slack = math.ceil(eps * cms.totalCount()).toLong
+    val top = words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("word")).limit(k).collect()
+    top.toSeq.map { r =>
+      val (w, n) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(w)
+      (w, n, est >= n && est <= n + slack)
+    }.toDF("word", "n_exact", "within_tol").orderBy("word")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis, IPL
     * 97(5), 2006): select `k` docs with inclusion probability
     * proportional to `weightCol`, as one map pass + a top-k — the

@@ -113,6 +113,14 @@ object Curation {
         .orderBy("query_id", "rank")
     }),
 
+    // Count-Min-Sketch heavy-hitter contract: exact top-20 words +
+    // the engine-evaluated claim that the eps=0.001 sketch estimate
+    // lands inside [true, true + eps*N]. Completes the sketch family
+    // (t-digest q22, bloom q248, HLL q274).
+    "q278_cms_heavy_hitters" -> ((s, dir) => {
+      Corpus.heavyHittersCms(t(s, dir, "documents"), "text", 20, 0.001)
+    }),
+
     "q274_hll_distinct" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("event_type")
@@ -384,6 +392,13 @@ object Curation {
          |  JOIN sizes sa ON sa.doc_id = m.da
          |  JOIN sizes sb ON sb.doc_id = m.db)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q278_cms_heavy_hitters" ->
+      """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |top AS (SELECT word, count(*) AS n_exact FROM wd GROUP BY word
+        |        ORDER BY n_exact DESC, word LIMIT 20)
+        |SELECT word, n_exact, TRUE AS within_tol FROM top
+        |ORDER BY word""".stripMargin,
 
     "q274_hll_distinct" ->
       """SELECT event_type,
