@@ -113,6 +113,27 @@ object Curation {
         .orderBy("query_id", "rank")
     }),
 
+    // Ingest-time decontamination: the q237 batch answer reproduced by
+    // a STATELESS stream-static join + one complete-mode aggregate
+    // (AvailableNow replay == batch; shares q237's oracle verbatim).
+    "q279_streaming_contamination" -> ((s, dir) => {
+      val evalSet = t(s, dir, "documents").filter(col("source") === "src0")
+      val stream = graft.core.Tables.stream(s, dir, "documents")
+        .filter(col("source") =!= "src0")
+      val out = graft.streaming.Streaming
+        .streamingContamination(stream, evalSet, "text", "doc_id", 8)
+      val qn = "q279_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      out.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      val res = s.table(qn).orderBy("doc_id")
+      val rows = res.collect()
+      s.catalog.dropTempView(qn)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }),
+
     // Count-Min-Sketch heavy-hitter contract: exact top-20 words +
     // the engine-evaluated claim that the eps=0.001 sketch estimate
     // lands inside [true, true + eps*N]. Completes the sketch family
@@ -392,6 +413,10 @@ object Curation {
          |  JOIN sizes sa ON sa.doc_id = m.da
          |  JOIN sizes sb ON sb.doc_id = m.db)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // replay == batch: the streaming row shares q237's oracle verbatim
+    "q279_streaming_contamination" ->
+      graft.queries.NorthStar.oracles("q237_contamination"),
 
     "q278_cms_heavy_hitters" ->
       """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

@@ -107,6 +107,35 @@ object Streaming {
       }
   }
 
+  /** Ingest-time benchmark decontamination: the streaming counterpart
+    * of [[graft.ops.Corpus.contamination]]. The eval n-gram set is
+    * STATIC (benchmarks are model-sized — it broadcasts); the document
+    * stream explodes its distinct n-grams and stream-static LEFT-joins
+    * the eval set — STATELESS, so state never grows with corpus volume
+    * — and one complete-mode per-doc aggregate yields the identical
+    * (n_grams, n_contaminated, ratio) rows as the batch operator: an
+    * AvailableNow replay hash-matches q237's oracle exactly. At deploy
+    * this runs at the ingest edge so contaminated docs are flagged
+    * before they ever land in a training snapshot.
+    */
+  def streamingContamination(stream: DataFrame, eval: DataFrame,
+                             textCol: String, idCol: String,
+                             n: Int = 8): DataFrame = {
+    import graft.ops.Dedup
+    val evalGrams = eval
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .distinct().withColumn("__hit", lit(1L))
+    stream
+      .withColumn("__grams", array_distinct(Dedup.shingles(col(textCol), n)))
+      .select(col(idCol), size(col("__grams")).cast("long").as("n_grams"),
+        explode(col("__grams")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_outer")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
+
   case class SessionEvent(user_id: Long, ts_ns: Long)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)

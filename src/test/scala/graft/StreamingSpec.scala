@@ -227,6 +227,29 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.dropTempView(out)
   }
 
+  test("streaming contamination updates per-doc ratios across micro-batches") {
+    val in = MemoryStream[(Long, String)](spark)
+    val out = s"stream_cont_${System.nanoTime()}"
+    val evalSet = Seq((100L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val q = Streaming.streamingContamination(
+        in.toDF.toDF("doc_id", "text"), evalSet, "text", "doc_id", n = 8)
+      .writeStream.outputMode("complete").format("memory").queryName(out).start()
+    // doc 1: contains an eval 8-gram span; doc 2 (later batch): clean
+    in.addData((1L, "one two three four five six seven eight extra words here"))
+    q.processAllAvailable()
+    in.addData((2L, "totally clean document text with no benchmark overlap at all"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(out)
+      .select("doc_id", "n_grams", "n_contaminated")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._2 >= 1L, got.toString) // the shared 8-gram hit
+    assert(got(2L)._2 == 0L)
+    spark.catalog.dropTempView(out)
+  }
+
   test("stream-static as-of metadata join resolves generations in streaming") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
