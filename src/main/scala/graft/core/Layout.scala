@@ -35,4 +35,19 @@ object Layout {
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Persist an ANN index (IVF or IVFADC) partitioned BY CELL — the
+    * deployment layout behind [[graft.ops.Similarity.ivfPqTopK]]'s
+    * scale contract: a query probing nProbe cells reads nProbe/nCells
+    * of the index via partition pruning (assert PartitionFilters in
+    * the scan), and cell assignment is amortized to write time instead
+    * of being recomputed per query. `index` is any frame carrying a
+    * `cell` column (e.g. [[graft.ops.Similarity.l2Residuals]] output
+    * encoded to codes).
+    */
+  def writeCellPartitioned(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def readCellPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

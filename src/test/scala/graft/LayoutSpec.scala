@@ -27,6 +27,25 @@ class LayoutSpec extends AnyFunSuite {
         .count())
   }
 
+  test("cell-partitioned ANN index prunes partitions for a probe query") {
+    val emb = graft.core.Tables(spark, sf, "embeddings")
+    def parse(s0: String) = s0.stripPrefix("[[").stripSuffix("]]")
+      .split("\\],\\[").map(_.split(",").map(_.toDouble).toSeq).toSeq
+    val cells = parse(emb.agg(graft.functions.MlAggregators.kmeansFit(
+        col("embedding").cast("array<double>"), 8, iters = 0).as("m"))
+      .head().getString(0))
+    val index = graft.ops.Similarity.l2Residuals(emb, "vec_id", "embedding", cells)
+    Layout.writeCellPartitioned(index, s"$tmp/ivf_index")
+    val back = Layout.readCellPartitioned(spark, s"$tmp/ivf_index")
+    // a 2-probe query touches 2/8 of the index: partition pruning, not a scan
+    val probed = back.filter(col("cell").isin(1, 3))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      scan.take(800))
+    assert(probed.count() ==
+      index.filter(col("cell").isin(1, 3)).count() && probed.count() > 0)
+  }
+
   test("bucketed tables join with no exchange") {
     val li = graft.core.Tables(spark, sf, "lineitem")
     val or = graft.core.Tables(spark, sf, "orders")
