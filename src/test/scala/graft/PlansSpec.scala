@@ -66,4 +66,33 @@ class PlansSpec extends AnyFunSuite {
         graft.core.Tables(spark, dir, "events"), "events", policy)
     }
   }
+
+  test("NsEpochPushdown: every comparison is value-exact across µs-grid boundaries") {
+    // Three stored instants one µs apart straddling the test literals.
+    val tmp = java.nio.file.Files.createTempDirectory("nspush").toString
+    val micros = Seq(999999L, 1000000L, 1000001L)
+    spark.range(1).selectExpr(
+        s"stack(${micros.length}, ${micros.zipWithIndex
+          .map { case (m, i) => s"${i}L, timestamp_micros(${m}L)" }
+          .mkString(", ")}) AS (event_id, ts)")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val t = graft.core.Tables(spark, tmp, "events") // ts -> epoch-ns long
+    // literals: on-grid, and off-grid one ns either side
+    for (l <- Seq(1000000000L, 999999999L, 1000000001L)) {
+      def got(p: org.apache.spark.sql.Column) =
+        t.filter(p).select("event_id").collect().map(_.getLong(0)).toSet
+      def want(f: Long => Boolean) =
+        micros.zipWithIndex.collect { case (m, i) if f(m * 1000L) => i.toLong }.toSet
+      assert(got(col("ts") >= l) == want(_ >= l), s">= $l")
+      assert(got(col("ts") > l) == want(_ > l), s"> $l")
+      assert(got(col("ts") <= l) == want(_ <= l), s"<= $l")
+      assert(got(col("ts") < l) == want(_ < l), s"< $l")
+      assert(got(col("ts") === l) == want(_ == l), s"== $l")
+    }
+    // and the rewrite actually reached the scan for a grid literal
+    val scan = t.filter(col("ts") >= 1000000000L).queryExecution
+      .executedPlan.collectLeaves().mkString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThanOrEqual(ts"),
+      scan.take(800))
+  }
 }
