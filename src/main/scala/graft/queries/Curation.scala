@@ -113,6 +113,25 @@ object Curation {
         .orderBy("query_id", "rank")
     }),
 
+    // Per-source corpus report card: the monitoring rollup a curation
+    // pipeline publishes per snapshot — volume, token mass, exact-dup
+    // rate, and length profile, one partial-agg pass over the corpus.
+    "q280_corpus_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_unique"),
+          round((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs"), 6).as("dup_ratio"),
+          round(col("n_chars").cast("double") / col("n_docs"), 6)
+            .as("mean_chars"))
+        .orderBy("source")
+    }),
+
     // Ingest-time decontamination: the q237 batch answer reproduced by
     // a STATELESS stream-static join + one complete-mode aggregate
     // (AvailableNow replay == batch; shares q237's oracle verbatim).
@@ -413,6 +432,16 @@ object Curation {
          |  JOIN sizes sa ON sa.doc_id = m.da
          |  JOIN sizes sb ON sb.doc_id = m.db)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q280_corpus_report" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+        |    / count(*), 6) AS dup_ratio,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // replay == batch: the streaming row shares q237's oracle verbatim
     "q279_streaming_contamination" ->
