@@ -113,6 +113,27 @@ object Curation {
         .orderBy("query_id", "rank")
     }),
 
+    // The flagship curation DAG as ONE plan: exact dedup -> benchmark
+    // decontamination (drop any doc sharing an 8-gram with the src0
+    // eval slice) -> temperature-balanced language mixture -> curriculum
+    // shard layout. Every stage is individually gated (q24/q237/q247/
+    // q276); this row proves the whole pipeline composes end-to-end
+    // with one SQL re-derivation.
+    "q281_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val kept = docs.join(keepers, "doc_id")
+      val corpus = kept.filter(col("source") =!= "src0")
+      val evalSet = docs.filter(col("source") === "src0")
+      val cont = Corpus.contamination(corpus, evalSet, "text", "doc_id", 8)
+      val clean = corpus.join(
+        cont.filter(col("n_contaminated") === 0).select("doc_id"), "doc_id")
+      val mixed = Corpus.temperatureResample(clean, "doc_id", "lang", 0.5, 200)
+      Corpus.curriculumShards(mixed, "doc_id", "n_chars", 4, 16.0)
+        .orderBy("doc_id")
+    }),
+
     // Per-source corpus report card: the monitoring rollup a curation
     // pipeline publishes per snapshot — volume, token mass, exact-dup
     // rate, and length profile, one partial-agg pass over the corpus.
@@ -432,6 +453,32 @@ object Curation {
          |  JOIN sizes sa ON sa.doc_id = m.da
          |  JOIN sizes sb ON sb.doc_id = m.db)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q281_curation_pipeline" ->
+      s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kept AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+         |corpus AS (SELECT * FROM kept WHERE source <> 'src0'),
+         |ev AS (SELECT DISTINCT unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
+         |  FROM documents WHERE source = 'src0'),
+         |cg AS (SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
+         |  FROM corpus),
+         |hit AS (SELECT doc_id, count(*) AS c FROM cg JOIN ev USING (g) GROUP BY doc_id),
+         |clean AS (SELECT corpus.* FROM corpus LEFT JOIN hit USING (doc_id)
+         |  WHERE hit.c IS NULL),
+         |lc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM clean GROUP BY lang),
+         |w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM lc),
+         |tt AS (SELECT sum(wt) AS tot FROM w),
+         |f AS (SELECT lang, least(1.0, 200.0 * wt / (tot * n)) AS fr FROM w, tt),
+         |mixed AS (SELECT cl.doc_id, cl.n_chars FROM clean cl JOIN f USING (lang)
+         |  WHERE (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 10000 <
+         |    CAST(floor(fr * 10000.0) AS BIGINT)),
+         |rk AS (SELECT doc_id, n_chars,
+         |    row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+         |    count(*) OVER () AS n
+         |  FROM mixed)
+         |SELECT doc_id, n_chars, r AS rank,
+         |  ${shardCutSql(4)}
+         |FROM rk ORDER BY doc_id""".stripMargin,
 
     "q280_corpus_report" ->
       """SELECT source,
