@@ -623,6 +623,37 @@ object Corpus {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Length-grouped batching (the padding-minimizing alternative to
+    * sequence packing; `group_by_length` in common trainers): documents
+    * are bucketed by token count (`bucketWidth` tokens per bucket) and
+    * batched WITHIN a bucket in (n_tok, id) order, so each batch pads
+    * to a nearby maximum instead of the corpus maximum. Emits per doc
+    * its (bucket, batch_idx, n_tok, pad) where pad = batch-max − n_tok
+    * — the wasted-compute number a data engineer actually monitors.
+    *
+    * All-integer arithmetic (bucket = n_tok / width, batch = in-bucket
+    * rank / batchSize), so layout and padding re-derive exactly in any
+    * engine. Shape: per-bucket windows only — parallelism = #buckets,
+    * and bucketWidth bounds each bucket's population skew; no global
+    * sort, no single-partition exchange.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+                          bucketWidth: Int = 16,
+                          batchSize: Int = 8): DataFrame = {
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val base = df.select(col(idCol), nTok.as("n_tok"))
+      .withColumn("bucket", idiv(col("n_tok"), bucketWidth.toLong))
+    val wIn = Window.partitionBy("bucket").orderBy(col("n_tok"), col(idCol))
+    val batched = base.withColumn("batch_idx",
+      idiv(row_number().over(wIn).cast("long") - 1, batchSize.toLong))
+    val wBatch = Window.partitionBy("bucket", "batch_idx")
+    batched
+      .withColumn("pad", max(col("n_tok")).over(wBatch) - col("n_tok"))
+      .select(col(idCol), col("n_tok"), col("bucket"),
+        col("batch_idx"), col("pad"))
+  }
+
   /** Heavy-hitter vocabulary report under a Count-Min-Sketch error
     * contract: the exact top-`k` words beside the CMS estimate's
     * in-tolerance claim (est >= true always; est <= true + eps·N with

@@ -113,6 +113,15 @@ object Curation {
         .orderBy("query_id", "rank")
     }),
 
+    // Length-grouped batching: bucket by token count, batch within
+    // bucket, report per-doc padding to the batch max — the layout a
+    // trainer uses when packing (q244) isn't applicable.
+    "q282_length_batches" -> ((s, dir) => {
+      Corpus.lengthBucketBatches(t(s, dir, "documents"), "doc_id", "text",
+          bucketWidth = 16, batchSize = 8)
+        .orderBy("doc_id")
+    }),
+
     // The flagship curation DAG as ONE plan: exact dedup -> benchmark
     // decontamination (drop any doc sharing an 8-gram with the src0
     // eval slice) -> temperature-balanced language mixture -> curriculum
@@ -453,6 +462,18 @@ object Curation {
          |  JOIN sizes sa ON sa.doc_id = m.da
          |  JOIN sizes sb ON sb.doc_id = m.db)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q282_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok, n_tok // 16 AS bucket,
+        |    (row_number() OVER (PARTITION BY n_tok // 16
+        |       ORDER BY n_tok, doc_id) - 1) // 8 AS batch_idx
+        |  FROM t)
+        |SELECT doc_id, n_tok, bucket, batch_idx,
+        |  max(n_tok) OVER (PARTITION BY bucket, batch_idx) - n_tok AS pad
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q281_curation_pipeline" ->
       s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

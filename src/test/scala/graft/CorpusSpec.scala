@@ -338,6 +338,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == got.map(g => (g._1, g._3)).toSet)
   }
 
+  test("lengthBucketBatches pads to the batch max, never across buckets") {
+    // 10 docs of 3 words and one of 40: the long doc must land in its
+    // own bucket (width 16) so the short batches pad at most 0.
+    val df = ((1L to 10L).map(i => (i, "a b c")) :+ (11L, Seq.fill(40)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.lengthBucketBatches(df, "doc_id", "text",
+        bucketWidth = 16, batchSize = 4)
+      .select("doc_id", "n_tok", "bucket", "batch_idx", "pad")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.filter(_._1 <= 10).forall(g => g._3 == 0L && g._5 == 0L))
+    val long = got.find(_._1 == 11L).get
+    assert(long._3 == 2L && long._5 == 0L) // own bucket, alone in batch
+    // batches of 4 within the short bucket: ranks 1-4 -> 0, 5-8 -> 1, 9-10 -> 2
+    assert(got.filter(_._1 <= 10).map(_._4).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("weightedSample is exact-k, partitioning-invariant, and weight-biased") {
     val df = (1L to 1000L)
       .map(i => (i, if (i <= 100) 1000L else 1L)) // 100 heavy docs
