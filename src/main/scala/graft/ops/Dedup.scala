@@ -374,6 +374,82 @@ object Dedup {
           .otherwise(lit("admitted")).as("decision"))
   }
 
+  /** Persist a corpus snapshot's dedup index: the content-hash set and
+    * the MinHash-LSH band stream, written once at snapshot-build time.
+    * [[incrementalDedupIndexed]] then serves every delta WITHOUT
+    * rescanning or re-hashing the snapshot — the index is the only
+    * corpus-derived input to candidate generation, and it is a tiny
+    * fraction of corpus bytes (a hash and `bands` band rows per doc vs
+    * the full text).
+    */
+  def writeDedupIndex(corpus: DataFrame, textCol: String, idCol: String,
+                      path: String, n: Int = 3, k: Int = 16,
+                      bands: Int = 4): Unit = {
+    corpus.select(md5(col(textCol).cast("binary")).as("content_hash"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes.parquet")
+    lshBands(minhashSignatures(corpus, textCol, idCol, n, k), idCol,
+        bands, k / bands)
+      .toDF("corpus_id", "band", "band_hash")
+      .write.mode("overwrite").parquet(s"$path/bands.parquet")
+  }
+
+  /** [[incrementalDedup]] against a PERSISTED index
+    * ([[writeDedupIndex]]): identical decisions by construction — the
+    * gate reuses q269's oracle, the q248/q237 sharing pattern — but the
+    * snapshot text is touched ONLY for the exact-Jaccard verify of
+    * band-collision candidates (an id-keyed fetch of candidate rows),
+    * never for hashing or banding. This is the shape a daily 100 TB
+    * delta job actually runs: index scan + broadcast delta + candidate
+    * fetch, all O(delta + collisions).
+    */
+  def incrementalDedupIndexed(indexPath: String, corpus: DataFrame,
+                              batch: DataFrame, textCol: String,
+                              idCol: String, n: Int = 3, k: Int = 16,
+                              bands: Int = 4,
+                              threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    val corpusHash = spark.read.parquet(s"$indexPath/hashes.parquet")
+      .withColumn("in_corpus", lit(true))
+    val bandC = spark.read.parquet(s"$indexPath/bands.parquet")
+    val hash = md5(col(textCol).cast("binary"))
+    val b = batch.select(col(idCol), col(textCol), hash.as("content_hash"))
+    val firstPerHash = b.groupBy("content_hash")
+      .agg(min(col(idCol)).as("first_id"))
+    val flagged = b.join(firstPerHash, "content_hash")
+      .join(corpusHash, Seq("content_hash"), "left")
+    val survivors = flagged
+      .where(col("in_corpus").isNull && col(idCol) === col("first_id"))
+      .select(col(idCol), col(textCol))
+    val bandB = broadcast(
+      lshBands(minhashSignatures(survivors, textCol, idCol, n, k),
+        idCol, bands, k / bands).toDF("batch_id", "band", "band_hash"))
+    val cand = bandC.join(bandB, Seq("band", "band_hash"))
+      .select("batch_id", "corpus_id").distinct()
+    val gB = survivors.select(col(idCol).as("batch_id"),
+      explode(shingles(col(textCol), n)).as("g")).distinct()
+    val gC = corpus
+      .join(cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol))
+      .select(col(idCol).as("corpus_id"),
+        explode(shingles(col(textCol), n)).as("g")).distinct()
+    val szB = gB.groupBy("batch_id").agg(count(lit(1)).as("nb"))
+    val szC = gC.groupBy("corpus_id").agg(count(lit(1)).as("nc"))
+    val near = cand
+      .join(gB, "batch_id").join(gC, Seq("corpus_id", "g"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("i"))
+      .join(szB, "batch_id").join(szC, "corpus_id")
+      .where(col("i").cast("double") /
+        (col("nb") + col("nc") - col("i")) >= threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+      .withColumn("near_corpus", lit(true))
+    flagged.join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("in_corpus").isNotNull, lit("dup_exact_corpus"))
+          .when(col(idCol) =!= col("first_id"), lit("dup_exact_batch"))
+          .when(col("near_corpus").isNotNull, lit("near_dup_corpus"))
+          .otherwise(lit("admitted")).as("decision"))
+  }
+
   /** SoftDeDup: duplicate REWEIGHTING instead of removal (He et al.,
     * "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
     * Language Model Pre-training", ACL 2024). Every doc stays in the

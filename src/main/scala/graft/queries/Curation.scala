@@ -28,6 +28,22 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // The indexed delta path: identical decisions to q269 by
+    // construction (shares its oracle — the q248/q237 pattern), but
+    // candidate generation reads ONLY the persisted index; the
+    // snapshot text is touched just for the candidate verify fetch.
+    "q283_incremental_dedup_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+      val idx = "/tmp/graft_dedup_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      Dedup.writeDedupIndex(corpus, "text", "doc_id", idx, NGRAM, K, BANDS)
+      Dedup.incrementalDedupIndexed(idx, corpus, batch, "text", "doc_id",
+          NGRAM, K, BANDS, 0.8)
+        .orderBy("doc_id")
+    }),
+
     // SoftDeDup: every doc keeps an exact integer micro-weight
     // 1e6 / duplicate-cluster-size; singletons weigh 1.0.
     "q270_soft_dedup" -> ((s, dir) => {
@@ -307,7 +323,8 @@ object Curation {
     s"""CAST(((r - 1) * $nShards) // n AS INTEGER) AS shard,
        |  (r - 1) - ((((r - 1) * $nShards) // n) * n + ${nShards - 1}) // $nShards AS pos""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = {
+    val base = Map(
     "q275_ann_ivfpq" -> q275OracleSql,
 
     "q276_curriculum_shards" ->
@@ -527,4 +544,9 @@ object Curation {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    // identical answer by construction: the indexed delta path shares
+    // q269's oracle (the q248/q237 sharing pattern)
+    base + ("q283_incremental_dedup_indexed" ->
+      base("q269_incremental_dedup"))
+  }
 }

@@ -272,6 +272,29 @@ class NorthStarSpec extends AnyFunSuite {
     assert(got(14L) == "admitted")
   }
 
+  test("indexed incremental dedup equals the recomputed path; bands come from the index") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val idx = java.nio.file.Files.createTempDirectory("dedup_idx").toString
+    graft.ops.Dedup.writeDedupIndex(corpus, "text", "doc_id", idx, 3, 16, 4)
+    val direct = graft.ops.Dedup
+      .incrementalDedup(corpus, batch, "text", "doc_id", 3, 16, 4, 0.8)
+      .as[(Long, String)].collect().toMap
+    val viaIndex = graft.ops.Dedup
+      .incrementalDedupIndexed(idx, corpus, batch, "text", "doc_id", 3, 16, 4, 0.8)
+    assert(viaIndex.as[(Long, String)].collect().toMap == direct && direct.nonEmpty)
+    // the snapshot text feeds ONLY the candidate verify fetch: exactly
+    // one scan of the corpus source remains in the indexed plan (vs
+    // three in the recomputed path: hashes, bands, verify)
+    val leaves = viaIndex.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    assert(leaves.count(_.contains("documents.parquet")) <= 2, // corpus verify + batch
+      leaves.mkString("\n").take(2000))
+    assert(leaves.exists(_.contains("bands.parquet")) &&
+      leaves.exists(_.contains("hashes.parquet")), leaves.mkString("\n").take(1000))
+  }
+
   test("softDedupWeights divides mass by cluster size, singletons keep 1.0") {
     val dup = "repeated boilerplate text that appears in three documents verbatim today"
     val df = Seq(
