@@ -485,6 +485,37 @@ object Dedup {
           .as("weight_micro"))
   }
 
+  /** Leakage-safe train/val/test split: the split key is the
+    * duplicate-CLUSTER component ([[ngramJaccard]] →
+    * [[connectedComponents]]; singletons key by their own id), so every
+    * exact or near copy of a document lands in the SAME split by
+    * construction — the well-known eval-leakage failure of id- or
+    * row-keyed random splits (train/test contamination through
+    * duplicates) is structurally impossible. Assignment is the
+    * deterministic md5 rule shared with [[graft.ops.Corpus
+    * .stratifiedSample]]: reproducible across runs, engines and
+    * partitionings. `valPct`/`testPct` are percentages of the hash
+    * space (clusters, and therefore approximately docs, split
+    * accordingly; heavy clusters move in blocks — by design).
+    */
+  def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
+                       valPct: Int = 10, testPct: Int = 10,
+                       n: Int = 3, k: Int = 16, bands: Int = 4,
+                       threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccard(df, textCol, idCol, n, k, bands, threshold)
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("doc_id", idCol)
+    val h = pmod(h60(col("component").cast("string")), lit(100L))
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(h < testPct, lit("test"))
+          .when(h < testPct + valPct, lit("val"))
+          .otherwise(lit("train")))
+  }
+
   /** MinHash estimator calibration: for every LSH candidate pair, the
     * signature-agreement estimate ĵ = |{i : sa_i = sb_i}| / k next to
     * the exact n-gram Jaccard — the measurement that tells an operator

@@ -52,6 +52,14 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe split: keyed by duplicate-cluster component, so no
+    // exact/near copy ever straddles train/test.
+    "q284_leakage_safe_split" -> ((s, dir) => {
+      Dedup.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id",
+          valPct = 10, testPct = 10, NGRAM, K, BANDS, 0.8)
+        .orderBy("doc_id")
+    }),
+
     // Segment-level boilerplate removal: fixed 10-word segments, drop
     // any segment recurring in >= 2 distinct docs, reassemble in order.
     "q271_boilerplate_segments" -> ((s, dir) => {
@@ -420,6 +428,35 @@ object Curation {
          |  1000000 // s.cluster_size AS weight_micro
          |FROM allc a JOIN csize s USING (component)
          |ORDER BY a.doc_id""".stripMargin,
+
+    "q284_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${sigCtes("documents", "")},
+         |bands AS (${bandsSql("")}),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT da, db FROM inter
+         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |e AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+         |reach AS (SELECT u AS a, v AS b FROM e
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, component,
+         |  CASE WHEN h < 10 THEN 'test' WHEN h < 20 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT doc_id, component,
+         |    (${h60("CAST(component AS VARCHAR)")}) % 100 AS h FROM allc)
+         |ORDER BY doc_id""".stripMargin,
 
     "q271_boilerplate_segments" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -310,6 +310,29 @@ class NorthStarSpec extends AnyFunSuite {
       (3L, 1L, 3L, 333333L), (4L, 4L, 1L, 1000000L)))
   }
 
+  test("leakageSafeSplit never strands duplicates across splits") {
+    val dup = "repeated boilerplate text that appears in three documents verbatim today"
+    val df = Seq(
+      (1L, dup), (2L, dup), (7L, dup),
+      (4L, "unique document with entirely distinct content and no duplicates at all"),
+      (5L, "another singleton piece about something else entirely different here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup
+      .leakageSafeSplit(df, "text", "doc_id", 10, 10)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect()
+    // all three copies share a component, hence a split
+    val dups = got.filter(g => Set(1L, 2L, 7L)(g._1))
+    assert(dups.map(_._2).distinct.length == 1)
+    assert(dups.map(_._3).distinct.length == 1)
+    assert(got.map(_._3).forall(Set("train", "val", "test")))
+    // deterministic across repartitioning
+    val again = graft.ops.Dedup
+      .leakageSafeSplit(df.repartition(7), "text", "doc_id", 10, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again == got.map(g => (g._1, g._3)).toSet)
+  }
+
   test("minhashCalibration: exact copies estimate J=1 with zero error") {
     val dup = "identical document text reused verbatim across a pair of rows here"
     val df = Seq((1L, dup), (2L, dup),
