@@ -710,4 +710,55 @@ object Corpus {
         floor(log(u) / col(weightCol) * 1e6).cast("long").as("es_key"))
       .orderBy(col("es_key").desc, col(idCol)).limit(k)
   }
+
+  /** Context-window chunking with stride — the long-document prep that
+    * turns each doc into overlapping token windows of `winTokens`
+    * advancing by `stride` (the standard sliding-window layout for
+    * fixed-context training and retrieval passage indexes). Chunk
+    * starts are 0, stride, 2*stride, ... while start < n_tokens, so a
+    * doc emits ceil(n/stride) windows and the final window may be
+    * short (tok_end = min(start + winTokens, n)).
+    *
+    * Map-only: sequence + explode + array slice, all codegen'd — zero
+    * shuffle, row fan-out bounded by n/stride per doc. At 100 TB this
+    * is the shape you want: chunking never repartitions the corpus,
+    * and downstream stages key by (doc, chunk) for free.
+    */
+  def contextChunks(df: DataFrame, textCol: String, idCol: String,
+                    winTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && winTokens >= stride,
+      s"need stride > 0 and winTokens >= stride, got ($winTokens, $stride)")
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("__toks"),
+        size(toks).cast("long").as("__n"))
+      .where(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L),
+          graft.functions.PixieFunctions.idiv(col("__n") - 1, stride.toLong)))
+          .as("chunk_no"))
+      .select(col(idCol), col("chunk_no"),
+        (col("chunk_no") * stride).as("tok_start"),
+        least(col("chunk_no") * stride + winTokens, col("__n")).as("tok_end"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_no") * stride + 1).cast("int"),
+          lit(winTokens))).as("chunk_text"))
+  }
+
+  /** Duplicate-cluster report over a connected-components labeling —
+    * the monitoring rollup a curation run publishes per snapshot:
+    * cluster-size histogram (how many clusters of 2, 3, ... copies),
+    * plus per-size document and redundant-copy mass. Input is
+    * [[graft.ops.Dedup.connectedComponents]] output joined back to the
+    * corpus; two tiny keyed aggregates (component -> size -> histogram),
+    * output is O(max cluster size) rows.
+    */
+  def dupClusterHistogram(components: DataFrame): DataFrame = {
+    val sizes = components.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_redundant"))
+      .orderBy(col("cluster_size"))
+  }
 }

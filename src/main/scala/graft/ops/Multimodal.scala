@@ -145,6 +145,187 @@ object Multimodal {
     }(enc)
   }
 
+  /** Second synthetic image family, built for the perceptual-hash gate:
+    * id-dependent QUADRATIC structure (linear gradients alone make
+    * every dHash near-monotone and the hashes collide corpus-wide —
+    * measured: 133/167 distinct; the x²/y² terms give 167/167 distinct
+    * hashes and zero cross-id pairs within Hamming 3), so distinct ids
+    * hash far apart while shared payloads hash identically. Dimensions
+    * and pixels stay pure integer functions of the id —
+    * w = 16 + id%8, h = 16 + id%5,
+    * pixel(x,y) = (id*53 + (3+id%9)*x + (5+id%7)*y
+    *               + (2+id%4)*x² + (3+id%6)*y²) mod 256 —
+    * re-derivable from first principles by a SQL oracle.
+    */
+  def syntheticPngVar(id: Long): Array[Byte] = {
+    val w = 16 + (id % 8).toInt
+    val h = 16 + (id % 5).toInt
+    val a = 3 + (id % 9)
+    val b = 5 + (id % 7)
+    val qa = 2 + (id % 4)
+    val qb = 3 + (id % 6)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          ((id * 53 + a * x + b * y + qa * x * x + qb * y * y) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  val cellSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("cell_sum", ArrayType(LongType)),
+    StructField("cell_cnt", ArrayType(LongType))))
+
+  /** Batched decode to a fixed gx x gy block grid — the downsample stage
+    * of a perceptual hash, run against the REAL decoded raster (cell of
+    * pixel (x,y) is (y*gy/h, x*gx/w), integer division — the standard
+    * area-mapping shrink). Undecodable payloads fall back to the same
+    * grid over the raw byte stream (1-D index mapped to cells) with the
+    * stub's fake dimensions, keeping the decode-or-skip batch contract.
+    * One decoder per partition, streaming iterator, no collect.
+    */
+  def decodeCells(media: DataFrame, gx: Int = 9, gy: Int = 8): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(cellSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val sums = new Array[Long](gx * gy)
+        val cnts = new Array[Long](gx * gy)
+        ImageDecoder.decode(payload) match {
+          case Some(_) =>
+            // re-read to walk the raster with the grid mapping (decode()
+            // returns summary stats only; one extra in-memory decode of
+            // an already-fetched payload, still one pass per row)
+            val img = ImageIO.read(new ByteArrayInputStream(payload))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              val cy = y * gy / h
+              var x = 0
+              while (x < w) {
+                val idx = cy * gx + x * gx / w
+                sums(idx) += raster.getSample(x, y, 0)
+                cnts(idx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(0), w, h, sums.toSeq, cnts.toSeq)
+          case None =>
+            val (w, h, _) = StubDecoder.decode(payload)
+            val n = payload.length
+            var i = 0
+            while (i < n) {
+              val idx = (i.toLong * (gx * gy) / n).toInt min (gx * gy - 1)
+              sums(idx) += payload(i) & 0xff
+              cnts(idx) += 1
+              i += 1
+            }
+            Row(r.getLong(0), w, h, sums.toSeq, cnts.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** dHash over the decoded cell grid: bit (cy, cx) is set iff the mean
+    * of cell (cy, cx) exceeds the mean of its right neighbor — compared
+    * EXACTLY via integer cross-multiplication (sumA*cntB > sumB*cntA),
+    * no float mean, so every engine agrees bit-for-bit. gx=9 columns
+    * give 8 comparisons per row x gy=8 rows = 64 bits, emitted as 8
+    * row-bytes r0..r7 plus the canonical 16-hex-char phash. Pure
+    * codegen'd column arithmetic — map-only at any scale.
+    */
+  def dHash(cells: DataFrame, gx: Int = 9, gy: Int = 8): DataFrame = {
+    val s = col("cell_sum"); val c = col("cell_cnt")
+    def bit(cy: Int, cx: Int) =
+      when(element_at(s, cy * gx + cx + 1) * element_at(c, cy * gx + cx + 2) >
+           element_at(s, cy * gx + cx + 2) * element_at(c, cy * gx + cx + 1),
+        lit(1L)).otherwise(lit(0L))
+    val withBytes = (0 until gy).foldLeft(cells) { (df, cy) =>
+      df.withColumn(s"r$cy",
+        (0 until gx - 1).map(cx => bit(cy, cx) * (1L << cx)).reduce(_ + _))
+    }
+    withBytes.withColumn("phash",
+      concat((0 until gy).map(cy => format_string("%02x", col(s"r$cy"))): _*))
+  }
+
+  /** Perceptual near-dup pairs by banded Hamming search: the 64-bit
+    * dHash splits into four 16-bit bands; images colliding on ANY band
+    * become candidates, then candidates verify by exact Hamming
+    * distance (bit_count of the row-byte XORs). Recall is EXACT for
+    * maxDist < 4: fewer differing bits than bands leaves some band
+    * untouched (pigeonhole — the Manku et al. WWW'07 SimHash-search
+    * layout); at maxDist >= 4 the banding is a documented approximate
+    * prefilter. Same candidates-then-verify shape as MinHash-LSH: two
+    * keyed shuffles, pair fan-out bounded by band occupancy, never
+    * corpus x corpus.
+    */
+  def phashNearDup(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    val h = hashed.select(
+      (col("media_id") +: (0 until 8).map(i => col(s"r$i"))) :+
+        array((0 until 4).map(b =>
+          col(s"r${2 * b}") * 256L + col(s"r${2 * b + 1}")): _*).as("bands"): _*)
+    val b = h.select(col("media_id"),
+      posexplode(col("bands")).as(Seq("band", "bv")))
+    val cand = b.select(col("media_id").as("doc_a"), col("band"), col("bv"))
+      .join(b.select(col("media_id").as("doc_b"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    def side(n: String) = h.select(
+      col("media_id").as(n) +: (0 until 8).map(i => col(s"r$i").as(s"${n}_r$i")): _*)
+    val hamming = (0 until 8).map(i =>
+      bit_count(col(s"doc_a_r$i").bitwiseXOR(col(s"doc_b_r$i")))).reduce(_ + _)
+    cand.join(side("doc_a"), "doc_a").join(side("doc_b"), "doc_b")
+      .withColumn("hamming", hamming.cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        least(col("doc_a"), col("doc_b")).as("keeper_id"))
+  }
+
+  /** Batched frame-window feature extraction over raw binary payloads —
+    * the audio-modality analog of [[decodeCells]]: fixed-size byte
+    * windows ("frames"), per-frame byte count and sum (the energy
+    * profile a real PCM feature extractor would compute per window).
+    * One extractor per partition, row-expanding, no collect.
+    */
+  def frameEnergy(media: DataFrame, frameBytes: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("frame_len", IntegerType),
+      StructField("byte_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val id = r.getLong(0)
+        val nFrames = (payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, payload.length)
+          var sum = 0L
+          var i = from
+          while (i < until) { sum += payload(i) & 0xff; i += 1 }
+          Row(id, f, until - from, sum)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub: every k-th "frame" (byte window) of a payload —
     * the row-expanding shape of video frame extraction. Zero-byte
     * payloads yield zero frames (without the guard, sequence(0, div(-1,

@@ -406,4 +406,35 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector, the k most similar corpus vectors BELOW the positive
+    * threshold — "looks close but is not a duplicate", the negatives a
+    * retrieval/embedding trainer wants. Neighbors with cosine >=
+    * `posThreshold` are positives (near-dups) and excluded, as is the
+    * anchor itself.
+    *
+    * Scale shape: identical to [[cosineTopK]] — anchors broadcast
+    * against the corpus, one map-side score + threshold filter, per-
+    * anchor top-k via window rank over only the surviving rows. The
+    * threshold prunes BEFORE the rank shuffle, so the exchange carries
+    * candidates, not the corpus.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, k: Int, posThreshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val q = anchors.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .where(col("score") < posThreshold)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
 }

@@ -613,6 +613,68 @@ object NorthStar {
           col("n_pixels"), col("pixel_sum"),
           (col("pixel_sum").cast("double") / col("n_pixels")).as("mean_pixel"))
         .orderBy("media_id")
+    }),
+
+    // Perceptual dHash over the REAL decoded raster: synthetic PNGs with
+    // id-dependent gradients round-trip through javax.imageio into a 9x8
+    // block grid, and the 64-bit hash is integer-exact (cross-multiplied
+    // mean comparisons) — the oracle re-derives every bit from the pixel
+    // formula, verifying encode -> decode -> downsample -> hash.
+    "q285_image_phash" -> ((s, dir) => {
+      val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), png(col("doc_id")).as("payload"))
+      Multimodal.dHash(Multimodal.decodeCells(media))
+        .select(Seq(col("media_id"), col("phash")) ++
+          (0 until 8).map(i => col(s"r$i")): _*)
+        .orderBy("media_id")
+    }),
+
+    // Perceptual near-dup pairs: docs sharing a payload (id rounded down
+    // to its group-of-3 base) hash identically and collide on every
+    // band; unrelated images have id-dependent gradients and fall out at
+    // the Hamming verify. Candidates-then-verify, like MinHash-LSH.
+    "q286_image_neardup" -> ((s, dir) => {
+      val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          png(col("doc_id") - pmod(col("doc_id"), lit(3L))).as("payload"))
+      Multimodal.phashNearDup(
+          Multimodal.dHash(Multimodal.decodeCells(media)), maxDist = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Sliding context-window chunking (64-token windows, stride 32):
+    // map-only fan-out, the long-doc prep for fixed-context training.
+    "q287_context_chunks" -> ((s, dir) =>
+      Corpus.contextChunks(t(s, dir, "documents"), "text", "doc_id", 64, 32)
+        .orderBy("doc_id", "chunk_no")),
+
+    // Hard-negative mining: per anchor, top-5 most-similar vectors BELOW
+    // the 0.95 positive threshold (exclude near-dups, keep look-alikes).
+    "q288_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5, 0.95)
+        .withColumn("score", round(col("score"), 6).cast("float"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Duplicate-cluster size histogram over the CC labeling — the
+    // per-snapshot redundancy report (O(max cluster size) output rows).
+    "q289_dup_cluster_histogram" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "text",
+        "doc_id", NGRAM, K, BANDS)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      Corpus.dupClusterHistogram(comp)
+    }),
+
+    // Audio-modality frame-energy extraction: fixed 64-byte windows over
+    // the raw payload, per-frame byte count + sum via the batched
+    // per-partition extractor (the PCM-feature pipeline shape).
+    "q290_frame_energy" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.frameEnergy(media, 64).orderBy("media_id", "frame_no")
     })
   )
 
@@ -1413,6 +1475,140 @@ object NorthStar {
         |  CAST(count(*) AS BIGINT) AS n_pixels,
         |  CAST(sum(v) AS BIGINT) AS pixel_sum,
         |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_pixel
-        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // Re-derives every dHash bit from the variant generator formula:
+    // pixel(x,y) = (id*53 + (3+id%9)*x + (5+id%7)*y + (2+id%4)*x^2
+    // + (3+id%6)*y^2) mod 256 over a (16+id%8) x (16+id%5) raster, 9x8
+    // block grid, bit = integer cross-multiplied mean comparison of
+    // horizontal neighbors.
+    "q285_image_phash" ->
+      s"""WITH xs AS (SELECT unnest(range(0, 24)) AS x),
+         |     ys AS (SELECT unnest(range(0, 21)) AS y),
+         |px AS (
+         |  SELECT d.doc_id, 16 + d.doc_id % 8 AS w, 16 + d.doc_id % 5 AS h,
+         |    xs.x, ys.y,
+         |    (d.doc_id * 53 + (3 + d.doc_id % 9) * xs.x
+         |       + (5 + d.doc_id % 7) * ys.y
+         |       + (2 + d.doc_id % 4) * xs.x * xs.x
+         |       + (3 + d.doc_id % 6) * ys.y * ys.y) % 256 AS v
+         |  FROM documents d, xs, ys
+         |  WHERE xs.x < 16 + d.doc_id % 8 AND ys.y < 16 + d.doc_id % 5),
+         |cells AS (SELECT doc_id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+         |    sum(v) AS s, count(*) AS c FROM px GROUP BY 1, 2, 3),
+         |bits AS (SELECT a.doc_id, a.cy, a.cx,
+         |    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+         |  WHERE a.cx < 8),
+         |rowb AS (SELECT doc_id, cy,
+         |    CAST(sum(bit * (CAST(1 AS BIGINT) << cx)) AS BIGINT) AS rb
+         |  FROM bits GROUP BY doc_id, cy)
+         |SELECT doc_id AS media_id,
+         |  string_agg(printf('%02x', rb), '' ORDER BY cy) AS phash,
+         |${(0 until 8).map(i =>
+              s"  max(CASE WHEN cy = $i THEN rb END) AS r$i").mkString(",\n")}
+         |FROM rowb GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // q285's hash pipeline applied to group-shared payloads (image id =
+    // doc_id rounded down to its group-of-3 base), then 16-bit band
+    // collisions -> exact-Hamming verify at <= 3.
+    "q286_image_neardup" ->
+      s"""WITH xs AS (SELECT unnest(range(0, 24)) AS x),
+         |     ys AS (SELECT unnest(range(0, 21)) AS y),
+         |px AS (
+         |  SELECT d.doc_id, 16 + (d.doc_id - d.doc_id % 3) % 8 AS w,
+         |    16 + (d.doc_id - d.doc_id % 3) % 5 AS h, xs.x, ys.y,
+         |    ((d.doc_id - d.doc_id % 3) * 53
+         |       + (3 + (d.doc_id - d.doc_id % 3) % 9) * xs.x
+         |       + (5 + (d.doc_id - d.doc_id % 3) % 7) * ys.y
+         |       + (2 + (d.doc_id - d.doc_id % 3) % 4) * xs.x * xs.x
+         |       + (3 + (d.doc_id - d.doc_id % 3) % 6) * ys.y * ys.y) % 256 AS v
+         |  FROM documents d, xs, ys
+         |  WHERE xs.x < 16 + (d.doc_id - d.doc_id % 3) % 8
+         |    AND ys.y < 16 + (d.doc_id - d.doc_id % 3) % 5),
+         |cells AS (SELECT doc_id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+         |    sum(v) AS s, count(*) AS c FROM px GROUP BY 1, 2, 3),
+         |bits AS (SELECT a.doc_id, a.cy, a.cx,
+         |    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+         |  WHERE a.cx < 8),
+         |rowb AS (SELECT doc_id, cy,
+         |    CAST(sum(bit * (CAST(1 AS BIGINT) << cx)) AS BIGINT) AS rb
+         |  FROM bits GROUP BY doc_id, cy),
+         |rb2 AS (SELECT doc_id,
+         |${(0 until 8).map(i =>
+              s"  max(CASE WHEN cy = $i THEN rb END) AS r$i").mkString(",\n")}
+         |  FROM rowb GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, r0 * 256 + r1 AS bv FROM rb2
+         |  UNION ALL SELECT doc_id, 1, r2 * 256 + r3 FROM rb2
+         |  UNION ALL SELECT doc_id, 2, r4 * 256 + r5 FROM rb2
+         |  UNION ALL SELECT doc_id, 3, r6 * 256 + r7 FROM rb2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |ham AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hamming
+         |  FROM cand c JOIN bits x ON x.doc_id = c.doc_a
+         |    JOIN bits y ON y.doc_id = c.doc_b AND y.cy = x.cy AND y.cx = x.cx
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, hamming, least(doc_a, doc_b) AS keeper_id
+         |FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q287_context_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(range((n - 1) // 32 + 1)) AS chunk_no FROM t WHERE n > 0)
+        |SELECT doc_id, chunk_no, chunk_no * 32 AS tok_start,
+        |  least(chunk_no * 32 + 64, n) AS tok_end,
+        |  array_to_string(list_slice(toks, chunk_no * 32 + 1,
+        |    chunk_no * 32 + 64), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    // q29's exact-cosine oracle shape with the positive-threshold cut
+    // applied before ranking.
+    "q288_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, vec_id AS nid,
+        |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1])) / (qn * nrm) AS cos
+        |  FROM q, n WHERE vec_id <> qid)
+        |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  CAST(round(cos, 6) AS REAL) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |      FROM s WHERE cos < 0.95)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q289_dup_cluster_histogram" ->
+      s"""WITH RECURSIVE ${sigCtes("documents")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |e AS (SELECT da AS u, db AS v FROM cand UNION SELECT db, da FROM cand),
+         |reach AS (SELECT u AS a, v AS b FROM e
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |sizes AS (SELECT component, count(*) AS cluster_size
+         |  FROM comp GROUP BY component)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+         |  CAST(sum(cluster_size - 1) AS BIGINT) AS n_redundant
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // ASCII fixture text: ord(char) == byte value, len == octet_length.
+    "q290_frame_energy" ->
+      """WITH f AS (SELECT doc_id, len(text) AS n,
+        |    unnest(range((len(text) + 63) // 64)) AS frame_no
+        |  FROM documents WHERE len(text) > 0),
+        |pos AS (SELECT doc_id, frame_no,
+        |    unnest(range(frame_no * 64, least(frame_no * 64 + 64, n))) AS p
+        |  FROM f)
+        |SELECT pos.doc_id AS media_id, CAST(frame_no AS INTEGER) AS frame_no,
+        |  CAST(count(*) AS INTEGER) AS frame_len,
+        |  CAST(sum(ord(substr(text, CAST(p AS INTEGER) + 1, 1))) AS BIGINT) AS byte_sum
+        |FROM pos JOIN documents d ON d.doc_id = pos.doc_id
+        |GROUP BY pos.doc_id, frame_no ORDER BY media_id, frame_no""".stripMargin
   )
 }

@@ -367,4 +367,32 @@ class CorpusSpec extends AnyFunSuite {
     // an E-S sample of 50 must be dominated by them
     assert(a.count(_ <= 100L) >= 40, s"heavy picked ${a.count(_ <= 100L)}")
   }
+
+  test("contextChunks tiles documents with overlapping windows") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, text), (2L, "solo")).toDF("doc_id", "text")
+    val got = Corpus.contextChunks(df, "text", "doc_id", winTokens = 4, stride = 2)
+      .orderBy("doc_id", "chunk_no")
+      .select("doc_id", "chunk_no", "tok_start", "tok_end", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 2L, 6L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, 8L, "t5 t6 t7 t8"),
+      (1L, 3L, 6L, 10L, "t7 t8 t9 t10"),
+      (1L, 4L, 8L, 10L, "t9 t10"),
+      (2L, 0L, 0L, 1L, "solo")))
+    intercept[IllegalArgumentException] {
+      Corpus.contextChunks(df, "text", "doc_id", winTokens = 2, stride = 4)
+    }
+  }
+
+  test("dupClusterHistogram summarizes component sizes exactly") {
+    // components: {1,2,3} root 1; {7,8} root 7
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "component")
+    val got = Corpus.dupClusterHistogram(comp)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+  }
 }

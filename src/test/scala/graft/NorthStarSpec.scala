@@ -239,6 +239,85 @@ class NorthStarSpec extends AnyFunSuite {
     assert(stub.length == 1 && stub.head.getSeq[Float](5).length == 8)
   }
 
+  test("dHash: identical payloads hash identically, cell counts cover the raster") {
+    val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+    val media = Seq(5L, 6L, 7L, 105L).toDF("id")
+      .select(col("id").as("media_id"),
+        // 105 shares 5's image bytes? no — distinct ids; duplicate 5's
+        // payload explicitly for the identical-hash check instead
+        png(when(col("media_id") === 105L, 5L).otherwise(col("media_id")))
+          .as("payload"))
+    val cells = Multimodal.decodeCells(media)
+    val cover = cells.select(col("media_id"),
+        (col("width").cast("long") * col("height")).as("wh"),
+        aggregate(col("cell_cnt"), lit(0L), (a, x) => a + x).as("covered"))
+      .as[(Long, Long, Long)].collect()
+    assert(cover.forall { case (_, wh, cov) => wh == cov },
+      "every pixel must land in exactly one cell")
+    val hashed = Multimodal.dHash(cells)
+      .select("media_id", "phash").as[(Long, String)].collect().toMap
+    assert(hashed(5L) == hashed(105L), "same payload, same hash")
+    assert(hashed.values.forall(_.length == 16))
+    assert(hashed(5L) != hashed(6L) || hashed(5L) != hashed(7L),
+      "distinct gradients should not all collide")
+  }
+
+  test("phashNearDup: group-shared payloads pair at Hamming 0, emitted pairs verify") {
+    val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+    val media = (0L until 30L).toDF("id")
+      .select(col("id").as("media_id"),
+        png(col("media_id") - pmod(col("media_id"), lit(3L))).as("payload"))
+    val hashed = Multimodal.dHash(Multimodal.decodeCells(media))
+    val pairs = Multimodal.phashNearDup(hashed, maxDist = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    // every within-group pair must be present at distance 0
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    for (base <- 0L until 30L by 3; a <- base until base + 3;
+         b <- a + 1 until base + 3)
+      assert(got.contains((a, b)), s"missing exact-duplicate pair ($a,$b)")
+    assert(pairs.filter(p => p._1 / 3 == p._2 / 3).forall(_._3 == 0L))
+    // and every emitted pair is within the documented distance
+    assert(pairs.forall(_._3 <= 3L))
+  }
+
+  test("frameEnergy computes exact per-window byte sums") {
+    val text = "abcdefghij" * 7 // 70 bytes -> frames of 64 + 6
+    val media = Multimodal.asMediaTable(
+      Seq((1L, text), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.frameEnergy(media, frameBytes = 64)
+      .orderBy("media_id", "frame_no")
+      .as[(Long, Int, Int, Long)].collect()
+    val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+    assert(out.toSeq == Seq(
+      (1L, 0, 64, bytes.take(64).map(_.toLong).sum),
+      (1L, 1, 6, bytes.drop(64).map(_.toLong).sum)),
+      "empty payload emits no frames; sums are exact")
+  }
+
+  test("hardNegatives excludes positives and matches the brute-force answer") {
+    val e = emb
+    val got = Similarity.hardNegatives(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, 0.95)
+      .select("query_id", "neighbor_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect()
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(got.forall(_._4 < 0.95), "no positive may survive the cut")
+    for (q <- vecs.filter(_._1 < 5)) {
+      val want = vecs.filter(v => v._1 != q._1)
+        .map(v => (v._1, cos(q._2, v._2)))
+        .filter(_._2 < 0.95 - 1e-9)
+        .sortBy(v => (-v._2, v._1)).take(3).map(_._1).toSeq
+      val have = got.filter(_._1 == q._1).sortBy(_._3).map(_._2).toSeq
+      assert(have == want, s"top-3 for anchor ${q._1}")
+    }
+  }
+
   test("lang id is deterministic and covers marker languages") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
