@@ -314,6 +314,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
   }
 
+  test("contextChunks is map-only: zero exchanges, fan-out without repartition") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val p = plan(graft.ops.Corpus.contextChunks(docs, "text", "doc_id", 64, 32))
+    assert(!p.contains("Exchange"), s"chunking must never shuffle:\n${p.take(2000)}")
+  }
+
+  test("phash pipeline: hash is map-only; near-dup is keyed exchanges, no quadratic join") {
+    val png = udf((id: Long) => graft.ops.Multimodal.syntheticPngVar(id))
+    val media = graft.core.Tables(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), png(col("doc_id")).as("payload"))
+    val hashed = graft.ops.Multimodal.dHash(graft.ops.Multimodal.decodeCells(media))
+    val hp = plan(hashed)
+    assert(!hp.contains("Exchange"),
+      s"decode+hash must be map-only:\n${hp.take(2000)}")
+    val np = plan(graft.ops.Multimodal.phashNearDup(hashed, maxDist = 3))
+    for (j <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!np.contains(j), s"unexpected $j in near-dup plan:\n${np.take(3000)}")
+  }
+
+  test("hardNegatives: anchors broadcast, threshold cut before the rank exchange") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val p = plan(graft.ops.Similarity.hardNegatives(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3, 0.95))
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+    // one keyed exchange: the per-anchor window rank (threshold filter is
+    // map-side, so only surviving candidates reach it)
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected 1 keyed exchange (rank), got $keyed:\n${p.take(3000)}")
+  }
+
   test("salted two-phase agg equals direct agg and adds a pre-shuffle stage") {
     val t = PxTable(graft.core.Tables(spark, dir, "events"))
     val direct = t.groupbyAgg(Seq("event_type"),
