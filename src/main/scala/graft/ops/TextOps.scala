@@ -177,6 +177,52 @@ object TextOps {
       s"replace($s,'|$a||$b|','|$a$b|')"
     }
 
+  /** Tokenizer fertility report: per group (source/language), word,
+    * token and char mass plus tokens-per-word (fertility) and
+    * chars-per-token — the standard "evaluate a tokenizer against a
+    * corpus" rollup that sizes context budgets and flags under-served
+    * slices (fertility >> 1 means the tokenizer fragments that slice).
+    * One map pass (the BPE replace chain is codegen'd string work) +
+    * one keyed aggregate; ratios divide the group sums, so the result
+    * is exact at any partitioning.
+    */
+  def tokenizerFertility(df: DataFrame, textCol: String, groupCol: String,
+                         merges: Seq[(String, String)]): DataFrame =
+    df.select(col(groupCol),
+        size(filter(split(col(textCol), " "), w => w =!= ""))
+          .cast("long").as("__nw"),
+        size(bpeTokens(col(textCol), merges)).cast("long").as("__nt"),
+        length(col(textCol)).cast("long").as("__nc"))
+      .groupBy(col(groupCol)).agg(
+        sum(col("__nw")).as("n_words"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 6))
+
+  /** Per-document n-gram novelty: the share of a doc's DISTINCT n-grams
+    * that appear in no other document — the diversity signal dual to
+    * duplicate-span coverage (novel docs are selection candidates,
+    * all-boilerplate docs score 0). One explode + one gram-keyed
+    * doc-frequency aggregate + a join-back keyed by gram, then a
+    * doc-keyed rollup: nothing pairwise, the contamination-check shape
+    * turned inward on the corpus itself.
+    */
+  def gramNovelty(df: DataFrame, textCol: String, idCol: String,
+                  n: Int = 3): DataFrame = {
+    val g = df.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+    val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    g.join(dfreq, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_grams"), 6))
+  }
+
   /** Set fingerprint: XOR + bounded-sum of distinct-word hashes —
     * order-independent, exact in any engine, mergeable.
     */

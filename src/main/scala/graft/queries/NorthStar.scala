@@ -675,7 +675,71 @@ object NorthStar {
     "q290_frame_energy" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.frameEnergy(media, 64).orderBy("media_id", "frame_no")
-    })
+    }),
+
+    // Tokenizer fertility report per source over the bundled fixture
+    // BPE model — tokens-per-word and chars-per-token from group sums.
+    "q291_tokenizer_fertility" -> ((s, dir) =>
+      TextOps.tokenizerFertility(t(s, dir, "documents"), "text", "source",
+        TextOps.fixtureMerges).orderBy("source")),
+
+    // Corpus-scale PII scrub: deterministic synthetic PII appended per
+    // doc (the q42 pattern on the curation surface), the full redaction
+    // chain applied, and the per-doc redaction count reported — the
+    // pre-training privacy pass.
+    "q292_pii_scrub" -> ((s, dir) => {
+      val txt = concat(col("text"),
+        lit(" contact u"), col("doc_id"),
+        lit("@ex"), pmod(col("doc_id"), lit(7L)), lit(".org ip 10."),
+        pmod(col("doc_id"), lit(200L)), lit(".0."),
+        pmod(col("doc_id"), lit(250L)), lit(" ssn 123-45-6789"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.PiiOps.redactPii(txt).as("redacted"))
+        .withColumn("n_redactions",
+          (size(split(col("redacted"), "<REDACTED_")) - 1).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // The quality-filter STACK composed end-to-end: lang-ID gate (the
+    // C4 keep-English step) + Gopher repetition/shape rules + CCNet-
+    // style target-LM fluency threshold, one verdict row per doc — the
+    // standard crawl -> training-set filter cascade as ONE plan. (The
+    // trained-classifier variant of the third stage is gated standalone
+    // at q252/q257; on this fixture text correlates with lang, so the
+    // marker gate is the discriminative stage.)
+    "q293_filter_stack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextOps.qualityScore(docs, "text")
+        .select("doc_id", "n_words", "avg_word_len", "stop_ratio")
+      val r = Corpus.repetitionStats(docs, "text", "doc_id")
+        .select("doc_id", "top2_char_ratio", "dup5_ratio", "dup10_ratio")
+      val gopher = q.join(r, "doc_id").join(
+          docs.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          (col("n_words").between(50, 100000) &&
+            col("avg_word_len").between(3.0, 10.0) &&
+            col("top2_char_ratio") < 0.18 &&
+            col("dup5_ratio") < 0.15 && col("dup10_ratio") < 0.10 &&
+            col("stop_ratio") > 0.02).as("gopher_pass"))
+      val lm = Corpus.lmScore(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 256)
+        .select("doc_id", "avg_logp")
+      val lang = TextOps.langId(docs, "text")
+        .select(col("doc_id"), (col("lang_pred") === "en").as("lang_pass"))
+      val fluent = col("source") === "src0" ||
+        coalesce(col("avg_logp") >= -4.95, lit(false))
+      gopher.join(lm, Seq("doc_id"), "left").join(lang, "doc_id")
+        .select(col("doc_id"), col("gopher_pass"),
+          fluent.as("fluency_pass"), col("lang_pass"),
+          (col("gopher_pass") && fluent && col("lang_pass")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-doc 3-gram novelty: distinct grams appearing in no other doc.
+    "q295_gram_novelty" -> ((s, dir) =>
+      TextOps.gramNovelty(t(s, dir, "documents"), "text", "doc_id", NGRAM)
+        .orderBy("doc_id"))
   )
 
   // ---- generated oracle SQL ------------------------------------------
@@ -1609,6 +1673,100 @@ object NorthStar {
         |  CAST(count(*) AS INTEGER) AS frame_len,
         |  CAST(sum(ord(substr(text, CAST(p AS INTEGER) + 1, 1))) AS BIGINT) AS byte_sum
         |FROM pos JOIN documents d ON d.doc_id = pos.doc_id
-        |GROUP BY pos.doc_id, frame_no ORDER BY media_id, frame_no""".stripMargin
+        |GROUP BY pos.doc_id, frame_no ORDER BY media_id, frame_no""".stripMargin,
+    "q291_tokenizer_fertility" ->
+      s"""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         |t AS (SELECT source,
+         |    CASE WHEN w = '' THEN 0 ELSE 1 END AS nw,
+         |    CASE WHEN w = '' THEN 0 ELSE len(list_filter(string_split(
+         |      ${TextOps.bpeEncodeSql("w", TextOps.fixtureMerges)}, '|'),
+         |      x -> x <> '')) END AS nt
+         |  FROM w),
+         |c AS (SELECT source, CAST(sum(len(text)) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY source)
+         |SELECT t.source, CAST(sum(nw) AS BIGINT) AS n_words,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens, c.n_chars,
+         |  round(CAST(sum(nt) AS DOUBLE) / sum(nw), 6) AS fertility,
+         |  round(CAST(c.n_chars AS DOUBLE) / sum(nt), 6) AS chars_per_token
+         |FROM t JOIN c USING (source)
+         |GROUP BY t.source, c.n_chars ORDER BY source""".stripMargin,
+    "q292_pii_scrub" ->
+      s"""WITH r AS (SELECT doc_id, ${graft.functions.PiiOps.redactPiiSql(
+             "text || ' contact u' || doc_id || '@ex' || (doc_id % 7) " +
+             "|| '.org ip 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) " +
+             "|| ' ssn 123-45-6789'")} AS redacted
+         |  FROM documents)
+         |SELECT doc_id, redacted,
+         |  CAST(len(string_split(redacted, '<REDACTED_')) - 1 AS BIGINT)
+         |    AS n_redactions
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // The full filter cascade re-derived: Gopher shape/repetition rules
+    // (q259's CTEs), the CCNet bigram-LM fluency threshold (lmCtes),
+    // and the q31 marker lang-ID gate.
+    "q293_filter_stack" -> {
+      s"""WITH q AS (SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+         |    CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+         |      / len(string_split(text,' ')) AS avg_word_len,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      x -> x IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+         |      / len(string_split(text,' ')) AS stop_ratio
+         |  FROM documents),
+         |g2 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 2)}) AS g FROM documents),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         |t2 AS (SELECT doc_id, g, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+         |  FROM c2),
+         |g5 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 5)}) AS g FROM documents),
+         |d5 AS (SELECT doc_id, round(CAST(count(*) - count(DISTINCT g) AS DOUBLE)
+         |    / count(*), 6) AS dup5_ratio FROM g5 GROUP BY doc_id),
+         |g10 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 10)}) AS g FROM documents),
+         |d10 AS (SELECT doc_id, round(CAST(count(*) - count(DISTINCT g) AS DOUBLE)
+         |    / count(*), 6) AS dup10_ratio FROM g10 GROUP BY doc_id),
+         |gopher AS (SELECT d.doc_id, d.source,
+         |    (q.n_words BETWEEN 50 AND 100000
+         |     AND q.avg_word_len BETWEEN 3.0 AND 10.0
+         |     AND round(t2.c * CAST(len(t2.g) AS DOUBLE) / len(d.text), 6) < 0.18
+         |     AND d5.dup5_ratio < 0.15 AND d10.dup10_ratio < 0.10
+         |     AND q.stop_ratio > 0.02) AS gopher_pass
+         |  FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN t2 ON t2.doc_id = d.doc_id AND t2.rn = 1
+         |  JOIN d5 ON d5.doc_id = d.doc_id
+         |  JOIN d10 ON d10.doc_id = d.doc_id),
+         |$lmCtes,
+         |langs AS (SELECT doc_id,
+         |  $markerSql
+         |  FROM documents),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN score_en + score_de + score_es + score_fr = 0 THEN 'unknown'
+         |       WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+         |       WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+         |       WHEN score_es >= score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+         |       WHEN score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+         |       ELSE 'unknown' END AS lang_pred FROM langs)
+         |SELECT gopher.doc_id, gopher.gopher_pass,
+         |  (gopher.source = 'src0' OR coalesce(lm.avg_logp >= -4.95, false))
+         |    AS fluency_pass,
+         |  (lang.lang_pred = 'en') AS lang_pass,
+         |  (gopher.gopher_pass
+         |   AND (gopher.source = 'src0' OR coalesce(lm.avg_logp >= -4.95, false))
+         |   AND lang.lang_pred = 'en') AS keep
+         |FROM gopher
+         |LEFT JOIN lm ON lm.doc_id = gopher.doc_id
+         |JOIN lang ON lang.doc_id = gopher.doc_id
+         |ORDER BY gopher.doc_id""".stripMargin
+    },
+    "q295_gram_novelty" ->
+      s"""WITH gx AS (SELECT doc_id,
+         |    unnest(list_distinct(${Dedup.shinglesSql("text", NGRAM)})) AS g
+         |  FROM documents),
+         |dfx AS (SELECT g, count(*) AS df FROM gx GROUP BY g)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM gx JOIN dfx USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

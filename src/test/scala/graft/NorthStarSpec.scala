@@ -318,6 +318,30 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizerFertility: known merges give exact token counts and ratios") {
+    // merges: t+a -> ta -> tab -> table; "table" encodes to 1 token,
+    // "xyz" to 3 single chars
+    val df = Seq(("s1", "table table"), ("s1", "xyz"), ("s2", "q")).toDF("src", "text")
+    val got = TextOps.tokenizerFertility(df, "text", "src", TextOps.fixtureMerges)
+      .orderBy("src")
+      .select("src", "n_words", "n_tokens", "n_chars", "fertility")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // s1: 3 words; "table"x2 -> 2 tokens, "xyz" -> 3 tokens; 14 chars
+    assert(got(0) == (("s1", 3L, 5L, 14L, 1.666667)))
+    assert(got(1)._1 == "s2" && got(1)._2 == 1L && got(1)._3 == 1L)
+  }
+
+  test("gramNovelty: boilerplate scores 0, unique docs score 1") {
+    val shared = "a b c d e f"
+    val df = Seq((1L, shared), (2L, shared),
+      (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val got = TextOps.gramNovelty(df, "text", "doc_id", 3)
+      .orderBy("doc_id").select("doc_id", "novelty")
+      .as[(Long, Double)].collect().toSeq
+    assert(got(0)._2 == 0.0 && got(1)._2 == 0.0, "shared grams are never novel")
+    assert(got(2)._2 == 1.0, "singleton doc is fully novel")
+  }
+
   test("lang id is deterministic and covers marker languages") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
