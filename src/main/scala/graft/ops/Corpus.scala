@@ -744,6 +744,37 @@ object Corpus {
           lit(winTokens))).as("chunk_text"))
   }
 
+  /** Mixture planning report: for each group (language/source), the
+    * temperature-weighted share of a `budgetTokens` training run and
+    * the EFFECTIVE EPOCHS over that group's token mass (tokens drawn /
+    * tokens available) — the number a data lead checks before
+    * committing a mixture (epochs >> 1 on a small slice means
+    * memorization risk; the mT5/PaLM-style planning table).
+    *
+    * Temperature weights are n_tokens^alpha quantized to integer
+    * micro-units BEFORE the normalizer sum, so shares are exact at any
+    * partitioning (the [[Classify]]/[[Corpus.dsirWeights]] determinism
+    * contract — q247's float normalizer is fine for keep-fractions but
+    * a report row must hash-match). One group aggregate + a broadcast
+    * 1-row normalizer; output is O(#groups).
+    */
+  def mixtureEpochs(df: DataFrame, groupCol: String, tokenCol: String,
+                    alpha: Double, budgetTokens: Long): DataFrame = {
+    val g = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(tokenCol)).cast("long").as("n_tokens"))
+    val w = g.withColumn("__wq",
+      floor(pow(col("n_tokens").cast("double"), alpha) * 1e6 + 0.5).cast("long"))
+    val tot = w.agg(sum(col("__wq")).as("__tot"))
+    w.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("__wq").cast("double") / col("__tot"), 6).as("share"),
+        round(lit(budgetTokens.toDouble) * col("__wq") / col("__tot"), 2)
+          .as("tokens_drawn"),
+        round(lit(budgetTokens.toDouble) * col("__wq")
+          / (col("__tot") * col("n_tokens")), 6).as("effective_epochs"))
+  }
+
   /** Duplicate-cluster report over a connected-components labeling —
     * the monitoring rollup a curation run publishes per snapshot:
     * cluster-size histogram (how many clusters of 2, 3, ... copies),

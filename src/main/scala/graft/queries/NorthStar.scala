@@ -736,6 +736,15 @@ object NorthStar {
         .orderBy("doc_id")
     }),
 
+    // Mixture planning table: per-lang temperature share of a 1M-token
+    // budget + effective epochs over each slice's token mass.
+    "q294_mixture_epochs" -> ((s, dir) =>
+      Corpus.mixtureEpochs(
+          t(s, dir, "documents")
+            .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+          "lang", "n_tok", alpha = 0.5, budgetTokens = 1000000L)
+        .orderBy("lang")),
+
     // Per-doc 3-gram novelty: distinct grams appearing in no other doc.
     "q295_gram_novelty" -> ((s, dir) =>
       TextOps.gramNovelty(t(s, dir, "documents"), "text", "doc_id", NGRAM)
@@ -1757,6 +1766,18 @@ object NorthStar {
          |JOIN lang ON lang.doc_id = gopher.doc_id
          |ORDER BY gopher.doc_id""".stripMargin
     },
+    "q294_mixture_epochs" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT *, CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS wq FROM g),
+        |t AS (SELECT CAST(sum(wq) AS BIGINT) AS tot FROM w)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(CAST(wq AS DOUBLE) / tot, 6) AS share,
+        |  round(1000000.0 * wq / tot, 2) AS tokens_drawn,
+        |  round(1000000.0 * wq / (tot * n_tokens), 6) AS effective_epochs
+        |FROM w, t ORDER BY lang""".stripMargin,
     "q295_gram_novelty" ->
       s"""WITH gx AS (SELECT doc_id,
          |    unnest(list_distinct(${Dedup.shinglesSql("text", NGRAM)})) AS g
