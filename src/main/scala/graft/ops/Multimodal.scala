@@ -203,14 +203,14 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]]("payload")
         val sums = new Array[Long](gx * gy)
         val cnts = new Array[Long](gx * gy)
-        ImageDecoder.decode(payload) match {
-          case Some(_) =>
-            // re-read to walk the raster with the grid mapping (decode()
-            // returns summary stats only; one extra in-memory decode of
-            // an already-fetched payload, still one pass per row)
-            val img = ImageIO.read(new ByteArrayInputStream(payload))
-            val (w, h) = (img.getWidth, img.getHeight)
-            val raster = img.getRaster
+        // ONE decode per row (decode-or-skip: any failure -> stub path);
+        // the grid walk reads the raster directly, no second decode.
+        val img = try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        img match {
+          case Some(im) =>
+            val (w, h) = (im.getWidth, im.getHeight)
+            val raster = im.getRaster
             var y = 0
             while (y < h) {
               val cy = y * gy / h

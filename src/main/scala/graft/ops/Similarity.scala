@@ -407,6 +407,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Two-stage truncated-dimension retrieval (the matryoshka serving
+    * pattern): rank by cosine over the first `dPrefix` dims, keep a
+    * `shortlist`, then rerank the shortlist by FULL-dimension cosine —
+    * prefix scoring costs dPrefix/dim of the arithmetic and the exact
+    * rerank touches only shortlist rows. On embeddings trained with
+    * matryoshka losses the prefix carries most of the signal and small
+    * shortlists suffice; the fixture's dims are i.i.d. (worst case), so
+    * the gate pins shortlist=200 and the spec MEASURES the recall knob
+    * (0.9 vs exact at 200/500 — shortlist size is the only tuning
+    * dimension, the plan never changes).
+    *
+    * Scale shape: identical to [[cosineTopK]] — queries broadcast, one
+    * rank shuffle — but the full-width dot products run on shortlist
+    * rows only; both vectors ride the candidate row, so the rerank adds
+    * no join.
+    */
+  def truncatedRerankTopK(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          dPrefix: Int, shortlist: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+        .withColumn(v + "n", norm(col(v)))
+        .withColumn(v + "p", slice(col(v), 1, dPrefix))
+        .withColumn(v + "pn", norm(col(v + "p")))
+    val c = prep(corpus, "neighbor_id", "ce")
+    val q = prep(queries, "query_id", "qe")
+    val s1 = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cost",
+        dot(col("qep"), col("cep")) / (col("qepn") * col("cepn")))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("cost").desc, col("neighbor_id").asc)
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    s1.withColumn("rkt", row_number().over(w1)).where(col("rkt") <= shortlist)
+      .withColumn("score", dot(col("qe"), col("ce")) / (col("qen") * col("cen")))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor
     * vector, the k most similar corpus vectors BELOW the positive
     * threshold — "looks close but is not a duplicate", the negatives a

@@ -748,7 +748,52 @@ object NorthStar {
     // Per-doc 3-gram novelty: distinct grams appearing in no other doc.
     "q295_gram_novelty" -> ((s, dir) =>
       TextOps.gramNovelty(t(s, dir, "documents"), "text", "doc_id", NGRAM)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // BPE tokenize -> sequence-pack composed: REAL tokenizer counts (the
+    // q234 replace-chain) feeding the q244 two-level prefix-sum layout —
+    // the tokenize-then-pack step every training run executes, as one
+    // plan.
+    "q296_tokenize_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.bpeTokens(col("text"), TextOps.fixtureMerges))
+            .cast("long").as("n_tok"))
+      Corpus.packSequences(docs, "doc_id", "n_tok", "source", 512L)
+        .select("doc_id", "source", "n_tok", "start_tok", "first_seq", "last_seq")
+        .orderBy("doc_id")
+    }),
+
+    // Streaming ingest-time perceptual near-dup candidates: AvailableNow
+    // replay == the batch q286 band-collision set (the oracle derives
+    // the batch candidates from the pixel formula).
+    "q298_streaming_phash" -> ((s, dir) => {
+      val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      val media = graft.core.Tables.stream(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          png(col("doc_id") - pmod(col("doc_id"), lit(3L))).as("payload"))
+      val pairs = graft.streaming.Streaming.streamingPhashPairs(media)
+      val qn = "q298_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = pairs.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qn).distinct().orderBy("doc_a", "doc_b")
+      val rows = out.collect()
+      s.catalog.dropTempView(qn)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
+    // Two-stage truncated-dim retrieval (matryoshka serving pattern):
+    // 16-dim prefix shortlist of 200, exact full-dim rerank to top-5.
+    "q297_ann_truncated" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.truncatedRerankTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, dPrefix = 16, shortlist = 200)
+        .withColumn("score", round(col("score"), 6).cast("float"))
+        .orderBy("query_id", "rank")
+    })
   )
 
   // ---- generated oracle SQL ------------------------------------------
@@ -1778,6 +1823,82 @@ object NorthStar {
         |  round(1000000.0 * wq / tot, 2) AS tokens_drawn,
         |  round(1000000.0 * wq / (tot * n_tokens), 6) AS effective_epochs
         |FROM w, t ORDER BY lang""".stripMargin,
+    // The q286 band pipeline WITHOUT the Hamming verify: the streaming
+    // replay must reproduce exactly the batch band-collision candidates.
+    "q298_streaming_phash" ->
+      s"""WITH xs AS (SELECT unnest(range(0, 24)) AS x),
+         |     ys AS (SELECT unnest(range(0, 21)) AS y),
+         |px AS (
+         |  SELECT d.doc_id, 16 + (d.doc_id - d.doc_id % 3) % 8 AS w,
+         |    16 + (d.doc_id - d.doc_id % 3) % 5 AS h, xs.x, ys.y,
+         |    ((d.doc_id - d.doc_id % 3) * 53
+         |       + (3 + (d.doc_id - d.doc_id % 3) % 9) * xs.x
+         |       + (5 + (d.doc_id - d.doc_id % 3) % 7) * ys.y
+         |       + (2 + (d.doc_id - d.doc_id % 3) % 4) * xs.x * xs.x
+         |       + (3 + (d.doc_id - d.doc_id % 3) % 6) * ys.y * ys.y) % 256 AS v
+         |  FROM documents d, xs, ys
+         |  WHERE xs.x < 16 + (d.doc_id - d.doc_id % 3) % 8
+         |    AND ys.y < 16 + (d.doc_id - d.doc_id % 3) % 5),
+         |cells AS (SELECT doc_id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+         |    sum(v) AS s, count(*) AS c FROM px GROUP BY 1, 2, 3),
+         |bits AS (SELECT a.doc_id, a.cy, a.cx,
+         |    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+         |  WHERE a.cx < 8),
+         |rowb AS (SELECT doc_id, cy,
+         |    CAST(sum(bit * (CAST(1 AS BIGINT) << cx)) AS BIGINT) AS rb
+         |  FROM bits GROUP BY doc_id, cy),
+         |rb2 AS (SELECT doc_id,
+         |${(0 until 8).map(i =>
+              s"  max(CASE WHEN cy = $i THEN rb END) AS r$i").mkString(",\n")}
+         |  FROM rowb GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, r0 * 256 + r1 AS bv FROM rb2
+         |  UNION ALL SELECT doc_id, 1, r2 * 256 + r3 FROM rb2
+         |  UNION ALL SELECT doc_id, 2, r4 * 256 + r5 FROM rb2
+         |  UNION ALL SELECT doc_id, 3, r6 * 256 + r7 FROM rb2)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q296_tokenize_pack" ->
+      s"""WITH words AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |wt AS (SELECT doc_id, source,
+         |    CASE WHEN w = '' THEN 0 ELSE len(list_filter(string_split(
+         |      ${TextOps.bpeEncodeSql("w", TextOps.fixtureMerges)}, '|'),
+         |      x -> x <> '')) END AS nt
+         |  FROM words),
+         |t AS (SELECT doc_id, source, CAST(sum(nt) AS BIGINT) AS n_tok
+         |  FROM wt GROUP BY doc_id, source),
+         |c AS (SELECT doc_id, source, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (ORDER BY source, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_tok FROM t)
+         |SELECT doc_id, source, n_tok, start_tok,
+         |  start_tok // 512 AS first_seq,
+         |  (start_tok + n_tok - 1) // 512 AS last_seq
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q297_ann_truncated" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+        |    list_transform(e[1:16], x -> x) AS ep,
+        |    sqrt(list_sum(list_transform(e[1:16], x -> x * x))) AS nrmp FROM v),
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, ep AS qep, nrmp AS qnp
+        |  FROM n WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nid,
+        |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1])) / (qn * nrm) AS cosf,
+        |    list_sum(list_transform(range(16), i -> qep[i+1] * ep[i+1])) / (qnp * nrmp) AS cost
+        |  FROM q, n WHERE vec_id <> qid),
+        |rt AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cost DESC, nid) AS rkt FROM s)
+        |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |  CAST(round(cosf, 6) AS REAL) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, nid) AS rank
+        |      FROM rt WHERE rkt <= 200)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q295_gram_novelty" ->
       s"""WITH gx AS (SELECT doc_id,
          |    unnest(list_distinct(${Dedup.shinglesSql("text", NGRAM)})) AS g

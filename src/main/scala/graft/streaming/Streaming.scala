@@ -86,12 +86,21 @@ object Streaming {
           b => md5(array_join(
             transform(slice(sa, b * rows + 1, lit(rows)),
               v => v.cast("string")), ",").cast("binary")))), 1)
-    stream.select(col(idCol).cast("long").as("doc"),
+    pairUpByBucket(stream.select(col(idCol).cast("long").as("doc"),
         posexplode(bandArr).as(Seq("band", "bh")))
       .select(concat(col("band").cast("string"), lit(":"), col("bh"))
         .as("bucket"), col("doc"))
-      .as[BandDoc]
-      .groupByKey(_.bucket)
+      .as[BandDoc])
+  }
+
+  /** The shared per-bucket pairing state: each bucket remembers the doc
+    * ids seen so far, and a new arrival emits a pair with every prior
+    * occupant — state hash-partitioned by bucket, bounded by bucket
+    * occupancy.
+    */
+  private def pairUpByBucket(ds: Dataset[BandDoc]): Dataset[CandPair] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.bucket)
       .flatMapGroupsWithState[Seq[Long], CandPair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, arrivals, state: GroupState[Seq[Long]]) =>
@@ -105,6 +114,27 @@ object Streaming {
           state.update(seen)
           out.iterator
       }
+  }
+
+  /** Streaming ingest-time PERCEPTUAL near-dup candidates: the q286
+    * batch banding as per-bucket state — each arriving image decodes
+    * (stateless mapPartitions per micro-batch), dHashes (map-only), and
+    * pairs against every prior image sharing a 16-bit hash band. An
+    * AvailableNow replay produces exactly the batch candidate set; the
+    * exact-Hamming verify stays a downstream batch stage, mirroring the
+    * [[streamingBandPairs]] at-least-once contract.
+    */
+  def streamingPhashPairs(media: DataFrame): Dataset[CandPair] = {
+    import media.sparkSession.implicits._
+    val hashed = graft.ops.Multimodal.dHash(
+      graft.ops.Multimodal.decodeCells(media))
+    pairUpByBucket(hashed.select(col("media_id").cast("long").as("doc"),
+        posexplode(array((0 until 4).map(b =>
+          col(s"r${2 * b}") * 256L + col(s"r${2 * b + 1}")): _*))
+          .as(Seq("band", "bv")))
+      .select(concat(col("band").cast("string"), lit(":"),
+        col("bv").cast("string")).as("bucket"), col("doc"))
+      .as[BandDoc])
   }
 
   /** Ingest-time benchmark decontamination: the streaming counterpart

@@ -167,4 +167,38 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: phash near-dup band occupancy and gram-novelty DF join") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // phashNearDup: candidate volume is driven by 16-bit band
+      // occupancy. The probe corpus has 10x distinct image ids (shifted
+      // doc_ids -> distinct quadratic pixel params), so band load grows
+      // ~linearly and pair volume stays group-structured — the contract
+      // to confirm is near-linear wall time, not a pair blowup.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val png = udf((id: Long) => graft.ops.Multimodal.syntheticPngVar(id))
+        val media = graft.core.Tables(spark, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            png(col("doc_id") - pmod(col("doc_id"), lit(3L))).as("payload"))
+        val t0 = System.nanoTime()
+        graft.ops.Multimodal.phashNearDup(
+            graft.ops.Multimodal.dHash(graft.ops.Multimodal.decodeCells(media)),
+            maxDist = 3)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE phash_neardup $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // gramNovelty: two gram-keyed shuffles; the DF table grows with
+      // distinct grams (~linear in corpus) — confirm no super-linear step.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.TextOps.gramNovelty(docs, "text", "doc_id", 3)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE gram_novelty $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
