@@ -775,6 +775,44 @@ object Corpus {
           / (col("__tot") * col("n_tokens")), 6).as("effective_epochs"))
   }
 
+  /** Snapshot diff between two corpus versions — the data-ops change
+    * report run before promoting a crawl refresh: per doc id, whether
+    * it was ADDED, REMOVED, CHANGED (content hash differs), or carried
+    * over unchanged. One full-outer join keyed by id comparing content
+    * hashes; emit only the non-unchanged rows (the diff is small even
+    * when both snapshots are 100 TB — output scales with churn).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+                   idCol: String): DataFrame = {
+    def h(df: DataFrame, name: String) =
+      df.select(col(idCol), md5(col(textCol).cast("binary")).as(name))
+    h(oldDf, "__ho").join(h(newDf, "__hn"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed")
+          .otherwise("unchanged"))
+      .where(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"))
+  }
+
+  /** Per-domain document cap (the C4/RefinedWeb anti-domination rule:
+    * no source may contribute more than `cap` docs): keep each group's
+    * top `cap` by the priority order (priorityCol desc, id asc —
+    * deterministic). One window rank partitioned by group — parallelism
+    * = #groups x within-group sort, never a global sort; a pathological
+    * mega-domain serializes only its own partition (pre-filter such
+    * domains by a count aggregate if one dominates the corpus).
+    */
+  def domainCap(df: DataFrame, idCol: String, groupCol: String,
+                priorityCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(priorityCol).desc, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Duplicate-cluster report over a connected-components labeling —
     * the monitoring rollup a curation run publishes per snapshot:
     * cluster-size histogram (how many clusters of 2, 3, ... copies),

@@ -785,6 +785,26 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Snapshot diff: synthetic old/new corpus versions (deterministic
+    // membership + revision rules over doc_id), churn rows only.
+    "q299_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldV = docs.filter(pmod(col("doc_id"), lit(11L)) =!= 3)
+      val newV = docs.filter(pmod(col("doc_id"), lit(13L)) =!= 5)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(17L)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      Corpus.snapshotDiff(oldV, newV, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // Per-domain cap: no source contributes more than 20 docs, keeping
+    // the longest (n_chars desc, id asc) — the anti-domination rule.
+    "q300_domain_cap" -> ((s, dir) =>
+      Corpus.domainCap(t(s, dir, "documents"), "doc_id", "source",
+          "n_chars", cap = 20)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // Two-stage truncated-dim retrieval (matryoshka serving pattern):
     // 16-dim prefix shortlist of 200, exact full-dim rerank to top-5.
     "q297_ann_truncated" -> ((s, dir) => {
@@ -1899,6 +1919,29 @@ object NorthStar {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, nid) AS rank
         |      FROM rt WHERE rkt <= 200)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q299_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS ho
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |nw AS (SELECT doc_id, md5(
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END) AS hn
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN nw.doc_id IS NULL THEN 'removed'
+        |       WHEN ho <> hn THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+        |WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN nw.doc_id IS NULL THEN 'removed'
+        |       WHEN ho <> hn THEN 'changed'
+        |       ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+    "q300_domain_cap" ->
+      """SELECT doc_id, source, n_chars
+        |FROM (SELECT doc_id, source, n_chars, row_number() OVER (
+        |        PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
     "q295_gram_novelty" ->
       s"""WITH gx AS (SELECT doc_id,
          |    unnest(list_distinct(${Dedup.shinglesSql("text", NGRAM)})) AS g

@@ -387,6 +387,23 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff reports exactly the churn rows") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newV = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(oldV, newV, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("domainCap keeps at most cap docs per group, highest priority first") {
+    val df = (1L to 30L).map(i => (i, s"s${i % 2}", i * 10)).toDF("doc_id", "src", "pri")
+    val got = Corpus.domainCap(df, "doc_id", "src", "pri", cap = 3)
+      .select("doc_id", "src").as[(Long, String)].collect()
+    assert(got.length == 6)
+    // top-3 by pri desc in each parity class: 30,28,26 and 29,27,25
+    assert(got.map(_._1).toSet == Set(30L, 28L, 26L, 29L, 27L, 25L))
+  }
+
   test("dupClusterHistogram summarizes component sizes exactly") {
     // components: {1,2,3} root 1; {7,8} root 7
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
