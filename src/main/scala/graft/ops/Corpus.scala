@@ -775,6 +775,37 @@ object Corpus {
           / (col("__tot") * col("n_tokens")), 6).as("effective_epochs"))
   }
 
+  /** Materialize a temperature mixture WITH replacement — the step
+    * after [[mixtureEpochs]] says a rare slice runs >1 effective epoch:
+    * group g's sampling rate r_g = target*w_g/(tot*n_g) (the
+    * [[temperatureResample]] arithmetic without its keep-fraction cap),
+    * and each doc emits floor(r) copies plus one more iff its
+    * deterministic md5-uniform falls under frac(r) — so group totals
+    * hit the target in expectation with zero RNG state, reproducible at
+    * any partitioning. Map-only after the group-cardinality aggregate:
+    * broadcast rate table, sequence+explode fan-out (a doc's copy count
+    * is ceil(r) at most — bounded row expansion).
+    */
+  def epochExpand(df: DataFrame, idCol: String, groupCol: String,
+                  alpha: Double, targetRows: Long): DataFrame = {
+    val weights = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", pow(col("__n"), alpha))
+    val tot = weights.agg(sum(col("__w")).as("__tot"))
+    val rates = weights.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        (lit(targetRows.toDouble) * col("__w") / (col("__tot") * col("__n")))
+          .as("__rate"))
+    df.join(broadcast(rates), groupCol)
+      .withColumn("__copies", floor(col("__rate")).cast("long") +
+        when(pmod(Dedup.h60(col(idCol).cast("string")), lit(10000L)) <
+          floor((col("__rate") - floor(col("__rate"))) * 10000.0).cast("long"),
+          1L).otherwise(0L))
+      .where(col("__copies") > 0)
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(0L), col("__copies") - 1)).as("copy"))
+  }
+
   /** Snapshot diff between two corpus versions — the data-ops change
     * report run before promoting a crawl refresh: per doc id, whether
     * it was ADDED, REMOVED, CHANGED (content hash differs), or carried

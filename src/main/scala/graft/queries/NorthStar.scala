@@ -785,6 +785,13 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Materialized >1-epoch mixture: per-lang temperature rates over a
+    // 1000-row target, floor+frac-hash copies per doc.
+    "q301_epoch_expand" -> ((s, dir) =>
+      Corpus.epochExpand(t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", alpha = 0.5, targetRows = 1000L)
+        .orderBy("doc_id", "copy")),
+
     // Snapshot diff: synthetic old/new corpus versions (deterministic
     // membership + revision rules over doc_id), churn rows only.
     "q299_snapshot_diff" -> ((s, dir) => {
@@ -1919,6 +1926,20 @@ object NorthStar {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, nid) AS rank
         |      FROM rt WHERE rkt <= 200)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q301_epoch_expand" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM c),
+         |t AS (SELECT sum(wt) AS tot FROM w),
+         |f AS (SELECT lang, 1000.0 * wt / (tot * n) AS rate FROM w, t),
+         |r AS (SELECT d.doc_id, d.lang,
+         |    CAST(floor(rate) AS BIGINT)
+         |    + CASE WHEN (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 10000
+         |        < CAST(floor((rate - floor(rate)) * 10000.0) AS BIGINT)
+         |      THEN 1 ELSE 0 END AS copies
+         |  FROM documents d JOIN f USING (lang))
+         |SELECT doc_id, lang, unnest(range(copies)) AS copy
+         |FROM r ORDER BY doc_id, copy""".stripMargin,
     "q299_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS ho
         |  FROM documents WHERE doc_id % 11 <> 3),

@@ -404,6 +404,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet == Set(30L, 28L, 26L, 29L, 27L, 25L))
   }
 
+  test("epochExpand: copy counts bracket the rate and survive repartitioning") {
+    val df = (1L to 300L).map(i => (i, if (i <= 250) "big" else "rare"))
+      .toDF("doc_id", "grp")
+    val a = Corpus.epochExpand(df, "doc_id", "grp", 0.5, 600L)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val b = Corpus.epochExpand(df.repartition(17), "doc_id", "grp", 0.5, 600L)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(a == b, "copy counts must be partitioning-invariant")
+    // rate_big = 600*sqrt(250)/(tot*250), rate_rare = 600*sqrt(50)/(tot*50)
+    val tot = math.sqrt(250) + math.sqrt(50)
+    def rate(n: Int) = 600.0 * math.sqrt(n) / (tot * n)
+    for ((grp, n) <- Seq(("big", 250), ("rare", 50)); i <- 1L to 300L
+         if (i <= 250) == (grp == "big")) {
+      val c = a.getOrElse(i, 0L)
+      assert(c >= math.floor(rate(n)).toLong && c <= math.ceil(rate(n)).toLong,
+        s"doc $i copies $c outside [floor,ceil] of rate ${rate(n)}")
+    }
+    // rare group is upweighted: its per-doc rate must exceed big's
+    assert(rate(50) > rate(250))
+  }
+
   test("dupClusterHistogram summarizes component sizes exactly") {
     // components: {1,2,3} root 1; {7,8} root 7
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
