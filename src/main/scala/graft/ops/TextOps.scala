@@ -223,6 +223,54 @@ object TextOps {
         round(col("n_unique").cast("double") / col("n_grams"), 6))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS document-fingerprinting scheme): hash every word n-gram,
+    * slide a window of `w` consecutive gram hashes, select each
+    * window's MINIMUM — guaranteeing any shared run of >= w+n-1 words
+    * shares at least one selected fingerprint (the positional coverage
+    * property set-based MinHash lacks). Emitted as distinct (doc, fp)
+    * rows. Map-only: one array fold per doc, zero shuffle; docs shorter
+    * than one window contribute their global minimum.
+    */
+  def winnowing(df: DataFrame, textCol: String, idCol: String,
+                n: Int = 3, w: Int = 4): DataFrame = {
+    val hs = transform(Dedup.shingles(col(textCol), n),
+      g => pmod(Dedup.h60(g), lit(Dedup.P)))
+    df.select(col(idCol), hs.as("__hs"))
+      .withColumn("__n", size(col("__hs")))
+      .where(col("__n") > 0)
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(0), greatest(col("__n") - w, lit(0))),
+          i => array_min(slice(col("__hs"), i + 1, lit(w)))))).as("fp"))
+  }
+
+  /** Fingerprint-match candidate pairs over [[winnowing]] output — the
+    * MOSS overlap report: docs sharing >= `minShared` fingerprints,
+    * with the containment ratio shared/min(|A|,|B|). Fingerprints
+    * appearing in more than `maxDocFreq` docs are dropped FIRST (they
+    * are boilerplate, and they are also the join's fan-out hazard — the
+    * df-filter is the scale contract that keeps the inverted-index
+    * self-join linear in true matches). Two keyed shuffles + the
+    * fp-keyed join.
+    */
+  def winnowMatches(fps: DataFrame, minShared: Int = 3,
+                    maxDocFreq: Int = 50): DataFrame = {
+    val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val keep = fps.join(dfreq.where(col("__df") <= maxDocFreq), "fp")
+      .select(col(fps.columns.head).as("did"), col("fp"))
+    val sizes = keep.groupBy(col("did")).agg(count(lit(1)).as("nfp"))
+    keep.toDF("doc_a", "fp")
+      .join(keep.toDF("doc_b", "fp"), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        round(col("shared_fps").cast("double") /
+          least(col("na"), col("nb")), 6).as("containment"))
+  }
+
   /** Set fingerprint: XOR + bounded-sum of distinct-word hashes —
     * order-independent, exact in any engine, mergeable.
     */

@@ -785,6 +785,20 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Winnowing fingerprints (MOSS): per-window minimum gram hashes,
+    // distinct per doc — the positional-coverage fingerprint.
+    "q302_winnowing" -> ((s, dir) =>
+      TextOps.winnowing(t(s, dir, "documents"), "text", "doc_id", NGRAM, 4)
+        .orderBy("doc_id", "fp")),
+
+    // MOSS match report: pairs sharing >= 3 fingerprints after the
+    // boilerplate doc-frequency kill, with containment ratios.
+    "q303_winnow_matches" -> ((s, dir) =>
+      TextOps.winnowMatches(
+          TextOps.winnowing(t(s, dir, "documents"), "text", "doc_id", NGRAM, 4),
+          minShared = 3, maxDocFreq = 50)
+        .orderBy("doc_a", "doc_b")),
+
     // Materialized >1-epoch mixture: per-lang temperature rates over a
     // 1000-row target, floor+frac-hash copies per doc.
     "q301_epoch_expand" -> ((s, dir) =>
@@ -1926,6 +1940,39 @@ object NorthStar {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, nid) AS rank
         |      FROM rt WHERE rkt <= 200)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q302_winnowing" ->
+      s"""WITH hs AS (SELECT doc_id, list_transform(${Dedup.shinglesSql("text", NGRAM)},
+         |    g -> (${Dedup.h60Sql("g")}) % $P) AS hs FROM documents),
+         |hn AS (SELECT doc_id, hs, len(hs) AS n FROM hs WHERE len(hs) > 0),
+         |wins AS (SELECT doc_id, list_transform(
+         |    range(greatest(n - 4, 0) + 1),
+         |    i -> list_aggregate(list_slice(hs, i + 1, i + 4), 'min')) AS ws
+         |  FROM hn)
+         |SELECT DISTINCT doc_id, unnest(ws) AS fp
+         |FROM wins ORDER BY doc_id, fp""".stripMargin,
+    "q303_winnow_matches" ->
+      s"""WITH hs AS (SELECT doc_id, list_transform(${Dedup.shinglesSql("text", NGRAM)},
+         |    g -> (${Dedup.h60Sql("g")}) % $P) AS hs FROM documents),
+         |hn AS (SELECT doc_id, hs, len(hs) AS n FROM hs WHERE len(hs) > 0),
+         |wins AS (SELECT doc_id, list_transform(
+         |    range(greatest(n - 4, 0) + 1),
+         |    i -> list_aggregate(list_slice(hs, i + 1, i + 4), 'min')) AS ws
+         |  FROM hn),
+         |sel AS (SELECT DISTINCT doc_id, unnest(ws) AS fp FROM wins),
+         |dfreq AS (SELECT fp, count(*) AS dfc FROM sel GROUP BY fp),
+         |keep AS (SELECT s.doc_id, s.fp FROM sel s JOIN dfreq USING (fp)
+         |  WHERE dfc <= 50),
+         |sizes AS (SELECT doc_id, count(*) AS nfp FROM keep GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS shared_fps
+         |  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared_fps,
+         |  round(CAST(shared_fps AS DOUBLE) / least(sa.nfp, sb.nfp), 6)
+         |    AS containment
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE shared_fps >= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q301_epoch_expand" ->
       s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
          |  FROM documents GROUP BY lang),

@@ -363,6 +363,24 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recall(499) == 1.0)
   }
 
+  test("winnowing: a shared run of >= w+n-1 words always shares a fingerprint") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d1 = s"unique one two three four $run closing words here now"
+    val d2 = s"different prefix tokens entirely $run and another ending"
+    val d3 = "nothing in common with those documents at all whatsoever today"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val fps = TextOps.winnowing(df, "text", "doc_id", n = 3, w = 4)
+    val byDoc = fps.as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // 10-word shared run >= w+n-1 = 6 -> guaranteed common fingerprint
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+    assert(byDoc(1L).intersect(byDoc(3L)).isEmpty)
+    val m = TextOps.winnowMatches(fps, minShared = 1, maxDocFreq = 50)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(m.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(m.head._4 > 0.0 && m.head._4 <= 1.0)
+  }
+
   test("lang id is deterministic and covers marker languages") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
