@@ -785,6 +785,24 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // The multimodal pipeline end-to-end: decode -> 72-dim cell-mean
+    // feature vector -> exact cosine kNN (image similarity search over
+    // REAL decoded features; the oracle re-derives vectors from the
+    // pixel formula and replays the q29 ranking).
+    "q304_image_feature_knn" -> ((s, dir) => {
+      val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), png(col("doc_id")).as("payload"))
+      val feats = Multimodal.decodeCells(media)
+        .select(col("media_id").as("vec_id"),
+          zip_with(col("cell_sum"), col("cell_cnt"),
+            (su, c) => su.cast("double") / c).as("fv"))
+      Similarity.cosineTopK(feats, feats.filter(col("vec_id") < 10),
+          "vec_id", "fv", 3)
+        .withColumn("score", round(col("score"), 6).cast("float"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Winnowing fingerprints (MOSS): per-window minimum gram hashes,
     // distinct per doc — the positional-coverage fingerprint.
     "q302_winnowing" -> ((s, dir) =>
@@ -1940,6 +1958,33 @@ object NorthStar {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, nid) AS rank
         |      FROM rt WHERE rkt <= 200)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q304_image_feature_knn" ->
+      s"""WITH xs AS (SELECT unnest(range(0, 24)) AS x),
+         |     ys AS (SELECT unnest(range(0, 21)) AS y),
+         |px AS (
+         |  SELECT d.doc_id, 16 + d.doc_id % 8 AS w, 16 + d.doc_id % 5 AS h,
+         |    xs.x, ys.y,
+         |    (d.doc_id * 53 + (3 + d.doc_id % 9) * xs.x
+         |       + (5 + d.doc_id % 7) * ys.y
+         |       + (2 + d.doc_id % 4) * xs.x * xs.x
+         |       + (3 + d.doc_id % 6) * ys.y * ys.y) % 256 AS v
+         |  FROM documents d, xs, ys
+         |  WHERE xs.x < 16 + d.doc_id % 8 AND ys.y < 16 + d.doc_id % 5),
+         |cells AS (SELECT doc_id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+         |    sum(v) AS s, count(*) AS c FROM px GROUP BY 1, 2, 3),
+         |fv AS (SELECT doc_id, list(CAST(s AS DOUBLE) / c ORDER BY cy, cx) AS e
+         |  FROM cells GROUP BY doc_id),
+         |n AS (SELECT doc_id AS vec_id, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM fv),
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+         |sc AS (SELECT qid, vec_id AS nid,
+         |    list_sum(list_transform(range(72), i -> qe[i+1] * e[i+1])) / (qn * nrm) AS cos
+         |  FROM q, n WHERE vec_id <> qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+         |  CAST(round(cos, 6) AS REAL) AS score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |      FROM sc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q302_winnowing" ->
       s"""WITH hs AS (SELECT doc_id, list_transform(${Dedup.shinglesSql("text", NGRAM)},
          |    g -> (${Dedup.h60Sql("g")}) % $P) AS hs FROM documents),

@@ -281,6 +281,27 @@ class NorthStarSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= 3L))
   }
 
+  test("decodeCells: a payload a reader claims but cannot decode falls to the stub") {
+    // valid PNG magic + garbage body: ImageIO claims a reader, the read
+    // throws — decode-or-skip must route it to the stub path, not kill
+    // the batch.
+    val broken = Multimodal.syntheticPngVar(7L).take(40) ++
+      Array.fill[Byte](30)(0x55)
+    val ok = Multimodal.syntheticPngVar(7L)
+    val media = Seq((1L, broken), (2L, ok), (3L, "plain text".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeCells(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3, "no row may be lost to a decode failure")
+    // the real decode: full raster covered
+    val okRow = out(2L)
+    assert(okRow.getSeq[Long](4).sum ==
+      okRow.getInt(1).toLong * okRow.getInt(2))
+    // stub rows still carry full byte coverage in their cells
+    assert(out(1L).getSeq[Long](4).sum == 70L)
+    assert(out(3L).getSeq[Long](4).sum == 10L)
+  }
+
   test("frameEnergy computes exact per-window byte sums") {
     val text = "abcdefghij" * 7 // 70 bytes -> frames of 64 + 6
     val media = Multimodal.asMediaTable(
