@@ -223,6 +223,23 @@ object TextOps {
         round(col("n_unique").cast("double") / col("n_grams"), 6))
   }
 
+  /** Blocklist filter (the C4 "bad words" rule: drop any page containing
+    * a blocked term): per doc, the distinct blocked words present and
+    * the keep verdict. The blocklist travels as a LITERAL array
+    * (broadcast by construction, the model-not-data pattern) and the
+    * match is one codegen'd array_intersect over the token set —
+    * map-only, zero shuffle, no regex scan per term.
+    */
+  def blocklistFilter(df: DataFrame, textCol: String, idCol: String,
+                      blocked: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        array_intersect(array_distinct(split(col(textCol), " ")),
+          typedLit(blocked)).as("matched"))
+      .select(col(idCol),
+        concat_ws(",", array_sort(col("matched"))).as("matched_words"),
+        size(col("matched")).cast("long").as("n_matched"),
+        (size(col("matched")) === 0).as("keep"))
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
     * the MOSS document-fingerprinting scheme): hash every word n-gram,
     * slide a window of `w` consecutive gram hashes, select each

@@ -785,6 +785,13 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Blocklist filter (the C4 bad-words rule) against a fixture-word
+    // blocklist: matched terms + keep verdict per doc, map-only.
+    "q305_blocklist" -> ((s, dir) =>
+      TextOps.blocklistFilter(t(s, dir, "documents"), "text", "doc_id",
+          Seq("dup", "nonexistentword"))
+        .orderBy("doc_id")),
+
     // The multimodal pipeline end-to-end: decode -> 72-dim cell-mean
     // feature vector -> exact cosine kNN (image similarity search over
     // REAL decoded features; the oracle re-derives vectors from the
@@ -1958,6 +1965,16 @@ object NorthStar {
         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, nid) AS rank
         |      FROM rt WHERE rkt <= 200)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q305_blocklist" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_intersect(
+        |    list_distinct(string_split(text, ' ')),
+        |    ['dup', 'nonexistentword'])), ','), '') AS matched_words,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['dup', 'nonexistentword'])) AS BIGINT) AS n_matched,
+        |  len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    ['dup', 'nonexistentword'])) = 0 AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q304_image_feature_knn" ->
       s"""WITH xs AS (SELECT unnest(range(0, 24)) AS x),
          |     ys AS (SELECT unnest(range(0, 21)) AS y),
