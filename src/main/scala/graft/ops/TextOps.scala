@@ -272,9 +272,14 @@ object TextOps {
     */
   def winnowMatches(fps: DataFrame, minShared: Int = 3,
                     maxDocFreq: Int = 50): DataFrame = {
+    // `keep` feeds three consumers (sizes + both sides of the inverted
+    // join); without truncation the winnowing HOF fold re-executes per
+    // consumer. Lazy localCheckpoint materializes it once (the
+    // PxlRunner fork pattern; swap for checkpoint() on a cluster).
     val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
     val keep = fps.join(dfreq.where(col("__df") <= maxDocFreq), "fp")
       .select(col(fps.columns.head).as("did"), col("fp"))
+      .localCheckpoint(false)
     val sizes = keep.groupBy(col("did")).agg(count(lit(1)).as("nfp"))
     keep.toDF("doc_a", "fp")
       .join(keep.toDF("doc_b", "fp"), "fp")
