@@ -744,6 +744,35 @@ object Corpus {
           lit(winTokens))).as("chunk_text"))
   }
 
+  /** Cell-keyed embedding decontamination — the scale path when the
+    * eval set is too big to broadcast as one matrix (the
+    * [[embeddingContamination]] pattern caps out at executor memory):
+    * both sides assign to a shared coarse quantizer's cells (map-only
+    * vs literal centroids), the comparison joins BY CELL (two keyed
+    * shuffles, pair fan-out = cell occupancy — the SemDeDup contract),
+    * and a corpus doc reports the max cosine against the eval members
+    * of its own cell. Approximate BY the cell partition (a cross-cell
+    * near-hit is missed — grow k with corpus size and probe multiple
+    * cells to trade recall for fan-out); exact within the cell.
+    */
+  def embeddingContaminationCells(corpus: DataFrame, eval: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  centroids: Seq[Seq[Double]],
+                                  minCos: Double): DataFrame = {
+    import graft.ops.Similarity.dot
+    val c = Similarity.cellAssign(corpus, idCol, vecCol, centroids)
+      .select(col("id").as("doc_id"), col("e").as("ce"),
+        col("n").as("cn"), col("cell"))
+    val ev = Similarity.cellAssign(eval, idCol, vecCol, centroids)
+      .select(col("e").as("ee"), col("n").as("en"), col("cell"))
+    c.join(ev, "cell")
+      .withColumn("cos", dot(col("ce"), col("ee")) / (col("cn") * col("en")))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("cos")), 6).as("max_cos"),
+        sum(when(col("cos") >= minCos, 1L).otherwise(0L)).as("n_eval_hits"))
+      .where(col("max_cos") >= minCos)
+  }
+
   /** Mixture planning report: for each group (language/source), the
     * temperature-weighted share of a `budgetTokens` training run and
     * the EFFECTIVE EPOCHS over that group's token mass (tokens drawn /

@@ -785,6 +785,22 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Cell-keyed embedding decontamination (the big-eval-set scale
+    // path: no broadcast matrix — both sides join by quantizer cell).
+    // Same init-only 8-cell quantizer contract as q251.
+    "q306_contamination_cells" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = emb.agg(graft.functions.MlAggregators.kmeansFit(
+          col("embedding").cast("array<double>"), 8, iters = 0).as("m"))
+        .head().getString(0)
+      val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+        .map(_.split(",").map(_.toDouble).toSeq).toSeq
+      Corpus.embeddingContaminationCells(
+          emb.filter(col("vec_id") >= 16), emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", seeds, minCos = 0.2)
+        .orderBy("doc_id")
+    }),
+
     // Blocklist filter (the C4 bad-words rule) against a fixture-word
     // blocklist: matched terms + keep verdict per doc, map-only.
     "q305_blocklist" -> ((s, dir) =>
@@ -1149,6 +1165,24 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
+    // q306: the q251 quantizer CTEs, then a cell-keyed corpus x eval
+    // comparison (vec_id >= 16 vs < 16) with per-doc max/hit-count.
+    "q306_contamination_cells" ->
+      s"""WITH $cellAssignCtes,
+        |cv2 AS (SELECT cellof.vec_id, cell, n.e, n.nrm
+        |  FROM cellof JOIN n USING (vec_id)),
+        |c AS (SELECT vec_id AS doc_id, cell, e AS ce, nrm AS cn
+        |  FROM cv2 WHERE vec_id >= 16),
+        |ev AS (SELECT cell, e AS ee, nrm AS en FROM cv2 WHERE vec_id < 16),
+        |s AS (SELECT doc_id,
+        |    list_sum(list_transform(range(64), i -> ce[i+1] * ee[i+1]))
+        |      / (cn * en) AS cos
+        |  FROM c JOIN ev USING (cell))
+        |SELECT doc_id, round(max(cos), 6) AS max_cos,
+        |  CAST(sum(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_eval_hits
+        |FROM s GROUP BY doc_id HAVING round(max(cos), 6) >= 0.2
+        |ORDER BY doc_id""".stripMargin,
     "q252_nb_classify" -> nbOracleSql("lang"),
     "q257_classifier_filter" -> nbOracleSql(
       "(CASE WHEN source = 'src0' THEN 'target' ELSE 'other' END)",

@@ -425,6 +425,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(rate(50) > rate(250))
   }
 
+  test("embeddingContaminationCells: hits are a sound subset of the broadcast-exact answer") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val model = emb.agg(graft.functions.MlAggregators.kmeansFit(
+        col("embedding").cast("array<double>"), 8, iters = 0).as("m"))
+      .head().getString(0)
+    val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.toDouble).toSeq).toSeq
+    val (corpus, ev) = (emb.filter(col("vec_id") >= 16),
+      emb.filter(col("vec_id") < 16))
+    val cellHits = Corpus.embeddingContaminationCells(
+        corpus, ev, "vec_id", "embedding", seeds, 0.2)
+      .select("doc_id", "max_cos").as[(Long, Double)].collect().toMap
+    val exact = Corpus.embeddingContamination(corpus, ev, "vec_id", "embedding", 0.2)
+      .where(col("contaminated"))
+      .select(col("vec_id"), col("max_cos")).as[(Long, Double)].collect().toMap
+    assert(cellHits.keySet.subsetOf(exact.keySet),
+      "a cell hit must also be an exact hit (within-cell max <= global max)")
+    for ((id, mc) <- cellHits)
+      assert(mc <= exact(id) + 1e-9, s"cell max_cos exceeds exact for $id")
+    assert(cellHits.nonEmpty, "the fixture must produce some within-cell hits")
+  }
+
   test("dupClusterHistogram summarizes component sizes exactly") {
     // components: {1,2,3} root 1; {7,8} root 7
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))

@@ -345,6 +345,16 @@ class PlanSpec extends AnyFunSuite {
     assert(keyed == 1, s"expected 1 keyed exchange (rank), got $keyed:\n${p.take(3000)}")
   }
 
+  test("embeddingContaminationCells joins by cell: no broadcast matrix, no BNLJ") {
+    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val seeds = Seq.fill(4)(Seq.fill(64)(0.1))
+    val p = plan(graft.ops.Corpus.embeddingContaminationCells(
+      emb.filter(col("vec_id") >= 16), emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", seeds, 0.2))
+    for (j <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(j), s"unexpected $j:\n${p.take(3000)}")
+  }
+
   test("salted two-phase agg equals direct agg and adds a pre-shuffle stage") {
     val t = PxTable(graft.core.Tables(spark, dir, "events"))
     val direct = t.groupbyAgg(Seq("event_type"),
