@@ -50,4 +50,17 @@ object Layout {
 
   def readCellPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Persist a curated training corpus partitioned BY SHARD (the
+    * [[graft.ops.Corpus.shardAssign]] / `curriculumShards` layout): a
+    * trainer pulling shard k reads 1/nShards of the corpus via
+    * partition pruning, and the write is the only global pass — the
+    * hand-off point between the curation pipeline and the training
+    * job. `curated` must carry a `shard` column.
+    */
+  def writeShardPartitioned(curated: DataFrame, path: String): Unit =
+    curated.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  def readShard(spark: SparkSession, path: String, shard: Int): DataFrame =
+    spark.read.parquet(path).where(col("shard") === shard)
 }

@@ -46,6 +46,19 @@ class LayoutSpec extends AnyFunSuite {
       index.filter(col("cell").isin(1, 3)).count() && probed.count() > 0)
   }
 
+  test("shard-partitioned corpus layout prunes to one shard per read") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val sharded = graft.ops.Corpus.shardAssign(docs, "doc_id", nShards = 8)
+      .join(docs, "doc_id")
+    Layout.writeShardPartitioned(sharded, s"$tmp/corpus_shards")
+    val one = Layout.readShard(spark, s"$tmp/corpus_shards", 3)
+    val scan = one.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+      scan.take(800))
+    assert(one.count() ==
+      sharded.filter(col("shard") === 3).count() && one.count() > 0)
+  }
+
   test("bucketed tables join with no exchange") {
     val li = graft.core.Tables(spark, sf, "lineitem")
     val or = graft.core.Tables(spark, sf, "orders")

@@ -384,6 +384,48 @@ class NorthStarSpec extends AnyFunSuite {
     assert(recall(499) == 1.0)
   }
 
+  test("winnowing coverage property: every shared run >= w+n-1 shares a fingerprint (fuzz), Spark == local reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val (n, w) = (3, 4)
+    def h60Local(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16) % graft.ops.Dedup.P
+    }
+    def winnowLocal(text: String): Set[Long] = {
+      val words = text.split(" ", -1).toSeq
+      val grams = (0 to math.max(words.length - n, 0))
+        .map(i => words.slice(i, math.min(i + n, words.length)).mkString(" "))
+      val hs = grams.map(h60Local)
+      (0 to math.max(hs.length - w, 0))
+        .map(i => hs.slice(i, math.min(i + w, hs.length)).min).toSet
+    }
+    val run = Gen.chooseNum(w + n - 1, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(0, 99).map(i => s"r$i")))
+    val pad = (p: String) => Gen.chooseNum(0, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(0, 99).map(i => s"$p$i")))
+    val prop = Prop.forAll(run, pad("a"), pad("b"), pad("c"), pad("d")) {
+      (r, a1, a2, b1, b2) =>
+        val d1 = (a1 ++ r ++ a2).mkString(" ")
+        val d2 = (b1 ++ r ++ b2).mkString(" ")
+        winnowLocal(d1).intersect(winnowLocal(d2)).nonEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(80), prop)
+    assert(res.passed, res.status.toString)
+    // and the Spark operator computes exactly the local reference sets
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 12L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(30))(s"v${rnd.nextInt(12)}").mkString(" ")))
+    val sdf = corpus.toDF("doc_id", "text")
+    val got = TextOps.winnowing(sdf, "text", "doc_id", n, w)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, text) <- corpus)
+      assert(got.getOrElse(id, Set.empty) == winnowLocal(text),
+        s"Spark winnowing != local reference for doc $id")
+  }
+
   test("winnowing: a shared run of >= w+n-1 words always shares a fingerprint") {
     val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val d1 = s"unique one two three four $run closing words here now"

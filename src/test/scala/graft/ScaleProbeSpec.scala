@@ -199,6 +199,18 @@ class ScaleProbeSpec extends AnyFunSuite {
           .write.format("noop").mode("overwrite").save()
         println(f"SCALEPROBE gram_novelty $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // winnowMatches: the doc-frequency cap bounds the inverted join's
+      // fan-out — at 10x docs the shared-fingerprint mass grows with
+      // true duplication, not corpus^2. Confirm the df-filter holds.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.TextOps.winnowMatches(
+            graft.ops.TextOps.winnowing(docs, "text", "doc_id", 3, 4),
+            minShared = 3, maxDocFreq = 50)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE winnow_matches $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
 }
