@@ -274,10 +274,16 @@ object Multimodal {
     * corpus x corpus.
     */
   def phashNearDup(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    // `h` feeds three consumers (the band explode and both verify join
+    // sides); without truncation the upstream decode re-executes per
+    // consumer. The hash table is 9 small columns per image — cheap to
+    // materialize once (lazy localCheckpoint, the winnowMatches/
+    // PxlRunner pattern; swap for checkpoint() on a cluster).
     val h = hashed.select(
       (col("media_id") +: (0 until 8).map(i => col(s"r$i"))) :+
         array((0 until 4).map(b =>
           col(s"r${2 * b}") * 256L + col(s"r${2 * b + 1}")): _*).as("bands"): _*)
+      .localCheckpoint(false)
     val b = h.select(col("media_id"),
       posexplode(col("bands")).as(Seq("band", "bv")))
     val cand = b.select(col("media_id").as("doc_a"), col("band"), col("bv"))
