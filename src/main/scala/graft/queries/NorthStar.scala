@@ -785,6 +785,50 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Clustering-quality report against the labeled fixture: per
+    // quantizer cell, the majority true label and purity — the eval a
+    // SemDeDup/IVF deployment publishes per refit. Init-only quantizer
+    // (q251 contract) => fully SQL-re-derivable.
+    "q307_cluster_purity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = emb.agg(graft.functions.MlAggregators.kmeansFit(
+          col("embedding").cast("array<double>"), 8, iters = 0).as("m"))
+        .head().getString(0)
+      val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+        .map(_.split(",").map(_.toDouble).toSeq).toSeq
+      val lab = Similarity.cellAssign(emb, "vec_id", "embedding", seeds)
+        .select(col("id").as("vec_id"), col("cell"))
+        .join(emb.select("vec_id", "label"), "vec_id")
+      val counts = lab.groupBy("cell", "label").agg(count(lit(1)).as("c"))
+      val tot = lab.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(col("c").desc, col("label"))
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(tot, "cell")
+        .select(col("cell"), col("n_vecs"),
+          col("label").as("majority_label"), col("c").as("n_majority"),
+          round(col("c").cast("double") / col("n_vecs"), 6).as("purity"))
+        .orderBy("cell")
+    }),
+
+    // Hold-out accuracy of kNN label propagation per true class — the
+    // seed-set quality check before labeling a whole corpus.
+    "q308_knn_accuracy" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val preds = Similarity.knnClassify(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        "vec_id", "embedding", "label", 7)
+      preds.join(emb.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+        .groupBy("true_label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("label_pred") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_vecs"), 6))
+        .orderBy("true_label")
+    }),
+
     // Cell-keyed embedding decontamination (the big-eval-set scale
     // path: no broadcast matrix — both sides join by quantizer cell).
     // Same init-only 8-cell quantizer contract as q251.
@@ -1165,6 +1209,45 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
+    "q307_cluster_purity" ->
+      s"""WITH $cellAssignCtes,
+        |cl AS (SELECT cellof.vec_id, cell, emb.label
+        |  FROM cellof JOIN embeddings emb USING (vec_id)),
+        |cc AS (SELECT cell, label, count(*) AS c FROM cl GROUP BY 1, 2),
+        |ct AS (SELECT cell, count(*) AS n_vecs FROM cl GROUP BY 1),
+        |m AS (SELECT cell, label, c, row_number() OVER
+        |    (PARTITION BY cell ORDER BY c DESC, label) AS rn FROM cc)
+        |SELECT CAST(m.cell AS INTEGER) AS cell, ct.n_vecs,
+        |  m.label AS majority_label, CAST(m.c AS BIGINT) AS n_majority,
+        |  round(CAST(m.c AS DOUBLE) / ct.n_vecs, 6) AS purity
+        |FROM m JOIN ct USING (cell) WHERE rn = 1 ORDER BY cell""".stripMargin,
+    // q308: the q264 kNN CTEs + a per-true-label accuracy rollup.
+    "q308_knn_accuracy" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+        |l AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+        |s AS (SELECT u.vec_id AS id, l.label AS lab,
+        |    list_sum(list_transform(range(64), i -> u.e[i+1] * l.e[i+1]))
+        |      / (u.nrm * l.nrm) AS cos
+        |  FROM u CROSS JOIN l),
+        |tk AS (SELECT id, lab FROM
+        |  (SELECT id, lab, row_number() OVER
+        |     (PARTITION BY id ORDER BY cos DESC, lab) AS rn FROM s)
+        |  WHERE rn <= 7),
+        |vt AS (SELECT id, lab, count(*) AS votes FROM tk GROUP BY id, lab),
+        |p AS (SELECT id, lab, votes, row_number() OVER
+        |    (PARTITION BY id ORDER BY votes DESC, lab) AS rn FROM vt),
+        |pred AS (SELECT id, lab AS label_pred FROM p WHERE rn = 1)
+        |SELECT n.label AS true_label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN pred.label_pred = n.label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN pred.label_pred = n.label THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS accuracy
+        |FROM pred JOIN n ON n.vec_id = pred.id
+        |GROUP BY n.label ORDER BY true_label""".stripMargin,
     // q306: the q251 quantizer CTEs, then a cell-keyed corpus x eval
     // comparison (vec_id >= 16 vs < 16) with per-doc max/hit-count.
     "q306_contamination_cells" ->
