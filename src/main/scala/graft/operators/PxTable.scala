@@ -52,6 +52,24 @@ final case class PxTable(df: DataFrame) {
     * joins, but a single pathological group-by key still needs salting.
     * Each agg is (outName, phase1Expr, phase2Combiner-of-partial).
     */
+  /** Salted equijoin for a SKEWED key: the left (fact) side salts each
+    * row into one of `salt` sub-keys, the right (dim) side replicates
+    * every row across all `salt` sub-keys, and the equijoin runs on
+    * (key, salt) — a hot key's rows spread over `salt` reducers instead
+    * of serializing on one. Semantics identical to `join(right, keys)`
+    * for any 1:N fact⋈dim join; the right side grows ×salt, so use it
+    * when the dim is small-but-not-broadcastable or AQE's skew split
+    * is unavailable (AQE skew-join is the first choice — this is the
+    * deterministic fallback a pipeline pins when it must).
+    */
+  def saltedJoin(right: DataFrame, keys: Seq[String], salt: Int): PxTable = {
+    val saltCol = pmod(xxhash64(df.columns.map(col): _*), lit(salt))
+    val l = df.withColumn("__salt", saltCol)
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    PxTable(l.join(r, keys :+ "__salt").drop("__salt"))
+  }
+
   def saltedGroupbyAgg(keys: Seq[String], salt: Int,
                        aggs: (String, Column, Column => Column)*): PxTable = {
     val saltCol = pmod(xxhash64(df.columns.map(col): _*), lit(salt))

@@ -206,6 +206,44 @@ object Dedup {
     * below every band's collision is not scored: candidates-then-verify
     * semantics, the standard large-corpus dedup contract.)
     */
+  /** IDF-weighted Jaccard over MinHash-LSH candidates: gram g weighs
+    * ln(N/df_g) — shared BOILERPLATE grams (high df) contribute ~0, so
+    * two docs agreeing only on common phrases no longer look like
+    * duplicates, while agreement on rare content counts fully (the
+    * standard fix for plain Jaccard's short-doc/boilerplate failure
+    * mode). Weights are micro-nat quantized BEFORE every sum (the
+    * engine-exactness contract), so the ratio
+    * interW / (wA + wB − interW) is a ratio of exact integers at any
+    * partitioning. Same candidates-then-verify shape as
+    * [[ngramJaccard]] plus one gram-DF aggregate.
+    */
+  def weightedJaccard(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      minWeightedJ: Double = 0.2): DataFrame = {
+    val cand = minhashPairs(df, textCol, idCol, n, k, bands)
+    val g = df.select(col(idCol).as("did"),
+      explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val nd = df.agg(count(lit(1)).as("__N"))
+    val w = g.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nd))
+      .select(col("g"), floor(log(col("__N").cast("double") / col("__df"))
+        * 1e6 + 0.5).cast("long").as("wq"))
+    val gw = g.join(w, "g")
+    val sizes = gw.groupBy(col("did")).agg(sum(col("wq")).as("ws"))
+    val inter = cand
+      .join(gw.select(col("did").as("doc_a"), col("g"), col("wq")), "doc_a")
+      .join(gw.select(col("did").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wq")).as("inter_wq"))
+    inter
+      .join(sizes.toDF("doc_a", "wa"), "doc_a")
+      .join(sizes.toDF("doc_b", "wb"), "doc_b")
+      .withColumn("wj", col("inter_wq").cast("double") /
+        (col("wa") + col("wb") - col("inter_wq")))
+      .where(col("wj") >= minWeightedJ)
+      .select(col("doc_a"), col("doc_b"), col("inter_wq"),
+        round(col("wj"), 6).as("weighted_jaccard"))
+  }
+
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, k: Int = 16, bands: Int = 4,
                    minJaccard: Double = 0.2): DataFrame = {

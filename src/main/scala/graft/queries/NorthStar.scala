@@ -785,6 +785,13 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // IDF-weighted Jaccard dedup: boilerplate grams weigh ~0, rare
+    // content counts fully — plain Jaccard's short-doc fix.
+    "q309_weighted_jaccard" -> ((s, dir) =>
+      Dedup.weightedJaccard(t(s, dir, "documents"), "text", "doc_id",
+          NGRAM, K, BANDS, minWeightedJ = 0.2)
+        .orderBy("doc_a", "doc_b")),
+
     // Clustering-quality report against the labeled fixture: per
     // quantizer cell, the majority true label and purity — the eval a
     // SemDeDup/IVF deployment publishes per refit. Init-only quantizer
@@ -1209,6 +1216,30 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
+    "q309_weighted_jaccard" ->
+      s"""WITH ${sigCtes("documents")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM documents),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |w AS (SELECT g.g, CAST(floor(ln(CAST(nd.n AS DOUBLE) / count(*))
+         |    * 1000000.0 + 0.5) AS BIGINT) AS wq
+         |  FROM g, nd GROUP BY g.g, nd.n),
+         |sizes AS (SELECT doc_id, CAST(sum(wq) AS BIGINT) AS ws
+         |  FROM g JOIN w USING (g) GROUP BY doc_id),
+         |iw AS (SELECT cand.da, cand.db, CAST(sum(w.wq) AS BIGINT) AS inter_wq
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |    JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |    JOIN w ON w.g = ga.g
+         |  GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, inter_wq,
+         |  round(CAST(inter_wq AS DOUBLE) / (sa.ws + sb.ws - inter_wq), 6)
+         |    AS weighted_jaccard
+         |FROM iw JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |WHERE CAST(inter_wq AS DOUBLE) / (sa.ws + sb.ws - inter_wq) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q307_cluster_purity" ->
       s"""WITH $cellAssignCtes,
         |cl AS (SELECT cellof.vec_id, cell, emb.label

@@ -355,6 +355,25 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains(j), s"unexpected $j:\n${p.take(3000)}")
   }
 
+  test("salted join equals the direct join and spreads the hot key") {
+    val t = PxTable(graft.core.Tables(spark, dir, "events"))
+    val dim = graft.core.Tables(spark, dir, "events")
+      .select(col("event_type")).distinct()
+      .withColumn("dim_rank", length(col("event_type")))
+    val direct = t.df.join(dim, Seq("event_type")).collect()
+      .map(_.toString).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = t.saltedJoin(dim, Seq("event_type"), salt = 8).df
+      assert(salted.collect().map(_.toString).sorted.toSeq == direct)
+      // the join key really is (event_type, salt): the hot key's rows
+      // hash across 8 sub-keys instead of one reducer
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("__salt"), p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted two-phase agg equals direct agg and adds a pre-shuffle stage") {
     val t = PxTable(graft.core.Tables(spark, dir, "events"))
     val direct = t.groupbyAgg(Seq("event_type"),
