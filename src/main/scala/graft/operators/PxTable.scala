@@ -52,6 +52,18 @@ final case class PxTable(df: DataFrame) {
     * joins, but a single pathological group-by key still needs salting.
     * Each agg is (outName, phase1Expr, phase2Combiner-of-partial).
     */
+  def saltedGroupbyAgg(keys: Seq[String], salt: Int,
+                       aggs: (String, Column, Column => Column)*): PxTable = {
+    val saltCol = pmod(xxhash64(df.columns.map(col): _*), lit(salt))
+    val phase1 = df.groupBy((keys.map(col) :+ saltCol.as("__salt")): _*)
+      .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map { case (n, c, _) => c.as(s"__p_$n") }: _*)
+    val phase2 = phase1.groupBy(keys.map(col): _*)
+      .agg(aggs.head._3(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
+        aggs.tail.map { case (n, _, f) => f(col(s"__p_$n")).as(n) }: _*)
+    PxTable(phase2)
+  }
+
   /** Salted equijoin for a SKEWED key: the left (fact) side salts each
     * row into one of `salt` sub-keys, the right (dim) side replicates
     * every row across all `salt` sub-keys, and the equijoin runs on
@@ -63,23 +75,12 @@ final case class PxTable(df: DataFrame) {
     * deterministic fallback a pipeline pins when it must).
     */
   def saltedJoin(right: DataFrame, keys: Seq[String], salt: Int): PxTable = {
+    require(salt > 0, s"salt must be positive, got $salt")
     val saltCol = pmod(xxhash64(df.columns.map(col): _*), lit(salt))
     val l = df.withColumn("__salt", saltCol)
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     PxTable(l.join(r, keys :+ "__salt").drop("__salt"))
-  }
-
-  def saltedGroupbyAgg(keys: Seq[String], salt: Int,
-                       aggs: (String, Column, Column => Column)*): PxTable = {
-    val saltCol = pmod(xxhash64(df.columns.map(col): _*), lit(salt))
-    val phase1 = df.groupBy((keys.map(col) :+ saltCol.as("__salt")): _*)
-      .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
-        aggs.tail.map { case (n, c, _) => c.as(s"__p_$n") }: _*)
-    val phase2 = phase1.groupBy(keys.map(col): _*)
-      .agg(aggs.head._3(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
-        aggs.tail.map { case (n, _, f) => f(col(s"__p_$n")).as(n) }: _*)
-    PxTable(phase2)
   }
 
   /** groupby().agg() with no aggregates = distinct groups

@@ -795,13 +795,16 @@ object Corpus {
     val w = g.withColumn("__wq",
       floor(pow(col("n_tokens").cast("double"), alpha) * 1e6 + 0.5).cast("long"))
     val tot = w.agg(sum(col("__wq")).as("__tot"))
+    // epochs divides SEQUENTIALLY in double (budget * wq / tot / n):
+    // the long product tot * n_tokens overflows at realistic corpus
+    // token masses (~1e11 * 1e9 > Long.MaxValue).
     w.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n_docs"), col("n_tokens"),
         round(col("__wq").cast("double") / col("__tot"), 6).as("share"),
         round(lit(budgetTokens.toDouble) * col("__wq") / col("__tot"), 2)
           .as("tokens_drawn"),
         round(lit(budgetTokens.toDouble) * col("__wq")
-          / (col("__tot") * col("n_tokens")), 6).as("effective_epochs"))
+          / col("__tot") / col("n_tokens"), 6).as("effective_epochs"))
   }
 
   /** Materialize a temperature mixture WITH replacement — the step
@@ -817,13 +820,19 @@ object Corpus {
     */
   def epochExpand(df: DataFrame, idCol: String, groupCol: String,
                   alpha: Double, targetRows: Long): DataFrame = {
+    // Weights quantize to integer micro-units BEFORE the normalizer sum
+    // (the [[mixtureEpochs]] contract): a raw-double sum(__w) depends on
+    // partition order, and an ulp shift in the total can flip a doc
+    // whose frac(rate)*10000 sits on an integer boundary — the copy
+    // counts would not survive repartitioning.
     val weights = df.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("double").as("__n"))
-      .withColumn("__w", pow(col("__n"), alpha))
-    val tot = weights.agg(sum(col("__w")).as("__tot"))
+      .withColumn("__wq",
+        floor(pow(col("__n"), alpha) * 1e6 + 0.5).cast("long"))
+    val tot = weights.agg(sum(col("__wq")).as("__tot"))
     val rates = weights.crossJoin(broadcast(tot))
       .select(col(groupCol),
-        (lit(targetRows.toDouble) * col("__w") / (col("__tot") * col("__n")))
+        (lit(targetRows.toDouble) * col("__wq") / col("__tot") / col("__n"))
           .as("__rate"))
     df.join(broadcast(rates), groupCol)
       .withColumn("__copies", floor(col("__rate")).cast("long") +
@@ -844,13 +853,20 @@ object Corpus {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
                    idCol: String): DataFrame = {
-    def h(df: DataFrame, name: String) =
-      df.select(col(idCol), md5(col(textCol).cast("binary")).as(name))
-    h(oldDf, "__ho").join(h(newDf, "__hn"), Seq(idCol), "full_outer")
+    // Presence is tracked by explicit markers, NOT hash nullness: a doc
+    // whose text is NULL hashes to null, and marker-free logic would
+    // misreport it (both-null -> "added", one-null -> "removed"/
+    // "unchanged"). The hash comparison is null-safe (<=>), so
+    // NULL -> 'x' and 'x' -> NULL correctly read as "changed".
+    def h(df: DataFrame, mark: String, hash: String) =
+      df.select(col(idCol), lit(true).as(mark),
+        md5(col(textCol).cast("binary")).as(hash))
+    h(oldDf, "__po", "__ho").join(h(newDf, "__pn", "__hn"),
+        Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("__ho").isNull, "added")
-          .when(col("__hn").isNull, "removed")
-          .when(col("__ho") =!= col("__hn"), "changed")
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(!(col("__ho") <=> col("__hn")), "changed")
           .otherwise("unchanged"))
       .where(col("status") =!= "unchanged")
       .select(col(idCol), col("status"))

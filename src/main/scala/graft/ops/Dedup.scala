@@ -228,7 +228,12 @@ object Dedup {
       .crossJoin(broadcast(nd))
       .select(col("g"), floor(log(col("__N").cast("double") / col("__df"))
         * 1e6 + 0.5).cast("long").as("wq"))
-    val gw = g.join(w, "g")
+    // `gw` (the weighted postings list) feeds three consumers (sizes +
+    // both intersection join sides) — materialize once instead of
+    // re-running the shingle explode + DF aggregate per consumer (the
+    // winnowMatches pattern; this IS an index build, so persisting it
+    // is the standard shape — swap for checkpoint() on a cluster).
+    val gw = g.join(w, "g").localCheckpoint(false)
     val sizes = gw.groupBy(col("did")).agg(sum(col("wq")).as("ws"))
     val inter = cand
       .join(gw.select(col("did").as("doc_a"), col("g"), col("wq")), "doc_a")

@@ -198,7 +198,9 @@ object Multimodal {
     */
   def decodeCells(media: DataFrame, gx: Int = 9, gy: Int = 8): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(cellSchema)
-    media.select("media_id", "payload").mapPartitions { rows =>
+    val gridMeta = new MetadataBuilder()
+      .putLong("gx", gx.toLong).putLong("gy", gy.toLong).build()
+    val decoded = media.select("media_id", "payload").mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val sums = new Array[Long](gx * gy)
@@ -238,6 +240,9 @@ object Multimodal {
         }
       }
     }(enc)
+    // the grid geometry rides the schema so downstream consumers can
+    // verify they index the arrays with the SAME (gx, gy)
+    decoded.withColumn("cell_sum", col("cell_sum").as("cell_sum", gridMeta))
   }
 
   /** dHash over the decoded cell grid: bit (cy, cx) is set iff the mean
@@ -249,6 +254,16 @@ object Multimodal {
     * codegen'd column arithmetic — map-only at any scale.
     */
   def dHash(cells: DataFrame, gx: Int = 9, gy: Int = 8): DataFrame = {
+    // guard against silent grid mismatch: element_at past the array end
+    // returns null under non-ANSI and every affected bit would collapse
+    // to 0 — misaligned hashes with no error. decodeCells stamps its
+    // geometry on the schema; a frame built with a different grid fails
+    // loudly here instead.
+    val meta = cells.schema("cell_sum").metadata
+    if (meta.contains("gx"))
+      require(meta.getLong("gx") == gx && meta.getLong("gy") == gy,
+        s"dHash grid ($gx x $gy) != decodeCells grid " +
+          s"(${meta.getLong("gx")} x ${meta.getLong("gy")})")
     val s = col("cell_sum"); val c = col("cell_cnt")
     def bit(cy: Int, cx: Int) =
       when(element_at(s, cy * gx + cx + 1) * element_at(c, cy * gx + cx + 2) >

@@ -2035,7 +2035,7 @@ object NorthStar {
         |SELECT lang, n_docs, n_tokens,
         |  round(CAST(wq AS DOUBLE) / tot, 6) AS share,
         |  round(1000000.0 * wq / tot, 2) AS tokens_drawn,
-        |  round(1000000.0 * wq / (tot * n_tokens), 6) AS effective_epochs
+        |  round(1000000.0 * wq / tot / n_tokens, 6) AS effective_epochs
         |FROM w, t ORDER BY lang""".stripMargin,
     // The q286 band pipeline WITHOUT the Hamming verify: the streaming
     // replay must reproduce exactly the batch band-collision candidates.
@@ -2186,9 +2186,10 @@ object NorthStar {
     "q301_epoch_expand" ->
       s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
          |  FROM documents GROUP BY lang),
-         |w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM c),
-         |t AS (SELECT sum(wt) AS tot FROM w),
-         |f AS (SELECT lang, 1000.0 * wt / (tot * n) AS rate FROM w, t),
+         |w AS (SELECT lang, n, CAST(floor(pow(n, 0.5) * 1000000.0 + 0.5)
+         |    AS BIGINT) AS wq FROM c),
+         |t AS (SELECT CAST(sum(wq) AS BIGINT) AS tot FROM w),
+         |f AS (SELECT lang, 1000.0 * wq / tot / n AS rate FROM w, t),
          |r AS (SELECT d.doc_id, d.lang,
          |    CAST(floor(rate) AS BIGINT)
          |    + CASE WHEN (${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")}) % 10000

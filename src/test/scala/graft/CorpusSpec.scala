@@ -387,12 +387,16 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("snapshotDiff reports exactly the churn rows") {
-    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
-    val newV = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+  test("snapshotDiff reports exactly the churn rows, null text included") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, null), (6L, "x"))
+      .toDF("doc_id", "text")
+    val newV = Seq((2L, "b"), (3L, "c2"), (4L, "d"), (5L, null), (6L, null))
+      .toDF("doc_id", "text")
     val got = Corpus.snapshotDiff(oldV, newV, "text", "doc_id")
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
-    assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+    // 5: null->null is carried over unchanged; 6: 'x'->null is a change
+    assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added"),
+      (6L, "changed")))
   }
 
   test("domainCap keeps at most cap docs per group, highest priority first") {
@@ -405,24 +409,27 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("epochExpand: copy counts bracket the rate and survive repartitioning") {
-    val df = (1L to 300L).map(i => (i, if (i <= 250) "big" else "rare"))
-      .toDF("doc_id", "grp")
+    // 3+ groups so the normalizer sum has a partition-order-sensitive
+    // association — the quantized-weight contract must hold anyway.
+    def grp(i: Long) = if (i <= 200) "big" else if (i <= 270) "mid" else "rare"
+    val df = (1L to 300L).map(i => (i, grp(i))).toDF("doc_id", "grp")
     val a = Corpus.epochExpand(df, "doc_id", "grp", 0.5, 600L)
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     val b = Corpus.epochExpand(df.repartition(17), "doc_id", "grp", 0.5, 600L)
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(a == b, "copy counts must be partitioning-invariant")
-    // rate_big = 600*sqrt(250)/(tot*250), rate_rare = 600*sqrt(50)/(tot*50)
-    val tot = math.sqrt(250) + math.sqrt(50)
-    def rate(n: Int) = 600.0 * math.sqrt(n) / (tot * n)
-    for ((grp, n) <- Seq(("big", 250), ("rare", 50)); i <- 1L to 300L
-         if (i <= 250) == (grp == "big")) {
+    val sizes = Map("big" -> 200, "mid" -> 70, "rare" -> 30)
+    val totQ = sizes.values.map(n => math.floor(math.sqrt(n) * 1e6 + 0.5)).sum
+    def rate(n: Int) =
+      600.0 * math.floor(math.sqrt(n) * 1e6 + 0.5) / totQ / n
+    for (i <- 1L to 300L) {
+      val n = sizes(grp(i))
       val c = a.getOrElse(i, 0L)
       assert(c >= math.floor(rate(n)).toLong && c <= math.ceil(rate(n)).toLong,
         s"doc $i copies $c outside [floor,ceil] of rate ${rate(n)}")
     }
     // rare group is upweighted: its per-doc rate must exceed big's
-    assert(rate(50) > rate(250))
+    assert(rate(30) > rate(200))
   }
 
   test("embeddingContaminationCells: hits are a sound subset of the broadcast-exact answer") {
