@@ -63,6 +63,40 @@ object Corpus {
         round(col("n_contaminated").cast("double") / col("n_grams"), 6))
   }
 
+  /** Multi-suite contamination matrix — [[contamination]] generalized
+    * to N eval benchmarks in ONE pass: the eval side carries a
+    * `suiteCol`, the gram join propagates it, and every (doc, suite)
+    * pair reports its overlap — the decontamination sweep a team runs
+    * against its whole benchmark battery without re-scanning the corpus
+    * per suite. Same plan shape as [[contamination]] (the corpus gram
+    * explode happens once, not once per suite) plus the suite key in
+    * the hit aggregate; output is corpus-docs × suites-with-hits plus
+    * one row per (doc, suite) with zero hits (dense via the tiny
+    * suite-list cross join, so a clean doc is PROVED clean per suite).
+    */
+  def contaminationMatrix(corpus: DataFrame, eval: DataFrame,
+                          textCol: String, idCol: String, suiteCol: String,
+                          n: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(col(suiteCol).as("suite"),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .distinct()
+    val corpusGrams = corpus.select(col(idCol),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+    val totals = corpus.select(col(idCol),
+      size(array_distinct(Dedup.shingles(col(textCol), n))).cast("long")
+        .as("n_grams"))
+    val suites = evalGrams.select("suite").distinct()
+    val hits = corpusGrams.join(evalGrams, "g")
+      .groupBy(col(idCol), col("suite"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    totals.crossJoin(broadcast(suites))
+      .join(hits, Seq(idCol, "suite"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
+
   /** [[contamination]] with Spark's native bloom runtime-filter driven
     * explicitly: the eval n-gram set builds a BloomFilterAggregate (the
     * driver receives only the filter bytes — the same model-fetch

@@ -785,6 +785,17 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Multi-suite contamination matrix: suites src0/src1 checked in ONE
+    // corpus pass, dense (doc x suite) including proved-clean zeros.
+    "q310_contamination_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.contaminationMatrix(
+          docs.filter(col("source") =!= "src0" && col("source") =!= "src1"),
+          docs.filter(col("source") === "src0" || col("source") === "src1"),
+          "text", "doc_id", "source", 8)
+        .orderBy("doc_id", "suite")
+    }),
+
     // IDF-weighted Jaccard dedup: boilerplate grams weigh ~0, rare
     // content counts fully — plain Jaccard's short-doc fix.
     "q309_weighted_jaccard" -> ((s, dir) =>
@@ -1216,6 +1227,24 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
+    "q310_contamination_matrix" ->
+      s"""WITH ev AS (SELECT DISTINCT source AS suite,
+         |    unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |cg AS (SELECT doc_id, unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
+         |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+         |tot AS (SELECT doc_id, CAST(len(list_distinct(${Dedup.shinglesSql("text", 8)})) AS BIGINT) AS n_grams
+         |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+         |su AS (SELECT DISTINCT suite FROM ev),
+         |hit AS (SELECT doc_id, suite, count(*) AS n_contaminated
+         |  FROM cg JOIN ev USING (g) GROUP BY doc_id, suite)
+         |SELECT tot.doc_id, su.suite, n_grams,
+         |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6)
+         |    AS contamination_ratio
+         |FROM tot CROSS JOIN su
+         |LEFT JOIN hit ON hit.doc_id = tot.doc_id AND hit.suite = su.suite
+         |ORDER BY tot.doc_id, su.suite""".stripMargin,
     "q309_weighted_jaccard" ->
       s"""WITH ${sigCtes("documents")},
          |bands AS ($bandsSql),
