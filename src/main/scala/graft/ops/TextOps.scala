@@ -223,6 +223,55 @@ object TextOps {
         round(col("n_unique").cast("double") / col("n_grams"), 6))
   }
 
+  /** Pagination-stitch detection: doc pairs where A's LAST `w` words
+    * equal B's FIRST `w` words — the boundary artifact of a crawler
+    * splitting one page into consecutive records (near-dup checks miss
+    * it: the docs as wholes are different). One map pass extracts each
+    * doc's head/tail phrase; the equi-join on the phrase hash finds
+    * stitch candidates, and carrying the phrase itself makes the match
+    * exact (no hash-collision false positives). Self-stitches (a doc
+    * whose head == its own tail) are excluded.
+    */
+  def stitchPairs(df: DataFrame, textCol: String, idCol: String,
+                  w: Int = 8): DataFrame = {
+    val words = split(col(textCol), " ")
+    val base = df.select(col(idCol), words.as("__w"),
+        size(words).as("__n"))
+      .where(col("__n") >= w)
+    val tails = base.select(col(idCol).as("doc_a"),
+      concat_ws(" ", slice(col("__w"), col("__n") - w + 1, lit(w)))
+        .as("phrase"))
+    val heads = base.select(col(idCol).as("doc_b"),
+      concat_ws(" ", slice(col("__w"), 1, w)).as("phrase"))
+    tails.join(heads, "phrase")
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("phrase"))
+  }
+
+  /** Per-source template report: each source's modal opening phrase
+    * (first `w` words) and its share of the source's docs — the
+    * header/boilerplate detector a crawl pipeline runs per site before
+    * choosing [[graft.ops.Corpus.removeRepeatedSegments]] targets.
+    * Ties break to the lexicographically greatest phrase (max(struct),
+    * the q241 top-gram contract). Two keyed aggregates, output is
+    * O(#sources).
+    */
+  def sourceTemplates(df: DataFrame, textCol: String, groupCol: String,
+                      w: Int = 8): DataFrame = {
+    val head = concat_ws(" ", slice(split(col(textCol), " "), 1, w))
+    val counts = df.select(col(groupCol), head.as("phrase"))
+      .groupBy(col(groupCol), col("phrase")).agg(count(lit(1)).as("c"))
+    val tot = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    counts.groupBy(col(groupCol))
+      .agg(max(struct(col("c"), col("phrase"))).as("t"))
+      .join(tot, groupCol)
+      .select(col(groupCol), col("n_docs"),
+        col("t.phrase").as("template_phrase"),
+        col("t.c").as("n_template"),
+        round(col("t.c").cast("double") / col("n_docs"), 6)
+          .as("template_share"))
+  }
+
   /** Blocklist filter (the C4 "bad words" rule: drop any page containing
     * a blocked term): per doc, the distinct blocked words present and
     * the keep verdict. The blocklist travels as a LITERAL array

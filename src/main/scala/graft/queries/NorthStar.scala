@@ -785,6 +785,30 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Pagination-stitch pairs: A's last 8 words == B's first 8 words
+    // (the split-page crawl artifact whole-doc dedup misses). The raw
+    // fixture has no split pages, so the corpus is augmented with
+    // derived continuation records (id + 100000, text = the original's
+    // last 8 + first 12 words) — every (orig, derived) pair must
+    // stitch, and the oracle re-derives the same construction.
+    "q311_stitch_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wr = split(col("text"), " ")
+      val derived = docs
+        .where(size(wr) >= 8)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", concat(
+            slice(wr, size(wr) - 7, lit(8)), slice(wr, 1, 12))).as("text"))
+      TextOps.stitchPairs(docs.select("doc_id", "text").union(derived),
+          "text", "doc_id", w = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Per-source template report: modal opening phrase + share.
+    "q312_source_templates" -> ((s, dir) =>
+      TextOps.sourceTemplates(t(s, dir, "documents"), "text", "source", w = 8)
+        .orderBy("source")),
+
     // Multi-suite contamination matrix: suites src0/src1 checked in ONE
     // corpus pass, dense (doc x suite) including proved-clean zeros.
     "q310_contamination_matrix" -> ((s, dir) => {
@@ -1227,6 +1251,38 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
+    "q311_stitch_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(
+        |      list_slice(string_split(text, ' '),
+        |        len(string_split(text, ' ')) - 7, len(string_split(text, ' ')))
+        |      || list_slice(string_split(text, ' '), 1, 12), ' ')
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |b AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n FROM corpus),
+        |e AS (SELECT * FROM b WHERE n >= 8),
+        |tails AS (SELECT doc_id AS doc_a,
+        |    array_to_string(list_slice(w, n - 7, n), ' ') AS phrase FROM e),
+        |heads AS (SELECT doc_id AS doc_b,
+        |    array_to_string(list_slice(w, 1, 8), ' ') AS phrase FROM e)
+        |SELECT doc_a, doc_b, phrase
+        |FROM tails JOIN heads USING (phrase)
+        |WHERE doc_a <> doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q312_source_templates" ->
+      """WITH h AS (SELECT source,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+        |      AS phrase FROM documents),
+        |c AS (SELECT source, phrase, count(*) AS c FROM h GROUP BY 1, 2),
+        |t AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT source, phrase, c, row_number() OVER
+        |    (PARTITION BY source ORDER BY c DESC, phrase DESC) AS rn FROM c)
+        |SELECT m.source, t.n_docs, m.phrase AS template_phrase,
+        |  CAST(m.c AS BIGINT) AS n_template,
+        |  round(CAST(m.c AS DOUBLE) / t.n_docs, 6) AS template_share
+        |FROM m JOIN t USING (source) WHERE rn = 1 ORDER BY source""".stripMargin,
     "q310_contamination_matrix" ->
       s"""WITH ev AS (SELECT DISTINCT source AS suite,
          |    unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
