@@ -223,6 +223,29 @@ object TextOps {
         round(col("n_unique").cast("double") / col("n_grams"), 6))
   }
 
+  /** Per-document unigram entropy in nats — the quality signal that
+    * separates natural prose from keyword-stuffed / generated spam
+    * (low entropy = few tokens dominate) independently of the
+    * repetition ratios. Uses H = ln n − (Σ c·ln c)/n with the per-word
+    * c·ln c terms quantized to integer micro-nats BEFORE the per-doc
+    * sum (the engine-exactness contract: the sum is order-independent
+    * at any partitioning). One explode + two keyed aggregates.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val wcnt = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    wcnt.groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * 1e6 + 0.5).cast("long")).as("__q"))
+      .withColumn("entropy_nats", round(
+        log(col("n_words").cast("double"))
+          - col("__q").cast("double") / 1e6 / col("n_words"), 6))
+      .drop("__q")
+  }
+
   /** Pagination-stitch detection: doc pairs where A's LAST `w` words
     * equal B's FIRST `w` words — the boundary artifact of a crawler
     * splitting one page into consecutive records (near-dup checks miss

@@ -785,6 +785,12 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Per-doc unigram entropy (micro-nat quantized terms — exact at any
+    // partitioning): the keyword-stuffing / generated-spam signal.
+    "q313_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // Pagination-stitch pairs: A's last 8 words == B's first 8 words
     // (the split-page crawl artifact whole-doc dedup misses). The raw
     // fixture has no split pages, so the corpus is augmented with
@@ -1251,6 +1257,16 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
+    "q313_token_entropy" ->
+      """WITH wc AS (SELECT doc_id, w, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  count(*) AS n_distinct,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |    - CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+        |        AS BIGINT)) AS DOUBLE) / 1000000.0 / sum(c), 6) AS entropy_nats
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q311_stitch_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
