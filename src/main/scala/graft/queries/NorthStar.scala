@@ -785,6 +785,31 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Streaming stitch detection: the stream-stream self-equijoin on
+    // the phrase; AvailableNow replay == the batch q311 answer (shared
+    // oracle). The corpus is the same original+continuation augment.
+    "q314_streaming_stitch" -> ((s, dir) => {
+      val stream = graft.core.Tables.stream(s, dir, "documents")
+      val wr = split(col("text"), " ")
+      val derived = stream
+        .where(size(wr) >= 8)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", concat(
+            slice(wr, size(wr) - 7, lit(8)), slice(wr, 1, 12))).as("text"))
+      val pairs = graft.streaming.Streaming.streamingStitchPairs(
+        stream.select("doc_id", "text").union(derived), "text", "doc_id", 8)
+      val qn = "q314_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = pairs.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qn).distinct().orderBy("doc_a", "doc_b")
+      val rows = out.collect()
+      s.catalog.dropTempView(qn)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
     // Per-doc unigram entropy (micro-nat quantized terms — exact at any
     // partitioning): the keyword-stuffing / generated-spam signal.
     "q313_token_entropy" -> ((s, dir) =>
@@ -1239,6 +1264,31 @@ object NorthStar {
        |  FROM sc2 GROUP BY doc_id)""".stripMargin
   }
 
+  /** Shared by q311 (batch stitch) and q314 (stream-stream replay):
+    * the augmented original+continuation corpus and the tail==head
+    * phrase join.
+    */
+  private val stitchOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    array_to_string(
+      |      list_slice(string_split(text, ' '),
+      |        len(string_split(text, ' ')) - 7, len(string_split(text, ' ')))
+      |      || list_slice(string_split(text, ' '), 1, 12), ' ')
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |b AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n FROM corpus),
+      |e AS (SELECT * FROM b WHERE n >= 8),
+      |tails AS (SELECT doc_id AS doc_a,
+      |    array_to_string(list_slice(w, n - 7, n), ' ') AS phrase FROM e),
+      |heads AS (SELECT doc_id AS doc_b,
+      |    array_to_string(list_slice(w, 1, 8), ' ') AS phrase FROM e)
+      |SELECT doc_a, doc_b, phrase
+      |FROM tails JOIN heads USING (phrase)
+      |WHERE doc_a <> doc_b ORDER BY doc_a, doc_b""".stripMargin
+
   private val contaminationOracle: String =
     s"""WITH ev AS (SELECT DISTINCT unnest(list_distinct(${Dedup.shinglesSql("text", 8)})) AS g
        |  FROM documents WHERE source = 'src0'),
@@ -1267,26 +1317,9 @@ object NorthStar {
         |    - CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
         |        AS BIGINT)) AS DOUBLE) / 1000000.0 / sum(c), 6) AS entropy_nats
         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q311_stitch_pairs" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    array_to_string(
-        |      list_slice(string_split(text, ' '),
-        |        len(string_split(text, ' ')) - 7, len(string_split(text, ' ')))
-        |      || list_slice(string_split(text, ' '), 1, 12), ' ')
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
-        |b AS (SELECT doc_id, string_split(text, ' ') AS w,
-        |    len(string_split(text, ' ')) AS n FROM corpus),
-        |e AS (SELECT * FROM b WHERE n >= 8),
-        |tails AS (SELECT doc_id AS doc_a,
-        |    array_to_string(list_slice(w, n - 7, n), ' ') AS phrase FROM e),
-        |heads AS (SELECT doc_id AS doc_b,
-        |    array_to_string(list_slice(w, 1, 8), ' ') AS phrase FROM e)
-        |SELECT doc_a, doc_b, phrase
-        |FROM tails JOIN heads USING (phrase)
-        |WHERE doc_a <> doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q311_stitch_pairs" -> stitchOracle,
+    // streaming replay must equal the batch stitch answer exactly
+    "q314_streaming_stitch" -> stitchOracle,
     "q312_source_templates" ->
       """WITH h AS (SELECT source,
         |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')

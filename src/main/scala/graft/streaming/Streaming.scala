@@ -116,6 +116,33 @@ object Streaming {
       }
   }
 
+  /** Streaming pagination-stitch detection as a STREAM-STREAM self
+    * equijoin (the one Structured Streaming join mode the rest of the
+    * surface doesn't exercise): the tail-phrase and head-phrase
+    * projections of the same ingest stream join on the phrase, so a
+    * continuation record pairs with its original whichever arrives
+    * first — both sides keep state keyed by phrase, symmetric hash
+    * join semantics. An AvailableNow replay produces exactly the batch
+    * [[graft.ops.TextOps.stitchPairs]] answer. State is unbounded by
+    * design here (the gate replays a bounded corpus); a production
+    * deployment adds event-time watermarks on both sides to bound it.
+    */
+  def streamingStitchPairs(stream: DataFrame, textCol: String,
+                           idCol: String, w: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    val base = stream.select(col(idCol), words.as("__w"),
+        size(words).as("__n"))
+      .where(col("__n") >= w)
+    val tails = base.select(col(idCol).as("doc_a"),
+      concat_ws(" ", slice(col("__w"), col("__n") - w + 1, lit(w)))
+        .as("phrase"))
+    val heads = base.select(col(idCol).as("doc_b"),
+      concat_ws(" ", slice(col("__w"), 1, w)).as("phrase"))
+    tails.join(heads, "phrase")
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("phrase"))
+  }
+
   /** Streaming ingest-time PERCEPTUAL near-dup candidates: the q286
     * batch banding as per-bucket state — each arriving image decodes
     * (stateless mapPartitions per micro-batch), dHashes (map-only), and

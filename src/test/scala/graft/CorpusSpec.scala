@@ -454,6 +454,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(cellHits.nonEmpty, "the fixture must produce some within-cell hits")
   }
 
+  test("contextChunks tiling property: full coverage, exact stride overlap (fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      s <- Gen.chooseNum(1, 12)
+      l <- Gen.chooseNum(s, 24)
+    } yield (n, l, s)
+    // local replica of the layout math (the Spark op is pinned equal below)
+    def chunks(n: Int, l: Int, s: Int): Seq[(Long, Long)] =
+      (0 to (n - 1) / s).map(i => (i.toLong * s, math.min(i.toLong * s + l, n)))
+    val prop = Prop.forAll(gen) { case (n, l, s) =>
+      val cs = chunks(n, l, s)
+      val covered = cs.flatMap { case (a, b) => a until b }.toSet
+      covered == (0L until n).toSet &&                  // every token in >= 1 chunk
+      cs.zip(cs.tail).forall { case ((a1, _), (a2, _)) => a2 - a1 == s } &&
+      cs.forall { case (a, b) => b - a <= l }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(80), prop)
+    assert(res.passed, res.status.toString)
+    // Spark == the local layout on a mixed corpus
+    val docs = Seq((1L, (1 to 13).map("t" + _).mkString(" ")),
+      (2L, "a"), (3L, (1 to 40).map("x" + _).mkString(" "))).toDF("doc_id", "text")
+    val got = Corpus.contextChunks(docs, "text", "doc_id", 7, 3)
+      .select("doc_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Seq(1L -> 13, 2L -> 1, 3L -> 40).flatMap { case (id, n) =>
+      chunks(n, 7, 3).map { case (a, b) => (id, a, b) } }.toSet
+    assert(got == want)
+  }
+
   test("dupClusterHistogram summarizes component sizes exactly") {
     // components: {1,2,3} root 1; {7,8} root 7
     val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
