@@ -212,8 +212,13 @@ object TextOps {
     */
   def gramNovelty(df: DataFrame, textCol: String, idCol: String,
                   n: Int = 3): DataFrame = {
+    // the gram stream feeds the DF aggregate AND the join-back; the two
+    // subtrees differ in projection so Catalyst cannot reuse the
+    // exchange — materialize the postings list once (measured: the
+    // explode re-ran per consumer; the weightedJaccard pattern)
     val g = df.select(col(idCol),
-      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+      .localCheckpoint(false)
     val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
     g.join(dfreq, "g")
       .groupBy(col(idCol))

@@ -345,6 +345,19 @@ class PlanSpec extends AnyFunSuite {
     assert(keyed == 1, s"expected 1 keyed exchange (rank), got $keyed:\n${p.take(3000)}")
   }
 
+  test("gramNovelty materializes the gram stream once: no Generate above the scan twice") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val p = plan(graft.ops.TextOps.gramNovelty(docs, "text", "doc_id", 3))
+    // the postings list is checkpointed (the projections differ, so
+    // Catalyst cannot reuse the exchange across the DF aggregate and
+    // the join-back): both consumers must scan the materialized RDD,
+    // leaving ZERO Generate (explode) operators in the executed plan
+    val explodes = "Generate explode".r.findAllIn(p).length
+    assert(explodes == 0,
+      s"expected the explode to run pre-checkpoint only, got $explodes:\n${p.take(3000)}")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p.take(1500))
+  }
+
   test("embeddingContaminationCells joins by cell: no broadcast matrix, no BNLJ") {
     val emb = graft.core.Tables(spark, dir, "embeddings")
     val seeds = Seq.fill(4)(Seq.fill(64)(0.1))
