@@ -210,6 +210,79 @@ object Corpus {
         (col("__nw") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Surgical span-level decontamination — the alternative to dropping
+    * a whole doc for one leaked benchmark sentence: every corpus word
+    * position covered by an n-gram that appears in the EVAL set is
+    * excised, the remainder reassembled in order (the
+    * [[removeDuplicateSpans]] machinery with eval-membership instead of
+    * corpus-duplicate frequency as the kill rule). Per doc: the cleaned
+    * text and how many words were removed. Scale shape: corpus span
+    * explode -> semi-join against the (distinct, usually small) eval
+    * gram set -> position anti-join -> per-doc ordered reassembly —
+    * all keyed shuffles, the eval side broadcastable.
+    */
+  def decontaminateSpans(corpus: DataFrame, eval: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), n))).as("span"))
+      .distinct()
+    val covered = corpus.select(col(idCol),
+        posexplode(Dedup.shingles(col(textCol), n)).as(Seq("pos", "span")))
+      .join(evalGrams, "span")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wi"))
+      .distinct()
+    val words = corpus.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("wi", "w")))
+    val kept = words.join(covered, Seq(idCol, "wi"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("wi"), col("w")))),
+            s => s.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    corpus.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("__nw"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__nw") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Per-source distribution drift between two snapshots — the data
+    * monitoring check before promoting a crawl refresh: KL(new || old)
+    * over hashed word buckets per source, Laplace-smoothed so
+    * new-in-snapshot buckets stay finite. Per-bucket terms are
+    * quantized to integer micro-nats BEFORE the per-source sum (the
+    * engine-exactness contract). Two count aggregates + one
+    * bucket-keyed join; output is O(#sources).
+    */
+  def sourceDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+                  groupCol: String, buckets: Int = 256): DataFrame = {
+    def bucketed(df: DataFrame) =
+      df.select(col(groupCol).as("src"),
+          explode(split(col(textCol), " ")).as("w"))
+        .where(col("w") =!= "")
+        .select(col("src"), pmod(Dedup.h60(col("w")), lit(buckets.toLong)).as("b"))
+        .groupBy("src", "b").agg(count(lit(1)).as("c"))
+    val o = bucketed(oldDf).withColumnRenamed("c", "co")
+    val nw = bucketed(newDf).withColumnRenamed("c", "cn")
+    val totals = nw.groupBy("src").agg(sum(col("cn")).as("tn"))
+      .join(o.groupBy("src").agg(sum(col("co")).as("to")), "src")
+    // KL(new||old) = sum_b p_n(b) * ln(p_n(b)/p_o(b)), Laplace-smoothed
+    nw.join(o, Seq("src", "b"), "full_outer")
+      .na.fill(0L, Seq("cn", "co"))
+      .join(totals, "src")
+      .withColumn("__term", floor(
+        ((col("cn") + 1.0) / (col("tn") + buckets.toDouble)) *
+          log(((col("cn") + 1.0) / (col("tn") + buckets.toDouble)) /
+              ((col("co") + 1.0) / (col("to") + buckets.toDouble)))
+          * 1e9 + 0.5).cast("long"))
+      .groupBy(col("src").as(groupCol))
+      .agg(round(sum(col("__term")).cast("double") / 1e9, 6).as("kl_nats"),
+        max(col("tn")).as("n_tokens_new"), max(col("to")).as("n_tokens_old"))
+  }
+
   /** Gopher-style within-document repetition signals (Rae et al. 2021,
     * §A1.1 "repetition" filters), word-token based since the corpus has
     * no line structure: the character share of the single most frequent

@@ -785,6 +785,29 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Surgical span-level decontamination: excise eval-covered 8-gram
+    // positions instead of dropping whole docs (src0 = the eval suite).
+    "q315_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminateSpans(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "text", "doc_id", 8)
+        .orderBy("doc_id")
+    }),
+
+    // Per-source distribution drift (KL new||old over hashed word
+    // buckets) between the q299 snapshot pair.
+    "q316_source_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.sourceDrift(
+          docs.filter(pmod(col("doc_id"), lit(11L)) =!= 3),
+          docs.filter(pmod(col("doc_id"), lit(13L)) =!= 5)
+            .withColumn("text",
+              when(pmod(col("doc_id"), lit(17L)) === 0,
+                concat(col("text"), lit(" rev2"))).otherwise(col("text"))),
+          "text", "source", 256)
+        .orderBy("source")
+    }),
+
     // Streaming stitch detection: the stream-stream self-equijoin on
     // the phrase; AvailableNow replay == the batch q311 answer (shared
     // oracle). The corpus is the same original+continuation augment.
@@ -1307,6 +1330,57 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
+    "q315_decontaminate_spans" -> {
+      val sh8 = Dedup.shinglesSql("text", 8)
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, $sh8 AS sh
+         |  FROM documents WHERE source <> 'src0'),
+         |ev AS (SELECT DISTINCT unnest(list_distinct($sh8)) AS span
+         |  FROM documents WHERE source = 'src0'),
+         |sp AS (SELECT doc_id, g.i - 1 AS pos, sh[g.i] AS span
+         |  FROM d, unnest(range(1, len(sh) + 1)) g(i)),
+         |cov AS (SELECT DISTINCT sp.doc_id, sp.pos + j.jj AS wi
+         |  FROM sp JOIN ev USING(span), unnest(range(0, 8)) j(jj)),
+         |w AS (SELECT doc_id, t.i - 1 AS wi, ws[t.i] AS w
+         |  FROM d, unnest(range(1, len(ws) + 1)) t(i)),
+         |kept AS (SELECT w.doc_id,
+         |    array_to_string(list(w.w ORDER BY w.wi), ' ') AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.wi = w.wi
+         |  WHERE cov.wi IS NULL GROUP BY w.doc_id)
+         |SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+         |  CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed
+         |FROM d LEFT JOIN kept USING(doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "q316_source_drift" ->
+      s"""WITH oldv AS (SELECT source, text FROM documents WHERE doc_id % 11 <> 3),
+         |newv AS (SELECT source,
+         |    CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 5),
+         |ob AS (SELECT source AS src, (${Dedup.h60Sql("w")}) % 256 AS b,
+         |    count(*) AS co FROM
+         |  (SELECT source, unnest(string_split(text, ' ')) AS w FROM oldv)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |nb AS (SELECT source AS src, (${Dedup.h60Sql("w")}) % 256 AS b,
+         |    count(*) AS cn FROM
+         |  (SELECT source, unnest(string_split(text, ' ')) AS w FROM newv)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |tots AS (SELECT n.src, tn, tox FROM
+         |  (SELECT src, CAST(sum(cn) AS BIGINT) AS tn FROM nb GROUP BY src) n
+         |  JOIN (SELECT src, CAST(sum(co) AS BIGINT) AS tox FROM ob GROUP BY src) o
+         |  USING (src)),
+         |j AS (SELECT coalesce(nb.src, ob.src) AS src,
+         |    coalesce(cn, 0) AS cn, coalesce(co, 0) AS co
+         |  FROM nb FULL OUTER JOIN ob ON nb.src = ob.src AND nb.b = ob.b),
+         |terms AS (SELECT j.src,
+         |    CAST(floor(((cn + 1.0) / (tn + 256.0)) *
+         |      ln(((cn + 1.0) / (tn + 256.0)) / ((co + 1.0) / (tox + 256.0)))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS t
+         |  FROM j JOIN tots ON tots.src = j.src)
+         |SELECT terms.src AS source,
+         |  round(CAST(sum(t) AS DOUBLE) / 1000000000.0, 6) AS kl_nats,
+         |  max(tn) AS n_tokens_new, max(tox) AS n_tokens_old
+         |FROM terms JOIN tots ON tots.src = terms.src
+         |GROUP BY terms.src ORDER BY source""".stripMargin,
     "q313_token_entropy" ->
       """WITH wc AS (SELECT doc_id, w, count(*) AS c FROM
         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
