@@ -206,6 +206,24 @@ object Dedup {
     * below every band's collision is not scored: candidates-then-verify
     * semantics, the standard large-corpus dedup contract.)
     */
+  /** Incremental connected-components maintenance: fold a DELTA edge
+    * batch into an existing (doc, component) labeling without
+    * re-clustering history — the component half of the incremental
+    * dedup story ([[incrementalDedup]] generates delta candidate pairs;
+    * this keeps the cluster labels current). The prior labeling IS a
+    * star edge set that preserves its connectivity, so CC over
+    * (labeling-as-edges ∪ delta pairs) equals CC over (all old edges ∪
+    * delta pairs) — the input to the O(log n) star rounds shrinks from
+    * every edge ever seen to one edge per previously-clustered doc.
+    */
+  def incrementalComponents(assignment: DataFrame, deltaPairs: DataFrame,
+                            aCol: String, bCol: String): DataFrame = {
+    val oldEdges = assignment.select(col("doc_id").as("u"),
+      col("component").as("v"))
+    val newEdges = deltaPairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    connectedComponents(oldEdges.unionByName(newEdges), "u", "v")
+  }
+
   /** IDF-weighted Jaccard over MinHash-LSH candidates: gram g weighs
     * ln(N/df_g) — shared BOILERPLATE grams (high df) contribute ~0, so
     * two docs agreeing only on common phrases no longer look like

@@ -447,6 +447,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Retrieval quality against TRUE labels — precision@k of cosine
+    * retrieval where a neighbor is relevant iff it shares the query's
+    * label (the standard labeled-ANN eval, reported per cutoff). One
+    * exact top-k pass + a label join + an O(#cutoffs) rollup.
+    */
+  def retrievalQuality(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String,
+                       ks: Seq[Int]): DataFrame = {
+    val kmax = ks.max
+    val topk = cosineTopK(corpus, queries, idCol, vecCol, kmax)
+    val lab = corpus.select(col(idCol), col(labelCol))
+    val joined = topk
+      .join(lab.toDF("query_id", "q_label"), "query_id")
+      .join(lab.toDF("neighbor_id", "n_label"), "neighbor_id")
+      .withColumn("rel", (col("q_label") === col("n_label")).cast("long"))
+    val frames = ks.map { k =>
+      joined.where(col("rank") <= k)
+        .agg(lit(k).as("k"),
+          count(lit(1)).as("n_retrieved"),
+          sum(col("rel")).as("n_relevant"))
+        .withColumn("precision_at_k",
+          round(col("n_relevant").cast("double") / col("n_retrieved"), 6))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor
     * vector, the k most similar corpus vectors BELOW the positive
     * threshold — "looks close but is not a duplicate", the negatives a

@@ -785,6 +785,31 @@ object NorthStar {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     }),
 
+    // Labeled retrieval quality: precision@{1,5,10} of cosine top-k
+    // where relevant == same label (the standard labeled-ANN eval).
+    "q317_retrieval_quality" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.retrievalQuality(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", Seq(1, 5, 10))
+        .orderBy("k")
+    }),
+
+    // Incremental CC maintenance: fold the delta docs' candidate pairs
+    // into the prior labeling; result must equal a full recompute (the
+    // oracle IS the full-corpus recursive CC).
+    "q318_incremental_cc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val assign = Dedup.connectedComponents(
+        Dedup.minhashPairs(old, "text", "doc_id", NGRAM, K, BANDS),
+        "doc_a", "doc_b")
+      val delta = Dedup.minhashPairs(docs, "text", "doc_id", NGRAM, K, BANDS)
+        .where(pmod(col("doc_a"), lit(5L)) === 0 ||
+          pmod(col("doc_b"), lit(5L)) === 0)
+      Dedup.incrementalComponents(assign, delta, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
     // Surgical span-level decontamination: excise eval-covered 8-gram
     // positions instead of dropping whole docs (src0 = the eval suite).
     "q315_decontaminate_spans" -> ((s, dir) => {
@@ -1330,6 +1355,39 @@ object NorthStar {
   val oracles: Map[String, String] = Map(
     "q246_ann_pq" -> q246OracleSql,
     "q251_semantic_dedup" -> q251OracleSql,
+    "q317_retrieval_quality" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, label AS qlab, e AS qe, nrm AS qn
+        |  FROM n WHERE vec_id < 20),
+        |s AS (SELECT qid, qlab, vec_id AS nid, n.label AS nlab,
+        |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1])) / (qn * nrm) AS cos
+        |  FROM q, n WHERE vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid) AS rank FROM s),
+        |tk AS (SELECT * FROM r WHERE rank <= 10)
+        |SELECT ks.k, CAST(count(*) AS BIGINT) AS n_retrieved,
+        |  CAST(sum(CASE WHEN qlab = nlab THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_relevant,
+        |  round(CAST(sum(CASE WHEN qlab = nlab THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS precision_at_k
+        |FROM tk, (VALUES (1), (5), (10)) ks(k)
+        |WHERE rank <= ks.k GROUP BY ks.k ORDER BY ks.k""".stripMargin,
+    // full-recompute CC over ALL pairs — the incremental fold must
+    // reproduce it exactly (same SQL as q239's oracle)
+    "q318_incremental_cc" ->
+      s"""WITH RECURSIVE ${sigCtes("documents")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |e AS (SELECT da AS u, db AS v FROM cand UNION SELECT db, da FROM cand),
+         |reach AS (SELECT u AS a, v AS b FROM e
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)
+         |SELECT a AS doc_id, least(a, min(b)) AS component
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q315_decontaminate_spans" -> {
       val sh8 = Dedup.shinglesSql("text", 8)
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, $sh8 AS sh
