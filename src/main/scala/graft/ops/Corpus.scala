@@ -249,6 +249,97 @@ object Corpus {
         (col("__nw") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Padding-efficiency report: the wasted-pad-token comparison that
+    * justifies length-grouped batching — naive arrival-order batches
+    * vs [[lengthBucketBatches]], one row per strategy with total and
+    * pad token mass. The naive layout's global order rank is the
+    * banded two-level prefix sum (the [[curriculumShards]] shape),
+    * never a corpus-wide single-partition window.
+    */
+  def paddingWaste(df: DataFrame, idCol: String, textCol: String,
+                   bucketWidth: Int = 16, batchSize: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val nTok = size(split(col(textCol), " ")).cast("long")
+    val banded = df.select(col(idCol).cast("long").as("id"), nTok.as("n_tok"))
+      .withColumn("__band", idiv(col("id"), 1024L))
+    val wIn = Window.partitionBy("__band").orderBy("id")
+    val wOff = Window.orderBy("__band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = banded.groupBy("__band").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .drop("__c")
+    val naive = banded.join(broadcast(offsets), "__band")
+      .withColumn("batch",
+        idiv(col("__off") + row_number().over(wIn) - 1, batchSize.toLong))
+      .withColumn("pad",
+        max(col("n_tok")).over(Window.partitionBy("batch")) - col("n_tok"))
+    val bucketed = lengthBucketBatches(df, idCol, textCol, bucketWidth, batchSize)
+    def report(d: DataFrame, strategy: String) =
+      d.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("pad")).as("pad_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_docs"),
+          col("total_tokens"), col("pad_tokens"),
+          round(col("pad_tokens").cast("double") /
+            (col("total_tokens") + col("pad_tokens")), 6).as("pad_ratio"))
+    report(naive, "naive").unionByName(report(bucketed, "length_grouped"))
+  }
+
+  /** One-round DoReMi-style mixture reweighting (Xie et al. 2023,
+    * reduced to a single deterministic multiplicative-weights update —
+    * the same published-algorithm-to-counting-core reduction as
+    * [[dsirWeights]] and [[lmScore]]): each corpus slice's weight moves
+    * up by how much WORSE than the corpus mean its target-LM loss is
+    * (excess loss = the domain still has something to learn), using the
+    * textbook MW update w·(1 + η·excess) rather than the exp form so
+    * every arithmetic step is a fixed formula over exact integers —
+    * engine-reproducible at any partitioning (raw weights are
+    * nano-quantized before the normalizer sum).
+    *
+    * Scale shape: [[lmScore]]'s one corpus pass + two O(#slices)
+    * aggregates with broadcast 1-row totals.
+    */
+  def doremiReweight(raw: DataFrame, target: DataFrame, textCol: String,
+                     idCol: String, groupCol: String,
+                     eta: Double = 0.5): DataFrame = {
+    val per = lmScore(raw, target, textCol, idCol)
+      .join(raw.select(col(idCol), col(groupCol).as("src")), idCol)
+      .groupBy("src")
+      .agg(sum(col("n_bigrams")).as("nb"), sum(col("lp_sum_q")).as("lps"))
+    val tot = per.agg(sum(col("nb")).as("tnb"), sum(col("lps")).as("tlps"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("share", col("nb").cast("double") / col("tnb"))
+      .withColumn("loss_nats", -col("lps").cast("double") / 1e6 / col("nb"))
+      .withColumn("excess_nats", greatest(
+        col("loss_nats") + col("tlps").cast("double") / 1e6 / col("tnb"),
+        lit(0.0)))
+      .withColumn("rwq", floor(col("share") *
+        (lit(1.0) + lit(eta) * col("excess_nats")) * 1e9 + 0.5).cast("long"))
+    val z = w.agg(sum(col("rwq")).as("z"))
+    w.crossJoin(broadcast(z))
+      .select(col("src").as(groupCol), col("nb").as("n_bigrams"),
+        round(col("share"), 6).as("share"),
+        round(col("loss_nats"), 6).as("loss_nats"),
+        round(col("excess_nats"), 6).as("excess_nats"),
+        round(col("rwq").cast("double") / col("z"), 6).as("new_share"))
+  }
+
+  /** Cross-source syndication report: exact-copy groups that span MORE
+    * THAN ONE source (wire-syndicated articles, mirrored pages) — the
+    * duplication class a per-source dedup run never sees. One shuffle
+    * keyed by content hash; output scales with syndicated groups, not
+    * corpus.
+    */
+  def syndication(df: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        min(col(idCol)).as("keeper_id"),
+        concat_ws(",", array_sort(collect_set(col(sourceCol)))).as("sources"))
+      .where(col("n_sources") > 1)
+
   /** Per-source distribution drift between two snapshots — the data
     * monitoring check before promoting a crawl refresh: KL(new || old)
     * over hashed word buckets per source, Laplace-smoothed so

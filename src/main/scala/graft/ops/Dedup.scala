@@ -224,6 +224,33 @@ object Dedup {
     connectedComponents(oldEdges.unionByName(newEdges), "u", "v")
   }
 
+  /** Best-copy dedup keeper policy: cluster near-duplicates (MinHash-LSH
+    * candidates → connected components) and keep the HIGHEST-`scoreCol`
+    * copy per cluster instead of the arbitrary min-id — the keep rule a
+    * production pipeline actually wants (keep the longest / highest-
+    * quality / most-recent copy). Ties break to the smaller doc id.
+    * Singleton docs (no candidate pair) keep themselves. One window
+    * rank per component on top of the CC labeling; nothing new is
+    * pairwise.
+    */
+  def keepBestQuality(df: DataFrame, textCol: String, idCol: String,
+                      scoreCol: String, n: Int = 3, k: Int = 16,
+                      bands: Int = 4): DataFrame = {
+    val cc = connectedComponents(
+      minhashPairs(df, textCol, idCol, n, k, bands), "doc_a", "doc_b")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("score"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    base
+      .withColumn("__best", max(struct(col("score").as("s"),
+        (-col("doc_id")).as("negid"))).over(w))
+      .withColumn("keeper_id", -col("__best").getField("negid"))
+      .select(col("doc_id"), col("component"), col("score"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
   /** IDF-weighted Jaccard over MinHash-LSH candidates: gram g weighs
     * ln(N/df_g) — shared BOILERPLATE grams (high df) contribute ~0, so
     * two docs agreeing only on common phrases no longer look like

@@ -503,4 +503,175 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "score")
   }
+
+  /** Per-dimension (min, max) quantization bounds for [[sq8TopK]] — one
+    * explode + agg pass; the driver fetches 2·d doubles (the
+    * model-fetch pattern).
+    */
+  def sq8Params(corpus: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val mm = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("d").collect()
+    (mm.map(_.getDouble(1)).toSeq, mm.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Scalar-quantized (SQ8) ANN: each corpus vector compresses to d
+    * uint8 codes against per-dim (min, max) bounds — 8× memory cut at
+    * float32 — and queries scan the CODES with asymmetric distance
+    * (full-precision query vs dequantized midpoint), the standard SQ8
+    * serving layout next to PQ (q246/q275: codebooks) and truncation
+    * (q297: matryoshka). Scale shape: one bounds pass, one map-only
+    * encode, then the [[cosineTopK]] broadcast-query scan — the corpus
+    * never shuffles. Encode/decode arithmetic is a fixed formula over
+    * exact inputs, so both engines rank identically; ties break to the
+    * lower neighbor id.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val (lo, hi) = sq8Params(corpus, vecCol)
+    val loL = typedLit(lo); val hiL = typedLit(hi)
+    def loAt(j: Column) = element_at(loL, j + 1)
+    def hiAt(j: Column) = element_at(hiL, j + 1)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol).cast("array<double>"), (x, j) =>
+        when(hiAt(j) === loAt(j), lit(0L)).otherwise(
+          least(lit(255L), floor((x - loAt(j)) / (hiAt(j) - loAt(j)) * 256.0)))
+      ).as("cd"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qe"))
+    val dist = aggregate(
+      transform(col("cd"), (cdj, j) => {
+        val recon = loAt(j) + (cdj + 0.5) * (hiAt(j) - loAt(j)) / 256.0
+        val d = element_at(col("qe"), j + 1) - recon
+        d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  /** One-pass distributed covariance of an embedding column, upper
+    * triangle (i <= j) — the corpus-side half of PCA. Per row, the
+    * d(d+1)/2 products are emitted as integer micro-units (quantized
+    * BEFORE the sum, the engine-exactness contract: long sums are
+    * order-exact at any partitioning) and hash-aggregated by (i, j) —
+    * partial aggregation combines map-side, so the shuffle carries
+    * O(partitions · d²) partials, never O(rows · d²). The covariance
+    * itself is derived per entry from the exact integer sums with one
+    * fixed formula, so both engines produce bit-identical doubles.
+    */
+  def covarianceUT(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val pairs = typedLit(
+      for (i <- 0 until dim; j <- i until dim) yield Seq(i, j))
+    val v = df.select(col(vecCol).cast("array<double>").as("e"))
+    val prods = v.select(explode(transform(pairs, p => struct(
+        p.getItem(0).as("i"), p.getItem(1).as("j"),
+        floor(element_at(col("e"), p.getItem(0) + 1) *
+          element_at(col("e"), p.getItem(1) + 1) * 1e6 + 0.5)
+          .cast("long").as("q")))).as("t"))
+      .select(col("t.i"), col("t.j"), col("t.q"))
+      .groupBy("i", "j")
+      .agg(sum(col("q")).as("sxy"), count(lit(1)).as("n"))
+    val means = v.select(posexplode(col("e")).as(Seq("d", "x")))
+      .groupBy("d").agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("sx"))
+    prods
+      .join(means.select(col("d").as("i"), col("sx").as("sxi")), "i")
+      .join(means.select(col("d").as("j"), col("sx").as("sxj")), "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        round(col("sxy").cast("double") / 1e6 / col("n")
+          - (col("sxi").cast("double") / 1e6 / col("n"))
+          * (col("sxj").cast("double") / 1e6 / col("n")), 6).as("cov"))
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
+    * matrix (the driver-side model fit over the model-sized d×d
+    * [[covarianceUT]] table — the same corpus-pass/driver-fit split as
+    * the kmeans and BPE fits). Returns the top-`k` eigenpairs sorted by
+    * eigenvalue descending (index ascending on ties), each eigenvector
+    * sign-canonicalized so its largest-magnitude component is positive —
+    * every run and every engine picks the same basis.
+    */
+  def jacobiEigen(sym: Array[Array[Double]], k: Int,
+                  sweeps: Int = 50): Seq[(Double, Array[Double])] = {
+    val n = sym.length
+    val a = Array.tabulate(n, n)((i, j) => sym(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag: Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (sweep < sweeps && offDiag > 1e-18) {
+      for (p <- 0 until n - 1; q <- p + 1 until n
+           if math.abs(a(p)(q)) > 1e-15) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta match { case 0.0 => 1.0; case th => th }) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until n) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (j <- 0 until n) {
+          val apj = a(p)(j); val aqj = a(q)(j)
+          a(p)(j) = c * apj - s * aqj
+          a(q)(j) = s * apj + c * aqj
+        }
+        for (i <- 0 until n) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until n).map { j =>
+      val vec = Array.tabulate(n)(i => v(i)(j))
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(m) < 0) vec.indices.foreach(i => vec(i) = -vec(i))
+      (a(j)(j), vec)
+    }
+    pairs.zipWithIndex
+      .sortBy { case ((ev, _), idx) => (-ev, idx) }
+      .take(k).map(_._1)
+  }
+
+  /** PCA fit: [[covarianceUT]] over the corpus (the only data-sized
+    * pass), then [[jacobiEigen]] on the collected d×d table — the
+    * driver receives O(d²) covariance entries, never rows (the
+    * model-fetch pattern). Returns the top-k principal components.
+    */
+  def pcaFit(df: DataFrame, vecCol: String, dim: Int, k: Int): Seq[Array[Double]] = {
+    val cov = Array.ofDim[Double](dim, dim)
+    covarianceUT(df, vecCol, dim)
+      .select("i", "j", "cov").collect().foreach { r =>
+        val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+        val c = r.getDouble(2)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+    jacobiEigen(cov, k).map(_._2)
+  }
+
+  /** Project vectors onto principal components — map-only (the
+    * components travel as literals, the broadcast-model pattern), zero
+    * shuffle at any corpus size.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 components: Seq[Array[Double]]): DataFrame = {
+    val comps = components.map(_.toSeq)
+    df.select(col(idCol),
+      array(comps.map(c =>
+        dot(col(vecCol).cast("array<double>"), typedLit(c))): _*)
+        .as("projected"))
+  }
 }

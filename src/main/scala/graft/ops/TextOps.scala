@@ -317,6 +317,83 @@ object TextOps {
         size(col("matched")).cast("long").as("n_matched"),
         (size(col("matched")) === 0).as("keep"))
 
+  /** Unicode script / char-class profile per document — the signal a
+    * multilingual curation pipeline routes on (wrong-script content in
+    * a monolingual corpus, digit-heavy table dumps, mixed-script spam).
+    * Counts are code-point exact via strip-and-diff (`length(text) −
+    * length(text without the class)`) over explicit code-point ranges,
+    * so every engine agrees without depending on regex script-table
+    * versions. Pure map — zero shuffle.
+    */
+  val scriptClasses: Seq[(String, String, String)] = Seq(
+    // (name, Java regex char class, RE2/DuckDB char class)
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", "[\u0400-\u04ff]", "[\\x{0400}-\\x{04ff}]"),
+    ("han", "[\u4e00-\u9fff]", "[\\x{4e00}-\\x{9fff}]"),
+    ("digit", "[0-9]", "[0-9]"))
+
+  def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tot = length(col(textCol)).cast("long")
+    val counted = scriptClasses.foldLeft(
+      df.select(col(idCol), col(textCol), tot.as("n_chars"))) {
+      case (d, (nm, re, _)) =>
+        d.withColumn(s"n_$nm",
+          (col("n_chars") - length(regexp_replace(col(textCol), re, ""))
+            ).cast("long"))
+    }
+    val shares = scriptClasses.map { case (nm, _, _) =>
+      round(col(s"n_$nm").cast("double") /
+        greatest(col("n_chars"), lit(1L)), 6).as(s"${nm}_share") }
+    counted.select(
+      col(idCol) +: col("n_chars") +:
+        (scriptClasses.map(c => col(s"n_${c._1}")) ++ shares): _*)
+  }
+
+  /** The canonical text-normalization column: Unicode NFC (composed
+    * accent forms — see [[graft.expressions.NfcNormalize]]) → ASCII
+    * control chars to spaces → whitespace runs collapsed → trimmed.
+    * Crawled corpora mix composed/decomposed forms and embed tabs/CRs;
+    * every downstream hash (exact dedup, MinHash, winnowing) silently
+    * splits identical documents unless this runs first. Pure map —
+    * zero shuffle at any corpus size.
+    */
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.expressions.NfcNormalize.column(text),
+        "[\\x00-\\x1f\\x7f]", " "),
+      " +", " "))
+
+  /** Per-doc normalization report: the normalized text plus the
+    * before/after char counts (the "how dirty is this source" signal).
+    */
+  def normalizeText(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), col(textCol),
+        normalizeCol(col(textCol)).as("norm_text"),
+        length(col(textCol)).cast("long").as("n_chars_raw"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .withColumn("changed", col("norm_text") =!= col(textCol))
+      .drop(textCol)
+
+  /** Distinct-n diversity report (the generation-diversity staple, run
+    * per corpus slice): for each n in `ns`, the slice's total and
+    * distinct word-n-gram counts and their ratio — low distinct-n means
+    * templated/repetitive text dominates the slice. One explode + one
+    * two-level agg per n, each keyed by (slice, gram) — partial
+    * aggregation combines map-side, nothing is pairwise.
+    */
+  def distinctNgramRatio(df: DataFrame, textCol: String, groupCol: String,
+                         ns: Seq[Int] = Seq(1, 2, 3)): DataFrame =
+    ns.map { n =>
+      df.select(col(groupCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("g")).as("distinct_grams"))
+        .select(col(groupCol), lit(n).as("n"), col("total_grams"),
+          col("distinct_grams"),
+          round(col("distinct_grams").cast("double") / col("total_grams"), 6)
+            .as("distinct_ratio"))
+    }.reduce(_ unionByName _)
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
     * the MOSS document-fingerprinting scheme): hash every word n-gram,
     * slide a window of `w` consecutive gram hashes, select each

@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextOps}
+import Q._
+
+/** Round-7 session-5 tranche: canonical text normalization (NFC +
+  * control strip + whitespace collapse, the stage every hash-based
+  * dedup depends on), normalized exact dedup composed end-to-end,
+  * distinct-n diversity, and the distributed-covariance half of PCA.
+  * Oracle SQL is generated from the same constants as the Scala
+  * operators (the NorthStar pattern).
+  */
+object Curation2 {
+
+  private val K = 16; private val BANDS = 4; private val NGRAM = 3
+  private val sh = Dedup.shinglesSql("text", NGRAM)
+  private val P = Dedup.P
+
+  /** MinHash signature + band CTEs (the Curation pattern, regenerated
+    * from the same Dedup constants).
+    */
+  private val sigCtes =
+    s"""shx AS (SELECT doc_id, unnest($sh) AS sh FROM documents),
+       |hx AS (SELECT doc_id, (${Dedup.h60Sql("sh")}) % $P AS h FROM shx),
+       |sig AS (SELECT doc_id,
+       |${Dedup.perms(K).zipWithIndex.map { case ((a, b), i) =>
+             s"  min(($a * h + $b) % $P) AS s$i" }.mkString(",\n")}
+       |FROM hx GROUP BY doc_id)""".stripMargin
+
+  private val bandsSql = (0 until BANDS).map { b =>
+    val cols = (b * (K / BANDS) until (b + 1) * (K / BANDS))
+      .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+    s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
+  }.mkString("\nUNION ALL\n")
+
+  /** Script-injection augment: %5==0 docs get a Cyrillic phrase, %5==1
+    * a Han phrase — deterministic multilingual mess both engines
+    * re-derive (the corpus fixture is all-ASCII).
+    */
+  private val cyr = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"
+  private val han = "\u4f60\u597d\u4e16\u754c"
+
+  /** Deterministic "dirty corpus" augment both engines re-derive:
+    * doc_id%3==0 gets a DECOMPOSED accent prefix (e + U+0301), %3==1
+    * gets every space doubled, %3==2 gets a TAB-joined tail — the three
+    * mess classes (unicode form, run-whitespace, control chars) a crawl
+    * normalizer exists for.
+    */
+  private val decomposed = "cafe\u0301" // e + combining acute (U+0301)
+  private val composed = "caf\u00e9" // precomposed e-acute = NFC(decomposed)
+
+  private def dirty(text: org.apache.spark.sql.Column,
+                    id: org.apache.spark.sql.Column) =
+    when(pmod(id, lit(3L)) === 0, concat(lit(decomposed + " "), text))
+      .when(pmod(id, lit(3L)) === 1, regexp_replace(text, " ", "  "))
+      .otherwise(concat(text, lit("\ttail")))
+
+  private val dirtySql =
+    """CASE WHEN doc_id % 3 = 0 THEN 'cafe' || chr(769) || ' ' || text
+      |  WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ')
+      |  ELSE text || chr(9) || 'tail' END""".stripMargin
+
+  private val normalizeSql =
+    s"""trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+       |  '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    // Canonical normalization over the dirtied corpus: NFC composes the
+    // accents, controls become spaces, runs collapse — per-doc report.
+    "q319_normalize_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), dirty(col("text"), col("doc_id")).as("text"))
+      TextOps.normalizeText(docs, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // Normalization composed with exact dedup: a doc and its
+    // whitespace-mangled decomposed-accent clone hash identically AFTER
+    // normalizeCol — the dup classes raw md5 can never see.
+    "q321_normalized_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        concat(col("text"), lit(" " + composed)).as("text"))
+      val clones = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(regexp_replace(col("text"), " ", "  "),
+            lit(" " + decomposed)).as("text"))
+      val norm = base.unionByName(clones)
+        .select(col("doc_id"), TextOps.normalizeCol(col("text")).as("norm_text"))
+      Dedup.exact(norm, "norm_text", "doc_id").orderBy("content_hash")
+    }),
+
+    // Distinct-n diversity per corpus slice (n = 1, 2, 3).
+    "q320_distinct_ngrams" -> ((s, dir) =>
+      TextOps.distinctNgramRatio(t(s, dir, "documents"), "text", "source")
+        .orderBy("source", "n")),
+
+    // The distributed half of PCA: one-pass upper-triangular covariance
+    // of the embedding matrix, micro-quantized per term (engine-exact
+    // at any partitioning). The driver-side eigen fit and the map-only
+    // projection are spec'd in SignalsSpec (orthonormality, Cv=λv,
+    // variance ordering, projection plan shape).
+    "q322_pca_covariance" -> ((s, dir) =>
+      Similarity.covarianceUT(t(s, dir, "embeddings"), "embedding", 64)
+        .orderBy("i", "j")),
+
+    // Script/char-class profile over the multilingual-injected corpus.
+    "q323_script_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(col("text"), lit(" " + cyr)))
+          .when(pmod(col("doc_id"), lit(5L)) === 1,
+            concat(col("text"), lit(" " + han)))
+          .otherwise(col("text")).as("text"))
+      TextOps.scriptProfile(docs, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // Cross-source syndication: exact-copy groups spanning >1 source.
+    // The fixture's exact dups are all within-source, so the corpus is
+    // augmented with a deterministic 'mirror' source republishing every
+    // 17th doc verbatim — the wire-copy shape the op exists to find.
+    "q324_syndication" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mirrored = docs.unionByName(
+        docs.where(pmod(col("doc_id"), lit(17L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", lit("mirror")))
+      graft.ops.Corpus.syndication(mirrored, "text", "doc_id", "source")
+        .orderBy("content_hash")
+    }),
+
+    // Best-copy keeper policy: near-dup clusters keep the LONGEST copy
+    // (n_chars as the quality score), not the min-id one.
+    "q325_keep_best" -> ((s, dir) =>
+      Dedup.keepBestQuality(t(s, dir, "documents"), "text", "doc_id",
+          "n_chars", NGRAM, K, BANDS)
+        .orderBy("doc_id")),
+
+    // SQ8 scalar-quantized ANN: uint8 codes vs per-dim bounds,
+    // asymmetric distance scan, top-5 (queries = vec_id < 10).
+    "q326_ann_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Padding-efficiency report: naive arrival-order batches vs
+    // length-grouped batching, one row per strategy.
+    "q327_padding_waste" -> ((s, dir) =>
+      graft.ops.Corpus.paddingWaste(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("strategy")),
+
+    // One-round DoReMi-style mixture reweight: target = src0 docs (the
+    // q254 fixture convention), slices = the remaining sources.
+    "q328_doremi_reweight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Corpus.doremiReweight(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "text", "doc_id", "source")
+        .orderBy("source")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q319_normalize_text" ->
+      s"""WITH d AS (SELECT doc_id, $dirtySql AS dirty FROM documents),
+         |n AS (SELECT doc_id, dirty, $normalizeSql AS norm_text FROM d)
+         |SELECT doc_id, norm_text,
+         |  CAST(length(dirty) AS BIGINT) AS n_chars_raw,
+         |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+         |  norm_text <> dirty AS changed
+         |FROM n ORDER BY doc_id""".stripMargin,
+    "q321_normalized_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text || ' ' || 'caf' || chr(233) AS dirty
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    replace(text, ' ', '  ') || ' ' || 'cafe' || chr(769)
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |n AS (SELECT doc_id, $normalizeSql AS norm_text FROM base)
+         |SELECT md5(norm_text) AS content_hash, min(doc_id) AS keeper_id,
+         |  count(*) AS n_copies
+         |FROM n GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q320_distinct_ngrams" -> {
+      def one(n: Int) =
+        s"""SELECT source, $n AS n, count(*) AS total_grams,
+           |  count(DISTINCT g) AS distinct_grams,
+           |  round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+           |    AS distinct_ratio
+           |FROM (SELECT source, unnest(${Dedup.shinglesSql("text", n)}) AS g
+           |      FROM documents)
+           |GROUP BY source""".stripMargin
+      s"""${one(1)}
+         |UNION ALL
+         |${one(2)}
+         |UNION ALL
+         |${one(3)}
+         |ORDER BY source, n""".stripMargin
+    },
+    "q322_pca_covariance" ->
+      """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |terms AS (SELECT i, j,
+        |    CAST(floor(e[i + 1] * e[j + 1] * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM v, unnest(range(64)) a(i), unnest(range(64)) b(j)
+        |  WHERE j >= i),
+        |prods AS (SELECT i, j, sum(q) AS sxy, count(*) AS n
+        |  FROM terms GROUP BY i, j),
+        |means AS (SELECT d, sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS sx
+        |  FROM (SELECT unnest(e) AS x,
+        |          unnest(range(64)) AS d FROM v)
+        |  GROUP BY d)
+        |SELECT p.i, p.j, p.n,
+        |  round(CAST(sxy AS DOUBLE) / 1000000.0 / n
+        |    - (CAST(mi.sx AS DOUBLE) / 1000000.0 / n)
+        |    * (CAST(mj.sx AS DOUBLE) / 1000000.0 / n), 6) AS cov
+        |FROM prods p
+        |JOIN means mi ON mi.d = p.i
+        |JOIN means mj ON mj.d = p.j
+        |ORDER BY p.i, p.j""".stripMargin,
+    "q323_script_profile" -> {
+      val counts = TextOps.scriptClasses.map { case (nm, _, re2) =>
+        s"""  CAST(length(text) - length(regexp_replace(text, '$re2', '', 'g'))
+           |    AS BIGINT) AS n_$nm""".stripMargin }.mkString(",\n")
+      val shares = TextOps.scriptClasses.map { case (nm, _, _) =>
+        s"  round(CAST(n_$nm AS DOUBLE) / greatest(n_chars, 1), 6) AS ${nm}_share"
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' $cyr'
+         |         WHEN doc_id % 5 = 1 THEN text || ' $han'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |$counts
+         |FROM d)
+         |SELECT doc_id, n_chars,
+         |${TextOps.scriptClasses.map(c => s"  n_${c._1}").mkString(",\n")},
+         |$shares
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q324_syndication" ->
+      """WITH m AS (SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'mirror' FROM documents
+        |  WHERE doc_id % 17 = 0)
+        |SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |  count(DISTINCT source) AS n_sources, min(doc_id) AS keeper_id,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+        |FROM m GROUP BY 1
+        |HAVING count(DISTINCT source) > 1
+        |ORDER BY content_hash""".stripMargin,
+    "q325_keep_best" ->
+      s"""WITH RECURSIVE $sigCtes,
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |e AS (SELECT da AS u, db AS v FROM cand UNION SELECT db, da FROM cand),
+         |reach AS (SELECT u AS a, v AS b FROM e
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |allc AS (SELECT d.doc_id,
+         |    coalesce(c.component, d.doc_id) AS component,
+         |    CAST(d.n_chars AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |best AS (SELECT component, doc_id AS keeper_id, row_number() OVER
+         |    (PARTITION BY component ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM allc)
+         |SELECT a.doc_id, a.component, a.score, b.keeper_id,
+         |  a.doc_id = b.keeper_id AS keep
+         |FROM allc a JOIN best b ON b.component = a.component AND b.rn = 1
+         |ORDER BY a.doc_id""".stripMargin,
+    "q326_ann_sq8" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |mm AS (SELECT d, min(x) AS lo, max(x) AS hi
+        |  FROM (SELECT unnest(e) AS x, unnest(range(64)) AS d FROM v)
+        |  GROUP BY d),
+        |p AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi
+        |  FROM mm),
+        |codes AS (SELECT vec_id AS nid, list_transform(range(64), j ->
+        |    CASE WHEN hi[j+1] = lo[j+1] THEN 0
+        |    ELSE least(255, CAST(floor((e[j+1] - lo[j+1])
+        |      / (hi[j+1] - lo[j+1]) * 256.0) AS BIGINT)) END) AS cd
+        |  FROM v, p),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        |s AS (SELECT qid, nid, list_sum(list_transform(range(64), j ->
+        |    (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
+        |    * (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
+        |    )) AS dist
+        |  FROM q, codes, p WHERE nid <> qid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
+        |      AS INTEGER) AS rank,
+        |    round(dist, 6) AS adc_dist FROM s)
+        |SELECT query_id, neighbor_id, rank, adc_dist FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q327_padding_waste" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |naive AS (SELECT ntok,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch FROM d),
+        |np AS (SELECT ntok,
+        |    max(ntok) OVER (PARTITION BY batch) - ntok AS pad FROM naive),
+        |bucketed AS (SELECT ntok, ntok // 16 AS bucket,
+        |    (row_number() OVER (PARTITION BY ntok // 16
+        |       ORDER BY ntok, doc_id) - 1) // 8 AS batch FROM d),
+        |bp AS (SELECT ntok,
+        |    max(ntok) OVER (PARTITION BY bucket, batch) - ntok AS pad
+        |  FROM bucketed),
+        |rep AS (
+        |  SELECT 'naive' AS strategy, count(*) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |    CAST(sum(pad) AS BIGINT) AS pad_tokens,
+        |    round(CAST(sum(pad) AS DOUBLE) / (sum(ntok) + sum(pad)), 6)
+        |      AS pad_ratio
+        |  FROM np
+        |  UNION ALL
+        |  SELECT 'length_grouped', count(*),
+        |    CAST(sum(ntok) AS BIGINT), CAST(sum(pad) AS BIGINT),
+        |    round(CAST(sum(pad) AS DOUBLE) / (sum(ntok) + sum(pad)), 6)
+        |  FROM bp)
+        |SELECT * FROM rep ORDER BY strategy""".stripMargin,
+    "q328_doremi_reweight" -> {
+      val sh2 = Dedup.shinglesSql("text", 2)
+      val B = 256
+      def bkt(part: Int) =
+        s"(${Dedup.h60Sql(s"split_part(g, ' ', $part)")}) % $B"
+      s"""WITH tg AS (SELECT unnest($sh2) AS g FROM documents
+         |  WHERE source = 'src0'),
+         |tb2 AS (SELECT ${bkt(1)} AS b1, ${bkt(2)} AS b2 FROM tg
+         |  WHERE len(string_split(g, ' ')) = 2),
+         |big AS (SELECT b1, b2, count(*) AS c12 FROM tb2 GROUP BY b1, b2),
+         |ctx AS (SELECT b1, count(*) AS c1 FROM tb2 GROUP BY b1),
+         |rg2 AS (SELECT doc_id, unnest($sh2) AS g
+         |  FROM documents WHERE source <> 'src0'),
+         |rb2 AS (SELECT doc_id, ${bkt(1)} AS b1, ${bkt(2)} AS b2 FROM rg2
+         |  WHERE len(string_split(g, ' ')) = 2),
+         |sc2 AS (SELECT doc_id,
+         |    CAST(floor((ln(coalesce(c12, 0) + 1.0)
+         |      - ln(coalesce(c1, 0) + ${B}.0)) * 1000000.0 + 0.5) AS BIGINT)
+         |      AS lp_q
+         |  FROM rb2 LEFT JOIN big USING(b1, b2) LEFT JOIN ctx USING(b1)),
+         |lm AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(lp_q) AS BIGINT) AS lp_sum_q FROM sc2 GROUP BY doc_id),
+         |per AS (SELECT d.source AS src,
+         |    CAST(sum(n_bigrams) AS BIGINT) AS nb,
+         |    CAST(sum(lp_sum_q) AS BIGINT) AS lps
+         |  FROM lm JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS tnb,
+         |    CAST(sum(lps) AS BIGINT) AS tlps FROM per),
+         |w AS (SELECT src, nb,
+         |    CAST(nb AS DOUBLE) / tnb AS share,
+         |    -CAST(lps AS DOUBLE) / 1000000.0 / nb AS loss_nats,
+         |    greatest(-CAST(lps AS DOUBLE) / 1000000.0 / nb
+         |      + CAST(tlps AS DOUBLE) / 1000000.0 / tnb, 0.0) AS excess_nats
+         |  FROM per, tot),
+         |wq AS (SELECT *, CAST(floor(share * (1.0 + 0.5 * excess_nats)
+         |    * 1000000000.0 + 0.5) AS BIGINT) AS rwq FROM w),
+         |z AS (SELECT CAST(sum(rwq) AS BIGINT) AS z FROM wq)
+         |SELECT src AS source, nb AS n_bigrams,
+         |  round(share, 6) AS share, round(loss_nats, 6) AS loss_nats,
+         |  round(excess_nats, 6) AS excess_nats,
+         |  round(CAST(rwq AS DOUBLE) / z, 6) AS new_share
+         |FROM wq, z ORDER BY source""".stripMargin
+    }
+  )
+}

@@ -213,4 +213,51 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: PCA covariance pass, SQ8 scan, weighted-Jaccard verify") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // covarianceUT: the per-row d(d+1)/2 term fan-out is the cost —
+      // shuffle stays O(partitions·d²) via partial agg. Confirm the
+      // map-dominated profile scales ~linearly in rows.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        val t0 = System.nanoTime()
+        graft.ops.Similarity.covarianceUT(emb, "embedding", 64)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE pca_covariance $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // sq8TopK: bounds pass + map-only encode + broadcast-query scan —
+      // the corpus never shuffles; wall time ~linear in corpus.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        val t0 = System.nanoTime()
+        graft.ops.Similarity.sq8TopK(emb,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE ann_sq8 $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // weightedJaccard: candidates-then-verify plus one gram-DF agg;
+      // the perturbed replica corpus keeps candidate pairs group-
+      // structured, so the verify stage grows with true duplication.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.weightedJaccard(docs, "text", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE weighted_jaccard $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // keepBestQuality: CC envelope (measured before) + one window
+      // rank keyed by component — confirm the added stage is marginal.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.keepBestQuality(docs, "text", "doc_id", "n_chars")
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE keep_best $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }

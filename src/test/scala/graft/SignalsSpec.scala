@@ -199,6 +199,161 @@ class SignalsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 2L).forall(_._3 == 0L))
   }
 
+  test("normalizeCol: NFC composes accents, controls strip, runs collapse; ASCII is a no-op") {
+    val df = Seq(
+      (1L, "cafe\u0301 du\tmonde  et   plus"),
+      (2L, "plain ascii text untouched")).toDF("doc_id", "text")
+    val got = TextOps.normalizeText(df, "text", "doc_id")
+      .select("doc_id", "norm_text", "changed")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "caf\u00e9 du monde et plus", true)), got(0))
+    assert(got(1) == ((2L, "plain ascii text untouched", false)))
+    // normalized forms of composed and decomposed inputs are IDENTICAL --
+    // the property exact dedup over norm_text (q321) rests on
+    val pair = Seq((1L, "nai\u0308ve caf\u00e9"),
+      (2L, "na\u00efve cafe\u0301")).toDF("doc_id", "text")
+    val norms = TextOps.normalizeText(pair, "text", "doc_id")
+      .select("norm_text").as[String].collect()
+    assert(norms(0) == norms(1), norms.mkString(" vs "))
+  }
+
+  test("pcaFit recovers an orthonormal top-k basis with Cv = λv") {
+    // anisotropic deterministic cloud: variance concentrated on axes
+    // 0 and 1 (hash-based pseudo-noise on the rest)
+    val dim = 8
+    def u(i: Long, d: Int): Double = // deterministic uniform in [-1, 1)
+      (((i * 2654435761L + d * 40503L) & 0xffff).toDouble / 32768.0) - 1.0
+    val rows = (0L until 400L).map { i =>
+      val v = Array.tabulate(dim)(d => 0.05 * u(i, d))
+      v(0) += 3.0 * u(i, 100); v(1) += 1.5 * u(i, 200)
+      (i, v.map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val comps = Similarity.pcaFit(df, "embedding", dim, 3)
+    assert(comps.length == 3)
+    def dotv(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map(p => p._1 * p._2).sum
+    for (a <- comps; b <- comps if !(a eq b))
+      assert(math.abs(dotv(a, b)) < 1e-6, "components not orthogonal")
+    comps.foreach(c => assert(math.abs(dotv(c, c) - 1.0) < 1e-6))
+    // the top-2 components point (almost) along axes 0 and 1
+    assert(math.abs(comps(0)(0)) > 0.99, comps(0).mkString(","))
+    assert(math.abs(comps(1)(1)) > 0.99, comps(1).mkString(","))
+    // eigen property against the same covariance the gate row checks
+    val cov = Array.ofDim[Double](dim, dim)
+    Similarity.covarianceUT(df, "embedding", dim)
+      .select("i", "j", "cov").as[(Long, Long, Double)].collect()
+      .foreach { case (i, j, c) =>
+        cov(i.toInt)(j.toInt) = c; cov(j.toInt)(i.toInt) = c }
+    val eig = Similarity.jacobiEigen(cov, 3)
+    assert(eig.map(_._1) == eig.map(_._1).sorted.reverse, "λ not descending")
+    eig.foreach { case (lambda, v) =>
+      val cv = Array.tabulate(dim)(r => dotv(cov(r), v))
+      val resid = math.sqrt(cv.zip(v).map { case (x, y) =>
+        val d = x - lambda * y; d * d }.sum)
+      assert(resid < 1e-6 * math.max(1.0, math.abs(lambda)), s"‖Cv−λv‖=$resid")
+    }
+    // projection is map-only: zero exchanges at any corpus size
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", comps)
+    assert(!plan(proj).contains("Exchange"), plan(proj).take(1000))
+    // projected coordinate 0 ≈ the dominant raw axis (sign-canonical)
+    val row0 = proj.where(col("vec_id") === 0L)
+      .select(element_at(col("projected"), 1)).as[Double].head()
+    val raw0 = rows(0)._2.head
+    assert(math.abs(math.abs(row0) - math.abs(raw0)) < 0.2,
+      s"proj=$row0 raw=$raw0")
+  }
+
+  test("scriptProfile counts code points per script class exactly") {
+    val df = Seq(
+      (1L, "abc 123 \u043f\u0440\u0438\u0432\u0435\u0442 \u4f60\u597d"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.scriptProfile(df, "text", "doc_id")
+      .select("doc_id", "n_chars", "n_latin", "n_cyrillic", "n_han", "n_digit")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 17L, 3L, 6L, 2L, 3L)), got(0).toString)
+    assert(got(1) == ((2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("syndication reports only cross-source exact-copy groups") {
+    val df = Seq(
+      (1L, "same wire story text", "reuters"),
+      (2L, "same wire story text", "ap"),
+      (3L, "same wire story text", "reuters"),
+      (4L, "single source duplicate", "blogA"),
+      (5L, "single source duplicate", "blogA"),
+      (6L, "unique content here", "blogB")).toDF("doc_id", "text", "source")
+    val got = graft.ops.Corpus.syndication(df, "text", "doc_id", "source")
+      .select("n_copies", "n_sources", "keeper_id", "sources")
+      .as[(Long, Long, Long, String)].collect()
+    // only the wire story spans sources; the single-source dup and the
+    // unique doc are both excluded
+    assert(got.toSeq == Seq((3L, 2L, 1L, "ap,reuters")), got.mkString(","))
+  }
+
+  test("keepBestQuality keeps the highest-score copy per cluster, min-id on ties") {
+    val txt = "shared near duplicate content with plenty of overlapping words here"
+    val df = Seq(
+      (1L, txt, 10L), (2L, txt, 30L), (3L, txt, 30L), // cluster: 2 wins (tie→min id)
+      (9L, "completely different singleton document about other things entirely", 5L))
+      .toDF("doc_id", "text", "score")
+    val got = Dedup.keepBestQuality(df, "text", "doc_id", "score")
+      .select("doc_id", "keeper_id", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, false), (2L, 2L, true),
+      (3L, 2L, false), (9L, 9L, true)), got.mkString(","))
+  }
+
+  test("sq8TopK ranks like exact L2 on well-separated vectors and never shuffles the corpus") {
+    // clusters far apart relative to quantization error
+    val rows = (0 until 20).map { i =>
+      val center = if (i < 10) 0.0 else 10.0
+      (i.toLong, Array.tabulate(8)(d => (center + 0.01 * ((i * 7 + d) % 5)).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(df, df.where(col("vec_id") === 0L),
+        "vec_id", "embedding", 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    // all 5 neighbors of a cluster-0 query come from cluster 0
+    assert(got.forall(_ < 10L), got.toString)
+    val p = plan(Similarity.sq8TopK(df, df.where(col("vec_id") === 0L),
+      "vec_id", "embedding", 5))
+    // corpus side: codes are map-only; the only exchange is the
+    // per-query rank window (partitioned by query_id)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("paddingWaste: length-grouped batching never pads more than naive") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = Corpus.paddingWaste(docs, "doc_id", "text")
+      .select("strategy", "total_tokens", "pad_tokens")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // token mass identical (same docs), pad mass strictly helped by
+    // grouping on this naturally length-varied corpus
+    assert(got("naive")._1 == got("length_grouped")._1)
+    assert(got("length_grouped")._2 < got("naive")._2, got.toString)
+  }
+
+  test("doremiReweight: shares normalize to 1 and excess-loss slices gain weight") {
+    val target = Seq((100L, "clean fluent text about spark and data pipelines", "t"))
+      .toDF("doc_id", "text", "source")
+    // src 'fluent' repeats target-like bigrams; 'noisy' is out-of-domain
+    val raw = (
+      (1L to 6L).map(i => (i, "clean fluent text about spark and data pipelines", "fluent")) ++
+      (7L to 12L).map(i => (i, s"zzz$i qqq$i vvv$i kkk$i jjj$i www$i yyy$i xxx$i", "noisy")))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.doremiReweight(raw, target, "text", "doc_id", "source")
+      .select("source", "share", "excess_nats", "new_share")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-5, got.toString)
+    // the out-of-domain slice carries the excess loss and gains share
+    assert(got("noisy")._2 > 0.0 && got("fluent")._2 == 0.0, got.toString)
+    assert(got("noisy")._3 > got("noisy")._1, got.toString)
+    assert(got("fluent")._3 < got("fluent")._1, got.toString)
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
