@@ -251,6 +251,46 @@ object Dedup {
         col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
   }
 
+  /** Asymmetric n-gram containment over MinHash-LSH candidates:
+    * C(A→B) = |A∩B| / |A| — the sub-document-duplication signal
+    * symmetric Jaccard hides (a short doc fully embedded in a long one
+    * scores C≈1 but Jaccard≈|A|/|B|). Reports both directions plus the
+    * contained side (higher containment; ties to doc_a). Same
+    * candidates-then-verify shape and postings joins as
+    * [[ngramJaccard]]; the filter compares exact integer ratios, so
+    * every engine keeps the same pairs.
+    *
+    * Candidate recall caveat (documented contract): candidates still
+    * come from SYMMETRIC MinHash bands, whose collision odds fall as
+    * the size ratio grows (a tiny doc inside a huge one rarely
+    * collides). For aggressive containment recall at extreme ratios
+    * use the df-capped inverted fingerprint index
+    * ([[graft.ops.TextOps.winnowMatches]] reports containment too);
+    * this op is the cheap within-candidate-set direction check.
+    */
+  def containment(df: DataFrame, textCol: String, idCol: String,
+                  n: Int = 3, k: Int = 16, bands: Int = 4,
+                  minContainment: Double = 0.5): DataFrame = {
+    val cand = minhashPairs(df, textCol, idCol, n, k, bands)
+    val g = df.select(col(idCol).as("did"),
+      explode(shingles(col(textCol), n)).as("g")).distinct()
+    val sizes = g.groupBy(col("did")).agg(count(lit(1)).as("ng"))
+    val inter = cand
+      .join(g.toDF("doc_a", "g"), "doc_a")
+      .join(g.toDF("doc_b", "g"), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_grams"))
+    val ca = col("inter_grams").cast("double") / col("na")
+    val cb = col("inter_grams").cast("double") / col("nb")
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .where(greatest(ca, cb) >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("inter_grams"),
+        round(ca, 6).as("containment_a"), round(cb, 6).as("containment_b"),
+        when(ca >= cb, col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_doc"))
+  }
+
   /** IDF-weighted Jaccard over MinHash-LSH candidates: gram g weighs
     * ln(N/df_g) — shared BOILERPLATE grams (high df) contribute ~0, so
     * two docs agreeing only on common phrases no longer look like

@@ -160,7 +160,32 @@ object Curation2 {
           docs.filter(col("source") === "src0"),
           "text", "doc_id", "source")
         .orderBy("source")
-    })
+    }),
+
+    // The per-doc signal card: quality + entropy + lang-ID + script
+    // share joined in ONE plan (one parquet scan feeding four signal
+    // lineages, one doc-keyed join-back) — the composed "score
+    // everything once" pass a curation pipeline actually runs.
+    "q329_signal_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextOps.qualityScore(docs, "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("quality_score"), 6).as("quality_score"))
+      val ent = TextOps.tokenEntropy(docs, "text", "doc_id")
+        .select(col("doc_id"), col("entropy_nats"))
+      val lang = TextOps.langId(docs, "text")
+        .select(col("doc_id"), col("lang_pred"))
+      val script = TextOps.scriptProfile(docs, "text", "doc_id")
+        .select(col("doc_id"), col("latin_share"))
+      q.join(ent, "doc_id").join(lang, "doc_id").join(script, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Asymmetric containment: sub-document duplication with direction.
+    "q330_containment" -> ((s, dir) =>
+      Dedup.containment(t(s, dir, "documents"), "text", "doc_id",
+          NGRAM, K, BANDS, 0.5)
+        .orderBy("doc_a", "doc_b"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -369,6 +394,73 @@ object Curation2 {
          |  round(excess_nats, 6) AS excess_nats,
          |  round(CAST(rwq AS DOUBLE) / z, 6) AS new_share
          |FROM wq, z ORDER BY source""".stripMargin
-    }
+    },
+    "q329_signal_card" -> {
+      val scores = TextOps.langMarkers.map { case (l, ms) =>
+        s"""    len(list_filter(string_split(text, ' '),
+           |      x -> x IN (${ms.map("'" + _ + "'").mkString(", ")})))
+           |      AS score_$l""".stripMargin }.mkString(",\n")
+      val langs = TextOps.langMarkers.map(_._1)
+      val cases = langs.map { l =>
+        val geAll = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"       WHEN $geAll THEN '$l'" }.mkString("\n")
+      val stopIn = "x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')"
+      s"""WITH wc AS (SELECT doc_id, w, count(*) AS c FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY doc_id, w),
+         |ent AS (SELECT doc_id,
+         |    round(ln(CAST(sum(c) AS DOUBLE))
+         |      - CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1000000.0
+         |          + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / sum(c), 6)
+         |      AS entropy_nats
+         |  FROM wc GROUP BY doc_id),
+         |ls AS (SELECT doc_id,
+         |$scores
+         |  FROM documents),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN ${langs.map(l => s"score_$l").mkString(" + ")} = 0
+         |         THEN 'unknown'
+         |$cases
+         |       ELSE 'unknown' END AS lang_pred FROM ls),
+         |base AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+         |      + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |         / len(string_split(text, ' '))) * 0.3
+         |      + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+         |           x -> $stopIn)) AS DOUBLE)
+         |         / len(string_split(text, ' '))) * 0.3, 6) AS quality_score,
+         |    round(CAST(length(text)
+         |        - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1), 6) AS latin_share
+         |  FROM documents)
+         |SELECT b.doc_id, n_words, quality_score, entropy_nats, lang_pred,
+         |  latin_share
+         |FROM base b JOIN ent USING (doc_id) JOIN lang USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q330_containment" ->
+      s"""WITH $sigCtes,
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter_grams,
+         |  round(CAST(i AS DOUBLE) / sa.ng, 6) AS containment_a,
+         |  round(CAST(i AS DOUBLE) / sb.ng, 6) AS containment_b,
+         |  CASE WHEN CAST(i AS DOUBLE) / sa.ng >= CAST(i AS DOUBLE) / sb.ng
+         |    THEN da ELSE db END AS contained_doc
+         |FROM inter JOIN sizes sa ON da = sa.doc_id
+         |           JOIN sizes sb ON db = sb.doc_id
+         |WHERE greatest(CAST(i AS DOUBLE) / sa.ng,
+         |               CAST(i AS DOUBLE) / sb.ng) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

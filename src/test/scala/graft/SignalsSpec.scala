@@ -354,6 +354,22 @@ class SignalsSpec extends AnyFunSuite {
     assert(got("fluent")._3 < got("fluent")._1, got.toString)
   }
 
+  test("containment reports direction: embedded doc scores 1.0 and is flagged") {
+    val core = (1 to 20).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, core), // fully contained in 2
+      (2L, s"$core x1 x2 x3"),
+      (3L, "unrelated words in a separate document about nothing shared here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containment(df, "text", "doc_id", 3, 16, 4, 0.5)
+      .select("doc_a", "doc_b", "containment_a", "contained_doc")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.length == 1, got.mkString(","))
+    val (a, b, ca, contained) = got.head
+    assert((a, b) == ((1L, 2L)) && ca == 1.0 && contained == 1L,
+      got.head.toString)
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
