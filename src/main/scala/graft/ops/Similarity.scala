@@ -504,6 +504,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-retrieval combiner: each input ranking contributes
+    * 1/(rrfK + rank) per (query, neighbor), summed across lists. Takes
+    * any rankings with (query_id, neighbor_id, rank) columns (lexical
+    * BM25, dense ANN, SQ8/PQ scans — any mix). Contributions are
+    * nano-quantized BEFORE the sum (exact at any partitioning and list
+    * order); ties break to the lower neighbor id. One union + one
+    * keyed agg + a per-query rank over only the fused candidates.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    val u = rankings
+      .map(_.select(col("query_id"), col("neighbor_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = u
+      .withColumn("contrib",
+        floor(lit(1e9) / (lit(rrfK) + col("rank")) + 0.5).cast("long"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("contrib")).as("rrf_q"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_q").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("n_lists"), col("rrf_q"))
+  }
+
   /** Per-dimension (min, max) quantization bounds for [[sq8TopK]] — one
     * explode + agg pass; the driver fetches 2·d doubles (the
     * model-fetch pattern).

@@ -349,6 +349,55 @@ object TextOps {
         (scriptClasses.map(c => col(s"n_${c._1}")) ++ shares): _*)
   }
 
+  /** Okapi BM25 keyword retrieval — the lexical baseline of every
+    * retrieval stack (and the query-based corpus-mining tool next to
+    * the embedding ANN family): score(d,q) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·len/avglen)), idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Scale shape: one corpus pass builds the (word, doc, tf) postings
+    * (keyed shuffle with map-side combine) and the O(vocab) df table;
+    * query terms join the postings keyed by word (the inverted-index
+    * probe — only matching postings flow), then one per-(query, doc)
+    * sum and a per-query top-k rank over candidates. The corpus never
+    * joins pairwise and avglen/N travel as a broadcast 1-row frame.
+    * Every factor is a fixed double formula over exact integer
+    * (tf, df, len, N) inputs — engines rank identically; ties break to
+    * the lower doc id.
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, queryCol: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = corpus.select(col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+    val tf = words.groupBy("did", "w").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val lens = words.groupBy("did").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl"))
+    val qt = queries.select(col(idCol).as("query_id"),
+        explode(array_distinct(split(col(queryCol), " "))).as("w"))
+      .where(col("w") =!= "")
+    val scored = qt.join(tf, "w").join(df_, "w")
+      .join(lens, "did").crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("norm", lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("len") / (col("tl").cast("double") / col("nd"))))
+      .withColumn("term_q", floor(col("idf") *
+        (col("tf") * (k1 + 1.0)) / (col("tf") + col("norm"))
+        * 1e9 + 0.5).cast("long"))
+      .groupBy("query_id", "did")
+      .agg(sum(col("term_q")).as("score_q"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("did").as("doc_id"), col("rank"),
+        col("n_terms"),
+        round(col("score_q").cast("double") / 1e9, 6).as("bm25"))
+  }
+
   /** The canonical text-normalization column: Unicode NFC (composed
     * accent forms — see [[graft.expressions.NfcNormalize]]) → ASCII
     * control chars to spaces → whitespace runs collapsed → trimmed.

@@ -185,7 +185,28 @@ object Curation2 {
     "q330_containment" -> ((s, dir) =>
       Dedup.containment(t(s, dir, "documents"), "text", "doc_id",
           NGRAM, K, BANDS, 0.5)
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // Okapi BM25 keyword retrieval: queries = the first 5 words of
+    // docs 0-4 (self-retrieval fixture), top-10 per query.
+    "q331_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") < 5)
+        .select(col("doc_id"), concat_ws(" ",
+          slice(split(col("text"), " "), 1, 5)).as("qtext"))
+      TextOps.bm25TopK(docs, qs, "doc_id", "text", "qtext", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Reciprocal-rank fusion of the exact-cosine and SQ8 rankings —
+    // the hybrid-retrieval combiner over two real ranking lists.
+    "q332_rrf_hybrid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val cos = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 10)
+      val sq8 = Similarity.sq8TopK(emb, qs, "vec_id", "embedding", 10)
+      Similarity.rrfFuse(Seq(cos, sq8), 5).orderBy("query_id", "rank")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -461,6 +482,86 @@ object Curation2 {
          |           JOIN sizes sb ON db = sb.doc_id
          |WHERE greatest(CAST(i AS DOUBLE) / sa.ng,
          |               CAST(i AS DOUBLE) / sb.ng) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q331_bm25" ->
+      """WITH words AS (SELECT did, w FROM
+        |  (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS w
+        |   FROM documents) WHERE w <> ''),
+        |tf AS (SELECT did, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |lens AS (SELECT did, count(*) AS len FROM words GROUP BY did),
+        |stats AS (SELECT count(*) AS nd, CAST(sum(len) AS BIGINT) AS tl
+        |  FROM lens),
+        |qt AS (SELECT query_id, w FROM
+        |  (SELECT doc_id AS query_id,
+        |     unnest(list_distinct(list_slice(string_split(text, ' '), 1, 5)))
+        |       AS w
+        |   FROM documents WHERE doc_id < 5) WHERE w <> ''),
+        |sc AS (SELECT query_id, did,
+        |    ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf,
+        |    1.2 * ((1.0 - 0.75) +
+        |      0.75 * len / (CAST(tl AS DOUBLE) / nd)) AS nrm,
+        |    tf
+        |  FROM qt JOIN tf USING (w) JOIN dfx USING (w)
+        |    JOIN lens USING (did), stats),
+        |tq AS (SELECT query_id, did,
+        |    CAST(floor(idf * (tf * (1.2 + 1.0)) / (tf + nrm)
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS term_q
+        |  FROM sc),
+        |agg AS (SELECT query_id, did, CAST(sum(term_q) AS BIGINT) AS score_q,
+        |    count(*) AS n_terms FROM tq GROUP BY 1, 2),
+        |r AS (SELECT query_id, did AS doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_q DESC, did ASC) AS INTEGER) AS rank,
+        |    n_terms,
+        |    round(CAST(score_q AS DOUBLE) / 1000000000.0, 6) AS bm25
+        |  FROM agg)
+        |SELECT query_id, doc_id, rank, n_terms, bm25 FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q332_rrf_hybrid" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id < 10),
+        |cs AS (SELECT qid, vec_id AS nid,
+        |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1]))
+        |      / (qn * nrm) AS cos
+        |  FROM q, n WHERE vec_id <> qid),
+        |cr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid) AS rank FROM cs),
+        |mm AS (SELECT d, min(x) AS lo, max(x) AS hi
+        |  FROM (SELECT unnest(e) AS x, unnest(range(64)) AS d FROM v)
+        |  GROUP BY d),
+        |p AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi
+        |  FROM mm),
+        |codes AS (SELECT vec_id AS nid, list_transform(range(64), j ->
+        |    CASE WHEN hi[j+1] = lo[j+1] THEN 0
+        |    ELSE least(255, CAST(floor((e[j+1] - lo[j+1])
+        |      / (hi[j+1] - lo[j+1]) * 256.0) AS BIGINT)) END) AS cd
+        |  FROM v, p),
+        |s8 AS (SELECT qid, nid, list_sum(list_transform(range(64), j ->
+        |    (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
+        |    * (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
+        |    )) AS dist
+        |  FROM q, codes, p WHERE nid <> qid),
+        |r8 AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dist, nid) AS rank FROM s8),
+        |u AS (SELECT qid, nid, rank FROM cr WHERE rank <= 10
+        |  UNION ALL SELECT qid, nid, rank FROM r8 WHERE rank <= 10),
+        |f AS (SELECT qid, nid,
+        |    CAST(sum(CAST(floor(1000000000.0 / (60 + rank) + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rrf_q,
+        |    count(*) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |fr AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf_q DESC, nid ASC) AS INTEGER) AS rank,
+        |    n_lists, rrf_q
+        |  FROM f)
+        |SELECT query_id, neighbor_id, rank, n_lists, rrf_q FROM fr
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -370,6 +370,41 @@ class SignalsSpec extends AnyFunSuite {
       got.head.toString)
   }
 
+  test("bm25TopK: rare-term doc outranks common-term doc; idf orders terms") {
+    val corpus = Seq(
+      (1L, "zebra quantum flux appears in this rare specialist article today"),
+      (2L, "zebra mentioned once in a long rambling piece " +
+        (1 to 30).map(i => s"filler$i").mkString(" ")),
+      (3L, "entirely unrelated text about cooking pasta and sauces tonight"),
+      (4L, "the word today appears here too with other common words"))
+      .toDF("doc_id", "text")
+    val q = Seq((100L, "zebra quantum flux")).toDF("doc_id", "qtext")
+    val got = TextOps.bm25TopK(corpus, q, "doc_id", "text", "qtext", 10)
+      .select("doc_id", "rank", "n_terms", "bm25")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    // doc 1 matches all 3 terms and wins; doc 2 matches only 'zebra'
+    // and is length-penalized; docs 3/4 match nothing
+    assert(got.map(d => (d._1, d._2)).toSeq == Seq((1L, 1), (2L, 2)),
+      got.mkString(","))
+    assert(got(0)._3 == 3L && got(1)._3 == 1L)
+    assert(got(0)._4 > got(1)._4 && got(1)._4 > 0.0)
+  }
+
+  test("rrfFuse sums reciprocal ranks exactly and counts contributing lists") {
+    def mk(rows: Seq[(Long, Long, Int)]) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    val a = mk(Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)))
+    val b = mk(Seq((1L, 11L, 1), (1L, 13L, 2)))
+    val got = Similarity.rrfFuse(Seq(a, b), 10)
+      .select("neighbor_id", "rank", "n_lists", "rrf_q")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    def c(r: Int) = math.floor(1e9 / (60 + r) + 0.5).toLong
+    // 11 appears in both lists (rank 2 + rank 1) and wins the fusion
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 13L, 12L), got.mkString(","))
+    assert(got(0) == ((11L, 1, 2L, c(2) + c(1))), got(0).toString)
+    assert(got(1) == ((10L, 2, 1L, c(1))))
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
