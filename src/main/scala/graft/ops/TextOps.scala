@@ -398,6 +398,37 @@ object TextOps {
         round(col("score_q").cast("double") / 1e9, 6).as("bm25"))
   }
 
+  /** Exact phrase search over a POSITIONAL inverted index — the
+    * index-probe alternative to scanning every document with a regex:
+    * postings (doc, position, word) join the query's (offset, word)
+    * terms keyed by word, so only postings of the query's words flow;
+    * a phrase occurrence is a start position where EVERY offset matches
+    * (count(distinct offset) == phrase length after grouping by
+    * (query, doc, pos − offset) — the classic positional-AND).
+    * Output: one row per (query, matching doc) with occurrence count
+    * and first position. Phrases with repeated words work: each offset
+    * must be witnessed independently.
+    */
+  def phraseSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   textCol: String, phraseCol: String): DataFrame = {
+    val post = corpus.select(col(idCol).as("did"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val qts = queries.select(col(idCol).as("query_id"),
+        size(split(col(phraseCol), " ")).as("plen"),
+        posexplode(split(col(phraseCol), " ")).as(Seq("off", "w")))
+    val starts = qts.join(post, "w")
+      .select(col("query_id"), col("plen"), col("did"),
+        (col("pos") - col("off")).as("start"), col("off"))
+      .groupBy("query_id", "plen", "did", "start")
+      .agg(countDistinct(col("off")).as("hit"))
+      .where(col("hit") === col("plen") && col("start") >= 0)
+    starts.groupBy("query_id", "did")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("start")).cast("long").as("first_pos"))
+      .select(col("query_id"), col("did").as("doc_id"),
+        col("n_matches"), col("first_pos"))
+  }
+
   /** The canonical text-normalization column: Unicode NFC (composed
     * accent forms — see [[graft.expressions.NfcNormalize]]) → ASCII
     * control chars to spaces → whitespace runs collapsed → trimmed.

@@ -206,6 +206,17 @@ object Curation2 {
       val cos = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 10)
       val sq8 = Similarity.sq8TopK(emb, qs, "vec_id", "embedding", 10)
       Similarity.rrfFuse(Seq(cos, sq8), 5).orderBy("query_id", "rank")
+    }),
+
+    // Positional-index exact phrase search: phrases = words 4-6 of
+    // docs 0-4; every doc containing the phrase (dup copies included).
+    "q333_phrase_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") < 5)
+        .select(col("doc_id"), concat_ws(" ",
+          slice(split(col("text"), " "), 4, 3)).as("phrase"))
+      TextOps.phraseSearch(docs, qs, "doc_id", "text", "phrase")
+        .orderBy("query_id", "doc_id")
     })
   )
 
@@ -562,6 +573,25 @@ object Curation2 {
         |    n_lists, rrf_q
         |  FROM f)
         |SELECT query_id, neighbor_id, rank, n_lists, rrf_q FROM fr
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q333_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |post AS (SELECT doc_id AS did, g.i - 1 AS pos, ws[g.i] AS w
+        |  FROM d, unnest(range(1, len(ws) + 1)) g(i)),
+        |qs AS (SELECT doc_id AS query_id,
+        |    list_slice(string_split(text, ' '), 4, 6) AS ph
+        |  FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT query_id, len(ph) AS plen, t.i - 1 AS off, ph[t.i] AS w
+        |  FROM qs, unnest(range(1, len(ph) + 1)) t(i)),
+        |st AS (SELECT query_id, plen, did, pos - off AS start,
+        |    count(DISTINCT off) AS hit
+        |  FROM qt JOIN post USING (w)
+        |  GROUP BY query_id, plen, did, pos - off),
+        |m AS (SELECT query_id, did, start FROM st
+        |  WHERE hit = plen AND start >= 0)
+        |SELECT query_id, did AS doc_id, count(*) AS n_matches,
+        |  CAST(min(start) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
   )
 }

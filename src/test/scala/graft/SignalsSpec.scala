@@ -405,6 +405,24 @@ class SignalsSpec extends AnyFunSuite {
     assert(got(1) == ((10L, 2, 1L, c(1))))
   }
 
+  test("phraseSearch: positional AND finds exact phrases, counts occurrences, handles repeats") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma"),
+      (2L, "gamma beta alpha delta"), // words present, order wrong
+      (3L, "xx alpha beta gamma yy"),
+      (4L, "go go go stop")).toDF("doc_id", "text")
+    val qs = Seq((100L, "alpha beta gamma"), (101L, "go go"))
+      .toDF("doc_id", "phrase")
+    val got = TextOps.phraseSearch(corpus, qs, "doc_id", "text", "phrase")
+      .select("query_id", "doc_id", "n_matches", "first_pos")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1 contains the phrase twice (pos 0 and 4); doc 2 has the
+    // words but not the order; repeated-word phrase 'go go' matches
+    // twice in doc 4 (overlapping starts 0 and 1)
+    assert(got == Set((100L, 1L, 2L, 0L), (100L, 3L, 1L, 1L),
+      (101L, 4L, 2L, 0L)), got.toString)
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
