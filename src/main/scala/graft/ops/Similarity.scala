@@ -530,6 +530,70 @@ object Similarity {
         col("n_lists"), col("rrf_q"))
   }
 
+  /** Binary-quantized (1-bit) ANN: each vector compresses to sign bits
+    * vs the per-dim corpus mean — 32× memory cut at float32, the
+    * cheapest tier of the quantization family (BQ < PQ < SQ8 <
+    * truncation < full) — and queries scan with Hamming distance
+    * (`bit_count(xor)`), shortlist, then exact-cosine rerank over only
+    * the shortlisted rows (candidates-then-verify). Codes are packed as
+    * two 32-bit halves in BIGINTs so every engine's integer arithmetic
+    * is exact (a 64-bit pack would put dim 63 in the sign bit). Scale
+    * shape: one mean pass (driver fetches d doubles), map-only encode,
+    * broadcast-query Hamming scan, keyed join-back for the rerank
+    * fetch. Ties: Hamming then id; final rank by exact score then id.
+    */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int,
+             shortlist: Int = 50): DataFrame = {
+    require(dim <= 64, s"bqTopK packs 2x32 bits; dim $dim > 64")
+    // Quantized mean (exact integer sum / n, one fixed formula) so the
+    // sign threshold is the bit-identical double on every engine — a
+    // last-ulp avg() difference could flip a borderline sign bit.
+    val mean = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy("d").agg(
+        sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .orderBy("d")
+      .collect().map(r => r.getLong(1).toDouble / 1e6 / r.getLong(2)).toSeq
+    val mL = typedLit(mean)
+    def code(vec: Column, lo: Int, hi: Int) =
+      (lo until hi).map { j =>
+        when(element_at(vec, j + 1) > element_at(mL, j + 1),
+          lit(1L << (j - lo))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    def coded(df: DataFrame, id: String) = {
+      val v = col(vecCol).cast("array<double>")
+      df.select(col(idCol).as(id), v.as(s"__e_$id"),
+        code(v, 0, math.min(32, dim)).as(s"c0_$id"),
+        (if (dim > 32) code(v, 32, dim) else lit(0L)).as(s"c1_$id"))
+    }
+    val c = coded(corpus, "neighbor_id")
+    val q = coded(queries, "query_id")
+    val ham = bit_count(col("c0_neighbor_id").bitwiseXOR(col("c0_query_id"))) +
+      bit_count(col("c1_neighbor_id").bitwiseXOR(col("c1_query_id")))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    val short = c.drop(s"__e_neighbor_id")
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("ham", ham)
+      .withColumn("hrank", row_number().over(wH))
+      .where(col("hrank") <= shortlist)
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    short.join(full, "neighbor_id")
+      .withColumn("score", dot(col("__e_query_id"), col("ce")) /
+        (norm(col("__e_query_id")) * col("cn")))
+      .withColumn("rank", row_number().over(wS))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("ham").cast("long").as("hamming"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Per-dimension (min, max) quantization bounds for [[sq8TopK]] — one
     * explode + agg pass; the driver fetches 2·d doubles (the
     * model-fetch pattern).

@@ -217,6 +217,15 @@ object Curation2 {
           slice(split(col("text"), " "), 4, 3)).as("phrase"))
       TextOps.phraseSearch(docs, qs, "doc_id", "text", "phrase")
         .orderBy("query_id", "doc_id")
+    }),
+
+    // Binary-quantized ANN: sign bits vs per-dim mean, Hamming
+    // shortlist (50), exact-cosine rerank top-5.
+    "q334_ann_bq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bqTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5, 64)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -592,6 +601,46 @@ object Curation2 {
         |  WHERE hit = plen AND start >= 0)
         |SELECT query_id, did AS doc_id, count(*) AS n_matches,
         |  CAST(min(start) AS BIGINT) AS first_pos
-        |FROM m GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
+        |FROM m GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin,
+    "q334_ann_bq" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |ms AS (SELECT d,
+        |    CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sq,
+        |    count(*) AS n
+        |  FROM (SELECT unnest(e) AS x, unnest(range(64)) AS d FROM v)
+        |  GROUP BY d),
+        |mm AS (SELECT list(CAST(sq AS DOUBLE) / 1000000.0 / n ORDER BY d)
+        |    AS m FROM ms),
+        |codes AS (SELECT vec_id, e,
+        |    CAST(list_sum(list_transform(range(32), j ->
+        |      CASE WHEN e[j+1] > m[j+1] THEN (1::BIGINT << j)
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS c0,
+        |    CAST(list_sum(list_transform(range(32), j ->
+        |      CASE WHEN e[j+33] > m[j+33] THEN (1::BIGINT << j)
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS c1
+        |  FROM v, mm),
+        |q AS (SELECT vec_id AS qid, e AS qe, c0 AS qc0, c1 AS qc1
+        |  FROM codes WHERE vec_id < 10),
+        |h AS (SELECT qid, qe, vec_id AS nid, e,
+        |    bit_count(xor(c0, qc0)) + bit_count(xor(c1, qc1)) AS ham
+        |  FROM q, codes WHERE vec_id <> qid),
+        |hs AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY ham, nid) AS hrank FROM h),
+        |sl AS (SELECT * FROM hs WHERE hrank <= 50),
+        |sc AS (SELECT qid, nid, ham,
+        |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1]))
+        |      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(e, x -> x * x)))) AS score
+        |  FROM sl),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, nid ASC) AS INTEGER) AS rank,
+        |    CAST(ham AS BIGINT) AS hamming, round(score, 6) AS score
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, rank, hamming, score FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -423,6 +423,23 @@ class SignalsSpec extends AnyFunSuite {
       (101L, 4L, 2L, 0L)), got.toString)
   }
 
+  test("bqTopK recall vs exact cosine on the embeddings fixture") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.where(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recalls = Seq(50, 100, 200).map { sl =>
+      val bq = Similarity.bqTopK(emb, qs, "vec_id", "embedding", 5, 64, sl)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      sl -> (exact & bq).size.toDouble / exact.size
+    }.toMap
+    info(s"bq recall@5 by shortlist: $recalls")
+    // the shortlist IS the recall knob (the q297 matryoshka contract):
+    // wider shortlist → recall rises toward exact
+    assert(recalls(200) >= recalls(50), recalls.toString)
+    assert(recalls(50) >= 0.6 && recalls(200) >= 0.9, recalls.toString)
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
