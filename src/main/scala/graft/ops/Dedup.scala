@@ -354,6 +354,71 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
+  /** Dedup threshold operating-point sweep: for each candidate Jaccard
+    * threshold, how many verified pairs survive and how many docs they
+    * touch — the table a team reads BEFORE committing a dedup
+    * threshold (next to [[minhashCalibration]], which sizes the
+    * signature; this sizes the cut). One scored-candidate pass
+    * ([[ngramJaccard]] at threshold 0) crossed with the O(#thresholds)
+    * literal list; the Jaccard is an exact integer ratio, so every
+    * engine keeps identical pairs at every cut.
+    */
+  def dedupThresholdSweep(df: DataFrame, textCol: String, idCol: String,
+                          n: Int = 3, k: Int = 16, bands: Int = 4,
+                          thresholds: Seq[Double] =
+                            Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+                         ): DataFrame = {
+    val scored = ngramJaccard(df, textCol, idCol, n, k, bands, 0.0)
+      .localCheckpoint(false) // feeds two consumers (pair + doc counts)
+    val th = scored.sparkSession.createDataFrame(
+      thresholds.map(Tuple1(_))).toDF("threshold")
+    val pj = scored.crossJoin(broadcast(th))
+      .where(col("jaccard") >= col("threshold"))
+    val pairs = pj.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docs = pj.select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold").agg(countDistinct(col("d")).as("n_docs"))
+    th.join(pairs, Seq("threshold"), "left")
+      .join(docs, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+  }
+
+  /** The dedup decision ledger — per DROPPED doc, WHY it was dropped
+    * and which doc it lost to: 'exact' (same content hash, keeper =
+    * min id) or 'near' (verified-Jaccard connected component, keeper =
+    * component min among exact survivors), with the evidence (1.0 for
+    * exact; the doc's strongest verified link for near — duplication is
+    * transitive, so the keeper itself may not be a direct pair). The
+    * auditability artifact a production dedup run ships with its drop
+    * list. Output scales with dropped docs, never corpus.
+    */
+  def dedupExplain(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, k: Int = 16, bands: Int = 4,
+                   minJaccard: Double = 0.8): DataFrame = {
+    val hashed = df.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol).cast("binary")).as("h"))
+    val grp = hashed.groupBy("h").agg(min(col("doc_id")).as("keeper_id"))
+    val exactDrops = hashed.join(grp, "h")
+      .where(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"), lit("exact").as("reason"), col("keeper_id"),
+        lit(1.0).as("evidence"))
+    val survivors = df.join(
+      exactDrops.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+    val pairs = ngramJaccard(survivors, textCol, idCol, n, k, bands, minJaccard)
+      .localCheckpoint(false) // feeds CC + the per-doc evidence agg
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    val strongest = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
+        col("jaccard"))
+      .groupBy("doc_id").agg(max(col("jaccard")).as("evidence"))
+    val nearDrops = cc.where(col("doc_id") =!= col("component"))
+      .join(strongest, "doc_id")
+      .select(col("doc_id"), lit("near").as("reason"),
+        col("component").as("keeper_id"), col("evidence"))
+    exactDrops.unionByName(nearDrops)
+      .withColumn("evidence", round(col("evidence"), 6))
+  }
+
   /** Connected components over a duplicate-pair edge list: the stage
     * between LSH candidate pairs and survivor selection that collapses
     * transitive duplicate chains (A~B, B~C => one cluster even when A,C

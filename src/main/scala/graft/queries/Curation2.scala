@@ -20,13 +20,15 @@ object Curation2 {
   /** MinHash signature + band CTEs (the Curation pattern, regenerated
     * from the same Dedup constants).
     */
-  private val sigCtes =
-    s"""shx AS (SELECT doc_id, unnest($sh) AS sh FROM documents),
+  private def sigCtesFor(src: String) =
+    s"""shx AS (SELECT doc_id, unnest($sh) AS sh FROM $src),
        |hx AS (SELECT doc_id, (${Dedup.h60Sql("sh")}) % $P AS h FROM shx),
        |sig AS (SELECT doc_id,
        |${Dedup.perms(K).zipWithIndex.map { case ((a, b), i) =>
              s"  min(($a * h + $b) % $P) AS s$i" }.mkString(",\n")}
        |FROM hx GROUP BY doc_id)""".stripMargin
+
+  private val sigCtes = sigCtesFor("documents")
 
   private val bandsSql = (0 until BANDS).map { b =>
     val cols = (b * (K / BANDS) until (b + 1) * (K / BANDS))
@@ -226,7 +228,20 @@ object Curation2 {
       Similarity.bqTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", 5, 64)
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // Dedup threshold operating-point sweep over verified candidates.
+    "q335_threshold_sweep" -> ((s, dir) =>
+      Dedup.dedupThresholdSweep(t(s, dir, "documents"), "text", "doc_id",
+          NGRAM, K, BANDS)
+        .orderBy("threshold")),
+
+    // The dedup decision ledger: per dropped doc, reason + keeper +
+    // strongest evidence.
+    "q336_dedup_explain" -> ((s, dir) =>
+      Dedup.dedupExplain(t(s, dir, "documents"), "text", "doc_id",
+          NGRAM, K, BANDS, 0.8)
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -641,6 +656,72 @@ object Curation2 {
         |    CAST(ham AS BIGINT) AS hamming, round(score, 6) AS score
         |  FROM sc)
         |SELECT query_id, neighbor_id, rank, hamming, score FROM r
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q335_threshold_sweep" -> {
+      val ths = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      val values = ths.map(v => s"(CAST($v AS DOUBLE))").mkString(", ")
+      s"""WITH $sigCtes,
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+         |  FROM inter JOIN sizes sa ON da = sa.doc_id
+         |             JOIN sizes sb ON db = sb.doc_id),
+         |th(threshold) AS (VALUES $values),
+         |pj AS (SELECT threshold, da, db, j FROM sc, th WHERE j >= threshold),
+         |pairs AS (SELECT threshold, count(*) AS n_pairs FROM pj GROUP BY 1),
+         |docs AS (SELECT threshold, count(DISTINCT d) AS n_docs FROM
+         |  (SELECT threshold, unnest([da, db]) AS d FROM pj) GROUP BY 1)
+         |SELECT th.threshold,
+         |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+         |FROM th LEFT JOIN pairs USING (threshold)
+         |        LEFT JOIN docs USING (threshold)
+         |ORDER BY threshold""".stripMargin
+    },
+    "q336_dedup_explain" ->
+      s"""WITH RECURSIVE hx0 AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |grp AS (SELECT h, min(doc_id) AS keeper FROM hx0 GROUP BY h),
+         |ed AS (SELECT doc_id, 'exact' AS reason, keeper AS keeper_id,
+         |    CAST(1.0 AS DOUBLE) AS evidence
+         |  FROM hx0 JOIN grp USING (h) WHERE doc_id <> keeper),
+         |surv AS (SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ed)),
+         |${sigCtesFor("surv")},
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |g AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM surv),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i
+         |  FROM cand JOIN g ga ON ga.doc_id = cand.da
+         |            JOIN g gb ON gb.doc_id = cand.db AND gb.g = ga.g
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+         |  FROM inter JOIN sizes sa ON da = sa.doc_id
+         |             JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |e AS (SELECT da AS u, db AS v FROM pr UNION SELECT db, da FROM pr),
+         |reach AS (SELECT u AS a, v AS b FROM e
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |  FROM reach GROUP BY a),
+         |ev AS (SELECT d AS doc_id, max(j) AS evidence FROM
+         |  (SELECT da AS d, j FROM pr UNION ALL SELECT db, j FROM pr)
+         |  GROUP BY d),
+         |nd AS (SELECT c.doc_id, 'near' AS reason,
+         |    c.component AS keeper_id, ev.evidence
+         |  FROM comp c JOIN ev USING (doc_id) WHERE c.doc_id <> c.component)
+         |SELECT doc_id, reason, keeper_id, round(evidence, 6) AS evidence
+         |FROM (SELECT * FROM ed UNION ALL SELECT * FROM nd)
+         |ORDER BY doc_id""".stripMargin
   )
 }

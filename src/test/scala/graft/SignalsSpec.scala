@@ -440,6 +440,34 @@ class SignalsSpec extends AnyFunSuite {
     assert(recalls(50) >= 0.6 && recalls(200) >= 0.9, recalls.toString)
   }
 
+  test("dedupExplain ledgers exact and near drops with keeper and evidence") {
+    val base = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base), // exact pair: 2 drops to 1
+      (3L, base + " extra trailing words here"), // near-dup of 1
+      (9L, "totally different content in this standalone document right here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupExplain(df, "text", "doc_id", 3, 16, 4, 0.5)
+      .select("doc_id", "reason", "keeper_id", "evidence")
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1)
+    assert(got.length == 2, got.mkString(","))
+    assert(got(0) == ((2L, "exact", 1L, 1.0)), got(0).toString)
+    assert(got(1)._1 == 3L && got(1)._2 == "near" && got(1)._3 == 1L &&
+      got(1)._4 > 0.5 && got(1)._4 < 1.0, got(1).toString)
+  }
+
+  test("dedupThresholdSweep is monotonically non-increasing in the threshold") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val got = Dedup.dedupThresholdSweep(docs, "text", "doc_id")
+      .orderBy("threshold")
+      .select("threshold", "n_pairs", "n_docs")
+      .as[(Double, Long, Long)].collect()
+    assert(got.length == 8)
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3, got.mkString(",")) }
+    assert(got.head._2 > 0, "fixture has near-dups; sweep found none")
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
