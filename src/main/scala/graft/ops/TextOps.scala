@@ -398,6 +398,46 @@ object TextOps {
         round(col("score_q").cast("double") / 1e9, 6).as("bm25"))
   }
 
+  /** Snippet extraction for [[bm25TopK]] hits: per (query, top-k doc),
+    * the `w`-word window holding the most query-term occurrences (tie →
+    * earliest start) plus the snippet text — the search-result preview
+    * stage. Shape: the hit list joins only the query terms' positions
+    * (inverted probe, like [[phraseSearch]]); candidate windows are the
+    * hit positions themselves, so the per-doc self-join is bounded by
+    * term-hit count², never doc length². The snippet text comes from
+    * one keyed join back to the hit docs.
+    */
+  def bm25Snippets(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   textCol: String, queryCol: String, k: Int,
+                   w: Int = 8): DataFrame = {
+    val hits = bm25TopK(corpus, queries, idCol, textCol, queryCol, k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val post = corpus.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tw")))
+    val qts = queries.select(col(idCol).as("query_id"),
+        explode(array_distinct(split(col(queryCol), " "))).as("tw"))
+      .where(col("tw") =!= "")
+    val hitPos = hits.join(qts, "query_id")
+      .join(post, Seq("doc_id", "tw"))
+      .select(col("query_id"), col("doc_id"), col("rank"), col("pos"))
+    val wins = hitPos.toDF("query_id", "doc_id", "rank", "p")
+      .join(hitPos.select(col("query_id"), col("doc_id"), col("pos").as("q2")),
+        Seq("query_id", "doc_id"))
+      .where(col("q2") >= col("p") && col("q2") < col("p") + w)
+      .groupBy("query_id", "doc_id", "rank", "p")
+      .agg(count(lit(1)).as("hw"))
+    val best = wins.groupBy("query_id", "doc_id", "rank")
+      .agg(max(struct(col("hw").as("h"), (-col("p")).as("negp"))).as("b"))
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("b.h").as("hits_in_window"),
+        (-col("b.negp")).cast("long").as("best_start"))
+    best.join(corpus.select(col(idCol).as("doc_id"), col(textCol)), "doc_id")
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        col("hits_in_window"), col("best_start"),
+        concat_ws(" ", slice(split(col(textCol), " "),
+          col("best_start").cast("int") + 1, lit(w))).as("snippet"))
+  }
+
   /** Exact phrase search over a POSITIONAL inverted index — the
     * index-probe alternative to scanning every document with a regex:
     * postings (doc, position, word) join the query's (offset, word)

@@ -164,23 +164,25 @@ object Curation2 {
         .orderBy("source")
     }),
 
-    // The per-doc signal card: quality + entropy + lang-ID + script
-    // share joined in ONE plan (one parquet scan feeding four signal
-    // lineages, one doc-keyed join-back) — the composed "score
+    // The per-doc signal card: quality + lang-ID + script share are all
+    // map-only, so they CHAIN into one projection lineage (one scan);
+    // entropy is the only aggregating signal and joins back by doc —
+    // two scans total, not one per signal. The composed "score
     // everything once" pass a curation pipeline actually runs.
     "q329_signal_card" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val q = TextOps.qualityScore(docs, "text")
+      val nchars = length(col("text")).cast("long")
+      val nlat = (nchars -
+        length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("long")
+      val mapSignals = TextOps.langId(TextOps.qualityScore(docs, "text"), "text")
         .select(col("doc_id"), col("n_words"),
-          round(col("quality_score"), 6).as("quality_score"))
+          round(col("quality_score"), 6).as("quality_score"),
+          col("lang_pred"),
+          round(nlat.cast("double") / greatest(nchars, lit(1L)), 6)
+            .as("latin_share"))
       val ent = TextOps.tokenEntropy(docs, "text", "doc_id")
         .select(col("doc_id"), col("entropy_nats"))
-      val lang = TextOps.langId(docs, "text")
-        .select(col("doc_id"), col("lang_pred"))
-      val script = TextOps.scriptProfile(docs, "text", "doc_id")
-        .select(col("doc_id"), col("latin_share"))
-      q.join(ent, "doc_id").join(lang, "doc_id").join(script, "doc_id")
-        .orderBy("doc_id")
+      mapSignals.join(ent, "doc_id").orderBy("doc_id")
     }),
 
     // Asymmetric containment: sub-document duplication with direction.
@@ -241,8 +243,58 @@ object Curation2 {
     "q336_dedup_explain" -> ((s, dir) =>
       Dedup.dedupExplain(t(s, dir, "documents"), "text", "doc_id",
           NGRAM, K, BANDS, 0.8)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Snippet extraction for the q331 hit list: best 8-word window per
+    // (query, top-3 doc), tie to the earliest start.
+    "q337_bm25_snippets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") < 5)
+        .select(col("doc_id"), concat_ws(" ",
+          slice(split(col("text"), " "), 1, 5)).as("qtext"))
+      TextOps.bm25Snippets(docs, qs, "doc_id", "text", "qtext", 3)
+        .orderBy("query_id", "rank")
+    })
   )
+
+  /** BM25 oracle CTEs (shared by q331 and the q337 snippet stage):
+    * postings, df, lengths, corpus stats, query terms, per-term
+    * quantized scores, ranked results — generated from the same
+    * constants as [[graft.ops.TextOps.bm25TopK]].
+    */
+  private val bm25Ctes: String =
+    """words AS (SELECT did, w FROM
+      |  (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS w
+      |   FROM documents) WHERE w <> ''),
+      |tf AS (SELECT did, w, count(*) AS tf FROM words GROUP BY 1, 2),
+      |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |lens AS (SELECT did, count(*) AS len FROM words GROUP BY did),
+      |stats AS (SELECT count(*) AS nd, CAST(sum(len) AS BIGINT) AS tl
+      |  FROM lens),
+      |qt AS (SELECT query_id, w FROM
+      |  (SELECT doc_id AS query_id,
+      |     unnest(list_distinct(list_slice(string_split(text, ' '), 1, 5)))
+      |       AS w
+      |   FROM documents WHERE doc_id < 5) WHERE w <> ''),
+      |sc AS (SELECT query_id, did,
+      |    ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf,
+      |    1.2 * ((1.0 - 0.75) +
+      |      0.75 * len / (CAST(tl AS DOUBLE) / nd)) AS nrm,
+      |    tf
+      |  FROM qt JOIN tf USING (w) JOIN dfx USING (w)
+      |    JOIN lens USING (did), stats),
+      |tq AS (SELECT query_id, did,
+      |    CAST(floor(idf * (tf * (1.2 + 1.0)) / (tf + nrm)
+      |      * 1000000000.0 + 0.5) AS BIGINT) AS term_q
+      |  FROM sc),
+      |agg AS (SELECT query_id, did, CAST(sum(term_q) AS BIGINT) AS score_q,
+      |    count(*) AS n_terms FROM tq GROUP BY 1, 2),
+      |r AS (SELECT query_id, did AS doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_q DESC, did ASC) AS INTEGER) AS rank,
+      |    n_terms,
+      |    round(CAST(score_q AS DOUBLE) / 1000000000.0, 6) AS bm25
+      |  FROM agg)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q319_normalize_text" ->
@@ -519,40 +571,37 @@ object Curation2 {
          |               CAST(i AS DOUBLE) / sb.ng) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q331_bm25" ->
-      """WITH words AS (SELECT did, w FROM
-        |  (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS w
-        |   FROM documents) WHERE w <> ''),
-        |tf AS (SELECT did, w, count(*) AS tf FROM words GROUP BY 1, 2),
-        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-        |lens AS (SELECT did, count(*) AS len FROM words GROUP BY did),
-        |stats AS (SELECT count(*) AS nd, CAST(sum(len) AS BIGINT) AS tl
-        |  FROM lens),
-        |qt AS (SELECT query_id, w FROM
-        |  (SELECT doc_id AS query_id,
-        |     unnest(list_distinct(list_slice(string_split(text, ' '), 1, 5)))
-        |       AS w
-        |   FROM documents WHERE doc_id < 5) WHERE w <> ''),
-        |sc AS (SELECT query_id, did,
-        |    ln(1.0 + (nd - df + 0.5) / (df + 0.5)) AS idf,
-        |    1.2 * ((1.0 - 0.75) +
-        |      0.75 * len / (CAST(tl AS DOUBLE) / nd)) AS nrm,
-        |    tf
-        |  FROM qt JOIN tf USING (w) JOIN dfx USING (w)
-        |    JOIN lens USING (did), stats),
-        |tq AS (SELECT query_id, did,
-        |    CAST(floor(idf * (tf * (1.2 + 1.0)) / (tf + nrm)
-        |      * 1000000000.0 + 0.5) AS BIGINT) AS term_q
-        |  FROM sc),
-        |agg AS (SELECT query_id, did, CAST(sum(term_q) AS BIGINT) AS score_q,
-        |    count(*) AS n_terms FROM tq GROUP BY 1, 2),
-        |r AS (SELECT query_id, did AS doc_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_q DESC, did ASC) AS INTEGER) AS rank,
-        |    n_terms,
-        |    round(CAST(score_q AS DOUBLE) / 1000000000.0, 6) AS bm25
-        |  FROM agg)
-        |SELECT query_id, doc_id, rank, n_terms, bm25 FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT query_id, doc_id, rank, n_terms, bm25 FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q337_bm25_snippets" ->
+      s"""WITH $bm25Ctes,
+         |hits AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 3),
+         |post AS (SELECT doc_id, g.i - 1 AS pos, ws[g.i] AS tw FROM
+         |  (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+         |  unnest(range(1, len(ws) + 1)) g(i)),
+         |hp AS (SELECT h.query_id, h.doc_id, h.rank, post.pos
+         |  FROM hits h JOIN qt ON qt.query_id = h.query_id
+         |  JOIN post ON post.doc_id = h.doc_id AND post.tw = qt.w),
+         |wins AS (SELECT a.query_id, a.doc_id, a.rank, a.pos AS p,
+         |    count(*) AS hw
+         |  FROM hp a JOIN hp b ON b.query_id = a.query_id
+         |    AND b.doc_id = a.doc_id
+         |    AND b.pos >= a.pos AND b.pos < a.pos + 8
+         |  GROUP BY 1, 2, 3, 4),
+         |best AS (SELECT query_id, doc_id, rank,
+         |    max(hw) AS hits_in_window FROM wins GROUP BY 1, 2, 3),
+         |bs AS (SELECT w2.query_id, w2.doc_id, w2.rank, b.hits_in_window,
+         |    CAST(min(w2.p) AS BIGINT) AS best_start
+         |  FROM wins w2 JOIN best b ON b.query_id = w2.query_id
+         |    AND b.doc_id = w2.doc_id AND w2.hw = b.hits_in_window
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT bs.query_id, bs.doc_id, bs.rank, bs.hits_in_window,
+         |  bs.best_start,
+         |  array_to_string(list_slice(string_split(d.text, ' '),
+         |    bs.best_start + 1, bs.best_start + 8), ' ') AS snippet
+         |FROM bs JOIN documents d ON d.doc_id = bs.doc_id
+         |ORDER BY query_id, rank""".stripMargin,
     "q332_rrf_hybrid" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -468,6 +468,23 @@ class SignalsSpec extends AnyFunSuite {
     assert(got.head._2 > 0, "fixture has near-dups; sweep found none")
   }
 
+  test("bm25Snippets picks the densest window, earliest on ties") {
+    // 'zebra' appears alone at pos 1, then 'zebra quantum' together
+    // at pos 8-9 — the window must anchor on the dense region
+    val corpus = Seq(
+      (1L, "aa zebra bb cc dd ee ff gg zebra quantum hh ii jj kk"),
+      (2L, "nothing relevant in this other document at all here"))
+      .toDF("doc_id", "text")
+    val q = Seq((100L, "zebra quantum")).toDF("doc_id", "qtext")
+    val got = TextOps.bm25Snippets(corpus, q, "doc_id", "text", "qtext", 3, 4)
+      .select("doc_id", "hits_in_window", "best_start", "snippet")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length == 1, got.mkString(","))
+    // best 4-word window starts at pos 8 ('zebra quantum hh ii'): 2 hits
+    assert(got.head == ((1L, 2L, 8L, "zebra quantum hh ii")),
+      got.head.toString)
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
