@@ -485,6 +485,33 @@ class SignalsSpec extends AnyFunSuite {
       got.head.toString)
   }
 
+  test("plan pins: bm25/phrase are keyed probes, signal card scans twice") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val qs = docs.where(col("doc_id") < 5)
+      .select(col("doc_id"), concat_ws(" ",
+        slice(split(col("text"), " "), 1, 5)).as("qtext"))
+    // BM25: the inverted probe joins by WORD; the only nested-loop is
+    // the broadcast 1-row corpus-stats frame
+    val pB = plan(TextOps.bm25TopK(docs, qs, "doc_id", "text", "qtext", 10))
+    assert(!pB.contains("CartesianProduct"), pB.take(2000))
+    assert(pB.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1, pB.take(2000))
+    // phrase search: word-keyed postings join only — no quadratic join
+    val qp = docs.where(col("doc_id") < 5)
+      .select(col("doc_id"), concat_ws(" ",
+        slice(split(col("text"), " "), 4, 3)).as("phrase"))
+    val pP = plan(TextOps.phraseSearch(docs, qp, "doc_id", "text", "phrase"))
+    for (j <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!pP.contains(j), pP.take(2000))
+    // signal card: map-only signals chain into ONE scan lineage +
+    // entropy's scan — exactly two parquet scans, not one per signal
+    val card = graft.queries.Curation2.queries("q329_signal_card")(
+      spark, "/root/testdata/sf0.001")
+    val scans = plan(card).sliding("FileScan parquet".length)
+      .count(_ == "FileScan parquet")
+    assert(scans == 2, s"expected 2 parquet scans, saw $scans")
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
