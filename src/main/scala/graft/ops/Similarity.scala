@@ -617,17 +617,26 @@ object Similarity {
     * exact inputs, so both engines rank identically; ties break to the
     * lower neighbor id.
     */
-  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int): DataFrame = {
-    val (lo, hi) = sq8Params(corpus, vecCol)
+  /** SQ8 code column for one vector against (lo, hi) bounds. */
+  private def sq8Encode(vec: Column, lo: Seq[Double], hi: Seq[Double]): Column = {
+    val loL = typedLit(lo); val hiL = typedLit(hi)
+    transform(vec, (x, j) => {
+      val l = element_at(loL, j + 1); val h = element_at(hiL, j + 1)
+      when(h === l, lit(0L)).otherwise(
+        least(lit(255L), floor((x - l) / (h - l) * 256.0)))
+    })
+  }
+
+  /** The SQ8 asymmetric-distance scan over a codes frame
+    * (neighbor_id, cd) — shared by the inline and the index-backed
+    * paths.
+    */
+  private def sq8Scan(codes: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int,
+                      lo: Seq[Double], hi: Seq[Double]): DataFrame = {
     val loL = typedLit(lo); val hiL = typedLit(hi)
     def loAt(j: Column) = element_at(loL, j + 1)
     def hiAt(j: Column) = element_at(hiL, j + 1)
-    val codes = corpus.select(col(idCol).as("neighbor_id"),
-      transform(col(vecCol).cast("array<double>"), (x, j) =>
-        when(hiAt(j) === loAt(j), lit(0L)).otherwise(
-          least(lit(255L), floor((x - loAt(j)) / (hiAt(j) - loAt(j)) * 256.0)))
-      ).as("cd"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qe"))
     val dist = aggregate(
@@ -644,6 +653,46 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val (lo, hi) = sq8Params(corpus, vecCol)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      sq8Encode(col(vecCol).cast("array<double>"), lo, hi).as("cd"))
+    sq8Scan(codes, queries, idCol, vecCol, k, lo, hi)
+  }
+
+  /** PERSISTED SQ8 index: the codes and per-dim bounds written once as
+    * parquet (the q283 persisted-dedup-index pattern applied to ANN
+    * serving) — encode cost is paid at build time, and the query path
+    * reads ONLY the 8×-smaller code table, never the embedding column.
+    */
+  def writeSq8Index(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (lo, hi) = sq8Params(corpus, vecCol)
+    corpus.select(col(idCol).as("neighbor_id"),
+        sq8Encode(col(vecCol).cast("array<double>"), lo, hi).as("cd"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    lo.indices.map(d => (d, lo(d), hi(d))).toDF("d", "lo", "hi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bounds")
+  }
+
+  /** Query the persisted SQ8 index: identical results to [[sq8TopK]]
+    * by construction (the gate shares its oracle); the corpus vector
+    * column is never scanned — only the code table and the O(d)
+    * bounds.
+    */
+  def sq8TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val b = spark.read.parquet(s"$path/bounds").orderBy("d").collect()
+    val lo = b.map(_.getDouble(1)).toSeq
+    val hi = b.map(_.getDouble(2)).toSeq
+    sq8Scan(spark.read.parquet(s"$path/codes"), queries, idCol, vecCol,
+      k, lo, hi)
   }
 
   /** One-pass distributed covariance of an embedding column, upper

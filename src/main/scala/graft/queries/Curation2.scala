@@ -254,6 +254,19 @@ object Curation2 {
           slice(split(col("text"), " "), 1, 5)).as("qtext"))
       TextOps.bm25Snippets(docs, qs, "doc_id", "text", "qtext", 3)
         .orderBy("query_id", "rank")
+    }),
+
+    // The persisted-index SQ8 path: codes + bounds written once, the
+    // query reads ONLY the index — identical answers to q326 by
+    // construction (shares its oracle, the q283 pattern).
+    "q338_ann_sq8_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = "/tmp/graft_sq8_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      Similarity.writeSq8Index(emb, "vec_id", "embedding", idx)
+      Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -296,7 +309,7 @@ object Curation2 {
       |    round(CAST(score_q AS DOUBLE) / 1000000000.0, 6) AS bm25
       |  FROM agg)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q319_normalize_text" ->
       s"""WITH d AS (SELECT doc_id, $dirtySql AS dirty FROM documents),
          |n AS (SELECT doc_id, dirty, $normalizeSql AS norm_text FROM d)
@@ -773,4 +786,10 @@ object Curation2 {
          |FROM (SELECT * FROM ed UNION ALL SELECT * FROM nd)
          |ORDER BY doc_id""".stripMargin
   )
+
+  /** q338 must reproduce q326 exactly — the indexed path shares its
+    * oracle verbatim (the q283/q269 shared-oracle pattern).
+    */
+  val oracles: Map[String, String] =
+    oracleBase + ("q338_ann_sq8_indexed" -> oracleBase("q326_ann_sq8"))
 }
