@@ -504,6 +504,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Diversity-quota retrieval: exact cosine top-k with AT MOST
+    * `perLabel` results per label group — the result-diversification
+    * rule (per-source / per-domain quotas) a retrieval API enforces so
+    * one dominant cluster can't fill the page. Two window ranks: the
+    * per-(query, label) quota cut prunes BEFORE the global rank, so the
+    * final exchange carries only quota survivors. Ties to the lower
+    * neighbor id at both stages.
+    */
+  def quotaCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, labelCol: String, k: Int,
+                      perLabel: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("ce"))
+      .withColumn("cn", norm(col("ce")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qe"))
+      .withColumn("qn", norm(col("qe")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+    val wL = Window.partitionBy("query_id", "label")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val wG = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("lrank", row_number().over(wL))
+      .where(col("lrank") <= perLabel)
+      .withColumn("rank", row_number().over(wG))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        col("rank"), round(col("score"), 6).as("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
     * hybrid-retrieval combiner: each input ranking contributes
     * 1/(rrfK + rank) per (query, neighbor), summed across lists. Takes

@@ -267,6 +267,14 @@ object Curation2 {
       Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // Diversity-quota retrieval: top-5 with at most 2 results per label.
+    "q339_quota_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quotaCosineTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", 5, 2)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -787,9 +795,33 @@ object Curation2 {
          |ORDER BY doc_id""".stripMargin
   )
 
+  private val q339OracleSql: String =
+    """WITH v AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, e,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+      |  WHERE vec_id < 10),
+      |s AS (SELECT qid, vec_id AS nid, n.label,
+      |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1]))
+      |      / (qn * nrm) AS score
+      |  FROM q, n WHERE vec_id <> qid),
+      |lr AS (SELECT *, row_number() OVER (PARTITION BY qid, label
+      |    ORDER BY score DESC, nid ASC) AS lrank FROM s),
+      |g AS (SELECT qid, nid, label, score,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, nid ASC) AS INTEGER) AS rank
+      |  FROM lr WHERE lrank <= 2)
+      |SELECT qid AS query_id, nid AS neighbor_id, label, rank,
+      |  round(score, 6) AS score
+      |FROM g WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** q338 must reproduce q326 exactly — the indexed path shares its
     * oracle verbatim (the q283/q269 shared-oracle pattern).
     */
   val oracles: Map[String, String] =
-    oracleBase + ("q338_ann_sq8_indexed" -> oracleBase("q326_ann_sq8"))
+    oracleBase +
+      ("q338_ann_sq8_indexed" -> oracleBase("q326_ann_sq8")) +
+      ("q339_quota_ann" -> q339OracleSql)
 }

@@ -528,6 +528,24 @@ class SignalsSpec extends AnyFunSuite {
     assert(leaves.contains(idx), leaves.take(1500))
   }
 
+  test("quotaCosineTopK enforces per-label quotas; filtered ANN pushes the predicate to the scan") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.where(col("vec_id") < 10)
+    val got = Similarity.quotaCosineTopK(emb, qs, "vec_id", "embedding",
+        "label", 5, 2)
+      .select("query_id", "label").as[(Long, Int)].collect()
+      .groupBy(identity).map(_._2.size)
+    assert(got.nonEmpty && got.forall(_ <= 2), got.toString)
+    // filtered ANN: the metadata predicate reaches the parquet scan
+    val filtered = Similarity.cosineTopK(
+      emb.where(col("label") === 1), qs, "vec_id", "embedding", 5)
+    val leaves = filtered.queryExecution.executedPlan
+      .collectLeaves().mkString("\n")
+    assert(leaves.contains("PushedFilters") &&
+      leaves.matches("(?s).*PushedFilters: \\[[^\\]]*label[^\\]]*\\].*"),
+      leaves.take(1500))
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
