@@ -536,6 +536,58 @@ object Similarity {
         col("rank"), round(col("score"), 6).as("score"))
   }
 
+  /** Embedding-health outlier report: each vector's best-centroid
+    * cosine against fixed cells, flagged when below the corpus's exact
+    * `pct` quantile — the "broken/garbage embedding" detector run
+    * before an index build (zero vectors, wrong-model rows, truncation
+    * artifacts all land in the far tail). One map-only cell assign +
+    * one exact-percentile agg (broadcast 1-row threshold); the
+    * comparison uses the unrounded score on both engines.
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[Seq[Double]],
+                        pct: Double = 0.05): DataFrame = {
+    val assigned = cellAssign(df, idCol, vecCol, centroids)
+      .select(col("id").as(idCol), col("cell"), col("cell_cos"))
+    val thr = assigned.agg(
+      expr(s"percentile(cell_cos, $pct)").as("thr"))
+    assigned.crossJoin(broadcast(thr))
+      .select(col(idCol), col("cell"),
+        round(col("cell_cos"), 6).as("cell_cos"),
+        round(col("thr"), 6).as("threshold"),
+        (col("cell_cos") < col("thr")).as("is_outlier"))
+  }
+
+  /** Rank-agreement diagnostic between two retrieval lists (e.g. the
+    * lexical and the dense ranking): per query, Kendall tau-a over the
+    * SHARED top-k candidates — the "do my retrievers even agree"
+    * number read next to the [[rrfFuse]] output. The pair enumeration
+    * is per-query over shared candidates only (≤ k², documented), and
+    * tau is a ratio of exact integer counts.
+    */
+  def rankAgreement(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val sa = a.where(col("rank") <= k).select(col("query_id"),
+      col("neighbor_id"), col("rank").as("ra"))
+    val sb = b.where(col("rank") <= k).select(col("query_id"),
+      col("neighbor_id"), col("rank").as("rb"))
+    val shared = sa.join(sb, Seq("query_id", "neighbor_id"))
+    val x = shared.toDF("query_id", "n1", "ra1", "rb1")
+    val y = shared.toDF("query_id", "n2", "ra2", "rb2")
+    val pairs = x.join(y, Seq("query_id"))
+      .where(col("n1") < col("n2"))
+      .withColumn("conc",
+        ((col("ra1") - col("ra2")) * (col("rb1") - col("rb2")) > 0)
+          .cast("long"))
+    val counts = pairs.groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("n_concordant"))
+    shared.groupBy("query_id").agg(count(lit(1)).as("n_shared"))
+      .join(counts, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_concordant"))
+      .withColumn("kendall_tau", when(col("n_pairs") > 0,
+        round((col("n_concordant") * 2L - col("n_pairs")).cast("double") /
+          col("n_pairs"), 6)))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
     * hybrid-retrieval combiner: each input ranking contributes
     * 1/(rrfK + rank) per (query, neighbor), summed across lists. Takes

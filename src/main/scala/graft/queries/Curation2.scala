@@ -275,6 +275,28 @@ object Curation2 {
       Similarity.quotaCosineTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", "label", 5, 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // Embedding-health outliers: best-centroid cosine vs the exact p05
+    // threshold; centroids = the first 8 vectors (SQL-re-derivable).
+    "q340_embedding_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.where(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      Similarity.embeddingOutliers(emb, "vec_id", "embedding", seeds)
+        .orderBy("vec_id")
+    }),
+
+    // Rank agreement between the exact-cosine and SQ8 top-10 lists:
+    // per-query Kendall tau-a over shared candidates.
+    "q341_rank_agreement" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      Similarity.rankAgreement(
+          Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 10),
+          Similarity.sq8TopK(emb, qs, "vec_id", "embedding", 10), 10)
+        .orderBy("query_id")
     })
   )
 
@@ -316,6 +338,41 @@ object Curation2 {
       |    n_terms,
       |    round(CAST(score_q AS DOUBLE) / 1000000000.0, 6) AS bm25
       |  FROM agg)""".stripMargin
+
+  /** The exact-cosine + SQ8 ranking CTEs shared by q332 (fusion) and
+    * q341 (rank agreement).
+    */
+  private val hybridCtes: String =
+    """v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+      |  WHERE vec_id < 10),
+      |cs AS (SELECT qid, vec_id AS nid,
+      |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1]))
+      |      / (qn * nrm) AS cos
+      |  FROM q, n WHERE vec_id <> qid),
+      |cr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, nid) AS rank FROM cs),
+      |mm AS (SELECT d, min(x) AS lo, max(x) AS hi
+      |  FROM (SELECT unnest(e) AS x, unnest(range(64)) AS d FROM v)
+      |  GROUP BY d),
+      |p AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi
+      |  FROM mm),
+      |codes AS (SELECT vec_id AS nid, list_transform(range(64), j ->
+      |    CASE WHEN hi[j+1] = lo[j+1] THEN 0
+      |    ELSE least(255, CAST(floor((e[j+1] - lo[j+1])
+      |      / (hi[j+1] - lo[j+1]) * 256.0) AS BIGINT)) END) AS cd
+      |  FROM v, p),
+      |s8 AS (SELECT qid, nid, list_sum(list_transform(range(64), j ->
+      |    (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
+      |    * (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
+      |    )) AS dist
+      |  FROM q, codes, p WHERE nid <> qid),
+      |r8 AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |    ORDER BY dist, nid) AS rank FROM s8)""".stripMargin
 
   private val oracleBase: Map[String, String] = Map(
     "q319_normalize_text" ->
@@ -624,36 +681,7 @@ object Curation2 {
          |FROM bs JOIN documents d ON d.doc_id = bs.doc_id
          |ORDER BY query_id, rank""".stripMargin,
     "q332_rrf_hybrid" ->
-      """WITH v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, e,
-        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
-        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
-        |  WHERE vec_id < 10),
-        |cs AS (SELECT qid, vec_id AS nid,
-        |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1]))
-        |      / (qn * nrm) AS cos
-        |  FROM q, n WHERE vec_id <> qid),
-        |cr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
-        |    ORDER BY cos DESC, nid) AS rank FROM cs),
-        |mm AS (SELECT d, min(x) AS lo, max(x) AS hi
-        |  FROM (SELECT unnest(e) AS x, unnest(range(64)) AS d FROM v)
-        |  GROUP BY d),
-        |p AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi
-        |  FROM mm),
-        |codes AS (SELECT vec_id AS nid, list_transform(range(64), j ->
-        |    CASE WHEN hi[j+1] = lo[j+1] THEN 0
-        |    ELSE least(255, CAST(floor((e[j+1] - lo[j+1])
-        |      / (hi[j+1] - lo[j+1]) * 256.0) AS BIGINT)) END) AS cd
-        |  FROM v, p),
-        |s8 AS (SELECT qid, nid, list_sum(list_transform(range(64), j ->
-        |    (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
-        |    * (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
-        |    )) AS dist
-        |  FROM q, codes, p WHERE nid <> qid),
-        |r8 AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
-        |    ORDER BY dist, nid) AS rank FROM s8),
+      s"""WITH $hybridCtes,
         |u AS (SELECT qid, nid, rank FROM cr WHERE rank <= 10
         |  UNION ALL SELECT qid, nid, rank FROM r8 WHERE rank <= 10),
         |f AS (SELECT qid, nid,
@@ -817,11 +845,55 @@ object Curation2 {
       |  round(score, 6) AS score
       |FROM g WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  private val q340OracleSql: String =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+      |seeds AS (SELECT vec_id AS sid, e AS se,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS sn
+      |  FROM v WHERE vec_id < 8),
+      |sc AS (SELECT n.vec_id, s.sid,
+      |    list_sum(list_transform(range(64), i -> e[i+1] * se[i+1]))
+      |      / (nrm * sn) AS cos
+      |  FROM n, seeds s),
+      |mx AS (SELECT vec_id, max(cos) AS mc FROM sc GROUP BY vec_id),
+      |cellt AS (SELECT sc.vec_id,
+      |    CAST(min(sc.sid) + 1 AS INTEGER) AS cell, max(sc.cos) AS cell_cos
+      |  FROM sc JOIN mx ON mx.vec_id = sc.vec_id AND sc.cos = mx.mc
+      |  GROUP BY sc.vec_id),
+      |thr AS (SELECT quantile_cont(cell_cos, 0.05) AS t FROM cellt)
+      |SELECT vec_id, cell, round(cell_cos, 6) AS cell_cos,
+      |  round(t, 6) AS threshold, cell_cos < t AS is_outlier
+      |FROM cellt, thr ORDER BY vec_id""".stripMargin
+
+  private val q341OracleSql: String =
+    s"""WITH $hybridCtes,
+       |sa AS (SELECT qid, nid, rank AS ra FROM cr WHERE rank <= 10),
+       |sbx AS (SELECT qid, nid, rank AS rb FROM r8 WHERE rank <= 10),
+       |sh2 AS (SELECT sa.qid, sa.nid, ra, rb FROM sa JOIN sbx
+       |  USING (qid, nid)),
+       |pr AS (SELECT x.qid, count(*) AS np,
+       |    sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+       |        THEN 1 ELSE 0 END) AS nc
+       |  FROM sh2 x JOIN sh2 y ON x.qid = y.qid AND x.nid < y.nid
+       |  GROUP BY x.qid),
+       |base AS (SELECT qid, count(*) AS ns FROM sh2 GROUP BY qid)
+       |SELECT base.qid AS query_id, CAST(ns AS BIGINT) AS n_shared,
+       |  CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(nc, 0) AS BIGINT) AS n_concordant,
+       |  CASE WHEN coalesce(np, 0) > 0
+       |    THEN round(CAST(nc * 2 - np AS DOUBLE) / np, 6) END AS kendall_tau
+       |FROM base LEFT JOIN pr USING (qid) ORDER BY query_id""".stripMargin
+
   /** q338 must reproduce q326 exactly — the indexed path shares its
     * oracle verbatim (the q283/q269 shared-oracle pattern).
     */
   val oracles: Map[String, String] =
     oracleBase +
       ("q338_ann_sq8_indexed" -> oracleBase("q326_ann_sq8")) +
-      ("q339_quota_ann" -> q339OracleSql)
+      ("q339_quota_ann" -> q339OracleSql) +
+      ("q340_embedding_outliers" -> q340OracleSql) +
+      ("q341_rank_agreement" -> q341OracleSql)
 }

@@ -546,6 +546,33 @@ class SignalsSpec extends AnyFunSuite {
       leaves.take(1500))
   }
 
+  test("rankAgreement: identical lists score tau 1.0, reversed score -1.0") {
+    def mk(rs: Seq[Int]) = rs.zipWithIndex.map { case (r, i) =>
+      (1L, 10L + i, r) }.toDF("query_id", "neighbor_id", "rank")
+    val a = mk(Seq(1, 2, 3, 4, 5))
+    val same = Similarity.rankAgreement(a, mk(Seq(1, 2, 3, 4, 5)), 10)
+      .select("n_shared", "n_pairs", "kendall_tau")
+      .as[(Long, Long, Double)].head()
+    assert(same == ((5L, 10L, 1.0)), same.toString)
+    val rev = Similarity.rankAgreement(a, mk(Seq(5, 4, 3, 2, 1)), 10)
+      .select("kendall_tau").as[Double].head()
+    assert(rev == -1.0, rev.toString)
+  }
+
+  test("embeddingOutliers flags the planted garbage vector") {
+    val rows = (0 until 39).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (1.0 + 0.01 * ((i + d) % 3)).toFloat).toSeq)
+    } :+ (99L, Array.tabulate(8)(d =>
+      if (d == 7) -1.0f else 0.0f).toSeq) // orthogonal junk
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = Seq(Seq.fill(8)(1.0))
+    val got = Similarity.embeddingOutliers(df, "vec_id", "embedding", seeds)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(99L), "junk vector not flagged")
+    assert(got.count(_._2) <= 3, s"too many outliers: ${got.count(_._2)}")
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
