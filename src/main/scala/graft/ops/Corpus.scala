@@ -439,6 +439,25 @@ object Corpus {
       .drop("__cum", "__off")
   }
 
+  /** Per-sequence document-boundary offsets for the [[packSequences]]
+    * layout — the cu_seqlens-style table a packed-attention trainer
+    * feeds so attention resets at document starts instead of bleeding
+    * across packed neighbors. One row per sequence: how many docs START
+    * in it and their sorted in-sequence offsets (a doc CONTINUING from
+    * the previous sequence starts at offset 0 and is not a boundary —
+    * the standard convention). Derived from the packed layout with one
+    * seq-keyed aggregate; output is O(#sequences).
+    */
+  def packBoundaries(df: DataFrame, idCol: String, tokenCol: String,
+                     groupCol: String, seqLen: Long): DataFrame =
+    packSequences(df, idCol, tokenCol, groupCol, seqLen)
+      .select(col("first_seq").as("seq"),
+        pmod(col("start_tok"), lit(seqLen)).as("boundary"))
+      .groupBy("seq")
+      .agg(count(lit(1)).as("n_docs_starting"),
+        concat_ws(",", sort_array(collect_list(col("boundary"))))
+          .as("boundaries"))
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al.,
     * NeurIPS 2023): score every raw document by how target-like its
     * hashed n-gram profile is. Features are word unigrams + bigrams

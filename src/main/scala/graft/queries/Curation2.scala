@@ -297,6 +297,16 @@ object Curation2 {
           Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 10),
           Similarity.sq8TopK(emb, qs, "vec_id", "embedding", 10), 10)
         .orderBy("query_id")
+    }),
+
+    // Per-sequence doc-boundary offsets (cu_seqlens) over the q244
+    // packed layout.
+    "q342_pack_boundaries" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      graft.ops.Corpus.packBoundaries(docs, "doc_id", "n_tok", "source", 512L)
+        .orderBy("seq")
     })
   )
 
@@ -890,10 +900,23 @@ object Curation2 {
   /** q338 must reproduce q326 exactly — the indexed path shares its
     * oracle verbatim (the q283/q269 shared-oracle pattern).
     */
+  private val q342OracleSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |c AS (SELECT *, CAST(sum(ntok) OVER (ORDER BY source, doc_id) - ntok
+      |    AS BIGINT) AS start_tok FROM d),
+      |b AS (SELECT start_tok % 512 AS boundary, start_tok // 512 AS seq
+      |  FROM c)
+      |SELECT seq, count(*) AS n_docs_starting,
+      |  array_to_string(list_sort(list(boundary)), ',') AS boundaries
+      |FROM b GROUP BY seq ORDER BY seq""".stripMargin
+
   val oracles: Map[String, String] =
     oracleBase +
       ("q338_ann_sq8_indexed" -> oracleBase("q326_ann_sq8")) +
       ("q339_quota_ann" -> q339OracleSql) +
       ("q340_embedding_outliers" -> q340OracleSql) +
-      ("q341_rank_agreement" -> q341OracleSql)
+      ("q341_rank_agreement" -> q341OracleSql) +
+      ("q342_pack_boundaries" -> q342OracleSql)
 }
