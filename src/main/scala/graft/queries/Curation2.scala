@@ -4,12 +4,16 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Similarity, TextOps}
 import Q._
 
-/** Round-7 session-5 tranche: canonical text normalization (NFC +
-  * control strip + whitespace collapse, the stage every hash-based
-  * dedup depends on), normalized exact dedup composed end-to-end,
-  * distinct-n diversity, and the distributed-covariance half of PCA.
-  * Oracle SQL is generated from the same constants as the Scala
-  * operators (the NorthStar pattern).
+/** Round-7 session-5 tranche (q319–q342): canonical text
+  * normalization (NFC Expression + control strip + collapse) and
+  * normalized dedup; distinct-n diversity; PCA covariance; script
+  * profile; syndication; best-copy keeper; the quantization ladder's
+  * SQ8 + BQ + persisted-index paths; padding-waste and DoReMi mixture
+  * reports; the signal card; containment; BM25 + snippets + positional
+  * phrase search; RRF fusion; diversity quotas; embedding-health
+  * outliers; rank agreement; packed-sequence boundaries. Oracle SQL is
+  * generated from the same constants as the Scala operators (the
+  * NorthStar pattern).
   */
 object Curation2 {
 

@@ -5,11 +5,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{Corpus, Dedup, Similarity, TextOps}
 
-/** Semantic properties for the late round-7 operator tranche
-  * (q309–q318). Each operator already earns a green CORRECTNESS row
+/** Semantic properties for the late round-7 operator tranches
+  * (q309–q342). Each operator already earns a green CORRECTNESS row
   * against its DuckDB oracle; these cases pin the CLAIMS the oracles
-  * can't express — discount/invariance/equivalence properties and the
-  * plan shapes the scale contracts rest on.
+  * can't express — discount/invariance/equivalence properties, recall
+  * curves, and the plan shapes the scale contracts rest on.
   */
 class SignalsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
