@@ -325,6 +325,61 @@ object Corpus {
         round(col("rwq").cast("double") / col("z"), 6).as("new_share"))
   }
 
+  /** Source-redundancy matrix: cosine similarity between the hashed
+    * word-profile vectors of every source PAIR — the slice-level
+    * redundancy report ("are these two crawls the same site?") read
+    * before buying/keeping a source, complementing doc-level dedup.
+    * Profiles are the [[sourceDrift]] bucket counts (exact integers),
+    * the dot products are sparse joins keyed by bucket (sources only
+    * meet on buckets both populate), and the cosine is one fixed
+    * double formula over exact longs. Output is O(#sources²) — report-
+    * sized, not data-sized.
+    */
+  def sourceSimilarity(df: DataFrame, textCol: String, groupCol: String,
+                       buckets: Int = 256): DataFrame = {
+    val prof = df.select(col(groupCol).as("src"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("src"),
+        pmod(Dedup.h60(col("w")), lit(buckets.toLong)).as("b"))
+      .groupBy("src", "b").agg(count(lit(1)).as("c"))
+    val norms = prof.groupBy("src")
+      .agg(sum(col("c") * col("c")).as("n2"))
+    prof.toDF("src_a", "b", "ca")
+      .join(prof.toDF("src_b", "b", "cb"), "b")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(norms.toDF("src_a", "na2"), "src_a")
+      .join(norms.toDF("src_b", "nb2"), "src_b")
+      .select(col("src_a"), col("src_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))),
+          6).as("profile_cosine"))
+  }
+
+  /** Contamination attribution: for each doc the [[contaminationMatrix]]
+    * flags, WHICH benchmark suite it leaks (max overlapping suite, ties
+    * to the lexicographically smallest) and how badly — the triage view
+    * of the matrix. One argmax over the matrix rows; output scales with
+    * contaminated docs.
+    */
+  def contaminationAttribution(corpus: DataFrame, eval: DataFrame,
+                               textCol: String, idCol: String,
+                               suiteCol: String, n: Int = 8): DataFrame = {
+    val m = contaminationMatrix(corpus, eval, textCol, idCol, suiteCol, n)
+      .where(col("n_contaminated") > 0)
+    // min(struct(−count, suite, …)): largest count wins, ties go to the
+    // lexicographically SMALLEST suite
+    m.groupBy(col(idCol))
+      .agg(min(struct((-col("n_contaminated")).as("negc"),
+          col("suite").as("suite"),
+          col("contamination_ratio").as("r"))).as("__best"),
+        count(lit(1)).as("n_suites_hit"))
+      .select(col(idCol), col("__best.suite").as("top_suite"),
+        (-col("__best.negc")).as("n_contaminated"),
+        col("__best.r").as("contamination_ratio"), col("n_suites_hit"))
+  }
+
   /** Cross-source syndication report: exact-copy groups that span MORE
     * THAN ONE source (wire-syndicated articles, mirrored pages) — the
     * duplication class a per-source dedup run never sees. One shuffle

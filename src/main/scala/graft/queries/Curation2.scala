@@ -311,6 +311,23 @@ object Curation2 {
           size(split(col("text"), " ")).cast("long").as("n_tok"))
       graft.ops.Corpus.packBoundaries(docs, "doc_id", "n_tok", "source", 512L)
         .orderBy("seq")
+    }),
+
+    // Source-redundancy matrix: pairwise hashed-profile cosine.
+    "q343_source_similarity" -> ((s, dir) =>
+      graft.ops.Corpus.sourceSimilarity(t(s, dir, "documents"),
+          "text", "source")
+        .orderBy("src_a", "src_b")),
+
+    // Contamination attribution: per flagged doc, the worst-leaking
+    // suite (q310's src0/src1 suite convention).
+    "q344_contamination_attr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Corpus.contaminationAttribution(
+          docs.filter(!col("source").isin("src0", "src1")),
+          docs.filter(col("source").isin("src0", "src1")),
+          "text", "doc_id", "source")
+        .orderBy("doc_id")
     })
   )
 
@@ -916,11 +933,59 @@ object Curation2 {
       |  array_to_string(list_sort(list(boundary)), ',') AS boundaries
       |FROM b GROUP BY seq ORDER BY seq""".stripMargin
 
+  private val q343OracleSql: String = {
+    val b = s"(${Dedup.h60Sql("w")}) % 256"
+    s"""WITH prof AS (SELECT src, $b AS b, count(*) AS c FROM
+       |  (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+       |   FROM documents) WHERE w <> '' GROUP BY 1, 2),
+       |norms AS (SELECT src, CAST(sum(c * c) AS BIGINT) AS n2
+       |  FROM prof GROUP BY src),
+       |d AS (SELECT a.src AS src_a, b2.src AS src_b,
+       |    CAST(sum(a.c * b2.c) AS BIGINT) AS dot
+       |  FROM prof a JOIN prof b2 ON a.b = b2.b AND a.src < b2.src
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b,
+       |  round(CAST(dot AS DOUBLE)
+       |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+       |    AS profile_cosine
+       |FROM d JOIN norms na ON na.src = d.src_a
+       |       JOIN norms nb ON nb.src = d.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  private val q344OracleSql: String = {
+    val sh8 = Dedup.shinglesSql("text", 8)
+    s"""WITH ev AS (SELECT DISTINCT source AS suite,
+       |    unnest(list_distinct($sh8)) AS g
+       |  FROM documents WHERE source IN ('src0', 'src1')),
+       |cg AS (SELECT doc_id, unnest(list_distinct($sh8)) AS g
+       |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+       |tot AS (SELECT doc_id,
+       |    CAST(len(list_distinct($sh8)) AS BIGINT) AS n_grams
+       |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+       |hit AS (SELECT doc_id, suite, count(*) AS c
+       |  FROM cg JOIN ev USING (g) GROUP BY 1, 2),
+       |w AS (SELECT hit.doc_id, suite, c,
+       |    round(CAST(c AS DOUBLE) / n_grams, 6) AS r
+       |  FROM hit JOIN tot USING (doc_id)),
+       |rn AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY c DESC, suite ASC) AS rk FROM w),
+       |cnt AS (SELECT doc_id, count(*) AS n_suites_hit FROM w
+       |  GROUP BY doc_id)
+       |SELECT rn.doc_id, suite AS top_suite,
+       |  CAST(c AS BIGINT) AS n_contaminated, r AS contamination_ratio,
+       |  n_suites_hit
+       |FROM rn JOIN cnt USING (doc_id) WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] =
     oracleBase +
       ("q338_ann_sq8_indexed" -> oracleBase("q326_ann_sq8")) +
       ("q339_quota_ann" -> q339OracleSql) +
       ("q340_embedding_outliers" -> q340OracleSql) +
       ("q341_rank_agreement" -> q341OracleSql) +
-      ("q342_pack_boundaries" -> q342OracleSql)
+      ("q342_pack_boundaries" -> q342OracleSql) +
+      ("q343_source_similarity" -> q343OracleSql) +
+      ("q344_contamination_attr" -> q344OracleSql)
 }

@@ -573,6 +573,38 @@ class SignalsSpec extends AnyFunSuite {
     assert(got.count(_._2) <= 3, s"too many outliers: ${got.count(_._2)}")
   }
 
+  test("sourceSimilarity: cloned sources score 1.0, disjoint vocabularies near 0") {
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon common words", "a"),
+      (2L, "alpha beta gamma delta epsilon common words", "a_clone"),
+      (3L, "completely disjoint vocabulary here zz yy xx ww", "c"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.sourceSimilarity(rows, "text", "source")
+      .select("src_a", "src_b", "profile_cosine")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", "a_clone")) == 1.0, got.toString)
+    assert(got.getOrElse(("a", "c"), 0.0) < 0.3, got.toString)
+  }
+
+  test("contaminationAttribution picks the worst suite, smallest on ties") {
+    val leakA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val leakB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$leakA x1 $leakB x2 $leakB x3"), // B overlap 2 grams? build by words
+      (2L, s"$leakA z1 z2 $leakB")) // equal single-gram hit per suite → tie → suiteA
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, leakA, "suiteA"), (101L, leakB, "suiteB"))
+      .toDF("doc_id", "text", "suite")
+    val got = Corpus.contaminationAttribution(corpus, eval,
+        "text", "doc_id", "suite")
+      .select("doc_id", "top_suite", "n_suites_hit")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(g => (g._1, g._3)) == Seq((1L, 2L), (2L, 2L)), got.toString)
+    // doc 2 hits both suites equally (1 distinct 8-gram each) → suiteA
+    assert(got(1)._2 == "suiteA", got.toString)
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
