@@ -260,4 +260,46 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: inverted-index family (BM25, phrase search, source profiles)") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      import org.apache.spark.sql.functions._
+      // bm25TopK: the postings agg is the data-volume stage; the probe
+      // join touches only the query terms' postings — expect ~linear.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val qs = docs.where(col("doc_id") < 5)
+          .select(col("doc_id"), concat_ws(" ",
+            slice(split(col("text"), " "), 1, 5)).as("qtext"))
+        val t0 = System.nanoTime()
+        graft.ops.TextOps.bm25TopK(docs, qs, "doc_id", "text", "qtext", 10)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE bm25 $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // phraseSearch: positional postings join keyed by the query's
+      // words only — expect ~linear in corpus positions.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val qs = docs.where(col("doc_id") < 5)
+          .select(col("doc_id"), concat_ws(" ",
+            slice(split(col("text"), " "), 4, 3)).as("phrase"))
+        val t0 = System.nanoTime()
+        graft.ops.TextOps.phraseSearch(docs, qs, "doc_id", "text", "phrase")
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE phrase_search $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // sourceSimilarity: profile agg linear; the pair join is
+      // O(#sources² · buckets) — report-sized at any corpus.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.Corpus.sourceSimilarity(docs, "text", "source")
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE source_similarity $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
