@@ -537,20 +537,29 @@ object Similarity {
   }
 
   /** Embedding-health outlier report: each vector's best-centroid
-    * cosine against fixed cells, flagged when below the corpus's exact
-    * `pct` quantile — the "broken/garbage embedding" detector run
-    * before an index build (zero vectors, wrong-model rows, truncation
-    * artifacts all land in the far tail). One map-only cell assign +
-    * one exact-percentile agg (broadcast 1-row threshold); the
-    * comparison uses the unrounded score on both engines.
+    * cosine against fixed cells, flagged when below the corpus's `pct`
+    * quantile — the "broken/garbage embedding" detector run before an
+    * index build (zero vectors, wrong-model rows, truncation artifacts
+    * all land in the far tail). One map-only cell assign + one
+    * quantile agg (broadcast 1-row threshold); the comparison uses the
+    * unrounded score on both engines.
+    *
+    * The DEFAULT threshold is `percentile_approx` (a sketch — bounded
+    * memory at any corpus size, the q19/q22 quantile convention);
+    * `exact = true` switches to the exact percentile, which buffers
+    * every value in one aggregation and is only for oracle-checkable
+    * runs and small data — the same exact-for-the-gate / sketch-for-
+    * the-library split the t-digest surface uses.
     */
   def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
                         centroids: Seq[Seq[Double]],
-                        pct: Double = 0.05): DataFrame = {
+                        pct: Double = 0.05,
+                        exact: Boolean = false): DataFrame = {
     val assigned = cellAssign(df, idCol, vecCol, centroids)
       .select(col("id").as(idCol), col("cell"), col("cell_cos"))
+    val fn = if (exact) "percentile" else "percentile_approx"
     val thr = assigned.agg(
-      expr(s"percentile(cell_cos, $pct)").as("thr"))
+      expr(s"$fn(cell_cos, $pct)").as("thr"))
     assigned.crossJoin(broadcast(thr))
       .select(col(idCol), col("cell"),
         round(col("cell_cos"), 6).as("cell_cos"),

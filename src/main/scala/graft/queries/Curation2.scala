@@ -288,7 +288,10 @@ object Curation2 {
       val seeds = emb.where(col("vec_id") < 8).orderBy("vec_id")
         .select(col("embedding").cast("array<double>")).collect()
         .map(_.getSeq[Double](0).toSeq).toSeq
-      Similarity.embeddingOutliers(emb, "vec_id", "embedding", seeds)
+      // exact percentile for the oracle check (quantile_cont parity);
+      // the library default is the bounded-memory percentile_approx
+      Similarity.embeddingOutliers(emb, "vec_id", "embedding", seeds,
+          exact = true)
         .orderBy("vec_id")
     }),
 
