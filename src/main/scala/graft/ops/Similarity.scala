@@ -473,6 +473,57 @@ object Similarity {
     frames.reduce(_ unionByName _)
   }
 
+  /** Nano-quantized DCG term table 1e9/log2(r+1), r = 1..k — shared by
+    * the Spark plan and the generated oracle SQL.
+    */
+  def dcgTerms(k: Int): Seq[Long] = (1 to k).map(r =>
+    math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Per-query labeled-retrieval metric battery — reciprocal rank and
+    * nDCG@k beside [[retrievalQuality]]'s precision@k (the three
+    * numbers every retrieval eval reports). Relevance = same label;
+    * per-rank DCG terms 1/log2(rank+1) are nano-quantized BEFORE the
+    * sum and the ideal DCG derives from the exact per-label corpus
+    * count, so rr/ndcg are ratios of exact integers — engine-identical
+    * at any partitioning. One top-k pass + label joins + a per-query
+    * rollup.
+    */
+  def retrievalMetrics(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val lab = corpus.select(col(idCol), col(labelCol))
+    val rel = cosineTopK(corpus, queries, idCol, vecCol, k)
+      .join(lab.toDF("query_id", "q_label"), "query_id")
+      .join(lab.toDF("neighbor_id", "n_label"), "neighbor_id")
+      .withColumn("rel", (col("q_label") === col("n_label")).cast("long"))
+    // the k DCG terms 1e9/log2(rank+1) are PRECOMPUTED driver-side and
+    // travel as literals on BOTH engines (the oracle interpolates the
+    // same longs), so no runtime libm call can drift a quantization
+    val terms = dcgTerms(k)
+    val termLit = typedLit(terms)
+    val perQ = rel.groupBy("query_id", "q_label").agg(
+      min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
+      sum(when(col("rel") === 1, element_at(termLit, col("rank")))
+        .otherwise(0L)).as("dcg_q"))
+    // ideal DCG: the top min(k, R) slots all relevant, R = same-label
+    // corpus size minus the query itself (one keyed agg, broadcast)
+    val labCounts = lab.groupBy(col(labelCol).as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val idealCum = terms.scanLeft(0L)(_ + _).tail // cum sums 1..k
+    val idealLit = typedLit(idealCum)
+    perQ.join(broadcast(labCounts), "q_label")
+      .withColumn("__r", least(lit(k.toLong), col("n_label") - 1))
+      .withColumn("idcg_q",
+        when(col("__r") > 0, element_at(idealLit, col("__r").cast("int")))
+          .otherwise(lit(0L)))
+      .select(col("query_id"), col("first_rel_rank"),
+        round(when(col("first_rel_rank").isNotNull,
+          lit(1.0) / col("first_rel_rank")).otherwise(lit(0.0)), 6)
+          .as("reciprocal_rank"),
+        round(when(col("idcg_q") > 0,
+          col("dcg_q").cast("double") / col("idcg_q")).otherwise(lit(0.0)), 6)
+          .as("ndcg"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor
     * vector, the k most similar corpus vectors BELOW the positive
     * threshold — "looks close but is not a duplicate", the negatives a

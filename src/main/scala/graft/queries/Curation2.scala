@@ -331,6 +331,14 @@ object Curation2 {
           docs.filter(col("source").isin("src0", "src1")),
           "text", "doc_id", "source")
         .orderBy("doc_id")
+    }),
+
+    // Per-query MRR + nDCG@10 (the q317 queries, same-label relevance).
+    "q345_retrieval_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.retrievalMetrics(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", 10)
+        .orderBy("query_id")
     })
   )
 
@@ -982,6 +990,48 @@ object Curation2 {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val q345OracleSql: String = {
+    val terms = Similarity.dcgTerms(10)
+    val dt = terms.zipWithIndex
+      .map { case (t, i) => s"(${i + 1}, ${t}::BIGINT)" }.mkString(", ")
+    val ic = terms.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, ${c}::BIGINT)" }.mkString(", ")
+    s"""WITH v AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, e,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+       |q AS (SELECT vec_id AS qid, label AS qlab, e AS qe, nrm AS qn
+       |  FROM n WHERE vec_id < 20),
+       |s AS (SELECT qid, qlab, vec_id AS nid, n.label AS nlab,
+       |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1]))
+       |      / (qn * nrm) AS cos
+       |  FROM q, n WHERE vec_id <> qid),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid) AS INTEGER) AS rank FROM s),
+       |tk AS (SELECT qid, qlab, rank, qlab = nlab AS rel FROM r
+       |  WHERE rank <= 10),
+       |dt(rank, term) AS (VALUES $dt),
+       |perq AS (SELECT qid, qlab,
+       |    min(CASE WHEN rel THEN rank END) AS frr,
+       |    CAST(sum(CASE WHEN rel THEN term ELSE 0::BIGINT END) AS BIGINT)
+       |      AS dcg_q
+       |  FROM tk JOIN dt USING (rank) GROUP BY qid, qlab),
+       |lc AS (SELECT label, count(*) AS n_label FROM embeddings
+       |  GROUP BY label),
+       |ic(rk, cum) AS (VALUES $ic),
+       |fin AS (SELECT qid, frr, dcg_q,
+       |    least(10, n_label - 1) AS rr2
+       |  FROM perq JOIN lc ON lc.label = perq.qlab)
+       |SELECT qid AS query_id, frr AS first_rel_rank,
+       |  round(CASE WHEN frr IS NOT NULL THEN 1.0 / frr ELSE 0.0 END, 6)
+       |    AS reciprocal_rank,
+       |  round(CASE WHEN rr2 > 0 THEN CAST(dcg_q AS DOUBLE) / ic.cum
+       |        ELSE 0.0 END, 6) AS ndcg
+       |FROM fin LEFT JOIN ic ON ic.rk = fin.rr2
+       |ORDER BY query_id""".stripMargin
+  }
+
   val oracles: Map[String, String] =
     oracleBase +
       ("q338_ann_sq8_indexed" -> oracleBase("q326_ann_sq8")) +
@@ -990,5 +1040,6 @@ object Curation2 {
       ("q341_rank_agreement" -> q341OracleSql) +
       ("q342_pack_boundaries" -> q342OracleSql) +
       ("q343_source_similarity" -> q343OracleSql) +
-      ("q344_contamination_attr" -> q344OracleSql)
+      ("q344_contamination_attr" -> q344OracleSql) +
+      ("q345_retrieval_metrics" -> q345OracleSql)
 }

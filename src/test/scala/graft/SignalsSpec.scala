@@ -605,6 +605,22 @@ class SignalsSpec extends AnyFunSuite {
     assert(got(1)._2 == "suiteA", got.toString)
   }
 
+  test("retrievalMetrics: perfect clusters score MRR=nDCG=1, singletons 0") {
+    val rows = (0 until 6).map(i =>
+      (i.toLong, Array(1.0f, 0.001f * i, 0f).toSeq, 0)) ++
+      (6 until 12).map(i => (i.toLong, Array(0.001f * i, 1.0f, 0f).toSeq, 1)) :+
+      ((99L, Array(0f, 0f, 1.0f).toSeq, 7)) // singleton label: nothing relevant
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.retrievalMetrics(emb,
+        emb.where(col("vec_id").isin(0L, 7L, 99L)), "vec_id", "embedding",
+        "label", 5)
+      .select("query_id", "reciprocal_rank", "ndcg")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((0L, 1.0, 1.0)), got(0).toString)
+    assert(got(1) == ((7L, 1.0, 1.0)), got(1).toString)
+    assert(got(2) == ((99L, 0.0, 0.0)), got(2).toString)
+  }
+
   test("streamingStitchPairs matches across micro-batches (symmetric state)") {
     val p8 = (1 to 8).map(i => s"q$i").mkString(" ")
     implicit val sqlCtx = spark.sqlContext
