@@ -339,6 +339,36 @@ object Curation2 {
       Similarity.retrievalMetrics(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", "label", 10)
         .orderBy("query_id")
+    }),
+
+    // Streaming NORMALIZED exact dedup: normalizeCol runs inside the
+    // stream (stateless map) before the stateful hash agg, so the
+    // ingest-time dedup catches the unicode/whitespace dup classes raw
+    // md5 misses — AvailableNow replay over the q321 corpus must equal
+    // the batch q321 answer exactly (shared oracle).
+    "q346_streaming_norm_dedup" -> ((s, dir) => {
+      val docs = graft.core.Tables.stream(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        concat(col("text"), lit(" " + composed)).as("text"))
+      val clones = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(regexp_replace(col("text"), " ", "  "),
+            lit(" " + decomposed)).as("text"))
+      val agg = base.unionByName(clones)
+        .select(col("doc_id"),
+          TextOps.normalizeCol(col("text")).as("norm_text"))
+        .groupBy(md5(col("norm_text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      val qn = "q346_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(qn).orderBy("content_hash")
+      val rows = out.collect()
+      s.catalog.dropTempView(qn)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     })
   )
 
@@ -1041,5 +1071,7 @@ object Curation2 {
       ("q342_pack_boundaries" -> q342OracleSql) +
       ("q343_source_similarity" -> q343OracleSql) +
       ("q344_contamination_attr" -> q344OracleSql) +
-      ("q345_retrieval_metrics" -> q345OracleSql)
+      ("q345_retrieval_metrics" -> q345OracleSql) +
+      // the streaming replay must equal the batch q321 answer exactly
+      ("q346_streaming_norm_dedup" -> oracleBase("q321_normalized_dedup"))
 }
