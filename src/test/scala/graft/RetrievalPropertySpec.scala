@@ -129,6 +129,74 @@ class RetrievalPropertySpec extends AnyFunSuite {
     assert(diff.count() == 0L, "NFC forms diverge")
   }
 
+  test("rrfFuse == in-memory reference on random rank lists") {
+    import graft.ops.Similarity
+    for (seed <- Seq(4, 21)) {
+      val rnd = new scala.util.Random(seed)
+      def mkList(qids: Seq[Long]) = qids.flatMap { q =>
+        val neighbors = rnd.shuffle((1L to 30L).toList).take(5 + rnd.nextInt(6))
+        neighbors.zipWithIndex.map { case (n, i) => (q, n, i + 1) }
+      }
+      val qids = Seq(1L, 2L, 3L)
+      val la = mkList(qids); val lb = mkList(qids); val lc = mkList(qids)
+      def c(r: Int) = math.floor(1e9 / (60 + r) + 0.5).toLong
+      val expected = (la ++ lb ++ lc)
+        .groupBy(t => (t._1, t._2))
+        .map { case ((q, n), rows) =>
+          (q, n, rows.map(r => c(r._3)).sum, rows.size.toLong) }
+        .groupBy(_._1).flatMap { case (_, rows) =>
+          rows.toSeq.sortBy(r => (-r._3, r._2)).take(4).zipWithIndex
+            .map { case ((q, n, s, nl), i) => (q, n, i + 1, nl, s) }
+        }.toSet
+      val got = Similarity.rrfFuse(Seq(
+          la.toDF("query_id", "neighbor_id", "rank"),
+          lb.toDF("query_id", "neighbor_id", "rank"),
+          lc.toDF("query_id", "neighbor_id", "rank")), 4)
+        .as[(Long, Long, Int, Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed\ngot-exp=${got diff expected}\n" +
+        s"exp-got=${expected diff got}")
+    }
+  }
+
+  test("packBoundaries == in-memory reference packer on random corpora") {
+    import graft.ops.Corpus
+    for (seed <- Seq(6, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 40L).map(i =>
+        (i, s"g${rnd.nextInt(3)}", 1L + rnd.nextInt(40)))
+      val seqLen = 64L
+      // reference: lay docs out in (group, id) order, record starts
+      val ordered = docs.sortBy(d => (d._2, d._1))
+      val starts = ordered.scanLeft(0L)(_ + _._3).init
+      val expected = starts.map(s => (s / seqLen, s % seqLen))
+        .groupBy(_._1).map { case (seq, bs) =>
+          (seq, bs.size.toLong, bs.map(_._2).sorted.mkString(",")) }.toSet
+      val got = Corpus.packBoundaries(
+          docs.toDF("doc_id", "source", "n_tok"),
+          "doc_id", "n_tok", "source", seqLen)
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == expected, s"seed=$seed\ngot-exp=${got diff expected}")
+    }
+  }
+
+  test("sq8TopK top-1 equals exact L2 top-1 on separated random clusters") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 30).map { i =>
+      val center = (i % 3) * 8.0
+      (i.toLong, Array.tabulate(8)(d =>
+        (center + 0.05 * rnd.nextDouble()).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.sq8TopK(df,
+        df.where(col("vec_id") < 6), "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // with clusters 8.0 apart and SQ8 error ~ (hi-lo)/512 ≈ 0.016, the
+    // nearest neighbor always comes from the query's own cluster
+    got.foreach { case (q, n) =>
+      assert(q % 3 == n % 3, s"query $q got cross-cluster neighbor $n") }
+  }
+
   test("containment: constructed subset docs score 1.0 whenever banded") {
     val rnd = new scala.util.Random(13)
     val vocab = (1 to 60).map(i => s"v$i")
