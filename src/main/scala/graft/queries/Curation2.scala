@@ -369,6 +369,20 @@ object Curation2 {
       val rows = out.collect()
       s.catalog.dropTempView(qn)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    }),
+
+    // Dedup diversity lift: distinct-n per slice BEFORE vs AFTER exact
+    // dedup in one report — the "did dedup actually help" number.
+    "q347_dedup_diversity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val surv = docs.join(keepers, "doc_id")
+      TextOps.distinctNgramRatio(docs, "text", "source")
+        .withColumn("stage", lit("raw"))
+        .unionByName(TextOps.distinctNgramRatio(surv, "text", "source")
+          .withColumn("stage", lit("deduped")))
+        .orderBy("stage", "source", "n")
     })
   )
 
@@ -1073,5 +1087,24 @@ object Curation2 {
       ("q344_contamination_attr" -> q344OracleSql) +
       ("q345_retrieval_metrics" -> q345OracleSql) +
       // the streaming replay must equal the batch q321 answer exactly
-      ("q346_streaming_norm_dedup" -> oracleBase("q321_normalized_dedup"))
+      ("q346_streaming_norm_dedup" -> oracleBase("q321_normalized_dedup")) +
+      ("q347_dedup_diversity" -> q347OracleSql)
 }
+
+  private lazy val q347OracleSql: String = {
+    def one(src: String, stage: String, n: Int) =
+      s"""SELECT source, $n AS n, count(*) AS total_grams,
+         |  count(DISTINCT g) AS distinct_grams,
+         |  round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+         |    AS distinct_ratio, '$stage' AS stage
+         |FROM (SELECT source, unnest(${Dedup.shinglesSql("text", n)}) AS g
+         |      FROM $src)
+         |GROUP BY source""".stripMargin
+    s"""WITH surv AS (SELECT d.* FROM documents d JOIN
+       |  (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+       |  USING (doc_id))
+       |${(1 to 3).map(n => one("documents", "raw", n)).mkString("\nUNION ALL\n")}
+       |UNION ALL
+       |${(1 to 3).map(n => one("surv", "deduped", n)).mkString("\nUNION ALL\n")}
+       |ORDER BY stage, source, n""".stripMargin
+  }
