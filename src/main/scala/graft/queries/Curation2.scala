@@ -1089,7 +1089,6 @@ object Curation2 {
       // the streaming replay must equal the batch q321 answer exactly
       ("q346_streaming_norm_dedup" -> oracleBase("q321_normalized_dedup")) +
       ("q347_dedup_diversity" -> q347OracleSql)
-}
 
   private lazy val q347OracleSql: String = {
     def one(src: String, stage: String, n: Int) =
@@ -1108,3 +1107,4 @@ object Curation2 {
        |${(1 to 3).map(n => one("surv", "deduped", n)).mkString("\nUNION ALL\n")}
        |ORDER BY stage, source, n""".stripMargin
   }
+}
