@@ -231,7 +231,9 @@ object Dedup {
     * quality / most-recent copy). Ties break to the smaller doc id.
     * Singleton docs (no candidate pair) keep themselves. One window
     * rank per component on top of the CC labeling; nothing new is
-    * pairwise.
+    * pairwise. The score is compared as a double (struct-ordering
+    * handles fractional scores like a [0,1] quality signal exactly);
+    * integral columns are exact in double up to 2^53.
     */
   def keepBestQuality(df: DataFrame, textCol: String, idCol: String,
                       scoreCol: String, n: Int = 3, k: Int = 16,
@@ -239,7 +241,7 @@ object Dedup {
     val cc = connectedComponents(
       minhashPairs(df, textCol, idCol, n, k, bands), "doc_a", "doc_b")
     val base = df.select(col(idCol).cast("long").as("doc_id"),
-        col(scoreCol).cast("long").as("score"))
+        col(scoreCol).cast("double").as("score"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("component")

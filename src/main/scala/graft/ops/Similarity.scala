@@ -623,13 +623,18 @@ object Similarity {
     * SHARED top-k candidates — the "do my retrievers even agree"
     * number read next to the [[rrfFuse]] output. The pair enumeration
     * is per-query over shared candidates only (≤ k², documented), and
-    * tau is a ratio of exact integer counts.
+    * tau is a ratio of exact integer counts. Every query id appearing
+    * in EITHER input gets a row — a query whose two lists are fully
+    * disjoint (the worst disagreement case) reports n_shared=0 with a
+    * null tau instead of vanishing from the diagnostic.
     */
   def rankAgreement(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
     val sa = a.where(col("rank") <= k).select(col("query_id"),
       col("neighbor_id"), col("rank").as("ra"))
     val sb = b.where(col("rank") <= k).select(col("query_id"),
       col("neighbor_id"), col("rank").as("rb"))
+    val allQueries = sa.select(col("query_id"))
+      .unionByName(sb.select(col("query_id"))).distinct()
     val shared = sa.join(sb, Seq("query_id", "neighbor_id"))
     val x = shared.toDF("query_id", "n1", "ra1", "rb1")
     val y = shared.toDF("query_id", "n2", "ra2", "rb2")
@@ -640,9 +645,11 @@ object Similarity {
           .cast("long"))
     val counts = pairs.groupBy("query_id")
       .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("n_concordant"))
-    shared.groupBy("query_id").agg(count(lit(1)).as("n_shared"))
+    allQueries
+      .join(shared.groupBy("query_id").agg(count(lit(1)).as("n_shared")),
+        Seq("query_id"), "left")
       .join(counts, Seq("query_id"), "left")
-      .na.fill(0L, Seq("n_pairs", "n_concordant"))
+      .na.fill(0L, Seq("n_shared", "n_pairs", "n_concordant"))
       .withColumn("kendall_tau", when(col("n_pairs") > 0,
         round((col("n_concordant") * 2L - col("n_pairs")).cast("double") /
           col("n_pairs"), 6)))

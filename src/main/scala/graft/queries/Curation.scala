@@ -36,12 +36,14 @@ object Curation {
       val docs = t(s, dir, "documents")
       val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
       val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
-      val idx = "/tmp/graft_dedup_index_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      val idx = Curation2.tempIndexDir("graft_dedup_index_")
       Dedup.writeDedupIndex(corpus, "text", "doc_id", idx, NGRAM, K, BANDS)
-      Dedup.incrementalDedupIndexed(idx, corpus, batch, "text", "doc_id",
+      // materialize before deleting the on-disk index (leak fix, r8)
+      try Dedup.incrementalDedupIndexed(idx, corpus, batch, "text", "doc_id",
           NGRAM, K, BANDS, 0.8)
         .orderBy("doc_id")
+        .localCheckpoint(true)
+      finally Curation2.deleteDir(idx)
     }),
 
     // SoftDeDup: every doc keeps an exact integer micro-weight

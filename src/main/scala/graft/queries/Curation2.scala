@@ -18,6 +18,23 @@ import Q._
 object Curation2 {
 
   private val K = 16; private val BANDS = 4; private val NGRAM = 3
+
+  /** Fresh scratch directory for a persisted-index round trip; paired
+    * with [[deleteDir]] so gate/bench runs leave nothing behind.
+    */
+  private[queries] def tempIndexDir(prefix: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .getAbsolutePath
+
+  private[queries] def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rec)
+      f.delete(); ()
+    }
+    rec(new java.io.File(path))
+  }
   private val sh = Dedup.shinglesSql("text", NGRAM)
   private val P = Dedup.P
 
@@ -265,12 +282,15 @@ object Curation2 {
     // construction (shares its oracle, the q283 pattern).
     "q338_ann_sq8_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idx = "/tmp/graft_sq8_index_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      val idx = tempIndexDir("graft_sq8_index_")
       Similarity.writeSq8Index(emb, "vec_id", "embedding", idx)
-      Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+      // materialize (lineage-truncating) BEFORE deleting the on-disk
+      // index so every gate/bench run cleans up after itself (r7 ADVICE)
+      try Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", 5)
         .orderBy("query_id", "rank")
+        .localCheckpoint(true)
+      finally deleteDir(idx)
     }),
 
     // Diversity-quota retrieval: top-5 with at most 2 results per label.
@@ -562,7 +582,7 @@ object Curation2 {
          |  FROM reach GROUP BY a),
          |allc AS (SELECT d.doc_id,
          |    coalesce(c.component, d.doc_id) AS component,
-         |    CAST(d.n_chars AS BIGINT) AS score
+         |    CAST(d.n_chars AS DOUBLE) AS score
          |  FROM documents d LEFT JOIN comp c USING (doc_id)),
          |best AS (SELECT component, doc_id AS keeper_id, row_number() OVER
          |    (PARTITION BY component ORDER BY score DESC, doc_id ASC) AS rn
@@ -965,13 +985,16 @@ object Curation2 {
        |        THEN 1 ELSE 0 END) AS nc
        |  FROM sh2 x JOIN sh2 y ON x.qid = y.qid AND x.nid < y.nid
        |  GROUP BY x.qid),
+       |allq AS (SELECT qid FROM sa UNION SELECT qid FROM sbx),
        |base AS (SELECT qid, count(*) AS ns FROM sh2 GROUP BY qid)
-       |SELECT base.qid AS query_id, CAST(ns AS BIGINT) AS n_shared,
+       |SELECT allq.qid AS query_id,
+       |  CAST(coalesce(ns, 0) AS BIGINT) AS n_shared,
        |  CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
        |  CAST(coalesce(nc, 0) AS BIGINT) AS n_concordant,
        |  CASE WHEN coalesce(np, 0) > 0
        |    THEN round(CAST(nc * 2 - np AS DOUBLE) / np, 6) END AS kendall_tau
-       |FROM base LEFT JOIN pr USING (qid) ORDER BY query_id""".stripMargin
+       |FROM allq LEFT JOIN base USING (qid) LEFT JOIN pr USING (qid)
+       |ORDER BY query_id""".stripMargin
 
   /** q338 must reproduce q326 exactly — the indexed path shares its
     * oracle verbatim (the q283/q269 shared-oracle pattern).

@@ -304,6 +304,19 @@ class SignalsSpec extends AnyFunSuite {
       (3L, 2L, false), (9L, 9L, true)), got.mkString(","))
   }
 
+  test("keepBestQuality compares fractional scores without truncation") {
+    // all scores in (0,1): a long-cast would zero every score and
+    // degrade the keeper to min-id (the r7 ADVICE bug)
+    val txt = "shared near duplicate content with plenty of overlapping words here"
+    val df = Seq((1L, txt, 0.2), (2L, txt, 0.9), (3L, txt, 0.5))
+      .toDF("doc_id", "text", "score")
+    val got = Dedup.keepBestQuality(df, "text", "doc_id", "score")
+      .select("doc_id", "keeper_id", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, false), (2L, 2L, true), (3L, 2L, false)),
+      got.mkString(","))
+  }
+
   test("sq8TopK ranks like exact L2 on well-separated vectors and never shuffles the corpus") {
     // clusters far apart relative to quantization error
     val rows = (0 until 20).map { i =>
@@ -557,6 +570,22 @@ class SignalsSpec extends AnyFunSuite {
     val rev = Similarity.rankAgreement(a, mk(Seq(5, 4, 3, 2, 1)), 10)
       .select("kendall_tau").as[Double].head()
     assert(rev == -1.0, rev.toString)
+  }
+
+  test("rankAgreement: fully disjoint lists still emit a row (n_shared=0, null tau)") {
+    // the worst disagreement case must be visible, not absent (r7 ADVICE)
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 21L, 2), (2L, 30L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rankAgreement(a, b, 10)
+      .select("query_id", "n_shared", "n_pairs", "n_concordant")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L)),
+      got.mkString(","))
+    val taus = Similarity.rankAgreement(a, b, 10)
+      .select("kendall_tau").collect().map(_.isNullAt(0)).toSeq
+    assert(taus == Seq(true, true), taus.toString)
   }
 
   test("embeddingOutliers flags the planted garbage vector") {
