@@ -304,6 +304,24 @@ class SignalsSpec extends AnyFunSuite {
       (3L, 2L, false), (9L, 9L, true)), got.mkString(","))
   }
 
+  test("dedup-diversity (q347 composition): exact dedup raises a dup-heavy source's distinct-ngram ratio") {
+    val txt = "the quick brown fox jumps over the lazy dog again"
+    val df = Seq((1L, txt, "dup"), (2L, txt, "dup"), (3L, txt, "dup"),
+      (4L, "one of a kind phrase never repeated anywhere else", "dup"),
+      (5L, "clean source with only original text in it", "clean"))
+      .toDF("doc_id", "text", "source")
+    val keepers = Dedup.exact(df, "text", "doc_id")
+      .select(col("keeper_id").as("doc_id"))
+    val surv = df.join(keepers, "doc_id")
+    def ratio(d: org.apache.spark.sql.DataFrame, src: String) =
+      TextOps.distinctNgramRatio(d, "text", "source")
+        .where(col("source") === src && col("n") === 1)
+        .select("distinct_ratio").as[Double].head()
+    assert(ratio(surv, "dup") > ratio(df, "dup"))
+    assert(ratio(surv, "clean") == ratio(df, "clean")) // untouched slice
+    assert(surv.count() == 3L) // 3 distinct texts survive
+  }
+
   test("keepBestQuality compares fractional scores without truncation") {
     // all scores in (0,1): a long-cast would zero every score and
     // degrade the keeper to min-id (the r7 ADVICE bug)
