@@ -589,6 +589,34 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands.parquet")
   }
 
+  /** Fold newly-ingested docs into a persisted dedup index WITHOUT
+    * touching the snapshot: MinHash signatures depend only on the
+    * fixed permutation constants (no corpus statistic to drift —
+    * unlike SQ8's bounds), so an append is ALWAYS exact. New band
+    * rows append as-is; content hashes append anti-joined against the
+    * stored hash set, preserving its set semantics (the
+    * [[incrementalDedupIndexed]] reader left-joins it, so a duplicate
+    * hash row would fan out decisions). The index after append is
+    * row-identical to [[writeDedupIndex]] over the grown corpus —
+    * gate-proved by a second delta's decisions (q352). At 100 TB only
+    * the delta is scanned; the hash anti-join is delta-sized
+    * broadcast-vs-index.
+    */
+  def appendDedupIndex(delta: DataFrame, textCol: String, idCol: String,
+                       path: String, n: Int = 3, k: Int = 16,
+                       bands: Int = 4): Unit = {
+    val spark = delta.sparkSession
+    val existing = spark.read.parquet(s"$path/hashes.parquet")
+    delta.select(md5(col(textCol).cast("binary")).as("content_hash"))
+      .distinct()
+      .join(existing, Seq("content_hash"), "left_anti")
+      .write.mode("append").parquet(s"$path/hashes.parquet")
+    lshBands(minhashSignatures(delta, textCol, idCol, n, k), idCol,
+        bands, k / bands)
+      .toDF("corpus_id", "band", "band_hash")
+      .write.mode("append").parquet(s"$path/bands.parquet")
+  }
+
   /** [[incrementalDedup]] against a PERSISTED index
     * ([[writeDedupIndex]]): identical decisions by construction — the
     * gate reuses q269's oracle, the q248/q237 sharing pattern — but the

@@ -846,6 +846,68 @@ object Similarity {
       k, lo, hi)
   }
 
+  /** Incremental SQ8 index maintenance: fold a delta of new embeddings
+    * into a persisted index WITHOUT re-encoding the corpus. The only
+    * corpus statistic SQ8 carries is the per-dim (lo, hi) bounds, so:
+    *
+    *  - if every delta value lies INSIDE the stored bounds, the
+    *    union's min/max equal the old min/max exactly — the delta is
+    *    encoded against the EXISTING bounds and its codes appended;
+    *    the resulting index is bit-identical to a full rebuild over
+    *    corpus + delta, and the corpus is never read (returns true);
+    *  - if any dim drifts outside, old codes would be re-scaled by a
+    *    rebuild anyway, so the whole index is rebuilt from
+    *    `corpus` (the PRIOR snapshot, delta excluded — only scanned on
+    *    this path) unioned with the delta (returns false).
+    *
+    * The drift check itself is one O(d)-row aggregate over the delta
+    * vs the O(d) stored bounds — at 100 TB the append path touches
+    * only the (typically tiny) delta. Same contract as
+    * [[graft.ops.Dedup.incrementalDedupIndexed]]: indexed-delta
+    * answers == full-rebuild answers, gate-proved.
+    */
+  def appendSq8Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                     delta: DataFrame, idCol: String, vecCol: String,
+                     corpus: => DataFrame): Boolean = {
+    val b = spark.read.parquet(s"$path/bounds").orderBy("d").collect()
+    val lo = b.map(_.getDouble(1)).toSeq
+    val hi = b.map(_.getDouble(2)).toSeq
+    val dmm = delta
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("dlo"), max("x").as("dhi"))
+      .orderBy("d").collect()
+    val inBounds = dmm.forall { r =>
+      val d = r.getInt(0)
+      r.getDouble(1) >= lo(d) && r.getDouble(2) <= hi(d)
+    }
+    if (inBounds) {
+      delta.select(col(idCol).as("neighbor_id"),
+          sq8Encode(col(vecCol).cast("array<double>"), lo, hi).as("cd"))
+        .write.mode("append").parquet(s"$path/codes")
+      true
+    } else {
+      writeSq8Index(corpus.unionByName(delta), idCol, vecCol, path)
+      false
+    }
+  }
+
+  /** Compact a persisted SQ8 index after many delta appends: each
+    * [[appendSq8Index]] leaves its own parquet files, and a serving
+    * scan over thousands of tiny files pays per-file open cost. The
+    * codes are materialized (lineage-truncating checkpoint, so the
+    * rewrite never reads its own output path) and rewritten into
+    * `partitions` right-sized files. Answers are untouched — the gate
+    * proves a post-compaction query still matches the exact oracle.
+    * On a real cluster swap localCheckpoint for checkpoint (same
+    * caveat as the Dedup postings sites).
+    */
+  def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
+                      path: String, partitions: Int): Unit =
+    spark.read.parquet(s"$path/codes")
+      .repartition(partitions)
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/codes")
+
   /** One-pass distributed covariance of an embedding column, upper
     * triangle (i <= j) — the corpus-side half of PCA. Per row, the
     * d(d+1)/2 products are emitted as integer micro-units (quantized

@@ -251,6 +251,99 @@ object TextOps {
       .drop("__q")
   }
 
+  /** Intra-document repetition signals (Rae et al., Gopher, 2021 —
+    * the "repetition removal" filter family): per doc, over word
+    * `n`-grams, the duplicate-gram fraction (1 − distinct/total) and
+    * the share of the single most-frequent gram. MAP-ONLY — the gram
+    * array is sorted per row and duplicates/max-run counted by one
+    * higher-order `aggregate` fold over adjacent equals, so the
+    * corpus never shuffles for an intra-doc signal (the shape that
+    * matters at 100 TB: this runs in the same scan as every other
+    * per-doc filter). Fractions are exact integer ratios rounded once.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 2): DataFrame = {
+    val sorted = array_sort(Dedup.shingles(col(textCol), n))
+    // fold: (prev gram, current run, max run, duplicate count)
+    val acc0 = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("maxrun"), lit(0L).as("dups"))
+    val folded = aggregate(sorted, acc0, (acc, g) => {
+      val run = when(g === acc.getField("prev"),
+        acc.getField("run") + 1L).otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        greatest(run, acc.getField("maxrun")).as("maxrun"),
+        (acc.getField("dups") + when(g === acc.getField("prev"), 1L)
+          .otherwise(0L)).as("dups"))
+    })
+    df.select(col(idCol), folded.as("__f"),
+        size(Dedup.shingles(col(textCol), n)).cast("long").as("total_grams"))
+      .select(col(idCol), col("total_grams"),
+        (col("total_grams") - col("__f").getField("dups"))
+          .as("distinct_grams"),
+        round(col("__f").getField("dups").cast("double") /
+          greatest(col("total_grams"), lit(1L)), 6).as("dup_gram_frac"),
+        round(col("__f").getField("maxrun").cast("double") /
+          greatest(col("total_grams"), lit(1L)), 6).as("top_gram_frac"))
+  }
+
+  /** Inter-document segment-level exact dedup (the RefinedWeb /
+    * "paragraph dedup" stage, adapted to unstructured text): each doc
+    * splits into consecutive `w`-word segments, segments are hashed,
+    * and a segment text seen in MORE THAN ONE doc marks every holder.
+    * Reports each doc's duplicated-segment fraction — the signal that
+    * catches boilerplate blocks (headers, footers, license text)
+    * embedded in otherwise-unique pages, which whole-doc dedup misses.
+    * Shape: one map-side segment explode, one hash-keyed distinct-doc
+    * count per segment, one join back keyed by segment hash, one
+    * per-doc agg — all shuffles on high-cardinality keys.
+    */
+  def segmentDupFraction(df: DataFrame, textCol: String, idCol: String,
+                         w: Int = 20): DataFrame = {
+    val words = filter(split(col(textCol), " "), x => x =!= "")
+    // map-only segment slicing (deterministic word order by construction
+    // — no collect_list whose post-shuffle order could drift)
+    val segTexts = transform(
+      sequence(lit(0), floor((size(words) - 1) / w).cast("int")),
+      i => concat_ws(" ", slice(words, i * w + 1, lit(w))))
+    val segs = df.where(size(words) > 0)
+      .select(col(idCol).as("doc_id"), explode(segTexts).as("seg_text"))
+      .select(col("doc_id"), md5(col("seg_text").cast("binary")).as("seg_hash"))
+    val shared = segs.groupBy("seg_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    segs.join(shared, "seg_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+      .withColumn("dup_segment_frac", round(
+        col("n_dup_segments").cast("double") / col("n_segments"), 6))
+  }
+
+  /** Unigram-LM surprisal score (the perplexity-proxy quality filter,
+    * the shape of CCNet/DSIR importance scoring with the corpus's own
+    * unigram model): p(w) = count(w)/N over the whole slice; each doc
+    * scores mean −ln p(w) in MICRO-NATS, quantized per word BEFORE the
+    * cross-row sum (long sums are order-exact at any partitioning —
+    * the engine-exactness contract). Low surprisal = templated/common
+    * text; high = rare-token noise. Two keyed shuffles (word counts,
+    * then doc rollup); the 1-row corpus total is a broadcast join.
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+    val counts = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("nn"))
+    words.join(counts, "w").crossJoin(broadcast(total))
+      .select(col(idCol),
+        floor(-log(col("c").cast("double") / col("nn")) * 1e6 + 0.5)
+          .cast("long").as("q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("q")).as("__s"))
+      .select(col(idCol), col("n_words"),
+        round(col("__s").cast("double") / 1e6 / col("n_words"), 6)
+          .as("mean_surprisal_nats"))
+  }
+
   /** Pagination-stitch detection: doc pairs where A's LAST `w` words
     * equal B's FIRST `w` words — the boundary artifact of a crawler
     * splitting one page into consecutive records (near-dup checks miss

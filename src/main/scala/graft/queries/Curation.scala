@@ -251,6 +251,52 @@ object Curation {
     s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig$sfx"
   }.mkString("\nUNION ALL\n")
 
+  /** The incremental (snapshot + delta) dedup decision SQL,
+    * parameterized by the corpus/batch predicates so the q352
+    * index-append gate can re-derive decisions against a GROWN corpus
+    * with the exact same algorithm text (r8).
+    */
+  private[queries] def incrementalDedupOracle(corpusPred: String,
+                                              batchPred: String): String =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE $corpusPred),
+       |batch AS (SELECT * FROM documents WHERE $batchPred),
+       |bhash AS (SELECT doc_id, md5(text) AS h FROM batch),
+       |firsts AS (SELECT h, min(doc_id) AS first_id FROM bhash GROUP BY h),
+       |chash AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+       |surv AS (SELECT b.doc_id, b.text FROM batch b
+       |  JOIN bhash ON bhash.doc_id = b.doc_id
+       |  JOIN firsts f ON f.h = bhash.h
+       |  WHERE b.doc_id = f.first_id
+       |    AND bhash.h NOT IN (SELECT h FROM chash)),
+       |${sigCtes("surv", "b")},
+       |${sigCtes("corpus", "c")},
+       |bandsb AS (${bandsSql("b")}),
+       |bandsc AS (${bandsSql("c")}),
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM bandsb b JOIN bandsc c ON b.band = c.band AND b.bh = c.bh),
+       |gb AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM surv),
+       |gc AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM corpus
+       |  WHERE doc_id IN (SELECT corpus_id FROM cand)),
+       |szb AS (SELECT doc_id, count(*) AS n FROM gb GROUP BY doc_id),
+       |szc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY doc_id),
+       |inter AS (SELECT cand.batch_id, cand.corpus_id, count(*) AS i
+       |  FROM cand JOIN gb ON gb.doc_id = cand.batch_id
+       |            JOIN gc ON gc.doc_id = cand.corpus_id AND gc.g = gb.g
+       |  GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT batch_id FROM inter
+       |  JOIN szb ON szb.doc_id = inter.batch_id
+       |  JOIN szc ON szc.doc_id = inter.corpus_id
+       |  WHERE CAST(i AS DOUBLE) / (szb.n + szc.n - i) >= 0.8)
+       |SELECT b.doc_id,
+       |  CASE WHEN bhash.h IN (SELECT h FROM chash) THEN 'dup_exact_corpus'
+       |       WHEN b.doc_id <> f.first_id THEN 'dup_exact_batch'
+       |       WHEN b.doc_id IN (SELECT batch_id FROM near) THEN 'near_dup_corpus'
+       |       ELSE 'admitted' END AS decision
+       |FROM batch b
+       |JOIN bhash ON bhash.doc_id = b.doc_id
+       |JOIN firsts f ON f.h = bhash.h
+       |ORDER BY b.doc_id""".stripMargin
+
   /** IVFADC oracle: the q246 per-subspace canonical-pick re-derivation,
     * extended with the L2 cell quantizer and residual stage. Every tie
     * break (first-min encode, probe order, rank) and every IEEE sum
@@ -363,44 +409,8 @@ object Curation {
          |  ${shardCutSql(4)}
          |FROM rk ORDER BY doc_id""".stripMargin,
     "q269_incremental_dedup" ->
-      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-         |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-         |bhash AS (SELECT doc_id, md5(text) AS h FROM batch),
-         |firsts AS (SELECT h, min(doc_id) AS first_id FROM bhash GROUP BY h),
-         |chash AS (SELECT DISTINCT md5(text) AS h FROM corpus),
-         |surv AS (SELECT b.doc_id, b.text FROM batch b
-         |  JOIN bhash ON bhash.doc_id = b.doc_id
-         |  JOIN firsts f ON f.h = bhash.h
-         |  WHERE b.doc_id = f.first_id
-         |    AND bhash.h NOT IN (SELECT h FROM chash)),
-         |${sigCtes("surv", "b")},
-         |${sigCtes("corpus", "c")},
-         |bandsb AS (${bandsSql("b")}),
-         |bandsc AS (${bandsSql("c")}),
-         |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-         |  FROM bandsb b JOIN bandsc c ON b.band = c.band AND b.bh = c.bh),
-         |gb AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM surv),
-         |gc AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM corpus
-         |  WHERE doc_id IN (SELECT corpus_id FROM cand)),
-         |szb AS (SELECT doc_id, count(*) AS n FROM gb GROUP BY doc_id),
-         |szc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY doc_id),
-         |inter AS (SELECT cand.batch_id, cand.corpus_id, count(*) AS i
-         |  FROM cand JOIN gb ON gb.doc_id = cand.batch_id
-         |            JOIN gc ON gc.doc_id = cand.corpus_id AND gc.g = gb.g
-         |  GROUP BY 1, 2),
-         |near AS (SELECT DISTINCT batch_id FROM inter
-         |  JOIN szb ON szb.doc_id = inter.batch_id
-         |  JOIN szc ON szc.doc_id = inter.corpus_id
-         |  WHERE CAST(i AS DOUBLE) / (szb.n + szc.n - i) >= 0.8)
-         |SELECT b.doc_id,
-         |  CASE WHEN bhash.h IN (SELECT h FROM chash) THEN 'dup_exact_corpus'
-         |       WHEN b.doc_id <> f.first_id THEN 'dup_exact_batch'
-         |       WHEN b.doc_id IN (SELECT batch_id FROM near) THEN 'near_dup_corpus'
-         |       ELSE 'admitted' END AS decision
-         |FROM batch b
-         |JOIN bhash ON bhash.doc_id = b.doc_id
-         |JOIN firsts f ON f.h = bhash.h
-         |ORDER BY b.doc_id""".stripMargin,
+      incrementalDedupOracle("doc_id % 5 <> 0", "doc_id % 5 = 0"),
+
 
     "q270_soft_dedup" ->
       s"""WITH RECURSIVE ${sigCtes("documents", "")},

@@ -22,12 +22,12 @@ object Curation2 {
   /** Fresh scratch directory for a persisted-index round trip; paired
     * with [[deleteDir]] so gate/bench runs leave nothing behind.
     */
-  private[queries] def tempIndexDir(prefix: String): String =
+  private[graft] def tempIndexDir(prefix: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       prefix + java.util.UUID.randomUUID().toString.replace("-", ""))
       .getAbsolutePath
 
-  private[queries] def deleteDir(path: String): Unit = {
+  private[graft] def deleteDir(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(rec)

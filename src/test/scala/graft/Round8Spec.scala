@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Similarity, TextOps, UrlOps}
+
+/** Round-8 tranche specs: incremental index maintenance (SQ8 append /
+  * compact, dedup-index append), URL canonicalization, the repetition
+  * battery, and the streaming batch-boundary determinism probe (r7
+  * verdict task #6).
+  */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpIdx(tag: String) =
+    graft.queries.Curation2.tempIndexDir(s"graft_r8spec_${tag}_")
+
+  private def vec(xs: Double*): Seq[Double] = xs.toSeq
+
+  test("appendSq8Index: in-bounds delta appends (true) and equals a full rebuild") {
+    val corpus = Seq((1L, vec(0.0, 0.0)), (2L, vec(10.0, 10.0)),
+      (3L, vec(2.0, 8.0))).toDF("vec_id", "embedding")
+    val delta = Seq((4L, vec(5.0, 5.0)), (5L, vec(1.0, 9.0)))
+      .toDF("vec_id", "embedding") // strictly inside corpus bounds
+    val qs = Seq((100L, vec(4.9, 5.1))).toDF("vec_id", "embedding")
+    val idxA = tmpIdx("a"); val idxF = tmpIdx("f")
+    try {
+      Similarity.writeSq8Index(corpus, "vec_id", "embedding", idxA)
+      val appended = Similarity.appendSq8Index(spark, idxA, delta,
+        "vec_id", "embedding", corpus)
+      assert(appended, "in-bounds delta must take the append path")
+      Similarity.writeSq8Index(corpus.unionByName(delta),
+        "vec_id", "embedding", idxF)
+      val a = Similarity.sq8TopKIndexed(spark, idxA, qs, "vec_id",
+        "embedding", 3).collect().map(_.toSeq).toSet
+      val f = Similarity.sq8TopKIndexed(spark, idxF, qs, "vec_id",
+        "embedding", 3).collect().map(_.toSeq).toSet
+      assert(a == f)
+      // append must not touch the bounds table
+      val b = spark.read.parquet(s"$idxA/bounds").orderBy("d")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+      assert(b == Seq((0.0, 10.0), (0.0, 10.0)), b.toString)
+    } finally {
+      graft.queries.Curation2.deleteDir(idxA)
+      graft.queries.Curation2.deleteDir(idxF)
+    }
+  }
+
+  test("appendSq8Index: bounds drift forces a rebuild (false) that equals a full rebuild") {
+    val corpus = Seq((1L, vec(0.0, 0.0)), (2L, vec(10.0, 10.0)))
+      .toDF("vec_id", "embedding")
+    val delta = Seq((3L, vec(-5.0, 20.0))).toDF("vec_id", "embedding")
+    val qs = Seq((100L, vec(1.0, 1.0))).toDF("vec_id", "embedding")
+    val idxA = tmpIdx("d"); val idxF = tmpIdx("df")
+    try {
+      Similarity.writeSq8Index(corpus, "vec_id", "embedding", idxA)
+      val appended = Similarity.appendSq8Index(spark, idxA, delta,
+        "vec_id", "embedding", corpus)
+      assert(!appended, "out-of-bounds delta must rebuild")
+      Similarity.writeSq8Index(corpus.unionByName(delta),
+        "vec_id", "embedding", idxF)
+      val a = Similarity.sq8TopKIndexed(spark, idxA, qs, "vec_id",
+        "embedding", 3).collect().map(_.toSeq).toSet
+      val f = Similarity.sq8TopKIndexed(spark, idxF, qs, "vec_id",
+        "embedding", 3).collect().map(_.toSeq).toSet
+      assert(a == f)
+      val b = spark.read.parquet(s"$idxA/bounds").orderBy("d")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+      assert(b == Seq((-5.0, 10.0), (0.0, 20.0)), b.toString)
+    } finally {
+      graft.queries.Curation2.deleteDir(idxA)
+      graft.queries.Curation2.deleteDir(idxF)
+    }
+  }
+
+  test("compactSq8Index shrinks the codes file count without changing answers") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(2L)) =!= 0)
+    val qs = emb.where(col("vec_id") < 5)
+    val idx = tmpIdx("c")
+    try {
+      Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
+      Similarity.appendSq8Index(spark, idx, delta, "vec_id", "embedding",
+        corpus)
+      def files() = new java.io.File(s"$idx/codes").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val before = Similarity.sq8TopKIndexed(spark, idx, qs, "vec_id",
+        "embedding", 5).collect().map(_.toSeq).toSet
+      val nBefore = files()
+      Similarity.compactSq8Index(spark, idx, 1)
+      val after = Similarity.sq8TopKIndexed(spark, idx, qs, "vec_id",
+        "embedding", 5).collect().map(_.toSeq).toSet
+      assert(files() == 1 && nBefore > 1, s"$nBefore -> ${files()}")
+      assert(after == before)
+    } finally graft.queries.Curation2.deleteDir(idx)
+  }
+
+  test("appendDedupIndex keeps hash-set semantics and matches a fresh index on the grown corpus") {
+    val txtA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val txtB = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, txtA), (2L, txtB)).toDF("doc_id", "text")
+    // delta repeats txtA (hash overlap with the index) and adds a new doc
+    val delta = Seq((3L, txtA), (4L, "totally new content never seen before"))
+      .toDF("doc_id", "text")
+    val idx = tmpIdx("dd"); val idxF = tmpIdx("ddf")
+    try {
+      Dedup.writeDedupIndex(corpus, "text", "doc_id", idx)
+      Dedup.appendDedupIndex(delta, "text", "doc_id", idx)
+      Dedup.writeDedupIndex(corpus.unionByName(delta), "text", "doc_id", idxF)
+      val hA = spark.read.parquet(s"$idx/hashes.parquet")
+        .as[String].collect().sorted.toSeq
+      val hF = spark.read.parquet(s"$idxF/hashes.parquet")
+        .as[String].collect().sorted.toSeq
+      assert(hA == hF, "appended hash set must equal the rebuilt set (no dup rows)")
+      val bA = spark.read.parquet(s"$idx/bands.parquet")
+        .collect().map(_.toSeq).toSet
+      val bF = spark.read.parquet(s"$idxF/bands.parquet")
+        .collect().map(_.toSeq).toSet
+      assert(bA == bF)
+    } finally {
+      graft.queries.Curation2.deleteDir(idx)
+      graft.queries.Curation2.deleteDir(idxF)
+    }
+  }
+
+  test("canonicalUrl: case, www, ports, slashes, tracking params, order, fragments") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag",
+        "https://example.com/a/b?a=2&z=1"),
+      ("http://example.com:80/", "http://example.com"),
+      ("http://example.com:8080/p", "http://example.com:8080/p"),
+      ("https://blog.example.com/p/?fbclid=abc", "https://blog.example.com/p"),
+      ("https://example.com/p?b=2&a=1", "https://example.com/p?a=1&b=2"),
+      ("https://example.com/p?utm_campaign=c&utm_medium=m",
+        "https://example.com/p"))
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlOps.canonicalUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.mkString("\n"))
+  }
+
+  test("registeredDomain strips subdomains to the last two labels") {
+    val got = Seq("https://a.b.example.com/x", "http://WWW.Site.ORG/p")
+      .toDF("u").select(UrlOps.registeredDomain(col("u")))
+      .as[String].collect().toSeq
+    assert(got == Seq("example.com", "site.org"), got.toString)
+  }
+
+  test("repetitionSignals: hand-computed dup fractions; shuffle-free plan") {
+    // "a b a b a" -> 2-grams: [a b, b a, a b, b a] -> total 4, distinct 2
+    val df = Seq((1L, "a b a b a"), (2L, "u v w x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(df, "text", "doc_id", n = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "total_grams", "distinct_grams", "dup_gram_frac",
+        "top_gram_frac")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.5, 0.5),   // max multiplicity 2/4
+      (2L, 4L, 4L, 0.0, 0.25),  // all unique: top share 1/4
+      (3L, 1L, 1L, 0.0, 1.0)),  // 1-word doc: one truncated gram
+      got.mkString(","))
+    // map-only claim: no exchange anywhere in the plan
+    val plan = TextOps.repetitionSignals(df, "text", "doc_id", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("segmentDupFraction flags shared 20-word blocks, not unique docs") {
+    val block = (1 to 20).map(i => s"w$i").mkString(" ")
+    val uniqueTail = (1 to 20).map(i => s"u$i").mkString(" ")
+    val otherTail = (1 to 20).map(i => s"v$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$block $uniqueTail"), // shares seg 0 with doc 2
+      (2L, s"$block $otherTail"),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))) // fully unique
+      .toDF("doc_id", "text")
+    val got = TextOps.segmentDupFraction(df, "text", "doc_id", w = 20)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segments", "n_dup_segments", "dup_segment_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0)), got.mkString(","))
+  }
+
+  test("unigramSurprisal: common words score below rare words") {
+    val df = Seq((1L, "the the the the"), (2L, "the rare"))
+      .toDF("doc_id", "text")
+    // p(the)=5/6, p(rare)=1/6; doc1 = -ln(5/6); doc2 = mean of the two
+    val got = TextOps.unigramSurprisal(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "mean_surprisal_nats")
+      .as[(Long, Long, Double)].collect().toSeq
+    def mn(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val s1 = math.rint(mn(-math.log(5.0 / 6)) * 1e6) / 1e6
+    assert(got.map(_._1) == Seq(1L, 2L) && got.map(_._2) == Seq(4L, 2L))
+    assert(math.abs(got(0)._3 - s1) < 1e-6, s"${got(0)._3} vs $s1")
+    assert(got(1)._3 > got(0)._3, "doc with the rare word must score higher")
+  }
+
+  test("streaming normalized dedup is invariant to micro-batch boundaries") {
+    // The state-correctness property one AvailableNow replay can't
+    // witness (r7 verdict task #6): the same rows fed as ONE batch vs
+    // THREE batches must produce the identical final dedup table.
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) s"dup  t\u00e9xt ${i % 5}" else s"unique text $i"))
+    def run(chunks: Seq[Seq[(Long, String)]]): Set[Seq[Any]] = {
+      val mem = MemoryStream[(Long, String)](spark)
+      val agg = mem.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextOps.normalizeCol(col("text")).as("norm_text"))
+        .groupBy(md5(col("norm_text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+      val out = s"r8_det_${System.nanoTime()}"
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(out).start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        spark.table(out).collect().map(_.toSeq).toSet
+      } finally { q.stop(); spark.catalog.dropTempView(out) }
+    }
+    val oneBatch = run(Seq(rows))
+    val threeBatches = run(Seq(rows.take(7), rows.slice(7, 19), rows.drop(19)))
+    assert(oneBatch == threeBatches)
+    assert(oneBatch.nonEmpty)
+  }
+
+  test("streaming LSH candidate set is invariant to micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val near = "shared overlapping shingle text content for the near duplicate pair here"
+    val rows = Seq(
+      (1L, near), (2L, near + " extra"), (3L, "completely different words"),
+      (4L, near)) // three-way cluster + one outlier
+    def run(chunks: Seq[Seq[(Long, String)]]): Set[(Long, Long)] = {
+      val mem = MemoryStream[(Long, String)](spark)
+      val pairs = graft.streaming.Streaming.streamingBandPairs(
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", 3, 16, 4)
+      val out = s"r8_lsh_${System.nanoTime()}"
+      val q = pairs.writeStream.outputMode("append").format("memory")
+        .queryName(out).start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        spark.table(out).select("doc_a", "doc_b").as[(Long, Long)]
+          .collect().map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+          .toSet
+      } finally { q.stop(); spark.catalog.dropTempView(out) }
+    }
+    val one = run(Seq(rows))
+    val split = run(Seq(rows.take(1), rows.slice(1, 3), rows.drop(3)))
+    assert(one == split, s"$one vs $split")
+    assert(one.nonEmpty)
+  }
+}

@@ -547,16 +547,19 @@ class SignalsSpec extends AnyFunSuite {
     val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val qs = emb.where(col("vec_id") < 10)
     val idx = s"/tmp/graft_sq8_spec_${System.nanoTime()}"
-    Similarity.writeSq8Index(emb, "vec_id", "embedding", idx)
-    val inline = Similarity.sq8TopK(emb, qs, "vec_id", "embedding", 5)
-      .collect().map(_.toSeq).toSet
-    val viaIdx = Similarity.sq8TopKIndexed(spark, idx, qs,
-      "vec_id", "embedding", 5)
-    assert(viaIdx.collect().map(_.toSeq).toSet == inline)
-    // the corpus side of the scan is the CODE table: the embeddings
-    // parquet appears only under the broadcast query subtree
-    val leaves = viaIdx.queryExecution.executedPlan.collectLeaves().mkString("\n")
-    assert(leaves.contains(idx), leaves.take(1500))
+    try {
+      Similarity.writeSq8Index(emb, "vec_id", "embedding", idx)
+      val inline = Similarity.sq8TopK(emb, qs, "vec_id", "embedding", 5)
+        .collect().map(_.toSeq).toSet
+      val viaIdx = Similarity.sq8TopKIndexed(spark, idx, qs,
+        "vec_id", "embedding", 5)
+      assert(viaIdx.collect().map(_.toSeq).toSet == inline)
+      // the corpus side of the scan is the CODE table: the embeddings
+      // parquet appears only under the broadcast query subtree
+      val leaves = viaIdx.queryExecution.executedPlan.collectLeaves()
+        .mkString("\n")
+      assert(leaves.contains(idx), leaves.take(1500))
+    } finally graft.queries.Curation2.deleteDir(idx)
   }
 
   test("quotaCosineTopK enforces per-label quotas; filtered ANN pushes the predicate to the scan") {
