@@ -77,6 +77,34 @@ object UrlOps {
         countDistinct(col("raw")).as("n_raw_forms"),
         min(col("id")).as("keeper_id"))
 
+  /** Crawl-frontier seen-URL check (the 100 TB shape of "have we
+    * fetched this before"): a Bloom filter built over the SEEN
+    * canonical set in one aggregate and broadcast as bytes; candidate
+    * URLs map-filter through it so only bloom-POSITIVES pay the exact
+    * keyed join that kills false positives — a frontier that is
+    * mostly-new never shuffles against the seen set at all (the
+    * [[Corpus.contaminationBloom]] prefilter shape applied to URLs).
+    */
+  def urlSeenFilter(seen: DataFrame, candidates: DataFrame, urlCol: String,
+                    idCol: String,
+                    estimatedItems: Long = 1000000L): DataFrame = {
+    val seenCu = seen.select(canonicalUrl(col(urlCol)).as("cu")).distinct()
+    val bf = seenCu
+      .agg(graft.expressions.Bloom.agg(xxhash64(col("cu")),
+        estimatedItems, math.max(64L, estimatedItems * 8L)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val cand = candidates.select(col(idCol).as("__cid"),
+      canonicalUrl(col(urlCol)).as("canonical_url"))
+    val confirmed = cand
+      .where(graft.expressions.Bloom.mightContain(lit(bf),
+        xxhash64(col("canonical_url"))))
+      .join(seenCu.select(col("cu").as("canonical_url")), Seq("canonical_url"))
+      .select(col("__cid")).withColumn("__seen", lit(true))
+    cand.join(confirmed, Seq("__cid"), "left")
+      .select(col("__cid").as(idCol), col("canonical_url"),
+        coalesce(col("__seen"), lit(false)).as("seen"))
+  }
+
   /** Per-registered-domain rollup: doc count, distinct canonical URLs,
     * URL-dup rate, and the exact quality mean (long-sum of an integral
     * quality column / n — order-exact at any partitioning). The frame

@@ -22,7 +22,7 @@ object Curation3 {
     * subdomains, default and non-default ports, trailing slashes,
     * tracking params, unsorted params, fragments.
     */
-  private def rawUrlCol = {
+  private[graft] def rawUrlCol = {
     val id = col("doc_id")
     def m(k: Int) = pmod(id, lit(k.toLong))
     concat(
@@ -166,21 +166,67 @@ object Curation3 {
     // per doc under the corpus's own unigram model, micro-nat exact.
     "q355_unigram_surprisal" -> ((s, dir) =>
       TextOps.unigramSurprisal(t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Streaming ingest-time URL dedup: the canonicalizer is a
+    // stateless map inside the stream, the per-canonical rollup is the
+    // stateful agg (collect_set for the raw-form count — streaming
+    // forbids COUNT DISTINCT, and the set's SIZE equals it exactly).
+    // AvailableNow replay == the batch q349 answer, shared oracle.
+    "q356_streaming_url_dedup" -> ((s, dir) => {
+      val docs = graft.core.Tables.stream(s, dir, "documents")
+        .withColumn("url", rawUrlCol)
+      val agg = docs
+        .select(UrlOps.canonicalUrl(col("url")).as("canonical_url"),
+          col("url").as("raw"), col("doc_id"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_copies"),
+          size(collect_set(col("raw"))).cast("long").as("n_raw_forms"),
+          min(col("doc_id")).as("keeper_id"))
+      val qn = "q356_mem_" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      try s.table(qn).orderBy("canonical_url").localCheckpoint(true)
+      finally s.catalog.dropTempView(qn)
+    }),
+
+    // Crawl-frontier seen-URL check: bloom prefilter over the seen
+    // canonical set, exact join only for bloom-positives.
+    "q357_url_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url", rawUrlCol)
+      val seen = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val frontier = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+      UrlOps.urlSeenFilter(seen, frontier, "url", "doc_id")
+        .orderBy("doc_id")
+    })
   )
+
+  private val q349OracleSql =
+    s"""WITH u AS (SELECT doc_id, $rawUrlSql AS raw, $canonUrlSql AS cu
+       |  FROM documents)
+       |SELECT cu AS canonical_url, count(*) AS n_copies,
+       |  count(DISTINCT raw) AS n_raw_forms, min(doc_id) AS keeper_id
+       |FROM u GROUP BY cu ORDER BY cu""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q348_sq8_index_append" -> Curation2.oracles("q326_ann_sq8"),
     "q351_sq8_index_compact" -> Curation2.oracles("q326_ann_sq8"),
+    // the streaming replay must equal the batch q349 answer exactly
+    "q356_streaming_url_dedup" -> q349OracleSql,
+    "q357_url_frontier" ->
+      s"""WITH u AS (SELECT doc_id, $canonUrlSql AS cu FROM documents),
+         |seen AS (SELECT DISTINCT cu FROM u WHERE doc_id % 5 <> 0)
+         |SELECT doc_id, cu AS canonical_url,
+         |  cu IN (SELECT cu FROM seen) AS seen
+         |FROM u WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
     "q352_dedup_index_append" ->
       Curation.incrementalDedupOracle("doc_id % 5 <> 1", "doc_id % 5 = 1"),
 
-    "q349_url_dedup" ->
-      s"""WITH u AS (SELECT doc_id, $rawUrlSql AS raw, $canonUrlSql AS cu
-         |  FROM documents)
-         |SELECT cu AS canonical_url, count(*) AS n_copies,
-         |  count(DISTINCT raw) AS n_raw_forms, min(doc_id) AS keeper_id
-         |FROM u GROUP BY cu ORDER BY cu""".stripMargin,
+    "q349_url_dedup" -> q349OracleSql,
 
     "q350_domain_rollup" ->
       s"""WITH u AS (SELECT doc_id, n_chars,

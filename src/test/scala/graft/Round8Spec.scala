@@ -148,6 +148,21 @@ class Round8Spec extends AnyFunSuite {
     assert(got == Seq("example.com", "site.org"), got.toString)
   }
 
+  test("urlSeenFilter: seen/new flags exact despite bloom false positives") {
+    val seen = Seq((1L, "https://WWW.a.com/x/?utm_source=s"),
+      (2L, "http://b.com:80/y")).toDF("doc_id", "url")
+    val cands = Seq(
+      (10L, "https://a.com/x"),          // canonical match of seen #1
+      (11L, "http://b.com/y/"),          // canonical match of seen #2
+      (12L, "https://c.com/z")).toDF("doc_id", "url") // genuinely new
+    val got = UrlOps.urlSeenFilter(seen, cands, "url", "doc_id",
+        estimatedItems = 16L)
+      .orderBy("doc_id")
+      .select("doc_id", "seen").as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((10L, true), (11L, true), (12L, false)),
+      got.mkString(","))
+  }
+
   test("repetitionSignals: hand-computed dup fractions; shuffle-free plan") {
     // "a b a b a" -> 2-grams: [a b, b a, a b, b a] -> total 4, distinct 2
     val df = Seq((1L, "a b a b a"), (2L, "u v w x y"), (3L, "solo"))

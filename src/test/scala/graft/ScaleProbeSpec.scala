@@ -302,4 +302,72 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: round-8 families (repetition, segment dup, surprisal, URL, index append)") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      import org.apache.spark.sql.functions._
+      // repetitionSignals is map-only (zero shuffle, plan-pinned in
+      // Round8Spec) — the purest linear-scaling candidate in the repo.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.TextOps.repetitionSignals(docs, "text", "doc_id", 2)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE repetition $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // segmentDupFraction: segment explode + hash-keyed agg + join
+      // back — linear in segments; the dup-share join key is the
+      // segment hash (high cardinality, skew-free).
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.TextOps.segmentDupFraction(docs, "text", "doc_id", 20)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE segment_dup $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // unigramSurprisal: word-keyed count shuffle + doc rollup.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        graft.ops.TextOps.unigramSurprisal(docs, "text", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE surprisal $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // URL dedup + frontier: canonicalization map-only; agg keyed by
+      // canonical URL; frontier bloom kills the unseen side pre-join.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+          .withColumn("url", graft.queries.Curation3.rawUrlCol)
+        val t0 = System.nanoTime()
+        graft.ops.UrlOps.urlDedup(docs, "url", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        graft.ops.UrlOps.urlSeenFilter(
+            docs.where(pmod(col("doc_id"), lit(5L)) =!= 0),
+            docs.where(pmod(col("doc_id"), lit(5L)) === 0), "url", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE url_dedup $label ${(t1 - t0) / 1e9}%.2f s" +
+          f" frontier ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
+      // appendSq8Index delta contract: index built once per scale; the
+      // append cost must track the DELTA (20%), not the corpus.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val emb = graft.core.Tables(spark, dir, "embeddings")
+        val corpus = emb.where(pmod(col("vec_id"), lit(5L)) =!= 0)
+        val delta = emb.where(pmod(col("vec_id"), lit(5L)) === 0)
+        val idx = graft.queries.Curation2.tempIndexDir("graft_probe_sq8_")
+        try {
+          graft.ops.Similarity.writeSq8Index(corpus, "vec_id", "embedding",
+            idx)
+          val t0 = System.nanoTime()
+          graft.ops.Similarity.appendSq8Index(spark, idx, delta, "vec_id",
+            "embedding", corpus)
+          println(f"SCALEPROBE sq8_append $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } finally graft.queries.Curation2.deleteDir(idx)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
