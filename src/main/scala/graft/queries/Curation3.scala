@@ -202,8 +202,150 @@ object Curation3 {
       val frontier = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
       UrlOps.urlSeenFilter(seen, frontier, "url", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // The per-doc CURATION DECISION CARD — every dedup/quality verdict
+    // a pipeline applies, in one frame with a transparent keep rule:
+    // exact-dup loser (md5 keeper), near-dup loser (MinHash-LSH -> CC,
+    // min-id keeper), URL-dup loser (canonical keeper), segment-dup
+    // and repetition fractions vs fixed thresholds. Five individually-
+    // gated lineages (q24/q325/q349/q354/q353) joined by doc_id — the
+    // composed "why was my doc dropped" answer, fully SQL-re-derived.
+    "q358_curation_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url", rawUrlCol)
+      val exactLoser = docs
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .join(Dedup.exact(docs, "text", "doc_id")
+          .select(col("content_hash").as("h"), col("keeper_id")), "h")
+        .select(col("doc_id"),
+          (col("doc_id") =!= col("keeper_id")).as("exact_loser"))
+      val cc = Dedup.connectedComponents(
+        Dedup.minhashPairs(docs, "text", "doc_id", NGRAM, K, BANDS),
+        "doc_a", "doc_b")
+      val seg = TextOps.segmentDupFraction(docs, "text", "doc_id", 20)
+        .select(col("doc_id"), col("dup_segment_frac"))
+      // same value as repetitionSignals' dup_gram_frac but WITHOUT the
+      // per-row sort (the card doesn't need the top-gram share):
+      // distinct count via array_distinct is the cheaper map-only path
+      val rep = docs
+        .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("__g"))
+        .select(col("doc_id"), round(
+          (size(col("__g")) - size(array_distinct(col("__g"))))
+            .cast("double") / greatest(size(col("__g")), lit(1)), 6)
+          .as("dup_gram_frac"))
+      val urls = docs
+        .select(col("doc_id"), UrlOps.canonicalUrl(col("url")).as("cu"))
+        .join(UrlOps.urlDedup(docs, "url", "doc_id")
+          .select(col("canonical_url").as("cu"),
+            col("keeper_id").as("uk")), "cu")
+        .select(col("doc_id"), (col("doc_id") =!= col("uk")).as("url_loser"))
+      docs.select("doc_id")
+        .join(exactLoser, "doc_id")
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("near_loser",
+          coalesce(col("component") =!= col("doc_id"), lit(false)))
+        .drop("component")
+        .join(seg, "doc_id").join(rep, "doc_id").join(urls, "doc_id")
+        .withColumn("keep", !col("exact_loser") && !col("near_loser") &&
+          !col("url_loser") && col("dup_segment_frac") <= 0.5 &&
+          col("dup_gram_frac") <= 0.3)
+        .orderBy("doc_id")
+    }),
+
+    // Per-source redundancy report: exact-text and canonical-URL dup
+    // rates plus the micro-quantized means of the per-doc segment-dup
+    // and repetition fractions — the "which source is worth paying
+    // for" monitoring rollup. All keyed aggs; output O(#sources).
+    "q359_redundancy_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url", rawUrlCol)
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("__nt"),
+        countDistinct(UrlOps.canonicalUrl(col("url"))).as("__nu"))
+      def meanMicro(df: org.apache.spark.sql.DataFrame, c: String,
+                    out: String) =
+        df.join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(sum(floor(col(c) * 1e6 + 0.5).cast("long")).as("__s"),
+            count(lit(1)).as("__n"))
+          .select(col("source"),
+            round(col("__s").cast("double") / 1e6 / col("__n"), 6).as(out))
+      base
+        .join(meanMicro(TextOps.segmentDupFraction(docs, "text", "doc_id",
+          20), "dup_segment_frac", "mean_seg_dup"), "source")
+        .join(meanMicro(TextOps.repetitionSignals(docs, "text", "doc_id",
+          2), "dup_gram_frac", "mean_rep"), "source")
+        .select(col("source"), col("n_docs"),
+          round(lit(1.0) - col("__nt").cast("double") / col("n_docs"), 6)
+            .as("exact_dup_rate"),
+          round(lit(1.0) - col("__nu").cast("double") / col("n_docs"), 6)
+            .as("url_dup_rate"),
+          col("mean_seg_dup"), col("mean_rep"))
+        .orderBy("source")
     })
   )
+
+  /** MinHash -> LSH bands -> recursive connected-components CTEs over
+    * `documents` (the q325 shape, regenerated from the same Dedup
+    * constants). Ends with comp(doc_id, component=min reachable id).
+    */
+  private def ccCtes: String = {
+    val bands = (0 until BANDS).map { b =>
+      val cols = (b * (K / BANDS) until (b + 1) * (K / BANDS))
+        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""shx AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", NGRAM)})
+       |    AS sh FROM documents),
+       |hx AS (SELECT doc_id, (${Dedup.h60Sql("sh")}) % ${Dedup.P} AS h
+       |  FROM shx),
+       |sig AS (SELECT doc_id,
+       |${Dedup.perms(K).zipWithIndex.map { case ((a, b), i) =>
+           s"  min(($a * h + $b) % ${Dedup.P}) AS s$i" }.mkString(",\n")}
+       |FROM hx GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |    AND a.doc_id < b.doc_id),
+       |e AS (SELECT da AS u, db AS v FROM cand UNION
+       |  SELECT db, da FROM cand),
+       |reach AS (SELECT u AS a, v AS b FROM e
+       |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+       |  FROM reach GROUP BY a)""".stripMargin
+  }
+
+  /** q354's per-doc segment-dup CTEs, ending with
+    * sega(doc_id, dup_segment_frac).
+    */
+  private val segFracCtes =
+    """wl AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |sg AS (SELECT doc_id, ws,
+      |    unnest(range(0, CAST(ceil(len(ws) / 20.0) AS INT))) AS seg
+      |  FROM wl WHERE len(ws) > 0),
+      |st AS (SELECT doc_id, md5(array_to_string(
+      |    list_slice(ws, seg * 20 + 1, seg * 20 + 20), ' ')) AS segh
+      |  FROM sg),
+      |shd AS (SELECT segh, count(DISTINCT doc_id) AS nd FROM st
+      |  GROUP BY segh),
+      |sega AS (SELECT doc_id,
+      |    round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*), 6) AS dup_segment_frac
+      |  FROM st JOIN shd USING (segh) GROUP BY doc_id)""".stripMargin
+
+  /** q353's per-doc duplicate-2-gram CTEs, ending with
+    * rep(doc_id, dup_gram_frac).
+    */
+  private val repFracCtes =
+    s"""g2 AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", 2)}) AS g
+       |  FROM documents),
+       |cnt2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+       |rep AS (SELECT doc_id,
+       |    round(CAST(sum(c) - count(*) AS DOUBLE)
+       |      / greatest(sum(c), 1), 6) AS dup_gram_frac
+       |  FROM cnt2 GROUP BY doc_id)""".stripMargin
 
   private val q349OracleSql =
     s"""WITH u AS (SELECT doc_id, $rawUrlSql AS raw, $canonUrlSql AS cu
@@ -273,6 +415,59 @@ object Curation3 {
         |    / count(*), 6) AS dup_segment_frac
         |FROM st JOIN sh USING (h) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q358_curation_card" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |exk AS (SELECT h, min(doc_id) AS k FROM ex GROUP BY h),
+         |$segFracCtes,
+         |$repFracCtes,
+         |u AS (SELECT doc_id, $canonUrlSql AS cu FROM documents),
+         |uk AS (SELECT cu, min(doc_id) AS k FROM u GROUP BY cu)
+         |SELECT d.doc_id,
+         |  d.doc_id <> exk.k AS exact_loser,
+         |  coalesce(comp.component <> d.doc_id, FALSE) AS near_loser,
+         |  sega.dup_segment_frac,
+         |  rep.dup_gram_frac,
+         |  d.doc_id <> uk.k AS url_loser,
+         |  d.doc_id = exk.k
+         |    AND NOT coalesce(comp.component <> d.doc_id, FALSE)
+         |    AND d.doc_id = uk.k
+         |    AND sega.dup_segment_frac <= 0.5
+         |    AND rep.dup_gram_frac <= 0.3 AS keep
+         |FROM documents d
+         |JOIN ex ON ex.doc_id = d.doc_id
+         |JOIN exk ON exk.h = ex.h
+         |LEFT JOIN comp ON comp.doc_id = d.doc_id
+         |JOIN sega ON sega.doc_id = d.doc_id
+         |JOIN rep ON rep.doc_id = d.doc_id
+         |JOIN u ON u.doc_id = d.doc_id
+         |JOIN uk ON uk.cu = u.cu
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q359_redundancy_report" ->
+      s"""WITH $segFracCtes,
+         |$repFracCtes,
+         |u AS (SELECT doc_id, $canonUrlSql AS cu FROM documents),
+         |d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |base AS (SELECT source, count(*) AS n_docs,
+         |    count(DISTINCT h) AS nt, count(DISTINCT cu) AS nu
+         |  FROM d JOIN u USING (doc_id) GROUP BY source),
+         |segs AS (SELECT source,
+         |    CAST(sum(CAST(floor(dup_segment_frac * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS s, count(*) AS n
+         |  FROM sega JOIN documents USING (doc_id) GROUP BY source),
+         |reps AS (SELECT source,
+         |    CAST(sum(CAST(floor(dup_gram_frac * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS s, count(*) AS n
+         |  FROM rep JOIN documents USING (doc_id) GROUP BY source)
+         |SELECT base.source, n_docs,
+         |  round(1.0 - CAST(nt AS DOUBLE) / n_docs, 6) AS exact_dup_rate,
+         |  round(1.0 - CAST(nu AS DOUBLE) / n_docs, 6) AS url_dup_rate,
+         |  round(CAST(segs.s AS DOUBLE) / 1e6 / segs.n, 6) AS mean_seg_dup,
+         |  round(CAST(reps.s AS DOUBLE) / 1e6 / reps.n, 6) AS mean_rep
+         |FROM base JOIN segs USING (source) JOIN reps USING (source)
+         |ORDER BY source""".stripMargin,
 
     "q355_unigram_surprisal" ->
       """WITH wx AS (SELECT doc_id, w FROM

@@ -269,4 +269,38 @@ class Round8Spec extends AnyFunSuite {
     assert(one == split, s"$one vs $split")
     assert(one.nonEmpty)
   }
+
+  test("curation card invariants: keep == conjunction; exact losers are near losers; keepers exist") {
+    val card = graft.queries.Curation3.queries("q358_curation_card")(
+      spark, "/root/testdata/sf0.001")
+      .select("doc_id", "exact_loser", "near_loser", "url_loser",
+        "dup_segment_frac", "dup_gram_frac", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Double, Double, Boolean)]
+      .collect()
+    assert(card.nonEmpty)
+    for ((id, ex, near, url, seg, rep, keep) <- card) {
+      assert(keep == (!ex && !near && !url && seg <= 0.5 && rep <= 0.3),
+        s"doc $id: keep flag inconsistent")
+      // identical text => same signature => banded together => clustered
+      assert(!ex || near, s"doc $id: exact loser must be a near loser")
+    }
+    assert(card.exists(_._7), "some docs must survive")
+  }
+
+  test("redundancy report invariants: rates in [0,1], doc counts partition the corpus") {
+    val rep = graft.queries.Curation3.queries("q359_redundancy_report")(
+      spark, "/root/testdata/sf0.001")
+      .select("source", "n_docs", "exact_dup_rate", "url_dup_rate",
+        "mean_seg_dup", "mean_rep")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(rep.nonEmpty)
+    for ((s0, n, er, ur, ms, mr) <- rep) {
+      assert(n > 0)
+      for (x <- Seq(er, ur, ms, mr))
+        assert(x >= 0.0 && x <= 1.0, s"$s0: rate $x out of range")
+    }
+    val total = graft.core.Tables(spark, "/root/testdata/sf0.001",
+      "documents").count()
+    assert(rep.map(_._2).sum == total)
+  }
 }
