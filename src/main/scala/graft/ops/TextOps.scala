@@ -260,6 +260,15 @@ object TextOps {
     * corpus never shuffles for an intra-doc signal (the shape that
     * matters at 100 TB: this runs in the same scan as every other
     * per-doc filter). Fractions are exact integer ratios rounded once.
+    *
+    * Relation to [[graft.ops.Corpus.repetitionStats]] (the original
+    * Gopher battery, q55-era): that op computes dup5/dup10 ratios and
+    * the top-2-gram CHARACTER share via explode + (doc, gram)-keyed
+    * aggregation — a shuffle per signal. This op produces the same
+    * dup-gram fraction (equivalence pinned in Round8Spec) with ZERO
+    * shuffle, plus the top-gram OCCURRENCE share; prefer it when the
+    * signal feeds a same-scan filter chain, and repetitionStats when
+    * the gram text itself (top2_gram) must be reported.
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2): DataFrame = {

@@ -270,6 +270,18 @@ class Round8Spec extends AnyFunSuite {
     assert(one.nonEmpty)
   }
 
+  test("repetitionSignals (map-only) == repetitionStats (shuffled) on the shared dup fraction") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val a = TextOps.repetitionSignals(docs, "text", "doc_id", n = 5)
+      .select("doc_id", "dup_gram_frac").as[(Long, Double)].collect().toMap
+    val b = graft.ops.Corpus.repetitionStats(docs, "text", "doc_id")
+      .select("doc_id", "dup5_ratio").as[(Long, Double)].collect().toMap
+    assert(a.keySet == b.keySet)
+    assert(a.forall { case (k, v) => b(k) == v },
+      a.keySet.filter(k => a(k) != b(k)).take(3)
+        .map(k => s"$k: ${a(k)} vs ${b(k)}").mkString(","))
+  }
+
   test("curation card invariants: keep == conjunction; exact losers are near losers; keepers exist") {
     val card = graft.queries.Curation3.queries("q358_curation_card")(
       spark, "/root/testdata/sf0.001")
