@@ -114,4 +114,43 @@ object Classify {
       .select(col(idCol), col("t.lab").as("label_pred"),
         round(-col("t.neg_cos"), 6).as("cos"))
   }
+
+  /** Classifier evaluation report — per-class support / TP / FP / FN
+    * with precision, recall, and F1 as exact integer ratios (F1 is
+    * derived DIRECTLY from the counts, 2tp/(2tp+fp+fn), never from the
+    * rounded p/r doubles). The held-out scorecard every deployed
+    * quality classifier publishes next to its predictions. Classes =
+    * the union of truth and predicted labels, so a class the model
+    * never emits (recall 0) and a hallucinated class (precision 0)
+    * both get a row. Two tiny keyed aggregates + a class-sized join —
+    * output is O(#classes) at any corpus size.
+    */
+  def evalReport(pred: DataFrame, truth: DataFrame, idCol: String,
+                 predCol: String, labelCol: String): DataFrame = {
+    val j = truth.select(col(idCol).as("__id"), col(labelCol).as("y"))
+      .join(pred.select(col(idCol).as("__id"), col(predCol).as("p")), "__id")
+    val classes = j.select(col("y").as("cls"))
+      .unionByName(j.select(col("p").as("cls"))).distinct()
+    val byTruth = j.groupBy(col("y").as("cls"))
+      .agg(count(lit(1)).as("support"),
+        sum(when(col("p") === col("y"), 1L).otherwise(0L)).as("tp"))
+    val byPred = j.groupBy(col("p").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    classes.join(byTruth, Seq("cls"), "left")
+      .join(byPred, Seq("cls"), "left")
+      .na.fill(0L, Seq("support", "tp", "n_pred"))
+      .select(col("cls"), col("support"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("support") - col("tp")).as("fn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("recall", when(col("support") > 0,
+        round(col("tp").cast("double") / col("support"), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("f1", when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        round(col("tp").cast("double") * 2 /
+          (col("tp") * 2 + col("fp") + col("fn")), 6))
+        .otherwise(lit(0.0)))
+  }
 }

@@ -1161,6 +1161,34 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** Quality-filter threshold sweep — the keep-rate tradeoff curve a
+    * pipeline reads before committing to a cutoff (the q335
+    * dedup-threshold-sweep pattern applied to scalar quality scores):
+    * for each candidate threshold, how many docs and how much token
+    * mass survive `score >= t`, as counts and exact shares. ONE corpus
+    * scan: the per-row threshold fan-out is a map-side explode of the
+    * O(|thresholds|) literal array, aggregated by threshold — output
+    * is O(|thresholds|) rows at any corpus size.
+    */
+  def filterSweep(df: DataFrame, scoreCol: String, tokenCol: String,
+                  thresholds: Seq[Double]): DataFrame =
+    df.select(col(scoreCol).cast("double").as("__s"),
+        col(tokenCol).cast("long").as("__tok"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__s") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(col("__tok")).as("tokens_total"),
+        sum(when(col("__s") >= col("threshold"), col("__tok"))
+          .otherwise(0L)).as("tokens_kept"))
+      .select(col("threshold"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("doc_share"),
+        col("tokens_total"), col("tokens_kept"),
+        round(col("tokens_kept").cast("double") / col("tokens_total"), 6)
+          .as("token_share"))
+
   /** Duplicate-cluster report over a connected-components labeling —
     * the monitoring rollup a curation run publishes per snapshot:
     * cluster-size histogram (how many clusters of 2, 3, ... copies),

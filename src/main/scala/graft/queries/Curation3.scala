@@ -282,6 +282,32 @@ object Curation3 {
             .as("url_dup_rate"),
           col("mean_seg_dup"), col("mean_rep"))
         .orderBy("source")
+    }),
+
+    // Classifier evaluation scorecard: NB lang model trained on the
+    // %5!=0 slice, held-out %5==0 predictions vs true labels —
+    // per-class support/TP/FP/FN + precision/recall/F1 (F1 straight
+    // from the counts, never from rounded p/r).
+    "q360_classifier_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val pred = graft.ops.Classify.naiveBayes(train, test, "text", "lang",
+        "doc_id", 256)
+      graft.ops.Classify.evalReport(pred,
+          test.select(col("doc_id"), col("lang")), "doc_id", "predicted",
+          "lang")
+        .orderBy("cls")
+    }),
+
+    // Quality-filter threshold sweep: the keep-rate tradeoff curve
+    // over n_chars cutoffs (doc and token mass kept per threshold).
+    "q361_filter_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      graft.ops.Corpus.filterSweep(docs, "n_chars", "n_tok",
+          Seq(0.0, 100.0, 200.0, 300.0, 400.0, 500.0))
+        .orderBy("threshold")
     })
   )
 
@@ -468,6 +494,51 @@ object Curation3 {
          |  round(CAST(reps.s AS DOUBLE) / 1e6 / reps.n, 6) AS mean_rep
          |FROM base JOIN segs USING (source) JOIN reps USING (source)
          |ORDER BY source""".stripMargin,
+
+    "q360_classifier_eval" ->
+      s"""WITH ${NorthStar.nbPredCtes("lang")},
+         |truth AS (SELECT doc_id, lang AS y FROM te),
+         |j AS (SELECT truth.doc_id, y, cls AS p FROM truth
+         |  JOIN pred USING (doc_id)),
+         |classes AS (SELECT y AS cls FROM j UNION SELECT p FROM j),
+         |bt AS (SELECT y AS cls, count(*) AS support,
+         |    CAST(sum(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM j GROUP BY y),
+         |bp AS (SELECT p AS cls, count(*) AS n_pred FROM j GROUP BY p),
+         |r AS (SELECT classes.cls, coalesce(support, 0) AS support,
+         |    coalesce(tp, 0) AS tp,
+         |    coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+         |    coalesce(support, 0) - coalesce(tp, 0) AS fn
+         |  FROM classes LEFT JOIN bt USING (cls) LEFT JOIN bp USING (cls))
+         |SELECT cls, support, tp, fp, fn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+         |    ELSE 0.0 END AS "precision",
+         |  CASE WHEN support > 0
+         |    THEN round(CAST(tp AS DOUBLE) / support, 6)
+         |    ELSE 0.0 END AS recall,
+         |  CASE WHEN tp * 2 + fp + fn > 0
+         |    THEN round(CAST(tp AS DOUBLE) * 2 / (tp * 2 + fp + fn), 6)
+         |    ELSE 0.0 END AS f1
+         |FROM r ORDER BY cls""".stripMargin,
+
+    "q361_filter_sweep" ->
+      """WITH d AS (SELECT n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |x AS (SELECT CAST(t AS DOUBLE) AS threshold, n_chars, n_tok
+        |  FROM d, unnest([0.0, 100.0, 200.0, 300.0, 400.0, 500.0]) u(t))
+        |SELECT threshold, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars >= threshold THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN n_chars >= threshold THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS doc_share,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN n_chars >= threshold THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS tokens_kept,
+        |  round(CAST(sum(CASE WHEN n_chars >= threshold THEN n_tok
+        |      ELSE 0 END) AS DOUBLE) / sum(n_tok), 6) AS token_share
+        |FROM x GROUP BY threshold ORDER BY threshold""".stripMargin,
 
     "q355_unigram_surprisal" ->
       """WITH wx AS (SELECT doc_id, w FROM

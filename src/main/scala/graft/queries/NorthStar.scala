@@ -1224,10 +1224,14 @@ object NorthStar {
     * the class SQL expression over the train slice; `finalWhere` lets a
     * composition (q257) filter the argmax output.
     */
-  private def nbOracleSql(labelExpr: String, finalWhere: String = ""): String = {
+  /** The NB prediction pipeline as reusable CTEs ending in
+    * pred(doc_id, cls, score_q) — shared by the q252/q257 oracles and
+    * the q360 evaluation-report oracle (r8).
+    */
+  private[queries] def nbPredCtes(labelExpr: String): String = {
     val sh1 = Dedup.shinglesSql("text", 1)
     val B = 256
-    s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    s"""tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
        |te AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
        |tg AS (SELECT cls, (${Dedup.h60Sql("g")}) % $B AS b FROM
        |  (SELECT $labelExpr AS cls, unnest($sh1) AS g FROM tr)),
@@ -1248,12 +1252,18 @@ object NorthStar {
        |ll AS (SELECT doc_id, cls, CAST(sum(lp_q) AS BIGINT) AS ll_q
        |  FROM sg JOIN grid USING(b) GROUP BY doc_id, cls),
        |sc AS (SELECT doc_id, ll.cls, ll_q + prior_q AS score_q
-       |  FROM ll JOIN prior ON prior.cls = ll.cls)
-       |SELECT doc_id, cls AS predicted, round(score_q / 1000000.0, 6) AS log_prob
-       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-       |        ORDER BY score_q DESC, cls DESC) AS rn FROM sc)
-       |WHERE rn = 1 $finalWhere ORDER BY doc_id""".stripMargin
+       |  FROM ll JOIN prior ON prior.cls = ll.cls),
+       |pred AS (SELECT doc_id, cls, score_q
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY score_q DESC, cls DESC) AS rn FROM sc)
+       |  WHERE rn = 1)""".stripMargin
   }
+
+  private def nbOracleSql(labelExpr: String, finalWhere: String = ""): String =
+    s"""WITH ${nbPredCtes(labelExpr)}
+       |SELECT doc_id, cls AS predicted,
+       |  round(score_q / 1000000.0, 6) AS log_prob
+       |FROM pred WHERE TRUE $finalWhere ORDER BY doc_id""".stripMargin
 
   /** DSIR oracle CTEs: re-derive the micro-nat log-ratio table from the
     * same md5 bucket arithmetic as [[Corpus.dsirWeights]] — unigram +

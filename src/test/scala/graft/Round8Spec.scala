@@ -282,6 +282,38 @@ class Round8Spec extends AnyFunSuite {
         .map(k => s"$k: ${a(k)} vs ${b(k)}").mkString(","))
   }
 
+  test("evalReport: hand-computed confusion incl. never-predicted and hallucinated classes") {
+    val truth = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "y")
+    val pred = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "d"))
+      .toDF("id", "p") // "c" never predicted; "d" hallucinated
+    val got = graft.ops.Classify.evalReport(pred, truth, "id", "p", "y")
+      .select("cls", "support", "tp", "fp", "fn", "precision", "recall", "f1")
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 2L, 1L, 0L, 1L, 1.0, 0.5, 0.666667),
+      ("b", 1L, 1L, 1L, 0L, 0.5, 1.0, 0.666667),
+      ("c", 1L, 0L, 0L, 1L, 0.0, 0.0, 0.0),   // recall hole visible
+      ("d", 0L, 0L, 1L, 0L, 0.0, 0.0, 0.0)),  // precision hole visible
+      got.mkString("\n"))
+  }
+
+  test("filterSweep: hand-computed keep curve") {
+    val df = Seq((1L, 10.0, 100L), (2L, 20.0, 200L), (3L, 30.0, 300L))
+      .toDF("id", "score", "tok")
+    val got = graft.ops.Corpus.filterSweep(df, "score", "tok",
+        Seq(0.0, 15.0, 25.0, 35.0))
+      .select("threshold", "n_kept", "doc_share", "tokens_kept",
+        "token_share")
+      .as[(Double, Long, Double, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0.0, 3L, 1.0, 600L, 1.0),
+      (15.0, 2L, 0.666667, 500L, 0.833333),
+      (25.0, 1L, 0.333333, 300L, 0.5),
+      (35.0, 0L, 0.0, 0L, 0.0)), got.mkString("\n"))
+  }
+
   test("curation card invariants: keep == conjunction; exact losers are near losers; keepers exist") {
     val card = graft.queries.Curation3.queries("q358_curation_card")(
       spark, "/root/testdata/sf0.001")
