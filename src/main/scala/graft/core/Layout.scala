@@ -63,4 +63,23 @@ object Layout {
 
   def readShard(spark: SparkSession, path: String, shard: Int): DataFrame =
     spark.read.parquet(path).where(col("shard") === shard)
+
+  /** Shard manifest — the reproducibility handshake between curation
+    * and training: per shard, doc/token mass, the id range, and an
+    * ORDER-INDEPENDENT content checksum (bit_xor of the repo's shared
+    * 60-bit doc-id hash — a commutative fold, so the same shard
+    * produces the same checksum at any partitioning, task order, or
+    * engine; a trainer re-derives it from the files it actually read
+    * and refuses a mismatch). One keyed agg, O(#shards) output.
+    */
+  def shardManifest(df: DataFrame, shardCol: String, idCol: String,
+                    tokenCol: String): DataFrame =
+    df.select(col(shardCol).as("shard"), col(idCol).as("__id"),
+        col(tokenCol).cast("long").as("__tok"),
+        graft.ops.Dedup.h60(col(idCol).cast("string")).as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        min(col("__id")).as("min_id"), max(col("__id")).as("max_id"),
+        expr("bit_xor(__h)").as("checksum"))
 }

@@ -308,6 +308,19 @@ object Curation3 {
       graft.ops.Corpus.filterSweep(docs, "n_chars", "n_tok",
           Seq(0.0, 100.0, 200.0, 300.0, 400.0, 500.0))
         .orderBy("threshold")
+    }),
+
+    // Shard manifest: per-shard doc/token mass + id range + an
+    // order-independent bit_xor checksum — the curation->training
+    // reproducibility handshake over the q-shardAssign layout.
+    "q362_shard_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      val sharded = graft.ops.Corpus.shardAssign(docs, "doc_id", 8)
+        .select(col("doc_id"), col("shard"))
+        .join(docs.select("doc_id", "n_tok"), "doc_id")
+      graft.core.Layout.shardManifest(sharded, "shard", "doc_id", "n_tok")
+        .orderBy("shard")
     })
   )
 
@@ -539,6 +552,20 @@ object Curation3 {
         |  round(CAST(sum(CASE WHEN n_chars >= threshold THEN n_tok
         |      ELSE 0 END) AS DOUBLE) / sum(n_tok), 6) AS token_share
         |FROM x GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "q362_shard_manifest" -> {
+      val h = Dedup.h60Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH sh AS (SELECT doc_id,
+         |    CAST(($h) % 8 AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    ($h) AS h
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+    },
 
     "q355_unigram_surprisal" ->
       """WITH wx AS (SELECT doc_id, w FROM

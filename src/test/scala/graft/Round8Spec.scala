@@ -314,6 +314,21 @@ class Round8Spec extends AnyFunSuite {
       (35.0, 0L, 0.0, 0L, 0.0)), got.mkString("\n"))
   }
 
+  test("shardManifest: checksum is partitioning-invariant and mutation-sensitive") {
+    val df = (1L to 200L).map(i => (i, i % 4, 10L + i % 7))
+      .toDF("id", "shard", "tok")
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      graft.core.Layout.shardManifest(d, "shard", "id", "tok")
+        .orderBy("shard").collect().map(_.toSeq).toSeq
+    val base = manifest(df)
+    assert(manifest(df.repartition(13)) == base, "order-independent")
+    val mutated = manifest(df.where(col("id") =!= 57L))
+    assert(mutated != base, "dropping a doc must change its shard row")
+    // only the victim's shard row changes
+    val changed = base.zip(mutated).count { case (a, b) => a != b }
+    assert(changed == 1, s"$changed rows changed")
+  }
+
   test("curation card invariants: keep == conjunction; exact losers are near losers; keepers exist") {
     val card = graft.queries.Curation3.queries("q358_curation_card")(
       spark, "/root/testdata/sf0.001")
