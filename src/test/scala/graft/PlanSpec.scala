@@ -398,4 +398,47 @@ class PlanSpec extends AnyFunSuite {
       .orderBy("event_type").collect()
     assert(direct.toSeq == salted.toSeq)
   }
+
+  test("round-8 plans: urlDedup keyed distinct-agg shuffles only; surprisal word join is hash; card has no cartesian") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+      .withColumn("url", graft.queries.Curation3.rawUrlCol)
+    // urlDedup: canonicalization is in the map phase; the only
+    // exchanges are the two keyed shuffles of Spark's distinct-agg
+    // expansion ((key, raw) pre-agg + key agg) — never single-partition
+    val ud = plan(graft.ops.UrlOps.urlDedup(docs, "url", "doc_id"))
+    val nEx = "Exchange hashpartitioning".r.findAllIn(ud).size
+    assert(nEx == 2, s"urlDedup expected 2 keyed exchanges, saw $nEx:\n${ud.take(1200)}")
+    assert(!ud.contains("SinglePartition"), ud.take(1200))
+    // unigramSurprisal: the word-count join must be a hash join keyed
+    // by word (the 1-row total broadcasts)
+    val us = plan(graft.ops.TextOps.unigramSurprisal(docs, "text", "doc_id"))
+    assert(!us.contains("CartesianProduct"), us.take(1200))
+    assert(us.contains("HashJoin"), us.take(1200))
+    // the composed curation card: five lineages, zero cartesians /
+    // nested-loop joins anywhere
+    val card = plan(graft.queries.Curation3.queries("q358_curation_card")(
+      spark, dir))
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!card.contains(bad), card.take(1500))
+  }
+
+  test("round-8 plans: segment explode is map-side; frontier bloom filter sits before the verify join") {
+    val docs = graft.core.Tables(spark, dir, "documents")
+      .withColumn("url", graft.queries.Curation3.rawUrlCol)
+    // segmentDupFraction: the explode feeding the seg-hash agg happens
+    // before any exchange (map-side), and joins stay keyed
+    val sd = plan(graft.ops.TextOps.segmentDupFraction(docs, "text",
+      "doc_id", 20))
+    assert(!sd.contains("CartesianProduct") &&
+      !sd.contains("BroadcastNestedLoopJoin"), sd.take(1200))
+    // urlSeenFilter: the bloom might-contain predicate must appear as a
+    // FILTER in the candidate lineage (pre-join kill), and the verify
+    // join is a hash join
+    val sf0 = graft.ops.UrlOps.urlSeenFilter(
+      docs.where(pmod(col("doc_id"), lit(5L)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(5L)) === 0), "url", "doc_id")
+    val sp = plan(sf0)
+    assert(sp.contains("might_contain"), sp.take(1500))
+    assert(sp.contains("HashJoin"), sp.take(1200))
+  }
 }
