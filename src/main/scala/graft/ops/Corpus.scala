@@ -1189,6 +1189,39 @@ object Corpus {
         round(col("tokens_kept").cast("double") / col("tokens_total"), 6)
           .as("token_share"))
 
+  /** Packing-efficiency sweep over candidate sequence lengths — the
+    * trainer-facing companion to [[filterSweep]]: for each seqLen L,
+    * the sequence count and padding waste under BOTH layouts a trainer
+    * chooses between — pad-per-doc (each doc occupies ceil(tok/L)
+    * sequences, the last one padded) and concatenate-and-chunk (one
+    * global stream cut every L, only the final sequence padded; doc
+    * boundaries handled by cu_seqlens, [[packBoundaries]]). Exact
+    * integer arithmetic throughout; one scan, map-side explode of the
+    * O(|seqLens|) literal, keyed agg — O(|seqLens|) output rows.
+    */
+  def packingSweep(df: DataFrame, tokenCol: String,
+                   seqLens: Seq[Long]): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    df.select(col(tokenCol).cast("long").as("__tok"),
+        explode(typedLit(seqLens)).as("seq_len"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("tokens_total"),
+        sum(idiv(col("__tok") + col("seq_len") - 1, col("seq_len")))
+          .as("n_seq_padded"))
+      .withColumn("n_seq_packed",
+        idiv(col("tokens_total") + col("seq_len") - 1, col("seq_len")))
+      .select(col("seq_len"), col("n_docs"), col("tokens_total"),
+        col("n_seq_padded"),
+        round((col("n_seq_padded") * col("seq_len") - col("tokens_total"))
+          .cast("double") / (col("n_seq_padded") * col("seq_len")), 6)
+          .as("pad_share_padded"),
+        col("n_seq_packed"),
+        round((col("n_seq_packed") * col("seq_len") - col("tokens_total"))
+          .cast("double") / (col("n_seq_packed") * col("seq_len")), 6)
+          .as("pad_share_packed"))
+  }
+
   /** Duplicate-cluster report over a connected-components labeling —
     * the monitoring rollup a curation run publishes per snapshot:
     * cluster-size histogram (how many clusters of 2, 3, ... copies),

@@ -310,6 +310,88 @@ object Curation3 {
         .orderBy("threshold")
     }),
 
+    // Streaming ANN ingest: the snapshot index is built in batch, then
+    // the delta slice ARRIVES AS A STREAM and each micro-batch folds
+    // into the persisted index via foreachBatch + appendSq8Index (the
+    // bounds-drift contract unchanged). After the replay the index
+    // must answer exactly like a full rebuild — shares q326's oracle,
+    // completing the serving story: batch build -> streaming ingest ->
+    // compaction, all decision-identical.
+    "q363_streaming_sq8_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(5L)) =!= 0)
+      val idx = Curation2.tempIndexDir("graft_sq8_stream_")
+      Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
+      val deltaStream = graft.core.Tables.stream(s, dir, "embeddings")
+        .where(pmod(col("vec_id"), lit(5L)) === 0)
+      // the rebuild-path corpus must GROW with each appended batch —
+      // otherwise a drifting later batch would rebuild without the
+      // earlier deltas (foreachBatch runs sequentially, so the fold is
+      // safe; batches are checkpointed before joining the accumulator)
+      var corpusAcc = corpus
+      val q = deltaStream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.localCheckpoint(true)
+            Similarity.appendSq8Index(s, idx, b, "vec_id", "embedding",
+              corpusAcc)
+            corpusAcc = corpusAcc.unionByName(b)
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      try Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+        .localCheckpoint(true)
+      finally Curation2.deleteDir(idx)
+    }),
+
+    // Packing-efficiency sweep: per candidate seqLen, sequence counts
+    // and pad shares under pad-per-doc vs concatenate-and-chunk.
+    "q364_packing_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      graft.ops.Corpus.packingSweep(docs, "n_tok",
+          Seq(64L, 128L, 256L, 512L))
+        .orderBy("seq_len")
+    }),
+
+    // Dedup detection scorecard vs PLANTED ground truth: every %10==0
+    // doc gets a 3-word-suffix clone; the near-dup pipeline
+    // (MinHash-LSH candidates -> exact Jaccard >= 0.8) is scored on
+    // how many planted pairs it finds (recall — short docs whose
+    // Jaccard legitimately falls under the threshold are counted
+    // against it, deterministically) and how many clone-touching
+    // pairs are spurious (precision). One row.
+    "q365_dedup_scorecard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clones = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" planted clone marker")).as("text"))
+      val aug = docs.select("doc_id", "text").unionByName(clones)
+      val pairs = Dedup.ngramJaccard(aug, "text", "doc_id",
+        NGRAM, K, BANDS, 0.8)
+      val clonePairs = pairs.where(col("doc_a") >= 1000000L ||
+        col("doc_b") >= 1000000L)
+      val nP = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+        .agg(count(lit(1)).as("n_planted"))
+      val det = clonePairs
+        .where(col("doc_b") === col("doc_a") + 1000000L)
+        .agg(count(lit(1)).as("n_detected"))
+      val cp = clonePairs.agg(count(lit(1)).as("n_clone_pairs"))
+      nP.crossJoin(det).crossJoin(cp)
+        .select(col("n_planted"), col("n_detected"), col("n_clone_pairs"),
+          (col("n_clone_pairs") - col("n_detected")).as("n_spurious"),
+          round(col("n_detected").cast("double") / col("n_planted"), 6)
+            .as("recall"),
+          when(col("n_clone_pairs") > 0,
+            round(col("n_detected").cast("double") / col("n_clone_pairs"),
+              6)).otherwise(lit(0.0)).as("precision"))
+    }),
+
     // Shard manifest: per-shard doc/token mass + id range + an
     // order-independent bit_xor checksum — the curation->training
     // reproducibility handshake over the q-shardAssign layout.
@@ -324,18 +406,17 @@ object Curation3 {
     })
   )
 
-  /** MinHash -> LSH bands -> recursive connected-components CTEs over
-    * `documents` (the q325 shape, regenerated from the same Dedup
-    * constants). Ends with comp(doc_id, component=min reachable id).
+  /** MinHash -> LSH bands -> candidate-pair CTEs over `src` (ends with
+    * cand(da, db)), regenerated from the same Dedup constants.
     */
-  private def ccCtes: String = {
+  private def sigBandCtes(src: String): String = {
     val bands = (0 until BANDS).map { b =>
       val cols = (b * (K / BANDS) until (b + 1) * (K / BANDS))
         .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig"
     }.mkString("\nUNION ALL\n")
     s"""shx AS (SELECT doc_id, unnest(${Dedup.shinglesSql("text", NGRAM)})
-       |    AS sh FROM documents),
+       |    AS sh FROM $src),
        |hx AS (SELECT doc_id, (${Dedup.h60Sql("sh")}) % ${Dedup.P} AS h
        |  FROM shx),
        |sig AS (SELECT doc_id,
@@ -345,14 +426,21 @@ object Curation3 {
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-       |    AND a.doc_id < b.doc_id),
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** [[sigBandCtes]] over `documents` extended with the recursive
+    * connected-components closure (the q325 shape). Ends with
+    * comp(doc_id, component=min reachable id).
+    */
+  private def ccCtes: String =
+    s"""${sigBandCtes("documents")},
        |e AS (SELECT da AS u, db AS v FROM cand UNION
        |  SELECT db, da FROM cand),
        |reach AS (SELECT u AS a, v AS b FROM e
        |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
        |  FROM reach GROUP BY a)""".stripMargin
-  }
 
   /** q354's per-doc segment-dup CTEs, ending with
     * sega(doc_id, dup_segment_frac).
@@ -398,6 +486,8 @@ object Curation3 {
     "q351_sq8_index_compact" -> Curation2.oracles("q326_ann_sq8"),
     // the streaming replay must equal the batch q349 answer exactly
     "q356_streaming_url_dedup" -> q349OracleSql,
+    // streamed delta ingest == full rebuild, by the append contract
+    "q363_streaming_sq8_ingest" -> Curation2.oracles("q326_ann_sq8"),
     "q357_url_frontier" ->
       s"""WITH u AS (SELECT doc_id, $canonUrlSql AS cu FROM documents),
          |seen AS (SELECT DISTINCT cu FROM u WHERE doc_id % 5 <> 0)
@@ -552,6 +642,57 @@ object Curation3 {
         |  round(CAST(sum(CASE WHEN n_chars >= threshold THEN n_tok
         |      ELSE 0 END) AS DOUBLE) / sum(n_tok), 6) AS token_share
         |FROM x GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "q364_packing_sweep" ->
+      """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS tok FROM documents),
+        |x AS (SELECT CAST(L AS BIGINT) AS seq_len, tok
+        |  FROM d, unnest([64, 128, 256, 512]) u(L)),
+        |a AS (SELECT seq_len, count(*) AS n_docs,
+        |    CAST(sum(tok) AS BIGINT) AS tokens_total,
+        |    CAST(sum((tok + seq_len - 1) // seq_len) AS BIGINT)
+        |      AS n_seq_padded
+        |  FROM x GROUP BY seq_len),
+        |b AS (SELECT *, CAST((tokens_total + seq_len - 1) // seq_len
+        |    AS BIGINT) AS n_seq_packed FROM a)
+        |SELECT seq_len, n_docs, tokens_total, n_seq_padded,
+        |  round(CAST(n_seq_padded * seq_len - tokens_total AS DOUBLE)
+        |    / (n_seq_padded * seq_len), 6) AS pad_share_padded,
+        |  n_seq_packed,
+        |  round(CAST(n_seq_packed * seq_len - tokens_total AS DOUBLE)
+        |    / (n_seq_packed * seq_len), 6) AS pad_share_packed
+        |FROM b ORDER BY seq_len""".stripMargin,
+
+    "q365_dedup_scorecard" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' planted clone marker'
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |${sigBandCtes("aug")},
+         |g AS (SELECT DISTINCT doc_id AS did,
+         |    unnest(${Dedup.shinglesSql("text", NGRAM)}) AS g FROM aug),
+         |sz AS (SELECT did, count(*) AS n FROM g GROUP BY did),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i FROM cand
+         |  JOIN g ga ON ga.did = cand.da
+         |  JOIN g gb2 ON gb2.did = cand.db AND gb2.g = ga.g
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT da, db FROM inter
+         |  JOIN sz sa ON sa.did = inter.da
+         |  JOIN sz sb ON sb.did = inter.db
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |cp AS (SELECT * FROM jac WHERE da >= 1000000 OR db >= 1000000),
+         |np AS (SELECT count(*) AS n_planted FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |dc AS (SELECT count(*) AS n FROM cp WHERE db = da + 1000000),
+         |cc AS (SELECT count(*) AS n FROM cp)
+         |SELECT n_planted, CAST(dc.n AS BIGINT) AS n_detected,
+         |  CAST(cc.n AS BIGINT) AS n_clone_pairs,
+         |  CAST(cc.n - dc.n AS BIGINT) AS n_spurious,
+         |  round(CAST(dc.n AS DOUBLE) / n_planted, 6) AS recall,
+         |  CASE WHEN cc.n > 0
+         |    THEN round(CAST(dc.n AS DOUBLE) / cc.n, 6)
+         |    ELSE 0.0 END AS "precision"
+         |FROM np, dc, cc""".stripMargin,
 
     "q362_shard_manifest" -> {
       val h = Dedup.h60Sql("CAST(doc_id AS VARCHAR)")

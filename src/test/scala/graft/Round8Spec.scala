@@ -329,6 +329,78 @@ class Round8Spec extends AnyFunSuite {
     assert(changed == 1, s"$changed rows changed")
   }
 
+  test("streaming SQ8 ingest: multi-batch fold with a drifting batch == full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = 4
+    def v(seed: Int) = Seq.tabulate(d)(j => ((seed * 31 + j) % 10).toDouble)
+    val corpus = ((1L to 10L).map(i => (i, v(i.toInt))) ++
+      Seq((98L, Seq.fill(d)(0.0)), (99L, Seq.fill(d)(9.0))))
+      .toDF("vec_id", "embedding")
+    val batch1 = (100L to 104L).map(i => (i, v(i.toInt)))        // in bounds
+    val batch2 = Seq((200L, Seq.fill(d)(25.0)))                  // DRIFTS
+    val batch3 = (300L to 303L).map(i => (i, v(i.toInt)))        // in bounds
+    val idx = tmpIdx("si"); val idxF = tmpIdx("sif")
+    try {
+      Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
+      val mem = MemoryStream[(Long, Seq[Double])](spark)
+      var corpusAcc = corpus
+      val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.localCheckpoint(true)
+            Similarity.appendSq8Index(spark, idx, b, "vec_id", "embedding",
+              corpusAcc)
+            corpusAcc = corpusAcc.unionByName(b)
+          }
+          ()
+        }.start()
+      try for (b <- Seq(batch1, batch2.toSeq, batch3)) {
+        mem.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      val all = corpus.unionByName(
+        (batch1 ++ batch2 ++ batch3).toDF("vec_id", "embedding"))
+      Similarity.writeSq8Index(all, "vec_id", "embedding", idxF)
+      val qs = Seq((500L, v(7))).toDF("vec_id", "embedding")
+      val a = Similarity.sq8TopKIndexed(spark, idx, qs, "vec_id",
+        "embedding", 5).collect().map(_.toSeq).toSet
+      val f = Similarity.sq8TopKIndexed(spark, idxF, qs, "vec_id",
+        "embedding", 5).collect().map(_.toSeq).toSet
+      assert(a == f, "streamed fold must equal the full rebuild")
+      // the drifting batch widened the bounds (rebuild path fired and
+      // kept the earlier batch1 codes)
+      val hi = spark.read.parquet(s"$idx/bounds").agg(max("hi"))
+        .head().getDouble(0)
+      assert(hi == 25.0, s"bounds not widened: $hi")
+    } finally {
+      graft.queries.Curation2.deleteDir(idx)
+      graft.queries.Curation2.deleteDir(idxF)
+    }
+  }
+
+  test("packingSweep: hand-computed pad shares for both layouts") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 50L)).toDF("id", "tok")
+    val got = graft.ops.Corpus.packingSweep(df, "tok", Seq(16L))
+      .select("seq_len", "n_docs", "tokens_total", "n_seq_padded",
+        "pad_share_padded", "n_seq_packed", "pad_share_packed")
+      .as[(Long, Long, Long, Long, Double, Long, Double)].head()
+    // padded: ceil(10/16)+ceil(20/16)+ceil(50/16) = 1+2+4 = 7 seqs,
+    // 7*16-80 = 32 pad / 112 slots; packed: ceil(80/16)=5, 0 pad
+    assert(got == ((16L, 3L, 80L, 7L, 0.285714, 5L, 0.0)), got.toString)
+  }
+
+  test("dedup scorecard invariants: detected <= planted, recall/precision consistent") {
+    val row = graft.queries.Curation3.queries("q365_dedup_scorecard")(
+      spark, "/root/testdata/sf0.001")
+      .select("n_planted", "n_detected", "n_clone_pairs", "n_spurious",
+        "recall", "precision")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    val (np, nd, ncp, nsp, rec, prec) = row
+    assert(np > 0 && nd > 0, row.toString)
+    assert(nd <= np && nd <= ncp && nsp == ncp - nd, row.toString)
+    assert(rec > 0.0 && rec <= 1.0 && prec > 0.0 && prec <= 1.0,
+      row.toString)
+  }
+
   test("curation card invariants: keep == conjunction; exact losers are near losers; keepers exist") {
     val card = graft.queries.Curation3.queries("q358_curation_card")(
       spark, "/root/testdata/sf0.001")
