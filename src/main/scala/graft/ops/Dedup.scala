@@ -496,6 +496,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Compact a persisted dedup index after many [[appendDedupIndex]]
+    * folds — the [[graft.ops.Similarity.compactSq8Index]] pattern for
+    * the hash/band tables: each append leaves its own small parquet
+    * files; both tables are materialized (lineage-truncating
+    * checkpoint, so the rewrite never reads its own output) and
+    * rewritten into `partitions` right-sized files. Decisions are
+    * untouched — the gate proves a post-compaction delta run still
+    * matches the grown-corpus oracle.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, partitions: Int): Unit = {
+    spark.read.parquet(s"$path/hashes.parquet")
+      .repartition(partitions).localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/hashes.parquet")
+    spark.read.parquet(s"$path/bands.parquet")
+      .repartition(partitions).localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/bands.parquet")
+  }
+
   /** Incremental (snapshot + delta) dedup: admit only the `batch` docs
     * that are new w.r.t. an existing `corpus` — the production shape for
     * a continuously-curated corpus, where re-deduplicating 100 TB for a

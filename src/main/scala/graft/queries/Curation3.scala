@@ -349,6 +349,26 @@ object Curation3 {
       finally Curation2.deleteDir(idx)
     }),
 
+    // Dedup-index compaction: append batch1, COMPACT the hash/band
+    // tables, then serve batch2 — decisions must still equal the
+    // grown-corpus rebuild (shares q352's oracle).
+    "q366_dedup_index_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus0 = docs.where(pmod(col("doc_id"), lit(5L)).isin(2L, 3L, 4L))
+      val batch1 = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+      val batch2 = docs.where(pmod(col("doc_id"), lit(5L)) === 1)
+      val grown = docs.where(pmod(col("doc_id"), lit(5L)) =!= 1)
+      val idx = Curation2.tempIndexDir("graft_dedup_compact_")
+      Dedup.writeDedupIndex(corpus0, "text", "doc_id", idx, NGRAM, K, BANDS)
+      Dedup.appendDedupIndex(batch1, "text", "doc_id", idx, NGRAM, K, BANDS)
+      Dedup.compactDedupIndex(s, idx, 2)
+      try Dedup.incrementalDedupIndexed(idx, grown, batch2, "text", "doc_id",
+          NGRAM, K, BANDS, 0.8)
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      finally Curation2.deleteDir(idx)
+    }),
+
     // Packing-efficiency sweep: per candidate seqLen, sequence counts
     // and pad shares under pad-per-doc vs concatenate-and-chunk.
     "q364_packing_sweep" -> ((s, dir) => {
@@ -495,6 +515,9 @@ object Curation3 {
          |  cu IN (SELECT cu FROM seen) AS seen
          |FROM u WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
     "q352_dedup_index_append" ->
+      Curation.incrementalDedupOracle("doc_id % 5 <> 1", "doc_id % 5 = 1"),
+    // compaction must not change a single decision
+    "q366_dedup_index_compact" ->
       Curation.incrementalDedupOracle("doc_id % 5 <> 1", "doc_id % 5 = 1"),
 
     "q349_url_dedup" -> q349OracleSql,
