@@ -66,17 +66,23 @@ object Layout {
 
   /** Shard manifest — the reproducibility handshake between curation
     * and training: per shard, doc/token mass, the id range, and an
-    * ORDER-INDEPENDENT content checksum (bit_xor of the repo's shared
-    * 60-bit doc-id hash — a commutative fold, so the same shard
-    * produces the same checksum at any partitioning, task order, or
-    * engine; a trainer re-derives it from the files it actually read
-    * and refuses a mismatch). One keyed agg, O(#shards) output.
+    * ORDER-INDEPENDENT content checksum: bit_xor of the repo's shared
+    * 60-bit hash over `id ':' content`, a commutative fold, so the
+    * same shard produces the same checksum at any partitioning, task
+    * order, or engine — and a corrupted/substituted payload under an
+    * unchanged id DOES flip it (an id-only checksum would wave
+    * corrupted content through). A doc duplicated an even number of
+    * times xor-cancels, but duplication always moves `n_docs`, which
+    * travels in the same row. A trainer re-derives the row from the
+    * files it actually read and refuses a mismatch. One keyed agg,
+    * O(#shards) output.
     */
   def shardManifest(df: DataFrame, shardCol: String, idCol: String,
-                    tokenCol: String): DataFrame =
+                    tokenCol: String, contentCol: String): DataFrame =
     df.select(col(shardCol).as("shard"), col(idCol).as("__id"),
         col(tokenCol).cast("long").as("__tok"),
-        graft.ops.Dedup.h60(col(idCol).cast("string")).as("__h"))
+        graft.ops.Dedup.h60(concat(col(idCol).cast("string"), lit(":"),
+          col(contentCol).cast("string"))).as("__h"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__tok")).as("n_tokens"),

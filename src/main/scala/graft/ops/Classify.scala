@@ -127,14 +127,20 @@ object Classify {
     */
   def evalReport(pred: DataFrame, truth: DataFrame, idCol: String,
                  predCol: String, labelCol: String): DataFrame = {
+    // LEFT join from truth: a doc the model never predicted (an
+    // abstaining/confidence-filtered classifier) must still count in
+    // its class's support and FN — an inner join would silently shrink
+    // the eval set and overstate recall.
     val j = truth.select(col(idCol).as("__id"), col(labelCol).as("y"))
-      .join(pred.select(col(idCol).as("__id"), col(predCol).as("p")), "__id")
+      .join(pred.select(col(idCol).as("__id"), col(predCol).as("p")),
+        Seq("__id"), "left")
     val classes = j.select(col("y").as("cls"))
-      .unionByName(j.select(col("p").as("cls"))).distinct()
+      .unionByName(j.where(col("p").isNotNull).select(col("p").as("cls")))
+      .distinct()
     val byTruth = j.groupBy(col("y").as("cls"))
       .agg(count(lit(1)).as("support"),
         sum(when(col("p") === col("y"), 1L).otherwise(0L)).as("tp"))
-    val byPred = j.groupBy(col("p").as("cls"))
+    val byPred = j.where(col("p").isNotNull).groupBy(col("p").as("cls"))
       .agg(count(lit(1)).as("n_pred"))
     classes.join(byTruth, Seq("cls"), "left")
       .join(byPred, Seq("cls"), "left")

@@ -273,16 +273,19 @@ object TextOps {
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2): DataFrame = {
     val sorted = array_sort(Dedup.shingles(col(textCol), n))
-    // fold: (prev gram, current run, max run, duplicate count)
-    val acc0 = struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("maxrun"), lit(0L).as("dups"))
+    // fold: (prev gram, current run, max run, duplicate count).
+    // prev starts NULL and equality is null-safe (<=>): an empty-string
+    // gram (empty doc, doubled spaces at n=1) must NOT match the
+    // sentinel — a "" sentinel would count the first such gram as a
+    // duplicate and report dup_gram_frac=1.0 where the oracle says 0.
+    val acc0 = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("maxrun"), lit(0L).as("dups"))
     val folded = aggregate(sorted, acc0, (acc, g) => {
-      val run = when(g === acc.getField("prev"),
-        acc.getField("run") + 1L).otherwise(lit(1L))
+      val isDup = g <=> acc.getField("prev")
+      val run = when(isDup, acc.getField("run") + 1L).otherwise(lit(1L))
       struct(g.as("prev"), run.as("run"),
         greatest(run, acc.getField("maxrun")).as("maxrun"),
-        (acc.getField("dups") + when(g === acc.getField("prev"), 1L)
-          .otherwise(0L)).as("dups"))
+        (acc.getField("dups") + when(isDup, 1L).otherwise(0L)).as("dups"))
     })
     df.select(col(idCol), folded.as("__f"),
         size(Dedup.shingles(col(textCol), n)).cast("long").as("total_grams"))

@@ -50,8 +50,13 @@ object UrlOps {
     val qRaw = regexp_extract(url, "\\?([^#]*)", 1)
     val kept = array_join(array_sort(filter(split(qRaw, "&"),
       p => !(p rlike trackingParamRe) && p =!= "")), "&")
-    concat(schemeC, lit("://"), hostC, portC, pathC,
-      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+    // identity fallback: a schemeless/protocol-relative/otherwise
+    // unparseable URL passes through UNCHANGED — collapsing them all
+    // onto a shared "://" junk key would make urlDedup declare
+    // unrelated pages copies and urlSeenFilter report phantom hits
+    when(schemeC === "" || hostC === "", url)
+      .otherwise(concat(schemeC, lit("://"), hostC, portC, pathC,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 
   /** Registered domain (simplified public-suffix rule: the last two
@@ -106,15 +111,19 @@ object UrlOps {
   }
 
   /** Per-registered-domain rollup: doc count, distinct canonical URLs,
-    * URL-dup rate, and the exact quality mean (long-sum of an integral
-    * quality column / n — order-exact at any partitioning). The frame
+    * URL-dup rate, and the exact quality mean. The quality column is
+    * MICRO-QUANTIZED per row before the cross-row long sum (the
+    * engine-exactness contract), so fractional [0,1] model scores —
+    * the common quality signal — roll up exactly instead of
+    * truncating to zero (the r7 keepBestQuality bug class). The frame
     * [[Corpus.domainCap]] reads to budget a crawl.
     */
   def domainQualityRollup(df: DataFrame, urlCol: String,
                           qualityCol: String): DataFrame =
     df.select(registeredDomain(col(urlCol)).as("domain"),
         canonicalUrl(col(urlCol)).as("cu"),
-        col(qualityCol).cast("long").as("q"))
+        floor(col(qualityCol).cast("double") * 1e6 + 0.5).cast("long")
+          .as("q"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cu")).as("n_urls"),
@@ -122,6 +131,6 @@ object UrlOps {
       .select(col("domain"), col("n_docs"), col("n_urls"),
         round(lit(1.0) - col("n_urls").cast("double") / col("n_docs"), 6)
           .as("url_dup_rate"),
-        round(col("quality_sum").cast("double") / col("n_docs"), 6)
+        round(col("quality_sum").cast("double") / 1e6 / col("n_docs"), 6)
           .as("mean_quality"))
 }

@@ -37,13 +37,16 @@ object Curation {
       val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
       val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
       val idx = Curation2.tempIndexDir("graft_dedup_index_")
-      Dedup.writeDedupIndex(corpus, "text", "doc_id", idx, NGRAM, K, BANDS)
-      // materialize before deleting the on-disk index (leak fix, r8)
-      try Dedup.incrementalDedupIndexed(idx, corpus, batch, "text", "doc_id",
-          NGRAM, K, BANDS, 0.8)
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-      finally Curation2.deleteDir(idx)
+      // build inside the try; materialize before deleting the on-disk
+      // index (leak fixes, r8)
+      try {
+        Dedup.writeDedupIndex(corpus, "text", "doc_id", idx, NGRAM, K,
+          BANDS)
+        Dedup.incrementalDedupIndexed(idx, corpus, batch, "text", "doc_id",
+            NGRAM, K, BANDS, 0.8)
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
     }),
 
     // SoftDeDup: every doc keeps an exact integer micro-weight

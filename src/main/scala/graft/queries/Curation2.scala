@@ -283,14 +283,16 @@ object Curation2 {
     "q338_ann_sq8_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = tempIndexDir("graft_sq8_index_")
-      Similarity.writeSq8Index(emb, "vec_id", "embedding", idx)
+      // build inside the try (a mid-build failure must still clean up);
       // materialize (lineage-truncating) BEFORE deleting the on-disk
       // index so every gate/bench run cleans up after itself (r7 ADVICE)
-      try Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 5)
-        .orderBy("query_id", "rank")
-        .localCheckpoint(true)
-      finally deleteDir(idx)
+      try {
+        Similarity.writeSq8Index(emb, "vec_id", "embedding", idx)
+        Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally deleteDir(idx)
     }),
 
     // Diversity-quota retrieval: top-5 with at most 2 results per label.

@@ -87,13 +87,17 @@ object Curation3 {
       val corpus = emb.where(pmod(col("vec_id"), lit(5L)) =!= 0)
       val delta = emb.where(pmod(col("vec_id"), lit(5L)) === 0)
       val idx = Curation2.tempIndexDir("graft_sq8_append_")
-      Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
-      Similarity.appendSq8Index(s, idx, delta, "vec_id", "embedding", corpus)
-      try Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 5)
-        .orderBy("query_id", "rank")
-        .localCheckpoint(true)
-      finally Curation2.deleteDir(idx)
+      // build sits INSIDE the try: a failure mid-build must still
+      // clean up the scratch dir (r8 self-review)
+      try {
+        Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
+        Similarity.appendSq8Index(s, idx, delta, "vec_id", "embedding",
+          corpus)
+        Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
     }),
 
     // URL dedup: canonicalize the messy raw forms, one hash agg per
@@ -118,14 +122,16 @@ object Curation3 {
       val corpus = emb.where(pmod(col("vec_id"), lit(5L)) =!= 0)
       val delta = emb.where(pmod(col("vec_id"), lit(5L)) === 0)
       val idx = Curation2.tempIndexDir("graft_sq8_compact_")
-      Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
-      Similarity.appendSq8Index(s, idx, delta, "vec_id", "embedding", corpus)
-      Similarity.compactSq8Index(s, idx, 4)
-      try Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 5)
-        .orderBy("query_id", "rank")
-        .localCheckpoint(true)
-      finally Curation2.deleteDir(idx)
+      try {
+        Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
+        Similarity.appendSq8Index(s, idx, delta, "vec_id", "embedding",
+          corpus)
+        Similarity.compactSq8Index(s, idx, 4)
+        Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
     }),
 
     // Dedup-index append: ingest batch1 into the persisted index, then
@@ -139,13 +145,16 @@ object Curation3 {
       val batch2 = docs.where(pmod(col("doc_id"), lit(5L)) === 1)
       val grown = docs.where(pmod(col("doc_id"), lit(5L)) =!= 1)
       val idx = Curation2.tempIndexDir("graft_dedup_append_")
-      Dedup.writeDedupIndex(corpus0, "text", "doc_id", idx, NGRAM, K, BANDS)
-      Dedup.appendDedupIndex(batch1, "text", "doc_id", idx, NGRAM, K, BANDS)
-      try Dedup.incrementalDedupIndexed(idx, grown, batch2, "text", "doc_id",
-          NGRAM, K, BANDS, 0.8)
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-      finally Curation2.deleteDir(idx)
+      try {
+        Dedup.writeDedupIndex(corpus0, "text", "doc_id", idx, NGRAM, K,
+          BANDS)
+        Dedup.appendDedupIndex(batch1, "text", "doc_id", idx, NGRAM, K,
+          BANDS)
+        Dedup.incrementalDedupIndexed(idx, grown, batch2, "text", "doc_id",
+            NGRAM, K, BANDS, 0.8)
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
     }),
 
     // Gopher repetition filters, intra-doc: duplicate-2-gram fraction
@@ -245,7 +254,12 @@ object Curation3 {
         .withColumn("near_loser",
           coalesce(col("component") =!= col("doc_id"), lit(false)))
         .drop("component")
-        .join(seg, "doc_id").join(rep, "doc_id").join(urls, "doc_id")
+        // LEFT join: a whitespace-only doc has no segments but must
+        // still get a verdict row (0.0 = no segment-dup evidence)
+        .join(seg, Seq("doc_id"), "left")
+        .withColumn("dup_segment_frac",
+          coalesce(col("dup_segment_frac"), lit(0.0)))
+        .join(rep, "doc_id").join(urls, "doc_id")
         .withColumn("keep", !col("exact_loser") && !col("near_loser") &&
           !col("url_loser") && col("dup_segment_frac") <= 0.5 &&
           col("dup_gram_frac") <= 0.3)
@@ -321,32 +335,35 @@ object Curation3 {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(pmod(col("vec_id"), lit(5L)) =!= 0)
       val idx = Curation2.tempIndexDir("graft_sq8_stream_")
-      Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
-      val deltaStream = graft.core.Tables.stream(s, dir, "embeddings")
-        .where(pmod(col("vec_id"), lit(5L)) === 0)
-      // the rebuild-path corpus must GROW with each appended batch —
-      // otherwise a drifting later batch would rebuild without the
-      // earlier deltas (foreachBatch runs sequentially, so the fold is
-      // safe; batches are checkpointed before joining the accumulator)
-      var corpusAcc = corpus
-      val q = deltaStream.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            val b = batch.localCheckpoint(true)
-            Similarity.appendSq8Index(s, idx, b, "vec_id", "embedding",
-              corpusAcc)
-            corpusAcc = corpusAcc.unionByName(b)
+      try {
+        Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
+        val deltaStream = graft.core.Tables.stream(s, dir, "embeddings")
+          .where(pmod(col("vec_id"), lit(5L)) === 0)
+        // the rebuild-path corpus must GROW with each appended batch —
+        // otherwise a drifting later batch would rebuild without the
+        // earlier deltas (foreachBatch runs sequentially, so the fold
+        // is safe; batches are checkpointed before joining the
+        // accumulator)
+        var corpusAcc = corpus
+        val q = deltaStream.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!batch.isEmpty) {
+                val b = batch.localCheckpoint(true)
+                Similarity.appendSq8Index(s, idx, b, "vec_id", "embedding",
+                  corpusAcc)
+                corpusAcc = corpusAcc.unionByName(b)
+              }
+              ()
           }
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      try Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 5)
-        .orderBy("query_id", "rank")
-        .localCheckpoint(true)
-      finally Curation2.deleteDir(idx)
+          .start()
+        q.awaitTermination()
+        Similarity.sq8TopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
     }),
 
     // Dedup-index compaction: append batch1, COMPACT the hash/band
@@ -359,14 +376,17 @@ object Curation3 {
       val batch2 = docs.where(pmod(col("doc_id"), lit(5L)) === 1)
       val grown = docs.where(pmod(col("doc_id"), lit(5L)) =!= 1)
       val idx = Curation2.tempIndexDir("graft_dedup_compact_")
-      Dedup.writeDedupIndex(corpus0, "text", "doc_id", idx, NGRAM, K, BANDS)
-      Dedup.appendDedupIndex(batch1, "text", "doc_id", idx, NGRAM, K, BANDS)
-      Dedup.compactDedupIndex(s, idx, 2)
-      try Dedup.incrementalDedupIndexed(idx, grown, batch2, "text", "doc_id",
-          NGRAM, K, BANDS, 0.8)
-        .orderBy("doc_id")
-        .localCheckpoint(true)
-      finally Curation2.deleteDir(idx)
+      try {
+        Dedup.writeDedupIndex(corpus0, "text", "doc_id", idx, NGRAM, K,
+          BANDS)
+        Dedup.appendDedupIndex(batch1, "text", "doc_id", idx, NGRAM, K,
+          BANDS)
+        Dedup.compactDedupIndex(s, idx, 2)
+        Dedup.incrementalDedupIndexed(idx, grown, batch2, "text", "doc_id",
+            NGRAM, K, BANDS, 0.8)
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
     }),
 
     // Packing-efficiency sweep: per candidate seqLen, sequence counts
@@ -420,8 +440,9 @@ object Curation3 {
         .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       val sharded = graft.ops.Corpus.shardAssign(docs, "doc_id", 8)
         .select(col("doc_id"), col("shard"))
-        .join(docs.select("doc_id", "n_tok"), "doc_id")
-      graft.core.Layout.shardManifest(sharded, "shard", "doc_id", "n_tok")
+        .join(docs.select("doc_id", "n_tok", "text"), "doc_id")
+      graft.core.Layout.shardManifest(sharded, "shard", "doc_id", "n_tok",
+          "text")
         .orderBy("shard")
     })
   )
@@ -529,7 +550,8 @@ object Curation3 {
          |SELECT domain, count(*) AS n_docs, count(DISTINCT cu) AS n_urls,
          |  round(1.0 - CAST(count(DISTINCT cu) AS DOUBLE) / count(*), 6)
          |    AS url_dup_rate,
-         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_quality
+         |  round(CAST(sum(CAST(floor(CAST(n_chars AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS mean_quality
          |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q353_repetition_signals" ->
@@ -579,19 +601,19 @@ object Curation3 {
          |SELECT d.doc_id,
          |  d.doc_id <> exk.k AS exact_loser,
          |  coalesce(comp.component <> d.doc_id, FALSE) AS near_loser,
-         |  sega.dup_segment_frac,
+         |  coalesce(sega.dup_segment_frac, 0.0) AS dup_segment_frac,
          |  rep.dup_gram_frac,
          |  d.doc_id <> uk.k AS url_loser,
          |  d.doc_id = exk.k
          |    AND NOT coalesce(comp.component <> d.doc_id, FALSE)
          |    AND d.doc_id = uk.k
-         |    AND sega.dup_segment_frac <= 0.5
+         |    AND coalesce(sega.dup_segment_frac, 0.0) <= 0.5
          |    AND rep.dup_gram_frac <= 0.3 AS keep
          |FROM documents d
          |JOIN ex ON ex.doc_id = d.doc_id
          |JOIN exk ON exk.h = ex.h
          |LEFT JOIN comp ON comp.doc_id = d.doc_id
-         |JOIN sega ON sega.doc_id = d.doc_id
+         |LEFT JOIN sega ON sega.doc_id = d.doc_id
          |JOIN rep ON rep.doc_id = d.doc_id
          |JOIN u ON u.doc_id = d.doc_id
          |JOIN uk ON uk.cu = u.cu
@@ -719,10 +741,11 @@ object Curation3 {
 
     "q362_shard_manifest" -> {
       val h = Dedup.h60Sql("CAST(doc_id AS VARCHAR)")
+      val hc = Dedup.h60Sql("CAST(doc_id AS VARCHAR) || ':' || text")
       s"""WITH sh AS (SELECT doc_id,
          |    CAST(($h) % 8 AS INT) AS shard,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         |    ($h) AS h
+         |    ($hc) AS h
          |  FROM documents)
          |SELECT shard, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,

@@ -135,7 +135,11 @@ class Round8Spec extends AnyFunSuite {
       ("https://blog.example.com/p/?fbclid=abc", "https://blog.example.com/p"),
       ("https://example.com/p?b=2&a=1", "https://example.com/p?a=1&b=2"),
       ("https://example.com/p?utm_campaign=c&utm_medium=m",
-        "https://example.com/p"))
+        "https://example.com/p"),
+      // unparseable inputs pass through UNCHANGED (identity fallback) —
+      // collapsing them onto "://" junk keys would merge unrelated pages
+      ("//example.com/x?a=1", "//example.com/x?a=1"),
+      ("not a url at all", "not a url at all"))
     val got = cases.map(_._1).toDF("u")
       .select(UrlOps.canonicalUrl(col("u"))).as[String].collect().toSeq
     assert(got == cases.map(_._2), got.mkString("\n"))
@@ -177,6 +181,13 @@ class Round8Spec extends AnyFunSuite {
       (2L, 4L, 4L, 0.0, 0.25),  // all unique: top share 1/4
       (3L, 1L, 1L, 0.0, 1.0)),  // 1-word doc: one truncated gram
       got.mkString(","))
+    // empty text: one "" gram, which must NOT collide with the fold's
+    // sentinel (a "" sentinel counted it as a duplicate — r8 review)
+    val empty = TextOps.repetitionSignals(
+        Seq((9L, "")).toDF("doc_id", "text"), "text", "doc_id", 2)
+      .select("total_grams", "distinct_grams", "dup_gram_frac")
+      .as[(Long, Long, Double)].head()
+    assert(empty == ((1L, 1L, 0.0)), empty.toString)
     // map-only claim: no exchange anywhere in the plan
     val plan = TextOps.repetitionSignals(df, "text", "doc_id", 2)
       .queryExecution.executedPlan.toString
@@ -299,6 +310,19 @@ class Round8Spec extends AnyFunSuite {
       got.mkString("\n"))
   }
 
+  test("evalReport: an abstaining classifier's unpredicted docs count as FN, not vanish") {
+    val truth = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .toDF("id", "y")
+    val pred = Seq((1L, "a")).toDF("id", "p") // abstained on 2, 3, 4
+    val got = graft.ops.Classify.evalReport(pred, truth, "id", "p", "y")
+      .select("cls", "support", "tp", "fp", "fn", "recall")
+      .as[(String, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    // an inner join would have reported support=1, recall=1.0 for "a"
+    assert(got == Seq(("a", 3L, 1L, 0L, 2L, 0.333333),
+      ("b", 1L, 0L, 0L, 1L, 0.0)), got.mkString("\n"))
+  }
+
   test("filterSweep: hand-computed keep curve") {
     val df = Seq((1L, 10.0, 100L), (2L, 20.0, 200L), (3L, 30.0, 300L))
       .toDF("id", "score", "tok")
@@ -314,19 +338,25 @@ class Round8Spec extends AnyFunSuite {
       (35.0, 0L, 0.0, 0L, 0.0)), got.mkString("\n"))
   }
 
-  test("shardManifest: checksum is partitioning-invariant and mutation-sensitive") {
-    val df = (1L to 200L).map(i => (i, i % 4, 10L + i % 7))
-      .toDF("id", "shard", "tok")
+  test("shardManifest: checksum is partitioning-invariant and CONTENT-sensitive") {
+    val df = (1L to 200L).map(i => (i, i % 4, 10L + i % 7, s"payload $i"))
+      .toDF("id", "shard", "tok", "body")
     def manifest(d: org.apache.spark.sql.DataFrame) =
-      graft.core.Layout.shardManifest(d, "shard", "id", "tok")
+      graft.core.Layout.shardManifest(d, "shard", "id", "tok", "body")
         .orderBy("shard").collect().map(_.toSeq).toSeq
     val base = manifest(df)
     assert(manifest(df.repartition(13)) == base, "order-independent")
-    val mutated = manifest(df.where(col("id") =!= 57L))
-    assert(mutated != base, "dropping a doc must change its shard row")
-    // only the victim's shard row changes
-    val changed = base.zip(mutated).count { case (a, b) => a != b }
-    assert(changed == 1, s"$changed rows changed")
+    val dropped = manifest(df.where(col("id") =!= 57L))
+    assert(base.zip(dropped).count { case (a, b) => a != b } == 1,
+      "dropping a doc must change exactly its shard row")
+    // corrupted payload under an UNCHANGED id (same n_docs, same id
+    // range, same token count) must still flip the checksum — the
+    // id-only checksum waved this through (r8 self-review)
+    val corrupted = manifest(df.withColumn("body",
+      when(col("id") === 57L, lit("substituted content"))
+        .otherwise(col("body"))))
+    assert(base.zip(corrupted).count { case (a, b) => a != b } == 1,
+      "content substitution must flip exactly its shard checksum")
   }
 
   test("streaming SQ8 ingest: multi-batch fold with a drifting batch == full rebuild") {

@@ -40,14 +40,22 @@ else
         NUMS="$NUMS $(git diff "$REF" -- "$f" | grep -oE '"q[0-9]+_' \
           | grep -oE '[0-9]+' || true)" ;;
       *)
-        # object name -> queries whose builder body references it
+        # object name -> queries whose builder body references it.
+        # Scanned PER FILE (cur resets) so a trailing query of one file
+        # is never credited with the next file's references; a
+        # reference in a file's PREAMBLE (shared constants like
+        # Dedup.shinglesSql feeding many oracles) conservatively maps
+        # to EVERY query in that file.
         OBJ=$(basename "$f" .scala)
-        NUMS="$NUMS $(awk -v obj="$OBJ" '
-          match($0, /"q[0-9]+_[a-z0-9_]*"/) {
-            cur = substr($0, RSTART+2, RLENGTH-3)
-            sub(/_.*/, "", cur) }
-          index($0, obj ".") && cur != "" { print cur }
-        ' src/main/scala/graft/queries/*.scala | sort -u || true)" ;;
+        for qf in src/main/scala/graft/queries/*.scala; do
+          NUMS="$NUMS $(awk -v obj="$OBJ" '
+            match($0, /"q[0-9]+_[a-z0-9_]*"/) {
+              cur = substr($0, RSTART+2, RLENGTH-3)
+              sub(/_.*/, "", cur); all[cur] = 1 }
+            index($0, obj ".") { if (cur != "") print cur; else pre = 1 }
+            END { if (pre) for (n in all) print n }
+          ' "$qf" | sort -u || true)"
+        done ;;
     esac
   done
   NUMS=$(printf '%s\n' $NUMS | grep -E '^[0-9]+$' | sort -un | tr '\n' '|' \
@@ -59,7 +67,7 @@ else
   QS="q($NUMS)_"
 fi
 
-N=$(printf '%s' "$QS" | tr '|' '\n' | wc -l)
+N=$(printf '%s\n' "$QS" | tr '|' '\n' | wc -l)
 echo "[precommit] gate subset ($N queries): $QS" >&2
 OUT=$(mktemp -d /tmp/graft_precommit_XXXXXX)
 trap 'rm -rf "$OUT"' EXIT
