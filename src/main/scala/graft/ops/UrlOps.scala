@@ -110,6 +110,24 @@ object UrlOps {
         coalesce(col("__seen"), lit(false)).as("seen"))
   }
 
+  /** Domain-stratified train/val/test split: the split key is the
+    * REGISTERED DOMAIN, so no domain ever straddles train/test — the
+    * web-data analog of [[Dedup.leakageSafeSplit]]'s cluster-keyed
+    * rule (near-identical boilerplate, templates, and style leak
+    * across pages of one site even when no page is a near-dup).
+    * Deterministic md5 assignment: reproducible at any partitioning,
+    * engine, or rerun; map-only, zero shuffle.
+    */
+  def domainSafeSplit(df: DataFrame, urlCol: String, idCol: String,
+                      valPct: Int, testPct: Int): DataFrame = {
+    val h = pmod(graft.ops.Dedup.h60(registeredDomain(col(urlCol))),
+      lit(100L))
+    df.select(col(idCol), registeredDomain(col(urlCol)).as("domain"),
+      when(h < testPct, lit("test"))
+        .when(h < testPct + valPct, lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Per-registered-domain rollup: doc count, distinct canonical URLs,
     * URL-dup rate, and the exact quality mean. The quality column is
     * MICRO-QUANTIZED per row before the cross-row long sum (the

@@ -389,6 +389,49 @@ object Curation3 {
       } finally Curation2.deleteDir(idx)
     }),
 
+    // Domain-stratified split: the split key is the registered domain,
+    // so no site straddles train/test (site-level style/boilerplate
+    // leakage — the web analog of the q284 cluster-keyed rule).
+    "q367_domain_safe_split" -> ((s, dir) =>
+      UrlOps.domainSafeSplit(
+          t(s, dir, "documents").withColumn("url", rawUrlCol),
+          "url", "doc_id", valPct = 10, testPct = 10)
+        .orderBy("doc_id")),
+
+    // The ROUND-8 FLAGSHIP: crawl-to-corpus in one plan — URL dedup ->
+    // exact text dedup -> repetition filter -> per-domain cap ->
+    // shard layout, handed off as the manifest (counts, token mass,
+    // id ranges, content checksums per shard). Every stage is
+    // individually gated (q349/q24/q353/q301/q362); this row proves
+    // the modern pipeline composes end-to-end with one SQL
+    // re-derivation.
+    "q368_crawl_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url", rawUrlCol)
+      val urlKeep = docs
+        .select(col("doc_id"), UrlOps.canonicalUrl(col("url")).as("cu"))
+        .groupBy("cu").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val s1 = docs.join(urlKeep, "doc_id")
+      val exKeep = Dedup.exact(s1, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val s2 = s1.join(exKeep, "doc_id")
+      val g = Dedup.shingles(col("text"), 2)
+      val s3 = s2.where(round(
+        (size(g) - size(array_distinct(g))).cast("double") /
+          greatest(size(g), lit(1)), 6) <= 0.3)
+      val s4 = graft.ops.Corpus.domainCap(
+        s3.withColumn("domain", UrlOps.registeredDomain(col("url"))),
+        "doc_id", "domain", "n_chars", 40)
+      val sharded = graft.ops.Corpus.shardAssign(s4, "doc_id", 4)
+        .select("doc_id", "shard")
+        .join(s4.select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+          "doc_id")
+      graft.core.Layout.shardManifest(sharded, "shard", "doc_id", "n_tok",
+          "text")
+        .orderBy("shard")
+    }),
+
     // Packing-efficiency sweep: per candidate seqLen, sequence counts
     // and pad shares under pad-per-doc vs concatenate-and-chunk.
     "q364_packing_sweep" -> ((s, dir) => {
@@ -687,6 +730,49 @@ object Curation3 {
         |  round(CAST(sum(CASE WHEN n_chars >= threshold THEN n_tok
         |      ELSE 0 END) AS DOUBLE) / sum(n_tok), 6) AS token_share
         |FROM x GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "q367_domain_safe_split" -> {
+      val h = Dedup.h60Sql("domain")
+      s"""WITH u AS (SELECT doc_id, lower(source) || '.com' AS domain
+         |  FROM documents)
+         |SELECT doc_id, domain,
+         |  CASE WHEN ($h) % 100 < 10 THEN 'test'
+         |       WHEN ($h) % 100 < 20 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
+
+    "q368_crawl_pipeline" -> {
+      val hs = Dedup.h60Sql("CAST(doc_id AS VARCHAR)")
+      val hc = Dedup.h60Sql("CAST(doc_id AS VARCHAR) || ':' || text")
+      s"""WITH u AS (SELECT doc_id, text, n_chars, source, $canonUrlSql AS cu
+         |  FROM documents),
+         |k1 AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY cu),
+         |s1 AS (SELECT u.* FROM u JOIN k1 USING (doc_id)),
+         |k2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+         |s2 AS (SELECT s1.* FROM s1 JOIN k2 USING (doc_id)),
+         |rep AS (SELECT doc_id, round(CAST(total - dist AS DOUBLE)
+         |    / greatest(total, 1), 6) AS f FROM
+         |  (SELECT doc_id, CAST(len(grams) AS BIGINT) AS total,
+         |     CAST(len(list_distinct(grams)) AS BIGINT) AS dist FROM
+         |    (SELECT doc_id, ${Dedup.shinglesSql("text", 2)} AS grams
+         |     FROM s2))),
+         |s3 AS (SELECT s2.* FROM s2 JOIN rep USING (doc_id)
+         |  WHERE f <= 0.3),
+         |d3 AS (SELECT *, lower(source) || '.com' AS domain FROM s3),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY domain
+         |    ORDER BY n_chars DESC, doc_id) AS rn FROM d3),
+         |s4 AS (SELECT * FROM rk WHERE rn <= 40),
+         |sh AS (SELECT doc_id, CAST(($hs) % 4 AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    ($hc) AS h
+         |  FROM s4)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+    },
 
     "q364_packing_sweep" ->
       """WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)

@@ -431,6 +431,33 @@ class Round8Spec extends AnyFunSuite {
       row.toString)
   }
 
+  test("domainSafeSplit: one split per domain, map-only plan") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001",
+      "documents").withColumn("url", graft.queries.Curation3.rawUrlCol)
+    val out = UrlOps.domainSafeSplit(docs, "url", "doc_id", 10, 10)
+    val perDomain = out.groupBy("domain")
+      .agg(countDistinct(col("split")).as("n"))
+      .select("n").as[Long].collect()
+    assert(perDomain.nonEmpty && perDomain.forall(_ == 1L),
+      "a domain must never straddle splits")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "split assignment must be map-only")
+  }
+
+  test("crawl pipeline invariants: stages shrink monotonically, manifest covers survivors") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val manifest = graft.queries.Curation3.queries("q368_crawl_pipeline")(
+      spark, dir)
+      .select("shard", "n_docs", "n_tokens", "checksum")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(manifest.length == 4)
+    val kept = manifest.map(_._2).sum
+    assert(kept > 0 && kept < docs.count(),
+      s"pipeline must drop something: kept $kept")
+    assert(manifest.forall(_._3 > 0) && manifest.map(_._4).distinct.length == 4)
+  }
+
   test("curation card invariants: keep == conjunction; exact losers are near losers; keepers exist") {
     val card = graft.queries.Curation3.queries("q358_curation_card")(
       spark, "/root/testdata/sf0.001")
