@@ -83,7 +83,25 @@ object Similarity {
     * precomputed once per side.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 vecCol: String, k: Int): DataFrame = {
+                 vecCol: String, k: Int): DataFrame =
+    cosineRankBand(corpus, queries, idCol, vecCol, 0, k)
+
+  /** Hard-negative mining for contrastive/retriever training: per
+    * query, the cosine band ranks (skip, skip+k] — close enough to be
+    * informative, far enough to (probably) not be unlabeled positives;
+    * the in-between band every dual-encoder training pipeline mines
+    * (DPR-style). Same broadcast-query scan + one per-query rank as
+    * [[cosineTopK]]; at scale the candidate band comes from the ANN
+    * ladder (SQ8/IVF shortlist) instead of the exact scan — identical
+    * shape, the rank filter is the only difference.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, skip: Int, k: Int): DataFrame =
+    cosineRankBand(corpus, queries, idCol, vecCol, skip, skip + k)
+
+  private def cosineRankBand(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String,
+                             lo: Int, hi: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("ce"))
       .withColumn("cn", norm(col("ce")))
@@ -95,7 +113,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .where(col("rank") > lo && col("rank") <= hi)
       .select("query_id", "neighbor_id", "rank", "score")
   }
 

@@ -389,6 +389,16 @@ object Curation3 {
       } finally Curation2.deleteDir(idx)
     }),
 
+    // Hard-negative mining (DPR-style): per query the cosine band
+    // ranks 6..15 — below the top-5 "positives", above the easy tail.
+    "q369_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", skip = 5, k = 10)
+        .withColumn("score", round(col("score"), 6).cast("float"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Domain-stratified split: the split key is the registered domain,
     // so no site straddles train/test (site-level style/boilerplate
     // leakage — the web analog of the q284 cluster-keyed rule).
@@ -730,6 +740,25 @@ object Curation3 {
         |  round(CAST(sum(CASE WHEN n_chars >= threshold THEN n_tok
         |      ELSE 0 END) AS DOUBLE) / sum(n_tok), 6) AS token_share
         |FROM x GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "q369_hard_negatives" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nid,
+        |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1]))
+        |      / (qn * nrm) AS cos
+        |  FROM q, n WHERE vec_id <> qid)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        |  CAST(rank AS INTEGER) AS rank,
+        |  CAST(round(cos, 6) AS REAL) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, nid) AS rank FROM s)
+        |WHERE rank > 5 AND rank <= 15 ORDER BY query_id, rank""".stripMargin,
 
     "q367_domain_safe_split" -> {
       val h = Dedup.h60Sql("domain")

@@ -458,6 +458,19 @@ class Round8Spec extends AnyFunSuite {
     assert(manifest.forall(_._3 > 0) && manifest.map(_._4).distinct.length == 4)
   }
 
+  test("hardNegatives: the band is exactly top-K minus top-skip, disjoint from positives") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.where(col("vec_id") < 5)
+    val pos = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val top15 = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 15)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val neg = Similarity.hardNegatives(emb, qs, "vec_id", "embedding", 5, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(neg == (top15 -- pos), "band must be top-15 minus top-5")
+    assert((neg & pos).isEmpty)
+  }
+
   test("curation card invariants: keep == conjunction; exact losers are near losers; keepers exist") {
     val card = graft.queries.Curation3.queries("q358_curation_card")(
       spark, "/root/testdata/sf0.001")
