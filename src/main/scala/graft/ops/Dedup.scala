@@ -253,6 +253,24 @@ object Dedup {
         col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
   }
 
+  /** Related-pair mining: LSH candidates whose exact Jaccard lands in
+    * a MID band [lo, hi) — related enough to be paraphrase/revision
+    * pairs, not so close they are dedup fodder. The positive-pair
+    * source for contrastive training and augmentation-consistency
+    * checks, mined with the same candidates-then-verify machinery as
+    * [[ngramJaccard]] (one band filter is the entire difference).
+    * Candidate recall caveat: pairs below the LSH collision curve for
+    * `lo` are structurally under-sampled — size bands/k for the lo
+    * you care about (the q335 threshold-sweep question).
+    */
+  def relatedPairs(df: DataFrame, textCol: String, idCol: String,
+                   lo: Double, hi: Double, n: Int = 3, k: Int = 16,
+                   bands: Int = 4): DataFrame =
+    ngramJaccard(df, textCol, idCol, n, k, bands, lo)
+      .where(col("jaccard") < hi)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jaccard"), 6).as("jaccard"))
+
   /** Asymmetric n-gram containment over MinHash-LSH candidates:
     * C(A→B) = |A∩B| / |A| — the sub-document-duplication signal
     * symmetric Jaccard hides (a short doc fully embedded in a long one

@@ -99,6 +99,28 @@ object Similarity {
                     vecCol: String, skip: Int, k: Int): DataFrame =
     cosineRankBand(corpus, queries, idCol, vecCol, skip, skip + k)
 
+  /** DPR triplet builder: per query, the rank-1 positive plus the
+    * [[hardNegatives]] band collected IN RANK ORDER as one training
+    * row — the (q, d+, d-...) unit a dual-encoder trainer consumes.
+    * Negative ids are emitted as a comma-joined string (the repo's
+    * array-output convention). Composes two rank-band scans; the
+    * per-query collect is bounded by negK.
+    */
+  def contrastiveTriplets(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, negSkip: Int,
+                          negK: Int): DataFrame = {
+    val pos = cosineRankBand(corpus, queries, idCol, vecCol, 0, 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
+    val negs = cosineRankBand(corpus, queries, idCol, vecCol, negSkip,
+        negSkip + negK)
+      .groupBy("query_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rank"), col("neighbor_id")))),
+        s => s.getField("neighbor_id").cast("string")), ",").as("neg_ids"))
+    pos.join(negs, Seq("query_id"), "left")
+      .na.fill("", Seq("neg_ids"))
+  }
+
   private def cosineRankBand(corpus: DataFrame, queries: DataFrame,
                              idCol: String, vecCol: String,
                              lo: Int, hi: Int): DataFrame = {
@@ -907,6 +929,30 @@ object Similarity {
       writeSq8Index(corpus.unionByName(delta), idCol, vecCol, path)
       false
     }
+  }
+
+  /** SQ8 index health report: one row of the operational stats an
+    * index owner watches — code count, dimensionality, and the bounds
+    * geometry (global lo/hi plus the micro-quantized mean per-dim
+    * width; a width collapsing toward 0 means dead dimensions, a width
+    * exploding after appends means drift-triggered rebuilds ahead).
+    * Reads ONLY the index (codes count + O(d) bounds).
+    */
+  def sq8IndexStats(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val codes = spark.read.parquet(s"$path/codes")
+      .agg(count(lit(1)).as("n_codes"))
+    val bounds = spark.read.parquet(s"$path/bounds")
+      .agg(count(lit(1)).as("dim"),
+        min(col("lo")).as("min_lo"), max(col("hi")).as("max_hi"),
+        sum(floor((col("hi") - col("lo")) * 1e6 + 0.5).cast("long"))
+          .as("__w"), count(lit(1)).as("__n"))
+    codes.crossJoin(bounds)
+      .select(col("n_codes"), col("dim"),
+        round(col("min_lo"), 6).as("min_lo"),
+        round(col("max_hi"), 6).as("max_hi"),
+        round(col("__w").cast("double") / 1e6 / col("__n"), 6)
+          .as("mean_width"))
   }
 
   /** Compact a persisted SQ8 index after many delta appends: each

@@ -399,6 +399,54 @@ object Curation3 {
         .orderBy("query_id", "rank")
     }),
 
+    // Related-pair mining: the 0.4 <= J < 0.8 paraphrase/revision band
+    // — positive pairs for contrastive training, not dedup fodder.
+    // The raw fixture has no mid-band pairs (texts are exact dups or
+    // unrelated), so every %10==0 doc gets a DETERMINISTIC "revision":
+    // the original plus ~2/3 as many unique filler words, landing its
+    // Jaccard squarely in the band (J = (m-2)/(m+2m/3) in 0.46-0.59);
+    // both engines re-derive the augment from the same formula.
+    "q370_related_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = split(col("text"), " ")
+      val nf = call_function("div", size(w).cast("long") * 2L, lit(3L))
+      val filler = concat_ws(" ", transform(sequence(lit(1L), nf),
+        i => concat(lit("pad"), col("doc_id").cast("string"), lit("x"),
+          i.cast("string"))))
+      // two-step select: the filler must see the ORIGINAL doc_id, so
+      // the +1000000 alias happens in a SEPARATE projection (in one
+      // select, projection collapse resolves the filler's doc_id
+      // against the alias — the lookupAttr lineage gotcha)
+      val revisions = docs.where(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), filler).as("text"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.relatedPairs(
+          docs.select("doc_id", "text").unionByName(revisions),
+          "text", "doc_id", lo = 0.4, hi = 0.8, NGRAM, K, BANDS)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // DPR triplet builder: per query the rank-1 positive + the
+    // rank-6..15 hard negatives as one training row.
+    "q371_contrastive_triplets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.contrastiveTriplets(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", negSkip = 5, negK = 10)
+        .orderBy("query_id")
+    }),
+
+    // SQ8 index health stats: codes count, dim, bounds geometry —
+    // everything re-derivable from the raw embeddings by the oracle.
+    "q372_sq8_index_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Curation2.tempIndexDir("graft_sq8_stats_")
+      try {
+        Similarity.writeSq8Index(emb, "vec_id", "embedding", idx)
+        Similarity.sq8IndexStats(s, idx).localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
+    }),
+
     // Domain-stratified split: the split key is the registered domain,
     // so no site straddles train/test (site-level style/boilerplate
     // leakage — the web analog of the q284 cluster-keyed rule).
@@ -740,6 +788,71 @@ object Curation3 {
         |  round(CAST(sum(CASE WHEN n_chars >= threshold THEN n_tok
         |      ELSE 0 END) AS DOUBLE) / sum(n_tok), 6) AS token_share
         |FROM x GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "q370_related_pairs" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' ' || array_to_string(
+         |    list_transform(
+         |      range(1, (2 * len(string_split(text, ' '))) // 3 + 1),
+         |      i -> 'pad' || CAST(doc_id AS VARCHAR) || 'x' ||
+         |        CAST(i AS VARCHAR)), ' ')
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |${sigBandCtes("aug")},
+         |g AS (SELECT DISTINCT doc_id AS did,
+         |    unnest(${Dedup.shinglesSql("text", NGRAM)}) AS g
+         |  FROM aug),
+         |sz AS (SELECT did, count(*) AS n FROM g GROUP BY did),
+         |inter AS (SELECT cand.da, cand.db, count(*) AS i FROM cand
+         |  JOIN g ga ON ga.did = cand.da
+         |  JOIN g gb2 ON gb2.did = cand.db AND gb2.g = ga.g
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT da, db, i,
+         |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+         |  FROM inter
+         |  JOIN sz sa ON sa.did = inter.da
+         |  JOIN sz sb ON sb.did = inter.db)
+         |SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter,
+         |  round(j, 6) AS jaccard
+         |FROM jac WHERE j >= 0.4 AND j < 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q371_contrastive_triplets" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+        |  WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nid,
+        |    list_sum(list_transform(range(64), i -> qe[i+1] * e[i+1]))
+        |      / (qn * nrm) AS cos
+        |  FROM q, n WHERE vec_id <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid) AS rank FROM s),
+        |p AS (SELECT qid, nid AS pos_id FROM r WHERE rank = 1),
+        |ng AS (SELECT qid, array_to_string(
+        |    list(CAST(nid AS VARCHAR) ORDER BY rank), ',') AS neg_ids
+        |  FROM r WHERE rank > 5 AND rank <= 15 GROUP BY qid)
+        |SELECT p.qid AS query_id, pos_id,
+        |  coalesce(neg_ids, '') AS neg_ids
+        |FROM p LEFT JOIN ng ON ng.qid = p.qid
+        |ORDER BY query_id""".stripMargin,
+
+    "q372_sq8_index_stats" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |dd AS (SELECT u.i AS d, e[u.i + 1] AS x
+        |  FROM v, unnest(range(64)) u(i)),
+        |b AS (SELECT d, min(x) AS lo, max(x) AS hi FROM dd GROUP BY d)
+        |SELECT (SELECT count(*) FROM embeddings) AS n_codes,
+        |  count(*) AS dim,
+        |  round(min(lo), 6) AS min_lo, round(max(hi), 6) AS max_hi,
+        |  round(CAST(sum(CAST(floor((hi - lo) * 1e6 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 1e6 / count(*), 6) AS mean_width
+        |FROM b""".stripMargin,
 
     "q369_hard_negatives" ->
       """WITH v AS (SELECT vec_id,

@@ -471,6 +471,66 @@ class Round8Spec extends AnyFunSuite {
     assert((neg & pos).isEmpty)
   }
 
+  test("relatedPairs: band is [lo, hi) — exact dups excluded, mid-band planted pair found") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // one word changed at the end: 27 of 28 shingles shared, J = 27/29
+    val rev = ((1 to 29).map(i => s"w$i") :+ "xx").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, rev),
+      (4L, "totally different content here entirely now")).toDF("doc_id", "text")
+    // 8 bands x 2 rows: collision prob J^2 per band — recall ~1 at
+    // J=0.87 (the sizing rule the op's scaladoc documents)
+    val got = graft.ops.Dedup.relatedPairs(df, "text", "doc_id", 0.2, 0.95,
+        n = 3, k = 16, bands = 8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(!got.contains((1L, 2L)), "exact dup (J=1) must be above the band")
+    assert(got.get((1L, 3L)).contains(0.931034) &&
+      got.get((2L, 3L)).contains(0.931034), s"mid-band pair missing: $got")
+  }
+
+  test("contrastiveTriplets: positive is rank-1, negatives are the hard band in rank order") {
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.where(col("vec_id") < 5)
+    val trip = Similarity.contrastiveTriplets(emb, qs, "vec_id",
+        "embedding", 5, 10)
+      .select("query_id", "pos_id", "neg_ids")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val pos = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val negs = Similarity.hardNegatives(emb, qs, "vec_id", "embedding",
+        5, 10)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).mkString(",")).toMap
+    for ((q, (p, n)) <- trip) {
+      assert(pos(q) == p, s"query $q positive mismatch")
+      assert(negs(q) == n, s"query $q negatives mismatch")
+    }
+    assert(trip.nonEmpty)
+  }
+
+  test("sq8IndexStats reflects append-driven bounds widening") {
+    val corpus = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(4.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val idx = tmpIdx("st")
+    try {
+      Similarity.writeSq8Index(corpus, "vec_id", "embedding", idx)
+      val before = Similarity.sq8IndexStats(spark, idx)
+        .select("n_codes", "dim", "min_lo", "max_hi", "mean_width")
+        .as[(Long, Long, Double, Double, Double)].head()
+      assert(before == ((2L, 2L, 0.0, 4.0, 4.0)), before.toString)
+      Similarity.appendSq8Index(spark, idx,
+        Seq((3L, Seq(-2.0, 10.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", corpus)
+      val after = Similarity.sq8IndexStats(spark, idx)
+        .select("n_codes", "min_lo", "max_hi", "mean_width")
+        .as[(Long, Double, Double, Double)].head()
+      // widths: dim0 [-2,4] = 6, dim1 [0,10] = 10 -> mean 8
+      assert(after == ((3L, -2.0, 10.0, 8.0)), after.toString)
+    } finally graft.queries.Curation2.deleteDir(idx)
+  }
+
   test("curation card invariants: keep == conjunction; exact losers are near losers; keepers exist") {
     val card = graft.queries.Curation3.queries("q358_curation_card")(
       spark, "/root/testdata/sf0.001")
