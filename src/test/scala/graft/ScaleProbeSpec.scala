@@ -352,6 +352,18 @@ class ScaleProbeSpec extends AnyFunSuite {
         println(f"SCALEPROBE url_dedup $label ${(t1 - t0) / 1e9}%.2f s" +
           f" frontier ${(System.nanoTime() - t1) / 1e9}%.2f s")
       }
+      // the composed flagships: curation card (CC-dominated) and the
+      // crawl pipeline (keyed aggs + domain-cap window) at 10x.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val t0 = System.nanoTime()
+        graft.queries.Curation3.queries("q358_curation_card")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        graft.queries.Curation3.queries("q368_crawl_pipeline")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE card $label ${(t1 - t0) / 1e9}%.2f s" +
+          f" crawl_pipeline ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
       // appendSq8Index delta contract: index built once per scale; the
       // append cost must track the DELTA (20%), not the corpus.
       for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
