@@ -109,10 +109,15 @@ object Similarity {
   def contrastiveTriplets(corpus: DataFrame, queries: DataFrame,
                           idCol: String, vecCol: String, negSkip: Int,
                           negK: Int): DataFrame = {
-    val pos = cosineRankBand(corpus, queries, idCol, vecCol, 0, 1)
+    // ONE scoring scan covers both roles (rank 1 = positive, ranks
+    // (negSkip, negSkip+negK] = negatives) — two separate rank-band
+    // calls would score the whole corpus against the broadcast
+    // queries twice, doubling the dominant cost at scale
+    val band = cosineRankBand(corpus, queries, idCol, vecCol, 0,
+      negSkip + negK)
+    val pos = band.where(col("rank") === 1)
       .select(col("query_id"), col("neighbor_id").as("pos_id"))
-    val negs = cosineRankBand(corpus, queries, idCol, vecCol, negSkip,
-        negSkip + negK)
+    val negs = band.where(col("rank") > negSkip)
       .groupBy("query_id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("rank"), col("neighbor_id")))),
@@ -946,12 +951,12 @@ object Similarity {
       .agg(count(lit(1)).as("dim"),
         min(col("lo")).as("min_lo"), max(col("hi")).as("max_hi"),
         sum(floor((col("hi") - col("lo")) * 1e6 + 0.5).cast("long"))
-          .as("__w"), count(lit(1)).as("__n"))
+          .as("__w"))
     codes.crossJoin(bounds)
       .select(col("n_codes"), col("dim"),
         round(col("min_lo"), 6).as("min_lo"),
         round(col("max_hi"), 6).as("max_hi"),
-        round(col("__w").cast("double") / 1e6 / col("__n"), 6)
+        round(col("__w").cast("double") / 1e6 / col("dim"), 6)
           .as("mean_width"))
   }
 

@@ -410,9 +410,14 @@ object Curation3 {
       val docs = t(s, dir, "documents")
       val w = split(col("text"), " ")
       val nf = call_function("div", size(w).cast("long") * 2L, lit(3L))
-      val filler = concat_ws(" ", transform(sequence(lit(1L), nf),
-        i => concat(lit("pad"), col("doc_id").cast("string"), lit("x"),
-          i.cast("string"))))
+      // Spark sequence(1, 0) DESCENDS to [1, 0] while DuckDB
+      // range(1, 1) is empty — guard nf=0 (sub-2-word docs) so both
+      // engines plant the identical revision
+      val filler = concat_ws(" ", when(nf >= 1L,
+        transform(sequence(lit(1L), nf),
+          i => concat(lit("pad"), col("doc_id").cast("string"), lit("x"),
+            i.cast("string"))))
+        .otherwise(array().cast("array<string>")))
       // two-step select: the filler must see the ORIGINAL doc_id, so
       // the +1000000 alias happens in a SEPARATE projection (in one
       // select, projection collapse resolves the filler's doc_id
