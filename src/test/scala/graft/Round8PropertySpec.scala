@@ -203,4 +203,113 @@ class Round8PropertySpec extends AnyFunSuite {
         got.keySet.filter(k => got(k) != expected(k)).take(5).toString)
     }
   }
+
+  test("evalReport == in-memory confusion reference on random predictions incl. abstentions") {
+    for (seed <- Seq(47, 53)) {
+      val rnd = new scala.util.Random(seed)
+      val classes = Vector("a", "b", "c", "d")
+      val truth = (1L to 60L).map(i => (i, classes(rnd.nextInt(4))))
+      val pred = truth.filter(_ => rnd.nextInt(10) > 1) // ~20% abstain
+        .map { case (i, _) => (i, classes(rnd.nextInt(4))) }
+      val predMap = pred.toMap
+      val allCls = (truth.map(_._2) ++ pred.map(_._2)).distinct.sorted
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val expected = allCls.map { c =>
+        val support = truth.count(_._2 == c).toLong
+        val tp = truth.count { case (i, y) =>
+          y == c && predMap.get(i).contains(c) }.toLong
+        val nPred = pred.count(_._2 == c).toLong
+        val (fp, fn) = (nPred - tp, support - tp)
+        c -> ((support, tp, fp, fn,
+          if (tp + fp > 0) r6(tp.toDouble / (tp + fp)) else 0.0,
+          if (support > 0) r6(tp.toDouble / support) else 0.0,
+          if (2 * tp + fp + fn > 0) r6(2.0 * tp / (2 * tp + fp + fn))
+          else 0.0))
+      }.toMap
+      val got = graft.ops.Classify.evalReport(
+          pred.toDF("id", "p"), truth.toDF("id", "y"), "id", "p", "y")
+        .select("cls", "support", "tp", "fp", "fn", "precision", "recall",
+          "f1")
+        .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7,
+          r._8))).toMap
+      assert(got == expected,
+        got.keySet.filter(k => got.get(k) != expected.get(k)).take(3)
+          .map(k => s"$k: ${got(k)} vs ${expected(k)}").mkString(";"))
+    }
+  }
+
+  test("packingSweep == in-memory ceil-arithmetic reference on random token loads") {
+    for (seed <- Seq(59, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val toks = (1L to 80L).map(i => (i, 1L + rnd.nextInt(700).toLong))
+      val lens = Seq(32L, 128L, 512L)
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val expected = lens.map { l =>
+        val total = toks.map(_._2).sum
+        val nPad = toks.map(t => (t._2 + l - 1) / l).sum
+        val nPack = (total + l - 1) / l
+        l -> ((toks.size.toLong, total, nPad,
+          r6((nPad * l - total).toDouble / (nPad * l)), nPack,
+          r6((nPack * l - total).toDouble / (nPack * l))))
+      }.toMap
+      val got = graft.ops.Corpus.packingSweep(toks.toDF("id", "tok"),
+          "tok", lens)
+        .select("seq_len", "n_docs", "tokens_total", "n_seq_padded",
+          "pad_share_padded", "n_seq_packed", "pad_share_packed")
+        .as[(Long, Long, Long, Long, Double, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7)))
+        .toMap
+      assert(got == expected, s"$got vs $expected")
+    }
+  }
+
+  test("shardManifest == in-memory xor reference on random shardings") {
+    def h60ref(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    for (seed <- Seq(67, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 120L).map(i =>
+        (i, rnd.nextInt(5), 1L + rnd.nextInt(99).toLong, s"body${rnd.nextInt(1000)}"))
+      val expected = rows.groupBy(_._2).map { case (sh, rs) =>
+        sh -> ((rs.size.toLong, rs.map(_._3).sum,
+          rs.map(_._1).min, rs.map(_._1).max,
+          rs.map(r => h60ref(s"${r._1}:${r._4}")).reduce(_ ^ _)))
+      }
+      val got = graft.core.Layout.shardManifest(
+          rows.toDF("id", "shard", "tok", "body"), "shard", "id", "tok",
+          "body")
+        .select("shard", "n_docs", "n_tokens", "min_id", "max_id",
+          "checksum")
+        .as[(Int, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      assert(got == expected,
+        got.keySet.filter(k => got.get(k) != expected.get(k)).toString)
+    }
+  }
+
+  test("domainSafeSplit == md5-threshold reference; deterministic across reruns") {
+    def h60ref(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val rows = (1L to 80L).map(i => (i, s"https://site${i % 13}.net/p$i"))
+    val expected = rows.map { case (i, _) =>
+      val dom = s"site${i % 13}.net"
+      val h = h60ref(dom) % 100
+      i -> (if (h < 15) "test" else if (h < 40) "val" else "train")
+    }.toMap
+    val got = UrlOps.domainSafeSplit(rows.toDF("doc_id", "url"), "url",
+        "doc_id", valPct = 25, testPct = 15)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got == expected,
+      got.keySet.filter(k => got(k) != expected(k)).take(5)
+        .map(k => s"$k: ${got(k)} vs ${expected(k)}").mkString(","))
+  }
 }
