@@ -255,6 +255,11 @@ object Corpus {
     * pad token mass. The naive layout's global order rank is the
     * banded two-level prefix sum (the [[curriculumShards]] shape),
     * never a corpus-wide single-partition window.
+    *
+    * Contract: `idCol` must be NUMERIC — the band derivation is
+    * id/1024, so the "arrival order" being measured is id order.
+    * String/UUID ids need a numeric arrival rank first (ANSI mode
+    * fails loudly on the cast; this is by design, not an accident).
     */
   def paddingWaste(df: DataFrame, idCol: String, textCol: String,
                    bucketWidth: Int = 16, batchSize: Int = 8): DataFrame = {
@@ -388,7 +393,10 @@ object Corpus {
     */
   def syndication(df: DataFrame, textCol: String, idCol: String,
                   sourceCol: String): DataFrame =
-    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+    // null texts would collapse into one NULL content_hash group and
+    // report bogus cross-source "copies" of nothing (r8 review)
+    df.where(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col(sourceCol)).as("n_sources"),
         min(col(idCol)).as("keeper_id"),
@@ -413,10 +421,22 @@ object Corpus {
         .groupBy("src", "b").agg(count(lit(1)).as("c"))
     val o = bucketed(oldDf).withColumnRenamed("c", "co")
     val nw = bucketed(newDf).withColumnRenamed("c", "cn")
+    // FULL-outer totals: a source present in only one snapshot (added
+    // or removed by the refresh) is exactly what this monitoring
+    // report exists to surface — an inner join silently dropped it
+    // (r8 review); the absent side contributes 0 tokens and the
+    // Laplace smoothing keeps the KL defined against uniform.
     val totals = nw.groupBy("src").agg(sum(col("cn")).as("tn"))
-      .join(o.groupBy("src").agg(sum(col("co")).as("to")), "src")
+      .join(o.groupBy("src").agg(sum(col("co")).as("to")),
+        Seq("src"), "full_outer")
+      .na.fill(0L, Seq("tn", "to"))
     // KL(new||old) = sum_b p_n(b) * ln(p_n(b)/p_o(b)), Laplace-smoothed
-    nw.join(o, Seq("src", "b"), "full_outer")
+    // over the FULL bucket support: buckets empty in BOTH snapshots
+    // still carry p0*ln(p0/q0) under smoothing — their identical term
+    // is added analytically ((B - present) * term0) instead of
+    // materializing absent rows (r8 review: without it the sum is not
+    // a true smoothed KL and can even go negative).
+    val joined = nw.join(o, Seq("src", "b"), "full_outer")
       .na.fill(0L, Seq("cn", "co"))
       .join(totals, "src")
       .withColumn("__term", floor(
@@ -424,9 +444,19 @@ object Corpus {
           log(((col("cn") + 1.0) / (col("tn") + buckets.toDouble)) /
               ((col("co") + 1.0) / (col("to") + buckets.toDouble)))
           * 1e9 + 0.5).cast("long"))
+    joined
       .groupBy(col("src").as(groupCol))
-      .agg(round(sum(col("__term")).cast("double") / 1e9, 6).as("kl_nats"),
+      .agg(sum(col("__term")).as("__s"), count(lit(1)).as("__present"),
         max(col("tn")).as("n_tokens_new"), max(col("to")).as("n_tokens_old"))
+      .withColumn("__t0", floor(
+        (lit(1.0) / (col("n_tokens_new") + buckets.toDouble)) *
+          log((col("n_tokens_old") + buckets.toDouble) /
+              (col("n_tokens_new") + buckets.toDouble))
+          * 1e9 + 0.5).cast("long"))
+      .select(col(groupCol),
+        round((col("__s") + (lit(buckets.toLong) - col("__present")) *
+          col("__t0")).cast("double") / 1e9, 6).as("kl_nats"),
+        col("n_tokens_new"), col("n_tokens_old"))
   }
 
   /** Gopher-style within-document repetition signals (Rae et al. 2021,
@@ -503,9 +533,18 @@ object Corpus {
     * the standard convention). Derived from the packed layout with one
     * seq-keyed aggregate; output is O(#sequences).
     */
+  /** Output contract (r8 review, made explicit): rows are SPARSE —
+    * only sequences where at least one doc STARTS appear; a sequence
+    * interior to one long document has no row (its cu_seqlens is just
+    * [0, seqLen]), so consumers must treat absent seq as "no resets",
+    * not as missing data. Zero-token docs are excluded — they occupy
+    * no stream positions, and emitting their offset would duplicate
+    * the next doc's boundary.
+    */
   def packBoundaries(df: DataFrame, idCol: String, tokenCol: String,
                      groupCol: String, seqLen: Long): DataFrame =
-    packSequences(df, idCol, tokenCol, groupCol, seqLen)
+    packSequences(df.where(col(tokenCol) > 0), idCol, tokenCol, groupCol,
+        seqLen)
       .select(col("first_seq").as("seq"),
         pmod(col("start_tok"), lit(seqLen)).as("boundary"))
       .groupBy("seq")
@@ -945,6 +984,9 @@ object Corpus {
     val spark = df.sparkSession
     import spark.implicits._
     val words = df.select(explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "") // doubled spaces/empty docs would
+      // otherwise inject phantom "" tokens into the vocabulary and
+      // inflate eps*totalCount's tolerance slack (r8 review)
     val skBytes = words.agg(
         count_min_sketch(col("word"), lit(eps), lit(0.99), lit(42)).as("s"))
       .head().getAs[Array[Byte]](0)
@@ -978,7 +1020,12 @@ object Corpus {
                      k: Int): DataFrame = {
     val u = (pmod(Dedup.h60(col(idCol).cast("string")), lit(Dedup.P)) + 1)
       .cast("double") / (Dedup.P + 1).toDouble
-    df.select(col(idCol), col(weightCol),
+    // Efraimidis-Spirakis is defined for w > 0 only: a negative weight
+    // flips ln(u)/w POSITIVE and would deterministically outrank every
+    // valid doc; zero weights produce null keys (r8 review). Rows with
+    // w <= 0 have zero inclusion probability by definition — drop them.
+    df.where(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
         floor(log(u) / col(weightCol) * 1e6).cast("long").as("es_key"))
       .orderBy(col("es_key").desc, col(idCol)).limit(k)
   }
@@ -1058,6 +1105,14 @@ object Corpus {
     * contract — q247's float normalizer is fine for keep-fractions but
     * a report row must hash-match). One group aggregate + a broadcast
     * 1-row normalizer; output is O(#groups).
+    *
+    * Range envelope (r8 review): the micro-quantized weight is
+    * pow(n_tokens, alpha) * 1e6 as a long, so per-GROUP token counts
+    * must satisfy n^alpha < 9.2e12 — at alpha=1 that is ~9 trillion
+    * tokens per group, alpha=0.5 ~8.4e25. Beyond that, lower the
+    * quantization scale (the shares only need 6 digits); the
+    * envelope is asserted in-plan (assert_true) so an out-of-range
+    * corpus fails loudly instead of silently wrapping.
     */
   def mixtureEpochs(df: DataFrame, groupCol: String, tokenCol: String,
                     alpha: Double, budgetTokens: Long): DataFrame = {
@@ -1066,6 +1121,11 @@ object Corpus {
       sum(col(tokenCol)).cast("long").as("n_tokens"))
     val w = g.withColumn("__wq",
       floor(pow(col("n_tokens").cast("double"), alpha) * 1e6 + 0.5).cast("long"))
+      // fail LOUDLY (not wrap) outside the quantization envelope
+      .withColumn("__wq", when(assert_true(
+        pow(col("n_tokens").cast("double"), alpha) * 1e6 < 9.2e18,
+        lit("mixtureEpochs: n_tokens^alpha*1e6 exceeds Long range — " +
+          "lower the quantization scale")).isNull, col("__wq")))
     val tot = w.agg(sum(col("__wq")).as("__tot"))
     // epochs divides SEQUENTIALLY in double (budget * wq / tot / n):
     // the long product tot * n_tokens overflows at realistic corpus

@@ -1432,10 +1432,12 @@ object NorthStar {
          |    count(*) AS cn FROM
          |  (SELECT source, unnest(string_split(text, ' ')) AS w FROM newv)
          |  WHERE w <> '' GROUP BY 1, 2),
-         |tots AS (SELECT n.src, tn, tox FROM
+         |tots AS (SELECT coalesce(n.src, o.src) AS src,
+         |    coalesce(tn, 0) AS tn, coalesce(tox, 0) AS tox FROM
          |  (SELECT src, CAST(sum(cn) AS BIGINT) AS tn FROM nb GROUP BY src) n
-         |  JOIN (SELECT src, CAST(sum(co) AS BIGINT) AS tox FROM ob GROUP BY src) o
-         |  USING (src)),
+         |  FULL OUTER JOIN
+         |  (SELECT src, CAST(sum(co) AS BIGINT) AS tox FROM ob GROUP BY src) o
+         |  ON n.src = o.src),
          |j AS (SELECT coalesce(nb.src, ob.src) AS src,
          |    coalesce(cn, 0) AS cn, coalesce(co, 0) AS co
          |  FROM nb FULL OUTER JOIN ob ON nb.src = ob.src AND nb.b = ob.b),
@@ -1443,12 +1445,19 @@ object NorthStar {
          |    CAST(floor(((cn + 1.0) / (tn + 256.0)) *
          |      ln(((cn + 1.0) / (tn + 256.0)) / ((co + 1.0) / (tox + 256.0)))
          |      * 1000000000.0 + 0.5) AS BIGINT) AS t
-         |  FROM j JOIN tots ON tots.src = j.src)
-         |SELECT terms.src AS source,
-         |  round(CAST(sum(t) AS DOUBLE) / 1000000000.0, 6) AS kl_nats,
-         |  max(tn) AS n_tokens_new, max(tox) AS n_tokens_old
-         |FROM terms JOIN tots ON tots.src = terms.src
-         |GROUP BY terms.src ORDER BY source""".stripMargin,
+         |  FROM j JOIN tots ON tots.src = j.src),
+         |agg AS (SELECT terms.src, CAST(sum(t) AS BIGINT) AS s,
+         |    count(*) AS present, max(tn) AS tn, max(tox) AS tox
+         |  FROM terms JOIN tots ON tots.src = terms.src
+         |  GROUP BY terms.src)
+         |SELECT src AS source,
+         |  round(CAST(s + (256 - present) *
+         |    CAST(floor((1.0 / (tn + 256.0)) *
+         |      ln((tox + 256.0) / (tn + 256.0))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+         |    / 1000000000.0, 6) AS kl_nats,
+         |  tn AS n_tokens_new, tox AS n_tokens_old
+         |FROM agg ORDER BY source""".stripMargin,
     "q313_token_entropy" ->
       """WITH wc AS (SELECT doc_id, w, count(*) AS c FROM
         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
