@@ -159,4 +159,70 @@ object Classify {
           (col("tp") * 2 + col("fp") + col("fn")), 6))
         .otherwise(lit(0.0)))
   }
+
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** Reliability diagram + expected calibration error for a
+    * probability-scored binary classifier — the standard "is the
+    * quality filter's confidence trustworthy" audit run before using
+    * scores as sampling weights (a miscalibrated filter silently skews
+    * the mixture).
+    *
+    * Input contract: `probPpmCol` is the predicted P(positive) already
+    * ppm-quantized to a long in [0, 1e6] (per-row quantization is
+    * deterministic; see [[Corpus]] exactness rules), `labelCol` is 0/1.
+    * Docs are binned by equal-width confidence bins; each bin reports
+    * mean confidence vs empirical positive rate (both exact integer
+    * ratios) and every row carries the corpus-level `ece_ppm` =
+    * sum_b n_b * |conf_b - acc_b| / N.
+    *
+    * Shape: one bin-keyed aggregate (map-side combinable) + a second
+    * aggregate over the O(bins) frame, broadcast back — output is
+    * O(bins) at any corpus size.
+    */
+  def calibration(df: DataFrame, probPpmCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    val b = least(idiv(col(probPpmCol) * bins, lit(1000000L)),
+      lit(bins - 1L)).as("bin")
+    val perBin = df.groupBy(b)
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(probPpmCol).cast("long")).as("__conf_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        idiv(col("__conf_sum"), col("n")).as("conf_ppm"),
+        idiv(col("n_pos") * 1000000L, col("n")).as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+    val ece = perBin.agg(
+      idiv(sum(col("n") * col("gap_ppm")), sum(col("n"))).as("ece_ppm"))
+    perBin.crossJoin(broadcast(ece))
+  }
+
+  /** Cohen's kappa: chance-corrected agreement between two label
+    * columns (two annotators, or a predictor vs ground truth). The
+    * label-noise / weak-supervision audit for classifier-labeled
+    * training data.
+    *
+    * kappa = (po - pe) / (1 - pe) computed as the exact integer
+    * rational (agree*N - sum_c a_c*b_c) / (N^2 - sum_c a_c*b_c),
+    * ppm-quantized only at the end; null when pe = 1 (both raters
+    * constant and identical — kappa undefined). Two class-keyed
+    * aggregates + one class-sized join; output is one row.
+    */
+  def kappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val margins = base.groupBy("a").agg(count(lit(1)).as("na"))
+      .join(base.groupBy(col("b").as("a")).agg(count(lit(1)).as("nb")),
+        Seq("a"), "full_outer")
+      .na.fill(0L, Seq("na", "nb"))
+      .agg(sum(col("na") * col("nb")).as("pe_num"))
+    tot.crossJoin(broadcast(margins))
+      .select(col("n"), col("agree"),
+        idiv(col("agree") * 1000000L, col("n")).as("po_ppm"),
+        idiv(col("pe_num") * 1000000L, col("n") * col("n")).as("pe_ppm"),
+        when(col("n") * col("n") === col("pe_num"), lit(null).cast("long"))
+          .otherwise(idiv((col("agree") * col("n") - col("pe_num")) * 1000000L,
+            col("n") * col("n") - col("pe_num"))).as("kappa_ppm"))
+  }
 }

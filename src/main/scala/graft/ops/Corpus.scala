@@ -342,12 +342,7 @@ object Corpus {
     */
   def sourceSimilarity(df: DataFrame, textCol: String, groupCol: String,
                        buckets: Int = 256): DataFrame = {
-    val prof = df.select(col(groupCol).as("src"),
-        explode(split(col(textCol), " ")).as("w"))
-      .where(col("w") =!= "")
-      .select(col("src"),
-        pmod(Dedup.h60(col("w")), lit(buckets.toLong)).as("b"))
-      .groupBy("src", "b").agg(count(lit(1)).as("c"))
+    val prof = wordProfile(df, textCol, groupCol, buckets)
     val norms = prof.groupBy("src")
       .agg(sum(col("c") * col("c")).as("n2"))
     prof.toDF("src_a", "b", "ca")
@@ -403,6 +398,21 @@ object Corpus {
         concat_ws(",", array_sort(collect_set(col(sourceCol)))).as("sources"))
       .where(col("n_sources") > 1)
 
+  /** Hashed word-bucket profile `(src, b, c)` of a corpus grouped by
+    * `groupCol` — the shared distribution fingerprint behind
+    * [[sourceDrift]], [[sourceSimilarity]], and the syndication-graph
+    * edges ([[Graph.profileEdges]]). One explode + one (src, b)-keyed
+    * count aggregate (map-side combinable); empty tokens from doubled
+    * spaces are excluded.
+    */
+  def wordProfile(df: DataFrame, textCol: String, groupCol: String,
+                  buckets: Int): DataFrame =
+    df.select(col(groupCol).as("src"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("src"), pmod(Dedup.h60(col("w")), lit(buckets.toLong)).as("b"))
+      .groupBy("src", "b").agg(count(lit(1)).as("c"))
+
   /** Per-source distribution drift between two snapshots — the data
     * monitoring check before promoting a crawl refresh: KL(new || old)
     * over hashed word buckets per source, Laplace-smoothed so
@@ -413,14 +423,10 @@ object Corpus {
     */
   def sourceDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
                   groupCol: String, buckets: Int = 256): DataFrame = {
-    def bucketed(df: DataFrame) =
-      df.select(col(groupCol).as("src"),
-          explode(split(col(textCol), " ")).as("w"))
-        .where(col("w") =!= "")
-        .select(col("src"), pmod(Dedup.h60(col("w")), lit(buckets.toLong)).as("b"))
-        .groupBy("src", "b").agg(count(lit(1)).as("c"))
-    val o = bucketed(oldDf).withColumnRenamed("c", "co")
-    val nw = bucketed(newDf).withColumnRenamed("c", "cn")
+    val o = wordProfile(oldDf, textCol, groupCol, buckets)
+      .withColumnRenamed("c", "co")
+    val nw = wordProfile(newDf, textCol, groupCol, buckets)
+      .withColumnRenamed("c", "cn")
     // FULL-outer totals: a source present in only one snapshot (added
     // or removed by the refresh) is exactly what this monitoring
     // report exists to surface — an inner join silently dropped it

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation beyond connected components
+  * ([[Dedup.connectedComponents]]): weighted PageRank, the crawl-
+  * frontier prioritization signal — given the syndication graph
+  * (domains linked by how much content they share), rank domains by
+  * centrality to decide where recrawl budget goes.
+  *
+  * Scale design: each iteration is ONE src-keyed join (edges x ranks)
+  * and ONE dst-keyed sum — the standard two-shuffle Pregel round,
+  * O(iters) rounds total with no driver-side state. Edge and rank
+  * frames are keyed shuffles at any graph size; nothing is collected.
+  *
+  * Determinism contract: ranks live in integer ppm units and every
+  * redistribution step is an integer division chain
+  * (`d*pr // 1e6 * w // out_w`), so the fixed-iteration result is
+  * bit-identical in any engine and at any partitioning. Dangling-node
+  * mass is dropped (the classic simplification) and noted in the
+  * docstring rather than silently redistributed.
+  */
+object Graph {
+
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** `iters` rounds of damped weighted PageRank over `edges`
+    * (directed, positive integer weights). Nodes = union of endpoints;
+    * initial rank = 1e6/N ppm; rank'(v) = (1e6-d)/N +
+    * sum_{u->v} d*rank(u)//1e6 * w_uv // out_w(u), all integer.
+    *
+    * Output: (node, pr_ppm) — one row per node.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, iters: Int,
+               dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 0, "pageRank: iters >= 0")
+    // materialize the graph ONCE: every iteration references e / nodes
+    // / outW, so without this the final plan re-derives the edge
+    // lineage (often a corpus scan) per round. Lazy local checkpoint —
+    // on a multi-executor cluster swap for checkpoint() (reliable
+    // storage), the same trade documented at Dedup's postings sites.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w")).localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val outW = e.groupBy("src").agg(sum(col("w")).as("out_w"))
+    val n = nodes.agg(count(lit(1)).as("__n"))
+    val withN = nodes.crossJoin(broadcast(n))
+    val base = idiv(lit(1000000L - dampingPpm), col("__n"))
+    var pr = withN.select(col("node"), col("__n"),
+      idiv(lit(1000000L), col("__n")).as("pr_ppm"))
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(outW, "src")
+        .join(pr.select(col("node").as("src"), col("pr_ppm")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(idiv(idiv(lit(dampingPpm) * col("pr_ppm"), lit(1000000L))
+          * col("w"), col("out_w"))).as("__in"))
+      pr = withN
+        .join(contrib, Seq("node"), "left")
+        .na.fill(0L, Seq("__in"))
+        .select(col("node"), col("__n"), (base + col("__in")).as("pr_ppm"))
+    }
+    pr.select(col("node"), col("pr_ppm"))
+  }
+
+  /** The syndication graph: an undirected (kept as both directed arcs)
+    * domain graph where the weight of (a, b) is the number of distinct
+    * exact-content hashes the two sources both host — the
+    * [[Corpus.syndication]] signal lifted to graph edges.
+    *
+    * Shape: distinct (hash, source) pairs, then a hash-keyed self-join
+    * (fan-out bounded by per-hash source count — boilerplate-heavy
+    * hashes are exactly the syndication signal, not a skew accident)
+    * and a pair-keyed count.
+    */
+  def syndicationEdges(df: DataFrame, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val hs = df.where(col(textCol).isNotNull)
+      .select(md5(col(textCol).cast("binary")).as("h"),
+        col(sourceCol).as("s"))
+      .distinct()
+    hs.join(hs.select(col("h"), col("s").as("s2")), "h")
+      .where(col("s") =!= col("s2"))
+      .groupBy(col("s").as("src"), col("s2").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Lexical-affinity edges: both directed arcs between every pair of
+    * sources, weighted by the INTEGER dot product of their hashed
+    * word-bucket profiles ([[Corpus.wordProfile]] — the same
+    * fingerprint [[Corpus.sourceSimilarity]] normalizes to a cosine;
+    * PageRank needs the unnormalized integer mass). Sparse bucket-keyed
+    * join: the shuffle carries O(sources x buckets) profile rows, never
+    * corpus rows.
+    */
+  def profileEdges(df: DataFrame, textCol: String, sourceCol: String,
+                   buckets: Int = 256): DataFrame = {
+    val prof = Corpus.wordProfile(df, textCol, sourceCol, buckets)
+    prof.toDF("src", "b", "ca")
+      .join(prof.toDF("dst", "b", "cb"), "b")
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum(col("ca") * col("cb")).as("w"))
+  }
+}

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Classify, Events, Graph, Scale}
+
+/** Seeded-random fuzz for the event-analytics / classifier-audit /
+  * scale-diagnostics tranche: each distributed operator vs a naive
+  * in-memory reference (an independent implementation of the spec, not
+  * a mirror of the algorithm).
+  */
+class EventsGraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def h60Ref(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("funnel == per-user chain reference on random event streams") {
+    val stages = Seq("a", "b", "c")
+    val windowSec = 100L
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Vector("a", "b", "c", "noise")
+      val events = (1 to 400).map { _ =>
+        (rnd.nextInt(30).toLong, types(rnd.nextInt(types.size)),
+          // epoch-ns in a range where windows matter
+          (rnd.nextInt(500).toLong) * 1000000000L)
+      }
+      // reference: strictly-after chain within windowSec of t0
+      val byUser = events.groupBy(_._1)
+      val t0 = byUser.flatMap { case (u, es) =>
+        es.filter(_._2 == stages.head).map(_._3 / 1000L)
+          .sorted.headOption.map(u -> _)
+      }
+      var conv: Map[Long, (Long, Long)] = t0.map { case (u, t) => u -> (t, t) }
+      val refCounts = scala.collection.mutable.ArrayBuffer(conv.size.toLong)
+      for (st <- stages.tail) {
+        conv = conv.flatMap { case (u, (tFirst, tPrev)) =>
+          byUser.getOrElse(u, Nil).iterator
+            .filter(e => e._2 == st)
+            .map(_._3 / 1000L)
+            .filter(t => t > tPrev && t <= tFirst + windowSec * 1000000L)
+            .reduceOption(_ min _)
+            .map(t => u -> (tFirst, t))
+        }
+        refCounts += conv.size.toLong
+      }
+      val got = Events.funnel(
+          events.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", stages, windowSec)
+        .orderBy("stage")
+        .select("n_users", "conv_prev_ppm", "conv_first_ppm")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got.map(_._1) == refCounts.toSeq, s"seed $seed counts")
+      got.zipWithIndex.foreach { case ((n, cp, cf), i) =>
+        val prev = if (i == 0) None else Some(refCounts(i - 1))
+        val expPrev = prev match {
+          case None => 1000000L
+          case Some(0) => 0L
+          case Some(p) => n * 1000000L / p
+        }
+        assert(cp == expPrev, s"seed $seed stage $i conv_prev")
+        val first = refCounts.head
+        assert(cf == (if (first == 0) 0L else n * 1000000L / first),
+          s"seed $seed stage $i conv_first")
+      }
+    }
+  }
+
+  test("retention == first-week cohort reference") {
+    for (seed <- Seq(13, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val wkNs = 604800L * 1000000000L
+      val events = (1 to 300).map { _ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(8).toLong * wkNs / 2 +
+          rnd.nextInt(1000).toLong * 1000000L)
+      }
+      val uw = events.map { case (u, ns) => (u, (ns / 1000L) / 604800000000L) }
+        .distinct
+      val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+      val cells = uw.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+        .map { case (k, us) => k -> us.size.toLong }
+      val got = Events.retention(events.toDF("user_id", "ts"), "user_id", "ts")
+        .select("cohort_week", "week_offset", "n_users", "retained_ppm")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got.length == cells.size, s"seed $seed cell count")
+      got.foreach { case (cw, off, n, ppm) =>
+        assert(cells((cw, off)) == n, s"seed $seed cell ($cw,$off)")
+        assert(ppm == n * 1000000L / cells((cw, 0L)), s"seed $seed ppm")
+      }
+    }
+  }
+
+  test("calibration == binned reference incl. ECE") {
+    for (seed <- Seq(3, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 500).map { _ =>
+        val p = rnd.nextInt(1000001).toLong
+        // correlated label: higher prob -> more likely positive
+        (p, if (rnd.nextInt(1000000) < p) 1L else 0L)
+      }
+      val bins = 10
+      val ref = rows.groupBy(r => math.min(r._1 * bins / 1000000L, bins - 1L))
+        .map { case (b, rs) =>
+          val n = rs.size.toLong
+          val conf = rs.map(_._1).sum / n
+          val acc = rs.map(_._2).sum * 1000000L / n
+          b -> ((n, rs.map(_._2).sum, conf, acc, math.abs(conf - acc)))
+        }
+      val refEce = ref.values.map(v => v._1 * v._5).sum / ref.values.map(_._1).sum
+      val got = Classify.calibration(rows.toDF("prob_ppm", "y"),
+          "prob_ppm", "y", bins)
+        .select("bin", "n", "n_pos", "conf_ppm", "acc_ppm", "gap_ppm", "ece_ppm")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(got.length == ref.size)
+      got.foreach { case (b, n, np, c, a, g, e) =>
+        assert(ref(b) == ((n, np, c, a, g)), s"seed $seed bin $b")
+        assert(e == refEce, s"seed $seed ece")
+      }
+    }
+  }
+
+  test("kappa == exact rational reference; perfect/constant edge cases") {
+    for (seed <- Seq(11, 59)) {
+      val rnd = new scala.util.Random(seed)
+      val labels = Vector("x", "y", "z")
+      val rows = (1 to 200).map { _ =>
+        (labels(rnd.nextInt(3)), labels(rnd.nextInt(3)))
+      }
+      val n = rows.size.toLong
+      val agree = rows.count(r => r._1 == r._2).toLong
+      val peNum = labels.map(l =>
+        rows.count(_._1 == l).toLong * rows.count(_._2 == l).toLong).sum
+      val expKappa = (agree * n - peNum) * 1000000L / (n * n - peNum)
+      val got = Classify.kappa(rows.toDF("a", "b"), "a", "b")
+        .select("n", "agree", "po_ppm", "pe_ppm", "kappa_ppm")
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(got == ((n, agree, agree * 1000000L / n,
+        peNum * 1000000L / (n * n), expKappa)), s"seed $seed")
+    }
+    // both raters constant and identical: pe = 1, kappa undefined -> null
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val row = Classify.kappa(const, "a", "b").collect().head
+    assert(row.isNullAt(row.fieldIndex("kappa_ppm")))
+    // perfect non-constant agreement: kappa = 1e6
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(Classify.kappa(perfect, "a", "b")
+      .select("kappa_ppm").as[Long].head() == 1000000L)
+  }
+
+  test("skewProfile == counted reference with independent md5 bucketing") {
+    for (seed <- Seq(19, 37)) {
+      val rnd = new scala.util.Random(seed)
+      // zipf-ish: key k drawn with weight 1/(k+1)
+      val keys = (1 to 600).map { _ =>
+        var k = 0
+        while (k < 9 && rnd.nextInt(100) < 55) k += 1
+        s"key$k"
+      }
+      val parts = 16
+      val counts = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val total = keys.size.toLong
+      val got = Scale.skewProfile(keys.toDF("k"), "k", 5, parts)
+        .select("key", "n", "share_ppm", "bucket", "salt_factor")
+        .as[(String, Long, Long, Long, Long)].collect()
+      val expTop = counts.toSeq.sortBy(p => (-p._2, p._1)).take(5)
+      assert(got.map(r => (r._1, r._2)).toSeq == expTop, s"seed $seed top-k")
+      got.foreach { case (k, n, share, bucket, salt) =>
+        assert(share == n * 1000000L / total)
+        assert(bucket == (((h60Ref(k) % parts) + parts) % parts))
+        assert(salt == (n * parts + total - 1) / total)
+      }
+    }
+  }
+
+  test("pageRank == in-memory integer power-iteration reference") {
+    for (seed <- Seq(5, 43)) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 12
+      val edges = (for {
+        s <- 0 until nNodes; d <- 0 until nNodes
+        if s != d && rnd.nextInt(100) < 30
+      } yield (s.toLong, d.toLong, 1L + rnd.nextInt(9).toLong)).toVector
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val nn = nodes.size.toLong
+      val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      var pr = nodes.map(v => v -> 1000000L / nn).toMap
+      for (_ <- 0 until 3) {
+        val in = edges.groupBy(_._2).map { case (d, es) =>
+          d -> es.map(e => 850000L * pr(e._1) / 1000000L * e._3 / outW(e._1)).sum
+        }
+        pr = nodes.map(v => v -> (150000L / nn + in.getOrElse(v, 0L))).toMap
+      }
+      val got = Graph.pageRank(edges.toDF("src", "dst", "w"),
+          "src", "dst", "w", 3)
+        .select("node", "pr_ppm").as[(Long, Long)].collect().toMap
+      assert(got == pr, s"seed $seed")
+    }
+  }
+
+  test("plan pins: funnel/retention/pageRank shuffle keyed only, skewProfile is agg + top-k") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val ev = graft.core.Tables(spark, "/root/testdata/sf0.001", "events")
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val pf = plan(Events.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), 604800L))
+    // no cartesian anywhere in the stage chain; the only window is the
+    // O(#stages) counts frame
+    assert(!pf.contains("CartesianProduct"), pf.take(2000))
+    val pr = plan(Events.retention(ev, "user_id", "ts"))
+    assert(!pr.contains("CartesianProduct"), pr.take(2000))
+    val pp = plan(Graph.pageRank(
+      Graph.profileEdges(docs, "text", "source"), "src", "dst", "w", 3))
+    assert(!pp.contains("CartesianProduct"), pp.take(2000))
+    // materialize-once: the 3-iteration plan must NOT re-derive the
+    // edge lineage from the corpus per round — after the checkpoint the
+    // iterated plan reads RDD scans only, zero parquet scans
+    assert(!pp.contains("FileScan"), pp.take(3000))
+    val ps = plan(Scale.skewProfile(ev, "event_type", 10, 32))
+    assert(ps.contains("TakeOrderedAndProject"), ps.take(2000))
+    assert(!ps.contains("CartesianProduct"), ps.take(2000))
+  }
+
+  test("profileEdges is symmetric and matches a brute-force dot reference") {
+    val docs = Seq(
+      (1L, "apple banana apple", "s0"), (2L, "banana cherry", "s1"),
+      (3L, "apple cherry cherry", "s2"), (4L, "banana banana", "s0"))
+      .toDF("doc_id", "text", "source")
+    val prof = docs.collect().toSeq
+      .map(r => (r.getString(2), r.getString(1).split(" ").toSeq))
+      .groupBy(_._1)
+      .map { case (s, rs) =>
+        s -> rs.flatMap(_._2).groupBy(w => h60Ref(w) % 256)
+          .map { case (b, ws) => b -> ws.size.toLong }
+      }
+    val expect = (for {
+      a <- prof.keys; b <- prof.keys if a != b
+      dot = prof(a).keys.toSet.intersect(prof(b).keys.toSet)
+        .toSeq.map(k => prof(a)(k) * prof(b)(k)).sum
+      if dot > 0
+    } yield (a, b) -> dot).toMap
+    val got = Graph.profileEdges(docs, "text", "source")
+      .select("src", "dst", "w").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expect)
+    got.foreach { case ((a, b), w) => assert(got((b, a)) == w, "symmetry") }
+  }
+}
