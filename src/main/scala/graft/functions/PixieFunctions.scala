@@ -29,8 +29,16 @@ object PixieFunctions {
   /** Exact int64 division. Column./ promotes to double, which silently
     * corrupts epoch-ns values (2^63-scale longs exceed double's 2^53 exact
     * range) — every time computation in the engine goes through this.
+    * Truncates toward zero, same as DuckDB's integer `//` — negative
+    * numerators stay oracle-exact (the kappa path relies on it).
     */
-  def idiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+  def idiv(a: Column, b: Long): Column = idiv(a, lit(b))
+
+  /** Column-divisor overload — the exactness-critical integer division
+    * every ppm/share computation uses; one definition, not per-file
+    * copies that could drift.
+    */
+  def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   /** Time bin over an epoch-ns long column (the engine's TIME64NS
     * convention), result = epoch *seconds* of the window start. All window

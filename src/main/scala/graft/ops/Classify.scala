@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PixieFunctions.idiv
 
 /** Distributed text classification for corpus curation — the
   * quality-classifier stage every large-scale pretraining pipeline
@@ -159,8 +160,6 @@ object Classify {
           (col("tp") * 2 + col("fp") + col("fn")), 6))
         .otherwise(lit(0.0)))
   }
-
-  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   /** Reliability diagram + expected calibration error for a
     * probability-scored binary classifier — the standard "is the

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PixieFunctions.idiv
 
 /** Corpus-curation operators for training-data pipelines: the standard
   * cleanup stages between raw crawl and training set that aren't
@@ -52,6 +53,17 @@ object Corpus {
       .distinct()
     val corpusGrams = corpus.select(col(idCol),
       explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
+    contaminationReport(corpus, corpusGrams, evalGrams, textCol, idCol, n)
+  }
+
+  /** Shared tail of [[contamination]] / [[contaminationBloom]]: the
+    * gram join, per-doc hit count, and ratio report — one definition so
+    * the bloom-prefiltered path can never drift from the exact one
+    * (their results are equal by construction and gate-shared).
+    */
+  private def contaminationReport(corpus: DataFrame, corpusGrams: DataFrame,
+                                  evalGrams: DataFrame, textCol: String,
+                                  idCol: String, n: Int): DataFrame = {
     val totals = corpus.select(col(idCol),
       size(array_distinct(Dedup.shingles(col(textCol), n))).cast("long")
         .as("n_grams"))
@@ -131,15 +143,7 @@ object Corpus {
     val corpusGrams = corpus.select(col(idCol),
         explode(array_distinct(Dedup.shingles(col(textCol), n))).as("g"))
       .where(graft.expressions.Bloom.mightContain(lit(bf), xxhash64(col("g"))))
-    val totals = corpus.select(col(idCol),
-      size(array_distinct(Dedup.shingles(col(textCol), n))).cast("long")
-        .as("n_grams"))
-    val hits = corpusGrams.join(evalGrams, "g")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_contaminated"))
-      .withColumn("contamination_ratio",
-        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+    contaminationReport(corpus, corpusGrams, evalGrams, textCol, idCol, n)
   }
 
   /** C4-style duplicate-span REMOVAL (Raffel et al. 2020 drop repeated
@@ -192,8 +196,18 @@ object Corpus {
   }
 
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
-                           n: Int = 8): DataFrame = {
-    val covered = coveredPositions(df, textCol, idCol, n)
+                           n: Int = 8): DataFrame =
+    excisePositions(df, textCol, idCol,
+      coveredPositions(df, textCol, idCol, n))
+
+  /** Shared reassembly tail of [[removeDuplicateSpans]] /
+    * [[decontaminateSpans]]: anti-join the covered `(idCol, wi)` word
+    * positions, rebuild each doc's remainder in order, and report the
+    * removal count — one definition so the two excision operators can
+    * never drift. The collect_list is bounded by ONE document's length.
+    */
+  private def excisePositions(df: DataFrame, textCol: String, idCol: String,
+                              covered: DataFrame): DataFrame = {
     val words = df.select(col(idCol),
       posexplode(split(col(textCol), " ")).as(Seq("wi", "w")))
     val kept = words.join(covered, Seq(idCol, "wi"), "left_anti")
@@ -233,20 +247,7 @@ object Corpus {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("wi"))
       .distinct()
-    val words = corpus.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("wi", "w")))
-    val kept = words.join(covered, Seq(idCol, "wi"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(concat_ws(" ",
-          transform(sort_array(collect_list(struct(col("wi"), col("w")))),
-            s => s.getField("w"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    corpus.select(col(idCol),
-        size(split(col(textCol), " ")).cast("long").as("__nw"))
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("__nw") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    excisePositions(corpus, textCol, idCol, covered)
   }
 
   /** Padding-efficiency report: the wasted-pad-token comparison that
@@ -264,7 +265,6 @@ object Corpus {
   def paddingWaste(df: DataFrame, idCol: String, textCol: String,
                    bucketWidth: Int = 16, batchSize: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
     val nTok = size(split(col(textCol), " ")).cast("long")
     val banded = df.select(col(idCol).cast("long").as("id"), nTok.as("n_tok"))
       .withColumn("__band", idiv(col("id"), 1024L))
@@ -521,7 +521,6 @@ object Corpus {
     val offsets = df.groupBy(col(groupCol)).agg(sum(col(tokenCol)).as("__tot"))
       .withColumn("__off", sum(col("__tot")).over(wOff) - col("__tot"))
       .drop("__tot")
-    def idiv(a: Column, b: Long) = graft.functions.PixieFunctions.idiv(a, b)
     local.join(broadcast(offsets), groupCol)
       .withColumn("start_tok", col("__off") + col("__cum") - col(tokenCol))
       .withColumn("first_seq", idiv(col("start_tok"), seqLen))
@@ -736,7 +735,6 @@ object Corpus {
           Window.unboundedPreceding, Window.unboundedFollowing)))
       .drop("__c")
     // ntile(3): first (n % 3) buckets take one extra row
-    def idiv(a: Column, b: Column) = call_function("div", a, b)
     val r = col("__off") + row_number().over(wIn)
     val (q3, m3) = (idiv(col("__n"), lit(3L)), pmod(col("__n"), lit(3L)))
     val tile = when(r <= (q3 + 1) * m3, idiv(r - 1, q3 + 1) + 1)
@@ -891,7 +889,6 @@ object Corpus {
         Window.orderBy("__band").rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
       .drop("__c")
-    def idiv(a: Column, b: Column) = call_function("div", a, b)
     val r = col("__off") + row_number().over(wIn)
     val shard = idiv((r - 1) * nShards, col("__n"))
     // shard s starts at global rank ceil(s*n/S) + 1
@@ -958,7 +955,6 @@ object Corpus {
                           bucketWidth: Int = 16,
                           batchSize: Int = 8): DataFrame = {
     val nTok = size(split(col(textCol), " ")).cast("long")
-    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
     val base = df.select(col(idCol), nTok.as("n_tok"))
       .withColumn("bucket", idiv(col("n_tok"), bucketWidth.toLong))
     val wIn = Window.partitionBy("bucket").orderBy(col("n_tok"), col(idCol))
@@ -1267,7 +1263,6 @@ object Corpus {
     */
   def packingSweep(df: DataFrame, tokenCol: String,
                    seqLens: Seq[Long]): DataFrame = {
-    def idiv(a: Column, b: Column) = call_function("div", a, b)
     df.select(col(tokenCol).cast("long").as("__tok"),
         explode(typedLit(seqLens)).as("seq_len"))
       .groupBy("seq_len")

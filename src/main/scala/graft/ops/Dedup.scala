@@ -654,6 +654,42 @@ object Dedup {
       .write.mode("append").parquet(s"$path/bands.parquet")
   }
 
+  /** Delete docs from a persisted dedup index ([[writeDedupIndex]])
+    * WITHOUT rebuilding it — the takedown/right-to-erasure path that
+    * completes the index lifecycle (build -> append -> compact ->
+    * delete). Band rows of deleted ids are dropped outright; a content
+    * hash is dropped ONLY if no surviving doc still carries it (the
+    * stored set has no per-doc attribution, so the surviving holders
+    * are found by one MAP-ONLY corpus scan filtered through the
+    * broadcast deleted-hash set — no shuffle of the corpus, and the
+    * only path that touches it). The index after delete is
+    * row-identical to [[writeDedupIndex]] over corpus-minus-deleted,
+    * except hash-set ordering — gate-proved by the next delta's
+    * decisions matching the shrunk-corpus oracle (q384).
+    */
+  def deleteFromDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, corpus: DataFrame,
+                           deleted: DataFrame, textCol: String,
+                           idCol: String): Unit = {
+    val hash = md5(col(textCol).cast("binary"))
+    val delIds = deleted.select(col(idCol)).distinct()
+    val delHash = deleted.select(hash.as("content_hash")).distinct()
+    val stillHeld = corpus.join(delIds, Seq(idCol), "left_anti")
+      .select(hash.as("content_hash"))
+      .join(broadcast(delHash), Seq("content_hash"), "left_semi")
+      .distinct()
+    val toRemove = delHash.join(stillHeld, Seq("content_hash"), "left_anti")
+    spark.read.parquet(s"$path/hashes.parquet")
+      .join(broadcast(toRemove), Seq("content_hash"), "left_anti")
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/hashes.parquet")
+    spark.read.parquet(s"$path/bands.parquet")
+      .join(broadcast(delIds.select(col(idCol).as("corpus_id"))),
+        Seq("corpus_id"), "left_anti")
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/bands.parquet")
+  }
+
   /** [[incrementalDedup]] against a PERSISTED index
     * ([[writeDedupIndex]]): identical decisions by construction — the
     * gate reuses q269's oracle, the q248/q237 sharing pattern — but the

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PixieFunctions.idiv
 
 /** Behavioral event analytics over a `(user, event_type, ts)` stream —
   * the product-analytics operators an observability platform runs next
@@ -20,8 +21,6 @@ import org.apache.spark.sql.functions._
   * (`a * 1000000 div b`) so every engine computes the identical value.
   */
 object Events {
-
-  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   /** Strict ordered funnel: a user converts to stage k when an event of
     * `stages(k)` exists STRICTLY AFTER their stage-(k-1) conversion and
@@ -85,6 +84,131 @@ object Events {
       when(first === 0, lit(0L))
         .otherwise(idiv(col("n_users") * 1000000L, first))
         .as("conv_first_ppm"))
+  }
+
+  /** Markov transition matrix over each user's event sequence: for
+    * every ordered adjacent pair of events (by timestamp, event-id
+    * tiebreak) count the `(from_type, to_type)` transition and its
+    * ppm probability conditional on `from_type` — the "what do users
+    * do next" read that turns a raw event log into a navigable product
+    * graph.
+    *
+    * Shape: the lead() window is USER-keyed (bounded by one user's
+    * activity, never corpus-wide), the count is a keyed aggregate, and
+    * the per-from-type totals frame is O(#types) — broadcast back. A
+    * 100 TB log shuffles once on user and once on the pair key.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("ts"), col("eid"))
+    val pairs = df.select(col(userCol).as("u"), col(typeCol).as("et"),
+        graft.functions.PixieFunctions.nsToUs(col(tsCol)).as("ts"),
+        col(idCol).as("eid"))
+      .select(col("et").as("from_type"),
+        lead(col("et"), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("__t"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        idiv(col("n") * 1000000L, col("__t")).as("p_ppm"))
+  }
+
+  /** Peak concurrency per event type: treat each event as a span
+    * `[ts, ts + durUs)` and sweep — the classic "max in-flight
+    * requests" observability read. Returns one row per type:
+    * `n_spans`, `peak_concurrency`, and `peak_at_us` (the EARLIEST
+    * instant attaining the peak).
+    *
+    * Determinism: deltas are aggregated per (type, instant) BEFORE the
+    * prefix sum, so intra-instant event order cannot matter — at a
+    * shared instant the net (+starts −ends) applies atomically, and
+    * the transient "ends released first" dip is never a maximum, so
+    * `max(cumsum(net))` is the exact peak under the
+    * end-before-start-at-equal-time convention.
+    *
+    * Scale: the running sum is the banded two-level prefix
+    * ([[Corpus.curriculumShards]] pattern) — per-(type, hour-band)
+    * windows plus an O(#types x #bands) offsets frame broadcast back;
+    * #bands is bounded by the TIME SPAN, not the data size, so no
+    * corpus-wide single-partition window exists at any scale.
+    */
+  def spanConcurrency(df: DataFrame, typeCol: String, tsCol: String,
+                      durUs: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = graft.functions.PixieFunctions.nsToUs(col(tsCol))
+    val starts = df.select(col(typeCol).as("et"), ts.as("t"),
+      lit(1L).as("d"))
+    val ends = df.select(col(typeCol).as("et"), (ts + durUs).as("t"),
+      lit(-1L).as("d"))
+    val net = starts.unionByName(ends).groupBy("et", "t")
+      .agg(sum(col("d")).as("net"))
+      .withColumn("__band", idiv(col("t"), lit(3600L * 1000000L)))
+    val wOff = Window.partitionBy("et").orderBy("__band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = net.groupBy("et", "__band").agg(sum(col("net")).as("__s"))
+      .withColumn("__off", sum(col("__s")).over(wOff) - col("__s"))
+      .drop("__s")
+    val wIn = Window.partitionBy("et", "__band").orderBy("t")
+    val cum = net.join(broadcast(offsets), Seq("et", "__band"))
+      .withColumn("c", col("__off") + sum(col("net")).over(wIn))
+    val peaks = cum.groupBy("et").agg(max(col("c")).as("peak"))
+    val spans = df.groupBy(col(typeCol).as("et"))
+      .agg(count(lit(1)).as("n_spans"))
+    cum.join(broadcast(peaks), "et").where(col("c") === col("peak"))
+      .groupBy("et").agg(min(col("t")).as("peak_at_us"))
+      .join(broadcast(peaks), "et").join(broadcast(spans), "et")
+      .select(col("et").as("event_type"), col("n_spans"),
+        col("peak").as("peak_concurrency"), col("peak_at_us"))
+  }
+
+  /** CUSUM changepoint per event type: bin the log into fixed
+    * `binUs`-wide buckets over the GLOBAL time range (empty buckets
+    * count 0), and locate the bucket where the cumulative deviation
+    * from the type's mean rate is largest — the standard "when did the
+    * rate shift" detector over a metric stream.
+    *
+    * Exactness: the classic CUSUM `S_i = sum(c_j - T/N)` is kept in
+    * integer units scaled by N: `S_i * N = N * prefix_i - i * T`
+    * (N buckets, T events) — no division, every engine computes the
+    * identical value. Output per type: the changepoint bucket
+    * (earliest on |S| ties), `cusum_scaled` there, its sign
+    * (+1 = rate ran above mean before the point, i.e. a drop follows;
+    * -1 = a surge follows), and the bucket/event totals.
+    *
+    * Scale: the per-type prefix window runs over the BUCKET GRID,
+    * whose size is bounded by the time span / binUs — independent of
+    * data volume; counts reach the grid via one keyed aggregate.
+    */
+  def rateChangepoint(df: DataFrame, typeCol: String, tsCol: String,
+                      binUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(typeCol).as("et"),
+      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+        lit(binUs)).as("b"))
+    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
+      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val counts = base.groupBy("et", "b").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("et").agg(sum(col("c")).as("__T"))
+    val w = Window.partitionBy("et").orderBy("b")
+    val filled = grid.join(counts, Seq("et", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(tot), "et")
+      .crossJoin(broadcast(rng.select((col("b1") - col("b0") + 1).as("__N"))))
+      .withColumn("__pre",
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("s",
+        col("__N") * col("__pre") - row_number().over(w).cast("long") * col("__T"))
+    val wr = Window.partitionBy("et").orderBy(abs(col("s")).desc, col("b").asc)
+    filled.withColumn("__rn", row_number().over(wr)).where(col("__rn") === 1)
+      .select(col("et").as("event_type"), col("b").as("cp_bin"),
+        col("s").as("cusum_scaled"),
+        signum(col("s")).cast("long").as("direction"),
+        col("__N").as("n_bins"), col("__T").as("n_events"))
   }
 
   /** Weekly retention cohort matrix: users are cohorted by the epoch

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PixieFunctions.idiv
 
 /** Iterative graph computation beyond connected components
   * ([[Dedup.connectedComponents]]): weighted PageRank, the crawl-
@@ -22,8 +23,6 @@ import org.apache.spark.sql.functions._
   * docstring rather than silently redistributed.
   */
 object Graph {
-
-  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   /** `iters` rounds of damped weighted PageRank over `edges`
     * (directed, positive integer weights). Nodes = union of endpoints;

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PixieFunctions.idiv
 
 /** Scale-engineering diagnostics — operators whose OUTPUT is advice
   * about how a dataset will behave on a large cluster. At 100 TB the
@@ -10,8 +11,6 @@ import org.apache.spark.sql.functions._
   * run as a cheap keyed aggregate ahead of the expensive join/agg.
   */
 object Scale {
-
-  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   /** Hot-key profile for a prospective shuffle key: the top-k heaviest
     * keys with their corpus share, the hash bucket each lands in under
@@ -40,5 +39,141 @@ object Scale {
           .as("salt_factor"))
       .orderBy(col("n").desc, col("key"))
       .limit(topK)
+  }
+
+  /** Morton/Z-order interleave of two `bits`-bit bucket ids: bit k of
+    * `bx` lands at position 2k, bit k of `by` at 2k+1 — the standard
+    * multi-dimensional clustering key (Bayer/Markl UB-tree lineage;
+    * Delta/Iceberg `OPTIMIZE ZORDER BY`). Pure integer bit arithmetic,
+    * identical in any engine.
+    */
+  private[graft] def interleaveBits(bx: Column, by: Column, bits: Int): Column =
+    (0 until bits).map { k =>
+      shiftleft(shiftrightunsigned(bx, k).bitwiseAND(lit(1L)), 2 * k) +
+        shiftleft(shiftrightunsigned(by, k).bitwiseAND(lit(1L)), 2 * k + 1)
+    }.reduce(_ + _)
+
+  /** `bits`-bit equi-width bucket of `x` over the CLOSED range
+    * [x0, x1]: `(x-x0) * 2^bits // (x1-x0+1)`, always in
+    * [0, 2^bits-1] — no clamp needed, exact in integers.
+    */
+  private def bucket(x: Column, x0: Column, x1: Column, bits: Int): Column =
+    idiv((x - x0) * (1L << bits), x1 - x0 + 1)
+
+  /** Deterministic balanced file assignment by global rank over
+    * `ord` (ties by id): `file = (rank-1) * nFiles // n`. The global
+    * rank is the banded two-level prefix sum ([[graft.ops.Corpus]]
+    * shard pattern) — 256 ord-range bands, per-band windows, an
+    * O(#bands) offsets frame broadcast back; never a corpus-wide
+    * single-partition window. A degenerate ord distribution collapses
+    * bands toward serial — the documented trade of every banded rank.
+    */
+  private def fileAssign(g: DataFrame, nFiles: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val om = g.agg(min(col("ord")).as("__o0"), max(col("ord")).as("__o1"))
+    val banded = g.crossJoin(broadcast(om))
+      .withColumn("__band",
+        idiv((col("ord") - col("__o0")) * 256L, col("__o1") - col("__o0") + 1))
+      .drop("__o0", "__o1")
+    val wOff = Window.orderBy("__band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = banded.groupBy("__band").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.orderBy("__band").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("__c")
+    val wIn = Window.partitionBy("__band").orderBy(col("ord"), col("id"))
+    banded.join(broadcast(offsets), Seq("__band"))
+      .withColumn("file",
+        idiv((col("__off") + row_number().over(wIn) - 1) * nFiles, col("__n")))
+      .select(col("id"), col("x"), col("y"), col("file"))
+  }
+
+  /** (id, x, y, z-order key) projection with `bits`-bit equi-width
+    * buckets per dimension over each dim's observed [min, max].
+    */
+  private def zProject(df: DataFrame, xCol: String, yCol: String,
+                       idCol: String, bits: Int): DataFrame = {
+    val mm = df.agg(min(col(xCol)).cast("long").as("__x0"),
+      max(col(xCol)).cast("long").as("__x1"),
+      min(col(yCol)).cast("long").as("__y0"),
+      max(col(yCol)).cast("long").as("__y1"))
+    df.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .crossJoin(broadcast(mm))
+      .withColumn("ord", interleaveBits(
+        bucket(col("x"), col("__x0"), col("__x1"), bits),
+        bucket(col("y"), col("__y0"), col("__y1"), bits), bits))
+      .drop("__x0", "__x1", "__y0", "__y1")
+  }
+
+  /** Z-order data layout + its zone maps: cluster rows by the Morton
+    * interleave of two dimensions, cut into `nFiles` balanced files by
+    * global z-rank, and emit each file's zone map (row count + per-dim
+    * min/max) — the min/max statistics a parquet/Delta/Iceberg reader
+    * prunes with. At 100 TB the layout decision IS the query-latency
+    * decision: a 2-dim z-sort keeps BOTH dims' per-file ranges narrow,
+    * so predicates on either dim skip most files ([[zonemapSkipReport]]
+    * measures exactly that).
+    *
+    * Output: one row per file — O(nFiles) at any input size.
+    */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String,
+                   idCol: String, bits: Int, nFiles: Int): DataFrame =
+    fileAssign(zProject(df, xCol, yCol, idCol, bits), nFiles)
+      .groupBy("file").agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
+  /** Zone-map skipping report: for each rectangular predicate
+    * `(xlo, xhi, ylo, yhi)`, how many of `nFiles` files must be
+    * scanned (zone map overlaps the rectangle) under the z-order
+    * layout vs a LINEAR layout sorted by x alone — the measured
+    * answer to "is z-ordering this table worth it". One row per
+    * (predicate, layout): files scanned/total, the skip ratio in ppm,
+    * and the predicate's actual row count (its selectivity).
+    *
+    * Shape: both layouts' zone maps are O(nFiles) frames; the overlap
+    * test is zone-maps x predicates (tiny cross of two broadcast
+    * frames), and selectivities come from ONE data scan against the
+    * broadcast predicate list. Nothing here grows with corpus size
+    * except the two rank passes that build the layouts.
+    */
+  def zonemapSkipReport(df: DataFrame, xCol: String, yCol: String,
+                        idCol: String, bits: Int, nFiles: Int,
+                        preds: Seq[(Long, Long, Long, Long)]): DataFrame = {
+    val z = zProject(df, xCol, yCol, idCol, bits)
+    val lin = z.withColumn("ord", col("x"))
+    def zones(a: DataFrame, layout: String) =
+      fileAssign(a, nFiles).groupBy("file")
+        .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .withColumn("layout", lit(layout))
+    val zm = zones(z, "zorder").unionByName(zones(lin, "linear"))
+    val predDf = df.sparkSession.range(1)
+      .select(explode(typedLit(preds.zipWithIndex.map { case ((a, b, c, d), i)
+        => (i.toLong, a, b, c, d) })).as("p"))
+      .select(col("p._1").as("pred_id"), col("p._2").as("xlo"),
+        col("p._3").as("xhi"), col("p._4").as("ylo"), col("p._5").as("yhi"))
+    val hit = !(col("max_x") < col("xlo") || col("min_x") > col("xhi") ||
+      col("max_y") < col("ylo") || col("min_y") > col("yhi"))
+    val scans = zm.crossJoin(broadcast(predDf))
+      .groupBy("pred_id", "layout")
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+        count(lit(1)).as("files_total"))
+    val rows = df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .crossJoin(broadcast(predDf))
+      .where(col("x") >= col("xlo") && col("x") <= col("xhi") &&
+        col("y") >= col("ylo") && col("y") <= col("yhi"))
+      .groupBy("pred_id").agg(count(lit(1)).as("rows_matched"))
+    scans.join(broadcast(rows), Seq("pred_id"), "left")
+      .na.fill(0L, Seq("rows_matched"))
+      .select(col("pred_id"), col("layout"), col("files_scanned"),
+        col("files_total"),
+        idiv((col("files_total") - col("files_scanned")) * 1000000L,
+          col("files_total")).as("skip_ppm"),
+        col("rows_matched"))
   }
 }

@@ -936,6 +936,30 @@ object Similarity {
     }
   }
 
+  /** Delete vectors from a persisted SQ8 index ([[writeSq8Index]]) —
+    * the tombstone path that completes the ANN index lifecycle (build
+    * -> append -> compact -> delete). Codes of deleted ids are
+    * anti-joined out and the table rewritten; the (lo, hi) BOUNDS ARE
+    * RETAINED: they stay a valid (superset) quantization range for
+    * every surviving vector, so served distances are exactly the
+    * build-time codes' distances — which is what production
+    * tombstoning does (bounds re-tighten at the next full rebuild /
+    * compaction, not per delete). The gate contract is therefore
+    * "serve-after-delete == scan of surviving codes under build-time
+    * bounds" (q385 parameterizes q326's oracle accordingly), NOT
+    * "== a from-scratch rebuild", whose tighter bounds would re-scale
+    * every surviving code. O(index) work; the corpus is never read.
+    */
+  def deleteFromSq8Index(spark: org.apache.spark.sql.SparkSession,
+                         path: String, deleted: DataFrame,
+                         idCol: String): Unit = {
+    spark.read.parquet(s"$path/codes")
+      .join(broadcast(deleted.select(col(idCol).as("neighbor_id")).distinct()),
+        Seq("neighbor_id"), "left_anti")
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
   /** SQ8 index health report: one row of the operational stats an
     * index owner watches — code count, dimensionality, and the bounds
     * geometry (global lo/hi plus the micro-quantized mean per-dim

@@ -593,32 +593,7 @@ object Curation2 {
          |  a.doc_id = b.keeper_id AS keep
          |FROM allc a JOIN best b ON b.component = a.component AND b.rn = 1
          |ORDER BY a.doc_id""".stripMargin,
-    "q326_ann_sq8" ->
-      """WITH v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
-        |mm AS (SELECT d, min(x) AS lo, max(x) AS hi
-        |  FROM (SELECT unnest(e) AS x, unnest(range(64)) AS d FROM v)
-        |  GROUP BY d),
-        |p AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi
-        |  FROM mm),
-        |codes AS (SELECT vec_id AS nid, list_transform(range(64), j ->
-        |    CASE WHEN hi[j+1] = lo[j+1] THEN 0
-        |    ELSE least(255, CAST(floor((e[j+1] - lo[j+1])
-        |      / (hi[j+1] - lo[j+1]) * 256.0) AS BIGINT)) END) AS cd
-        |  FROM v, p),
-        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
-        |s AS (SELECT qid, nid, list_sum(list_transform(range(64), j ->
-        |    (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
-        |    * (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
-        |    )) AS dist
-        |  FROM q, codes, p WHERE nid <> qid),
-        |r AS (SELECT qid AS query_id, nid AS neighbor_id,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
-        |      AS INTEGER) AS rank,
-        |    round(dist, 6) AS adc_dist FROM s)
-        |SELECT query_id, neighbor_id, rank, adc_dist FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q326_ann_sq8" -> sq8OracleSql("TRUE"),
     "q327_padding_waste" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
@@ -997,6 +972,40 @@ object Curation2 {
        |    THEN round(CAST(nc * 2 - np AS DOUBLE) / np, 6) END AS kendall_tau
        |FROM allq LEFT JOIN base USING (qid) LEFT JOIN pr USING (qid)
        |ORDER BY query_id""".stripMargin
+
+  /** The SQ8 ANN re-derivation, parameterized by the codes-side
+    * predicate: q326 serves ALL codes ("TRUE"); q385 serves the
+    * post-delete index, i.e. the same BUILD-TIME bounds (computed over
+    * the full corpus `v`) with deleted ids filtered OUT of the code
+    * table only — exactly [[graft.ops.Similarity.deleteFromSq8Index]]'s
+    * retained-bounds tombstone contract.
+    */
+  private[queries] def sq8OracleSql(codesPred: String): String =
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |mm AS (SELECT d, min(x) AS lo, max(x) AS hi
+       |  FROM (SELECT unnest(e) AS x, unnest(range(64)) AS d FROM v)
+       |  GROUP BY d),
+       |p AS (SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi
+       |  FROM mm),
+       |codes AS (SELECT vec_id AS nid, list_transform(range(64), j ->
+       |    CASE WHEN hi[j+1] = lo[j+1] THEN 0
+       |    ELSE least(255, CAST(floor((e[j+1] - lo[j+1])
+       |      / (hi[j+1] - lo[j+1]) * 256.0) AS BIGINT)) END) AS cd
+       |  FROM v, p WHERE $codesPred),
+       |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+       |s AS (SELECT qid, nid, list_sum(list_transform(range(64), j ->
+       |    (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
+       |    * (qe[j+1] - (lo[j+1] + (cd[j+1] + 0.5) * (hi[j+1] - lo[j+1]) / 256.0))
+       |    )) AS dist
+       |  FROM q, codes, p WHERE nid <> qid),
+       |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
+       |      AS INTEGER) AS rank,
+       |    round(dist, 6) AS adc_dist FROM s)
+       |SELECT query_id, neighbor_id, rank, adc_dist FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** q338 must reproduce q326 exactly — the indexed path shares its
     * oracle verbatim (the q283/q269 shared-oracle pattern).

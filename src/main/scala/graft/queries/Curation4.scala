@@ -12,9 +12,7 @@ import graft.queries.Q._
   */
 object Curation4 {
 
-  private def idivc(a: org.apache.spark.sql.Column,
-                    b: org.apache.spark.sql.Column) =
-    call_function("div", a, b)
+  import graft.functions.PixieFunctions.idiv
 
   /** q32's stopword list (== the `en` marker set) — the shared
     * English-ness signal for the calibration query.
@@ -46,7 +44,7 @@ object Curation4 {
     "q375_calibration" -> ((s, dir) => {
       val w = split(col("text"), " ")
       val scored = t(s, dir, "documents").select(
-        least(idivc(size(filter(w, x => x.isin(stops: _*))).cast("long")
+        least(idiv(size(filter(w, x => x.isin(stops: _*))).cast("long")
           * 3000000L, size(w).cast("long")), lit(1000000L)).as("prob_ppm"),
         (col("lang") === "en").cast("long").as("y"))
       Classify.calibration(scored, "prob_ppm", "y", bins = 10)
@@ -81,9 +79,135 @@ object Curation4 {
           Graph.profileEdges(t(s, dir, "documents"), "text", "source"),
           "src", "dst", "w", iters = 3)
         .orderBy("node")
+    }),
+
+    // Markov transition matrix over each user's event sequence:
+    // (from, to) counts + ppm probability conditional on from_type.
+    "q379_event_transitions" -> ((s, dir) => {
+      Events.transitionMatrix(t(s, dir, "events"), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Peak in-flight spans per event type (span = [ts, ts + value
+    // seconds)): sweep-line max concurrency + the earliest peak
+    // instant, banded-prefix exact.
+    "q380_span_concurrency" -> ((s, dir) => {
+      Events.spanConcurrency(t(s, dir, "events"), "event_type", "ts",
+          round(col("value") * lit(1000000.0)).cast("long"))
+        .orderBy("event_type")
+    }),
+
+    // CUSUM changepoint per event type over minute bins: where the
+    // cumulative rate deviation peaks, in exact N-scaled integers.
+    "q381_rate_changepoint" -> ((s, dir) => {
+      Events.rateChangepoint(t(s, dir, "events"), "event_type", "ts",
+          binUs = 60L * 1000000L)
+        .orderBy("event_type")
+    }),
+
+    // Z-order (Morton) layout of lineitem by (l_partkey, l_suppkey)
+    // into 64 balanced files + each file's zone map — the min/max
+    // stats a reader prunes with.
+    "q382_zorder_layout" -> ((s, dir) => {
+      Scale.zorderLayout(
+          t(s, dir, "lineitem").withColumn("rid",
+            col("l_orderkey") * 8L + col("l_linenumber")),
+          "l_partkey", "l_suppkey", "rid", bits = 8, nFiles = 64)
+        .orderBy("file")
+    }),
+
+    // Zone-map skipping: files scanned under z-order vs linear-by-x
+    // for four rectangular predicates, with true selectivities.
+    "q383_zonemap_skipping" -> ((s, dir) => {
+      Scale.zonemapSkipReport(
+          t(s, dir, "lineitem").withColumn("rid",
+            col("l_orderkey") * 8L + col("l_linenumber")),
+          "l_partkey", "l_suppkey", "rid", bits = 8, nFiles = 64,
+          preds = zonePreds)
+        .orderBy("pred_id", "layout")
+    }),
+
+    // Delete docs from the persisted dedup index (tombstone path),
+    // then run the indexed delta: decisions must match the
+    // shrunk-corpus oracle — deleted docs no longer block admission.
+    "q384_dedup_index_delete" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val deleted = corpus.where(pmod(col("doc_id"), lit(7L)) === 0)
+      val remaining = corpus.where(pmod(col("doc_id"), lit(7L)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+      val idx = Curation2.tempIndexDir("graft_dedup_delete_")
+      try {
+        graft.ops.Dedup.writeDedupIndex(corpus, "text", "doc_id", idx,
+          3, 16, 4)
+        graft.ops.Dedup.deleteFromDedupIndex(s, idx, corpus, deleted,
+          "text", "doc_id")
+        graft.ops.Dedup.incrementalDedupIndexed(idx, remaining, batch,
+            "text", "doc_id", 3, 16, 4, 0.8)
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
+    }),
+
+    // Delete vectors from the persisted SQ8 index (retained-bounds
+    // tombstone), then serve: deleted neighbors vanish, survivors
+    // keep their build-time codes.
+    "q385_sq8_index_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = Curation2.tempIndexDir("graft_sq8_delete_")
+      try {
+        graft.ops.Similarity.writeSq8Index(emb, "vec_id", "embedding", idx)
+        graft.ops.Similarity.deleteFromSq8Index(s, idx,
+          emb.where(pmod(col("vec_id"), lit(11L)) === 0), "vec_id")
+        graft.ops.Similarity.sq8TopKIndexed(s, idx,
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
     }))
 
+  /** q383's predicate rectangles (xlo, xhi, ylo, yhi) over
+    * (l_partkey, l_suppkey) — narrow-x, narrow-y, narrow-both, and a
+    * wide box; sf-stable (key ranges only grow with scale factor).
+    */
+  private val zonePreds: Seq[(Long, Long, Long, Long)] = Seq(
+    (100L, 299L, 0L, 10000000L),
+    (0L, 10000000L, 10L, 29L),
+    (100L, 299L, 10L, 29L),
+    (0L, 999L, 0L, 49L))
+
   // ---- generated oracle SQL ------------------------------------------
+
+  /** SQL mirror of [[graft.ops.Scale.interleaveBits]] — generated from
+    * the same bit loop so the two can't drift.
+    */
+  private def interleaveSql(bx: String, by: String, bits: Int): String =
+    (0 until bits).map { k =>
+      s"((($bx >> $k) & 1) << ${2 * k}) + ((($by >> $k) & 1) << ${2 * k + 1})"
+    }.mkString(" + ")
+
+  /** Shared layout CTE prefix for q382/q383: row id, dims, Morton key
+    * over 8-bit equi-width buckets, and the total row count.
+    */
+  private val zLayoutCtes: String = {
+    val z = interleaveSql("bxx", "byy", 8)
+    s"""d AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+       |    CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+       |  FROM lineitem),
+       |mm AS (SELECT min(x) AS x0, max(x) AS x1,
+       |    min(y) AS y0, max(y) AS y1 FROM d),
+       |g AS (SELECT id, x, y, $z AS zord FROM
+       |  (SELECT id, x, y,
+       |     (x - x0) * 256 // (x1 - x0 + 1) AS bxx,
+       |     (y - y0) * 256 // (y1 - y0 + 1) AS byy FROM d, mm)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)""".stripMargin
+  }
+
+  private val zonePredsSql: String =
+    zonePreds.zipWithIndex.map { case ((a, b, c, d), i) =>
+      s"($i::BIGINT, $a::BIGINT, $b::BIGINT, $c::BIGINT, $d::BIGINT)"
+    }.mkString(", ")
 
   /** q31's lang-vote CASE (NorthStar oracle), reused verbatim for the
     * kappa oracle's predicted column.
@@ -199,6 +323,111 @@ object Curation4 {
         |  CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) % 32 AS bucket,
         |  (n * 32 + total - 1) // total AS salt_factor
         |FROM c, t ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+    "q379_event_transitions" ->
+      """WITH base AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_us(ts) AS ts, event_id AS eid FROM events),
+        |pairs AS (SELECT et AS from_type,
+        |    lead(et) OVER (PARTITION BY u ORDER BY ts, eid) AS to_type
+        |  FROM base),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c
+        |  GROUP BY 1)
+        |SELECT from_type, to_type, n, n * 1000000 // t AS p_ppm
+        |FROM c JOIN tt USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q380_span_concurrency" ->
+      """WITH ev AS (SELECT event_type AS et, epoch_us(ts) AS t,
+        |    CAST(round(value * 1000000) AS BIGINT) AS dur FROM events),
+        |deltas AS (SELECT et, t, 1 AS d FROM ev
+        |  UNION ALL SELECT et, t + dur, -1 FROM ev),
+        |net AS (SELECT et, t, CAST(sum(d) AS BIGINT) AS net FROM deltas
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT et, t,
+        |    sum(net) OVER (PARTITION BY et ORDER BY t) AS c FROM net),
+        |peaks AS (SELECT et, CAST(max(c) AS BIGINT) AS peak FROM cum
+        |  GROUP BY et),
+        |spans AS (SELECT et, CAST(count(*) AS BIGINT) AS n_spans FROM ev
+        |  GROUP BY et)
+        |SELECT cum.et AS event_type, n_spans,
+        |  peak AS peak_concurrency, CAST(min(t) AS BIGINT) AS peak_at_us
+        |FROM cum JOIN peaks ON peaks.et = cum.et AND cum.c = peaks.peak
+        |JOIN spans ON spans.et = cum.et
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "q381_rate_changepoint" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 60000000 AS b FROM events),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM base),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM base)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c FROM grid g
+        |  LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+        |tot AS (SELECT et, CAST(sum(c) AS BIGINT) AS t FROM f GROUP BY et),
+        |s AS (SELECT f.et, f.b, tot.t, rng.b1 - rng.b0 + 1 AS nb,
+        |    (rng.b1 - rng.b0 + 1)
+        |      * sum(f.c) OVER (PARTITION BY f.et ORDER BY f.b)
+        |      - row_number() OVER (PARTITION BY f.et ORDER BY f.b) * tot.t
+        |      AS s
+        |  FROM f CROSS JOIN rng JOIN tot ON tot.et = f.et),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY et ORDER BY abs(s) DESC, b) AS rn FROM s)
+        |SELECT et AS event_type, b AS cp_bin, CAST(s AS BIGINT)
+        |    AS cusum_scaled,
+        |  CAST(sign(s) AS BIGINT) AS direction, nb AS n_bins,
+        |  t AS n_events
+        |FROM r WHERE rn = 1 ORDER BY et""".stripMargin,
+
+    "q382_zorder_layout" ->
+      s"""WITH $zLayoutCtes,
+         |r AS (SELECT x, y,
+         |    (row_number() OVER (ORDER BY zord, id) - 1) * 64 // nn.n
+         |      AS file
+         |  FROM g, nn)
+         |SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM r GROUP BY file ORDER BY file""".stripMargin,
+
+    "q383_zonemap_skipping" ->
+      s"""WITH $zLayoutCtes,
+         |zf AS (SELECT x, y,
+         |    (row_number() OVER (ORDER BY zord, id) - 1) * 64 // nn.n
+         |      AS file FROM g, nn),
+         |lf AS (SELECT x, y,
+         |    (row_number() OVER (ORDER BY x, id) - 1) * 64 // nn.n
+         |      AS file FROM g, nn),
+         |zz AS (SELECT 'zorder' AS layout, file, min(x) AS min_x,
+         |    max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |  FROM zf GROUP BY file
+         |  UNION ALL SELECT 'linear', file, min(x), max(x), min(y), max(y)
+         |  FROM lf GROUP BY file),
+         |p AS (SELECT * FROM (VALUES $zonePredsSql)
+         |  AS t(pred_id, xlo, xhi, ylo, yhi)),
+         |scans AS (SELECT pred_id, layout,
+         |    CAST(sum(CASE WHEN NOT (max_x < xlo OR min_x > xhi
+         |        OR max_y < ylo OR min_y > yhi) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS files_scanned,
+         |    CAST(count(*) AS BIGINT) AS files_total
+         |  FROM zz, p GROUP BY 1, 2),
+         |rm AS (SELECT pred_id, CAST(count(*) AS BIGINT) AS rows_matched
+         |  FROM d, p WHERE x >= xlo AND x <= xhi AND y >= ylo AND y <= yhi
+         |  GROUP BY 1)
+         |SELECT s.pred_id, s.layout, files_scanned, files_total,
+         |  (files_total - files_scanned) * 1000000 // files_total
+         |    AS skip_ppm,
+         |  coalesce(rows_matched, 0) AS rows_matched
+         |FROM scans s LEFT JOIN rm USING (pred_id)
+         |ORDER BY pred_id, layout""".stripMargin,
+
+    "q384_dedup_index_delete" -> Curation.incrementalDedupOracle(
+      "doc_id % 5 <> 0 AND doc_id % 7 <> 0", "doc_id % 5 = 0"),
+
+    "q385_sq8_index_delete" -> Curation2.sq8OracleSql("vec_id % 11 <> 0"),
 
     "q378_profile_pagerank" -> {
       val contrib = (p: String) =>

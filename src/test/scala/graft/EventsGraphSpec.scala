@@ -202,6 +202,101 @@ class EventsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("transitionMatrix == adjacent-pair reference on random streams") {
+    for (seed <- Seq(17, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Vector("a", "b", "c", "d")
+      val events = (1 to 400).map { i =>
+        (rnd.nextInt(25).toLong, types(rnd.nextInt(types.size)),
+          rnd.nextInt(300).toLong * 1000000000L, i.toLong)
+      }
+      val ref = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._3 / 1000L, e._4)).map(_._2)
+          .sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val fromTot = ref.groupBy(_._1._1)
+        .map { case (f, m) => f -> m.values.sum }
+      val got = Events.transitionMatrix(
+          events.toDF("user_id", "event_type", "ts", "event_id"),
+          "user_id", "event_type", "ts", "event_id")
+        .select("from_type", "to_type", "n", "p_ppm")
+        .as[(String, String, Long, Long)].collect()
+      assert(got.length == ref.size, s"seed $seed pair count")
+      got.foreach { case (f, to, n, ppm) =>
+        assert(ref((f, to)) == n, s"seed $seed ($f,$to)")
+        assert(ppm == n * 1000000L / fromTot(f), s"seed $seed ppm ($f,$to)")
+      }
+    }
+  }
+
+  test("spanConcurrency == brute sweep reference, shared-instant netting exact") {
+    for (seed <- Seq(7, 53)) {
+      val rnd = new scala.util.Random(seed)
+      // coarse grid so starts/ends collide on shared instants
+      val spans = (1 to 300).map { _ =>
+        (if (rnd.nextBoolean()) "svc1" else "svc2",
+          rnd.nextInt(40).toLong * 1000000000L,
+          (1L + rnd.nextInt(10)) * 1000000L)
+      }
+      val ref = spans.groupBy(_._1).map { case (et, ss) =>
+        val net = (ss.map(s => (s._2 / 1000L, 1L)) ++
+            ss.map(s => (s._2 / 1000L + s._3, -1L)))
+          .groupBy(_._1).map { case (t, ds) => t -> ds.map(_._2).sum }
+          .toSeq.sortBy(_._1)
+        var c = 0L; var peak = Long.MinValue; var peakAt = 0L
+        net.foreach { case (t, d) =>
+          c += d; if (c > peak) { peak = c; peakAt = t }
+        }
+        et -> ((ss.size.toLong, peak, peakAt))
+      }
+      val got = Events.spanConcurrency(
+          spans.toDF("event_type", "ts", "dur_us"),
+          "event_type", "ts", col("dur_us"))
+        .select("event_type", "n_spans", "peak_concurrency", "peak_at_us")
+        .as[(String, Long, Long, Long)].collect()
+      assert(got.length == ref.size, s"seed $seed types")
+      got.foreach { case (et, n, p, at) =>
+        assert(ref(et) == ((n, p, at)), s"seed $seed $et")
+      }
+    }
+  }
+
+  test("rateChangepoint == zero-filled CUSUM grid reference") {
+    for (seed <- Seq(23, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val binUs = 60L * 1000000L
+      // rate shift: type 'a' fires 3x as often in the second half
+      val events = (1 to 500).map { _ =>
+        val et = if (rnd.nextInt(3) == 0) "a" else "b"
+        val half = if (et == "a" && rnd.nextInt(4) > 0) 1 else 0
+        (et, (half * 3000 + rnd.nextInt(3000)).toLong * 1000000000L)
+      }
+      val bins = events.map(e => (e._1, e._2 / 1000L / binUs))
+      val (b0, b1) = (bins.map(_._2).min, bins.map(_._2).max)
+      val nB = b1 - b0 + 1
+      val ref = bins.groupBy(_._1).map { case (et, es) =>
+        val counts = es.groupBy(_._2).map { case (b, v) => b -> v.size.toLong }
+        val tot = es.size.toLong
+        var pre = 0L
+        val ss = (b0 to b1).zipWithIndex.map { case (b, i) =>
+          pre += counts.getOrElse(b, 0L)
+          (b, nB * pre - (i + 1) * tot)
+        }
+        val best = ss.minBy { case (b, s) => (-math.abs(s), b) }
+        et -> ((best._1, best._2, math.signum(best._2).toLong, nB, tot))
+      }
+      val got = Events.rateChangepoint(events.toDF("event_type", "ts"),
+          "event_type", "ts", binUs)
+        .select("event_type", "cp_bin", "cusum_scaled", "direction",
+          "n_bins", "n_events")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(got.length == ref.size, s"seed $seed")
+      got.foreach { case (et, b, s, d, nb, ne) =>
+        assert(ref(et) == ((b, s, d, nb, ne)), s"seed $seed $et")
+      }
+    }
+  }
+
   test("plan pins: funnel/retention/pageRank shuffle keyed only, skewProfile is agg + top-k") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
