@@ -211,6 +211,97 @@ object Events {
         col("__N").as("n_bins"), col("__T").as("n_events"))
   }
 
+  /** Robust rate-anomaly ranking per event type: bin the log into
+    * `binUs` buckets over the global range (empty buckets count 0) and
+    * score each bucket by the MAD z-score `|c - median| / MAD` — the
+    * median-based detector that, unlike mean/stddev, a single huge
+    * spike cannot poison. Returns the `topK` most anomalous buckets
+    * per type.
+    *
+    * Exactness: order statistics instead of interpolation — every
+    * quantity is kept in DOUBLED integer units (`med2` = sum of the
+    * two middle counts = 2*median, `dev = |2c - med2|` = 4*|c-median|
+    * ... scaled consistently), so `z_ppm = dev * 2e6 // mad4` is exact
+    * integer arithmetic end-to-end; rank ties break to the earlier
+    * bucket. `mad4 = 0` (over half the buckets share the median count)
+    * yields null z but still ranks by raw deviation.
+    *
+    * Scale: identical shape to [[rateChangepoint]] — all windows run
+    * per type over the TIME-bound bucket grid, counts arrive via one
+    * keyed aggregate, and output is O(#types x topK).
+    */
+  def rateAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+                    binUs: Long, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(typeCol).as("et"),
+      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+        lit(binUs)).as("b"))
+    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
+      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val counts = base.groupBy("et", "b").agg(count(lit(1)).as("c"))
+    val filled = grid.join(counts, Seq("et", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(rng.select((col("b1") - col("b0") + 1).as("__N"))))
+    // doubled median of `c` per type: ranks (n+1)/2 and (n+2)/2 —
+    // odd n picks the middle twice, even n the two middles once each
+    val k1 = idiv(col("__N") + 1, lit(2L)); val k2 = idiv(col("__N") + 2, lit(2L))
+    val wc = Window.partitionBy("et").orderBy(col("c"), col("b"))
+    val med = filled.withColumn("__r", row_number().over(wc).cast("long"))
+      .groupBy("et").agg(
+        (sum(when(col("__r") === k1, col("c"))) +
+          sum(when(col("__r") === k2, col("c")))).as("med2"))
+    val dev = filled.join(broadcast(med), "et")
+      .withColumn("dev", abs(col("c") * 2 - col("med2")))
+    val wd = Window.partitionBy("et").orderBy(col("dev"), col("b"))
+    val mad = dev.withColumn("__r", row_number().over(wd).cast("long"))
+      .groupBy("et").agg(
+        (sum(when(col("__r") === k1, col("dev"))) +
+          sum(when(col("__r") === k2, col("dev")))).as("mad4"))
+    val wr = Window.partitionBy("et").orderBy(col("dev").desc, col("b").asc)
+    dev.join(broadcast(mad), "et")
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= topK)
+      .select(col("et").as("event_type"), col("rank"), col("b").as("bin"),
+        col("c"), col("med2"), col("mad4"),
+        when(col("mad4") > 0, idiv(col("dev") * 2000000L, col("mad4")))
+          .as("z_ppm"))
+  }
+
+  /** Top event paths: the `pathLen`-event journeys (per-user adjacent
+    * windows ordered by (ts, event-id)) ranked by frequency — the
+    * "what are users actually doing" companion to
+    * [[transitionMatrix]]'s one-step view. Output: the `topK` most
+    * common paths with counts and corpus share.
+    *
+    * Shape: the lead chain is one user-keyed window (bounded per
+    * user), the count is path-keyed, and the top-k is a sort-limit
+    * (TakeOrdered — no global sort); share denominator is a broadcast
+    * 1-row total.
+    */
+  def topPaths(df: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, idCol: String, pathLen: Int,
+               topK: Int): DataFrame = {
+    require(pathLen >= 2, "topPaths: pathLen >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("ts"), col("eid"))
+    val steps = col("et") +: (1 until pathLen)
+      .map(i => lead(col("et"), i).over(w))
+    val paths = df.select(col(userCol).as("u"), col(typeCol).as("et"),
+        graft.functions.PixieFunctions.nsToUs(col(tsCol)).as("ts"),
+        col(idCol).as("eid"))
+      .select(concat_ws(">", steps: _*).as("path"),
+        steps.last.isNotNull.as("__full"))
+      .where(col("__full"))
+    val counts = paths.groupBy("path").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        idiv(col("n") * 1000000L, col("__t")).as("share_ppm"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Weekly retention cohort matrix: users are cohorted by the epoch
     * week (`floor(unix_seconds / 604800)`) of their FIRST event; each
     * (cohort, week-offset) cell counts the distinct users active that

@@ -150,6 +150,21 @@ object Curation4 {
       } finally Curation2.deleteDir(idx)
     }),
 
+    // MAD-robust rate anomalies: top-5 most deviant hour buckets per
+    // event type, z-scores as exact doubled-integer order statistics.
+    "q386_rate_anomalies" -> ((s, dir) => {
+      Events.rateAnomalies(t(s, dir, "events"), "event_type", "ts",
+          binUs = 3600L * 1000000L, topK = 5)
+        .orderBy("event_type", "rank")
+    }),
+
+    // Top 3-event user journeys with corpus share — the path-analysis
+    // companion to q379's one-step transition matrix.
+    "q387_top_paths" -> ((s, dir) => {
+      Events.topPaths(t(s, dir, "events"), "user_id", "event_type",
+        "ts", "event_id", pathLen = 3, topK = 10)
+    }),
+
     // Delete vectors from the persisted SQ8 index (retained-bounds
     // tombstone), then serve: deleted neighbors vanish, survivors
     // keep their build-time codes.
@@ -423,6 +438,55 @@ object Curation4 {
          |  coalesce(rows_matched, 0) AS rows_matched
          |FROM scans s LEFT JOIN rm USING (pred_id)
          |ORDER BY pred_id, layout""".stripMargin,
+
+    "q386_rate_anomalies" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM base),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM base)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c,
+        |    rng.b1 - rng.b0 + 1 AS n
+        |  FROM grid g LEFT JOIN c ON c.et = g.et AND c.b = g.b
+        |  CROSS JOIN rng),
+        |rc AS (SELECT *, row_number()
+        |    OVER (PARTITION BY et ORDER BY c, b) AS r FROM f),
+        |med AS (SELECT et, CAST(
+        |    sum(CASE WHEN r = (n + 1) // 2 THEN c END)
+        |    + sum(CASE WHEN r = (n + 2) // 2 THEN c END) AS BIGINT) AS med2
+        |  FROM rc GROUP BY et),
+        |d AS (SELECT f.et, f.b, f.c, f.n, med.med2,
+        |    abs(f.c * 2 - med.med2) AS dev
+        |  FROM f JOIN med ON med.et = f.et),
+        |rd AS (SELECT *, row_number()
+        |    OVER (PARTITION BY et ORDER BY dev, b) AS r FROM d),
+        |mad AS (SELECT et, CAST(
+        |    sum(CASE WHEN r = (n + 1) // 2 THEN dev END)
+        |    + sum(CASE WHEN r = (n + 2) // 2 THEN dev END) AS BIGINT) AS mad4
+        |  FROM rd GROUP BY et),
+        |rk AS (SELECT d.et, d.b, d.c, d.med2, mad.mad4, d.dev,
+        |    row_number() OVER (PARTITION BY d.et ORDER BY d.dev DESC, d.b)
+        |      AS rank
+        |  FROM d JOIN mad ON mad.et = d.et)
+        |SELECT et AS event_type, CAST(rank AS INTEGER) AS rank, b AS bin,
+        |  c, med2, mad4,
+        |  CASE WHEN mad4 > 0 THEN dev * 2000000 // mad4 END AS z_ppm
+        |FROM rk WHERE rank <= 5 ORDER BY et, rank""".stripMargin,
+
+    "q387_top_paths" ->
+      """WITH base AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_us(ts) AS ts, event_id AS eid FROM events),
+        |p AS (SELECT et || '>' || lead(et, 1) OVER w || '>'
+        |      || lead(et, 2) OVER w AS path,
+        |    lead(et, 2) OVER w IS NOT NULL AS isfull
+        |  FROM base WINDOW w AS (PARTITION BY u ORDER BY ts, eid)),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+        |  WHERE isfull GROUP BY path),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+        |SELECT path, n, n * 1000000 // t AS share_ppm FROM c, t
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     "q384_dedup_index_delete" -> Curation.incrementalDedupOracle(
       "doc_id % 5 <> 0 AND doc_id % 7 <> 0", "doc_id % 5 = 0"),

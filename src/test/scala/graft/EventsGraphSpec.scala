@@ -297,6 +297,79 @@ class EventsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("rateAnomalies == doubled-order-statistic MAD reference") {
+    def med2Of(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.size
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    for (seed <- Seq(3, 89)) {
+      val rnd = new scala.util.Random(seed)
+      val binUs = 60L * 1000000L
+      val events = (1 to 600).map { _ =>
+        val et = if (rnd.nextInt(2) == 0) "a" else "b"
+        // background rate + an injected burst minute per type
+        val burst = rnd.nextInt(20) == 0
+        val t = if (burst) 7L else rnd.nextInt(50).toLong
+        (et, t * 60L * 1000000000L + rnd.nextInt(1000).toLong)
+      }
+      val bins = events.map(e => (e._1, e._2 / 1000L / binUs))
+      val (b0, b1) = (bins.map(_._2).min, bins.map(_._2).max)
+      val ref = bins.groupBy(_._1).flatMap { case (et, es) =>
+        val counts = es.groupBy(_._2).map { case (b, v) => b -> v.size.toLong }
+        val grid = (b0 to b1).map(b => b -> counts.getOrElse(b, 0L))
+        val med2 = med2Of(grid.map(_._2))
+        val devs = grid.map { case (b, c) => (b, c, (c * 2 - med2).abs) }
+        val mad4 = med2Of(devs.map(_._3))
+        devs.sortBy { case (b, _, d) => (-d, b) }.take(5).zipWithIndex
+          .map { case ((b, c, d), i) =>
+            (et, i + 1) -> ((b, c, med2, mad4,
+              if (mad4 > 0) Some(d * 2000000L / mad4) else None))
+          }
+      }
+      val got = Events.rateAnomalies(events.toDF("event_type", "ts"),
+          "event_type", "ts", binUs, 5)
+        .select("event_type", "rank", "bin", "c", "med2", "mad4", "z_ppm")
+        .collect()
+      assert(got.length == ref.size, s"seed $seed rows")
+      got.foreach { r =>
+        val key = (r.getString(0), r.getInt(1))
+        val z = if (r.isNullAt(6)) None else Some(r.getLong(6))
+        assert(ref(key) == ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), z)), s"seed $seed $key")
+      }
+    }
+    // constant series: mad4 = 0 -> null z, ranking still deterministic
+    val const = (1 to 60).map(i =>
+      ("x", i.toLong * 60L * 1000000000L)).toDF("event_type", "ts")
+    val rows = Events.rateAnomalies(const, "event_type", "ts",
+      60L * 1000000L, 3).collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(6)))
+  }
+
+  test("topPaths == trigram count reference; lead-chain completeness") {
+    for (seed <- Seq(41, 67)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Vector("a", "b", "c")
+      val events = (1 to 300).map { i =>
+        (rnd.nextInt(20).toLong, types(rnd.nextInt(3)),
+          rnd.nextInt(200).toLong * 1000000000L, i.toLong)
+      }
+      val tris = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._3 / 1000L, e._4)).map(_._2)
+          .sliding(3).filter(_.size == 3).map(_.mkString(">")).toSeq
+      }
+      val counts = tris.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val total = tris.size.toLong
+      val expect = counts.toSeq.sortBy(p => (-p._2, p._1)).take(10)
+        .map { case (p, n) => (p, n, n * 1000000L / total) }
+      val got = Events.topPaths(
+          events.toDF("user_id", "event_type", "ts", "event_id"),
+          "user_id", "event_type", "ts", "event_id", 3, 10)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("plan pins: funnel/retention/pageRank shuffle keyed only, skewProfile is agg + top-k") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString

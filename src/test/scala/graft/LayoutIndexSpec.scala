@@ -178,6 +178,52 @@ class LayoutIndexSpec extends AnyFunSuite {
     } finally graft.queries.Curation2.deleteDir(idx)
   }
 
+  test("bucketed tables: co-located join + agg run with ZERO exchanges") {
+    // The 100 TB co-location lever made executable: both fact tables
+    // written bucketed+sorted by the join key, the join consumes the
+    // bucket layout directly — no shuffle for the join AND none for
+    // the follow-on key-aligned aggregate. This is the deploy-time
+    // answer to "this join shuffles 100 TB every day".
+    val dir = graft.queries.Curation2.tempIndexDir("graft_bucket_")
+    val sf = "/root/testdata/sf0.001"
+    val orders = graft.core.Tables(spark, sf, "orders")
+    val li = graft.core.Tables(spark, sf, "lineitem")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/orders").mode("overwrite")
+        .saveAsTable("graft_bkt_orders")
+      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/lineitem").mode("overwrite")
+        .saveAsTable("graft_bkt_lineitem")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(3000))
+      // same answer as the plain (shuffling) join
+      val expect = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").agg(sum(col("l_extendedprice")).as("rev"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = j.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == expect.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - expect(k)) < 1e-6, s"key $k")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      graft.queries.Curation2.deleteDir(dir)
+    }
+  }
+
   test("plan pins: layout ops shuffle keyed only; sq8 delete serve reads codes not embeddings") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString

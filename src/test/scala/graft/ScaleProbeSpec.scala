@@ -382,4 +382,49 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: tranche-13/14 event + layout families scale with data") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // spanConcurrency: 2n deltas netted per (type, instant), banded
+      // prefix — the window work is time-bound, so 10x events should
+      // cost ~the keyed aggregate growth only. transitionMatrix /
+      // topPaths: user-keyed lead windows, 10x users at same density.
+      // zorder/zonemap: banded global rank over 10x lineitem rows.
+      for ((name, dir, label) <- Seq(
+          ("q380_span_concurrency", src, "sf0.1"),
+          ("q380_span_concurrency", dst, "sf1"),
+          ("q379_event_transitions", src, "sf0.1"),
+          ("q379_event_transitions", dst, "sf1"),
+          ("q387_top_paths", src, "sf0.1"),
+          ("q387_top_paths", dst, "sf1"),
+          ("q382_zorder_layout", src, "sf0.1"),
+          ("q382_zorder_layout", dst, "sf1"),
+          ("q383_zonemap_skipping", src, "sf0.1"),
+          ("q383_zonemap_skipping", dst, "sf1"))) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // dedup-index delete: cost model is delete-set + one map-only
+      // corpus scan for hash refcounts — must track corpus linearly.
+      for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
+        val docs = graft.core.Tables(spark, dir, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+        val deleted = corpus.where(pmod(col("doc_id"), lit(7L)) === 0)
+        val idx = graft.queries.Curation2.tempIndexDir("graft_probe_deldedup_")
+        try {
+          graft.ops.Dedup.writeDedupIndex(corpus, "text", "doc_id", idx,
+            3, 16, 4)
+          val t0 = System.nanoTime()
+          graft.ops.Dedup.deleteFromDedupIndex(spark, idx, corpus, deleted,
+            "text", "doc_id")
+          println(f"SCALEPROBE dedup_index_delete $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } finally graft.queries.Curation2.deleteDir(idx)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
