@@ -302,6 +302,77 @@ object Events {
       .limit(topK)
   }
 
+  /** Hourly latency percentile bands: per (type, time bucket) the
+    * exact nearest-rank p50/p95/p99 of `valCol` — the SLO dashboard
+    * read. Values are held in CENTS (`round(value*100)`, exact for
+    * 2-decimal metrics), ranks are `ceil(p*n/100)` integers, so both
+    * engines agree bit-for-bit with zero interpolation.
+    *
+    * Shape: one ranking window per (type, bucket) cell — each cell is
+    * one type's one hour, the granularity exact percentiles cost
+    * everywhere; the sketch path for corpus-wide quantiles at 100 TB
+    * is the t-digest family (q19/q22 contract).
+    */
+  def latencyBands(df: DataFrame, typeCol: String, tsCol: String,
+                   valCol: String, binUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(typeCol).as("et"),
+      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+        lit(binUs)).as("b"),
+      round(col(valCol) * lit(100.0)).cast("long").as("cents"))
+    val ranked = base
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("et", "b").orderBy(col("cents"))).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("et", "b")))
+    def kOf(p: Int) = idiv(col("__n") * p + 99L, lit(100L))
+    ranked.groupBy(col("et").as("event_type"), col("b").as("bin"))
+      .agg(max(col("__n")).as("n"),
+        max(when(col("__r") === kOf(50), col("cents"))).as("p50_c"),
+        max(when(col("__r") === kOf(95), col("cents"))).as("p95_c"),
+        max(when(col("__r") === kOf(99), col("cents"))).as("p99_c"))
+  }
+
+  /** Time-weighted mean per type — the gauge-averaging read where each
+    * sample holds its value until the next sample (last sample weighs
+    * zero), vs the naive mean that over-counts burst periods. Exact:
+    * cents x microsecond longs, `twa_c = sum(cents*dt) // span`.
+    *
+    * Scale: the "next sample" lookup is a BANDED lead — lead within
+    * (type, hour band) plus an O(#types x #bands) band-level frame
+    * (the next non-empty band's first sample, broadcast back) patching
+    * each band's last row — so no per-type corpus-wide window exists;
+    * the band frame is bounded by the time span.
+    */
+  def timeWeightedMean(df: DataFrame, typeCol: String, tsCol: String,
+                       valCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(typeCol).as("et"),
+        graft.functions.PixieFunctions.nsToUs(col(tsCol)).as("t"),
+        round(col(valCol) * lit(100.0)).cast("long").as("cents"),
+        col(idCol).as("eid"))
+      .withColumn("__band", idiv(col("t"), lit(3600L * 1000000L)))
+    val wIn = Window.partitionBy("et", "__band").orderBy(col("t"), col("eid"))
+    val led = base.withColumn("__nt", lead(col("t"), 1).over(wIn))
+    val wB = Window.partitionBy("et").orderBy("__band")
+    val bandNext = base.groupBy("et", "__band")
+      .agg(min(struct(col("t"), col("eid"))).as("__f"))
+      .withColumn("__nbt", lead(col("__f.t"), 1).over(wB))
+      .select(col("et"), col("__band"), col("__nbt"))
+    led.join(broadcast(bandNext), Seq("et", "__band"))
+      .withColumn("__dt",
+        coalesce(coalesce(col("__nt"), col("__nbt")) - col("t"), lit(0L)))
+      .groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("t")) - min(col("t"))).as("span_us"),
+        sum(col("cents") * col("__dt")).as("__wsum"),
+        sum(col("cents")).as("__csum"))
+      .select(col("event_type"), col("n"), col("span_us"),
+        when(col("span_us") > 0, idiv(col("__wsum"), col("span_us")))
+          .as("twa_c"),
+        idiv(col("__csum"), col("n")).as("mean_c"))
+  }
+
   /** Weekly retention cohort matrix: users are cohorted by the epoch
     * week (`floor(unix_seconds / 604800)`) of their FIRST event; each
     * (cohort, week-offset) cell counts the distinct users active that

@@ -41,6 +41,29 @@ object Scale {
       .limit(topK)
   }
 
+  /** Skew-leveled equi-join: the salting pattern [[skewProfile]]'s
+    * `salt_factor` column prescribes, made executable. The fact side
+    * gains a deterministic salt in [0, salt) (hash of `saltCol`, so
+    * replays salt identically); the (small) dim side is exploded
+    * `salt`-fold; the join runs on `(key, salt)` — a single hot key
+    * now spreads over `salt` shuffle partitions instead of melting
+    * one. Results are EXACTLY the plain `fact join dim on key` (every
+    * fact row meets precisely its one dim copy — the gate shares the
+    * plain join's oracle); cost is `salt x |dim|` duplication, the
+    * standard trade. For dims that fit in memory prefer `broadcast()`;
+    * salting is the lever when the dim is too big to broadcast AND a
+    * fact key is hot.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                 saltCol: String, salt: Int): DataFrame = {
+    require(salt >= 1, "saltedJoin: salt >= 1")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(col(saltCol)), lit(salt.toLong)))
+    val dimX = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    salted.join(dimX, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** Morton/Z-order interleave of two `bits`-bit bucket ids: bit k of
     * `bx` lands at position 2k, bit k of `by` at 2k+1 — the standard
     * multi-dimensional clustering key (Bayer/Markl UB-tree lineage;

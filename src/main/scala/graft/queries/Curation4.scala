@@ -128,6 +128,49 @@ object Curation4 {
         .orderBy("pred_id", "layout")
     }),
 
+    // Hourly latency percentile bands: exact nearest-rank p50/p95/p99
+    // of value (in cents) per (event_type, hour) — the SLO dashboard.
+    "q388_latency_bands" -> ((s, dir) => {
+      Events.latencyBands(t(s, dir, "events"), "event_type", "ts",
+          "value", binUs = 3600L * 1000000L)
+        .orderBy("event_type", "bin")
+    }),
+
+    // ROLLUP revenue report: Catalyst's native grouping-sets operator
+    // over (returnflag, linestatus) with subtotal and grand-total rows,
+    // quantized-sum exact.
+    "q389_revenue_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Salted skew join: events (hot event_type keys) joined to the
+    // per-type stats dim on (key, salt) — result EXACTLY the plain
+    // join (shared-oracle contract), skew spread 4-fold.
+    "q390_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"),
+          sum(round(col("value") * lit(100.0)).cast("long")).as("type_cents"))
+      graft.ops.Scale.saltedJoin(ev, dim, "event_type", "event_id", 4)
+        .select(col("event_id"), col("event_type"), col("type_n"),
+          col("type_cents"))
+        .orderBy("event_id")
+    }),
+
+    // Time-weighted mean vs naive mean per type: gauge averaging where
+    // each sample holds until the next one (banded lead, exact
+    // cents x microsecond arithmetic).
+    "q391_time_weighted_mean" -> ((s, dir) => {
+      Events.timeWeightedMean(t(s, dir, "events"), "event_type", "ts",
+          "value", "event_id")
+        .orderBy("event_type")
+    }),
+
     // Delete docs from the persisted dedup index (tombstone path),
     // then run the indexed delta: decisions must match the
     // shrunk-corpus oracle — deleted docs no longer block admission.
@@ -487,6 +530,52 @@ object Curation4 {
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
         |SELECT path, n, n * 1000000 // t AS share_ppm FROM c, t
         |ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "q388_latency_bands" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |rk AS (SELECT et, b, cents,
+        |    row_number() OVER (PARTITION BY et, b ORDER BY cents) AS r,
+        |    CAST(count(*) OVER (PARTITION BY et, b) AS BIGINT) AS n
+        |  FROM base)
+        |SELECT et AS event_type, b AS bin, max(n) AS n,
+        |  max(CASE WHEN r = (n * 50 + 99) // 100 THEN cents END) AS p50_c,
+        |  max(CASE WHEN r = (n * 95 + 99) // 100 THEN cents END) AS p95_c,
+        |  max(CASE WHEN r = (n * 99 + 99) // 100 THEN cents END) AS p99_c
+        |FROM rk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q389_revenue_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+         |  ${qsumSql("l_extendedprice * (1 - l_discount)")} AS rev
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q390_salted_join" ->
+      """WITH dim AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS type_n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS type_cents
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, dim.type_n, dim.type_cents
+        |FROM events e JOIN dim USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q391_time_weighted_mean" ->
+      """WITH base AS (SELECT event_type AS et, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    event_id AS eid FROM events),
+        |led AS (SELECT et, t, cents,
+        |    lead(t) OVER (PARTITION BY et ORDER BY t, eid) AS nt
+        |  FROM base),
+        |a AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |    max(t) - min(t) AS span_us,
+        |    CAST(sum(cents * coalesce(nt - t, 0)) AS BIGINT) AS wsum,
+        |    CAST(sum(cents) AS BIGINT) AS csum
+        |  FROM led GROUP BY et)
+        |SELECT et AS event_type, n, span_us,
+        |  CASE WHEN span_us > 0 THEN wsum // span_us END AS twa_c,
+        |  csum // n AS mean_c FROM a ORDER BY et""".stripMargin,
 
     "q384_dedup_index_delete" -> Curation.incrementalDedupOracle(
       "doc_id % 5 <> 0 AND doc_id % 7 <> 0", "doc_id % 5 = 0"),

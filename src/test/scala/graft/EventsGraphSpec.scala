@@ -370,6 +370,75 @@ class EventsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("latencyBands == nearest-rank percentile reference") {
+    for (seed <- Seq(5, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val binUs = 3600L * 1000000L
+      val events = (1 to 500).map { _ =>
+        ("svc" + rnd.nextInt(2), rnd.nextInt(5).toLong * 3600L * 1000000000L
+          + rnd.nextInt(3600).toLong * 1000000000L,
+          rnd.nextInt(10000).toLong / 100.0)
+      }
+      val ref = events.groupBy(e => (e._1, e._2 / 1000L / binUs))
+        .map { case (k, es) =>
+          val cents = es.map(e => math.round(e._3 * 100.0)).sorted
+          val n = cents.size.toLong
+          def p(q: Int) = cents(((n * q + 99) / 100).toInt - 1)
+          k -> ((n, p(50), p(95), p(99)))
+        }
+      val got = Events.latencyBands(
+          events.toDF("event_type", "ts", "value"),
+          "event_type", "ts", "value", binUs)
+        .select("event_type", "bin", "n", "p50_c", "p95_c", "p99_c")
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(got.length == ref.size, s"seed $seed cells")
+      got.foreach { case (et, b, n, p50, p95, p99) =>
+        assert(ref((et, b)) == ((n, p50, p95, p99)), s"seed $seed ($et,$b)")
+      }
+    }
+  }
+
+  test("timeWeightedMean == plain-lead reference across band boundaries") {
+    for (seed <- Seq(9, 83)) {
+      val rnd = new scala.util.Random(seed)
+      // gaps from zero to multiple hours so in-band leads AND band patches
+      // both carry weight; duplicate timestamps exercise the eid tiebreak
+      var tNs = 0L
+      val events = (1 to 300).map { i =>
+        tNs += (if (rnd.nextInt(10) == 0) 0L
+          else rnd.nextInt(3 * 3600).toLong * 1000000000L)
+        ("g" + rnd.nextInt(2), tNs, rnd.nextInt(10000).toLong / 100.0,
+          i.toLong)
+      }
+      val ref = events.groupBy(_._1).map { case (et, es) =>
+        val s = es.map(e => (e._2 / 1000L, math.round(e._3 * 100.0), e._4))
+          .sortBy(e => (e._1, e._3))
+        val n = s.size.toLong
+        val span = s.map(_._1).max - s.map(_._1).min
+        val wsum = s.zip(s.drop(1)).map { case ((t, c, _), (nt, _, _)) =>
+          c * (nt - t) }.sum
+        val csum = s.map(_._2).sum
+        et -> ((n, span, if (span > 0) Some(wsum / span) else None,
+          csum / n))
+      }
+      val got = Events.timeWeightedMean(
+          events.toDF("event_type", "ts", "value", "event_id"),
+          "event_type", "ts", "value", "event_id").collect()
+      assert(got.length == ref.size, s"seed $seed")
+      got.foreach { r =>
+        val twa = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        assert(ref(r.getString(0)) == ((r.getLong(1), r.getLong(2), twa,
+          r.getLong(4))), s"seed $seed ${r.getString(0)}")
+      }
+    }
+    // single-sample series: span 0 -> null twa, mean defined
+    val one = Seq(("x", 5L * 1000000000L, 1.25, 1L))
+      .toDF("event_type", "ts", "value", "event_id")
+    val row = Events.timeWeightedMean(one, "event_type", "ts", "value",
+      "event_id").collect().head
+    assert(row.isNullAt(3) && row.getLong(4) == 125L)
+  }
+
   test("plan pins: funnel/retention/pageRank shuffle keyed only, skewProfile is agg + top-k") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString

@@ -224,6 +224,30 @@ class LayoutIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin == plain join; shuffle runs on (key, salt)") {
+    val rnd = new scala.util.Random(61)
+    // zipf-ish hot key: ~60% of facts share key 0
+    val fact = (1 to 400).map(i =>
+      (i.toLong, if (rnd.nextInt(10) < 6) 0L else rnd.nextInt(8).toLong,
+        rnd.nextInt(100).toLong)).toDF("fid", "k", "v")
+    val dim = (0L to 7L).map(k => (k, s"dim$k")).toDF("k", "label")
+    val got = Scale.saltedJoin(fact, dim, "k", "fid", 4)
+      .select("fid", "k", "v", "label")
+      .collect().map(_.toSeq).toSet
+    val plain = fact.join(dim, "k").select("fid", "k", "v", "label")
+      .collect().map(_.toSeq).toSet
+    assert(got == plain)
+    assert(got.size == 400)
+    // the join's exchanges hash on (k, __salt) — the hot key spreads
+    val plan = Scale.saltedJoin(fact, dim, "k", "fid", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan.take(2000))
+    // salt = 1 degenerates to the plain join exactly
+    val s1 = Scale.saltedJoin(fact, dim, "k", "fid", 1)
+      .select("fid", "k", "v", "label").collect().map(_.toSeq).toSet
+    assert(s1 == plain)
+  }
+
   test("plan pins: layout ops shuffle keyed only; sq8 delete serve reads codes not embeddings") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
