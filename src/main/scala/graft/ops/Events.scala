@@ -37,9 +37,13 @@ object Events {
     * stage-k result reuses the stage-(k-1) frame (a linear chain, not
     * k self-joins of the raw log).
     */
-  def funnel(df: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, stages: Seq[String],
-             windowSec: Long): DataFrame = {
+  /** The per-stage conversion chain shared by [[funnel]] and
+    * [[funnelTimes]]: frame k holds one row per user converted through
+    * stage k — `(u, t0, tk)`.
+    */
+  private def funnelChain(df: DataFrame, userCol: String, typeCol: String,
+                          tsCol: String, stages: Seq[String],
+                          windowSec: Long): Seq[DataFrame] = {
     require(stages.nonEmpty, "funnel: at least one stage")
     // epoch-micros longs end-to-end: comparisons and the window bound
     // are integer arithmetic, identical in any engine (no interval
@@ -55,7 +59,7 @@ object Events {
     // lineage contains the whole k-step chain (k is the funnel length,
     // 3-5 — the re-scan cost is k filtered scans of the log, each
     // pruned to one event_type before its user-keyed aggregate).
-    val convs = stages.zipWithIndex.tail.scanLeft(
+    stages.zipWithIndex.tail.scanLeft(
         s0.select(col("u"), col("t0"), col("t0").as("tk"))) {
       case (prev, (st, _)) =>
         base.where(col("et") === st)
@@ -64,6 +68,12 @@ object Events {
             col("ts") <= col("t0") + lit(windowSec * 1000000L))
           .groupBy("u").agg(min(col("t0")).as("t0"), min(col("ts")).as("tk"))
     }
+  }
+
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String],
+             windowSec: Long): DataFrame = {
+    val convs = funnelChain(df, userCol, typeCol, tsCol, stages, windowSec)
     val counts = convs.zip(stages).zipWithIndex.map {
       case ((c, st), i) =>
         c.agg(count(lit(1)).as("n_users"))
@@ -84,6 +94,187 @@ object Events {
       when(first === 0, lit(0L))
         .otherwise(idiv(col("n_users") * 1000000L, first))
         .as("conv_first_ppm"))
+  }
+
+  /** Banded doubled-median per key: `med2 = x_((n+1)/2) + x_((n+2)/2)`
+    * (1-indexed order statistics, = 2x the median, exact in integers)
+    * over a `(key, v)` frame whose per-key population is DATA-sized —
+    * the global rank comes from the banded two-level prefix
+    * ([[graft.ops.Corpus]] shard pattern: per-(key, v-range-band)
+    * windows + an O(#keys x #bands) offsets frame broadcast back), so
+    * no per-key corpus-wide window exists. Returns (key, n, med2).
+    */
+  private def bandedMed2(df: DataFrame, keyCol: String, vCol: String,
+                         bandWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = df.select(col(keyCol).as("k"), col(vCol).as("v"))
+      .withColumn("__band", idiv(col("v"), lit(bandWidth)))
+    val wOff = Window.partitionBy("k").orderBy("__band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = banded.groupBy("k", "__band").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy("k").orderBy("__band").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("__c")
+    val wIn = Window.partitionBy("k", "__band").orderBy(col("v"))
+    val k1 = idiv(col("__n") + 1, lit(2L)); val k2 = idiv(col("__n") + 2, lit(2L))
+    banded.join(broadcast(offsets), Seq("k", "__band"))
+      .withColumn("__r", col("__off") + row_number().over(wIn))
+      .groupBy(col("k").as(keyCol))
+      .agg(max(col("__n")).as("n"),
+        (sum(when(col("__r") === k1, col("v"))) +
+          sum(when(col("__r") === k2, col("v")))).as("med2"))
+  }
+
+  /** Time-to-convert per funnel stage: for every user who reached
+    * stage k, the wait `tk - t(k-1)`; reported as the count, the
+    * doubled median `med2_dt_us` (exact order statistics — the q386
+    * convention), and the integer mean. The stage-k and stage-(k-1)
+    * frames are both user-unique, so the join cannot fan out; the
+    * median is the BANDED doubled-median (hour-wide value bands), so
+    * a stage with millions of converters never needs a single global
+    * ordered window.
+    */
+  def funnelTimes(df: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, stages: Seq[String],
+                  windowSec: Long): DataFrame = {
+    val convs = funnelChain(df, userCol, typeCol, tsCol, stages, windowSec)
+    convs.zip(convs.tail).zip(stages.tail).zipWithIndex.map {
+      case (((prev, cur), st), i) =>
+        val dts = cur.select(col("u"), col("tk"))
+          .join(prev.select(col("u"), col("tk").as("__pt")), "u")
+          .select((col("tk") - col("__pt")).as("dt"))
+          .withColumn("__stage", lit(i + 1L))
+        val med = bandedMed2(dts, "__stage", "dt", 3600L * 1000000L)
+        val mean = dts.groupBy("__stage")
+          .agg(sum(col("dt")).as("__s"), count(lit(1)).as("__n2"))
+        med.join(mean, "__stage")
+          .select(col("__stage").as("stage"), lit(st).as("event_type"),
+            col("n").as("n_users"), col("med2").as("med2_dt_us"),
+            idiv(col("__s"), col("__n2")).as("mean_dt_us"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Theil-Sen robust trend per event type: the median of all pairwise
+    * slopes `(c_j - c_i) / (b_j - b_i)` over the zero-filled bucket
+    * grid — the breakdown-resistant "is this rate drifting" estimator
+    * a mean-squares fit can't give you (up to ~29% outliers tolerated).
+    * Slopes are IEEE doubles of exact integers (identical in every
+    * engine); the median is the doubled order statistic rounded at
+    * 1e-6. Output per type: n_bins, n_pairs, sen_slope (events per
+    * bucket per bucket step), direction.
+    *
+    * Scale: the pair set is O(#bins^2) per type — TIME-bound, not
+    * data-bound (the counts grid is; e.g. a 30-day minute grid is
+    * 43k bins -> 9.3e8 pairs; use hour bins for long ranges). The
+    * count grid arrives via one keyed aggregate.
+    */
+  def senTrend(df: DataFrame, typeCol: String, tsCol: String,
+               binUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(typeCol).as("et"),
+      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+        lit(binUs)).as("b"))
+    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
+      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val counts = base.groupBy("et", "b").agg(count(lit(1)).as("c"))
+    val filled = grid.join(counts, Seq("et", "b"), "left")
+      .na.fill(0L, Seq("c"))
+    val pairs = filled.toDF("et", "bi", "ci")
+      .join(filled.toDF("et", "bj", "cj"), "et")
+      .where(col("bi") < col("bj"))
+      .withColumn("slope",
+        (col("cj") - col("ci")).cast("double") / (col("bj") - col("bi")))
+    val w = Window.partitionBy("et").orderBy(col("slope"), col("bi"), col("bj"))
+    val n = Window.partitionBy("et")
+    val ranked = pairs.withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+    val k1 = idiv(col("__n") + 1, lit(2L)); val k2 = idiv(col("__n") + 2, lit(2L))
+    ranked.groupBy(col("et").as("event_type"))
+      .agg(max(col("__n")).as("n_pairs"),
+        (sum(when(col("__r") === k1, col("slope"))) +
+          sum(when(col("__r") === k2, col("slope")))).as("__m2"))
+      .crossJoin(broadcast(rng.select((col("b1") - col("b0") + 1).as("n_bins"))))
+      .select(col("event_type"), col("n_bins"), col("n_pairs"),
+        round(col("__m2") / 2.0, 6).as("sen_slope"),
+        signum(col("__m2")).cast("long").as("direction"))
+  }
+
+  /** Per-bucket series smoothing: the cumulative sum and the trailing
+    * `window`-bucket moving sum/average of the per-bucket cents total,
+    * over the zero-filled grid — the dashboard timeseries read
+    * (cumulative revenue, 7-day moving average). All integer cents;
+    * windows run over the TIME-bound bucket grid.
+    */
+  def movingStats(df: DataFrame, typeCol: String, tsCol: String,
+                  valCol: String, binUs: Long, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(typeCol).as("et"),
+      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+        lit(binUs)).as("b"),
+      round(col(valCol) * lit(100.0)).cast("long").as("cents"))
+    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
+      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val sums = base.groupBy("et", "b")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c_sum"))
+    val filled = grid.join(sums, Seq("et", "b"), "left")
+      .na.fill(0L, Seq("n", "c_sum"))
+    val ord = Window.partitionBy("et").orderBy("b")
+    filled
+      .withColumn("cum_sum", sum(col("c_sum")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ma_sum", sum(col("c_sum")).over(
+        ord.rowsBetween(-(window - 1), Window.currentRow)))
+      .select(col("et").as("event_type"), col("b").as("bin"), col("n"),
+        col("c_sum"), col("cum_sum"), col("ma_sum"),
+        idiv(col("ma_sum"), lit(window.toLong)).as("ma_avg"))
+  }
+
+  /** Growth accounting over weekly activity: every active (user, week)
+    * is exactly one of NEW (first-ever week), RETAINED (also active
+    * the previous week), or RESURRECTED (active before, but not last
+    * week); CHURNED counts land on the week AFTER a user's last
+    * consecutive activity (active in w-1, silent in w). The standard
+    * startup growth ledger, all exact integers.
+    *
+    * Shape: distinct (user, week) pairs, one user-keyed lag/lead
+    * window (bounded per user), then a week-keyed count; the churn
+    * column arrives by a full-outer week join (a churn week need not
+    * have any activity).
+    */
+  def growthAccounting(df: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = df.select(col(userCol).as("u"),
+        idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+          lit(604800L * 1000000L)).as("wk"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy("wk")
+    val lagged = uw
+      .withColumn("__first", min(col("wk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", lag(col("wk"), 1).over(w))
+      .withColumn("__next", lead(col("wk"), 1).over(w))
+    val active = lagged.groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("wk") === col("__first"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__prev") === col("wk") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("wk") =!= col("__first") &&
+          (col("__prev").isNull || col("__prev") =!= col("wk") - 1), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val churned = lagged
+      .where(col("__next").isNull || col("__next") =!= col("wk") + 1)
+      .groupBy((col("wk") + 1).as("wk"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churned, Seq("wk"), "full_outer")
+      .na.fill(0L, Seq("n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned"))
+      .select(col("wk").as("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
   }
 
   /** Markov transition matrix over each user's event sequence: for

@@ -171,6 +171,37 @@ object Curation4 {
         .orderBy("event_type")
     }),
 
+    // Time-to-convert per funnel stage: doubled-median + mean wait
+    // between consecutive stage conversions (view->click->purchase).
+    "q392_funnel_times" -> ((s, dir) => {
+      Events.funnelTimes(t(s, dir, "events"), "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"), windowSec = 7L * 86400L)
+        .orderBy("stage")
+    }),
+
+    // Theil-Sen robust trend per event type over 6-hour buckets:
+    // median pairwise slope, outlier-resistant drift detection.
+    "q393_sen_trend" -> ((s, dir) => {
+      Events.senTrend(t(s, dir, "events"), "event_type", "ts",
+          binUs = 6L * 3600L * 1000000L)
+        .orderBy("event_type")
+    }),
+
+    // Cumulative + trailing 24-hour moving sum/average of hourly cents
+    // per type over the zero-filled grid — the dashboard timeseries.
+    "q394_moving_stats" -> ((s, dir) => {
+      Events.movingStats(t(s, dir, "events"), "event_type", "ts",
+          "value", binUs = 3600L * 1000000L, window = 24)
+        .orderBy("event_type", "bin")
+    }),
+
+    // Weekly growth accounting: new / retained / resurrected actives
+    // plus the churned count landing the week after last activity.
+    "q395_growth_accounting" -> ((s, dir) => {
+      Events.growthAccounting(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("week")
+    }),
+
     // Delete docs from the persisted dedup index (tombstone path),
     // then run the indexed delta: decisions must match the
     // shrunk-corpus oracle — deleted docs no longer block admission.
@@ -576,6 +607,114 @@ object Curation4 {
         |SELECT et AS event_type, n, span_us,
         |  CASE WHEN span_us > 0 THEN wsum // span_us END AS twa_c,
         |  csum // n AS mean_c FROM a ORDER BY et""".stripMargin,
+
+    "q392_funnel_times" ->
+      """WITH base AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_us(ts) AS ts FROM events),
+        |s0 AS (SELECT u, min(ts) AS t0 FROM base WHERE et = 'view' GROUP BY u),
+        |c1 AS (SELECT b.u, min(s0.t0) AS t0, min(b.ts) AS tk
+        |  FROM base b JOIN s0 ON b.u = s0.u
+        |  WHERE b.et = 'click' AND b.ts > s0.t0
+        |    AND b.ts <= s0.t0 + 604800000000 GROUP BY b.u),
+        |c2 AS (SELECT b.u, min(c1.t0) AS t0, min(b.ts) AS tk
+        |  FROM base b JOIN c1 ON b.u = c1.u
+        |  WHERE b.et = 'purchase' AND b.ts > c1.tk
+        |    AND b.ts <= c1.t0 + 604800000000 GROUP BY b.u),
+        |d1 AS (SELECT c1.tk - s0.t0 AS dt FROM c1 JOIN s0 ON s0.u = c1.u),
+        |d2 AS (SELECT c2.tk - c1.tk AS dt FROM c2 JOIN c1 ON c1.u = c2.u),
+        |r1 AS (SELECT dt, row_number() OVER (ORDER BY dt) AS r,
+        |    CAST(count(*) OVER () AS BIGINT) AS n FROM d1),
+        |m1 AS (SELECT max(n) AS n, CAST(
+        |    sum(CASE WHEN r = (n + 1) // 2 THEN dt END)
+        |    + sum(CASE WHEN r = (n + 2) // 2 THEN dt END) AS BIGINT) AS med2,
+        |    CAST(sum(dt) AS BIGINT) AS s FROM r1),
+        |r2 AS (SELECT dt, row_number() OVER (ORDER BY dt) AS r,
+        |    CAST(count(*) OVER () AS BIGINT) AS n FROM d2),
+        |m2 AS (SELECT max(n) AS n, CAST(
+        |    sum(CASE WHEN r = (n + 1) // 2 THEN dt END)
+        |    + sum(CASE WHEN r = (n + 2) // 2 THEN dt END) AS BIGINT) AS med2,
+        |    CAST(sum(dt) AS BIGINT) AS s FROM r2)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'click' AS event_type,
+        |  n AS n_users, med2 AS med2_dt_us, s // n AS mean_dt_us
+        |FROM m1 WHERE n IS NOT NULL
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'purchase', n, med2, s // n
+        |FROM m2 WHERE n IS NOT NULL
+        |ORDER BY stage""".stripMargin,
+
+    "q393_sen_trend" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 21600000000 AS b FROM events),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM base),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM base)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c FROM grid g
+        |  LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+        |p AS (SELECT a.et, a.b AS bi, a.c AS ci, j.b AS bj, j.c AS cj,
+        |    CAST(j.c - a.c AS DOUBLE) / (j.b - a.b) AS slope
+        |  FROM f a JOIN f j ON j.et = a.et AND a.b < j.b),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY et ORDER BY slope, bi, bj) AS r,
+        |    CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS n FROM p),
+        |m AS (SELECT et, max(n) AS n_pairs,
+        |    sum(CASE WHEN r = (n + 1) // 2 THEN slope END)
+        |    + sum(CASE WHEN r = (n + 2) // 2 THEN slope END) AS m2
+        |  FROM r GROUP BY et)
+        |SELECT et AS event_type, rng.b1 - rng.b0 + 1 AS n_bins, n_pairs,
+        |  round(m2 / 2.0, 6) AS sen_slope,
+        |  CAST(sign(m2) AS BIGINT) AS direction
+        |FROM m CROSS JOIN rng ORDER BY et""".stripMargin,
+
+    "q394_moving_stats" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM base),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM base)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |s AS (SELECT et, b, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS c_sum FROM base GROUP BY 1, 2),
+        |f AS (SELECT g.et, g.b, coalesce(s.n, 0) AS n,
+        |    coalesce(s.c_sum, 0) AS c_sum FROM grid g
+        |  LEFT JOIN s ON s.et = g.et AND s.b = g.b)
+        |SELECT et AS event_type, b AS bin, n, c_sum,
+        |  CAST(sum(c_sum) OVER (PARTITION BY et ORDER BY b) AS BIGINT)
+        |    AS cum_sum,
+        |  CAST(sum(c_sum) OVER (PARTITION BY et ORDER BY b
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma_sum,
+        |  CAST(sum(c_sum) OVER (PARTITION BY et ORDER BY b
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) // 24
+        |    AS ma_avg
+        |FROM f ORDER BY et, b""".stripMargin,
+
+    "q395_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |l AS (SELECT u, wk,
+        |    min(wk) OVER (PARTITION BY u) AS fw,
+        |    lag(wk) OVER (PARTITION BY u ORDER BY wk) AS pw,
+        |    lead(wk) OVER (PARTITION BY u ORDER BY wk) AS nw
+        |  FROM uw),
+        |act AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN wk = fw THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN pw = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(sum(CASE WHEN wk <> fw
+        |        AND (pw IS NULL OR pw <> wk - 1) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_resurrected
+        |  FROM l GROUP BY wk),
+        |ch AS (SELECT wk + 1 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM l WHERE nw IS NULL OR nw <> wk + 1 GROUP BY 1)
+        |SELECT coalesce(act.wk, ch.wk) AS week,
+        |  coalesce(n_active, 0) AS n_active, coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM act FULL OUTER JOIN ch ON act.wk = ch.wk
+        |ORDER BY week""".stripMargin,
 
     "q384_dedup_index_delete" -> Curation.incrementalDedupOracle(
       "doc_id % 5 <> 0 AND doc_id % 7 <> 0", "doc_id % 5 = 0"),

@@ -439,6 +439,166 @@ class EventsGraphSpec extends AnyFunSuite {
     assert(row.isNullAt(3) && row.getLong(4) == 125L)
   }
 
+  test("funnelTimes == chain-reference stage waits (banded med2 + mean)") {
+    def med2Of(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.size
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val stages = Seq("a", "b", "c"); val windowSec = 100L
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Vector("a", "b", "c", "noise")
+      val events = (1 to 400).map { _ =>
+        (rnd.nextInt(30).toLong, types(rnd.nextInt(types.size)),
+          (rnd.nextInt(500).toLong) * 1000000000L)
+      }
+      val byUser = events.groupBy(_._1)
+      val t0 = byUser.flatMap { case (u, es) =>
+        es.filter(_._2 == stages.head).map(_._3 / 1000L)
+          .sorted.headOption.map(u -> _)
+      }
+      var conv: Map[Long, (Long, Long)] = t0.map { case (u, t) => u -> (t, t) }
+      val waits = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      for (st <- stages.tail) {
+        val next = conv.flatMap { case (u, (tFirst, tPrev)) =>
+          byUser.getOrElse(u, Nil).iterator
+            .filter(_._2 == st).map(_._3 / 1000L)
+            .filter(t => t > tPrev && t <= tFirst + windowSec * 1000000L)
+            .reduceOption(_ min _).map(t => u -> (tFirst, t))
+        }
+        waits += next.map { case (u, (_, t)) => t - conv(u)._2 }.toSeq
+        conv = next
+      }
+      val got = Events.funnelTimes(
+          events.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", stages, windowSec)
+        .select("stage", "event_type", "n_users", "med2_dt_us", "mean_dt_us")
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+      val expect = waits.zipWithIndex.filter(_._1.nonEmpty).map {
+        case (ws, i) => (i + 1L, stages(i + 1), ws.size.toLong,
+          med2Of(ws), ws.sum / ws.size)
+      }
+      assert(got.toSeq == expect.toSeq, s"seed $seed")
+    }
+  }
+
+  test("senTrend == pairwise-slope median reference; planted drift is detected") {
+    for (seed <- Seq(19, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val binUs = 60L * 1000000L
+      // type 'up' fires k events in minute k (clean positive trend);
+      // 'flat' fires uniformly
+      val events =
+        (1 to 8).flatMap(k => Seq.fill(k)(
+          ("up", k.toLong * 60L * 1000000000L + rnd.nextInt(1000)))) ++
+        (1 to 60).map(_ =>
+          ("flat", rnd.nextInt(8).toLong * 60L * 1000000000L + 30000000000L))
+      val bins = events.map(e => (e._1, e._2 / 1000L / binUs))
+      val (b0, b1) = (bins.map(_._2).min, bins.map(_._2).max)
+      val ref = bins.groupBy(_._1).map { case (et, es) =>
+        val counts = es.groupBy(_._2).map { case (b, v) => b -> v.size.toLong }
+        val grid = (b0 to b1).map(b => (b, counts.getOrElse(b, 0L)))
+        val slopes = (for {
+          (i, ci) <- grid; (j, cj) <- grid if i < j
+        } yield ((cj - ci).toDouble / (j - i), i, j))
+          .sortBy(identity).map(_._1)
+        val n = slopes.size
+        val m2 = slopes((n + 1) / 2 - 1) + slopes((n + 2) / 2 - 1)
+        et -> ((b1 - b0 + 1, n.toLong,
+          BigDecimal(m2 / 2.0).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          math.signum(m2).toLong))
+      }
+      val got = Events.senTrend(events.toDF("event_type", "ts"),
+          "event_type", "ts", binUs)
+        .select("event_type", "n_bins", "n_pairs", "sen_slope", "direction")
+        .as[(String, Long, Long, Double, Long)].collect()
+      assert(got.length == ref.size, s"seed $seed")
+      got.foreach { case (et, nb, np, s, d) =>
+        assert(ref(et) == ((nb, np, s, d)), s"seed $seed $et")
+      }
+      // the planted drift: 'up' strictly positive, well above 'flat'
+      val m = got.map(r => r._1 -> r._4).toMap
+      assert(m("up") > 0.5 && math.abs(m("flat")) < m("up"))
+    }
+  }
+
+  test("movingStats == zero-filled grid reference (cum + trailing window)") {
+    for (seed <- Seq(13, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val binUs = 60L * 1000000L; val win = 5
+      val events = (1 to 300).map { _ =>
+        ("m" + rnd.nextInt(2), rnd.nextInt(30).toLong * 60L * 1000000000L,
+          rnd.nextInt(5000).toLong / 100.0)
+      }
+      val rows = events.map(e =>
+        (e._1, e._2 / 1000L / binUs, math.round(e._3 * 100.0)))
+      val (b0, b1) = (rows.map(_._2).min, rows.map(_._2).max)
+      val ref = rows.groupBy(_._1).flatMap { case (et, es) =>
+        val byBin = es.groupBy(_._2)
+        val grid = (b0 to b1).map { b =>
+          val cell = byBin.getOrElse(b, Nil)
+          (b, cell.size.toLong, cell.map(_._3).sum)
+        }
+        grid.zipWithIndex.map { case ((b, n, c), i) =>
+          val cum = grid.take(i + 1).map(_._3).sum
+          val ma = grid.slice(math.max(0, i - win + 1), i + 1).map(_._3).sum
+          (et, b) -> ((n, c, cum, ma, ma / win))
+        }
+      }
+      val got = Events.movingStats(events.toDF("event_type", "ts", "value"),
+          "event_type", "ts", "value", binUs, win)
+        .select("event_type", "bin", "n", "c_sum", "cum_sum", "ma_sum",
+          "ma_avg")
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      assert(got.length == ref.size, s"seed $seed")
+      got.foreach { case (et, b, n, c, cum, ma, avg) =>
+        assert(ref((et, b)) == ((n, c, cum, ma, avg)), s"seed $seed ($et,$b)")
+      }
+    }
+  }
+
+  test("growthAccounting == per-user week-set reference; ledger identity holds") {
+    for (seed <- Seq(29, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val wkNs = 604800L * 1000000000L
+      val events = (1 to 400).map { _ =>
+        (rnd.nextInt(40).toLong,
+          rnd.nextInt(10).toLong * wkNs + rnd.nextInt(100000).toLong)
+      }
+      val uw = events.map(e => (e._1, (e._2 / 1000L) / 604800000000L)).distinct
+      val byU = uw.groupBy(_._1).map { case (u, ws) =>
+        u -> ws.map(_._2).sorted }
+      val weeks = scala.collection.mutable.Map[Long,
+        (Long, Long, Long, Long, Long)]().withDefaultValue((0L, 0L, 0L, 0L, 0L))
+      byU.foreach { case (_, ws) =>
+        ws.zipWithIndex.foreach { case (w, i) =>
+          val (a, nn, rt, rs, ch) = weeks(w)
+          val isNew = i == 0
+          val isRet = i > 0 && ws(i - 1) == w - 1
+          weeks(w) = (a + 1, nn + (if (isNew) 1 else 0),
+            rt + (if (isRet) 1 else 0),
+            rs + (if (!isNew && !isRet) 1 else 0), ch)
+          val churns = i == ws.size - 1 || ws(i + 1) != w + 1
+          if (churns) {
+            val t = weeks(w + 1)
+            weeks(w + 1) = (t._1, t._2, t._3, t._4, t._5 + 1)
+          }
+        }
+      }
+      val got = Events.growthAccounting(events.toDF("user_id", "ts"),
+          "user_id", "ts")
+        .select("week", "n_active", "n_new", "n_retained",
+          "n_resurrected", "n_churned")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(got.length == weeks.size, s"seed $seed")
+      got.foreach { case (w, a, nn, rt, rs, ch) =>
+        assert(weeks(w) == ((a, nn, rt, rs, ch)), s"seed $seed week $w")
+        assert(a == nn + rt + rs, s"seed $seed identity week $w")
+      }
+    }
+  }
+
   test("plan pins: funnel/retention/pageRank shuffle keyed only, skewProfile is agg + top-k") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
