@@ -22,21 +22,6 @@ import graft.functions.PixieFunctions.idiv
   */
 object Events {
 
-  /** Strict ordered funnel: a user converts to stage k when an event of
-    * `stages(k)` exists STRICTLY AFTER their stage-(k-1) conversion and
-    * within `windowSec` of their stage-0 entry (the classic "complete
-    * the journey within N days" constraint; stage 0 has no window).
-    *
-    * Output: one row per stage — `stage` (0-based), `event_type`,
-    * `n_users`, ppm conversion vs previous stage and vs stage 0.
-    *
-    * Shape: one filtered scan per stage, each aggregated to one row per
-    * user BEFORE the user-keyed equi-join with the previous stage's
-    * conversions — the join inputs are already user-unique, so fan-out
-    * is impossible and the widest shuffle is |users| rows. The
-    * stage-k result reuses the stage-(k-1) frame (a linear chain, not
-    * k self-joins of the raw log).
-    */
   /** The per-stage conversion chain shared by [[funnel]] and
     * [[funnelTimes]]: frame k holds one row per user converted through
     * stage k — `(u, t0, tk)`.
@@ -70,6 +55,21 @@ object Events {
     }
   }
 
+  /** Strict ordered funnel: a user converts to stage k when an event of
+    * `stages(k)` exists STRICTLY AFTER their stage-(k-1) conversion and
+    * within `windowSec` of their stage-0 entry (the classic "complete
+    * the journey within N days" constraint; stage 0 has no window).
+    *
+    * Output: one row per stage — `stage` (0-based), `event_type`,
+    * `n_users`, ppm conversion vs previous stage and vs stage 0.
+    *
+    * Shape: one filtered scan per stage, each aggregated to one row per
+    * user BEFORE the user-keyed equi-join with the previous stage's
+    * conversions — the join inputs are already user-unique, so fan-out
+    * is impossible and the widest shuffle is |users| rows. The
+    * stage-k result reuses the stage-(k-1) frame (a linear chain, not
+    * k self-joins of the raw log).
+    */
   def funnel(df: DataFrame, userCol: String, typeCol: String,
              tsCol: String, stages: Seq[String],
              windowSec: Long): DataFrame = {
@@ -102,7 +102,9 @@ object Events {
     * the global rank comes from the banded two-level prefix
     * ([[graft.ops.Corpus]] shard pattern: per-(key, v-range-band)
     * windows + an O(#keys x #bands) offsets frame broadcast back), so
-    * no per-key corpus-wide window exists. Returns (key, n, med2).
+    * no per-key corpus-wide window exists. Returns
+    * (key, n, med2, vsum) — the sum rides the same terminal aggregate
+    * so a caller wanting mean + median pays ONE pass over the values.
     */
   private def bandedMed2(df: DataFrame, keyCol: String, vCol: String,
                          bandWidth: Long): DataFrame = {
@@ -124,7 +126,28 @@ object Events {
       .groupBy(col("k").as(keyCol))
       .agg(max(col("__n")).as("n"),
         (sum(when(col("__r") === k1, col("v"))) +
-          sum(when(col("__r") === k2, col("v")))).as("med2"))
+          sum(when(col("__r") === k2, col("v")))).as("med2"),
+        sum(col("v")).as("vsum"))
+  }
+
+  /** Zero-filled per-type count grid over the GLOBAL bucket range —
+    * the shared scaffolding of [[rateChangepoint]], [[rateAnomalies]]
+    * and [[senTrend]]: one keyed count, a (types x sequence) grid over
+    * [min, max] buckets (TIME-bound, not data-bound), missing buckets
+    * as 0. Returns `(et, b, c, __N)` with `__N` = the grid width
+    * `b1 - b0 + 1` on every row.
+    */
+  private def countGrid(df: DataFrame, typeCol: String, tsCol: String,
+                        binUs: Long): DataFrame = {
+    val base = df.select(col(typeCol).as("et"),
+      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+        lit(binUs)).as("b"))
+    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
+      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val counts = base.groupBy("et", "b").agg(count(lit(1)).as("c"))
+    grid.join(counts, Seq("et", "b"), "left").na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(rng.select((col("b1") - col("b0") + 1).as("__N"))))
   }
 
   /** Time-to-convert per funnel stage: for every user who reached
@@ -139,6 +162,7 @@ object Events {
   def funnelTimes(df: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, stages: Seq[String],
                   windowSec: Long): DataFrame = {
+    require(stages.size >= 2, "funnelTimes: at least two stages")
     val convs = funnelChain(df, userCol, typeCol, tsCol, stages, windowSec)
     convs.zip(convs.tail).zip(stages.tail).zipWithIndex.map {
       case (((prev, cur), st), i) =>
@@ -146,13 +170,12 @@ object Events {
           .join(prev.select(col("u"), col("tk").as("__pt")), "u")
           .select((col("tk") - col("__pt")).as("dt"))
           .withColumn("__stage", lit(i + 1L))
-        val med = bandedMed2(dts, "__stage", "dt", 3600L * 1000000L)
-        val mean = dts.groupBy("__stage")
-          .agg(sum(col("dt")).as("__s"), count(lit(1)).as("__n2"))
-        med.join(mean, "__stage")
+        // median + mean ride ONE bandedMed2 pass — a second aggregate
+        // would re-execute the whole k-stage chain lineage
+        bandedMed2(dts, "__stage", "dt", 3600L * 1000000L)
           .select(col("__stage").as("stage"), lit(st).as("event_type"),
             col("n").as("n_users"), col("med2").as("med2_dt_us"),
-            idiv(col("__s"), col("__n2")).as("mean_dt_us"))
+            idiv(col("vsum"), col("n")).as("mean_dt_us"))
     }.reduce(_ unionByName _)
   }
 
@@ -173,30 +196,25 @@ object Events {
   def senTrend(df: DataFrame, typeCol: String, tsCol: String,
                binUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(typeCol).as("et"),
-      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
-        lit(binUs)).as("b"))
-    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
-    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
-      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val counts = base.groupBy("et", "b").agg(count(lit(1)).as("c"))
-    val filled = grid.join(counts, Seq("et", "b"), "left")
-      .na.fill(0L, Seq("c"))
-    val pairs = filled.toDF("et", "bi", "ci")
-      .join(filled.toDF("et", "bj", "cj"), "et")
+    val filled = countGrid(df, typeCol, tsCol, binUs)
+    val pairs = filled
+      .select(col("et"), col("b").as("bi"), col("c").as("ci"), col("__N"))
+      .join(filled.select(col("et"), col("b").as("bj"), col("c").as("cj")),
+        "et")
       .where(col("bi") < col("bj"))
       .withColumn("slope",
         (col("cj") - col("ci")).cast("double") / (col("bj") - col("bi")))
     val w = Window.partitionBy("et").orderBy(col("slope"), col("bi"), col("bj"))
     val n = Window.partitionBy("et")
+    // NB: named __np, not __n — Spark resolution is case-insensitive,
+    // so __n would capture countGrid's __N grid-width column
     val ranked = pairs.withColumn("__r", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(n))
-    val k1 = idiv(col("__n") + 1, lit(2L)); val k2 = idiv(col("__n") + 2, lit(2L))
+      .withColumn("__np", count(lit(1)).over(n))
+    val k1 = idiv(col("__np") + 1, lit(2L)); val k2 = idiv(col("__np") + 2, lit(2L))
     ranked.groupBy(col("et").as("event_type"))
-      .agg(max(col("__n")).as("n_pairs"),
+      .agg(max(col("__N")).as("n_bins"), max(col("__np")).as("n_pairs"),
         (sum(when(col("__r") === k1, col("slope"))) +
           sum(when(col("__r") === k2, col("slope")))).as("__m2"))
-      .crossJoin(broadcast(rng.select((col("b1") - col("b0") + 1).as("n_bins"))))
       .select(col("event_type"), col("n_bins"), col("n_pairs"),
         round(col("__m2") / 2.0, 6).as("sen_slope"),
         signum(col("__m2")).cast("long").as("direction"))
@@ -376,19 +394,10 @@ object Events {
   def rateChangepoint(df: DataFrame, typeCol: String, tsCol: String,
                       binUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(typeCol).as("et"),
-      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
-        lit(binUs)).as("b"))
-    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
-    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
-      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val counts = base.groupBy("et", "b").agg(count(lit(1)).as("c"))
-    val tot = counts.groupBy("et").agg(sum(col("c")).as("__T"))
+    val grid0 = countGrid(df, typeCol, tsCol, binUs)
+    val tot = grid0.groupBy("et").agg(sum(col("c")).as("__T"))
     val w = Window.partitionBy("et").orderBy("b")
-    val filled = grid.join(counts, Seq("et", "b"), "left")
-      .na.fill(0L, Seq("c"))
-      .join(broadcast(tot), "et")
-      .crossJoin(broadcast(rng.select((col("b1") - col("b0") + 1).as("__N"))))
+    val filled = grid0.join(broadcast(tot), "et")
       .withColumn("__pre",
         sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
@@ -424,16 +433,7 @@ object Events {
   def rateAnomalies(df: DataFrame, typeCol: String, tsCol: String,
                     binUs: Long, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(typeCol).as("et"),
-      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
-        lit(binUs)).as("b"))
-    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
-    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
-      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val counts = base.groupBy("et", "b").agg(count(lit(1)).as("c"))
-    val filled = grid.join(counts, Seq("et", "b"), "left")
-      .na.fill(0L, Seq("c"))
-      .crossJoin(broadcast(rng.select((col("b1") - col("b0") + 1).as("__N"))))
+    val filled = countGrid(df, typeCol, tsCol, binUs)
     // doubled median of `c` per type: ranks (n+1)/2 and (n+2)/2 —
     // odd n picks the middle twice, even n the two middles once each
     val k1 = idiv(col("__N") + 1, lit(2L)); val k2 = idiv(col("__N") + 2, lit(2L))
@@ -478,11 +478,14 @@ object Events {
       .partitionBy("u").orderBy(col("ts"), col("eid"))
     val steps = col("et") +: (1 until pathLen)
       .map(i => lead(col("et"), i).over(w))
+    // EVERY step must be non-null — concat_ws silently skips nulls, so
+    // gating on the last lead alone would let a null event_type row
+    // collapse "a>NULL>c" into a 2-segment path counted as a 3-gram
     val paths = df.select(col(userCol).as("u"), col(typeCol).as("et"),
         graft.functions.PixieFunctions.nsToUs(col(tsCol)).as("ts"),
         col(idCol).as("eid"))
       .select(concat_ws(">", steps: _*).as("path"),
-        steps.last.isNotNull.as("__full"))
+        steps.map(_.isNotNull).reduce(_ && _).as("__full"))
       .where(col("__full"))
     val counts = paths.groupBy("path").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("__t"))

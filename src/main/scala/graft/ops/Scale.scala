@@ -57,6 +57,11 @@ object Scale {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
                  saltCol: String, salt: Int): DataFrame = {
     require(salt >= 1, "saltedJoin: salt >= 1")
+    // the whole input schema passes through, so a pre-existing __salt
+    // would be silently clobbered and then dropped — refuse instead
+    require(!fact.columns.contains("__salt") &&
+      !dim.columns.contains("__salt"),
+      "saltedJoin: inputs must not carry a __salt column")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(col(saltCol)), lit(salt.toLong)))
     val dimX = dim.withColumn("__salt",
@@ -77,11 +82,15 @@ object Scale {
     }.reduce(_ + _)
 
   /** `bits`-bit equi-width bucket of `x` over the CLOSED range
-    * [x0, x1]: `(x-x0) * 2^bits // (x1-x0+1)`, always in
-    * [0, 2^bits-1] — no clamp needed, exact in integers.
+    * [x0, x1]: `(x-x0) // w` with bucket width
+    * `w = ceil((x1-x0+1) / 2^bits)`, always in [0, 2^bits-1] — exact
+    * in integers, and DIVISION-FIRST so an epoch-ns-scale dimension
+    * (the engine's own TIME64NS columns, ~2^60 range) cannot overflow
+    * the multiply-first form `(x-x0)*2^bits`, which wraps for ranges
+    * wider than 2^(63-bits).
     */
   private def bucket(x: Column, x0: Column, x1: Column, bits: Int): Column =
-    idiv((x - x0) * (1L << bits), x1 - x0 + 1)
+    idiv(x - x0, idiv(x1 - x0 + (1L << bits), lit(1L << bits)))
 
   /** Deterministic balanced file assignment by global rank over
     * `ord` (ties by id): `file = (rank-1) * nFiles // n`. The global

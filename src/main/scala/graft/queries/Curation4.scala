@@ -288,8 +288,8 @@ object Curation4 {
        |    min(y) AS y0, max(y) AS y1 FROM d),
        |g AS (SELECT id, x, y, $z AS zord FROM
        |  (SELECT id, x, y,
-       |     (x - x0) * 256 // (x1 - x0 + 1) AS bxx,
-       |     (y - y0) * 256 // (y1 - y0 + 1) AS byy FROM d, mm)),
+       |     (x - x0) // ((x1 - x0 + 256) // 256) AS bxx,
+       |     (y - y0) // ((y1 - y0 + 256) // 256) AS byy FROM d, mm)),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)""".stripMargin
   }
 
@@ -554,7 +554,8 @@ object Curation4 {
         |    epoch_us(ts) AS ts, event_id AS eid FROM events),
         |p AS (SELECT et || '>' || lead(et, 1) OVER w || '>'
         |      || lead(et, 2) OVER w AS path,
-        |    lead(et, 2) OVER w IS NOT NULL AS isfull
+        |    et IS NOT NULL AND lead(et, 1) OVER w IS NOT NULL
+        |      AND lead(et, 2) OVER w IS NOT NULL AS isfull
         |  FROM base WINDOW w AS (PARTITION BY u ORDER BY ts, eid)),
         |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
         |  WHERE isfull GROUP BY path),

@@ -368,6 +368,22 @@ class EventsGraphSpec extends AnyFunSuite {
         .as[(String, Long, Long)].collect().toSeq
       assert(got == expect, s"seed $seed")
     }
+    // a null event_type poisons every window containing it — it must
+    // never collapse into a shorter-looking path (concat_ws skips nulls)
+    val withNull = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "e", 3L, 3L),
+      (1L, null.asInstanceOf[String], 4L, 4L), (1L, "c", 5L, 5L),
+      (1L, "d", 6L, 6L))
+      .map { case (u, et, t, i) => (u, et, t * 1000000000L, i) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val nn = Events.topPaths(withNull, "user_id", "event_type", "ts",
+      "event_id", 3, 10).as[(String, Long, Long)].collect().toSeq
+    assert(nn == Seq(("a>b>e", 1L, 1000000L)), nn.toString)
+    // single-stage funnelTimes is a contract violation, not a crash
+    intercept[IllegalArgumentException] {
+      Events.funnelTimes(withNull, "user_id", "event_type", "ts",
+        Seq("a"), 60L)
+    }
   }
 
   test("latencyBands == nearest-rank percentile reference") {

@@ -47,7 +47,7 @@ class LayoutIndexSpec extends AnyFunSuite {
       val (x0, x1) = (rows.map(_._2).min, rows.map(_._2).max)
       val (y0, y1) = (rows.map(_._3).min, rows.map(_._3).max)
       def bucket(v: Long, lo: Long, hi: Long) =
-        (v - lo) * (1L << bits) / (hi - lo + 1)
+        (v - lo) / ((hi - lo + (1L << bits)) / (1L << bits))
       val n = rows.size.toLong
       def zones(ord: ((Long, Long, Long)) => (Long, Long)) =
         rows.sortBy(ord).zipWithIndex
@@ -246,6 +246,27 @@ class LayoutIndexSpec extends AnyFunSuite {
     val s1 = Scale.saltedJoin(fact, dim, "k", "fid", 1)
       .select("fid", "k", "v", "label").collect().map(_.toSeq).toSet
     assert(s1 == plain)
+    // a pre-existing __salt would be clobbered then dropped — refuse
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(fact.withColumn("__salt", lit(0)), dim, "k",
+        "fid", 2)
+    }
+  }
+
+  test("zorderLayout: epoch-ns-scale dimensions do not overflow the bucketing") {
+    // division-first bucketing: a ~2^60-range dim (TIME64NS) must
+    // produce valid buckets, balanced files, and full row coverage —
+    // the multiply-first form would wrap negative here
+    val rows = (1 to 500).map(i =>
+      (i.toLong, 1700000000000000000L + i.toLong * 86400L * 1000000000L,
+        (i % 64).toLong))
+    val got = Scale.zorderLayout(rows.toDF("rid", "t", "y"),
+        "t", "y", "rid", 8, 8)
+      .select("file", "n_rows", "min_x", "max_x")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == 500L)
+    assert(got.map(_._2).max - got.map(_._2).min <= 1L)
+    got.foreach { case (_, _, mn, mx) => assert(mn <= mx && mn > 0) }
   }
 
   test("plan pins: layout ops shuffle keyed only; sq8 delete serve reads codes not embeddings") {
