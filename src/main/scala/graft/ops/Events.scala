@@ -317,6 +317,14 @@ object Events {
       .select(col("et").as("from_type"),
         lead(col("et"), 1).over(w).as("to_type"))
       .where(col("to_type").isNotNull)
+    transitionReport(pairs)
+  }
+
+  /** Count/probability tail of [[transitionMatrix]] over a
+    * `(from_type, to_type)` pair frame — shared with the streaming
+    * path (q396), so the two can't drift.
+    */
+  def transitionReport(pairs: DataFrame): DataFrame = {
     val counts = pairs.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
     val totals = counts.groupBy("from_type").agg(sum(col("n")).as("__t"))
@@ -487,6 +495,13 @@ object Events {
       .select(concat_ws(">", steps: _*).as("path"),
         steps.map(_.isNotNull).reduce(_ && _).as("__full"))
       .where(col("__full"))
+    pathReport(paths, topK)
+  }
+
+  /** Count/share/top-k tail of [[topPaths]] over a `path` frame —
+    * shared with the streaming path (q397), so the two can't drift.
+    */
+  def pathReport(paths: DataFrame, topK: Int): DataFrame = {
     val counts = paths.groupBy("path").agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("__t"))
     counts.crossJoin(broadcast(total))

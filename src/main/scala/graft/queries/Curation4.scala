@@ -202,6 +202,24 @@ object Curation4 {
         .orderBy("week")
     }),
 
+    // Ingest-time transition pairs (per-user last-event state) replayed
+    // AvailableNow, then the shared count/ppm tail: identical matrix to
+    // the batch q379 window — shares its oracle verbatim.
+    "q396_streaming_transitions" -> ((s, dir) => {
+      val pairs = replayPaths(s, dir, 2)
+        .select(element_at(col("steps"), 1).as("from_type"),
+          element_at(col("steps"), 2).as("to_type"))
+      Events.transitionReport(pairs).orderBy("from_type", "to_type")
+    }),
+
+    // Ingest-time trigram windows (per-user sliding-window state) ->
+    // the shared top-paths tail: shares q387's oracle.
+    "q397_streaming_paths" -> ((s, dir) => {
+      val paths = replayPaths(s, dir, 3)
+        .select(concat_ws(">", col("steps")).as("path"))
+      Events.pathReport(paths, 10)
+    }),
+
     // Delete docs from the persisted dedup index (tombstone path),
     // then run the indexed delta: decisions must match the
     // shrunk-corpus oracle — deleted docs no longer block admission.
@@ -256,6 +274,37 @@ object Curation4 {
       } finally Curation2.deleteDir(idx)
     }))
 
+  /** Stream the events table as the typed [[graft.streaming.Streaming
+    * .UserEvent]] dataset (ts is already the TIME64NS epoch-ns long at
+    * the load boundary).
+    */
+  private def eventStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    graft.core.Tables.stream(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts").as("ts_ns"),
+        col("event_id"))
+      .as[graft.streaming.Streaming.UserEvent]
+  }
+
+  /** AvailableNow replay of [[graft.streaming.Streaming
+    * .streamingPaths]] into a memory sink; returns the collected
+    * window frame (steps array column) as a batch DataFrame.
+    */
+  private def replayPaths(s: org.apache.spark.sql.SparkSession, dir: String,
+                          pathLen: Int): org.apache.spark.sql.DataFrame = {
+    val qn = "q39x_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.Streaming.streamingPaths(eventStream(s, dir), pathLen)
+      .toDF().writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(qn)
+    val rows = out.collect()
+    s.catalog.dropTempView(qn)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** q383's predicate rectangles (xlo, xhi, ylo, yhi) over
     * (l_partkey, l_suppkey) — narrow-x, narrow-y, narrow-both, and a
     * wide box; sf-stable (key ranges only grow with scale factor).
@@ -267,6 +316,38 @@ object Curation4 {
     (0L, 999L, 0L, 49L))
 
   // ---- generated oracle SQL ------------------------------------------
+
+  /** Shared by q379 (batch window) and q396 (streaming state) — the
+    * two implementations must agree on this exact matrix.
+    */
+  private val q379OracleSql: String =
+    """WITH base AS (SELECT user_id AS u, event_type AS et,
+      |    epoch_us(ts) AS ts, event_id AS eid FROM events),
+      |pairs AS (SELECT et AS from_type,
+      |    lead(et) OVER (PARTITION BY u ORDER BY ts, eid) AS to_type
+      |  FROM base),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c
+      |  GROUP BY 1)
+      |SELECT from_type, to_type, n, n * 1000000 // t AS p_ppm
+      |FROM c JOIN tt USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** Shared by q387 (batch lead chain) and q397 (streaming state). */
+  private val q387OracleSql: String =
+    """WITH base AS (SELECT user_id AS u, event_type AS et,
+      |    epoch_us(ts) AS ts, event_id AS eid FROM events),
+      |p AS (SELECT et || '>' || lead(et, 1) OVER w || '>'
+      |      || lead(et, 2) OVER w AS path,
+      |    et IS NOT NULL AND lead(et, 1) OVER w IS NOT NULL
+      |      AND lead(et, 2) OVER w IS NOT NULL AS isfull
+      |  FROM base WINDOW w AS (PARTITION BY u ORDER BY ts, eid)),
+      |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+      |  WHERE isfull GROUP BY path),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+      |SELECT path, n, n * 1000000 // t AS share_ppm FROM c, t
+      |ORDER BY n DESC, path LIMIT 10""".stripMargin
 
   /** SQL mirror of [[graft.ops.Scale.interleaveBits]] — generated from
     * the same bit loop so the two can't drift.
@@ -413,19 +494,14 @@ object Curation4 {
         |  (n * 32 + total - 1) // total AS salt_factor
         |FROM c, t ORDER BY n DESC, key LIMIT 10""".stripMargin,
 
-    "q379_event_transitions" ->
-      """WITH base AS (SELECT user_id AS u, event_type AS et,
-        |    epoch_us(ts) AS ts, event_id AS eid FROM events),
-        |pairs AS (SELECT et AS from_type,
-        |    lead(et) OVER (PARTITION BY u ORDER BY ts, eid) AS to_type
-        |  FROM base),
-        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |tt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c
-        |  GROUP BY 1)
-        |SELECT from_type, to_type, n, n * 1000000 // t AS p_ppm
-        |FROM c JOIN tt USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin,
+    "q379_event_transitions" -> q379OracleSql,
+
+    // Streaming state == batch window: the ingest-time pair stream
+    // aggregates to the identical matrix (q379's oracle verbatim).
+    "q396_streaming_transitions" -> q379OracleSql,
+
+    // Streaming trigram stream == batch lead-chain top paths.
+    "q397_streaming_paths" -> q387OracleSql,
 
     "q380_span_concurrency" ->
       """WITH ev AS (SELECT event_type AS et, epoch_us(ts) AS t,
@@ -549,19 +625,7 @@ object Curation4 {
         |  CASE WHEN mad4 > 0 THEN dev * 2000000 // mad4 END AS z_ppm
         |FROM rk WHERE rank <= 5 ORDER BY et, rank""".stripMargin,
 
-    "q387_top_paths" ->
-      """WITH base AS (SELECT user_id AS u, event_type AS et,
-        |    epoch_us(ts) AS ts, event_id AS eid FROM events),
-        |p AS (SELECT et || '>' || lead(et, 1) OVER w || '>'
-        |      || lead(et, 2) OVER w AS path,
-        |    et IS NOT NULL AND lead(et, 1) OVER w IS NOT NULL
-        |      AND lead(et, 2) OVER w IS NOT NULL AS isfull
-        |  FROM base WINDOW w AS (PARTITION BY u ORDER BY ts, eid)),
-        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
-        |  WHERE isfull GROUP BY path),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
-        |SELECT path, n, n * 1000000 // t AS share_ppm FROM c, t
-        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "q387_top_paths" -> q387OracleSql,
 
     "q388_latency_bands" ->
       """WITH base AS (SELECT event_type AS et,

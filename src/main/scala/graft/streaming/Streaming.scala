@@ -193,6 +193,48 @@ object Streaming {
         round(col("n_contaminated").cast("double") / col("n_grams"), 6))
   }
 
+  case class UserEvent(user_id: Long, event_type: String, ts_ns: Long,
+                       event_id: Long)
+  case class PathWindow(steps: Seq[String])
+
+  /** Ingest-time event paths: per-user state holds the last
+    * `pathLen - 1` event types; each arriving event completes a
+    * sliding window and emits it — `pathLen = 2` is the streaming
+    * [[graft.ops.Events.transitionMatrix]] pair stream, `pathLen = 3`
+    * the [[graft.ops.Events.topPaths]] trigram stream (the gates share
+    * those batch oracles after the same count aggregates). Windows
+    * containing a null event type are suppressed, matching the batch
+    * ops' all-steps-non-null contract (the null still OCCUPIES its
+    * window positions — it poisons pathLen windows, never collapses
+    * them).
+    *
+    * Events sort by (ts, id) within each micro-batch; across batches
+    * the contract is the ingest reality — per-user non-decreasing
+    * event-time arrival — and the determinism spec replays the same
+    * rows under different batch boundaries asserting identical
+    * outputs. State is O(pathLen) strings per user.
+    */
+  def streamingPaths(events: Dataset[UserEvent],
+                     pathLen: Int): Dataset[PathWindow] = {
+    require(pathLen >= 2, "streamingPaths: pathLen >= 2")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[String], PathWindow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[Seq[String]]) =>
+          var window = state.getOption.getOrElse(Seq.empty)
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PathWindow]
+          for (e <- sorted) {
+            window = (window :+ e.event_type).takeRight(pathLen)
+            if (window.size == pathLen && !window.contains(null))
+              out += PathWindow(window)
+          }
+          state.update(window.takeRight(pathLen - 1))
+          out.iterator
+      }
+  }
+
   case class SessionEvent(user_id: Long, ts_ns: Long)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)

@@ -281,6 +281,52 @@ class Round8Spec extends AnyFunSuite {
     assert(one.nonEmpty)
   }
 
+  test("streamingPaths is invariant to micro-batch boundaries and == batch ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(211)
+    val types = Vector("a", "b", "c", null)
+    // per-user ascending ts (the ingest-arrival contract); one null
+    // event type to exercise window poisoning across batch boundaries
+    val rows = (1 to 120).map { i =>
+      (i.toLong % 8, types(rnd.nextInt(types.size)),
+        i.toLong * 1000000000L, i.toLong)
+    }
+    def run(pathLen: Int, chunks: Seq[Seq[(Long, String, Long, Long)]])
+        : Map[Seq[String], Int] = {
+      val mem = MemoryStream[(Long, String, Long, Long)](spark)
+      val out = graft.streaming.Streaming.streamingPaths(
+        mem.toDS().toDF("user_id", "event_type", "ts_ns", "event_id")
+          .as[graft.streaming.Streaming.UserEvent], pathLen)
+      val qn = s"r8_paths_${System.nanoTime()}"
+      val q = out.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(qn).start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        spark.table(qn).collect()
+          .map(_.getSeq[String](0).toSeq).groupBy(identity)
+          .map { case (k, v) => k -> v.size }
+      } finally { q.stop(); spark.catalog.dropTempView(qn) }
+    }
+    for (k <- Seq(2, 3)) {
+      val one = run(k, Seq(rows))
+      val three = run(k, Seq(rows.take(31), rows.slice(31, 77), rows.drop(77)))
+      assert(one == three, s"pathLen $k boundary variance")
+      assert(one.nonEmpty)
+      // == the batch op's window multiset on the same rows
+      val df = rows.toDF("user_id", "event_type", "ts", "event_id")
+      val batch =
+        if (k == 2) graft.ops.Events.transitionMatrix(df, "user_id",
+          "event_type", "ts", "event_id")
+          .select(array(col("from_type"), col("to_type")).as("w"), col("n"))
+          .as[(Seq[String], Long)].collect().toMap
+        else graft.ops.Events.topPaths(df, "user_id", "event_type", "ts",
+          "event_id", 3, 1000000)
+          .select(split(col("path"), ">").as("w"), col("n"))
+          .as[(Seq[String], Long)].collect().toMap
+      assert(batch == one.map { case (w, n) => w -> n.toLong }, s"k=$k vs batch")
+    }
+  }
+
   test("repetitionSignals (map-only) == repetitionStats (shuffled) on the shared dup fraction") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
     val a = TextOps.repetitionSignals(docs, "text", "doc_id", n = 5)
