@@ -899,6 +899,41 @@ object Corpus {
         shard.cast("int").as("shard"), pos.as("pos"))
   }
 
+  /** Percentile rank of an integer score within its group — the
+    * "where does this doc sit in its source's length/quality
+    * distribution" signal that feeds per-source mixture and filter
+    * thresholds. `pct_ppm = (rank-1) * 1e6 // (n-1)` with rank by
+    * (score, id) — exact, deterministic, 0 for singleton groups.
+    *
+    * The in-group rank is the banded two-level prefix
+    * ([[curriculumShards]] pattern, partitioned by group): per-(group,
+    * score-band) windows + an O(#groups x #bands) offsets frame
+    * broadcast back — no per-group corpus-wide window.
+    */
+  def groupPercentile(df: DataFrame, groupCol: String, idCol: String,
+                      score: Column, bandWidth: Long): DataFrame = {
+    import graft.functions.PixieFunctions.idiv
+    val banded = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        score.cast("long").as("s"))
+      .withColumn("__band", idiv(col("s"), lit(bandWidth)))
+    val wOff = Window.partitionBy("g").orderBy("__band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = banded.groupBy("g", "__band").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        Window.partitionBy("g").orderBy("__band").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("__c")
+    val wIn = Window.partitionBy("g", "__band").orderBy(col("s"), col("id"))
+    banded.join(broadcast(offsets), Seq("g", "__band"))
+      .withColumn("__r", col("__off") + row_number().over(wIn))
+      .select(col("g").as(groupCol), col("id").as(idCol),
+        col("s").as("score"),
+        when(col("__n") > 1,
+          idiv((col("__r") - 1) * 1000000L, col("__n") - 1))
+          .otherwise(lit(0L)).as("pct_ppm"))
+  }
+
   /** Line/segment-level boilerplate removal (RefinedWeb, Penedo et al.
     * 2023 §3; CCNet's paragraph dedup): drop every segment whose exact
     * content recurs in >= `minDocs` DISTINCT documents (headers,

@@ -295,6 +295,79 @@ object Events {
         col("n_retained"), col("n_resurrected"), col("n_churned"))
   }
 
+  /** Sliding active-user counts: per day, the distinct users active
+    * that day (DAU) and in the trailing 7 / 28 days (WAU / MAU), plus
+    * the DAU/MAU "stickiness" ppm — the standard engagement panel.
+    *
+    * Distinct-over-sliding-window can't ride a running sum, so each
+    * (user, active-day) pair FANS OUT to the trailing days it keeps
+    * the user active in (<= 28 rows per pair — bounded fan-out, keyed
+    * count after), over the zero-filled day grid; no corpus-wide
+    * window anywhere. Output is O(#days).
+    */
+  def activeUsers(df: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ud = df.select(col(userCol).as("u"),
+        idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+          lit(dayUs)).as("d"))
+      .distinct()
+    val rng = ud.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val days = ud.sparkSession.range(1).crossJoin(broadcast(rng))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    def window(w: Int, name: String) = ud.crossJoin(broadcast(rng))
+      .select(col("u"),
+        explode(sequence(col("d"), least(col("d") + (w - 1), col("d1"))))
+          .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as(name))
+    val dau = window(1, "dau"); val wau = window(7, "wau")
+    val mau = window(28, "mau")
+    days.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .join(mau, Seq("day"), "left")
+      .na.fill(0L, Seq("dau", "wau", "mau"))
+      .withColumn("stickiness_ppm",
+        when(col("mau") > 0, idiv(col("dau") * 1000000L, col("mau")))
+          .otherwise(lit(0L)))
+  }
+
+  /** Cohort LTV curve: users cohorted by first-event epoch week; per
+    * (cohort, week offset) the period revenue (cents) and the RUNNING
+    * cumulative revenue per cohort — the payback-curve read next to
+    * [[retention]]. All integer cents; the cumulative window runs per
+    * cohort over the TIME-bound offset grid (zero-filled so every
+    * cohort reports every elapsed offset).
+    */
+  def cohortLtv(df: DataFrame, userCol: String, tsCol: String,
+                valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wkUs = 604800L * 1000000L
+    val base = df.select(col(userCol).as("u"),
+      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+        lit(wkUs)).as("wk"),
+      round(col(valCol) * lit(100.0)).cast("long").as("cents"))
+    val cohort = base.groupBy("u").agg(min(col("wk")).as("cw"))
+    val cells = base.join(cohort, "u")
+      .groupBy(col("cw"), (col("wk") - col("cw")).as("off"))
+      .agg(sum(col("cents")).as("rev_c"),
+        count(lit(1)).as("n_events"))
+    val maxWk = base.agg(max(col("wk")).as("__m"))
+    val grid = cohort.select(col("cw")).distinct()
+      .crossJoin(broadcast(maxWk))
+      .select(col("cw"),
+        explode(sequence(lit(0L), col("__m") - col("cw"))).as("off"))
+    val filled = grid.join(cells, Seq("cw", "off"), "left")
+      .na.fill(0L, Seq("rev_c", "n_events"))
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy("cw").orderBy("off")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.join(broadcast(sizes), "cw")
+      .withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+      .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+        col("n_users"), col("n_events"), col("rev_c"), col("cum_rev_c"),
+        idiv(col("cum_rev_c"), col("n_users")).as("ltv_per_user_c"))
+  }
+
   /** Markov transition matrix over each user's event sequence: for
     * every ordered adjacent pair of events (by timestamp, event-id
     * tiebreak) count the `(from_type, to_type)` transition and its

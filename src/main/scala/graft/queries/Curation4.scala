@@ -220,6 +220,70 @@ object Curation4 {
       Events.pathReport(paths, 10)
     }),
 
+    // Hysteresis alerting on the per-shard hourly error rate: ON above
+    // 30%, OFF at/below 15%, dead band keeps prior state — flap-free
+    // alert + fired/cleared edges, window-expressed (no UDF state).
+    "q398_alert_hysteresis" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("shard", pmod(col("user_id"), lit(4L)))
+      graft.ops.Alerts.alertHysteresis(
+          graft.ops.Alerts.errorRates(ev, "shard", "ts",
+            col("event_type") === "error", binUs = 3600L * 1000000L),
+          hiPpm = 300000L, loPpm = 150000L)
+        .orderBy("k", "b")
+    }),
+
+    // Multi-window SLO burn rate (75% target): trailing 6h + 24h
+    // windows per shard, burn x100 integers (100 = exactly on budget).
+    "q399_burn_rate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("shard", pmod(col("user_id"), lit(4L)))
+      graft.ops.Alerts.burnRate(
+          graft.ops.Alerts.errorRates(ev, "shard", "ts",
+            col("event_type") === "error", binUs = 3600L * 1000000L),
+          sloPpm = 750000L, windows = Seq(6, 24))
+        .orderBy("k", "b")
+    }),
+
+    // Apdex per (event_type, hour): T = 1 s, exact
+    // (2*sat + tol)*1e6 // (2*n) ppm.
+    "q400_apdex" -> ((s, dir) => {
+      graft.ops.Alerts.apdex(t(s, dir, "events"), "event_type", "ts",
+          "value", tCents = 100L, binUs = 3600L * 1000000L)
+        .orderBy("k", "b")
+    }),
+
+    // Latency heatmap: (event_type, 6-hour bucket, 20s-value cell)
+    // density with per-column ppm share; overflow cell capped.
+    "q401_latency_heatmap" -> ((s, dir) => {
+      graft.ops.Alerts.latencyHeatmap(t(s, dir, "events"), "event_type",
+          "ts", "value", binUs = 6L * 3600L * 1000000L,
+          cellCents = 2000L, maxBucket = 20)
+        .orderBy("k", "b", "vb")
+    }),
+
+    // DAU / WAU / MAU + stickiness over the zero-filled day grid:
+    // bounded per-(user, day) fan-out, no sliding-distinct window.
+    "q402_active_users" -> ((s, dir) => {
+      Events.activeUsers(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("day")
+    }),
+
+    // Cohort LTV curve: per (first-week cohort, offset) period + the
+    // running cumulative revenue and per-user LTV, integer cents.
+    "q403_cohort_ltv" -> ((s, dir) => {
+      Events.cohortLtv(t(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Per-source length percentile of every document — the in-slice
+    // position signal curation thresholds key on; banded in-group rank.
+    "q404_source_percentile" -> ((s, dir) => {
+      graft.ops.Corpus.groupPercentile(t(s, dir, "documents"), "source",
+          "doc_id", col("n_chars"), bandWidth = 64L)
+        .orderBy("doc_id")
+    }),
+
     // Delete docs from the persisted dedup index (tombstone path),
     // then run the indexed delta: decisions must match the
     // shrunk-corpus oracle — deleted docs no longer block admission.
@@ -333,6 +397,26 @@ object Curation4 {
       |SELECT from_type, to_type, n, n * 1000000 // t AS p_ppm
       |FROM c JOIN tt USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
+
+  /** Shared error-rate grid CTEs for the q398/q399 alerting oracles:
+    * per-shard hourly (n, n_err, err_ppm) zero-filled over the global
+    * range — the SQL mirror of [[graft.ops.Alerts.errorRates]].
+    */
+  private val ratesCtes: String =
+    """base AS (SELECT user_id % 4 AS k, epoch_us(ts) // 3600000000 AS b,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+      |  FROM events),
+      |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM base),
+      |grid AS (SELECT k, gb.b FROM (SELECT DISTINCT k FROM base)
+      |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+      |c AS (SELECT k, b, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(e) AS BIGINT) AS n_err FROM base GROUP BY 1, 2),
+      |rates AS (SELECT g.k, g.b, coalesce(c.n, 0) AS n,
+      |    coalesce(c.n_err, 0) AS n_err,
+      |    CASE WHEN coalesce(c.n, 0) > 0
+      |      THEN coalesce(c.n_err, 0) * 1000000 // c.n ELSE 0 END
+      |      AS err_ppm
+      |  FROM grid g LEFT JOIN c ON c.k = g.k AND c.b = g.b)""".stripMargin
 
   /** Shared by q387 (batch lead chain) and q397 (streaming state). */
   private val q387OracleSql: String =
@@ -780,6 +864,128 @@ object Curation4 {
         |  coalesce(n_churned, 0) AS n_churned
         |FROM act FULL OUTER JOIN ch ON act.wk = ch.wk
         |ORDER BY week""".stripMargin,
+
+    "q398_alert_hysteresis" ->
+      s"""WITH $ratesCtes,
+         |st AS (SELECT k, b, n, n_err, err_ppm,
+         |    coalesce(last_value(CASE WHEN err_ppm > 300000 THEN 1
+         |        WHEN err_ppm <= 150000 THEN 0 END IGNORE NULLS)
+         |      OVER (PARTITION BY k ORDER BY b
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |      AS alert
+         |  FROM rates)
+         |SELECT k, b, n, n_err, err_ppm, CAST(alert AS BIGINT) AS alert,
+         |  CAST(CASE WHEN alert = 1 AND coalesce(lag(alert)
+         |      OVER (PARTITION BY k ORDER BY b), 0) = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS fired,
+         |  CAST(CASE WHEN alert = 0 AND coalesce(lag(alert)
+         |      OVER (PARTITION BY k ORDER BY b), 0) = 1
+         |    THEN 1 ELSE 0 END AS BIGINT) AS cleared
+         |FROM st ORDER BY k, b""".stripMargin,
+
+    "q399_burn_rate" ->
+      s"""WITH $ratesCtes
+         |SELECT k, b, err_ppm,
+         |  CASE WHEN CAST(sum(n) OVER w6 AS BIGINT) > 0
+         |    THEN CAST(sum(n_err) OVER w6 AS BIGINT) * 100000000
+         |      // (CAST(sum(n) OVER w6 AS BIGINT) * 250000)
+         |    ELSE 0 END AS burn6_x100,
+         |  CASE WHEN CAST(sum(n) OVER w24 AS BIGINT) > 0
+         |    THEN CAST(sum(n_err) OVER w24 AS BIGINT) * 100000000
+         |      // (CAST(sum(n) OVER w24 AS BIGINT) * 250000)
+         |    ELSE 0 END AS burn24_x100
+         |FROM rates
+         |WINDOW w6 AS (PARTITION BY k ORDER BY b
+         |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+         |  w24 AS (PARTITION BY k ORDER BY b
+         |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+         |ORDER BY k, b""".stripMargin,
+
+    "q400_apdex" ->
+      """WITH d AS (SELECT event_type AS k,
+        |    epoch_us(ts) // 3600000000 AS b,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT k, b, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN c <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_satisfied,
+        |  CAST(sum(CASE WHEN c > 100 AND c <= 400 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_tolerating,
+        |  (CAST(sum(CASE WHEN c <= 100 THEN 1 ELSE 0 END) AS BIGINT) * 2
+        |    + CAST(sum(CASE WHEN c > 100 AND c <= 400 THEN 1 ELSE 0 END)
+        |        AS BIGINT)) * 1000000
+        |    // (CAST(count(*) AS BIGINT) * 2) AS apdex_ppm
+        |FROM d GROUP BY k, b ORDER BY k, b""".stripMargin,
+
+    "q401_latency_heatmap" ->
+      """WITH d AS (SELECT event_type AS k,
+        |    epoch_us(ts) // 21600000000 AS b,
+        |    least(CAST(round(value * 100) AS BIGINT) // 2000, 20) AS vb
+        |  FROM events),
+        |cell AS (SELECT k, b, vb, CAST(count(*) AS BIGINT) AS n FROM d
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT k, b, CAST(sum(n) AS BIGINT) AS t FROM cell
+        |  GROUP BY 1, 2)
+        |SELECT k, b, vb, n, n * 1000000 // t AS share_ppm
+        |FROM cell JOIN tot USING (k, b) ORDER BY k, b, vb""".stripMargin,
+
+    "q402_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |rng AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+        |days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng),
+        |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY 1),
+        |wau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS wau FROM
+        |  (SELECT u, unnest(range(d, least(d + 7, d1 + 1))) AS day
+        |   FROM ud, rng) GROUP BY day),
+        |mau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS mau FROM
+        |  (SELECT u, unnest(range(d, least(d + 28, d1 + 1))) AS day
+        |   FROM ud, rng) GROUP BY day)
+        |SELECT days.day, coalesce(dau, 0) AS dau, coalesce(wau, 0) AS wau,
+        |  coalesce(mau, 0) AS mau,
+        |  CASE WHEN coalesce(mau, 0) > 0
+        |    THEN coalesce(dau, 0) * 1000000 // mau ELSE 0 END
+        |    AS stickiness_ppm
+        |FROM days LEFT JOIN dau USING (day) LEFT JOIN wau USING (day)
+        |LEFT JOIN mau USING (day) ORDER BY days.day""".stripMargin,
+
+    "q403_cohort_ltv" ->
+      """WITH base AS (SELECT user_id AS u,
+        |    epoch_us(ts) // 604800000000 AS wk,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |coh AS (SELECT u, min(wk) AS cw FROM base GROUP BY u),
+        |cells AS (SELECT cw, wk - cw AS off,
+        |    CAST(sum(cents) AS BIGINT) AS rev_c,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM base JOIN coh USING (u) GROUP BY 1, 2),
+        |mx AS (SELECT max(wk) AS m FROM base),
+        |grid AS (SELECT cw, unnest(range(0, m - cw + 1)) AS off
+        |  FROM (SELECT DISTINCT cw FROM coh) CROSS JOIN mx),
+        |sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users FROM coh
+        |  GROUP BY cw),
+        |f AS (SELECT g.cw, g.off, coalesce(c.rev_c, 0) AS rev_c,
+        |    coalesce(c.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN cells c ON c.cw = g.cw AND c.off = g.off)
+        |SELECT f.cw AS cohort_week, f.off AS week_offset, n_users,
+        |  n_events, rev_c,
+        |  CAST(sum(rev_c) OVER (PARTITION BY f.cw ORDER BY f.off)
+        |    AS BIGINT) AS cum_rev_c,
+        |  CAST(sum(rev_c) OVER (PARTITION BY f.cw ORDER BY f.off)
+        |    AS BIGINT) // n_users AS ltv_per_user_c
+        |FROM f JOIN sizes ON sizes.cw = f.cw
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q404_source_percentile" ->
+      """WITH d AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT *, row_number()
+        |    OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM d)
+        |SELECT source, doc_id, score,
+        |  CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
+        |    ELSE 0 END AS pct_ppm
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q384_dedup_index_delete" -> Curation.incrementalDedupOracle(
       "doc_id % 5 <> 0 AND doc_id % 7 <> 0", "doc_id % 5 = 0"),

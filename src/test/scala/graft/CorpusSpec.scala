@@ -492,4 +492,30 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
   }
+
+  test("groupPercentile == in-group rank reference; singleton group scores 0") {
+    for (seed <- Seq(17, 113)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 300).map(i =>
+        ("s" + rnd.nextInt(4), i.toLong, rnd.nextInt(1000).toLong)) :+
+        (("solo", 9999L, 500L))
+      val ref = rows.groupBy(_._1).flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2))
+        val n = sorted.size.toLong
+        sorted.zipWithIndex.map { case ((g, id, s), i) =>
+          id -> ((g, s, if (n > 1) i.toLong * 1000000L / (n - 1) else 0L))
+        }
+      }
+      val got = Corpus.groupPercentile(
+          rows.toDF("source", "doc_id", "len"),
+          "source", "doc_id", col("len"), bandWidth = 64L)
+        .select("doc_id", "source", "score", "pct_ppm")
+        .as[(Long, String, Long, Long)].collect()
+      assert(got.length == ref.size, s"seed $seed")
+      got.foreach { case (id, g, s, p) =>
+        assert(ref(id) == ((g, s, p)), s"seed $seed doc $id")
+      }
+      assert(got.find(_._1 == 9999L).get._4 == 0L)
+    }
+  }
 }

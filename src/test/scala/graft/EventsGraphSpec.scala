@@ -615,6 +615,71 @@ class EventsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("activeUsers == sliding-distinct reference incl. empty days") {
+    for (seed <- Seq(31, 103)) {
+      val rnd = new scala.util.Random(seed)
+      val dayNs = 86400L * 1000000000L
+      val events = (1 to 400).map { _ =>
+        (rnd.nextInt(25).toLong,
+          rnd.nextInt(40).toLong * dayNs + rnd.nextInt(1000).toLong)
+      }
+      val ud = events.map(e => (e._1, (e._2 / 1000L) / 86400000000L)).distinct
+      val (d0, d1) = (ud.map(_._2).min, ud.map(_._2).max)
+      val ref = (d0 to d1).map { day =>
+        def act(w: Int) = ud.filter(p =>
+          p._2 <= day && p._2 > day - w).map(_._1).distinct.size.toLong
+        val (dau, mau) = (act(1), act(28))
+        (day, dau, act(7), mau,
+          if (mau > 0) dau * 1000000L / mau else 0L)
+      }
+      val got = Events.activeUsers(events.toDF("user_id", "ts"),
+          "user_id", "ts")
+        .orderBy("day")
+        .select("day", "dau", "wau", "mau", "stickiness_ppm")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == ref, s"seed $seed")
+    }
+  }
+
+  test("cohortLtv == per-cohort cumulative reference; offsets zero-filled") {
+    for (seed <- Seq(37, 107)) {
+      val rnd = new scala.util.Random(seed)
+      val wkNs = 604800L * 1000000000L
+      val events = (1 to 300).map { _ =>
+        (rnd.nextInt(30).toLong,
+          rnd.nextInt(8).toLong * wkNs + rnd.nextInt(1000).toLong,
+          rnd.nextInt(5000).toLong / 100.0)
+      }
+      val rows = events.map(e =>
+        (e._1, (e._2 / 1000L) / 604800000000L, math.round(e._3 * 100.0)))
+      val cohort = rows.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(_._2).min }
+      val maxWk = rows.map(_._2).max
+      val sizes = cohort.values.groupBy(identity)
+        .map { case (cw, v) => cw -> v.size.toLong }
+      val ref = sizes.keys.flatMap { cw =>
+        var cum = 0L
+        (0L to maxWk - cw).map { off =>
+          val cell = rows.filter(r =>
+            cohort(r._1) == cw && r._2 - cw == off)
+          val rev = cell.map(_._3).sum
+          cum += rev
+          (cw, off) -> ((sizes(cw), cell.size.toLong, rev, cum,
+            cum / sizes(cw)))
+        }
+      }.toMap
+      val got = Events.cohortLtv(events.toDF("user_id", "ts", "value"),
+          "user_id", "ts", "value")
+        .select("cohort_week", "week_offset", "n_users", "n_events",
+          "rev_c", "cum_rev_c", "ltv_per_user_c")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(got.length == ref.size, s"seed $seed")
+      got.foreach { case (cw, off, nu, ne, r, c, l) =>
+        assert(ref((cw, off)) == ((nu, ne, r, c, l)), s"seed $seed ($cw,$off)")
+      }
+    }
+  }
+
   test("plan pins: funnel/retention/pageRank shuffle keyed only, skewProfile is agg + top-k") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
