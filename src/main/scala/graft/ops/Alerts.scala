@@ -27,17 +27,15 @@ object Alerts {
     */
   def errorRates(df: DataFrame, keyCol: String, tsCol: String,
                  isError: Column, binUs: Long): DataFrame = {
-    val base = df.select(col(keyCol).as("k"),
-      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
-        lit(binUs)).as("b"),
-      isError.cast("long").as("e"))
-    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
-    val grid = base.select("k").distinct().crossJoin(broadcast(rng))
-      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val counts = base.groupBy("k", "b")
+    require(binUs > 0, "errorRates: binUs > 0")
+    val counts = df.select(col(keyCol).as("k"),
+        idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+          lit(binUs)).as("b"),
+        isError.cast("long").as("e"))
+      .groupBy("k", "b")
       .agg(count(lit(1)).as("n"), sum(col("e")).as("n_err"))
-    grid.join(counts, Seq("k", "b"), "left")
-      .na.fill(0L, Seq("n", "n_err"))
+    Grids.zeroFill(counts, "k", "b", Seq("n", "n_err"))
+      .drop("__N")
       .withColumn("err_ppm",
         when(col("n") > 0, idiv(col("n_err") * 1000000L, col("n")))
           .otherwise(lit(0L)))
@@ -110,6 +108,7 @@ object Alerts {
     */
   def apdex(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
             tCents: Long, binUs: Long): DataFrame = {
+    require(tCents > 0 && binUs > 0, "apdex: tCents > 0, binUs > 0")
     val cents = round(col(valCol) * lit(100.0)).cast("long")
     df.select(col(keyCol).as("k"),
         idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
@@ -135,6 +134,10 @@ object Alerts {
   def latencyHeatmap(df: DataFrame, keyCol: String, tsCol: String,
                      valCol: String, binUs: Long, cellCents: Long,
                      maxBucket: Int): DataFrame = {
+    // cellCents = 0 would NULL the division and least() would silently
+    // dump EVERY event into the overflow bucket — refuse loudly
+    require(cellCents > 0 && binUs > 0 && maxBucket >= 0,
+      "latencyHeatmap: cellCents > 0, binUs > 0, maxBucket >= 0")
     val cents = round(col(valCol) * lit(100.0)).cast("long")
     val cell = df.select(col(keyCol).as("k"),
         idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),

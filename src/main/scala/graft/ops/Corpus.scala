@@ -912,6 +912,9 @@ object Corpus {
     */
   def groupPercentile(df: DataFrame, groupCol: String, idCol: String,
                       score: Column, bandWidth: Long): DataFrame = {
+    // bandWidth = 0 NULLs every band (empty result, no error);
+    // negative widths anti-sort the bands — refuse loudly
+    require(bandWidth > 0, "groupPercentile: bandWidth > 0")
     import graft.functions.PixieFunctions.idiv
     val banded = df.select(col(groupCol).as("g"), col(idCol).as("id"),
         score.cast("long").as("s"))

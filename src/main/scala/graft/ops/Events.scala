@@ -139,15 +139,12 @@ object Events {
     */
   private def countGrid(df: DataFrame, typeCol: String, tsCol: String,
                         binUs: Long): DataFrame = {
-    val base = df.select(col(typeCol).as("et"),
-      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
-        lit(binUs)).as("b"))
-    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
-    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
-      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val counts = base.groupBy("et", "b").agg(count(lit(1)).as("c"))
-    grid.join(counts, Seq("et", "b"), "left").na.fill(0L, Seq("c"))
-      .crossJoin(broadcast(rng.select((col("b1") - col("b0") + 1).as("__N"))))
+    require(binUs > 0, "countGrid: binUs > 0")
+    val counts = df.select(col(typeCol).as("et"),
+        idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+          lit(binUs)).as("b"))
+      .groupBy("et", "b").agg(count(lit(1)).as("c"))
+    Grids.zeroFill(counts, "et", "b", Seq("c"))
   }
 
   /** Time-to-convert per funnel stage: for every user who reached
@@ -228,18 +225,15 @@ object Events {
     */
   def movingStats(df: DataFrame, typeCol: String, tsCol: String,
                   valCol: String, binUs: Long, window: Int): DataFrame = {
+    require(binUs > 0 && window >= 1, "movingStats: binUs > 0, window >= 1")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(typeCol).as("et"),
-      idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
-        lit(binUs)).as("b"),
-      round(col(valCol) * lit(100.0)).cast("long").as("cents"))
-    val rng = base.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
-    val grid = base.select("et").distinct().crossJoin(broadcast(rng))
-      .select(col("et"), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val sums = base.groupBy("et", "b")
+    val sums = df.select(col(typeCol).as("et"),
+        idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+          lit(binUs)).as("b"),
+        round(col(valCol) * lit(100.0)).cast("long").as("cents"))
+      .groupBy("et", "b")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("c_sum"))
-    val filled = grid.join(sums, Seq("et", "b"), "left")
-      .na.fill(0L, Seq("n", "c_sum"))
+    val filled = Grids.zeroFill(sums, "et", "b", Seq("n", "c_sum"))
     val ord = Window.partitionBy("et").orderBy("b")
     filled
       .withColumn("cum_sum", sum(col("c_sum")).over(
@@ -308,7 +302,11 @@ object Events {
   def activeUsers(df: DataFrame, userCol: String,
                   tsCol: String): DataFrame = {
     val dayUs = 86400L * 1000000L
-    val ud = df.select(col(userCol).as("u"),
+    // null user ids are not users: dropped up front so every count
+    // agrees with a COUNT(DISTINCT user) re-derivation (which skips
+    // nulls) — and so dau/wau/mau stay mutually consistent
+    val ud = df.where(col(userCol).isNotNull)
+      .select(col(userCol).as("u"),
         idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
           lit(dayUs)).as("d"))
       .distinct()
@@ -321,7 +319,9 @@ object Events {
           .as("day"))
       .distinct()
       .groupBy("day").agg(count(lit(1)).as(name))
-    val dau = window(1, "dau"); val wau = window(7, "wau")
+    // DAU needs no fan-out: ud is already distinct (user, day) pairs
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    val wau = window(7, "wau")
     val mau = window(28, "mau")
     days.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
       .join(mau, Seq("day"), "left")

@@ -362,11 +362,15 @@ object Curation4 {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val out = s.table(qn)
-    val rows = out.collect()
-    s.catalog.dropTempView(qn)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      q.awaitTermination()
+      val out = s.table(qn)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      if (q.isActive) q.stop()
+      s.catalog.dropTempView(qn)
+    }
   }
 
   /** q383's predicate rectangles (xlo, xhi, ylo, yhi) over
@@ -930,7 +934,8 @@ object Curation4 {
 
     "q402_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u,
-        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |    epoch_us(ts) // 86400000000 AS d FROM events
+        |  WHERE user_id IS NOT NULL),
         |rng AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
         |days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng),
         |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud

@@ -639,6 +639,15 @@ class EventsGraphSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Long, Long)].collect().toSeq
       assert(got == ref, s"seed $seed")
     }
+    // null user ids are not users: dau AND wau/mau must all exclude
+    // them (a one-sided exclusion would desynchronize the panel)
+    val withNull = Seq((Some(1L), 1L), (None, 1L), (Some(2L), 2L))
+      .map { case (u, d) => (u.map(Long.box).orNull, d * 86400L * 1000000000L) }
+      .toDF("user_id", "ts")
+    val rows = Events.activeUsers(withNull, "user_id", "ts")
+      .orderBy("day").select("dau", "wau", "mau")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 1L, 1L), (1L, 2L, 2L)), rows.toString)
   }
 
   test("cohortLtv == per-cohort cumulative reference; offsets zero-filled") {
