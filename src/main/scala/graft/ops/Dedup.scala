@@ -654,6 +654,34 @@ object Dedup {
       .write.mode("append").parquet(s"$path/bands.parquet")
   }
 
+  /** SymSpell-style edit-distance-1 pair mining over a word/title
+    * frame (Garbe's symmetric-delete trick): two strings within one
+    * edit (insert / delete / substitute) ALWAYS share an entry of
+    * their deletion neighborhoods `{w} ∪ del1(w)`, so candidates come
+    * from ONE equi-join keyed by the variant string — never an
+    * all-pairs product — and are then exactly verified with
+    * `levenshtein <= 1`. The typo-clustering primitive for vocab /
+    * title / entity dedup.
+    *
+    * Scale: fan-out is `length(w) + 1` variants per word (bounded by
+    * word length); the join is variant-keyed; verify touches only
+    * collisions. Output: (wa, wb, dist) with wa < wb.
+    */
+  def fuzzyPairs(words: DataFrame, wordCol: String): DataFrame = {
+    val w = words.select(col(wordCol).as("w"))
+      .where(col("w").isNotNull && col("w") =!= "").distinct()
+    val vars = w.select(col("w"), explode(concat(array(col("w")),
+      transform(sequence(lit(1), length(col("w"))),
+        i => concat(col("w").substr(lit(1), i - 1),
+          col("w").substr(i + 1, length(col("w"))))))).as("v"))
+    vars.select(col("w").as("wa"), col("v"))
+      .join(vars.select(col("w").as("wb"), col("v")), "v")
+      .where(col("wa") < col("wb"))
+      .select("wa", "wb").distinct()
+      .withColumn("dist", levenshtein(col("wa"), col("wb")).cast("long"))
+      .where(col("dist") <= 1)
+  }
+
   /** Delete docs from a persisted dedup index ([[writeDedupIndex]])
     * WITHOUT rebuilding it — the takedown/right-to-erasure path that
     * completes the index lifecycle (build -> append -> compact ->

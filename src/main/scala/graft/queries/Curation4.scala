@@ -284,6 +284,69 @@ object Curation4 {
         .orderBy("doc_id")
     }),
 
+    // Last-touch attribution: each purchase as-of-joins (backward,
+    // user-keyed) its latest preceding click/view; revenue and share
+    // per touch type, 'none' for unattributed — q242's as-of machinery
+    // composed into the classic marketing read.
+    "q405_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * lit(100.0)).cast("long").as("cents"),
+          col("event_id"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"),
+          col("event_type").as("touch_type"), col("event_id"))
+      val att = graft.ops.AsOf.joinBackward(purchases, touches,
+        Seq("user_id"), "ts", "ts", "t_", Some("event_id"))
+      val counts = att
+        .groupBy(coalesce(col("t_touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_c"))
+      val total = counts.agg(sum(col("n")).as("__t"))
+      counts.crossJoin(broadcast(total))
+        .select(col("touch_type"), col("n"), col("rev_c"),
+          graft.functions.PixieFunctions.idiv(col("n") * 1000000L,
+            col("__t")).as("share_ppm"))
+        .orderBy("touch_type")
+    }),
+
+    // SymSpell edit-distance-1 vocabulary pairs: deletion-neighborhood
+    // candidates + exact levenshtein verify, over the corpus vocab
+    // with deterministically planted typos (2nd char dropped for a
+    // hash-selected third of length>=4 words).
+    "q406_fuzzy_vocab" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "").distinct()
+      val typos = vocab
+        .where(length(col("w")) >= 4 &&
+          pmod(graft.ops.Dedup.h60(col("w")), lit(3L)) === 0)
+        .select(concat(col("w").substr(lit(1), lit(1)),
+          col("w").substr(lit(3), length(col("w")))).as("w"))
+      graft.ops.Dedup.fuzzyPairs(vocab.unionByName(typos), "w")
+        .orderBy("wa", "wb")
+    }),
+
+    // dbt-style data-quality suite: not-null / unique / range /
+    // referential checks over the relational tables + events, one
+    // pass/fail row per check — the promotion gate a snapshot must
+    // clear.
+    "q407_quality_checks" -> ((s, dir) => {
+      import graft.ops.Quality
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      Quality.suite(Seq(
+          Quality.notNull(li, "lineitem", "l_orderkey"),
+          Quality.unique(ord, "orders", Seq("o_orderkey")),
+          Quality.acceptedRange(li, "lineitem", "l_quantity", 1, 50),
+          Quality.referential(li, "lineitem", "l_orderkey", ord,
+            "o_orderkey"),
+          Quality.unique(t(s, dir, "customer"), "customer",
+            Seq("c_custkey")),
+          Quality.acceptedRange(t(s, dir, "events"), "events", "value",
+            0, 1000)))
+        .orderBy("check", "target")
+    }),
+
     // Delete docs from the persisted dedup index (tombstone path),
     // then run the indexed delta: decisions must match the
     // shrunk-corpus oracle — deleted docs no longer block admission.
@@ -991,6 +1054,88 @@ object Curation4 {
         |  CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
         |    ELSE 0 END AS pct_ppm
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q405_attribution" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, epoch_us(ts) AS t,
+        |    event_type AS tt, event_id AS eid FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |att AS (SELECT p.cents,
+        |    (SELECT tt FROM tch
+        |     WHERE tch.user_id = p.user_id AND tch.t <= p.t
+        |     ORDER BY tch.t DESC, tch.eid DESC LIMIT 1) AS touch_type
+        |  FROM p),
+        |c AS (SELECT coalesce(touch_type, 'none') AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS rev_c
+        |  FROM att GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+        |SELECT touch_type, n, rev_c, n * 1000000 // t AS share_ppm
+        |FROM c, tot ORDER BY touch_type""".stripMargin,
+
+    "q406_fuzzy_vocab" -> {
+      val h = graft.ops.Dedup.h60Sql("w")
+      s"""WITH vocab AS (SELECT DISTINCT unnest(string_split(text, ' '))
+         |    AS w FROM documents),
+         |typos AS (SELECT substr(w, 1, 1) || substr(w, 3, length(w)) AS w
+         |  FROM vocab WHERE length(w) >= 4 AND ($h) % 3 = 0),
+         |words AS (SELECT DISTINCT w FROM
+         |  (SELECT w FROM vocab UNION ALL SELECT w FROM typos)
+         |  WHERE w IS NOT NULL AND w <> ''),
+         |v AS (SELECT w, unnest([w] || [substr(w, 1, i - 1)
+         |      || substr(w, i + 1, length(w))
+         |    for i in range(1, length(w) + 1)]) AS var
+         |  FROM words),
+         |cand AS (SELECT DISTINCT a.w AS wa, b.w AS wb
+         |  FROM v a JOIN v b ON a.var = b.var AND a.w < b.w)
+         |SELECT wa, wb, CAST(levenshtein(wa, wb) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(wa, wb) <= 1
+         |ORDER BY wa, wb""".stripMargin
+    },
+
+    "q407_quality_checks" ->
+      """SELECT * FROM (
+        |SELECT 'not_null' AS "check", 'lineitem.l_orderkey' AS target,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_violations,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique', 'orders.(o_orderkey)',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  count(*) = count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL
+        |SELECT 'accepted_range', 'lineitem.l_quantity',
+        |  CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |    OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |    OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 FROM lineitem
+        |UNION ALL
+        |SELECT 'referential', 'lineitem.l_orderkey',
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders)
+        |  o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'unique', 'customer.(c_custkey)',
+        |  CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  count(*) = count(DISTINCT c_custkey) FROM customer
+        |UNION ALL
+        |SELECT 'accepted_range', 'events.value',
+        |  CAST(sum(CASE WHEN value IS NULL OR value < 0
+        |    OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  sum(CASE WHEN value IS NULL OR value < 0
+        |    OR value > 1000 THEN 1 ELSE 0 END) = 0 FROM events
+        |) ORDER BY "check", target""".stripMargin,
 
     "q384_dedup_index_delete" -> Curation.incrementalDedupOracle(
       "doc_id % 5 <> 0 AND doc_id % 7 <> 0", "doc_id % 5 = 0"),

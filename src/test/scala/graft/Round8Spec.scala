@@ -327,6 +327,66 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyPairs == brute-force levenshtein<=1 (SymSpell blocking has no false negatives)") {
+    for (seed <- Seq(47, 131)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcd"
+      def word() = (1 to 3 + rnd.nextInt(5))
+        .map(_ => alpha(rnd.nextInt(alpha.size))).mkString
+      // small alphabet + short words => natural 1-edit collisions, plus
+      // planted insert/delete/substitute variants
+      val base = (1 to 60).map(_ => word()).distinct
+      val planted = base.take(10).flatMap { w =>
+        Seq(w + "x",                              // insert
+          w.substring(0, w.length - 1),           // delete
+          "z" + w.substring(1))                   // substitute
+      }
+      val words = (base ++ planted).distinct.filter(_.nonEmpty)
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expect = (for {
+        a <- words; b <- words if a < b && lev(a, b) <= 1
+      } yield (a, b, lev(a, b).toLong)).toSet
+      val got = graft.ops.Dedup.fuzzyPairs(words.toDF("w"), "w")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == expect, s"seed $seed: missing ${expect -- got}, extra ${got -- expect}")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("Quality suite: every check type counts its planted violations") {
+    import graft.ops.Quality
+    val child = Seq((Some(1L), 10.0), (Some(1L), 60.0), (Some(2L), -5.0),
+        (Some(9L), 20.0), (None, 30.0))
+      .map { case (k, v) => (k.map(Long.box).orNull, v) }.toDF("fk", "v")
+    val parent = Seq(1L, 2L, 2L).toDF("pk")
+    val got = Quality.suite(Seq(
+        Quality.notNull(child, "child", "fk"),
+        Quality.unique(parent, "parent", Seq("pk")),
+        Quality.acceptedRange(child, "child", "v", 0, 50),
+        Quality.referential(child, "child", "fk", parent, "pk")))
+      .select("check", "n_violations", "n_total", "pass")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("not_null") == ((1L, 5L, false)))        // one null fk
+    assert(got("unique") == ((1L, 3L, false)))          // pk 2 twice
+    assert(got("accepted_range") == ((2L, 5L, false)))  // 60.0, -5.0
+    // orphans: fk=9 (no parent) + the null fk
+    assert(got("referential") == ((2L, 5L, false)))
+    // a clean frame passes everything
+    val ok = Quality.suite(Seq(
+        Quality.notNull(parent, "parent", "pk"),
+        Quality.unique(child, "child", Seq("fk", "v"))))
+      .select("pass").as[Boolean].collect()
+    assert(ok.forall(identity))
+  }
+
   test("repetitionSignals (map-only) == repetitionStats (shuffled) on the shared dup fraction") {
     val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
     val a = TextOps.repetitionSignals(docs, "text", "doc_id", n = 5)
