@@ -289,6 +289,38 @@ object Events {
         col("n_retained"), col("n_resurrected"), col("n_churned"))
   }
 
+  /** Seasonal-baseline deviation: each (type, hour) bucket scored
+    * against the type's OWN hour-of-day baseline — "is 3 am busier
+    * than 3 am usually is" — the seasonality-aware companion to the
+    * global-median [[rateAnomalies]]. Baseline for hour-of-day h is
+    * the type's total count at h divided by how often h occurs in the
+    * grid range (`occ`, an exact integer — zero-filled grid, so quiet
+    * recurrences count); deviation is milli-scaled integer
+    * `c*1000 - T*1000//occ`. Returns the `topK` most deviant buckets
+    * per type.
+    *
+    * Shape: [[countGrid]] + two keyed aggregates over the grid +
+    * per-type rank windows over the TIME-bound grid.
+    */
+  def seasonalDeviation(df: DataFrame, typeCol: String, tsCol: String,
+                        binUs: Long, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val filled = countGrid(df, typeCol, tsCol, binUs)
+      .withColumn("hod", pmod(col("b"), lit(24L)))
+    val base = filled.groupBy("et", "hod")
+      .agg(sum(col("c")).as("__T"), count(lit(1)).as("__occ"))
+      .withColumn("baseline_milli", idiv(col("__T") * 1000L, col("__occ")))
+    val dev = filled.join(broadcast(base), Seq("et", "hod"))
+      .withColumn("dev_milli",
+        col("c") * 1000L - col("baseline_milli"))
+    val wr = Window.partitionBy("et")
+      .orderBy(abs(col("dev_milli")).desc, col("b").asc)
+    dev.withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= topK)
+      .select(col("et").as("event_type"), col("rank"), col("b").as("bin"),
+        col("hod"), col("c"), col("baseline_milli"), col("dev_milli"))
+  }
+
   /** Sliding active-user counts: per day, the distinct users active
     * that day (DAU) and in the trailing 7 / 28 days (WAU / MAU), plus
     * the DAU/MAU "stickiness" ppm — the standard engagement panel.

@@ -24,6 +24,39 @@ import graft.functions.PixieFunctions.idiv
   */
 object Graph {
 
+  /** Bounded-hop BFS distances from a seed node: `hop(v)` = the
+    * minimum number of edges from `seed` to v, explored `maxHops`
+    * rounds — the "how far is every domain from the seed crawl"
+    * frontier-radius read next to [[pageRank]]'s centrality.
+    * Unreached nodes are absent (a production run unions them with
+    * hop = null).
+    *
+    * Shape: each round is ONE node-keyed join (frontier x edges) and
+    * ONE min-aggregate — the Pregel round again; the frontier frame is
+    * materialized per round via the same checkpoint discipline as
+    * [[pageRank]] so round k never re-derives rounds 0..k-1's lineage.
+    * All integers; fixed iteration count = engine-exact.
+    */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seed: Column, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "hopDistances: maxHops >= 0")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(false)
+    val seedDf = e.sparkSession.range(1)
+      .crossJoin(broadcast(edges.agg(seed.as("node"))))
+      .select(col("node"), lit(0L).as("hop"))
+    (1 to maxHops).foldLeft(seedDf) { (dist, h) =>
+      // expand only the (h-1)-frontier: nodes discovered earlier have
+      // already contributed their neighborhoods
+      val next = e.join(dist.where(col("hop") === (h - 1).toLong)
+          .withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), lit(h.toLong).as("hop"))
+      dist.unionByName(next)
+        .groupBy("node").agg(min(col("hop")).as("hop"))
+        .localCheckpoint(false)
+    }
+  }
+
   /** `iters` rounds of damped weighted PageRank over `edges`
     * (directed, positive integer weights). Nodes = union of endpoints;
     * initial rank = 1e6/N ppm; rank'(v) = (1e6-d)/N +

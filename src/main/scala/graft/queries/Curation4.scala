@@ -347,6 +347,25 @@ object Curation4 {
         .orderBy("check", "target")
     }),
 
+    // Seasonal-baseline deviation: top-5 hours per type most deviant
+    // from their own hour-of-day baseline — "busier than 3am usually
+    // is", milli-scaled exact integers.
+    "q408_seasonal_deviation" -> ((s, dir) => {
+      Events.seasonalDeviation(t(s, dir, "events"), "event_type", "ts",
+          binUs = 3600L * 1000000L, topK = 5)
+        .orderBy("event_type", "rank")
+    }),
+
+    // Bounded BFS: hop distances from the lexicographically-least
+    // source over the profile graph, 3 Pregel rounds.
+    "q409_graph_hops" -> ((s, dir) => {
+      graft.ops.Graph.hopDistances(
+          graft.ops.Graph.profileEdges(t(s, dir, "documents"), "text",
+            "source"),
+          "src", "dst", min(col("src")), maxHops = 3)
+        .orderBy("node")
+    }),
+
     // Delete docs from the persisted dedup index (tombstone path),
     // then run the indexed delta: decisions must match the
     // shrunk-corpus oracle — deleted docs no longer block admission.
@@ -464,6 +483,20 @@ object Curation4 {
       |SELECT from_type, to_type, n, n * 1000000 // t AS p_ppm
       |FROM c JOIN tt USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
+
+  /** The lexical-affinity source graph CTEs (q343's fingerprint dot
+    * products) — shared by the q378 PageRank and q409 BFS oracles.
+    */
+  private val profileGraphCtes: String = {
+    val bkt = s"(${graft.ops.Dedup.h60Sql("w")}) % 256"
+    s"""prof AS (SELECT src, $bkt AS b, count(*) AS c FROM
+       |  (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+       |   FROM documents) WHERE w <> '' GROUP BY 1, 2),
+       |e AS (SELECT a.src AS src, b2.src AS dst,
+       |    CAST(sum(a.c * b2.c) AS BIGINT) AS w
+       |  FROM prof a JOIN prof b2 ON a.b = b2.b AND a.src <> b2.src
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** Shared error-rate grid CTEs for the q398/q399 alerting oracles:
     * per-shard hourly (n, n_err, err_ppm) zero-filled over the global
@@ -1137,6 +1170,45 @@ object Curation4 {
         |    OR value > 1000 THEN 1 ELSE 0 END) = 0 FROM events
         |) ORDER BY "check", target""".stripMargin,
 
+    "q408_seasonal_deviation" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM base),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM base)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |f AS (SELECT g.et, g.b, g.b % 24 AS hod, coalesce(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+        |bl AS (SELECT et, hod,
+        |    CAST(sum(c) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+        |      AS baseline_milli
+        |  FROM f GROUP BY 1, 2),
+        |d AS (SELECT f.et, f.b, f.hod, f.c, bl.baseline_milli,
+        |    f.c * 1000 - bl.baseline_milli AS dev_milli
+        |  FROM f JOIN bl ON bl.et = f.et AND bl.hod = f.hod),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY et
+        |    ORDER BY abs(dev_milli) DESC, b) AS rank FROM d)
+        |SELECT et AS event_type, CAST(rank AS INTEGER) AS rank,
+        |  b AS bin, hod, c, baseline_milli, dev_milli
+        |FROM r WHERE rank <= 5 ORDER BY et, rank""".stripMargin,
+
+    "q409_graph_hops" -> {
+      val step = (h: Int) =>
+        s"""n$h AS (SELECT e.dst AS node, CAST($h AS BIGINT) AS hop
+           |  FROM e JOIN h${h - 1} p ON e.src = p.node
+           |  WHERE p.hop = ${h - 1}),
+           |h$h AS (SELECT node, min(hop) AS hop FROM
+           |  (SELECT * FROM h${h - 1} UNION ALL SELECT * FROM n$h)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH $profileGraphCtes,
+         |h0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS hop FROM e),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT node, hop FROM h3 ORDER BY node""".stripMargin
+    },
+
     "q384_dedup_index_delete" -> Curation.incrementalDedupOracle(
       "doc_id % 5 <> 0 AND doc_id % 7 <> 0", "doc_id % 5 = 0"),
 
@@ -1154,14 +1226,7 @@ object Curation4 {
            |    150000 // nn.n + coalesce(c.in_w, 0) AS pr
            |  FROM nodes CROSS JOIN nn
            |  LEFT JOIN (${contrib(prev)}) c ON c.node = nodes.node)""".stripMargin
-      val bkt = s"(${graft.ops.Dedup.h60Sql("w")}) % 256"
-      s"""WITH prof AS (SELECT src, $bkt AS b, count(*) AS c FROM
-         |  (SELECT source AS src, unnest(string_split(text, ' ')) AS w
-         |   FROM documents) WHERE w <> '' GROUP BY 1, 2),
-         |e AS (SELECT a.src AS src, b2.src AS dst,
-         |    CAST(sum(a.c * b2.c) AS BIGINT) AS w
-         |  FROM prof a JOIN prof b2 ON a.b = b2.b AND a.src <> b2.src
-         |  GROUP BY 1, 2),
+      s"""WITH $profileGraphCtes,
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
          |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e

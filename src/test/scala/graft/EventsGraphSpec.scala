@@ -689,6 +689,76 @@ class EventsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalDeviation == hour-of-day baseline reference; planted spike surfaces") {
+    for (seed <- Seq(53, 127)) {
+      val rnd = new scala.util.Random(seed)
+      // 5 days of hourly traffic; one planted 30-event spike at
+      // day 3, hour 7 for type 'a'
+      val events = (for {
+        d <- 0 until 5; h <- 0 until 24
+        et <- Seq("a", "b")
+        n = 2 + rnd.nextInt(3) + (if (et == "a" && d == 3 && h == 7) 30 else 0)
+        _ <- 1 to n
+      } yield (et, (d * 24 + h).toLong * 3600L * 1000000000L +
+        rnd.nextInt(1000).toLong)).toSeq
+      val bins = events.map(e => (e._1, e._2 / 1000L / (3600L * 1000000L)))
+      val (b0, b1) = (bins.map(_._2).min, bins.map(_._2).max)
+      val ref = bins.groupBy(_._1).flatMap { case (et, es) =>
+        val counts = es.groupBy(_._2).map { case (b, v) => b -> v.size.toLong }
+        val grid = (b0 to b1).map(b => (b, b % 24, counts.getOrElse(b, 0L)))
+        val bl = grid.groupBy(_._2).map { case (hod, cells) =>
+          hod -> cells.map(_._3).sum * 1000L / cells.size }
+        grid.map { case (b, hod, c) =>
+          (b, hod, c, bl(hod), c * 1000L - bl(hod)) }
+          .sortBy { case (b, _, _, _, dv) => (-dv.abs, b) }.take(5)
+          .zipWithIndex.map { case ((b, hod, c, base, dv), i) =>
+            (et, i + 1) -> ((b, hod, c, base, dv)) }
+      }
+      val got = Events.seasonalDeviation(events.toDF("event_type", "ts"),
+          "event_type", "ts", 3600L * 1000000L, 5)
+        .select("event_type", "rank", "bin", "hod", "c", "baseline_milli",
+          "dev_milli")
+        .collect()
+      assert(got.length == ref.size, s"seed $seed")
+      got.foreach { r =>
+        assert(ref((r.getString(0), r.getInt(1))) ==
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6))), s"seed $seed ${r.getString(0)} ${r.getInt(1)}")
+      }
+      // the planted spike is type a's #1 deviation
+      val top = got.find(r => r.getString(0) == "a" && r.getInt(1) == 1).get
+      // the spike inflates its own hod baseline by ~spike/ndays, so
+      // dev ~ spike * (1 - 1/ndays) * 1000 = ~24k milli
+      assert(top.getLong(2) == 3 * 24 + 7 && top.getLong(6) > 20000L)
+    }
+  }
+
+  test("hopDistances == in-memory BFS reference on random graphs") {
+    for (seed <- Seq(59, 137)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15
+      val edges = (for {
+        s0 <- 0 until n; d <- 0 until n
+        if s0 != d && rnd.nextInt(100) < 12
+      } yield (s0.toLong, d.toLong)).toVector
+      if (edges.nonEmpty) {
+        val seedNode = edges.map(_._1).min
+        val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        var dist = Map(seedNode -> 0L)
+        for (h <- 1 to 3) {
+          val frontier = dist.filter(_._2 == h - 1).keys
+          frontier.flatMap(f => adj.getOrElse(f, Nil)).foreach { v =>
+            if (!dist.contains(v)) dist += (v -> h.toLong)
+          }
+        }
+        val got = graft.ops.Graph.hopDistances(
+            edges.toDF("src", "dst"), "src", "dst", min(col("src")), 3)
+          .as[(Long, Long)].collect().toMap
+        assert(got == dist, s"seed $seed: $got vs $dist")
+      }
+    }
+  }
+
   test("plan pins: funnel/retention/pageRank shuffle keyed only, skewProfile is agg + top-k") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
