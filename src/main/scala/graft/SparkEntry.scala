@@ -46,7 +46,8 @@ object SparkEntry {
       graft.queries.Pxl10.queries ++ graft.queries.Pxl11.queries ++
       graft.queries.Pxl12.queries ++ graft.queries.Pxl13.queries ++ graft.queries.Pxl14.queries ++ graft.queries.Pxl15.queries ++ graft.queries.Pxl16.queries ++
       graft.queries.Curation.queries ++ graft.queries.Curation2.queries ++
-      graft.queries.Curation3.queries ++ graft.queries.Curation4.queries
+      graft.queries.Curation3.queries ++ graft.queries.Curation4.queries ++
+      graft.queries.Curation5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.queries.Pxl10.oracles ++ graft.queries.Pxl11.oracles ++
       graft.queries.Pxl12.oracles ++ graft.queries.Pxl13.oracles ++ graft.queries.Pxl14.oracles ++ graft.queries.Pxl15.oracles ++ graft.queries.Pxl16.oracles ++
       graft.queries.Curation.oracles ++ graft.queries.Curation2.oracles ++
-      graft.queries.Curation3.oracles ++ graft.queries.Curation4.oracles
+      graft.queries.Curation3.oracles ++ graft.queries.Curation4.oracles ++
+      graft.queries.Curation5.oracles
 }

@@ -714,4 +714,90 @@ object Events {
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
         idiv(col("n_users") * 1000000L, col("__c0")).as("retained_ppm"))
   }
+
+  /** Ordinary-least-squares trend per event type over the zero-filled
+    * count grid — the parametric companion of [[senTrend]] (same grid,
+    * same x = relative bucket index): slope/intercept from the five
+    * exact integer sums (n, Sx, Sy, Sxy, Sxx) via the closed-form
+    * normal equations, plus r-squared from Syy. Each output value is
+    * ONE final double formula over exact longs, rounded at 1e-6, so
+    * every engine computes the identical number; a constant series
+    * (zero variance in x or y) reports null slope/r2 rather than a
+    * division blow-up.
+    *
+    * Scale: one keyed count aggregate + one O(#types) reduce — the
+    * sums are order-independent longs, so the grid can live on any
+    * partitioning; nothing here is data-bound beyond the count grid.
+    */
+  def olsTrend(df: DataFrame, typeCol: String, tsCol: String,
+               binUs: Long): DataFrame = {
+    val g = countGrid(df, typeCol, tsCol, binUs)
+    val rel = g.groupBy("et")
+      .agg(count(lit(1)).as("n"),
+        min(col("b")).as("__b0"),
+        sum(col("b")).as("__sb"),
+        sum(col("c")).as("sy"),
+        sum(col("b") * col("c")).as("__sbc"),
+        sum(col("b") * col("b")).as("__sbb"),
+        sum(col("c") * col("c")).as("syy"))
+      // shift x to b - b0 WITHOUT a second pass: the shifted sums are
+      // exact functions of the raw ones (all integer arithmetic)
+      .select(col("et"), col("n"), col("sy"), col("syy"),
+        (col("__sb") - col("n") * col("__b0")).as("sx"),
+        (col("__sbc") - col("__b0") * col("sy")).as("sxy"),
+        (col("__sbb") - lit(2L) * col("__b0") * col("__sb")
+          + col("n") * col("__b0") * col("__b0")).as("sxx"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    rel.select(col("et").as("event_type"), col("n").as("n_bins"),
+        when(dxx =!= 0L,
+          round(dxy.cast("double") / dxx.cast("double"), 6)).as("slope"),
+        when(dxx =!= 0L,
+          round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / dxx.cast("double"), 6)).as("intercept"),
+        // r2 squares/multiplies the determinants AFTER the double cast
+        // — dxy^2 and dxx*dyy overflow long on month-long grids
+        when(dxx =!= 0L && dyy =!= 0L,
+          round(dxy.cast("double") * dxy.cast("double")
+            / (dxx.cast("double") * dyy.cast("double")), 6)).as("r2"))
+  }
+
+  /** One-sided CUSUM drift detector per event type over the hourly
+    * count grid, in closed form: with drift allowance k (slack) the
+    * classic recursion S_i = max(0, S_{i-1} + x_i - k) equals
+    * U_i - min(0, min_{j<=i} U_j) for the cumulative sum U of
+    * (x - k) — so the sequential detector becomes two window
+    * functions (running sum + running min) instead of an
+    * unexpressible recursion. All values milli-scaled integers:
+    * the per-type mean is `total*1000 div n`, slack = mean/slackDen,
+    * alarm threshold h = mean * hMult. Emits only alarm bins
+    * (s_milli >= h) with their per-type alarm rank.
+    *
+    * Scale: windows are partitioned BY TYPE over the time grid —
+    * bin-count-bound, never corpus-wide; the grid itself is one keyed
+    * aggregate.
+    */
+  def cusumDrift(df: DataFrame, typeCol: String, tsCol: String,
+                 binUs: Long, slackDen: Long = 4L,
+                 hMult: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(slackDen > 0 && hMult > 0, "cusumDrift: positive tuning")
+    val g = countGrid(df, typeCol, tsCol, binUs)
+    val means = g.groupBy("et")
+      .agg(idiv(sum(col("c")) * 1000L, count(lit(1))).as("__mean_milli"))
+    val w = Window.partitionBy("et").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = g.join(means, "et")
+      .withColumn("__x", col("c") * 1000L - col("__mean_milli")
+        - idiv(col("__mean_milli"), lit(slackDen)))
+      .withColumn("__u", sum(col("__x")).over(w))
+      .withColumn("__s", col("__u") - least(min(col("__u")).over(w), lit(0L)))
+    scored.where(col("__s") >= col("__mean_milli") * hMult)
+      .withColumn("alarm_no", row_number().over(
+        Window.partitionBy("et").orderBy("b")).cast("long"))
+      .select(col("et").as("event_type"), col("alarm_no"), col("b").as("bin"),
+        col("c"), col("__mean_milli").as("mean_milli"),
+        col("__s").as("s_milli"))
+  }
 }

@@ -359,4 +359,39 @@ object Multimodal {
           .as("frame_idx"))
       .select(col("media_id"), explode(col("frame_idx")).as("frame_no"))
       .withColumn("frame_offset", col("frame_no") * frameBytes * everyK)
+
+  /** Shot-boundary detection — the video segmentation pass of a
+    * multimodal curation pipeline: a cut is declared wherever the
+    * frame-feature distance between CONSECUTIVE frames exceeds a
+    * threshold (the classic pairwise-comparison detector; here the
+    * feature is [[frameEnergy]]'s exact per-window byte sum, so the
+    * delta is integer-exact in every engine). The threshold is
+    * relative — `|delta| * 100 >= thresholdPct * max(prev, cur)` —
+    * so loud and quiet media are cut on proportional change, with an
+    * absolute floor `minDelta` killing silence-vs-silence noise.
+    * Emits one row per boundary with the per-media shot index the cut
+    * OPENS (boundary k starts shot k+1).
+    *
+    * Scale: one media-keyed window over frame sequences — frames per
+    * media is codec-bound (minutes x fps), never corpus-bound; the
+    * energy extraction is the batched per-partition decoder.
+    */
+  def shotBoundaries(media: DataFrame, frameBytes: Int = 64,
+                     thresholdPct: Long = 30L,
+                     minDelta: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdPct > 0, "shotBoundaries: thresholdPct > 0")
+    val w = Window.partitionBy("media_id").orderBy("frame_no")
+    val e = frameEnergy(media, frameBytes)
+      .withColumn("prev_sum", lag(col("byte_sum"), 1).over(w))
+    e.where(col("prev_sum").isNotNull)
+      .withColumn("delta", col("byte_sum") - col("prev_sum"))
+      .where(abs(col("delta")) >= minDelta &&
+        abs(col("delta")) * 100L >=
+          greatest(col("byte_sum"), col("prev_sum")) * thresholdPct)
+      .withColumn("shot_no", row_number().over(
+        Window.partitionBy("media_id").orderBy("frame_no")).cast("long"))
+      .select(col("media_id"), col("frame_no"), col("prev_sum"),
+        col("byte_sum"), col("delta"), col("shot_no"))
+  }
 }

@@ -67,4 +67,67 @@ object Quality {
   /** Union a suite of check reports into the promotion gate table. */
   def suite(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionByName _)
+
+  /** K-anonymity audit: quasi-identifier combinations observed for
+    * fewer than k distinct subjects — the re-identification risk
+    * report a release gate runs before publishing event-level data
+    * (Sweeney 2002). Emits one row per VIOLATING combination with its
+    * subject and row counts; an empty result means the projection is
+    * k-anonymous as-is.
+    *
+    * Scale: one aggregate keyed by the QI tuple (count-distinct over
+    * subjects inside each group is Spark's two-level partial
+    * aggregate); output is bounded by the violating combinations, not
+    * the data.
+    */
+  def kAnonymity(df: DataFrame, subjectCol: String, qiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, "kAnonymity: QI cols and k >= 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(countDistinct(col(subjectCol)).as("n_subjects"),
+        count(lit(1)).as("n_rows"))
+      .where(col("n_subjects") < k)
+  }
+
+  /** Benford first-significant-digit audit per group: observed digit
+    * share (ppm) vs the Benford expectation log10(1 + 1/d) — the
+    * fabricated-numbers screen for ingested numeric feeds. The
+    * leading digit comes from a fixed threshold LADDER over
+    * [0.001, 10000) (identical IEEE comparisons in every engine — no
+    * log10/floor boundary hazards); values outside the ladder or
+    * non-positive are excluded from the digit population. Expected
+    * shares are precomputed ppm literals, so dev_ppm is exact integer
+    * arithmetic end-to-end. One keyed aggregate; 9 rows per group.
+    */
+  def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val digit = Seq(1000.0, 100.0, 10.0, 1.0, 0.1, 0.01, 0.001)
+      .foldLeft(lit(null).cast("long")) { (acc, scale) =>
+        when(v >= scale && v < scale * 10, floor(v / scale).cast("long"))
+          .otherwise(acc)
+      }
+    val digits = df.where(v.isNotNull && v > 0)
+      .select(col(groupCol).as("grp"), digit.as("d"))
+      .where(col("d").isNotNull)
+    val totals = digits.groupBy("grp").agg(count(lit(1)).as("__n"))
+    digits.groupBy("grp", "d").agg(count(lit(1)).as("n"))
+      .join(totals, "grp")
+      .select(col("grp"), col("d"), col("n"),
+        graft.functions.PixieFunctions.idiv(col("n") * 1000000L, col("__n"))
+          .as("share_ppm"),
+        benfordPpm(col("d")).as("benford_ppm"))
+      .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+  }
+
+  /** round(log10(1 + 1/d) * 1e6) for d = 1..9 — fixed literals shared
+    * with the oracle SQL (no runtime logarithms on either side).
+    */
+  val benfordPpmTable: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
+  private def benfordPpm(d: Column): Column =
+    benfordPpmTable.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (ppm, i)) => when(d === (i + 1).toLong, lit(ppm)).otherwise(acc)
+    }
 }

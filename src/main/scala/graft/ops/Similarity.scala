@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PixieFunctions
 
 /** Embedding similarity search (SURVEY §7.9 north star). Baseline:
   * brute-force cosine top-k (exact, broadcast the query side). Scale path:
@@ -1118,5 +1119,104 @@ object Similarity {
       array(comps.map(c =>
         dot(col(vecCol).cast("array<double>"), typedLit(c))): _*)
         .as("projected"))
+  }
+
+  /** Embedding-space snapshot drift: per label (or source), the
+    * squared L2 distance between the centroids of two halves of the
+    * corpus — the "did the embedding distribution move between
+    * snapshots" health check next to [[embeddingOutliers]]. Per-dim
+    * sums are e6-quantized longs, so the per-dim centroid difference
+    * numerator `sA*nB - sB*nA` is EXACT; dist2 folds the per-dim
+    * terms in ascending-dim order (the q29 list_sum contract) with
+    * ONE final double formula rounded at 1e-6. Also reports the most
+    * drifted dimension (|numerator| max, lowest dim on ties) with its
+    * nano-unit magnitude — integer division on the ABSOLUTE value
+    * only (negative integer division rounds differently across
+    * engines).
+    *
+    * Scale: one (group, half, dim)-keyed aggregate over the exploded
+    * vectors — shuffle rows = n x d partial sums with map-side
+    * combine; output is O(#groups). No pairwise anything.
+    */
+  def centroidDrift(df: DataFrame, idCol: String, vecCol: String,
+                    groupCol: String): DataFrame = {
+    val q = df.select(col(groupCol).as("grp"),
+        pmod(col(idCol), lit(2L)).as("half"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy("grp", "half", "d")
+      .agg(sum(floor(col("x") * 1e6 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    val p = q.where(col("half") === 0)
+      .select(col("grp"), col("d"), col("s").as("sa"), col("n").as("na"))
+      .join(q.where(col("half") === 1)
+        .select(col("grp"), col("d"), col("s").as("sb"), col("n").as("nb")),
+        Seq("grp", "d"))
+      .withColumn("num", col("sa") * col("nb") - col("sb") * col("na"))
+    val top = p.withColumn("__r", row_number().over(
+        Window.partitionBy("grp").orderBy(abs(col("num")).desc, col("d"))))
+      .where(col("__r") === 1)
+      .select(col("grp"), col("d").as("top_dim"),
+        signum(col("num")).cast("long").as("top_sign"),
+        PixieFunctions.idiv(abs(col("num")) * 1000L, col("na") * col("nb"))
+          .as("top_absdiff_e9"))
+    val denom = col("na").cast("double") * col("nb").cast("double")
+    p.groupBy("grp", "na", "nb")
+      .agg(sort_array(collect_list(struct(col("d"), col("num")))).as("__t"))
+      .select(col("grp"), col("na").as("n_a"), col("nb").as("n_b"),
+        round(aggregate(col("__t"), lit(0.0d),
+          (acc, t) => acc + (t.getField("num").cast("double") / denom)
+            * (t.getField("num").cast("double") / denom)) / 1e12, 6)
+          .as("dist2"))
+      .join(top, "grp")
+  }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER bitext-mining criterion): across two sides (e.g.
+    * two languages' embeddings), keep pairs that are MUTUAL nearest
+    * neighbors and score them with the ratio margin
+    * `2k.dot(a,b) / (sum_k dots(a) + sum_k dots(b))` — a pair is only
+    * trusted when its similarity stands out from both sides' k-NN
+    * background. Dots are exact e6-quantized integer folds (ties
+    * impossible to mis-order across engines); the margin is ONE final
+    * double formula over exact longs, rounded at 1e-6, null when the
+    * k-NN background sum is non-positive.
+    *
+    * The input is the CANDIDATE pair universe: the gate feeds the
+    * exact cross of a sampled slice (the labeled brute-force baseline,
+    * the q29 contract); at 100 TB the same mutual+margin logic runs
+    * unchanged over an ANN shortlist (SQ8/IVF, q326/q275) because it
+    * only ever sees (a, b, dot) rows — the scorer is pluggable.
+    */
+  def marginMining(df: DataFrame, idCol: String, vecCol: String,
+                   sideCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, "marginMining: k >= 1")
+    val qv = df.select(col(idCol).as("id"), col(sideCol).as("side"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * 1e6 + 0.5).cast("long")).as("qe"))
+    val a = qv.where(col("side") === 0)
+      .select(col("id").as("id_a"), col("qe").as("__qa"))
+    val b = qv.where(col("side") === 1)
+      .select(col("id").as("id_b"), col("qe").as("__qb"))
+    val pairs = a.crossJoin(b)
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("__qa"), col("__qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("dot_e12"))
+    val wa = Window.partitionBy("id_a")
+      .orderBy(col("dot_e12").desc, col("id_b"))
+    val wb = Window.partitionBy("id_b")
+      .orderBy(col("dot_e12").desc, col("id_a"))
+    val ranked = pairs
+      .withColumn("__ra", row_number().over(wa))
+      .withColumn("__rb", row_number().over(wb))
+      .withColumn("__ka", sum(when(col("__ra") <= k, col("dot_e12")))
+        .over(Window.partitionBy("id_a")))
+      .withColumn("__kb", sum(when(col("__rb") <= k, col("dot_e12")))
+        .over(Window.partitionBy("id_b")))
+    ranked.where(col("__ra") === 1 && col("__rb") === 1)
+      .select(col("id_a"), col("id_b"), col("dot_e12"),
+        when(col("__ka") + col("__kb") > 0L,
+          round(lit(2.0d * k) * col("dot_e12").cast("double")
+            / (col("__ka") + col("__kb")).cast("double"), 6))
+          .as("margin"))
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.PixieFunctions.idiv
 
 /** Text-analysis operators for training-data pipelines (SURVEY §7.9):
   * language-ID heuristic, quality scoring, token counting, document
@@ -683,5 +684,46 @@ object TextOps {
       expr("bit_xor(h)").as("xor_fp"),
       sum(col("h")).as("sum_fp"),
       count(lit(1)).as("n_distinct_words"))
+  }
+
+  /** Phrase (collocation) mining — the word2vec preprocessing pass
+    * (Mikolov et al. 2013, "Distributed Representations of Words and
+    * Phrases", §4): score(w1,w2) = (count(w1 w2) - delta) * N /
+    * (count(w1) * count(w2)), promoting bigrams that co-occur far more
+    * than unigram independence predicts ("new york" -> "new_york").
+    * The score is exact staged integer division in e6 units —
+    * `(c_ab - delta) * 1e6 div c_a`, then `* N div c_b` — so no
+    * intermediate exceeds 1e6 * N and every engine computes the
+    * identical value at any corpus size.
+    *
+    * Scale: unigram and bigram counts are word-keyed aggregates; the
+    * two count joins are keyed on the bigram's member words (the
+    * bigram table is the small side after the minCount cut); N is a
+    * broadcast 1-row frame. Nothing is ever keyed by document.
+    */
+  def phraseMining(df: DataFrame, textCol: String, delta: Long = 2L,
+                   minCount: Long = 3L, minScoreE6: Long = 0L): DataFrame = {
+    require(delta >= 0 && minCount > delta,
+      "phraseMining: minCount must exceed the discount")
+    val w = split(col(textCol), " ")
+    val toks = df.select(w.as("__w")).where(size(col("__w")) > 0)
+    val uni = toks.select(explode(col("__w")).as("w"))
+    val nTotal = uni.agg(count(lit(1)).as("__N"))
+    val cW = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.where(size(col("__w")) >= 2)
+      .select(slice(col("__w"), lit(1), size(col("__w")) - 1).as("l"),
+        slice(col("__w"), lit(2), size(col("__w")) - 1).as("r"))
+      .select(explode(arrays_zip(col("l"), col("r"))).as("z"))
+      .select(col("z.l").as("w1"), col("z.r").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    bi.join(cW.select(col("w").as("w1"), col("c").as("__c1")), "w1")
+      .join(cW.select(col("w").as("w2"), col("c").as("__c2")), "w2")
+      .crossJoin(broadcast(nTotal))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        col("__c1").as("c_w1"), col("__c2").as("c_w2"),
+        idiv(idiv((col("c_ab") - delta) * 1000000L, col("__c1"))
+          * col("__N"), col("__c2")).as("score_e6"))
+      .where(col("score_e6") >= minScoreE6)
   }
 }

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Events, Multimodal, Quality, Similarity, TextOps}
+import graft.queries.Q._
+
+/** Round-8 batch 3: corpus linguistics (Mikolov phrase mining),
+  * release-gate governance (k-anonymity, Benford), sequential drift
+  * detection (closed-form CUSUM), embedding-health drift + CCMatrix
+  * margin mining, parametric trend (OLS), and multimodal shot
+  * segmentation. Every query ships a full DuckDB re-derivation under
+  * the [[graft.ops.Corpus]] exactness rules (integer quantization
+  * before cross-row sums; ONE final double formula rounded at 1e-6).
+  */
+object Curation5 {
+
+  import graft.functions.PixieFunctions.{idiv, nsToUs}
+
+  val queries: Map[String, QFn] = Map(
+
+    // word2vec phrase promotion: bigrams whose corpus count beats the
+    // unigram-independence prediction (staged-integer e6 score) — the
+    // "new_york" pass a tokenizer pipeline runs before training.
+    "q410_phrase_mining" -> ((s, dir) => {
+      TextOps.phraseMining(t(s, dir, "documents"), "text",
+          delta = 2L, minCount = 3L, minScoreE6 = 1200000L)
+        .orderBy(col("score_e6").desc, col("w1"), col("w2"))
+    }),
+
+    // K-anonymity audit over the event log: QI = (event_type,
+    // hour-of-day, 50-unit value band); combinations identifying
+    // fewer than 5 distinct users are the re-identification report.
+    "q411_k_anonymity" -> ((s, dir) => {
+      val proj = t(s, dir, "events").select(
+        col("event_type"),
+        (idiv(nsToUs(col("ts")), 3600000000L) % 24L).as("hod"),
+        floor(col("value") / 50.0).cast("long").as("vb"),
+        col("user_id"))
+      Quality.kAnonymity(proj, "user_id",
+          Seq("event_type", "hod", "vb"), k = 5L)
+        .orderBy("event_type", "hod", "vb")
+    }),
+
+    // One-sided CUSUM drift alarms per event type over the hourly
+    // count grid — the sequential detector in closed form (running
+    // sum + running min), milli-scaled integers end-to-end.
+    "q412_cusum_drift" -> ((s, dir) => {
+      Events.cusumDrift(t(s, dir, "events"), "event_type", "ts",
+          binUs = 3600000000L, slackDen = 4L, hMult = 3L)
+        .orderBy("event_type", "bin")
+    }),
+
+    // Embedding-space snapshot drift per label: squared centroid
+    // distance between the vec_id-parity halves + the most drifted
+    // dimension — the "did my embedding distribution move" check.
+    "q413_centroid_drift" -> ((s, dir) => {
+      Similarity.centroidDrift(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .withColumnRenamed("grp", "label")
+        .orderBy("label")
+    }),
+
+    // CCMatrix/LASER margin-based bitext mining: mutual nearest
+    // neighbors across the label-parity sides of a sampled slice,
+    // scored with the ratio margin over each side's 4-NN background.
+    // The exact cross on the slice is the labeled baseline; the
+    // mutual+margin logic is scorer-agnostic (ANN shortlist at scale).
+    "q414_margin_mining" -> ((s, dir) => {
+      val side = t(s, dir, "embeddings")
+        .where(col("vec_id") % 5 === 0)
+        .withColumn("side", col("label") % 2)
+      Similarity.marginMining(side, "vec_id", "embedding", "side", k = 4)
+        .orderBy("id_a")
+    }),
+
+    // OLS trend per event type over the zero-filled hourly grid —
+    // slope/intercept/r2 from exact integer sums (the parametric
+    // companion of q393's Theil-Sen on the same grid).
+    "q415_ols_trend" -> ((s, dir) => {
+      Events.olsTrend(t(s, dir, "events"), "event_type", "ts",
+          binUs = 3600000000L)
+        .orderBy("event_type")
+    }),
+
+    // Benford first-digit audit of the value feed per event type:
+    // observed ppm share vs the log10(1+1/d) expectation (precomputed
+    // literals), deviation in exact integer ppm.
+    "q416_benford" -> ((s, dir) => {
+      Quality.benford(t(s, dir, "events"), "event_type", "value")
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type", "d")
+    }),
+
+    // Multimodal shot-boundary detection: >=30% relative change in
+    // consecutive 64-byte frame energies (exact integer deltas) over
+    // the documents-as-media payloads, with per-media shot indices.
+    "q417_shot_boundaries" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(
+        t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.shotBoundaries(media, frameBytes = 64,
+          thresholdPct = 30L, minDelta = 0L)
+        .orderBy("media_id", "frame_no")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q410_phrase_mining" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0),
+        |uni AS (SELECT unnest(w) AS wd FROM toks),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM uni),
+        |cw AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM uni
+        |  GROUP BY 1),
+        |bi AS (SELECT z[1] AS w1, z[2] AS w2 FROM
+        |  (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z
+        |   FROM toks WHERE len(w) >= 2)),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bi
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT w1, w2, c_ab, a.c AS c_w1, b.c AS c_w2,
+        |  ((c_ab - 2) * 1000000 // a.c) * nt // b.c AS score_e6
+        |FROM cb JOIN cw a ON a.wd = cb.w1 JOIN cw b ON b.wd = cb.w2, n
+        |WHERE ((c_ab - 2) * 1000000 // a.c) * nt // b.c >= 1200000
+        |ORDER BY score_e6 DESC, w1, w2""".stripMargin,
+
+    "q411_k_anonymity" ->
+      """SELECT event_type,
+        |  epoch_us(ts) // 3600000000 % 24 AS hod,
+        |  CAST(floor(value / 50.0) AS BIGINT) AS vb,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1, 2, 3
+        |HAVING count(DISTINCT user_id) < 5
+        |ORDER BY event_type, hod, vb""".stripMargin,
+
+    "q412_cusum_drift" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM c),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM c)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c FROM grid g
+        |  LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+        |m AS (SELECT et, CAST(sum(c) AS BIGINT) * 1000
+        |    // CAST(count(*) AS BIGINT) AS mm FROM f GROUP BY 1),
+        |x AS (SELECT f.et, f.b, f.c, m.mm,
+        |    f.c * 1000 - m.mm - m.mm // 4 AS x
+        |  FROM f JOIN m ON m.et = f.et),
+        |u AS (SELECT et, b, c, mm,
+        |    CAST(sum(x) OVER (PARTITION BY et ORDER BY b) AS BIGINT) AS u
+        |  FROM x),
+        |v AS (SELECT *, u - least(min(u) OVER (PARTITION BY et
+        |    ORDER BY b), 0) AS s FROM u)
+        |SELECT et AS event_type,
+        |  CAST(row_number() OVER (PARTITION BY et ORDER BY b) AS BIGINT)
+        |    AS alarm_no,
+        |  b AS bin, c, mm AS mean_milli, s AS s_milli
+        |FROM v WHERE s >= mm * 3 ORDER BY event_type, bin""".stripMargin,
+
+    "q413_centroid_drift" ->
+      """WITH q AS (SELECT label, vec_id % 2 AS half, i AS d,
+        |    CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS qx
+        |  FROM embeddings, (SELECT unnest(range(64)) AS i)),
+        |s AS (SELECT label, half, d, CAST(sum(qx) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1, 2, 3),
+        |p AS (SELECT a.label, a.d, a.s AS sa, a.n AS na, b.s AS sb,
+        |    b.n AS nb, a.s * b.n - b.s * a.n AS num
+        |  FROM s a JOIN s b ON a.label = b.label AND a.d = b.d
+        |    AND a.half = 0 AND b.half = 1),
+        |top AS (SELECT label, CAST(d AS INTEGER) AS top_dim,
+        |    CAST(sign(num) AS BIGINT) AS top_sign,
+        |    abs(num) * 1000 // (na * nb) AS top_absdiff_e9,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY abs(num) DESC, d) AS r
+        |  FROM p),
+        |l AS (SELECT label, na AS n_a, nb AS n_b,
+        |    list(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+        |      ORDER BY d) AS diffs
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT l.label, n_a, n_b,
+        |  round(list_sum(list_transform(diffs, x -> x * x)) / 1e12, 6)
+        |    AS dist2,
+        |  top_dim, top_sign, top_absdiff_e9
+        |FROM l JOIN top ON top.label = l.label AND top.r = 1
+        |ORDER BY l.label""".stripMargin,
+
+    "q414_margin_mining" ->
+      """WITH v AS (SELECT vec_id, label % 2 AS side,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+        |      AS qe
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(64),
+        |      i -> a.qe[i+1] * b.qe[i+1])) AS BIGINT) AS dot_e12
+        |  FROM v a JOIN v b ON a.side = 0 AND b.side = 1),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY id_a
+        |      ORDER BY dot_e12 DESC, id_b) AS ra,
+        |    row_number() OVER (PARTITION BY id_b
+        |      ORDER BY dot_e12 DESC, id_a) AS rb FROM pr),
+        |k AS (SELECT *,
+        |    sum(dot_e12) FILTER (ra <= 4) OVER (PARTITION BY id_a) AS ka,
+        |    sum(dot_e12) FILTER (rb <= 4) OVER (PARTITION BY id_b) AS kb
+        |  FROM r)
+        |SELECT id_a, id_b, dot_e12,
+        |  CASE WHEN ka + kb > 0
+        |    THEN round(8.0 * dot_e12 / (ka + kb), 6) END AS margin
+        |FROM k WHERE ra = 1 AND rb = 1 ORDER BY id_a""".stripMargin,
+
+    "q415_ols_trend" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM c),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM c)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c FROM grid g
+        |  LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+        |raw AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(min(b) AS BIGINT) AS b0, CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(c) AS BIGINT) AS sy,
+        |    CAST(sum(b * c) AS BIGINT) AS sbc,
+        |    CAST(sum(b * b) AS BIGINT) AS sbb,
+        |    CAST(sum(c * c) AS BIGINT) AS syy
+        |  FROM f GROUP BY 1),
+        |sh AS (SELECT et, n, sy, syy, sb - n * b0 AS sx,
+        |    sbc - b0 * sy AS sxy,
+        |    sbb - 2 * b0 * sb + n * b0 * b0 AS sxx FROM raw),
+        |d AS (SELECT et, n, n * sxx - sx * sx AS dxx,
+        |    n * syy - sy * sy AS dyy, n * sxy - sx * sy AS dxy,
+        |    sy * sxx - sx * sxy AS inum FROM sh)
+        |SELECT et AS event_type, n AS n_bins,
+        |  CASE WHEN dxx <> 0 THEN
+        |    round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END
+        |    AS slope,
+        |  CASE WHEN dxx <> 0 THEN
+        |    round(CAST(inum AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END
+        |    AS intercept,
+        |  CASE WHEN dxx <> 0 AND dyy <> 0 THEN
+        |    round(CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)
+        |      / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6) END
+        |    AS r2
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    "q416_benford" -> {
+      val bens = Quality.benfordPpmTable.zipWithIndex
+        .map { case (p, i) => s"WHEN d = ${i + 1} THEN ${p}" }
+        .mkString(" ")
+      s"""WITH dg AS (SELECT event_type AS grp, CASE
+         |    WHEN value >= 1000 AND value < 10000
+         |      THEN CAST(floor(value / 1000.0) AS BIGINT)
+         |    WHEN value >= 100 AND value < 1000
+         |      THEN CAST(floor(value / 100.0) AS BIGINT)
+         |    WHEN value >= 10 AND value < 100
+         |      THEN CAST(floor(value / 10.0) AS BIGINT)
+         |    WHEN value >= 1 AND value < 10
+         |      THEN CAST(floor(value / 1.0) AS BIGINT)
+         |    WHEN value >= 0.1 AND value < 1
+         |      THEN CAST(floor(value / 0.1) AS BIGINT)
+         |    WHEN value >= 0.01 AND value < 0.1
+         |      THEN CAST(floor(value / 0.01) AS BIGINT)
+         |    WHEN value >= 0.001 AND value < 0.01
+         |      THEN CAST(floor(value / 0.001) AS BIGINT) END AS d
+         |  FROM events WHERE value IS NOT NULL AND value > 0),
+         |dd AS (SELECT grp, d FROM dg WHERE d IS NOT NULL),
+         |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS nn FROM dd
+         |  GROUP BY 1),
+         |c AS (SELECT grp, d, CAST(count(*) AS BIGINT) AS n FROM dd
+         |  GROUP BY 1, 2)
+         |SELECT c.grp AS event_type, c.d, c.n,
+         |  c.n * 1000000 // nn AS share_ppm,
+         |  CAST(CASE $bens END AS BIGINT) AS benford_ppm,
+         |  c.n * 1000000 // nn - (CASE $bens END) AS dev_ppm
+         |FROM c JOIN tot ON tot.grp = c.grp
+         |ORDER BY event_type, d""".stripMargin
+    },
+
+    "q417_shot_boundaries" ->
+      """WITH f AS (SELECT doc_id, len(text) AS n,
+        |    unnest(range((len(text) + 63) // 64)) AS frame_no
+        |  FROM documents WHERE len(text) > 0),
+        |pos AS (SELECT doc_id, frame_no,
+        |    unnest(range(frame_no * 64, least(frame_no * 64 + 64, n))) AS p
+        |  FROM f),
+        |e AS (SELECT pos.doc_id AS media_id,
+        |    CAST(frame_no AS INTEGER) AS frame_no,
+        |    CAST(sum(ord(substr(text, CAST(p AS INTEGER) + 1, 1)))
+        |      AS BIGINT) AS byte_sum
+        |  FROM pos JOIN documents d ON d.doc_id = pos.doc_id
+        |  GROUP BY 1, 2),
+        |l AS (SELECT *, lag(byte_sum) OVER (PARTITION BY media_id
+        |    ORDER BY frame_no) AS prev_sum FROM e),
+        |b AS (SELECT media_id, frame_no, prev_sum, byte_sum,
+        |    byte_sum - prev_sum AS delta
+        |  FROM l WHERE prev_sum IS NOT NULL
+        |    AND abs(byte_sum - prev_sum) * 100 >=
+        |      greatest(byte_sum, prev_sum) * 30)
+        |SELECT media_id, frame_no, prev_sum, byte_sum, delta,
+        |  CAST(row_number() OVER (PARTITION BY media_id
+        |    ORDER BY frame_no) AS BIGINT) AS shot_no
+        |FROM b ORDER BY media_id, frame_no""".stripMargin)
+}
