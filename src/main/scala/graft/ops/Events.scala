@@ -800,4 +800,41 @@ object Events {
         col("c"), col("__mean_milli").as("mean_milli"),
         col("__s").as("s_milli"))
   }
+
+  /** Leading-edge debounce: within each key, events arriving within
+    * `gapUs` of their predecessor chain into a BURST, and only the
+    * burst's first event survives — the telemetry/retry/duplicate-
+    * webhook cleaning pass a pipeline runs before counting anything.
+    * Burst membership is the gap-island labeling (`delta > gapUs`
+    * opens a burst), so "within gap of the previously KEPT event" and
+    * "within gap of the previous event" agree for chains — the
+    * standard sessionize-then-take-first contract, deterministic via
+    * the (ts, id) ordering.
+    *
+    * Scale: one key-keyed window (lag + running flag sum) + one
+    * burst-keyed aggregate — each key's events shuffle once; output
+    * is one row per kept (leading) event.
+    */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               idCol: String, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty && gapUs > 0, "debounce: keys and gap")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts_us"), col(idCol))
+    val e = df.select(keys :+ col(idCol) :+
+        graft.functions.PixieFunctions.nsToUs(col(tsCol)).as("__ts_us"): _*)
+      .withColumn("__new", when(lag(col("__ts_us"), 1).over(w).isNull ||
+        col("__ts_us") - lag(col("__ts_us"), 1).over(w) > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("burst_no", sum(col("__new")).over(w))
+    e.groupBy(keys :+ col("burst_no"): _*)
+      .agg(min(struct(col("__ts_us"), col(idCol))).as("__lead"),
+        count(lit(1)).as("burst_size"))
+      .select(keys ++ Seq(col("burst_no"),
+        col("__lead").getField("__ts_us").as("ts_us"),
+        col("__lead").getField(idCol).as(idCol),
+        col("burst_size"),
+        (col("burst_size") - 1L).as("n_suppressed")): _*)
+  }
 }

@@ -130,4 +130,127 @@ object Quality {
     benfordPpmTable.zipWithIndex.foldLeft(lit(null).cast("long")) {
       case (acc, (ppm, i)) => when(d === (i + 1).toLong, lit(ppm)).otherwise(acc)
     }
+
+  /** Gini concentration coefficient of per-key mass (docs per domain,
+    * tokens per source): `(2.Sum(rank.x) - (n+1).Sum(x)) / (n.Sum(x))`
+    * over keys ranked ascending by (mass, key) — 0 = perfectly even,
+    * ->1 = one key holds everything. The diversity topline a mixture
+    * report quotes next to the per-domain caps. Staged-integer ppm
+    * (`div 1000` twice) so no intermediate exceeds `1000 x Sum(rank.x)`
+    * — exact at any corpus size.
+    *
+    * Scale: one keyed count + one rank window over the KEY table
+    * (O(#keys), not data-bound; a 1e9-domain run swaps in the banded
+    * rank of [[Corpus.groupPercentile]]).
+    */
+  def gini(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__x"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__x"), col("__k"))).cast("long"))
+    x.agg(count(lit(1)).as("n_keys"), sum(col("__x")).as("total"),
+        sum(col("__r") * col("__x")).as("__rx"))
+      .select(col("n_keys"), col("total"),
+        graft.functions.PixieFunctions.idiv(
+          graft.functions.PixieFunctions.idiv(
+            (lit(2L) * col("__rx") - (col("n_keys") + 1L) * col("total"))
+              * 1000L, col("n_keys")) * 1000L, col("total"))
+          .as("gini_ppm"))
+  }
+
+  /** The (group, half, band) count frame shared by [[psiDrift]] and
+    * [[ksDrift]]: rows split into time halves at the global µs
+    * midpoint (broadcast 1-row bound), values banded by `bandWidth`.
+    */
+  private def halvedBands(df: DataFrame, groupCol: String, tsCol: String,
+                          valueCol: String, bandWidth: Double) = {
+    val us = graft.functions.PixieFunctions.nsToUs(col(tsCol))
+    val rng = df.agg(min(us).as("__lo"), max(us).as("__hi"))
+      .select(graft.functions.PixieFunctions
+        .idiv(col("__lo") + col("__hi"), 2L).as("__mid"))
+    df.crossJoin(broadcast(rng))
+      .select(col(groupCol).as("grp"),
+        when(us <= col("__mid"), 0L).otherwise(1L).as("half"),
+        floor(col(valueCol) / bandWidth).cast("long").as("band"))
+      .groupBy("grp", "half", "band").agg(count(lit(1)).as("c"))
+  }
+
+  /** Population Stability Index per group between the two time halves
+    * of a numeric feed — the ML-monitoring drift score
+    * `Sum_b (pA_b - pB_b).ln(pA_b / pB_b)` over value bands, Laplace-
+    * smoothed over the FIXED band support so one-sided bands stay
+    * finite (bands empty in both halves contribute exactly 0 — equal
+    * smoothed shares — so only observed bands are materialized).
+    * Per-band terms are nano-quantized BEFORE the per-group sum (the
+    * [[Corpus.sourceDrift]] contract); the headline is the rounded
+    * nat value. PSI > 0.25 is the conventional "investigate" line.
+    *
+    * Scale: two keyed aggregates + one band-keyed join; output is
+    * O(#groups).
+    */
+  def psiDrift(df: DataFrame, groupCol: String, tsCol: String,
+               valueCol: String, bandWidth: Double,
+               bands: Int): DataFrame = {
+    val cells = halvedBands(df, groupCol, tsCol, valueCol, bandWidth)
+    val a = cells.where(col("half") === 0)
+      .select(col("grp"), col("band"), col("c").as("ca"))
+    val b = cells.where(col("half") === 1)
+      .select(col("grp"), col("band"), col("c").as("cb"))
+    val totals = cells.groupBy("grp").agg(
+      sum(when(col("half") === 0, col("c"))).as("ta"),
+      sum(when(col("half") === 1, col("c"))).as("tb"))
+    val pa = (coalesce(col("ca"), lit(0L)) + 1.0) / (col("ta") + bands.toDouble)
+    val pb = (coalesce(col("cb"), lit(0L)) + 1.0) / (col("tb") + bands.toDouble)
+    a.join(b, Seq("grp", "band"), "full_outer")
+      .join(totals.na.fill(0L, Seq("ta", "tb")), "grp")
+      .withColumn("__term",
+        floor((pa - pb) * log(pa / pb) * 1e9 + 0.5).cast("long"))
+      .groupBy("grp")
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        sum(col("__term")).as("__s"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        round(col("__s").cast("double") / 1e9, 6).as("psi"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov drift per group between the two
+    * time halves: `D = sup_v |CDF_A(v) - CDF_B(v)|`, evaluated at the
+    * observed value bands (both CDFs are step functions, so the sup
+    * over jump points IS the sup) in exact integer ppm. Reports D,
+    * its location (lowest band on ties), and both sample sizes — the
+    * distribution-shape companion of the binned [[psiDrift]].
+    *
+    * Scale: one keyed aggregate + per-group windows over the BAND
+    * grid (value-range-bound, never row-bound).
+    */
+  def ksDrift(df: DataFrame, groupCol: String, tsCol: String,
+              valueCol: String, bandWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = halvedBands(df, groupCol, tsCol, valueCol, bandWidth)
+    val a = cells.where(col("half") === 0)
+      .select(col("grp"), col("band"), col("c").as("ca"))
+    val b = cells.where(col("half") === 1)
+      .select(col("grp"), col("band"), col("c").as("cb"))
+    val w = Window.partitionBy("grp").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = a.join(b, Seq("grp", "band"), "full_outer")
+      .select(col("grp"), col("band"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("__cuma", sum(col("ca")).over(w))
+      .withColumn("__cumb", sum(col("cb")).over(w))
+    val totals = cum.groupBy("grp").agg(sum(col("ca")).as("ta"),
+      sum(col("cb")).as("tb"))
+    val d = cum.join(totals.where(col("ta") > 0 && col("tb") > 0), "grp")
+      .withColumn("__d", abs(
+        graft.functions.PixieFunctions.idiv(col("__cuma") * 1000000L,
+          col("ta")) -
+        graft.functions.PixieFunctions.idiv(col("__cumb") * 1000000L,
+          col("tb"))))
+      .withColumn("__r", row_number().over(Window.partitionBy("grp")
+        .orderBy(col("__d").desc, col("band"))))
+    d.where(col("__r") === 1)
+      .select(col("grp"), col("ta").as("n_a"), col("tb").as("n_b"),
+        col("__d").as("d_ppm"), col("band").as("d_band"))
+  }
 }

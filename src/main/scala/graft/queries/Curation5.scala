@@ -100,6 +100,60 @@ object Curation5 {
       Multimodal.shotBoundaries(media, frameBytes = 64,
           thresholdPct = 30L, minDelta = 0L)
         .orderBy("media_id", "frame_no")
+    }),
+
+    // Spark's NATIVE session_window operator must reproduce q63's
+    // window-function sessionization exactly (shared oracle BY
+    // CONSTRUCTION). session_window merges on `delta <= gap`
+    // (an event landing exactly on the previous window's end joins
+    // it — Round8cSpec pins this), which is precisely the island
+    // labeling's `delta <= gap` merge — same 1h gap on both paths.
+    "q418_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id"),
+        nsToUs(col("ts")).as("ts_us"))
+      ev.withColumn("__t", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"),
+          session_window(col("__t"), "3600000000 microsecond"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .withColumn("session_no", row_number().over(
+          Window.partitionBy("user_id").orderBy("start_us")).cast("long"))
+        .select("user_id", "session_no", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "session_no")
+    }),
+
+    // Leading-edge debounce of the event stream: per (user, type),
+    // events within 24h of their predecessor chain into a burst and
+    // only the first survives — the retry/duplicate-webhook cleaner.
+    "q419_debounce" -> ((s, dir) => {
+      Events.debounce(t(s, dir, "events"),
+          Seq("user_id", "event_type"), "ts", "event_id",
+          gapUs = 86400000000L)
+        .orderBy("user_id", "event_type", "burst_no")
+    }),
+
+    // PSI of the value feed per event type between the two time
+    // halves — the binned ML-monitoring drift score, nano-nat terms.
+    "q420_psi_drift" -> ((s, dir) => {
+      Quality.psiDrift(t(s, dir, "events"), "event_type", "ts",
+          "value", bandWidth = 50.0, bands = 10)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // Gini concentration of documents over sources — the diversity
+    // topline next to the domain caps (0 even .. 1e6 one-source).
+    "q421_domain_gini" -> ((s, dir) =>
+      Quality.gini(t(s, dir, "documents"), "source")),
+
+    // Two-sample KS drift per event type: sup-distance between the
+    // half CDFs over unit value bands, exact integer ppm + location.
+    "q422_ks_drift" -> ((s, dir) => {
+      Quality.ksDrift(t(s, dir, "events"), "event_type", "ts",
+          "value", bandWidth = 1.0)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -302,5 +356,97 @@ object Curation5 {
         |SELECT media_id, frame_no, prev_sum, byte_sum, delta,
         |  CAST(row_number() OVER (PARTITION BY media_id
         |    ORDER BY frame_no) AS BIGINT) AS shot_no
-        |FROM b ORDER BY media_id, frame_no""".stripMargin)
+        |FROM b ORDER BY media_id, frame_no""".stripMargin,
+
+    // shared oracle BY CONSTRUCTION: the native session_window path
+    // must equal the q63 island labeling exactly
+    "q418_session_window" -> Extended.oracles("q63_sessions"),
+
+    "q419_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+        |    event_id FROM events),
+        |f AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 86400000000 THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY t, event_id)),
+        |g AS (SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id,
+        |    event_type ORDER BY t, event_id) AS BIGINT) AS burst_no
+        |  FROM f)
+        |SELECT user_id, event_type, burst_no,
+        |  min(t) AS ts_us, arg_min(event_id, t) AS event_id,
+        |  CAST(count(*) AS BIGINT) AS burst_size,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+        |FROM g GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, burst_no""".stripMargin,
+
+    "q420_psi_drift" ->
+      """WITH e AS (SELECT event_type AS grp, epoch_us(ts) AS t, value
+        |  FROM events),
+        |rng AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+        |h AS (SELECT grp, CASE WHEN t <= mid THEN 0 ELSE 1 END AS half,
+        |    CAST(floor(value / 50.0) AS BIGINT) AS band FROM e, rng),
+        |c AS (SELECT grp, half, band, CAST(count(*) AS BIGINT) AS c
+        |  FROM h GROUP BY 1, 2, 3),
+        |tot AS (SELECT grp,
+        |    coalesce(CAST(sum(c) FILTER (half = 0) AS BIGINT), 0) AS ta,
+        |    coalesce(CAST(sum(c) FILTER (half = 1) AS BIGINT), 0) AS tb
+        |  FROM c GROUP BY 1),
+        |j AS (SELECT coalesce(a.grp, b.grp) AS grp,
+        |    coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+        |  FROM (SELECT grp, band, c FROM c WHERE half = 0) a
+        |  FULL OUTER JOIN (SELECT grp, band, c FROM c WHERE half = 1) b
+        |    ON a.grp = b.grp AND a.band = b.band),
+        |terms AS (SELECT j.grp, tot.ta, tot.tb,
+        |    CAST(floor(((ca + 1.0) / (ta + 10.0) - (cb + 1.0) / (tb + 10.0))
+        |      * ln(((ca + 1.0) / (ta + 10.0)) / ((cb + 1.0) / (tb + 10.0)))
+        |      * 1e9 + 0.5) AS BIGINT) AS term
+        |  FROM j JOIN tot ON tot.grp = j.grp)
+        |SELECT grp AS event_type, max(ta) AS n_a, max(tb) AS n_b,
+        |  round(CAST(sum(term) AS BIGINT) / 1e9, 6) AS psi
+        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q421_domain_gini" ->
+      """WITH x AS (SELECT source, CAST(count(*) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source)
+        |    AS BIGINT) AS r FROM x),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(r * x) AS BIGINT) AS rx FROM r)
+        |SELECT n_keys, total,
+        |  ((2 * rx - (n_keys + 1) * total) * 1000 // n_keys) * 1000
+        |    // total AS gini_ppm
+        |FROM s""".stripMargin,
+
+    "q422_ks_drift" ->
+      """WITH e AS (SELECT event_type AS grp, epoch_us(ts) AS t, value
+        |  FROM events),
+        |rng AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+        |h AS (SELECT grp, CASE WHEN t <= mid THEN 0 ELSE 1 END AS half,
+        |    CAST(floor(value / 1.0) AS BIGINT) AS band FROM e, rng),
+        |c AS (SELECT grp, half, band, CAST(count(*) AS BIGINT) AS c
+        |  FROM h GROUP BY 1, 2, 3),
+        |j AS (SELECT coalesce(a.grp, b.grp) AS grp,
+        |    coalesce(a.band, b.band) AS band,
+        |    coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+        |  FROM (SELECT grp, band, c FROM c WHERE half = 0) a
+        |  FULL OUTER JOIN (SELECT grp, band, c FROM c WHERE half = 1) b
+        |    ON a.grp = b.grp AND a.band = b.band),
+        |cum AS (SELECT grp, band, ca, cb,
+        |    CAST(sum(ca) OVER (PARTITION BY grp ORDER BY band) AS BIGINT)
+        |      AS cuma,
+        |    CAST(sum(cb) OVER (PARTITION BY grp ORDER BY band) AS BIGINT)
+        |      AS cumb FROM j),
+        |tot AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS ta,
+        |    CAST(sum(cb) AS BIGINT) AS tb FROM cum GROUP BY 1),
+        |d AS (SELECT cum.grp, band, ta, tb,
+        |    abs(cuma * 1000000 // ta - cumb * 1000000 // tb) AS dd,
+        |    row_number() OVER (PARTITION BY cum.grp ORDER BY
+        |      abs(cuma * 1000000 // ta - cumb * 1000000 // tb) DESC,
+        |      band) AS rn
+        |  FROM cum JOIN tot ON tot.grp = cum.grp
+        |  WHERE ta > 0 AND tb > 0)
+        |SELECT grp AS event_type, ta AS n_a, tb AS n_b, dd AS d_ppm,
+        |  band AS d_band
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin)
 }

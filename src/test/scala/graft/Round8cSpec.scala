@@ -187,6 +187,109 @@ class Round8cSpec extends AnyFunSuite {
     }
   }
 
+  test("debounce == in-memory leading-edge reference; gap-chains merge into one burst") {
+    // key A: chain 0, 5, 10, 22 (gap 6): 0-5-10 chain, 22 new burst
+    // key B: singleton
+    val ns = 1000L // work in µs*1000 = ns inputs
+    val ev = Seq(
+      ("A", 1L, 0L), ("A", 2L, 5000000L), ("A", 3L, 10000000L),
+      ("A", 4L, 22000000L), ("B", 9L, 3000000L))
+      .map { case (k, id, us) => (k, id, us * ns) }
+    val got = graft.ops.Events.debounce(ev.toDF("k", "id", "ts"),
+        Seq("k"), "ts", "id", gapUs = 6000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(("A", 1L, 1L, 3L, 2L), ("A", 2L, 4L, 1L, 0L),
+      ("B", 1L, 9L, 1L, 0L)))
+    // exact-gap boundary: delta == gap merges (strictly-greater opens)
+    val edge = Seq(("C", 1L, 0L), ("C", 2L, 6000000L * ns))
+    val g2 = graft.ops.Events.debounce(edge.toDF("k", "id", "ts"),
+      Seq("k"), "ts", "id", 6000000L).collect()
+    assert(g2.length == 1 && g2.head.getLong(4) == 2L)
+  }
+
+  test("native session_window == island sessionization incl. the delta==gap boundary") {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1000000L
+    // user 1: deltas exactly gap (must merge), gap+1 (must split)
+    val ev = Seq((1L, 0L), (1L, gapUs), (1L, 2 * gapUs),
+      (1L, 3 * gapUs + 1), (2L, 5L))
+      .map { case (u, us) => (u, us * 1000L) } // ns
+      .toDF("user_id", "ts")
+    def islands = {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+      ev.select(col("user_id"),
+          graft.functions.PixieFunctions.nsToUs(col("ts")).as("ts_us"))
+        .withColumn("ns", when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+        .withColumn("sn", sum(col("ns")).over(w))
+        .groupBy("user_id", "sn")
+        .agg(count(lit(1)).as("n"), min("ts_us").as("s"), max("ts_us").as("e"))
+        .select("user_id", "sn", "n", "s", "e")
+    }
+    val native = ev.select(col("user_id"),
+        graft.functions.PixieFunctions.nsToUs(col("ts")).as("ts_us"))
+      .withColumn("__t", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"),
+        session_window(col("__t"), s"$gapUs microsecond"))
+      .agg(count(lit(1)).as("n"), min("ts_us").as("s"), max("ts_us").as("e"))
+      .withColumn("sn", row_number().over(
+        Window.partitionBy("user_id").orderBy("s")).cast("long"))
+      .select("user_id", "sn", "n", "s", "e")
+    val a = islands.collect().map(_.toSeq).toSet
+    val b = native.collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.contains(Seq(1L, 1L, 3L, 0L, 2 * gapUs)),
+      "delta==gap events must merge into one session")
+  }
+
+  test("psiDrift: identical halves -> 0; planted band shift -> large positive psi") {
+    // two halves with identical band histograms -> every term 0
+    def ns(us: Long) = us * 1000L
+    val same = (0 until 50).flatMap { i =>
+      Seq(("t", ns(i.toLong), (i % 5) * 50.0 + 1),
+        ("t", ns(1000000L + i), (i % 5) * 50.0 + 1))
+    }
+    val z = graft.ops.Quality.psiDrift(same.toDF("g", "ts", "v"), "g",
+      "ts", "v", 50.0, 10).collect().head
+    assert(z.getDouble(3) == 0.0)
+    // first half all band 0, second half all band 9
+    val shift = (0 until 50).map(i => ("t", ns(i.toLong), 1.0)) ++
+      (0 until 50).map(i => ("t", ns(1000000L + i), 490.0))
+    val s = graft.ops.Quality.psiDrift(shift.toDF("g", "ts", "v"), "g",
+      "ts", "v", 50.0, 10).collect().head
+    assert(s.getDouble(3) > 3.0, s"planted shift psi ${s.getDouble(3)}")
+  }
+
+  test("gini: even mass -> 0; concentrated mass -> (n-1)/n-ish; staged ppm exact") {
+    val even = (1 to 4).flatMap(k => Seq.fill(5)(s"k$k")).toDF("k")
+    assert(graft.ops.Quality.gini(even, "k").collect().head.getLong(2) == 0L)
+    // one key holds 97 of 100 rows, three singletons:
+    // sorted x = (1,1,1,97), ranks 1..4: rx = 1+2+3+388 = 394
+    val conc = (Seq.fill(97)("big") ++ Seq("a", "b", "c")).toDF("k")
+    val g = graft.ops.Quality.gini(conc, "k").collect().head
+    assert(g.getLong(0) == 4L && g.getLong(1) == 100L)
+    assert(g.getLong(2) == ((2L * 394L - 5L * 100L) * 1000L / 4L) * 1000L / 100L)
+  }
+
+  test("ksDrift: identical halves -> 0; planted shift -> d at the crossing band") {
+    def ns(us: Long) = us * 1000L
+    val same = (0 until 40).flatMap { i =>
+      Seq(("t", ns(i.toLong), (i % 4).toDouble),
+        ("t", ns(1000000L + i), (i % 4).toDouble))
+    }
+    val z = graft.ops.Quality.ksDrift(same.toDF("g", "ts", "v"), "g",
+      "ts", "v", 1.0).collect().head
+    assert(z.getLong(3) == 0L)
+    // half A uniform on {0,1}, half B uniform on {2,3}: D = 1 at band 1
+    val shift = (0 until 40).map(i => ("t", ns(i.toLong), (i % 2).toDouble)) ++
+      (0 until 40).map(i => ("t", ns(1000000L + i), (2 + i % 2).toDouble))
+    val s = graft.ops.Quality.ksDrift(shift.toDF("g", "ts", "v"), "g",
+      "ts", "v", 1.0).collect().head
+    assert(s.getLong(3) == 1000000L && s.getLong(4) == 1L)
+  }
+
   test("shotBoundaries: flat energy -> none; step change -> one cut; relative threshold") {
     // 64-byte frames of 'a' (97) then 'z' (122): |delta| = 64*25 = 1600,
     // 30% of max(7808, 6208) = 2342 -> NOT a cut at 30%, IS at 20%
