@@ -747,20 +747,9 @@ object Events {
         (col("__sbc") - col("__b0") * col("sy")).as("sxy"),
         (col("__sbb") - lit(2L) * col("__b0") * col("__sb")
           + col("n") * col("__b0") * col("__b0")).as("sxx"))
-    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
-    val dyy = col("n") * col("syy") - col("sy") * col("sy")
-    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
-    rel.select(col("et").as("event_type"), col("n").as("n_bins"),
-        when(dxx =!= 0L,
-          round(dxy.cast("double") / dxx.cast("double"), 6)).as("slope"),
-        when(dxx =!= 0L,
-          round((col("sy") * col("sxx") - col("sx") * col("sxy"))
-            .cast("double") / dxx.cast("double"), 6)).as("intercept"),
-        // r2 squares/multiplies the determinants AFTER the double cast
-        // — dxy^2 and dxx*dyy overflow long on month-long grids
-        when(dxx =!= 0L && dyy =!= 0L,
-          round(dxy.cast("double") * dxy.cast("double")
-            / (dxx.cast("double") * dyy.cast("double")), 6)).as("r2"))
+    rel.select(Seq(col("et").as("event_type"), col("n").as("n_bins")) ++
+      Fit.olsSelect(col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"), col("syy")): _*)
   }
 
   /** One-sided CUSUM drift detector per event type over the hourly

@@ -253,4 +253,42 @@ object Quality {
       .select(col("grp"), col("ta").as("n_a"), col("tb").as("n_b"),
         col("__d").as("d_ppm"), col("band").as("d_band"))
   }
+
+  /** Mutual information between two categorical columns in nats, with
+    * both marginal entropies — the feature-dependence audit ("does
+    * hour-of-day carry information about event type") a monitoring
+    * stack runs next to the drift detectors. Zero-count cells
+    * contribute exactly 0 (0.ln(0) limit), so only OBSERVED cells
+    * materialize and no smoothing is needed; per-cell terms are
+    * nano-nat quantized BEFORE the sums (the [[Corpus.sourceDrift]]
+    * contract), entropies use the p.ln(N/c) >= 0 form.
+    *
+    * Scale: one (a,b)-keyed count + two marginal aggregates + keyed
+    * joins; N travels as a broadcast 1-row frame. Output is one row.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val ca = cells.groupBy("a").agg(sum(col("c")).as("ca"))
+    val cb = cells.groupBy("b").agg(sum(col("c")).as("cb"))
+    val n = cells.agg(sum(col("c")).as("N"))
+    def nanoTerm(p: Column, logArg: Column): Column =
+      floor(p * log(logArg) * 1e9 + 0.5).cast("long")
+    val mi = cells.join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(nanoTerm(col("c").cast("double") / col("N").cast("double"),
+          (col("c").cast("double") * col("N").cast("double"))
+            / (col("ca").cast("double") * col("cb").cast("double"))))
+          .as("__mi"))
+    def entropy(m: DataFrame, cc: String, name: String) =
+      m.crossJoin(broadcast(n))
+        .agg(sum(nanoTerm(col(cc).cast("double") / col("N").cast("double"),
+          col("N").cast("double") / col(cc).cast("double"))).as(name))
+    mi.crossJoin(entropy(ca, "ca", "__ha"))
+      .crossJoin(entropy(cb, "cb", "__hb"))
+      .select(col("n_cells"),
+        round(col("__mi").cast("double") / 1e9, 6).as("mi_nats"),
+        round(col("__ha").cast("double") / 1e9, 6).as("h_a_nats"),
+        round(col("__hb").cast("double") / 1e9, 6).as("h_b_nats"))
+  }
 }

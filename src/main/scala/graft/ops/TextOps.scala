@@ -726,4 +726,68 @@ object TextOps {
           * col("__N"), col("__c2")).as("score_e6"))
       .where(col("score_e6") >= minScoreE6)
   }
+
+  /** Heaps-law vocabulary growth: distinct-word count as the corpus
+    * grows in id order, reported at fixed checkpoints — each word is
+    * attributed to the FIRST document that introduces it (one
+    * word-keyed min aggregate), so the curve needs no per-prefix
+    * rescans. The "is my corpus still adding vocabulary or just
+    * repeating itself" read next to [[fingerprint]]/distinct-ngrams.
+    *
+    * Scale: one word-keyed aggregate + windows over the CHECKPOINT
+    * grid (corpus-size / checkpointDocs rows — report-bound, never
+    * data-bound).
+    */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+                  checkpointDocs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(checkpointDocs > 0, "vocabGrowth: checkpointDocs > 0")
+    val words = df.select(col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+    val firsts = words.groupBy("w").agg(min(col("__id")).as("__fd"))
+      .select(idiv(col("__fd"), lit(checkpointDocs)).as("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("new_words"))
+    val docs = df.select(idiv(col(idCol), lit(checkpointDocs)).as("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("cp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(firsts, Seq("cp"), "left")
+      .na.fill(0L, Seq("new_words"))
+      .select(col("cp"), col("n_docs"), col("new_words"),
+        sum(col("n_docs")).over(w).as("n_docs_cum"),
+        sum(col("new_words")).over(w).as("vocab_size"))
+  }
+
+  /** Zipf rank-frequency fit: least squares of ln(freq) on ln(rank)
+    * over the corpus vocabulary — slope near -1 is the healthy-text
+    * signature; a flat or broken slope flags template/boilerplate
+    * corpora. Both logs are milli-quantized to integers BEFORE the
+    * cross-row sums ([[Dedup]] exactness contract), then the
+    * slope/intercept/r2 come from [[Fit.olsSelect]]'s exact-sum
+    * formulas. `minCount` trims the hapax tail that flattens the fit.
+    *
+    * Scale: one word-keyed count + one rank window over the VOCAB
+    * table (key-table-bound; the same banded-rank swap as
+    * [[Corpus.groupPercentile]] applies beyond ~1e8 words).
+    */
+  def zipfFit(df: DataFrame, textCol: String,
+              minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+    val ranked = counts.withColumn("r", row_number().over(
+      Window.orderBy(col("c").desc, col("w"))).cast("long"))
+    val q = ranked.select(
+      floor(log(col("r").cast("double")) * 1000.0 + 0.5).cast("long").as("x"),
+      floor(log(col("c").cast("double")) * 1000.0 + 0.5).cast("long").as("y"))
+    q.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_words") +: Fit.olsSelect(col("n"), col("sx"),
+        col("sy"), col("sxy"), col("sxx"), col("syy")): _*)
+  }
 }

@@ -154,6 +154,56 @@ object Curation5 {
           "value", bandWidth = 1.0)
         .withColumnRenamed("grp", "event_type")
         .orderBy("event_type")
+    }),
+
+    // Heaps-law vocabulary growth at 50-doc checkpoints: each word
+    // attributed to its FIRST document — one word-keyed min, no
+    // per-prefix rescans.
+    "q423_vocab_growth" -> ((s, dir) => {
+      TextOps.vocabGrowth(t(s, dir, "documents"), "text", "doc_id",
+          checkpointDocs = 50L)
+        .orderBy("cp")
+    }),
+
+    // Zipf rank-frequency fit over the corpus vocabulary (hapax
+    // trimmed): milli-quantized logs, exact-sum least squares.
+    "q424_zipf_fit" -> ((s, dir) =>
+      TextOps.zipfFit(t(s, dir, "documents"), "text", minCount = 2L)),
+
+    // Mutual information between event type and hour-of-day (nats,
+    // with both marginal entropies) — the feature-dependence audit.
+    "q425_mutual_info" -> ((s, dir) => {
+      val proj = t(s, dir, "events").select(col("event_type"),
+        (idiv(nsToUs(col("ts")), 3600000000L) % 24L).as("hod"))
+      Quality.mutualInfo(proj, "event_type", "hod")
+    }),
+
+    // Ingest-time leading-edge debounce replayed over the file stream
+    // (AvailableNow): closed bursts only — each key's final burst
+    // stays open in state, and the oracle drops it the same way (the
+    // q94 append-mode contract). Same 24h gap as batch q419.
+    "q426_streaming_debounce" -> ((s, dir) => {
+      import s.implicits._
+      val stream = graft.core.Tables.stream(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          nsToUs(col("ts")).as("ts_us"), col("event_id"))
+        .as[graft.streaming.Streaming.DebEvent]
+      val bursts = graft.streaming.Streaming
+        .streamingDebounce(stream, gapUs = 86400000000L)
+      val qn = "q426_mem_" + java.util.UUID.randomUUID().toString
+        .replace("-", "")
+      val q = bursts.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val out = s.table(qn)
+          .orderBy("user_id", "event_type", "burst_no")
+          .localCheckpoint(true)
+        s.catalog.dropTempView(qn)
+        out
+      } finally if (q.isActive) q.stop()
     }))
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +498,102 @@ object Curation5 {
         |  WHERE ta > 0 AND tb > 0)
         |SELECT grp AS event_type, ta AS n_a, tb AS n_b, dd AS d_ppm,
         |  band AS d_band
-        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin)
+        |FROM d WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q423_vocab_growth" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |ww AS (SELECT doc_id, w FROM words WHERE w <> ''),
+        |firsts AS (SELECT min(doc_id) // 50 AS cp FROM ww GROUP BY w),
+        |nw AS (SELECT cp, CAST(count(*) AS BIGINT) AS new_words
+        |  FROM firsts GROUP BY 1),
+        |docs AS (SELECT doc_id // 50 AS cp,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |j AS (SELECT docs.cp, n_docs, coalesce(new_words, 0) AS new_words
+        |  FROM docs LEFT JOIN nw ON nw.cp = docs.cp)
+        |SELECT cp, n_docs, new_words,
+        |  CAST(sum(n_docs) OVER (ORDER BY cp) AS BIGINT) AS n_docs_cum,
+        |  CAST(sum(new_words) OVER (ORDER BY cp) AS BIGINT) AS vocab_size
+        |FROM j ORDER BY cp""".stripMargin,
+
+    "q424_zipf_fit" ->
+      """WITH c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w HAVING count(*) >= 2),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w)
+        |    AS BIGINT) AS r FROM c),
+        |q AS (SELECT
+        |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+        |      AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+        |      AS y FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy FROM q),
+        |d AS (SELECT n, n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy,
+        |    n * sxy - sx * sy AS dxy, sy * sxx - sx * sxy AS inum FROM s)
+        |SELECT n AS n_words,
+        |  CASE WHEN dxx <> 0 THEN
+        |    round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END
+        |    AS slope,
+        |  CASE WHEN dxx <> 0 THEN
+        |    round(CAST(inum AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END
+        |    AS intercept,
+        |  CASE WHEN dxx <> 0 AND dyy <> 0 THEN
+        |    round(CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)
+        |      / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6) END
+        |    AS r2
+        |FROM d""".stripMargin,
+
+    "q425_mutual_info" ->
+      """WITH e AS (SELECT event_type AS a,
+        |    epoch_us(ts) // 3600000000 % 24 AS b FROM events),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM e
+        |  GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells
+        |  GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM cells),
+        |mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(CAST(floor((CAST(c AS DOUBLE) / CAST(N AS DOUBLE))
+        |      * ln((CAST(c AS DOUBLE) * CAST(N AS DOUBLE))
+        |        / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+        |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS mi
+        |  FROM cells JOIN ca USING (a) JOIN cb USING (b), n),
+        |ha AS (SELECT CAST(sum(CAST(floor(
+        |    (CAST(ca AS DOUBLE) / CAST(N AS DOUBLE))
+        |    * ln(CAST(N AS DOUBLE) / CAST(ca AS DOUBLE))
+        |    * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ha FROM ca, n),
+        |hb AS (SELECT CAST(sum(CAST(floor(
+        |    (CAST(cb AS DOUBLE) / CAST(N AS DOUBLE))
+        |    * ln(CAST(N AS DOUBLE) / CAST(cb AS DOUBLE))
+        |    * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hb FROM cb, n)
+        |SELECT n_cells, round(mi / 1e9, 6) AS mi_nats,
+        |  round(ha / 1e9, 6) AS h_a_nats, round(hb / 1e9, 6) AS h_b_nats
+        |FROM mi, ha, hb""".stripMargin,
+
+    "q426_streaming_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+        |    event_id FROM events),
+        |f AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 86400000000 THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY t, event_id)),
+        |g AS (SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id,
+        |    event_type ORDER BY t, event_id) AS BIGINT) AS burst_no
+        |  FROM f),
+        |bursts AS (SELECT user_id, event_type, burst_no,
+        |    min(t) AS ts_us, arg_min(event_id, t) AS event_id,
+        |    CAST(count(*) AS BIGINT) AS burst_size,
+        |    CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+        |  FROM g GROUP BY 1, 2, 3),
+        |mx AS (SELECT user_id, event_type, max(burst_no) AS mb
+        |  FROM bursts GROUP BY 1, 2)
+        |SELECT b.* FROM bursts b JOIN mx
+        |  ON mx.user_id = b.user_id AND mx.event_type = b.event_type
+        |WHERE b.burst_no < mx.mb
+        |ORDER BY b.user_id, b.event_type, b.burst_no""".stripMargin)
 }

@@ -239,6 +239,49 @@ object Streaming {
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)
 
+  case class DebEvent(user_id: Long, event_type: String, ts_us: Long,
+                      event_id: Long)
+  case class DebState(burstNo: Long, leadTs: Long, leadId: Long,
+                      size: Long, lastTs: Long)
+  case class DebBurst(user_id: Long, event_type: String, burst_no: Long,
+                      ts_us: Long, event_id: Long, burst_size: Long,
+                      n_suppressed: Long)
+
+  /** Ingest-time leading-edge debounce — the streaming twin of
+    * [[graft.ops.Events.debounce]]: per (user, type) state holds the
+    * OPEN burst; an event beyond the gap CLOSES it (emit) and opens
+    * the next. Append-mode reality: each key's final burst stays open
+    * and is never emitted — the gate's oracle drops it the same way
+    * (the q94 sessions contract). State is five longs per key.
+    */
+  def streamingDebounce(events: Dataset[DebEvent],
+                        gapUs: Long): Dataset[DebBurst] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebState, DebBurst](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, et), rows, state: GroupState[DebState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[DebBurst]
+          for (e <- sorted) {
+            cur match {
+              case Some(s) if e.ts_us - s.lastTs <= gapUs =>
+                cur = Some(s.copy(size = s.size + 1, lastTs = e.ts_us))
+              case Some(s) =>
+                out += DebBurst(uid, et, s.burstNo, s.leadTs, s.leadId,
+                  s.size, s.size - 1)
+                cur = Some(DebState(s.burstNo + 1, e.ts_us, e.event_id,
+                  1L, e.ts_us))
+              case None =>
+                cur = Some(DebState(1L, e.ts_us, e.event_id, 1L, e.ts_us))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Custom streaming state: gap-based sessionization with
     * flatMapGroupsWithState — the analog of the reference's bespoke
     * stateful exec nodes, using Spark's state store (checkpointed,

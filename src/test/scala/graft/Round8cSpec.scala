@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{Events, Multimodal, Quality, Similarity, TextOps}
 
@@ -288,6 +289,89 @@ class Round8cSpec extends AnyFunSuite {
     val s = graft.ops.Quality.ksDrift(shift.toDF("g", "ts", "v"), "g",
       "ts", "v", 1.0).collect().head
     assert(s.getLong(3) == 1000000L && s.getLong(4) == 1L)
+  }
+
+  test("vocabGrowth == in-memory first-occurrence reference on seeded docs") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (1 to 60).map(i => s"w$i")
+    val docs = (0 until 40).map { id =>
+      (id.toLong,
+        (1 to 8).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = TextOps.vocabGrowth(docs.toDF("doc_id", "text"), "text",
+        "doc_id", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    // reference: scan docs in id order, record first occurrences
+    val seen = scala.collection.mutable.Set.empty[String]
+    val ref = docs.sortBy(_._1).map { case (id, txt) =>
+      val newW = txt.split(" ").filterNot(seen).distinct.length
+      seen ++= txt.split(" ")
+      (id / 10, newW.toLong, seen.size.toLong)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (cp, rows) =>
+      (cp, rows.map(_._2).sum, rows.last._3)
+    }
+    assert(got.map(g => (g._1, g._3, g._5)) == ref)
+    assert(got.map(_._2).sum == 40L)
+    assert(got.last._4 == 40L)
+  }
+
+  test("zipfFit on an exact power law recovers slope -1") {
+    // freq(r) = 1024 / r for r = 1..32, each word repeated freq times:
+    // ln(freq) = ln(1024) - ln(rank) exactly -> slope -1, r2 1
+    val words = (1 to 32).flatMap { r =>
+      Seq.fill(1024 / r)(s"w${"%02d".format(r)}")
+    }
+    // one word per doc keeps the split trivial
+    val f = TextOps.zipfFit(words.map(Tuple1.apply).toDF("text"), "text",
+      minCount = 1L).collect().head
+    assert(f.getLong(0) == 32L)
+    assert(math.abs(f.getDouble(1) + 1.0) < 0.01, s"slope ${f.getDouble(1)}")
+    assert(f.getDouble(3) > 0.999, s"r2 ${f.getDouble(3)}")
+  }
+
+  test("mutualInfo: bijective dependence -> MI == H(a) exactly; independence -> ~0") {
+    // b = a: every cell is its own marginal -> identical quantized terms
+    val dep = (0 until 100).map(i => (s"k${i % 4}", s"k${i % 4}"))
+    val d = graft.ops.Quality.mutualInfo(dep.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(d.getDouble(1) == d.getDouble(2) && d.getDouble(2) == d.getDouble(3))
+    assert(d.getDouble(1) > 1.3) // ln(4) ~ 1.386 for the uniform 4-way
+    // independent uniform grid: every (a,b) cell has c*N == ca*cb
+    val ind = for (i <- 0 until 4; j <- 0 until 5; _ <- 0 until 3)
+      yield (s"a$i", s"b$j")
+    val z = graft.ops.Quality.mutualInfo(ind.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(z.getDouble(1) == 0.0)
+    assert(z.getLong(0) == 20L)
+  }
+
+  test("streamingDebounce is invariant to batch boundaries and == batch minus open bursts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming
+    val gap = 10L
+    // key (1,x): bursts {0,5,9}, {30}, {60} (last open); key (2,y): {0} open
+    val rows = Seq(
+      Streaming.DebEvent(1, "x", 0, 1), Streaming.DebEvent(1, "x", 5, 2),
+      Streaming.DebEvent(1, "x", 9, 3), Streaming.DebEvent(1, "x", 30, 4),
+      Streaming.DebEvent(1, "x", 60, 5), Streaming.DebEvent(2, "y", 0, 6))
+    def run(chunks: Seq[Seq[Streaming.DebEvent]]): Set[Streaming.DebBurst] = {
+      val mem = MemoryStream[Streaming.DebEvent](spark)
+      val out = s"r8c_deb_${System.nanoTime()}"
+      val q = Streaming.streamingDebounce(mem.toDS(), gap)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(out).start()
+      try {
+        chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        spark.table(out).as[Streaming.DebBurst].collect().toSet
+      } finally { q.stop(); spark.catalog.dropTempView(out) }
+    }
+    val one = run(Seq(rows))
+    val split = run(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)))
+    assert(one == split)
+    assert(one == Set(
+      Streaming.DebBurst(1, "x", 1, 0, 1, 3, 2),
+      Streaming.DebBurst(1, "x", 2, 30, 4, 1, 0)))
   }
 
   test("shotBoundaries: flat energy -> none; step change -> one cut; relative threshold") {
