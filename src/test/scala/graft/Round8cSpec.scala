@@ -16,6 +16,54 @@ class Round8cSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("plan pins: tranche 22-24 ops are keyed shuffles, no stray cartesians") {
+    val sf = "/root/testdata/sf0.001"
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def bnlj(p: String): Int =
+      p.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin")
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val ev = graft.core.Tables(spark, sf, "events")
+    // phrase mining: word-keyed counts + two keyed joins + 1-row N
+    val pm = plan(TextOps.phraseMining(docs, "text"))
+    assert(!pm.contains("CartesianProduct"), pm.take(1500))
+    assert(bnlj(pm) <= 1, pm.take(1500))
+    // debounce: the burst agg reuses the key window's partitioning —
+    // exactly ONE hash exchange moves event rows
+    val deb = plan(Events.debounce(ev, Seq("user_id", "event_type"),
+      "ts", "event_id", 86400000000L))
+    assert(!deb.contains("CartesianProduct"))
+    assert(deb.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, deb.take(2000))
+    // CUSUM/KS: every window is partitioned (no global-sort window on
+    // data rows); broadcasts are the 1-row grid/midpoint bounds only
+    val cu = plan(Events.cusumDrift(ev, "event_type", "ts", 3600000000L))
+    assert(!cu.contains("CartesianProduct"))
+    assert(!cu.contains("Window [") || cu.contains("windowspecdefinition"),
+      cu.take(1000))
+    val ks = plan(Quality.ksDrift(ev, "event_type", "ts", "value", 1.0))
+    assert(!ks.contains("CartesianProduct"))
+    // the only BNLJs are copies of the SAME 1-row midpoint bound,
+    // fanned by lineage reuse across the a/b/totals branches
+    assert(bnlj(ks) <= 4, ks.take(1500))
+    // margin mining: the ONE cartesian is the documented exact-baseline
+    // cross of the sampled sides — nothing else may fan out
+    val emb = graft.core.Tables(spark, sf, "embeddings")
+      .where(col("vec_id") % 5 === 0)
+      .withColumn("side", col("label") % 2)
+    val mm = plan(Similarity.marginMining(emb, "vec_id", "embedding",
+      "side"))
+    assert(bnlj(mm) + mm.sliding("CartesianProduct".length)
+      .count(_ == "CartesianProduct") == 1, mm.take(2000))
+    // native session_window: the session aggregate is present and the
+    // only exchange is user-keyed
+    val sw = plan(graft.queries.Curation5
+      .queries("q418_session_window")(spark, sf))
+    assert(sw.contains("session_window"), sw.take(1500))
+    assert(!sw.contains("CartesianProduct"))
+  }
+
   test("phraseMining == in-memory staged-integer reference on random word streams") {
     for (seed <- Seq(7, 19)) {
       val rnd = new scala.util.Random(seed)

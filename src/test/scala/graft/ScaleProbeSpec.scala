@@ -409,6 +409,27 @@ class ScaleProbeSpec extends AnyFunSuite {
           .write.format("noop").mode("overwrite").save()
         println(f"SCALEPROBE $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // tranche 22-24: phrase mining (word-keyed counts/joins — vocab
+      // grows sublinearly, bigram table ~linearly), native
+      // session_window + debounce (user-keyed, 10x users at constant
+      // per-user density), CUSUM/KS (grid/band windows — TIME/RANGE
+      // bound, so 10x rows should cost ~the count aggregate only).
+      for ((name, dir, label) <- Seq(
+          ("q410_phrase_mining", src, "sf0.1"),
+          ("q410_phrase_mining", dst, "sf1"),
+          ("q418_session_window", src, "sf0.1"),
+          ("q418_session_window", dst, "sf1"),
+          ("q419_debounce", src, "sf0.1"),
+          ("q419_debounce", dst, "sf1"),
+          ("q412_cusum_drift", src, "sf0.1"),
+          ("q412_cusum_drift", dst, "sf1"),
+          ("q422_ks_drift", src, "sf0.1"),
+          ("q422_ks_drift", dst, "sf1"))) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
       // dedup-index delete: cost model is delete-set + one map-only
       // corpus scan for hash refcounts — must track corpus linearly.
       for ((dir, label) <- Seq((src, "sf0.1"), (dst, "sf1"))) {
