@@ -886,4 +886,34 @@ object Dedup {
           col("na") + col("nb") - col("i")).as("jac_micro"))
       .withColumn("err_micro", abs(col("est_micro") - col("jac_micro")))
   }
+
+  /** Multi-field record linkage (entity resolution over STRUCTURED
+    * rows, the record-level sibling of [[fuzzyPairs]]): candidate
+    * pairs come from equality BLOCKING on `blockCols` (the Fellegi-
+    * Sunter blocking pass — only same-block records ever meet), then
+    * each candidate is verified with an exact edit-distance bound on
+    * the fuzzy field. Emits (id_a, id_b, name_a, name_b, dist) for
+    * verified candidates; downstream evidence (equal balances,
+    * matching phones) joins on the ids — the scorer composes, the
+    * blocking never changes.
+    *
+    * Scale: ONE block-keyed self-join; pair fan-out is bounded by the
+    * largest block squared, which is the knob `blockCols` controls
+    * (coarse blocks = more recall, more verify work). No all-pairs
+    * anywhere.
+    */
+  def recordLinkage(df: DataFrame, idCol: String, nameCol: String,
+                    blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty && maxDist >= 0, "recordLinkage: blocks")
+    val base = df.select((Seq(col(idCol).as("__id"),
+      col(nameCol).as("__name")) ++ blockCols.map(col)): _*)
+    val a = base.toDF("id_a" +: "name_a" +: blockCols: _*)
+    val b = base.toDF("id_b" +: "name_b" +: blockCols: _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
+        .cast("long"))
+      .where(col("dist") <= maxDist.toLong)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+  }
 }

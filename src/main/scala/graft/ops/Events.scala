@@ -729,27 +729,83 @@ object Events {
     * sums are order-independent longs, so the grid can live on any
     * partitioning; nothing here is data-bound beyond the count grid.
     */
-  def olsTrend(df: DataFrame, typeCol: String, tsCol: String,
-               binUs: Long): DataFrame = {
-    val g = countGrid(df, typeCol, tsCol, binUs)
-    val rel = g.groupBy("et")
+  /** Per-type exact OLS sums over the count grid, with x shifted to
+    * `b - b0` WITHOUT a second pass (the shifted sums are exact
+    * integer functions of the raw ones). Shared by [[olsTrend]] and
+    * [[residualAnomalies]].
+    */
+  private def olsSums(g: DataFrame): DataFrame =
+    g.groupBy("et")
       .agg(count(lit(1)).as("n"),
-        min(col("b")).as("__b0"),
+        min(col("b")).as("b0"),
         sum(col("b")).as("__sb"),
         sum(col("c")).as("sy"),
         sum(col("b") * col("c")).as("__sbc"),
         sum(col("b") * col("b")).as("__sbb"),
         sum(col("c") * col("c")).as("syy"))
-      // shift x to b - b0 WITHOUT a second pass: the shifted sums are
-      // exact functions of the raw ones (all integer arithmetic)
-      .select(col("et"), col("n"), col("sy"), col("syy"),
-        (col("__sb") - col("n") * col("__b0")).as("sx"),
-        (col("__sbc") - col("__b0") * col("sy")).as("sxy"),
-        (col("__sbb") - lit(2L) * col("__b0") * col("__sb")
-          + col("n") * col("__b0") * col("__b0")).as("sxx"))
+      .select(col("et"), col("n"), col("b0"), col("sy"), col("syy"),
+        (col("__sb") - col("n") * col("b0")).as("sx"),
+        (col("__sbc") - col("b0") * col("sy")).as("sxy"),
+        (col("__sbb") - lit(2L) * col("b0") * col("__sb")
+          + col("n") * col("b0") * col("b0")).as("sxx"))
+
+  def olsTrend(df: DataFrame, typeCol: String, tsCol: String,
+               binUs: Long): DataFrame = {
+    val rel = olsSums(countGrid(df, typeCol, tsCol, binUs))
     rel.select(Seq(col("et").as("event_type"), col("n").as("n_bins")) ++
       Fit.olsSelect(col("n"), col("sx"), col("sy"), col("sxy"),
         col("sxx"), col("syy")): _*)
+  }
+
+  /** STL-lite residual anomalies: remove the per-type OLS TREND, then
+    * the hour-of-day SEASONAL baseline of the detrended series, and
+    * rank what remains — the detector that neither q386 (global
+    * median) nor q408 (seasonal only) is: a slow ramp no longer
+    * poisons the hour baselines, and a daily rhythm no longer poisons
+    * the trend residuals. All arithmetic is exact RATIONAL integers —
+    * the detrended value is scaled by the OLS denominator dxx and the
+    * hod residual additionally by the hod count, so there is NO
+    * integer division anywhere (negative-operand `div` rounds
+    * differently across engines) and ONE final double formula
+    * `r / (dxx . cnt)` (rounded 1e-6) converts back to milli-events.
+    * Ordering uses the same double expression — identical IEEE in
+    * every engine.
+    *
+    * Scale: the count grid's keyed aggregate + O(#types x #bins)
+    * grid-bound arithmetic; windows partition by type. Degenerate
+    * single-bin types (dxx = 0) drop out, documented.
+    */
+  def residualAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+                        binUs: Long, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = countGrid(df, typeCol, tsCol, binUs)
+    val sums = olsSums(g)
+      .select(col("et"), col("b0"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("dxx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("dxy"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("inum"))
+      .where(col("dxx") =!= 0L)
+    val detr = g.join(sums, "et")
+      .withColumn("hod", pmod(col("b"), lit(binsPerDay(binUs))))
+      // milli-events scaled by dxx: c*1000*dxx - fitted*1000*dxx
+      .withColumn("__ds", col("c") * 1000L * col("dxx")
+        - (col("inum") + col("dxy") * (col("b") - col("b0"))) * 1000L)
+    val base = detr.groupBy("et", "hod")
+      .agg(sum(col("__ds")).as("__bn"), count(lit(1)).as("__cnt"))
+    val dev = col("__r").cast("double") /
+      (col("dxx").cast("double") * col("__cnt").cast("double"))
+    detr.join(base, Seq("et", "hod"))
+      .withColumn("__r", col("__ds") * col("__cnt") - col("__bn"))
+      .withColumn("rank", row_number().over(Window.partitionBy("et")
+        .orderBy(abs(dev).desc, col("b"))).cast("int"))
+      .where(col("rank") <= topK)
+      .select(col("et").as("event_type"), col("rank"), col("b").as("bin"),
+        col("hod"), col("c"), round(dev, 6).as("dev_milli"))
+  }
+
+  private def binsPerDay(binUs: Long): Long = {
+    require(86400000000L % binUs == 0, "binUs must divide a day")
+    86400000000L / binUs
   }
 
   /** One-sided CUSUM drift detector per event type over the hourly

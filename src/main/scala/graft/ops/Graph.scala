@@ -137,4 +137,61 @@ object Graph {
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(sum(col("ca") * col("cb")).as("w"))
   }
+
+  /** Sparsify a weighted directed graph to each node's top-k
+    * neighbors (by weight desc, then dst — deterministic), then
+    * UNDIRECT to canonical (a < b) edges — the standard similarity-
+    * graph construction before triangle/community analysis. One
+    * src-keyed window + one distinct.
+    */
+  def knnEdges(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "knnEdges: k >= 1")
+    val top = edges.withColumn("__r", row_number().over(
+        Window.partitionBy(srcCol)
+          .orderBy(col(wCol).desc, col(dstCol))))
+      .where(col("__r") <= k)
+    top.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts via DEGREE ORIENTATION (the standard
+    * scalable algorithm): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges
+    * u->v, u->w (v before w in orientation order), and close them
+    * against the oriented edge v->w. Each triangle is generated
+    * EXACTLY once (at its lowest-ranked vertex), and every node's
+    * wedge fan-out is bounded by its out-degree <= O(sqrt(E)) — the
+    * property that keeps the join from exploding on high-degree hubs
+    * at any graph size. All joins are node-keyed shuffles.
+    */
+  def triangleCounts(und: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = und.select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = oriented.select(col("u"), col("v"), col("dv"))
+      .join(oriented.select(col("u"), col("v").as("w"),
+        col("dv").as("dw")), "u")
+      .where(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tris = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

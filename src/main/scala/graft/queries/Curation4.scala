@@ -487,7 +487,7 @@ object Curation4 {
   /** The lexical-affinity source graph CTEs (q343's fingerprint dot
     * products) — shared by the q378 PageRank and q409 BFS oracles.
     */
-  private val profileGraphCtes: String = {
+  private[queries] val profileGraphCtes: String = {
     val bkt = s"(${graft.ops.Dedup.h60Sql("w")}) % 256"
     s"""prof AS (SELECT src, $bkt AS b, count(*) AS c FROM
        |  (SELECT source AS src, unnest(string_split(text, ' ')) AS w

@@ -178,6 +178,51 @@ object Curation5 {
       Quality.mutualInfo(proj, "event_type", "hod")
     }),
 
+    // Triangle counts over the kNN-sparsified source-affinity graph
+    // via degree orientation — each triangle generated exactly once
+    // at its lowest-ranked vertex, wedge fan-out sqrt(E)-bounded.
+    "q427_triangles" -> ((s, dir) => {
+      val knn = graft.ops.Graph.knnEdges(
+        graft.ops.Graph.profileEdges(t(s, dir, "documents"), "text",
+          "source"), "src", "dst", "w", k = 3)
+      graft.ops.Graph.triangleCounts(knn, "a", "b")
+        .orderBy("node")
+    }),
+
+    // Multi-field entity resolution on customers: deterministic dirty
+    // variants planted (one digit deleted from the name, same nation/
+    // segment/balance), blocking on (nation, segment), edit-distance
+    // verify, balance-equality evidence — the Fellegi-Sunter shape.
+    "q428_entity_resolution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val p = (pmod(col("c_custkey"), lit(8L)) + 10L).cast("int")
+      val variants = cust.where(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(col("c_name").substr(lit(1), p - 1),
+            col("c_name").substr(p + 1, lit(100))).as("c_name"),
+          col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      val all = cust.select("c_custkey", "c_name", "c_nationkey",
+        "c_mktsegment", "c_acctbal").unionByName(variants)
+      val bal = all.select(col("c_custkey"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("__cents"))
+      graft.ops.Dedup.recordLinkage(all, "c_custkey", "c_name",
+          Seq("c_nationkey", "c_mktsegment"), maxDist = 1)
+        .join(bal.toDF("id_a", "__ca"), "id_a")
+        .join(bal.toDF("id_b", "__cb"), "id_b")
+        .where(col("__ca") === col("__cb"))
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // STL-lite residual anomalies: trend removed, then hour-of-day
+    // baseline of the DETRENDED series — exact rational integers,
+    // one final double formula; top-5 residuals per type.
+    "q429_residual_anomalies" -> ((s, dir) => {
+      Events.residualAnomalies(t(s, dir, "events"), "event_type",
+          "ts", binUs = 3600000000L, topK = 5)
+        .orderBy("event_type", "rank")
+    }),
+
     // Ingest-time leading-edge debounce replayed over the file stream
     // (AvailableNow): closed bursts only — each key's final burst
     // stays open in state, and the oracle drops it the same way (the
@@ -574,6 +619,97 @@ object Curation5 {
         |SELECT n_cells, round(mi / 1e9, 6) AS mi_nats,
         |  round(ha / 1e9, 6) AS h_a_nats, round(hb / 1e9, 6) AS h_b_nats
         |FROM mi, ha, hb""".stripMargin,
+
+    "q427_triangles" ->
+      s"""WITH ${Curation4.profileGraphCtes},
+        |knn AS (SELECT src, dst FROM (SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY w DESC, dst)
+        |      AS r FROM e) WHERE r <= 3),
+        |und AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b FROM knn WHERE src <> dst),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        |  GROUP BY 1),
+        |wd AS (SELECT und.a, und.b, da.d AS da, db.d AS db FROM und
+        |  JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b),
+        |o AS (SELECT CASE WHEN da < db OR (da = db AND a < b)
+        |      THEN a ELSE b END AS u,
+        |    CASE WHEN da < db OR (da = db AND a < b)
+        |      THEN b ELSE a END AS v,
+        |    CASE WHEN da < db OR (da = db AND a < b)
+        |      THEN db ELSE da END AS dv FROM wd),
+        |wedge AS (SELECT o1.u, o1.v, o2.v AS w FROM o o1
+        |  JOIN o o2 ON o1.u = o2.u
+        |  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+        |tri AS (SELECT wedge.u, wedge.v, wedge.w FROM wedge
+        |  JOIN o ON o.u = wedge.v AND o.v = wedge.w)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+        |  (SELECT unnest([u, v, w]) AS node FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q428_entity_resolution" ->
+      """WITH var AS (SELECT c_custkey + 1000000 AS c_custkey,
+        |    substr(c_name, 1, CAST(c_custkey % 8 AS INTEGER) + 9) ||
+        |      substr(c_name, CAST(c_custkey % 8 AS INTEGER) + 11, 100)
+        |      AS c_name,
+        |    c_nationkey, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |allr AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+        |    c_acctbal FROM customer
+        |  UNION ALL SELECT * FROM var),
+        |pairs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |    a.c_name AS name_a, b.c_name AS name_b,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+        |    CAST(floor(a.c_acctbal * 100 + 0.5) AS BIGINT) AS ca,
+        |    CAST(floor(b.c_acctbal * 100 + 0.5) AS BIGINT) AS cb
+        |  FROM allr a JOIN allr b
+        |    ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.c_custkey < b.c_custkey)
+        |SELECT id_a, id_b, name_a, name_b, dist FROM pairs
+        |WHERE dist <= 1 AND ca = cb
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q429_residual_anomalies" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM c),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM c)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c FROM grid g
+        |  LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+        |raw AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(min(b) AS BIGINT) AS b0, CAST(sum(b) AS BIGINT) AS sb,
+        |    CAST(sum(c) AS BIGINT) AS sy,
+        |    CAST(sum(b * c) AS BIGINT) AS sbc,
+        |    CAST(sum(b * b) AS BIGINT) AS sbb
+        |  FROM f GROUP BY 1),
+        |sh AS (SELECT et, b0, n, sy, sb - n * b0 AS sx,
+        |    sbc - b0 * sy AS sxy,
+        |    sbb - 2 * b0 * sb + n * b0 * b0 AS sxx FROM raw),
+        |d AS (SELECT et, b0, n * sxx - sx * sx AS dxx,
+        |    n * sxy - sx * sy AS dxy, sy * sxx - sx * sxy AS inum
+        |  FROM sh WHERE n * sxx - sx * sx <> 0),
+        |detr AS (SELECT f.et, f.b, f.c, f.b % 24 AS hod, d.dxx,
+        |    f.c * 1000 * d.dxx - (d.inum + d.dxy * (f.b - d.b0)) * 1000
+        |      AS ds
+        |  FROM f JOIN d ON d.et = f.et),
+        |bl AS (SELECT et, hod, CAST(sum(ds) AS BIGINT) AS bn,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM detr GROUP BY 1, 2),
+        |r AS (SELECT detr.et, detr.b, detr.hod, detr.c,
+        |    detr.ds * bl.cnt - bl.bn AS rr, detr.dxx, bl.cnt
+        |  FROM detr JOIN bl ON bl.et = detr.et AND bl.hod = detr.hod),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY et
+        |    ORDER BY abs(CAST(rr AS DOUBLE)
+        |      / (CAST(dxx AS DOUBLE) * CAST(cnt AS DOUBLE))) DESC, b)
+        |    AS INTEGER) AS rank FROM r)
+        |SELECT et AS event_type, rank, b AS bin, hod, c,
+        |  round(CAST(rr AS DOUBLE)
+        |    / (CAST(dxx AS DOUBLE) * CAST(cnt AS DOUBLE)), 6)
+        |    AS dev_milli
+        |FROM rk WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
 
     "q426_streaming_debounce" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,

@@ -422,6 +422,67 @@ class Round8cSpec extends AnyFunSuite {
       Streaming.DebBurst(1, "x", 2, 30, 4, 1, 0)))
   }
 
+  test("triangleCounts == brute force on random graphs; K4/path sanity") {
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for (i <- 0 until 4; j <- i + 1 until 4) yield (i.toLong, j.toLong))
+    val gk4 = graft.ops.Graph.triangleCounts(k4.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gk4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // path graph: no triangles at all
+    val path = (0L until 5L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(graft.ops.Graph.triangleCounts(path.toDF("a", "b"), "a", "b")
+      .count() == 0L)
+    // random graphs vs in-memory brute force
+    for (seed <- Seq(3, 27)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (for (i <- 0 until 14; j <- i + 1 until 14
+        if rnd.nextInt(3) == 0) yield (i.toLong, j.toLong))
+      val got = graft.ops.Graph.triangleCounts(edges.toDF("a", "b"),
+        "a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val adj = edges.toSet
+      def conn(x: Long, y: Long) = adj((x min y, x max y))
+      val ref = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for (i <- 0L until 14L; j <- i + 1 until 14L; k <- j + 1 until 14L
+        if conn(i, j) && conn(j, k) && conn(i, k)) {
+        ref(i) += 1; ref(j) += 1; ref(k) += 1
+      }
+      assert(got == ref.toMap, s"seed $seed")
+    }
+  }
+
+  test("recordLinkage: planted variant verified, cross-block twins never meet") {
+    val rows = Seq(
+      (1L, "smith john", "NY"), (2L, "smith jon", "NY"),   // dist 1, same block
+      (3L, "smith john", "CA"),                            // twin, other block
+      (4L, "jones mary", "NY"), (5L, "totally else", "NY"))
+    val got = graft.ops.Dedup.recordLinkage(rows.toDF("id", "nm", "st"),
+        "id", "nm", Seq("st"), maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  test("residualAnomalies: spike on a trending+seasonal series tops; clean series ~0") {
+    // counts = 10 + b (trend) + 20*(hod==3) (seasonal), 4 days hourly
+    def series(spike: Map[Long, Long]) = (0 until 96).flatMap { b =>
+      val c = 10 + b / 4 + (if (b % 24 == 3) 20 else 0) +
+        spike.getOrElse(b.toLong, 0L).toInt
+      Seq.fill(c)(("t", b * 3600L * 1000000000L))
+    }
+    val clean = Events.residualAnomalies(
+      series(Map.empty).toDF("event_type", "ts"), "event_type", "ts",
+      3600000000L, 5).collect()
+    // trend + seasonality both removed: residuals are quantization dust
+    assert(clean.forall(r => math.abs(r.getDouble(5)) < 1500.0),
+      clean.map(_.getDouble(5)).mkString(","))
+    val spiked = Events.residualAnomalies(
+      series(Map(50L -> 40L)).toDF("event_type", "ts"), "event_type",
+      "ts", 3600000000L, 5).collect()
+    val top = spiked.find(_.getInt(1) == 1).get
+    assert(top.getLong(2) == 50L, s"bin ${top.getLong(2)}")
+    assert(top.getDouble(5) > 25000.0, s"dev ${top.getDouble(5)}")
+  }
+
   test("shotBoundaries: flat energy -> none; step change -> one cut; relative threshold") {
     // 64-byte frames of 'a' (97) then 'z' (122): |delta| = 64*25 = 1600,
     // 30% of max(7808, 6208) = 2342 -> NOT a cut at 30%, IS at 20%
