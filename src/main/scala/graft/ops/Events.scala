@@ -808,6 +808,108 @@ object Events {
     86400000000L / binUs
   }
 
+  /** Lead-lag cross-correlation between the count series of every
+    * type pair: Pearson r of `a(t)` vs `b(t+lag)` for lags in
+    * [-maxLag, maxLag], from exact integer sums over the overlapping
+    * grid bins — "errors follow clicks by two hours" reads directly
+    * off the best row. Pairs are unordered (a < b); negative lags
+    * cover the reverse direction. r is ONE final double formula
+    * `dxy / sqrt(dxx . dyy)` (the product formed in double, then one
+    * IEEE sqrt — identical in every engine), rounded 1e-6; `best`
+    * flags each pair's max |r| (row_number ties to the smallest lag).
+    *
+    * Scale: the joins are BIN-keyed over the count grid — O(#types x
+    * #bins x #lags) rows, TIME-bound, never event-bound.
+    */
+  def seriesCorrelation(df: DataFrame, typeCol: String, tsCol: String,
+                        binUs: Long, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 0, "seriesCorrelation: maxLag >= 0")
+    val g = countGrid(df, typeCol, tsCol, binUs)
+    val a = g.select(col("et").as("et_a"), col("b"), col("c").as("ca"))
+      .withColumn("lag", explode(sequence(lit(-maxLag.toLong),
+        lit(maxLag.toLong))))
+      .withColumn("__bb", col("b") + col("lag"))
+    val bb = g.select(col("et").as("et_b"), col("b").as("__bb"),
+      col("c").as("cb"))
+    val sums = a.join(bb, "__bb")
+      .where(col("et_a") < col("et_b"))
+      .groupBy("et_a", "et_b", "lag")
+      .agg(count(lit(1)).as("n"), sum(col("ca")).as("sx"),
+        sum(col("cb")).as("sy"), sum(col("ca") * col("cb")).as("sxy"),
+        sum(col("ca") * col("ca")).as("sxx"),
+        sum(col("cb") * col("cb")).as("syy"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val scored = sums.select(col("et_a"), col("et_b"), col("lag"),
+      col("n").as("n_bins"),
+      when(dxx > 0L && dyy > 0L,
+        round(dxy.cast("double")
+          / sqrt(dxx.cast("double") * dyy.cast("double")), 6)).as("r"))
+    scored.withColumn("best", row_number().over(
+      Window.partitionBy("et_a", "et_b")
+        .orderBy(abs(coalesce(col("r"), lit(-2.0d))).desc, col("lag")))
+      === 1)
+  }
+
+  /** RFM customer segmentation: recency / frequency / monetary per
+    * user, each mapped to its corpus quintile (1-5, higher = better —
+    * most RECENT gets R5) via [[Corpus.groupPercentile]]'s banded
+    * rank — no corpus-wide window even with one giant "all users"
+    * group. Monetary is per-row cent-quantized BEFORE the sum; the
+    * three-digit `segment` (R.F.M) is the classic marketing cell.
+    */
+  def rfm(df: DataFrame, userCol: String, tsCol: String,
+          valueCol: String, nowUs: Long): DataFrame = {
+    val base = df.groupBy(col(userCol).as("u"))
+      .agg((lit(nowUs) - max(graft.functions.PixieFunctions
+        .nsToUs(col(tsCol)))).as("rec_us"),
+        count(lit(1)).as("freq"),
+        sum(floor(col(valueCol) * 100.0 + 0.5).cast("long")).as("mon_cents"))
+      // pmod(u, 1) == 0 for every row but is NOT constant-foldable:
+      // a lit(0) group gets folded OUT of the window partition specs,
+      // which turns groupPercentile's O(#bands) offsets window into an
+      // unpartitioned one (same tiny frame, but the plan loses the
+      // partition column and Spark warns "No Partition Defined")
+      .withColumn("__g", pmod(col("u"), lit(1L)))
+    def quintile(score: org.apache.spark.sql.Column, bandWidth: Long,
+                 name: String) =
+      Corpus.groupPercentile(base, "__g", "u", score, bandWidth)
+        .select(col("u"),
+          (least(lit(4L), idiv(col("pct_ppm") * 5L, lit(1000000L))) + 1L)
+            .as(name))
+    base.join(quintile(col("rec_us"), 86400000000L, "__qr"), "u")
+      .join(quintile(col("freq"), 10L, "__qf"), "u")
+      .join(quintile(col("mon_cents"), 100000L, "__qm"), "u")
+      .select(col("u").as(userCol), col("rec_us"), col("freq"),
+        col("mon_cents"),
+        (lit(6L) - col("__qr")).as("r_score"),
+        col("__qf").as("f_score"), col("__qm").as("m_score"))
+      .withColumn("segment", col("r_score") * 100L + col("f_score") * 10L
+        + col("m_score"))
+  }
+
+  /** Burstiness per type over the count grid: Fano factor
+    * (variance / mean — 1 for Poisson arrivals, >> 1 for bursty) and
+    * squared coefficient of variation, each ONE final double formula
+    * over the exact integer sums. The traffic-shape read next to the
+    * anomaly detectors.
+    */
+  def burstiness(df: DataFrame, typeCol: String, tsCol: String,
+                 binUs: Long): DataFrame = {
+    val sums = olsSums(countGrid(df, typeCol, tsCol, binUs))
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col("et").as("event_type"), col("n").as("n_bins"),
+      idiv(col("sy") * 1000L, col("n")).as("mean_milli"),
+      when(col("sy") > 0L,
+        round(dyy.cast("double")
+          / (col("n") * col("sy")).cast("double"), 6)).as("fano"),
+      when(col("sy") > 0L,
+        round(dyy.cast("double")
+          / (col("sy") * col("sy")).cast("double"), 6)).as("cv2"))
+  }
+
   /** One-sided CUSUM drift detector per event type over the hourly
     * count grid, in closed form: with drift allowance k (slack) the
     * classic recursion S_i = max(0, S_{i-1} + x_i - k) equals

@@ -223,6 +223,33 @@ object Curation5 {
         .orderBy("event_type", "rank")
     }),
 
+    // Lead-lag cross-correlation between type count series (lags
+    // -6..6 hours): the "errors follow clicks by N hours" scan, with
+    // the lag-0 Pearson matrix embedded and each pair's best |r|
+    // flagged.
+    "q430_lead_lag" -> ((s, dir) => {
+      Events.seriesCorrelation(t(s, dir, "events"), "event_type", "ts",
+          binUs = 3600000000L, maxLag = 6)
+        .orderBy("et_a", "et_b", "lag")
+    }),
+
+    // RFM segmentation over the event log: per-user recency/frequency/
+    // monetary quintiles (banded ranks — no corpus-wide window) and
+    // the classic 3-digit segment cell.
+    "q431_rfm_segments" -> ((s, dir) => {
+      Events.rfm(t(s, dir, "events"), "user_id", "ts", "value",
+          nowUs = Q.tailNowNs(s, dir) / 1000L)
+        .orderBy("user_id")
+    }),
+
+    // Burstiness per type: Fano factor + CV^2 of the hourly counts —
+    // Poisson-vs-bursty traffic shape from exact integer sums.
+    "q432_burstiness" -> ((s, dir) => {
+      Events.burstiness(t(s, dir, "events"), "event_type", "ts",
+          binUs = 3600000000L)
+        .orderBy("event_type")
+    }),
+
     // Ingest-time leading-edge debounce replayed over the file stream
     // (AvailableNow): closed bursts only — each key's final burst
     // stays open in state, and the oracle drops it the same way (the
@@ -619,6 +646,90 @@ object Curation5 {
         |SELECT n_cells, round(mi / 1e9, 6) AS mi_nats,
         |  round(ha / 1e9, 6) AS h_a_nats, round(hb / 1e9, 6) AS h_b_nats
         |FROM mi, ha, hb""".stripMargin,
+
+    "q430_lead_lag" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM c),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM c)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c FROM grid g
+        |  LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+        |al AS (SELECT et AS et_a, b, c AS ca, lg AS lag, b + lg AS bb
+        |  FROM f, (SELECT unnest(range(-6, 7)) AS lg)),
+        |j AS (SELECT al.et_a, fb.et AS et_b, al.lag, al.ca, fb.c AS cb
+        |  FROM al JOIN f fb ON fb.b = al.bb WHERE al.et_a < fb.et),
+        |s AS (SELECT et_a, et_b, lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ca) AS BIGINT) AS sx, CAST(sum(cb) AS BIGINT) AS sy,
+        |    CAST(sum(ca * cb) AS BIGINT) AS sxy,
+        |    CAST(sum(ca * ca) AS BIGINT) AS sxx,
+        |    CAST(sum(cb * cb) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1, 2, 3),
+        |d AS (SELECT et_a, et_b, lag, n AS n_bins,
+        |    n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy,
+        |    n * sxy - sx * sy AS dxy FROM s),
+        |r AS (SELECT et_a, et_b, lag, n_bins,
+        |    CASE WHEN dxx > 0 AND dyy > 0 THEN
+        |      round(CAST(dxy AS DOUBLE)
+        |        / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6)
+        |    END AS r FROM d)
+        |SELECT et_a, et_b, lag, n_bins, r,
+        |  row_number() OVER (PARTITION BY et_a, et_b
+        |    ORDER BY abs(coalesce(r, -2.0)) DESC, lag) = 1 AS best
+        |FROM r ORDER BY et_a, et_b, lag""".stripMargin,
+
+    "q431_rfm_segments" ->
+      """WITH anchor AS (SELECT max(epoch_us(ts)) + 1 AS nowus FROM events),
+        |u AS (SELECT user_id,
+        |    nowus - max(epoch_us(ts)) AS rec_us,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS mon_cents
+        |  FROM events, anchor GROUP BY user_id, nowus),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |q AS (SELECT user_id, rec_us, freq, mon_cents,
+        |    row_number() OVER (ORDER BY rec_us, user_id) AS rr,
+        |    row_number() OVER (ORDER BY freq, user_id) AS rf,
+        |    row_number() OVER (ORDER BY mon_cents, user_id) AS rm
+        |  FROM u),
+        |p AS (SELECT user_id, rec_us, freq, mon_cents,
+        |    CASE WHEN n > 1 THEN (rr - 1) * 1000000 // (n - 1) ELSE 0 END
+        |      AS pr,
+        |    CASE WHEN n > 1 THEN (rf - 1) * 1000000 // (n - 1) ELSE 0 END
+        |      AS pf,
+        |    CASE WHEN n > 1 THEN (rm - 1) * 1000000 // (n - 1) ELSE 0 END
+        |      AS pm
+        |  FROM q, n)
+        |SELECT user_id, rec_us, freq, mon_cents,
+        |  6 - (least(4, pr * 5 // 1000000) + 1) AS r_score,
+        |  least(4, pf * 5 // 1000000) + 1 AS f_score,
+        |  least(4, pm * 5 // 1000000) + 1 AS m_score,
+        |  (6 - (least(4, pr * 5 // 1000000) + 1)) * 100
+        |    + (least(4, pf * 5 // 1000000) + 1) * 10
+        |    + least(4, pm * 5 // 1000000) + 1 AS segment
+        |FROM p ORDER BY user_id""".stripMargin,
+
+    "q432_burstiness" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM c),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM c)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b FROM rng) gb),
+        |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c FROM grid g
+        |  LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+        |s AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sy,
+        |    CAST(sum(c * c) AS BIGINT) AS syy FROM f GROUP BY 1)
+        |SELECT et AS event_type, n AS n_bins, sy * 1000 // n AS mean_milli,
+        |  CASE WHEN sy > 0 THEN round(CAST(n * syy - sy * sy AS DOUBLE)
+        |    / CAST(n * sy AS DOUBLE), 6) END AS fano,
+        |  CASE WHEN sy > 0 THEN round(CAST(n * syy - sy * sy AS DOUBLE)
+        |    / CAST(sy * sy AS DOUBLE), 6) END AS cv2
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q427_triangles" ->
       s"""WITH ${Curation4.profileGraphCtes},

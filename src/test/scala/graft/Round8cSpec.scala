@@ -483,6 +483,71 @@ class Round8cSpec extends AnyFunSuite {
     assert(top.getDouble(5) > 25000.0, s"dev ${top.getDouble(5)}")
   }
 
+  test("seriesCorrelation: planted 2h shift peaks at lag +2 with r 1.0; antiphase -> -1") {
+    // type a: counts 1..48 cyclic pattern; type b = a shifted by +2 bins
+    def at(b: Int) = 5 + (b % 7) * 3
+    val ev = (0 until 48).flatMap { b =>
+      Seq.fill(at(b))(("a", b * 3600L * 1000000000L)) ++
+        Seq.fill(at(b - 2))(("b", b * 3600L * 1000000000L))
+    }
+    val rows = Events.seriesCorrelation(ev.toDF("event_type", "ts"),
+        "event_type", "ts", 3600000000L, maxLag = 3)
+      .collect().map(r => (r.getLong(2), r.getDouble(4), r.getBoolean(5)))
+    val best = rows.find(_._3).get
+    assert(best._1 == 2L && best._2 == 1.0, best.toString)
+    // antiphase: c = K - a on the same bins -> r == -1.0 at lag 0
+    val ev2 = (0 until 48).flatMap { b =>
+      Seq.fill(at(b))(("a", b * 3600L * 1000000000L)) ++
+        Seq.fill(30 - at(b))(("c", b * 3600L * 1000000000L))
+    }
+    val anti = Events.seriesCorrelation(ev2.toDF("event_type", "ts"),
+        "event_type", "ts", 3600000000L, maxLag = 0)
+      .collect().head
+    assert(anti.getDouble(4) == -1.0)
+  }
+
+  test("rfm: planted extremes land in the right quintile cells") {
+    // 10 users: user i has recency i days, frequency 10-i, monetary
+    // proportional to 10-i -> user 0 is the 555 champion, user 9 the 111
+    val now = 100L * 86400L * 1000000000L
+    val ev = (0 until 10).flatMap { u =>
+      (0 until (10 - u)).map { k =>
+        (u.toLong, now - (u.toLong * 86400L + k) * 1000000000L * 1000L,
+          (10 - u) * 10.0)
+      }
+    }
+    val got = Events.rfm(ev.toDF("user_id", "ts", "value"), "user_id",
+        "ts", "value", nowUs = now / 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))).toMap
+    assert(got(0L) == ((5L, 5L, 5L, 555L)), got(0L).toString)
+    assert(got(9L) == ((1L, 1L, 1L, 111L)), got(9L).toString)
+    // monotone: scores never increase as the user index worsens
+    val ordered = (0 until 10).map(u => got(u.toLong))
+    assert(ordered.sliding(2).forall(p => p(0)._1 >= p(1)._1 &&
+      p(0)._2 >= p(1)._2 && p(0)._3 >= p(1)._3))
+  }
+
+  test("burstiness: constant series -> fano 0; 0/2 alternation -> fano 1") {
+    val flat = (0 until 24).flatMap(b =>
+      Seq.fill(7)(("t", b * 3600L * 1000000000L)))
+    val f = Events.burstiness(flat.toDF("event_type", "ts"),
+      "event_type", "ts", 3600000000L).collect().head
+    assert(f.getLong(2) == 7000L && f.getDouble(3) == 0.0
+      && f.getDouble(4) == 0.0)
+    // alternating 0 and 2: mean 1, population var 1 -> fano 1, cv2 1.
+    // Odd-index bins carry the events; bin 0/last must be nonempty so
+    // the grid spans exactly the intended range -> use bins 0..23 with
+    // events at EVEN bins (bin 0 occupied).
+    val alt = (0 until 24 by 2).flatMap(b =>
+      Seq.fill(2)(("t", b * 3600L * 1000000000L)))
+    val a = Events.burstiness(alt.toDF("event_type", "ts"),
+      "event_type", "ts", 3600000000L).collect().head
+    // grid range is [0, 22]: 23 bins, 12 occupied with 2 -> mean 24/23
+    assert(a.getLong(1) == 23L)
+    assert(a.getDouble(3) > 0.9 && a.getDouble(4) > 0.8, a.toString)
+  }
+
   test("shotBoundaries: flat energy -> none; step change -> one cut; relative threshold") {
     // 64-byte frames of 'a' (97) then 'z' (122): |delta| = 64*25 = 1600,
     // 30% of max(7808, 6208) = 2342 -> NOT a cut at 30%, IS at 20%
