@@ -250,6 +250,68 @@ object Curation5 {
         .orderBy("event_type")
     }),
 
+    // Composed incident panel — ONE row per event type joining four
+    // round-8c detectors: traffic shape (Fano/CV2), CUSUM alarm count
+    // + peak, the top STL residual, and the best lead-lag partner
+    // (both directions of the unordered pairs, lag sign flipped for
+    // the reversed view). The flagship read an on-call engineer
+    // actually wants; every leg is the already-gated operator, and
+    // the oracle is ASSEMBLED from the legs' oracle strings.
+    "q433_ops_panel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val burst = Events.burstiness(ev, "event_type", "ts", 3600000000L)
+      val cusum = Events.cusumDrift(ev, "event_type", "ts",
+          3600000000L, 4L, 3L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_alarms"), max(col("s_milli")).as("max_s"))
+      val resid = Events.residualAnomalies(ev, "event_type", "ts",
+          3600000000L, 1)
+        .select(col("event_type"), col("bin").as("resid_bin"),
+          col("dev_milli").as("resid_dev"))
+      val ll = Events.seriesCorrelation(ev, "event_type", "ts",
+        3600000000L, 6)
+      val both = ll.select(col("et_a").as("event_type"),
+          col("et_b").as("partner"), col("lag"), col("r"))
+        .unionByName(ll.select(col("et_b").as("event_type"),
+          col("et_a").as("partner"), (-col("lag")).as("lag"), col("r")))
+      val partner = both.withColumn("__rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(
+            abs(coalesce(col("r"), lit(-2.0d))).desc, col("partner"),
+            col("lag"))))
+        .where(col("__rk") === 1)
+        .select(col("event_type"), col("partner"),
+          col("lag").as("partner_lag"), col("r").as("partner_r"))
+      burst.join(cusum, Seq("event_type"), "left")
+        .join(resid, Seq("event_type"), "left")
+        .join(partner, Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_alarms", "max_s"))
+        .orderBy("event_type")
+    }),
+
+    // Needle-in-a-haystack eval-set construction: plant a traceable
+    // needle sentence at a deterministic fractional depth of every
+    // 7th document — the long-context retrieval probe corpus, with
+    // the placement metadata and a content checksum for the trainer.
+    "q434_needle_haystack" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val n = size(w).cast("long")
+      val depth = element_at(typedLit(Seq(10L, 25L, 50L, 75L, 90L)),
+        (idiv(col("doc_id"), 7L) % 5L).cast("int") + 1)
+      val pos = idiv(n * depth, 100L)
+      val needle = concat(lit("needle"), col("doc_id").cast("string"),
+        lit(" marker"))
+      t(s, dir, "documents").where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), depth.as("depth_pct"), n.as("n_words"),
+          pos.as("needle_pos"),
+          md5(concat_ws(" ",
+            concat(slice(w, lit(1), pos.cast("int")),
+              array(needle),
+              slice(w, (pos + 1L).cast("int"), (n - pos).cast("int"))))
+            .cast("binary")).as("checksum"))
+        .orderBy("doc_id")
+    }),
+
     // Ingest-time leading-edge debounce replayed over the file stream
     // (AvailableNow): closed bursts only — each key's final burst
     // stays open in state, and the oracle drops it the same way (the
@@ -278,7 +340,7 @@ object Curation5 {
       } finally if (q.isActive) q.stop()
     }))
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
 
     "q410_phrase_mining" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents
@@ -647,6 +709,23 @@ object Curation5 {
         |  round(ha / 1e9, 6) AS h_a_nats, round(hb / 1e9, 6) AS h_b_nats
         |FROM mi, ha, hb""".stripMargin,
 
+    "q434_needle_haystack" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    ([10, 25, 50, 75, 90])[CAST(doc_id // 7 % 5 AS INTEGER) + 1]
+        |      AS depth_pct
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |p AS (SELECT doc_id, CAST(depth_pct AS BIGINT) AS depth_pct,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(w) AS BIGINT) * depth_pct // 100 AS needle_pos, w
+        |  FROM d)
+        |SELECT doc_id, depth_pct, n_words, needle_pos,
+        |  md5(array_to_string(
+        |    w[1:CAST(needle_pos AS INTEGER)]
+        |      || ['needle' || CAST(doc_id AS VARCHAR) || ' marker']
+        |      || w[CAST(needle_pos AS INTEGER) + 1:CAST(n_words AS INTEGER)],
+        |    ' ')) AS checksum
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "q430_lead_lag" ->
       """WITH base AS (SELECT event_type AS et,
         |    epoch_us(ts) // 3600000000 AS b FROM events),
@@ -843,4 +922,35 @@ object Curation5 {
         |  ON mx.user_id = b.user_id AND mx.event_type = b.event_type
         |WHERE b.burst_no < mx.mb
         |ORDER BY b.user_id, b.event_type, b.burst_no""".stripMargin)
+
+  /** The composed q433 oracle — assembled from the already-gated leg
+    * oracles so the panel SQL can never drift from the detectors.
+    */
+  val oracles: Map[String, String] = baseOracles +
+    ("q433_ops_panel" ->
+      s"""WITH bs AS (SELECT * FROM (${baseOracles("q432_burstiness")})),
+         |ca AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_alarms,
+         |    max(s_milli) AS max_s
+         |  FROM (${baseOracles("q412_cusum_drift")}) GROUP BY 1),
+         |ra AS (SELECT event_type, bin AS resid_bin,
+         |    dev_milli AS resid_dev
+         |  FROM (${baseOracles("q429_residual_anomalies")})
+         |  WHERE rank = 1),
+         |lr AS (SELECT * FROM (${baseOracles("q430_lead_lag")})),
+         |bo AS (SELECT et_a AS event_type, et_b AS partner, lag, r
+         |    FROM lr
+         |  UNION ALL SELECT et_b, et_a, -lag, r FROM lr),
+         |pt AS (SELECT event_type, partner, lag AS partner_lag,
+         |    r AS partner_r, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY abs(coalesce(r, -2.0)) DESC, partner, lag) AS rk
+         |  FROM bo)
+         |SELECT bs.event_type, bs.n_bins, bs.mean_milli, bs.fano, bs.cv2,
+         |  coalesce(ca.n_alarms, 0) AS n_alarms,
+         |  coalesce(ca.max_s, 0) AS max_s,
+         |  ra.resid_bin, ra.resid_dev,
+         |  pt.partner, pt.partner_lag, pt.partner_r
+         |FROM bs LEFT JOIN ca ON ca.event_type = bs.event_type
+         |LEFT JOIN ra ON ra.event_type = bs.event_type
+         |LEFT JOIN pt ON pt.event_type = bs.event_type AND pt.rk = 1
+         |ORDER BY bs.event_type""".stripMargin)
 }

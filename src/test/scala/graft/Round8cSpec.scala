@@ -548,6 +548,47 @@ class Round8cSpec extends AnyFunSuite {
     assert(a.getDouble(3) > 0.9 && a.getDouble(4) > 0.8, a.toString)
   }
 
+  test("ops panel rows agree with the standalone detectors on the fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val panel = graft.queries.Curation5.queries("q433_ops_panel")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ev = graft.core.Tables(spark, sf, "events")
+    val cus = Events.cusumDrift(ev, "event_type", "ts", 3600000000L, 4L, 3L)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val burst = Events.burstiness(ev, "event_type", "ts", 3600000000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(panel.keySet == burst.keySet)
+    panel.foreach { case (et, row) =>
+      assert(row.getLong(5) == cus.getOrElse(et, 0L), s"$et alarms")
+      assert(row.getDouble(3) == burst(et), s"$et fano")
+    }
+  }
+
+  test("needle haystack: checksum matches an in-memory replant at the declared position") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.Curation5.queries("q434_needle_haystack")(
+        spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toMap
+    val docs = graft.core.Tables(spark, sf, "documents")
+      .where(col("doc_id") % 7 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == docs.keySet && got.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1)
+      val depth = Seq(10L, 25L, 50L, 75L, 90L)(((id / 7) % 5).toInt)
+      val pos = (w.length * depth / 100).toInt
+      val planted = (w.take(pos) ++ Array(s"needle$id marker") ++
+        w.drop(pos)).mkString(" ")
+      val sum = md.digest(planted.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(id) == ((depth, w.length.toLong, pos.toLong, sum)), s"doc $id")
+    }
+  }
+
   test("shotBoundaries: flat energy -> none; step change -> one cut; relative threshold") {
     // 64-byte frames of 'a' (97) then 'z' (122): |delta| = 64*25 = 1600,
     // 30% of max(7808, 6208) = 2342 -> NOT a cut at 30%, IS at 20%
