@@ -306,7 +306,7 @@ object Events {
                         binUs: Long, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val filled = countGrid(df, typeCol, tsCol, binUs)
-      .withColumn("hod", pmod(col("b"), lit(24L)))
+      .withColumn("hod", pmod(col("b"), lit(binsPerDay(binUs))))
     val base = filled.groupBy("et", "hod")
       .agg(sum(col("c")).as("__T"), count(lit(1)).as("__occ"))
       .withColumn("baseline_milli", idiv(col("__T") * 1000L, col("__occ")))
@@ -762,14 +762,14 @@ object Events {
     * rank what remains — the detector that neither q386 (global
     * median) nor q408 (seasonal only) is: a slow ramp no longer
     * poisons the hour baselines, and a daily rhythm no longer poisons
-    * the trend residuals. All arithmetic is exact RATIONAL integers —
-    * the detrended value is scaled by the OLS denominator dxx and the
-    * hod residual additionally by the hod count, so there is NO
-    * integer division anywhere (negative-operand `div` rounds
-    * differently across engines) and ONE final double formula
-    * `r / (dxx . cnt)` (rounded 1e-6) converts back to milli-events.
-    * Ordering uses the same double expression — identical IEEE in
-    * every engine.
+    * the trend residuals. The trend is evaluated in EXACT truncated
+    * milli-events by staged integer division (both engines truncate
+    * toward zero — verified on negatives), the hod residual is scaled
+    * by the hod count only, and ONE final double formula `r / cnt`
+    * (rounded 1e-6) reports milli-events. Integer envelope: the
+    * largest product is |inum| ~ |sy|.sxx < 2^63 — safe to ~a year of
+    * hourly bins at ~1e3 events/bin or 90 days at ~1e4 (beyond that,
+    * widen bins; the n^3 growth of sxx is the binding term).
     *
     * Scale: the count grid's keyed aggregate + O(#types x #bins)
     * grid-bound arithmetic; windows partition by type. Degenerate
@@ -785,15 +785,23 @@ object Events {
         (col("n") * col("sxy") - col("sx") * col("sy")).as("dxy"),
         (col("sy") * col("sxx") - col("sx") * col("sxy")).as("inum"))
       .where(col("dxx") =!= 0L)
+    // fitted trend at bin b, in EXACT truncated milli-events, via
+    // staged integer division: q = a div dxx, r = a - q*dxx, milli =
+    // q*1000 + (r*1000 div dxx). Spark's `div` and DuckDB's `//` both
+    // truncate toward zero (verified on negatives), and with
+    // sign(r) == sign(a) the staging identity trunc(a*1000/d) ==
+    // q*1000 + trunc(r*1000/d) holds exactly — so no *1000 on the
+    // full numerator (the r7-era overflow shape) and no dxx-scaled
+    // residuals (the round-8c review's year-grid overflow cliff).
+    val a = col("inum") + col("dxy") * (col("b") - col("b0"))
     val detr = g.join(sums, "et")
       .withColumn("hod", pmod(col("b"), lit(binsPerDay(binUs))))
-      // milli-events scaled by dxx: c*1000*dxx - fitted*1000*dxx
-      .withColumn("__ds", col("c") * 1000L * col("dxx")
-        - (col("inum") + col("dxy") * (col("b") - col("b0"))) * 1000L)
+      .withColumn("__q", idiv(a, col("dxx")))
+      .withColumn("__ds", col("c") * 1000L - (col("__q") * 1000L
+        + idiv((a - col("__q") * col("dxx")) * 1000L, col("dxx"))))
     val base = detr.groupBy("et", "hod")
       .agg(sum(col("__ds")).as("__bn"), count(lit(1)).as("__cnt"))
-    val dev = col("__r").cast("double") /
-      (col("dxx").cast("double") * col("__cnt").cast("double"))
+    val dev = col("__r").cast("double") / col("__cnt").cast("double")
     detr.join(base, Seq("et", "hod"))
       .withColumn("__r", col("__ds") * col("__cnt") - col("__bn"))
       .withColumn("rank", row_number().over(Window.partitionBy("et")
@@ -802,6 +810,7 @@ object Events {
       .select(col("et").as("event_type"), col("rank"), col("b").as("bin"),
         col("hod"), col("c"), round(dev, 6).as("dev_milli"))
   }
+
 
   private def binsPerDay(binUs: Long): Long = {
     require(86400000000L % binUs == 0, "binUs must divide a day")
@@ -862,7 +871,12 @@ object Events {
     */
   def rfm(df: DataFrame, userCol: String, tsCol: String,
           valueCol: String, nowUs: Long): DataFrame = {
-    val base = df.groupBy(col(userCol).as("u"))
+    // null subjects are excluded EXPLICITLY (not dropped as a join
+    // side effect): an equi-join on the user key would silently lose
+    // them while an oracle's global rank kept them, shifting every
+    // nearby quintile (round-8c review)
+    val base = df.where(col(userCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
       .agg((lit(nowUs) - max(graft.functions.PixieFunctions
         .nsToUs(col(tsCol)))).as("rec_us"),
         count(lit(1)).as("freq"),

@@ -42,8 +42,7 @@ object Graph {
     require(maxHops >= 0, "hopDistances: maxHops >= 0")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(false)
-    val seedDf = e.sparkSession.range(1)
-      .crossJoin(broadcast(edges.agg(seed.as("node"))))
+    val seedDf = edges.agg(seed.as("node"))
       .select(col("node"), lit(0L).as("hop"))
     (1 to maxHops).foldLeft(seedDf) { (dist, h) =>
       // expand only the (h-1)-frontier: nodes discovered earlier have

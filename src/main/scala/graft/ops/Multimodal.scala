@@ -367,8 +367,11 @@ object Multimodal {
     * feature is [[frameEnergy]]'s exact per-window byte sum, so the
     * delta is integer-exact in every engine). The threshold is
     * relative — `|delta| * 100 >= thresholdPct * max(prev, cur)` —
-    * so loud and quiet media are cut on proportional change, with an
-    * absolute floor `minDelta` killing silence-vs-silence noise.
+    * so loud and quiet media are cut on proportional change; zero
+    * deltas never cut (two silent frames are one shot), and the
+    * optional absolute floor `minDelta` suppresses near-silent
+    * flicker. The q417 oracle mirrors the default `minDelta = 0`
+    * instantiation — callers passing a floor need their own mirror.
     * Emits one row per boundary with the per-media shot index the cut
     * OPENS (boundary k starts shot k+1).
     *
@@ -386,7 +389,9 @@ object Multimodal {
       .withColumn("prev_sum", lag(col("byte_sum"), 1).over(w))
     e.where(col("prev_sum").isNotNull)
       .withColumn("delta", col("byte_sum") - col("prev_sum"))
-      .where(abs(col("delta")) >= minDelta &&
+      // delta != 0 kills the degenerate zero-vs-zero frame pair
+      // (abs(0) >= 0*pct is vacuously true) — silence never cuts
+      .where(col("delta") =!= 0L && abs(col("delta")) >= minDelta &&
         abs(col("delta")) * 100L >=
           greatest(col("byte_sum"), col("prev_sum")) * thresholdPct)
       .withColumn("shot_no", row_number().over(

@@ -93,21 +93,34 @@ object Quality {
     * share (ppm) vs the Benford expectation log10(1 + 1/d) — the
     * fabricated-numbers screen for ingested numeric feeds. The
     * leading digit comes from a fixed threshold LADDER over
-    * [0.001, 10000) (identical IEEE comparisons in every engine — no
-    * log10/floor boundary hazards); values outside the ladder or
+    * [0.001, 10000): divide for v >= 1, MULTIPLY for v < 1 (identical
+    * IEEE arithmetic in every engine, and no 0.3/0.1-style floor
+    * misdigit — the division form gets sub-unit digits wrong); values outside the ladder or
     * non-positive are excluded from the digit population. Expected
     * shares are precomputed ppm literals, so dev_ppm is exact integer
     * arithmetic end-to-end. One keyed aggregate; 9 rows per group.
     */
   def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol)
-    val digit = Seq(1000.0, 100.0, 10.0, 1.0, 0.1, 0.01, 0.001)
+    // sub-unit scales MULTIPLY (floor(v*10)) instead of dividing:
+    // 0.3/0.1 is the IEEE classic 2.9999999999999996 whose floor is
+    // the WRONG digit, while 0.3*10 rounds to exactly 3.0 — the
+    // round-8c review measured 8/10000 fixture values misdigited by
+    // the division form (the oracle mirrored it, so the gate was
+    // blind). Divisions by 10/100/1000 on v >= 1 are exact at the
+    // digit boundaries (integer quotients are representable).
+    val digit = Seq(1000.0, 100.0, 10.0, 1.0)
       .foldLeft(lit(null).cast("long")) { (acc, scale) =>
         when(v >= scale && v < scale * 10, floor(v / scale).cast("long"))
           .otherwise(acc)
       }
+    val digit2 = Seq((0.1, 10.0), (0.01, 100.0), (0.001, 1000.0))
+      .foldLeft(digit) { case (acc, (lo, mult)) =>
+        when(v >= lo && v < lo * 10, floor(v * mult).cast("long"))
+          .otherwise(acc)
+      }
     val digits = df.where(v.isNotNull && v > 0)
-      .select(col(groupCol).as("grp"), digit.as("d"))
+      .select(col(groupCol).as("grp"), digit2.as("d"))
       .where(col("d").isNotNull)
     val totals = digits.groupBy("grp").agg(count(lit(1)).as("__n"))
     digits.groupBy("grp", "d").agg(count(lit(1)).as("n"))
@@ -179,9 +192,12 @@ object Quality {
   /** Population Stability Index per group between the two time halves
     * of a numeric feed — the ML-monitoring drift score
     * `Sum_b (pA_b - pB_b).ln(pA_b / pB_b)` over value bands, Laplace-
-    * smoothed over the FIXED band support so one-sided bands stay
-    * finite (bands empty in both halves contribute exactly 0 — equal
-    * smoothed shares — so only observed bands are materialized).
+    * smoothed over the FIXED band support of exactly `bands` bands
+    * (outliers clamp into the edge bands). The FULL support is
+    * materialized: under smoothing a band empty in BOTH halves still
+    * contributes (1/(ta+B) - 1/(tb+B)).ln((tb+B)/(ta+B)) whenever the
+    * half sizes differ — the round-8c review caught the
+    * observed-bands-only shortcut silently understating drift.
     * Per-band terms are nano-quantized BEFORE the per-group sum (the
     * [[Corpus.sourceDrift]] contract); the headline is the rounded
     * nat value. PSI > 0.25 is the conventional "investigate" line.
@@ -192,7 +208,17 @@ object Quality {
   def psiDrift(df: DataFrame, groupCol: String, tsCol: String,
                valueCol: String, bandWidth: Double,
                bands: Int): DataFrame = {
+    require(bands >= 2, "psiDrift: bands >= 2")
     val cells = halvedBands(df, groupCol, tsCol, valueCol, bandWidth)
+      // the FIXED support is exactly `bands` bands: outliers clamp
+      // into the edge bands so the Laplace denominator t + bands is
+      // consistent with the materialized support
+      .withColumn("band", least(lit(bands.toLong - 1),
+        greatest(lit(0L), col("band"))))
+      .groupBy("grp", "half", "band").agg(sum(col("c")).as("c"))
+    val support = cells.select("grp").distinct()
+      .select(col("grp"), explode(sequence(lit(0L),
+        lit(bands.toLong - 1))).as("band"))
     val a = cells.where(col("half") === 0)
       .select(col("grp"), col("band"), col("c").as("ca"))
     val b = cells.where(col("half") === 1)
@@ -202,7 +228,8 @@ object Quality {
       sum(when(col("half") === 1, col("c"))).as("tb"))
     val pa = (coalesce(col("ca"), lit(0L)) + 1.0) / (col("ta") + bands.toDouble)
     val pb = (coalesce(col("cb"), lit(0L)) + 1.0) / (col("tb") + bands.toDouble)
-    a.join(b, Seq("grp", "band"), "full_outer")
+    support.join(a, Seq("grp", "band"), "left")
+      .join(b, Seq("grp", "band"), "left")
       .join(totals.na.fill(0L, Seq("ta", "tb")), "grp")
       .withColumn("__term",
         floor((pa - pb) * log(pa / pb) * 1e9 + 0.5).cast("long"))
@@ -212,6 +239,7 @@ object Quality {
       .select(col("grp"), col("n_a"), col("n_b"),
         round(col("__s").cast("double") / 1e9, 6).as("psi"))
   }
+
 
   /** Two-sample Kolmogorov-Smirnov drift per group between the two
     * time halves: `D = sup_v |CDF_A(v) - CDF_B(v)|`, evaluated at the

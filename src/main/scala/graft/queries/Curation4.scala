@@ -289,7 +289,11 @@ object Curation4 {
     // per touch type, 'none' for unattributed — q242's as-of machinery
     // composed into the classic marketing read.
     "q405_attribution" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      // null users are excluded on BOTH legs: the window-based as-of
+      // would group NULL user_ids into one partition and attribute
+      // them to each other, while the oracle's correlated equality
+      // predicate never matches NULL (round-8c review)
+      val ev = t(s, dir, "events").where(col("user_id").isNotNull)
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"),
           round(col("value") * lit(100.0)).cast("long").as("cents"),

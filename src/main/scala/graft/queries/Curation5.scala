@@ -498,11 +498,11 @@ object Curation5 {
          |    WHEN value >= 1 AND value < 10
          |      THEN CAST(floor(value / 1.0) AS BIGINT)
          |    WHEN value >= 0.1 AND value < 1
-         |      THEN CAST(floor(value / 0.1) AS BIGINT)
+         |      THEN CAST(floor(value * 10.0) AS BIGINT)
          |    WHEN value >= 0.01 AND value < 0.1
-         |      THEN CAST(floor(value / 0.01) AS BIGINT)
+         |      THEN CAST(floor(value * 100.0) AS BIGINT)
          |    WHEN value >= 0.001 AND value < 0.01
-         |      THEN CAST(floor(value / 0.001) AS BIGINT) END AS d
+         |      THEN CAST(floor(value * 1000.0) AS BIGINT) END AS d
          |  FROM events WHERE value IS NOT NULL AND value > 0),
          |dd AS (SELECT grp, d FROM dg WHERE d IS NOT NULL),
          |tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS nn FROM dd
@@ -535,6 +535,7 @@ object Curation5 {
         |b AS (SELECT media_id, frame_no, prev_sum, byte_sum,
         |    byte_sum - prev_sum AS delta
         |  FROM l WHERE prev_sum IS NOT NULL
+        |    AND byte_sum - prev_sum <> 0
         |    AND abs(byte_sum - prev_sum) * 100 >=
         |      greatest(byte_sum, prev_sum) * 30)
         |SELECT media_id, frame_no, prev_sum, byte_sum, delta,
@@ -556,11 +557,15 @@ object Curation5 {
         |g AS (SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id,
         |    event_type ORDER BY t, event_id) AS BIGINT) AS burst_no
         |  FROM f)
-        |SELECT user_id, event_type, burst_no,
-        |  min(t) AS ts_us, arg_min(event_id, t) AS event_id,
-        |  CAST(count(*) AS BIGINT) AS burst_size,
-        |  CAST(count(*) - 1 AS BIGINT) AS n_suppressed
-        |FROM g GROUP BY 1, 2, 3
+        |SELECT user_id, event_type, burst_no, ts_us, event_id,
+        |  burst_size, burst_size - 1 AS n_suppressed
+        |FROM (SELECT user_id, event_type, burst_no, t AS ts_us, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type, burst_no
+        |      ORDER BY t, event_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id, event_type,
+        |      burst_no) AS BIGINT) AS burst_size
+        |  FROM g)
+        |WHERE rn = 1
         |ORDER BY user_id, event_type, burst_no""".stripMargin,
 
     "q420_psi_drift" ->
@@ -568,18 +573,23 @@ object Curation5 {
         |  FROM events),
         |rng AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
         |h AS (SELECT grp, CASE WHEN t <= mid THEN 0 ELSE 1 END AS half,
-        |    CAST(floor(value / 50.0) AS BIGINT) AS band FROM e, rng),
+        |    least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT)))
+        |      AS band FROM e, rng),
         |c AS (SELECT grp, half, band, CAST(count(*) AS BIGINT) AS c
         |  FROM h GROUP BY 1, 2, 3),
+        |sup AS (SELECT grp, bd.band FROM (SELECT DISTINCT grp FROM c)
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS band) bd),
         |tot AS (SELECT grp,
         |    coalesce(CAST(sum(c) FILTER (half = 0) AS BIGINT), 0) AS ta,
         |    coalesce(CAST(sum(c) FILTER (half = 1) AS BIGINT), 0) AS tb
         |  FROM c GROUP BY 1),
-        |j AS (SELECT coalesce(a.grp, b.grp) AS grp,
-        |    coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
-        |  FROM (SELECT grp, band, c FROM c WHERE half = 0) a
-        |  FULL OUTER JOIN (SELECT grp, band, c FROM c WHERE half = 1) b
-        |    ON a.grp = b.grp AND a.band = b.band),
+        |j AS (SELECT sup.grp, coalesce(a.c, 0) AS ca,
+        |    coalesce(b.c, 0) AS cb
+        |  FROM sup
+        |  LEFT JOIN (SELECT grp, band, c FROM c WHERE half = 0) a
+        |    ON a.grp = sup.grp AND a.band = sup.band
+        |  LEFT JOIN (SELECT grp, band, c FROM c WHERE half = 1) b
+        |    ON b.grp = sup.grp AND b.band = sup.band),
         |terms AS (SELECT j.grp, tot.ta, tot.tb,
         |    CAST(floor(((ca + 1.0) / (ta + 10.0) - (cb + 1.0) / (tb + 10.0))
         |      * ln(((ca + 1.0) / (ta + 10.0)) / ((cb + 1.0) / (tb + 10.0)))
@@ -766,7 +776,8 @@ object Curation5 {
         |    CAST(count(*) AS BIGINT) AS freq,
         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |      AS mon_cents
-        |  FROM events, anchor GROUP BY user_id, nowus),
+        |  FROM events, anchor WHERE user_id IS NOT NULL
+        |  GROUP BY user_id, nowus),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
         |q AS (SELECT user_id, rec_us, freq, mon_cents,
         |    row_number() OVER (ORDER BY rec_us, user_id) AS rr,
@@ -882,23 +893,23 @@ object Curation5 {
         |d AS (SELECT et, b0, n * sxx - sx * sx AS dxx,
         |    n * sxy - sx * sy AS dxy, sy * sxx - sx * sxy AS inum
         |  FROM sh WHERE n * sxx - sx * sx <> 0),
-        |detr AS (SELECT f.et, f.b, f.c, f.b % 24 AS hod, d.dxx,
-        |    f.c * 1000 * d.dxx - (d.inum + d.dxy * (f.b - d.b0)) * 1000
-        |      AS ds
+        |tr AS (SELECT f.et, f.b, f.c, f.b % 24 AS hod, d.dxx,
+        |    d.inum + d.dxy * (f.b - d.b0) AS aa
         |  FROM f JOIN d ON d.et = f.et),
+        |detr AS (SELECT et, b, c, hod,
+        |    c * 1000 - ((aa // dxx) * 1000
+        |      + ((aa - (aa // dxx) * dxx) * 1000) // dxx) AS ds
+        |  FROM tr),
         |bl AS (SELECT et, hod, CAST(sum(ds) AS BIGINT) AS bn,
         |    CAST(count(*) AS BIGINT) AS cnt FROM detr GROUP BY 1, 2),
         |r AS (SELECT detr.et, detr.b, detr.hod, detr.c,
-        |    detr.ds * bl.cnt - bl.bn AS rr, detr.dxx, bl.cnt
+        |    detr.ds * bl.cnt - bl.bn AS rr, bl.cnt
         |  FROM detr JOIN bl ON bl.et = detr.et AND bl.hod = detr.hod),
         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY et
-        |    ORDER BY abs(CAST(rr AS DOUBLE)
-        |      / (CAST(dxx AS DOUBLE) * CAST(cnt AS DOUBLE))) DESC, b)
-        |    AS INTEGER) AS rank FROM r)
+        |    ORDER BY abs(CAST(rr AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |      DESC, b) AS INTEGER) AS rank FROM r)
         |SELECT et AS event_type, rank, b AS bin, hod, c,
-        |  round(CAST(rr AS DOUBLE)
-        |    / (CAST(dxx AS DOUBLE) * CAST(cnt AS DOUBLE)), 6)
-        |    AS dev_milli
+        |  round(CAST(rr AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS dev_milli
         |FROM rk WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
 
     "q426_streaming_debounce" ->
@@ -911,11 +922,16 @@ object Curation5 {
         |g AS (SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id,
         |    event_type ORDER BY t, event_id) AS BIGINT) AS burst_no
         |  FROM f),
-        |bursts AS (SELECT user_id, event_type, burst_no,
-        |    min(t) AS ts_us, arg_min(event_id, t) AS event_id,
-        |    CAST(count(*) AS BIGINT) AS burst_size,
-        |    CAST(count(*) - 1 AS BIGINT) AS n_suppressed
-        |  FROM g GROUP BY 1, 2, 3),
+        |bursts AS (SELECT user_id, event_type, burst_no, ts_us,
+        |    event_id, burst_size, burst_size - 1 AS n_suppressed
+        |  FROM (SELECT user_id, event_type, burst_no, t AS ts_us,
+        |      event_id,
+        |      row_number() OVER (PARTITION BY user_id, event_type,
+        |        burst_no ORDER BY t, event_id) AS rn,
+        |      CAST(count(*) OVER (PARTITION BY user_id, event_type,
+        |        burst_no) AS BIGINT) AS burst_size
+        |    FROM g)
+        |  WHERE rn = 1),
         |mx AS (SELECT user_id, event_type, max(burst_no) AS mb
         |  FROM bursts GROUP BY 1, 2)
         |SELECT b.* FROM bursts b JOIN mx
