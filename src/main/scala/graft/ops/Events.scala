@@ -715,20 +715,6 @@ object Events {
         idiv(col("n_users") * 1000000L, col("__c0")).as("retained_ppm"))
   }
 
-  /** Ordinary-least-squares trend per event type over the zero-filled
-    * count grid — the parametric companion of [[senTrend]] (same grid,
-    * same x = relative bucket index): slope/intercept from the five
-    * exact integer sums (n, Sx, Sy, Sxy, Sxx) via the closed-form
-    * normal equations, plus r-squared from Syy. Each output value is
-    * ONE final double formula over exact longs, rounded at 1e-6, so
-    * every engine computes the identical number; a constant series
-    * (zero variance in x or y) reports null slope/r2 rather than a
-    * division blow-up.
-    *
-    * Scale: one keyed count aggregate + one O(#types) reduce — the
-    * sums are order-independent longs, so the grid can live on any
-    * partitioning; nothing here is data-bound beyond the count grid.
-    */
   /** Per-type exact OLS sums over the count grid, with x shifted to
     * `b - b0` WITHOUT a second pass (the shifted sums are exact
     * integer functions of the raw ones). Shared by [[olsTrend]] and
@@ -749,6 +735,20 @@ object Events {
         (col("__sbb") - lit(2L) * col("b0") * col("__sb")
           + col("n") * col("b0") * col("b0")).as("sxx"))
 
+  /** Ordinary-least-squares trend per event type over the zero-filled
+    * count grid — the parametric companion of [[senTrend]] (same grid,
+    * same x = relative bucket index): slope/intercept from the five
+    * exact integer sums (n, Sx, Sy, Sxy, Sxx) via the closed-form
+    * normal equations, plus r-squared from Syy. Each output value is
+    * ONE final double formula over exact longs, rounded at 1e-6, so
+    * every engine computes the identical number; a constant series
+    * (zero variance in x or y) reports null slope/r2 rather than a
+    * division blow-up.
+    *
+    * Scale: one keyed count aggregate + one O(#types) reduce — the
+    * sums are order-independent longs, so the grid can live on any
+    * partitioning; nothing here is data-bound beyond the count grid.
+    */
   def olsTrend(df: DataFrame, typeCol: String, tsCol: String,
                binUs: Long): DataFrame = {
     val rel = olsSums(countGrid(df, typeCol, tsCol, binUs))
@@ -856,9 +856,12 @@ object Events {
       when(dxx > 0L && dyy > 0L,
         round(dxy.cast("double")
           / sqrt(dxx.cast("double") * dyy.cast("double")), 6)).as("r"))
+    // nulls-LAST: coalesce(abs(r), -2) — abs(coalesce(r, -2)) would
+    // rank a degenerate zero-variance lag (r null -> |-2| = 2) ABOVE
+    // every real |r| <= 1 (round-8c second review)
     scored.withColumn("best", row_number().over(
       Window.partitionBy("et_a", "et_b")
-        .orderBy(abs(coalesce(col("r"), lit(-2.0d))).desc, col("lag")))
+        .orderBy(coalesce(abs(col("r")), lit(-2.0d)).desc, col("lag")))
       === 1)
   }
 

@@ -31,11 +31,18 @@ object Quality {
     * key is unique); counted via one key-keyed aggregate.
     */
   def unique(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
-    val dups = df.groupBy(cols.map(col): _*)
+    // a unique key implies PRESENCE: every row with any null key
+    // column is a violation - the count(*) - count(DISTINCT key)
+    // accounting the SQL oracle uses, where DISTINCT drops null
+    // tuples entirely, so a null-key group contributes c, not c - 1
+    // (round-8c second review)
+    val anyNull = cols.map(col(_).isNull).reduce(_ || _)
+    val dups = df.groupBy((cols.map(col) :+ anyNull.as("__nk")): _*)
       .agg(count(lit(1)).as("__c"))
-      .select((col("__c") - 1).as("__extra"))
+      .select(when(col("__nk"), col("__c"))
+        .otherwise(col("__c") - 1).as("__extra"), col("__c"))
     dups.agg(sum(col("__extra")).as("n_violations"),
-        (sum(col("__extra")) + count(lit(1))).as("n_total"))
+        sum(col("__c")).as("n_total"))
       .select(lit("unique").as("check"),
         lit(s"$table.(${cols.mkString(",")})").as("target"),
         coalesce(col("n_violations"), lit(0L)).as("n_violations"),
@@ -182,7 +189,10 @@ object Quality {
     val rng = df.agg(min(us).as("__lo"), max(us).as("__hi"))
       .select(graft.functions.PixieFunctions
         .idiv(col("__lo") + col("__hi"), 2L).as("__mid"))
-    df.crossJoin(broadcast(rng))
+    // null values carry no band: excluded on BOTH engine sides (a
+    // NULL band would sort NULLS FIRST in Spark windows but NULLS
+    // LAST in DuckDB - round-8c second review)
+    df.where(col(valueCol).isNotNull).crossJoin(broadcast(rng))
       .select(col(groupCol).as("grp"),
         when(us <= col("__mid"), 0L).otherwise(1L).as("half"),
         floor(col(valueCol) / bandWidth).cast("long").as("band"))

@@ -1095,10 +1095,12 @@ object Curation4 {
     "q405_attribution" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS t,
         |    CAST(round(value * 100) AS BIGINT) AS cents, event_id
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL),
         |tch AS (SELECT user_id, epoch_us(ts) AS t,
         |    event_type AS tt, event_id AS eid FROM events
-        |  WHERE event_type IN ('click', 'view')),
+        |  WHERE event_type IN ('click', 'view')
+        |    AND user_id IS NOT NULL),
         |att AS (SELECT p.cents,
         |    (SELECT tt FROM tch
         |     WHERE tch.user_id = p.user_id AND tch.t <= p.t

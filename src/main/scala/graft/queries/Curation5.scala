@@ -277,7 +277,7 @@ object Curation5 {
           col("et_a").as("partner"), (-col("lag")).as("lag"), col("r")))
       val partner = both.withColumn("__rk", row_number().over(
           Window.partitionBy("event_type").orderBy(
-            abs(coalesce(col("r"), lit(-2.0d))).desc, col("partner"),
+            coalesce(abs(col("r")), lit(-2.0d)).desc, col("partner"),
             col("lag"))))
         .where(col("__rk") === 1)
         .select(col("event_type"), col("partner"),
@@ -574,7 +574,7 @@ object Curation5 {
         |rng AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
         |h AS (SELECT grp, CASE WHEN t <= mid THEN 0 ELSE 1 END AS half,
         |    least(9, greatest(0, CAST(floor(value / 50.0) AS BIGINT)))
-        |      AS band FROM e, rng),
+        |      AS band FROM e, rng WHERE value IS NOT NULL),
         |c AS (SELECT grp, half, band, CAST(count(*) AS BIGINT) AS c
         |  FROM h GROUP BY 1, 2, 3),
         |sup AS (SELECT grp, bd.band FROM (SELECT DISTINCT grp FROM c)
@@ -617,7 +617,8 @@ object Curation5 {
         |  FROM events),
         |rng AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
         |h AS (SELECT grp, CASE WHEN t <= mid THEN 0 ELSE 1 END AS half,
-        |    CAST(floor(value / 1.0) AS BIGINT) AS band FROM e, rng),
+        |    CAST(floor(value / 1.0) AS BIGINT) AS band FROM e, rng
+        |  WHERE value IS NOT NULL),
         |c AS (SELECT grp, half, band, CAST(count(*) AS BIGINT) AS c
         |  FROM h GROUP BY 1, 2, 3),
         |j AS (SELECT coalesce(a.grp, b.grp) AS grp,
@@ -766,7 +767,7 @@ object Curation5 {
         |    END AS r FROM d)
         |SELECT et_a, et_b, lag, n_bins, r,
         |  row_number() OVER (PARTITION BY et_a, et_b
-        |    ORDER BY abs(coalesce(r, -2.0)) DESC, lag) = 1 AS best
+        |    ORDER BY coalesce(abs(r), -2.0) DESC, lag) = 1 AS best
         |FROM r ORDER BY et_a, et_b, lag""".stripMargin,
 
     "q431_rfm_segments" ->
@@ -958,7 +959,7 @@ object Curation5 {
          |  UNION ALL SELECT et_b, et_a, -lag, r FROM lr),
          |pt AS (SELECT event_type, partner, lag AS partner_lag,
          |    r AS partner_r, row_number() OVER (PARTITION BY event_type
-         |      ORDER BY abs(coalesce(r, -2.0)) DESC, partner, lag) AS rk
+         |      ORDER BY coalesce(abs(r), -2.0) DESC, partner, lag) AS rk
          |  FROM bo)
          |SELECT bs.event_type, bs.n_bins, bs.mean_milli, bs.fano, bs.cv2,
          |  coalesce(ca.n_alarms, 0) AS n_alarms,

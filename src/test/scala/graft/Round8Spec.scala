@@ -379,10 +379,16 @@ class Round8Spec extends AnyFunSuite {
     assert(got("accepted_range") == ((2L, 5L, false)))  // 60.0, -5.0
     // orphans: fk=9 (no parent) + the null fk
     assert(got("referential") == ((2L, 5L, false)))
+    // null-key rows are UNIQUE violations (count(*) - count(DISTINCT)
+    // semantics — DISTINCT drops null tuples, so presence is implied)
+    assert(Quality.unique(child, "child", Seq("fk", "v"))
+      .select("n_violations", "pass").as[(Long, Boolean)].collect()
+      .head == ((1L, false)))
     // a clean frame passes everything
     val ok = Quality.suite(Seq(
         Quality.notNull(parent, "parent", "pk"),
-        Quality.unique(child, "child", Seq("fk", "v"))))
+        Quality.unique(child.where(col("fk").isNotNull), "child",
+          Seq("fk", "v"))))
       .select("pass").as[Boolean].collect()
     assert(ok.forall(identity))
   }
