@@ -1001,4 +1001,52 @@ object Events {
         col("burst_size"),
         (col("burst_size") - 1L).as("n_suppressed")): _*)
   }
+
+  /** Association rules over co-occurrence baskets (Agrawal et al.,
+    * SIGMOD 1993, restricted to the 1-item antecedent/consequent rules
+    * a telemetry feed supports): baskets are `basketCol` values, items
+    * the distinct `itemCol` values seen in each basket; every directed
+    * pair a→b with at least `minBaskets` co-occurrences reports
+    * support, confidence, and lift — the "users who error also
+    * purchase?" dependency mining [[graft.ops.Quality.mutualInfo]]
+    * reduces to one scalar.
+    *
+    * Exactness: support/confidence are ppm via truncating integer
+    * division on positive operands (`div` == DuckDB `//`); lift is
+    * milli-scaled c_ab·N·1000 div (c_a·c_b) — exact integers
+    * end-to-end, no doubles anywhere. c_ab·N·1000 bounds the exact
+    * path to ~3e7 baskets; beyond that, rescale to c_ab·1e3 div
+    * (c_a·c_b div N) (same truncation contract).
+    *
+    * Scale: one (basket,item) distinct, a basket-keyed self-join whose
+    * per-basket fan-out is bounded by the item-vocabulary size (not
+    * basket size), two item-keyed count joins, and a broadcast 1-row
+    * N; output is O(#items²) rules.
+    */
+  def assocRules(df: DataFrame, basketCol: String, itemCol: String,
+                 minBaskets: Long = 1L): DataFrame = {
+    import graft.functions.PixieFunctions.idiv
+    val items = df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val n = broadcast(items.select("__b").distinct()
+      .agg(count(lit(1)).as("__n")))
+    val itemCounts = items.groupBy("__i").agg(count(lit(1)).as("__c"))
+    val pairs = items.select(col("__b"), col("__i").as("antecedent"))
+      .join(items.select(col("__b"), col("__i").as("consequent")), "__b")
+      .where(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minBaskets)
+    pairs
+      .join(itemCounts.select(col("__i").as("antecedent"),
+        col("__c").as("__ca")), "antecedent")
+      .join(itemCounts.select(col("__i").as("consequent"),
+        col("__c").as("__cb")), "consequent")
+      .crossJoin(n)
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        idiv(col("n_both") * 1000000L, col("__n")).as("support_ppm"),
+        idiv(col("n_both") * 1000000L, col("__ca")).as("confidence_ppm"),
+        idiv(col("n_both") * col("__n") * 1000L,
+          col("__ca") * col("__cb")).as("lift_milli"))
+  }
 }

@@ -329,4 +329,107 @@ object Quality {
         round(col("__ha").cast("double") / 1e9, 6).as("h_a_nats"),
         round(col("__hb").cast("double") / 1e9, 6).as("h_b_nats"))
   }
+
+  /** L-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    * companion of [[kAnonymity]]: a QI class can be k-anonymous and
+    * still leak if every member shares ONE sensitive value, so classes
+    * whose distinct-sensitive count falls below `l` are the disclosure
+    * report. Null sensitive values are excluded up front on BOTH
+    * engine sides (count(DISTINCT) drops them anyway — the null-parity
+    * contract), so a null never masquerades as diversity. One keyed
+    * aggregate; output is only the violating classes.
+    */
+  def lDiversity(df: DataFrame, sensitiveCol: String, qiCols: Seq[String],
+                 l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2, "lDiversity: QI cols and l >= 2")
+    df.where(col(sensitiveCol).isNotNull)
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .where(col("n_sensitive") < l)
+  }
+
+  /** T-closeness audit (Li et al., ICDE 2007), total-variation form:
+    * per QI class, TVD = ½·Σ_s |p_class(s) − p_global(s)| between the
+    * class's sensitive-value distribution and the corpus-wide one —
+    * the refinement that catches classes whose values are diverse but
+    * SKEWED (e.g. 90% one diagnosis where the population has 10%).
+    *
+    * Exactness: probabilities are nano-quantized via truncating
+    * integer division ((c·1e9) div n — positive operands, so `div` and
+    * DuckDB `//` agree exactly); sensitive values ABSENT from a class
+    * contribute their global mass through the closed form
+    * Σ_absent p_g = G − Σ_present p_g with G = Σ_all p_g_nano a 1-row
+    * broadcast constant — so the class×sensitive support is never
+    * materialized (no cross join, sparse cells only). ONE final double
+    * division maps nano-TVD to [0,1].
+    *
+    * Scale: three keyed aggregates over the sparse (class, s) cells +
+    * one s-keyed join + a broadcast scalar; output is one row per QI
+    * class. c·1e9 bounds the exact path to ~9e9 rows per sensitive
+    * value; beyond that drop to 1e6 quantization (same formula).
+    */
+  def tCloseness(df: DataFrame, sensitiveCol: String,
+                 qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness: QI cols required")
+    import graft.functions.PixieFunctions.idiv
+    val base = df.where(col(sensitiveCol).isNotNull)
+    val cells = base
+      .groupBy((qiCols.map(col) :+ col(sensitiveCol).as("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val classes = cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("n_q"))
+    val nn = cells.agg(sum(col("__c")).as("__n"))
+    val global = cells.groupBy("__s").agg(sum(col("__c")).as("__cg"))
+      .crossJoin(broadcast(nn))
+      .select(col("__s"), idiv(col("__cg") * 1000000000L, col("__n"))
+        .as("__pg"))
+    val gTotal = broadcast(global.agg(sum(col("__pg")).as("__g")))
+    cells.join(classes, qiCols).join(global, "__s")
+      .select((qiCols.map(col) :+ col("n_q") :+
+        idiv(col("__c") * 1000000000L, col("n_q")).as("__pq") :+
+        col("__pg")): _*)
+      .groupBy((qiCols.map(col) :+ col("n_q")): _*)
+      .agg(sum(abs(col("__pq") - col("__pg"))).as("__present"),
+        sum(col("__pg")).as("__pgSum"))
+      .crossJoin(gTotal)
+      .select((qiCols.map(col) :+ col("n_q") :+
+        round((col("__present") + col("__g") - col("__pgSum"))
+          .cast("double") / 2e9, 6).as("tvd")): _*)
+  }
+
+  /** Pareto / ABC concentration report — the per-key companion of
+    * [[gini]]'s scalar: keys ranked by value, cumulative share in ppm,
+    * and the classic A (≤ `aPpm`), B (≤ `bPpm`), C classification the
+    * 80/20 inventory rule uses. Values are cent-quantized PER ROW
+    * before the keyed sum (the engine-exactness contract), the rank
+    * tie-breaks key-ascending, and the running sum uses an explicit
+    * ROWS frame (a RANGE frame would pool tied values and both engines
+    * would still agree — but ROWS + total order is the deterministic
+    * contract everywhere else in this repo).
+    *
+    * Scale: the fact table collapses to one row per key FIRST (keyed
+    * agg), so the rank/cumsum window runs over the dimension, not the
+    * corpus. The window is globally ordered — fine to ~1e8 keys;
+    * beyond that swap in the banded two-level prefix sum of
+    * [[graft.ops.Corpus.groupPercentile]]. cum_cents·1e6 bounds the
+    * exact path to ~9e12 total cents; rescale to basis points past it.
+    */
+  def paretoAbc(df: DataFrame, keyCol: String, valueCol: Column,
+                aPpm: Long = 800000L, bPpm: Long = 950000L): DataFrame = {
+    import graft.functions.PixieFunctions.idiv
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(keyCol))
+      .agg(sum(floor(valueCol * 100.0 + 0.5).cast("long")).as("cents"))
+    val tot = broadcast(per.agg(sum(col("cents")).as("__total")))
+    val w = Window.orderBy(col("cents").desc, col(keyCol))
+    per.crossJoin(tot)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(keyCol), col("rank"), col("cents"),
+        idiv(col("__cum") * 1000000L, col("__total")).as("cum_ppm"))
+      .withColumn("abc_class", when(col("cum_ppm") <= aPpm, "A")
+        .when(col("cum_ppm") <= bPpm, "B").otherwise("C"))
+  }
 }

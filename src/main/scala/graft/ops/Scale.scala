@@ -208,4 +208,36 @@ object Scale {
           col("files_total")).as("skip_ppm"),
         col("rows_matched"))
   }
+
+  /** Distinct counting via KEY-SPACE SHARDING: keys hash into
+    * `nShards` disjoint shards, each shard deduplicates locally, and
+    * the per-group cardinality is the SUM of per-shard cardinalities
+    * (exact — the shards partition the key space, so no key is counted
+    * twice and none straddles shards). This is the shape that survives
+    * 100 TB where a plain `count(DISTINCT)` concentrates each group's
+    * entire key set in one aggregation state: here state splits
+    * `nShards` ways, every stage is a keyed aggregate on
+    * (group, shard), and the final rollup carries one row per
+    * (group, shard). The same sharding is the persistence unit of an
+    * incremental pipeline — per-shard key sets fold a delta without
+    * rescanning the corpus, and the sketch twin (per-shard HLL
+    * sketches merged with `hll_union_agg`, pinned within tolerance in
+    * Round8dSpec) answers at 1/1000 the state when exactness is not
+    * required. Null keys are excluded up front on both engine sides
+    * (count(DISTINCT) drops them — the null-parity contract).
+    */
+  def shardedDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                      nShards: Int = 64): DataFrame = {
+    require(nShards > 0, "shardedDistinct: nShards > 0")
+    df.where(col(keyCol).isNotNull)
+      .select(col(groupCol),
+        pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
+        col(keyCol).as("__k"))
+      .distinct()
+      .groupBy(col(groupCol), col("__shard"))
+      .agg(count(lit(1)).as("__card"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__card")).as("n_unique"),
+        count(lit(1)).as("n_shards_hit"))
+  }
 }

@@ -790,4 +790,70 @@ object TextOps {
       .select(col("n").as("n_words") +: Fit.olsSelect(col("n"), col("sx"),
         col("sy"), col("sxy"), col("sxx"), col("syy")): _*)
   }
+
+  /** TF-IDF keyword extraction: each doc's top-`k` terms by
+    * tf·ln(N/df) — the classic document-summarization signal (Sparck
+    * Jones IDF) a curation pipeline uses for topic tagging, dataset
+    * cards, and facet search, where BM25 ([[bm25TopK]]) answers the
+    * inverse question (score docs FOR a query).
+    *
+    * Exactness: idf is nano-quantized PER WORD (one ln each — the
+    * KL/PSI nano-term contract), the score is the exact integer
+    * tf·idf_nano, and ties break word-ascending, so the top-k set is
+    * engine- and partitioning-exact. N counts docs with at least one
+    * token (docs that contribute no rows can't carry keywords).
+    *
+    * Scale: two word-keyed aggregates (tf, df), one word-keyed join,
+    * a broadcast 1-row N, and a doc-partitioned rank window — no
+    * global sort, no all-pairs anywhere; output is k rows per doc.
+    */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("__score", col("tf") *
+        floor(log(col("n_docs").cast("double") / col("df")) * 1e9 + 0.5)
+          .cast("long"))
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("__score").desc, col("w"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("word"), col("tf"),
+        round(col("__score").cast("double") / 1e9, 6).as("tfidf"))
+  }
+
+  /** Flesch reading-ease per doc with a deterministic syllable proxy
+    * (vowel-group runs `[aeiouy]+`, min 1 per word) — the readability
+    * gate of a text-quality ladder (alongside [[qualityScore]]'s
+    * length/punct/stopword ratios). Sentences count terminator runs
+    * `[.!?]+` (min 1 so fragment docs stay defined).
+    *
+    * All three counts are exact integers computed by the same regex
+    * semantics on both engines; the Flesch formula
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) is ONE
+    * fixed final double expression over them (the engine-exactness
+    * contract). Map-only: zero shuffle, output one row per non-empty
+    * doc.
+    */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lowered = lower(col(textCol))
+    val toks = filter(split(lowered, " "), w => w =!= "")
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        greatest(lit(1L), size(regexp_extract_all(col(textCol),
+          lit("[.!?]+"), lit(0))).cast("long")).as("n_sentences"),
+        (size(regexp_extract_all(lowered, lit("[aeiouy]+"), lit(0)))
+          .cast("long")
+          + size(filter(toks, w => !w.rlike("[aeiouy]"))).cast("long"))
+          .as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("flesch", round(lit(206.835)
+        - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+        - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 6))
+  }
 }

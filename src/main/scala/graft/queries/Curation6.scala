@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Events, Quality, Scale, TextOps}
+import graft.queries.Q._
+
+/** Round-8 batch 4: document summarization signals (TF-IDF keywords,
+  * Flesch readability), the privacy-audit ladder beyond k-anonymity
+  * (l-diversity, t-closeness), association-rule mining, key-space-
+  * sharded distinct counting, and Pareto/ABC concentration. Every
+  * query ships a full DuckDB re-derivation under the
+  * [[graft.ops.Corpus]] exactness rules (nano-quantized per-term
+  * logs, truncating integer division on positive operands, ONE final
+  * double formula).
+  */
+object Curation6 {
+
+  import graft.functions.PixieFunctions.{idiv, nsToUs}
+
+  /** Shared QI projection for the privacy audits: (event_type,
+    * hour-of-day) classes with the 100-unit value band as the
+    * sensitive attribute — one definition so q437/q438 and their
+    * oracles cannot drift apart.
+    */
+  private def privacyProj(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "events").select(
+      col("event_type"),
+      (idiv(nsToUs(col("ts")), 3600000000L) % 24L).as("hod"),
+      floor(col("value") / 100.0).cast("long").as("vb"))
+
+  private val privacyProjSql =
+    """SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+      |    CAST(floor(value / 100.0) AS BIGINT) AS vb FROM events""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+
+    // TF-IDF keyword extraction: each doc's top-3 terms by the exact
+    // integer tf * nano-quantized ln(N/df) score, ties word-ascending
+    // — the topic-tagging signal for dataset cards and facet search.
+    "q435_tfidf_keywords" -> ((s, dir) => {
+      TextOps.tfidfKeywords(t(s, dir, "documents"), "text", "doc_id", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Flesch reading-ease per doc from exact integer word/sentence/
+    // syllable-proxy counts (vowel-group runs, min 1 per word) — the
+    // readability gate of the text-quality ladder.
+    "q436_readability" -> ((s, dir) => {
+      TextOps.readability(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // L-diversity audit: (event_type, hour-of-day) classes whose
+    // 100-unit value bands show fewer than 3 distinct values — the
+    // homogeneity-attack report k-anonymity alone misses.
+    "q437_l_diversity" -> ((s, dir) => {
+      Quality.lDiversity(privacyProj(s, dir), "vb",
+          Seq("event_type", "hod"), l = 3L)
+        .orderBy("event_type", "hod")
+    }),
+
+    // T-closeness audit: per-class total-variation distance between
+    // the class's sensitive-band distribution and the global one —
+    // nano-quantized probabilities, absent-value mass via the closed
+    // form (no class x sensitive cross join).
+    "q438_t_closeness" -> ((s, dir) => {
+      Quality.tCloseness(privacyProj(s, dir), "vb",
+          Seq("event_type", "hod"))
+        .orderBy("event_type", "hod")
+    }),
+
+    // Association rules over user baskets of event types: directed
+    // a -> b rules with >= 5 co-occurring users — support/confidence
+    // in exact ppm, lift milli-scaled, all truncating integer
+    // division (the "users who error also purchase?" miner).
+    "q439_assoc_rules" -> ((s, dir) => {
+      Events.assocRules(t(s, dir, "events"), "user_id", "event_type",
+          minBaskets = 5L)
+        .orderBy("antecedent", "consequent")
+    }),
+
+    // Distinct users per event type via key-space sharding (64-way
+    // hash shards dedup locally, cardinalities SUM — exact because
+    // shards partition the key space); the oracle is the plain
+    // count(DISTINCT) the sharded plan must equal. n_shards_hit is
+    // hash-dependent diagnostics, selected away from the gated
+    // surface (Round8dSpec pins it instead).
+    "q440_sharded_distinct" -> ((s, dir) => {
+      Scale.shardedDistinct(t(s, dir, "events"), "event_type",
+          "user_id", nShards = 64)
+        .select("event_type", "n_unique")
+        .orderBy("event_type")
+    }),
+
+    // Pareto/ABC revenue concentration by part: cent-quantized
+    // revenue, rank + running share over the PER-KEY aggregate
+    // (dimension-sized window), classic 80/95 class cut.
+    "q441_pareto_abc" -> ((s, dir) => {
+      Quality.paretoAbc(t(s, dir, "lineitem"), "l_partkey",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .orderBy("rank")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q435_tfidf_keywords" ->
+      """WITH w AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM w GROUP BY 1, 2),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM tf),
+        |sc AS (SELECT doc_id, w, tf,
+        |    tf * CAST(floor(ln(CAST(n_docs AS DOUBLE)
+        |      / CAST(df AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+        |      AS sn
+        |  FROM tf JOIN dfq USING (w) CROSS JOIN n),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY sn DESC, w) AS BIGINT) AS rank FROM sc)
+        |SELECT doc_id, rank, w AS word, tf,
+        |  round(CAST(sn AS DOUBLE) / 1000000000.0, 6) AS tfidf
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q436_readability" ->
+      """WITH base AS (SELECT doc_id, text, lower(text) AS lt
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lt, ' '),
+        |      w -> w <> '')) AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lt, '[aeiouy]+')) AS BIGINT)
+        |      + CAST(len(list_filter(string_split(lt, ' '),
+        |          w -> w <> '' AND NOT regexp_matches(w, '[aeiouy]')))
+        |        AS BIGINT) AS n_syllables
+        |  FROM base)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835
+        |    - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+        |    - 84.6 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE),
+        |    6) AS flesch
+        |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    "q437_l_diversity" ->
+      s"""WITH p AS ($privacyProjSql)
+         |SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT vb) AS BIGINT) AS n_sensitive
+         |FROM p WHERE vb IS NOT NULL GROUP BY 1, 2
+         |HAVING count(DISTINCT vb) < 3
+         |ORDER BY event_type, hod""".stripMargin,
+
+    "q438_t_closeness" ->
+      s"""WITH p AS ($privacyProjSql),
+         |cells AS (SELECT event_type, hod, vb,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM p WHERE vb IS NOT NULL GROUP BY 1, 2, 3),
+         |cls AS (SELECT event_type, hod, CAST(sum(c) AS BIGINT) AS n_q
+         |  FROM cells GROUP BY 1, 2),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+         |g AS (SELECT vb,
+         |    (CAST(sum(c) AS BIGINT) * 1000000000) // nn AS pg
+         |  FROM cells CROSS JOIN n GROUP BY vb, nn),
+         |gt AS (SELECT CAST(sum(pg) AS BIGINT) AS g_total FROM g),
+         |j AS (SELECT cells.event_type, cells.hod, n_q,
+         |    (c * 1000000000) // n_q AS pq, pg
+         |  FROM cells JOIN cls USING (event_type, hod)
+         |  JOIN g USING (vb)),
+         |a AS (SELECT event_type, hod, n_q,
+         |    CAST(sum(abs(pq - pg)) AS BIGINT) AS pres,
+         |    CAST(sum(pg) AS BIGINT) AS pgsum
+         |  FROM j GROUP BY 1, 2, 3)
+         |SELECT event_type, hod, n_q,
+         |  round(CAST(pres + g_total - pgsum AS DOUBLE) / 2000000000.0, 6)
+         |    AS tvd
+         |FROM a CROSS JOIN gt ORDER BY event_type, hod""".stripMargin,
+
+    "q439_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT user_id AS b, event_type AS i
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM it),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+        |  FROM it GROUP BY 1),
+        |p AS (SELECT x.i AS antecedent, y.i AS consequent,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM it x JOIN it y USING (b)
+        |  WHERE x.i <> y.i GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT antecedent, consequent, n_both,
+        |  (n_both * 1000000) // nb AS support_ppm,
+        |  (n_both * 1000000) // ca.c AS confidence_ppm,
+        |  (n_both * nb * 1000) // (ca.c * cb.c) AS lift_milli
+        |FROM p JOIN ic ca ON ca.i = p.antecedent
+        |JOIN ic cb ON cb.i = p.consequent CROSS JOIN n
+        |ORDER BY antecedent, consequent""".stripMargin,
+
+    "q440_sharded_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q441_pareto_abc" ->
+      """WITH per AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per),
+        |r AS (SELECT l_partkey, cents,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, l_partkey)
+        |      AS BIGINT) AS rank,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM per)
+        |SELECT l_partkey, rank, cents,
+        |  (cum * 1000000) // total AS cum_ppm,
+        |  CASE WHEN (cum * 1000000) // total <= 800000 THEN 'A'
+        |       WHEN (cum * 1000000) // total <= 950000 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin)
+}

@@ -211,6 +211,36 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.dropTempView(out)
   }
 
+  test("streamingContamination is invariant to micro-batch boundaries") {
+    // completes the batch-boundary determinism battery (Round8Spec
+    // covers normalized dedup, LSH pairs, and paths): the complete-
+    // mode contamination aggregation must produce identical per-doc
+    // ratios whether rows arrive as ONE batch or one per batch
+    implicit val sqlCtx = spark.sqlContext
+    def runCont(batches: Seq[Seq[(Long, String)]]): Map[Long, (Long, Long)] = {
+      val evalSet = Seq((100L,
+        "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+      val in = MemoryStream[(Long, String)](spark)
+      val out = s"det_cont_${System.nanoTime()}"
+      val q = Streaming.streamingContamination(
+          in.toDF.toDF("doc_id", "text"), evalSet, "text", "doc_id", n = 8)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(out).start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(out).select("doc_id", "n_grams", "n_contaminated")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      spark.catalog.dropTempView(out)
+      got
+    }
+    val contRows = Seq(
+      (1L, "one two three four five six seven eight extra words here"),
+      (2L, "totally clean document text with no benchmark overlap at all"),
+      (3L, "zero one two three four five six seven eight nine ten done"))
+    assert(runCont(Seq(contRows)) == runCont(contRows.map(Seq(_))))
+  }
+
   test("streaming MinHash-LSH state persists across micro-batches") {
     val in = MemoryStream[(Long, String)](spark)
     val out = s"stream_mh2_${System.nanoTime()}"
