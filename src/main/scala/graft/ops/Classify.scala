@@ -224,4 +224,42 @@ object Classify {
           .otherwise(idiv((col("agree") * col("n") - col("pe_num")) * 1000000L,
             col("n") * col("n") - col("pe_num"))).as("kappa_ppm"))
   }
+
+  /** ROC-AUC via the rank-sum (Mann-Whitney U) identity with exact
+    * tie handling: AUC = P(score⁺ > score⁻) + ½·P(tie)
+    * = (R₊ − n₊(n₊+1)/2) / (n₊·n₋), with R₊ the sum of AVERAGE ranks
+    * of the positives. Everything stays integral by carrying DOUBLED
+    * ranks: a tied block occupying ranks [lo, hi] contributes
+    * p·(lo+hi) to 2R₊, with lo/hi from one cumulative count over the
+    * DISTINCT micro-quantized scores — so AUC needs no per-row
+    * window, no sampling, and one final double division.
+    *
+    * Scale: one score-keyed aggregate collapses the corpus to the
+    * distinct-score table; the running count windows over THAT (swap
+    * in the banded two-level prefix sum past ~1e8 distinct scores).
+    * 2R₊ ≤ 2n² bounds the exact path to ~2e9 rows; carry the rank sum
+    * as decimal beyond.
+    */
+  def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = df.select(floor(scoreCol * 1e6 + 0.5).cast("long").as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .where(col("__s").isNotNull)
+    val g = q.groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // block at ranks [cum-c+1, cum]: doubled-rank sum = p*(2*(cum-c)+c+1)
+    val r2 = g.withColumn("__cum", sum(col("__c")).over(w))
+      .select(sum(col("__p") *
+        (lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L))
+        .as("__r2"),
+        sum(col("__p")).as("n_pos"),
+        sum(col("__c") - col("__p")).as("n_neg"))
+    r2.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("__r2") - col("n_pos") * (col("n_pos") + 1L))
+          .cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
 }

@@ -1023,6 +1023,62 @@ object Events {
     * basket size), two item-keyed count joins, and a broadcast 1-row
     * N; output is O(#items²) rules.
     */
+  /** Kaplan-Meier survival curve (log domain) for time-to-`target`
+    * per subject: each subject's clock starts at their first event;
+    * subjects reaching `target` contribute an OBSERVED duration (first
+    * target − first event), the rest are right-CENSORED at their last
+    * event. At each observed duration t: n_risk = subjects with
+    * duration ≥ t (censored ones count until they drop), d = events at
+    * t, and ln S(t) = Σ_{t_j ≤ t} ln((n_j − d_j)/n_j).
+    *
+    * Exactness: each factor's log is nano-quantized (the KL/PSI
+    * per-term contract) and the cumulative sum is exact integer — the
+    * gate compares LOG-survival; exponentiation is left to the caller
+    * because libm exp() is not IEEE-pinned across engines (unlike
+    * sqrt). Rows after survival hits zero (n_risk == d) report null
+    * log_survival with the zero carried by `survival_zero`.
+    *
+    * Scale: one subject-keyed aggregate collapses the corpus to one
+    * row per subject; the risk-set window runs over DISTINCT
+    * durations (subject-table-sized — banded prefix swap past ~1e8).
+    */
+  def kaplanMeier(df: DataFrame, subjectCol: String, tsCol: String,
+                  typeCol: String, target: String): DataFrame = {
+    import graft.functions.PixieFunctions.nsToUs
+    import org.apache.spark.sql.expressions.Window
+    val us = nsToUs(col(tsCol))
+    val per = df.where(col(subjectCol).isNotNull)
+      .groupBy(col(subjectCol))
+      .agg(min(us).as("__t0"), max(us).as("__tmax"),
+        min(when(col(typeCol) === target, us)).as("__tevt"))
+      .select(coalesce(col("__tevt") - col("__t0"),
+          col("__tmax") - col("__t0")).as("dur_us"),
+        col("__tevt").isNotNull.cast("long").as("__obs"))
+    val n = broadcast(per.agg(count(lit(1)).as("__n")))
+    val byT = per.groupBy("dur_us")
+      .agg(count(lit(1)).as("__total"), sum(col("__obs")).as("d"))
+    val w = Window.orderBy("dur_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT
+      .withColumn("__cumtot", sum(col("__total")).over(w))
+      .crossJoin(n)
+      .withColumn("n_risk",
+        col("__n") - (col("__cumtot") - col("__total")))
+      .where(col("d") > 0)
+    risk
+      .withColumn("__term", when(col("n_risk") > col("d"),
+        floor(log((col("n_risk") - col("d")).cast("double")
+          / col("n_risk").cast("double")) * 1e9 + 0.5).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("__cum", sum(col("__term")).over(w))
+      .withColumn("survival_zero",
+        max(when(col("n_risk") === col("d"), 1L).otherwise(0L)).over(w) === 1L)
+      .select(col("dur_us"), col("n_risk"), col("d"),
+        when(!col("survival_zero"),
+          round(col("__cum").cast("double") / 1e9, 6)).as("log_survival"),
+        col("survival_zero"))
+  }
+
   def assocRules(df: DataFrame, basketCol: String, itemCol: String,
                  minBaskets: Long = 1L): DataFrame = {
     import graft.functions.PixieFunctions.idiv

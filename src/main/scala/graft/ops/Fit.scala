@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * determinant PRODUCTS are computed after the double cast — dxy^2
   * and dxx*dyy overflow long on real grids.
   */
-private[ops] object Fit {
+private[graft] object Fit {
 
   def olsSelect(n: Column, sx: Column, sy: Column, sxy: Column,
                 sxx: Column, syy: Column): Seq[Column] = {
@@ -30,5 +30,51 @@ private[ops] object Fit {
       when(dxx =!= 0L && dyy =!= 0L,
         round(dxy.cast("double") * dxy.cast("double")
           / (dxx.cast("double") * dyy.cast("double")), 6)).as("r2"))
+  }
+
+  /** Pairwise Pearson correlation matrix over `cols` — the feature-
+    * dependence profile a training pipeline audits before fitting
+    * (collinear features, leaky proxies). Each column is integer-
+    * quantized PER ROW at its own scale, all moments (S, SS, and every
+    * cross SP) come from ONE scan as exact DECIMAL(38,0) sums (the
+    * squares overflow long at ~1e19 — decimal sums are exact and
+    * DuckDB's HUGEINT mirrors them; both cast to the same nearest
+    * double only in the final formula), and
+    * r = (n·Sxy − SxSy) / (√(n·Sxx−Sx²)·√(n·Syy−Sy²)) is a fixed
+    * IEEE expression per pair ("sqrt of a double product" contract).
+    * Zero-variance columns yield null r, never a blow-up.
+    *
+    * Scale: one map pass + one global aggregate carrying
+    * O(k²) partials per partition; output is k·(k−1)/2 rows. No
+    * shuffle of data rows at all (partial aggregation collapses each
+    * partition to one moment vector).
+    */
+  def corrMatrix(df: DataFrame,
+                 cols: Seq[(String, Column, Double)]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val qs = cols.map { case (name, c, scale) =>
+      name -> floor(c * scale + 0.5).cast("long").as(s"__q_$name") }
+    val base = df.select(qs.map(_._2): _*)
+    def q(name: String) = col(s"__q_$name")
+    val aggs =
+      cols.flatMap { case (name, _, _) => Seq(
+        sum(q(name).cast(dec)).as(s"__s_$name"),
+        sum((q(name) * q(name)).cast(dec)).as(s"__ss_$name")) } ++
+      cols.combinations(2).map { case Seq((a, _, _), (b, _, _)) =>
+        sum((q(a) * q(b)).cast(dec)).as(s"__sp_${a}_$b") }.toSeq
+    val m = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairRows = cols.combinations(2).map { case Seq((a, _, _), (b, _, _)) =>
+      val dxx = col("n") * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val dyy = col("n") * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val dxy = col("n") * col(s"__sp_${a}_$b") -
+        col(s"__s_$a") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        when(dxx > 0 && dyy > 0,
+          round(dxy.cast("double")
+            / (sqrt(dxx.cast("double")) * sqrt(dyy.cast("double"))), 6))
+          .as("r"))
+    }.toSeq
+    m.select(inline(array(pairRows: _*)))
   }
 }

@@ -240,4 +240,34 @@ object Scale {
       .agg(sum(col("__card")).as("n_unique"),
         count(lit(1)).as("n_shards_hit"))
   }
+
+  /** Per-key aggregate STATE for incremental view maintenance: the
+    * (count, cent-quantized sum) partials that fold associatively —
+    * persist this (partitioned by the group key at scale) instead of
+    * re-scanning the corpus every snapshot. The IVM member of the
+    * persisted-index family ([[graft.ops.Dedup.writeDedupIndex]],
+    * [[Similarity.writeSq8Index]]) for plain aggregates.
+    */
+  def aggState(df: DataFrame, groupCol: String, valueCol: Column): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(valueCol * 100.0 + 0.5).cast("long")).as("sum_cents"))
+
+  /** Fold a delta's partials into persisted [[aggState]] WITHOUT
+    * touching the historical fact rows: the delta aggregates on its
+    * own (the only scan), then one keyed merge with the state table
+    * — at 100 TB the state is per-key-sized and the work scales with
+    * the DELTA, exactly the [[graft.ops.Dedup.incrementalDedupIndexed]]
+    * contract. Result == [[aggState]] over the full union (q446's
+    * oracle proves it). The final mean is ONE fixed double formula
+    * over the exact integer partials.
+    */
+  def foldAggState(state: DataFrame, delta: DataFrame, groupCol: String,
+                   valueCol: Column): DataFrame =
+    state.unionByName(aggState(delta, groupCol, valueCol))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .withColumn("mean", round(
+        col("sum_cents").cast("double") / 100.0 / col("n_rows"), 6))
 }

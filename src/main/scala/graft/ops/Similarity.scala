@@ -1219,4 +1219,55 @@ object Similarity {
             / (col("__ka") + col("__kb")).cast("double"), 6))
           .as("margin"))
   }
+
+  /** Simplified silhouette (centroid-based, Rousseeuw 1987 §4's cheap
+    * variant): per point, a = distance to own centroid, b = min
+    * distance to any OTHER centroid, s = (b−a)/max(a,b); reported as
+    * the per-cluster mean — the cluster-quality audit that costs
+    * O(n·k) instead of the all-pairs O(n²) of the full silhouette.
+    *
+    * Exactness: centroids come from exact micro-quantized dimension
+    * sums (the [[centroidDrift]] contract) with ONE fixed double form
+    * s/1e6/n per coordinate; each point's distances fold squared
+    * diffs in INDEX ORDER (the q29 list_sum contract — identical
+    * IEEE sequence on both engines), s is micro-quantized PER POINT
+    * before the cross-row mean. Points in singleton-dimension corner
+    * cases (a == b == 0) report s = 0.
+    *
+    * Scale: one (label, dim)-keyed aggregate builds the k·d centroid
+    * table (model-sized, broadcast); the point×centroid fan-out is k
+    * per point, map-side against the broadcast — the corpus never
+    * reshuffles. Output is one row per cluster.
+    */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+      col(vecCol).cast("array<double>").as("__e"))
+    val cent = v
+      .select(col("__lbl"), posexplode(col("__e")).as(Seq("__d", "__x")))
+      .groupBy("__lbl", "__d")
+      .agg(sum(floor(col("__x") * 1e6 + 0.5).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("__lbl").as("__clbl"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__d"),
+          (col("__s").cast("double") / 1e6 / col("__n")).as("__c")))),
+        t => t.getField("__c")).as("__carr"))
+    val dists = v.crossJoin(broadcast(cent))
+      .withColumn("__dist", sqrt(aggregate(
+        zip_with(col("__e"), col("__carr"), (x, c) => (x - c) * (x - c)),
+        lit(0.0d), (acc, x) => acc + x)))
+    val ab = dists.groupBy(col("__id"), col("__lbl"))
+      .agg(max(when(col("__clbl") === col("__lbl"), col("__dist"))).as("__a"),
+        min(when(col("__clbl") =!= col("__lbl"), col("__dist"))).as("__b"))
+    ab.select(col("__lbl"),
+        when(greatest(col("__a"), col("__b")) > 0,
+          floor((col("__b") - col("__a"))
+            / greatest(col("__a"), col("__b")) * 1e6 + 0.5).cast("long"))
+          .otherwise(lit(0L)).as("__sm"))
+      .groupBy(col("__lbl").as("label"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("__sm")).cast("double") / 1e6 / count(lit(1)), 6)
+          .as("mean_silhouette"))
+  }
 }

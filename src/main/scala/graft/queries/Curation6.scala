@@ -99,6 +99,64 @@ object Curation6 {
       Quality.paretoAbc(t(s, dir, "lineitem"), "l_partkey",
           col("l_extendedprice") * (lit(1) - col("l_discount")))
         .orderBy("rank")
+    }),
+
+    // Pairwise Pearson correlation matrix over the lineitem numerics
+    // from ONE scan of exact decimal moments — the collinearity /
+    // leaky-proxy audit before any model fit.
+    "q442_corr_matrix" -> ((s, dir) => {
+      graft.ops.Fit.corrMatrix(t(s, dir, "lineitem"), Seq(
+          ("l_quantity", col("l_quantity"), 1.0),
+          ("l_extendedprice", col("l_extendedprice"), 100.0),
+          ("l_discount", col("l_discount"), 10000.0),
+          ("l_tax", col("l_tax"), 10000.0)))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // ROC-AUC of value as a purchase classifier via the exact
+    // rank-sum identity (doubled average ranks over distinct
+    // micro-quantized scores — no per-row window, ties exact).
+    "q443_roc_auc" -> ((s, dir) => {
+      graft.ops.Classify.rocAuc(t(s, dir, "events"), col("value"),
+        col("event_type") === "purchase")
+    }),
+
+    // Kaplan-Meier time-to-first-purchase per user (log domain:
+    // nano-quantized per-factor logs, exact cumulative sums; exp is
+    // the caller's — libm exp is not IEEE-pinned across engines).
+    "q444_kaplan_meier" -> ((s, dir) => {
+      Events.kaplanMeier(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "purchase")
+        .orderBy("dur_us")
+    }),
+
+    // Simplified (centroid) silhouette per label cluster — the O(n·k)
+    // cluster-quality audit; centroids from exact micro-quantized
+    // dimension sums, distances folded in index order (q29 contract).
+    "q445_silhouette" -> ((s, dir) => {
+      graft.ops.Similarity.simplifiedSilhouette(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy("label")
+    }),
+
+    // Incremental aggregate maintenance: per-type (count, sum) state
+    // persisted from the event_id%5!=0 snapshot, the %5==0 delta
+    // folded WITHOUT rescanning the snapshot — result must equal the
+    // full-corpus GROUP BY (the IVM member of the persisted-index
+    // family; q269/q283/q338 pattern).
+    "q446_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val snap = ev.where(pmod(col("event_id"), lit(5L)) =!= 0)
+      val delta = ev.where(pmod(col("event_id"), lit(5L)) === 0)
+      val statePath = Curation2.tempIndexDir("graft_agg_state_")
+      try {
+        Scale.aggState(snap, "event_type", col("value"))
+          .write.parquet(statePath)
+        Scale.foldAggState(s.read.parquet(statePath), delta,
+            "event_type", col("value"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(statePath)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -202,6 +260,126 @@ object Curation6 {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q442_corr_matrix" -> {
+      val pairs = Seq(("qa", "l_quantity"), ("qb", "l_extendedprice"),
+        ("qc", "l_discount"), ("qd", "l_tax"))
+      val blocks = pairs.combinations(2).map { case Seq((a, na), (b, nb)) =>
+        s"""SELECT '$na' AS col_a, '$nb' AS col_b, n,
+           |  CASE WHEN n*ss$a - s$a*s$a > 0 AND n*ss$b - s$b*s$b > 0 THEN
+           |    round(CAST(n*sp$a$b - s$a*s$b AS DOUBLE)
+           |      / (sqrt(CAST(n*ss$a - s$a*s$a AS DOUBLE))
+           |         * sqrt(CAST(n*ss$b - s$b*s$b AS DOUBLE))), 6)
+           |  END AS r FROM s""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH q AS (SELECT
+         |    CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS qa,
+         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS qb,
+         |    CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS qc,
+         |    CAST(floor(l_tax * 10000.0 + 0.5) AS BIGINT) AS qd
+         |  FROM lineitem),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(qa) AS sqa, sum(qb) AS sqb, sum(qc) AS sqc,
+         |    sum(qd) AS sqd,
+         |    sum(qa*qa) AS ssqa, sum(qb*qb) AS ssqb,
+         |    sum(qc*qc) AS ssqc, sum(qd*qd) AS ssqd,
+         |    sum(qa*qb) AS spqaqb, sum(qa*qc) AS spqaqc,
+         |    sum(qa*qd) AS spqaqd, sum(qb*qc) AS spqbqc,
+         |    sum(qb*qd) AS spqbqd, sum(qc*qd) AS spqcqd
+         |  FROM q)
+         |SELECT * FROM ($blocks) ORDER BY col_a, col_b""".stripMargin
+    },
+
+    "q443_roc_auc" ->
+      """WITH q AS (SELECT
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS p FROM q GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(c) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum FROM g),
+        |t AS (SELECT CAST(sum(p * (2*(cum - c) + c + 1)) AS BIGINT)
+        |      AS r2,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(c - p) AS BIGINT) AS n_neg FROM r)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(CAST(r2 - n_pos*(n_pos+1) AS DOUBLE)
+        |      / (2.0 * n_pos * n_neg), 6) END AS auc
+        |FROM t""".stripMargin,
+
+    "q444_kaplan_meier" ->
+      """WITH per AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS tmax,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS tevt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |dd AS (SELECT coalesce(tevt - t0, tmax - t0) AS dur_us,
+        |    CASE WHEN tevt IS NOT NULL THEN 1 ELSE 0 END AS obs
+        |  FROM per),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dd),
+        |byt AS (SELECT dur_us, CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(obs) AS BIGINT) AS d FROM dd GROUP BY 1),
+        |r AS (SELECT dur_us, total, d, CAST(sum(total) OVER
+        |    (ORDER BY dur_us ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS BIGINT) AS cumtot FROM byt),
+        |ev AS (SELECT dur_us, nn - (cumtot - total) AS n_risk, d
+        |  FROM r CROSS JOIN n WHERE d > 0),
+        |tm AS (SELECT dur_us, n_risk, d,
+        |    CASE WHEN n_risk > d THEN CAST(floor(
+        |      ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END AS term,
+        |    CASE WHEN n_risk = d THEN 1 ELSE 0 END AS z FROM ev),
+        |c AS (SELECT dur_us, n_risk, d,
+        |    CAST(sum(term) OVER w AS BIGINT) AS cum,
+        |    CAST(max(z) OVER w AS BIGINT) AS zs
+        |  FROM tm WINDOW w AS (ORDER BY dur_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT dur_us, n_risk, d,
+        |  CASE WHEN zs = 0 THEN
+        |    round(CAST(cum AS DOUBLE) / 1000000000.0, 6)
+        |  END AS log_survival,
+        |  zs = 1 AS survival_zero
+        |FROM c ORDER BY dur_us""".stripMargin,
+
+    "q445_silhouette" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |ex AS (SELECT label, i AS d, e[i+1] AS x
+        |  FROM v, range(64) t(i)),
+        |cd AS (SELECT label, d,
+        |    CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT label AS clabel,
+        |    list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY d) AS c
+        |  FROM cd GROUP BY 1),
+        |pc AS (SELECT v.vec_id, v.label, cent.clabel,
+        |    sqrt(list_sum(list_transform(range(64),
+        |      i -> (e[i+1] - c[i+1]) * (e[i+1] - c[i+1])))) AS dist
+        |  FROM v, cent),
+        |ab AS (SELECT vec_id, label,
+        |    max(CASE WHEN clabel = label THEN dist END) AS a,
+        |    min(CASE WHEN clabel <> label THEN dist END) AS b
+        |  FROM pc GROUP BY 1, 2),
+        |sm AS (SELECT label, CASE WHEN greatest(a, b) > 0 THEN
+        |    CAST(floor((b - a) / greatest(a, b) * 1000000.0 + 0.5)
+        |      AS BIGINT) ELSE 0 END AS sm FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+        |  round(CAST(sum(sm) AS DOUBLE) / 1000000.0 / count(*), 6)
+        |    AS mean_silhouette
+        |FROM sm GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q446_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 / count(*), 6) AS mean
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q441_pareto_abc" ->
       """WITH per AS (SELECT l_partkey,

@@ -207,6 +207,165 @@ class Round8dSpec extends AnyFunSuite {
         s"$g: est=$est exact=${exact(g)}")
   }
 
+  test("plan pins: tranche 29 — corr single-scan, silhouette broadcast-only, IVM state-sized") {
+    val sf = "/root/testdata/sf0.001"
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def bnlj(p: String): Int =
+      p.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin")
+    val li = graft.core.Tables(spark, sf, "lineitem")
+    val ev = graft.core.Tables(spark, sf, "events")
+    val emb = graft.core.Tables(spark, sf, "embeddings")
+    // corrMatrix: ONE global aggregate — the only exchange is the
+    // single-partition final merge; no joins at all
+    val cm = plan(graft.ops.Fit.corrMatrix(li, Seq(
+      ("q", col("l_quantity"), 1.0), ("p", col("l_extendedprice"), 100.0))))
+    assert(!cm.contains("Join"), cm.take(1500))
+    assert(cm.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      cm.take(1500))
+    // rocAuc: corpus collapses to the distinct-score table before any
+    // window; no cartesians
+    val ra = plan(graft.ops.Classify.rocAuc(ev, col("value"),
+      col("event_type") === "purchase"))
+    assert(!ra.contains("CartesianProduct"), ra.take(1500))
+    // silhouette: the ONLY fan-out is the broadcast centroid table
+    // (model-sized); the corpus never reshuffles for the distance pass
+    val si = plan(graft.ops.Similarity.simplifiedSilhouette(
+      emb, "vec_id", "embedding", "label"))
+    assert(!si.contains("CartesianProduct"), si.take(1500))
+    assert(bnlj(si) <= 1, si.take(1500))
+    // kaplanMeier: subject-keyed agg then duration-table window
+    val km = plan(graft.ops.Events.kaplanMeier(ev, "user_id", "ts",
+      "event_type", "purchase"))
+    assert(!km.contains("CartesianProduct"), km.take(1500))
+    assert(bnlj(km) <= 1, km.take(1500))
+  }
+
+  test("corrMatrix: planted correlations exact, zero variance yields null") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map { _ =>
+      val x = rnd.nextInt(1000).toDouble
+      (x, 3.0 * x + 7.0, -2.0 * x + 5.0, rnd.nextInt(1000).toDouble, 4.2)
+    }
+    val df = rows.toDF("x", "ylin", "yneg", "noise", "const")
+    val got = graft.ops.Fit.corrMatrix(df, Seq(
+        ("x", col("x"), 1.0), ("ylin", col("ylin"), 1.0),
+        ("yneg", col("yneg"), 1.0), ("noise", col("noise"), 1.0),
+        ("const", col("const"), 1.0)))
+      .select("col_a", "col_b", "r")
+      .as[(String, String, Option[Double])].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got(("x", "ylin")).contains(1.0))
+    assert(got(("x", "yneg")).contains(-1.0))
+    assert(got(("x", "const")).isEmpty) // zero variance -> null
+    // vs in-memory Pearson on the noisy pair
+    val xs = rows.map(_._1); val ns = rows.map(_._4)
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum, ns.sum)
+    val sxy = xs.zip(ns).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (xs.map(a => a * a).sum, ns.map(a => a * a).sum)
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(got(("x", "noise")).get - want) < 1e-6)
+  }
+
+  test("rocAuc: perfect separation, reversal, all-ties, tie-average reference") {
+    def auc(rows: Seq[(Double, Boolean)]): Option[Double] =
+      graft.ops.Classify.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .select("auc").as[Option[Double]].head()
+    val perfect = (1 to 20).map(i => (i.toDouble, i > 10))
+    assert(auc(perfect).contains(1.0))
+    assert(auc(perfect.map { case (s, y) => (s, !y) }).contains(0.0))
+    assert(auc((1 to 20).map(i => (5.0, i % 2 == 0))).contains(0.5))
+    // random scores with ties vs the O(n^2) pair-count definition
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 200).map(_ =>
+      (rnd.nextInt(12).toDouble, rnd.nextBoolean()))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val pairs = for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0
+    val want = pairs.sum / (pos.size.toLong * neg.size)
+    assert(math.abs(auc(rows).get - want) < 1e-6)
+  }
+
+  test("kaplanMeier == hand-computed product-limit with censoring") {
+    // subjects: A converts at +10, B at +20, C censored at +15,
+    // D converts at +20, E censored at +5
+    val ev = Seq(
+      ("A", 0L, "view"), ("A", 10L, "purchase"),
+      ("B", 0L, "view"), ("B", 20L, "purchase"),
+      ("C", 0L, "view"), ("C", 15L, "view"),
+      ("D", 0L, "view"), ("D", 20L, "purchase"),
+      ("E", 0L, "view"), ("E", 5L, "view"))
+      .map { case (u, t, k) => (u, t * 1000L, k) } // us -> ns
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.ops.Events.kaplanMeier(ev, "user_id", "ts",
+        "event_type", "purchase")
+      .select("dur_us", "n_risk", "d", "log_survival", "survival_zero")
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect()
+      .sortBy(_._1)
+    // event times: t=10 (E already censored at 5, so n=4, d=1 ->
+    // S=3/4), t=20 (C censored at 15: n=2, d=2 -> S=0)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((10L, 4L, 1L), (20L, 2L, 2L)))
+    assert(math.abs(got(0)._4.get - math.log(3.0 / 4)) < 1e-6)
+    assert(!got(0)._5 && got(1)._5 && got(1)._4.isEmpty)
+  }
+
+  test("simplifiedSilhouette: separated clusters near 1, reference match") {
+    val rnd = new scala.util.Random(17)
+    def vec(center: Double) =
+      Array.fill(8)((center + rnd.nextGaussian() * 0.01).toFloat)
+    val rows = (1 to 60).map { i =>
+      val lbl = i % 3
+      (i.toLong, vec(lbl * 100.0), lbl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.simplifiedSilhouette(
+        df, "vec_id", "embedding", "label")
+      .select("label", "n_points", "mean_silhouette")
+      .as[(Int, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(got.size == 3 && got.values.forall(_._2 == 20L))
+    assert(got.values.forall(_._3 > 0.99))
+    // in-memory simplified silhouette on the same data
+    val byLbl = rows.groupBy(_._3)
+    val cents = byLbl.map { case (l, vs) =>
+      // mirror the op's micro-quantized centroid sums
+      l -> (0 until 8).map { d =>
+        vs.map(v => math.floor(v._2(d).toDouble * 1e6 + 0.5)).sum /
+          1e6 / vs.size }
+    }
+    def dist(v: Array[Float], c: Seq[Double]) = math.sqrt(
+      v.zip(c).map { case (x, cc) => (x.toDouble - cc) * (x.toDouble - cc) }.sum)
+    val want = byLbl.map { case (l, vs) =>
+      val sms = vs.map { v =>
+        val a = dist(v._2, cents(l))
+        val b = cents.filter(_._1 != l).values.map(dist(v._2, _)).min
+        if (math.max(a, b) > 0)
+          math.floor((b - a) / math.max(a, b) * 1e6 + 0.5).toLong else 0L
+      }
+      l -> math.rint(sms.sum.toDouble / 1e6 / vs.size * 1e6) / 1e6
+    }
+    for ((l, w) <- want) assert(math.abs(got(l)._3 - w) < 1e-9, s"label $l")
+  }
+
+  test("foldAggState(delta) == aggState over the full union") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 2000).map(i =>
+      ("g" + rnd.nextInt(5), rnd.nextDouble() * 100, i % 4 == 0))
+    val full = rows.toDF("g", "v", "isDelta")
+    val state = Scale.aggState(full.where(!col("isDelta")), "g", col("v"))
+    val got = Scale.foldAggState(state, full.where(col("isDelta")),
+        "g", col("v"))
+      .select("g", "n_rows", "sum_cents")
+      .as[(String, Long, Long)].collect().toSet
+    val want = Scale.aggState(full, "g", col("v"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("paretoAbc: reference cum shares, class cuts, final row at 1e6 ppm") {
     // revenues: 790, 150, 40, 20 cents -> total 1000 cents
     val rows = Seq((1L, 7.90), (2L, 1.50), (3L, 0.40), (4L, 0.20))
