@@ -1002,27 +1002,6 @@ object Events {
         (col("burst_size") - 1L).as("n_suppressed")): _*)
   }
 
-  /** Association rules over co-occurrence baskets (Agrawal et al.,
-    * SIGMOD 1993, restricted to the 1-item antecedent/consequent rules
-    * a telemetry feed supports): baskets are `basketCol` values, items
-    * the distinct `itemCol` values seen in each basket; every directed
-    * pair a→b with at least `minBaskets` co-occurrences reports
-    * support, confidence, and lift — the "users who error also
-    * purchase?" dependency mining [[graft.ops.Quality.mutualInfo]]
-    * reduces to one scalar.
-    *
-    * Exactness: support/confidence are ppm via truncating integer
-    * division on positive operands (`div` == DuckDB `//`); lift is
-    * milli-scaled c_ab·N·1000 div (c_a·c_b) — exact integers
-    * end-to-end, no doubles anywhere. c_ab·N·1000 bounds the exact
-    * path to ~3e7 baskets; beyond that, rescale to c_ab·1e3 div
-    * (c_a·c_b div N) (same truncation contract).
-    *
-    * Scale: one (basket,item) distinct, a basket-keyed self-join whose
-    * per-basket fan-out is bounded by the item-vocabulary size (not
-    * basket size), two item-keyed count joins, and a broadcast 1-row
-    * N; output is O(#items²) rules.
-    */
   /** Kaplan-Meier survival curve (log domain) for time-to-`target`
     * per subject: each subject's clock starts at their first event;
     * subjects reaching `target` contribute an OBSERVED duration (first
@@ -1054,6 +1033,11 @@ object Events {
       .select(coalesce(col("__tevt") - col("__t0"),
           col("__tmax") - col("__t0")).as("dur_us"),
         col("__tevt").isNotNull.cast("long").as("__obs"))
+      // a subject with all-null timestamps has no defined duration and
+      // never enters the risk set — and a null dur_us row would sort
+      // NULLS FIRST in Spark's window vs NULLS LAST in DuckDB's,
+      // shifting every n_risk (the pinned window null-parity trap)
+      .where(col("dur_us").isNotNull)
     val n = broadcast(per.agg(count(lit(1)).as("__n")))
     val byT = per.groupBy("dur_us")
       .agg(count(lit(1)).as("__total"), sum(col("__obs")).as("d"))
@@ -1079,6 +1063,27 @@ object Events {
         col("survival_zero"))
   }
 
+  /** Association rules over co-occurrence baskets (Agrawal et al.,
+    * SIGMOD 1993, restricted to the 1-item antecedent/consequent rules
+    * a telemetry feed supports): baskets are `basketCol` values, items
+    * the distinct `itemCol` values seen in each basket; every directed
+    * pair a→b with at least `minBaskets` co-occurrences reports
+    * support, confidence, and lift — the "users who error also
+    * purchase?" dependency mining [[graft.ops.Quality.mutualInfo]]
+    * reduces to one scalar.
+    *
+    * Exactness: support/confidence are ppm via truncating integer
+    * division on positive operands (`div` == DuckDB `//`); lift is
+    * milli-scaled c_ab·N·1000 div (c_a·c_b) — exact integers
+    * end-to-end, no doubles anywhere. c_ab·N·1000 bounds the exact
+    * path to ~3e7 baskets; beyond that, rescale to c_ab·1e3 div
+    * (c_a·c_b div N) (same truncation contract).
+    *
+    * Scale: one (basket,item) distinct, a basket-keyed self-join whose
+    * per-basket fan-out is bounded by the item-vocabulary size (not
+    * basket size), two item-keyed count joins, and a broadcast 1-row
+    * N; output is O(#items²) rules.
+    */
   def assocRules(df: DataFrame, basketCol: String, itemCol: String,
                  minBaskets: Long = 1L): DataFrame = {
     import graft.functions.PixieFunctions.idiv

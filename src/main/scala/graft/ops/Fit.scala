@@ -52,24 +52,30 @@ private[graft] object Fit {
   def corrMatrix(df: DataFrame,
                  cols: Seq[(String, Column, Double)]): DataFrame = {
     require(cols.size >= 2, "corrMatrix: need at least two columns")
+    require(cols.map(_._1).distinct.size == cols.size,
+      "corrMatrix: column names must be distinct")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val qs = cols.map { case (name, c, scale) =>
-      name -> floor(c * scale + 0.5).cast("long").as(s"__q_$name") }
-    val base = df.select(qs.map(_._2): _*)
-    def q(name: String) = col(s"__q_$name")
+    // index-based internal aliases (a name containing '_' could
+    // collide in a name-concatenated alias); products are formed in
+    // DECIMAL — a long q*q would silently wrap past |q| ~ 3e9
+    val base = df.select(cols.zipWithIndex.map { case ((_, c, scale), i) =>
+      floor(c * scale + 0.5).cast("long").cast(dec).as(s"__q_$i") }: _*)
+    def q(i: Int) = col(s"__q_$i")
+    val idx = cols.indices
     val aggs =
-      cols.flatMap { case (name, _, _) => Seq(
-        sum(q(name).cast(dec)).as(s"__s_$name"),
-        sum((q(name) * q(name)).cast(dec)).as(s"__ss_$name")) } ++
-      cols.combinations(2).map { case Seq((a, _, _), (b, _, _)) =>
-        sum((q(a) * q(b)).cast(dec)).as(s"__sp_${a}_$b") }.toSeq
+      idx.flatMap { i => Seq(
+        sum(q(i)).as(s"__s_$i"),
+        sum(q(i) * q(i)).as(s"__ss_$i")) } ++
+      idx.combinations(2).map { case Seq(i, j) =>
+        sum(q(i) * q(j)).as(s"__sp_${i}_$j") }.toSeq
     val m = base.agg(count(lit(1)).as("n"), aggs: _*)
-    val pairRows = cols.combinations(2).map { case Seq((a, _, _), (b, _, _)) =>
-      val dxx = col("n") * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
-      val dyy = col("n") * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
-      val dxy = col("n") * col(s"__sp_${a}_$b") -
-        col(s"__s_$a") * col(s"__s_$b")
-      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+    val pairRows = idx.combinations(2).map { case Seq(i, j) =>
+      val dxx = col("n") * col(s"__ss_$i") - col(s"__s_$i") * col(s"__s_$i")
+      val dyy = col("n") * col(s"__ss_$j") - col(s"__s_$j") * col(s"__s_$j")
+      val dxy = col("n") * col(s"__sp_${i}_$j") -
+        col(s"__s_$i") * col(s"__s_$j")
+      struct(lit(cols(i)._1).as("col_a"), lit(cols(j)._1).as("col_b"),
+        col("n"),
         when(dxx > 0 && dyy > 0,
           round(dxy.cast("double")
             / (sqrt(dxx.cast("double")) * sqrt(dyy.cast("double"))), 6))

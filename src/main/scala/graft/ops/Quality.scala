@@ -422,7 +422,10 @@ object Quality {
     val per = df.groupBy(col(keyCol))
       .agg(sum(floor(valueCol * 100.0 + 0.5).cast("long")).as("cents"))
     val tot = broadcast(per.agg(sum(col("cents")).as("__total")))
-    val w = Window.orderBy(col("cents").desc, col(keyCol))
+    // the key tie-break pins nulls LAST: Spark's default asc is
+    // NULLS FIRST while DuckDB's oracle ORDER BY is NULLS LAST — a
+    // null key group tying on cents would otherwise swap ranks
+    val w = Window.orderBy(col("cents").desc, col(keyCol).asc_nulls_last)
     per.crossJoin(tot)
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("__cum", sum(col("cents")).over(

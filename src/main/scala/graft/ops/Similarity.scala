@@ -1241,8 +1241,12 @@ object Similarity {
     */
   def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
                            labelCol: String): DataFrame = {
-    val v = df.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
-      col(vecCol).cast("array<double>").as("__e"))
+    // null vectors are excluded up front on BOTH engine sides: the
+    // oracle's fixed-range explode would count a null row's dims in
+    // the centroid divisor while posexplode emits nothing for it
+    val v = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+        col(vecCol).cast("array<double>").as("__e"))
     val cent = v
       .select(col("__lbl"), posexplode(col("__e")).as(Seq("__d", "__x")))
       .groupBy("__lbl", "__d")

@@ -810,7 +810,11 @@ object TextOps {
   def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = df.select(col(idCol).as("doc_id"),
+    // null doc ids are excluded up front on BOTH engine sides: the
+    // oracle's count(DISTINCT doc_id) would drop them from N while a
+    // groupBy would keep the null group (the null-parity contract)
+    val words = df.where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))

@@ -163,7 +163,8 @@ object Curation6 {
 
     "q435_tfidf_keywords" ->
       """WITH w AS (SELECT doc_id, w FROM (SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS w FROM documents)
+        |    unnest(string_split(text, ' ')) AS w FROM documents
+        |    WHERE doc_id IS NOT NULL)
         |  WHERE w <> ''),
         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
         |  FROM w GROUP BY 1, 2),
@@ -281,11 +282,16 @@ object Curation6 {
          |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |    sum(qa) AS sqa, sum(qb) AS sqb, sum(qc) AS sqc,
          |    sum(qd) AS sqd,
-         |    sum(qa*qa) AS ssqa, sum(qb*qb) AS ssqb,
-         |    sum(qc*qc) AS ssqc, sum(qd*qd) AS ssqd,
-         |    sum(qa*qb) AS spqaqb, sum(qa*qc) AS spqaqc,
-         |    sum(qa*qd) AS spqaqd, sum(qb*qc) AS spqbqc,
-         |    sum(qb*qd) AS spqbqd, sum(qc*qd) AS spqcqd
+         |    sum(CAST(qa AS HUGEINT)*qa) AS ssqa,
+         |    sum(CAST(qb AS HUGEINT)*qb) AS ssqb,
+         |    sum(CAST(qc AS HUGEINT)*qc) AS ssqc,
+         |    sum(CAST(qd AS HUGEINT)*qd) AS ssqd,
+         |    sum(CAST(qa AS HUGEINT)*qb) AS spqaqb,
+         |    sum(CAST(qa AS HUGEINT)*qc) AS spqaqc,
+         |    sum(CAST(qa AS HUGEINT)*qd) AS spqaqd,
+         |    sum(CAST(qb AS HUGEINT)*qc) AS spqbqc,
+         |    sum(CAST(qb AS HUGEINT)*qd) AS spqbqd,
+         |    sum(CAST(qc AS HUGEINT)*qd) AS spqcqd
          |  FROM q)
          |SELECT * FROM ($blocks) ORDER BY col_a, col_b""".stripMargin
     },
@@ -316,9 +322,10 @@ object Curation6 {
         |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
         |      AS tevt
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-        |dd AS (SELECT coalesce(tevt - t0, tmax - t0) AS dur_us,
-        |    CASE WHEN tevt IS NOT NULL THEN 1 ELSE 0 END AS obs
-        |  FROM per),
+        |dd AS (SELECT dur_us, obs FROM (SELECT
+        |      coalesce(tevt - t0, tmax - t0) AS dur_us,
+        |      CASE WHEN tevt IS NOT NULL THEN 1 ELSE 0 END AS obs
+        |    FROM per) WHERE dur_us IS NOT NULL),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dd),
         |byt AS (SELECT dur_us, CAST(count(*) AS BIGINT) AS total,
         |    CAST(sum(obs) AS BIGINT) AS d FROM dd GROUP BY 1),
@@ -347,7 +354,7 @@ object Curation6 {
     "q445_silhouette" ->
       """WITH v AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
+        |  FROM embeddings WHERE embedding IS NOT NULL),
         |ex AS (SELECT label, i AS d, e[i+1] AS x
         |  FROM v, range(64) t(i)),
         |cd AS (SELECT label, d,
