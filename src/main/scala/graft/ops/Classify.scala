@@ -242,9 +242,12 @@ object Classify {
     */
   def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = df.select(floor(scoreCol * 1e6 + 0.5).cast("long").as("__s"),
+    // filter the RAW score: a post-cast filter would let NaN slip
+    // through as a real rank (non-ANSI cast NaN -> 0L) while the
+    // oracle's CAST raises — engine/oracle divergence either way
+    val q = df.where(scoreCol.isNotNull && !isnan(scoreCol.cast("double")))
+      .select(floor(scoreCol * 1e6 + 0.5).cast("long").as("__s"),
         when(labelCol, 1L).otherwise(0L).as("__y"))
-      .where(col("__s").isNotNull)
     val g = q.groupBy("__s")
       .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
     val w = Window.orderBy("__s")

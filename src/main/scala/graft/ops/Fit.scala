@@ -55,11 +55,20 @@ private[graft] object Fit {
     require(cols.map(_._1).distinct.size == cols.size,
       "corrMatrix: column names must be distinct")
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // LISTWISE deletion: a row with a null/NaN in ANY column is
+    // dropped entirely — mixing a listwise n with pairwise
+    // null-skipping sums would silently skew every r touching the
+    // gappy column (Sx/Sxx lose the row, n keeps it). Pairwise-
+    // complete correlation is a different (and inconsistent) estimator
+    // — callers wanting it should pre-impute.
+    val complete = cols.map { case (_, c, _) =>
+      c.isNotNull && !isnan(c.cast("double")) }.reduce(_ && _)
     // index-based internal aliases (a name containing '_' could
     // collide in a name-concatenated alias); products are formed in
     // DECIMAL — a long q*q would silently wrap past |q| ~ 3e9
-    val base = df.select(cols.zipWithIndex.map { case ((_, c, scale), i) =>
-      floor(c * scale + 0.5).cast("long").cast(dec).as(s"__q_$i") }: _*)
+    val base = df.where(complete)
+      .select(cols.zipWithIndex.map { case ((_, c, scale), i) =>
+        floor(c * scale + 0.5).cast("long").cast(dec).as(s"__q_$i") }: _*)
     def q(i: Int) = col(s"__q_$i")
     val idx = cols.indices
     val aggs =

@@ -373,7 +373,14 @@ object Quality {
                  qiCols: Seq[String]): DataFrame = {
     require(qiCols.nonEmpty, "tCloseness: QI cols required")
     import graft.functions.PixieFunctions.idiv
-    val base = df.where(col(sensitiveCol).isNotNull)
+    // null-QI rows are excluded EXPLICITLY: the keyed joins below
+    // cannot carry a null class (equi-joins drop null keys), so
+    // without this filter a null class would survive the groupBy but
+    // silently vanish at the join — unlike [[kAnonymity]]/[[lDiversity]],
+    // which are pure GROUP BYs and retain null classes. Pre-coalesce
+    // nulls to a sentinel for a unified view across the ladder.
+    val qiNotNull = qiCols.map(col(_).isNotNull).reduce(_ && _)
+    val base = df.where(col(sensitiveCol).isNotNull && qiNotNull)
     val cells = base
       .groupBy((qiCols.map(col) :+ col(sensitiveCol).as("__s")): _*)
       .agg(count(lit(1)).as("__c"))

@@ -145,7 +145,10 @@ object Curation6 {
     // full-corpus GROUP BY (the IVM member of the persisted-index
     // family; q269/q283/q338 pattern).
     "q446_incremental_agg" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      // null event_ids would land in NEITHER split (pmod(null) fails
+      // both predicates) while the full-corpus oracle keeps them —
+      // exclude explicitly on both engine sides (null-parity contract)
+      val ev = t(s, dir, "events").where(col("event_id").isNotNull)
       val snap = ev.where(pmod(col("event_id"), lit(5L)) =!= 0)
       val delta = ev.where(pmod(col("event_id"), lit(5L)) === 0)
       val statePath = Curation2.tempIndexDir("graft_agg_state_")
@@ -213,7 +216,8 @@ object Curation6 {
          |ORDER BY event_type, hod""".stripMargin,
 
     "q438_t_closeness" ->
-      s"""WITH p AS ($privacyProjSql),
+      s"""WITH p AS (SELECT * FROM ($privacyProjSql)
+         |  WHERE event_type IS NOT NULL AND hod IS NOT NULL),
          |cells AS (SELECT event_type, hod, vb,
          |    CAST(count(*) AS BIGINT) AS c
          |  FROM p WHERE vb IS NOT NULL GROUP BY 1, 2, 3),
@@ -278,7 +282,12 @@ object Curation6 {
          |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS qb,
          |    CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS qc,
          |    CAST(floor(l_tax * 10000.0 + 0.5) AS BIGINT) AS qd
-         |  FROM lineitem),
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+         |    AND l_extendedprice IS NOT NULL
+         |    AND NOT isnan(l_extendedprice)
+         |    AND l_discount IS NOT NULL AND NOT isnan(l_discount)
+         |    AND l_tax IS NOT NULL AND NOT isnan(l_tax)),
          |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |    sum(qa) AS sqa, sum(qb) AS sqb, sum(qc) AS sqc,
          |    sum(qd) AS sqd,
@@ -300,7 +309,8 @@ object Curation6 {
       """WITH q AS (SELECT
         |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS s,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
         |g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
         |    CAST(sum(y) AS BIGINT) AS p FROM q GROUP BY 1),
         |r AS (SELECT *, CAST(sum(c) OVER (ORDER BY s
@@ -386,7 +396,8 @@ object Curation6 {
         |    AS BIGINT) AS sum_cents,
         |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
         |    AS DOUBLE) / 100.0 / count(*), 6) AS mean
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+        |FROM events WHERE event_id IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q441_pareto_abc" ->
       """WITH per AS (SELECT l_partkey,

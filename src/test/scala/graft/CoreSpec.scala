@@ -13,6 +13,15 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Shared plan-pin helpers (one definition — the substring-count
+    * idiom every plan pin depends on must not drift per-file).
+    */
+  def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+  def bnlj(p: String): Int =
+    p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
 }
 
 class CoreSpec extends AnyFunSuite {

@@ -15,11 +15,7 @@ class Round8dSpec extends AnyFunSuite {
 
   test("plan pins: tranche 28 ops are keyed shuffles, no stray cartesians") {
     val sf = "/root/testdata/sf0.001"
-    def plan(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.executedPlan.toString
-    def bnlj(p: String): Int =
-      p.sliding("BroadcastNestedLoopJoin".length)
-        .count(_ == "BroadcastNestedLoopJoin")
+    import TestSpark.{plan, bnlj}
     val docs = graft.core.Tables(spark, sf, "documents")
     val ev = graft.core.Tables(spark, sf, "events")
     // tfidf: word-keyed tf/df aggregates + ONE 1-row broadcast N
@@ -209,11 +205,7 @@ class Round8dSpec extends AnyFunSuite {
 
   test("plan pins: tranche 29 — corr single-scan, silhouette broadcast-only, IVM state-sized") {
     val sf = "/root/testdata/sf0.001"
-    def plan(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.executedPlan.toString
-    def bnlj(p: String): Int =
-      p.sliding("BroadcastNestedLoopJoin".length)
-        .count(_ == "BroadcastNestedLoopJoin")
+    import TestSpark.{plan, bnlj}
     val li = graft.core.Tables(spark, sf, "lineitem")
     val ev = graft.core.Tables(spark, sf, "events")
     val emb = graft.core.Tables(spark, sf, "embeddings")
