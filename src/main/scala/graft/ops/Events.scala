@@ -1110,4 +1110,146 @@ object Events {
         idiv(col("n_both") * col("__n") * 1000L,
           col("__ca") * col("__cb")).as("lift_milli"))
   }
+
+  /** Temporal sequence rules — the FOLLOWED-BY companion of
+    * [[assocRules]] (co-occurrence) and [[transitionMatrix]] (strict
+    * adjacency): a user supports a→b when ANY b event lands strictly
+    * after an a event within `gapUs`. Support counts users, ppm via
+    * truncating division over the distinct-user N.
+    *
+    * Scale: the pair join is USER-KEYED, so fan-out is bounded by
+    * per-user activity² — fine for bounded per-user event rates; a
+    * heavy-tailed log should pre-cap per-user events (or dedup to one
+    * event per (user, type, gap/2 bucket), an exists-preserving
+    * witness up to bucket rounding) before this op. The distinct on
+    * (user, a, b) collapses the fan-out BEFORE the global rule
+    * aggregate, so only |users|·|types|² rows reach the final shuffle.
+    */
+  def seqRules(df: DataFrame, userCol: String, typeCol: String,
+               tsCol: String, gapUs: Long, minUsers: Long = 1L): DataFrame = {
+    import graft.functions.PixieFunctions.nsToUs
+    val e = df.where(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__et"),
+        nsToUs(col(tsCol)).as("__ts"))
+    val n = broadcast(e.select("__u").distinct()
+      .agg(count(lit(1)).as("__n")))
+    val pairs = e.select(col("__u"), col("__et").as("antecedent"),
+        col("__ts").as("__ta"))
+      .join(e.select(col("__u"), col("__et").as("consequent"),
+        col("__ts").as("__tb")), "__u")
+      .where(col("antecedent") =!= col("consequent") &&
+        col("__tb") > col("__ta") && col("__tb") <= col("__ta") + gapUs)
+      .select("__u", "antecedent", "consequent").distinct()
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("n_users"))
+      .where(col("n_users") >= minUsers)
+    pairs.crossJoin(n)
+      .select(col("antecedent"), col("consequent"), col("n_users"),
+        idiv(col("n_users") * 1000000L, col("__n")).as("support_ppm"))
+  }
+
+  /** Two-proportion A/B report with the χ² test statistic in its
+    * exact 2×2 closed form χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) —
+    * conversion = the subject emitted `target` at least once; variant
+    * from `variantCol` (deterministic hash/parity assignment). Also
+    * reports the SRM (sample-ratio-mismatch) χ² of the observed split
+    * vs 50/50, the guardrail every experiment readout checks first.
+    *
+    * Exactness: a/b/c/d are exact longs from one subject-keyed
+    * aggregate; (ad−bc) is exact in long (bounded by N²/4 —
+    * ~4e9 subjects before it needs decimal); both χ² values are ONE
+    * fixed double formula over the exact counts. Rates in ppm via
+    * truncating division.
+    */
+  def abChiSquare(df: DataFrame, subjectCol: String, variantCol: Column,
+                  typeCol: String, target: String): DataFrame = {
+    // the variant is part of the GROUP key (not a first() pick): it
+    // must be functionally dependent on the subject, and grouping on
+    // it keeps the op deterministic by construction
+    val per = df.where(col(subjectCol).isNotNull)
+      .withColumn("__v", variantCol)
+      .groupBy(col(subjectCol), col("__v"))
+      .agg(max(when(col(typeCol) === target, 1L).otherwise(0L))
+        .as("__conv"))
+    val cells = per.agg(
+      sum(when(col("__v") === 0 && col("__conv") === 1, 1L)
+        .otherwise(0L)).as("__a"),
+      sum(when(col("__v") === 0 && col("__conv") === 0, 1L)
+        .otherwise(0L)).as("__b"),
+      sum(when(col("__v") =!= 0 && col("__conv") === 1, 1L)
+        .otherwise(0L)).as("__c"),
+      sum(when(col("__v") =!= 0 && col("__conv") === 0, 1L)
+        .otherwise(0L)).as("__d"))
+    val na = col("__a") + col("__b"); val nb = col("__c") + col("__d")
+    val nn = na + nb
+    val det = col("__a") * col("__d") - col("__b") * col("__c")
+    // denominator factors multiply in DOUBLE: the long product is N^4
+    // and would overflow past ~55k subjects; det stays long-exact
+    // (bounded N²/4, ~6e9 subjects)
+    val den = na.cast("double") * nb.cast("double") *
+      (col("__a") + col("__c")).cast("double") *
+      (col("__b") + col("__d")).cast("double")
+    cells.select(
+      na.as("n_a"), nb.as("n_b"),
+      col("__a").as("conv_a"), col("__c").as("conv_b"),
+      when(na > 0, idiv(col("__a") * 1000000L, na)).as("rate_a_ppm"),
+      when(nb > 0, idiv(col("__c") * 1000000L, nb)).as("rate_b_ppm"),
+      when(na > 0 && nb > 0 && col("__a") + col("__c") > 0 &&
+          col("__b") + col("__d") > 0,
+        round(nn.cast("double") * det.cast("double")
+          * det.cast("double") / den, 6)).as("chi2"),
+      when(nn > 0, round((na - nb).cast("double")
+        * (na - nb).cast("double") / nn.cast("double"), 6))
+        .as("srm_chi2"))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013): the adjusted
+    * post-period metric Y − θ·(X − mean(X)) with θ = cov(X,Y)/var(X)
+    * from the PRE-period covariate X — the industry-standard
+    * experiment readout that removes pre-existing user variance.
+    * Reports per-variant n, raw post mean, and adjusted mean.
+    *
+    * Exactness: per-subject pre/post totals are cent-quantized exact
+    * longs; θ's covariance/variance come from DECIMAL(38) moments
+    * (the [[Fit.corrMatrix]] contract — products overflow long), and
+    * the adjusted mean per variant is the closed form
+    * mean(Y|v) − θ·(mean(X|v) − mean(X)) — a fixed double expression
+    * over exact sums, no per-subject double stage at all.
+    *
+    * Scale: one subject-keyed aggregate, one global moment aggregate
+    * (O(1) row), one variant-keyed aggregate — three keyed shuffles,
+    * output O(#variants).
+    */
+  def cuped(df: DataFrame, subjectCol: String, variantCol: Column,
+            valueCol: Column, tsCol: String, splitNs: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cents = floor(valueCol * 100.0 + 0.5).cast("long")
+    val per = df.where(col(subjectCol).isNotNull)
+      .withColumn("variant", variantCol)
+      .groupBy(col(subjectCol), col("variant"))
+      .agg(coalesce(sum(when(col(tsCol) < splitNs, cents)), lit(0L))
+          .as("__x"),
+        coalesce(sum(when(col(tsCol) >= splitNs, cents)), lit(0L))
+          .as("__y"))
+    val m = broadcast(per.agg(count(lit(1)).as("__nn"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum((col("__x").cast(dec)) * col("__x").cast(dec)).as("__sxx"),
+      sum((col("__x").cast(dec)) * col("__y").cast(dec)).as("__sxy")))
+    val dxx = col("__nn") * col("__sxx") - col("__sx") * col("__sx")
+    val dxy = col("__nn") * col("__sxy") - col("__sx") * col("__sy")
+    val theta = when(dxx > 0,
+      dxy.cast("double") / dxx.cast("double")).otherwise(lit(0.0d))
+    per.groupBy("variant")
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col("__x")).as("__sxv"), sum(col("__y")).as("__syv"))
+      .crossJoin(m)
+      .select(col("variant"), col("n_subjects"),
+        round(col("__syv").cast("double") / 100.0 / col("n_subjects"), 6)
+          .as("mean_post"),
+        round((col("__syv").cast("double") / col("n_subjects")
+          - theta * (col("__sxv").cast("double") / col("n_subjects")
+            - col("__sx").cast("double") / col("__nn"))) / 100.0, 6)
+          .as("mean_adjusted"))
+  }
 }

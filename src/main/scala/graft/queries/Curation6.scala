@@ -160,6 +160,32 @@ object Curation6 {
           .orderBy("event_type")
           .localCheckpoint(true)
       } finally Curation2.deleteDir(statePath)
+    }),
+
+    // Temporal sequence rules: a FOLLOWED BY b within 6 h, support =
+    // distinct users — the "what does an error lead to" miner between
+    // co-occurrence (q439) and strict adjacency (q379).
+    "q447_seq_rules" -> ((s, dir) => {
+      Events.seqRules(t(s, dir, "events"), "user_id", "event_type",
+          "ts", gapUs = 21600000000L, minUsers = 5L)
+        .orderBy("antecedent", "consequent")
+    }),
+
+    // A/B readout: user_id-parity variants, purchase conversion, the
+    // exact 2x2 chi-square closed form + the SRM guardrail chi-square.
+    "q448_ab_chi_square" -> ((s, dir) => {
+      Events.abChiSquare(t(s, dir, "events"), "user_id",
+        pmod(col("user_id"), lit(2L)), "event_type", "purchase")
+    }),
+
+    // CUPED variance reduction: pre-period (before Jan 16) spend as
+    // the covariate, theta from exact decimal moments, per-variant
+    // raw vs adjusted post-period means.
+    "q449_cuped" -> ((s, dir) => {
+      Events.cuped(t(s, dir, "events"), "user_id",
+          pmod(col("user_id"), lit(2L)), col("value"), "ts",
+          graft.functions.PixieFunctions.tsNsLit("2024-01-16"))
+        .orderBy("variant")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -417,5 +443,85 @@ object Curation6 {
         |  CASE WHEN (cum * 1000000) // total <= 800000 THEN 'A'
         |       WHEN (cum * 1000000) // total <= 950000 THEN 'B'
         |       ELSE 'C' END AS abc_class
-        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin)
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+
+    "q447_seq_rules" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+        |    epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nn FROM e),
+        |p AS (SELECT DISTINCT x.u, x.et AS antecedent,
+        |    y.et AS consequent
+        |  FROM e x JOIN e y ON x.u = y.u
+        |  WHERE x.et <> y.et AND y.t > x.t
+        |    AND y.t <= x.t + 21600000000),
+        |r AS (SELECT antecedent, consequent,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM p GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT antecedent, consequent, n_users,
+        |  (n_users * 1000000) // nn AS support_ppm
+        |FROM r CROSS JOIN n ORDER BY antecedent, consequent""".stripMargin,
+
+    "q448_ab_chi_square" ->
+      """WITH per AS (SELECT user_id, user_id % 2 AS v,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN v = 0 AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN v <> 0 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN v <> 0 AND conv = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM per)
+        |SELECT a + b AS n_a, c + d AS n_b, a AS conv_a, c AS conv_b,
+        |  CASE WHEN a + b > 0 THEN (a * 1000000) // (a + b) END
+        |    AS rate_a_ppm,
+        |  CASE WHEN c + d > 0 THEN (c * 1000000) // (c + d) END
+        |    AS rate_b_ppm,
+        |  CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0
+        |      AND b + d > 0 THEN
+        |    round(CAST(a + b + c + d AS DOUBLE)
+        |      * CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE)
+        |      / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |         * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 6)
+        |  END AS chi2,
+        |  CASE WHEN a + b + c + d > 0 THEN
+        |    round(CAST((a + b) - (c + d) AS DOUBLE)
+        |      * CAST((a + b) - (c + d) AS DOUBLE)
+        |      / CAST(a + b + c + d AS DOUBLE), 6) END AS srm_chi2
+        |FROM c""".stripMargin,
+
+    "q449_cuped" ->
+      """WITH per AS (SELECT user_id, user_id % 2 AS variant,
+        |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+        |      CAST(floor(value * 100.0 + 0.5) AS BIGINT) END),
+        |      0) AS x,
+        |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+        |      CAST(floor(value * 100.0 + 0.5) AS BIGINT) END),
+        |      0) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM per),
+        |t AS (SELECT nn, sx,
+        |    CASE WHEN nn*sxx - sx*sx > 0 THEN
+        |      CAST(nn*sxy - sx*sy AS DOUBLE)
+        |        / CAST(nn*sxx - sx*sx AS DOUBLE)
+        |    ELSE 0.0 END AS theta FROM m),
+        |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_subjects,
+        |    CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+        |  FROM per GROUP BY 1)
+        |SELECT variant, n_subjects,
+        |  round(CAST(syv AS DOUBLE) / 100.0 / n_subjects, 6)
+        |    AS mean_post,
+        |  round((CAST(syv AS DOUBLE) / n_subjects
+        |    - theta * (CAST(sxv AS DOUBLE) / n_subjects
+        |      - CAST(sx AS DOUBLE) / nn)) / 100.0, 6) AS mean_adjusted
+        |FROM v CROSS JOIN t ORDER BY variant""".stripMargin)
 }

@@ -343,6 +343,70 @@ class Round8dSpec extends AnyFunSuite {
     for ((l, w) <- want) assert(math.abs(got(l)._3 - w) < 1e-9, s"label $l")
   }
 
+  test("seqRules: direction and gap respected, == brute-force reference") {
+    // user 1: a at t=0, b at t=5 (within gap 10); user 2: b then a
+    // (wrong direction); user 3: a at 0, b at 50 (beyond gap)
+    val ev = Seq(
+      (1L, "a", 0L), (1L, "b", 5L),
+      (2L, "b", 0L), (2L, "a", 5L),
+      (3L, "a", 0L), (3L, "b", 50L))
+      .map { case (u, et, t) => (u, et, t * 1000L) } // us -> ns
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.ops.Events.seqRules(ev, "user_id", "event_type",
+        "ts", gapUs = 10L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // a->b supported only by user 1; b->a only by user 2; N = 3
+    assert(got == Map(("a", "b") -> ((1L, 333333L)),
+      ("b", "a") -> ((1L, 333333L))))
+  }
+
+  test("abChiSquare matches the textbook 2x2 and flags SRM") {
+    // variant 0: 30/100 convert; variant 1: 50/100 convert
+    val rows = (1 to 200).map { i =>
+      val v = i % 2
+      val conv = if (v == 0) (i / 2) % 10 < 3 else (i / 2) % 10 < 5
+      (i.toLong, v.toLong, if (conv) "purchase" else "view")
+    }
+    val df = rows.toDF("user_id", "variant", "event_type")
+    val got = graft.ops.Events.abChiSquare(df, "user_id",
+        col("user_id") % 2, "event_type", "purchase")
+      .select("n_a", "n_b", "conv_a", "conv_b", "chi2", "srm_chi2")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    // i%2==0 -> variant 0 has 100 users etc.
+    val (a, b, c, d) = (got._3, got._1 - got._3, got._4, got._2 - got._4)
+    val n = (a + b + c + d).toDouble
+    val det = (a * d - b * c).toDouble
+    val want = n * det * det /
+      ((a + b).toDouble * (c + d) * (a + c) * (b + d))
+    assert(math.abs(got._5 - want) < 1e-6)
+    assert(got._6 == 0.0) // balanced split -> zero SRM statistic
+  }
+
+  test("cuped: pure-carryover variants equalize, reference theta math") {
+    // post == pre exactly (theta = 1): variant raw means differ by
+    // the pre-period imbalance, adjusted means must coincide
+    val rows = (1 to 100).flatMap { i =>
+      val v = i % 2
+      val spend = if (v == 0) 10.0 + (i % 7) else 20.0 + (i % 7)
+      Seq((i.toLong, "pre", spend), (i.toLong, "post", spend))
+    }
+    val ns = graft.functions.PixieFunctions.tsNsLit("2024-01-16")
+    val df = rows.map { case (u, phase, sp) =>
+      (u, if (phase == "pre") ns - 1000L else ns + 1000L, sp) }
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.Events.cuped(df, "user_id", col("user_id") % 2,
+        col("value"), "ts", ns)
+      .select("variant", "mean_post", "mean_adjusted")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._2 != got(1L)._2) // raw means differ
+    assert(math.abs(got(0L)._3 - got(1L)._3) < 1e-6) // adjusted coincide
+    // adjusted means preserve the global mean (CUPED is mean-neutral)
+    val globalPost = (got(0L)._2 + got(1L)._2) / 2
+    val globalAdj = (got(0L)._3 + got(1L)._3) / 2
+    assert(math.abs(globalPost - globalAdj) < 1e-4)
+  }
+
   test("foldAggState(delta) == aggState over the full union") {
     val rnd = new scala.util.Random(29)
     val rows = (1 to 2000).map(i =>
