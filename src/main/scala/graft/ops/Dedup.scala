@@ -916,4 +916,57 @@ object Dedup {
       .where(col("dist") <= maxDist.toLong)
       .select("id_a", "id_b", "name_a", "name_b", "dist")
   }
+
+  /** Jaro-Winkler blocked linkage — [[recordLinkage]]'s fuzzy sibling
+    * for the verify stage where Levenshtein's O(|a|·|b|) DP per pair
+    * is too heavy: the [[graft.expressions.JaroWinkler]] codegen
+    * expression is O(|a|·window) with no DP table, and the Winkler
+    * prefix boost matches how real-world names diverge (suffix edits).
+    * The threshold compares the ROUNDED score on both engine sides,
+    * so the raw-double bit-parity the expression guarantees makes the
+    * cut boundary-safe. Same shape: block-keyed self-join (fan-out
+    * bounded by block size — pick blocks like [[recordLinkage]]).
+    */
+  def jaroLinkage(df: DataFrame, idCol: String, nameCol: String,
+                  blockCols: Seq[String], minJw: Double): DataFrame = {
+    require(blockCols.nonEmpty, "jaroLinkage: blocks")
+    val base = df.select((Seq(col(idCol).as("__id"),
+      col(nameCol).as("__name")) ++ blockCols.map(col)): _*)
+    val a = base.toDF("id_a" +: "name_a" +: blockCols: _*)
+    val b = base.toDF("id_b" +: "name_b" +: blockCols: _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jw", round(graft.expressions.JaroWinkler.column(
+        col("name_a"), col("name_b")), 6))
+      .where(col("jw") >= minJw)
+      .select((blockCols.map(col) ++
+        Seq(col("id_a"), col("id_b"), col("jw"))): _*)
+  }
+
+  /** Typo-tolerant blocked linkage on the FULL Damerau-Levenshtein
+    * metric ([[graft.expressions.DamerauLevenshtein]] — adjacent
+    * transpositions cost 1): pairs within `maxDl`, reporting plain
+    * Levenshtein alongside so the transposition gain (lev − dl) is
+    * visible per pair — the swap-typo evidence [[recordLinkage]]'s
+    * plain-edit verify misses. Integer distances end-to-end: parity
+    * with the oracle is definitional. Same block-keyed self-join
+    * shape; fan-out bounded by block size.
+    */
+  def typoLinkage(df: DataFrame, idCol: String, nameCol: String,
+                  blockCols: Seq[String], maxDl: Long): DataFrame = {
+    require(blockCols.nonEmpty && maxDl >= 0, "typoLinkage: blocks")
+    val base = df.select((Seq(col(idCol).as("__id"),
+      col(nameCol).as("__name")) ++ blockCols.map(col)): _*)
+    val a = base.toDF("id_a" +: "name_a" +: blockCols: _*)
+    val b = base.toDF("id_b" +: "name_b" +: blockCols: _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dl", graft.expressions.DamerauLevenshtein.column(
+        col("name_a"), col("name_b")))
+      .where(col("dl") <= maxDl)
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b"))
+        .cast("long"))
+      .select((blockCols.map(col) ++
+        Seq(col("id_a"), col("id_b"), col("dl"), col("lev"))): _*)
+  }
 }

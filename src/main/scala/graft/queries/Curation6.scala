@@ -186,9 +186,54 @@ object Curation6 {
           pmod(col("user_id"), lit(2L)), col("value"), "ts",
           graft.functions.PixieFunctions.tsNsLit("2024-01-16"))
         .orderBy("variant")
+    }),
+
+    // Composed experiment readout: one row per variant stitching the
+    // CUPED means, the per-variant conversion rate, the chi-square +
+    // SRM guardrails, and the value-as-classifier AUC — the panel an
+    // experimentation platform renders per test. The oracle is
+    // ASSEMBLED from the legs' oracle strings (the q433 baseOracles
+    // pattern) so the panel SQL can never drift from the detectors.
+    "q450_experiment_panel" -> ((s, dir) => {
+      val variant = pmod(col("user_id"), lit(2L))
+      val ev = t(s, dir, "events")
+      val cu = Events.cuped(ev, "user_id", variant, col("value"), "ts",
+        graft.functions.PixieFunctions.tsNsLit("2024-01-16"))
+      val ab = Events.abChiSquare(ev, "user_id", variant,
+        "event_type", "purchase")
+      val auc = graft.ops.Classify.rocAuc(ev, col("value"),
+        col("event_type") === "purchase")
+      cu.crossJoin(broadcast(ab.select(col("rate_a_ppm"),
+          col("rate_b_ppm"), col("chi2"), col("srm_chi2"))))
+        .crossJoin(broadcast(auc.select(col("auc"))))
+        .select(col("variant"), col("n_subjects"),
+          when(col("variant") === 0, col("rate_a_ppm"))
+            .otherwise(col("rate_b_ppm")).as("rate_ppm"),
+          col("mean_post"), col("mean_adjusted"),
+          col("chi2"), col("srm_chi2"), col("auc"))
+        .orderBy("variant")
+    }),
+
+    // Jaro-Winkler blocked linkage over part names (brand blocks):
+    // the native codegen expression, bit-identical to DuckDB's
+    // jaro_winkler_similarity (fuzz-verified), thresholded on the
+    // ROUNDED score so the cut is boundary-safe cross-engine.
+    "q451_jaro_linkage" -> ((s, dir) => {
+      graft.ops.Dedup.jaroLinkage(t(s, dir, "part"), "p_partkey",
+          "p_name", Seq("p_brand", "p_size"), minJw = 0.9)
+        .orderBy("p_brand", "p_size", "id_a", "id_b")
+    }),
+
+    // Typo-tolerant linkage on the FULL Damerau-Levenshtein metric
+    // (native codegen expression; transpositions cost 1) with plain
+    // Levenshtein alongside — integer distances, definitional parity.
+    "q452_typo_linkage" -> ((s, dir) => {
+      graft.ops.Dedup.typoLinkage(t(s, dir, "part"), "p_partkey",
+          "p_name", Seq("p_brand", "p_size"), maxDl = 3L)
+        .orderBy("p_brand", "p_size", "id_a", "id_b")
     }))
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
 
     "q435_tfidf_keywords" ->
       """WITH w AS (SELECT doc_id, w FROM (SELECT doc_id,
@@ -523,5 +568,48 @@ object Curation6 {
         |  round((CAST(syv AS DOUBLE) / n_subjects
         |    - theta * (CAST(sxv AS DOUBLE) / n_subjects
         |      - CAST(sx AS DOUBLE) / nn)) / 100.0, 6) AS mean_adjusted
-        |FROM v CROSS JOIN t ORDER BY variant""".stripMargin)
+        |FROM v CROSS JOIN t ORDER BY variant""".stripMargin,
+
+    "q451_jaro_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name
+        |  FROM part),
+        |j AS (SELECT x.p_brand, x.p_size, x.p_partkey AS id_a,
+        |    y.p_partkey AS id_b,
+        |    round(jaro_winkler_similarity(x.p_name, y.p_name), 6) AS jw
+        |  FROM p x JOIN p y ON x.p_brand = y.p_brand
+        |    AND x.p_size = y.p_size AND x.p_partkey < y.p_partkey)
+        |SELECT p_brand, p_size, id_a, id_b, jw FROM j
+        |WHERE jw >= 0.9
+        |ORDER BY p_brand, p_size, id_a, id_b""".stripMargin,
+
+    "q452_typo_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name
+        |  FROM part),
+        |j AS (SELECT x.p_brand, x.p_size, x.p_partkey AS id_a,
+        |    y.p_partkey AS id_b,
+        |    CAST(damerau_levenshtein(x.p_name, y.p_name) AS BIGINT)
+        |      AS dl,
+        |    CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS lev
+        |  FROM p x JOIN p y ON x.p_brand = y.p_brand
+        |    AND x.p_size = y.p_size AND x.p_partkey < y.p_partkey)
+        |SELECT p_brand, p_size, id_a, id_b, dl, lev FROM j
+        |WHERE dl <= 3
+        |ORDER BY p_brand, p_size, id_a, id_b""".stripMargin)
+
+  /** The composed q450 oracle — assembled from the already-gated leg
+    * oracles (the q433 pattern) so the panel SQL cannot drift from
+    * the standalone detectors.
+    */
+  val oracles: Map[String, String] = baseOracles +
+    ("q450_experiment_panel" ->
+      s"""WITH cu AS (SELECT * FROM (${baseOracles("q449_cuped")})),
+         |ab AS (SELECT * FROM (${baseOracles("q448_ab_chi_square")})),
+         |au AS (SELECT * FROM (${baseOracles("q443_roc_auc")}))
+         |SELECT cu.variant, cu.n_subjects,
+         |  CASE WHEN cu.variant = 0 THEN ab.rate_a_ppm
+         |       ELSE ab.rate_b_ppm END AS rate_ppm,
+         |  cu.mean_post, cu.mean_adjusted, ab.chi2, ab.srm_chi2,
+         |  au.auc
+         |FROM cu CROSS JOIN ab CROSS JOIN au
+         |ORDER BY cu.variant""".stripMargin)
 }

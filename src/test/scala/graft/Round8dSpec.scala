@@ -407,6 +407,108 @@ class Round8dSpec extends AnyFunSuite {
     assert(math.abs(globalPost - globalAdj) < 1e-4)
   }
 
+  test("JaroWinkler expression: textbook values, conventions, fuzz invariants") {
+    import graft.expressions.JaroWinkler
+    // classic Winkler census pair — the exact double DuckDB's
+    // jaro_similarity returns (the op's own IEEE sequence; plain
+    // 17.0/18 rounds to ...44, one ulp off both engines)
+    assert(JaroWinkler.jaro("MARTHA", "MARHTA") == 0.9444444444444445)
+    val mj = JaroWinkler.jaro("MARTHA", "MARHTA")
+    assert(JaroWinkler.jw(
+      org.apache.spark.unsafe.types.UTF8String.fromString("MARTHA"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("MARHTA"))
+      == mj + 3 * 0.1 * (1.0 - mj))
+    def jw(a: String, b: String): Double = JaroWinkler.jw(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // DuckDB conventions: either side empty (incl. both) -> 0.0
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0 && jw("abc", "") == 0.0)
+    assert(jw("equal", "equal") == 1.0)
+    // no boost at or below 0.7; prefix capped at 4
+    assert(jw("ab", "ba") == JaroWinkler.jaro("ab", "ba"))
+    val rnd = new scala.util.Random(43)
+    def randStr() = (0 until rnd.nextInt(12))
+      .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    for (_ <- 1 to 500) {
+      val (a, b) = (randStr(), randStr())
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s == jw(b, a)) // symmetric
+      if (a.nonEmpty) assert(jw(a, a) == 1.0)
+    }
+    // through the Column API inside codegen, nulls propagate
+    val df = Seq(("martha", "marhta"), ("dixon", null))
+      .toDF("a", "b")
+      .select(JaroWinkler.column(col("a"), col("b")).as("jw"))
+    val got = df.as[Option[Double]].collect()
+    assert(got(0).contains(jw("martha", "marhta")) && got(1).isEmpty)
+  }
+
+  test("DamerauLevenshtein: full-metric textbook cases, fuzz invariants") {
+    import graft.expressions.DamerauLevenshtein
+    def dl(a: String, b: String): Long = DamerauLevenshtein.dl(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // UNRESTRICTED metric: transposition with intervening edits
+    assert(dl("ca", "abc") == 2L) // OSA would say 3
+    assert(dl("ab", "ba") == 1L)
+    assert(dl("abcdef", "abcfad") == 3L)
+    assert(dl("kitten", "sitting") == 3L)
+    assert(dl("", "") == 0L && dl("abc", "") == 3L && dl("", "ab") == 2L)
+    val rnd = new scala.util.Random(47)
+    def randStr() = (0 until rnd.nextInt(9))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (_ <- 1 to 500) {
+      val (a, b, c) = (randStr(), randStr(), randStr())
+      assert(dl(a, b) == dl(b, a))                 // symmetric
+      assert(dl(a, b) <= dl(a, c) + dl(c, b))      // triangle (metric)
+      assert((dl(a, b) == 0L) == (a == b))         // identity
+      // dominated by plain Levenshtein (transpositions only help)
+      def lev(x: String, y: String): Long = {
+        val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        d(x.length)(y.length).toLong
+      }
+      assert(dl(a, b) <= lev(a, b))
+    }
+    // Column API + null propagation
+    val got = Seq(("ca", "abc"), ("x", null))
+      .toDF("a", "b")
+      .select(DamerauLevenshtein.column(col("a"), col("b")).as("d"))
+      .as[Option[Long]].collect()
+    assert(got(0).contains(2L) && got(1).isEmpty)
+  }
+
+  test("q450 experiment panel rows == standalone detectors") {
+    val sf = "/root/testdata/sf0.001"
+    val panel = graft.queries.Curation6
+      .queries("q450_experiment_panel")(spark, sf)
+      .select("variant", "n_subjects", "rate_ppm", "mean_post",
+        "mean_adjusted", "chi2", "srm_chi2", "auc")
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val cu = graft.queries.Curation6.queries("q449_cuped")(spark, sf)
+      .select("variant", "n_subjects", "mean_post", "mean_adjusted")
+      .as[(Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val ab = graft.queries.Curation6
+      .queries("q448_ab_chi_square")(spark, sf)
+      .select("rate_a_ppm", "rate_b_ppm", "chi2", "srm_chi2")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    val auc = graft.queries.Curation6.queries("q443_roc_auc")(spark, sf)
+      .select("auc").as[Option[Double]].head()
+    for ((v, row) <- panel) {
+      assert(row._2 == cu(v)._2 && row._4 == cu(v)._3 && row._5 == cu(v)._4)
+      assert(row._3 == (if (v == 0) ab._1 else ab._2))
+      assert(row._6 == ab._3 && row._7 == ab._4 && row._8 == auc)
+    }
+    assert(panel.keySet == Set(0L, 1L))
+  }
+
   test("foldAggState(delta) == aggState over the full union") {
     val rnd = new scala.util.Random(29)
     val rows = (1 to 2000).map(i =>

@@ -448,4 +448,35 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: tranche 28-30 families (tfidf, corr, silhouette, KM, seq rules)") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // tfidf: word-keyed aggs, vocab grows sublinearly; corrMatrix:
+      // ONE moment aggregate — should track the scan almost exactly;
+      // silhouette: O(n·k·d) map work against a broadcast centroid
+      // table; Kaplan-Meier: subject-keyed collapse then a
+      // subject-table window; seqRules: user-keyed pair join at
+      // constant per-user density -> ~10x pairs, distinct-collapsed
+      // before the global aggregate.
+      for ((name, dir, label) <- Seq(
+          ("q435_tfidf_keywords", src, "sf0.1"),
+          ("q435_tfidf_keywords", dst, "sf1"),
+          ("q442_corr_matrix", src, "sf0.1"),
+          ("q442_corr_matrix", dst, "sf1"),
+          ("q445_silhouette", src, "sf0.1"),
+          ("q445_silhouette", dst, "sf1"),
+          ("q444_kaplan_meier", src, "sf0.1"),
+          ("q444_kaplan_meier", dst, "sf1"),
+          ("q447_seq_rules", src, "sf0.1"),
+          ("q447_seq_rules", dst, "sf1"))) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
