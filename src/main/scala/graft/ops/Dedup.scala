@@ -902,15 +902,26 @@ object Dedup {
     * (coarse blocks = more recall, more verify work). No all-pairs
     * anywhere.
     */
-  def recordLinkage(df: DataFrame, idCol: String, nameCol: String,
-                    blockCols: Seq[String], maxDist: Int): DataFrame = {
-    require(blockCols.nonEmpty && maxDist >= 0, "recordLinkage: blocks")
+  /** Shared blocking scaffold for the linkage family: the ordered
+    * candidate-pair frame (id_a < id_b) of a block-keyed self-join,
+    * carrying name_a/name_b for the verify scorer. One definition —
+    * [[recordLinkage]]/[[jaroLinkage]]/[[typoLinkage]] differ only in
+    * the scorer applied on top.
+    */
+  private def blockedPairs(df: DataFrame, idCol: String, nameCol: String,
+                           blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty, "linkage: block columns required")
     val base = df.select((Seq(col(idCol).as("__id"),
       col(nameCol).as("__name")) ++ blockCols.map(col)): _*)
     val a = base.toDF("id_a" +: "name_a" +: blockCols: _*)
     val b = base.toDF("id_b" +: "name_b" +: blockCols: _*)
-    a.join(b, blockCols)
-      .where(col("id_a") < col("id_b"))
+    a.join(b, blockCols).where(col("id_a") < col("id_b"))
+  }
+
+  def recordLinkage(df: DataFrame, idCol: String, nameCol: String,
+                    blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "recordLinkage: maxDist >= 0")
+    blockedPairs(df, idCol, nameCol, blockCols)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
         .cast("long"))
       .where(col("dist") <= maxDist.toLong)
@@ -929,13 +940,7 @@ object Dedup {
     */
   def jaroLinkage(df: DataFrame, idCol: String, nameCol: String,
                   blockCols: Seq[String], minJw: Double): DataFrame = {
-    require(blockCols.nonEmpty, "jaroLinkage: blocks")
-    val base = df.select((Seq(col(idCol).as("__id"),
-      col(nameCol).as("__name")) ++ blockCols.map(col)): _*)
-    val a = base.toDF("id_a" +: "name_a" +: blockCols: _*)
-    val b = base.toDF("id_b" +: "name_b" +: blockCols: _*)
-    a.join(b, blockCols)
-      .where(col("id_a") < col("id_b"))
+    blockedPairs(df, idCol, nameCol, blockCols)
       .withColumn("jw", round(graft.expressions.JaroWinkler.column(
         col("name_a"), col("name_b")), 6))
       .where(col("jw") >= minJw)
@@ -954,13 +959,8 @@ object Dedup {
     */
   def typoLinkage(df: DataFrame, idCol: String, nameCol: String,
                   blockCols: Seq[String], maxDl: Long): DataFrame = {
-    require(blockCols.nonEmpty && maxDl >= 0, "typoLinkage: blocks")
-    val base = df.select((Seq(col(idCol).as("__id"),
-      col(nameCol).as("__name")) ++ blockCols.map(col)): _*)
-    val a = base.toDF("id_a" +: "name_a" +: blockCols: _*)
-    val b = base.toDF("id_b" +: "name_b" +: blockCols: _*)
-    a.join(b, blockCols)
-      .where(col("id_a") < col("id_b"))
+    require(maxDl >= 0, "typoLinkage: maxDl >= 0")
+    blockedPairs(df, idCol, nameCol, blockCols)
       .withColumn("dl", graft.expressions.DamerauLevenshtein.column(
         col("name_a"), col("name_b")))
       .where(col("dl") <= maxDl)

@@ -1157,7 +1157,7 @@ object Events {
     *
     * Exactness: a/b/c/d are exact longs from one subject-keyed
     * aggregate; (ad−bc) is exact in long (bounded by N²/4 —
-    * ~4e9 subjects before it needs decimal); both χ² values are ONE
+    * ~6e9 subjects before it needs decimal); both χ² values are ONE
     * fixed double formula over the exact counts. Rates in ppm via
     * truncating division.
     */
@@ -1224,7 +1224,12 @@ object Events {
             valueCol: Column, tsCol: String, splitNs: Long): DataFrame = {
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val cents = floor(valueCol * 100.0 + 0.5).cast("long")
-    val per = df.where(col(subjectCol).isNotNull)
+    // NaN rows are dropped like rocAuc does: the non-ANSI cast would
+    // silently count NaN spend as 0 cents while the oracle's CAST
+    // raises — engine/oracle divergence either way (null values are
+    // fine: conditional sums skip them identically on both engines)
+    val per = df.where(col(subjectCol).isNotNull &&
+        !isnan(valueCol.cast("double")))
       .withColumn("variant", variantCol)
       .groupBy(col(subjectCol), col("variant"))
       .agg(coalesce(sum(when(col(tsCol) < splitNs, cents)), lit(0L))

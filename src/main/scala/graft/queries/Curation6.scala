@@ -548,7 +548,8 @@ object Curation6 {
         |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
         |      CAST(floor(value * 100.0 + 0.5) AS BIGINT) END),
         |      0) AS y
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND (value IS NULL OR NOT isnan(value)) GROUP BY 1, 2),
         |m AS (SELECT CAST(count(*) AS BIGINT) AS nn,
         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
         |    sum(CAST(x AS HUGEINT) * x) AS sxx,

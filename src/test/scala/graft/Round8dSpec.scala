@@ -412,8 +412,10 @@ class Round8dSpec extends AnyFunSuite {
     // classic Winkler census pair — the exact double DuckDB's
     // jaro_similarity returns (the op's own IEEE sequence; plain
     // 17.0/18 rounds to ...44, one ulp off both engines)
-    assert(JaroWinkler.jaro("MARTHA", "MARHTA") == 0.9444444444444445)
-    val mj = JaroWinkler.jaro("MARTHA", "MARHTA")
+    def jaroS(a: String, b: String): Double = JaroWinkler.jaro(
+      a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    assert(jaroS("MARTHA", "MARHTA") == 0.9444444444444445)
+    val mj = jaroS("MARTHA", "MARHTA")
     assert(JaroWinkler.jw(
       org.apache.spark.unsafe.types.UTF8String.fromString("MARTHA"),
       org.apache.spark.unsafe.types.UTF8String.fromString("MARHTA"))
@@ -425,7 +427,7 @@ class Round8dSpec extends AnyFunSuite {
     assert(jw("", "") == 0.0 && jw("", "abc") == 0.0 && jw("abc", "") == 0.0)
     assert(jw("equal", "equal") == 1.0)
     // no boost at or below 0.7; prefix capped at 4
-    assert(jw("ab", "ba") == JaroWinkler.jaro("ab", "ba"))
+    assert(jw("ab", "ba") == jaroS("ab", "ba"))
     val rnd = new scala.util.Random(43)
     def randStr() = (0 until rnd.nextInt(12))
       .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
