@@ -484,6 +484,24 @@ class Round8dSpec extends AnyFunSuite {
     assert(got(0).contains(2L) && got(1).isEmpty)
   }
 
+  test("GraftFunctions: native expressions callable from SQL after registration") {
+    graft.plans.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') AS jw,
+        |  damerau_levenshtein('ca', 'abc') AS dl,
+        |  md5_long60(cast('x' AS BINARY)) AS h,
+        |  nfc_normalize('e' || 'x') AS n""".stripMargin)
+      .as[(Double, Long, Long, String)].head()
+    assert(row._1 == 0.9611111111111111 && row._2 == 2L)
+    assert(row._3 == graft.expressions.Md5Long60.hash60("x".getBytes))
+    assert(row._4 == "ex")
+    // arity misuse fails loudly at analysis, not silently at runtime
+    intercept[Exception](spark.sql("SELECT jaro_winkler('a')").collect())
+    // the extensions class wires the SAME list + the pushdown rule
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+  }
+
   test("q450 experiment panel rows == standalone detectors") {
     val sf = "/root/testdata/sf0.001"
     val panel = graft.queries.Curation6
