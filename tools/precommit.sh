@@ -22,7 +22,8 @@ echo "[precommit] compiling (main + test)..." >&2
 sbt -error -batch compile Test/compile
 
 CHANGED=$(git diff --name-only "$REF" -- 'src/main/scala/*.scala'; \
-          git diff --cached --name-only -- 'src/main/scala/*.scala') || true
+          git diff --cached --name-only -- 'src/main/scala/*.scala'; \
+          git ls-files --others --exclude-standard -- 'src/main/scala/*.scala') || true
 CHANGED=$(printf '%s\n' "$CHANGED" | sort -u | grep . || true)
 if [ -z "$CHANGED" ]; then
   echo "[precommit] no main-source changes vs $REF; compile-only PASS" >&2
