@@ -422,6 +422,40 @@ object Curation4 {
           .orderBy("query_id", "rank")
           .localCheckpoint(true)
       } finally Curation2.deleteDir(idx)
+    }),
+
+    // Ingest-time hysteresis alerting: per-shard open-bin state with
+    // gap zero-fill, replayed AvailableNow — the q398 detector
+    // restricted to each key's [first, last) observed bins (the final
+    // open bin is never emitted; a key's stream begins at its first
+    // bin — shared base CTEs by construction).
+    "q453_streaming_alerts" -> ((s, dir) => {
+      import s.implicits._
+      val stream = graft.core.Tables.stream(s, dir, "events")
+        .where(col("user_id").isNotNull)
+        .select(pmod(col("user_id"), lit(4L)).as("k"),
+          graft.functions.PixieFunctions.nsToUs(col("ts")).as("ts_us"),
+          (col("event_type") === "error").cast("long").as("e"))
+        .as[graft.streaming.Streaming.AlertEvent]
+      val qn = "q453_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.Streaming
+        .streamingAlerts(stream, binUs = 3600L * 1000000L,
+          hiPpm = 300000L, loPpm = 150000L)
+        .toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val out = s.table(qn)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .orderBy("k", "b")
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(qn)
+      }
     }))
 
   /** Stream the events table as the typed [[graft.streaming.Streaming
@@ -1244,5 +1278,34 @@ object Curation4 {
          |${step("p2", "p3")}
          |SELECT node, CAST(pr AS BIGINT) AS pr_ppm FROM p3
          |ORDER BY node""".stripMargin
-    })
+    },
+
+    // The q398 detector over the SAME shared rate CTEs, restricted to
+    // each key's [first, last) observed bins — the streaming append
+    // contract (final open bin unemitted; stream begins at the key's
+    // first bin). Bins before a key's first event carry alert 0 in the
+    // batch grid, so the restriction never changes a surviving row.
+    "q453_streaming_alerts" ->
+      s"""WITH $ratesCtes,
+         |kb AS (SELECT k, min(b) AS kb0, max(b) AS kb1 FROM base
+         |  GROUP BY 1),
+         |st AS (SELECT k, b, n, n_err, err_ppm,
+         |    coalesce(last_value(CASE WHEN err_ppm > 300000 THEN 1
+         |        WHEN err_ppm <= 150000 THEN 0 END IGNORE NULLS)
+         |      OVER (PARTITION BY k ORDER BY b
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+         |      AS alert
+         |  FROM rates),
+         |fin AS (SELECT k, b, n, n_err, err_ppm,
+         |    CAST(alert AS BIGINT) AS alert,
+         |    CAST(CASE WHEN alert = 1 AND coalesce(lag(alert)
+         |        OVER (PARTITION BY k ORDER BY b), 0) = 0
+         |      THEN 1 ELSE 0 END AS BIGINT) AS fired,
+         |    CAST(CASE WHEN alert = 0 AND coalesce(lag(alert)
+         |        OVER (PARTITION BY k ORDER BY b), 0) = 1
+         |      THEN 1 ELSE 0 END AS BIGINT) AS cleared
+         |  FROM st)
+         |SELECT fin.* FROM fin JOIN kb ON kb.k = fin.k
+         |WHERE fin.b >= kb.kb0 AND fin.b < kb.kb1
+         |ORDER BY fin.k, fin.b""".stripMargin)
 }

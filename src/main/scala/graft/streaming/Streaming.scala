@@ -282,6 +282,67 @@ object Streaming {
       }
   }
 
+  case class AlertEvent(k: Long, ts_us: Long, e: Long)
+  case class AlertBinState(openBin: Long, n: Long, nErr: Long, alert: Long)
+  case class AlertRow(k: Long, b: Long, n: Long, n_err: Long,
+                      err_ppm: Long, alert: Long, fired: Long, cleared: Long)
+
+  /** Ingest-time hysteresis alerting — the streaming twin of
+    * [[graft.ops.Alerts.alertHysteresis]] over
+    * [[graft.ops.Alerts.errorRates]]: per-key state holds the OPEN
+    * time bin (counts) and the current alert level; an event landing
+    * in a later bin CLOSES the open bin (emit its rate + the
+    * hysteresis transition: ON above `hiPpm`, OFF at/below `loPpm`,
+    * dead band carries the prior level) and emits the zero-rate bins
+    * of any gap (empty bins read err_ppm = 0, so a standing alert
+    * CLEARS through silence — exactly the batch grid's zero-fill
+    * semantics). Append-mode reality: each key's final open bin is
+    * never emitted, and a key's stream begins at its first observed
+    * bin — so the batch oracle restricts its global zero-filled grid
+    * to [first, last) per key (q453's contract). Late rows (an
+    * already-closed bin) are dropped — the watermark-discipline
+    * contract; the AvailableNow file replay arrives time-ordered.
+    * State is four longs per key.
+    */
+  def streamingAlerts(events: Dataset[AlertEvent], binUs: Long,
+                      hiPpm: Long, loPpm: Long): Dataset[AlertRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[AlertBinState, AlertRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (k, rows, state: GroupState[AlertBinState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AlertRow]
+          def close(prevAlert: Long, b: Long, n: Long, nErr: Long): Long = {
+            val ppm = if (n > 0) nErr * 1000000L / n else 0L
+            val sig = if (ppm > hiPpm) 1L
+              else if (ppm <= loPpm) 0L else prevAlert
+            out += AlertRow(k, b, n, nErr, ppm, sig,
+              if (sig == 1L && prevAlert == 0L) 1L else 0L,
+              if (sig == 0L && prevAlert == 1L) 1L else 0L)
+            sig
+          }
+          for (ev <- sorted) {
+            val b = ev.ts_us / binUs
+            cur match {
+              case None =>
+                cur = Some(AlertBinState(b, 1L, ev.e, 0L))
+              case Some(s) if b == s.openBin =>
+                cur = Some(s.copy(n = s.n + 1, nErr = s.nErr + ev.e))
+              case Some(s) if b > s.openBin =>
+                var lvl = close(s.alert, s.openBin, s.n, s.nErr)
+                var g = s.openBin + 1
+                while (g < b) { lvl = close(lvl, g, 0L, 0L); g += 1 }
+                cur = Some(AlertBinState(b, 1L, ev.e, lvl))
+              case Some(_) => // late row into a closed bin: dropped
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Custom streaming state: gap-based sessionization with
     * flatMapGroupsWithState — the analog of the reference's bespoke
     * stateful exec nodes, using Spark's state store (checkpointed,

@@ -241,6 +241,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(runCont(Seq(contRows)) == runCont(contRows.map(Seq(_))))
   }
 
+  test("streamingAlerts: hysteresis transitions, gap clearing, batch-boundary invariance") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AlertEvent, AlertRow}
+    // bin width 10us; key 0: bin0 all-errors (fires), bin1 dead band
+    // (1/3 errors - holds), bins 2-3 silent (gap rows clear), bin4
+    // reopens (unemitted tail)
+    val evs = Seq(
+      AlertEvent(0L, 1L, 1L), AlertEvent(0L, 2L, 1L),
+      AlertEvent(0L, 12L, 1L), AlertEvent(0L, 13L, 0L),
+      AlertEvent(0L, 14L, 0L),
+      AlertEvent(0L, 41L, 0L))
+    def run(batches: Seq[Seq[AlertEvent]]): Seq[AlertRow] = {
+      val in = MemoryStream[AlertEvent](spark)
+      val out = s"alerts_${System.nanoTime()}"
+      val q = Streaming.streamingAlerts(in.toDS(), binUs = 10L,
+          hiPpm = 300000L, loPpm = 150000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(out).start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(out)
+        .as[AlertRow].collect().sortBy(r => (r.k, r.b)).toSeq
+      spark.catalog.dropTempView(out)
+      got
+    }
+    val one = run(Seq(evs))
+    assert(one.map(r => (r.b, r.n, r.err_ppm, r.alert, r.fired, r.cleared)) ==
+      Seq((0L, 2L, 1000000L, 1L, 1L, 0L),   // fires above hi
+        (1L, 3L, 333333L, 1L, 0L, 0L),      // dead band holds
+        (2L, 0L, 0L, 0L, 0L, 1L),           // silence clears
+        (3L, 0L, 0L, 0L, 0L, 0L)))          // bin 4 stays open
+    // identical under per-event micro-batches (state correctness)
+    assert(run(evs.map(Seq(_))) == one)
+  }
+
   test("streaming MinHash-LSH state persists across micro-batches") {
     val in = MemoryStream[(Long, String)](spark)
     val out = s"stream_mh2_${System.nanoTime()}"
