@@ -51,11 +51,23 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
 
 object DamerauLevenshtein {
 
+  /** The full-matrix DP (required by the unrestricted transposition
+    * lookback into arbitrary earlier rows) caps input size LOUDLY —
+    * ~4M cells (16 MB) per evaluation; longer inputs should be
+    * truncated or routed to a cheaper scorer first. The guard also
+    * closes the (l1+2)*(l2+2) Int-overflow hole a SQL caller could
+    * hit with repeat()-sized strings.
+    */
+  private val MaxCells = 4000000L
+
   def dl(a: UTF8String, b: UTF8String): Long = {
     val s1 = a.getBytes; val s2 = b.getBytes
     val l1 = s1.length; val l2 = s2.length
     if (l1 == 0) return l2.toLong
     if (l2 == 0) return l1.toLong
+    require((l1 + 2L) * (l2 + 2L) <= MaxCells,
+      s"damerau_levenshtein: inputs too long ($l1 x $l2 bytes; " +
+        s"cap ${MaxCells} DP cells) - truncate or pre-filter")
     val maxd = l1 + l2
     // flat (l1+2) x (l2+2) DP with the Lowrance-Wagner -1 boundary
     // row; row stride w
@@ -91,5 +103,68 @@ object DamerauLevenshtein {
 
   def column(a: Column, b: Column): Column =
     ColumnBridge.column(DamerauLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Plain Levenshtein over UTF-8 BYTES — Spark's builtin `levenshtein`
+  * counts code points while DuckDB's counts bytes, so any oracle-gated
+  * comparison of the two diverges on non-ASCII input (the same
+  * byte-vs-char trap [[DamerauLevenshtein]]/[[JaroWinkler]] fixed).
+  * Two-row DP, O(min(|a|,|b|)) space — no size cap needed.
+  */
+case class ByteLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"levenshtein_bytes requires string inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "levenshtein_bytes"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ByteLevenshtein.lev(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.expressions.ByteLevenshtein$$.MODULE$$.lev($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ByteLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+object ByteLevenshtein {
+
+  def lev(a: UTF8String, b: UTF8String): Long = {
+    val s1 = a.getBytes; val s2 = b.getBytes
+    val (sh, lg) = if (s1.length <= s2.length) (s1, s2) else (s2, s1)
+    val n = sh.length
+    if (n == 0) return lg.length.toLong
+    val prev = new Array[Int](n + 1)
+    val cur = new Array[Int](n + 1)
+    var j = 0
+    while (j <= n) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= lg.length) {
+      cur(0) = i
+      j = 1
+      while (j <= n) {
+        val cost = if (lg(i - 1) == sh(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + cost)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, n + 1)
+      i += 1
+    }
+    prev(n).toLong
+  }
+
+  def column(a: Column, b: Column): Column =
+    ColumnBridge.column(ByteLevenshtein(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -922,8 +922,11 @@ object Dedup {
                     blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0, "recordLinkage: maxDist >= 0")
     blockedPairs(df, idCol, nameCol, blockCols)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
-        .cast("long"))
+      // BYTE-wise levenshtein: DuckDB's levenshtein counts bytes while
+      // Spark's builtin counts code points — parity breaks on
+      // non-ASCII names otherwise
+      .withColumn("dist", graft.expressions.ByteLevenshtein.column(
+        col("name_a"), col("name_b")))
       .where(col("dist") <= maxDist.toLong)
       .select("id_a", "id_b", "name_a", "name_b", "dist")
   }
@@ -964,8 +967,8 @@ object Dedup {
       .withColumn("dl", graft.expressions.DamerauLevenshtein.column(
         col("name_a"), col("name_b")))
       .where(col("dl") <= maxDl)
-      .withColumn("lev", levenshtein(col("name_a"), col("name_b"))
-        .cast("long"))
+      .withColumn("lev", graft.expressions.ByteLevenshtein.column(
+        col("name_a"), col("name_b")))
       .select((blockCols.map(col) ++
         Seq(col("id_a"), col("id_b"), col("dl"), col("lev"))): _*)
   }

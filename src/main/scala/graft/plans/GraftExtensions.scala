@@ -62,7 +62,13 @@ object GraftFunctions {
       info("damerau_levenshtein",
         "_FUNC_(a, b) - full Damerau-Levenshtein distance over UTF-8 bytes."),
       arity("damerau_levenshtein", 2)(e =>
-        graft.expressions.DamerauLevenshtein(e.head, e(1)))))
+        graft.expressions.DamerauLevenshtein(e.head, e(1)))),
+    ("levenshtein_bytes",
+      info("levenshtein_bytes",
+        "_FUNC_(a, b) - Levenshtein distance over UTF-8 bytes " +
+          "(Spark's builtin counts code points; DuckDB counts bytes)."),
+      arity("levenshtein_bytes", 2)(e =>
+        graft.expressions.ByteLevenshtein(e.head, e(1)))))
 
   /** Runtime registration on a live session (the extensions class only
     * applies at session construction).

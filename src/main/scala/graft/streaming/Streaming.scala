@@ -306,6 +306,10 @@ object Streaming {
     */
   def streamingAlerts(events: Dataset[AlertEvent], binUs: Long,
                       hiPpm: Long, loPpm: Long): Dataset[AlertRow] = {
+    // the batch twins' construction-time guards (errorRates /
+    // alertHysteresis) — fail here, not as a cryptic task error
+    require(binUs > 0, "streamingAlerts: binUs > 0")
+    require(loPpm <= hiPpm, "streamingAlerts: loPpm <= hiPpm")
     import events.sparkSession.implicits._
     events.groupByKey(_.k)
       .flatMapGroupsWithState[AlertBinState, AlertRow](

@@ -482,6 +482,36 @@ class Round8dSpec extends AnyFunSuite {
       .select(DamerauLevenshtein.column(col("a"), col("b")).as("d"))
       .as[Option[Long]].collect()
     assert(got(0).contains(2L) && got(1).isEmpty)
+    // the full-matrix DP is LOUDLY capped (SQL-reachable input)
+    intercept[IllegalArgumentException](dl("a" * 3000, "b" * 3000))
+  }
+
+  test("ByteLevenshtein: byte-wise parity domain, == code-point lev on ASCII") {
+    import graft.expressions.ByteLevenshtein
+    def bl(a: String, b: String): Long = ByteLevenshtein.lev(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    // DuckDB semantics: bytes, not code points ('é' is 2 UTF-8 bytes)
+    assert(bl("é", "x") == 2L)
+    assert(bl("kitten", "sitting") == 3L && bl("", "ab") == 2L)
+    // on ASCII it equals Spark's builtin levenshtein
+    val rnd = new scala.util.Random(53)
+    val pairs = (1 to 100).map { _ =>
+      def s() = (0 until rnd.nextInt(10))
+        .map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      (s(), s())
+    }
+    val spark2 = pairs.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b")).cast("long").as("l"),
+        ByteLevenshtein.column(col("a"), col("b")).as("bl"))
+      .as[(Long, Long)].collect()
+    assert(spark2.forall(r => r._1 == r._2))
+    // and dl <= byte-lev (same domain now)
+    import graft.expressions.DamerauLevenshtein
+    for ((a, b) <- pairs)
+      assert(DamerauLevenshtein.dl(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= bl(a, b))
   }
 
   test("GraftFunctions: native expressions callable from SQL after registration") {
