@@ -270,4 +270,61 @@ object Scale {
         sum(col("sum_cents")).as("sum_cents"))
       .withColumn("mean", round(
         col("sum_cents").cast("double") / 100.0 / col("n_rows"), 6))
+
+  private def shardTriples(df: DataFrame, groupCol: String, keyCol: String,
+                           nShards: Int): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .select(col(groupCol),
+        pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
+        col(keyCol).as("__k"))
+      .distinct()
+
+  /** Persisted DISTINCT-count state — the hard IVM case [[aggState]]'s
+    * additive partials can't cover (cardinality isn't a sum of row
+    * partials): the state is the [[shardedDistinct]] key space itself,
+    * laid out as `path/keys` (distinct (group, shard, key) triples,
+    * PARTITIONED BY shard so a delta fold prunes to its shards) plus
+    * `path/summary` (per-(group, shard) cardinalities, the rollup for
+    * untouched shards).
+    */
+  def writeDistinctState(df: DataFrame, groupCol: String, keyCol: String,
+                         nShards: Int, path: String): Unit = {
+    require(nShards > 0, "writeDistinctState: nShards > 0")
+    val triples = shardTriples(df, groupCol, keyCol, nShards)
+    triples.write.partitionBy("__shard").parquet(s"$path/keys")
+    triples.groupBy(col(groupCol), col("__shard"))
+      .agg(count(lit(1)).as("__card"))
+      .write.parquet(s"$path/summary")
+  }
+
+  /** Fold a delta into persisted [[writeDistinctState]] WITHOUT
+    * rescanning the full key space: the delta's keys hash to at most
+    * `nShards` shards (a bounded model-fetch enumerates them), the
+    * keys table is read with a PARTITION-PRUNED scan of exactly those
+    * shards, and every untouched shard contributes through the
+    * summary rollup alone — so the fold's key-scan volume is
+    * (touched shards + delta), never the corpus
+    * ([[graft.ops.Dedup.incrementalDedupIndexed]] contract, distinct
+    * edition). Returns per-group n_unique == a full
+    * count(DISTINCT) recompute (q454's oracle proves it).
+    */
+  def foldDistinctState(spark: org.apache.spark.sql.SparkSession,
+                        path: String, delta: DataFrame, groupCol: String,
+                        keyCol: String, nShards: Int): DataFrame = {
+    val d = shardTriples(delta, groupCol, keyCol, nShards)
+    // bounded by nShards (<= a few hundred) — a model fetch, not data
+    val touched = d.select("__shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val keys = spark.read.parquet(s"$path/keys")
+      .where(col("__shard").isin(touched: _*))
+    val recounted = keys.select(col(groupCol), col("__shard"), col("__k"))
+      .unionByName(d).distinct()
+      .groupBy(col(groupCol), col("__shard"))
+      .agg(count(lit(1)).as("__card"))
+    val untouched = spark.read.parquet(s"$path/summary")
+      .where(!col("__shard").isin(touched: _*))
+    recounted.unionByName(untouched)
+      .groupBy(col(groupCol))
+      .agg(sum(col("__card")).as("n_unique"))
+  }
 }

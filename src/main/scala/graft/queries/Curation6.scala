@@ -231,6 +231,27 @@ object Curation6 {
       graft.ops.Dedup.typoLinkage(t(s, dir, "part"), "p_partkey",
           "p_name", Seq("p_brand", "p_size"), maxDl = 3L)
         .orderBy("p_brand", "p_size", "id_a", "id_b")
+    }),
+
+    // Incremental DISTINCT-count maintenance: shard-partitioned key
+    // state + per-shard cardinality summary persisted from the
+    // event_id%5!=0 snapshot; the %5==0 delta folds via a
+    // PARTITION-PRUNED read of only its shards (untouched shards
+    // contribute through the summary alone) — result must equal the
+    // full count(DISTINCT) (the distinct edition of q446's IVM).
+    "q454_incremental_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id").isNotNull)
+      val snap = ev.where(pmod(col("event_id"), lit(5L)) =!= 0)
+      val delta = ev.where(pmod(col("event_id"), lit(5L)) === 0)
+      val statePath = Curation2.tempIndexDir("graft_distinct_state_")
+      try {
+        Scale.writeDistinctState(snap, "event_type", "user_id",
+          nShards = 16, statePath)
+        Scale.foldDistinctState(s, statePath, delta, "event_type",
+            "user_id", nShards = 16)
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(statePath)
     }))
 
   private val baseOracles: Map[String, String] = Map(
@@ -595,7 +616,14 @@ object Curation6 {
         |    AND x.p_size = y.p_size AND x.p_partkey < y.p_partkey)
         |SELECT p_brand, p_size, id_a, id_b, dl, lev FROM j
         |WHERE dl <= 3
-        |ORDER BY p_brand, p_size, id_a, id_b""".stripMargin)
+        |ORDER BY p_brand, p_size, id_a, id_b""".stripMargin,
+
+    "q454_incremental_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
+        |FROM events
+        |WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin)
 
   /** The composed q450 oracle — assembled from the already-gated leg
     * oracles (the q433 pattern) so the panel SQL cannot drift from

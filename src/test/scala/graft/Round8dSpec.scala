@@ -559,6 +559,29 @@ class Round8dSpec extends AnyFunSuite {
     assert(panel.keySet == Set(0L, 1L))
   }
 
+  test("foldDistinctState: pruned fold == full recompute; keys scan is partition-filtered") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 3000).map(i =>
+      ("g" + rnd.nextInt(4), rnd.nextInt(400).toLong, i % 5 == 0))
+    val full = rows.toDF("g", "k", "isDelta")
+    val dir = graft.queries.Curation2.tempIndexDir("graft_spec_dstate_")
+    try {
+      Scale.writeDistinctState(full.where(!col("isDelta")), "g", "k",
+        nShards = 8, dir)
+      val folded = Scale.foldDistinctState(spark, dir,
+        full.where(col("isDelta")), "g", "k", nShards = 8)
+      val got = folded.as[(String, Long)].collect().toMap
+      val want = full.groupBy("g").agg(countDistinct(col("k")).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(got == want)
+      // the keys read carries a partition filter on __shard — the
+      // untouched key partitions never enter the scan
+      val plan = folded.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains("__shard"), plan.take(2000))
+    } finally graft.queries.Curation2.deleteDir(dir)
+  }
+
   test("foldAggState(delta) == aggState over the full union") {
     val rnd = new scala.util.Random(29)
     val rows = (1 to 2000).map(i =>
