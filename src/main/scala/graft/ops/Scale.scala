@@ -229,11 +229,7 @@ object Scale {
   def shardedDistinct(df: DataFrame, groupCol: String, keyCol: String,
                       nShards: Int = 64): DataFrame = {
     require(nShards > 0, "shardedDistinct: nShards > 0")
-    df.where(col(keyCol).isNotNull)
-      .select(col(groupCol),
-        pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
-        col(keyCol).as("__k"))
-      .distinct()
+    shardTriples(df, groupCol, keyCol, nShards)
       .groupBy(col(groupCol), col("__shard"))
       .agg(count(lit(1)).as("__card"))
       .groupBy(col(groupCol))
@@ -292,8 +288,15 @@ object Scale {
     require(nShards > 0, "writeDistinctState: nShards > 0")
     val triples = shardTriples(df, groupCol, keyCol, nShards)
     triples.write.partitionBy("__shard").parquet(s"$path/keys")
-    triples.groupBy(col(groupCol), col("__shard"))
+    // the summary rolls up the JUST-WRITTEN keys table — one cheap
+    // columnar re-read instead of a second corpus-wide distinct
+    // shuffle, and summary == keys consistency by construction. The
+    // shard count travels WITH the state so a fold can refuse a
+    // mismatched nShards instead of silently double-counting.
+    df.sparkSession.read.schema(triples.schema).parquet(s"$path/keys")
+      .groupBy(col(groupCol), col("__shard"))
       .agg(count(lit(1)).as("__card"))
+      .withColumn("__nshards", lit(nShards.toLong))
       .write.parquet(s"$path/summary")
   }
 
@@ -311,17 +314,34 @@ object Scale {
   def foldDistinctState(spark: org.apache.spark.sql.SparkSession,
                         path: String, delta: DataFrame, groupCol: String,
                         keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "foldDistinctState: nShards > 0")
+    // delta triples feed two consumers (touched-shard fetch + the
+    // recount union) — materialize the delta-sized frame once
+    // (checkpoint() on a real cluster, the documented swap)
     val d = shardTriples(delta, groupCol, keyCol, nShards)
+      .localCheckpoint(true)
     // bounded by nShards (<= a few hundred) — a model fetch, not data
     val touched = d.select("__shard").distinct()
       .collect().map(_.getLong(0)).sorted
-    val keys = spark.read.parquet(s"$path/keys")
+    val summary = spark.read.parquet(s"$path/summary")
+    // a fold with a DIFFERENT shard count than the write would hash
+    // the same key into different shards and silently double-count —
+    // the stored count is the contract (empty state = bootstrap, any
+    // nShards is fine)
+    summary.select("__nshards").take(1).foreach { r =>
+      require(r.getLong(0) == nShards.toLong,
+        s"foldDistinctState: state written with nShards=${r.getLong(0)}, " +
+          s"folded with $nShards")
+    }
+    // explicit schema: a bootstrap-empty partitioned keys table has no
+    // files to infer from
+    val keys = spark.read.schema(d.schema).parquet(s"$path/keys")
       .where(col("__shard").isin(touched: _*))
     val recounted = keys.select(col(groupCol), col("__shard"), col("__k"))
       .unionByName(d).distinct()
       .groupBy(col(groupCol), col("__shard"))
       .agg(count(lit(1)).as("__card"))
-    val untouched = spark.read.parquet(s"$path/summary")
+    val untouched = summary.drop("__nshards")
       .where(!col("__shard").isin(touched: _*))
     recounted.unionByName(untouched)
       .groupBy(col(groupCol))

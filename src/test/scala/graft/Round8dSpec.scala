@@ -574,12 +574,45 @@ class Round8dSpec extends AnyFunSuite {
       val want = full.groupBy("g").agg(countDistinct(col("k")).as("n"))
         .as[(String, Long)].collect().toMap
       assert(got == want)
-      // the keys read carries a partition filter on __shard — the
-      // untouched key partitions never enter the scan
+      // the KEYS scan (the partitioned read) carries a NON-EMPTY
+      // partition filter on __shard — `contains("PartitionFilters")`
+      // alone is vacuous (every parquet scan prints an empty list)
       val plan = folded.queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters") &&
-        plan.contains("__shard"), plan.take(2000))
+      assert("PartitionFilters: \\[[^\\]]*__shard".r
+        .findFirstIn(plan).isDefined, plan.take(3000))
+      // a mismatched shard count is refused, never silently folded
+      intercept[IllegalArgumentException](Scale.foldDistinctState(
+        spark, dir, full.where(col("isDelta")), "g", "k", nShards = 16))
     } finally graft.queries.Curation2.deleteDir(dir)
+  }
+
+  test("foldDistinctState: summary branch carries untouched shards; empty-state bootstrap") {
+    val snap = (1 to 2000).map(i =>
+      ("g" + i % 3, (i % 500).toLong)).toDF("g", "k")
+    // 3 delta keys over 64 shards: almost every shard is UNTOUCHED and
+    // must flow through the summary rollup alone — deleting that
+    // branch must fail this case
+    val delta = Seq(("g0", 9000L), ("g1", 9001L), ("g2", 250L))
+      .toDF("g", "k")
+    val dir = graft.queries.Curation2.tempIndexDir("graft_spec_dstate2_")
+    try {
+      Scale.writeDistinctState(snap, "g", "k", nShards = 64, dir)
+      val got = Scale.foldDistinctState(spark, dir, delta, "g", "k", 64)
+        .as[(String, Long)].collect().toMap
+      val want = snap.unionByName(delta).groupBy("g")
+        .agg(countDistinct(col("k")).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(got == want)
+    } finally graft.queries.Curation2.deleteDir(dir)
+    // day-0 bootstrap: state written from an EMPTY corpus (fileless
+    // partitioned keys table) must fold the first delta, not crash
+    val dir2 = graft.queries.Curation2.tempIndexDir("graft_spec_dstate3_")
+    try {
+      Scale.writeDistinctState(snap.where(lit(false)), "g", "k", 8, dir2)
+      val got = Scale.foldDistinctState(spark, dir2, delta, "g", "k", 8)
+        .as[(String, Long)].collect().toMap
+      assert(got == Map("g0" -> 1L, "g1" -> 1L, "g2" -> 1L))
+    } finally graft.queries.Curation2.deleteDir(dir2)
   }
 
   test("foldAggState(delta) == aggState over the full union") {
