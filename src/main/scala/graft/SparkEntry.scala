@@ -47,7 +47,8 @@ object SparkEntry {
       graft.queries.Pxl12.queries ++ graft.queries.Pxl13.queries ++ graft.queries.Pxl14.queries ++ graft.queries.Pxl15.queries ++ graft.queries.Pxl16.queries ++
       graft.queries.Curation.queries ++ graft.queries.Curation2.queries ++
       graft.queries.Curation3.queries ++ graft.queries.Curation4.queries ++
-      graft.queries.Curation5.queries ++ graft.queries.Curation6.queries
+      graft.queries.Curation5.queries ++ graft.queries.Curation6.queries ++
+      graft.queries.Curation7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -65,5 +66,6 @@ object SparkEntry {
       graft.queries.Pxl12.oracles ++ graft.queries.Pxl13.oracles ++ graft.queries.Pxl14.oracles ++ graft.queries.Pxl15.oracles ++ graft.queries.Pxl16.oracles ++
       graft.queries.Curation.oracles ++ graft.queries.Curation2.oracles ++
       graft.queries.Curation3.oracles ++ graft.queries.Curation4.oracles ++
-      graft.queries.Curation5.oracles ++ graft.queries.Curation6.oracles
+      graft.queries.Curation5.oracles ++ graft.queries.Curation6.oracles ++
+      graft.queries.Curation7.oracles
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Exact.zround
 import graft.functions.PixieFunctions.idiv
 
 /** Distributed text classification for corpus curation — the
@@ -71,7 +72,7 @@ object Classify {
     scores.groupBy(col(idCol))
       .agg(max(struct(col("score_q"), col("cls"))).as("t"))
       .select(col(idCol), col("t.cls").as("predicted"),
-        round(col("t.score_q") / 1000000.0, 6).as("log_prob"))
+        zround(col("t.score_q") / 1000000.0, 6).as("log_prob"))
   }
 
   /** Rocchio / nearest-class-centroid classifier over embeddings: each
@@ -113,7 +114,7 @@ object Classify {
               (col("nrm") * m.getField("cnrm"))).as("neg_cos"),
             m.getField("lab").as("lab")))).as("t"))
       .select(col(idCol), col("t.lab").as("label_pred"),
-        round(-col("t.neg_cos"), 6).as("cos"))
+        zround(-col("t.neg_cos"), 6).as("cos"))
   }
 
   /** Classifier evaluation report — per-class support / TP / FP / FN

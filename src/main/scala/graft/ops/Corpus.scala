@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Exact.zround
 import graft.functions.PixieFunctions.idiv
 
 /** Corpus-curation operators for training-data pipelines: the standard
@@ -326,7 +327,7 @@ object Corpus {
       .select(col("src").as(groupCol), col("nb").as("n_bigrams"),
         round(col("share"), 6).as("share"),
         round(col("loss_nats"), 6).as("loss_nats"),
-        round(col("excess_nats"), 6).as("excess_nats"),
+        zround(col("excess_nats"), 6).as("excess_nats"),
         round(col("rwq").cast("double") / col("z"), 6).as("new_share"))
   }
 
@@ -615,7 +616,7 @@ object Corpus {
     dsirWeights(raw, target, textCol, idCol, buckets)
       .orderBy(col("wq").desc, col(idCol))
       .limit(k)
-      .withColumn("log_weight", round(col("wq") / 1000000.0, 6))
+      .withColumn("log_weight", zround(col("wq") / 1000000.0, 6))
       .drop("wq")
 
   /** CCNet-style LM fluency scoring (Wenzek et al. 2020 — the KenLM
@@ -658,7 +659,7 @@ object Corpus {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("lp_sum_q"))
       .withColumn("avg_logp",
-        round(col("lp_sum_q") / 1000000.0 / col("n_bigrams"), 6))
+        zround(col("lp_sum_q") / 1000000.0 / col("n_bigrams"), 6))
   }
 
   /** [[lmScore]] + CCNet's selection step: the k most target-fluent
@@ -697,7 +698,7 @@ object Corpus {
     prep(corpus, Seq(col(idCol)))
       .crossJoin(broadcast(evalMat))
       .select(col(idCol),
-        round(array_max(transform(col("evs"), v =>
+        zround(array_max(transform(col("evs"), v =>
           dot(col("e"), v.getField("e")) / (col("nrm") * v.getField("nrm")))),
           6).as("max_cos"))
       .withColumn("contaminated", col("max_cos") >= minCos)
@@ -802,7 +803,7 @@ object Corpus {
     a.withColumn("rank", row_number().over(w))
       .where(col("rank") <= perCell)
       .select(col("cell"), col("id").as(idCol),
-        round(col("cell_cos"), 6).cast("float").as("cos"), col("rank"))
+        zround(col("cell_cos"), 6).cast("float").as("cos"), col("rank"))
   }
 
   /** Deterministic training-shard layout (the WebDataset/tar-shard

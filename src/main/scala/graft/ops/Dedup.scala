@@ -678,7 +678,14 @@ object Dedup {
       .join(vars.select(col("w").as("wb"), col("v")), "v")
       .where(col("wa") < col("wb"))
       .select("wa", "wb").distinct()
-      .withColumn("dist", levenshtein(col("wa"), col("wb")).cast("long"))
+      // verify BYTE-wise (DuckDB's levenshtein domain) — Spark's
+      // builtin is code-point based and would keep a pair the oracle
+      // rejects on non-ASCII vocab ('cafe' vs 'café': 1 code point
+      // but 2 bytes). Candidate generation via substr is code-point
+      // based on both engines, so only the verify needs the native
+      // expression.
+      .withColumn("dist", graft.expressions.ByteLevenshtein.column(
+        col("wa"), col("wb")).cast("long"))
       .where(col("dist") <= 1)
   }
 

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Exact.zround
 import graft.functions.PixieFunctions.idiv
 
 /** Behavioral event analytics over a `(user, event_type, ts)` stream —
@@ -213,7 +214,7 @@ object Events {
         (sum(when(col("__r") === k1, col("slope"))) +
           sum(when(col("__r") === k2, col("slope")))).as("__m2"))
       .select(col("event_type"), col("n_bins"), col("n_pairs"),
-        round(col("__m2") / 2.0, 6).as("sen_slope"),
+        zround(col("__m2") / 2.0, 6).as("sen_slope"),
         signum(col("__m2")).cast("long").as("direction"))
   }
 
@@ -720,20 +721,32 @@ object Events {
     * integer functions of the raw ones). Shared by [[olsTrend]] and
     * [[residualAnomalies]].
     */
-  private def olsSums(g: DataFrame): DataFrame =
+  private def olsSums(g: DataFrame): DataFrame = {
+    // RAW-b moments accumulate in DECIMAL(38,0) (the corrMatrix
+    // contract; DuckDB mirrors with HUGEINT): b is an epoch-scale
+    // bucket index (~3e7 for minute bins in 2026), so a long
+    // sum(b*b) exceeds Long.MaxValue within ~25 days of minute grid
+    // (~4.3e4 bins × 8.8e14) and silently wraps in non-ANSI Spark.
+    // The SHIFTED sums (exact integer functions of the raw ones) are
+    // small — they cast back to long exactly, so the staged-integer
+    // consumers (residualAnomalies' idiv path) are unchanged. syy
+    // stays decimal: sum(c²) is data-bound, not grid-bound.
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    def d(c: Column) = c.cast(dec)
     g.groupBy("et")
       .agg(count(lit(1)).as("n"),
         min(col("b")).as("b0"),
-        sum(col("b")).as("__sb"),
+        sum(d(col("b"))).as("__sb"),
         sum(col("c")).as("sy"),
-        sum(col("b") * col("c")).as("__sbc"),
-        sum(col("b") * col("b")).as("__sbb"),
-        sum(col("c") * col("c")).as("syy"))
+        sum(d(col("b")) * d(col("c"))).as("__sbc"),
+        sum(d(col("b")) * d(col("b"))).as("__sbb"),
+        sum(d(col("c")) * d(col("c"))).as("syy"))
       .select(col("et"), col("n"), col("b0"), col("sy"), col("syy"),
-        (col("__sb") - col("n") * col("b0")).as("sx"),
-        (col("__sbc") - col("b0") * col("sy")).as("sxy"),
-        (col("__sbb") - lit(2L) * col("b0") * col("__sb")
-          + col("n") * col("b0") * col("b0")).as("sxx"))
+        (col("__sb") - d(col("n")) * d(col("b0"))).cast("long").as("sx"),
+        (col("__sbc") - d(col("b0")) * d(col("sy"))).cast("long").as("sxy"),
+        (col("__sbb") - d(lit(2L)) * d(col("b0")) * col("__sb")
+          + d(col("n")) * d(col("b0")) * d(col("b0"))).cast("long").as("sxx"))
+  }
 
   /** Ordinary-least-squares trend per event type over the zero-filled
     * count grid — the parametric companion of [[senTrend]] (same grid,
@@ -808,7 +821,7 @@ object Events {
         .orderBy(abs(dev).desc, col("b"))).cast("int"))
       .where(col("rank") <= topK)
       .select(col("et").as("event_type"), col("rank"), col("b").as("bin"),
-        col("hod"), col("c"), round(dev, 6).as("dev_milli"))
+        col("hod"), col("c"), zround(dev, 6).as("dev_milli"))
   }
 
 
@@ -854,7 +867,7 @@ object Events {
     val scored = sums.select(col("et_a"), col("et_b"), col("lag"),
       col("n").as("n_bins"),
       when(dxx > 0L && dyy > 0L,
-        round(dxy.cast("double")
+        zround(dxy.cast("double")
           / sqrt(dxx.cast("double") * dyy.cast("double")), 6)).as("r"))
     // nulls-LAST: coalesce(abs(r), -2) — abs(coalesce(r, -2)) would
     // rank a degenerate zero-variance lag (r null -> |-2| = 2) ABOVE
@@ -1059,7 +1072,7 @@ object Events {
         max(when(col("n_risk") === col("d"), 1L).otherwise(0L)).over(w) === 1L)
       .select(col("dur_us"), col("n_risk"), col("d"),
         when(!col("survival_zero"),
-          round(col("__cum").cast("double") / 1e9, 6)).as("log_survival"),
+          zround(col("__cum").cast("double") / 1e9, 6)).as("log_survival"),
         col("survival_zero"))
   }
 
@@ -1250,11 +1263,45 @@ object Events {
         sum(col("__x")).as("__sxv"), sum(col("__y")).as("__syv"))
       .crossJoin(m)
       .select(col("variant"), col("n_subjects"),
-        round(col("__syv").cast("double") / 100.0 / col("n_subjects"), 6)
+        zround(col("__syv").cast("double") / 100.0 / col("n_subjects"), 6)
           .as("mean_post"),
-        round((col("__syv").cast("double") / col("n_subjects")
+        zround((col("__syv").cast("double") / col("n_subjects")
           - theta * (col("__sxv").cast("double") / col("n_subjects")
             - col("__sx").cast("double") / col("__nn"))) / 100.0, 6)
           .as("mean_adjusted"))
+  }
+
+  /** Gap-based sessionization: consecutive events of a user more than
+    * `gapUs` apart open a new session (the classic 30-minute web
+    * session; the island-labeling view of [[debounce]]'s burst rule,
+    * but returning the SESSION TABLE itself — one row per session with
+    * its event count, start/end, and duration). Session ids are
+    * 1-based per user in start-time order, so they are stable across
+    * engines and partitionings; ts ties cannot flip a boundary (a zero
+    * delta never exceeds a positive gap) and session stats are
+    * order-independent aggregates.
+    *
+    * Scale: both windows are USER-keyed (partitionBy user) — state is
+    * one user's events, never a global sort; the session rollup is one
+    * keyed aggregate. The canonical pre-step for session-level features
+    * (funnel-within-session, dwell time, engagement depth).
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapUs > 0, "sessionize: gapUs > 0")
+    val w = Window.partitionBy("__u").orderBy("__tus")
+    df.where(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        graft.functions.PixieFunctions.nsToUs(col(tsCol)).as("__tus"))
+      .withColumn("__new",
+        when(col("__tus") - lag(col("__tus"), 1).over(w) <= gapUs, 0L)
+          .otherwise(1L))
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__u").as(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__tus")).as("start_us"), max(col("__tus")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Exact.zround
 
 /** Shared closed-form least-squares scaffolding: given the five exact
   * integer sums (n, Sx, Sy, Sxy, Sxx) plus Syy, append slope /
@@ -23,9 +24,9 @@ private[graft] object Fit {
     val dxy = n * sxy - sx * sy
     Seq(
       when(dxx =!= 0L,
-        round(dxy.cast("double") / dxx.cast("double"), 6)).as("slope"),
+        zround(dxy.cast("double") / dxx.cast("double"), 6)).as("slope"),
       when(dxx =!= 0L,
-        round((sy * sxx - sx * sxy).cast("double") / dxx.cast("double"), 6))
+        zround((sy * sxx - sx * sxy).cast("double") / dxx.cast("double"), 6))
         .as("intercept"),
       when(dxx =!= 0L && dyy =!= 0L,
         round(dxy.cast("double") * dxy.cast("double")
@@ -86,7 +87,7 @@ private[graft] object Fit {
       struct(lit(cols(i)._1).as("col_a"), lit(cols(j)._1).as("col_b"),
         col("n"),
         when(dxx > 0 && dyy > 0,
-          round(dxy.cast("double")
+          zround(dxy.cast("double")
             / (sqrt(dxx.cast("double")) * sqrt(dyy.cast("double"))), 6))
           .as("r"))
     }.toSeq

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Exact.zround
 
 /** Data-quality assertion suite — the dbt/Great-Expectations-style
   * check layer a pipeline runs before promoting a snapshot: not-null,
@@ -325,7 +326,7 @@ object Quality {
     mi.crossJoin(entropy(ca, "ca", "__ha"))
       .crossJoin(entropy(cb, "cb", "__hb"))
       .select(col("n_cells"),
-        round(col("__mi").cast("double") / 1e9, 6).as("mi_nats"),
+        zround(col("__mi").cast("double") / 1e9, 6).as("mi_nats"),
         round(col("__ha").cast("double") / 1e9, 6).as("h_a_nats"),
         round(col("__hb").cast("double") / 1e9, 6).as("h_b_nats"))
   }
@@ -441,5 +442,60 @@ object Quality {
         idiv(col("__cum") * 1000000L, col("__total")).as("cum_ppm"))
       .withColumn("abc_class", when(col("cum_ppm") <= aPpm, "A")
         .when(col("cum_ppm") <= bPpm, "B").otherwise("C"))
+  }
+
+  /** Winsorized (outlier-capped) mean per group: values clamp to the
+    * exact [pLo, pHi] order statistics before averaging — the robust
+    * metric read that one fat-fingered 1e9 row cannot move, reported
+    * next to the raw mean so the gap itself is the outlier signal.
+    *
+    * Exactness: values are cent-quantized; the percentile bounds are
+    * ORDER STATISTICS at ranks ceil(p·n)/1e6 (the smallest cent value
+    * whose cumulative count reaches the rank — integer arithmetic, no
+    * interpolation), so both bounds and the clamped sum are exact
+    * integers in any engine.
+    *
+    * Scale: one (group, cents) keyed aggregate; the cumulative window
+    * runs over the DISTINCT-cents table per group (the ROC rank-sum
+    * shape), never over raw rows; the clamped sum re-aggregates the
+    * same distinct table against the broadcast O(#groups) bounds.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: Column,
+                     loPpm: Long = 50000L, hiPpm: Long = 950000L): DataFrame = {
+    require(0 <= loPpm && loPpm < hiPpm && hiPpm <= 1000000L,
+      "winsorizedMean: 0 <= loPpm < hiPpm <= 1e6")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PixieFunctions.idiv
+    // null groups excluded EXPLICITLY: the bounds join below is an
+    // equi-join, which silently drops null keys a groupBy would keep
+    // (the tCloseness lesson) — make the contract loud instead.
+    val g = df
+      .where(col(groupCol).isNotNull &&
+        valueCol.isNotNull && !isnan(valueCol.cast("double")))
+      .select(col(groupCol).as("__g"),
+        floor(valueCol * 100.0 + 0.5).cast("long").as("__c"))
+      .groupBy("__g", "__c").agg(count(lit(1)).as("__k"))
+    val w = Window.partitionBy("__g").orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("__cum", sum(col("__k")).over(w))
+      .withColumn("__n", sum(col("__k")).over(Window.partitionBy("__g")))
+    def rank(ppm: Long) = idiv(col("__n") * ppm + 999999L, lit(1000000L))
+    val bounds = cum.groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"),
+        min(when(col("__cum") >= rank(loPpm), col("__c"))).as("__lo"),
+        min(when(col("__cum") >= rank(hiPpm), col("__c"))).as("__hi"))
+    g.join(bounds, "__g")
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(col("__lo")).as("lo_cents"), max(col("__hi")).as("hi_cents"),
+        sum(col("__k") * col("__c")).as("__raw"),
+        sum(col("__k") *
+          greatest(least(col("__c"), col("__hi")), col("__lo"))).as("__win"))
+      .select(col(groupCol), col("n"), col("lo_cents"), col("hi_cents"),
+        zround(col("__raw").cast("double") / 100.0 / col("n"), 6)
+          .as("mean_raw"),
+        zround(col("__win").cast("double") / 100.0 / col("n"), 6)
+          .as("mean_winsorized"))
   }
 }

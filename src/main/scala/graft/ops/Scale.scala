@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Exact.zround
 import graft.functions.PixieFunctions.idiv
 
 /** Scale-engineering diagnostics — operators whose OUTPUT is advice
@@ -103,9 +104,16 @@ object Scale {
   private def fileAssign(g: DataFrame, nFiles: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val om = g.agg(min(col("ord")).as("__o0"), max(col("ord")).as("__o1"))
+    // DIVISION-FIRST banding (same contract as bucket()): the linear
+    // layout routes a RAW dimension through ord — an epoch-ns-scale
+    // column (~2^60 range) overflows the multiply-first form
+    // (ord-o0)*256 past a 2^55 range, silently wrapping bands and
+    // breaking band monotonicity. (x-x0) // ceil(range/256) is exact
+    // at any range and stays in [0, 255].
     val banded = g.crossJoin(broadcast(om))
       .withColumn("__band",
-        idiv((col("ord") - col("__o0")) * 256L, col("__o1") - col("__o0") + 1))
+        idiv(col("ord") - col("__o0"),
+          idiv(col("__o1") - col("__o0") + 256L, lit(256L))))
       .drop("__o0", "__o1")
     val wOff = Window.orderBy("__band")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -264,7 +272,7 @@ object Scale {
       .groupBy(col(groupCol))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("sum_cents")).as("sum_cents"))
-      .withColumn("mean", round(
+      .withColumn("mean", zround(
         col("sum_cents").cast("double") / 100.0 / col("n_rows"), 6))
 
   private def shardTriples(df: DataFrame, groupCol: String, keyCol: String,
@@ -347,4 +355,95 @@ object Scale {
       .groupBy(col(groupCol))
       .agg(sum(col("__card")).as("n_unique"))
   }
+
+  /** Per-(group, shard) HLL sketch state — the APPROXIMATE twin of
+    * [[writeDistinctState]] at a fraction of the state size: instead
+    * of the distinct key triples themselves (data-bound), the state is
+    * one DataSketches HLL sketch per (group, key-space shard) —
+    * O(groups · nShards · 2^lgK) bytes, a MODEL-sized table at any
+    * corpus size. The same key-space sharding as the exact twin keeps
+    * the two states drop-in interchangeable, and summing disjoint
+    * per-shard estimates both avoids a cross-shard union and shrinks
+    * the relative error (errors of independent shards add in
+    * quadrature while the cardinalities add linearly).
+    *
+    * ESTIMATOR CONTRACT (the q440 caveat): register-wise max (what
+    * `hll_union` computes) is associative, commutative, and
+    * batch-invariant, so folding deltas in ANY order yields the same
+    * registers and the same estimate. What is NOT invariant is the
+    * HIP estimator a directly-fed sketch serves — a union drops it —
+    * so a folded estimate may legitimately differ by a few counts from
+    * a one-pass `hll_sketch_agg` over the same rows. The gate (q455)
+    * therefore pins (a) exactness of the calibration column, (b) a 5%
+    * tolerance vs exact, and (c) fold-order invariance — never
+    * folded == one-pass.
+    */
+  def writeHllState(df: DataFrame, groupCol: String, keyCol: String,
+                    nShards: Int, path: String, lgK: Int = 12): Unit = {
+    require(nShards > 0, "writeHllState: nShards > 0")
+    hllSketches(df, groupCol, keyCol, nShards, lgK)
+      .withColumn("__nshards", lit(nShards.toLong))
+      .write.parquet(s"$path/sketches")
+  }
+
+  private def hllSketches(df: DataFrame, groupCol: String, keyCol: String,
+                          nShards: Int, lgK: Int): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .select(col(groupCol),
+        pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
+        col(keyCol).as("__k"))
+      .groupBy(col(groupCol), col("__shard"))
+      .agg(hll_sketch_agg(col("__k"), lit(lgK)).as("__sketch"))
+
+  /** Fold a delta into persisted [[writeHllState]] sketches WITHOUT
+    * rescanning anything data-bound: the delta aggregates to its own
+    * per-(group, shard) sketches (one keyed aggregate over the delta),
+    * which merge register-wise (`hll_union`) with the stored state —
+    * a full-outer join of two model-sized frames. Returns the merged
+    * state frame (still carrying `__nshards`), which the caller
+    * persists as the next snapshot's `sketches` table. The stored
+    * shard count is the contract (same as [[foldDistinctState]]):
+    * a mismatched fold would break the disjoint-shard-sum identity,
+    * so it is refused. An empty/fileless state (day-0 bootstrap) folds
+    * to exactly the delta's own sketches.
+    */
+  def foldHllState(spark: org.apache.spark.sql.SparkSession, path: String,
+                   delta: DataFrame, groupCol: String, keyCol: String,
+                   nShards: Int, lgK: Int = 12): DataFrame = {
+    require(nShards > 0, "foldHllState: nShards > 0")
+    val d = hllSketches(delta, groupCol, keyCol, nShards, lgK)
+      .withColumnRenamed("__sketch", "__dsk")
+    // explicit schema: a bootstrap-empty state has no files to infer from
+    val stSchema = org.apache.spark.sql.types.StructType(
+      d.schema.fields.map(f =>
+        if (f.name == "__dsk") f.copy(name = "__sketch") else f) :+
+        org.apache.spark.sql.types.StructField("__nshards",
+          org.apache.spark.sql.types.LongType))
+    val st = spark.read.schema(stSchema).parquet(s"$path/sketches")
+    st.select("__nshards").take(1).foreach { r =>
+      require(r.getLong(0) == nShards.toLong,
+        s"foldHllState: state written with nShards=${r.getLong(0)}, " +
+          s"folded with $nShards")
+    }
+    st.withColumnRenamed("__sketch", "__ssk").drop("__nshards")
+      .join(d, Seq(groupCol, "__shard"), "full_outer")
+      .select(col(groupCol), col("__shard"),
+        when(col("__ssk").isNull, col("__dsk"))
+          .when(col("__dsk").isNull, col("__ssk"))
+          .otherwise(hll_union(col("__ssk"), col("__dsk"))).as("__sketch"))
+      .withColumn("__nshards", lit(nShards.toLong))
+  }
+
+  /** Per-group cardinality estimate from a sketch-state frame: each
+    * shard's estimate is already a long (DataSketches rounds), shards
+    * are disjoint by construction, so the group total is an exact
+    * integer sum — order-independent at any partitioning.
+    */
+  def hllEstimate(state: DataFrame, groupCol: String): DataFrame =
+    state
+      .select(col(groupCol),
+        hll_sketch_estimate(col("__sketch")).as("__e"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__e")).as("n_unique_est"),
+        count(lit(1)).as("n_shards_hit"))
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Exact.zround
 import graft.functions.PixieFunctions
 
 /** Embedding similarity search (SURVEY §7.9 north star). Baseline:
@@ -659,8 +660,8 @@ object Similarity {
       expr(s"$fn(cell_cos, $pct)").as("thr"))
     assigned.crossJoin(broadcast(thr))
       .select(col(idCol), col("cell"),
-        round(col("cell_cos"), 6).as("cell_cos"),
-        round(col("thr"), 6).as("threshold"),
+        zround(col("cell_cos"), 6).as("cell_cos"),
+        zround(col("thr"), 6).as("threshold"),
         (col("cell_cos") < col("thr")).as("is_outlier"))
   }
 
@@ -697,7 +698,7 @@ object Similarity {
       .join(counts, Seq("query_id"), "left")
       .na.fill(0L, Seq("n_shared", "n_pairs", "n_concordant"))
       .withColumn("kendall_tau", when(col("n_pairs") > 0,
-        round((col("n_concordant") * 2L - col("n_pairs")).cast("double") /
+        zround((col("n_concordant") * 2L - col("n_pairs")).cast("double") /
           col("n_pairs"), 6)))
   }
 
@@ -979,8 +980,8 @@ object Similarity {
           .as("__w"))
     codes.crossJoin(bounds)
       .select(col("n_codes"), col("dim"),
-        round(col("min_lo"), 6).as("min_lo"),
-        round(col("max_hi"), 6).as("max_hi"),
+        zround(col("min_lo"), 6).as("min_lo"),
+        zround(col("max_hi"), 6).as("max_hi"),
         round(col("__w").cast("double") / 1e6 / col("dim"), 6)
           .as("mean_width"))
   }
@@ -1031,7 +1032,7 @@ object Similarity {
       .join(means.select(col("d").as("j"), col("sx").as("sxj")), "j")
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("n"),
-        round(col("sxy").cast("double") / 1e6 / col("n")
+        zround(col("sxy").cast("double") / 1e6 / col("n")
           - (col("sxi").cast("double") / 1e6 / col("n"))
           * (col("sxj").cast("double") / 1e6 / col("n")), 6).as("cov"))
   }
@@ -1215,7 +1216,7 @@ object Similarity {
     ranked.where(col("__ra") === 1 && col("__rb") === 1)
       .select(col("id_a"), col("id_b"), col("dot_e12"),
         when(col("__ka") + col("__kb") > 0L,
-          round(lit(2.0d * k) * col("dot_e12").cast("double")
+          zround(lit(2.0d * k) * col("dot_e12").cast("double")
             / (col("__ka") + col("__kb")).cast("double"), 6))
           .as("margin"))
   }
@@ -1271,7 +1272,7 @@ object Similarity {
           .otherwise(lit(0L)).as("__sm"))
       .groupBy(col("__lbl").as("label"))
       .agg(count(lit(1)).as("n_points"),
-        round(sum(col("__sm")).cast("double") / 1e6 / count(lit(1)), 6)
+        zround(sum(col("__sm")).cast("double") / 1e6 / count(lit(1)), 6)
           .as("mean_silhouette"))
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Exact.zround
 import graft.functions.PixieFunctions.idiv
 
 /** Text-analysis operators for training-data pipelines (SURVEY §7.9):
@@ -856,7 +857,7 @@ object TextOps {
           + size(filter(toks, w => !w.rlike("[aeiouy]"))).cast("long"))
           .as("n_syllables"))
       .where(col("n_words") > 0)
-      .withColumn("flesch", round(lit(206.835)
+      .withColumn("flesch", zround(lit(206.835)
         - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
         - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 6))
   }

@@ -535,7 +535,7 @@ object Curation2 {
         |SELECT p.i, p.j, p.n,
         |  round(CAST(sxy AS DOUBLE) / 1000000.0 / n
         |    - (CAST(mi.sx AS DOUBLE) / 1000000.0 / n)
-        |    * (CAST(mj.sx AS DOUBLE) / 1000000.0 / n), 6) AS cov
+        |    * (CAST(mj.sx AS DOUBLE) / 1000000.0 / n), 6) + 0.0 AS cov
         |FROM prods p
         |JOIN means mi ON mi.d = p.i
         |JOIN means mj ON mj.d = p.j
@@ -660,7 +660,7 @@ object Curation2 {
          |z AS (SELECT CAST(sum(rwq) AS BIGINT) AS z FROM wq)
          |SELECT src AS source, nb AS n_bigrams,
          |  round(share, 6) AS share, round(loss_nats, 6) AS loss_nats,
-         |  round(excess_nats, 6) AS excess_nats,
+         |  round(excess_nats, 6) + 0.0 AS excess_nats,
          |  round(CAST(rwq AS DOUBLE) / z, 6) AS new_share
          |FROM wq, z ORDER BY source""".stripMargin
     },
@@ -947,8 +947,8 @@ object Curation2 {
       |  FROM sc JOIN mx ON mx.vec_id = sc.vec_id AND sc.cos = mx.mc
       |  GROUP BY sc.vec_id),
       |thr AS (SELECT quantile_cont(cell_cos, 0.05) AS t FROM cellt)
-      |SELECT vec_id, cell, round(cell_cos, 6) AS cell_cos,
-      |  round(t, 6) AS threshold, cell_cos < t AS is_outlier
+      |SELECT vec_id, cell, round(cell_cos, 6) + 0.0 AS cell_cos,
+      |  round(t, 6) + 0.0 AS threshold, cell_cos < t AS is_outlier
       |FROM cellt, thr ORDER BY vec_id""".stripMargin
 
   private val q341OracleSql: String =
@@ -969,7 +969,7 @@ object Curation2 {
        |  CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
        |  CAST(coalesce(nc, 0) AS BIGINT) AS n_concordant,
        |  CASE WHEN coalesce(np, 0) > 0
-       |    THEN round(CAST(nc * 2 - np AS DOUBLE) / np, 6) END AS kendall_tau
+       |    THEN round(CAST(nc * 2 - np AS DOUBLE) / np, 6) + 0.0 END AS kendall_tau
        |FROM allq LEFT JOIN base USING (qid) LEFT JOIN pr USING (qid)
        |ORDER BY query_id""".stripMargin
 

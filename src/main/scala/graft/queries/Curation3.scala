@@ -854,7 +854,7 @@ object Curation3 {
         |b AS (SELECT d, min(x) AS lo, max(x) AS hi FROM dd GROUP BY d)
         |SELECT (SELECT count(*) FROM embeddings) AS n_codes,
         |  count(*) AS dim,
-        |  round(min(lo), 6) AS min_lo, round(max(hi), 6) AS max_hi,
+        |  round(min(lo), 6) + 0.0 AS min_lo, round(max(hi), 6) + 0.0 AS max_hi,
         |  round(CAST(sum(CAST(floor((hi - lo) * 1e6 + 0.5) AS BIGINT))
         |    AS DOUBLE) / 1e6 / count(*), 6) AS mean_width
         |FROM b""".stripMargin,

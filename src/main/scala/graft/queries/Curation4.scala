@@ -950,7 +950,7 @@ object Curation4 {
         |    + sum(CASE WHEN r = (n + 2) // 2 THEN slope END) AS m2
         |  FROM r GROUP BY et)
         |SELECT et AS event_type, rng.b1 - rng.b0 + 1 AS n_bins, n_pairs,
-        |  round(m2 / 2.0, 6) AS sen_slope,
+        |  round(m2 / 2.0, 6) + 0.0 AS sen_slope,
         |  CAST(sign(m2) AS BIGINT) AS direction
         |FROM m CROSS JOIN rng ORDER BY et""".stripMargin,
 

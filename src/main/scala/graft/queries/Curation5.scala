@@ -445,7 +445,7 @@ object Curation5 {
         |  FROM r)
         |SELECT id_a, id_b, dot_e12,
         |  CASE WHEN ka + kb > 0
-        |    THEN round(8.0 * dot_e12 / (ka + kb), 6) END AS margin
+        |    THEN round(8.0 * dot_e12 / (ka + kb), 6) + 0.0 END AS margin
         |FROM k WHERE ra = 1 AND rb = 1 ORDER BY id_a""".stripMargin,
 
     "q415_ols_trend" ->
@@ -473,10 +473,10 @@ object Curation5 {
         |    sy * sxx - sx * sxy AS inum FROM sh)
         |SELECT et AS event_type, n AS n_bins,
         |  CASE WHEN dxx <> 0 THEN
-        |    round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END
+        |    round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE), 6) + 0.0 END
         |    AS slope,
         |  CASE WHEN dxx <> 0 THEN
-        |    round(CAST(inum AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END
+        |    round(CAST(inum AS DOUBLE) / CAST(dxx AS DOUBLE), 6) + 0.0 END
         |    AS intercept,
         |  CASE WHEN dxx <> 0 AND dyy <> 0 THEN
         |    round(CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)
@@ -681,10 +681,10 @@ object Curation5 {
         |    n * sxy - sx * sy AS dxy, sy * sxx - sx * sxy AS inum FROM s)
         |SELECT n AS n_words,
         |  CASE WHEN dxx <> 0 THEN
-        |    round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END
+        |    round(CAST(dxy AS DOUBLE) / CAST(dxx AS DOUBLE), 6) + 0.0 END
         |    AS slope,
         |  CASE WHEN dxx <> 0 THEN
-        |    round(CAST(inum AS DOUBLE) / CAST(dxx AS DOUBLE), 6) END
+        |    round(CAST(inum AS DOUBLE) / CAST(dxx AS DOUBLE), 6) + 0.0 END
         |    AS intercept,
         |  CASE WHEN dxx <> 0 AND dyy <> 0 THEN
         |    round(CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)
@@ -716,7 +716,7 @@ object Curation5 {
         |    (CAST(cb AS DOUBLE) / CAST(N AS DOUBLE))
         |    * ln(CAST(N AS DOUBLE) / CAST(cb AS DOUBLE))
         |    * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS hb FROM cb, n)
-        |SELECT n_cells, round(mi / 1e9, 6) AS mi_nats,
+        |SELECT n_cells, round(mi / 1e9, 6) + 0.0 AS mi_nats,
         |  round(ha / 1e9, 6) AS h_a_nats, round(hb / 1e9, 6) AS h_b_nats
         |FROM mi, ha, hb""".stripMargin,
 
@@ -763,7 +763,7 @@ object Curation5 {
         |r AS (SELECT et_a, et_b, lag, n_bins,
         |    CASE WHEN dxx > 0 AND dyy > 0 THEN
         |      round(CAST(dxy AS DOUBLE)
-        |        / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6)
+        |        / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6) + 0.0
         |    END AS r FROM d)
         |SELECT et_a, et_b, lag, n_bins, r,
         |  row_number() OVER (PARTITION BY et_a, et_b
@@ -910,7 +910,7 @@ object Curation5 {
         |    ORDER BY abs(CAST(rr AS DOUBLE) / CAST(cnt AS DOUBLE))
         |      DESC, b) AS INTEGER) AS rank FROM r)
         |SELECT et AS event_type, rank, b AS bin, hod, c,
-        |  round(CAST(rr AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS dev_milli
+        |  round(CAST(rr AS DOUBLE) / CAST(cnt AS DOUBLE), 6) + 0.0 AS dev_milli
         |FROM rk WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
 
     "q426_streaming_debounce" ->

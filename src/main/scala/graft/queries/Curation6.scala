@@ -296,7 +296,7 @@ object Curation6 {
         |  round(206.835
         |    - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
         |    - 84.6 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE),
-        |    6) AS flesch
+        |    6) + 0.0 AS flesch
         |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     "q437_l_diversity" ->
@@ -366,7 +366,7 @@ object Curation6 {
            |  CASE WHEN n*ss$a - s$a*s$a > 0 AND n*ss$b - s$b*s$b > 0 THEN
            |    round(CAST(n*sp$a$b - s$a*s$b AS DOUBLE)
            |      / (sqrt(CAST(n*ss$a - s$a*s$a AS DOUBLE))
-           |         * sqrt(CAST(n*ss$b - s$b*s$b AS DOUBLE))), 6)
+           |         * sqrt(CAST(n*ss$b - s$b*s$b AS DOUBLE))), 6) + 0.0
            |  END AS r FROM s""".stripMargin
       }.mkString("\n  UNION ALL ")
       s"""WITH q AS (SELECT
@@ -448,7 +448,7 @@ object Curation6 {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT dur_us, n_risk, d,
         |  CASE WHEN zs = 0 THEN
-        |    round(CAST(cum AS DOUBLE) / 1000000000.0, 6)
+        |    round(CAST(cum AS DOUBLE) / 1000000000.0, 6) + 0.0
         |  END AS log_survival,
         |  zs = 1 AS survival_zero
         |FROM c ORDER BY dur_us""".stripMargin,
@@ -478,7 +478,7 @@ object Curation6 {
         |    CAST(floor((b - a) / greatest(a, b) * 1000000.0 + 0.5)
         |      AS BIGINT) ELSE 0 END AS sm FROM ab)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_points,
-        |  round(CAST(sum(sm) AS DOUBLE) / 1000000.0 / count(*), 6)
+        |  round(CAST(sum(sm) AS DOUBLE) / 1000000.0 / count(*), 6) + 0.0
         |    AS mean_silhouette
         |FROM sm GROUP BY 1 ORDER BY label""".stripMargin,
 
@@ -487,7 +487,7 @@ object Curation6 {
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
         |    AS BIGINT) AS sum_cents,
         |  round(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
-        |    AS DOUBLE) / 100.0 / count(*), 6) AS mean
+        |    AS DOUBLE) / 100.0 / count(*), 6) + 0.0 AS mean
         |FROM events WHERE event_id IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
@@ -585,11 +585,11 @@ object Curation6 {
         |    CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
         |  FROM per GROUP BY 1)
         |SELECT variant, n_subjects,
-        |  round(CAST(syv AS DOUBLE) / 100.0 / n_subjects, 6)
+        |  round(CAST(syv AS DOUBLE) / 100.0 / n_subjects, 6) + 0.0
         |    AS mean_post,
         |  round((CAST(syv AS DOUBLE) / n_subjects
         |    - theta * (CAST(sxv AS DOUBLE) / n_subjects
-        |      - CAST(sx AS DOUBLE) / nn)) / 100.0, 6) AS mean_adjusted
+        |      - CAST(sx AS DOUBLE) / nn)) / 100.0, 6) + 0.0 AS mean_adjusted
         |FROM v CROSS JOIN t ORDER BY variant""".stripMargin,
 
     "q451_jaro_linkage" ->

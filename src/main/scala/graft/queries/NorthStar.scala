@@ -1262,7 +1262,7 @@ object NorthStar {
   private def nbOracleSql(labelExpr: String, finalWhere: String = ""): String =
     s"""WITH ${nbPredCtes(labelExpr)}
        |SELECT doc_id, cls AS predicted,
-       |  round(score_q / 1000000.0, 6) AS log_prob
+       |  round(score_q / 1000000.0, 6) + 0.0 AS log_prob
        |FROM pred WHERE TRUE $finalWhere ORDER BY doc_id""".stripMargin
 
   /** DSIR oracle CTEs: re-derive the micro-nat log-ratio table from the
@@ -1318,7 +1318,8 @@ object NorthStar {
        |  FROM rb2 LEFT JOIN big USING(b1, b2) LEFT JOIN ctx USING(b1)),
        |lm AS (SELECT doc_id, count(*) AS n_bigrams,
        |    CAST(sum(lp_q) AS BIGINT) AS lp_sum_q,
-       |    round(CAST(sum(lp_q) AS BIGINT) / 1000000.0 / count(*), 6) AS avg_logp
+       |    round(CAST(sum(lp_q) AS BIGINT) / 1000000.0 / count(*), 6) + 0.0
+       |      AS avg_logp
        |  FROM sc2 GROUP BY doc_id)""".stripMargin
   }
 
@@ -1802,7 +1803,7 @@ object NorthStar {
          |ORDER BY doc_id""".stripMargin,
     "q249_dsir_weights" ->
       s"""WITH $dsirCtes
-         |SELECT doc_id, n_grams, wq, round(wq / 1000000.0, 6) AS log_weight
+         |SELECT doc_id, n_grams, wq, round(wq / 1000000.0, 6) + 0.0 AS log_weight
          |FROM dw ORDER BY doc_id""".stripMargin,
     "q254_lm_fluency" ->
       s"""WITH $lmCtes
@@ -1889,7 +1890,7 @@ object NorthStar {
         |  FROM t CROSS JOIN cn),
         |p AS (SELECT vec_id, lab, cos, row_number() OVER
         |    (PARTITION BY vec_id ORDER BY cos DESC, lab) AS rn FROM s)
-        |SELECT vec_id, lab AS label_pred, round(cos, 6) AS cos
+        |SELECT vec_id, lab AS label_pred, round(cos, 6) + 0.0 AS cos
         |FROM p WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q261_embedding_contamination" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1901,7 +1902,8 @@ object NorthStar {
         |    max(list_sum(list_transform(range(64), i -> c.e[i+1] * ev.e[i+1]))
         |      / (c.nrm * ev.nrm)) AS mc
         |  FROM c CROSS JOIN ev GROUP BY c.vec_id)
-        |SELECT vec_id, round(mc, 6) AS max_cos, round(mc, 6) >= 0.2 AS contaminated
+        |SELECT vec_id, round(mc, 6) + 0.0 AS max_cos,
+        |  round(mc, 6) >= 0.2 AS contaminated
         |FROM s ORDER BY vec_id""".stripMargin,
     "q262_lm_terciles" ->
       s"""WITH $lmCtes,
@@ -1919,13 +1921,13 @@ object NorthStar {
          |      AS INTEGER) AS rank
          |  FROM cellof)
          |SELECT CAST(cell AS INTEGER) AS cell, vec_id,
-         |  CAST(round(c, 6) AS REAL) AS cos, rank
+         |  CAST(round(c, 6) + 0.0 AS REAL) AS cos, rank
          |FROM rk WHERE rank <= 20 ORDER BY cell, rank""".stripMargin,
     "q250_dsir_select" ->
       s"""WITH $dsirCtes,
          |sel AS (SELECT doc_id, n_grams, wq FROM dw
          |        ORDER BY wq DESC, doc_id LIMIT 50)
-         |SELECT doc_id, n_grams, round(wq / 1000000.0, 6) AS log_weight
+         |SELECT doc_id, n_grams, round(wq / 1000000.0, 6) + 0.0 AS log_weight
          |FROM sel ORDER BY doc_id""".stripMargin,
     "q245_streaming_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,

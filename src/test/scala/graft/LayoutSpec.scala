@@ -20,8 +20,16 @@ class LayoutSpec extends AnyFunSuite {
     val back = Layout.readTimePartitioned(spark, s"$tmp/events_bydate")
     val janOnly = back.filter(col("dt") === "2024-01-03")
     val scan = janOnly.queryExecution.executedPlan.collectLeaves().mkString
-    assert(scan.contains("PartitionFilters") && scan.contains("dt"),
+    // NON-EMPTY filter list on dt — `contains("PartitionFilters")` is
+    // vacuous (every parquet scan prints the header; the column name
+    // can match in the schema)
+    assert("PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(scan).isDefined,
       scan.take(800))
+    // …and the pin is NOT vacuous: the same regex must fail on an
+    // UNPRUNED scan of the same table (empty PartitionFilters list)
+    val unpruned = back.queryExecution.executedPlan.collectLeaves().mkString
+    assert("PartitionFilters: \\[[^\\]]*dt".r.findFirstIn(unpruned).isEmpty,
+      unpruned.take(800))
     assert(janOnly.count() ==
       ev.filter(timeBinNs(col("ts"), 86400) === tsNsLit("2024-01-03") / 1000000000L)
         .count())
@@ -40,7 +48,7 @@ class LayoutSpec extends AnyFunSuite {
     // a 2-probe query touches 2/8 of the index: partition pruning, not a scan
     val probed = back.filter(col("cell").isin(1, 3))
     val scan = probed.queryExecution.executedPlan.collectLeaves().mkString
-    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
       scan.take(800))
     assert(probed.count() ==
       index.filter(col("cell").isin(1, 3)).count() && probed.count() > 0)
@@ -53,7 +61,7 @@ class LayoutSpec extends AnyFunSuite {
     Layout.writeShardPartitioned(sharded, s"$tmp/corpus_shards")
     val one = Layout.readShard(spark, s"$tmp/corpus_shards", 3)
     val scan = one.queryExecution.executedPlan.collectLeaves().mkString
-    assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(scan).isDefined,
       scan.take(800))
     assert(one.count() ==
       sharded.filter(col("shard") === 3).count() && one.count() > 0)

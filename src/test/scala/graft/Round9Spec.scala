@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Events, Quality, Scale}
+
+/** Round-9 regression proofs: the signed-zero normalization helper
+  * (q322 postmortem), the three ADVICE overflow/domain bugs (fuzzyPairs
+  * byte-verify, fileAssign multiply-first banding, olsSums raw-b long
+  * wrap), the HLL distinct-state fold contracts, and the two new ops
+  * (sessionize, winsorizedMean) against brute-force expectations.
+  */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zround: tiny negatives round to +0.0, never -0.0 (q322 class)") {
+    val vals = Seq(-1e-9, -4.9e-7, 4.9e-7, -0.0, 0.0,
+      1.2345675, -1.2345675, -5.1e-7, 3.14, -3.14)
+    val got = vals.toDF("x")
+      .select(graft.core.Exact.zround(col("x"), 6).as("z"))
+      .as[Double].collect()
+    for (z <- got if z == 0.0)
+      assert(java.lang.Double.doubleToRawLongBits(z) == 0L,
+        s"zround emitted -0.0")
+    // non-zero results are bit-identical to plain round
+    val plain = vals.toDF("x").select(round(col("x"), 6)).as[Double].collect()
+    for ((z, p) <- got.zip(plain) if p != 0.0)
+      assert(java.lang.Double.doubleToRawLongBits(z) ==
+        java.lang.Double.doubleToRawLongBits(p))
+    // the tiny negatives landed at exactly +0.0 (|x| > 5e-7 rounds
+    // away from zero and must survive signed)
+    assert(got(0) == 0.0 && got(1) == 0.0 && got(7) == -1.0e-6)
+  }
+
+  test("fuzzyPairs verifies byte-wise (DuckDB's levenshtein domain)") {
+    val words = Seq("cafe", "café", "cafés", "cafx").toDF("w")
+    val got = Dedup.fuzzyPairs(words, "w")
+      .as[(String, String, Long)].collect().toSet
+    // 'cafe' vs 'café' is 1 CODE POINT but 2 BYTES apart — the byte
+    // verify must reject it (Spark's builtin levenshtein keeps it,
+    // breaking parity with the byte-wise oracle)
+    assert(!got.exists(p => p._1 == "cafe" && p._2 == "café"))
+    assert(got.contains(("café", "cafés", 1L)))
+    assert(got.contains(("cafe", "cafx", 1L)))
+  }
+
+  test("fileAssign bands survive epoch-ns-scale ord ranges (linear layout)") {
+    // x spans ~2.4e18 — the multiply-first band form (x-x0)*256 wraps
+    // past a 2^55 range, scrambling file assignment; division-first
+    // keeps the linear layout's files rank-contiguous, so a 1/16-range
+    // predicate touches 1 of 8 files, not all of them.
+    val n = 4096L
+    val step = 586000000000000L // ~5.86e14; range = 4095 * step ~ 2.4e18
+    val x0 = 1700000000000000000L
+    val df = spark.range(n).select(col("id"),
+      (col("id") * step + x0).as("x"), pmod(col("id"), lit(64L)).as("y"))
+    val pred = (x0, x0 + (n / 16 - 1) * step, 0L, 63L)
+    val rep = Scale.zonemapSkipReport(df, "x", "y", "id", 8, 8, Seq(pred))
+      .where(col("layout") === "linear")
+      .select("files_scanned", "files_total", "rows_matched")
+      .as[(Long, Long, Long)].head()
+    assert(rep._3 == n / 16, s"selectivity: $rep")
+    assert(rep._1 <= 2, s"linear layout scanned ${rep._1}/${rep._2} files " +
+      "for a 1/16-range predicate — banding wrapped")
+  }
+
+  test("olsSums: raw-b moments don't wrap at epoch-scale bucket ids") {
+    // 12,000 minute bins in 2026: b ~ 2.945e7, sum(b*b) ~ 1.04e19 >
+    // Long.MaxValue — the pre-fix long accumulator wraps silently.
+    val n = 12000
+    val t0ns = 1767225600000000000L // 2026-01-01
+    val rows = (0 until n).flatMap { i =>
+      val ts = t0ns + i.toLong * 60000000000L
+      if (i % 2 == 0) Seq(("a", ts), ("a", ts + 1000000000L))
+      else Seq(("a", ts))
+    }
+    val got = Events.olsTrend(rows.toDF("event_type", "ts"),
+        "event_type", "ts", 60000000L)
+      .select("n_bins", "slope", "intercept", "r2")
+      .as[(Long, Double, Double, Double)].head()
+    // brute-force the shifted sums exactly (x = 0..n-1, y = 2,1,2,1,…)
+    val y = (0 until n).map(i => if (i % 2 == 0) 2L else 1L)
+    val nn = n.toLong
+    val sx = (0L until nn).sum
+    val sy = y.sum
+    val sxy = y.zipWithIndex.map { case (c, i) => i * c }.sum
+    val sxx = (0L until nn).map(i => i * i).sum
+    val syy = y.map(c => c * c).sum
+    val dxx = nn * sxx - sx * sx; val dyy = nn * syy - sy * sy
+    val dxy = nn * sxy - sx * sy
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == nn)
+    assert(got._2 == r6(dxy.toDouble / dxx.toDouble) + 0.0)
+    assert(got._3 == r6((sy * sxx - sx * sxy).toDouble / dxx.toDouble) + 0.0)
+    assert(got._4 == r6(dxy.toDouble * dxy.toDouble /
+      (dxx.toDouble * dyy.toDouble)))
+  }
+
+  test("foldHllState: nShards contract, bootstrap == direct, order-invariant, 5%") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables(spark, sf, "events")
+      .where(col("event_id").isNotNull && col("user_id").isNotNull)
+    val snap = ev.where(pmod(col("event_id"), lit(5L)) =!= 0)
+    val d1 = ev.where(pmod(col("event_id"), lit(10L)) === 0)
+    val d2 = ev.where(pmod(col("event_id"), lit(10L)) === 5)
+    val dir = java.nio.file.Files.createTempDirectory("hll9").toString
+    // contract: a fold with a different shard count is refused
+    Scale.writeHllState(snap, "event_type", "user_id", 16, s"$dir/s0")
+    intercept[IllegalArgumentException](
+      Scale.foldHllState(spark, s"$dir/s0", d1, "event_type", "user_id", 8))
+    // day-0 bootstrap: fold into an EMPTY state == the delta's own
+    // one-pass sketches (the empty side passes the delta through
+    // un-unioned, so even the HIP estimator survives)
+    Scale.writeHllState(ev.where(lit(false)), "event_type", "user_id",
+      16, s"$dir/empty")
+    val boot = Scale.hllEstimate(Scale.foldHllState(spark, s"$dir/empty",
+        d1, "event_type", "user_id", 16), "event_type")
+      .select("event_type", "n_unique_est").as[(String, Long)].collect().toMap
+    val direct = d1.select(col("event_type"),
+        pmod(xxhash64(col("user_id")), lit(16L)).as("sh"),
+        col("user_id").as("k"))
+      .groupBy("event_type", "sh")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("k"), lit(12))).as("e"))
+      .groupBy("event_type").agg(sum(col("e")).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(boot == direct)
+    // fold order invariance (register-wise max is batch-invariant)
+    def fold2(a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame, tag: String) = {
+      Scale.foldHllState(spark, s"$dir/s0", a, "event_type", "user_id", 16)
+        .write.parquet(s"$dir/$tag/sketches")
+      Scale.hllEstimate(Scale.foldHllState(spark, s"$dir/$tag", b,
+          "event_type", "user_id", 16), "event_type")
+        .select("event_type", "n_unique_est")
+        .as[(String, Long)].collect().toMap
+    }
+    val e12 = fold2(d1, d2, "o12"); val e21 = fold2(d2, d1, "o21")
+    assert(e12 == e21)
+    // accuracy: folded estimate within 5% of exact
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((g, est) <- e12)
+      assert(math.abs(est - exact(g)).toDouble / exact(g) < 0.05,
+        s"$g: est=$est exact=${exact(g)}")
+  }
+
+  test("sessionize: gap islands, counts, and durations (brute-forced)") {
+    // user 1: sessions [0,500], [1600,2000], [5000] at gap 1000us
+    val us = Seq(0L, 500L, 1600L, 2000L, 5000L)
+    val df = us.map(u => (1L, u * 1000L)).toDF("user_id", "ts")
+    val got = Events.sessionize(df, "user_id", "ts", 1000L)
+      .orderBy("session_id")
+      .select("session_id", "n_events", "start_us", "end_us", "dur_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L, 500L, 500L),
+      (2L, 2L, 1600L, 2000L, 400L), (3L, 1L, 5000L, 5000L, 0L)))
+    // invariant on the fixture: session event counts partition events
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables(spark, sf, "events")
+    val sess = Events.sessionize(ev, "user_id", "ts", 1800000000L)
+    assert(sess.agg(sum("n_events")).head().getLong(0) ==
+      ev.where(col("user_id").isNotNull).count())
+    assert(sess.where(col("end_us") < col("start_us")).count() == 0)
+  }
+
+  test("winsorizedMean: exact order-statistic caps (brute-forced)") {
+    val vals = (1 to 100).map(v => ("a", v.toDouble)) ++
+      Seq(("a", Double.NaN)) // NaN excluded, n stays 100
+    val df = vals.toDF("g", "v")
+      .unionByName(Seq(("a", None: Option[Double])).toDF("g", "v"))
+    val got = Quality.winsorizedMean(df, "g", col("v"))
+      .select("n", "lo_cents", "hi_cents", "mean_raw", "mean_winsorized")
+      .as[(Long, Long, Long, Double, Double)].head()
+    // ranks ceil(.05*100)=5 -> 5.00, ceil(.95*100)=95 -> 95.00
+    assert(got._1 == 100L && got._2 == 500L && got._3 == 9500L)
+    assert(got._4 == 50.5)
+    // capped sum: 4*500 + sum(500..9500 by 100) + 5*9500 = 5045000 cents
+    val capped = (1 to 100).map(v => math.max(500, math.min(9500, v * 100L)))
+    assert(got._5 == capped.sum / 100.0 / 100.0)
+  }
+}

@@ -41,10 +41,25 @@ for name in names:
     es = e.sort_values(ecols, na_position="first").reset_index(drop=True)
     try:
         import pandas as pd
+        import numpy as np
         # dtype-strict: the driver's hash is dtype-sensitive (e.g. DuckDB
         # HUGEINT from un-cast SUM must be CAST to BIGINT in the oracle SQL).
         pd.testing.assert_frame_equal(gs, es, check_dtype=True,
                                       check_exact=True)
+        # signbit-strict: the driver's hash is BYTE-sensitive, so -0.0 vs
+        # 0.0 fails there while numpy == cannot see it (round-8 q322
+        # postmortem: DuckDB round() keeps the sign of a tiny negative,
+        # Spark's BigDecimal round can't). Compare sign bits of every
+        # non-NaN float cell.
+        for c in gcols:
+            if gs[c].dtype.kind == "f":
+                ga, ea = gs[c].to_numpy(), es[c].to_numpy()
+                ok = np.isnan(ga) | (np.signbit(ga) == np.signbit(ea))
+                if not ok.all():
+                    i = int(np.argmin(ok))
+                    raise AssertionError(
+                        f"signbit mismatch col={c} row={i}: "
+                        f"spark={ga[i]!r} oracle={ea[i]!r}")
         print(f"PASS {name} ({len(g)} rows)")
     except AssertionError as ex:
         print(f"FAIL {name}: value mismatch\n  {str(ex)[:500]}")

@@ -18,6 +18,23 @@ cd "$(dirname "$0")/.." || exit 1
 REF="${1:-HEAD}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}"
 
+# Claim-chain guard: the README's gate count must equal the number of
+# distinct query names actually defined in the queries maps (the
+# round-8 verdict flagged a drifted "370 queries" claim).
+ACTUAL=$(grep -oh '"q[0-9]*_[a-z0-9_]*" ->' src/main/scala/graft/queries/*.scala \
+  | grep -oE '"q[0-9]+_[a-z0-9_]*"' | sort -u | wc -l)
+MAXQ=$(grep -oh '"q[0-9]*_[a-z0-9_]*" ->' src/main/scala/graft/queries/*.scala \
+  | grep -oE 'q[0-9]+' | grep -oE '[0-9]+' | sort -n | tail -1)
+CLAIM=$(grep -oE 'oracle gate \([0-9]+ queries,' README.md | grep -oE '[0-9]+' | head -1)
+CLAIMMAX=$(grep -oE 'q[0-9]+, every one value-checked' README.md \
+  | grep -oE '[0-9]+' | head -1)
+if [ "$ACTUAL" != "$CLAIM" ] || [ "$MAXQ" != "$CLAIMMAX" ]; then
+  echo "[precommit] FAIL: README claims $CLAIM queries through q$CLAIMMAX," >&2
+  echo "            source defines $ACTUAL through q$MAXQ — update README.md" >&2
+  exit 1
+fi
+echo "[precommit] gate-count claim OK ($ACTUAL queries through q$MAXQ)" >&2
+
 echo "[precommit] compiling (main + test)..." >&2
 sbt -error -batch compile Test/compile
 
