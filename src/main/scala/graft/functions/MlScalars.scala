@@ -67,8 +67,10 @@ object MlScalars {
     *   - "stub": the legacy per-dimension md5 stub, kept only as an
     *     explicit opt-in for comparing against r5/r6-era outputs.
     * An ONNX-session implementation drops in as a third branch where a
-    * model runtime is available (resolution re-attempted and still
-    * impossible in this offline build env as of round 7 — see README).
+    * model runtime is available (resolution re-attempted every round —
+    * r7, r8, and r9: `com.microsoft.onnxruntime:onnxruntime:1.17.1`
+    * is absent from the pinned offline mirror and COURSIER_MODE=offline
+    * blocks any fetch, so the loud-fail dispatch stands — see README).
     */
   def textEmbedding(text: Column, dim: Int,
                     mode: Option[String] = sys.env.get("SPARK_GRAFT_EMBEDDING"))

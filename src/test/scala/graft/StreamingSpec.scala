@@ -276,6 +276,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(evs.map(Seq(_))) == one)
   }
 
+  test("streamingAlerts recovers flatMapGroupsWithState state from a checkpoint restart") {
+    // The property AvailableNow replay can't witness: KILL the query
+    // after batch 1 commits, START A NEW QUERY on the same checkpoint,
+    // and require the phase-2 output to depend on phase-1 STATE (bin1's
+    // dead-band hold needs alert=1 from bin0; bin2's cleared=1 needs the
+    // open alert) — recovered from the state store, not recomputed.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{AlertEvent, AlertRow}
+    val batch1 = Seq(
+      AlertEvent(0L, 1L, 1L), AlertEvent(0L, 2L, 1L),
+      AlertEvent(0L, 12L, 1L), AlertEvent(0L, 13L, 0L),
+      AlertEvent(0L, 14L, 0L))
+    val batch2 = Seq(AlertEvent(0L, 41L, 0L))
+    val base = java.nio.file.Files.createTempDirectory("alerts_cp").toString
+    val cp = s"$base/checkpoint"; val outDir = s"$base/out"
+    val in = MemoryStream[AlertEvent](spark)
+    // a DURABLE sink — the memory sink refuses checkpoint recovery
+    def start() =
+      Streaming.streamingAlerts(in.toDS(), binUs = 10L,
+          hiPpm = 300000L, loPpm = 150000L)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", cp).start()
+    def readOut() = spark.read.schema(org.apache.spark.sql.Encoders
+        .product[AlertRow].schema).parquet(outDir)
+      .as[AlertRow].collect().toSeq
+    val q1 = start()
+    in.addData(batch1: _*); q1.processAllAvailable(); q1.stop()
+    val phase1 = readOut()
+    val q2 = start() // NEW query, same checkpoint
+    in.addData(batch2: _*); q2.processAllAvailable(); q2.stop()
+    val all = readOut()
+    val phase2 = all.diff(phase1)
+    // phase 2 contains ONLY post-restart rows (offsets recovered too,
+    // so batch 1 is not reprocessed), and its dead-band hold/clear rows
+    // need bin0's alert=1 state — recovered from the state store
+    assert(phase1.map(_.b).toSet == Set(0L))
+    assert(phase2.map(_.b).toSet == Set(1L, 2L, 3L))
+    // interrupted == uninterrupted, row for row
+    val inU = MemoryStream[AlertEvent](spark)
+    val qU = Streaming.streamingAlerts(inU.toDS(), binUs = 10L,
+        hiPpm = 300000L, loPpm = 150000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("alerts_cp_u").start()
+    inU.addData(batch1: _*); qU.processAllAvailable()
+    inU.addData(batch2: _*); qU.processAllAvailable(); qU.stop()
+    val uninterrupted = spark.table("alerts_cp_u").as[AlertRow].collect().toSeq
+    assert(all.sortBy(r => (r.k, r.b)) ==
+      uninterrupted.sortBy(r => (r.k, r.b)))
+    spark.catalog.dropTempView("alerts_cp_u")
+  }
+
   test("streaming MinHash-LSH state persists across micro-batches") {
     val in = MemoryStream[(Long, String)](spark)
     val out = s"stream_mh2_${System.nanoTime()}"
