@@ -358,6 +358,45 @@ object Corpus {
           6).as("profile_cosine"))
   }
 
+  /** Jensen-Shannon divergence matrix between the hashed word-bucket
+    * profiles of every source pair — the SYMMETRIC, bounded (<= ln 2)
+    * companion of [[sourceDrift]]'s KL and [[sourceSimilarity]]'s
+    * cosine: cosine sees shared vocabulary mass, JSD sees the
+    * distribution gap, and unlike KL it never blows up on one-sided
+    * buckets. Laplace-smoothed over a DENSE source x bucket grid (so
+    * absent buckets need no closed-form special case), each bucket's
+    * contribution `pa*ln(pa/m) + pb*ln(pb/m)` quantized to integer
+    * nano-nats BEFORE the per-pair sum (the engine-exactness
+    * contract; ln per-term nano-quantized is cross-engine safe, raw
+    * exp/sums of doubles are not).
+    *
+    * Shape: one profile aggregate, a dense S x B grid (model-sized:
+    * sources x 256), a bucket-keyed pair join carrying O(S² · B)
+    * rows — source-level, never corpus rows. Output O(S²).
+    */
+  def sourceJsd(df: DataFrame, textCol: String, groupCol: String,
+                buckets: Int = 256): DataFrame = {
+    val prof = wordProfile(df, textCol, groupCol, buckets)
+    val totals = prof.groupBy("src").agg(sum(col("c")).as("n"))
+    val grid = totals.crossJoin(
+        df.sparkSession.range(buckets).select(col("id").as("b")))
+      .join(prof, Seq("src", "b"), "left")
+      .select(col("src"), col("b"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val pa = (col("ca") + 1.0) / (col("na") + buckets.toDouble)
+    val pb = (col("cb") + 1.0) / (col("nb") + buckets.toDouble)
+    val m = (pa + pb) / 2.0
+    grid.toDF("src_a", "b", "na", "ca")
+      .join(grid.toDF("src_b", "b", "nb", "cb"), "b")
+      .where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        floor((pa * log(pa / m) + pb * log(pb / m)) * 1e9 + 0.5)
+          .cast("long").as("__t"))
+      .groupBy("src_a", "src_b")
+      .agg(graft.core.Exact.zround(
+        sum(col("__t")).cast("double") / 2.0e9, 6).as("jsd_nats"))
+  }
+
   /** Contamination attribution: for each doc the [[contaminationMatrix]]
     * flags, WHICH benchmark suite it leaks (max overlapping suite, ties
     * to the lexicographically smallest) and how badly — the triage view

@@ -157,6 +157,40 @@ object Graph {
       .distinct()
   }
 
+  /** Bounded synchronous k-core peel: exactly `rounds` rounds of
+    * "drop every node with degree < k, then re-count" over an
+    * undirected (a < b canonical) edge list — the density-core
+    * extractor that separates hub-backed clusters (template farms,
+    * co-purchase communities) from incidental pairwise links. The
+    * OUTPUT SEMANTICS are the round-`rounds` survivor set (not the
+    * fixpoint): both engine and oracle compute the identical bounded
+    * peel, and once the peel stabilizes early every further round is a
+    * no-op, so a converged graph's result IS the true k-core
+    * (Round9bSpec pins convergence on the fixture).
+    *
+    * Scale: each round is one node-keyed degree aggregate plus two
+    * semi-joins — the PageRank cost shape (2 keyed shuffles/round),
+    * with the arc list localCheckpoint'd per round so 12 rounds never
+    * stack 36 lineage stages (swap for checkpoint() on a cluster).
+    */
+  def kcorePeel(und: DataFrame, aCol: String, bCol: String, k: Int,
+                rounds: Int = 12): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kcorePeel: k >= 1, rounds >= 1")
+    var arcs = und
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(und.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = arcs.groupBy("u").agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k).select("u")
+      arcs = arcs.join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    arcs.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node triangle counts via DEGREE ORIENTATION (the standard
     * scalable algorithm): orient every undirected edge from its
     * lower-(degree, id) endpoint to the higher one, enumerate wedges

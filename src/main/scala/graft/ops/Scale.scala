@@ -446,4 +446,58 @@ object Scale {
       .groupBy(col(groupCol))
       .agg(sum(col("__e")).as("n_unique_est"),
         count(lit(1)).as("n_shards_hit"))
+
+  /** Count-min sketch state per group: `depth` hash rows x `width`
+    * buckets of EXACT integer counts, stored sparsely (only non-zero
+    * cells; absent cell = 0) — the frequency twin of the distinct
+    * states: O(groups · depth · width) rows at any corpus size, and
+    * because the cells are plain sums the fold is EXACT (fold ==
+    * rebuild row-identical, no estimator caveat — the property HLL's
+    * HIP estimator cannot give). Per-depth hashing is
+    * `xxhash64(d, key) % width`, deterministic in any engine and
+    * partitioning.
+    */
+  def cmsSketch(df: DataFrame, groupCol: String, keyCol: String,
+                depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, "cmsSketch: depth >= 1, width >= 2")
+    df.where(col(keyCol).isNotNull)
+      .select(col(groupCol), col(keyCol).as("__k"),
+        explode(typedLit((0 until depth).map(_.toLong))).as("__d"))
+      .groupBy(col(groupCol), col("__d"),
+        pmod(xxhash64(col("__d"), col("__k")), lit(width.toLong)).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Fold a delta's CMS cells into the state: cells are additive exact
+    * counts, so this is one keyed sum — associative, commutative, and
+    * row-identical to a rebuild over state ∪ delta.
+    */
+  def foldCms(state: DataFrame, deltaCells: DataFrame,
+              groupCol: String): DataFrame =
+    state.unionByName(deltaCells)
+      .groupBy(col(groupCol), col("__d"), col("__b"))
+      .agg(sum(col("__c")).as("__c"))
+
+  /** Point-frequency estimates for `probes` (a (group, key) frame)
+    * against a CMS state: est = min over depths of the hashed cell
+    * (absent cell = 0). The classic guarantee is deterministic on one
+    * side — est >= true count always (collisions only ADD) — and
+    * probabilistic on the other (est <= true + N/width per depth in
+    * expectation); the gate pins the deterministic side plus exact
+    * calibration counts.
+    *
+    * Shape: probes explode x depth, one broadcast-sized join per probe
+    * set against the O(depth·width) state — never a corpus scan.
+    */
+  def cmsEstimate(state: DataFrame, probes: DataFrame, groupCol: String,
+                  keyCol: String, depth: Int = 4,
+                  width: Int = 1024): DataFrame =
+    probes.where(col(keyCol).isNotNull).distinct()
+      .select(col(groupCol), col(keyCol),
+        explode(typedLit((0 until depth).map(_.toLong))).as("__d"))
+      .withColumn("__b",
+        pmod(xxhash64(col("__d"), col(keyCol)), lit(width.toLong)))
+      .join(state, Seq(groupCol, "__d", "__b"), "left")
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(min(coalesce(col("__c"), lit(0L))).as("cms_est"))
 }

@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Events, Quality, Scale}
+import graft.ops.{Corpus, Dedup, Events, Graph, Quality, Scale}
 import graft.queries.Q._
+import graft.functions.PixieFunctions.idiv
 
 /** Round-9 batch: the HLL twin of the incremental-distinct state
   * (q454's approximate sibling — per-shard sketches folded
@@ -76,7 +77,121 @@ object Curation7 {
       Quality.winsorizedMean(
           t(s, dir, "events").where(col("event_type").isNotNull),
           "event_type", col("value"))
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // Count-min sketch frequency state: bootstrap from the snapshot,
+    // fold the delta, probe a deterministic key sample. Cells are
+    // exact integer sums, so fold == rebuild ROW-IDENTICAL (asserted
+    // into the fold_eq_rebuild column — the property HLL's estimator
+    // can't give) and est >= exact deterministically (collisions only
+    // add); exact calibration counts are the oracle-checked column.
+    "q458_cms_heavy_hitters" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_id").isNotNull && col("user_id").isNotNull)
+      val snap = ev.where(pmod(col("event_id"), lit(5L)) =!= 0)
+      val delta = ev.where(pmod(col("event_id"), lit(5L)) === 0)
+      val folded = Scale.foldCms(
+        Scale.cmsSketch(snap, "event_type", "user_id"),
+        Scale.cmsSketch(delta, "event_type", "user_id"), "event_type")
+        .localCheckpoint(true)
+      val rebuild = Scale.cmsSketch(ev, "event_type", "user_id")
+      val foldEq = folded.exceptAll(rebuild).isEmpty &&
+        rebuild.exceptAll(folded).isEmpty
+      val probes = ev.where(pmod(col("user_id"), lit(97L)) === 0)
+        .select("event_type", "user_id").distinct()
+      val exact = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n_exact"))
+      probes
+        .join(exact, Seq("event_type", "user_id"))
+        .join(Scale.cmsEstimate(folded, probes, "event_type", "user_id"),
+          Seq("event_type", "user_id"))
+        .select(col("event_type"), col("user_id"), col("n_exact"),
+          (col("cms_est") >= col("n_exact")).as("est_ge_exact"),
+          lit(foldEq).as("fold_eq_rebuild"))
+        .orderBy("event_type", "user_id")
+    }),
+
+    // Session-length histogram + engagement shares over the q456
+    // session table (oracle composed from the q456 SQL — the
+    // baseOracles pattern, so the rollup cannot drift from the
+    // session definition).
+    "q459_session_stats" -> ((s, dir) => {
+      val sess = Events.sessionize(t(s, dir, "events"), "user_id", "ts",
+        1800000000L)
+      val bucket = when(col("n_events") === 1, lit("1"))
+        .when(col("n_events") <= 2, lit("2"))
+        .when(col("n_events") <= 5, lit("3-5"))
+        .when(col("n_events") <= 10, lit("6-10"))
+        .otherwise(lit("11+"))
+      val h = sess.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("dur_us")).as("total_dur_us"))
+      h.crossJoin(broadcast(h.agg(sum(col("n_sessions")).as("__t"))))
+        .select(col("bucket"), col("n_sessions"), col("n_events"),
+          col("total_dur_us"),
+          idiv(col("n_sessions") * 1000000L, col("__t")).as("share_ppm"))
+        .orderBy("bucket")
+    }),
+
+    // Jensen-Shannon divergence matrix between source word profiles.
+    "q460_source_jsd" -> ((s, dir) =>
+      Corpus.sourceJsd(t(s, dir, "documents"), "text", "source")
+        .orderBy("src_a", "src_b")),
+
+    // Bounded 12-round 3-core peel of the co-purchase part graph
+    // (parts sharing >= 2 orders) — hub communities vs incidental
+    // pairs; round-12 survivor semantics on both sides.
+    "q461_kcore" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = l.toDF("o", "a").join(l.toDF("o", "b"), "o")
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+      Graph.kcorePeel(edges, "a", "b", k = 3).orderBy("node")
+    }))
+
+  /** q456's session derivation, shared verbatim by the q459 rollup. */
+  private val sessionSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events
+      |  WHERE user_id IS NOT NULL),
+      |m AS (SELECT user_id, tus,
+      |    CASE WHEN tus - lag(tus)
+      |        OVER (PARTITION BY user_id ORDER BY tus) <= 1800000000
+      |      THEN 0 ELSE 1 END AS new_s
+      |  FROM e),
+      |s AS (SELECT user_id, tus,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS session_id
+      |  FROM m)
+      |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  min(tus) AS start_us, max(tus) AS end_us,
+      |  max(tus) - min(tus) AS dur_us
+      |FROM s GROUP BY 1, 2""".stripMargin
+
+  private val kcoreSql: String = {
+    val rounds = (0 until 12).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT u FROM a$i GROUP BY u
+         |  HAVING count(*) >= 3),
+         |a${i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM a$i e
+         |  JOIN n$i x ON x.u = e.u JOIN n$i y ON y.u = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+       |    l_partkey AS p FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |e0 AS MATERIALIZED (SELECT a.p AS a, b.p AS b FROM l a
+       |  JOIN l b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |a0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+       |  UNION SELECT b, a FROM e0),
+       |$rounds
+       |SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM a12 GROUP BY u ORDER BY node""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -89,22 +204,58 @@ object Curation7 {
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q456_sessionize" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events
-        |  WHERE user_id IS NOT NULL),
-        |m AS (SELECT user_id, tus,
-        |    CASE WHEN tus - lag(tus)
-        |        OVER (PARTITION BY user_id ORDER BY tus) <= 1800000000
-        |      THEN 0 ELSE 1 END AS new_s
-        |  FROM e),
-        |s AS (SELECT user_id, tus,
-        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS session_id
-        |  FROM m)
-        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  min(tus) AS start_us, max(tus) AS end_us,
-        |  max(tus) - min(tus) AS dur_us
-        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+      s"$sessionSql ORDER BY user_id, session_id",
+
+    "q458_cms_heavy_hitters" ->
+      """SELECT event_type, user_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS est_ge_exact, true AS fold_eq_rebuild
+        |FROM events
+        |WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |  AND user_id % 97 = 0
+        |GROUP BY 1, 2 ORDER BY event_type, user_id""".stripMargin,
+
+    "q459_session_stats" ->
+      s"""WITH sess AS ($sessionSql),
+         |h AS (SELECT CASE WHEN n_events = 1 THEN '1'
+         |    WHEN n_events <= 2 THEN '2'
+         |    WHEN n_events <= 5 THEN '3-5'
+         |    WHEN n_events <= 10 THEN '6-10' ELSE '11+' END AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_sessions,
+         |    CAST(sum(n_events) AS BIGINT) AS n_events,
+         |    CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+         |  FROM sess GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS tot FROM h)
+         |SELECT bucket, n_sessions, n_events, total_dur_us,
+         |  n_sessions * 1000000 // tot AS share_ppm
+         |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "q460_source_jsd" -> {
+      val b = s"(${Dedup.h60Sql("w")}) % 256"
+      s"""WITH prof AS (SELECT src, $b AS b, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source AS src, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) WHERE w <> '' GROUP BY 1, 2),
+         |tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM prof
+         |  GROUP BY src),
+         |grid AS (SELECT t.src, gb.b, t.n, coalesce(p.c, 0) AS c
+         |  FROM tot t CROSS JOIN (SELECT unnest(range(256)) AS b) gb
+         |  LEFT JOIN prof p ON p.src = t.src AND p.b = gb.b),
+         |pr AS (SELECT a.src AS src_a, b2.src AS src_b,
+         |    (a.c + 1.0) / (a.n + 256.0) AS pa,
+         |    (b2.c + 1.0) / (b2.n + 256.0) AS pb
+         |  FROM grid a JOIN grid b2 ON a.b = b2.b AND a.src < b2.src),
+         |tm AS (SELECT src_a, src_b,
+         |    CAST(floor((pa * ln(pa / ((pa + pb) / 2.0))
+         |      + pb * ln(pb / ((pa + pb) / 2.0))) * 1000000000.0 + 0.5)
+         |      AS BIGINT) AS t
+         |  FROM pr)
+         |SELECT src_a, src_b,
+         |  round(CAST(sum(t) AS DOUBLE) / 2000000000.0, 6) + 0.0
+         |    AS jsd_nats
+         |FROM tm GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+    },
+
+    "q461_kcore" -> kcoreSql,
 
     "q457_winsorized_mean" ->
       """WITH v AS (SELECT event_type AS g,

@@ -166,6 +166,91 @@ class Round9Spec extends AnyFunSuite {
     assert(sess.where(col("end_us") < col("start_us")).count() == 0)
   }
 
+  test("cmsSketch/foldCms/cmsEstimate: est >= exact always, fold == rebuild") {
+    val rows = ((1 to 400).map(i => ("g", s"k${i % 37}")) ++
+      (1 to 50).map(_ => ("g", "hot")) ++
+      (1 to 200).map(i => ("h", s"k${i % 11}"))).toDF("g", "k")
+    val a = rows.where(pmod(xxhash64(col("k")), lit(3L)) =!= 0)
+    val b = rows.where(pmod(xxhash64(col("k")), lit(3L)) === 0)
+    val folded = Scale.foldCms(Scale.cmsSketch(a, "g", "k", 4, 64),
+      Scale.cmsSketch(b, "g", "k", 4, 64), "g")
+    val rebuild = Scale.cmsSketch(rows, "g", "k", 4, 64)
+    assert(folded.exceptAll(rebuild).isEmpty &&
+      rebuild.exceptAll(folded).isEmpty)
+    // the deterministic CMS side: estimate >= exact for EVERY key
+    // (width 64 << 37 keys forces real collisions, so overcounts occur)
+    val est = Scale.cmsEstimate(rebuild, rows.distinct(), "g", "k", 4, 64)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = rows.groupBy("g", "k").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(exact.forall { case (k, n) => est(k) >= n })
+    assert(est(("g", "hot")) >= 50L)
+    // absent key probes never go negative
+    val miss = Scale.cmsEstimate(rebuild,
+        Seq(("g", "never-seen")).toDF("g", "k"), "g", "k", 4, 64)
+      .as[(String, String, Long)].head()
+    assert(miss._3 >= 0L)
+  }
+
+  test("sourceJsd: zero for identical profiles, symmetric-bounded") {
+    val docs = (1 to 50).flatMap { i =>
+      val txt = s"alpha beta gamma delta token$i"
+      Seq((i.toLong, txt, "same_a"), (i.toLong + 100, txt, "same_b"),
+        (i.toLong + 200, s"zeta eta theta iota other$i", "diff"))
+    }.toDF("doc_id", "text", "source")
+    val got = graft.ops.Corpus.sourceJsd(docs, "text", "source")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // identical word multisets -> identical profiles -> JSD exactly 0
+    assert(got(("same_a", "same_b")) == 0.0)
+    // disjoint-heavy pairs are strictly positive and <= ln 2
+    for ((p, v) <- got) {
+      assert(v >= 0.0 && v <= 0.693148, s"$p -> $v")
+      if (p._1 == "diff" || p._2 == "diff") assert(v > 0.1, s"$p -> $v")
+    }
+  }
+
+  test("kcorePeel: brute-force tiny graph; fixture peel reaches fixpoint by round 12") {
+    // K4 on {1,2,3,4} plus a pendant chain 4-5, 5-6: the 3-core is
+    // exactly the K4 (every node degree 3); 5 and 6 peel off.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val got = graft.ops.Graph.kcorePeel(edges, "a", "b", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the q461 graph converges within the 12-round bound: round 12 ==
+    // round 13 (so the bounded-peel output IS the true 3-core there)
+    val sf = "/root/testdata/sf0.001"
+    val l = graft.core.Tables(spark, sf, "lineitem")
+      .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val co = l.toDF("o", "a").join(l.toDF("o", "b"), "o")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .localCheckpoint(true)
+    val r12 = graft.ops.Graph.kcorePeel(co, "a", "b", 3, rounds = 12)
+      .as[(Long, Long)].collect().toSet
+    val r13 = graft.ops.Graph.kcorePeel(co, "a", "b", 3, rounds = 13)
+      .as[(Long, Long)].collect().toSet
+    assert(r12 == r13 && r12.nonEmpty)
+  }
+
+  test("sessionize rollup invariants (q459 legs)") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables(spark, sf, "events")
+    val sess = Events.sessionize(ev, "user_id", "ts", 1800000000L)
+    val buckets = sess.withColumn("bucket",
+        when(col("n_events") === 1, "1").when(col("n_events") <= 2, "2")
+          .when(col("n_events") <= 5, "3-5")
+          .when(col("n_events") <= 10, "6-10").otherwise("11+"))
+      .groupBy("bucket").count().as[(String, Long)].collect().toMap
+    assert(buckets.values.sum == sess.count())
+  }
+
   test("winsorizedMean: exact order-statistic caps (brute-forced)") {
     val vals = (1 to 100).map(v => ("a", v.toDouble)) ++
       Seq(("a", Double.NaN)) // NaN excluded, n stays 100
