@@ -1287,21 +1287,101 @@ object Events {
     * (funnel-within-session, dwell time, engagement depth).
     */
   def sessionize(df: DataFrame, userCol: String, tsCol: String,
-                 gapUs: Long): DataFrame = {
+                 gapUs: Long): DataFrame =
+    sessionAssign(df, userCol, tsCol, gapUs)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__tus")).as("start_us"), max(col("__tus")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+
+  /** Per-EVENT session assignment — [[sessionize]] before its rollup:
+    * the input rows (plus the internal `__tus` microsecond column)
+    * with each row's 1-based `session_id`. The building block for any
+    * within-session analysis (session funnels, dwell sequences,
+    * engagement depth). Same user-keyed windows; null users dropped.
+    */
+  def sessionAssign(df: DataFrame, userCol: String, tsCol: String,
+                    gapUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(gapUs > 0, "sessionize: gapUs > 0")
-    val w = Window.partitionBy("__u").orderBy("__tus")
+    require(gapUs > 0, "sessionAssign: gapUs > 0")
+    val w = Window.partitionBy(userCol).orderBy("__tus")
     df.where(col(userCol).isNotNull)
-      .select(col(userCol).as("__u"),
-        graft.functions.PixieFunctions.nsToUs(col(tsCol)).as("__tus"))
+      .withColumn("__tus",
+        graft.functions.PixieFunctions.nsToUs(col(tsCol)))
       .withColumn("__new",
         when(col("__tus") - lag(col("__tus"), 1).over(w) <= gapUs, 0L)
           .otherwise(1L))
       .withColumn("session_id", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("__u").as(userCol), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("__tus")).as("start_us"), max(col("__tus")).as("end_us"))
-      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .drop("__new")
+  }
+
+  /** Within-session two-stage funnel: of the sessions whose events
+    * include stage A, the share that also contain stage B at-or-after
+    * the session's FIRST A — the "did they convert in the same visit"
+    * read the user-level funnel ([[funnelTimes]]) deliberately isn't.
+    * One [[sessionAssign]] pass + one (user, session)-keyed aggregate;
+    * output is ONE row (counts + ppm).
+    */
+  def sessionFunnel(df: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, gapUs: Long,
+                    stageA: String, stageB: String): DataFrame = {
+    val per = sessionAssign(df, userCol, tsCol, gapUs)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(when(col(typeCol) === stageA, col("__tus"))).as("__a"),
+        max(when(col(typeCol) === stageB, col("__tus"))).as("__b"))
+    per.agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__a").isNotNull, 1L).otherwise(0L))
+          .as("n_with_first"),
+        sum(when(col("__a").isNotNull && col("__b") >= col("__a"), 1L)
+          .otherwise(0L)).as("n_converted"))
+      .select(col("n_sessions"), col("n_with_first"), col("n_converted"),
+        when(col("n_with_first") > 0,
+          idiv(col("n_converted") * 1000000L, col("n_with_first")))
+          .as("conv_ppm"))
+  }
+
+  /** EWMA anomaly bins with an EXACT binary half-life: the smoothing
+    * weight for the count `i` buckets back is `2^(40-i)` over a
+    * 40-bucket horizon, so the weighted history
+    * `W(b) = Σ_{i=1..40} c(b-i) · 2^(40-i)` is a plain integer sum
+    * (denominator `2^40 − 1`), and `ewma_milli = W·1000 // (2^40−1)`
+    * is truncating integer division — bit-identical in any engine, no
+    * libm, no float accumulation (the α=1/2 EWMA every cross-engine
+    * float recursion gets wrong). Emits each type's top-`topK` bins by
+    * |c·1000 − ewma_milli| among FULL-horizon bins (b ≥ b0+40).
+    *
+    * Scale: the 40 lags run per type over the TIME-bound zero-filled
+    * grid ([[countGrid]]), never over raw events.
+    */
+  def ewmaAnomalies(df: DataFrame, typeCol: String, tsCol: String,
+                    binUs: Long, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val horizon = 40
+    val denom = (1L << horizon) - 1L
+    val g = countGrid(df, typeCol, tsCol, binUs)
+    val w = Window.partitionBy("et").orderBy("b")
+    val weighted = (1 to horizon).map(i =>
+      shiftleft(coalesce(lag(col("c"), i).over(w), lit(0L)), horizon - i))
+      .reduce(_ + _)
+    val b0 = Window.partitionBy("et")
+    val scored = g
+      .withColumn("__w", weighted)
+      .withColumn("__b0", min(col("b")).over(b0))
+      .where(col("b") >= col("__b0") + horizon)
+      // staged division (both engines truncate nonneg identically):
+      // W*1000 would overflow long once per-bucket counts pass ~8e6
+      // (W ≤ max_c·(2^40−1) ≈ max_c·1.1e12); W%denom < 2^40 keeps the
+      // scaled remainder term under 1.1e15 at ANY count scale
+      .withColumn("ewma_milli",
+        idiv(col("__w"), lit(denom)) * 1000L +
+          idiv(pmod(col("__w"), lit(denom)) * 1000L, lit(denom)))
+      .withColumn("dev_milli", col("c") * 1000L - col("ewma_milli"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("et")
+        .orderBy(abs(col("dev_milli")).desc, col("b"))).cast("int"))
+      .where(col("rank") <= topK)
+      .select(col("et").as("event_type"), col("rank"), col("b").as("bin"),
+        col("c"), col("ewma_milli"), col("dev_milli"))
   }
 }

@@ -500,4 +500,82 @@ object Scale {
       .join(state, Seq(groupCol, "__d", "__b"), "left")
       .groupBy(col(groupCol), col(keyCol))
       .agg(min(coalesce(col("__c"), lit(0L))).as("cms_est"))
+
+  /** Sliding-window count state: per-(group, time-bucket) counts for
+    * the trailing `windowBuckets` buckets — the windowed member of the
+    * persisted-state family ([[aggState]] is all-time, this one
+    * FORGETS). The state is O(groups · window) rows at any corpus
+    * size; a fold adds the delta's bucket counts and EXPIRES buckets
+    * that fall off the horizon (horizon = the max bucket seen across
+    * state + delta), so the fold's input is state + delta, never the
+    * corpus. Folded state == a fresh rebuild over the same rows as
+    * long as deltas arrive watermark-ordered (a late event for an
+    * ALREADY-EXPIRED bucket re-adds only its own partial count — the
+    * standard watermark contract; q462 splits by time so the gate
+    * exercises the ordered path). `binUs` travels with the state and
+    * a mismatched fold is refused (the nShards-contract pattern — a
+    * different bin width would silently merge misaligned buckets).
+    */
+  def writeWindowState(df: DataFrame, groupCol: String, tsCol: String,
+                       binUs: Long, windowBuckets: Int,
+                       path: String): Unit = {
+    require(binUs > 0 && windowBuckets > 0,
+      "writeWindowState: binUs > 0, windowBuckets > 0")
+    val c = bucketCounts(df, groupCol, tsCol, binUs)
+    expire(c, windowBuckets)
+      .withColumn("__binus", lit(binUs))
+      .write.parquet(s"$path/buckets")
+  }
+
+  private def bucketCounts(df: DataFrame, groupCol: String, tsCol: String,
+                           binUs: Long): DataFrame =
+    df.select(col(groupCol),
+        idiv(graft.functions.PixieFunctions.nsToUs(col(tsCol)),
+          lit(binUs)).as("__b"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+
+  private def expire(counts: DataFrame, windowBuckets: Int): DataFrame =
+    counts
+      .crossJoin(broadcast(counts.agg(max(col("__b")).as("__hi"))))
+      .where(col("__b") > col("__hi") - windowBuckets.toLong)
+      .drop("__hi")
+
+  /** Fold a delta into persisted [[writeWindowState]] counts: sum the
+    * overlapping buckets, advance the horizon, expire what fell off.
+    * Returns the new state frame (with `__binus`), which the caller
+    * persists as the next snapshot.
+    */
+  def foldWindowState(spark: org.apache.spark.sql.SparkSession,
+                      path: String, delta: DataFrame, groupCol: String,
+                      tsCol: String, binUs: Long,
+                      windowBuckets: Int): DataFrame = {
+    require(binUs > 0 && windowBuckets > 0,
+      "foldWindowState: binUs > 0, windowBuckets > 0")
+    val d = bucketCounts(delta, groupCol, tsCol, binUs)
+    val stSchema = org.apache.spark.sql.types.StructType(
+      d.schema.fields :+ org.apache.spark.sql.types.StructField("__binus",
+        org.apache.spark.sql.types.LongType))
+    val st = spark.read.schema(stSchema).parquet(s"$path/buckets")
+    st.select("__binus").take(1).foreach { r =>
+      require(r.getLong(0) == binUs,
+        s"foldWindowState: state written with binUs=${r.getLong(0)}, " +
+          s"folded with $binUs")
+    }
+    expire(
+      st.drop("__binus").unionByName(d)
+        .groupBy(col(groupCol), col("__b"))
+        .agg(sum(col("__c")).as("__c")),
+      windowBuckets)
+      .withColumn("__binus", lit(binUs))
+  }
+
+  /** Per-group trailing-window rollup of a window state frame: event
+    * total, live bucket count, and peak bucket within the horizon.
+    */
+  def windowTotals(state: DataFrame, groupCol: String): DataFrame =
+    state.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("window_events"),
+        count(lit(1)).as("buckets_live"),
+        max(col("__c")).as("peak_bucket_events"))
 }

@@ -152,26 +152,116 @@ object Curation7 {
         .groupBy("a", "b").agg(count(lit(1)).as("w"))
         .where(col("w") >= 2)
       Graph.kcorePeel(edges, "a", "b", k = 3).orderBy("node")
-    }))
+    }),
+
+    // Sliding 7-day window count state: bootstrap from events before
+    // Jan 28, fold the rest (watermark-ordered split), report per-type
+    // trailing-window totals — the FORGETTING member of the persisted
+    // state family. Both branches carry the answer: the window spans
+    // the state/delta cut, and the Jan 1-23 state buckets must expire.
+    "q462_window_count_state" -> ((s, dir) => {
+      val cutNs = 1706400000000000000L // 2024-01-28T00:00:00Z
+      val ev = t(s, dir, "events")
+      val p = Curation2.tempIndexDir("graft_window_state_")
+      try {
+        Scale.writeWindowState(ev.where(col("ts") < cutNs), "event_type",
+          "ts", 3600000000L, 168, p)
+        Scale.windowTotals(
+            Scale.foldWindowState(s, p, ev.where(col("ts") >= cutNs),
+              "event_type", "ts", 3600000000L, 168),
+            "event_type")
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(p)
+    }),
+
+    // EWMA anomaly bins (exact binary half-life, 40-bucket horizon).
+    "q463_ewma_anomaly" -> ((s, dir) =>
+      Events.ewmaAnomalies(t(s, dir, "events"), "event_type", "ts",
+          3600000000L)
+        .orderBy("event_type", "rank")),
+
+    // Within-session signup -> purchase funnel (30-min gap sessions).
+    "q464_session_funnel" -> ((s, dir) =>
+      Events.sessionFunnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", 1800000000L, "signup", "purchase")),
+
+    // Streaming sessionize replay == the batch session table on CLOSED
+    // sessions (append mode cannot flush each user's open tail — the
+    // q453 restriction pattern: the oracle drops every user's last
+    // session).
+    "q465_streaming_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val qn = "q465_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val in = graft.core.Tables.stream(s, dir, "events")
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts").as("ts_ns"))
+        .as[graft.streaming.Streaming.SessionEvent]
+      val q = graft.streaming.Streaming.sessionize(in, 1800000000000L)
+        .toDF().writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val out = s.table(qn)
+        val rows = s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+        import org.apache.spark.sql.expressions.Window
+        rows.select(col("user_id"),
+            idiv(col("start_ns"), 1000L).as("start_us"),
+            idiv(col("end_ns"), 1000L).as("end_us"), col("n_events"))
+          .withColumn("session_id", row_number().over(
+            Window.partitionBy("user_id").orderBy("start_us")).cast("long"))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("start_us"), col("end_us"),
+            (col("end_us") - col("start_us")).as("dur_us"))
+          .orderBy("user_id", "session_id")
+      } finally {
+        if (q.isActive) q.stop()
+        s.catalog.dropTempView(qn)
+      }
+    }),
+
+    // Hour-of-day x event-type pivot matrix (Dataset pivot API).
+    "q466_pivot_matrix" -> ((s, dir) =>
+      t(s, dir, "events").where(col("event_type").isNotNull)
+        .withColumn("hod",
+          pmod(idiv(graft.functions.PixieFunctions.nsToUs(col("ts")),
+            3600000000L), lit(24L)).as("hod"))
+        .groupBy("hod")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("hod")))
 
   /** q456's session derivation, shared verbatim by the q459 rollup. */
-  private val sessionSql: String =
-    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events
-      |  WHERE user_id IS NOT NULL),
-      |m AS (SELECT user_id, tus,
+  /** Per-event session assignment rows (user_id, event_type, tus,
+    * session_id) — the SQL twin of [[graft.ops.Events.sessionAssign]];
+    * q456/q459/q464/q465 all derive from this one definition.
+    */
+  private val sessionEventsSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+      |  FROM events WHERE user_id IS NOT NULL),
+      |m AS (SELECT user_id, event_type, tus,
       |    CASE WHEN tus - lag(tus)
       |        OVER (PARTITION BY user_id ORDER BY tus) <= 1800000000
       |      THEN 0 ELSE 1 END AS new_s
-      |  FROM e),
-      |s AS (SELECT user_id, tus,
-      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |      AS BIGINT) AS session_id
-      |  FROM m)
-      |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
-      |  min(tus) AS start_us, max(tus) AS end_us,
-      |  max(tus) - min(tus) AS dur_us
-      |FROM s GROUP BY 1, 2""".stripMargin
+      |  FROM e)
+      |SELECT user_id, event_type, tus,
+      |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS session_id
+      |FROM m""".stripMargin
+
+  private val sessionSql: String =
+    s"""WITH sev AS ($sessionEventsSql)
+       |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  min(tus) AS start_us, max(tus) AS end_us,
+       |  max(tus) - min(tus) AS dur_us
+       |FROM sev GROUP BY 1, 2""".stripMargin
 
   private val kcoreSql: String = {
     val rounds = (0 until 12).map { i =>
@@ -256,6 +346,93 @@ object Curation7 {
     },
 
     "q461_kcore" -> kcoreSql,
+
+    "q462_window_count_state" ->
+      """WITH b AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |hi AS (SELECT max(b) AS hi FROM b),
+        |w AS (SELECT event_type, b.b, CAST(count(*) AS BIGINT) AS c
+        |  FROM b CROSS JOIN hi WHERE b.b > hi.hi - 168 GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS window_events,
+        |  CAST(count(*) AS BIGINT) AS buckets_live,
+        |  CAST(max(c) AS BIGINT) AS peak_bucket_events
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q463_ewma_anomaly" -> {
+      val lags = (1 to 40).map(i =>
+        s"coalesce(lag(c, $i) OVER w, 0) * ${1L << (40 - i)}")
+        .mkString("\n      |      + ")
+      s"""WITH base AS (SELECT event_type AS et,
+         |    epoch_us(ts) // 3600000000 AS b FROM events),
+         |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM base),
+         |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM base)
+         |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b
+         |              FROM rng) gb),
+         |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+         |  GROUP BY 1, 2),
+         |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c FROM grid g
+         |  LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+         |wsum AS (SELECT et, b, c,
+         |    $lags AS w
+         |  FROM f WINDOW w AS (PARTITION BY et ORDER BY b)),
+         |sc AS (SELECT et, b, c,
+         |    (w // 1099511627775) * 1000
+         |      + (w % 1099511627775) * 1000 // 1099511627775
+         |      AS ewma_milli
+         |  FROM wsum CROSS JOIN rng WHERE b >= rng.b0 + 40),
+         |rk AS (SELECT et, b, c, ewma_milli,
+         |    c * 1000 - ewma_milli AS dev_milli,
+         |    CAST(row_number() OVER (PARTITION BY et
+         |      ORDER BY abs(c * 1000 - ewma_milli) DESC, b)
+         |      AS INTEGER) AS rank
+         |  FROM sc)
+         |SELECT et AS event_type, rank, b AS bin, c, ewma_milli,
+         |  dev_milli
+         |FROM rk WHERE rank <= 5 ORDER BY et, rank""".stripMargin
+    },
+
+    "q464_session_funnel" ->
+      s"""WITH sev AS ($sessionEventsSql),
+         |per AS (SELECT user_id, session_id,
+         |    min(CASE WHEN event_type = 'signup' THEN tus END) AS a,
+         |    max(CASE WHEN event_type = 'purchase' THEN tus END) AS pb
+         |  FROM sev GROUP BY 1, 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_with_first,
+         |  CAST(sum(CASE WHEN a IS NOT NULL AND pb >= a THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_converted,
+         |  CASE WHEN sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(sum(CASE WHEN a IS NOT NULL AND pb >= a THEN 1
+         |        ELSE 0 END) AS BIGINT) * 1000000
+         |      // CAST(sum(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END)
+         |        AS BIGINT)
+         |    END AS conv_ppm
+         |FROM per""".stripMargin,
+
+    "q465_streaming_sessions" ->
+      s"""WITH sess AS ($sessionSql),
+         |mx AS (SELECT user_id, max(session_id) AS m FROM sess
+         |  GROUP BY 1)
+         |SELECT s.user_id, s.session_id, s.n_events, s.start_us,
+         |  s.end_us, s.dur_us
+         |FROM sess s JOIN mx ON mx.user_id = s.user_id
+         |WHERE s.session_id < mx.m
+         |ORDER BY s.user_id, s.session_id""".stripMargin,
+
+    "q466_pivot_matrix" ->
+      """SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY hod""".stripMargin,
 
     "q457_winsorized_mean" ->
       """WITH v AS (SELECT event_type AS g,

@@ -251,6 +251,74 @@ class Round9Spec extends AnyFunSuite {
     assert(buckets.values.sum == sess.count())
   }
 
+  test("window count state: binUs contract, fold == rebuild, expiry real") {
+    val dir = java.nio.file.Files.createTempDirectory("win9").toString
+    // hourly buckets over a 10-bucket span; window = 4 buckets
+    val t0 = 1704067200000000000L
+    def ev(b: Int, n: Int) = (1 to n).map(i =>
+      ("a", t0 + b.toLong * 3600000000000L + i.toLong * 1000000L))
+    val snap = (0 to 6).flatMap(b => ev(b, b + 1)).toDF("event_type", "ts")
+    val delta = (7 to 9).flatMap(b => ev(b, 2)).toDF("event_type", "ts")
+    Scale.writeWindowState(snap, "event_type", "ts", 3600000000L, 4,
+      s"$dir/s")
+    intercept[IllegalArgumentException](Scale.foldWindowState(spark,
+      s"$dir/s", delta, "event_type", "ts", 60000000L, 4))
+    val folded = Scale.foldWindowState(spark, s"$dir/s", delta,
+      "event_type", "ts", 3600000000L, 4)
+    val got = Scale.windowTotals(folded, "event_type")
+      .as[(String, Long, Long, Long)].head()
+    // horizon = bucket 9; window = buckets 6..9: snap bucket 6 (7 evs)
+    // + delta 7,8,9 (2 each) — state contributes AND buckets 0-5
+    // expired (both branches real)
+    assert(got == (("a", 13L, 4L, 7L)))
+    // fold == rebuild over the same rows
+    Scale.writeWindowState(snap.unionByName(delta), "event_type", "ts",
+      3600000000L, 4, s"$dir/r")
+    val rb = spark.read.parquet(s"$dir/r/buckets")
+    assert(folded.exceptAll(rb).isEmpty && rb.exceptAll(folded).isEmpty)
+  }
+
+  test("ewmaAnomalies: exact binary half-life weights (brute-forced)") {
+    // 45 hourly buckets, count = 1 everywhere except a spike of 100 at
+    // bucket 43. At any full-horizon bucket before the spike, the
+    // history is all-ones: W = 2^40 - 1, ewma_milli = exactly 1000.
+    val t0 = 1704067200000000000L
+    val rows = (0 until 45).flatMap { b =>
+      val n = if (b == 43) 100 else 1
+      (1 to n).map(i => ("a", t0 + b.toLong * 3600000000000L + i.toLong))
+    }.toDF("event_type", "ts")
+    val got = Events.ewmaAnomalies(rows, "event_type", "ts", 3600000000L)
+      .orderBy("rank")
+      .select("rank", "bin", "c", "ewma_milli", "dev_milli")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    val b0 = t0 / 1000 / 3600000000L
+    // rank 1: the spike bucket (history all-ones -> ewma exactly 1000)
+    assert(got.head == ((1, b0 + 43, 100L, 1000L, 99000L)))
+    // rank 2: the bucket AFTER the spike — W = (2^40-1) - 2^39 + 100*2^39
+    val w2 = BigInt(2).pow(40) - 1 - BigInt(2).pow(39) + 100 * BigInt(2).pow(39)
+    val e2 = (w2 * 1000 / (BigInt(2).pow(40) - 1)).toLong
+    assert(got(1) == ((2, b0 + 44, 1L, e2, 1000L - e2)))
+  }
+
+  test("sessionFunnel: within-session conversion (brute-forced)") {
+    val t0 = 1704067200000000000L
+    def e(u: Long, offUs: Long, ty: String) = (u, t0 + offUs * 1000L, ty)
+    val rows = Seq(
+      // user 1 session 1: signup then purchase -> converted
+      e(1, 0, "signup"), e(1, 100, "purchase"),
+      // user 1 session 2 (2h later): purchase BEFORE signup, none after
+      e(1, 7200000000L, "purchase"), e(1, 7200000100L, "signup"),
+      // user 2: one session, no signup at all
+      e(2, 0, "view"), e(2, 50, "purchase"),
+      // user 3: signup, no purchase
+      e(3, 0, "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.sessionFunnel(rows, "user_id", "ts", "event_type",
+        1800000000L, "signup", "purchase")
+      .as[(Long, Long, Long, Option[Long])].head()
+    assert(got == ((4L, 3L, 1L, Some(333333L))))
+  }
+
   test("winsorizedMean: exact order-statistic caps (brute-forced)") {
     val vals = (1 to 100).map(v => ("a", v.toDouble)) ++
       Seq(("a", Double.NaN)) // NaN excluded, n stays 100
