@@ -1384,4 +1384,96 @@ object Events {
       .select(col("et").as("event_type"), col("rank"), col("b").as("bin"),
         col("c"), col("ewma_milli"), col("dev_milli"))
   }
+
+  /** Persisted SESSIONIZATION state — the batch-IVM twin of
+    * [[graft.streaming.Streaming.sessionize]]: `path/closed` holds the
+    * finished sessions (append-only at scale; session rows, never raw
+    * events), `path/open` holds each user's open tail
+    * (start/last/count — O(users)). The gap width travels with the
+    * state and a mismatched fold is refused (a different gap would
+    * merge sessions the writer split).
+    */
+  def writeSessionState(df: DataFrame, userCol: String, tsCol: String,
+                        gapUs: Long, path: String): Unit = {
+    val sess = sessionize(df, userCol, tsCol, gapUs)
+    val mx = sess.groupBy(col(userCol)).agg(max("session_id").as("__mx"))
+    val withMx = sess.join(mx, userCol)
+    withMx.where(col("session_id") === col("__mx"))
+      .select(col(userCol), col("start_us"), col("end_us").as("last_us"),
+        col("n_events"))
+      .withColumn("__gapus", lit(gapUs))
+      .write.parquet(s"$path/open")
+    withMx.where(col("session_id") < col("__mx"))
+      .select(col(userCol), col("start_us"), col("end_us"),
+        col("n_events"))
+      .write.parquet(s"$path/closed")
+  }
+
+  /** Fold a delta into persisted [[writeSessionState]] WITHOUT
+    * rescanning old events — the hard IVM case of the state family
+    * (sessions MERGE at the fold boundary): the delta sessionizes on
+    * its own, each user's FIRST delta session either extends the
+    * stored open tail (gap bridged) or closes it, and everything else
+    * passes through. Returns the full session table — row-identical to
+    * a from-scratch [[sessionize]] over state ∪ delta (q469's oracle)
+    * — with session ids re-ranked per user at read time (one
+    * user-keyed window over SESSION rows, not events).
+    *
+    * Watermark contract: every delta event of a user must be at or
+    * after the user's stored `last_us` (time-cut deltas satisfy this);
+    * out-of-order history would need re-sessionizing the affected
+    * users from raw events — by design not this op's path.
+    */
+  def foldSessionState(spark: org.apache.spark.sql.SparkSession,
+                       path: String, delta: DataFrame, userCol: String,
+                       tsCol: String, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = sessionize(delta, userCol, tsCol, gapUs)
+    val uf = d.schema.fields.find(_.name == userCol).get
+    def schemaOf(names: Seq[String]) =
+      org.apache.spark.sql.types.StructType(uf +: names.map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.LongType)))
+    val open = spark.read
+      .schema(schemaOf(Seq("start_us", "last_us", "n_events", "__gapus")))
+      .parquet(s"$path/open")
+    open.select("__gapus").take(1).foreach { r =>
+      require(r.getLong(0) == gapUs,
+        s"foldSessionState: state written with gapUs=${r.getLong(0)}, " +
+          s"folded with $gapUs")
+    }
+    val closed = spark.read
+      .schema(schemaOf(Seq("start_us", "end_us", "n_events")))
+      .parquet(s"$path/closed")
+    val d1 = d.where(col("session_id") === 1)
+      .select(col(userCol), col("start_us").as("__ds"),
+        col("end_us").as("__de"), col("n_events").as("__dn"))
+    val rest = d.where(col("session_id") > 1)
+      .select(col(userCol), col("start_us"), col("end_us"),
+        col("n_events"))
+    val o = open.select(col(userCol), col("start_us").as("__os"),
+      col("last_us").as("__ol"), col("n_events").as("__on"))
+    val head = o.join(d1, Seq(userCol), "full_outer")
+      .select(col(userCol), explode(
+        when(col("__ds").isNull, array(struct(col("__os").as("s"),
+          col("__ol").as("e"), col("__on").as("n"))))
+        .when(col("__os").isNull, array(struct(col("__ds").as("s"),
+          col("__de").as("e"), col("__dn").as("n"))))
+        .when(col("__ds") - col("__ol") <= gapUs,
+          array(struct(col("__os").as("s"), col("__de").as("e"),
+            (col("__on") + col("__dn")).as("n"))))
+        .otherwise(array(
+          struct(col("__os").as("s"), col("__ol").as("e"),
+            col("__on").as("n")),
+          struct(col("__ds").as("s"), col("__de").as("e"),
+            col("__dn").as("n"))))).as("t"))
+      .select(col(userCol), col("t.s").as("start_us"),
+        col("t.e").as("end_us"), col("t.n").as("n_events"))
+    closed.unionByName(head).unionByName(rest)
+      .withColumn("session_id", row_number().over(
+        Window.partitionBy(userCol).orderBy("start_us")).cast("long"))
+      .select(col(userCol), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("dur_us"))
+  }
 }

@@ -498,4 +498,45 @@ object Quality {
         zround(col("__win").cast("double") / 100.0 / col("n"), 6)
           .as("mean_winsorized"))
   }
+
+  /** Exact percentile bands per group — the metrics-dashboard quantile
+    * row (p25/p50/p75/p90/p99) as true order statistics over
+    * cent-quantized values: band `p` is the smallest cent value whose
+    * cumulative count reaches rank ceil(p·n) (the [[winsorizedMean]]
+    * rank convention — integer arithmetic, no interpolation, so both
+    * engines agree bit for bit; the t-digest UDA is the sketched
+    * sibling when exactness can be traded for one pass).
+    *
+    * Scale: one (group, cents) aggregate; the cumulative window runs
+    * over the DISTINCT-cents table per group, never raw rows.
+    */
+  def quantileBands(df: DataFrame, groupCol: String, valueCol: Column,
+                    bands: Seq[(String, Long)] = Seq(
+                      "p25" -> 250000L, "p50" -> 500000L,
+                      "p75" -> 750000L, "p90" -> 900000L,
+                      "p99" -> 990000L)): DataFrame = {
+    require(bands.nonEmpty &&
+      bands.forall { case (_, p) => p > 0 && p <= 1000000L },
+      "quantileBands: band ppms in (0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PixieFunctions.idiv
+    val g = df
+      .where(col(groupCol).isNotNull &&
+        valueCol.isNotNull && !isnan(valueCol.cast("double")))
+      .select(col(groupCol).as("__g"),
+        floor(valueCol * 100.0 + 0.5).cast("long").as("__c"))
+      .groupBy("__g", "__c").agg(count(lit(1)).as("__k"))
+    val w = Window.partitionBy("__g").orderBy("__c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("__cum", sum(col("__k")).over(w))
+      .withColumn("__n", sum(col("__k")).over(Window.partitionBy("__g")))
+    def rank(ppm: Long) = idiv(col("__n") * ppm + 999999L, lit(1000000L))
+    cum.groupBy(col("__g").as(groupCol))
+      .agg(max(col("__n")).as("n"),
+        bands.map { case (nm, p) =>
+          min(when(col("__cum") >= rank(p), col("__c")))
+            .as(s"${nm}_cents")
+        }: _*)
+  }
 }

@@ -578,4 +578,71 @@ object Scale {
       .agg(sum(col("__c")).as("window_events"),
         count(lit(1)).as("buckets_live"),
         max(col("__c")).as("peak_bucket_events"))
+
+  /** Shard-resize migration report: when a key-space sharding grows
+    * from `oldShards` to `newShards` under mod-hashing, which keys
+    * move and how far they scatter — the capacity-planning read before
+    * resharding a persisted state ([[writeDistinctState]],
+    * [[writeHllState]]) or a partitioned layout. Per old shard: key
+    * count, moved count/share, and the number of DISTINCT destination
+    * shards (a power-of-two doubling scatters each shard into exactly
+    * 2; a 16 -> 24 resize scatters into 3 = lcm/old — the report makes
+    * the divisor-resize advantage measurable). Hashing is the
+    * engine-independent [[Dedup.h60]], so the report reproduces
+    * anywhere.
+    *
+    * Shape: one distinct over keys + one shard-keyed aggregate;
+    * output is O(oldShards).
+    */
+  def shardSplitReport(df: DataFrame, keyCol: String, oldShards: Int,
+                       newShards: Int): DataFrame = {
+    require(oldShards > 0 && newShards > oldShards,
+      "shardSplitReport: 0 < oldShards < newShards")
+    df.where(col(keyCol).isNotNull)
+      .select(Dedup.h60(col(keyCol).cast("string")).as("__h"))
+      .distinct()
+      .select(pmod(col("__h"), lit(oldShards.toLong)).as("old_shard"),
+        pmod(col("__h"), lit(newShards.toLong)).as("__new"))
+      .groupBy("old_shard")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("__new") =!= col("old_shard"), 1L).otherwise(0L))
+          .as("n_moved"),
+        countDistinct(col("__new")).as("n_dest_shards"))
+      .withColumn("moved_ppm",
+        idiv(col("n_moved") * 1000000L, col("n_keys")))
+  }
+
+  /** Pre-join explosion audit: for a prospective equi-join
+    * `a JOIN b ON key`, the exact output cardinality per key
+    * (`n_a · n_b`) and in total, with the top-`topK` contributing keys
+    * — the measurement that decides salting/broadcast/pre-aggregation
+    * BEFORE a 100 TB shuffle melts (the join-side companion of
+    * [[skewProfile]]). One count aggregate per side + a key-keyed join
+    * of the two COUNT tables (never the data), output O(topK).
+    * Products and the total accumulate in DECIMAL(38,0) — two hot
+    * sides overflow a long product at ~3e9 x 3e9.
+    */
+  def joinExplosionAudit(a: DataFrame, b: DataFrame, keyCol: String,
+                         topK: Int): DataFrame = {
+    require(topK >= 1, "joinExplosionAudit: topK >= 1")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val ca = a.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_a"))
+    val cb = b.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_b"))
+    val per = ca.join(cb, "key")
+      .withColumn("rows_out", (col("n_a").cast(dec) * col("n_b").cast(dec)))
+    val total = per.agg(sum(col("rows_out")).as("__total"))
+    per.crossJoin(broadcast(total))
+      .select(col("key"), col("n_a"), col("n_b"),
+        col("rows_out").cast("long").as("rows_out"),
+        // integral `div` on the DECIMALS: decimal `/` rounds HALF_UP at
+        // its result scale while DuckDB's HUGEINT `//` truncates — an
+        // off-by-one ppm class at adversarial ratios
+        idiv(col("rows_out") * 1000000L, col("__total")).as("share_ppm"))
+      .orderBy(col("rows_out").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -235,7 +235,51 @@ object Curation7 {
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("hod")))
+        .orderBy("hod")),
+
+    // Exact p25/p50/p75/p90/p99 value bands per event type.
+    "q467_quantile_bands" -> ((s, dir) =>
+      Quality.quantileBands(t(s, dir, "events"), "event_type",
+          col("value"))
+        .orderBy("event_type")),
+
+    // Shard-resize migration audit over the user key space: a divisor
+    // doubling (16 -> 32) scatters each shard into exactly 2
+    // destinations; 16 -> 24 scatters into lcm(16,24)/16 = 3 — the
+    // measured case for power-of-two resharding of persisted states.
+    "q468_shard_split" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Scale.shardSplitReport(ev, "user_id", 16, 32)
+        .withColumn("resize", lit("16->32"))
+        .unionByName(Scale.shardSplitReport(ev, "user_id", 16, 24)
+          .withColumn("resize", lit("16->24")))
+        .orderBy("resize", "old_shard")
+    }),
+
+    // Incremental sessionization: state (closed sessions + open tails)
+    // from events before Jan 15, fold the rest — sessions that span
+    // the cut must MERGE at the fold boundary. Output == a from-scratch
+    // sessionize (shares q456's oracle shape over ALL events).
+    "q469_session_state_fold" -> ((s, dir) => {
+      val cutNs = 1705276800000000000L // 2024-01-15T00:00:00Z
+      val ev = t(s, dir, "events")
+      val p = Curation2.tempIndexDir("graft_session_state_")
+      try {
+        Events.writeSessionState(ev.where(col("ts") < cutNs), "user_id",
+          "ts", 1800000000L, p)
+        Events.foldSessionState(s, p, ev.where(col("ts") >= cutNs),
+            "user_id", "ts", 1800000000L)
+          .orderBy("user_id", "session_id")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(p)
+    }),
+
+    // Pre-join explosion audit: top-10 user keys by self-join output
+    // cardinality (the salting/broadcast decision input).
+    "q470_join_explosion" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Scale.joinExplosionAudit(ev, ev, "user_id", 10)
+    }))
 
   /** q456's session derivation, shared verbatim by the q459 rollup. */
   /** Per-event session assignment rows (user_id, event_type, tus,
@@ -419,6 +463,67 @@ object Curation7 {
          |FROM sess s JOIN mx ON mx.user_id = s.user_id
          |WHERE s.session_id < mx.m
          |ORDER BY s.user_id, s.session_id""".stripMargin,
+
+    "q467_quantile_bands" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |k AS (SELECT g, c, CAST(count(*) AS BIGINT) AS k FROM v
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT g, c, k,
+        |    CAST(sum(k) OVER (PARTITION BY g ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(k) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM k)
+        |SELECT g AS event_type, max(n) AS n,
+        |  min(CASE WHEN cum >= (n * 250000 + 999999) // 1000000
+        |    THEN c END) AS p25_cents,
+        |  min(CASE WHEN cum >= (n * 500000 + 999999) // 1000000
+        |    THEN c END) AS p50_cents,
+        |  min(CASE WHEN cum >= (n * 750000 + 999999) // 1000000
+        |    THEN c END) AS p75_cents,
+        |  min(CASE WHEN cum >= (n * 900000 + 999999) // 1000000
+        |    THEN c END) AS p90_cents,
+        |  min(CASE WHEN cum >= (n * 990000 + 999999) // 1000000
+        |    THEN c END) AS p99_cents
+        |FROM ct GROUP BY g ORDER BY event_type""".stripMargin,
+
+    "q468_shard_split" -> {
+      val h = Dedup.h60Sql("CAST(user_id AS VARCHAR)")
+      def one(nw: Int, label: String) =
+        s"""SELECT '$label' AS resize, h % 16 AS old_shard,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(CASE WHEN h % $nw <> h % 16 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_moved,
+           |  CAST(count(DISTINCT h % $nw) AS BIGINT) AS n_dest_shards,
+           |  CAST(sum(CASE WHEN h % $nw <> h % 16 THEN 1 ELSE 0 END)
+           |    AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+           |    AS moved_ppm
+           |FROM hs GROUP BY 2""".stripMargin
+      s"""WITH hs AS (SELECT DISTINCT ($h) AS h FROM events
+         |  WHERE user_id IS NOT NULL)
+         |${one(32, "16->32")}
+         |UNION ALL
+         |${one(24, "16->24")}
+         |ORDER BY resize, old_shard""".stripMargin
+    },
+
+    "q469_session_state_fold" ->
+      s"$sessionSql ORDER BY user_id, session_id",
+
+    "q470_join_explosion" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |p AS (SELECT key, n AS n_a, n AS n_b,
+        |    CAST(n AS HUGEINT) * n AS rows_out FROM c),
+        |t AS (SELECT sum(rows_out) AS tot FROM p)
+        |SELECT key, n_a, n_b, CAST(rows_out AS BIGINT) AS rows_out,
+        |  CAST(rows_out * 1000000 // tot AS BIGINT) AS share_ppm
+        |FROM p CROSS JOIN t
+        |ORDER BY rows_out DESC, key LIMIT 10""".stripMargin,
 
     "q466_pivot_matrix" ->
       """SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,

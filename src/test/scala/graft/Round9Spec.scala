@@ -319,6 +319,87 @@ class Round9Spec extends AnyFunSuite {
     assert(got == ((4L, 3L, 1L, Some(333333L))))
   }
 
+  test("quantileBands: exact order statistics (brute-forced)") {
+    val df = (1 to 100).map(v => ("a", v.toDouble)).toDF("g", "v")
+    val got = Quality.quantileBands(df, "g", col("v"))
+      .select("n", "p25_cents", "p50_cents", "p75_cents", "p90_cents",
+        "p99_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((100L, 2500L, 5000L, 7500L, 9000L, 9900L)))
+  }
+
+  test("sessionState fold: boundary merge, close, bootstrap, gap contract") {
+    val dir = java.nio.file.Files.createTempDirectory("sess9").toString
+    val t0 = 1704067200000000000L
+    def e(u: Long, offUs: Long) = (u, t0 + offUs * 1000L)
+    // cut at offset 1000us. gap 300us.
+    // user 1: 800 | 1000 -> spans the cut, MUST merge (gap 200 <= 300)
+    // user 2: 100 | 1000 -> tail closes (gap 900 > 300), delta separate
+    // user 3: snap only (stays open through the fold)
+    // user 4: delta only (bootstrap-within-fold), two sessions
+    val snap = Seq(e(1, 800), e(2, 100), e(3, 0)).toDF("user_id", "ts")
+    val delta = Seq(e(1, 1000), e(2, 1000), e(4, 1000), e(4, 2000))
+      .toDF("user_id", "ts")
+    Events.writeSessionState(snap, "user_id", "ts", 300L, s"$dir/s")
+    intercept[IllegalArgumentException](Events.foldSessionState(spark,
+      s"$dir/s", delta, "user_id", "ts", 999L))
+    val got = Events.foldSessionState(spark, s"$dir/s", delta,
+        "user_id", "ts", 300L)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "start_us", "dur_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val base = t0 / 1000
+    assert(got == Seq(
+      (1L, 1L, 2L, base + 800, 200L),
+      (2L, 1L, 1L, base + 100, 0L), (2L, 2L, 1L, base + 1000, 0L),
+      (3L, 1L, 1L, base, 0L),
+      (4L, 1L, 1L, base + 1000, 0L), (4L, 2L, 1L, base + 2000, 0L)))
+    // fold == from-scratch sessionize over the union
+    val full = Events.sessionize(snap.unionByName(delta), "user_id",
+        "ts", 300L)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "start_us", "dur_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == full)
+    // day-0 bootstrap: empty state folds to exactly the delta sessions
+    Events.writeSessionState(snap.where(lit(false)), "user_id", "ts",
+      300L, s"$dir/empty")
+    val boot = Events.foldSessionState(spark, s"$dir/empty", delta,
+        "user_id", "ts", 300L)
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(boot == Set((1L, 1L, 1L), (2L, 1L, 1L), (4L, 1L, 1L),
+      (4L, 2L, 1L)))
+  }
+
+  test("shardSplitReport: divisor doubling scatters into 2, 16->24 into 3") {
+    val keys = (1 to 5000).map(i => s"user$i").toDF("k")
+    val d32 = Scale.shardSplitReport(keys, "k", 16, 32)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(d32.length == 16 && d32.forall(_._4 <= 2))
+    val d24 = Scale.shardSplitReport(keys, "k", 16, 24)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(d24.forall(_._4 <= 3) && d24.exists(_._4 == 3))
+    // moved <= n_keys and ppm consistent
+    for (r <- d32 ++ d24) {
+      assert(r._3 <= r._2)
+      assert(r._5 == r._3 * 1000000L / r._2)
+    }
+  }
+
+  test("joinExplosionAudit: exact per-key products (brute-forced)") {
+    val a = Seq("x", "x", "x", "y", "z").toDF("k")
+    val b = Seq("x", "x", "y", "y", "y", "w").toDF("k")
+    val got = Scale.joinExplosionAudit(a, b, "k", 10)
+      .select("key", "n_a", "n_b", "rows_out", "share_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // x: 3*2=6, y: 1*3=3; total 9; z/w never match
+    assert(got == Seq(("x", 3L, 2L, 6L, 666666L),
+      ("y", 1L, 3L, 3L, 333333L)))
+    assert(got.map(_._4).sum ==
+      a.join(b, "k").count())
+  }
+
   test("winsorizedMean: exact order-statistic caps (brute-forced)") {
     val vals = (1 to 100).map(v => ("a", v.toDouble)) ++
       Seq(("a", Double.NaN)) // NaN excluded, n stays 100
