@@ -279,7 +279,60 @@ object Curation7 {
     "q470_join_explosion" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Scale.joinExplosionAudit(ev, ev, "user_id", 10)
+    }),
+
+    // CDC latest-state merge: events as a per-user changelog (signup=I,
+    // error=D, else U, ts order with event_id tiebreak) — the MERGE
+    // INTO semantics as one key-keyed window; final deletes drop keys.
+    "q471_cdc_apply" -> ((s, dir) =>
+      graft.ops.Cdc.apply(cdcChangelog(s, dir), "user_id",
+          col("__tus"), col("event_id"), col("__op"), col("__vc"))
+        .orderBy("user_id")),
+
+    // SCD type-2 validity intervals over the same changelog.
+    "q472_scd2_history" -> ((s, dir) =>
+      graft.ops.Cdc.scd2(cdcChangelog(s, dir), "user_id",
+          col("__tus"), col("event_id"), col("__op"), col("__vc"))
+        .orderBy("user_id", "version")),
+
+    // Sample-vs-population calibration: the deterministic h60 1/16
+    // sample's scaled estimates next to the exact aggregates, with the
+    // error in ppm — fully exact on BOTH sides (the hash sample
+    // re-derives identically in DuckDB), unlike a random-sample report.
+    "q473_sample_calibration" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("__vc"))
+      val exact = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(col("__vc")).as("sum_cents_exact"))
+      val est = Corpus.stratifiedSample(ev, "event_id", lit(0.0625))
+        .groupBy("event_type")
+        .agg((count(lit(1)) * 16L).as("n_est"),
+          (sum(col("__vc")) * 16L).as("sum_cents_est"))
+      exact.join(est, "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_est"),
+          idiv(abs(col("n_est") - col("n_exact")) * 1000000L,
+            col("n_exact")).as("n_err_ppm"),
+          col("sum_cents_exact"), col("sum_cents_est"))
+        .orderBy("event_type")
     }))
+
+  /** Shared changelog projection for q471/q472: events as CDC rows. */
+  private def cdcChangelog(s: org.apache.spark.sql.SparkSession,
+                           dir: String) =
+    t(s, dir, "events")
+      .where(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        graft.functions.PixieFunctions.nsToUs(col("ts")).as("__tus"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("__op"),
+        when(col("value").isNull || isnan(col("value")), lit(null))
+          .otherwise(floor(col("value") * 100.0 + 0.5)).cast("long")
+          .as("__vc"))
 
   /** q456's session derivation, shared verbatim by the q459 rollup. */
   /** Per-event session assignment rows (user_id, event_type, tus,
@@ -306,6 +359,16 @@ object Curation7 {
        |  min(tus) AS start_us, max(tus) AS end_us,
        |  max(tus) - min(tus) AS dur_us
        |FROM sev GROUP BY 1, 2""".stripMargin
+
+  /** SQL twin of the q471/q472 changelog projection. */
+  private val cdcSql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |  CASE WHEN event_type = 'signup' THEN 'I'
+      |       WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |  CASE WHEN value IS NULL OR isnan(value) THEN NULL
+      |       ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS vc
+      |FROM events
+      |WHERE user_id IS NOT NULL AND event_id IS NOT NULL""".stripMargin
 
   private val kcoreSql: String = {
     val rounds = (0 until 12).map { i =>
@@ -512,6 +575,48 @@ object Curation7 {
 
     "q469_session_state_fold" ->
       s"$sessionSql ORDER BY user_id, session_id",
+
+    "q471_cdc_apply" ->
+      s"""WITH ch AS ($cdcSql),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY tus DESC, event_id DESC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+         |      AS n_ops
+         |  FROM ch)
+         |SELECT user_id, n_ops, vc AS value_cents
+         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+
+    "q472_scd2_history" ->
+      s"""WITH ch AS ($cdcSql)
+         |SELECT user_id,
+         |  CAST(row_number() OVER w AS BIGINT) AS version,
+         |  tus AS valid_from_us, lead(tus) OVER w AS valid_to_us,
+         |  op, vc AS value_cents,
+         |  lead(tus) OVER w IS NULL AS is_current
+         |FROM ch WINDOW w AS (PARTITION BY user_id
+         |  ORDER BY tus ASC, event_id ASC)
+         |ORDER BY user_id, version""".stripMargin,
+
+    "q473_sample_calibration" -> {
+      val h = Dedup.h60Sql("CAST(event_id AS VARCHAR)")
+      s"""WITH ev AS (SELECT event_id, event_type,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+         |  FROM events WHERE event_id IS NOT NULL
+         |    AND event_type IS NOT NULL AND value IS NOT NULL
+         |    AND NOT isnan(value)),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(sum(vc) AS BIGINT) AS sum_cents_exact
+         |  FROM ev GROUP BY 1),
+         |es AS (SELECT event_type,
+         |    CAST(count(*) AS BIGINT) * 16 AS n_est,
+         |    CAST(sum(vc) AS BIGINT) * 16 AS sum_cents_est
+         |  FROM ev WHERE ($h) % 10000 < 625 GROUP BY 1)
+         |SELECT event_type, n_exact, n_est,
+         |  abs(n_est - n_exact) * 1000000 // n_exact AS n_err_ppm,
+         |  sum_cents_exact, sum_cents_est
+         |FROM ex JOIN es USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
 
     "q470_join_explosion" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,

@@ -400,6 +400,36 @@ class Round9Spec extends AnyFunSuite {
       a.join(b, "k").count())
   }
 
+  test("Cdc.apply/scd2: latest-state merge and validity intervals (brute-forced)") {
+    // key 1: I then U -> survives with the U value, 2 ops
+    // key 2: I then D -> deleted
+    // key 3: I, D, U (reinsert-by-update) -> survives with last value
+    // key 4: tie at same ts -> higher event_id wins
+    val ch = Seq(
+      (1L, 10L, 100L, "I", 11L), (1L, 20L, 101L, "U", 12L),
+      (2L, 10L, 200L, "I", 21L), (2L, 30L, 201L, "D", 22L),
+      (3L, 10L, 300L, "I", 31L), (3L, 20L, 301L, "D", 32L),
+      (3L, 30L, 302L, "U", 33L),
+      (4L, 10L, 400L, "I", 41L), (4L, 10L, 401L, "U", 42L)
+    ).toDF("user_id", "tus", "event_id", "op", "vc")
+    val snap = graft.ops.Cdc.apply(ch, "user_id", col("tus"),
+        col("event_id"), col("op"), col("vc"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(snap == Set((1L, 2L, 12L), (3L, 3L, 33L), (4L, 2L, 42L)))
+    val hist = graft.ops.Cdc.scd2(ch, "user_id", col("tus"),
+        col("event_id"), col("op"), col("vc"))
+      .where(col("user_id") === 3L)
+      .orderBy("version")
+      .select("version", "valid_from_us", "valid_to_us", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(hist == Seq((1L, 10L, Some(20L), false),
+      (2L, 20L, Some(30L), false), (3L, 30L, None, true)))
+    // every key's intervals tile: valid_to(n) == valid_from(n+1)
+    val all = graft.ops.Cdc.scd2(ch, "user_id", col("tus"),
+        col("event_id"), col("op"), col("vc"))
+    assert(all.where(col("is_current")).count() == 4)
+  }
+
   test("winsorizedMean: exact order-statistic caps (brute-forced)") {
     val vals = (1 to 100).map(v => ("a", v.toDouble)) ++
       Seq(("a", Double.NaN)) // NaN excluded, n stays 100
