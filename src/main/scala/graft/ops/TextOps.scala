@@ -861,4 +861,96 @@ object TextOps {
         - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
         - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 6))
   }
+
+  /** Pointwise-mutual-information collocations: the top-`k` word
+    * bigrams by PMI = ln(c_ab·N / (c_a·c_b)) among bigrams seen at
+    * least `minCount` times — the classic phrase/multi-word-expression
+    * miner (Church & Hanks 1990). The log's argument is one double
+    * expression over exact integer counts and the ln is quantized to
+    * integer nano-nats (the tf-idf idiom), so ranking and output are
+    * engine-exact.
+    *
+    * Scale: two word-keyed count aggregates, two word-keyed joins of
+    * COUNT tables, a broadcast 1-row N, one global top-k (TakeOrdered).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+                   k: Int = 20): DataFrame = {
+    val uni = df.select(explode(Dedup.shingles(col(textCol), 1)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n_words"))
+    // a sub-n text yields a 1-word "bigram" (the shingle contract);
+    // empty tokens come from doubled separators — both excluded, and
+    // mirrored in the oracle
+    val big = df.select(explode(Dedup.shingles(col(textCol), 2)).as("g"))
+      .where(size(split(col("g"), " ")) === 2)
+      .groupBy("g").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    big
+      .withColumn("wa", split(col("g"), " ").getItem(0))
+      .withColumn("wb", split(col("g"), " ").getItem(1))
+      .where(col("wa") =!= "" && col("wb") =!= "")
+      .join(uni.select(col("w").as("wa"), col("c").as("c_a")), "wa")
+      .join(uni.select(col("w").as("wb"), col("c").as("c_b")), "wb")
+      .crossJoin(broadcast(n))
+      .withColumn("__q", floor(log(col("c_ab").cast("double") *
+          col("n_words") / (col("c_a").cast("double") * col("c_b")))
+          * 1e9 + 0.5).cast("long"))
+      .orderBy(col("__q").desc, col("g"))
+      .limit(k)
+      .select(col("g").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        zround(col("__q").cast("double") / 1e9, 6).as("pmi_nats"))
+  }
+
+  /** "Fightin' Words" (Monroe, Colaresi & Quinn 2008): per source, the
+    * top-`k` words most over-represented vs the REST of the corpus by
+    * the log-odds-ratio z-score with a flat Dirichlet prior
+    * (α_w = 1, α0 = |vocab|):
+    * δ_w = ln((y+1)/(n+V−y−1)) − ln((y'+1)/(n'+V−y'−1)),
+    * σ² ≈ 1/(y+1) + 1/(y'+1), z = δ/√σ² — the statistically-grounded
+    * alternative to per-source tf-idf for corpus comparison cards.
+    * Each ln runs on exact integer arguments and is quantized to
+    * nano-nats per term before the difference; √ is IEEE-pinned, so z
+    * is ONE final double formula both engines compute identically.
+    *
+    * Scale: one (source, word) count aggregate, word- and source-keyed
+    * joins of COUNT tables, a per-source rank window over the vocab.
+    */
+  def fightinWords(df: DataFrame, textCol: String, groupCol: String,
+                   minCount: Long = 5L, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def qln(x: Column) = floor(log(x.cast("double")) * 1e9 + 0.5)
+      .cast("long")
+    val sw = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("src"),
+        explode(Dedup.shingles(col(textCol), 1)).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("src", "w").agg(count(lit(1)).as("y"))
+    val gw = sw.groupBy("w").agg(sum(col("y")).as("gy"))
+      .where(col("gy") >= minCount)
+    // EVERY total (per-source n, grand nn, vocab V) is over the
+    // min-count vocab — mixing an unfiltered n with a filtered nn
+    // would drive the rest-corpus total negative for small sources
+    val swf = sw.join(gw, "w")
+    val ns = swf.groupBy("src").agg(sum(col("y")).as("n"))
+    val tot = gw.agg(sum(col("gy")).as("nn"),
+      count(lit(1)).as("v"))
+    val scored = swf.join(ns, "src")
+      .crossJoin(broadcast(tot))
+      .withColumn("__yr", col("gy") - col("y"))
+      .withColumn("__nr", col("nn") - col("n"))
+      .withColumn("__dq",
+        qln(col("y") + 1L) - qln(col("n") + col("v") - col("y") - 1L)
+          - qln(col("__yr") + 1L)
+          + qln(col("__nr") + col("v") - col("__yr") - 1L))
+      .withColumn("z", zround((col("__dq").cast("double") / 1e9)
+        / sqrt(lit(1.0) / (col("y") + 1L) + lit(1.0) / (col("__yr") + 1L)),
+        6))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("src")
+        .orderBy(col("z").desc, col("w"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("src").as(groupCol), col("rank"), col("w").as("word"),
+        col("y"), col("z"))
+  }
 }

@@ -295,6 +295,18 @@ object Curation7 {
           col("__tus"), col("event_id"), col("__op"), col("__vc"))
         .orderBy("user_id", "version")),
 
+    // PMI collocations: top-20 bigrams by pointwise mutual information.
+    "q474_collocations" -> ((s, dir) =>
+      graft.ops.TextOps.collocations(t(s, dir, "documents"), "text")
+        .localCheckpoint(true)),
+
+    // Fightin' Words: per-source top-5 over-represented words by the
+    // Dirichlet log-odds z-score vs the rest of the corpus.
+    "q475_fightin_words" -> ((s, dir) =>
+      graft.ops.TextOps.fightinWords(t(s, dir, "documents"), "text",
+          "source")
+        .orderBy("source", "rank")),
+
     // Sample-vs-population calibration: the deterministic h60 1/16
     // sample's scaled estimates next to the exact aggregates, with the
     // error in ppm — fully exact on BOTH sides (the hash sample
@@ -596,6 +608,64 @@ object Curation7 {
          |FROM ch WINDOW w AS (PARTITION BY user_id
          |  ORDER BY tus ASC, event_id ASC)
          |ORDER BY user_id, version""".stripMargin,
+
+    "q474_collocations" -> {
+      val sh1 = Dedup.shinglesSql("text", 1)
+      val sh2 = Dedup.shinglesSql("text", 2)
+      s"""WITH uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($sh1) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_words FROM uni),
+         |big AS (SELECT g, CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM (SELECT unnest($sh2) AS g FROM documents)
+         |  WHERE len(string_split(g, ' ')) = 2
+         |  GROUP BY 1 HAVING count(*) >= 5),
+         |j AS (SELECT g, c_ab, split_part(g, ' ', 1) AS wa,
+         |    split_part(g, ' ', 2) AS wb FROM big
+         |  WHERE split_part(g, ' ', 1) <> ''
+         |    AND split_part(g, ' ', 2) <> ''),
+         |sc AS (SELECT g, c_ab, ua.c AS c_a, ub.c AS c_b,
+         |    CAST(floor(ln(CAST(c_ab AS DOUBLE) * n_words
+         |      / (CAST(ua.c AS DOUBLE) * ub.c)) * 1000000000.0 + 0.5)
+         |      AS BIGINT) AS q
+         |  FROM j JOIN uni ua ON ua.w = j.wa
+         |  JOIN uni ub ON ub.w = j.wb CROSS JOIN n)
+         |SELECT g AS bigram, c_ab, c_a, c_b,
+         |  round(CAST(q AS DOUBLE) / 1000000000.0, 6) + 0.0 AS pmi_nats
+         |FROM sc ORDER BY q DESC, g LIMIT 20""".stripMargin
+    },
+
+    "q475_fightin_words" -> {
+      val sh1 = Dedup.shinglesSql("text", 1)
+      def qln(x: String) =
+        s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)"
+      s"""WITH sw AS (SELECT src, w, CAST(count(*) AS BIGINT) AS y
+         |  FROM (SELECT source AS src, unnest($sh1) AS w FROM documents
+         |        WHERE source IS NOT NULL)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |gw AS (SELECT w, CAST(sum(y) AS BIGINT) AS gy FROM sw
+         |  GROUP BY 1 HAVING sum(y) >= 5),
+         |swf AS (SELECT sw.src, sw.w, sw.y, gw.gy FROM sw
+         |  JOIN gw USING (w)),
+         |ns AS (SELECT src, CAST(sum(y) AS BIGINT) AS n FROM swf
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(gy) AS BIGINT) AS nn,
+         |    CAST(count(*) AS BIGINT) AS v FROM gw),
+         |sc AS (SELECT src, w, y,
+         |    (${qln("y + 1")} - ${qln("n + v - y - 1")}
+         |      - ${qln("gy - y + 1")}
+         |      + ${qln("nn - n + v - (gy - y) - 1")}) AS dq,
+         |    1.0 / (y + 1) + 1.0 / (gy - y + 1) AS var
+         |  FROM swf JOIN ns USING (src) CROSS JOIN tot),
+         |rk AS (SELECT src, w, y,
+         |    round((CAST(dq AS DOUBLE) / 1000000000.0) / sqrt(var), 6)
+         |      + 0.0 AS z
+         |  FROM sc),
+         |r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
+         |    ORDER BY z DESC, w) AS BIGINT) AS rank FROM rk)
+         |SELECT src AS source, rank, w AS word, y, z
+         |FROM r2 WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+    },
 
     "q473_sample_calibration" -> {
       val h = Dedup.h60Sql("CAST(event_id AS VARCHAR)")

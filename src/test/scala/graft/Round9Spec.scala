@@ -430,6 +430,31 @@ class Round9Spec extends AnyFunSuite {
     assert(all.where(col("is_current")).count() == 4)
   }
 
+  test("collocations + fightinWords: known-corpus properties") {
+    // 'new york' always co-occurs; 'the' pairs with everything
+    val docs = ((1 to 30).map(i => (i.toLong,
+        "the cat sat on the mat near new york city", "a")) ++
+      (1 to 30).map(i => (i.toLong + 100,
+        "quantum flux capacitors emit quantum flux noise", "b")))
+      .toDF("doc_id", "text", "source")
+    val col20 = graft.ops.TextOps.collocations(docs, "text", 5L, 20)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val byB = col20.map(r => r._1 -> r._5).toMap
+    // a deterministic collocation ranks above a function-word pair
+    assert(byB("new york") > byB("the cat"))
+    assert(col20.forall(r => r._2 >= 5))
+    val fw = graft.ops.TextOps.fightinWords(docs, "text", "source")
+      .as[(String, Long, String, Long, Double)].collect()
+    val topA = fw.filter(r => r._1 == "a" && r._2 <= 3).map(_._3).toSet
+    val topB = fw.filter(r => r._1 == "b" && r._2 <= 3).map(_._3).toSet
+    // each source's distinctive vocabulary surfaces, with positive z
+    assert(topA.subsetOf(Set("the", "cat", "sat", "on", "mat", "near",
+      "new", "york", "city")))
+    assert(topB.subsetOf(Set("quantum", "flux", "capacitors", "emit",
+      "noise")))
+    assert(fw.filter(_._2 == 1).forall(_._5 > 0.0))
+  }
+
   test("winsorizedMean: exact order-statistic caps (brute-forced)") {
     val vals = (1 to 100).map(v => ("a", v.toDouble)) ++
       Seq(("a", Double.NaN)) // NaN excluded, n stays 100

@@ -383,6 +383,38 @@ class ScaleProbeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
 
+  test("sf1 probe: round-9 families (session state, k-core, sketch folds, quantiles)") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // session state fold: user-keyed windows + session-level state
+      // (10x users at constant per-user density); k-core: 12 bounded
+      // peel rounds, 2 keyed shuffles each over a graph that grows
+      // ~linearly in orders; HLL/CMS folds: model-sized states, the
+      // delta aggregate is the only data-bound stage; quantile bands /
+      // EWMA: distinct-cents and TIME-bound grid windows.
+      for ((name, dir, label) <- Seq(
+          ("q469_session_state_fold", src, "sf0.1"),
+          ("q469_session_state_fold", dst, "sf1"),
+          ("q461_kcore", src, "sf0.1"),
+          ("q461_kcore", dst, "sf1"),
+          ("q455_hll_distinct_fold", src, "sf0.1"),
+          ("q455_hll_distinct_fold", dst, "sf1"),
+          ("q458_cms_heavy_hitters", src, "sf0.1"),
+          ("q458_cms_heavy_hitters", dst, "sf1"),
+          ("q467_quantile_bands", src, "sf0.1"),
+          ("q467_quantile_bands", dst, "sf1"),
+          ("q463_ewma_anomaly", src, "sf0.1"),
+          ("q463_ewma_anomaly", dst, "sf1"))) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
   test("sf1 probe: tranche-13/14 event + layout families scale with data") {
     assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
     generate()
