@@ -307,6 +307,50 @@ object Curation7 {
           "source")
         .orderBy("source", "rank")),
 
+    // State-panel capstone: ONE ops dashboard row per event type
+    // assembled from THREE independent persisted-state folds — the
+    // all-time aggregate (q446 aggState), the exact distinct count
+    // (q454 sharded keys), and the 7-day sliding window (q462) — all
+    // incremental, none rescanning the snapshot. Oracle composed from
+    // the three leg oracles (the q450 baseOracles pattern).
+    "q476_state_panel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_id").isNotNull)
+      val snap = ev.where(pmod(col("event_id"), lit(5L)) =!= 0)
+      val delta = ev.where(pmod(col("event_id"), lit(5L)) === 0)
+      val cutNs = 1706400000000000000L // q462's watermark cut
+      val pa = Curation2.tempIndexDir("graft_panel_agg_")
+      val pd = Curation2.tempIndexDir("graft_panel_distinct_")
+      val pw = Curation2.tempIndexDir("graft_panel_window_")
+      try {
+        Scale.aggState(snap, "event_type", col("value"))
+          .write.parquet(pa)
+        val aggLeg = Scale.foldAggState(s.read.parquet(pa), delta,
+          "event_type", col("value"))
+        Scale.writeDistinctState(snap.where(col("user_id").isNotNull),
+          "event_type", "user_id", nShards = 16, pd)
+        val distinctLeg = Scale.foldDistinctState(s, pd,
+          delta.where(col("user_id").isNotNull), "event_type",
+          "user_id", nShards = 16)
+        // the window leg mirrors q462 exactly: UNFILTERED events (its
+        // oracle has no event_id predicate, unlike the agg/distinct legs)
+        val evAll = t(s, dir, "events")
+        Scale.writeWindowState(evAll.where(col("ts") < cutNs),
+          "event_type", "ts", 3600000000L, 168, pw)
+        val windowLeg = Scale.windowTotals(
+          Scale.foldWindowState(s, pw, evAll.where(col("ts") >= cutNs),
+            "event_type", "ts", 3600000000L, 168), "event_type")
+        aggLeg.select("event_type", "n_rows", "mean")
+          .join(distinctLeg, "event_type")
+          .join(windowLeg.select("event_type", "window_events"),
+            "event_type")
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally {
+        Curation2.deleteDir(pa); Curation2.deleteDir(pd)
+        Curation2.deleteDir(pw)
+      }
+    }),
+
     // Sample-vs-population calibration: the deterministic h60 1/16
     // sample's scaled estimates next to the exact aggregates, with the
     // error in ppm — fully exact on BOTH sides (the hash sample
@@ -371,6 +415,18 @@ object Curation7 {
        |  min(tus) AS start_us, max(tus) AS end_us,
        |  max(tus) - min(tus) AS dur_us
        |FROM sev GROUP BY 1, 2""".stripMargin
+
+  /** q462's trailing-window rollup, shared by the q476 panel. */
+  private val windowStateSql: String =
+    """WITH b AS (SELECT event_type,
+      |    epoch_us(ts) // 3600000000 AS b FROM events),
+      |hi AS (SELECT max(b) AS hi FROM b),
+      |w AS (SELECT event_type, b.b, CAST(count(*) AS BIGINT) AS c
+      |  FROM b CROSS JOIN hi WHERE b.b > hi.hi - 168 GROUP BY 1, 2)
+      |SELECT event_type, CAST(sum(c) AS BIGINT) AS window_events,
+      |  CAST(count(*) AS BIGINT) AS buckets_live,
+      |  CAST(max(c) AS BIGINT) AS peak_bucket_events
+      |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** SQL twin of the q471/q472 changelog projection. */
   private val cdcSql: String =
@@ -466,16 +522,7 @@ object Curation7 {
 
     "q461_kcore" -> kcoreSql,
 
-    "q462_window_count_state" ->
-      """WITH b AS (SELECT event_type,
-        |    epoch_us(ts) // 3600000000 AS b FROM events),
-        |hi AS (SELECT max(b) AS hi FROM b),
-        |w AS (SELECT event_type, b.b, CAST(count(*) AS BIGINT) AS c
-        |  FROM b CROSS JOIN hi WHERE b.b > hi.hi - 168 GROUP BY 1, 2)
-        |SELECT event_type, CAST(sum(c) AS BIGINT) AS window_events,
-        |  CAST(count(*) AS BIGINT) AS buckets_live,
-        |  CAST(max(c) AS BIGINT) AS peak_bucket_events
-        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q462_window_count_state" -> windowStateSql,
 
     "q463_ewma_anomaly" -> {
       val lags = (1 to 40).map(i =>
@@ -608,6 +655,17 @@ object Curation7 {
          |FROM ch WINDOW w AS (PARTITION BY user_id
          |  ORDER BY tus ASC, event_id ASC)
          |ORDER BY user_id, version""".stripMargin,
+
+    "q476_state_panel" ->
+      s"""WITH ag AS (SELECT * FROM
+         |    (${graft.queries.Curation6.oracles("q446_incremental_agg")})),
+         |di AS (SELECT * FROM
+         |    (${graft.queries.Curation6.oracles("q454_incremental_distinct")})),
+         |wi AS (SELECT * FROM ($windowStateSql))
+         |SELECT ag.event_type, ag.n_rows, ag.mean, di.n_unique,
+         |  wi.window_events
+         |FROM ag JOIN di USING (event_type) JOIN wi USING (event_type)
+         |ORDER BY event_type""".stripMargin,
 
     "q474_collocations" -> {
       val sh1 = Dedup.shinglesSql("text", 1)
