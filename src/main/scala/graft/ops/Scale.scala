@@ -388,7 +388,11 @@ object Scale {
 
   private def hllSketches(df: DataFrame, groupCol: String, keyCol: String,
                           nShards: Int, lgK: Int): DataFrame =
-    df.where(col(keyCol).isNotNull)
+    // null GROUPS excluded explicitly: the fold merges state and delta
+    // with a full-outer equi-join, where a null group key matches
+    // nothing — a null-group sketch would survive as TWO rows and
+    // double its estimate (the tCloseness join-vs-groupBy lesson)
+    df.where(col(keyCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol),
         pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).as("__shard"),
         col(keyCol).as("__k"))

@@ -86,8 +86,11 @@ object Curation7 {
     // can't give) and est >= exact deterministically (collisions only
     // add); exact calibration counts are the oracle-checked column.
     "q458_cms_heavy_hitters" -> ((s, dir) => {
+      // event_type is a JOIN key below (probes/exact/estimates): a null
+      // type would silently drop rows the oracle's GROUP BY keeps
       val ev = t(s, dir, "events")
-        .where(col("event_id").isNotNull && col("user_id").isNotNull)
+        .where(col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
       val snap = ev.where(pmod(col("event_id"), lit(5L)) =!= 0)
       val delta = ev.where(pmod(col("event_id"), lit(5L)) === 0)
       val folded = Scale.foldCms(
@@ -477,7 +480,7 @@ object Curation7 {
         |  true AS est_ge_exact, true AS fold_eq_rebuild
         |FROM events
         |WHERE event_id IS NOT NULL AND user_id IS NOT NULL
-        |  AND user_id % 97 = 0
+        |  AND event_type IS NOT NULL AND user_id % 97 = 0
         |GROUP BY 1, 2 ORDER BY event_type, user_id""".stripMargin,
 
     "q459_session_stats" ->
