@@ -1385,6 +1385,43 @@ object Events {
         col("c"), col("ewma_milli"), col("dev_milli"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each bucket's count
+    * with the SAME BUCKET ONE SEASON AGO (lag `season`, e.g. 168 for
+    * weekly seasonality on an hourly grid) and report the error the
+    * cheapest competent forecaster makes — the baseline every real
+    * forecasting effort must beat, and the drift read when it suddenly
+    * degrades. Errors are exact integers: MAE in milli-events
+    * (staged division), WAPE in ppm (Σ|err| / Σ actual), and the
+    * MASE-style ratio vs the lag-1 naive in ppm (< 1e6 means the
+    * seasonal model beats last-bucket persistence). Only full-horizon
+    * bins (b ≥ b0 + season) are scored.
+    *
+    * Scale: two lags over the TIME-bound zero-filled grid + one keyed
+    * aggregate — nothing data-bound beyond the count grid.
+    */
+  def seasonalNaiveError(df: DataFrame, typeCol: String, tsCol: String,
+                         binUs: Long, season: Int = 168): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(season >= 2, "seasonalNaiveError: season >= 2")
+    val w = Window.partitionBy("et").orderBy("b")
+    val g = countGrid(df, typeCol, tsCol, binUs)
+      .withColumn("__ps", lag(col("c"), season).over(w))
+      .withColumn("__p1", lag(col("c"), 1).over(w))
+      .withColumn("__b0", min(col("b")).over(Window.partitionBy("et")))
+      .where(col("b") >= col("__b0") + season.toLong)
+    g.groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("c")).as("__actual"),
+        sum(abs(col("c") - col("__ps"))).as("__es"),
+        sum(abs(col("c") - col("__p1"))).as("__e1"))
+      .select(col("event_type"), col("n_bins"),
+        idiv(col("__es") * 1000L, col("n_bins")).as("mae_milli"),
+        when(col("__actual") > 0,
+          idiv(col("__es") * 1000000L, col("__actual"))).as("wape_ppm"),
+        when(col("__e1") > 0,
+          idiv(col("__es") * 1000000L, col("__e1"))).as("vs_naive1_ppm"))
+  }
+
   /** Persisted SESSIONIZATION state — the batch-IVM twin of
     * [[graft.streaming.Streaming.sessionize]]: `path/closed` holds the
     * finished sessions (append-only at scale; session rows, never raw

@@ -539,4 +539,34 @@ object Quality {
             .as(s"${nm}_cents")
         }: _*)
   }
+
+  /** Column profile — the Deequ-style per-column stats card (row/null
+    * counts, null share, exact distinct count, quantized min/max) a
+    * pipeline snapshots before and after every promotion so schema
+    * drift is a diff, not a surprise. Each entry supplies its own
+    * LONG-quantized view (ids as-is, doubles as cents, timestamps as
+    * epoch-us, strings typically as lengths); a null quantized value
+    * counts as null (so a NaN-mapping quantizer reports NaNs in
+    * null_count — the caller's documented choice).
+    *
+    * Shape: one aggregate per column unioned (same-frame aggregates
+    * share the scan under the union), output exactly one row per
+    * profiled column.
+    */
+  def columnProfile(df: DataFrame,
+                    cols: Seq[(String, Column)]): DataFrame = {
+    import graft.functions.PixieFunctions.idiv
+    require(cols.nonEmpty, "columnProfile: at least one column")
+    cols.map { case (nm, q) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(q.isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(q).as("n_distinct"),
+          min(q).as("min_q"), max(q).as("max_q"))
+        .select(lit(nm).as("column"), col("n_rows"),
+          coalesce(col("n_null"), lit(0L)).as("n_null"),
+          idiv(coalesce(col("n_null"), lit(0L)) * 1000000L,
+            greatest(col("n_rows"), lit(1L))).as("null_ppm"),
+          col("n_distinct"), col("min_q"), col("max_q"))
+    }.reduce(_ unionByName _)
+  }
 }

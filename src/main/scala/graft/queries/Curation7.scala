@@ -284,6 +284,31 @@ object Curation7 {
       Scale.joinExplosionAudit(ev, ev, "user_id", 10)
     }),
 
+    // Seasonal-naive weekly backtest on the hourly count grid: the
+    // baseline error every forecaster must beat (MAE milli, WAPE ppm,
+    // ratio vs lag-1 persistence).
+    "q477_seasonal_naive" -> ((s, dir) =>
+      Events.seasonalNaiveError(t(s, dir, "events"), "event_type", "ts",
+          3600000000L)
+        .orderBy("event_type")),
+
+    // Deequ-style column profile of the events table (one row per
+    // column: rows, nulls, null ppm, exact distinct, quantized
+    // min/max — ids as-is, value as cents, ts as epoch-us, the
+    // string column by LENGTH).
+    "q478_column_profile" -> ((s, dir) => {
+      import graft.functions.PixieFunctions.nsToUs
+      Quality.columnProfile(t(s, dir, "events"), Seq(
+          ("event_id", col("event_id")),
+          ("user_id", col("user_id")),
+          ("value_cents", when(col("value").isNull ||
+              isnan(col("value")), lit(null))
+            .otherwise(floor(col("value") * 100.0 + 0.5)).cast("long")),
+          ("ts_us", nsToUs(col("ts"))),
+          ("event_type_len", length(col("event_type")).cast("long"))))
+        .orderBy("column")
+    }),
+
     // CDC latest-state merge: events as a per-user changelog (signup=I,
     // error=D, else U, ts order with event_id tiebreak) — the MERGE
     // INTO semantics as one key-keyed window; final deletes drop keys.
@@ -637,6 +662,57 @@ object Curation7 {
 
     "q469_session_state_fold" ->
       s"$sessionSql ORDER BY user_id, session_id",
+
+    "q477_seasonal_naive" ->
+      """WITH base AS (SELECT event_type AS et,
+        |    epoch_us(ts) // 3600000000 AS b FROM events),
+        |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM base),
+        |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM base)
+        |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b
+        |              FROM rng) gb),
+        |c AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+        |  GROUP BY 1, 2),
+        |f AS (SELECT g.et, g.b, coalesce(c.c, 0) AS c FROM grid g
+        |  LEFT JOIN c ON c.et = g.et AND c.b = g.b),
+        |l AS (SELECT et, b, c,
+        |    lag(c, 168) OVER w AS ps, lag(c, 1) OVER w AS p1
+        |  FROM f WINDOW w AS (PARTITION BY et ORDER BY b)),
+        |sc AS (SELECT et,
+        |    CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(c) AS BIGINT) AS actual,
+        |    CAST(sum(abs(c - ps)) AS BIGINT) AS es,
+        |    CAST(sum(abs(c - p1)) AS BIGINT) AS e1
+        |  FROM l CROSS JOIN rng WHERE b >= rng.b0 + 168 GROUP BY et)
+        |SELECT et AS event_type, n_bins,
+        |  es * 1000 // n_bins AS mae_milli,
+        |  CASE WHEN actual > 0 THEN es * 1000000 // actual END
+        |    AS wape_ppm,
+        |  CASE WHEN e1 > 0 THEN es * 1000000 // e1 END
+        |    AS vs_naive1_ppm
+        |FROM sc ORDER BY event_type""".stripMargin,
+
+    "q478_column_profile" -> {
+      def one(nm: String, q: String) =
+        s"""SELECT '$nm' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $q IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(sum(CASE WHEN $q IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // greatest(CAST(count(*) AS BIGINT), 1)
+           |    AS null_ppm,
+           |  CAST(count(DISTINCT $q) AS BIGINT) AS n_distinct,
+           |  CAST(min($q) AS BIGINT) AS min_q,
+           |  CAST(max($q) AS BIGINT) AS max_q
+           |FROM events""".stripMargin
+      Seq(
+        one("event_id", "event_id"),
+        one("user_id", "user_id"),
+        one("value_cents",
+          "(CASE WHEN value IS NULL OR isnan(value) THEN NULL " +
+            "ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END)"),
+        one("ts_us", "epoch_us(ts)"),
+        one("event_type_len", "CAST(length(event_type) AS BIGINT)"))
+        .mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+    },
 
     "q471_cdc_apply" ->
       s"""WITH ch AS ($cdcSql),

@@ -455,6 +455,38 @@ class Round9Spec extends AnyFunSuite {
     assert(fw.filter(_._2 == 1).forall(_._5 > 0.0))
   }
 
+  test("seasonalNaiveError: planted spike error accounting (brute-forced)") {
+    val t0 = 1704067200000000000L
+    val rows = (0 until 200).flatMap { b =>
+      val n = if (b == 170) 6 else 1
+      (1 to n).map(i => ("a", t0 + b.toLong * 3600000000000L + i.toLong))
+    }.toDF("event_type", "ts")
+    val got = Events.seasonalNaiveError(rows, "event_type", "ts",
+        3600000000L)
+      .select("n_bins", "mae_milli", "wape_ppm", "vs_naive1_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    // scored bins 168..199 (32); es = |6-1| at bin 170 = 5;
+    // e1 = 5 (169->170) + 5 (170->171) = 10; actual = 32 + 5 = 37
+    assert(got == ((32L, 5L * 1000 / 32, 5L * 1000000 / 37,
+      5L * 1000000 / 10)))
+  }
+
+  test("columnProfile: null/NaN accounting and quantized extrema") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.25), (2L, Double.NaN), (3L, null), (null, 4.5), (2L, 0.0))
+      .toDF("id", "v")
+    val got = Quality.columnProfile(df, Seq(
+        ("id", col("id")),
+        ("v_cents", when(col("v").isNull || isnan(col("v")), lit(null))
+          .otherwise(floor(col("v") * 100.0 + 0.5)).cast("long"))))
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 5L, 1L, 200000L, 3L, Some(1L), Some(3L))))
+    // NaN maps to null by the quantizer's documented choice
+    assert(got("v_cents") ==
+      (("v_cents", 5L, 2L, 400000L, 3L, Some(0L), Some(450L))))
+  }
+
   test("winsorizedMean: exact order-statistic caps (brute-forced)") {
     val vals = (1 to 100).map(v => ("a", v.toDouble)) ++
       Seq(("a", Double.NaN)) // NaN excluded, n stays 100
