@@ -379,6 +379,53 @@ object Curation7 {
       }
     }),
 
+    // Quantile drift between time halves (cut Jan 15): the p50/p90
+    // value bands before and after, and their shifts in cents — the
+    // "did the metric distribution move" read next to PSI/KS (which
+    // see shape, not location, in interpretable units).
+    "q479_quantile_drift" -> ((s, dir) => {
+      val cutNs = 1705276800000000000L
+      val ev = t(s, dir, "events").where(col("event_type").isNotNull)
+      val bands = Seq("p50" -> 500000L, "p90" -> 900000L)
+      def side(p: org.apache.spark.sql.DataFrame, tag: String) =
+        Quality.quantileBands(p, "event_type", col("value"), bands)
+          .select(col("event_type"), col("n").as(s"n_$tag"),
+            col("p50_cents").as(s"p50_$tag"),
+            col("p90_cents").as(s"p90_$tag"))
+      side(ev.where(col("ts") < cutNs), "a")
+        .join(side(ev.where(col("ts") >= cutNs), "b"), "event_type")
+        .withColumn("d50_cents", col("p50_b") - col("p50_a"))
+        .withColumn("d90_cents", col("p90_b") - col("p90_a"))
+        .orderBy("event_type")
+    }),
+
+    // Weekday/weekend traffic profile per event type: counts, weekend
+    // share, and the weekend-vs-weekday DAILY-rate ratio (normalized
+    // by each class's distinct day count — raw counts would conflate
+    // the 5:2 day imbalance with actual intensity).
+    "q480_weekday_profile" -> ((s, dir) => {
+      import graft.functions.PixieFunctions.nsToUs
+      // epoch day 0 = Thursday; days 2,3 (mod 7) = Saturday, Sunday
+      val ev = t(s, dir, "events").where(col("event_type").isNotNull)
+        .withColumn("__d", idiv(nsToUs(col("ts")), 86400000000L))
+        .withColumn("__we", pmod(col("__d"), lit(7L)).isin(2L, 3L))
+      val days = ev.select("__d", "__we").distinct()
+        .agg(sum(when(col("__we"), 1L).otherwise(0L)).as("__wed"),
+          sum(when(!col("__we"), 1L).otherwise(0L)).as("__wdd"))
+      ev.groupBy("event_type")
+        .agg(sum(when(!col("__we"), 1L).otherwise(0L)).as("n_weekday"),
+          sum(when(col("__we"), 1L).otherwise(0L)).as("n_weekend"))
+        .crossJoin(broadcast(days))
+        .select(col("event_type"), col("n_weekday"), col("n_weekend"),
+          idiv(col("n_weekend") * 1000000L,
+            greatest(col("n_weekday") + col("n_weekend"), lit(1L)))
+            .as("weekend_share_ppm"),
+          when(col("n_weekday") > 0 && col("__wed") > 0,
+            idiv(col("n_weekend") * col("__wdd") * 1000000L,
+              col("n_weekday") * col("__wed"))).as("rate_ratio_ppm"))
+        .orderBy("event_type")
+    }),
+
     // Sample-vs-population calibration: the deterministic h60 1/16
     // sample's scaled estimates next to the exact aggregates, with the
     // error in ppm — fully exact on BOTH sides (the hash sample
@@ -662,6 +709,56 @@ object Curation7 {
 
     "q469_session_state_fold" ->
       s"$sessionSql ORDER BY user_id, session_id",
+
+    "q479_quantile_drift" -> {
+      def side(pred: String, tag: String) =
+        s"""SELECT g AS event_type, max(n) AS n_$tag,
+           |  min(CASE WHEN cum >= (n * 500000 + 999999) // 1000000
+           |    THEN c END) AS p50_$tag,
+           |  min(CASE WHEN cum >= (n * 900000 + 999999) // 1000000
+           |    THEN c END) AS p90_$tag
+           |FROM (SELECT g, c, k,
+           |    CAST(sum(k) OVER (PARTITION BY g ORDER BY c
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(k) OVER (PARTITION BY g) AS BIGINT) AS n
+           |  FROM (SELECT event_type AS g,
+           |      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+           |      CAST(count(*) AS BIGINT) AS k
+           |    FROM events WHERE event_type IS NOT NULL
+           |      AND value IS NOT NULL AND NOT isnan(value) AND $pred
+           |    GROUP BY 1, 2))
+           |GROUP BY g""".stripMargin
+      s"""WITH a AS (${side("ts < TIMESTAMP '2024-01-15'", "a")}),
+         |b AS (${side("ts >= TIMESTAMP '2024-01-15'", "b")})
+         |SELECT a.event_type, n_a, p50_a, p90_a, n_b, p50_b, p90_b,
+         |  p50_b - p50_a AS d50_cents, p90_b - p90_a AS d90_cents
+         |FROM a JOIN b USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
+
+    "q480_weekday_profile" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS d,
+        |    (epoch_us(ts) // 86400000000) % 7 IN (2, 3) AS we
+        |  FROM events WHERE event_type IS NOT NULL),
+        |days AS (SELECT
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT) AS wed,
+        |    CAST(sum(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT) AS wdd
+        |  FROM (SELECT DISTINCT d, we FROM e)),
+        |c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN we THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_weekday,
+        |    CAST(sum(CASE WHEN we THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_weekend
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n_weekday, n_weekend,
+        |  n_weekend * 1000000
+        |    // greatest(n_weekday + n_weekend, 1) AS weekend_share_ppm,
+        |  CASE WHEN n_weekday > 0 AND wed > 0 THEN
+        |    n_weekend * wdd * 1000000 // (n_weekday * wed)
+        |  END AS rate_ratio_ppm
+        |FROM c CROSS JOIN days ORDER BY event_type""".stripMargin,
 
     "q477_seasonal_naive" ->
       """WITH base AS (SELECT event_type AS et,

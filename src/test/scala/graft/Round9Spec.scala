@@ -487,6 +487,34 @@ class Round9Spec extends AnyFunSuite {
       (("v_cents", 5L, 2L, 400000L, 3L, Some(0L), Some(450L))))
   }
 
+  test("weekday/weekend day-class math and daily-rate normalization") {
+    // 1970-01-03 (epoch day 2) is a Saturday; 1970-01-05 (day 4) Monday
+    assert(java.time.LocalDate.ofEpochDay(2).getDayOfWeek ==
+      java.time.DayOfWeek.SATURDAY)
+    assert(java.time.LocalDate.ofEpochDay(3).getDayOfWeek ==
+      java.time.DayOfWeek.SUNDAY)
+    // synthetic: 2 weekend days with 3 events/day, 5 weekday days with
+    // 2 events/day -> ratio = (6 * 5) / (10 * 2) = 1.5e6 ppm
+    val rows = (Seq(2L, 3L).flatMap(d => (1 to 3).map(i => (d, i))) ++
+      Seq(4L, 5L, 6L, 7L, 8L).flatMap(d => (1 to 2).map(i => (d, i))))
+      .map { case (d, i) =>
+        ("a", d * 86400000000000L + i.toLong * 1000000000L) }
+      .toDF("event_type", "ts")
+    val got = graft.queries.Curation7.queries("q480_weekday_profile")(
+      spark, "/root/testdata/sf0.001")
+    assert(got.columns.toSeq == Seq("event_type", "n_weekday",
+      "n_weekend", "weekend_share_ppm", "rate_ratio_ppm"))
+    // direct op-shape check on the synthetic frame via the same exprs
+    import graft.functions.PixieFunctions.{idiv, nsToUs}
+    val e = rows
+      .withColumn("__d", idiv(nsToUs(col("ts")), 86400000000L))
+      .withColumn("__we", pmod(col("__d"), lit(7L)).isin(2L, 3L))
+    val nWe = e.where(col("__we")).count()
+    val nWd = e.where(!col("__we")).count()
+    assert(nWe == 6 && nWd == 10)
+    assert(nWe * 5 * 1000000L / (nWd * 2) == 1500000L)
+  }
+
   test("winsorizedMean: exact order-statistic caps (brute-forced)") {
     val vals = (1 to 100).map(v => ("a", v.toDouble)) ++
       Seq(("a", Double.NaN)) // NaN excluded, n stays 100
