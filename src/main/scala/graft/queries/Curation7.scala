@@ -426,6 +426,59 @@ object Curation7 {
         .orderBy("event_type")
     }),
 
+    // k-anonymity risk sweep: how many QI classes (and how many rows)
+    // fall below k for k in {2, 5, 10, 20} — the release-policy curve
+    // behind q411's single-k audit (pick k where exposure is tolerable).
+    "q481_kanon_sweep" -> ((s, dir) => {
+      import graft.functions.PixieFunctions.nsToUs
+      val classes = t(s, dir, "events").select(
+          col("event_type"),
+          (idiv(nsToUs(col("ts")), 3600000000L) % 24L).as("hod"),
+          floor(col("value") / 50.0).cast("long").as("vb"),
+          col("user_id"))
+        .groupBy("event_type", "hod", "vb")
+        .agg(countDistinct(col("user_id")).as("__ns"),
+          count(lit(1)).as("__nr"))
+      classes
+        .crossJoin(broadcast(s.range(1)
+          .select(explode(typedLit(Seq(2L, 5L, 10L, 20L))).as("k"))))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("__ns") < col("k"), 1L).otherwise(0L))
+            .as("n_violating"),
+          sum(when(col("__ns") < col("k"), col("__nr")).otherwise(0L))
+            .as("n_rows_exposed"))
+        .withColumn("violating_share_ppm",
+          idiv(col("n_violating") * 1000000L, col("n_classes")))
+        .orderBy("k")
+    }),
+
+    // User-activity histogram: users bucketed by their event count on
+    // an exact power-of-two ladder (no log2 floats — boundary-exact in
+    // both engines), with user and event shares.
+    "q482_user_activity_histogram" -> ((s, dir) => {
+      val per = t(s, dir, "events").where(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("__n"))
+      val bucket = when(col("__n") <= 8, "001-8")
+        .when(col("__n") <= 16, "009-16")
+        .when(col("__n") <= 32, "017-32")
+        .when(col("__n") <= 48, "033-48")
+        .when(col("__n") <= 64, "049-64")
+        .when(col("__n") <= 96, "065-96")
+        .when(col("__n") <= 128, "097-128")
+        .otherwise("129+")
+      val h = per.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_users"), sum(col("__n")).as("n_events"))
+      h.crossJoin(broadcast(h.agg(sum(col("n_users")).as("__tu"),
+          sum(col("n_events")).as("__te"))))
+        .select(col("bucket"), col("n_users"), col("n_events"),
+          idiv(col("n_users") * 1000000L, col("__tu"))
+            .as("user_share_ppm"),
+          idiv(col("n_events") * 1000000L, col("__te"))
+            .as("event_share_ppm"))
+        .orderBy("bucket")
+    }),
+
     // Sample-vs-population calibration: the deterministic h60 1/16
     // sample's scaled estimates next to the exact aggregates, with the
     // error in ppm — fully exact on BOTH sides (the hash sample
@@ -709,6 +762,43 @@ object Curation7 {
 
     "q469_session_state_fold" ->
       s"$sessionSql ORDER BY user_id, session_id",
+
+    "q481_kanon_sweep" ->
+      """WITH cl AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 % 24 AS hod,
+        |    CAST(floor(value / 50.0) AS BIGINT) AS vb,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS ns,
+        |    CAST(count(*) AS BIGINT) AS nr
+        |  FROM events GROUP BY 1, 2, 3),
+        |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN ns < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(sum(CASE WHEN ns < k THEN nr ELSE 0 END) AS BIGINT)
+        |    AS n_rows_exposed,
+        |  CAST(sum(CASE WHEN ns < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT)
+        |    AS violating_share_ppm
+        |FROM cl CROSS JOIN ks GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q482_user_activity_histogram" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |h AS (SELECT CASE WHEN n <= 8 THEN '001-8'
+        |    WHEN n <= 16 THEN '009-16' WHEN n <= 32 THEN '017-32'
+        |    WHEN n <= 48 THEN '033-48' WHEN n <= 64 THEN '049-64'
+        |    WHEN n <= 96 THEN '065-96' WHEN n <= 128 THEN '097-128'
+        |    ELSE '129+' END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM per GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+        |    CAST(sum(n_events) AS BIGINT) AS te FROM h)
+        |SELECT bucket, n_users, n_events,
+        |  n_users * 1000000 // tu AS user_share_ppm,
+        |  n_events * 1000000 // te AS event_share_ppm
+        |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
 
     "q479_quantile_drift" -> {
       def side(pred: String, tag: String) =
