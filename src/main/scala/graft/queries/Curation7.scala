@@ -479,6 +479,56 @@ object Curation7 {
         .orderBy("bucket")
     }),
 
+    // CDC cross-op consistency: the SCD2 history's CURRENT non-deleted
+    // versions, re-projected to the latest-state shape, must equal
+    // Cdc.apply — two independent engine paths sharing q471's oracle
+    // (the strongest claim-chain form: either path drifting fails the
+    // same gate).
+    "q483_cdc_consistency" -> ((s, dir) => {
+      val hist = graft.ops.Cdc.scd2(cdcChangelog(s, dir), "user_id",
+        col("__tus"), col("event_id"), col("__op"), col("__vc"))
+      val nops = hist.groupBy("user_id")
+        .agg(max(col("version")).as("n_ops"))
+      hist.where(col("is_current") && col("op") =!= "D")
+        .join(nops, "user_id")
+        .select(col("user_id"), col("n_ops"), col("value_cents"))
+        .orderBy("user_id")
+    }),
+
+    // Robust value outliers per event type: median/MAD as EXACT cent
+    // order statistics (the q457 rank machinery), outlier = |v - med|
+    // > 3 * MAD — the value-domain companion of the rate-domain MAD
+    // detector (q386), immune to the outliers it hunts.
+    "q484_value_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events").where(col("event_type").isNotNull &&
+        col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("__c"))
+      val med = Quality.quantileBands(
+          ev.select(col("event_type"), (col("__c").cast("double") / 100.0)
+            .as("v")),
+          "event_type", col("v"), Seq("med" -> 500000L))
+        .select(col("event_type"), col("med_cents"))
+      val dev = ev.join(med, "event_type")
+        .select(col("event_type"),
+          abs(col("__c") - col("med_cents")).as("__d"))
+      val mad = Quality.quantileBands(
+          dev.select(col("event_type"), (col("__d").cast("double") / 100.0)
+            .as("v")),
+          "event_type", col("v"), Seq("mad" -> 500000L))
+        .select(col("event_type"), col("mad_cents"))
+      ev.join(med, "event_type").join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med_cents")).as("med_cents"),
+          max(col("mad_cents")).as("mad_cents"),
+          sum(when(abs(col("__c") - col("med_cents")) >
+            col("mad_cents") * 3L, 1L).otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_ppm",
+          idiv(col("n_outliers") * 1000000L, col("n")))
+        .orderBy("event_type")
+    }),
+
     // Sample-vs-population calibration: the deterministic h60 1/16
     // sample's scaled estimates next to the exact aggregates, with the
     // error in ppm — fully exact on BOTH sides (the hash sample
@@ -762,6 +812,53 @@ object Curation7 {
 
     "q469_session_state_fold" ->
       s"$sessionSql ORDER BY user_id, session_id",
+
+    "q483_cdc_consistency" ->
+      s"""WITH ch AS ($cdcSql),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY tus DESC, event_id DESC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+         |      AS n_ops
+         |  FROM ch)
+         |SELECT user_id, n_ops, vc AS value_cents
+         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
+
+    "q484_value_outliers" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |med AS (SELECT g, min(CASE WHEN cum >=
+        |      (n * 500000 + 999999) // 1000000 THEN c END) AS med
+        |  FROM (SELECT g, c,
+        |      CAST(sum(k) OVER (PARTITION BY g ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS cum,
+        |      CAST(sum(k) OVER (PARTITION BY g) AS BIGINT) AS n
+        |    FROM (SELECT g, c, CAST(count(*) AS BIGINT) AS k FROM v
+        |          GROUP BY 1, 2))
+        |  GROUP BY g),
+        |d AS (SELECT v.g, abs(v.c - med.med) AS c FROM v
+        |  JOIN med ON med.g = v.g),
+        |mad AS (SELECT g, min(CASE WHEN cum >=
+        |      (n * 500000 + 999999) // 1000000 THEN c END) AS mad
+        |  FROM (SELECT g, c,
+        |      CAST(sum(k) OVER (PARTITION BY g ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS BIGINT) AS cum,
+        |      CAST(sum(k) OVER (PARTITION BY g) AS BIGINT) AS n
+        |    FROM (SELECT g, c, CAST(count(*) AS BIGINT) AS k FROM d
+        |          GROUP BY 1, 2))
+        |  GROUP BY g)
+        |SELECT v.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(med.med) AS med_cents, max(mad.mad) AS mad_cents,
+        |  CAST(sum(CASE WHEN abs(v.c - med.med) > mad.mad * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN abs(v.c - med.med) > mad.mad * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(count(*) AS BIGINT) AS outlier_ppm
+        |FROM v JOIN med ON med.g = v.g JOIN mad ON mad.g = v.g
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q481_kanon_sweep" ->
       """WITH cl AS (SELECT event_type,
