@@ -529,6 +529,66 @@ object Curation7 {
         .orderBy("event_type")
     }),
 
+    // Mann-Whitney / common-language effect size matrix: for every
+    // event-type pair, P(value_a > value_b) + half-ties via the exact
+    // rank-sum identity — rocAuc restricted to the pair with "is type
+    // a" as the label (the pairwise "are these metric populations
+    // different" read; 0.5 = indistinguishable).
+    "q485_mann_whitney" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = t(s, dir, "events")
+      types.combinations(2).map { case Seq(a, b) =>
+        graft.ops.Classify.rocAuc(
+            ev.where(col("event_type").isin(a, b)),
+            col("value"), col("event_type") === a)
+          .select(lit(a).as("type_a"), lit(b).as("type_b"),
+            col("n_pos").as("n_a"), col("n_neg").as("n_b"),
+            col("auc").as("cles"))
+      }.reduce(_ unionByName _).orderBy("type_a", "type_b")
+    }),
+
+    // Count autocorrelation at lags 1 / 24 / 168 over the hourly grid
+    // — daily and weekly seasonality strength per type (the signal
+    // q477's seasonal-naive baseline exploits), with the q430 exact
+    // moment staging.
+    "q486_count_acf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.PixieFunctions.nsToUs
+      val base = t(s, dir, "events").select(
+        col("event_type").as("et"),
+        idiv(nsToUs(col("ts")), 3600000000L).as("b"))
+      val counts = base.groupBy("et", "b").agg(count(lit(1)).as("c"))
+      val rng = counts.agg(min(col("b")).as("__b0"),
+        max(col("b")).as("__b1"))
+      val grid = counts.select("et").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("et"), explode(sequence(col("__b0"), col("__b1")))
+          .as("b"), col("__b0"))
+        .join(counts, Seq("et", "b"), "left")
+        .na.fill(0L, Seq("c"))
+      val w = Window.partitionBy("et").orderBy("b")
+      Seq(1, 24, 168).map { l =>
+        grid.withColumn("__p", lag(col("c"), l).over(w))
+          .where(col("b") >= col("__b0") + l.toLong)
+          .groupBy(col("et").as("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("__sy"),
+            sum(col("__p")).as("__sx"),
+            sum(col("c") * col("__p")).as("__sxy"),
+            sum(col("__p") * col("__p")).as("__sxx"),
+            sum(col("c") * col("c")).as("__syy"))
+          .select(col("event_type"), lit(l.toLong).as("lag"), col("n"),
+            {
+              val dxx = col("n") * col("__sxx") - col("__sx") * col("__sx")
+              val dyy = col("n") * col("__syy") - col("__sy") * col("__sy")
+              val dxy = col("n") * col("__sxy") - col("__sx") * col("__sy")
+              when(dxx > 0L && dyy > 0L,
+                graft.core.Exact.zround(dxy.cast("double")
+                  / sqrt(dxx.cast("double") * dyy.cast("double")), 6))
+                .as("r")
+            })
+      }.reduce(_ unionByName _).orderBy("event_type", "lag")
+    }),
+
     // Sample-vs-population calibration: the deterministic h60 1/16
     // sample's scaled estimates next to the exact aggregates, with the
     // error in ppm — fully exact on BOTH sides (the hash sample
@@ -812,6 +872,70 @@ object Curation7 {
 
     "q469_session_state_fold" ->
       s"$sessionSql ORDER BY user_id, session_id",
+
+    "q485_mann_whitney" -> {
+      def one(a: String, b: String) =
+        s"""SELECT '$a' AS type_a, '$b' AS type_b, n_pos AS n_a,
+           |  n_neg AS n_b,
+           |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           |    round(CAST(r2 - n_pos*(n_pos+1) AS DOUBLE)
+           |      / (2.0 * n_pos * n_neg), 6) END AS cles
+           |FROM (SELECT CAST(sum(p * (2*(cum - c) + c + 1)) AS BIGINT)
+           |      AS r2,
+           |    CAST(sum(p) AS BIGINT) AS n_pos,
+           |    CAST(sum(c - p) AS BIGINT) AS n_neg
+           |  FROM (SELECT *, CAST(sum(c) OVER (ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum
+           |    FROM (SELECT s, CAST(count(*) AS BIGINT) AS c,
+           |        CAST(sum(y) AS BIGINT) AS p
+           |      FROM (SELECT
+           |          CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS s,
+           |          CASE WHEN event_type = '$a' THEN 1 ELSE 0 END AS y
+           |        FROM events
+           |        WHERE event_type IN ('$a', '$b')
+           |          AND value IS NOT NULL AND NOT isnan(value))
+           |      GROUP BY 1)))""".stripMargin
+      Seq("click", "error", "purchase", "signup", "view")
+        .combinations(2)
+        .map { case Seq(a, b) => one(a, b) }
+        .mkString("\nUNION ALL\n") + "\nORDER BY type_a, type_b"
+    },
+
+    "q486_count_acf" -> {
+      def one(l: Int) =
+        s"""SELECT et AS event_type, CAST($l AS BIGINT) AS lag, n,
+           |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+           |  THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+           |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+           |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
+           |  END AS r
+           |FROM (SELECT et, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(p) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+           |    CAST(sum(c * p) AS BIGINT) AS sxy,
+           |    CAST(sum(p * p) AS BIGINT) AS sxx,
+           |    CAST(sum(c * c) AS BIGINT) AS syy
+           |  FROM (SELECT et, b, c, lag(c, $l) OVER w AS p FROM f
+           |        CROSS JOIN rng WINDOW w AS (PARTITION BY et ORDER BY b))
+           |    CROSS JOIN rng
+           |  WHERE b >= rng.b0 + $l AND p IS NOT NULL GROUP BY et)""".stripMargin
+      s"""WITH base AS (SELECT event_type AS et,
+         |    epoch_us(ts) // 3600000000 AS b FROM events),
+         |rng AS (SELECT min(b) AS b0, max(b) AS b1 FROM base),
+         |grid AS (SELECT et, gb.b FROM (SELECT DISTINCT et FROM base)
+         |  CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS b
+         |              FROM rng) gb),
+         |cc AS (SELECT et, b, CAST(count(*) AS BIGINT) AS c FROM base
+         |  GROUP BY 1, 2),
+         |f AS (SELECT g.et, g.b, coalesce(cc.c, 0) AS c FROM grid g
+         |  LEFT JOIN cc ON cc.et = g.et AND cc.b = g.b)
+         |${one(1)}
+         |UNION ALL
+         |${one(24)}
+         |UNION ALL
+         |${one(168)}
+         |ORDER BY event_type, lag""".stripMargin
+    },
 
     "q483_cdc_consistency" ->
       s"""WITH ch AS ($cdcSql),
