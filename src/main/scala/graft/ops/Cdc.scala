@@ -23,7 +23,8 @@ object Cdc {
     */
   def apply(changes: DataFrame, keyCol: String, tsCol: Column,
             tieCol: Column, opCol: Column, valueCol: Column,
-            deleteOp: String = "D"): DataFrame = {
+            deleteOp: String = "D",
+            valueName: String = "value"): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(tsCol.desc, tieCol.desc)
     changes.where(col(keyCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
@@ -31,7 +32,7 @@ object Cdc {
         count(lit(1)).over(Window.partitionBy(keyCol)))
       .where(col("__rn") === 1 && opCol =!= deleteOp)
       .select(col(keyCol), col("__nops").as("n_ops"),
-        valueCol.as("value_cents"))
+        valueCol.as(valueName))
   }
 
   /** SCD type-2 history from a changelog: one row per version with
@@ -40,14 +41,15 @@ object Cdc {
     * warehouse dimension-history build; one key-keyed window pass.
     */
   def scd2(changes: DataFrame, keyCol: String, tsCol: Column,
-           tieCol: Column, opCol: Column, valueCol: Column): DataFrame = {
+           tieCol: Column, opCol: Column, valueCol: Column,
+           valueName: String = "value"): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(tsCol.asc, tieCol.asc)
     changes.where(col(keyCol).isNotNull)
       .select(col(keyCol),
         row_number().over(w).cast("long").as("version"),
         tsCol.as("valid_from_us"),
         lead(tsCol, 1).over(w).as("valid_to_us"),
-        opCol.as("op"), valueCol.as("value_cents"))
+        opCol.as("op"), valueCol.as(valueName))
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 }

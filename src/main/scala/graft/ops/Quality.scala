@@ -549,24 +549,30 @@ object Quality {
     * counts as null (so a NaN-mapping quantizer reports NaNs in
     * null_count — the caller's documented choice).
     *
-    * Shape: one aggregate per column unioned (same-frame aggregates
-    * share the scan under the union), output exactly one row per
-    * profiled column.
+    * Shape: ONE aggregate over all columns' stats at once (a single
+    * scan of the input regardless of how many columns are profiled —
+    * the multiple distinct counts become one Expand + aggregate, not
+    * N scans), then the single stats row is exploded into one output
+    * row per profiled column.
     */
   def columnProfile(df: DataFrame,
                     cols: Seq[(String, Column)]): DataFrame = {
     import graft.functions.PixieFunctions.idiv
     require(cols.nonEmpty, "columnProfile: at least one column")
-    cols.map { case (nm, q) =>
-      df.agg(count(lit(1)).as("n_rows"),
-          sum(when(q.isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(q).as("n_distinct"),
-          min(q).as("min_q"), max(q).as("max_q"))
-        .select(lit(nm).as("column"), col("n_rows"),
-          coalesce(col("n_null"), lit(0L)).as("n_null"),
-          idiv(coalesce(col("n_null"), lit(0L)) * 1000000L,
-            greatest(col("n_rows"), lit(1L))).as("null_ppm"),
-          col("n_distinct"), col("min_q"), col("max_q"))
-    }.reduce(_ unionByName _)
+    val perCol = cols.zipWithIndex.flatMap { case ((_, q), i) => Seq(
+      sum(when(q.isNull, 1L).otherwise(0L)).as(s"__null_$i"),
+      countDistinct(q).as(s"__nd_$i"),
+      min(q).as(s"__min_$i"), max(q).as(s"__max_$i")) }
+    val one = df.agg(count(lit(1)).as("__n_rows"), perCol: _*)
+    one.select(explode(array(cols.zipWithIndex.map { case ((nm, _), i) =>
+        struct(lit(nm).as("column"), col("__n_rows").as("n_rows"),
+          coalesce(col(s"__null_$i"), lit(0L)).as("n_null"),
+          col(s"__nd_$i").as("n_distinct"),
+          col(s"__min_$i").as("min_q"), col(s"__max_$i").as("max_q"))
+      }: _*)).as("__r"))
+      .select(col("__r.column"), col("__r.n_rows"), col("__r.n_null"),
+        idiv(col("__r.n_null") * 1000000L,
+          greatest(col("__r.n_rows"), lit(1L))).as("null_ppm"),
+        col("__r.n_distinct"), col("__r.min_q"), col("__r.max_q"))
   }
 }

@@ -641,7 +641,12 @@ object Scale {
     val total = per.agg(sum(col("rows_out")).as("__total"))
     per.crossJoin(broadcast(total))
       .select(col("key"), col("n_a"), col("n_b"),
-        col("rows_out").cast("long").as("rows_out"),
+        // clamp before the long cast: past Long.MaxValue a non-ANSI
+        // cast yields null silently — exactly the regime the decimal
+        // staging exists for. least() keeps the overflow regime
+        // engine-exact (the oracle clamps with the same LEAST).
+        least(col("rows_out"), lit(Long.MaxValue).cast(dec))
+          .cast("long").as("rows_out"),
         // integral `div` on the DECIMALS: decimal `/` rounds HALF_UP at
         // its result scale while DuckDB's HUGEINT `//` truncates — an
         // off-by-one ppm class at adversarial ratios

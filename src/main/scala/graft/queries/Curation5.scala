@@ -31,11 +31,15 @@ object Curation5 {
     // hour-of-day, 50-unit value band); combinations identifying
     // fewer than 5 distinct users are the re-identification report.
     "q411_k_anonymity" -> ((s, dir) => {
-      val proj = t(s, dir, "events").select(
-        col("event_type"),
-        (idiv(nsToUs(col("ts")), 3600000000L) % 24L).as("hod"),
-        floor(col("value") / 50.0).cast("long").as("vb"),
-        col("user_id"))
+      // NaN guard both sides: Spark floor/cast maps NaN to a null
+      // bucket (non-ANSI) while DuckDB's CAST raises on NaN.
+      val proj = t(s, dir, "events")
+        .where(col("value").isNotNull && !isnan(col("value")))
+        .select(
+          col("event_type"),
+          (idiv(nsToUs(col("ts")), 3600000000L) % 24L).as("hod"),
+          floor(col("value") / 50.0).cast("long").as("vb"),
+          col("user_id"))
       Quality.kAnonymity(proj, "user_id",
           Seq("event_type", "hod", "vb"), k = 5L)
         .orderBy("event_type", "hod", "vb")
@@ -366,7 +370,9 @@ object Curation5 {
         |  CAST(floor(value / 50.0) AS BIGINT) AS vb,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects,
         |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM events GROUP BY 1, 2, 3
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1, 2, 3
         |HAVING count(DISTINCT user_id) < 5
         |ORDER BY event_type, hod, vb""".stripMargin,
 

@@ -195,22 +195,28 @@ object Curation7 {
     // session).
     "q465_streaming_sessions" -> ((s, dir) => {
       import s.implicits._
-      val qn = "q465_mem_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
+      // Durable parquet sink (the recovery-spec pattern): the result
+      // never materializes on the driver — the stream writes to a
+      // scratch parquet dir, the post-processing reads it back as a
+      // distributed frame, and the eager localCheckpoint pins the
+      // answer before the scratch dir is deleted.
+      val p = Curation2.tempIndexDir("graft_q465_sink_")
       val in = graft.core.Tables.stream(s, dir, "events")
         .where(col("user_id").isNotNull)
         .select(col("user_id"), col("ts").as("ts_ns"))
         .as[graft.streaming.Streaming.SessionEvent]
       val q = graft.streaming.Streaming.sessionize(in, 1800000000000L)
-        .toDF().writeStream.format("memory").queryName(qn)
+        .toDF().writeStream.format("parquet")
+        .option("path", s"$p/out")
+        .option("checkpointLocation", s"$p/cp")
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try {
         q.awaitTermination()
-        val out = s.table(qn)
-        val rows = s.createDataFrame(
-          java.util.Arrays.asList(out.collect(): _*), out.schema)
+        val rows = s.read.schema(org.apache.spark.sql.Encoders
+            .product[graft.streaming.Streaming.Session].schema)
+          .parquet(s"$p/out")
         import org.apache.spark.sql.expressions.Window
         rows.select(col("user_id"),
             idiv(col("start_ns"), 1000L).as("start_us"),
@@ -221,9 +227,10 @@ object Curation7 {
             col("start_us"), col("end_us"),
             (col("end_us") - col("start_us")).as("dur_us"))
           .orderBy("user_id", "session_id")
+          .localCheckpoint(true)
       } finally {
         if (q.isActive) q.stop()
-        s.catalog.dropTempView(qn)
+        Curation2.deleteDir(p)
       }
     }),
 
@@ -314,13 +321,15 @@ object Curation7 {
     // INTO semantics as one key-keyed window; final deletes drop keys.
     "q471_cdc_apply" -> ((s, dir) =>
       graft.ops.Cdc.apply(cdcChangelog(s, dir), "user_id",
-          col("__tus"), col("event_id"), col("__op"), col("__vc"))
+          col("__tus"), col("event_id"), col("__op"), col("__vc"),
+          valueName = "value_cents")
         .orderBy("user_id")),
 
     // SCD type-2 validity intervals over the same changelog.
     "q472_scd2_history" -> ((s, dir) =>
       graft.ops.Cdc.scd2(cdcChangelog(s, dir), "user_id",
-          col("__tus"), col("event_id"), col("__op"), col("__vc"))
+          col("__tus"), col("event_id"), col("__op"), col("__vc"),
+          valueName = "value_cents")
         .orderBy("user_id", "version")),
 
     // PMI collocations: top-20 bigrams by pointwise mutual information.
@@ -431,7 +440,13 @@ object Curation7 {
     // behind q411's single-k audit (pick k where exposure is tolerable).
     "q481_kanon_sweep" -> ((s, dir) => {
       import graft.functions.PixieFunctions.nsToUs
-      val classes = t(s, dir, "events").select(
+      // NaN guard: Spark's non-ANSI floor/cast maps NaN to a null
+      // bucket while DuckDB's CAST raises — filter NaN/null value on
+      // BOTH sides so the QI classes match by construction (house
+      // rule, cf. q457/q467/q479/q484).
+      val classes = t(s, dir, "events")
+        .where(col("value").isNotNull && !isnan(col("value")))
+        .select(
           col("event_type"),
           (idiv(nsToUs(col("ts")), 3600000000L) % 24L).as("hod"),
           floor(col("value") / 50.0).cast("long").as("vb"),
@@ -486,7 +501,8 @@ object Curation7 {
     // same gate).
     "q483_cdc_consistency" -> ((s, dir) => {
       val hist = graft.ops.Cdc.scd2(cdcChangelog(s, dir), "user_id",
-        col("__tus"), col("event_id"), col("__op"), col("__vc"))
+        col("__tus"), col("event_id"), col("__op"), col("__vc"),
+        valueName = "value_cents")
       val nops = hist.groupBy("user_id")
         .agg(max(col("version")).as("n_ops"))
       hist.where(col("is_current") && col("op") =!= "D")
@@ -990,7 +1006,9 @@ object Curation7 {
         |    CAST(floor(value / 50.0) AS BIGINT) AS vb,
         |    CAST(count(DISTINCT user_id) AS BIGINT) AS ns,
         |    CAST(count(*) AS BIGINT) AS nr
-        |  FROM events GROUP BY 1, 2, 3),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1, 2, 3),
         |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
         |SELECT CAST(k AS BIGINT) AS k,
         |  CAST(count(*) AS BIGINT) AS n_classes,
@@ -1240,7 +1258,9 @@ object Curation7 {
         |p AS (SELECT key, n AS n_a, n AS n_b,
         |    CAST(n AS HUGEINT) * n AS rows_out FROM c),
         |t AS (SELECT sum(rows_out) AS tot FROM p)
-        |SELECT key, n_a, n_b, CAST(rows_out AS BIGINT) AS rows_out,
+        |SELECT key, n_a, n_b,
+        |  CAST(least(rows_out, CAST(9223372036854775807 AS HUGEINT))
+        |    AS BIGINT) AS rows_out,
         |  CAST(rows_out * 1000000 // tot AS BIGINT) AS share_ppm
         |FROM p CROSS JOIN t
         |ORDER BY rows_out DESC, key LIMIT 10""".stripMargin,
@@ -1257,7 +1277,8 @@ object Curation7 {
         |    AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS view
-        |FROM events GROUP BY 1 ORDER BY hod""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY hod""".stripMargin,
 
     "q457_winsorized_mean" ->
       """WITH v AS (SELECT event_type AS g,
