@@ -491,12 +491,12 @@ object Dedup {
     var e = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct()
+    e = graft.core.Ckpt(e) // per-round lineage cut; reliable-ckpt swappable
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = star(star(e, large = true), large = false)
-        .localCheckpoint(true)
+      val next = graft.core.Ckpt(star(star(e, large = true), large = false))
       // Star steps only ever lower the larger endpoint's target, so an
       // unchanged edge set IS the fixpoint (paper Thm 1). Cheap count
       // gate first (non-converged rounds almost always shrink the edge

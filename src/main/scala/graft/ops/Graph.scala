@@ -168,27 +168,51 @@ object Graph {
     * no-op, so a converged graph's result IS the true k-core
     * (Round9bSpec pins convergence on the fixture).
     *
-    * Scale: each round is one node-keyed degree aggregate plus two
-    * semi-joins — the PageRank cost shape (2 keyed shuffles/round),
-    * with the arc list localCheckpoint'd per round so 12 rounds never
-    * stack 36 lineage stages (swap for checkpoint() on a cluster).
+    * Scale — FRONTIER peel: the arc list is built, v-partitioned and
+    * checkpointed ONCE; each round touches only the frontier (nodes
+    * whose degree just dropped below k). A round joins the (small)
+    * frontier against the immutable arc table to count each survivor's
+    * lost neighbors, then updates the O(nodes) degree table — so the
+    * per-round shuffle volume is the frontier plus the arcs incident
+    * to it (work proportional to edges REMOVED), never the surviving
+    * arc set, and nothing E-sized is rewritten after the build. Each
+    * node enters the frontier at most once, so across ALL rounds every
+    * arc contributes at most one decrement. An empty frontier is the
+    * fixpoint (every further bounded round is a no-op) and short-
+    * circuits. Lineage cuts go through [[graft.core.Ckpt]] (reliable-
+    * checkpoint swappable, exercised by CkptSwapSpec).
     */
   def kcorePeel(und: DataFrame, aCol: String, bCol: String, k: Int,
                 rounds: Int = 12): DataFrame = {
     require(k >= 1 && rounds >= 1, "kcorePeel: k >= 1, rounds >= 1")
-    var arcs = und
+    import graft.core.Ckpt
+    val arcs = Ckpt(und
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(und.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val keep = arcs.groupBy("u").agg(count(lit(1)).as("__deg"))
-        .where(col("__deg") >= k).select("u")
-      arcs = arcs.join(keep, Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-        .localCheckpoint(true)
+      .repartition(col("v"))) // rounds join on v; shuffle arcs once
+    var deg = Ckpt(arcs.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("__deg")))
+    var fixpoint = false
+    for (_ <- 1 to rounds if !fixpoint) {
+      val frontier = Ckpt(deg.where(col("__deg") < k).select("node"))
+      if (frontier.isEmpty) fixpoint = true
+      else {
+        val dec = arcs
+          .join(frontier.withColumnRenamed("node", "v"), "v")
+          .groupBy(col("u").as("node")).agg(count(lit(1)).as("__dec"))
+        deg = Ckpt(deg
+          .join(frontier, Seq("node"), "left_anti")
+          .join(dec, Seq("node"), "left_outer")
+          .select(col("node"),
+            (col("__deg") - coalesce(col("__dec"), lit(0L))).as("__deg")))
+      }
     }
-    arcs.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+    // Round-`rounds` survivor semantics: a survivor zero-degreed by the
+    // FINAL round's removals holds no surviving arc — identical to the
+    // arc-derived output of a full re-count, so it is excluded.
+    deg.where(col("__deg") >= 1L)
+      .select(col("node"), col("__deg").as("degree"))
   }
 
   /** Per-node triangle counts via DEGREE ORIENTATION (the standard

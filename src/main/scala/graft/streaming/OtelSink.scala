@@ -27,6 +27,12 @@ object OtelSink {
     def send(batch: Seq[MetricRecord]): Unit
   }
 
+  /** Span-capable transports ([[OtlpHttpTransport]] over the wire,
+    * [[OtlpWireCapture]] capturing the identical bytes). */
+  trait SpanTransport extends Serializable {
+    def sendSpans(batch: Seq[SpanRecord]): Unit
+  }
+
   /** Test/collector transport. The instance is serialized into executor
     * tasks, so the accumulation buffer lives in a JVM-static store keyed
     * by transport id (valid in local/test mode; a production OTLP
@@ -147,7 +153,7 @@ object OtelSink {
     * per-partition shape as [[exportGauges]] (each partition POSTs its
     * own OTLP batch; the driver aggregates only the count).
     */
-  def exportSpans(df: DataFrame, spec: SpanSpec, transport: OtlpHttpTransport): Long = {
+  def exportSpans(df: DataFrame, spec: SpanSpec, transport: SpanTransport): Long = {
     val acc = df.sparkSession.sparkContext.longAccumulator("otel_spans_exported")
     df.foreachPartition { it: Iterator[Row] =>
       val batch = it.map(rowToSpan(spec)).toSeq

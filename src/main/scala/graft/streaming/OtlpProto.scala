@@ -154,6 +154,34 @@ object OtlpProto {
   }
 }
 
+/** Wire-capture transport: runs the SAME OTLP protobuf encoding as
+  * [[OtlpHttpTransport]] but captures each encoded request body instead
+  * of POSTing it (no egress here) — the collector stand-in that lets the
+  * q487 gate row and specs verify the exact bytes a collector would
+  * receive. The byte queue lives in a JVM-static store keyed by
+  * transport id (the [[OtelSink.InMemoryTransport]] pattern: the
+  * instance is serialized into executor tasks; valid in local mode,
+  * while production uses the stateless HTTP transport).
+  */
+object OtlpWireCapture {
+  private[streaming] val store = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]]()
+}
+class OtlpWireCapture(serviceName: String = "graft")
+    extends OtelSink.Transport with OtelSink.SpanTransport {
+  import OtelSink._
+  private val id = java.util.UUID.randomUUID().toString
+  def captured: java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]] =
+    OtlpWireCapture.store.computeIfAbsent(id,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]())
+  def send(batch: Seq[MetricRecord]): Unit =
+    captured.add(OtlpProto.encodeGauges(batch, serviceName))
+  def sendSpans(batch: Seq[SpanRecord]): Unit =
+    captured.add(OtlpProto.encodeSpans(batch, serviceName))
+  /** Drop this instance's JVM-static queue (caller teardown). */
+  def close(): Unit = { OtlpWireCapture.store.remove(id); () }
+}
+
 /** OTLP/HTTP transport: POSTs protobuf-encoded batches to the collector's
   * standard paths (/v1/metrics, /v1/traces, /v1/logs) with optional
   * headers — the reference's EndpointConfig{url, headers, insecure}
@@ -164,7 +192,7 @@ object OtlpProto {
 class OtlpHttpTransport(endpoint: String,
                         headers: Map[String, String] = Map.empty,
                         serviceName: String = "graft")
-    extends OtelSink.Transport {
+    extends OtelSink.Transport with OtelSink.SpanTransport {
   import OtelSink._
 
   def send(batch: Seq[MetricRecord]): Unit =

@@ -1,8 +1,12 @@
 package graft.streaming
 
-/** Test-only protobuf wire-format reader, written independently of
-  * [[OtlpProto]]'s writer so the StreamingSpec round trip actually pins
-  * byte-compatibility (a shared codec would vacuously agree with itself).
+/** Verification-side protobuf wire-format reader, written independently
+  * of [[OtlpProto]]'s writer so round trips actually pin
+  * byte-compatibility (a shared codec would vacuously agree with
+  * itself). Consumers: the StreamingSpec wire round-trip AND the
+  * q487 oracle-gate row, which exports through [[OtelSink]], decodes
+  * the captured OTLP bytes with THIS reader, and hash-matches the
+  * decoded frame against a DuckDB oracle of the expected rows.
   */
 object OtlpProtoReader {
 
