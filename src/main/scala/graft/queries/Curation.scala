@@ -13,7 +13,9 @@ import Q._
   */
 object Curation {
 
-  private val K = 16; private val BANDS = 4; private val NGRAM = 3
+  private[queries] val K = 16
+  private[queries] val BANDS = 4
+  private[queries] val NGRAM = 3
 
   val queries: Map[String, QFn] = Map(
     // Incremental dedup: the corpus is doc_id % 5 != 0, the incoming
@@ -233,14 +235,14 @@ object Curation {
 
   // ---- generated oracle SQL ------------------------------------------
 
-  private val sh = Dedup.shinglesSql("text", NGRAM)
+  private[queries] val sh = Dedup.shinglesSql("text", NGRAM)
   private def h60(x: String) = Dedup.h60Sql(x)
   private val P = Dedup.P
 
   /** MinHash signature CTEs over `src`, CTE names suffixed so two
     * signature sets (corpus + batch) can coexist in one oracle query.
     */
-  private def sigCtes(src: String, sfx: String) =
+  private[queries] def sigCtes(src: String, sfx: String) =
     s"""sh$sfx AS (SELECT doc_id, unnest($sh) AS sh FROM $src),
        |h$sfx AS (SELECT doc_id, (${h60("sh")}) % $P AS h FROM sh$sfx),
        |sig$sfx AS (SELECT doc_id,
@@ -248,7 +250,7 @@ object Curation {
              s"  min(($a * h + $b) % $P) AS s$i" }.mkString(",\n")}
        |FROM h$sfx GROUP BY doc_id)""".stripMargin
 
-  private def bandsSql(sfx: String) = (0 until BANDS).map { b =>
+  private[queries] def bandsSql(sfx: String) = (0 until BANDS).map { b =>
     val cols = (b * (K / BANDS) until (b + 1) * (K / BANDS))
       .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
     s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sig$sfx"
@@ -263,7 +265,18 @@ object Curation {
                                               batchPred: String): String =
     s"""WITH corpus AS (SELECT * FROM documents WHERE $corpusPred),
        |batch AS (SELECT * FROM documents WHERE $batchPred),
-       |bhash AS (SELECT doc_id, md5(text) AS h FROM batch),
+       |${dedupDecisionCtes()}
+       |SELECT doc_id, decision FROM decisions ORDER BY doc_id""".stripMargin
+
+  /** The CTE body of the incremental dedup decision re-derivation,
+    * referencing caller-provided `corpus` and `batch` CTEs (each with
+    * doc_id + text) and ending with a `decisions(doc_id, decision)`
+    * CTE — so the q488 curation-day oracle can continue the pipeline
+    * past the decisions while q269/q283/q352 keep the exact same
+    * algorithm text.
+    */
+  private[queries] def dedupDecisionCtes(): String =
+    s"""bhash AS (SELECT doc_id, md5(text) AS h FROM batch),
        |firsts AS (SELECT h, min(doc_id) AS first_id FROM bhash GROUP BY h),
        |chash AS (SELECT DISTINCT md5(text) AS h FROM corpus),
        |surv AS (SELECT b.doc_id, b.text FROM batch b
@@ -289,16 +302,15 @@ object Curation {
        |near AS (SELECT DISTINCT batch_id FROM inter
        |  JOIN szb ON szb.doc_id = inter.batch_id
        |  JOIN szc ON szc.doc_id = inter.corpus_id
-       |  WHERE CAST(i AS DOUBLE) / (szb.n + szc.n - i) >= 0.8)
-       |SELECT b.doc_id,
+       |  WHERE CAST(i AS DOUBLE) / (szb.n + szc.n - i) >= 0.8),
+       |decisions AS (SELECT b.doc_id,
        |  CASE WHEN bhash.h IN (SELECT h FROM chash) THEN 'dup_exact_corpus'
        |       WHEN b.doc_id <> f.first_id THEN 'dup_exact_batch'
        |       WHEN b.doc_id IN (SELECT batch_id FROM near) THEN 'near_dup_corpus'
        |       ELSE 'admitted' END AS decision
        |FROM batch b
        |JOIN bhash ON bhash.doc_id = b.doc_id
-       |JOIN firsts f ON f.h = bhash.h
-       |ORDER BY b.doc_id""".stripMargin
+       |JOIN firsts f ON f.h = bhash.h)""".stripMargin
 
   /** IVFADC oracle: the q246 per-subspace canonical-pick re-derivation,
     * extended with the L2 cell quantizer and residual stage. Every tie
