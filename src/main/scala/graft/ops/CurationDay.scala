@@ -41,11 +41,16 @@ object CurationDay {
   case class Artifacts(root: String) {
     def index: String = s"$root/dedup_index"
     def manifest0: String = s"$root/manifest0.parquet"
+    def manifest1: String = s"$root/manifest1.parquet"
+    def manifest2: String = s"$root/manifest2.parquet"
     def aggState: String = s"$root/agg_state.parquet"
+    def aggState1: String = s"$root/agg_state1.parquet"
     def distinctState: String = s"$root/distinct_state"
     def bench: String = s"$root/bench.parquet"
     def deltaDocs: String = s"$root/delta_docs.parquet"
+    def day2Docs: String = s"$root/day2_docs.parquet"
     def deltaEvents: String = s"$root/delta_events.parquet"
+    def day2Events: String = s"$root/day2_events.parquet"
   }
 
   /** NaN/null-guarded event value (the ADVICE house rule): a NaN would
@@ -148,8 +153,10 @@ object CurationDay {
     * verify fetch.
     */
   def decisions(spark: SparkSession, a: Artifacts,
-                corpusFetch: DataFrame): DataFrame = {
-    val delta = spark.read.parquet(a.deltaDocs)
+                corpusFetch: DataFrame,
+                dropPath: String = null): DataFrame = {
+    val delta = spark.read.parquet(
+      Option(dropPath).getOrElse(a.deltaDocs))
     val bench = spark.read.parquet(a.bench)
     val dec = Dedup.incrementalDedupIndexed(a.index, corpusFetch, delta,
       "text", "doc_id", NGram, K, Bands, 0.8)
@@ -172,10 +179,12 @@ object CurationDay {
 
   /** Admitted delta docs with text + token counts (for the manifest). */
   def admittedDelta(spark: SparkSession, a: Artifacts,
-                    dec: DataFrame): DataFrame =
+                    dec: DataFrame,
+                    dropPath: String = null): DataFrame =
     dec.where(col("decision") === "admitted")
       .select("doc_id", "shard")
-      .join(spark.read.parquet(a.deltaDocs), "doc_id")
+      .join(spark.read.parquet(Option(dropPath).getOrElse(a.deltaDocs)),
+        "doc_id")
       .select(col("doc_id"), col("shard"), col("text"),
         nTok(col("text")).as("n_tok"))
 
@@ -209,5 +218,103 @@ object CurationDay {
     val uniq = Scale.foldDistinctState(spark, a.distinctState, deltaEv,
       "event_type", "user_id", 16)
     agg.join(uniq, "event_type")
+  }
+
+  // ---- Two-day lifecycle (q492-q494): day-1 run -> ADMIT (index
+  //      append + manifest fold persisted + state append) -> day-2
+  //      run against the grown artifacts. Proves the write side of
+  //      the day cycle: day N+1 is incremental against a state that
+  //      already absorbed day N, gated against a from-scratch
+  //      re-derivation of the twice-grown corpus. --------------------
+
+  /** Event-time day-1 boundary for the two-day story:
+    * 2024-01-15T00:00:00Z in epoch ns (day-1 events are [Cut1Ns,
+    * CutNs), day-2 events are [CutNs, ...)).
+    */
+  val Cut1Ns = 1705276800000000000L
+
+  /** Two-day bootstrap: snapshot = doc_id%5 in {2,3,4}, day-1 drop =
+    * %5==0 (organic — branch sentinels are q488's job), day-2 drop
+    * written later by [[writeDay2Drop]] (its sentinels derive from
+    * day-1 admissions). Events split three ways at Cut1Ns/CutNs.
+    */
+  def bootstrapTwoDay(spark: SparkSession, dir: String,
+                      a: Artifacts): Unit = {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    val pool = docs.where(col("source") =!= "src0")
+      .select("doc_id", "text")
+    val bench = docs.where(col("source") === "src0")
+      .select("doc_id", "text")
+    bench.write.mode("overwrite").parquet(a.bench)
+    pool.where(pmod(col("doc_id"), lit(5L)) === 0)
+      .write.mode("overwrite").parquet(a.deltaDocs)
+    val curated = curateBatch(
+      pool.where(pmod(col("doc_id"), lit(5L)).isin(2L, 3L, 4L)), bench)
+      .localCheckpoint(true)
+    Dedup.writeDedupIndex(curated, "text", "doc_id", a.index,
+      NGram, K, Bands)
+    graft.core.Layout.shardManifest(
+        Corpus.shardAssign(curated, "doc_id", NShards)
+          .select("doc_id", "shard")
+          .join(curated.select(col("doc_id"), col("text"),
+            nTok(col("text")).as("n_tok")), "doc_id"),
+        "shard", "doc_id", "n_tok", "text")
+      .write.mode("overwrite").parquet(a.manifest0)
+    val ev = graft.core.Tables(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    Scale.aggState(ev.where(col("ts") < Cut1Ns), "event_type",
+        guardedValue)
+      .write.mode("overwrite").parquet(a.aggState)
+    Scale.writeDistinctState(ev.where(col("ts") < Cut1Ns),
+      "event_type", "user_id", 16, a.distinctState)
+    ev.where(col("ts") >= Cut1Ns && col("ts") < CutNs)
+      .write.mode("overwrite").parquet(a.deltaEvents)
+    ev.where(col("ts") >= CutNs)
+      .write.mode("overwrite").parquet(a.day2Events)
+  }
+
+  /** ADMIT a day's survivors: append them to the persisted dedup
+    * index ([[Dedup.appendDedupIndex]] — delta-scan only) and fold
+    * the manifest forward to `manifestOut`. The index after append
+    * serves day N+1's candidate generation with day N's docs in it —
+    * the lifecycle claim q492's exact-dup/near-dup sentinels witness.
+    */
+  def admitDay(spark: SparkSession, a: Artifacts, dec: DataFrame,
+               dropPath: String, manifestIn: String,
+               manifestOut: String): Unit = {
+    val adm = admittedDelta(spark, a, dec, dropPath)
+      .localCheckpoint(true) // feeds index append + manifest fold
+    Dedup.appendDedupIndex(adm.select("doc_id", "text"), "text",
+      "doc_id", a.index, NGram, K, Bands)
+    foldManifest(spark.read.parquet(manifestIn),
+        graft.core.Layout.shardManifest(adm, "shard", "doc_id", "n_tok",
+          "text"))
+      .write.mode("overwrite").parquet(manifestOut)
+  }
+
+  /** The day-2 drop: the organic %5==1 docs plus two sentinels that
+    * witness the APPENDED index serving day-2 (9100001 = verbatim
+    * copy of the smallest day-1 admitted doc -> dup_exact_corpus via
+    * the appended hash set; 9100002 = the longest day-1 admitted doc
+    * with one word appended -> near_dup_corpus via the appended band
+    * rows: J = (w-2)/(w-1) >= 0.8 for any doc of >= 6 words).
+    */
+  def writeDay2Drop(spark: SparkSession, dir: String, a: Artifacts,
+                    dec1: DataFrame): Unit = {
+    val pool = graft.core.Tables(spark, dir, "documents")
+      .where(col("source") =!= "src0")
+      .select("doc_id", "text")
+    val admf1 = dec1.where(col("decision") === "admitted")
+      .select("doc_id")
+      .join(spark.read.parquet(a.deltaDocs), "doc_id")
+    val planted = admf1.orderBy("doc_id").limit(1)
+      .select(lit(9100001L).as("doc_id"), col("text"))
+      .unionByName(admf1
+        .orderBy(nTok(col("text")).desc, col("doc_id")).limit(1)
+        .select(lit(9100002L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text")))
+    pool.where(pmod(col("doc_id"), lit(5L)) === 1)
+      .unionByName(planted)
+      .write.mode("overwrite").parquet(a.day2Docs)
   }
 }

@@ -356,6 +356,53 @@ object Scale {
       .agg(sum(col("__card")).as("n_unique"))
   }
 
+  /** Fold a delta INTO the persisted [[writeDistinctState]] — the
+    * write-side sibling of [[foldDistinctState]] that completes the
+    * distinct-state lifecycle (build -> fold-read -> APPEND ->
+    * fold-read), so day N+1 folds against a state that already
+    * contains day N. Work is delta-proportional: new triples are
+    * anti-joined against a PARTITION-PRUNED read of only the touched
+    * shards and appended; the model-sized summary is updated
+    * incrementally (touched shards recounted, untouched carried).
+    * After append, `path` is semantically identical to a
+    * [[writeDistinctState]] over the grown input (set semantics
+    * preserved by the anti-join; q493 gate-proves the chained state
+    * against a full recompute).
+    */
+  def appendDistinctState(spark: org.apache.spark.sql.SparkSession,
+                          path: String, delta: DataFrame, groupCol: String,
+                          keyCol: String, nShards: Int): Unit = {
+    require(nShards > 0, "appendDistinctState: nShards > 0")
+    val d = shardTriples(delta, groupCol, keyCol, nShards)
+      .localCheckpoint(true)
+    val touched = d.select("__shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val summary = spark.read.parquet(s"$path/summary")
+    summary.select("__nshards").take(1).foreach { r =>
+      require(r.getLong(0) == nShards.toLong,
+        s"appendDistinctState: state written with nShards=${r.getLong(0)}, " +
+          s"appended with $nShards")
+    }
+    val keys = spark.read.schema(d.schema).parquet(s"$path/keys")
+      .where(col("__shard").isin(touched: _*))
+    // materialize BEFORE the append: the anti-join reads the very
+    // table being appended to
+    val fresh = d.join(keys, Seq(groupCol, "__shard", "__k"), "left_anti")
+      .localCheckpoint(true)
+    fresh.write.partitionBy("__shard").mode("append").parquet(s"$path/keys")
+    val recounted = spark.read.schema(d.schema).parquet(s"$path/keys")
+      .where(col("__shard").isin(touched: _*))
+      .groupBy(col(groupCol), col("__shard"))
+      .agg(count(lit(1)).as("__card"))
+    // materialize BEFORE the overwrite: the new summary reads the old
+    val newSummary = summary.drop("__nshards")
+      .where(!col("__shard").isin(touched: _*))
+      .unionByName(recounted)
+      .withColumn("__nshards", lit(nShards.toLong))
+      .localCheckpoint(true)
+    newSummary.write.mode("overwrite").parquet(s"$path/summary")
+  }
+
   /** Per-(group, shard) HLL sketch state — the APPROXIMATE twin of
     * [[writeDistinctState]] at a fraction of the state size: instead
     * of the distinct key triples themselves (data-bound), the state is

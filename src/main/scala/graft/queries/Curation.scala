@@ -269,48 +269,52 @@ object Curation {
        |SELECT doc_id, decision FROM decisions ORDER BY doc_id""".stripMargin
 
   /** The CTE body of the incremental dedup decision re-derivation,
-    * referencing caller-provided `corpus` and `batch` CTEs (each with
-    * doc_id + text) and ending with a `decisions(doc_id, decision)`
-    * CTE — so the q488 curation-day oracle can continue the pipeline
-    * past the decisions while q269/q283/q352 keep the exact same
-    * algorithm text.
+    * referencing caller-provided corpus/batch CTEs (each with doc_id +
+    * text) and ending with a `decisions$sfx(doc_id, decision)` CTE —
+    * so the q488 curation-day oracle can continue the pipeline past
+    * the decisions, and the q492 two-day oracle can instantiate the
+    * SAME algorithm text twice (suffixed CTE names) against a grown
+    * corpus, while q269/q283/q352 keep it verbatim.
     */
-  private[queries] def dedupDecisionCtes(): String =
-    s"""bhash AS (SELECT doc_id, md5(text) AS h FROM batch),
-       |firsts AS (SELECT h, min(doc_id) AS first_id FROM bhash GROUP BY h),
-       |chash AS (SELECT DISTINCT md5(text) AS h FROM corpus),
-       |surv AS (SELECT b.doc_id, b.text FROM batch b
-       |  JOIN bhash ON bhash.doc_id = b.doc_id
-       |  JOIN firsts f ON f.h = bhash.h
+  private[queries] def dedupDecisionCtes(corpusSrc: String = "corpus",
+                                         batchSrc: String = "batch",
+                                         sfx: String = ""): String =
+    s"""bhash$sfx AS (SELECT doc_id, md5(text) AS h FROM $batchSrc),
+       |firsts$sfx AS (SELECT h, min(doc_id) AS first_id FROM bhash$sfx GROUP BY h),
+       |chash$sfx AS (SELECT DISTINCT md5(text) AS h FROM $corpusSrc),
+       |surv$sfx AS MATERIALIZED (SELECT b.doc_id, b.text FROM $batchSrc b
+       |  JOIN bhash$sfx ON bhash$sfx.doc_id = b.doc_id
+       |  JOIN firsts$sfx f ON f.h = bhash$sfx.h
        |  WHERE b.doc_id = f.first_id
-       |    AND bhash.h NOT IN (SELECT h FROM chash)),
-       |${sigCtes("surv", "b")},
-       |${sigCtes("corpus", "c")},
-       |bandsb AS (${bandsSql("b")}),
-       |bandsc AS (${bandsSql("c")}),
-       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-       |  FROM bandsb b JOIN bandsc c ON b.band = c.band AND b.bh = c.bh),
-       |gb AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM surv),
-       |gc AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM corpus
-       |  WHERE doc_id IN (SELECT corpus_id FROM cand)),
-       |szb AS (SELECT doc_id, count(*) AS n FROM gb GROUP BY doc_id),
-       |szc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY doc_id),
-       |inter AS (SELECT cand.batch_id, cand.corpus_id, count(*) AS i
-       |  FROM cand JOIN gb ON gb.doc_id = cand.batch_id
-       |            JOIN gc ON gc.doc_id = cand.corpus_id AND gc.g = gb.g
+       |    AND bhash$sfx.h NOT IN (SELECT h FROM chash$sfx)),
+       |${sigCtes(s"surv$sfx", s"b$sfx")},
+       |${sigCtes(corpusSrc, s"c$sfx")},
+       |bandsb$sfx AS (${bandsSql(s"b$sfx")}),
+       |bandsc$sfx AS (${bandsSql(s"c$sfx")}),
+       |cand$sfx AS MATERIALIZED (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM bandsb$sfx b JOIN bandsc$sfx c ON b.band = c.band AND b.bh = c.bh),
+       |gb$sfx AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM surv$sfx),
+       |gc$sfx AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM $corpusSrc
+       |  WHERE doc_id IN (SELECT corpus_id FROM cand$sfx)),
+       |szb$sfx AS (SELECT doc_id, count(*) AS n FROM gb$sfx GROUP BY doc_id),
+       |szc$sfx AS (SELECT doc_id, count(*) AS n FROM gc$sfx GROUP BY doc_id),
+       |inter$sfx AS (SELECT cand$sfx.batch_id, cand$sfx.corpus_id, count(*) AS i
+       |  FROM cand$sfx JOIN gb$sfx ON gb$sfx.doc_id = cand$sfx.batch_id
+       |            JOIN gc$sfx ON gc$sfx.doc_id = cand$sfx.corpus_id
+       |              AND gc$sfx.g = gb$sfx.g
        |  GROUP BY 1, 2),
-       |near AS (SELECT DISTINCT batch_id FROM inter
-       |  JOIN szb ON szb.doc_id = inter.batch_id
-       |  JOIN szc ON szc.doc_id = inter.corpus_id
-       |  WHERE CAST(i AS DOUBLE) / (szb.n + szc.n - i) >= 0.8),
-       |decisions AS (SELECT b.doc_id,
-       |  CASE WHEN bhash.h IN (SELECT h FROM chash) THEN 'dup_exact_corpus'
+       |near$sfx AS (SELECT DISTINCT batch_id FROM inter$sfx
+       |  JOIN szb$sfx ON szb$sfx.doc_id = inter$sfx.batch_id
+       |  JOIN szc$sfx ON szc$sfx.doc_id = inter$sfx.corpus_id
+       |  WHERE CAST(i AS DOUBLE) / (szb$sfx.n + szc$sfx.n - i) >= 0.8),
+       |decisions$sfx AS MATERIALIZED (SELECT b.doc_id,
+       |  CASE WHEN bhash$sfx.h IN (SELECT h FROM chash$sfx) THEN 'dup_exact_corpus'
        |       WHEN b.doc_id <> f.first_id THEN 'dup_exact_batch'
-       |       WHEN b.doc_id IN (SELECT batch_id FROM near) THEN 'near_dup_corpus'
+       |       WHEN b.doc_id IN (SELECT batch_id FROM near$sfx) THEN 'near_dup_corpus'
        |       ELSE 'admitted' END AS decision
-       |FROM batch b
-       |JOIN bhash ON bhash.doc_id = b.doc_id
-       |JOIN firsts f ON f.h = bhash.h)""".stripMargin
+       |FROM $batchSrc b
+       |JOIN bhash$sfx ON bhash$sfx.doc_id = b.doc_id
+       |JOIN firsts$sfx f ON f.h = bhash$sfx.h)""".stripMargin
 
   /** IVFADC oracle: the q246 per-subspace canonical-pick re-derivation,
     * extended with the L2 cell quantizer and residual stage. Every tie

@@ -48,6 +48,44 @@ object Curation8 {
         .localCheckpoint(true)
     })
 
+  /** The TWO-day lifecycle run (q492-q494), computed once per dir:
+    * bootstrap on the {2,3,4}-snapshot -> day-1 decisions -> ADMIT
+    * (index append + manifest fold + agg-state persist + distinct-
+    * state append) -> day-2 drop (with appended-index sentinels) ->
+    * day-2 decisions -> day-2 admit. Returns the artifacts and the
+    * checkpointed day-2 decision frame.
+    */
+  private val twoDayCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (CurationDay.Artifacts, org.apache.spark.sql.DataFrame)]()
+  private def twoDay(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (CurationDay.Artifacts, org.apache.spark.sql.DataFrame) =
+    twoDayCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_curation_2day_")
+      val a = CurationDay.Artifacts(root)
+      CurationDay.bootstrapTwoDay(s, d, a)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val fetch = t(s, d, "documents")
+      val dec1 = CurationDay.decisions(s, a, fetch).localCheckpoint(true)
+      CurationDay.admitDay(s, a, dec1, a.deltaDocs, a.manifest0,
+        a.manifest1)
+      // event-state write side: persist day-1's folded agg partials
+      // and append day-1's keys into the distinct state, so day-2
+      // folds against a state that already absorbed day 1
+      graft.ops.Scale.foldAggState(s.read.parquet(a.aggState),
+          s.read.parquet(a.deltaEvents), "event_type",
+          CurationDay.guardedValue)
+        .select("event_type", "n_rows", "sum_cents")
+        .write.mode("overwrite").parquet(a.aggState1)
+      graft.ops.Scale.appendDistinctState(s, a.distinctState,
+        s.read.parquet(a.deltaEvents), "event_type", "user_id", 16)
+      CurationDay.writeDay2Drop(s, d, a, dec1)
+      val dec2 = CurationDay.decisions(s, a, fetch, a.day2Docs)
+        .localCheckpoint(true)
+      CurationDay.admitDay(s, a, dec2, a.day2Docs, a.manifest1,
+        a.manifest2)
+      (a, dec2)
+    })
+
   val queries: Map[String, QFn] = Map(
 
     // ---- The round-10 flagship: the fully INCREMENTAL curation day.
@@ -68,6 +106,32 @@ object Curation8 {
     "q490_curation_day_states" -> ((s, dir) =>
       CurationDay.foldedStates(s, day(s, dir))
         .orderBy("event_type")),
+
+    // ---- Two-day lifecycle: day-2 runs against artifacts that
+    // ALREADY absorbed day 1 (appended dedup index, folded manifest,
+    // persisted agg partials, appended distinct keys). q492's
+    // sentinels witness the appended index serving day 2; q493's
+    // chained state == q490's full-recompute oracle (two engine
+    // paths, one oracle — the q483 pattern); q494's twice-folded
+    // manifest == the manifest over the twice-grown curated corpus.
+
+    "q492_curation_day2_decisions" -> ((s, dir) =>
+      twoDay(s, dir)._2.orderBy("doc_id")),
+
+    "q493_curation_day2_states" -> ((s, dir) => {
+      val a = twoDay(s, dir)._1
+      val d2 = s.read.parquet(a.day2Events)
+      graft.ops.Scale.foldAggState(s.read.parquet(a.aggState1), d2,
+          "event_type", CurationDay.guardedValue)
+        .join(graft.ops.Scale.foldDistinctState(s, a.distinctState, d2,
+          "event_type", "user_id", 16), "event_type")
+        .orderBy("event_type")
+    }),
+
+    "q494_curation_day2_manifest" -> ((s, dir) => {
+      val a = twoDay(s, dir)._1
+      s.read.parquet(a.manifest2).orderBy("shard")
+    }),
 
     "q491_curation_day_report" -> ((s, dir) => {
       val dec = dayDecisions(s, dir)
@@ -170,14 +234,14 @@ object Curation8 {
     * + repetition verdicts. Integer threshold contracts mirror
     * [[graft.ops.CurationDay]] constant for constant.
     */
-  private def dayCtes: String = {
+  /** Day-0 batch curation of a snapshot (`snapPred` over pool):
+    * exact-dedup keepers -> decontamination -> repetition gate,
+    * ending with the `corpus` CTE. */
+  private def curatedCorpusCtes(snapPred: String): String = {
     val cp = CurationDay.ContamPpm; val rt = CurationDay.RepTenths
-    s"""pool AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
-       |bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
-       |bgr AS (SELECT DISTINCT unnest(list_distinct($sh8)) AS g FROM bench),
-       |snapraw AS (SELECT * FROM pool WHERE doc_id % 5 <> 0),
+    s"""snapraw AS (SELECT * FROM pool WHERE $snapPred),
        |skeep AS (SELECT min(doc_id) AS doc_id FROM snapraw GROUP BY md5(text)),
-       |s1 AS (SELECT s.* FROM snapraw s JOIN skeep USING (doc_id)),
+       |s1 AS MATERIALIZED (SELECT s.* FROM snapraw s JOIN skeep USING (doc_id)),
        |sct AS (SELECT doc_id,
        |    CAST(len(list_distinct($sh8)) AS BIGINT) AS n_grams FROM s1),
        |sg AS (SELECT doc_id, unnest(list_distinct($sh8)) AS g FROM s1),
@@ -186,11 +250,49 @@ object Curation8 {
        |s2 AS (SELECT s1.* FROM s1 JOIN sct USING (doc_id)
        |  LEFT JOIN shit USING (doc_id)
        |  WHERE coalesce(shit.c, 0) * 1000000 <= $cp * sct.n_grams),
-       |corpus AS (SELECT doc_id, text FROM s2
+       |corpus AS MATERIALIZED (SELECT doc_id, text FROM s2
        |  WHERE (CAST(len($sh2) AS BIGINT)
        |      - CAST(len(list_distinct($sh2)) AS BIGINT)) * 10
-       |    <= $rt * CAST(len($sh2) AS BIGINT)),
-       |deltabase AS (SELECT doc_id, text FROM pool WHERE doc_id % 5 = 0),
+       |    <= $rt * CAST(len($sh2) AS BIGINT))""".stripMargin
+  }
+
+  /** The post-dedup gates for one day (suffix `sfx`, matching the
+    * `decisions$sfx`/`batch$sfx` CTEs): contamination + repetition on
+    * the dedup survivors, ending with `final$sfx(doc_id, decision)`
+    * and `admf$sfx(doc_id, text)`. */
+  private def postGateCtes(sfx: String): String = {
+    val cp = CurationDay.ContamPpm; val rt = CurationDay.RepTenths
+    s"""adm$sfx AS (SELECT d.doc_id, b.text FROM decisions$sfx d
+       |  JOIN batch$sfx b USING (doc_id) WHERE d.decision = 'admitted'),
+       |act$sfx AS (SELECT doc_id,
+       |    CAST(len(list_distinct($sh8)) AS BIGINT) AS n_grams FROM adm$sfx),
+       |ag$sfx AS (SELECT doc_id, unnest(list_distinct($sh8)) AS g FROM adm$sfx),
+       |ahit$sfx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM ag$sfx JOIN bgr USING (g) GROUP BY 1),
+       |final$sfx AS (SELECT d.doc_id,
+       |    CASE WHEN d.decision <> 'admitted' THEN d.decision
+       |      WHEN coalesce(ahit$sfx.c, 0) * 1000000 > $cp * act$sfx.n_grams
+       |        THEN 'contaminated'
+       |      WHEN (CAST(len($sh2) AS BIGINT)
+       |          - CAST(len(list_distinct($sh2)) AS BIGINT)) * 10
+       |        > $rt * CAST(len($sh2) AS BIGINT) THEN 'low_quality'
+       |      ELSE 'admitted' END AS decision
+       |  FROM decisions$sfx d JOIN batch$sfx b USING (doc_id)
+       |  LEFT JOIN act$sfx USING (doc_id)
+       |  LEFT JOIN ahit$sfx USING (doc_id)),
+       |admf$sfx AS MATERIALIZED (SELECT f.doc_id, b.text FROM final$sfx f
+       |  JOIN batch$sfx b USING (doc_id) WHERE f.decision = 'admitted')""".stripMargin
+  }
+
+  private val poolBenchCtes: String =
+    s"""pool AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+       |bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+       |bgr AS MATERIALIZED (SELECT DISTINCT unnest(list_distinct($sh8)) AS g FROM bench)""".stripMargin
+
+  private def dayCtes: String =
+    s"""$poolBenchCtes,
+       |${curatedCorpusCtes("doc_id % 5 <> 0")},
+       |deltabase AS MATERIALIZED (SELECT doc_id, text FROM pool WHERE doc_id % 5 = 0),
        |plant AS (
        |  SELECT CAST(9000001 AS BIGINT) AS doc_id, text FROM corpus
        |    WHERE doc_id = (SELECT min(doc_id) FROM corpus)
@@ -201,30 +303,52 @@ object Curation8 {
        |  UNION ALL SELECT 9000004, text FROM bench
        |    WHERE doc_id = (SELECT min(doc_id) FROM bench)
        |  UNION ALL SELECT 9000005, repeat('spam ', 39) || 'spam'),
-       |batch AS (SELECT * FROM deltabase UNION ALL SELECT * FROM plant),
+       |batch AS MATERIALIZED (SELECT * FROM deltabase UNION ALL SELECT * FROM plant),
        |${Curation.dedupDecisionCtes()},
-       |adm AS (SELECT d.doc_id, b.text FROM decisions d
-       |  JOIN batch b USING (doc_id) WHERE d.decision = 'admitted'),
-       |act AS (SELECT doc_id,
-       |    CAST(len(list_distinct($sh8)) AS BIGINT) AS n_grams FROM adm),
-       |ag AS (SELECT doc_id, unnest(list_distinct($sh8)) AS g FROM adm),
-       |ahit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
-       |  FROM ag JOIN bgr USING (g) GROUP BY 1),
-       |final AS (SELECT d.doc_id,
-       |    CASE WHEN d.decision <> 'admitted' THEN d.decision
-       |      WHEN coalesce(ahit.c, 0) * 1000000 > $cp * act.n_grams
-       |        THEN 'contaminated'
-       |      WHEN (CAST(len($sh2) AS BIGINT)
-       |          - CAST(len(list_distinct($sh2)) AS BIGINT)) * 10
-       |        > $rt * CAST(len($sh2) AS BIGINT) THEN 'low_quality'
-       |      ELSE 'admitted' END AS decision
-       |  FROM decisions d JOIN batch b USING (doc_id)
-       |  LEFT JOIN act USING (doc_id) LEFT JOIN ahit USING (doc_id)),
-       |admf AS (SELECT f.doc_id, b.text FROM final f
-       |  JOIN batch b USING (doc_id) WHERE f.decision = 'admitted'),
+       |${postGateCtes("")},
        |grown AS (SELECT doc_id, text FROM corpus
        |  UNION ALL SELECT doc_id, text FROM admf)""".stripMargin
-  }
+
+  /** The two-day full-recompute re-derivation (q492-q494): day-1 on
+    * the {2,3,4}-snapshot, then the SAME algorithm text instantiated
+    * a second time (suffix "2") against the grown corpus — exactly
+    * what the engine's appended index serves incrementally.
+    */
+  private def twoDayCtes: String =
+    s"""$poolBenchCtes,
+       |${curatedCorpusCtes("doc_id % 5 IN (2, 3, 4)")},
+       |batch AS MATERIALIZED (SELECT doc_id, text FROM pool WHERE doc_id % 5 = 0),
+       |${Curation.dedupDecisionCtes()},
+       |${postGateCtes("")},
+       |corpus2 AS MATERIALIZED (SELECT doc_id, text FROM corpus
+       |  UNION ALL SELECT doc_id, text FROM admf),
+       |day2base AS MATERIALIZED (SELECT doc_id, text FROM pool WHERE doc_id % 5 = 1),
+       |plant2 AS (
+       |  SELECT CAST(9100001 AS BIGINT) AS doc_id, text FROM admf
+       |    WHERE doc_id = (SELECT min(doc_id) FROM admf)
+       |  UNION ALL SELECT 9100002, text || ' zzz' FROM admf
+       |    WHERE doc_id = (SELECT doc_id FROM admf
+       |      ORDER BY len(string_split(text, ' ')) DESC, doc_id LIMIT 1)),
+       |batch2 AS MATERIALIZED (SELECT * FROM day2base UNION ALL SELECT * FROM plant2),
+       |${Curation.dedupDecisionCtes("corpus2", "batch2", "2")},
+       |${postGateCtes("2")},
+       |grown2 AS (SELECT doc_id, text FROM corpus2
+       |  UNION ALL SELECT doc_id, text FROM admf2)""".stripMargin
+
+  /** Full-recompute state oracle shared by q490 (single fold) and
+    * q493 (build -> fold -> append -> fold chain) — two independent
+    * engine paths against one SQL answer.
+    */
+  private val fullStateOracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(floor((CASE WHEN value IS NULL OR isnan(value)
+      |      THEN NULL ELSE value END) * 100.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  round(CAST(sum(CAST(floor((CASE WHEN value IS NULL
+      |      OR isnan(value) THEN NULL ELSE value END) * 100.0 + 0.5)
+      |      AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) + 0.0 AS mean,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -250,16 +374,34 @@ object Curation8 {
          |  bit_xor(h) AS checksum
          |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
 
-    "q490_curation_day_states" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(floor((CASE WHEN value IS NULL OR isnan(value)
-        |      THEN NULL ELSE value END) * 100.0 + 0.5) AS BIGINT))
-        |    AS BIGINT) AS sum_cents,
-        |  round(CAST(sum(CAST(floor((CASE WHEN value IS NULL
-        |      OR isnan(value) THEN NULL ELSE value END) * 100.0 + 0.5)
-        |      AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) + 0.0 AS mean,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q492_curation_day2_decisions" ->
+      s"""WITH $twoDayCtes
+         |SELECT doc_id, decision,
+         |  CASE WHEN decision = 'admitted'
+         |    THEN CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${CurationDay.NShards} AS INT) END AS shard
+         |FROM final2 ORDER BY doc_id""".stripMargin,
+
+    // two engine paths, one oracle (the q483 pattern): the chained
+    // build -> fold -> append -> fold state answers q490's
+    // full-recompute SQL
+    "q493_curation_day2_states" -> fullStateOracle,
+
+    "q494_curation_day2_manifest" ->
+      s"""WITH $twoDayCtes,
+         |m AS (SELECT doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (${h60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS h
+         |  FROM grown2)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum
+         |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q490_curation_day_states" -> fullStateOracle,
 
     "q491_curation_day_report" ->
       s"""WITH $dayCtes,
