@@ -1378,4 +1378,119 @@ object Corpus {
         sum(col("cluster_size") - 1).as("n_redundant"))
       .orderBy(col("cluster_size"))
   }
+
+  /** Heaps-law vocabulary-growth curve: the corpus is cut into
+    * `steps` equal-count prefixes in doc-id order (the banded
+    * [[curriculumShards]] rank — no global sort), and each step
+    * reports the CUMULATIVE doc/token/vocabulary counts plus the
+    * step's marginal new-vocab rate (new distinct words per million
+    * step tokens) — the saturation curve that tells a pipeline when
+    * more of the same source stops buying vocabulary. Exact
+    * integers end-to-end: a word's step is its FIRST-occurrence
+    * step (one gram-keyed min), so cumulative vocab is a running
+    * sum over `steps` rows, never a per-prefix re-count. The
+    * "vocabulary" is word `gramN`-grams (default bigrams — unigram
+    * vocabularies saturate instantly on small-vocab corpora while
+    * the n-gram space keeps growing, which is the regime the curve
+    * exists to show); token counts are plain words.
+    */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+                  steps: Int = 8, gramN: Int = 2,
+                  bandWidth: Double = 1024.0): DataFrame = {
+    require(steps >= 2 && gramN >= 1, "vocabGrowth: steps >= 2, gramN >= 1")
+    val stepOf = curriculumShards(df.select(col(idCol)), idCol, idCol,
+        steps, bandWidth)
+      .select(col(idCol), col("shard").cast("long").as("step"))
+    val docs = df.select(col(idCol), col(textCol)).join(stepOf, idCol)
+    val tok = docs
+      .select(col("step"), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("step").agg(count(lit(1)).as("__tok"))
+    val dc = docs.groupBy("step").agg(count(lit(1)).as("__docs"))
+    val newv = docs
+      .select(col("step"),
+        explode(Dedup.shingles(col(textCol), gramN)).as("g"))
+      .groupBy("g").agg(min(col("step")).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("__newv"))
+    val w = Window.orderBy("step")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok.join(dc, "step").join(newv, Seq("step"), "left")
+      .na.fill(0L, Seq("__newv"))
+      .select(col("step"),
+        sum(col("__docs")).over(w).as("n_docs_cum"),
+        sum(col("__tok")).over(w).as("n_tokens_cum"),
+        sum(col("__newv")).over(w).as("n_vocab_cum"),
+        idiv(col("__newv") * 1000000L, greatest(col("__tok"), lit(1L)))
+          .as("new_vocab_ppm"))
+  }
+
+  /** N-gram diversity (type-token ratio) per source for n = 1..maxN:
+    * total vs distinct word n-grams and the TTR in ppm — the corpus
+    * diversity card that flags template-heavy or boilerplate-heavy
+    * sources before they flatten a training mix. Source-keyed gram
+    * aggregates; output O(sources x maxN).
+    */
+  def ngramDiversity(df: DataFrame, textCol: String, srcCol: String,
+                     maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, "ngramDiversity: maxN >= 1")
+    (1 to maxN).map { n =>
+      df.select(col(srcCol).as("source"),
+          explode(Dedup.shingles(col(textCol), n)).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct"))
+        .select(col("source"), lit(n.toLong).as("n"), col("n_grams"),
+          col("n_distinct"),
+          idiv(col("n_distinct") * 1000000L,
+            greatest(col("n_grams"), lit(1L))).as("ttr_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Token-budget mixture plan: given per-language token masses, a
+    * budget (`total * budgetNum / budgetDen`, ceiling) and a per-
+    * language cap, compute each language's final mixture share via
+    * cap-and-redistribute (ONE redistribution round, documented
+    * contract: excess is given to uncapped languages proportionally
+    * to their raw share and may leave a remainder ppm unassigned),
+    * then the sampling rate and epoch (repeat) count a sampler needs
+    * — sample_ppm > 1e6 means the language must be repeated. The
+    * whole plan is exact integer ppm arithmetic over a model-sized
+    * per-language table, so the plan an engine ships equals the plan
+    * the oracle re-derives at any corpus size.
+    */
+  def tokenBudgetPlan(df: DataFrame, textCol: String, langCol: String,
+                      capPpm: Long = 300000L, budgetNum: Long = 6L,
+                      budgetDen: Long = 5L): DataFrame = {
+    require(capPpm > 0 && budgetNum > 0 && budgetDen > 0,
+      "tokenBudgetPlan: positive cap and budget fraction")
+    val perLang = df.where(col(langCol).isNotNull)
+      .groupBy(col(langCol).as("lang"))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("__total"))
+    val raw = perLang.crossJoin(broadcast(tot))
+      .withColumn("raw_ppm", idiv(col("n_tokens") * 1000000L, col("__total")))
+      .withColumn("__capped", col("raw_ppm") > capPpm)
+    val sums = raw.agg(
+      sum(when(col("__capped"), lit(capPpm)).otherwise(col("raw_ppm")))
+        .as("__assigned"),
+      sum(when(!col("__capped"), col("raw_ppm")).otherwise(0L))
+        .as("__raw_uncapped"))
+    raw.crossJoin(broadcast(sums))
+      .withColumn("final_ppm",
+        when(col("__capped"), lit(capPpm))
+          .otherwise(col("raw_ppm") +
+            when(col("__raw_uncapped") > 0,
+              idiv((lit(1000000L) - col("__assigned")) * col("raw_ppm"),
+                col("__raw_uncapped"))).otherwise(lit(0L))))
+      .withColumn("__budget",
+        idiv(col("__total") * budgetNum + (budgetDen - 1), budgetDen))
+      .withColumn("target_tokens",
+        idiv(col("__budget") * col("final_ppm"), 1000000L))
+      .withColumn("sample_ppm",
+        idiv(col("target_tokens") * 1000000L,
+          greatest(col("n_tokens"), lit(1L))))
+      .withColumn("epochs", idiv(col("sample_ppm") + 999999L, 1000000L))
+      .select("lang", "n_tokens", "raw_ppm", "final_ppm",
+        "target_tokens", "sample_ppm", "epochs")
+  }
 }

@@ -1513,4 +1513,41 @@ object Events {
         col("start_us"), col("end_us"),
         (col("end_us") - col("start_us")).as("dur_us"))
   }
+
+  /** Inter-arrival time distribution: per event type, the gaps
+    * between a user's CONSECUTIVE events of that type, bucketed on a
+    * fixed human-scale ladder (<1s, 1s-10s, 10s-1m, 1m-10m, 10m-1h,
+    * 1h-6h, 6h-1d, >=1d) — the burstiness/cadence card behind
+    * session-gap and rate-limit tuning. Exact integer boundaries
+    * (no log floats); one (type, user)-keyed lag window + a
+    * grid-sized aggregate. Bucket labels carry an ordering prefix so
+    * a plain string sort is the ladder order.
+    */
+  def interArrival(df: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, tieCol: String = "event_id"): DataFrame = {
+    import graft.functions.PixieFunctions.nsToUs
+    import org.apache.spark.sql.expressions.Window
+    val gaps = df
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(typeCol).as("event_type"), col(userCol),
+        nsToUs(col(tsCol)).as("__tus"), col(tieCol).as("__tie"))
+      .withColumn("__gap", col("__tus") -
+        lag(col("__tus"), 1).over(Window.partitionBy("event_type", userCol)
+          .orderBy(col("__tus"), col("__tie"))))
+      .where(col("__gap").isNotNull)
+    val b = col("__gap")
+    val bucket = when(b < 1000000L, "a_lt_1s")
+      .when(b < 10000000L, "b_1s_10s")
+      .when(b < 60000000L, "c_10s_1m")
+      .when(b < 600000000L, "d_1m_10m")
+      .when(b < 3600000000L, "e_10m_1h")
+      .when(b < 21600000000L, "f_1h_6h")
+      .when(b < 86400000000L, "g_6h_1d")
+      .otherwise("h_ge_1d")
+    gaps.withColumn("bucket", bucket)
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm", idiv(col("n") * 1000000L,
+        sum(col("n")).over(Window.partitionBy("event_type"))))
+  }
 }

@@ -157,6 +157,37 @@ object Curation8 {
       cnt.crossJoin(broadcast(man)).crossJoin(broadcast(ev))
     }),
 
+    // Heaps-law vocabulary growth: 8 equal-count doc-id-order
+    // prefixes, cumulative doc/token/vocab counts + marginal
+    // new-vocab rate — the "when does more of this source stop
+    // buying vocabulary" curve.
+    "q495_vocab_growth" -> ((s, dir) =>
+      graft.ops.Corpus.vocabGrowth(t(s, dir, "documents"), "text",
+          "doc_id")
+        .orderBy("step")),
+
+    // Inter-arrival gap ladder per event type ((type, user)-keyed
+    // consecutive gaps, fixed human-scale integer boundaries).
+    "q496_inter_arrival" -> ((s, dir) =>
+      graft.ops.Events.interArrival(t(s, dir, "events"), "user_id",
+          "event_type", "ts")
+        .orderBy("event_type", "bucket")),
+
+    // N-gram diversity (TTR) per source for n = 1..3.
+    "q497_ngram_diversity" -> ((s, dir) =>
+      graft.ops.Corpus.ngramDiversity(t(s, dir, "documents"), "text",
+          "source")
+        .orderBy("source", "n")),
+
+    // Token-budget mixture plan: 1.2x-corpus budget (upsampling
+    // regime), 30% per-lang cap, cap-and-redistribute, sampling
+    // rates + epoch counts (the fixture exercises capped/uncapped
+    // AND single/multi-epoch branches).
+    "q498_token_budget_plan" -> ((s, dir) =>
+      graft.ops.Corpus.tokenBudgetPlan(t(s, dir, "documents"), "text",
+          "lang")
+        .orderBy("lang")),
+
     // OTel export oracle gate: per-(event_type, day) grid -> Gauge
     // datapoints (daily counts) + Spans (day activity intervals with
     // md5-bound trace/span ids) -> OTLP wire bytes -> independent
@@ -425,6 +456,102 @@ object Curation8 {
          |ev AS (SELECT CAST(count(*) AS BIGINT) AS total_events
          |  FROM events)
          |SELECT cnt.*, tot.*, ev.* FROM cnt, tot, ev""".stripMargin,
+
+    "q495_vocab_growth" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    row_number() OVER (ORDER BY doc_id) AS rn,
+         |    count(*) OVER () AS n FROM documents),
+         |s AS (SELECT doc_id, text,
+         |    CAST(((rn - 1) * 8) // n AS BIGINT) AS step FROM d),
+         |wx AS (SELECT step, w FROM (SELECT step,
+         |    unnest(string_split(text, ' ')) AS w FROM s) WHERE w <> ''),
+         |tok AS (SELECT step, CAST(count(*) AS BIGINT) AS tk
+         |  FROM wx GROUP BY 1),
+         |dc AS (SELECT step, CAST(count(*) AS BIGINT) AS dk
+         |  FROM s GROUP BY 1),
+         |gx AS (SELECT step,
+         |    unnest(${graft.ops.Dedup.shinglesSql("text", 2)}) AS g FROM s),
+         |fv AS (SELECT g, min(step) AS step FROM gx GROUP BY g),
+         |nv AS (SELECT step, CAST(count(*) AS BIGINT) AS nw
+         |  FROM fv GROUP BY 1)
+        |SELECT tok.step,
+        |  CAST(sum(dk) OVER win AS BIGINT) AS n_docs_cum,
+        |  CAST(sum(tk) OVER win AS BIGINT) AS n_tokens_cum,
+        |  CAST(sum(coalesce(nw, 0)) OVER win AS BIGINT) AS n_vocab_cum,
+        |  coalesce(nw, 0) * 1000000 // greatest(tk, 1) AS new_vocab_ppm
+        |FROM tok JOIN dc USING (step) LEFT JOIN nv USING (step)
+        |WINDOW win AS (ORDER BY tok.step
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY tok.step""".stripMargin,
+
+    "q496_inter_arrival" ->
+      """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS tus,
+        |    event_id FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT event_type,
+        |    tus - lag(tus) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY tus, event_id) AS gap
+        |  FROM e),
+        |b AS (SELECT event_type,
+        |    CASE WHEN gap < 1000000 THEN 'a_lt_1s'
+        |      WHEN gap < 10000000 THEN 'b_1s_10s'
+        |      WHEN gap < 60000000 THEN 'c_10s_1m'
+        |      WHEN gap < 600000000 THEN 'd_1m_10m'
+        |      WHEN gap < 3600000000 THEN 'e_10m_1h'
+        |      WHEN gap < 21600000000 THEN 'f_1h_6h'
+        |      WHEN gap < 86400000000 THEN 'g_6h_1d'
+        |      ELSE 'h_ge_1d' END AS bucket
+        |  FROM g WHERE gap IS NOT NULL),
+        |c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        |  n * 1000000 // (CAST(sum(n) OVER (PARTITION BY event_type)
+        |    AS BIGINT)) AS share_ppm
+        |FROM c ORDER BY event_type, bucket""".stripMargin,
+
+    "q497_ngram_diversity" -> {
+      def one(n: Int) = {
+        val sh = graft.ops.Dedup.shinglesSql("text", n)
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+           |  CAST(count(*) AS BIGINT) AS n_grams,
+           |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+           |  CAST(count(DISTINCT g) AS BIGINT) * 1000000
+           |    // greatest(CAST(count(*) AS BIGINT), 1) AS ttr_ppm
+           |FROM (SELECT source, unnest($sh) AS g FROM documents)
+           |GROUP BY source""".stripMargin
+      }
+      (1 to 3).map(one).mkString("\nUNION ALL\n") +
+        "\nORDER BY source, n"
+    },
+
+    "q498_token_budget_plan" ->
+      """WITH per AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |tt AS (SELECT CAST(sum(t) AS BIGINT) AS total FROM per),
+        |raw AS (SELECT lang, t, t * 1000000 // total AS raw_ppm,
+        |    total FROM per, tt),
+        |sums AS (SELECT
+        |    CAST(sum(CASE WHEN raw_ppm > 300000 THEN 300000
+        |      ELSE raw_ppm END) AS BIGINT) AS assigned,
+        |    CAST(sum(CASE WHEN raw_ppm > 300000 THEN 0
+        |      ELSE raw_ppm END) AS BIGINT) AS raw_uncapped
+        |  FROM raw),
+        |fin AS (SELECT lang, t, raw_ppm, total,
+        |    CASE WHEN raw_ppm > 300000 THEN 300000
+        |      ELSE raw_ppm + (CASE WHEN raw_uncapped > 0
+        |        THEN (1000000 - assigned) * raw_ppm // raw_uncapped
+        |        ELSE 0 END) END AS final_ppm,
+        |    (total * 6 + 4) // 5 AS budget
+        |  FROM raw, sums)
+        |SELECT lang, t AS n_tokens, raw_ppm,
+        |  CAST(final_ppm AS BIGINT) AS final_ppm,
+        |  CAST(budget * final_ppm // 1000000 AS BIGINT) AS target_tokens,
+        |  CAST(budget * final_ppm // 1000000 * 1000000
+        |    // greatest(t, 1) AS BIGINT) AS sample_ppm,
+        |  CAST((budget * final_ppm // 1000000 * 1000000
+        |    // greatest(t, 1) + 999999) // 1000000 AS BIGINT) AS epochs
+        |FROM fin ORDER BY lang""".stripMargin,
 
     "q487_otel_roundtrip" ->
       """WITH g AS (SELECT event_type,

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Corpus, Events, Scale}
+
+/** Round-10 operator proofs against brute-force expectations:
+  * vocabulary growth, inter-arrival ladder, n-gram diversity, the
+  * token-budget mixture plan, and the distinct-state APPEND
+  * lifecycle.
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vocabGrowth: prefix ladder, cumulative vocab, marginal rate (brute-forced)") {
+    // 4 docs, 2 steps: bigram vocab of docs 1-2 = {a b, b c, c a},
+    // docs 3-4 add {c d, d e}
+    val docs = Seq((1L, "a b c"), (2L, "b c a"),
+      (3L, "c d e"), (4L, "d e c")).toDF("doc_id", "text")
+    val got = Corpus.vocabGrowth(docs, "text", "doc_id", steps = 2)
+      .orderBy("step")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // step 0: 2 docs, 6 tokens, bigrams {a b,b c}{b c,c a} -> 3 new
+    // step 1: 4 docs, 12 tokens, adds {c d,d e}{d e,e c} -> 3 new
+    assert(got == Seq((0L, 2L, 6L, 3L, 500000L),
+      (1L, 4L, 12L, 6L, 500000L)))
+  }
+
+  test("interArrival: per-(type,user) consecutive gaps on the ladder (brute-forced)") {
+    val ev = Seq(
+      (1L, 10L, "a", 0L),            // base
+      (2L, 10L, "a", 500000L),       // +0.5s  -> a_lt_1s
+      (3L, 10L, "a", 5500000L),      // +5s    -> b_1s_10s
+      (4L, 20L, "a", 7200000000L),   // other user base
+      (5L, 20L, "a", 93600000000L),  // +1d    -> h_ge_1d
+      (6L, 10L, "b", 0L),            // other type base
+      (7L, 10L, "b", 120000000L)     // +2m    -> d_1m_10m
+    ).toDF("event_id", "user_id", "event_type", "tus")
+      .withColumn("ts", col("tus") * 1000L)
+    val got = Events.interArrival(ev, "user_id", "event_type", "ts")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "a_lt_1s", 1L, 333333L), ("a", "b_1s_10s", 1L, 333333L),
+      ("a", "h_ge_1d", 1L, 333333L), ("b", "d_1m_10m", 1L, 1000000L)))
+  }
+
+  test("ngramDiversity: TTR per source and n (brute-forced)") {
+    val docs = Seq((1L, "a a a a", "s1"), (2L, "a b c d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.ngramDiversity(docs, "text", "source", maxN = 2)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // s1 unigrams: 4 grams 1 distinct; s1 bigrams: 3 grams 1 distinct
+    // s2 unigrams: 4/4; bigrams: 3/3
+    assert(got == Set(
+      ("s1", 1L, 4L, 1L, 250000L), ("s1", 2L, 3L, 1L, 333333L),
+      ("s2", 1L, 4L, 4L, 1000000L), ("s2", 2L, 3L, 3L, 1000000L)))
+  }
+
+  test("tokenBudgetPlan: cap, one-round redistribution, epochs (brute-forced)") {
+    // masses: x=70, y=20, z=10 (total 100); cap 30%; budget 2x total
+    val docs = (Seq.fill(7)("x") ++ Seq.fill(2)("y") ++ Seq.fill(1)("z"))
+      .zipWithIndex
+      .map { case (l, i) => (i.toLong, Seq.fill(10)("w").mkString(" "), l) }
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.tokenBudgetPlan(docs, "text", "lang",
+        capPpm = 300000L, budgetNum = 2L, budgetDen = 1L)
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // x capped at 300000; leftover = 1e6 - (300000+200000+100000) =
+    // 400000, split by raw share among y,z: y += 400000*200000//300000
+    // = 266666 -> 466666; z += 133333 -> 233333. budget = 200.
+    assert(got.map(r => (r._1, r._4)) ==
+      Seq(("x", 300000L), ("y", 466666L), ("z", 233333L)))
+    val gotMap = got.map(r => r._1 -> r).toMap
+    // x: target 200*0.3 = 60 of 70 -> sample 857142 ppm, 1 epoch
+    assert(gotMap("x")._5 == 60L && gotMap("x")._6 == 857142L &&
+      gotMap("x")._7 == 1L)
+    // y: target 93 of 20 -> 4.65 epochs worth -> 5 epochs
+    assert(gotMap("y")._5 == 93L && gotMap("y")._6 == 4650000L &&
+      gotMap("y")._7 == 5L)
+    // z: target 46 of 10 -> 4.6 -> 5 epochs
+    assert(gotMap("z")._5 == 46L && gotMap("z")._6 == 4600000L &&
+      gotMap("z")._7 == 5L)
+  }
+
+  test("appendDistinctState: append then fold == full recompute; nShards refused") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_append_distinct_").toString
+    try {
+      def ev(pairs: (String, Long)*) = pairs.toSeq.toDF("g", "k")
+      Scale.writeDistinctState(ev("a" -> 1L, "a" -> 2L, "b" -> 1L),
+        "g", "k", 4, p)
+      Scale.appendDistinctState(spark, p,
+        ev("a" -> 2L, "a" -> 3L, "b" -> 9L, "c" -> 5L), "g", "k", 4)
+      val folded = Scale.foldDistinctState(spark, p,
+          ev("a" -> 3L, "a" -> 4L, "c" -> 5L), "g", "k", 4)
+        .as[(String, Long)].collect().toMap
+      // full key sets: a={1,2,3,4}, b={1,9}, c={5}
+      assert(folded == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+      intercept[IllegalArgumentException] {
+        Scale.appendDistinctState(spark, p, ev("a" -> 9L), "g", "k", 8)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+  }
+}
