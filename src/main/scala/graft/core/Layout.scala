@@ -77,6 +77,40 @@ object Layout {
     * files it actually read and refuses a mismatch. One keyed agg,
     * O(#shards) output.
     */
+  /** Schema-evolution report over a parquet directory whose file
+    * batches were written under DIFFERENT schemas (the daily-drop
+    * reality of a long-lived lake table): one row per merged column
+    * with its type, how many of the files carry it, and the non-null
+    * row mass it actually holds under a `mergeSchema` read (absent-
+    * in-file columns read as null). Footers are enumerated on the
+    * driver — per-file schema reads are footer-only and the file
+    * list is model-sized — while the row mass comes from ONE
+    * distributed merged scan.
+    */
+  def schemaEvolutionReport(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    val nFiles = files.length.toLong
+    val present = files.flatMap(f =>
+        spark.read.parquet(f).schema.fields
+          .map(fd => (fd.name, fd.dataType.simpleString)))
+      .groupBy(identity).map { case ((nm, dt), hits) =>
+        (nm, dt, hits.length.toLong) }.toSeq
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val counts = merged.select(merged.columns.map(c =>
+        sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(c)): _*)
+      .head()
+    present.map { case (nm, dt, np) =>
+      (nm, dt, nFiles, np,
+        counts.getAs[Long](merged.columns.indexOf(nm)))
+    }.toSeq.toDF("column", "dtype", "n_files", "n_files_present",
+      "n_rows_nonnull")
+  }
+
   def shardManifest(df: DataFrame, shardCol: String, idCol: String,
                     tokenCol: String, contentCol: String): DataFrame =
     df.select(col(shardCol).as("shard"), col(idCol).as("__id"),

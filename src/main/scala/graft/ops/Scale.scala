@@ -403,6 +403,46 @@ object Scale {
     newSummary.write.mode("overwrite").parquet(s"$path/summary")
   }
 
+  /** Exactly-once batch ingest behind a persisted LEDGER: a batch id
+    * that is already in the ledger is a NO-OP (returns false), so
+    * retried/replayed drops never double-ingest — the file-batch-
+    * level dedup every at-least-once delivery pipeline needs in
+    * front of a lake table. The ledger is model-sized (one row per
+    * batch ever ingested) and is consulted with a driver-side
+    * bounded read; ingested rows carry their batch id for audit and
+    * selective reprocessing. Append-only parquet — no table format
+    * required (the [[graft.ops.Dedup.appendDedupIndex]] storage
+    * contract).
+    */
+  def ingestBatch(spark: org.apache.spark.sql.SparkSession,
+                  tablePath: String, ledgerPath: String,
+                  batchId: String, batch: DataFrame): Boolean = {
+    require(batchId.nonEmpty, "ingestBatch: non-empty batchId")
+    val ledgerSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.StringType)))
+    // day-0: no ledger directory yet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val seen = fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)) &&
+      spark.read.schema(ledgerSchema).parquet(ledgerPath)
+        .where(col("batch_id") === batchId)
+        .limit(1).count() > 0
+    if (seen) false
+    else {
+      batch.withColumn("__batch", lit(batchId))
+        .write.mode("append").parquet(tablePath)
+      // ledger row LAST: a crash between the two writes re-ingests
+      // the batch on retry (at-least-once below, exactly-once above
+      // — duplicated rows would carry the same __batch id and are
+      // removable by id, which is the recoverable direction)
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id")
+        .write.mode("append").parquet(ledgerPath)
+      true
+    }
+  }
+
   /** Per-(group, shard) HLL sketch state — the APPROXIMATE twin of
     * [[writeDistinctState]] at a fraction of the state size: instead
     * of the distinct key triples themselves (data-bound), the state is

@@ -188,6 +188,54 @@ object Curation8 {
           "lang")
         .orderBy("lang")),
 
+    // Schema-evolution report: two event-file batches written under
+    // DIFFERENT schemas (batch B adds event_type) into one directory,
+    // read back with mergeSchema — per merged column: type, file
+    // presence, and the non-null row mass it actually holds. The
+    // presence/type columns pin the footer-level merge; the row-mass
+    // column is data-bound (the oracle re-derives it from events).
+    "q499_schema_evolution" -> ((s, dir) => {
+      val p = Curation2.tempIndexDir("graft_schema_evo_")
+      try {
+        val ev = t(s, dir, "events").where(col("event_id").isNotNull)
+        ev.where(pmod(col("event_id"), lit(2L)) === 0)
+          .select("event_id", "user_id", "value")
+          .repartition(2).write.mode("append").parquet(p)
+        ev.where(pmod(col("event_id"), lit(2L)) === 1)
+          .select("event_id", "user_id", "value", "event_type")
+          .repartition(2).write.mode("append").parquet(p)
+        graft.core.Layout.schemaEvolutionReport(s, p)
+          .orderBy("column")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(p)
+    }),
+
+    // Exactly-once batch ingest: b1 ingested, b1 REPLAYED (must
+    // no-op against the ledger), b2 ingested — the table holds each
+    // batch exactly once and the replay's return value is pinned in
+    // the output row.
+    "q500_idempotent_ingest" -> ((s, dir) => {
+      val p = Curation2.tempIndexDir("graft_ingest_")
+      try {
+        val ev = t(s, dir, "events").where(col("event_id").isNotNull)
+          .select("event_id", "event_type")
+        val b1 = ev.where(pmod(col("event_id"), lit(2L)) === 0)
+        val b2 = ev.where(pmod(col("event_id"), lit(2L)) === 1)
+        val r1 = graft.ops.Scale.ingestBatch(s, s"$p/table", s"$p/ledger", "b1", b1)
+        val r1Replay =
+          graft.ops.Scale.ingestBatch(s, s"$p/table", s"$p/ledger", "b1", b1)
+        val r2 = graft.ops.Scale.ingestBatch(s, s"$p/table", s"$p/ledger", "b2", b2)
+        s.read.parquet(s"$p/table")
+          .groupBy("__batch", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("ingest_results",
+            lit(Seq(r1, r1Replay, r2).map(b => if (b) "1" else "0")
+              .mkString("")))
+          .orderBy("__batch", "event_type")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(p)
+    }),
+
     // OTel export oracle gate: per-(event_type, day) grid -> Gauge
     // datapoints (daily counts) + Spans (day activity intervals with
     // md5-bound trace/span ids) -> OTLP wire bytes -> independent
@@ -552,6 +600,35 @@ object Curation8 {
         |  CAST((budget * final_ppm // 1000000 * 1000000
         |    // greatest(t, 1) + 999999) // 1000000 AS BIGINT) AS epochs
         |FROM fin ORDER BY lang""".stripMargin,
+
+    "q499_schema_evolution" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id IS NOT NULL),
+        |a AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |b AS (SELECT * FROM ev WHERE event_id % 2 = 1)
+        |SELECT * FROM (
+        |  SELECT 'event_id' AS "column", 'bigint' AS dtype,
+        |    CAST(4 AS BIGINT) AS n_files,
+        |    CAST(4 AS BIGINT) AS n_files_present,
+        |    (SELECT CAST(count(event_id) AS BIGINT) FROM ev)
+        |      AS n_rows_nonnull
+        |  UNION ALL
+        |  SELECT 'event_type', 'string', 4, 2,
+        |    (SELECT CAST(count(event_type) AS BIGINT) FROM b)
+        |  UNION ALL
+        |  SELECT 'user_id', 'bigint', 4, 4,
+        |    (SELECT CAST(count(user_id) AS BIGINT) FROM ev)
+        |  UNION ALL
+        |  SELECT 'value', 'double', 4, 4,
+        |    (SELECT CAST(count(value) AS BIGINT) FROM ev))
+        |ORDER BY "column"""".stripMargin,
+
+    "q500_idempotent_ingest" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'b1' ELSE 'b2' END
+        |    AS __batch,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  '101' AS ingest_results
+        |FROM events WHERE event_id IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY __batch, event_type""".stripMargin,
 
     "q487_otel_roundtrip" ->
       """WITH g AS (SELECT event_type,

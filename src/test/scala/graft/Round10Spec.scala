@@ -84,6 +84,46 @@ class Round10Spec extends AnyFunSuite {
       gotMap("z")._7 == 5L)
   }
 
+  test("schemaEvolutionReport: per-file presence + merged non-null mass") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo_spec_").toString
+    try {
+      Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+        .repartition(1).write.mode("append").parquet(p)
+      Seq((3L, "z", 9L)).toDF("id", "a", "b")
+        .repartition(1).write.mode("append").parquet(p)
+      val got = graft.core.Layout.schemaEvolutionReport(spark, p)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(got == Set(("id", "bigint", 2L, 2L, 3L),
+        ("a", "string", 2L, 2L, 3L), ("b", "bigint", 2L, 1L, 1L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+  }
+
+  test("ingestBatch: replayed batch is a no-op; distinct batches land once") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ingest_spec_").toString
+    try {
+      val b1 = Seq(1L, 2L).toDF("v")
+      val b2 = Seq(3L).toDF("v")
+      assert(Scale.ingestBatch(spark, s"$p/t", s"$p/l", "b1", b1))
+      assert(!Scale.ingestBatch(spark, s"$p/t", s"$p/l", "b1", b1))
+      assert(Scale.ingestBatch(spark, s"$p/t", s"$p/l", "b2", b2))
+      val rows = spark.read.parquet(s"$p/t")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "b1"), (2L, "b1"), (3L, "b2")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+  }
+
   test("appendDistinctState: append then fold == full recompute; nShards refused") {
     val p = java.nio.file.Files
       .createTempDirectory("graft_append_distinct_").toString
