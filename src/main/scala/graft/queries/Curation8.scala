@@ -188,6 +188,35 @@ object Curation8 {
           "lang")
         .orderBy("lang")),
 
+    // The frontier k-core peel under the RELIABLE checkpoint swap
+    // (graft.reliableCkpt=1 + a real checkpoint dir): byte-identical
+    // answer to q461's localCheckpoint mode — the cluster swap as a
+    // GATE row, not just a spec (two engine MODES, one oracle: the
+    // q483 pattern applied to execution infrastructure).
+    "q501_kcore_reliable_ckpt" -> ((s, dir) => {
+      val ck = Curation2.tempIndexDir("graft_reliable_ckpt_")
+      val prev = s.sparkContext.getCheckpointDir
+      s.sparkContext.setCheckpointDir(ck)
+      sys.props("graft.reliableCkpt") = "1"
+      try {
+        val l = t(s, dir, "lineitem")
+          .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = l.toDF("o", "a").join(l.toDF("o", "b"), "o")
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+        graft.ops.Graph.kcorePeel(edges, "a", "b", k = 3)
+          .orderBy("node")
+          .localCheckpoint(true) // decouple from the ckpt files below
+      } finally {
+        sys.props.remove("graft.reliableCkpt")
+        prev.foreach(s.sparkContext.setCheckpointDir)
+        Curation2.deleteDir(ck)
+      }
+    }),
+
     // Schema-evolution report: two event-file batches written under
     // DIFFERENT schemas (batch B adds event_type) into one directory,
     // read back with mergeSchema — per merged column: type, file
@@ -600,6 +629,10 @@ object Curation8 {
         |  CAST((budget * final_ppm // 1000000 * 1000000
         |    // greatest(t, 1) + 999999) // 1000000 AS BIGINT) AS epochs
         |FROM fin ORDER BY lang""".stripMargin,
+
+    // the swap changes execution infrastructure, never the answer
+    "q501_kcore_reliable_ckpt" ->
+      graft.queries.Curation7.oracles("q461_kcore"),
 
     "q499_schema_evolution" ->
       """WITH ev AS (SELECT * FROM events WHERE event_id IS NOT NULL),

@@ -124,6 +124,36 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("ingestBatch crash window: retry duplicates are recoverable by batch id") {
+    // Simulate the documented crash between the table write and the
+    // ledger write: the batch's rows land but no ledger row does. A
+    // retry then re-ingests (at-least-once), leaving whole-batch
+    // duplicates that all carry the same __batch id — dropping
+    // duplicates by (batch, row id) restores the exactly-once table.
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_ingest_crash_").toString
+    try {
+      val b1 = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      // crashed attempt: table rows written, ledger row lost
+      b1.withColumn("__batch", lit("b1"))
+        .write.mode("append").parquet(s"$p/t")
+      // retry sees no ledger entry and ingests again
+      assert(Scale.ingestBatch(spark, s"$p/t", s"$p/l", "b1", b1))
+      val t = spark.read.parquet(s"$p/t")
+      assert(t.count() == 4) // whole-batch duplication, as documented
+      val recovered = t.dropDuplicates("__batch", "id")
+        .as[(Long, String, String)].collect().toSet
+      assert(recovered == Set((1L, "x", "b1"), (2L, "y", "b1")))
+      // and the ledger now guards the id: a third attempt no-ops
+      assert(!Scale.ingestBatch(spark, s"$p/t", s"$p/l", "b1", b1))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }
+  }
+
   test("appendDistinctState: append then fold == full recompute; nShards refused") {
     val p = java.nio.file.Files
       .createTempDirectory("graft_append_distinct_").toString
