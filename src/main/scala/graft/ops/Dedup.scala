@@ -654,6 +654,30 @@ object Dedup {
       .write.mode("append").parquet(s"$path/bands.parquet")
   }
 
+  /** Dedup-index health card (the [[Similarity.sq8IndexStats]]
+    * pattern for the hash/band tables): hash-set size, band-row
+    * count, indexed docs, bands per doc (must equal the build's
+    * `bands` — a drifted ratio means a torn append), LSH bucket
+    * count and the LARGEST bucket — the skew signal that predicts a
+    * delta day's candidate explosion before it happens. Aggregates
+    * over the index only; the corpus is never touched.
+    */
+  def dedupIndexStats(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    import graft.functions.PixieFunctions.idiv
+    val h = spark.read.parquet(s"$path/hashes.parquet")
+    val b = spark.read.parquet(s"$path/bands.parquet")
+    val buckets = b.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("__c")).as("max_bucket"))
+    h.agg(count(lit(1)).as("n_hashes"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_band_rows"),
+        countDistinct(col("corpus_id")).as("n_docs"))))
+      .crossJoin(broadcast(buckets))
+      .withColumn("bands_per_doc",
+        idiv(col("n_band_rows"), greatest(col("n_docs"), lit(1L))))
+  }
+
   /** SymSpell-style edit-distance-1 pair mining over a word/title
     * frame (Garbe's symmetric-delete trick): two strings within one
     * edit (insert / delete / substitute) ALWAYS share an entry of

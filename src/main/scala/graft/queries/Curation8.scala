@@ -217,6 +217,21 @@ object Curation8 {
       }
     }),
 
+    // Dedup-index health card over the q283-split index: hash-set
+    // size, band rows, bands/doc, LSH bucket count + hottest bucket
+    // (the candidate-explosion early warning an ops dashboard reads
+    // before admitting a delta day).
+    "q502_dedup_index_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val idx = Curation2.tempIndexDir("graft_dedup_stats_")
+      try {
+        graft.ops.Dedup.writeDedupIndex(corpus, "text", "doc_id", idx,
+          Curation.NGRAM, Curation.K, Curation.BANDS)
+        graft.ops.Dedup.dedupIndexStats(s, idx).localCheckpoint(true)
+      } finally Curation2.deleteDir(idx)
+    }),
+
     // Schema-evolution report: two event-file batches written under
     // DIFFERENT schemas (batch B adds event_type) into one directory,
     // read back with mergeSchema — per merged column: type, file
@@ -633,6 +648,24 @@ object Curation8 {
     // the swap changes execution infrastructure, never the answer
     "q501_kcore_reliable_ckpt" ->
       graft.queries.Curation7.oracles("q461_kcore"),
+
+    "q502_dedup_index_stats" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         |${Curation.sigCtes("corpus", "c")},
+         |bands AS (${Curation.bandsSql("c")}),
+         |bk AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS c
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) FROM corpus)
+         |    AS n_hashes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bands) AS n_band_rows,
+         |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM bands)
+         |    AS n_docs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_buckets,
+         |  (SELECT CAST(max(c) AS BIGINT) FROM bk) AS max_bucket,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bands)
+         |    // greatest((SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+         |      FROM bands), 1) AS bands_per_doc""".stripMargin,
 
     "q499_schema_evolution" ->
       """WITH ev AS (SELECT * FROM events WHERE event_id IS NOT NULL),
