@@ -88,20 +88,43 @@ object CurationDay {
     s1.join(contamOk(s1, bench), "doc_id").where(repOk(col("text")))
   }
 
+  /** Shared snapshot-artifact build: curate, index, manifest. The
+    * curated frame is returned checkpointed (it also feeds the
+    * callers' sentinel derivations).
+    */
+  private def buildSnapshotArtifacts(pool: DataFrame, bench: DataFrame,
+                                     snapPred: Column,
+                                     a: Artifacts): DataFrame = {
+    val curated = curateBatch(pool.where(snapPred), bench)
+      .localCheckpoint(true) // feeds index + manifest builds + sentinel
+    Dedup.writeDedupIndex(curated, "text", "doc_id", a.index,
+      NGram, K, Bands)
+    graft.core.Layout.shardManifest(
+        Corpus.shardAssign(curated, "doc_id", NShards)
+          .select("doc_id", "shard")
+          .join(curated.select(col("doc_id"), col("text"),
+            nTok(col("text")).as("n_tok")), "doc_id"),
+        "shard", "doc_id", "n_tok", "text")
+      .write.mode("overwrite").parquet(a.manifest0)
+    curated
+  }
+
+  private def poolBench(spark: SparkSession,
+                        dir: String): (DataFrame, DataFrame) = {
+    val docs = graft.core.Tables(spark, dir, "documents")
+    (docs.where(col("source") =!= "src0").select("doc_id", "text"),
+      docs.where(col("source") === "src0").select("doc_id", "text"))
+  }
+
   /** Build every snapshot artifact + the day's drop files. The ONE
     * full-corpus pass of the lifecycle — amortized across all
     * subsequent delta days.
     */
   def bootstrap(spark: SparkSession, dir: String, a: Artifacts): Unit = {
-    val docs = graft.core.Tables(spark, dir, "documents")
-    val pool = docs.where(col("source") =!= "src0")
-      .select("doc_id", "text")
-    val bench = docs.where(col("source") === "src0")
-      .select("doc_id", "text")
+    val (pool, bench) = poolBench(spark, dir)
     bench.write.parquet(a.bench)
-    val curated = curateBatch(
-      pool.where(pmod(col("doc_id"), lit(5L)) =!= 0), bench)
-      .localCheckpoint(true) // feeds index + manifest builds + sentinel
+    val curated = buildSnapshotArtifacts(pool, bench,
+      pmod(col("doc_id"), lit(5L)) =!= 0, a)
     // The day's drop = the organic delta PLUS five deterministic
     // branch-coverage sentinels (the q365 planted-ground-truth
     // pattern): the organic fixture delta only exercises the
@@ -125,15 +148,6 @@ object CurationDay {
         .select(lit(9000005L).as("doc_id"),
           lit(Seq.fill(40)("spam").mkString(" ")).as("text")))
     deltaBase.unionByName(planted).write.parquet(a.deltaDocs)
-    Dedup.writeDedupIndex(curated, "text", "doc_id", a.index,
-      NGram, K, Bands)
-    graft.core.Layout.shardManifest(
-        Corpus.shardAssign(curated, "doc_id", NShards)
-          .select("doc_id", "shard")
-          .join(curated.select(col("doc_id"), col("text"),
-            nTok(col("text")).as("n_tok")), "doc_id"),
-        "shard", "doc_id", "n_tok", "text")
-      .write.parquet(a.manifest0)
     val ev = graft.core.Tables(spark, dir, "events")
       .select("event_id", "user_id", "event_type", "ts", "value")
     val snapEv = ev.where(col("ts") < CutNs)
@@ -240,26 +254,12 @@ object CurationDay {
     */
   def bootstrapTwoDay(spark: SparkSession, dir: String,
                       a: Artifacts): Unit = {
-    val docs = graft.core.Tables(spark, dir, "documents")
-    val pool = docs.where(col("source") =!= "src0")
-      .select("doc_id", "text")
-    val bench = docs.where(col("source") === "src0")
-      .select("doc_id", "text")
+    val (pool, bench) = poolBench(spark, dir)
     bench.write.mode("overwrite").parquet(a.bench)
     pool.where(pmod(col("doc_id"), lit(5L)) === 0)
       .write.mode("overwrite").parquet(a.deltaDocs)
-    val curated = curateBatch(
-      pool.where(pmod(col("doc_id"), lit(5L)).isin(2L, 3L, 4L)), bench)
-      .localCheckpoint(true)
-    Dedup.writeDedupIndex(curated, "text", "doc_id", a.index,
-      NGram, K, Bands)
-    graft.core.Layout.shardManifest(
-        Corpus.shardAssign(curated, "doc_id", NShards)
-          .select("doc_id", "shard")
-          .join(curated.select(col("doc_id"), col("text"),
-            nTok(col("text")).as("n_tok")), "doc_id"),
-        "shard", "doc_id", "n_tok", "text")
-      .write.mode("overwrite").parquet(a.manifest0)
+    buildSnapshotArtifacts(pool, bench,
+      pmod(col("doc_id"), lit(5L)).isin(2L, 3L, 4L), a): Unit
     val ev = graft.core.Tables(spark, dir, "events")
       .select("event_id", "user_id", "event_type", "ts", "value")
     Scale.aggState(ev.where(col("ts") < Cut1Ns), "event_type",
