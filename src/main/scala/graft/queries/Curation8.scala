@@ -217,6 +217,33 @@ object Curation8 {
       }
     }),
 
+    // Sampling manifest: the q498 token-budget plan projected onto
+    // the shard layout — per (shard, lang) cell: token mass, the
+    // plan's sampling rate, and the cell's target token draw. The
+    // file a trainer's data loader actually consumes; proves the
+    // mixture plan and the shard layout COMPOSE (the q277 pattern
+    // for token budgets). Cell targets are exact integer ppm draws,
+    // so sum(cell targets) per lang <= the plan's lang target with
+    // only truncation slack.
+    "q503_sampling_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val plan = graft.ops.Corpus.tokenBudgetPlan(docs, "text", "lang")
+        .select("lang", "sample_ppm")
+      val cells = graft.ops.Corpus.shardAssign(docs, "doc_id", 4)
+        .select("doc_id", "shard")
+        .join(docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("__tok")),
+          "doc_id")
+        .groupBy("shard", "lang")
+        .agg(sum(col("__tok")).as("n_tokens"))
+      cells.join(broadcast(plan), "lang")
+        .select(col("shard"), col("lang"), col("n_tokens"),
+          col("sample_ppm"),
+          idiv(col("n_tokens") * col("sample_ppm"), 1000000L)
+            .as("target_tokens"))
+        .orderBy("shard", "lang")
+    }),
+
     // Dedup-index health card over the q283-split index: hash-set
     // size, band rows, bands/doc, LSH bucket count + hottest bucket
     // (the candidate-explosion early warning an ops dashboard reads
@@ -648,6 +675,41 @@ object Curation8 {
     // the swap changes execution infrastructure, never the answer
     "q501_kcore_reliable_ckpt" ->
       graft.queries.Curation7.oracles("q461_kcore"),
+
+    "q503_sampling_manifest" -> {
+      val h = graft.ops.Dedup.h60Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH per AS (SELECT lang,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |tt AS (SELECT CAST(sum(t) AS BIGINT) AS total FROM per),
+         |raw AS (SELECT lang, t, t * 1000000 // total AS raw_ppm,
+         |    total FROM per, tt),
+         |sums AS (SELECT
+         |    CAST(sum(CASE WHEN raw_ppm > 300000 THEN 300000
+         |      ELSE raw_ppm END) AS BIGINT) AS assigned,
+         |    CAST(sum(CASE WHEN raw_ppm > 300000 THEN 0
+         |      ELSE raw_ppm END) AS BIGINT) AS raw_uncapped
+         |  FROM raw),
+         |fin AS (SELECT lang, t, total,
+         |    CASE WHEN raw_ppm > 300000 THEN 300000
+         |      ELSE raw_ppm + (CASE WHEN raw_uncapped > 0
+         |        THEN (1000000 - assigned) * raw_ppm // raw_uncapped
+         |        ELSE 0 END) END AS final_ppm,
+         |    (total * 6 + 4) // 5 AS budget
+         |  FROM raw, sums),
+         |plan AS (SELECT lang,
+         |    CAST(budget * final_ppm // 1000000 * 1000000
+         |      // greatest(t, 1) AS BIGINT) AS sample_ppm
+         |  FROM fin),
+         |cells AS (SELECT CAST(($h) % 4 AS INT) AS shard, lang,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT shard, cells.lang, n_tokens, sample_ppm,
+         |  n_tokens * sample_ppm // 1000000 AS target_tokens
+         |FROM cells JOIN plan ON plan.lang = cells.lang
+         |ORDER BY shard, cells.lang""".stripMargin
+    },
 
     "q502_dedup_index_stats" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
