@@ -89,11 +89,18 @@ object Layout {
     */
   def schemaEvolutionReport(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    // the PATH's own filesystem, not the default FS (object-store
+    // tables on a cluster whose fs.defaultFS differs)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // flat-directory contract: file batches land as top-level
+    // part files (the ingest layout this audits); a PARTITIONED
+    // layout is a different, self-describing schema story
+    val files = fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
+    require(files.nonEmpty,
+      s"schemaEvolutionReport: no top-level parquet files under $path")
     val nFiles = files.length.toLong
     val present = files.flatMap(f =>
         spark.read.parquet(f).schema.fields
@@ -101,12 +108,17 @@ object Layout {
       .groupBy(identity).map { case ((nm, dt), hits) =>
         (nm, dt, hits.length.toLong) }.toSeq
     val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    // coalesce: a zero-row (schema-only) directory must report 0,
+    // not NPE on the null sum
     val counts = merged.select(merged.columns.map(c =>
-        sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(c)): _*)
+        coalesce(sum(when(col(c).isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as(c)): _*)
       .head()
     present.map { case (nm, dt, np) =>
-      (nm, dt, nFiles, np,
-        counts.getAs[Long](merged.columns.indexOf(nm)))
+      // name lookup (not positional): a footer column the merged
+      // schema renders differently must surface loudly, and getAs by
+      // name throws a readable error instead of an index landmine
+      (nm, dt, nFiles, np, counts.getAs[Long](nm))
     }.toSeq.toDF("column", "dtype", "n_files", "n_files_present",
       "n_rows_nonnull")
   }

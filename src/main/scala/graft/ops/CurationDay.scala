@@ -109,6 +109,19 @@ object CurationDay {
     curated
   }
 
+  /** Event projection for the state builds. NULL-PARITY contract
+    * (the q446 lesson, applied proactively): a null ts would fall
+    * into NEITHER time split and a null event_type group would be
+    * dropped by the inner agg⋈distinct join while the full-recompute
+    * oracle kept both — so both are excluded explicitly HERE and in
+    * the shared oracle's WHERE, keeping engine and oracle equal by
+    * construction on any future fixture.
+    */
+  private def curationEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables(spark, dir, "events")
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+
   private def poolBench(spark: SparkSession,
                         dir: String): (DataFrame, DataFrame) = {
     val docs = graft.core.Tables(spark, dir, "documents")
@@ -148,8 +161,7 @@ object CurationDay {
         .select(lit(9000005L).as("doc_id"),
           lit(Seq.fill(40)("spam").mkString(" ")).as("text")))
     deltaBase.unionByName(planted).write.parquet(a.deltaDocs)
-    val ev = graft.core.Tables(spark, dir, "events")
-      .select("event_id", "user_id", "event_type", "ts", "value")
+    val ev = curationEvents(spark, dir)
     val snapEv = ev.where(col("ts") < CutNs)
     ev.where(col("ts") >= CutNs).write.parquet(a.deltaEvents)
     Scale.aggState(snapEv, "event_type", guardedValue)
@@ -260,8 +272,7 @@ object CurationDay {
       .write.mode("overwrite").parquet(a.deltaDocs)
     buildSnapshotArtifacts(pool, bench,
       pmod(col("doc_id"), lit(5L)).isin(2L, 3L, 4L), a): Unit
-    val ev = graft.core.Tables(spark, dir, "events")
-      .select("event_id", "user_id", "event_type", "ts", "value")
+    val ev = curationEvents(spark, dir)
     Scale.aggState(ev.where(col("ts") < Cut1Ns), "event_type",
         guardedValue)
       .write.mode("overwrite").parquet(a.aggState)

@@ -368,6 +368,15 @@ object Scale {
     * [[writeDistinctState]] over the grown input (set semantics
     * preserved by the anti-join; q493 gate-proves the chained state
     * against a full recompute).
+    *
+    * CRASH WINDOW (documented contract, the [[ingestBatch]]
+    * treatment): a failure between the keys append and the summary
+    * overwrite leaves the summary stale for the touched shards.
+    * Recovery is RE-RUNNING the append with the same delta — the
+    * anti-join makes the keys append idempotent and the summary
+    * recount is derived from keys, so the retry converges; a
+    * belt-and-braces audit is comparing summary totals against a
+    * keys recount for the touched shards before trusting a fold.
     */
   def appendDistinctState(spark: org.apache.spark.sql.SparkSession,
                           path: String, delta: DataFrame, groupCol: String,
@@ -421,10 +430,12 @@ object Scale {
     val ledgerSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("batch_id",
         org.apache.spark.sql.types.StringType)))
-    // day-0: no ledger directory yet
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val seen = fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)) &&
+    // day-0: no ledger directory yet. Resolve the ledger PATH's own
+    // filesystem (not the default FS) so an object-store/HDFS ledger
+    // is honored on a cluster whose fs.defaultFS differs.
+    val ledgerP = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = ledgerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen = fs.exists(ledgerP) &&
       spark.read.schema(ledgerSchema).parquet(ledgerPath)
         .where(col("batch_id") === batchId)
         .limit(1).count() > 0

@@ -86,6 +86,26 @@ object Curation8 {
       (a, dec2)
     })
 
+  /** The grown manifest and the folded states, computed once per dir
+    * (each feeds its own gate row AND the q491 report — without the
+    * cache the folds would run twice per gate pass).
+    */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def dayManifest(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    manifestCache.computeIfAbsent(dir, { d: String =>
+      CurationDay.grownManifest(s, day(s, d), dayDecisions(s, d))
+        .localCheckpoint(true)
+    })
+  private val statesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+  private def dayStates(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    statesCache.computeIfAbsent(dir, { d: String =>
+      CurationDay.foldedStates(s, day(s, d)).localCheckpoint(true)
+    })
+
   val queries: Map[String, QFn] = Map(
 
     // ---- The round-10 flagship: the fully INCREMENTAL curation day.
@@ -100,12 +120,10 @@ object Curation8 {
       dayDecisions(s, dir).orderBy("doc_id")),
 
     "q489_curation_day_manifest" -> ((s, dir) =>
-      CurationDay.grownManifest(s, day(s, dir), dayDecisions(s, dir))
-        .orderBy("shard")),
+      dayManifest(s, dir).orderBy("shard")),
 
     "q490_curation_day_states" -> ((s, dir) =>
-      CurationDay.foldedStates(s, day(s, dir))
-        .orderBy("event_type")),
+      dayStates(s, dir).orderBy("event_type")),
 
     // ---- Two-day lifecycle: day-2 runs against artifacts that
     // ALREADY absorbed day 1 (appended dedup index, folded manifest,
@@ -149,10 +167,10 @@ object Curation8 {
           .as("n_contaminated"),
         sum(when(col("decision") === "low_quality", 1L).otherwise(0L))
           .as("n_low_quality"))
-      val man = CurationDay.grownManifest(s, day(s, dir), dec)
+      val man = dayManifest(s, dir)
         .agg(sum(col("n_docs")).as("corpus_docs"),
           sum(col("n_tokens")).as("corpus_tokens"))
-      val ev = CurationDay.foldedStates(s, day(s, dir))
+      val ev = dayStates(s, dir)
         .agg(sum(col("n_rows")).as("total_events"))
       cnt.crossJoin(broadcast(man)).crossJoin(broadcast(ev))
     }),
@@ -195,6 +213,11 @@ object Curation8 {
     // q483 pattern applied to execution infrastructure).
     "q501_kcore_reliable_ckpt" -> ((s, dir) => {
       val ck = Curation2.tempIndexDir("graft_reliable_ckpt_")
+      // the checkpoint dir CANNOT be unset on a SparkContext, so when
+      // none was set before, the dir must stay valid for the session
+      // (a later checkpoint() would otherwise write into a deleted
+      // path) — defer cleanup to JVM exit instead of the finally
+      sys.addShutdownHook(Curation2.deleteDir(ck))
       val prev = s.sparkContext.getCheckpointDir
       s.sparkContext.setCheckpointDir(ck)
       sys.props("graft.reliableCkpt") = "1"
@@ -213,7 +236,6 @@ object Curation8 {
       } finally {
         sys.props.remove("graft.reliableCkpt")
         prev.foreach(s.sparkContext.setCheckpointDir)
-        Curation2.deleteDir(ck)
       }
     }),
 
@@ -498,7 +520,9 @@ object Curation8 {
       |      OR isnan(value) THEN NULL ELSE value END) * 100.0 + 0.5)
       |      AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 6) + 0.0 AS mean,
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
-      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+      |FROM events
+      |WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -573,7 +597,8 @@ object Curation8 {
          |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
          |    AS BIGINT) AS corpus_tokens FROM grown),
          |ev AS (SELECT CAST(count(*) AS BIGINT) AS total_events
-         |  FROM events)
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL)
          |SELECT cnt.*, tot.*, ev.* FROM cnt, tot, ev""".stripMargin,
 
     "q495_vocab_growth" ->

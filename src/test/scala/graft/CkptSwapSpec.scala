@@ -23,10 +23,7 @@ class CkptSwapSpec extends AnyFunSuite {
     finally {
       sys.props.remove("graft.reliableCkpt")
       // scratch dir cleanup (reliable checkpoints are not auto-deleted)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(dir.toFile)
+      graft.queries.Curation2.deleteDir(dir.toString)
     }
   }
 

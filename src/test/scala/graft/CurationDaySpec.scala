@@ -69,10 +69,7 @@ class CurationDaySpec extends AnyFunSuite {
         .agg(sum(col("n_docs"))).head().getLong(0)
       assert(grownDocs == m0Docs + organic)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(root))
+      graft.queries.Curation2.deleteDir(root)
     }
   }
 }

@@ -97,10 +97,7 @@ class Round10Spec extends AnyFunSuite {
       assert(got == Set(("id", "bigint", 2L, 2L, 3L),
         ("a", "string", 2L, 2L, 3L), ("b", "bigint", 2L, 1L, 1L)))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(p))
+      graft.queries.Curation2.deleteDir(p)
     }
   }
 
@@ -117,10 +114,7 @@ class Round10Spec extends AnyFunSuite {
         .as[(Long, String)].collect().toSet
       assert(rows == Set((1L, "b1"), (2L, "b1"), (3L, "b2")))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(p))
+      graft.queries.Curation2.deleteDir(p)
     }
   }
 
@@ -147,10 +141,7 @@ class Round10Spec extends AnyFunSuite {
       // and the ledger now guards the id: a third attempt no-ops
       assert(!Scale.ingestBatch(spark, s"$p/t", s"$p/l", "b1", b1))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(p))
+      graft.queries.Curation2.deleteDir(p)
     }
   }
 
@@ -172,10 +163,7 @@ class Round10Spec extends AnyFunSuite {
         Scale.appendDistinctState(spark, p, ev("a" -> 9L), "g", "k", 8)
       }
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(p))
+      graft.queries.Curation2.deleteDir(p)
     }
   }
 }
