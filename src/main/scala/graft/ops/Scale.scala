@@ -275,6 +275,64 @@ object Scale {
       .withColumn("mean", zround(
         col("sum_cents").cast("double") / 100.0 / col("n_rows"), 6))
 
+  /** Persisted exact VALUE-HISTOGRAM state — the QUANTILE member of
+    * the persisted-state family ([[aggState]] covers moments,
+    * [[writeDistinctState]] cardinality; exact quantiles need the
+    * value distribution itself): the state is (group, cent, n) over
+    * the CENT-QUANTIZED value domain — value-domain-bound (distinct
+    * cents, never raw rows) and ADDITIVE, so a delta fold is a plain
+    * union + keyed sum and fold == rebuild exactly. Any exact order
+    * statistic re-derives from the folded state via
+    * [[histQuantiles]]: q_p = min cent whose cumulative count covers
+    * ceil(p·n) (the q457/q467 rank rule).
+    */
+  def centHist(df: DataFrame, groupCol: String, valueCol: Column): DataFrame =
+    df.select(col(groupCol),
+        floor(valueCol * 100.0 + 0.5).cast("long").as("__cent"))
+      .where(col("__cent").isNotNull)
+      .groupBy(col(groupCol), col("__cent"))
+      .agg(count(lit(1)).as("__n"))
+
+  def writeCentHist(df: DataFrame, groupCol: String, valueCol: Column,
+                    path: String): Unit =
+    centHist(df, groupCol, valueCol).write.parquet(path)
+
+  /** Fold a delta into a persisted [[writeCentHist]] state: the delta
+    * aggregates on its own (the only data scan), then one keyed sum
+    * with the state — work scales with the delta plus the value
+    * domain, never the historical rows.
+    */
+  def foldCentHist(spark: org.apache.spark.sql.SparkSession, path: String,
+                   delta: DataFrame, groupCol: String,
+                   valueCol: Column): DataFrame =
+    spark.read.parquet(path)
+      .unionByName(centHist(delta, groupCol, valueCol))
+      .groupBy(col(groupCol), col("__cent"))
+      .agg(sum(col("__n")).as("__n"))
+
+  /** Exact order statistics from a cent-histogram state: per group,
+    * the row count and for each requested ppm the smallest cent whose
+    * cumulative count reaches ceil(ppm·n/1e6) — integer comparisons
+    * only (`cum·1e6 >= ppm·n` ⇔ `cum >= ceil(ppm·n/1e6)` for integer
+    * cum). Windows run over the distinct-cents state, never raw rows.
+    */
+  def histQuantiles(hist: DataFrame, groupCol: String,
+                    quantiles: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty, "histQuantiles: at least one quantile")
+    val w = Window.partitionBy(groupCol).orderBy("__cent")
+    val cum = hist
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__tot", sum(col("__n")).over(
+        Window.partitionBy(groupCol)))
+    cum.groupBy(col(groupCol))
+      .agg(max(col("__tot")).as("n_rows"),
+        quantiles.map { case (nm, ppm) =>
+          min(when(col("__cum") * 1000000L >= lit(ppm) * col("__tot"),
+            col("__cent"))).as(nm)
+        }: _*)
+  }
+
   private def shardTriples(df: DataFrame, groupCol: String, keyCol: String,
                            nShards: Int): DataFrame =
     df.where(col(keyCol).isNotNull)

@@ -16,7 +16,7 @@ import graft.functions.PixieFunctions.idiv
   */
 object Curation8 {
 
-  import graft.ops.CurationDay
+  import graft.ops.{CurationDay, Scale}
 
   /** Curation-day artifacts are built ONCE per sf dir per JVM (the
     * production shape: day-0 bootstrap is amortized across delta
@@ -237,6 +237,33 @@ object Curation8 {
         sys.props.remove("graft.reliableCkpt")
         prev.foreach(s.sparkContext.setCheckpointDir)
       }
+    }),
+
+    // Persisted quantile (cent-histogram) state: bootstrap from the
+    // pre-Jan-28 events, fold the rest, read exact p50/p90/p99 off
+    // the FOLDED state — the quantile member completing the
+    // persisted-state family (agg q446, distinct q454, HLL q455,
+    // CMS q458, window q462, session q469). Fold == rebuild by
+    // construction (additive counts); the oracle is the full
+    // order-statistic recompute over all events.
+    "q504_quantile_state" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("value").isNotNull &&
+          !isnan(col("value")))
+      val cut = 1706400000000000000L // 2024-01-28T00:00:00Z
+      val p = Curation2.tempIndexDir("graft_cent_hist_")
+      try {
+        Scale.writeCentHist(ev.where(col("ts") < cut), "event_type",
+          col("value"), p)
+        Scale.histQuantiles(
+            Scale.foldCentHist(s, p, ev.where(col("ts") >= cut),
+              "event_type", col("value")),
+            "event_type",
+            Seq("p50_cents" -> 500000L, "p90_cents" -> 900000L,
+              "p99_cents" -> 990000L))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(p)
     }),
 
     // Sampling manifest: the q498 token-budget plan projected onto
@@ -700,6 +727,26 @@ object Curation8 {
     // the swap changes execution infrastructure, never the answer
     "q501_kcore_reliable_ckpt" ->
       graft.queries.Curation7.oracles("q461_kcore"),
+
+    "q504_quantile_state" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |k AS (SELECT g, c, CAST(count(*) AS BIGINT) AS k FROM v
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT g, c, k,
+        |    CAST(sum(k) OVER (PARTITION BY g ORDER BY c) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(k) OVER (PARTITION BY g) AS BIGINT) AS n FROM k)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n_rows,
+        |  min(CASE WHEN cum * 1000000 >= 500000 * n THEN c END)
+        |    AS p50_cents,
+        |  min(CASE WHEN cum * 1000000 >= 900000 * n THEN c END)
+        |    AS p90_cents,
+        |  min(CASE WHEN cum * 1000000 >= 990000 * n THEN c END)
+        |    AS p99_cents
+        |FROM ct GROUP BY g ORDER BY event_type""".stripMargin,
 
     "q503_sampling_manifest" -> {
       val h = graft.ops.Dedup.h60Sql("CAST(doc_id AS VARCHAR)")

@@ -145,6 +145,28 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("centHist state: fold == rebuild row-identical; exact quantile rule") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_cent_hist_spec_").toString
+    try {
+      def ev(rows: (String, Double)*) = rows.toSeq.toDF("g", "v")
+      val snap = ev("a" -> 1.0, "a" -> 2.0, "a" -> 2.0, "b" -> 5.0)
+      val delta = ev("a" -> 3.0, "b" -> 5.0, "b" -> 7.0)
+      Scale.writeCentHist(snap, "g", col("v"), s"$p/hist")
+      val folded = Scale.foldCentHist(spark, s"$p/hist", delta, "g", col("v"))
+      val rebuilt = Scale.centHist(snap.unionByName(delta), "g", col("v"))
+      assert(folded.collect().toSet == rebuilt.collect().toSet)
+      val q = Scale.histQuantiles(folded, "g",
+          Seq("p50" -> 500000L, "p100" -> 1000000L))
+        .as[(String, Long, Long, Long)].collect().toSet
+      // a: cents {100:1, 200:2, 300:1}, n=4 -> p50 at rank 2 = 200,
+      // max = 300; b: {500:2, 700:1}, n=3 -> p50 rank 2 = 500, max 700
+      assert(q == Set(("a", 4L, 200L, 300L), ("b", 3L, 500L, 700L)))
+    } finally {
+      graft.queries.Curation2.deleteDir(p)
+    }
+  }
+
   test("appendDistinctState: append then fold == full recompute; nShards refused") {
     val p = java.nio.file.Files
       .createTempDirectory("graft_append_distinct_").toString
