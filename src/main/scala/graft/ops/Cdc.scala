@@ -20,11 +20,16 @@ object Cdc {
     * key-keyed window — no shuffle beyond the key partitioning, and
     * the changelog is read once. `tie` breaks equal timestamps
     * deterministically (a changelog position / event id).
+    *
+    * `valueName` defaults to "value_cents" — the column name this op
+    * shipped with (r10 briefly defaulted it to "value"; restored so
+    * existing callers keep their contract — pass it explicitly to
+    * rename).
     */
   def apply(changes: DataFrame, keyCol: String, tsCol: Column,
             tieCol: Column, opCol: Column, valueCol: Column,
             deleteOp: String = "D",
-            valueName: String = "value"): DataFrame = {
+            valueName: String = "value_cents"): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(tsCol.desc, tieCol.desc)
     changes.where(col(keyCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
@@ -42,7 +47,7 @@ object Cdc {
     */
   def scd2(changes: DataFrame, keyCol: String, tsCol: Column,
            tieCol: Column, opCol: Column, valueCol: Column,
-           valueName: String = "value"): DataFrame = {
+           valueName: String = "value_cents"): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(tsCol.asc, tieCol.asc)
     changes.where(col(keyCol).isNotNull)
       .select(col(keyCol),

@@ -480,6 +480,14 @@ object Scale {
     * selective reprocessing. Append-only parquet — no table format
     * required (the [[graft.ops.Dedup.appendDedupIndex]] storage
     * contract).
+    *
+    * SINGLE-WRITER contract (alongside the crash-window note below):
+    * the ledger check is check-then-write, so two ingest processes
+    * racing the SAME batchId can both pass the read and double-append.
+    * Run one ingest writer per table (the daily-drop topology this
+    * models — one scheduler owns the landing zone); the recoverable
+    * direction is the same as the crash window, since duplicated rows
+    * carry the same `__batch` id and are removable by id.
     */
   def ingestBatch(spark: org.apache.spark.sql.SparkSession,
                   tablePath: String, ledgerPath: String,

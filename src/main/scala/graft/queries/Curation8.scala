@@ -220,23 +220,24 @@ object Curation8 {
       sys.addShutdownHook(Curation2.deleteDir(ck))
       val prev = s.sparkContext.getCheckpointDir
       s.sparkContext.setCheckpointDir(ck)
-      sys.props("graft.reliableCkpt") = "1"
       try {
-        val l = t(s, dir, "lineitem")
-          .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = l.toDF("o", "a").join(l.toDF("o", "b"), "o")
-          .where(col("a") < col("b"))
-          .groupBy("a", "b").agg(count(lit(1)).as("w"))
-          .where(col("w") >= 2)
-        graft.ops.Graph.kcorePeel(edges, "a", "b", k = 3)
-          .orderBy("node")
-          .localCheckpoint(true) // decouple from the ckpt files below
-      } finally {
-        sys.props.remove("graft.reliableCkpt")
-        prev.foreach(s.sparkContext.setCheckpointDir)
-      }
+        // LEXICALLY SCOPED swap (graft.core.Ckpt.withReliable) — no
+        // process-global sys.props write, so a parallel query runner
+        // cannot observe this query's dispatch (r10 verdict hygiene).
+        graft.core.Ckpt.withReliable() {
+          val l = t(s, dir, "lineitem")
+            .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+            .distinct()
+          val edges = l.toDF("o", "a").join(l.toDF("o", "b"), "o")
+            .where(col("a") < col("b"))
+            .groupBy("a", "b").agg(count(lit(1)).as("w"))
+            .where(col("w") >= 2)
+          graft.ops.Graph.kcorePeel(edges, "a", "b", k = 3)
+            .orderBy("node")
+            .localCheckpoint(true) // decouple from the ckpt files below
+        }
+      } finally prev.foreach(s.sparkContext.setCheckpointDir)
     }),
 
     // Persisted quantile (cent-histogram) state: bootstrap from the
