@@ -51,6 +51,21 @@ object CurationDay {
     def day2Docs: String = s"$root/day2_docs.parquet"
     def deltaEvents: String = s"$root/delta_events.parquet"
     def day2Events: String = s"$root/day2_events.parquet"
+    // ---- day-indexed artifact chain (the N-day lifecycle /
+    //      [[CurationNDay]]): day 0 = the bootstrap snapshot, day k's
+    //      run reads k-1's artifact and overwrites its own — which is
+    //      what makes a replayed day idempotent. ----------------------
+    def manifestDay(k: Int): String =
+      if (k == 0) manifest0 else s"$root/manifest_day$k.parquet"
+    def aggStateDay(k: Int): String =
+      if (k == 0) aggState else s"$root/agg_state_day$k.parquet"
+    def centStateDay(k: Int): String = s"$root/cent_state_day$k.parquet"
+    def decisionsDay(k: Int): String = s"$root/decisions_day$k.parquet"
+    def dropDay(k: Int): String = s"$root/drop_day$k.parquet"
+    def eventsDay(k: Int): String = s"$root/events_day$k.parquet"
+    def ledger: String = s"$root/day_ledger"
+    def landing: String = s"$root/landing"
+    def streamCp: String = s"$root/stream_cp"
   }
 
   /** NaN/null-guarded event value (the ADVICE house rule): a NaN would
@@ -92,9 +107,9 @@ object CurationDay {
     * curated frame is returned checkpointed (it also feeds the
     * callers' sentinel derivations).
     */
-  private def buildSnapshotArtifacts(pool: DataFrame, bench: DataFrame,
-                                     snapPred: Column,
-                                     a: Artifacts): DataFrame = {
+  private[ops] def buildSnapshotArtifacts(pool: DataFrame, bench: DataFrame,
+                                          snapPred: Column,
+                                          a: Artifacts): DataFrame = {
     val curated = curateBatch(pool.where(snapPred), bench)
       .localCheckpoint(true) // feeds index + manifest builds + sentinel
     Dedup.writeDedupIndex(curated, "text", "doc_id", a.index,
@@ -117,13 +132,13 @@ object CurationDay {
     * the shared oracle's WHERE, keeping engine and oracle equal by
     * construction on any future fixture.
     */
-  private def curationEvents(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def curationEvents(spark: SparkSession, dir: String): DataFrame =
     graft.core.Tables(spark, dir, "events")
       .where(col("ts").isNotNull && col("event_type").isNotNull)
       .select("event_id", "user_id", "event_type", "ts", "value")
 
-  private def poolBench(spark: SparkSession,
-                        dir: String): (DataFrame, DataFrame) = {
+  private[ops] def poolBench(spark: SparkSession,
+                             dir: String): (DataFrame, DataFrame) = {
     val docs = graft.core.Tables(spark, dir, "documents")
     (docs.where(col("source") =!= "src0").select("doc_id", "text"),
       docs.where(col("source") === "src0").select("doc_id", "text"))
@@ -180,9 +195,17 @@ object CurationDay {
     */
   def decisions(spark: SparkSession, a: Artifacts,
                 corpusFetch: DataFrame,
-                dropPath: String = null): DataFrame = {
-    val delta = spark.read.parquet(
-      Option(dropPath).getOrElse(a.deltaDocs))
+                dropPath: Option[String] = None): DataFrame =
+    decisionsOf(spark, a, corpusFetch,
+      spark.read.parquet(dropPath.getOrElse(a.deltaDocs)))
+
+  /** [[decisions]] over an in-memory drop frame — the core the
+    * streaming path ([[graft.streaming.CurationStream]]) feeds each
+    * micro-batch's day slice into directly.
+    */
+  def decisionsOf(spark: SparkSession, a: Artifacts,
+                  corpusFetch: DataFrame, drop: DataFrame): DataFrame = {
+    val delta = drop.select("doc_id", "text")
     val bench = spark.read.parquet(a.bench)
     val dec = Dedup.incrementalDedupIndexed(a.index, corpusFetch, delta,
       "text", "doc_id", NGram, K, Bands, 0.8)
@@ -206,11 +229,14 @@ object CurationDay {
   /** Admitted delta docs with text + token counts (for the manifest). */
   def admittedDelta(spark: SparkSession, a: Artifacts,
                     dec: DataFrame,
-                    dropPath: String = null): DataFrame =
+                    dropPath: Option[String] = None): DataFrame =
+    admittedOf(dec,
+      spark.read.parquet(dropPath.getOrElse(a.deltaDocs)))
+
+  def admittedOf(dec: DataFrame, drop: DataFrame): DataFrame =
     dec.where(col("decision") === "admitted")
       .select("doc_id", "shard")
-      .join(spark.read.parquet(Option(dropPath).getOrElse(a.deltaDocs)),
-        "doc_id")
+      .join(drop, "doc_id")
       .select(col("doc_id"), col("shard"), col("text"),
         nTok(col("text")).as("n_tok"))
 
@@ -292,8 +318,25 @@ object CurationDay {
     */
   def admitDay(spark: SparkSession, a: Artifacts, dec: DataFrame,
                dropPath: String, manifestIn: String,
-               manifestOut: String): Unit = {
-    val adm = admittedDelta(spark, a, dec, dropPath)
+               manifestOut: String): Unit =
+    admitDayOf(spark, a, dec, spark.read.parquet(dropPath),
+      manifestIn, manifestOut)
+
+  /** [[admitDay]] over an in-memory drop frame (the streaming core).
+    * REPLAY-IDEMPOTENT by construction — the property the streaming
+    * path's crash recovery rests on: the manifest fold reads
+    * `manifestIn` (the PREVIOUS day's artifact, never its own output)
+    * and overwrites `manifestOut`; the index hash append anti-joins
+    * against the stored set; a re-appended band row only duplicates a
+    * candidate the reader `.distinct()`s away
+    * ([[Dedup.incrementalDedupIndexed]]), so decisions are invariant
+    * under replay (index STATS move — semantics don't; compaction
+    * owns the cleanup).
+    */
+  def admitDayOf(spark: SparkSession, a: Artifacts, dec: DataFrame,
+                 drop: DataFrame, manifestIn: String,
+                 manifestOut: String): Unit = {
+    val adm = admittedOf(dec, drop)
       .localCheckpoint(true) // feeds index append + manifest fold
     Dedup.appendDedupIndex(adm.select("doc_id", "text"), "text",
       "doc_id", a.index, NGram, K, Bands)

@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The N-DAY curation lifecycle (round-11 flagship, N = 4): the
+  * [[CurationDay]] delta-day machinery generalized from the two-day
+  * chain to a parameterized day loop, with every day's admission
+  * running behind a persisted DAY LEDGER — the [[Scale.ingestBatch]]
+  * exactly-once contract lifted from one table write to the whole
+  * multi-artifact day transaction. The same per-day step
+  * ([[processDay]]) serves two engine paths against one oracle (the
+  * q483 pattern):
+  *
+  *  - the BATCH loop ([[runDaysBatch]]) — days applied in a driver
+  *    loop, the r10 two-day chain at N = 4;
+  *  - the STREAMING path ([[graft.streaming.CurationStream]]) — daily
+  *    drop files land in a directory, Structured Streaming delivers
+  *    them through `foreachBatch`, and each micro-batch invokes the
+  *    identical [[processDay]].
+  *
+  * Day-k state bugs that two days cannot surface (fold
+  * non-associativity, summary staleness after repeated appends,
+  * band-row duplication across many index appends) are exactly what
+  * the N-day gate rows (q505–q510) hunt: the day-4 artifacts are
+  * compared against a from-scratch DuckDB re-derivation of the
+  * four-times-grown corpus and the full event history.
+  *
+  * CRASH/REPLAY CONTRACT (what makes streaming recovery correct):
+  * [[processDay]] is (a) a NO-OP when the day is already in the
+  * ledger — a replay of a fully-committed micro-batch does nothing —
+  * and (b) IDEMPOTENT when re-run after a crash anywhere before the
+  * ledger row, because every step is: an overwrite of a day-k
+  * artifact derived from the day-(k−1) artifact
+  * ([[CurationDay.admitDayOf]] manifest fold, agg/cent state folds),
+  * an anti-joined append ([[Scale.appendDistinctState]], index hash
+  * append), or a decision-invariant band append
+  * ([[Dedup.incrementalDedupIndexed]] distincts candidates).
+  * CurationStreamSpec witnesses both directions (kill/restart and a
+  * simulated torn day re-run).
+  */
+object CurationNDay {
+
+  val NDays = 4
+
+  /** Event-time day boundaries (epoch ns): bootstrap state covers
+    * [−∞, c(0)); day k covers [c(k−1), c(k)), with day N open-ended.
+    * 2024-01-08 / 01-15 / 01-22 / 01-28, all 00:00:00Z — the fixture's
+    * events span Jan 1–30.
+    */
+  val Cuts: Seq[Long] = Seq(1704672000000000000L, 1705276800000000000L,
+    1705881600000000000L, 1706400000000000000L)
+
+  private def dayEventPred(k: Int) = {
+    val lo = col("ts") >= Cuts(k - 1)
+    if (k == NDays) lo else lo && col("ts") < Cuts(k)
+  }
+
+  /** Build the snapshot artifacts and the ORGANIC day inputs: snapshot
+    * corpus = doc_id%8 ∈ {4..7}; day k's drop = doc_id%8 == k−1 for
+    * k = 1..3 (day 4's drop is written later by [[writeDay4Drop]] —
+    * its sentinels derive from day-1/-2 ADMISSIONS); events split at
+    * [[Cuts]] into bootstrap + four day files. States bootstrapped:
+    * additive agg partials, sharded distinct keys, cent histogram.
+    */
+  def bootstrapNDay(spark: SparkSession, dir: String,
+                    a: CurationDay.Artifacts): Unit = {
+    val (pool, bench) = CurationDay.poolBench(spark, dir)
+    bench.write.mode("overwrite").parquet(a.bench)
+    CurationDay.buildSnapshotArtifacts(pool, bench,
+      pmod(col("doc_id"), lit(8L)) >= 4, a): Unit
+    (1 to 3).foreach { k =>
+      pool.where(pmod(col("doc_id"), lit(8L)) === (k - 1).toLong)
+        .write.mode("overwrite").parquet(a.dropDay(k))
+    }
+    val ev = CurationDay.curationEvents(spark, dir)
+    (1 to NDays).foreach { k =>
+      ev.where(dayEventPred(k))
+        .write.mode("overwrite").parquet(a.eventsDay(k))
+    }
+    val boot = ev.where(col("ts") < Cuts.head)
+    Scale.aggState(boot, "event_type", CurationDay.guardedValue)
+      .write.mode("overwrite").parquet(a.aggStateDay(0))
+    Scale.writeDistinctState(boot, "event_type", "user_id", 16,
+      a.distinctState)
+    Scale.writeCentHist(boot, "event_type", CurationDay.guardedValue,
+      a.centStateDay(0))
+  }
+
+  /** The day-4 drop: organic doc_id%8 == 3 plus two sentinels that
+    * witness the MULTI-DAY index growth serving a later day (the q492
+    * planting pattern, stretched across the chain): 9200001 = verbatim
+    * copy of the smallest DAY-1 admitted doc → dup_exact_corpus via
+    * the hash set appended on day 1; 9200002 = the longest DAY-2
+    * admitted doc with one word appended → near_dup_corpus via the
+    * band rows appended on day 2 (J = (w−2)/(w−1) ≥ 0.8 for w ≥ 6).
+    * Derived from the pipeline's OWN persisted decisions/drops — no
+    * side channel.
+    */
+  def writeDay4Drop(spark: SparkSession, dir: String,
+                    a: CurationDay.Artifacts): Unit = {
+    val (pool, _) = CurationDay.poolBench(spark, dir)
+    def admitted(k: Int): DataFrame =
+      spark.read.parquet(a.decisionsDay(k))
+        .where(col("decision") === "admitted").select("doc_id")
+        .join(spark.read.parquet(a.dropDay(k)), "doc_id")
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val planted = admitted(1).orderBy("doc_id").limit(1)
+      .select(lit(9200001L).as("doc_id"), col("text"))
+      .unionByName(admitted(2)
+        .orderBy(nTok.desc, col("doc_id")).limit(1)
+        .select(lit(9200002L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text")))
+    pool.where(pmod(col("doc_id"), lit(8L)) === 3L)
+      .unionByName(planted)
+      .write.mode("overwrite").parquet(a.dropDay(4))
+  }
+
+  // ---- day ledger: the exactly-once gate around the whole day ------
+
+  private val ledgerSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("day_id",
+      org.apache.spark.sql.types.StringType)))
+
+  def ledgerSeen(spark: SparkSession, ledgerPath: String,
+                 dayId: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      spark.read.schema(ledgerSchema).parquet(ledgerPath)
+        .where(col("day_id") === dayId).limit(1).count() > 0
+  }
+
+  def ledgerDays(spark: SparkSession, ledgerPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else spark.read.schema(ledgerSchema).parquet(ledgerPath)
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  private def appendLedger(spark: SparkSession, ledgerPath: String,
+                           dayId: String): Unit = {
+    import spark.implicits._
+    Seq(dayId).toDF("day_id").write.mode("append").parquet(ledgerPath)
+  }
+
+  /** One day's full admission transaction, ledger-gated: returns false
+    * (a pure no-op) when the day is already committed; otherwise runs
+    * [[processDayBody]] and commits the ledger row LAST — a crash
+    * anywhere inside the body re-runs the whole day on replay, which
+    * the body's construction makes convergent (see object Scaladoc).
+    */
+  def processDay(spark: SparkSession, a: CurationDay.Artifacts, k: Int,
+                 drop: DataFrame, corpusFetch: DataFrame): Boolean = {
+    val dayId = s"day$k"
+    if (ledgerSeen(spark, a.ledger, dayId)) false
+    else {
+      processDayBody(spark, a, k, drop, corpusFetch)
+      appendLedger(spark, a.ledger, dayId)
+      true
+    }
+  }
+
+  /** Everything except the ledger commit — the crash window, exposed
+    * so CurationStreamSpec can SIMULATE a day that died before its
+    * ledger row and witness that the replayed day converges. Days must
+    * arrive in order: day k requires day k−1's manifest (loud fail on
+    * an out-of-order drop).
+    */
+  private[graft] def processDayBody(spark: SparkSession,
+                                    a: CurationDay.Artifacts, k: Int,
+                                    drop: DataFrame,
+                                    corpusFetch: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(a.manifestDay(k - 1))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(a.manifestDay(k - 1))),
+      s"processDay: day $k arrived before day ${k - 1} was admitted")
+    val dec = CurationDay.decisionsOf(spark, a, corpusFetch, drop)
+      .localCheckpoint(true)
+    dec.write.mode("overwrite").parquet(a.decisionsDay(k))
+    CurationDay.admitDayOf(spark, a, dec, drop,
+      a.manifestDay(k - 1), a.manifestDay(k))
+    val ev = spark.read.parquet(a.eventsDay(k))
+    Scale.foldAggState(spark.read.parquet(a.aggStateDay(k - 1)), ev,
+        "event_type", CurationDay.guardedValue)
+      .select("event_type", "n_rows", "sum_cents")
+      .write.mode("overwrite").parquet(a.aggStateDay(k))
+    Scale.appendDistinctState(spark, a.distinctState, ev,
+      "event_type", "user_id", 16)
+    Scale.foldCentHist(spark, a.centStateDay(k - 1), ev,
+        "event_type", CurationDay.guardedValue)
+      .localCheckpoint(true) // reads day k-1's file; pin before write
+      .write.mode("overwrite").parquet(a.centStateDay(k))
+  }
+
+  /** The batch engine path: bootstrap, three organic days, then the
+    * sentinel-planted day 4 — each through the SAME [[processDay]]
+    * the streaming path invokes per micro-batch.
+    */
+  def runDaysBatch(spark: SparkSession, dir: String,
+                   a: CurationDay.Artifacts): Unit = {
+    bootstrapNDay(spark, dir, a)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    (1 to 3).foreach { k =>
+      processDay(spark, a, k, spark.read.parquet(a.dropDay(k)), fetch): Unit
+    }
+    writeDay4Drop(spark, dir, a)
+    processDay(spark, a, 4, spark.read.parquet(a.dropDay(4)), fetch): Unit
+  }
+
+  /** All N days' decisions as one frame (day, doc_id, decision,
+    * shard) — the lifecycle's decision ledger, read back from the
+    * per-day artifacts.
+    */
+  def allDecisions(spark: SparkSession,
+                   a: CurationDay.Artifacts): DataFrame =
+    (1 to NDays).map { k =>
+      spark.read.parquet(a.decisionsDay(k))
+        .select(lit(k).as("day"), col("doc_id"), col("decision"),
+          col("shard"))
+    }.reduce(_.unionByName(_))
+
+  /** The post-day-N state panel, read from the PERSISTED states alone
+    * (no event scan): additive agg partials → n_rows/sum_cents/mean,
+    * distinct-state summary rollup → n_unique, cent histogram → exact
+    * p50/p90/p99 + the non-null value count. Gate row q507 proves the
+    * panel equals a full recompute over the entire event history.
+    */
+  def statesPanel(spark: SparkSession,
+                  a: CurationDay.Artifacts): DataFrame = {
+    import graft.core.Exact.zround
+    val agg = spark.read.parquet(a.aggStateDay(NDays))
+      .withColumn("mean", zround(
+        col("sum_cents").cast("double") / 100.0 / col("n_rows"), 6))
+    val uniq = Scale.distinctStateCard(spark, a.distinctState, "event_type")
+    val quant = Scale.histQuantiles(
+        spark.read.parquet(a.centStateDay(NDays)), "event_type",
+        Seq("p50_cents" -> 500000L, "p90_cents" -> 900000L,
+          "p99_cents" -> 990000L))
+      .withColumnRenamed("n_rows", "n_values")
+    // left join: a group with zero valid values has no histogram rows
+    agg.join(uniq, "event_type")
+      .join(quant, Seq("event_type"), "left")
+  }
+}

@@ -414,6 +414,18 @@ object Scale {
       .agg(sum(col("__card")).as("n_unique"))
   }
 
+  /** Per-group cardinality read straight off the persisted
+    * [[writeDistinctState]] SUMMARY — the zero-delta read path (the
+    * state after N [[appendDistinctState]] days answers without
+    * touching the keys table at all). Model-sized scan: one row per
+    * (group, shard).
+    */
+  def distinctStateCard(spark: org.apache.spark.sql.SparkSession,
+                        path: String, groupCol: String): DataFrame =
+    spark.read.parquet(s"$path/summary")
+      .groupBy(col(groupCol))
+      .agg(sum(col("__card")).as("n_unique"))
+
   /** Fold a delta INTO the persisted [[writeDistinctState]] — the
     * write-side sibling of [[foldDistinctState]] that completes the
     * distinct-state lifecycle (build -> fold-read -> APPEND ->

@@ -79,7 +79,7 @@ object Curation8 {
       graft.ops.Scale.appendDistinctState(s, a.distinctState,
         s.read.parquet(a.deltaEvents), "event_type", "user_id", 16)
       CurationDay.writeDay2Drop(s, d, a, dec1)
-      val dec2 = CurationDay.decisions(s, a, fetch, a.day2Docs)
+      val dec2 = CurationDay.decisions(s, a, fetch, Some(a.day2Docs))
         .localCheckpoint(true)
       CurationDay.admitDay(s, a, dec2, a.day2Docs, a.manifest1,
         a.manifest2)
@@ -437,7 +437,7 @@ object Curation8 {
   /** Day-0 batch curation of a snapshot (`snapPred` over pool):
     * exact-dedup keepers -> decontamination -> repetition gate,
     * ending with the `corpus` CTE. */
-  private def curatedCorpusCtes(snapPred: String): String = {
+  private[queries] def curatedCorpusCtes(snapPred: String): String = {
     val cp = CurationDay.ContamPpm; val rt = CurationDay.RepTenths
     s"""snapraw AS (SELECT * FROM pool WHERE $snapPred),
        |skeep AS (SELECT min(doc_id) AS doc_id FROM snapraw GROUP BY md5(text)),
@@ -460,7 +460,7 @@ object Curation8 {
     * `decisions$sfx`/`batch$sfx` CTEs): contamination + repetition on
     * the dedup survivors, ending with `final$sfx(doc_id, decision)`
     * and `admf$sfx(doc_id, text)`. */
-  private def postGateCtes(sfx: String): String = {
+  private[queries] def postGateCtes(sfx: String): String = {
     val cp = CurationDay.ContamPpm; val rt = CurationDay.RepTenths
     s"""adm$sfx AS (SELECT d.doc_id, b.text FROM decisions$sfx d
        |  JOIN batch$sfx b USING (doc_id) WHERE d.decision = 'admitted'),
@@ -484,7 +484,7 @@ object Curation8 {
        |  JOIN batch$sfx b USING (doc_id) WHERE f.decision = 'admitted')""".stripMargin
   }
 
-  private val poolBenchCtes: String =
+  private[queries] val poolBenchCtes: String =
     s"""pool AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
        |bench AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE source = 'src0'),
        |bgr AS MATERIALIZED (SELECT DISTINCT unnest(list_distinct($sh8)) AS g FROM bench)""".stripMargin
@@ -539,7 +539,7 @@ object Curation8 {
     * q493 (build -> fold -> append -> fold chain) — two independent
     * engine paths against one SQL answer.
     */
-  private val fullStateOracle: String =
+  private[queries] val fullStateOracle: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(CAST(floor((CASE WHEN value IS NULL OR isnan(value)
       |      THEN NULL ELSE value END) * 100.0 + 0.5) AS BIGINT))

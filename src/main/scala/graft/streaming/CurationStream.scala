@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+import graft.ops.{CurationDay, CurationNDay}
+
+/** The curation day as a STREAMING job (SURVEY §1.3 — the engine is
+  * streaming-first, and the r10 flagship was batch-incremental): daily
+  * document drops LAND AS FILES in a directory, a Structured Streaming
+  * file source delivers them, and `foreachBatch` drives each day
+  * through the exact [[CurationNDay.processDay]] the batch loop uses —
+  * ledger-gated exactly-once ingest + index-backed incremental
+  * decisions + admit (index append, manifest fold, persisted-state
+  * folds). The reference's script-runner/cron analog
+  * (src/vizier/services/query_broker/script_runner/), re-expressed as
+  * the standard Spark incremental-ETL topology: file source →
+  * foreachBatch → idempotent multi-artifact day transaction.
+  *
+  * Delivery/recovery semantics, layer by layer:
+  *  - the file source's checkpoint (offset log) gives at-least-once
+  *    micro-batch delivery across stop/restart;
+  *  - [[CurationNDay.processDay]]'s day ledger upgrades that to
+  *    exactly-once per DAY: a replayed batch whose day committed is a
+  *    no-op, and a day that died before its ledger row re-runs
+  *    convergently (see [[CurationNDay]]'s crash/replay contract);
+  *  - days inside one micro-batch are applied in day order (a bounded
+  *    driver loop — the distinct-day list is model-sized), and an
+  *    out-of-order drop fails loudly via the day-(k−1) artifact
+  *    require.
+  *
+  * At 100 TB nothing here collects data rows to the driver: the batch
+  * frame is only filtered per day and handed to the same
+  * delta-proportional operators the batch path runs; `landDrop`'s
+  * single-file staging is a fixture convenience (a production landing
+  * zone drops whatever file batches it likes — `maxFilesPerTrigger`
+  * then controls batch granularity, and the in-batch day loop handles
+  * multi-file, multi-day batches).
+  */
+object CurationStream {
+
+  /** Landing-file schema: a day's docs plus the day index. */
+  val dropSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("day", IntegerType)))
+
+  /** Start the admission stream over `a.landing`, checkpointed at
+    * `a.streamCp` (restart with the same paths to resume).
+    */
+  def start(spark: SparkSession, a: CurationDay.Artifacts,
+            corpusFetch: DataFrame): StreamingQuery =
+    spark.readStream
+      .schema(dropSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(a.landing)
+      .writeStream
+      .option("checkpointLocation", a.streamCp)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val days = batch.select("day").distinct()
+          .collect().map(_.getInt(0)).sorted // bounded: days per batch
+        days.foreach { k =>
+          CurationNDay.processDay(spark, a, k,
+            batch.where(col("day") === k).select("doc_id", "text"),
+            corpusFetch): Unit
+        }
+      }
+      .start()
+
+  /** Stage day k's drop into the landing dir as ONE parquet file named
+    * `day<k>.parquet` (deterministic one-file-per-day granularity for
+    * the gate/spec runs; see object Scaladoc for the production shape).
+    */
+  def landDrop(spark: SparkSession, a: CurationDay.Artifacts,
+               k: Int): Unit = {
+    val tmp = s"${a.root}/land_tmp_day$k"
+    spark.read.parquet(a.dropDay(k))
+      .withColumn("day", lit(k))
+      .repartition(1)
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpP.getFileSystem(conf)
+    val part = fs.listStatus(tmpP)
+      .find(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"landDrop: no part file under $tmp"))
+    val landing = new org.apache.hadoop.fs.Path(a.landing)
+    if (!fs.exists(landing)) { fs.mkdirs(landing): Unit }
+    val dst = new org.apache.hadoop.fs.Path(landing, s"day$k.parquet")
+    val ok = fs.rename(part.getPath, dst)
+    require(ok, s"landDrop: rename into $landing failed")
+    fs.delete(tmpP, true): Unit
+    // the file source orders same-batch files by modification time —
+    // two drops landed within one clock tick could deliver day k+1
+    // before day k and trip the in-order require. Pin mod times to a
+    // strictly-increasing, run-stable ladder anchored on the bootstrap
+    // bench file (recent enough for the source's maxFileAge window).
+    val anchor = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(a.bench)).getModificationTime
+    fs.setTimes(dst, anchor + k * 60000L, -1L)
+  }
+
+  /** The full STREAMED N-day lifecycle with a kill/restart witnessed
+    * mid-chain (the gate row runs THIS, so recovery is part of the
+    * official evidence, not just a spec): bootstrap; land days 1–2;
+    * stream them; STOP the query (the kill); manually re-offer day 2
+    * (a replayed, already-committed day must no-op via the ledger);
+    * derive + land days 3–4; RESTART from the same checkpoint; drain.
+    * Returns (replayNoOp, ledgerDays) for the report row to pin.
+    */
+  def runDaysStreamed(spark: SparkSession, dir: String,
+                      a: CurationDay.Artifacts): (Boolean, Seq[String]) = {
+    CurationNDay.bootstrapNDay(spark, dir, a)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    landDrop(spark, a, 1); landDrop(spark, a, 2)
+    val q1 = start(spark, a, fetch)
+    try { q1.processAllAvailable() } finally q1.stop()
+    // replay witness: a committed day offered again is a pure no-op
+    val replayNoOp = !CurationNDay.processDay(spark, a, 2,
+      spark.read.parquet(a.dropDay(2)), fetch)
+    CurationNDay.writeDay4Drop(spark, dir, a)
+    landDrop(spark, a, 3); landDrop(spark, a, 4)
+    val q2 = start(spark, a, fetch) // same checkpoint: the restart
+    try { q2.processAllAvailable() } finally q2.stop()
+    (replayNoOp, CurationNDay.ledgerDays(spark, a.ledger))
+  }
+}
