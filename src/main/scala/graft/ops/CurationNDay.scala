@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   * [[processDay]] is (a) a NO-OP when the day is already in the
   * ledger — a replay of a fully-committed micro-batch does nothing —
   * and (b) IDEMPOTENT when re-run after a crash anywhere before the
-  * ledger row, because every step is: an overwrite of a day-k
+  * ledger row, because the day's decisions are PINNED before any
+  * mutation (a replay reuses the pin — see [[processDayBody]]; naive
+  * recomputation would self-collide with the day's own index
+  * contributions) and every mutation is: an overwrite of a day-k
   * artifact derived from the day-(k−1) artifact
   * ([[CurationDay.admitDayOf]] manifest fold, agg/cent state folds),
   * an anti-joined append ([[Scale.appendDistinctState]], index hash
@@ -167,6 +170,16 @@ object CurationNDay {
     * ledger row and witness that the replayed day converges. Days must
     * arrive in order: day k requires day k−1's manifest (loud fail on
     * an out-of-order drop).
+    *
+    * DECISION PIN (the bug CurationStreamSpec's torn-day test caught
+    * in the first cut): the day's decisions are computed BEFORE any
+    * index mutation and pinned to `decisionsDay(k)`; a replayed day
+    * whose pin completed (`_SUCCESS` present) REUSES it instead of
+    * recomputing — recomputation against an index that already
+    * absorbed this day's own docs would see every admitted doc as its
+    * own exact dup. A crash mid-pin recomputes cleanly (the index is
+    * untouched until the pin exists), and once pinned nothing rewrites
+    * it, so no replay can ever recompute against a self-dirty index.
     */
   private[graft] def processDayBody(spark: SparkSession,
                                     a: CurationDay.Artifacts, k: Int,
@@ -176,9 +189,17 @@ object CurationNDay {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(a.manifestDay(k - 1))),
       s"processDay: day $k arrived before day ${k - 1} was admitted")
-    val dec = CurationDay.decisionsOf(spark, a, corpusFetch, drop)
-      .localCheckpoint(true)
-    dec.write.mode("overwrite").parquet(a.decisionsDay(k))
+    val decPinned = fs.exists(
+      new org.apache.hadoop.fs.Path(a.decisionsDay(k) + "/_SUCCESS"))
+    val dec =
+      if (decPinned)
+        spark.read.parquet(a.decisionsDay(k)).localCheckpoint(true)
+      else {
+        val d = CurationDay.decisionsOf(spark, a, corpusFetch, drop)
+          .localCheckpoint(true)
+        d.write.mode("overwrite").parquet(a.decisionsDay(k))
+        d
+      }
     CurationDay.admitDayOf(spark, a, dec, drop,
       a.manifestDay(k - 1), a.manifestDay(k))
     val ev = spark.read.parquet(a.eventsDay(k))
