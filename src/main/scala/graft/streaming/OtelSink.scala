@@ -33,6 +33,14 @@ object OtelSink {
     def sendSpans(batch: Seq[SpanRecord]): Unit
   }
 
+  trait SummaryTransport extends Serializable {
+    def sendSummaries(batch: Seq[SummaryRecord]): Unit
+  }
+
+  trait LogTransport extends Serializable {
+    def sendLogs(batch: Seq[LogRecord]): Unit
+  }
+
   /** Test/collector transport. The instance is serialized into executor
     * tasks, so the accumulation buffer lives in a JVM-static store keyed
     * by transport id (valid in local/test mode; a production OTLP
@@ -158,6 +166,34 @@ object OtelSink {
     df.foreachPartition { it: Iterator[Row] =>
       val batch = it.map(rowToSpan(spec)).toSeq
       if (batch.nonEmpty) transport.sendSpans(batch)
+      acc.add(batch.size)
+    }
+    acc.value
+  }
+
+  /** Executor-side summary export — the [[exportGauges]] shape for the
+    * Summary signal (plan.proto OTelMetricSummary :430-460).
+    */
+  def exportSummaries(df: DataFrame, spec: SummarySpec,
+                      transport: SummaryTransport): Long = {
+    val acc = df.sparkSession.sparkContext
+      .longAccumulator("otel_summaries_exported")
+    df.foreachPartition { it: Iterator[Row] =>
+      val batch = it.map(rowToSummary(spec)).toSeq
+      if (batch.nonEmpty) transport.sendSummaries(batch)
+      acc.add(batch.size)
+    }
+    acc.value
+  }
+
+  /** Executor-side log export (plan.proto OTelLog :380-420). */
+  def exportLogs(df: DataFrame, spec: LogSpec,
+                 transport: LogTransport): Long = {
+    val acc = df.sparkSession.sparkContext
+      .longAccumulator("otel_logs_exported")
+    df.foreachPartition { it: Iterator[Row] =>
+      val batch = it.map(rowToLog(spec)).toSeq
+      if (batch.nonEmpty) transport.sendLogs(batch)
       acc.add(batch.size)
     }
     acc.value

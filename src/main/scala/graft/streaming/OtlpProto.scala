@@ -168,7 +168,8 @@ object OtlpWireCapture {
     String, java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]]()
 }
 class OtlpWireCapture(serviceName: String = "graft")
-    extends OtelSink.Transport with OtelSink.SpanTransport {
+    extends OtelSink.Transport with OtelSink.SpanTransport
+    with OtelSink.SummaryTransport with OtelSink.LogTransport {
   import OtelSink._
   private val id = java.util.UUID.randomUUID().toString
   def captured: java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]] =
@@ -178,6 +179,10 @@ class OtlpWireCapture(serviceName: String = "graft")
     captured.add(OtlpProto.encodeGauges(batch, serviceName))
   def sendSpans(batch: Seq[SpanRecord]): Unit =
     captured.add(OtlpProto.encodeSpans(batch, serviceName))
+  def sendSummaries(batch: Seq[SummaryRecord]): Unit =
+    captured.add(OtlpProto.encodeSummaries(batch, serviceName))
+  def sendLogs(batch: Seq[LogRecord]): Unit =
+    captured.add(OtlpProto.encodeLogs(batch, serviceName))
   /** Drop this instance's JVM-static queue (caller teardown). */
   def close(): Unit = { OtlpWireCapture.store.remove(id); () }
 }
@@ -192,7 +197,8 @@ class OtlpWireCapture(serviceName: String = "graft")
 class OtlpHttpTransport(endpoint: String,
                         headers: Map[String, String] = Map.empty,
                         serviceName: String = "graft")
-    extends OtelSink.Transport with OtelSink.SpanTransport {
+    extends OtelSink.Transport with OtelSink.SpanTransport
+    with OtelSink.SummaryTransport with OtelSink.LogTransport {
   import OtelSink._
 
   def send(batch: Seq[MetricRecord]): Unit =
