@@ -762,11 +762,54 @@ object Dedup {
                               batch: DataFrame, textCol: String,
                               idCol: String, n: Int = 3, k: Int = 16,
                               bands: Int = 4,
-                              threshold: Double = 0.8): DataFrame = {
+                              threshold: Double = 0.8): DataFrame =
+    indexedDecisions(indexPath, corpus, batch, textCol, idCol, n, k,
+      bands, threshold, bucketCap = 0)
+
+  /** [[incrementalDedupIndexed]] with a BUCKET CAP — the degenerate-
+    * bucket guard the q502 health card's `max_bucket` column watches
+    * for: one boilerplate-heavy LSH bucket holding B corpus docs turns
+    * a delta day's candidate join into O(B · colliding-delta-docs)
+    * verify work, quadratic in the hot content at 100 TB. Policy
+    * (deterministic, SQL-re-derivable — q515's oracle encodes it
+    * verbatim): each (band, band_hash) bucket contributes at most
+    * `bucketCap` corpus members to candidate generation, the KEEPERS
+    * being the lowest-id members (rank by corpus_id). DISCLOSURE: the
+    * decision ledger grows a `hit_capped_bucket` column — true for a
+    * batch doc whose band lookup landed in a bucket larger than the
+    * cap, i.e. exactly the docs whose near-dup verdict may have been
+    * truncated; an operator routes those to a slow-path recheck or
+    * accepts the bounded miss. The rank window shuffles only the
+    * index band table (model-sized next to the corpus), never the
+    * corpus or the delta.
+    */
+  def incrementalDedupCapped(indexPath: String, corpus: DataFrame,
+                             batch: DataFrame, textCol: String,
+                             idCol: String, n: Int = 3, k: Int = 16,
+                             bands: Int = 4, threshold: Double = 0.8,
+                             bucketCap: Int = 8): DataFrame = {
+    require(bucketCap > 0, "incrementalDedupCapped: bucketCap > 0")
+    indexedDecisions(indexPath, corpus, batch, textCol, idCol, n, k,
+      bands, threshold, bucketCap)
+  }
+
+  private def indexedDecisions(indexPath: String, corpus: DataFrame,
+                               batch: DataFrame, textCol: String,
+                               idCol: String, n: Int, k: Int,
+                               bands: Int, threshold: Double,
+                               bucketCap: Int): DataFrame = {
     val spark = batch.sparkSession
     val corpusHash = spark.read.parquet(s"$indexPath/hashes.parquet")
       .withColumn("in_corpus", lit(true))
-    val bandC = spark.read.parquet(s"$indexPath/bands.parquet")
+    val bandC0 = spark.read.parquet(s"$indexPath/bands.parquet")
+    val bandC =
+      if (bucketCap <= 0) bandC0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("band", "band_hash").orderBy("corpus_id")
+        bandC0.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= bucketCap).drop("__rk")
+      }
     val hash = md5(col(textCol).cast("binary"))
     val b = batch.select(col(idCol), col(textCol), hash.as("content_hash"))
     val firstPerHash = b.groupBy("content_hash")
@@ -797,12 +840,27 @@ object Dedup {
         (col("nb") + col("nc") - col("i")) >= threshold)
       .select(col("batch_id").as(idCol)).distinct()
       .withColumn("near_corpus", lit(true))
-    flagged.join(near, Seq(idCol), "left")
+    val decisions = flagged.join(near, Seq(idCol), "left")
       .select(col(idCol),
         when(col("in_corpus").isNotNull, lit("dup_exact_corpus"))
           .when(col(idCol) =!= col("first_id"), lit("dup_exact_batch"))
           .when(col("near_corpus").isNotNull, lit("near_dup_corpus"))
           .otherwise(lit("admitted")).as("decision"))
+    if (bucketCap <= 0) decisions
+    else {
+      // disclosure column: which batch docs looked up a bucket larger
+      // than the cap (their near-dup verdict may be truncated). Sizes
+      // come from the UNCAPPED index aggregate — model-sized.
+      val sizes = bandC0.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("__bsz"))
+      val hot = bandB.join(sizes, Seq("band", "band_hash"))
+        .where(col("__bsz") > bucketCap)
+        .select(col("batch_id").as(idCol)).distinct()
+        .withColumn("__hot", lit(true))
+      decisions.join(hot, Seq(idCol), "left")
+        .select(col(idCol), col("decision"),
+          coalesce(col("__hot"), lit(false)).as("hit_capped_bucket"))
+    }
   }
 
   /** SoftDeDup: duplicate REWEIGHTING instead of removal (He et al.,

@@ -278,7 +278,21 @@ object Curation {
     */
   private[queries] def dedupDecisionCtes(corpusSrc: String = "corpus",
                                          batchSrc: String = "batch",
-                                         sfx: String = ""): String =
+                                         sfx: String = "",
+                                         corpusBandCap: Int = 0): String = {
+    // cap > 0: each corpus LSH bucket contributes its `cap` lowest-id
+    // members only — the Dedup.incrementalDedupCapped policy, encoded
+    // verbatim (q515); cap = 0 emits the historical text unchanged.
+    val candSrc = if (corpusBandCap > 0) s"bandscap$sfx" else s"bandsc$sfx"
+    val capCte =
+      if (corpusBandCap <= 0) ""
+      else
+        s"""bandscap$sfx AS (SELECT doc_id, band, bh FROM (
+           |  SELECT doc_id, band, bh,
+           |    row_number() OVER (PARTITION BY band, bh ORDER BY doc_id)
+           |      AS rk
+           |  FROM bandsc$sfx) WHERE rk <= $corpusBandCap),
+           |""".stripMargin
     s"""bhash$sfx AS (SELECT doc_id, md5(text) AS h FROM $batchSrc),
        |firsts$sfx AS (SELECT h, min(doc_id) AS first_id FROM bhash$sfx GROUP BY h),
        |chash$sfx AS (SELECT DISTINCT md5(text) AS h FROM $corpusSrc),
@@ -291,8 +305,8 @@ object Curation {
        |${sigCtes(corpusSrc, s"c$sfx")},
        |bandsb$sfx AS (${bandsSql(s"b$sfx")}),
        |bandsc$sfx AS (${bandsSql(s"c$sfx")}),
-       |cand$sfx AS MATERIALIZED (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-       |  FROM bandsb$sfx b JOIN bandsc$sfx c ON b.band = c.band AND b.bh = c.bh),
+       |${capCte}cand$sfx AS MATERIALIZED (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM bandsb$sfx b JOIN $candSrc c ON b.band = c.band AND b.bh = c.bh),
        |gb$sfx AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM surv$sfx),
        |gc$sfx AS (SELECT DISTINCT doc_id, unnest($sh) AS g FROM $corpusSrc
        |  WHERE doc_id IN (SELECT corpus_id FROM cand$sfx)),
@@ -315,6 +329,7 @@ object Curation {
        |FROM $batchSrc b
        |JOIN bhash$sfx ON bhash$sfx.doc_id = b.doc_id
        |JOIN firsts$sfx f ON f.h = bhash$sfx.h)""".stripMargin
+  }
 
   /** IVFADC oracle: the q246 per-subspace canonical-pick re-derivation,
     * extended with the L2 cell quantizer and residual stage. Every tie

@@ -191,7 +191,48 @@ object Curation10 {
             "severity", "body")
           .orderBy("signal", "attr", "t_ns")
       } finally { sw.close(); lw.close() }
+    }),
+
+    // LSH bucket-cap policy on a PLANTED hot bucket: 30 corpus docs
+    // sharing a 45-word prefix (the boilerplate-degeneracy shape)
+    // drive their shared buckets past the cap; a probe doc with the
+    // same prefix arrives in the delta. The capped candidate
+    // generator keeps each bucket's 8 lowest-id members, decisions
+    // carry the hit_capped_bucket disclosure column, and the oracle
+    // re-derives the IDENTICAL rank-cap policy in SQL — capped
+    // behavior is gated, not just bounded. Round11Spec additionally
+    // pins that the plant really exceeds the cap and the probe really
+    // gets flagged (non-vacuity).
+    "q515_lsh_bucket_cap" -> ((s, dir) => {
+      val root = Curation2.tempIndexDir("graft_bucket_cap_")
+      try {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val plantC = s.range(1, 31)
+          .select((col("id") + 9300000L).as("doc_id"),
+            concat(lit(CapPrefix + " w"), col("id").cast("string"))
+              .as("text"))
+        val corpus = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+          .unionByName(plantC)
+        val batch = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+          .unionByName(s.range(1)
+            .select(lit(9300100L).as("doc_id"),
+              lit(CapPrefix + " probe").as("text")))
+        graft.ops.Dedup.writeDedupIndex(corpus, "text", "doc_id", root,
+          Curation.NGRAM, Curation.K, Curation.BANDS)
+        graft.ops.Dedup.incrementalDedupCapped(root, corpus, batch,
+            "text", "doc_id", Curation.NGRAM, Curation.K,
+            Curation.BANDS, 0.8, bucketCap = 8)
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally Curation2.deleteDir(root)
     }))
+
+  /** 45 distinct pseudo-words — shared boilerplate prefix for the
+    * q515 hot-bucket plant (engine and oracle build the same strings
+    * from this one constant).
+    */
+  private[queries] val CapPrefix: String =
+    (1 to 45).map("p" + _).mkString(" ")
 
   private val distinctOracle: String =
     """SELECT event_type,
@@ -273,5 +314,27 @@ object Curation10 {
         |    CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END,
         |    event_type || ':' || CAST(n AS VARCHAR)
         |  FROM lg)
-        |ORDER BY signal, attr, t_ns""".stripMargin)
+        |ORDER BY signal, attr, t_ns""".stripMargin,
+
+    "q515_lsh_bucket_cap" ->
+      s"""WITH plantc AS (SELECT CAST(9300000 + i AS BIGINT) AS doc_id,
+         |    '$CapPrefix w' || CAST(i AS VARCHAR) AS text
+         |  FROM generate_series(1, 30) t(i)),
+         |corpus AS MATERIALIZED (SELECT doc_id, text FROM documents
+         |    WHERE doc_id % 5 <> 0
+         |  UNION ALL SELECT * FROM plantc),
+         |batch AS MATERIALIZED (SELECT doc_id, text FROM documents
+         |    WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT CAST(9300100 AS BIGINT),
+         |    '$CapPrefix probe'),
+         |${Curation.dedupDecisionCtes(corpusBandCap = 8)},
+         |bsz AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS c
+         |  FROM bandsc GROUP BY 1, 2),
+         |hot AS (SELECT DISTINCT b.doc_id FROM bandsb b
+         |  JOIN bsz ON bsz.band = b.band AND bsz.bh = b.bh
+         |  WHERE bsz.c > 8)
+         |SELECT d.doc_id, d.decision,
+         |  (hot.doc_id IS NOT NULL) AS hit_capped_bucket
+         |FROM decisions d LEFT JOIN hot ON hot.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
 }
