@@ -66,6 +66,15 @@ object CurationDay {
     def ledger: String = s"$root/day_ledger"
     def landing: String = s"$root/landing"
     def streamCp: String = s"$root/stream_cp"
+    /** The pipeline's PRODUCT: the curated corpus, materialized
+      * shard-partitioned (what a trainer's loader actually reads;
+      * [[graft.core.Layout.writeShardPartitioned]] layout). Bootstrap
+      * writes the snapshot; each admitted day appends its survivors;
+      * a retraction day rewrites only the touched shards.
+      */
+    def corpusDir: String = s"$root/corpus"
+    def manifestRetract(k: Int): String =
+      s"$root/manifest_retract$k.parquet"
   }
 
   /** NaN/null-guarded event value (the ADVICE house rule): a NaN would

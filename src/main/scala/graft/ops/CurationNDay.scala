@@ -70,8 +70,14 @@ object CurationNDay {
                     a: CurationDay.Artifacts): Unit = {
     val (pool, bench) = CurationDay.poolBench(spark, dir)
     bench.write.mode("overwrite").parquet(a.bench)
-    CurationDay.buildSnapshotArtifacts(pool, bench,
-      pmod(col("doc_id"), lit(8L)) >= 4, a): Unit
+    val curated = CurationDay.buildSnapshotArtifacts(pool, bench,
+      pmod(col("doc_id"), lit(8L)) >= 4, a)
+    // materialize the PRODUCT: the curated snapshot, shard-partitioned
+    // (same shard rule the decisions assign delta docs with)
+    Corpus.shardAssign(curated, "doc_id", CurationDay.NShards)
+      .select("doc_id", "shard").join(curated, "doc_id")
+      .select(col("doc_id"), col("text"), col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(a.corpusDir)
     (1 to 3).foreach { k =>
       pool.where(pmod(col("doc_id"), lit(8L)) === (k - 1).toLong)
         .write.mode("overwrite").parquet(a.dropDay(k))
@@ -202,6 +208,19 @@ object CurationNDay {
       }
     CurationDay.admitDayOf(spark, a, dec, drop,
       a.manifestDay(k - 1), a.manifestDay(k))
+    // corpus append, replay-safe the appendDistinctState way: the
+    // day's admitted docs anti-join a PARTITION-PRUNED read of only
+    // their own shards before appending
+    val adm = CurationDay.admittedOf(dec, drop)
+      .select("doc_id", "text", "shard").localCheckpoint(true)
+    val touched = adm.select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by NShards
+    val existing = spark.read.parquet(a.corpusDir)
+      .where(col("shard").isin(touched.map(Integer.valueOf): _*))
+      .select("doc_id", "shard")
+    adm.join(existing, Seq("doc_id", "shard"), "left_anti")
+      .localCheckpoint(true) // the anti-join reads the table being appended
+      .write.partitionBy("shard").mode("append").parquet(a.corpusDir)
     val ev = spark.read.parquet(a.eventsDay(k))
     Scale.foldAggState(spark.read.parquet(a.aggStateDay(k - 1)), ev,
         "event_type", CurationDay.guardedValue)
@@ -241,6 +260,76 @@ object CurationNDay {
         .select(lit(k).as("day"), col("doc_id"), col("decision"),
           col("shard"))
     }.reduce(_.unionByName(_))
+
+  /** A RETRACTION day (takedown / right-to-erasure through the same
+    * ledgered day mechanism as admission — the lifecycle's inverse
+    * path): remove `retract` doc ids from every artifact the pipeline
+    * owns, touching only retraction-proportional data:
+    *
+    *  1. dedup index — [[Dedup.deleteFromDedupIndex]] (band rows of
+    *     the victims dropped; a content hash dropped only when no
+    *     surviving doc still carries it — found via ONE map-only
+    *     corpus scan against the broadcast victim-hash set), run
+    *     FIRST, while the corpus files are intact;
+    *  2. corpus — only the victims' shard partitions are rewritten
+    *     (partition-pruned read, anti-join, per-shard rewrite);
+    *  3. manifest — untouched shards carry their old rows; touched
+    *     shards RECOMPUTE from their (pruned) post-delete partitions.
+    *     (n_docs/n_tokens/checksum could fold DOWN exactly — xor is
+    *     self-inverse — but min/max don't invert, so the touched-shard
+    *     recompute is the honest primitive; Round11Spec pins that the
+    *     fold-down agrees with the recompute on the foldable columns.)
+    *
+    * Ledger-gated like [[processDay]] and re-run-convergent: after a
+    * crash at any step, the victims are re-derived from the CURRENT
+    * corpus (already-deleted docs simply vanish from the victim set)
+    * and every step is an overwrite or an anti-join.
+    */
+  def retractDay(spark: SparkSession, a: CurationDay.Artifacts,
+                 dayId: String, retract: DataFrame, manifestIn: String,
+                 manifestOut: String): Boolean = {
+    if (ledgerSeen(spark, a.ledger, dayId)) false
+    else {
+      val ids = retract.select("doc_id").distinct().localCheckpoint(true)
+      val corpusPre = spark.read.parquet(a.corpusDir)
+      // victims WITH text + shard: retraction-proportional
+      val victims = corpusPre.join(ids, "doc_id").localCheckpoint(true)
+      val shards = victims.select("shard").distinct()
+        .collect().map(_.getInt(0)).sorted
+      // 1. index delete while corpus files are intact (its stillHeld
+      //    pass is the one map-only corpus scan of the op)
+      Dedup.deleteFromDedupIndex(spark, a.index,
+        corpusPre.select("doc_id", "text"),
+        victims.select("doc_id", "text"), "text", "doc_id")
+      // 2. per-shard corpus rewrite (pruned to the victims' shards)
+      val kept = corpusPre
+        .where(col("shard").isin(shards.map(Integer.valueOf): _*))
+        .join(ids, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val fs = new org.apache.hadoop.fs.Path(a.corpusDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      shards.foreach { sh =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${a.corpusDir}/shard=$sh"), true): Unit
+      }
+      kept.write.partitionBy("shard").mode("append").parquet(a.corpusDir)
+      // 3. manifest: carry untouched shards, recompute touched ones
+      //    from their post-delete partitions
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val touchedNew = graft.core.Layout.shardManifest(
+        spark.read.parquet(a.corpusDir)
+          .where(col("shard").isin(shards.map(Integer.valueOf): _*))
+          .withColumn("n_tok", nTok),
+        "shard", "doc_id", "n_tok", "text")
+      spark.read.parquet(manifestIn)
+        .where(!col("shard").isin(shards.map(Integer.valueOf): _*))
+        .unionByName(touchedNew)
+        .localCheckpoint(true)
+        .write.mode("overwrite").parquet(manifestOut)
+      appendLedger(spark, a.ledger, dayId)
+      true
+    }
+  }
 
   /** The post-day-N state panel, read from the PERSISTED states alone
     * (no event scan): additive agg partials → n_rows/sum_cents/mean,

@@ -56,11 +56,71 @@ object Curation9 {
       a
     })
 
+  /** The RETRACTION day, run once per dir on the BATCH lifecycle's
+    * artifacts (the streamed set stays pristine for q505-q507/q516):
+    * victims = every corpus doc with doc_id % 16 == 1, captured
+    * pre-retraction; returns (artifacts, day-5 re-offer decisions) —
+    * the re-offer is the end-to-end witness that retraction really
+    * removed the docs from the index (a re-offered retracted text
+    * must be ADMITTED again unless a surviving doc still carries it,
+    * which is exactly deleteFromDedupIndex's stillHeld semantics, and
+    * the oracle recomputes the same answer from corpus5).
+    */
+  private val retractCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (CurationDay.Artifacts, org.apache.spark.sql.DataFrame)]()
+  private def retracted(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (CurationDay.Artifacts, org.apache.spark.sql.DataFrame) =
+    retractCache.computeIfAbsent(dir, { d: String =>
+      val a = nDayBatch(s, d)
+      val pre = s.read.parquet(a.corpusDir)
+      val victims = pre.where(pmod(col("doc_id"), lit(16L)) === 1L)
+        .localCheckpoint(true)
+      CurationNDay.retractDay(s, a, "retract1", victims,
+        a.manifestDay(CurationNDay.NDays), a.manifestRetract(1)): Unit
+      // day-5 re-offer drop: min + max retracted texts under new ids,
+      // plus a surviving doc copy as the dup_exact control
+      val post = s.read.parquet(a.corpusDir).localCheckpoint(true)
+      val plant = victims.orderBy("doc_id").limit(1)
+        .select(lit(9400001L).as("doc_id"), col("text"))
+        .unionByName(victims.orderBy(col("doc_id").desc).limit(1)
+          .select(lit(9400002L).as("doc_id"), col("text")))
+        .unionByName(post.orderBy("doc_id").limit(1)
+          .select(lit(9400003L).as("doc_id"), col("text")))
+      val dec5 = CurationDay.decisionsOf(s, a, post, plant)
+        .localCheckpoint(true)
+      (a, dec5)
+    })
+
   val queries: Map[String, QFn] = Map(
 
     "q505_curation_stream_decisions" -> ((s, dir) =>
       CurationNDay.allDecisions(s, streamed(s, dir)._1)
         .orderBy("day", "doc_id")),
+
+    // The pipeline's PRODUCT, gated directly: the materialized
+    // shard-partitioned corpus after the four streamed days ==
+    // the four-times-grown curated corpus, row for row, text and
+    // shard placement included.
+    "q516_curated_corpus" -> ((s, dir) =>
+      s.read.parquet(streamed(s, dir)._1.corpusDir)
+        .select("doc_id", "shard", "text")
+        .orderBy("doc_id")),
+
+    // Retraction day: the manifest after retracting doc_id%16==1
+    // (untouched shards carried, touched shards recomputed from their
+    // pruned post-delete partitions) == the manifest over
+    // grown4-minus-retracted.
+    "q517_retraction_manifest" -> ((s, dir) => {
+      val a = retracted(s, dir)._1
+      s.read.parquet(a.manifestRetract(1)).orderBy("shard")
+    }),
+
+    // Post-retraction re-offer: retracted texts come back ADMITTED
+    // (their hashes/bands really left the index), the surviving-doc
+    // copy stays dup_exact_corpus — decisions against the shrunk
+    // index == the oracle's recompute over corpus5.
+    "q518_post_retraction_decisions" -> ((s, dir) =>
+      retracted(s, dir)._2.orderBy("doc_id")),
 
     "q506_curation_stream_manifest" -> ((s, dir) =>
       s.read.parquet(streamed(s, dir)._1.manifestDay(CurationNDay.NDays))
@@ -208,7 +268,55 @@ object Curation9 {
       |FROM a LEFT JOIN q ON q.event_type = a.event_type
       |ORDER BY a.event_type""".stripMargin
 
+  /** Retraction re-derivation on top of the four-day chain: victims,
+    * the shrunk corpus, and the day-5 re-offer batch.
+    */
+  private def retractionCtes: String =
+    s"""rtext AS (SELECT doc_id, text FROM grown4 WHERE doc_id % 16 = 1),
+       |corpus5 AS MATERIALIZED (SELECT g.doc_id, g.text FROM grown4 g
+       |  ANTI JOIN rtext USING (doc_id)),
+       |batch5 AS (
+       |  SELECT CAST(9400001 AS BIGINT) AS doc_id, text FROM rtext
+       |    WHERE doc_id = (SELECT min(doc_id) FROM rtext)
+       |  UNION ALL SELECT 9400002, text FROM rtext
+       |    WHERE doc_id = (SELECT max(doc_id) FROM rtext)
+       |  UNION ALL SELECT 9400003, text FROM corpus5
+       |    WHERE doc_id = (SELECT min(doc_id) FROM corpus5))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q516_curated_corpus" ->
+      s"""WITH $nDayCtes
+         |SELECT doc_id,
+         |  CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |    % ${CurationDay.NShards} AS INT) AS shard, text
+         |FROM grown4 ORDER BY doc_id""".stripMargin,
+
+    "q517_retraction_manifest" ->
+      s"""WITH $nDayCtes,
+         |$retractionCtes,
+         |m AS (SELECT doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (${h60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS h
+         |  FROM corpus5)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum
+         |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q518_post_retraction_decisions" ->
+      s"""WITH $nDayCtes,
+         |$retractionCtes,
+         |${Curation.dedupDecisionCtes("corpus5", "batch5", "5")},
+         |${Curation8.postGateCtes("5")}
+         |SELECT doc_id, decision,
+         |  CASE WHEN decision = 'admitted'
+         |    THEN CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${CurationDay.NShards} AS INT) END AS shard
+         |FROM final5 ORDER BY doc_id""".stripMargin,
 
     "q505_curation_stream_decisions" -> decisionsOracle,
     // same oracle, second engine path (batch loop)

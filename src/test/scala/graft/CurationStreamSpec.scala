@@ -50,6 +50,10 @@ class CurationStreamSpec extends AnyFunSuite {
         rowsOf(spark.read.parquet(ab.manifestDay(4))))
       assert(rowsOf(CurationNDay.statesPanel(spark, as)) ==
         rowsOf(CurationNDay.statesPanel(spark, ab)))
+      assert(rowsOf(spark.read.parquet(as.corpusDir)
+          .select("doc_id", "shard", "text")) ==
+        rowsOf(spark.read.parquet(ab.corpusDir)
+          .select("doc_id", "shard", "text")))
       // day-4 sentinels witnessed the multi-day index growth
       val planted = CurationNDay.allDecisions(spark, as)
         .where(col("doc_id") >= 9200001L)

@@ -93,6 +93,30 @@ class Round11Spec extends AnyFunSuite {
       new java.io.File(p).getParent)
   }
 
+  test("manifest fold-down: xor self-inverse agrees with recompute on foldable columns") {
+    // A ∪ B built by fold-up; folding B back in with negated masses
+    // must reproduce A's n_docs/n_tokens/checksum EXACTLY (xor is its
+    // own inverse) — while min_id/max_id legitimately don't invert,
+    // which is why retractDay recomputes touched shards instead.
+    def man(rows: Seq[(Long, String)]) =
+      graft.core.Layout.shardManifest(
+        rows.toDF("doc_id", "text")
+          .withColumn("shard", pmod(col("doc_id"), lit(2L)).cast("int"))
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+        "shard", "doc_id", "n_tok", "text")
+    val a = Seq((1L, "x y"), (2L, "y z w"), (4L, "k"))
+    val b = Seq((3L, "p q"), (6L, "r"))
+    val mAB = graft.ops.CurationDay.foldManifest(man(a), man(b))
+    val foldDown = graft.ops.CurationDay.foldManifest(mAB,
+      man(b).withColumn("n_docs", -col("n_docs"))
+        .withColumn("n_tokens", -col("n_tokens")))
+    val got = foldDown.select("shard", "n_docs", "n_tokens", "checksum")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val want = man(a).select("shard", "n_docs", "n_tokens", "checksum")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("compaction invariants: counts identical, files shrink") {
     val pd = tmp("graft_r11_cd_")
     val pc = tmp("graft_r11_cc_")

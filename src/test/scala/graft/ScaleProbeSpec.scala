@@ -548,4 +548,44 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: round-11 families (streamed/batch N-day lifecycle, retraction, state audit)") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // q505 pays the STREAMED 4-day lifecycle cold (bootstrap + four
+      // ledgered days through foreachBatch + kill/restart); q506/q507
+      // are then marginal artifact reads. q508 pays the batch loop.
+      // q517/q518 pay the retraction day + re-offer decisions on top
+      // of the cached batch artifacts. q511-q513 are state
+      // audit/compaction passes (bounded by state size, not events).
+      for ((name, dir, label) <- Seq(
+          ("q505_curation_stream_decisions", src, "sf0.1"),
+          ("q505_curation_stream_decisions", dst, "sf1"),
+          ("q507_curation_stream_states", src, "sf0.1"),
+          ("q507_curation_stream_states", dst, "sf1"),
+          ("q508_curation_nday_decisions", src, "sf0.1"),
+          ("q508_curation_nday_decisions", dst, "sf1"),
+          ("q516_curated_corpus", src, "sf0.1"),
+          ("q516_curated_corpus", dst, "sf1"),
+          ("q517_retraction_manifest", src, "sf0.1"),
+          ("q517_retraction_manifest", dst, "sf1"),
+          ("q518_post_retraction_decisions", src, "sf0.1"),
+          ("q518_post_retraction_decisions", dst, "sf1"),
+          ("q511_distinct_state_audit", src, "sf0.1"),
+          ("q511_distinct_state_audit", dst, "sf1"),
+          ("q512_cent_state_compaction", src, "sf0.1"),
+          ("q512_cent_state_compaction", dst, "sf1"),
+          ("q513_distinct_state_compaction", src, "sf0.1"),
+          ("q513_distinct_state_compaction", dst, "sf1"),
+          ("q515_lsh_bucket_cap", src, "sf0.1"),
+          ("q515_lsh_bucket_cap", dst, "sf1"))) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
