@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.Curation3.queries ++ graft.queries.Curation4.queries ++
       graft.queries.Curation5.queries ++ graft.queries.Curation6.queries ++
       graft.queries.Curation7.queries ++ graft.queries.Curation8.queries ++
-      graft.queries.Curation9.queries ++ graft.queries.Curation10.queries
+      graft.queries.Curation9.queries ++ graft.queries.Curation10.queries ++
+      graft.queries.Curation11.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.Curation3.oracles ++ graft.queries.Curation4.oracles ++
       graft.queries.Curation5.oracles ++ graft.queries.Curation6.oracles ++
       graft.queries.Curation7.oracles ++ graft.queries.Curation8.oracles ++
-      graft.queries.Curation9.oracles ++ graft.queries.Curation10.oracles
+      graft.queries.Curation9.oracles ++ graft.queries.Curation10.oracles ++
+      graft.queries.Curation11.oracles
 }

@@ -864,6 +864,29 @@ object Corpus {
       .drop("__h")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: every GROUP (URL domain,
+    * source, site) lands wholly in ONE split via a deterministic hash
+    * draw on the group key in exact integer ppm — near-duplicates and
+    * templated pages cluster within a domain, so a document-level
+    * random split leaks eval text into training through its intra-
+    * domain near-copies; group-atomic assignment is the standard
+    * defense (the held-out-domain protocol). Pure per-row function of
+    * the group key: NO shuffle, no group materialization, no state —
+    * the same row always lands in the same split on any engine at any
+    * scale. draw = h60(group) mod 1e6; [0, testPpm) → test,
+    * [testPpm, testPpm+valPpm) → val, rest → train.
+    */
+  def groupSplit(df: DataFrame, groupCol: String, valPpm: Long,
+                 testPpm: Long): DataFrame = {
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
+      "groupSplit: ppm weights must be non-negative and sum <= 1e6")
+    val draw = pmod(Dedup.h60(col(groupCol)), lit(1000000L))
+    df.withColumn("split",
+      when(draw < testPpm, lit("test"))
+        .when(draw < testPpm + valPpm, lit("val"))
+        .otherwise(lit("train")))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a row iff its
     * id hashes under the stratum's fraction — reproducible across runs,
     * engines, and partitionings (no RNG, no seed plumbing), the

@@ -75,6 +75,12 @@ object CurationDay {
     def corpusDir: String = s"$root/corpus"
     def manifestRetract(k: Int): String =
       s"$root/manifest_retract$k.parquet"
+    /** The trainer-facing PACK tape ([[Pack]]): day k's sequence
+      * layout + the one-row stream offset persisted after day k.
+      */
+    def packDay(k: Int): String = s"$root/pack_day$k.parquet"
+    def packStateDay(k: Int): String =
+      s"$root/pack_state_day$k.parquet"
   }
 
   /** NaN/null-guarded event value (the ADVICE house rule): a NaN would

@@ -78,6 +78,10 @@ object CurationNDay {
       .select("doc_id", "shard").join(curated, "doc_id")
       .select(col("doc_id"), col("text"), col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(a.corpusDir)
+    // day 0 of the pack tape: the snapshot laid out from token 0
+    Pack.packDayStep(spark, a, 0,
+      spark.read.parquet(a.corpusDir).select(col("doc_id"), col("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")))
     (1 to 3).foreach { k =>
       pool.where(pmod(col("doc_id"), lit(8L)) === (k - 1).toLong)
         .write.mode("overwrite").parquet(a.dropDay(k))
@@ -212,15 +216,19 @@ object CurationNDay {
     // day's admitted docs anti-join a PARTITION-PRUNED read of only
     // their own shards before appending
     val adm = CurationDay.admittedOf(dec, drop)
-      .select("doc_id", "text", "shard").localCheckpoint(true)
+      .select("doc_id", "text", "shard", "n_tok").localCheckpoint(true)
     val touched = adm.select("shard").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by NShards
     val existing = spark.read.parquet(a.corpusDir)
       .where(col("shard").isin(touched.map(Integer.valueOf): _*))
       .select("doc_id", "shard")
-    adm.join(existing, Seq("doc_id", "shard"), "left_anti")
+    adm.select("doc_id", "text", "shard")
+      .join(existing, Seq("doc_id", "shard"), "left_anti")
       .localCheckpoint(true) // the anti-join reads the table being appended
       .write.partitionBy("shard").mode("append").parquet(a.corpusDir)
+    // extend the pack tape by the day's admissions (overwrite of the
+    // day's own layout + state file: replay-idempotent like the rest)
+    Pack.packDayStep(spark, a, k, adm)
     val ev = spark.read.parquet(a.eventsDay(k))
     Scale.foldAggState(spark.read.parquet(a.aggStateDay(k - 1)), ev,
         "event_type", CurationDay.guardedValue)
@@ -329,6 +337,55 @@ object CurationNDay {
       appendLedger(spark, a.ledger, dayId)
       true
     }
+  }
+
+  /** The lifecycle DATASHEET (the "data card" every curated training
+    * corpus ships with — Gebru et al. 2021, "Datasheets for
+    * Datasets"): one long-format (section, metric, value) frame
+    * summarizing the admission funnel, the curated corpus, the pack
+    * tape, the dedup index, and the event states — derived from the
+    * persisted artifacts alone (decision files, manifest, pack state,
+    * index tables, state folds), NEVER a corpus rescan, so producing
+    * the card at 100 TB costs index-and-model-sized reads. q524 gates
+    * every number against a from-scratch DuckDB re-derivation.
+    */
+  def dataCard(spark: SparkSession, a: CurationDay.Artifacts): DataFrame = {
+    def row(sec: String, met: String, src: DataFrame,
+            v: org.apache.spark.sql.Column): DataFrame =
+      src.agg(v.cast("long").as("value"))
+        .select(lit(sec).as("section"), lit(met).as("metric"),
+          col("value"))
+    val dec = allDecisions(spark, a).groupBy("decision")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("decisions").as("section"),
+        col("decision").as("metric"), col("value"))
+    val man = spark.read.parquet(a.manifestDay(NDays))
+    val tape = Pack.fullLayout(spark, a, NDays)
+    val st = spark.read.parquet(a.packStateDay(NDays))
+    val L = Pack.SeqLen
+    val next = col("next_tok")
+    val aggSt = spark.read.parquet(a.aggStateDay(NDays))
+    dec
+      .unionByName(row("corpus", "n_docs", man, sum(col("n_docs"))))
+      .unionByName(row("corpus", "n_tokens", man, sum(col("n_tokens"))))
+      .unionByName(row("pack", "n_tokens", st, max(next)))
+      .unionByName(row("pack", "n_seqs", st,
+        graft.functions.PixieFunctions.idiv(max(next) + (L - 1), L)))
+      .unionByName(row("pack", "tail_pad", st,
+        pmod(lit(L) - pmod(max(next), lit(L)), lit(L))))
+      .unionByName(row("pack", "n_straddle", tape,
+        sum(when(col("first_seq") =!= col("last_seq"), 1L)
+          .otherwise(0L))))
+      .unionByName(row("index", "n_hashes",
+        spark.read.parquet(s"${a.index}/hashes.parquet"), count(lit(1))))
+      .unionByName(row("index", "n_band_rows",
+        spark.read.parquet(s"${a.index}/bands.parquet").distinct(),
+        count(lit(1))))
+      .unionByName(row("states", "n_event_types", aggSt, count(lit(1))))
+      .unionByName(row("states", "n_events", aggSt, sum(col("n_rows"))))
+      .unionByName(row("states", "n_type_user_pairs",
+        Scale.distinctStateCard(spark, a.distinctState, "event_type"),
+        sum(col("n_unique"))))
   }
 
   /** The post-day-N state panel, read from the PERSISTED states alone

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED SEMANTIC dedup index — the embedding-space sibling of
+  * the lexical [[Dedup.writeDedupIndex]] lifecycle, completing the
+  * incremental-day stage family: where the lexical index stores
+  * content hashes + MinHash band rows, this one stores a frozen coarse
+  * quantizer (the SemDeDup cell seeds, fit ONCE on the snapshot) plus
+  * the corpus vectors partitioned BY CELL, so a delta day's semantic
+  * near-dup check touches only the cells its own vectors land in:
+  *
+  *  - [[bootstrap]]: init-only k-means seeds on the snapshot
+  *    ([[graft.functions.MlAggregators.kmeansFit]] with iters = 0 —
+  *    the q251/q253 init-only contract that makes the quantizer
+  *    re-derivable by any engine), then the snapshot vectors written
+  *    cell-partitioned;
+  *  - [[decisions]]: delta vectors → one broadcast-seed map pass to
+  *    assign cells → join ONLY the touched cell partitions of the
+  *    index (partition-pruned scan) → cosine ≥ [[MinCos]] against any
+  *    stored vector ⇒ `dup_sem_corpus`, else `admitted`;
+  *  - [[append]]: admitted delta vectors anti-join their own cells
+  *    (replay-idempotent, the [[Scale.appendDistinctState]] storage
+  *    contract) and append.
+  *
+  * The SEEDS ARE FROZEN at bootstrap — cell assignment must be stable
+  * across days or yesterday's vectors would sit in cells today's
+  * assignment never probes (the standard IVF-index contract: re-fit ⇒
+  * re-index, a compaction-class rebuild, not a daily step).
+  *
+  * 100 TB shape: seeds are model-sized and broadcast; a delta day
+  * reads |delta| vectors plus only the touched cells' partitions; the
+  * within-cell pair work is (cell occupancy)·|delta-in-cell| — grow
+  * the cell count with the corpus to hold occupancy constant, exactly
+  * [[Dedup.semanticDedup]]'s documented contract. q521/q522 gate the
+  * two-day lifecycle (decisions + final index) against a from-scratch
+  * DuckDB re-derivation, with a planted day-2 sentinel witnessing that
+  * day-1 admissions really serve day-2 lookups.
+  */
+object SemIndex {
+
+  val NCells = 8
+  /** Same-cell cosine threshold (the q253 semantic-stage contract —
+    * both engines compare the identical sequential-sum double).
+    */
+  val MinCos = 0.35
+
+  case class Paths(root: String) {
+    def seeds: String = s"$root/sem_seeds.parquet"
+    def index: String = s"$root/sem_index"
+    def decisionsDay(k: Int): String = s"$root/sem_decisions_day$k.parquet"
+  }
+
+  private def vecs(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  /** Fit the frozen quantizer on the snapshot and persist seeds +
+    * the cell-partitioned snapshot index.
+    */
+  def bootstrap(spark: SparkSession, snapshot: DataFrame,
+                p: Paths): Unit = {
+    import spark.implicits._
+    val model = vecs(snapshot)
+      .agg(graft.functions.MlAggregators.kmeansFit(col("e"), NCells,
+        iters = 0).as("m"))
+      .head().getString(0)
+    val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.toDouble).toSeq).toSeq
+    seeds.zipWithIndex.map { case (se, i) => (i + 1, se) }
+      .toDF("sid", "se")
+      .repartition(1).write.mode("overwrite").parquet(p.seeds)
+    assigned(spark, snapshot, p)
+      .write.partitionBy("cell").mode("overwrite").parquet(p.index)
+  }
+
+  def loadSeeds(spark: SparkSession, p: Paths): Seq[Seq[Double]] =
+    spark.read.parquet(p.seeds).orderBy("sid")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq // model-sized
+
+  /** (vec_id, e, n, cell) for a vector frame under the FROZEN seeds. */
+  def assigned(spark: SparkSession, df: DataFrame, p: Paths): DataFrame =
+    Similarity.cellAssign(vecs(df), "vec_id", "e", loadSeeds(spark, p))
+      .drop("cell_cos")
+      .select(col("id").as("vec_id"), col("e"), col("n"), col("cell"))
+
+  /** The delta day's semantic verdicts: `dup_sem_corpus` when any
+    * stored vector in the same cell clears [[MinCos]], else
+    * `admitted`. Scans ONLY the delta's own cell partitions.
+    */
+  def decisions(spark: SparkSession, p: Paths,
+                delta: DataFrame): DataFrame = {
+    import graft.ops.Similarity.dot
+    val asg = assigned(spark, delta, p).localCheckpoint(true)
+    val cells = asg.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by NCells
+    val idx = spark.read.parquet(p.index)
+      .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("cell"), col("e").as("ce"), col("n").as("cn"))
+    val hits = asg.join(idx, Seq("cell"))
+      .where(dot(col("e"), col("ce")) / (col("n") * col("cn"))
+        >= lit(MinCos))
+      .select("vec_id").distinct()
+    asg.join(hits.withColumn("__hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("__hit"), lit("dup_sem_corpus"))
+          .otherwise(lit("admitted")).as("decision"))
+  }
+
+  /** Append a day's ADMITTED vectors to their cells, idempotently
+    * (anti-join against the partition-pruned touched cells).
+    */
+  def append(spark: SparkSession, p: Paths, admitted: DataFrame): Unit = {
+    val asg = assigned(spark, admitted, p).localCheckpoint(true)
+    val cells = asg.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = spark.read.parquet(p.index)
+      .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select("vec_id", "cell")
+    asg.join(existing, Seq("vec_id", "cell"), "left_anti")
+      .localCheckpoint(true) // reads the table being appended
+      .write.partitionBy("cell").mode("append").parquet(p.index)
+  }
+
+  /** One ledgered semantic day: decisions pinned, admitted appended. */
+  def processDay(spark: SparkSession, p: Paths, k: Int,
+                 delta: DataFrame): DataFrame = {
+    val dec = decisions(spark, p, delta).localCheckpoint(true)
+    dec.write.mode("overwrite").parquet(p.decisionsDay(k))
+    append(spark, p,
+      dec.where(col("decision") === "admitted").select("vec_id")
+        .join(delta, "vec_id"))
+    dec
+  }
+
+  /** Model-sized per-cell index card: population + id checksum. */
+  def indexStats(spark: SparkSession, p: Paths): DataFrame =
+    spark.read.parquet(p.index)
+      .withColumn("h", Dedup.h60(col("vec_id").cast("string")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"),
+        expr("bit_xor(h)").as("checksum"))
+}

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/** Round-11 batch, part 2 — the trainer-facing PACK tape over the
+  * streamed N-day lifecycle: the curated corpus laid out as one
+  * contiguous fixed-length-sequence token stream, extended
+  * incrementally by each admitted day ([[graft.ops.Pack]], run inside
+  * the same ledgered day transaction q505–q510 gate). q519 gates the
+  * full four-day tape row-for-row against a from-scratch DuckDB
+  * re-derivation of the whole stream (every start_tok / first_seq /
+  * last_seq); q520 gates the per-day pack report (mass, sequence
+  * span, boundary-straddling docs, stream position).
+  */
+object Curation11 {
+
+  import graft.ops.{CurationDay, CurationNDay, Pack, SemIndex}
+
+  private def h60(x: String) = graft.ops.Dedup.h60Sql(x)
+
+  /** The two-day SEMANTIC-index lifecycle, once per dir per JVM:
+    * bootstrap (frozen seeds + cell-partitioned snapshot index on
+    * vec_id%4 ∈ {2,3}) → day 1 (%4 == 0) decisions + admit → day 2
+    * (%4 == 1 PLUS sentinel 9500001 = verbatim embedding of the
+    * smallest day-1 ADMITTED vector, which must come back
+    * dup_sem_corpus via the APPENDED cells — the lifecycle witness).
+    */
+  private val semCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SemIndex.Paths, org.apache.spark.sql.DataFrame)]()
+  private def semLife(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (SemIndex.Paths, org.apache.spark.sql.DataFrame) =
+    semCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_sem_index_")
+      val p = SemIndex.Paths(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      SemIndex.bootstrap(s,
+        emb.where(pmod(col("vec_id"), lit(4L)).isin(2L, 3L)), p)
+      val dec1 = SemIndex.processDay(s, p, 1,
+        emb.where(pmod(col("vec_id"), lit(4L)) === 0L))
+      val sentinel = dec1.where(col("decision") === "admitted")
+        .orderBy("vec_id").limit(1).select("vec_id")
+        .join(emb, "vec_id")
+        .select(lit(9500001L).as("vec_id"), col("embedding"))
+      val dec2 = SemIndex.processDay(s, p, 2,
+        emb.where(pmod(col("vec_id"), lit(4L)) === 1L)
+          .unionByName(sentinel))
+      val all = dec1.select(lit(1).as("day"), col("vec_id"), col("cell"),
+          col("decision"))
+        .unionByName(dec2.select(lit(2).as("day"), col("vec_id"),
+          col("cell"), col("decision")))
+        .localCheckpoint(true)
+      (p, all)
+    })
+
+  val queries: Map[String, QFn] = Map(
+
+    "q521_sem_index_decisions" -> ((s, dir) =>
+      semLife(s, dir)._2.orderBy("day", "vec_id")),
+
+    "q522_sem_index_card" -> ((s, dir) =>
+      SemIndex.indexStats(s, semLife(s, dir)._1).orderBy("cell")),
+
+    // The pack tape after the four STREAMED days (day 0 = snapshot,
+    // days 1-4 appended inside each day transaction), read back from
+    // the per-day layout files alone.
+    "q519_pack_tape" -> ((s, dir) =>
+      Pack.fullLayout(s, Curation9.streamed(s, dir)._1, CurationNDay.NDays)
+        .orderBy("day", "doc_id")),
+
+    "q520_pack_report" -> ((s, dir) =>
+      Pack.packReport(
+          Pack.fullLayout(s, Curation9.streamed(s, dir)._1,
+            CurationNDay.NDays))
+        .orderBy("day")),
+
+    // Leakage-safe corpus split: documents split train/val/test by a
+    // deterministic ppm hash draw on the SOURCE (domain) key — the
+    // per-(split, source) census plus the leak invariant column
+    // (n_splits per source must be 1, checked in the oracle too).
+    "q523_group_split" -> ((s, dir) => {
+      val assigned = graft.ops.Corpus.groupSplit(
+        t(s, dir, "documents"), "source",
+        valPpm = 100000L, testPpm = 100000L)
+      assigned.groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .join(assigned.groupBy("source")
+          .agg(countDistinct(col("split")).as("n_splits_of_source")),
+          "source")
+        .orderBy("split", "source")
+    }),
+
+    // The lifecycle datasheet over the STREAMED artifacts: every
+    // number read from persisted state, gated against a from-scratch
+    // re-derivation.
+    "q524_data_card" -> ((s, dir) =>
+      CurationNDay.dataCard(s, Curation9.streamed(s, dir)._1)
+        .orderBy("section", "metric")))
+
+  // ---- oracle: the whole token tape, re-derived from scratch --------
+
+  /** The tape in stream order: day 0 = curated snapshot, then each
+    * day's admitted docs, (shard, doc_id)-ordered within the day —
+    * exactly [[graft.ops.Pack.layoutWithOffset]]'s order contract.
+    */
+  private def tapeCtes: String =
+    s"""${Curation9.nDayCtes},
+       |pd AS (SELECT 0 AS day, doc_id, text FROM corpus
+       |  UNION ALL SELECT 1, doc_id, text FROM admf1
+       |  UNION ALL SELECT 2, doc_id, text FROM admf2
+       |  UNION ALL SELECT 3, doc_id, text FROM admf3
+       |  UNION ALL SELECT 4, doc_id, text FROM admf4),
+       |pt AS (SELECT day, doc_id,
+       |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+       |      % ${CurationDay.NShards} AS INT) AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM pd),
+       |tape AS (SELECT day, doc_id, shard, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY day, shard, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum
+       |  FROM pt)""".stripMargin
+
+  private val L = Pack.SeqLen
+
+  // ---- oracle: the semantic-index lifecycle, re-derived ------------
+
+  /** Cell assignment for `src(vec_id, e)` under the frozen seeds
+    * (`sn`): the q253 quantizer contract verbatim — argmax cosine,
+    * ties to the smallest seed id.
+    */
+  private def cellCtes(src: String, sfx: String): String =
+    s"""n$sfx AS (SELECT vec_id, e,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM $src),
+       |cs$sfx AS (SELECT n$sfx.vec_id, sid,
+       |    list_sum(list_transform(range(64), i -> n$sfx.e[i+1] * se[i+1]))
+       |      / (n$sfx.nrm * snrm) AS c
+       |  FROM n$sfx, sn),
+       |cellof$sfx AS (SELECT vec_id, CAST(sid AS INT) AS cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY c DESC, sid) AS rn FROM cs$sfx) WHERE rn = 1),
+       |ix$sfx AS (SELECT cell, n$sfx.vec_id, e, nrm
+       |  FROM n$sfx JOIN cellof$sfx USING (vec_id))""".stripMargin
+
+  /** Same-cell cosine hits of `delta` against `idx`, then verdicts. */
+  private def semDayCtes(deltaSrc: String, idxSrc: String,
+                         sfx: String): String =
+    s"""${cellCtes(deltaSrc, sfx)},
+       |hit$sfx AS (SELECT DISTINCT a.vec_id FROM ix$sfx a
+       |  JOIN $idxSrc b ON a.cell = b.cell
+       |  WHERE list_sum(list_transform(range(64), i -> a.e[i+1] * b.e[i+1]))
+       |    / (a.nrm * b.nrm) >= ${SemIndex.MinCos}),
+       |dec$sfx AS (SELECT a.vec_id, a.cell,
+       |    CASE WHEN hit$sfx.vec_id IS NOT NULL THEN 'dup_sem_corpus'
+       |      ELSE 'admitted' END AS decision
+       |  FROM ix$sfx a LEFT JOIN hit$sfx USING (vec_id)),
+       |adm$sfx AS (SELECT a.cell, a.vec_id, a.e, a.nrm FROM ix$sfx a
+       |  JOIN dec$sfx d USING (vec_id)
+       |  WHERE d.decision = 'admitted')""".stripMargin
+
+  private def semCtes: String =
+    s"""v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |snap AS (SELECT * FROM v WHERE vec_id % 4 IN (2, 3)),
+       |cv AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
+       |  FROM (SELECT DISTINCT e FROM snap) ORDER BY e LIMIT 128),
+       |ccount AS (SELECT count(*) AS c FROM cv),
+       |seeds AS (SELECT r.i + 1 AS sid,
+       |    list_transform(cv.e, x -> round_even(x * 1000000, 0) / 1000000)
+       |      AS se
+       |  FROM range(${SemIndex.NCells}) r(i), ccount, cv
+       |  WHERE cv.rn = (r.i * ccount.c) // ${SemIndex.NCells} + 1),
+       |sn AS MATERIALIZED (SELECT sid, se,
+       |    sqrt(list_sum(list_transform(se, x -> x * x))) AS snrm
+       |  FROM seeds),
+       |${cellCtes("snap", "s")},
+       |d1 AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+       |${semDayCtes("d1", "ixs", "1")},
+       |idx2 AS (SELECT cell, vec_id, e, nrm FROM ixs
+       |  UNION ALL SELECT cell, vec_id, e, nrm FROM adm1),
+       |d2 AS (SELECT * FROM v WHERE vec_id % 4 = 1
+       |  UNION ALL SELECT CAST(9500001 AS BIGINT), e FROM v
+       |    WHERE vec_id = (SELECT min(vec_id) FROM dec1
+       |      WHERE decision = 'admitted')),
+       |${semDayCtes("d2", "idx2", "2")},
+       |idx3 AS (SELECT cell, vec_id FROM idx2
+       |  UNION ALL SELECT cell, vec_id FROM adm2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q521_sem_index_decisions" ->
+      s"""WITH $semCtes
+         |SELECT * FROM (
+         |  SELECT 1 AS day, vec_id, cell, decision FROM dec1
+         |  UNION ALL SELECT 2, vec_id, cell, decision FROM dec2)
+         |ORDER BY day, vec_id""".stripMargin,
+
+    "q522_sem_index_card" ->
+      s"""WITH $semCtes
+         |SELECT cell, count(*) AS n_vecs,
+         |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+         |  bit_xor(${h60("CAST(vec_id AS VARCHAR)")}) AS checksum
+         |FROM idx3 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q523_group_split" ->
+      s"""WITH a AS (SELECT *,
+         |    CASE WHEN (${h60("source")}) % 1000000 < 100000 THEN 'test'
+         |      WHEN (${h60("source")}) % 1000000 < 200000 THEN 'val'
+         |      ELSE 'train' END AS split
+         |  FROM documents),
+         |per AS (SELECT split, source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM a GROUP BY 1, 2),
+         |leak AS (SELECT source,
+         |    CAST(count(DISTINCT split) AS BIGINT) AS n_splits_of_source
+         |  FROM a GROUP BY 1)
+         |SELECT source, split, n_docs, n_chars, n_splits_of_source
+         |FROM per JOIN leak USING (source)
+         |ORDER BY split, source""".stripMargin,
+
+    "q524_data_card" ->
+      s"""WITH $tapeCtes,
+         |ev AS (SELECT event_type, user_id, value FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+         |SELECT * FROM (
+         |  SELECT 'decisions' AS section, decision AS metric,
+         |    CAST(count(*) AS BIGINT) AS value FROM (
+         |      SELECT decision FROM final1
+         |      UNION ALL SELECT decision FROM final2
+         |      UNION ALL SELECT decision FROM final3
+         |      UNION ALL SELECT decision FROM final4) GROUP BY 2
+         |  UNION ALL SELECT 'corpus', 'n_docs', count(*) FROM grown4
+         |  UNION ALL SELECT 'corpus', 'n_tokens',
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |    FROM grown4
+         |  UNION ALL SELECT 'pack', 'n_tokens', max(cum) FROM tape
+         |  UNION ALL SELECT 'pack', 'n_seqs',
+         |    (max(cum) + ${L - 1}) // $L FROM tape
+         |  UNION ALL SELECT 'pack', 'tail_pad',
+         |    ($L - max(cum) % $L) % $L FROM tape
+         |  UNION ALL SELECT 'pack', 'n_straddle',
+         |    CAST(sum(CASE WHEN (cum - n_tok) // $L <> (cum - 1) // $L
+         |      THEN 1 ELSE 0 END) AS BIGINT) FROM tape
+         |  UNION ALL SELECT 'index', 'n_hashes',
+         |    count(DISTINCT md5(text)) FROM grown4
+         |  UNION ALL SELECT 'index', 'n_band_rows',
+         |    4 * count(*) FROM grown4
+         |  UNION ALL SELECT 'states', 'n_event_types',
+         |    count(DISTINCT event_type) FROM ev
+         |  UNION ALL SELECT 'states', 'n_events', count(*) FROM ev
+         |  UNION ALL SELECT 'states', 'n_type_user_pairs',
+         |    count(DISTINCT (event_type, user_id)) FROM ev)
+         |ORDER BY section, metric""".stripMargin,
+
+    "q519_pack_tape" ->
+      s"""WITH $tapeCtes
+         |SELECT day, doc_id, shard, n_tok,
+         |  cum - n_tok AS start_tok,
+         |  (cum - n_tok) // $L AS first_seq,
+         |  (cum - 1) // $L AS last_seq
+         |FROM tape ORDER BY day, doc_id""".stripMargin,
+
+    "q520_pack_report" ->
+      s"""WITH $tapeCtes
+         |SELECT day, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min((cum - n_tok) // $L) AS seq_lo,
+         |  max((cum - 1) // $L) AS seq_hi,
+         |  CAST(sum(CASE WHEN (cum - n_tok) // $L <> (cum - 1) // $L
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+         |  max(cum) AS next_tok
+         |FROM tape GROUP BY day ORDER BY day""".stripMargin)
+}

@@ -33,7 +33,7 @@ object Curation9 {
     */
   private val streamCache = new java.util.concurrent.ConcurrentHashMap[
     String, (CurationDay.Artifacts, Boolean, Seq[String])]()
-  private def streamed(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[queries] def streamed(s: org.apache.spark.sql.SparkSession, dir: String)
       : (CurationDay.Artifacts, Boolean, Seq[String]) =
     streamCache.computeIfAbsent(dir, { d: String =>
       val root = Curation2.tempIndexDir("graft_curation_stream_")
@@ -182,7 +182,7 @@ object Curation9 {
        |${Curation8.postGateCtes(s"$k")}""".stripMargin
   }
 
-  private def nDayCtes: String =
+  private[queries] def nDayCtes: String =
     s"""${Curation8.poolBenchCtes},
        |${Curation8.curatedCorpusCtes("doc_id % 8 >= 4")},
        |${dayChain(1, "SELECT doc_id, text FROM pool WHERE doc_id % 8 = 0")},

@@ -156,4 +156,91 @@ class Round11Spec extends AnyFunSuite {
       graft.queries.Curation2.deleteDir(new java.io.File(pc).getParent)
     }
   }
+
+  test("groupSplit: group-atomic, exhaustive, deterministic") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val a = graft.ops.Corpus.groupSplit(docs, "source", 100000L, 100000L)
+      .cache()
+    // every source maps to exactly one split
+    assert(a.groupBy("source")
+      .agg(countDistinct("split").as("n")).where(col("n") =!= 1)
+      .count() == 0)
+    // exhaustive: every row got a split, all three labels legal
+    assert(a.where(col("split").isNull).count() == 0)
+    assert(a.select("split").distinct().collect().map(_.getString(0))
+      .toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic: a second evaluation agrees row for row
+    val b = graft.ops.Corpus.groupSplit(docs, "source", 100000L, 100000L)
+    assert(a.select("doc_id", "split")
+      .except(b.select("doc_id", "split")).count() == 0)
+  }
+
+  test("sem index: bootstrap/decide/append lifecycle on a controlled set") {
+    val root = tmp("graft_r11_sem_")
+    val p = graft.ops.SemIndex.Paths(root)
+    try {
+      // two well-separated directions in 64-dim space
+      def vec(axis: Int, scale: Double): Seq[Double] =
+        Seq.tabulate(64)(i => if (i == axis) scale else 0.001)
+      val snap = Seq(
+        (1L, vec(0, 1.0)), (2L, vec(0, 0.9)),
+        (3L, vec(40, 1.0)), (4L, vec(40, 1.1)))
+        .toDF("vec_id", "embedding")
+      graft.ops.SemIndex.bootstrap(spark, snap, p)
+      // delta: 10 ~ axis-0 family (dup), 11 orthogonal-ish (admitted)
+      val delta = Seq((10L, vec(0, 0.95)), (11L, vec(20, 1.0)))
+        .toDF("vec_id", "embedding")
+      val dec = graft.ops.SemIndex.processDay(spark, p, 1, delta)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(dec(10L) == "dup_sem_corpus")
+      assert(dec(11L) == "admitted")
+      // the admitted vector now serves day 2 (the lifecycle witness)
+      val dec2 = graft.ops.SemIndex.decisions(spark, p,
+          Seq((20L, vec(20, 0.97))).toDF("vec_id", "embedding"))
+        .head()
+      assert(dec2.getString(2) == "dup_sem_corpus")
+      // replaying the append is a no-op (idempotent storage)
+      val n1 = spark.read.parquet(p.index).count()
+      graft.ops.SemIndex.append(spark, p,
+        Seq((11L, vec(20, 1.0))).toDF("vec_id", "embedding"))
+      assert(spark.read.parquet(p.index).count() == n1)
+    } finally graft.queries.Curation2.deleteDir(
+      new java.io.File(root).getParent)
+  }
+
+  test("pack tape: contiguity, offset math, replay-identical state") {
+    val root = tmp("graft_r11_pack_")
+    val a = graft.ops.CurationDay.Artifacts(root)
+    try {
+      val d0 = Seq((1L, 0, 10L), (2L, 1, 130L), (3L, 0, 5L))
+        .toDF("doc_id", "shard", "n_tok")
+      val d1 = Seq((10L, 1, 128L), (11L, 0, 7L))
+        .toDF("doc_id", "shard", "n_tok")
+      graft.ops.Pack.packDayStep(spark, a, 0, d0)
+      graft.ops.Pack.packDayStep(spark, a, 1, d1)
+      val tape = graft.ops.Pack.fullLayout(spark, a, 1)
+        .orderBy("start_tok").collect()
+      // order within a day is (shard, doc_id); stream is contiguous
+      assert(tape.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L, 11L, 10L))
+      assert(tape.head.getLong(4) == 0L)
+      tape.sliding(2).foreach { case Array(p, n) =>
+        assert(p.getLong(4) + p.getLong(3) == n.getLong(4),
+          "tape must be gap-free across days")
+      }
+      // straddle math: doc 2 starts at 15, spans seqs 0..1
+      val doc2 = tape.find(_.getLong(1) == 2L).get
+      assert(doc2.getLong(5) == 0L && doc2.getLong(6) == 1L)
+      // state after day 1 = total tokens
+      val st1 = spark.read.parquet(a.packStateDay(1)).head().getLong(0)
+      assert(st1 == 10L + 130L + 5L + 128L + 7L)
+      // replaying day 1 reproduces byte-identical layout + state
+      val before = tape.map(_.toSeq).toSeq
+      graft.ops.Pack.packDayStep(spark, a, 1, d1)
+      val after = graft.ops.Pack.fullLayout(spark, a, 1)
+        .orderBy("start_tok").collect().map(_.toSeq).toSeq
+      assert(after == before)
+      assert(spark.read.parquet(a.packStateDay(1)).head().getLong(0) == st1)
+    } finally graft.queries.Curation2.deleteDir(
+      new java.io.File(root).getParent)
+  }
 }
