@@ -460,6 +460,41 @@ object Quality {
     * shape), never over raw rows; the clamped sum re-aggregates the
     * same distinct table against the broadcast O(#groups) bounds.
     */
+  /** Population Stability Index — the standard day-over-day drift
+    * monitor an ingest pipeline alarms on (PSI ≥ 0.25 = population
+    * shift; the credit-scoring/ML-monitoring convention): over a
+    * categorical column, PSI = Σ_bins (p − q)·ln(p/q) between the
+    * BASE and CURRENT distributions, add-one smoothed over the union
+    * of observed categories so a category seen on only one side
+    * contributes a finite term instead of ±∞.
+    *
+    * Exactness contract: p and q are exact integer-count ratios; each
+    * bin's term is quantized to 1e-9 BEFORE the sum (the
+    * [[graft.ops.Corpus.lmScore]] micro-nat pattern), so the result
+    * is identical at any partitioning and re-derivable by any engine
+    * from the same counts. Scale: two category-keyed aggregates (each
+    * one shuffle of category-cardinality size) + one model-sized
+    * outer join — the scan dominates, as it must.
+    */
+  def psi(base: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    def cnt(df: DataFrame, n: String) =
+      df.where(col(catCol).isNotNull).groupBy(catCol)
+        .agg(count(lit(1)).as(n))
+    val j = cnt(base, "__b").join(cnt(cur, "__c"), Seq(catCol), "full")
+      .na.fill(0L, Seq("__b", "__c"))
+    val tot = j.agg(sum(col("__b")).as("__tb"), sum(col("__c")).as("__tc"),
+      count(lit(1)).as("__k"))
+    j.crossJoin(broadcast(tot))
+      .select(
+        ((col("__b") + 1.0) / (col("__tb") + col("__k"))).as("p"),
+        ((col("__c") + 1.0) / (col("__tc") + col("__k"))).as("q"))
+      .select(floor((col("p") - col("q")) * log(col("p") / col("q"))
+        * 1000000000.0 + 0.5).cast("long").as("t_q"))
+      .agg(count(lit(1)).as("n_bins"),
+        graft.core.Exact.zround(sum(col("t_q")) / 1000000000.0, 6)
+          .as("psi"))
+  }
+
   def winsorizedMean(df: DataFrame, groupCol: String, valueCol: Column,
                      loPpm: Long = 50000L, hiPpm: Long = 950000L): DataFrame = {
     require(0 <= loPpm && loPpm < hiPpm && hiPpm <= 1000000L,

@@ -133,6 +133,65 @@ object SemIndex {
     dec
   }
 
+  /** IVF top-k retrieval SERVED off the persisted index — the same
+    * artifact that gates admission doubles as the corpus's ANN search
+    * structure (one index, two duties — dedup probe and retrieval).
+    * Each query ranks the frozen seeds by cosine (one broadcast map
+    * pass), probes its `nprobe` best cells' PARTITIONS only, scores
+    * exact cosine within them, and keeps its top `k` (ties to the
+    * smaller vec_id). Standard IVF recall/cost dial: nprobe = 1 is
+    * the dedup probe's regime; nprobe = NCells is exact brute force.
+    *
+    * 100 TB shape: the per-query fan-out is nprobe cells, the scan is
+    * partition-pruned to the union of probed cells, and the top-k is
+    * a per-query window over (probed occupancy · |queries|) scored
+    * rows — never corpus × queries.
+    */
+  def search(spark: SparkSession, p: Paths, queries: DataFrame,
+             k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = loadSeeds(spark, p)
+    val q = vecs(queries).withColumn("n", Similarity.norm(col("e")))
+    val scored = q.withColumn("cells",
+      slice(array_sort(array(seeds.zipWithIndex.map { case (s, i) =>
+        val sNorm = math.sqrt(s.map(x => x * x).sum)
+        struct((-aggregate(zip_with(col("e"), typedLit(s), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("n") * lit(sNorm)))
+            .as("negcos"),
+          lit(i + 1).as("sid"))
+      }: _*)), 1, nprobe))
+    val probes = scored
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("n").as("qn"),
+        explode(col("cells").getField("sid")).as("cell"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by NCells
+    val idx = spark.read.parquet(p.index)
+      .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(idx, Seq("cell"))
+      .withColumn("cos",
+        Similarity.dot(col("qe"), col("e")) / (col("qn") * col("n")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        graft.core.Exact.zround(col("cos"), 6).as("cos"))
+  }
+
+  /** Rewrite each cell partition to ONE file (the day appends leave a
+    * file batch per day per touched cell — the small-files lifecycle
+    * the distinct-state/cent-hist compactors own for their states).
+    * Contents are invariant; only the layout changes.
+    */
+  def compact(spark: SparkSession, p: Paths): Unit = {
+    val all = spark.read.parquet(p.index)
+      .select("vec_id", "e", "n", "cell")
+      .localCheckpoint(true) // pin before overwriting the source files
+    all.repartition(col("cell")).sortWithinPartitions("vec_id")
+      .write.partitionBy("cell").mode("overwrite").parquet(p.index)
+  }
+
   /** Model-sized per-cell index card: population + id checksum. */
   def indexStats(spark: SparkSession, p: Paths): DataFrame =
     spark.read.parquet(p.index)

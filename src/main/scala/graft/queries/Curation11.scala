@@ -97,7 +97,45 @@ object Curation11 {
     // re-derivation.
     "q524_data_card" -> ((s, dir) =>
       CurationNDay.dataCard(s, Curation9.streamed(s, dir)._1)
-        .orderBy("section", "metric")))
+        .orderBy("section", "metric")),
+
+    // IVF top-k retrieval served off the grown semantic index (the
+    // admission artifact doubling as the search structure): queries =
+    // vec_id%8==6, k=5, nprobe=2 — probed-cell-exact answers vs the
+    // oracle's re-derivation of seeds, cells, and ranking.
+    "q525_sem_search" -> ((s, dir) =>
+      graft.ops.SemIndex.search(s, semLife(s, dir)._1,
+          t(s, dir, "embeddings")
+            .where(pmod(col("vec_id"), lit(8L)) === 6L)
+            .select("vec_id", "embedding"),
+          k = 5, nprobe = 2)
+        .orderBy("qid", "rank")),
+
+    // Compaction: rewrite every cell partition to one file; the card
+    // after compaction must equal the pre-compaction oracle (contents
+    // invariant — only the file layout changes).
+    "q526_sem_index_compacted" -> ((s, dir) => {
+      val p = semLife(s, dir)._1
+      graft.ops.SemIndex.compact(s, p)
+      graft.ops.SemIndex.indexStats(s, p).orderBy("cell")
+    }),
+
+    // PSI drift monitor over the lifecycle's event days: each day's
+    // event_type mix vs the bootstrap window, add-one smoothed,
+    // micro-nat-quantized terms (the alarm a production ingest pins
+    // a threshold on).
+    "q527_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+      val base = ev.where(col("ts") < CurationNDay.Cuts.head)
+      (1 to CurationNDay.NDays).map { k =>
+        val lo = col("ts") >= CurationNDay.Cuts(k - 1)
+        val pred = if (k == CurationNDay.NDays) lo
+          else lo && col("ts") < CurationNDay.Cuts(k)
+        graft.ops.Quality.psi(base, ev.where(pred), "event_type")
+          .select(lit(k).as("day"), col("n_bins"), col("psi"))
+      }.reduce(_.unionByName(_)).orderBy("day")
+    }))
 
   // ---- oracle: the whole token tape, re-derived from scratch --------
 
@@ -187,8 +225,8 @@ object Curation11 {
        |    WHERE vec_id = (SELECT min(vec_id) FROM dec1
        |      WHERE decision = 'admitted')),
        |${semDayCtes("d2", "idx2", "2")},
-       |idx3 AS (SELECT cell, vec_id FROM idx2
-       |  UNION ALL SELECT cell, vec_id FROM adm2)""".stripMargin
+       |idx3 AS MATERIALIZED (SELECT cell, vec_id, e, nrm FROM idx2
+       |  UNION ALL SELECT cell, vec_id, e, nrm FROM adm2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -205,6 +243,68 @@ object Curation11 {
          |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
          |  bit_xor(${h60("CAST(vec_id AS VARCHAR)")}) AS checksum
          |FROM idx3 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q525_sem_search" ->
+      s"""WITH $semCtes,
+         |qs AS (SELECT vec_id AS qid, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+         |  FROM v WHERE vec_id % 8 = 6),
+         |qc AS (SELECT qid, CAST(sid AS INT) AS cell FROM (
+         |  SELECT qs.qid, sn.sid, row_number() OVER (PARTITION BY qs.qid
+         |      ORDER BY list_sum(list_transform(range(64),
+         |        i -> qs.e[i+1] * se[i+1])) / (qs.qn * snrm) DESC, sid)
+         |      AS rn
+         |  FROM qs, sn) WHERE rn <= 2),
+         |sc AS (SELECT q.qid, x.vec_id,
+         |    list_sum(list_transform(range(64), i -> q.e[i+1] * x.e[i+1]))
+         |      / (q.qn * x.nrm) AS cos
+         |  FROM qc JOIN qs q USING (qid) JOIN idx3 x ON x.cell = qc.cell)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+         |  round(cos, 6) + 0.0 AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rank FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // compaction is content-invariant: the card after equals the
+    // same re-derivation that gates q522
+    "q526_sem_index_compacted" ->
+      s"""WITH $semCtes
+         |SELECT cell, count(*) AS n_vecs,
+         |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+         |  bit_xor(${h60("CAST(vec_id AS VARCHAR)")}) AS checksum
+         |FROM idx3 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q527_psi_drift" -> {
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22",
+        "2024-01-28").map(d => s"TIMESTAMP '$d 00:00:00'")
+      def dayPred(k: Int): String =
+        if (k == 4) s"ts >= ${cuts(3)}"
+        else s"ts >= ${cuts(k - 1)} AND ts < ${cuts(k)}"
+      def dayPsi(k: Int): String =
+        s"""cc$k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+           |  FROM ev WHERE ${dayPred(k)} GROUP BY 1),
+           |j$k AS (SELECT coalesce(b, 0) AS b, coalesce(c, 0) AS c
+           |  FROM bc FULL JOIN cc$k USING (event_type)),
+           |t$k AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+           |    sum(b) AS tb, sum(c) AS tc FROM j$k),
+           |psi$k AS (SELECT $k AS day,
+           |    CAST(count(*) AS BIGINT) AS n_bins,
+           |    round(sum(CAST(floor(
+           |      ((b + 1.0) / (tb + kk) - (c + 1.0) / (tc + kk))
+           |      * ln(((b + 1.0) / (tb + kk)) / ((c + 1.0) / (tc + kk)))
+           |      * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0, 6)
+           |      + 0.0 AS psi
+           |  FROM j$k, t$k)""".stripMargin
+      s"""WITH ev AS (SELECT event_type, ts FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         |bc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS b
+         |  FROM ev WHERE ts < ${cuts(0)} GROUP BY 1),
+         |${(1 to 4).map(dayPsi).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT * FROM psi1 UNION ALL SELECT * FROM psi2
+         |  UNION ALL SELECT * FROM psi3 UNION ALL SELECT * FROM psi4)
+         |ORDER BY day""".stripMargin
+    },
 
     "q523_group_split" ->
       s"""WITH a AS (SELECT *,

@@ -208,6 +208,85 @@ class Round11Spec extends AnyFunSuite {
       new java.io.File(root).getParent)
   }
 
+  test("sem search: nprobe=NCells equals brute force; compact shrinks files") {
+    val root = tmp("graft_r11_semsearch_")
+    val p = graft.ops.SemIndex.Paths(root)
+    try {
+      val emb = graft.core.Tables(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+      graft.ops.SemIndex.bootstrap(spark,
+        emb.where(pmod(col("vec_id"), lit(2L)) === 0L), p)
+      // two appends -> a file batch per append per touched cell
+      graft.ops.SemIndex.append(spark, p,
+        emb.where(pmod(col("vec_id"), lit(4L)) === 1L))
+      graft.ops.SemIndex.append(spark, p,
+        emb.where(pmod(col("vec_id"), lit(4L)) === 3L))
+      val queries = emb.where(pmod(col("vec_id"), lit(16L)) === 2L)
+      // nprobe = NCells probes every cell == exact brute-force top-k
+      val full = graft.ops.SemIndex.search(spark, p, queries, 3,
+        graft.ops.SemIndex.NCells).collect().map(_.toSeq).toSet
+      import graft.ops.Similarity.{dot, norm}
+      val qv = queries.select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qe"))
+        .withColumn("qn", norm(col("qe")))
+      val brute = qv.crossJoin(
+          spark.read.parquet(p.index).select("vec_id", "e", "n"))
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("n")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          graft.core.Exact.zround(col("cos"), 6).as("cos"))
+        .collect().map(_.toSeq).toSet
+      assert(full == brute)
+      // every query's top-1 at any nprobe >= 1 has cos 1.0 when the
+      // query itself is indexed (vec_id%16==2 is in the %2==0 snapshot)
+      val one = graft.ops.SemIndex.search(spark, p, queries, 1, 1)
+        .collect()
+      assert(one.forall(r => r.getDouble(3) == 1.0))
+      // compaction: contents invariant, files shrink to one per cell
+      def nFiles: Int = {
+        val fs = new org.apache.hadoop.fs.Path(p.index).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(p.index), true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.startsWith("part-")) n += 1 }
+        n
+      }
+      val before = nFiles
+      val statsBefore = graft.ops.SemIndex.indexStats(spark, p)
+        .orderBy("cell").collect().map(_.toSeq).toSeq
+      graft.ops.SemIndex.compact(spark, p)
+      assert(nFiles < before, s"compact must shrink files ($before)")
+      assert(nFiles <= graft.ops.SemIndex.NCells)
+      val statsAfter = graft.ops.SemIndex.indexStats(spark, p)
+        .orderBy("cell").collect().map(_.toSeq).toSeq
+      assert(statsAfter == statsBefore)
+    } finally graft.queries.Curation2.deleteDir(
+      new java.io.File(root).getParent)
+  }
+
+  test("psi: zero on identical mix, grows with shift, order-independent") {
+    val a = Seq.fill(60)("x") ++ Seq.fill(40)("y")
+    val b = Seq.fill(10)("x") ++ Seq.fill(90)("y")
+    def df(xs: Seq[String]) = xs.toDF("event_type")
+    val same = graft.ops.Quality.psi(df(a), df(a), "event_type").head()
+    assert(same.getLong(0) == 2 && same.getDouble(1) == 0.0)
+    val shifted = graft.ops.Quality.psi(df(a), df(b), "event_type")
+      .head().getDouble(1)
+    assert(shifted > 0.25, s"strong shift must alarm: $shifted")
+    // category seen on one side only: finite via add-one smoothing
+    val oneSided = graft.ops.Quality.psi(df(a),
+      df(Seq.fill(100)("z")), "event_type").head()
+    assert(oneSided.getLong(0) == 3 && !oneSided.getDouble(1).isInfinite)
+    // partitioning-independent (quantized terms sum exactly)
+    val p1 = graft.ops.Quality.psi(df(a).repartition(13),
+      df(b).repartition(7), "event_type").head().getDouble(1)
+    assert(p1 == shifted)
+  }
+
   test("pack tape: contiguity, offset math, replay-identical state") {
     val root = tmp("graft_r11_pack_")
     val a = graft.ops.CurationDay.Artifacts(root)
