@@ -68,10 +68,10 @@ object MlScalars {
     *     explicit opt-in for comparing against r5/r6-era outputs.
     * An ONNX-session implementation drops in as a third branch where a
     * model runtime is available (resolution re-attempted every round —
-    * r7, r8, r9, and r10: `com.microsoft.onnxruntime:onnxruntime` is
-    * absent from the pinned offline mirror (r10: no onnx artifact in
-    * any coursier/ivy cache on the host) and COURSIER_MODE=offline
-    * blocks any fetch, so the loud-fail dispatch stands — see README).
+    * r7 through r11: `com.microsoft.onnxruntime:onnxruntime` is absent
+    * from the pinned offline mirror (r10/r11: no onnx artifact in any
+    * coursier/ivy cache on the host) and COURSIER_MODE=offline blocks
+    * any fetch, so the loud-fail dispatch stands — see README).
     */
   def textEmbedding(text: Column, dim: Int,
                     mode: Option[String] = sys.env.get("SPARK_GRAFT_EMBEDDING"))

@@ -292,6 +292,11 @@ object CurationNDay {
     * crash at any step, the victims are re-derived from the CURRENT
     * corpus (already-deleted docs simply vanish from the victim set)
     * and every step is an overwrite or an anti-join.
+    *
+    * The PACK TAPE is deliberately NOT patched here: removing a doc
+    * shifts every later stream position, so the tape is invalid from
+    * the first victim onward — run [[Pack.rebuild]] after retraction
+    * (the compaction-class repair; q528 gates it).
     */
   def retractDay(spark: SparkSession, a: CurationDay.Artifacts,
                  dayId: String, retract: DataFrame, manifestIn: String,

@@ -78,6 +78,32 @@ object Pack {
       .write.mode("overwrite").parquet(a.packStateDay(k))
   }
 
+  /** RETRACTION handling: removing a doc shifts every LATER token
+    * position, so a retraction day invalidates the tape from the first
+    * victim's stream position onward — the tape cannot be patched in
+    * place the way the manifest folds down. This rebuild is the
+    * compaction-class repair: one layout pass over the post-retraction
+    * corpus from token 0 (cost ∝ corpus, amortized against retraction
+    * cadence exactly like index compaction), consolidating the tape
+    * into a single day-0 epoch file and deleting the stale per-day
+    * files. Idempotent: every step is an overwrite or a delete, so a
+    * crashed rebuild re-runs convergently. q528 gates the rebuilt tape
+    * against the oracle's re-derivation over the shrunk corpus.
+    */
+  def rebuild(spark: SparkSession, a: CurationDay.Artifacts,
+              upTo: Int): Unit = {
+    packDayStep(spark, a, 0,
+      spark.read.parquet(a.corpusDir).select(col("doc_id"), col("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")))
+    val fs = new org.apache.hadoop.fs.Path(a.packDay(0))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to upTo).foreach { k =>
+      fs.delete(new org.apache.hadoop.fs.Path(a.packDay(k)), true): Unit
+      fs.delete(new org.apache.hadoop.fs.Path(a.packStateDay(k)),
+        true): Unit
+    }
+  }
+
   /** The full tape after N days: union of the per-day layout files
     * (day-sized each; at production cadence a reader prunes to the
     * days it needs — the union here is the gate's full-tape read).

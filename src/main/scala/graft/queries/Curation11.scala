@@ -120,6 +120,17 @@ object Curation11 {
       graft.ops.SemIndex.indexStats(s, p).orderBy("cell")
     }),
 
+    // The tape after a RETRACTION: positions shift, so the repair is
+    // a rebuild over the shrunk corpus (run on the BATCH lifecycle's
+    // artifacts, whose corpus q517/q518's retraction day already
+    // shrank) — rebuilt tape == the oracle's single-epoch layout over
+    // corpus5.
+    "q528_pack_rebuild" -> ((s, dir) => {
+      val a = Curation9.retracted(s, dir)._1
+      graft.ops.Pack.rebuild(s, a, CurationNDay.NDays)
+      graft.ops.Pack.fullLayout(s, a, 0).orderBy("doc_id")
+    }),
+
     // PSI drift monitor over the lifecycle's event days: each day's
     // event_type mix vs the bootstrap window, add-one smoothed,
     // micro-nat-quantized terms (the alarm a production ingest pins
@@ -273,6 +284,25 @@ object Curation11 {
          |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
          |  bit_xor(${h60("CAST(vec_id AS VARCHAR)")}) AS checksum
          |FROM idx3 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q528_pack_rebuild" ->
+      s"""WITH ${Curation9.nDayCtes},
+         |${Curation9.retractionCtes},
+         |pt AS (SELECT 0 AS day, doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM corpus5),
+         |tape AS (SELECT day, doc_id, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY shard, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM pt)
+         |SELECT day, doc_id, shard, n_tok,
+         |  cum - n_tok AS start_tok,
+         |  (cum - n_tok) // $L AS first_seq,
+         |  (cum - 1) // $L AS last_seq
+         |FROM tape ORDER BY doc_id""".stripMargin,
 
     "q527_psi_drift" -> {
       val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22",

@@ -68,7 +68,7 @@ object Curation9 {
     */
   private val retractCache = new java.util.concurrent.ConcurrentHashMap[
     String, (CurationDay.Artifacts, org.apache.spark.sql.DataFrame)]()
-  private def retracted(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[queries] def retracted(s: org.apache.spark.sql.SparkSession, dir: String)
       : (CurationDay.Artifacts, org.apache.spark.sql.DataFrame) =
     retractCache.computeIfAbsent(dir, { d: String =>
       val a = nDayBatch(s, d)
@@ -271,7 +271,7 @@ object Curation9 {
   /** Retraction re-derivation on top of the four-day chain: victims,
     * the shrunk corpus, and the day-5 re-offer batch.
     */
-  private def retractionCtes: String =
+  private[queries] def retractionCtes: String =
     s"""rtext AS (SELECT doc_id, text FROM grown4 WHERE doc_id % 16 = 1),
        |corpus5 AS MATERIALIZED (SELECT g.doc_id, g.text FROM grown4 g
        |  ANTI JOIN rtext USING (doc_id)),

@@ -588,4 +588,40 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: round-11 tranche 2 (pack tape, sem index, search, psi, split)") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // q519 rides the cached streamed lifecycle (the pack steps run
+      // inside each day transaction); q521 pays the sem-index two-day
+      // lifecycle cold; q525/q526 are then marginal (search probes 2
+      // cells per query; compaction rewrites cell partitions once).
+      // q523/q527 are one-shot scans + model-sized joins. q528 pays
+      // the batch lifecycle + retraction + full-corpus repack.
+      for ((name, dir, label) <- Seq(
+          ("q519_pack_tape", src, "sf0.1"),
+          ("q519_pack_tape", dst, "sf1"),
+          ("q521_sem_index_decisions", src, "sf0.1"),
+          ("q521_sem_index_decisions", dst, "sf1"),
+          ("q525_sem_search", src, "sf0.1"),
+          ("q525_sem_search", dst, "sf1"),
+          ("q526_sem_index_compacted", src, "sf0.1"),
+          ("q526_sem_index_compacted", dst, "sf1"),
+          ("q523_group_split", src, "sf0.1"),
+          ("q523_group_split", dst, "sf1"),
+          ("q524_data_card", src, "sf0.1"),
+          ("q524_data_card", dst, "sf1"),
+          ("q527_psi_drift", src, "sf0.1"),
+          ("q527_psi_drift", dst, "sf1"),
+          ("q528_pack_rebuild", src, "sf0.1"),
+          ("q528_pack_rebuild", dst, "sf1"))) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE $name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
