@@ -495,6 +495,43 @@ object Quality {
           .as("psi"))
   }
 
+  /** [[psi]] against MANY comparison periods in ONE pass over each
+    * input (the daily drift panel a monitor actually renders): the
+    * base contributes one category aggregate, the current side one
+    * (period, category) aggregate, and everything after — per-period
+    * category alignment (base cats appear in every period, add-one
+    * smoothing needs the union), totals, quantized terms — is joins
+    * over MODEL-sized count tables. The N-period panel costs the same
+    * two scans as one [[psi]] call, not 2N.
+    */
+  def psiPanel(base: DataFrame, cur: DataFrame, catCol: String,
+               periodCol: String): DataFrame = {
+    val bc = base.where(col(catCol).isNotNull).groupBy(catCol)
+      .agg(count(lit(1)).as("__b"))
+    val cc = cur.where(col(catCol).isNotNull && col(periodCol).isNotNull)
+      .groupBy(periodCol, catCol).agg(count(lit(1)).as("__c"))
+    val frame = cc.select(periodCol).distinct()
+      .crossJoin(broadcast(bc.select(catCol)))
+      .unionByName(cc.select(periodCol, catCol)).distinct()
+    val j = frame.join(broadcast(bc), Seq(catCol), "left")
+      .join(broadcast(cc), Seq(periodCol, catCol), "left")
+      .na.fill(0L, Seq("__b", "__c"))
+    val tot = j.groupBy(periodCol)
+      .agg(sum(col("__b")).as("__tb"), sum(col("__c")).as("__tc"),
+        count(lit(1)).as("__k"))
+    j.join(broadcast(tot), Seq(periodCol))
+      .select(col(periodCol),
+        ((col("__b") + 1.0) / (col("__tb") + col("__k"))).as("p"),
+        ((col("__c") + 1.0) / (col("__tc") + col("__k"))).as("q"))
+      .select(col(periodCol),
+        floor((col("p") - col("q")) * log(col("p") / col("q"))
+          * 1000000000.0 + 0.5).cast("long").as("t_q"))
+      .groupBy(periodCol)
+      .agg(count(lit(1)).as("n_bins"),
+        graft.core.Exact.zround(sum(col("t_q")) / 1000000000.0, 6)
+          .as("psi"))
+  }
+
   def winsorizedMean(df: DataFrame, groupCol: String, valueCol: Column,
                      loPpm: Long = 50000L, hiPpm: Long = 950000L): DataFrame = {
     require(0 <= loPpm && loPpm < hiPpm && hiPpm <= 1000000L,

@@ -133,19 +133,20 @@ object Curation11 {
 
     // PSI drift monitor over the lifecycle's event days: each day's
     // event_type mix vs the bootstrap window, add-one smoothed,
-    // micro-nat-quantized terms (the alarm a production ingest pins
-    // a threshold on).
+    // micro-nat-quantized terms (the alarm a production ingest pins a
+    // threshold on). The whole panel is ONE psiPanel pass (two scans),
+    // not a scan pair per day.
     "q527_psi_drift" -> ((s, dir) => {
+      val cuts = CurationNDay.Cuts
       val ev = t(s, dir, "events")
         .where(col("ts").isNotNull && col("event_type").isNotNull)
-      val base = ev.where(col("ts") < CurationNDay.Cuts.head)
-      (1 to CurationNDay.NDays).map { k =>
-        val lo = col("ts") >= CurationNDay.Cuts(k - 1)
-        val pred = if (k == CurationNDay.NDays) lo
-          else lo && col("ts") < CurationNDay.Cuts(k)
-        graft.ops.Quality.psi(base, ev.where(pred), "event_type")
-          .select(lit(k).as("day"), col("n_bins"), col("psi"))
-      }.reduce(_.unionByName(_)).orderBy("day")
+      graft.ops.Quality.psiPanel(
+          ev.where(col("ts") < cuts.head),
+          ev.where(col("ts") >= cuts.head).withColumn("day",
+            when(col("ts") < cuts(1), 1).when(col("ts") < cuts(2), 2)
+              .when(col("ts") < cuts(3), 3).otherwise(4)),
+          "event_type", "day")
+        .orderBy("day")
     }))
 
   // ---- oracle: the whole token tape, re-derived from scratch --------

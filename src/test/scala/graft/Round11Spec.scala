@@ -285,6 +285,15 @@ class Round11Spec extends AnyFunSuite {
     val p1 = graft.ops.Quality.psi(df(a).repartition(13),
       df(b).repartition(7), "event_type").head().getDouble(1)
     assert(p1 == shifted)
+    // the one-pass panel equals per-period pairwise psi exactly
+    val cur = df(b).withColumn("period", lit(1))
+      .unionByName(df(a).withColumn("period", lit(2)))
+    val panel = graft.ops.Quality.psiPanel(df(a), cur,
+        "event_type", "period")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(panel(1) == ((2L, shifted)))
+    assert(panel(2) == ((2L, 0.0)))
   }
 
   test("pack tape: contiguity, offset math, replay-identical state") {
