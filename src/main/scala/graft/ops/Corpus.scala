@@ -864,6 +864,32 @@ object Corpus {
       .drop("__h")
   }
 
+  /** BUDGET-CAPPED admission: admit documents in strict priority
+    * order (priority desc, ties to the smaller id) until the
+    * cumulative token budget is exhausted; everything after the first
+    * overflow is DEFERRED to the next window (the daily ingest-quota
+    * policy — strict priority, no knapsack backfill, so the admitted
+    * set is a deterministic PREFIX of the priority order and any
+    * engine re-derives it). `priorityCol` must be integer-valued
+    * (ppm-quantize a float score first — the house rule).
+    *
+    * Scale shape: the global priority-order prefix sum is
+    * [[packSequences]]' two-level shape with band = −priority (the
+    * within-band id order then completes the total order), so the
+    * parallel window runs per priority value and the offset window is
+    * O(#distinct priorities) — quantize the score coarsely enough
+    * that its cardinality stays model-sized (ppm scores: ≤ 1e6+1
+    * bands by construction).
+    */
+  def budgetAdmit(df: DataFrame, idCol: String, tokCol: String,
+                  priorityCol: Column, budgetTokens: Long): DataFrame =
+    packSequences(df.withColumn("__band", -priorityCol), idCol, tokCol,
+        "__band", seqLen = Long.MaxValue)
+      .withColumn("decision",
+        when(col("start_tok") + col(tokCol) <= budgetTokens,
+          lit("admitted")).otherwise(lit("deferred")))
+      .drop("first_seq", "last_seq", "__band")
+
   /** LEAKAGE-SAFE train/val/test split: every GROUP (URL domain,
     * source, site) lands wholly in ONE split via a deterministic hash
     * draw on the group key in exact integer ppm — near-duplicates and

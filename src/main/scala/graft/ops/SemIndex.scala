@@ -179,6 +179,28 @@ object SemIndex {
         graft.core.Exact.zround(col("cos"), 6).as("cos"))
   }
 
+  /** Recall@k of the nprobe-bounded [[search]] against exact brute
+    * force over the SAME index (nprobe = NCells) — the tuning-curve
+    * point an ANN deployment publishes before picking its
+    * recall/latency operating point. Exact integer ppm per query
+    * (ties at the k boundary are deterministic in both engines via
+    * the (cos desc, vec_id) rank rule, so the top-k SETS are
+    * well-defined and recall is exact).
+    */
+  def searchRecall(spark: SparkSession, p: Paths, queries: DataFrame,
+                   k: Int, nprobe: Int): DataFrame = {
+    val approx = search(spark, p, queries, k, nprobe)
+      .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1L))
+    search(spark, p, queries, k, NCells)
+      .select(col("qid"), col("vec_id"))
+      .join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", graft.functions.PixieFunctions.idiv(
+        col("n_hit") * 1000000L, col("k_exact")))
+  }
+
   /** Rewrite each cell partition to ONE file (the day appends leave a
     * file batch per day per touched cell — the small-files lifecycle
     * the distinct-state/cent-hist compactors own for their states).

@@ -131,6 +131,34 @@ object Curation11 {
       graft.ops.Pack.fullLayout(s, a, 0).orderBy("doc_id")
     }),
 
+    // Recall@5 of the nprobe=2 IVF search vs exact brute force over
+    // the same grown index — the ANN operating-point evidence, exact
+    // per-query ppm.
+    "q529_sem_search_recall" -> ((s, dir) =>
+      graft.ops.SemIndex.searchRecall(s, semLife(s, dir)._1,
+          t(s, dir, "embeddings")
+            .where(pmod(col("vec_id"), lit(8L)) === 6L)
+            .select("vec_id", "embedding"),
+          k = 5, nprobe = 2)
+        .orderBy("qid")),
+
+    // Budget-capped admission: strict (priority desc, id) prefix until
+    // the token quota is spent; priority = distinct-word ratio in ppm
+    // (a quality proxy both engines derive identically).
+    "q530_budget_admit" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      graft.ops.Corpus.budgetAdmit(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              size(w).cast("long").as("n_tok"),
+              graft.functions.PixieFunctions.idiv(
+                size(array_distinct(w)).cast("long") * 1000000L,
+                size(w).cast("long")).as("prio")),
+          "doc_id", "n_tok", col("prio"), budgetTokens = 10000L)
+        .select("doc_id", "n_tok", "prio", "start_tok", "decision")
+        .orderBy("doc_id")
+    }),
+
     // PSI drift monitor over the lifecycle's event days: each day's
     // event_type mix vs the bootstrap window, add-one smoothed,
     // micro-nat-quantized terms (the alarm a production ingest pins a
@@ -304,6 +332,54 @@ object Curation11 {
          |  (cum - n_tok) // $L AS first_seq,
          |  (cum - 1) // $L AS last_seq
          |FROM tape ORDER BY doc_id""".stripMargin,
+
+    "q529_sem_search_recall" ->
+      s"""WITH $semCtes,
+         |qs AS (SELECT vec_id AS qid, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+         |  FROM v WHERE vec_id % 8 = 6),
+         |qc AS (SELECT qid, CAST(sid AS INT) AS cell FROM (
+         |  SELECT qs.qid, sn.sid, row_number() OVER (PARTITION BY qs.qid
+         |      ORDER BY list_sum(list_transform(range(64),
+         |        i -> qs.e[i+1] * se[i+1])) / (qs.qn * snrm) DESC, sid)
+         |      AS rn
+         |  FROM qs, sn) WHERE rn <= 2),
+         |sc AS (SELECT q.qid, x.vec_id,
+         |    list_sum(list_transform(range(64), i -> q.e[i+1] * x.e[i+1]))
+         |      / (q.qn * x.nrm) AS cos
+         |  FROM qc JOIN qs q USING (qid) JOIN idx3 x ON x.cell = qc.cell),
+         |approx AS (SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rank FROM sc) WHERE rank <= 5),
+         |scb AS (SELECT q.qid, x.vec_id,
+         |    list_sum(list_transform(range(64), i -> q.e[i+1] * x.e[i+1]))
+         |      / (q.qn * x.nrm) AS cos
+         |  FROM qs q, idx3 x),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rank FROM scb) WHERE rank <= 5)
+         |SELECT e.qid, count(*) AS k_exact,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // count(*) AS recall_ppm
+         |FROM exact e LEFT JOIN approx a USING (qid, vec_id)
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    "q530_budget_admit" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(string_split(text, ' ')))
+         |      AS BIGINT) * 1000000
+         |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS prio
+         |  FROM documents),
+         |o AS (SELECT *, CAST(sum(n_tok) OVER (ORDER BY prio DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum FROM d)
+         |SELECT doc_id, n_tok, prio, cum - n_tok AS start_tok,
+         |  CASE WHEN cum <= 10000 THEN 'admitted' ELSE 'deferred' END
+         |    AS decision
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     "q527_psi_drift" -> {
       val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22",

@@ -296,6 +296,26 @@ class Round11Spec extends AnyFunSuite {
     assert(panel(2) == ((2L, 0.0)))
   }
 
+  test("budgetAdmit: strict priority prefix, budget respected, monotone") {
+    val docs = Seq((1L, 10L, 900L), (2L, 10L, 900L), (3L, 25L, 950L),
+      (4L, 30L, 800L), (5L, 5L, 700L))
+      .toDF("doc_id", "n_tok", "prio")
+    val out = graft.ops.Corpus.budgetAdmit(docs, "doc_id", "n_tok",
+        col("prio"), budgetTokens = 45L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getString(4))).toMap
+    // priority order: 3 (950, 25 tok), 1 (900), 2 (900), 4, 5
+    assert(out(3L) == ((0L, "admitted")))
+    assert(out(1L) == ((25L, "admitted")))
+    assert(out(2L) == ((35L, "admitted"))) // ends at 45 == budget
+    assert(out(4L)._2 == "deferred") // would end at 75
+    assert(out(5L)._2 == "deferred") // strict order: no backfill
+    // a budget >= total admits everything
+    val all = graft.ops.Corpus.budgetAdmit(docs, "doc_id", "n_tok",
+      col("prio"), budgetTokens = 80L)
+    assert(all.where(col("decision") =!= "admitted").count() == 0)
+  }
+
   test("pack tape: contiguity, offset math, replay-identical state") {
     val root = tmp("graft_r11_pack_")
     val a = graft.ops.CurationDay.Artifacts(root)
