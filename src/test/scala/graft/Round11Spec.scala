@@ -204,6 +204,14 @@ class Round11Spec extends AnyFunSuite {
       graft.ops.SemIndex.append(spark, p,
         Seq((11L, vec(20, 1.0))).toDF("vec_id", "embedding"))
       assert(spark.read.parquet(p.index).count() == n1)
+      // replaying the WHOLE day reuses the pinned decisions: without
+      // the pin, vec 11 (already appended) would flag as its own
+      // semantic dup on recomputation
+      val replay = graft.ops.SemIndex.processDay(spark, p, 1, delta)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(replay(11L) == "admitted")
+      assert(replay(10L) == "dup_sem_corpus")
+      assert(spark.read.parquet(p.index).count() == n1)
     } finally graft.queries.Curation2.deleteDir(
       new java.io.File(root).getParent)
   }
