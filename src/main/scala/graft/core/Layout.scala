@@ -158,4 +158,34 @@ object Layout {
         sum(col("__tok")).as("n_tokens"),
         min(col("__id")).as("min_id"), max(col("__id")).as("max_id"),
         expr("bit_xor(__h)").as("checksum"))
+
+  /** DATASET DIFF between two [[shardManifest]] epochs — what a data
+    * steward reviews after any mutating day (admission, retraction,
+    * compaction): per shard, the doc/token deltas and whether the
+    * content checksum moved. Pure model-sized arithmetic over the two
+    * manifests (never a corpus scan — the whole point of keeping
+    * manifests); `status` classifies each shard as unchanged /
+    * changed / new / gone, where `unchanged` asserts the CHECKSUM
+    * matched, not just the counts (substituted content under equal
+    * counts still reads `changed`).
+    */
+  def manifestDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      df.select(col("shard"), col("n_docs").as(s"docs_$sfx"),
+        col("n_tokens").as(s"tokens_$sfx"),
+        col("checksum").as(s"__ck_$sfx"))
+    side(before, "before").join(side(after, "after"), Seq("shard"), "full")
+      .select(col("shard"),
+        coalesce(col("docs_before"), lit(0L)).as("docs_before"),
+        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+        (coalesce(col("docs_after"), lit(0L))
+          - coalesce(col("docs_before"), lit(0L))).as("docs_delta"),
+        (coalesce(col("tokens_after"), lit(0L))
+          - coalesce(col("tokens_before"), lit(0L))).as("tokens_delta"),
+        when(col("__ck_before").isNull, lit("new"))
+          .when(col("__ck_after").isNull, lit("gone"))
+          .when(col("__ck_before") === col("__ck_after"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -218,6 +218,32 @@ object SemIndex {
         col("n_hit") * 1000000L, col("k_exact")))
   }
 
+  /** The full recall-vs-nprobe TUNING CURVE in one frame: mean exact
+    * recall@k at every nprobe from 1 to NCells (the curve an ANN
+    * deployment reads to pick its operating point; the endpoint
+    * nprobe = NCells is exact search, recall 1.0 by construction — a
+    * built-in sanity anchor). The nprobe loop is a bounded driver
+    * loop composing ONE plan; each probe's work is proportional to
+    * the cells it opens, so the whole curve costs ~(NCells/2 + 1)×
+    * brute force. At 100 TB this is a tuning-time operation run on a
+    * query SAMPLE, not the full query log.
+    */
+  def recallCurve(spark: SparkSession, p: Paths, queries: DataFrame,
+                  k: Int): DataFrame = {
+    import graft.functions.PixieFunctions.idiv
+    val exact = search(spark, p, queries, k, NCells)
+      .select(col("qid"), col("vec_id")).localCheckpoint(true)
+    (1 to NCells).map { np =>
+      val approx = search(spark, p, queries, k, np)
+        .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1L))
+      exact.join(approx, Seq("qid", "vec_id"), "left")
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("k_total"))
+        .select(lit(np).as("nprobe"), col("hits"), col("k_total"),
+          idiv(col("hits") * 1000000L, col("k_total")).as("recall_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Rewrite each cell partition to ONE file (the day appends leave a
     * file batch per day per touched cell — the small-files lifecycle
     * the distinct-state/cent-hist compactors own for their states).

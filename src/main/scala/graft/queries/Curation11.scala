@@ -113,7 +113,12 @@ object Curation11 {
 
     // Compaction: rewrite every cell partition to one file; the card
     // after compaction must equal the pre-compaction oracle (contents
-    // invariant — only the file layout changes).
+    // invariant — only the file layout changes). Content-invariance
+    // makes gate ORDER irrelevant (q521/q522/q525/q529 answer the
+    // same before or after); the in-place rewrite itself assumes the
+    // sequential gate harness (a concurrent reader could catch the
+    // rewrite window) — production runs compaction in the maintenance
+    // slot like the dedup-index compactor.
     "q526_sem_index_compacted" -> ((s, dir) => {
       val p = semLife(s, dir)._1
       graft.ops.SemIndex.compact(s, p)
@@ -158,6 +163,27 @@ object Curation11 {
         .select("doc_id", "n_tok", "prio", "start_tok", "decision")
         .orderBy("doc_id")
     }),
+
+    // Dataset diff between manifest epochs: the post-retraction
+    // steward report — per-shard doc/token deltas + checksum-level
+    // change classification, pure manifest arithmetic.
+    "q531_manifest_diff" -> ((s, dir) => {
+      val a = Curation9.retracted(s, dir)._1
+      graft.core.Layout.manifestDiff(
+          s.read.parquet(a.manifestDay(CurationNDay.NDays)),
+          s.read.parquet(a.manifestRetract(1)))
+        .orderBy("shard")
+    }),
+
+    // The recall-vs-nprobe tuning curve over the grown semantic
+    // index (endpoint nprobe=NCells is exact: recall_ppm = 1e6).
+    "q532_sem_recall_curve" -> ((s, dir) =>
+      graft.ops.SemIndex.recallCurve(s, semLife(s, dir)._1,
+          t(s, dir, "embeddings")
+            .where(pmod(col("vec_id"), lit(8L)) === 6L)
+            .select("vec_id", "embedding"),
+          k = 5)
+        .orderBy("nprobe")),
 
     // PSI drift monitor over the lifecycle's event days: each day's
     // event_type mix vs the bootstrap window, add-one smoothed,
@@ -380,6 +406,71 @@ object Curation11 {
          |  CASE WHEN cum <= 10000 THEN 'admitted' ELSE 'deferred' END
          |    AS decision
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q531_manifest_diff" ->
+      s"""WITH ${Curation9.nDayCtes},
+         |${Curation9.retractionCtes},
+         |mfb AS (SELECT CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${CurationDay.NShards} AS INT) AS shard,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |      AS n_tokens,
+         |    bit_xor(${h60("CAST(doc_id AS VARCHAR) || ':' || text")})
+         |      AS ck
+         |  FROM grown4 GROUP BY 1),
+         |mfa AS (SELECT CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${CurationDay.NShards} AS INT) AS shard,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |      AS n_tokens,
+         |    bit_xor(${h60("CAST(doc_id AS VARCHAR) || ':' || text")})
+         |      AS ck
+         |  FROM corpus5 GROUP BY 1)
+         |SELECT shard,
+         |  coalesce(b.n_docs, 0) AS docs_before,
+         |  coalesce(a.n_docs, 0) AS docs_after,
+         |  coalesce(a.n_docs, 0) - coalesce(b.n_docs, 0) AS docs_delta,
+         |  coalesce(a.n_tokens, 0) - coalesce(b.n_tokens, 0)
+         |    AS tokens_delta,
+         |  CASE WHEN b.ck IS NULL THEN 'new'
+         |    WHEN a.ck IS NULL THEN 'gone'
+         |    WHEN b.ck = a.ck THEN 'unchanged'
+         |    ELSE 'changed' END AS status
+         |FROM mfb b FULL JOIN mfa a USING (shard)
+         |ORDER BY shard""".stripMargin,
+
+    "q532_sem_recall_curve" ->
+      s"""WITH $semCtes,
+         |qs AS (SELECT vec_id AS qid, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+         |  FROM v WHERE vec_id % 8 = 6),
+         |qr AS (SELECT qid, CAST(sid AS INT) AS cell,
+         |    CAST(rn AS INT) AS crank FROM (
+         |  SELECT qs.qid, sn.sid, row_number() OVER (PARTITION BY qs.qid
+         |      ORDER BY list_sum(list_transform(range(64),
+         |        i -> qs.e[i+1] * se[i+1])) / (qs.qn * snrm) DESC, sid)
+         |      AS rn
+         |  FROM qs, sn)),
+         |pairs AS (SELECT q.qid, x.vec_id,
+         |    list_sum(list_transform(range(64), i -> q.e[i+1] * x.e[i+1]))
+         |      / (q.qn * x.nrm) AS cos, qr.crank
+         |  FROM qs q JOIN qr ON qr.qid = q.qid
+         |    JOIN idx3 x ON x.cell = qr.cell),
+         |nps AS (SELECT CAST(unnest(range(1, ${SemIndex.NCells + 1}))
+         |    AS INT) AS np),
+         |vis AS (SELECT np, qid, vec_id, cos FROM pairs
+         |  JOIN nps ON crank <= np),
+         |topk AS (SELECT np, qid, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY np, qid
+         |    ORDER BY cos DESC, vec_id) AS r FROM vis) WHERE r <= 5),
+         |ex AS (SELECT qid, vec_id FROM topk
+         |  WHERE np = ${SemIndex.NCells}),
+         |kt AS (SELECT CAST(count(*) AS BIGINT) AS k_total FROM ex),
+         |h AS (SELECT np, CAST(count(*) AS BIGINT) AS hits
+         |  FROM topk JOIN ex USING (qid, vec_id) GROUP BY np)
+         |SELECT np AS nprobe, hits, k_total,
+         |  hits * 1000000 // k_total AS recall_ppm
+         |FROM h, kt ORDER BY nprobe""".stripMargin,
 
     "q527_psi_drift" -> {
       val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22",

@@ -304,6 +304,24 @@ class Round11Spec extends AnyFunSuite {
     assert(panel(2) == ((2L, 0.0)))
   }
 
+  test("manifestDiff: all four statuses, checksum-sensitive under equal counts") {
+    def m(rows: Seq[(Int, Long, Long, Long, Long, Long)]) =
+      rows.toDF("shard", "n_docs", "n_tokens", "min_id", "max_id",
+        "checksum")
+    val before = m(Seq((0, 5L, 50L, 1L, 9L, 111L),
+      (1, 3L, 30L, 2L, 8L, 222L), (2, 4L, 40L, 1L, 7L, 333L)))
+    val after = m(Seq((0, 5L, 50L, 1L, 9L, 111L),
+      (1, 3L, 30L, 2L, 8L, 999L), (3, 2L, 20L, 4L, 6L, 444L)))
+    val d = graft.core.Layout.manifestDiff(before, after)
+      .collect().map(r => r.getInt(0) -> (r.getLong(3), r.getString(5)))
+      .toMap
+    assert(d(0) == ((0L, "unchanged")))
+    // same counts, different checksum: substituted content is CAUGHT
+    assert(d(1) == ((0L, "changed")))
+    assert(d(2) == ((-4L, "gone")))
+    assert(d(3) == ((2L, "new")))
+  }
+
   test("budgetAdmit: strict priority prefix, budget respected, monotone") {
     val docs = Seq((1L, 10L, 900L), (2L, 10L, 900L), (3L, 25L, 950L),
       (4L, 30L, 800L), (5L, 5L, 700L))
