@@ -152,7 +152,7 @@ object CurationNDay {
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
-  private def appendLedger(spark: SparkSession, ledgerPath: String,
+  private[graft] def appendLedger(spark: SparkSession, ledgerPath: String,
                            dayId: String): Unit = {
     import spark.implicits._
     Seq(dayId).toDF("day_id").write.mode("append").parquet(ledgerPath)

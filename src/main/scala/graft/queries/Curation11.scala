@@ -54,10 +54,51 @@ object Curation11 {
       (p, all)
     })
 
+  /** The STREAMED semantic lifecycle (same two days, the
+    * [[graft.streaming.SemStream]] delivery engine: file source →
+    * ledgered foreachBatch days, kill/restart between days, replayed
+    * committed day re-offered and no-op'd) — third engine path onto
+    * q521/q522's oracle.
+    */
+  private val semStreamCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SemIndex.Paths, Seq[String], Boolean)]()
+  private def semStreamed(s: org.apache.spark.sql.SparkSession,
+                          dir: String): (SemIndex.Paths, Seq[String], Boolean) =
+    semStreamCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_sem_stream_")
+      val p = SemIndex.Paths(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (days, stable) = graft.streaming.SemStream.runDaysStreamed(
+        s, d, p, s"$root/landing", s"$root/cp", s"$root/ledger")
+      (p, days, stable)
+    })
+
   val queries: Map[String, QFn] = Map(
 
     "q521_sem_index_decisions" -> ((s, dir) =>
       semLife(s, dir)._2.orderBy("day", "vec_id")),
+
+    // The STREAMED path's decisions, read back from the pinned per-day
+    // files — must equal the batch path's oracle row for row.
+    "q533_sem_stream_decisions" -> ((s, dir) => {
+      val p = semStreamed(s, dir)._1
+      (1 to 2).map { k =>
+        s.read.parquet(p.decisionsDay(k))
+          .select(lit(k).as("day"), col("vec_id"), col("cell"),
+            col("decision"))
+      }.reduce(_.unionByName(_)).orderBy("day", "vec_id")
+    }),
+
+    // The streamed index card + the recovery facts pinned (ledger
+    // exactly [sem1, sem2]; the re-offered committed day added zero
+    // rows).
+    "q534_sem_stream_card" -> ((s, dir) => {
+      val (p, days, stable) = semStreamed(s, dir)
+      SemIndex.indexStats(s, p)
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (stable) "1" else "0"))
+        .orderBy("cell")
+    }),
 
     "q522_sem_index_card" -> ((s, dir) =>
       SemIndex.indexStats(s, semLife(s, dir)._1).orderBy("cell")),
@@ -406,6 +447,22 @@ object Curation11 {
          |  CASE WHEN cum <= 10000 THEN 'admitted' ELSE 'deferred' END
          |    AS decision
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    // same oracle as the batch path (two delivery engines, one answer)
+    "q533_sem_stream_decisions" ->
+      s"""WITH $semCtes
+         |SELECT * FROM (
+         |  SELECT 1 AS day, vec_id, cell, decision FROM dec1
+         |  UNION ALL SELECT 2, vec_id, cell, decision FROM dec2)
+         |ORDER BY day, vec_id""".stripMargin,
+
+    "q534_sem_stream_card" ->
+      s"""WITH $semCtes
+         |SELECT cell, count(*) AS n_vecs,
+         |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+         |  bit_xor(${h60("CAST(vec_id AS VARCHAR)")}) AS checksum,
+         |  'sem1,sem2' AS ledger_days, '1' AS replay_stable
+         |FROM idx3 GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q531_manifest_diff" ->
       s"""WITH ${Curation9.nDayCtes},
