@@ -50,6 +50,9 @@ class Round11Spec extends AnyFunSuite {
       assert(wide.select("doc_id", "decision").collect().toSet ==
         uncapped.collect().toSet)
       assert(wide.where(col("hit_capped_bucket")).count() == 0)
+      // blocking unpersist: suites share the session, and PxlSpec
+      // asserts the CacheManager is empty after its runs
+      capped.unpersist(true): Unit
     } finally graft.queries.Curation2.deleteDir(
       new java.io.File(root).getParent)
   }
@@ -173,6 +176,7 @@ class Round11Spec extends AnyFunSuite {
     val b = graft.ops.Corpus.groupSplit(docs, "source", 100000L, 100000L)
     assert(a.select("doc_id", "split")
       .except(b.select("doc_id", "split")).count() == 0)
+    a.unpersist(true): Unit // shared session: PxlSpec asserts empty cache
   }
 
   test("sem index: bootstrap/decide/append lifecycle on a controlled set") {
