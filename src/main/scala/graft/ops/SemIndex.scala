@@ -257,6 +257,36 @@ object SemIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(p.index)
   }
 
+  /** RE-FIT the quantizer at a new cell count and RE-INDEX — the
+    * operation the occupancy contract prescribes when the corpus has
+    * outgrown its cells (10× vectors at fixed NCells = 10× within-
+    * cell pair work; the fix is more cells, and more cells means a
+    * new frozen quantizer and a full re-index — compaction-class,
+    * scheduled, never a daily step). Fits init-only k-means on the
+    * CURRENT index vectors (the same re-derivable contract as
+    * [[bootstrap]]) and writes a NEW index root, leaving the source
+    * index untouched (cut over atomically by swapping the root the
+    * readers use).
+    */
+  def refit(spark: SparkSession, src: Paths, dst: Paths,
+            nCells: Int): Unit = {
+    import spark.implicits._
+    val v = spark.read.parquet(src.index)
+      .select(col("vec_id"), col("e").cast("array<double>").as("e"))
+    val model = v
+      .agg(graft.functions.MlAggregators.kmeansFit(col("e"), nCells,
+        iters = 0).as("m"))
+      .head().getString(0)
+    val seeds = model.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.toDouble).toSeq).toSeq
+    seeds.zipWithIndex.map { case (se, i) => (i + 1, se) }
+      .toDF("sid", "se")
+      .repartition(1).write.mode("overwrite").parquet(dst.seeds)
+    Similarity.cellAssign(v, "vec_id", "e", seeds).drop("cell_cos")
+      .select(col("id").as("vec_id"), col("e"), col("n"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(dst.index)
+  }
+
   /** Model-sized per-cell index card: population + id checksum. */
   def indexStats(spark: SparkSession, p: Paths): DataFrame =
     spark.read.parquet(p.index)

@@ -205,6 +205,18 @@ object Curation11 {
         .orderBy("doc_id")
     }),
 
+    // Re-fit at 16 cells + re-index (the occupancy-contract repair
+    // when the corpus outgrows its cells): the new index's card ==
+    // the oracle's 16-cell quantizer over the same grown vector set.
+    // Writes a NEW root; the 8-cell lifecycle index is untouched.
+    "q535_sem_refit" -> ((s, dir) => {
+      val src = semLife(s, dir)._1
+      val dst = SemIndex.Paths(src.root + "_refit16")
+      sys.addShutdownHook(Curation2.deleteDir(dst.root))
+      graft.ops.SemIndex.refit(s, src, dst, nCells = 16)
+      SemIndex.indexStats(s, dst).orderBy("cell")
+    }),
+
     // Dataset diff between manifest epochs: the post-retraction
     // steward report — per-shard doc/token deltas + checksum-level
     // change classification, pure manifest arithmetic.
@@ -463,6 +475,31 @@ object Curation11 {
          |  bit_xor(${h60("CAST(vec_id AS VARCHAR)")}) AS checksum,
          |  'sem1,sem2' AS ledger_days, '1' AS replay_stable
          |FROM idx3 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q535_sem_refit" ->
+      s"""WITH $semCtes,
+         |cvr AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
+         |  FROM (SELECT DISTINCT e FROM idx3) ORDER BY e LIMIT 128),
+         |ccr AS (SELECT count(*) AS c FROM cvr),
+         |seedsr AS (SELECT r.i + 1 AS sid,
+         |    list_transform(cvr.e, x -> round_even(x * 1000000, 0) / 1000000)
+         |      AS se
+         |  FROM range(16) r(i), ccr, cvr
+         |  WHERE cvr.rn = (r.i * ccr.c) // 16 + 1),
+         |snr AS (SELECT sid, se,
+         |    sqrt(list_sum(list_transform(se, x -> x * x))) AS snrm
+         |  FROM seedsr),
+         |csr AS (SELECT idx3.vec_id, sid,
+         |    list_sum(list_transform(range(64), i -> idx3.e[i+1] * se[i+1]))
+         |      / (idx3.nrm * snrm) AS c
+         |  FROM idx3, snr),
+         |cellr AS (SELECT vec_id, CAST(sid AS INT) AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY c DESC, sid) AS rn FROM csr) WHERE rn = 1)
+         |SELECT cell, count(*) AS n_vecs,
+         |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+         |  bit_xor(${h60("CAST(vec_id AS VARCHAR)")}) AS checksum
+         |FROM cellr GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q531_manifest_diff" ->
       s"""WITH ${Curation9.nDayCtes},
