@@ -69,6 +69,32 @@ object Dedup {
     * only meet if some band collides, which is what keeps this sub-O(n²)
     * at scale.
     */
+  /** The banding DESIGN CURVE behind every (bands, rows) choice in
+    * this family: for each way to split k signature hashes into b
+    * bands of r rows, the candidate-collision probability at Jaccard
+    * similarity s is 1 − (1 − s^r)^b (the classic MinHash-LSH
+    * S-curve), and the curve's inflection — the effective similarity
+    * threshold the banding enforces — is ≈ (1/b)^(1/r). One
+    * model-sized table per planning call: the tool that turns "grow
+    * bits with log₂(n)" from prose into numbers an operator reads
+    * before picking the banding for a new corpus size.
+    */
+  def lshDesignCurve(spark: org.apache.spark.sql.SparkSession, k: Int,
+                     sPpms: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    import graft.core.Exact.zround
+    val configs = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    configs.toDF("bands", "rows_per_band")
+      .crossJoin(sPpms.toDF("s_ppm"))
+      .withColumn("p_collision", zround(
+        lit(1.0) - pow(lit(1.0) - pow(col("s_ppm") / 1000000.0,
+          col("rows_per_band")), col("bands")), 6))
+      .withColumn("threshold_ppm",
+        floor(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")) * 1000000.0 + 0.5)
+          .cast("long"))
+  }
+
   def lshBands(sigs: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
     // One posexplode pass, NOT a b-way union of selects — a union would
     // recompute the signature aggregate once per band.

@@ -217,6 +217,15 @@ object Curation11 {
       SemIndex.indexStats(s, dst).orderBy("cell")
     }),
 
+    // The MinHash-LSH banding design curve at the family's k=16: every
+    // divisor banding's collision probability across the similarity
+    // grid + its effective threshold — the numbers behind the gate's
+    // (4 bands × 4 rows) choice and the grow-bits-with-log(n) rule.
+    "q536_lsh_design_curve" -> ((s, dir) =>
+      graft.ops.Dedup.lshDesignCurve(s, 16,
+          (1L to 19L).map(_ * 50000L))
+        .orderBy("bands", "s_ppm")),
+
     // Dataset diff between manifest epochs: the post-retraction
     // steward report — per-shard doc/token deltas + checksum-level
     // change classification, pure manifest arithmetic.
@@ -500,6 +509,19 @@ object Curation11 {
          |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
          |  bit_xor(${h60("CAST(vec_id AS VARCHAR)")}) AS checksum
          |FROM cellr GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q536_lsh_design_curve" ->
+      """WITH cfg AS (SELECT CAST(b AS INT) AS bands,
+        |    CAST(16 // b AS INT) AS rows_per_band
+        |  FROM range(1, 17) r(b) WHERE 16 % b = 0),
+        |grid AS (SELECT CAST(s AS BIGINT) AS s_ppm
+        |  FROM range(50000, 950001, 50000) g(s))
+        |SELECT bands, rows_per_band, s_ppm,
+        |  round(1.0 - power(1.0 - power(s_ppm / 1000000.0,
+        |    rows_per_band), bands), 6) + 0.0 AS p_collision,
+        |  CAST(floor(power(1.0 / bands, 1.0 / rows_per_band)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS threshold_ppm
+        |FROM cfg, grid ORDER BY bands, s_ppm""".stripMargin,
 
     "q531_manifest_diff" ->
       s"""WITH ${Curation9.nDayCtes},
