@@ -589,6 +589,35 @@ class ScaleProbeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
 
+  test("sf1 probe: sem-index refit repairs occupancy (8 -> 80 cells at 10x)") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sf1_semrefit_").toString
+    try {
+      // index over ALL sf1 vectors at the gate's 8 cells, then the
+      // occupancy repair: refit at 80 cells (10x data -> 10x cells,
+      // constant occupancy) and re-run the same search against each
+      val p8 = graft.ops.SemIndex.Paths(s"$root/c8")
+      val p80 = graft.ops.SemIndex.Paths(s"$root/c80")
+      val emb = graft.core.Tables(spark, dst, "embeddings")
+        .select("vec_id", "embedding")
+      graft.ops.SemIndex.bootstrap(spark, emb, p8)
+      graft.ops.SemIndex.refit(spark, p8, p80, nCells = 80)
+      val queries = emb.where(pmod(col("vec_id"), lit(16L)) === 6L)
+      for ((p, label) <- Seq((p8, "cells=8"), (p80, "cells=80"))) {
+        val t0 = System.nanoTime()
+        graft.ops.SemIndex.search(spark, p, queries, 5, 2)
+          .write.format("noop").mode("overwrite").save()
+        println(f"SCALEPROBE sem_search_sf1 $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.queries.Curation2.deleteDir(root)
+    }
+  }
+
   test("sf1 probe: round-11 tranche 2 (pack tape, sem index, search, psi, split)") {
     assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
     generate()
