@@ -222,26 +222,62 @@ object SemIndex {
     * recall@k at every nprobe from 1 to NCells (the curve an ANN
     * deployment reads to pick its operating point; the endpoint
     * nprobe = NCells is exact search, recall 1.0 by construction — a
-    * built-in sanity anchor). The nprobe loop is a bounded driver
-    * loop composing ONE plan; each probe's work is proportional to
-    * the cells it opens, so the whole curve costs ~(NCells/2 + 1)×
-    * brute force. At 100 TB this is a tuning-time operation run on a
-    * query SAMPLE, not the full query log.
+    * built-in sanity anchor).
+    *
+    * ONE scored pass, not NCells separate searches: every (query,
+    * index vector) pair is cosine-scored exactly once, tagged with
+    * the CELL RANK of the vector's cell in the query's seed ordering
+    * (a vector is visible to the search at every nprobe ≥ that rank),
+    * then fanned out to its visible nprobe values for a single
+    * (nprobe, query)-keyed top-k window. Work = brute-force scoring +
+    * a ~NCells/2× row fan-out into one shuffle — versus ~(NCells/2
+    * + 1) full search executions for the loop formulation. At 100 TB
+    * this is a tuning-time operation run on a query SAMPLE, not the
+    * full query log.
     */
   def recallCurve(spark: SparkSession, p: Paths, queries: DataFrame,
                   k: Int): DataFrame = {
     import graft.functions.PixieFunctions.idiv
-    val exact = search(spark, p, queries, k, NCells)
-      .select(col("qid"), col("vec_id")).localCheckpoint(true)
-    (1 to NCells).map { np =>
-      val approx = search(spark, p, queries, k, np)
-        .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1L))
-      exact.join(approx, Seq("qid", "vec_id"), "left")
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
-          count(lit(1)).as("k_total"))
-        .select(lit(np).as("nprobe"), col("hits"), col("k_total"),
-          idiv(col("hits") * 1000000L, col("k_total")).as("recall_ppm"))
-    }.reduce(_.unionByName(_))
+    import org.apache.spark.sql.expressions.Window
+    val seeds = loadSeeds(spark, p)
+    val q = vecs(queries).withColumn("n", Similarity.norm(col("e")))
+    val ranked = q.withColumn("cells",
+      array_sort(array(seeds.zipWithIndex.map { case (s, i) =>
+        val sNorm = math.sqrt(s.map(x => x * x).sum)
+        struct((-aggregate(zip_with(col("e"), typedLit(s), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("n") * lit(sNorm)))
+            .as("negcos"),
+          lit(i + 1).as("sid"))
+      }: _*)))
+    val probes = ranked.select(col("vec_id").as("qid"),
+        col("e").as("qe"), col("n").as("qn"),
+        posexplode(col("cells").getField("sid")))
+      .select(col("qid"), col("qe"), col("qn"),
+        (col("pos") + 1).cast("long").as("crank"), col("col").as("cell"))
+    val scored = probes
+      .join(spark.read.parquet(p.index), Seq("cell"))
+      .select(col("qid"), col("vec_id"),
+        (Similarity.dot(col("qe"), col("e"))
+          / (col("qn") * col("n"))).as("cos"),
+        col("crank"))
+    val w = Window.partitionBy("np", "qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val topk = scored
+      .withColumn("np", explode(sequence(col("crank"),
+        lit(NCells.toLong))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("np", "qid", "vec_id")
+      .localCheckpoint(true) // feeds both the exact set and the join
+    val exact = topk.where(col("np") === NCells)
+      .select(col("qid"), col("vec_id")).withColumn("__hit", lit(1L))
+    topk.join(exact, Seq("qid", "vec_id"), "left")
+      .groupBy("np")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("k_total"))))
+      .select(col("np").cast("int").as("nprobe"), col("hits"),
+        col("k_total"),
+        idiv(col("hits") * 1000000L, col("k_total")).as("recall_ppm"))
   }
 
   /** Rewrite each cell partition to ONE file (the day appends leave a

@@ -257,6 +257,16 @@ class Round11Spec extends AnyFunSuite {
       val one = graft.ops.SemIndex.search(spark, p, queries, 1, 1)
         .collect()
       assert(one.forall(r => r.getDouble(3) == 1.0))
+      // the one-pass curve equals the per-nprobe loop formulation
+      val curve = graft.ops.SemIndex.recallCurve(spark, p, queries, 3)
+        .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+      for (np <- 1 to graft.ops.SemIndex.NCells) {
+        val loop = graft.ops.SemIndex.searchRecall(spark, p, queries, 3, np)
+          .agg(sum("n_hit"), sum("k_exact")).head()
+        assert(curve(np) == loop.getLong(0) * 1000000L / loop.getLong(1),
+          s"curve vs loop mismatch at nprobe=$np")
+      }
+      assert(curve(graft.ops.SemIndex.NCells) == 1000000L)
       // compaction: contents invariant, files shrink to one per cell
       def nFiles: Int = {
         val fs = new org.apache.hadoop.fs.Path(p.index).getFileSystem(
