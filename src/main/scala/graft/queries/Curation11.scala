@@ -226,6 +226,23 @@ object Curation11 {
           (1L to 19L).map(_ * 50000L))
         .orderBy("bands", "s_ppm")),
 
+    // Language-mix drift per ADMITTED day vs the curated snapshot —
+    // the monitor a multilingual pipeline alarms on when one day's
+    // crawl skews the mix (PSI over lang, one psiPanel pass; base =
+    // the snapshot ids from the tape's day 0, days = the admitted
+    // decisions joined back to the documents table for lang).
+    "q537_lang_drift" -> ((s, dir) => {
+      val a = Curation9.streamed(s, dir)._1
+      val lang = t(s, dir, "documents").select("doc_id", "lang")
+      val base = s.read.parquet(a.packDay(0)).select("doc_id")
+        .join(lang, "doc_id")
+      val cur = CurationNDay.allDecisions(s, a)
+        .where(col("decision") === "admitted").select("day", "doc_id")
+        .join(lang, "doc_id")
+      graft.ops.Quality.psiPanel(base, cur, "lang", "day")
+        .orderBy("day")
+    }),
+
     // Dataset diff between manifest epochs: the post-retraction
     // steward report — per-shard doc/token deltas + checksum-level
     // change classification, pure manifest arithmetic.
@@ -522,6 +539,37 @@ object Curation11 {
         |  CAST(floor(power(1.0 / bands, 1.0 / rows_per_band)
         |    * 1000000.0 + 0.5) AS BIGINT) AS threshold_ppm
         |FROM cfg, grid ORDER BY bands, s_ppm""".stripMargin,
+
+    "q537_lang_drift" ->
+      s"""WITH ${Curation9.nDayCtes},
+         |lg AS (SELECT doc_id, lang FROM documents),
+         |bl AS (SELECT lang FROM corpus JOIN lg USING (doc_id)),
+         |cl AS (
+         |  SELECT 1 AS day, lang FROM admf1 JOIN lg USING (doc_id)
+         |  UNION ALL SELECT 2, lang FROM admf2 JOIN lg USING (doc_id)
+         |  UNION ALL SELECT 3, lang FROM admf3 JOIN lg USING (doc_id)
+         |  UNION ALL SELECT 4, lang FROM admf4 JOIN lg USING (doc_id)),
+         |bc AS (SELECT lang, CAST(count(*) AS BIGINT) AS b
+         |  FROM bl GROUP BY 1),
+         |cc AS (SELECT day, lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM cl GROUP BY 1, 2),
+         |frame AS (SELECT DISTINCT day, lang FROM (
+         |  SELECT day, lang FROM cc
+         |  UNION ALL SELECT d.day, bc.lang
+         |    FROM (SELECT DISTINCT day FROM cc) d, bc)),
+         |j AS (SELECT f.day, f.lang, coalesce(b, 0) AS b,
+         |    coalesce(c, 0) AS c
+         |  FROM frame f LEFT JOIN bc USING (lang)
+         |    LEFT JOIN cc USING (day, lang)),
+         |t AS (SELECT day, CAST(count(*) AS BIGINT) AS kk,
+         |    sum(b) AS tb, sum(c) AS tc FROM j GROUP BY 1)
+         |SELECT day, CAST(count(*) AS BIGINT) AS n_bins,
+         |  round(sum(CAST(floor(
+         |    ((b + 1.0) / (tb + kk) - (c + 1.0) / (tc + kk))
+         |    * ln(((b + 1.0) / (tb + kk)) / ((c + 1.0) / (tc + kk)))
+         |    * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0, 6)
+         |    + 0.0 AS psi
+         |FROM j JOIN t USING (day) GROUP BY day ORDER BY day""".stripMargin,
 
     "q531_manifest_diff" ->
       s"""WITH ${Curation9.nDayCtes},
