@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted PERCEPTUAL dedup index — the image-modality sibling
+  * of the lexical ([[Dedup.writeDedupIndex]]) and semantic
+  * ([[SemIndex]]) index lifecycles, completing incremental
+  * near-duplicate admission across all three modalities. Stores the
+  * corpus dHashes ([[Multimodal.dHash]] row-bytes) plus their four
+  * 16-bit Hamming bands (the Manku et al. WWW'07 SimHash-search
+  * layout [[Multimodal.phashNearDup]] uses batch-side): a delta day's
+  * images band-join ONLY colliding buckets, verify exact Hamming
+  * against the id-pruned candidate hash fetch, and admitted hashes
+  * append anti-joined. Recall is exact for maxDist < 4 (pigeonhole
+  * over 4 bands).
+  *
+  * Same replay contract as the other two indexes: decisions PIN
+  * before any mutation, appends are anti-joined, so a replayed day
+  * converges. 100 TB shape: the index is hash-sized (9 longs per
+  * image + 4 band rows), a day touches delta bands + colliding
+  * buckets + candidate hash rows — never corpus × delta.
+  */
+object PhashIndex {
+
+  val MaxDist = 3
+
+  case class Paths(root: String) {
+    def hashes: String = s"$root/phash_hashes.parquet"
+    def bands: String = s"$root/phash_bands.parquet"
+    def decisionsDay(k: Int): String =
+      s"$root/phash_decisions_day$k.parquet"
+  }
+
+  private def rcols = (0 until 8).map(i => col(s"r$i"))
+
+  private def hashRows(hashed: DataFrame): DataFrame =
+    hashed.select(col("media_id") +: rcols: _*)
+
+  private def bandRows(h: DataFrame): DataFrame =
+    h.select(col("media_id"),
+      posexplode(array((0 until 4).map(b =>
+        col(s"r${2 * b}") * 256L + col(s"r${2 * b + 1}")): _*))
+        .as(Seq("band", "bv")))
+
+  /** Persist the snapshot corpus's hashes + band rows. */
+  def write(spark: SparkSession, hashed: DataFrame, p: Paths): Unit = {
+    val h = hashRows(hashed).localCheckpoint(true)
+    h.write.mode("overwrite").parquet(p.hashes)
+    bandRows(h).write.mode("overwrite").parquet(p.bands)
+  }
+
+  /** Delta-day verdicts: `dup_phash_corpus` when any stored hash
+    * within [[MaxDist]] Hamming shares a band, else `admitted`.
+    */
+  def decisions(spark: SparkSession, p: Paths,
+                delta: DataFrame): DataFrame = {
+    val d = hashRows(delta).localCheckpoint(true)
+    val cand = bandRows(d)
+      .select(col("media_id").as("__did"), col("band"), col("bv"))
+      .join(spark.read.parquet(p.bands)
+        .select(col("media_id").as("__cid"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .select("__did", "__cid").distinct()
+    def side(src: DataFrame, n: String) = src.select(
+      col("media_id").as(n) +:
+        (0 until 8).map(i => col(s"r$i").as(s"${n}_r$i")): _*)
+    val hamming = (0 until 8).map(i =>
+      bit_count(col(s"__did_r$i").bitwiseXOR(col(s"__cid_r$i"))))
+      .reduce(_ + _)
+    val hits = cand
+      .join(side(d, "__did"), "__did")
+      .join(side(spark.read.parquet(p.hashes), "__cid"), "__cid")
+      .where(hamming <= MaxDist)
+      .select(col("__did").as("media_id")).distinct()
+      .withColumn("__hit", lit(true))
+    d.select("media_id").join(hits, Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("__hit"), lit("dup_phash_corpus"))
+          .otherwise(lit("admitted")).as("decision"))
+  }
+
+  /** One perceptual day: decisions pinned before the append (the
+    * [[SemIndex.processDay]] replay contract verbatim), admitted
+    * hashes + band rows appended anti-joined.
+    */
+  def processDay(spark: SparkSession, p: Paths, k: Int,
+                 delta: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(p.decisionsDay(k))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinned = fs.exists(new org.apache.hadoop.fs.Path(
+      p.decisionsDay(k) + "/_SUCCESS"))
+    val dec =
+      if (pinned)
+        spark.read.parquet(p.decisionsDay(k)).localCheckpoint(true)
+      else {
+        val x = decisions(spark, p, delta).localCheckpoint(true)
+        x.write.mode("overwrite").parquet(p.decisionsDay(k))
+        x
+      }
+    val adm = hashRows(delta)
+      .join(dec.where(col("decision") === "admitted").select("media_id"),
+        "media_id")
+      .join(spark.read.parquet(p.hashes).select("media_id"),
+        Seq("media_id"), "left_anti")
+      .localCheckpoint(true) // reads the tables being appended
+    adm.write.mode("append").parquet(p.hashes)
+    bandRows(adm).write.mode("append").parquet(p.bands)
+    dec
+  }
+
+  /** Band-level health card off the index tables alone — the
+    * candidate-explosion early warning ([[Dedup.dedupIndexStats]]'s
+    * shape for the perceptual bands): per band, row mass, distinct
+    * buckets, and the hottest bucket.
+    */
+  def indexCard(spark: SparkSession, p: Paths): DataFrame = {
+    val b = spark.read.parquet(p.bands)
+    b.groupBy("band", "bv").agg(count(lit(1)).as("__n"))
+      .groupBy("band")
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("__n")).as("max_bucket"))
+  }
+}

@@ -73,7 +73,50 @@ object Curation11 {
       (p, days, stable)
     })
 
+  /** The two-day PERCEPTUAL-index lifecycle (the q286 grouped-payload
+    * construction: image id rounded to its group-of-3 base, so groups
+    * share payloads and organic cross-day duplicates are guaranteed):
+    * snapshot = doc_id%4 ∈ {2,3}, day 1 = %4==0, day 2 = %4==1, each
+    * day through the ledger-shaped pinned [[graft.ops.PhashIndex
+    * .processDay]].
+    */
+  private val phashCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.ops.PhashIndex.Paths, org.apache.spark.sql.DataFrame)]()
+  private def phashLife(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (graft.ops.PhashIndex.Paths, org.apache.spark.sql.DataFrame) =
+    phashCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_phash_index_")
+      val p = graft.ops.PhashIndex.Paths(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val png = udf((id: Long) => graft.ops.Multimodal.syntheticPngVar(id))
+      def hashed(pred: org.apache.spark.sql.Column) =
+        graft.ops.Multimodal.dHash(graft.ops.Multimodal.decodeCells(
+          t(s, d, "documents").where(pred)
+            .select(col("doc_id").as("media_id"),
+              png(col("doc_id") - pmod(col("doc_id"), lit(3L)))
+                .as("payload"))))
+      graft.ops.PhashIndex.write(s,
+        hashed(pmod(col("doc_id"), lit(4L)).isin(2L, 3L)), p)
+      val dec1 = graft.ops.PhashIndex.processDay(s, p, 1,
+        hashed(pmod(col("doc_id"), lit(4L)) === 0L))
+      val dec2 = graft.ops.PhashIndex.processDay(s, p, 2,
+        hashed(pmod(col("doc_id"), lit(4L)) === 1L))
+      val all = dec1.select(lit(1).as("day"), col("media_id"),
+          col("decision"))
+        .unionByName(dec2.select(lit(2).as("day"), col("media_id"),
+          col("decision")))
+        .localCheckpoint(true)
+      (p, all)
+    })
+
   val queries: Map[String, QFn] = Map(
+
+    "q538_phash_index_decisions" -> ((s, dir) =>
+      phashLife(s, dir)._2.orderBy("day", "media_id")),
+
+    "q539_phash_index_card" -> ((s, dir) =>
+      graft.ops.PhashIndex.indexCard(s, phashLife(s, dir)._1)
+        .orderBy("band")),
 
     "q521_sem_index_decisions" -> ((s, dir) =>
       semLife(s, dir)._2.orderBy("day", "vec_id")),
@@ -373,6 +416,81 @@ object Curation11 {
        |idx3 AS MATERIALIZED (SELECT cell, vec_id, e, nrm FROM idx2
        |  UNION ALL SELECT cell, vec_id, e, nrm FROM adm2)""".stripMargin
 
+  // ---- oracle: the perceptual-index lifecycle, re-derived ----------
+
+  /** Shared raster → dHash re-derivation over grouped payloads (the
+    * q286 generator-formula contract, verbatim): px → cells → bits →
+    * rowb → rb2 (row bytes) → bands (four 16-bit Hamming bands).
+    */
+  private def phashCtes: String =
+    s"""xs AS (SELECT unnest(range(0, 24)) AS x),
+       |ys AS (SELECT unnest(range(0, 21)) AS y),
+       |px AS (
+       |  SELECT d.doc_id, 16 + (d.doc_id - d.doc_id % 3) % 8 AS w,
+       |    16 + (d.doc_id - d.doc_id % 3) % 5 AS h, xs.x, ys.y,
+       |    ((d.doc_id - d.doc_id % 3) * 53
+       |       + (3 + (d.doc_id - d.doc_id % 3) % 9) * xs.x
+       |       + (5 + (d.doc_id - d.doc_id % 3) % 7) * ys.y
+       |       + (2 + (d.doc_id - d.doc_id % 3) % 4) * xs.x * xs.x
+       |       + (3 + (d.doc_id - d.doc_id % 3) % 6) * ys.y * ys.y) % 256
+       |      AS v
+       |  FROM documents d, xs, ys
+       |  WHERE xs.x < 16 + (d.doc_id - d.doc_id % 3) % 8
+       |    AND ys.y < 16 + (d.doc_id - d.doc_id % 3) % 5),
+       |cells AS (SELECT doc_id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+       |    sum(v) AS s, count(*) AS c FROM px GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.doc_id, a.cy, a.cx,
+       |    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8),
+       |rowb AS (SELECT doc_id, cy,
+       |    CAST(sum(bit * (CAST(1 AS BIGINT) << cx)) AS BIGINT) AS rb
+       |  FROM bits GROUP BY doc_id, cy),
+       |rb2 AS (SELECT doc_id,
+       |${(0 until 8).map(i =>
+            s"  max(CASE WHEN cy = $i THEN rb END) AS r$i").mkString(",\n")}
+       |  FROM rowb GROUP BY doc_id),
+       |pbands AS (
+       |  SELECT doc_id, 0 AS band, r0 * 256 + r1 AS bv FROM rb2
+       |  UNION ALL SELECT doc_id, 1, r2 * 256 + r3 FROM rb2
+       |  UNION ALL SELECT doc_id, 2, r4 * 256 + r5 FROM rb2
+       |  UNION ALL SELECT doc_id, 3, r6 * 256 + r7 FROM rb2)""".stripMargin
+
+  /** Day `sfx`'s verdicts: delta = doc_id%4 == `dayMod`, index id set
+    * = the CTE named `idx$sfx(doc_id)`; band-collide then exact
+    * Hamming ≤ 3 via the per-bit comparison.
+    */
+  private def phashDayCtes(sfx: String, dayMod: Int): String =
+    s"""c$sfx AS (SELECT DISTINCT a.doc_id AS did, b.doc_id AS cid
+       |  FROM pbands a JOIN pbands b ON a.band = b.band AND a.bv = b.bv
+       |  WHERE a.doc_id % 4 = $dayMod
+       |    AND b.doc_id IN (SELECT doc_id FROM idx$sfx)),
+       |h$sfx AS (SELECT DISTINCT did FROM (
+       |  SELECT c$sfx.did, c$sfx.cid FROM c$sfx
+       |    JOIN bits x ON x.doc_id = c$sfx.did
+       |    JOIN bits y ON y.doc_id = c$sfx.cid
+       |      AND y.cy = x.cy AND y.cx = x.cx
+       |  GROUP BY 1, 2
+       |  HAVING CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+       |    AS BIGINT) <= ${graft.ops.PhashIndex.MaxDist})),
+       |dec$sfx AS (SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id IN (SELECT did FROM h$sfx)
+       |      THEN 'dup_phash_corpus' ELSE 'admitted' END AS decision
+       |  FROM rb2 WHERE doc_id % 4 = $dayMod),
+       |adm$sfx AS (SELECT media_id AS doc_id FROM dec$sfx
+       |  WHERE decision = 'admitted')""".stripMargin
+
+  private def phashLifeCtes: String =
+    s"""$phashCtes,
+       |idxp1 AS (SELECT doc_id FROM rb2 WHERE doc_id % 4 IN (2, 3)),
+       |${phashDayCtes("p1", 0)},
+       |idxp2 AS (SELECT doc_id FROM idxp1
+       |  UNION ALL SELECT doc_id FROM admp1),
+       |${phashDayCtes("p2", 1)},
+       |idxp3 AS (SELECT doc_id FROM idxp2
+       |  UNION ALL SELECT doc_id FROM admp2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q521_sem_index_decisions" ->
@@ -539,6 +657,23 @@ object Curation11 {
         |  CAST(floor(power(1.0 / bands, 1.0 / rows_per_band)
         |    * 1000000.0 + 0.5) AS BIGINT) AS threshold_ppm
         |FROM cfg, grid ORDER BY bands, s_ppm""".stripMargin,
+
+    "q538_phash_index_decisions" ->
+      s"""WITH $phashLifeCtes
+         |SELECT * FROM (
+         |  SELECT 1 AS day, media_id, decision FROM decp1
+         |  UNION ALL SELECT 2, media_id, decision FROM decp2)
+         |ORDER BY day, media_id""".stripMargin,
+
+    "q539_phash_index_card" ->
+      s"""WITH $phashLifeCtes
+         |SELECT band, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(cnt) AS BIGINT) AS max_bucket
+         |FROM (SELECT band, bv, count(*) AS cnt FROM pbands
+         |  WHERE doc_id IN (SELECT doc_id FROM idxp3)
+         |  GROUP BY 1, 2)
+         |GROUP BY band ORDER BY band""".stripMargin,
 
     "q537_lang_drift" ->
       s"""WITH ${Curation9.nDayCtes},
