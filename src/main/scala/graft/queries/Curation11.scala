@@ -74,11 +74,19 @@ object Curation11 {
     })
 
   /** The two-day PERCEPTUAL-index lifecycle (the q286 grouped-payload
-    * construction: image id rounded to its group-of-3 base, so groups
-    * share payloads and organic cross-day duplicates are guaranteed):
-    * snapshot = doc_id%4 ∈ {2,3}, day 1 = %4==0, day 2 = %4==1, each
-    * day through the ledger-shaped pinned [[graft.ops.PhashIndex
-    * .processDay]].
+    * construction: image id rounded to its group-of-3 base, so group
+    * members share payloads). The split is GROUP-aware so BOTH
+    * decision branches carry weight and day 2 witnesses day-1
+    * appends: odd group ordinals go wholly to the snapshot; for even
+    * ordinals the base member (id%3==0) arrives on day 1 (no snapshot
+    * member shares its payload → ADMITTED and appended) and its two
+    * co-members arrive on day 2 (dup_phash_corpus via the hash day 1
+    * appended — the lifecycle witness, with zero snapshot
+    * involvement). Day 1 additionally carries the odd groups' %3==1
+    * members (their co-members sit in the snapshot → day-1
+    * dup_phash_corpus), so BOTH branches fire on day 1 and the day-2
+    * dups isolate the append path. Each day runs through the pinned
+    * [[graft.ops.PhashIndex.processDay]].
     */
   private val phashCache = new java.util.concurrent.ConcurrentHashMap[
     String, (graft.ops.PhashIndex.Paths, org.apache.spark.sql.DataFrame)]()
@@ -95,12 +103,18 @@ object Curation11 {
             .select(col("doc_id").as("media_id"),
               png(col("doc_id") - pmod(col("doc_id"), lit(3L)))
                 .as("payload"))))
+      val grp = graft.functions.PixieFunctions.idiv(
+        col("doc_id") - pmod(col("doc_id"), lit(3L)), 3L)
+      val m3 = pmod(col("doc_id"), lit(3L))
       graft.ops.PhashIndex.write(s,
-        hashed(pmod(col("doc_id"), lit(4L)).isin(2L, 3L)), p)
+        hashed(pmod(grp, lit(2L)) === 1L && m3.isin(0L, 2L)), p)
+      // day 1 mixes both branches: even-group bases ADMIT (and append),
+      // odd-group %3==1 members DUP against their snapshot co-members
       val dec1 = graft.ops.PhashIndex.processDay(s, p, 1,
-        hashed(pmod(col("doc_id"), lit(4L)) === 0L))
+        hashed((pmod(grp, lit(2L)) === 0L && m3 === 0L) ||
+          (pmod(grp, lit(2L)) === 1L && m3 === 1L)))
       val dec2 = graft.ops.PhashIndex.processDay(s, p, 2,
-        hashed(pmod(col("doc_id"), lit(4L)) === 1L))
+        hashed(pmod(grp, lit(2L)) === 0L && m3.isin(1L, 2L)))
       val all = dec1.select(lit(1).as("day"), col("media_id"),
           col("decision"))
         .unionByName(dec2.select(lit(2).as("day"), col("media_id"),
@@ -457,14 +471,14 @@ object Curation11 {
        |  UNION ALL SELECT doc_id, 2, r4 * 256 + r5 FROM rb2
        |  UNION ALL SELECT doc_id, 3, r6 * 256 + r7 FROM rb2)""".stripMargin
 
-  /** Day `sfx`'s verdicts: delta = doc_id%4 == `dayMod`, index id set
-    * = the CTE named `idx$sfx(doc_id)`; band-collide then exact
+  /** Day `sfx`'s verdicts: delta = the `d$sfx(doc_id)` CTE, index id
+    * set = the `idx$sfx(doc_id)` CTE; band-collide then exact
     * Hamming ≤ 3 via the per-bit comparison.
     */
-  private def phashDayCtes(sfx: String, dayMod: Int): String =
+  private def phashDayCtes(sfx: String): String =
     s"""c$sfx AS (SELECT DISTINCT a.doc_id AS did, b.doc_id AS cid
        |  FROM pbands a JOIN pbands b ON a.band = b.band AND a.bv = b.bv
-       |  WHERE a.doc_id % 4 = $dayMod
+       |  WHERE a.doc_id IN (SELECT doc_id FROM d$sfx)
        |    AND b.doc_id IN (SELECT doc_id FROM idx$sfx)),
        |h$sfx AS (SELECT DISTINCT did FROM (
        |  SELECT c$sfx.did, c$sfx.cid FROM c$sfx
@@ -477,17 +491,28 @@ object Curation11 {
        |dec$sfx AS (SELECT doc_id AS media_id,
        |    CASE WHEN doc_id IN (SELECT did FROM h$sfx)
        |      THEN 'dup_phash_corpus' ELSE 'admitted' END AS decision
-       |  FROM rb2 WHERE doc_id % 4 = $dayMod),
+       |  FROM rb2 WHERE doc_id IN (SELECT doc_id FROM d$sfx)),
        |adm$sfx AS (SELECT media_id AS doc_id FROM dec$sfx
        |  WHERE decision = 'admitted')""".stripMargin
 
+  /** Group ordinal = (doc_id − doc_id%3) / 3; odd ordinals snapshot,
+    * even ordinals split base-member → day 1, co-members → day 2.
+    */
   private def phashLifeCtes: String =
     s"""$phashCtes,
-       |idxp1 AS (SELECT doc_id FROM rb2 WHERE doc_id % 4 IN (2, 3)),
-       |${phashDayCtes("p1", 0)},
+       |idxp1 AS (SELECT doc_id FROM rb2
+       |  WHERE ((doc_id - doc_id % 3) // 3) % 2 = 1
+       |    AND doc_id % 3 IN (0, 2)),
+       |dp1 AS (SELECT doc_id FROM rb2
+       |  WHERE (((doc_id - doc_id % 3) // 3) % 2 = 0 AND doc_id % 3 = 0)
+       |    OR (((doc_id - doc_id % 3) // 3) % 2 = 1 AND doc_id % 3 = 1)),
+       |${phashDayCtes("p1")},
        |idxp2 AS (SELECT doc_id FROM idxp1
        |  UNION ALL SELECT doc_id FROM admp1),
-       |${phashDayCtes("p2", 1)},
+       |dp2 AS (SELECT doc_id FROM rb2
+       |  WHERE ((doc_id - doc_id % 3) // 3) % 2 = 0
+       |    AND doc_id % 3 IN (1, 2)),
+       |${phashDayCtes("p2")},
        |idxp3 AS (SELECT doc_id FROM idxp2
        |  UNION ALL SELECT doc_id FROM admp2)""".stripMargin
 
