@@ -645,7 +645,11 @@ class ScaleProbeSpec extends AnyFunSuite {
           ("q527_psi_drift", src, "sf0.1"),
           ("q527_psi_drift", dst, "sf1"),
           ("q528_pack_rebuild", src, "sf0.1"),
-          ("q528_pack_rebuild", dst, "sf1"))) {
+          ("q528_pack_rebuild", dst, "sf1"),
+          ("q537_lang_drift", src, "sf0.1"),
+          ("q537_lang_drift", dst, "sf1"),
+          ("q538_phash_index_decisions", src, "sf0.1"),
+          ("q538_phash_index_decisions", dst, "sf1"))) {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
