@@ -98,15 +98,24 @@ object PhashIndex {
         x.write.mode("overwrite").parquet(p.decisionsDay(k))
         x
       }
-    val adm = hashRows(delta)
-      .join(dec.where(col("decision") === "admitted").select("media_id"),
-        "media_id")
+    append(spark, p,
+      hashRows(delta).join(
+        dec.where(col("decision") === "admitted").select("media_id"),
+        "media_id"))
+    dec
+  }
+
+  /** Append hash rows + band rows idempotently (anti-join on
+    * media_id) — public so composed days ([[MultiDay]]) can admit by
+    * their OWN combined verdict.
+    */
+  def append(spark: SparkSession, p: Paths, admHashed: DataFrame): Unit = {
+    val adm = hashRows(admHashed)
       .join(spark.read.parquet(p.hashes).select("media_id"),
         Seq("media_id"), "left_anti")
       .localCheckpoint(true) // reads the tables being appended
     adm.write.mode("append").parquet(p.hashes)
     bandRows(adm).write.mode("append").parquet(p.bands)
-    dec
   }
 
   /** Band-level health card off the index tables alone — the

@@ -123,7 +123,59 @@ object Curation11 {
       (p, all)
     })
 
+  /** The MULTIMODAL admission day ([[graft.ops.MultiDay]]): one
+    * consistent %4 split across all three modalities (snapshot
+    * {2,3}, day 1 = 0, day 2 = 1; perceptual payloads pair-grouped
+    * `doc_id - doc_id%2`, so a day-1 even doc's partner arrives on
+    * day 2 and its phash verdict can only come from the day-1
+    * append). Overall-admitted docs append to all three indexes.
+    */
+  private val multiCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.ops.MultiDay.Paths, org.apache.spark.sql.DataFrame)]()
+  private def multiLife(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (graft.ops.MultiDay.Paths, org.apache.spark.sql.DataFrame) =
+    multiCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_multi_day_")
+      val p = graft.ops.MultiDay.Paths(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val png = udf((id: Long) => graft.ops.Multimodal.syntheticPngVar(id))
+      def hashedOf(pred: org.apache.spark.sql.Column) =
+        graft.ops.Multimodal.dHash(graft.ops.Multimodal.decodeCells(
+          t(s, d, "documents").where(pred)
+            .select(col("doc_id").as("media_id"),
+              png(col("doc_id") - pmod(col("doc_id"), lit(2L)))
+                .as("payload"))))
+      def m4(c: org.apache.spark.sql.Column) = pmod(c, lit(4L))
+      graft.ops.MultiDay.bootstrap(s,
+        docs.where(m4(col("doc_id")).isin(2L, 3L)),
+        emb.where(m4(col("vec_id")).isin(2L, 3L)),
+        hashedOf(m4(col("doc_id")).isin(2L, 3L)), p)
+      val dec1 = graft.ops.MultiDay.processDay(s, p, 1,
+        docs.where(m4(col("doc_id")) === 0L),
+        emb.where(m4(col("vec_id")) === 0L),
+        hashedOf(m4(col("doc_id")) === 0L), docs)
+      val dec2 = graft.ops.MultiDay.processDay(s, p, 2,
+        docs.where(m4(col("doc_id")) === 1L),
+        emb.where(m4(col("vec_id")) === 1L),
+        hashedOf(m4(col("doc_id")) === 1L), docs)
+      val all = dec1.select(lit(1).as("day"), col("doc_id"),
+          col("decision"))
+        .unionByName(dec2.select(lit(2).as("day"), col("doc_id"),
+          col("decision")))
+        .localCheckpoint(true)
+      (p, all)
+    })
+
   val queries: Map[String, QFn] = Map(
+
+    "q540_multimodal_day_decisions" -> ((s, dir) =>
+      multiLife(s, dir)._2.orderBy("day", "doc_id")),
+
+    "q541_multimodal_index_cards" -> ((s, dir) =>
+      graft.ops.MultiDay.indexCards(s, multiLife(s, dir)._1)
+        .orderBy("modality", "metric")),
 
     "q538_phash_index_decisions" -> ((s, dir) =>
       phashLife(s, dir)._2.orderBy("day", "media_id")),
@@ -401,13 +453,12 @@ object Curation11 {
        |  JOIN dec$sfx d USING (vec_id)
        |  WHERE d.decision = 'admitted')""".stripMargin
 
-  private def semCtes: String =
-    s"""v AS MATERIALIZED (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings),
-       |snap AS (SELECT * FROM v WHERE vec_id % 4 IN (2, 3)),
-       |cv AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
-       |  FROM (SELECT DISTINCT e FROM snap) ORDER BY e LIMIT 128),
+  /** The frozen-quantizer seed block over `src(vec_id, e)` → the
+    * `sn(sid, se, snrm)` CTE every cell assignment references.
+    */
+  private def semSeedCtes(src: String): String =
+    s"""cv AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
+       |  FROM (SELECT DISTINCT e FROM $src) ORDER BY e LIMIT 128),
        |ccount AS (SELECT count(*) AS c FROM cv),
        |seeds AS (SELECT r.i + 1 AS sid,
        |    list_transform(cv.e, x -> round_even(x * 1000000, 0) / 1000000)
@@ -416,7 +467,14 @@ object Curation11 {
        |  WHERE cv.rn = (r.i * ccount.c) // ${SemIndex.NCells} + 1),
        |sn AS MATERIALIZED (SELECT sid, se,
        |    sqrt(list_sum(list_transform(se, x -> x * x))) AS snrm
-       |  FROM seeds),
+       |  FROM seeds)""".stripMargin
+
+  private def semCtes: String =
+    s"""v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |snap AS (SELECT * FROM v WHERE vec_id % 4 IN (2, 3)),
+       |${semSeedCtes("snap")},
        |${cellCtes("snap", "s")},
        |d1 AS (SELECT * FROM v WHERE vec_id % 4 = 0),
        |${semDayCtes("d1", "ixs", "1")},
@@ -435,22 +493,26 @@ object Curation11 {
   /** Shared raster → dHash re-derivation over grouped payloads (the
     * q286 generator-formula contract, verbatim): px → cells → bits →
     * rowb → rb2 (row bytes) → bands (four 16-bit Hamming bands).
+    * `gid` is the payload-group base expression over `d.doc_id`
+    * (group-of-3 for the phash lifecycle, pair for the multimodal
+    * day).
     */
-  private def phashCtes: String =
+  private def phashCtes(
+      gid: String = "(d.doc_id - d.doc_id % 3)"): String =
     s"""xs AS (SELECT unnest(range(0, 24)) AS x),
        |ys AS (SELECT unnest(range(0, 21)) AS y),
        |px AS (
-       |  SELECT d.doc_id, 16 + (d.doc_id - d.doc_id % 3) % 8 AS w,
-       |    16 + (d.doc_id - d.doc_id % 3) % 5 AS h, xs.x, ys.y,
-       |    ((d.doc_id - d.doc_id % 3) * 53
-       |       + (3 + (d.doc_id - d.doc_id % 3) % 9) * xs.x
-       |       + (5 + (d.doc_id - d.doc_id % 3) % 7) * ys.y
-       |       + (2 + (d.doc_id - d.doc_id % 3) % 4) * xs.x * xs.x
-       |       + (3 + (d.doc_id - d.doc_id % 3) % 6) * ys.y * ys.y) % 256
+       |  SELECT d.doc_id, 16 + $gid % 8 AS w,
+       |    16 + $gid % 5 AS h, xs.x, ys.y,
+       |    ($gid * 53
+       |       + (3 + $gid % 9) * xs.x
+       |       + (5 + $gid % 7) * ys.y
+       |       + (2 + $gid % 4) * xs.x * xs.x
+       |       + (3 + $gid % 6) * ys.y * ys.y) % 256
        |      AS v
        |  FROM documents d, xs, ys
-       |  WHERE xs.x < 16 + (d.doc_id - d.doc_id % 3) % 8
-       |    AND ys.y < 16 + (d.doc_id - d.doc_id % 3) % 5),
+       |  WHERE xs.x < 16 + $gid % 8
+       |    AND ys.y < 16 + $gid % 5),
        |cells AS (SELECT doc_id, (y * 8) // h AS cy, (x * 9) // w AS cx,
        |    sum(v) AS s, count(*) AS c FROM px GROUP BY 1, 2, 3),
        |bits AS (SELECT a.doc_id, a.cy, a.cx,
@@ -499,7 +561,7 @@ object Curation11 {
     * even ordinals split base-member → day 1, co-members → day 2.
     */
   private def phashLifeCtes: String =
-    s"""$phashCtes,
+    s"""${phashCtes()},
        |idxp1 AS (SELECT doc_id FROM rb2
        |  WHERE ((doc_id - doc_id % 3) // 3) % 2 = 1
        |    AND doc_id % 3 IN (0, 2)),
@@ -516,7 +578,92 @@ object Curation11 {
        |idxp3 AS (SELECT doc_id FROM idxp2
        |  UNION ALL SELECT doc_id FROM admp2)""".stripMargin
 
+  /** The composed multimodal re-derivation: lexical
+    * ([[Curation.dedupDecisionCtes]]), semantic ([[semSeedCtes]] +
+    * [[cellCtes]] + [[semDayCtes]]), perceptual ([[phashCtes]] at
+    * pair grouping + [[phashDayCtes]]) — verdicts joined on the
+    * shared id with the fixed stage priority, index sets for day 2
+    * grown by day-1 OVERALL admissions only.
+    */
+  private def multiCtes: String =
+    s"""v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |msnapv AS (SELECT * FROM v WHERE vec_id % 4 IN (2, 3)),
+       |${semSeedCtes("msnapv")},
+       |${cellCtes("msnapv", "ms")},
+       |${phashCtes("(d.doc_id - d.doc_id % 2)")},
+       |mcorp1 AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 4 IN (2, 3)),
+       |mb1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |${Curation.dedupDecisionCtes("mcorp1", "mb1", "L1")},
+       |dm1 AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+       |${semDayCtes("dm1", "ixms", "s1")},
+       |idxq1 AS (SELECT doc_id FROM rb2 WHERE doc_id % 4 IN (2, 3)),
+       |dq1 AS (SELECT doc_id FROM rb2 WHERE doc_id % 4 = 0),
+       |${phashDayCtes("q1")},
+       |finalm1 AS (SELECT l.doc_id,
+       |    CASE WHEN l.decision <> 'admitted' THEN l.decision
+       |      WHEN s.decision <> 'admitted' THEN s.decision
+       |      WHEN q.decision <> 'admitted' THEN q.decision
+       |      ELSE 'admitted' END AS decision
+       |  FROM decisionsL1 l JOIN decs1 s ON s.vec_id = l.doc_id
+       |    JOIN decq1 q ON q.media_id = l.doc_id),
+       |madm1 AS (SELECT doc_id FROM finalm1 WHERE decision = 'admitted'),
+       |mcorp2 AS MATERIALIZED (SELECT doc_id, text FROM mcorp1
+       |  UNION ALL SELECT d.doc_id, d.text FROM documents d
+       |    JOIN madm1 USING (doc_id)),
+       |ixm2 AS (SELECT cell, vec_id, e, nrm FROM ixms
+       |  UNION ALL SELECT cell, vec_id, e, nrm FROM ixs1
+       |    WHERE vec_id IN (SELECT doc_id FROM madm1)),
+       |idxq2 AS (SELECT doc_id FROM idxq1
+       |  UNION ALL SELECT doc_id FROM madm1),
+       |mb2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+       |${Curation.dedupDecisionCtes("mcorp2", "mb2", "L2")},
+       |dm2 AS (SELECT * FROM v WHERE vec_id % 4 = 1),
+       |${semDayCtes("dm2", "ixm2", "s2")},
+       |dq2 AS (SELECT doc_id FROM rb2 WHERE doc_id % 4 = 1),
+       |${phashDayCtes("q2")},
+       |finalm2 AS (SELECT l.doc_id,
+       |    CASE WHEN l.decision <> 'admitted' THEN l.decision
+       |      WHEN s.decision <> 'admitted' THEN s.decision
+       |      WHEN q.decision <> 'admitted' THEN q.decision
+       |      ELSE 'admitted' END AS decision
+       |  FROM decisionsL2 l JOIN decs2 s ON s.vec_id = l.doc_id
+       |    JOIN decq2 q ON q.media_id = l.doc_id),
+       |madm2 AS (SELECT doc_id FROM finalm2 WHERE decision = 'admitted'),
+       |mcorp3 AS (SELECT doc_id, text FROM mcorp2
+       |  UNION ALL SELECT d.doc_id, d.text FROM documents d
+       |    JOIN madm2 USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q540_multimodal_day_decisions" ->
+      s"""WITH $multiCtes
+         |SELECT * FROM (
+         |  SELECT 1 AS day, doc_id, decision FROM finalm1
+         |  UNION ALL SELECT 2, doc_id, decision FROM finalm2)
+         |ORDER BY day, doc_id""".stripMargin,
+
+    "q541_multimodal_index_cards" ->
+      s"""WITH $multiCtes
+         |SELECT * FROM (
+         |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value
+         |    FROM mcorp3
+         |  UNION ALL SELECT 'lexical', 'n_band_rows',
+         |    4 * count(*) FROM mcorp3
+         |  UNION ALL SELECT 'semantic', 'n_vecs',
+         |    (SELECT count(*) FROM msnapv)
+         |      + (SELECT count(*) FROM madm1)
+         |      + (SELECT count(*) FROM madm2)
+         |  UNION ALL SELECT 'perceptual', 'n_hashes',
+         |    (SELECT count(*) FROM idxq2)
+         |      + (SELECT count(*) FROM madm2)
+         |  UNION ALL SELECT 'perceptual', 'n_band_rows',
+         |    4 * ((SELECT count(*) FROM idxq2)
+         |      + (SELECT count(*) FROM madm2)))
+         |ORDER BY modality, metric""".stripMargin,
 
     "q521_sem_index_decisions" ->
       s"""WITH $semCtes
