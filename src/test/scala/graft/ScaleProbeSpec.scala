@@ -649,7 +649,9 @@ class ScaleProbeSpec extends AnyFunSuite {
           ("q537_lang_drift", src, "sf0.1"),
           ("q537_lang_drift", dst, "sf1"),
           ("q538_phash_index_decisions", src, "sf0.1"),
-          ("q538_phash_index_decisions", dst, "sf1"))) {
+          ("q538_phash_index_decisions", dst, "sf1"),
+          ("q540_multimodal_day_decisions", src, "sf0.1"),
+          ("q540_multimodal_day_decisions", dst, "sf1"))) {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
