@@ -356,6 +356,66 @@ class Round11Spec extends AnyFunSuite {
     assert(all.where(col("decision") =!= "admitted").count() == 0)
   }
 
+  test("multimodal day: replayed day reuses its pin and appends nothing") {
+    val root = tmp("graft_r11_multi_")
+    val p = graft.ops.MultiDay.Paths(root)
+    try {
+      val docs = graft.core.Tables(spark, sf, "documents")
+        .select("doc_id", "text")
+      val emb = graft.core.Tables(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+      // synthetic perceptual hashes keyed by the PAIR base, so a
+      // day-1 doc's partner (day 2) shares its hash — PhashIndex only
+      // consumes (media_id, r0..r7), the decode path is q540's job
+      def hashed(pred: org.apache.spark.sql.Column) = {
+        val base = col("doc_id") - pmod(col("doc_id"), lit(2L))
+        docs.where(pred).select(
+          col("doc_id").as("media_id") +:
+            (0 until 8).map(i =>
+              pmod(base * (i + 7), lit(256L)).as(s"r$i")): _*)
+      }
+      def m4(c: org.apache.spark.sql.Column) = pmod(c, lit(4L))
+      graft.ops.MultiDay.bootstrap(spark,
+        docs.where(m4(col("doc_id")).isin(2L, 3L)),
+        emb.where(m4(col("vec_id")).isin(2L, 3L)),
+        hashed(m4(col("doc_id")).isin(2L, 3L)), p)
+      def counts = (
+        spark.read.parquet(s"${p.lex}/hashes.parquet").count(),
+        spark.read.parquet(p.sem.index).count(),
+        spark.read.parquet(p.ph.hashes).count())
+      val dec1 = graft.ops.MultiDay.processDay(spark, p, 1,
+          docs.where(m4(col("doc_id")) === 0L),
+          emb.where(m4(col("vec_id")) === 0L),
+          hashed(m4(col("doc_id")) === 0L), docs)
+        .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+      val after1 = counts
+      assert(dec1.exists(_.last == "admitted"), "day 1 must admit")
+      // REPLAY day 1: pin reused (identical verdicts even though the
+      // index now holds the day's own admissions), appends no-op
+      val replay = graft.ops.MultiDay.processDay(spark, p, 1,
+          docs.where(m4(col("doc_id")) === 0L),
+          emb.where(m4(col("vec_id")) === 0L),
+          hashed(m4(col("doc_id")) === 0L), docs)
+        .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+      assert(replay == dec1)
+      assert(counts == after1)
+      // day 2: every even day-1 ADMITTED doc's partner arrives and
+      // must flag perceptually via the day-1 append
+      val adm1 = dec1.filter(_.last == "admitted")
+        .map(_.head.asInstanceOf[Long]).toSet
+      val dec2 = graft.ops.MultiDay.processDay(spark, p, 2,
+          docs.where(m4(col("doc_id")) === 1L),
+          emb.where(m4(col("vec_id")) === 1L),
+          hashed(m4(col("doc_id")) === 1L), docs)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val partnered = dec2.keys.filter(id => adm1.contains(id - 1))
+      assert(partnered.nonEmpty, "fixture must produce partners")
+      assert(partnered.forall(id => dec2(id) != "admitted"),
+        "a day-1 admission's partner cannot be admitted on day 2")
+    } finally graft.queries.Curation2.deleteDir(
+      new java.io.File(root).getParent)
+  }
+
   test("pack tape: contiguity, offset math, replay-identical state") {
     val root = tmp("graft_r11_pack_")
     val a = graft.ops.CurationDay.Artifacts(root)
