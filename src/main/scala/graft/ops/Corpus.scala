@@ -882,13 +882,26 @@ object Corpus {
     * bands by construction).
     */
   def budgetAdmit(df: DataFrame, idCol: String, tokCol: String,
-                  priorityCol: Column, budgetTokens: Long): DataFrame =
+                  priorityCol: Column, budgetTokens: Long): DataFrame = {
+    // enforce the documented contract instead of silently degrading: a
+    // float priority would both lose exact cross-engine re-derivability
+    // (float __band keys) and blow the O(#distinct priorities) offset
+    // window unbounded. Resolve the column's type against the input.
+    val prioType = df.select(priorityCol.as("__p")).schema("__p").dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(prioType),
+      s"budgetAdmit: priorityCol must be integer-valued (got $prioType); " +
+        "ppm-quantize a float score first — the offset window is " +
+        "O(#distinct priorities), bounded only for quantized scores")
     packSequences(df.withColumn("__band", -priorityCol), idCol, tokCol,
         "__band", seqLen = Long.MaxValue)
       .withColumn("decision",
         when(col("start_tok") + col(tokCol) <= budgetTokens,
           lit("admitted")).otherwise(lit("deferred")))
       .drop("first_seq", "last_seq", "__band")
+  }
 
   /** LEAKAGE-SAFE train/val/test split: every GROUP (URL domain,
     * source, site) lands wholly in ONE split via a deterministic hash

@@ -344,6 +344,38 @@ object CurationNDay {
     }
   }
 
+  /** RETENTION (TTL) day — time-based age-out for the corpus + index +
+    * manifest, the reference's ring-buffer expiry
+    * (src/table_store/table/table.h:335 `ExpireRowBatches`,
+    * table.cc:44 size cap) as a ledgered lifecycle operation: every
+    * corpus doc whose ADMISSION DAY is older than `keepFromDay` leaves
+    * (snapshot docs are day 0, so `keepFromDay = 2` expires the
+    * snapshot AND day 1 — the ring buffer dropping its oldest
+    * segments). The day ledger is the age record — no per-row
+    * timestamp column needed, and the victim derivation touches only
+    * the decision pins + the corpus id column. Deletion itself is the
+    * proven [[retractDay]] machinery (index delete with stillHeld
+    * semantics, per-shard corpus rewrite, manifest recompute on
+    * touched shards), so TTL inherits its crash-convergence. The PACK
+    * TAPE is invalidated from the first victim onward — run
+    * [[Pack.rebuild]] after, exactly like retraction (q528's
+    * contract). Returns false when `dayId` already committed.
+    */
+  def ttlDay(spark: SparkSession, a: CurationDay.Artifacts,
+             dayId: String, keepFromDay: Int, manifestIn: String,
+             manifestOut: String): Boolean = {
+    require(keepFromDay >= 1 && keepFromDay <= NDays,
+      s"ttlDay: keepFromDay in [1, $NDays]")
+    val young = (keepFromDay to NDays).map { k =>
+      spark.read.parquet(a.decisionsDay(k))
+        .where(col("decision") === "admitted").select("doc_id")
+    }.reduce(_.unionByName(_))
+    val victims = spark.read.parquet(a.corpusDir).select("doc_id")
+      .join(young, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // age-out set pinned before mutation
+    retractDay(spark, a, dayId, victims, manifestIn, manifestOut)
+  }
+
   /** The lifecycle DATASHEET (the "data card" every curated training
     * corpus ships with — Gebru et al. 2021, "Datasheets for
     * Datasets"): one long-format (section, metric, value) frame

@@ -655,15 +655,20 @@ object Dedup {
   /** Fold newly-ingested docs into a persisted dedup index WITHOUT
     * touching the snapshot: MinHash signatures depend only on the
     * fixed permutation constants (no corpus statistic to drift —
-    * unlike SQ8's bounds), so an append is ALWAYS exact. New band
-    * rows append as-is; content hashes append anti-joined against the
-    * stored hash set, preserving its set semantics (the
-    * [[incrementalDedupIndexed]] reader left-joins it, so a duplicate
-    * hash row would fan out decisions). The index after append is
-    * row-identical to [[writeDedupIndex]] over the grown corpus —
-    * gate-proved by a second delta's decisions (q352). At 100 TB only
-    * the delta is scanned; the hash anti-join is delta-sized
-    * broadcast-vs-index.
+    * unlike SQ8's bounds), so an append is ALWAYS exact. BOTH tables
+    * append anti-joined: content hashes against the stored hash set
+    * (preserving its set semantics — the [[incrementalDedupIndexed]]
+    * reader left-joins it, so a duplicate hash row would fan out
+    * decisions), and band rows against the stored indexed-id set
+    * (same `corpus_id` ⇒ same text ⇒ identical band rows, so a
+    * REPLAYED append of an already-indexed doc adds nothing — the
+    * [[SemIndex.append]]/[[PhashIndex.append]] idempotence contract;
+    * without it a replay would silently drift `dedupIndexStats`'
+    * bands_per_doc and false-flag a torn append). The index after
+    * append is row-identical to [[writeDedupIndex]] over the grown
+    * corpus — gate-proved by a second delta's decisions (q352). At
+    * 100 TB only the delta is scanned; both anti-joins are
+    * delta-sized against column-pruned index reads.
     */
   def appendDedupIndex(delta: DataFrame, textCol: String, idCol: String,
                        path: String, n: Int = 3, k: Int = 16,
@@ -674,9 +679,13 @@ object Dedup {
       .distinct()
       .join(existing, Seq("content_hash"), "left_anti")
       .write.mode("append").parquet(s"$path/hashes.parquet")
+    val indexed = spark.read.parquet(s"$path/bands.parquet")
+      .select("corpus_id").distinct()
     lshBands(minhashSignatures(delta, textCol, idCol, n, k), idCol,
         bands, k / bands)
       .toDF("corpus_id", "band", "band_hash")
+      .join(indexed, Seq("corpus_id"), "left_anti")
+      .localCheckpoint(true) // the anti-join reads the table appended to
       .write.mode("append").parquet(s"$path/bands.parquet")
   }
 

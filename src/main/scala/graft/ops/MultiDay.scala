@@ -65,9 +65,16 @@ object MultiDay {
         val ph = PhashIndex.decisions(spark, p.ph, hashed)
           .select(col("media_id").as("doc_id"),
             col("decision").as("__ph"))
-        val d = lex.join(sem, "doc_id").join(ph, "doc_id")
+        // FULL joins: the op is generic, so a delta doc missing an
+        // embedding or image row must not silently vanish — it gets
+        // the loud `missing_modality` verdict (never admitted, never
+        // appended) instead of dropping out of the decisions frame.
+        val d = lex.join(sem, Seq("doc_id"), "full")
+          .join(ph, Seq("doc_id"), "full")
           .select(col("doc_id"),
-            when(col("__lex") =!= "admitted", col("__lex"))
+            when(col("__lex").isNull || col("__sem").isNull ||
+              col("__ph").isNull, lit("missing_modality"))
+              .when(col("__lex") =!= "admitted", col("__lex"))
               .when(col("__sem") =!= "admitted", col("__sem"))
               .when(col("__ph") =!= "admitted", col("__ph"))
               .otherwise(lit("admitted")).as("decision"))
@@ -85,6 +92,313 @@ object MultiDay {
       hashed.join(admIds.withColumnRenamed("doc_id", "media_id"),
         "media_id"))
     dec
+  }
+
+  // =====================================================================
+  // The ROUND-12 generation: FOUR stages (lexical, semantic, perceptual
+  // image, perceptual AUDIO), per-stage verdict columns, within-day
+  // near-dup passes, a decode-once media artifact, N = 3 days with a
+  // DAY LEDGER, and a streamed delivery path
+  // ([[graft.streaming.MultiStream]]) — the [[CurationNDay]] contract
+  // lifted onto the composed multimodal day. The round-11 two-day
+  // `processDay` above is kept as-is (its gates pin the original
+  // contract); everything below is the generalized lifecycle.
+  // =====================================================================
+
+  /** Artifact roots of the 4-index lifecycle. `media` is the
+    * decode-once [[MediaHashes]] table; `aud` reuses the
+    * [[PhashIndex]] layout over audio fingerprints (the machinery is
+    * modality-blind over 8 row-bytes).
+    */
+  case class Paths4(root: String) {
+    def lex: String = s"$root/lex_index"
+    def sem: SemIndex.Paths = SemIndex.Paths(s"$root/sem")
+    def ph: PhashIndex.Paths = PhashIndex.Paths(s"$root/ph")
+    def aud: PhashIndex.Paths = PhashIndex.Paths(s"$root/aud")
+    def media: String = s"$root/media_hashes.parquet"
+    def decisionsDay(k: Int): String = s"$root/mm_decisions_day$k.parquet"
+    def dropDay(k: Int): String = s"$root/mm_drop_day$k.parquet"
+    def ledger: String = s"$root/day_ledger"
+    def landing: String = s"$root/landing"
+    def streamCp: String = s"$root/stream_cp"
+  }
+
+  val NDays4 = 3
+
+  /** The fixture lifecycle's %8 split: snapshot {4..7}, day 1 = 0,
+    * day 2 = 1, day 3 = {2,3} + the three sentinels. Image payloads
+    * are PAIR-grouped (`doc_id − doc_id%2`), so a day-1 even doc's
+    * partner arrives on day 2 (cross-day perceptual witness through
+    * the day-1 append alone) and a day-3 pair co-arrives (the
+    * within-day pass's organic witness).
+    */
+  private def m8(c: org.apache.spark.sql.Column) = pmod(c, lit(8L))
+
+  private val pngUdf =
+    udf((id: Long) => Multimodal.syntheticPngVar(id))
+
+  /** One day's organic drop: (doc_id, text, embedding, img). */
+  private def organicDrop(spark: SparkSession, dir: String,
+                          pred: org.apache.spark.sql.Column): DataFrame =
+    graft.core.Tables(spark, dir, "documents")
+      .select("doc_id", "text").where(pred)
+      .join(graft.core.Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .withColumn("img",
+        pngUdf(col("doc_id") - pmod(col("doc_id"), lit(2L))))
+
+  /** The drop frame as a media frame for [[MediaHashes]]: the image
+    * payload plus the audio track (documents-as-media text bytes —
+    * the q290 convention; cast string→binary is UTF-8 in Spark and
+    * `ord(substr(..))` in the oracle, byte-identical on the fixture's
+    * ASCII text).
+    */
+  private def mediaOf(drop: DataFrame): DataFrame =
+    drop.select(col("doc_id").as("media_id"),
+      col("img").as("payload"), col("text").cast("binary").as("audio"))
+
+  /** Bootstrap all four snapshot indexes + the media artifact from the
+    * %8 ∈ {4..7} snapshot, and stage the day-1/-2 organic drops.
+    */
+  def bootstrap4(spark: SparkSession, dir: String, p: Paths4): Unit = {
+    val snap = organicDrop(spark, dir, m8(col("doc_id")) >= 4L)
+      .localCheckpoint(true)
+    Dedup.writeDedupIndex(snap, "text", "doc_id", p.lex, NGram, K, Bands)
+    SemIndex.bootstrap(spark,
+      snap.select(col("doc_id").as("vec_id"), col("embedding")), p.sem)
+    MediaHashes.extend(spark, p.media, mediaOf(snap))
+    val ids = snap.select(col("doc_id").as("media_id"))
+    PhashIndex.write(spark,
+      MediaHashes.fetchImage(spark, p.media, ids), p.ph)
+    PhashIndex.write(spark,
+      MediaHashes.fetchAudio(spark, p.media, ids), p.aud)
+    organicDrop(spark, dir, m8(col("doc_id")) === 0L)
+      .write.mode("overwrite").parquet(p.dropDay(1))
+    organicDrop(spark, dir, m8(col("doc_id")) === 1L)
+      .write.mode("overwrite").parquet(p.dropDay(2))
+  }
+
+  /** The day-3 drop: organic %8 ∈ {2,3} plus three FULL-CLONE
+    * sentinels derived from the pipeline's OWN pinned decisions (the
+    * q492 planting rule, per modality): 9600001 clones the smallest
+    * day-1 OVERALL-admitted doc (text + embedding + image group + the
+    * audio track the text implies) — every stage must flag it dup via
+    * the day-1 appends; 9600002 the same off day 2; 9600003 clones
+    * the smallest day-3 ORGANIC doc — a same-day clone, so each of
+    * its stage verdicts must be a dup (corpus or batch, whichever the
+    * source's own corpus check dictates) and it can never be
+    * admitted.
+    */
+  def writeDay3Drop(spark: SparkSession, dir: String, p: Paths4): Unit = {
+    val organic = organicDrop(spark, dir, m8(col("doc_id")).isin(2L, 3L))
+    def cloneOf(src: DataFrame, newId: Long): DataFrame =
+      src.orderBy("doc_id").limit(1)
+        .join(graft.core.Tables(spark, dir, "documents")
+          .select("doc_id", "text"), "doc_id")
+        .join(graft.core.Tables(spark, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .select(lit(newId).as("doc_id"), col("text"), col("embedding"),
+          pngUdf(col("doc_id") - pmod(col("doc_id"), lit(2L))).as("img"))
+    def admittedOf(k: Int): DataFrame =
+      spark.read.parquet(p.decisionsDay(k))
+        .where(col("decision") === "admitted").select("doc_id")
+    organic
+      .unionByName(cloneOf(admittedOf(1), 9600001L))
+      .unionByName(cloneOf(admittedOf(2), 9600002L))
+      .unionByName(cloneOf(organic.select("doc_id"), 9600003L))
+      .write.mode("overwrite").parquet(p.dropDay(3))
+  }
+
+  /** The four stage verdicts over one day's drop, combined into ONE
+    * row per doc with the per-stage columns DISCLOSED (d_lex, d_sem,
+    * d_ph, d_aud) plus the combined verdict under the fixed stage
+    * priority lexical > semantic > perceptual > audio (corpus hits
+    * already outrank batch hits within each stage). FULL joins: a doc
+    * missing any modality gets the loud `missing_modality` combined
+    * verdict — never admitted, never silently dropped.
+    */
+  def decisions4(spark: SparkSession, p: Paths4, drop: DataFrame,
+                 imgHashed: DataFrame, audHashed: DataFrame,
+                 corpusFetch: DataFrame): DataFrame = {
+    val lex = Dedup.incrementalDedupIndexed(p.lex, corpusFetch,
+        drop.select("doc_id", "text"), "text", "doc_id", NGram, K,
+        Bands, Threshold)
+      .withColumnRenamed("decision", "d_lex")
+    val sem = SemIndex.decisions(spark, p.sem,
+        drop.select(col("doc_id").as("vec_id"), col("embedding")),
+        withinBatch = true)
+      .select(col("vec_id").as("doc_id"), col("decision").as("d_sem"))
+    val ph = PhashIndex.decisions(spark, p.ph, imgHashed,
+        withinBatch = true, label = "phash")
+      .select(col("media_id").as("doc_id"), col("decision").as("d_ph"))
+    val aud = PhashIndex.decisions(spark, p.aud, audHashed,
+        withinBatch = true, label = "audio")
+      .select(col("media_id").as("doc_id"), col("decision").as("d_aud"))
+    val stages = Seq(col("d_lex"), col("d_sem"), col("d_ph"), col("d_aud"))
+    lex.join(sem, Seq("doc_id"), "full")
+      .join(ph, Seq("doc_id"), "full")
+      .join(aud, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("d_lex"), col("d_sem"), col("d_ph"),
+        col("d_aud"),
+        when(stages.map(_.isNull).reduce(_ || _), lit("missing_modality"))
+          .when(col("d_lex") =!= "admitted", col("d_lex"))
+          .when(col("d_sem") =!= "admitted", col("d_sem"))
+          .when(col("d_ph") =!= "admitted", col("d_ph"))
+          .when(col("d_aud") =!= "admitted", col("d_aud"))
+          .otherwise(lit("admitted")).as("decision"))
+  }
+
+  /** One 4-stage day, LEDGER-GATED (the [[CurationNDay.processDay]]
+    * exactly-once-per-day contract): a committed day is a pure no-op;
+    * a day that died before its ledger row re-runs convergently —
+    * the media-artifact extend is anti-joined, the decisions PIN
+    * before any index mutation and a completed pin is REUSED (the
+    * decision-pin rule: recomputation against indexes that absorbed
+    * this day's own appends would self-flag every admission), and all
+    * four appends are anti-joined.
+    */
+  def processDay4(spark: SparkSession, p: Paths4, k: Int,
+                  drop: DataFrame, corpusFetch: DataFrame): Boolean = {
+    val dayId = s"mm$k"
+    if (CurationNDay.ledgerSeen(spark, p.ledger, dayId)) false
+    else {
+      processDay4Body(spark, p, k, drop, corpusFetch)
+      CurationNDay.appendLedger(spark, p.ledger, dayId)
+      true
+    }
+  }
+
+  /** Everything except the ledger commit — the crash window, exposed
+    * for the torn-day spec. Days must arrive in order (day k needs
+    * day k−1's pin).
+    */
+  private[graft] def processDay4Body(spark: SparkSession, p: Paths4,
+                                     k: Int, drop: DataFrame,
+                                     corpusFetch: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(p.decisionsDay(k))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (k > 1)
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+        p.decisionsDay(k - 1) + "/_SUCCESS")),
+        s"processDay4: day $k arrived before day ${k - 1}")
+    val d = drop.localCheckpoint(true)
+    // decode-once: extend the media artifact FIRST (anti-joined, so a
+    // replay re-decodes only its own drop and appends nothing)
+    MediaHashes.extend(spark, p.media, mediaOf(d))
+    val ids = d.select(col("doc_id").as("media_id"))
+    val imgHashed = MediaHashes.fetchImage(spark, p.media, ids)
+      .localCheckpoint(true)
+    val audHashed = MediaHashes.fetchAudio(spark, p.media, ids)
+      .localCheckpoint(true)
+    val pinned = fs.exists(new org.apache.hadoop.fs.Path(
+      p.decisionsDay(k) + "/_SUCCESS"))
+    val dec =
+      if (pinned)
+        spark.read.parquet(p.decisionsDay(k)).localCheckpoint(true)
+      else {
+        val x = decisions4(spark, p, d, imgHashed, audHashed, corpusFetch)
+          .localCheckpoint(true)
+        x.write.mode("overwrite").parquet(p.decisionsDay(k))
+        x
+      }
+    val admIds = dec.where(col("decision") === "admitted")
+      .select("doc_id").localCheckpoint(true)
+    Dedup.appendDedupIndex(d.join(admIds, "doc_id"), "text", "doc_id",
+      p.lex, NGram, K, Bands)
+    SemIndex.append(spark, p.sem,
+      d.join(admIds, "doc_id")
+        .select(col("doc_id").as("vec_id"), col("embedding")))
+    val admMedia = admIds.select(col("doc_id").as("media_id"))
+    PhashIndex.append(spark, p.ph, imgHashed.join(admMedia, "media_id"))
+    PhashIndex.append(spark, p.aud, audHashed.join(admMedia, "media_id"))
+  }
+
+  /** The BATCH engine path: bootstrap, days 1–2, derive + apply the
+    * sentinel-planted day 3 — each through the same ledgered
+    * [[processDay4]] the streaming path invokes per micro-batch.
+    */
+  def runDays4Batch(spark: SparkSession, dir: String, p: Paths4): Unit = {
+    bootstrap4(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    (1 to 2).foreach { k =>
+      processDay4(spark, p, k, spark.read.parquet(p.dropDay(k)),
+        fetch): Unit
+    }
+    writeDay3Drop(spark, dir, p)
+    processDay4(spark, p, 3, spark.read.parquet(p.dropDay(3)), fetch): Unit
+  }
+
+  /** All N days' pinned verdicts as one frame. */
+  def allDecisions4(spark: SparkSession, p: Paths4): DataFrame =
+    (1 to NDays4).map { k =>
+      spark.read.parquet(p.decisionsDay(k))
+        .select(lit(k).as("day"), col("doc_id"), col("d_lex"),
+          col("d_sem"), col("d_ph"), col("d_aud"), col("decision"))
+    }.reduce(_.unionByName(_))
+
+  /** RETENTION (TTL) over the multimodal lifecycle — the reference's
+    * ring-buffer age-out (src/table_store/table/table.h:335
+    * `ExpireRowBatches`) as a lifecycle operation on all FOUR indexes
+    * at once: everything admitted on a day older than the retention
+    * horizon leaves every index, so the four artifacts stay consistent
+    * views of the RETAINED corpus (retraction says "remove these
+    * docs"; retention says "remove everything older than T" — the day
+    * ledger IS the age record, no per-row timestamp needed). Victims
+    * are derived from the pipeline's own pinned decisions
+    * (admission-day age), then:
+    *
+    *  - lexical: [[Dedup.deleteFromDedupIndex]] (band rows out; a
+    *    content hash leaves only when no RETAINED doc still carries
+    *    it — the stillHeld pass over the surviving indexed docs);
+    *  - semantic: [[SemIndex.delete]] (touched cells rewritten);
+    *  - image + audio: [[PhashIndex.delete]] (hash-sized rewrites).
+    *
+    * The media artifact is deliberately NOT pruned: decode-once means
+    * an expired asset re-offered later reuses its stored signatures —
+    * signatures are pure payload functions, not admission state.
+    * Every step is an overwrite or anti-join ⇒ a crashed TTL re-runs
+    * convergently. `corpusDocs` is the indexed-docs text frame
+    * (snapshot + admitted days) the lexical stillHeld pass scans.
+    */
+  def ttl4(spark: SparkSession, p: Paths4, expireDays: Seq[Int],
+           corpusDocs: DataFrame): Unit = {
+    val victims = expireDays.map { k =>
+      spark.read.parquet(p.decisionsDay(k))
+        .where(col("decision") === "admitted").select("doc_id")
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    Dedup.deleteFromDedupIndex(spark, p.lex, corpusDocs,
+      corpusDocs.join(victims, "doc_id"), "text", "doc_id")
+    SemIndex.delete(spark, p.sem, victims)
+    PhashIndex.delete(spark, p.ph, victims)
+    PhashIndex.delete(spark, p.aud, victims)
+  }
+
+  /** The four indexes' cards as one long frame — q543's consistency
+    * view. PLAIN counts, no `.distinct()` laundering: with the
+    * anti-joined band append a duplicated row is a bug this gate must
+    * catch, not hide.
+    */
+  def indexCards4(spark: SparkSession, p: Paths4): DataFrame = {
+    def row(m: String, met: String, src: DataFrame): DataFrame =
+      src.agg(count(lit(1)).cast("long").as("value"))
+        .select(lit(m).as("modality"), lit(met).as("metric"),
+          col("value"))
+    row("lexical", "n_hashes",
+        spark.read.parquet(s"${p.lex}/hashes.parquet"))
+      .unionByName(row("lexical", "n_band_rows",
+        spark.read.parquet(s"${p.lex}/bands.parquet")))
+      .unionByName(row("semantic", "n_vecs",
+        spark.read.parquet(p.sem.index)))
+      .unionByName(row("perceptual", "n_hashes",
+        spark.read.parquet(p.ph.hashes)))
+      .unionByName(row("perceptual", "n_band_rows",
+        spark.read.parquet(p.ph.bands)))
+      .unionByName(row("audio", "n_hashes",
+        spark.read.parquet(p.aud.hashes)))
+      .unionByName(row("audio", "n_band_rows",
+        spark.read.parquet(p.aud.bands)))
+      .unionByName(row("media", "n_assets",
+        spark.read.parquet(p.media)))
   }
 
   /** The three indexes' one-line cards as one long frame — the

@@ -347,6 +347,62 @@ object Multimodal {
     }(enc)
   }
 
+  /** AUDIO perceptual fingerprint — the audio-modality sibling of
+    * [[dHash]], built so the SAME banded-Hamming index machinery
+    * ([[graft.ops.PhashIndex]]) serves both modalities: the payload is
+    * split into `windows` EQUAL byte windows (byte p of n lands in
+    * window p·windows/n — the [[decodeCells]] grid rule in 1-D, so
+    * loud/quiet media of any length produce comparable signatures),
+    * and bit i compares consecutive window ENERGIES exactly via
+    * integer cross-multiplication (sum_i·cnt_{i+1} > sum_{i+1}·cnt_i —
+    * no float means, every engine agrees bit-for-bit; an empty window
+    * compares 0-vs-0 → bit 0). windows−1 = 64 sign bits emit as 8
+    * row-bytes r0..r7 — byte-compatible with the dHash layout, which
+    * is the point: one index implementation, two modalities. This is
+    * the energy-delta-sign fingerprint family (Haitsma & Kalker 2002's
+    * robust-hash shape on a byte-energy feature). Pure per-partition
+    * map over payload bytes — no shuffle at any scale.
+    */
+  def audioFingerprint(media: DataFrame, windows: Int = 65): DataFrame = {
+    require(windows == 65,
+      "audioFingerprint: 64 sign bits (8 row-bytes) requires windows = 65")
+    val schema = StructType(
+      StructField("media_id", LongType) +:
+        (0 until 8).map(i => StructField(s"r$i", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val id = r.getLong(0)
+        val n = if (payload == null) 0 else payload.length
+        val sums = new Array[Long](windows)
+        val cnts = new Array[Long](windows)
+        var p = 0
+        while (p < n) {
+          val w = ((p.toLong * windows) / n).toInt
+          sums(w) += payload(p) & 0xff
+          cnts(w) += 1
+          p += 1
+        }
+        val bytes = new Array[Any](8)
+        var j = 0
+        while (j < 8) {
+          var b = 0L
+          var k = 0
+          while (k < 8) {
+            val i = 8 * j + k
+            if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i))
+              b |= (1L << k)
+            k += 1
+          }
+          bytes(j) = b
+          j += 1
+        }
+        Row.fromSeq(id +: bytes.toSeq)
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub: every k-th "frame" (byte window) of a payload —
     * the row-expanding shape of video frame extraction. Zero-byte
     * payloads yield zero frames (without the guard, sequence(0, div(-1,

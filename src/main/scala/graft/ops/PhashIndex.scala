@@ -50,34 +50,66 @@ object PhashIndex {
     bandRows(h).write.mode("overwrite").parquet(p.bands)
   }
 
-  /** Delta-day verdicts: `dup_phash_corpus` when any stored hash
+  /** Delta-day verdicts: `dup_<label>_corpus` when any stored hash
     * within [[MaxDist]] Hamming shares a band, else `admitted`.
+    *
+    * WITHIN-DAY contract (the [[SemIndex.decisions]] one, verbatim):
+    * by default the delta checks only the STORED index — two
+    * near-identical images in the same day's drop are both admitted.
+    * `withinBatch = true` adds the day-internal pass: band-collide
+    * against SMALLER-id same-day hashes, exact-Hamming verify, the
+    * larger id flagged `dup_<label>_batch` (corpus hits win). `label`
+    * names the modality in the verdict string ("phash" here; the
+    * AUDIO index reuses this whole object with label = "audio" — the
+    * machinery is modality-blind over 8 row-bytes).
     */
-  def decisions(spark: SparkSession, p: Paths,
-                delta: DataFrame): DataFrame = {
+  def decisions(spark: SparkSession, p: Paths, delta: DataFrame,
+                withinBatch: Boolean = false,
+                label: String = "phash"): DataFrame = {
     val d = hashRows(delta).localCheckpoint(true)
+    def side(src: DataFrame, n: String) = src.select(
+      col("media_id").as(n) +:
+        (0 until 8).map(i => col(s"r$i").as(s"${n}_r$i")): _*)
+    def hamming(a: String, b: String) = (0 until 8).map(i =>
+      bit_count(col(s"${a}_r$i").bitwiseXOR(col(s"${b}_r$i"))))
+      .reduce(_ + _)
     val cand = bandRows(d)
       .select(col("media_id").as("__did"), col("band"), col("bv"))
       .join(spark.read.parquet(p.bands)
         .select(col("media_id").as("__cid"), col("band"), col("bv")),
         Seq("band", "bv"))
       .select("__did", "__cid").distinct()
-    def side(src: DataFrame, n: String) = src.select(
-      col("media_id").as(n) +:
-        (0 until 8).map(i => col(s"r$i").as(s"${n}_r$i")): _*)
-    val hamming = (0 until 8).map(i =>
-      bit_count(col(s"__did_r$i").bitwiseXOR(col(s"__cid_r$i"))))
-      .reduce(_ + _)
     val hits = cand
       .join(side(d, "__did"), "__did")
       .join(side(spark.read.parquet(p.hashes), "__cid"), "__cid")
-      .where(hamming <= MaxDist)
+      .where(hamming("__did", "__cid") <= MaxDist)
       .select(col("__did").as("media_id")).distinct()
       .withColumn("__hit", lit(true))
-    d.select("media_id").join(hits, Seq("media_id"), "left")
-      .select(col("media_id"),
-        when(col("__hit"), lit("dup_phash_corpus"))
+    val base = d.select("media_id").join(hits, Seq("media_id"), "left")
+    if (!withinBatch)
+      base.select(col("media_id"),
+        when(col("__hit"), lit(s"dup_${label}_corpus"))
           .otherwise(lit("admitted")).as("decision"))
+    else {
+      val db = bandRows(d)
+      val bcand = db.select(col("media_id").as("__did"), col("band"),
+          col("bv"))
+        .join(db.select(col("media_id").as("__bid"), col("band"),
+          col("bv")), Seq("band", "bv"))
+        .where(col("__bid") < col("__did"))
+        .select("__did", "__bid").distinct()
+      val bhits = bcand
+        .join(side(d, "__did"), "__did")
+        .join(side(d, "__bid"), "__bid")
+        .where(hamming("__did", "__bid") <= MaxDist)
+        .select(col("__did").as("media_id")).distinct()
+        .withColumn("__bhit", lit(true))
+      base.join(bhits, Seq("media_id"), "left")
+        .select(col("media_id"),
+          when(col("__hit"), lit(s"dup_${label}_corpus"))
+            .when(col("__bhit"), lit(s"dup_${label}_batch"))
+            .otherwise(lit("admitted")).as("decision"))
+    }
   }
 
   /** One perceptual day: decisions pinned before the append (the
@@ -85,7 +117,8 @@ object PhashIndex {
     * hashes + band rows appended anti-joined.
     */
   def processDay(spark: SparkSession, p: Paths, k: Int,
-                 delta: DataFrame): DataFrame = {
+                 delta: DataFrame, withinBatch: Boolean = false,
+                 label: String = "phash"): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(p.decisionsDay(k))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pinned = fs.exists(new org.apache.hadoop.fs.Path(
@@ -94,7 +127,8 @@ object PhashIndex {
       if (pinned)
         spark.read.parquet(p.decisionsDay(k)).localCheckpoint(true)
       else {
-        val x = decisions(spark, p, delta).localCheckpoint(true)
+        val x = decisions(spark, p, delta, withinBatch, label)
+          .localCheckpoint(true)
         x.write.mode("overwrite").parquet(p.decisionsDay(k))
         x
       }
@@ -116,6 +150,25 @@ object PhashIndex {
       .localCheckpoint(true) // reads the tables being appended
     adm.write.mode("append").parquet(p.hashes)
     bandRows(adm).write.mode("append").parquet(p.bands)
+  }
+
+  /** Delete assets from the index by id — the retention/takedown
+    * path: both tables rewritten anti-joined against the victim set.
+    * The tables are HASH-sized (9 longs + 4 band rows per asset), so
+    * the rewrite is index-sized, not corpus-sized — compaction-class,
+    * amortized against retention cadence exactly like
+    * [[Dedup.deleteFromDedupIndex]]'s hash rewrite.
+    */
+  def delete(spark: SparkSession, p: Paths, ids: DataFrame): Unit = {
+    val victims = ids.select(col(ids.columns.head).as("media_id"))
+    spark.read.parquet(p.hashes)
+      .join(victims, Seq("media_id"), "left_anti")
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(p.hashes)
+    spark.read.parquet(p.bands)
+      .join(victims, Seq("media_id"), "left_anti")
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(p.bands)
   }
 
   /** Band-level health card off the index tables alone — the

