@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Swap a fully-written staging directory into a live path with two
+    * renames (live → live__old, staging → live) and delete the old
+    * root — the shared cutover primitive for every compaction-class
+    * rewrite ([[graft.ops.SemIndex.compact]]/refit, the state
+    * compactors): no instant leaves half-written DATA at the live
+    * path (each state is a complete old or new artifact), a crash
+    * leaves the staging root intact to resume from, and a reader that
+    * already resolved its file list keeps its inodes through the
+    * rename. The instant between the renames has no directory at the
+    * live path — metadata-sized; these operations run in the
+    * maintenance slot.
+    */
+  def swapInto(spark: SparkSession, staging: String, live: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    val fs = liveP.getFileSystem(conf)
+    val oldP = new org.apache.hadoop.fs.Path(live + "__old")
+    if (fs.exists(oldP)) { fs.delete(oldP, true): Unit } // crashed swap
+    require(fs.rename(liveP, oldP), s"swapInto: park $live")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), liveP),
+      s"swapInto: promote $staging -> $live")
+    fs.delete(oldP, true): Unit
+  }
+
   /** Write time-partitioned by UTC date derived from the epoch-ns column. */
   def writeTimePartitioned(df: DataFrame, tsNsCol: String, path: String): Unit =
     df.withColumn("dt",

@@ -59,6 +59,17 @@ object MediaHashes {
       .write.mode("append").parquet(path)
   }
 
+  /** Settle the small-files debt the per-day appends leave (one file
+    * batch per day): rewrite the artifact as one right-sized file via
+    * the staging + rename-swap cutover ([[graft.core.Layout.swapInto]]
+    * — content invariant, no reader ever sees half-written data).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    spark.read.parquet(path).coalesce(1)
+      .write.mode("overwrite").parquet(path + "__staging")
+    graft.core.Layout.swapInto(spark, path + "__staging", path)
+  }
+
   /** Id-pruned signature fetch for a day's ids: the image rows and the
     * audio rows (audio renamed to the r0..r7 layout so
     * [[PhashIndex]] consumes either modality unchanged).

@@ -550,12 +550,18 @@ object Scale {
     * before overwriting the directory it read.
     */
   def compactDistinctState(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Unit =
+                           path: String): Unit = {
+    // staging + rename-swap (Layout.swapInto): the rewrite never
+    // overwrites the directory it is reading, so no lineage cut is
+    // needed and no reader ever sees half-written data
     spark.read.parquet(s"$path/keys")
       .withColumn("__shard", col("__shard").cast("long"))
       .repartition(col("__shard")) // all of a shard's rows -> one task -> one file
-      .localCheckpoint(true)
-      .write.partitionBy("__shard").mode("overwrite").parquet(s"$path/keys")
+      .write.partitionBy("__shard").mode("overwrite")
+      .parquet(s"$path/keys__staging")
+    graft.core.Layout.swapInto(spark, s"$path/keys__staging",
+      s"$path/keys")
+  }
 
   /** Append a delta's cent partials to a persisted [[writeCentHist]]
     * state WITHOUT reading it (the in-place sibling of
@@ -583,8 +589,8 @@ object Scale {
     df.groupBy((groupCols :+ "__cent").map(col): _*)
       .agg(sum(col("__n")).as("__n"))
       .coalesce(1)
-      .localCheckpoint(true)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(path + "__staging")
+    graft.core.Layout.swapInto(spark, path + "__staging", path)
   }
 
   /** Recursive parquet-file count under a state/index root — the

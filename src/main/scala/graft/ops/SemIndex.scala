@@ -328,20 +328,11 @@ object SemIndex {
     */
   def compact(spark: SparkSession, p: Paths): Unit = {
     val staging = s"${p.index}__staging"
-    val old = s"${p.index}__old"
     spark.read.parquet(p.index)
       .select("vec_id", "e", "n", "cell")
       .repartition(col("cell")).sortWithinPartitions("vec_id")
       .write.partitionBy("cell").mode("overwrite").parquet(staging)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val cur = new org.apache.hadoop.fs.Path(p.index)
-    val fs = cur.getFileSystem(conf)
-    val oldP = new org.apache.hadoop.fs.Path(old)
-    if (fs.exists(oldP)) { fs.delete(oldP, true): Unit } // crashed swap
-    require(fs.rename(cur, oldP), s"compact: rename ${p.index} -> $old")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), cur),
-      s"compact: rename $staging -> ${p.index}")
-    fs.delete(oldP, true): Unit
+    graft.core.Layout.swapInto(spark, staging, p.index)
   }
 
   /** RE-FIT the quantizer at a new cell count and RE-INDEX — the
@@ -451,19 +442,8 @@ object SemIndex {
       val nCells = head.getLong(1).toInt
       val staging = Paths(s"${p.root}__staging")
       refit(spark, p, staging, nCells)
-      val conf = spark.sparkContext.hadoopConfiguration
-      def swap(cur: String, next: String): Unit = {
-        val curP = new org.apache.hadoop.fs.Path(cur)
-        val fs = curP.getFileSystem(conf)
-        val oldP = new org.apache.hadoop.fs.Path(cur + "__old")
-        if (fs.exists(oldP)) { fs.delete(oldP, true): Unit }
-        require(fs.rename(curP, oldP), s"refitIfNeeded: park $cur")
-        require(fs.rename(new org.apache.hadoop.fs.Path(next), curP),
-          s"refitIfNeeded: swap $next -> $cur")
-        fs.delete(oldP, true): Unit
-      }
-      swap(p.seeds, staging.seeds)
-      swap(p.index, staging.index)
+      graft.core.Layout.swapInto(spark, staging.seeds, p.seeds)
+      graft.core.Layout.swapInto(spark, staging.index, p.index)
       nCells.toLong
     }
   }

@@ -263,6 +263,29 @@ object Curation12 {
       MultiDay.allDecisions4(s, mmBatch(s, dir))
         .orderBy("day", "doc_id")),
 
+    // The admission-funnel card: per (day, stage) verdict mix straight
+    // off the pinned decisions — the per-modality disclosure a steward
+    // reads before trusting the combined verdict (model-sized; no
+    // corpus scan).
+    "q555_mm_funnel" -> ((s, dir) =>
+      MultiDay.allDecisions4(s, mmStream(s, dir)._1)
+        .selectExpr("day",
+          "stack(5, 'aud', d_aud, 'lex', d_lex, 'overall', decision, " +
+            "'ph', d_ph, 'sem', d_sem) AS (stage, verdict)")
+        .groupBy("day", "stage", "verdict")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("day", "stage", "verdict")),
+
+    // IVF search served off the occupancy-refit index — the cutover
+    // leaves a serving artifact (same queries/k/nprobe as q525).
+    "q556_refit_search" -> ((s, dir) =>
+      SemIndex.search(s, refitLife(s, dir)._1,
+          t(s, dir, "embeddings")
+            .where(pmod(col("vec_id"), lit(8L)) === 6L)
+            .select("vec_id", "embedding"),
+          k = 5, nprobe = 2)
+        .orderBy("qid", "rank")),
+
     "q546_audio_index_decisions" -> ((s, dir) =>
       audioLife(s, dir)._2.orderBy("day", "media_id")),
 
@@ -397,6 +420,36 @@ object Curation12 {
        |    LEFT JOIN bhitS$sfx bh ON bh.vec_id = a.vec_id)""".stripMargin
   }
 
+  /** The fired-refit re-derivation over the grown index (idx3): the
+    * DYNAMIC ⌈n/16⌉ cell count, the q535 init-only seed contract at
+    * that count (rank positions over the distinct-sorted 128-cap),
+    * and the re-binned index `cellr(vec_id, cell, e, nrm)` — shared
+    * by the q549 card and the q556 search.
+    */
+  private def refitCtes: String =
+    s"""kc AS (SELECT (CAST(count(*) AS BIGINT) + 15) // 16 AS k
+       |  FROM idx3),
+       |cvr AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
+       |  FROM (SELECT DISTINCT e FROM idx3) ORDER BY e LIMIT 128),
+       |ccr AS (SELECT count(*) AS c FROM cvr),
+       |seedsr AS (SELECT r.i + 1 AS sid,
+       |    list_transform(cvr.e, x -> round_even(x * 1000000, 0)
+       |      / 1000000) AS se
+       |  FROM (SELECT unnest(range(1024)) AS i) r, kc, ccr, cvr
+       |  WHERE r.i < kc.k AND cvr.rn = (r.i * ccr.c) // kc.k + 1),
+       |snr AS (SELECT sid, se,
+       |    sqrt(list_sum(list_transform(se, x -> x * x))) AS snrm
+       |  FROM seedsr),
+       |csr AS (SELECT idx3.vec_id, sid,
+       |    list_sum(list_transform(range(64),
+       |      i -> idx3.e[i+1] * se[i+1])) / (idx3.nrm * snrm) AS c
+       |  FROM idx3, snr),
+       |cellr AS (SELECT b.vec_id, b.cell, idx3.e, idx3.nrm
+       |  FROM (SELECT vec_id, CAST(sid AS INT) AS cell FROM
+       |    (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |       ORDER BY c DESC, sid) AS rn FROM csr) WHERE rn = 1) b
+       |  JOIN idx3 ON idx3.vec_id = b.vec_id)""".stripMargin
+
   private def fin(k: Int, lexDec: String, semDec: String, phDec: String,
                   audDec: String): String =
     s"""fin$k AS MATERIALIZED (SELECT l.doc_id, l.decision AS d_lex,
@@ -432,29 +485,31 @@ object Curation12 {
     s"""v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
+       |pdocs AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN v ON v.vec_id = d.doc_id),
        |msnapv AS (SELECT * FROM v WHERE vec_id % 8 >= 4),
        |${Curation11.semSeedCtes("msnapv")},
        |${Curation11.cellCtes("msnapv", "ms")},
        |${Curation11.phashCtes("(d.doc_id - d.doc_id % 2)")},
        |${audioCtes()},
-       |lcorp1 AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |lcorp1 AS MATERIALIZED (SELECT doc_id, text FROM pdocs
        |  WHERE doc_id % 8 >= 4),
-       |lb1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0),
+       |lb1 AS (SELECT doc_id, text FROM pdocs WHERE doc_id % 8 = 0),
        |${Curation.dedupDecisionCtes("lcorp1", "lb1", "L1")},
        |dv1 AS (SELECT * FROM v WHERE vec_id % 8 = 0),
        |${Curation11.cellCtes("dv1", "s1")},
        |${semDay4("s1", "ixms")},
-       |dP1 AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 0),
-       |idxP1 AS (SELECT doc_id FROM documents WHERE doc_id % 8 >= 4),
+       |dP1 AS (SELECT doc_id FROM pdocs WHERE doc_id % 8 = 0),
+       |idxP1 AS (SELECT doc_id FROM pdocs WHERE doc_id % 8 >= 4),
        |${bandedDay("P1", "pbands", "bits", imgJoin, "dP1", "idxP1",
           "phash")},
        |${bandedDay("A1", "abands", "abits", audJoin, "dP1", "idxP1",
           "audio")},
        |${fin(1, "decisionsL1", "decSs1", "decBP1", "decBA1")},
        |lcorp2 AS MATERIALIZED (SELECT doc_id, text FROM lcorp1
-       |  UNION ALL SELECT d.doc_id, d.text FROM documents d
+       |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
        |    JOIN madm1 USING (doc_id)),
-       |lb2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 8 = 1),
+       |lb2 AS (SELECT doc_id, text FROM pdocs WHERE doc_id % 8 = 1),
        |${Curation.dedupDecisionCtes("lcorp2", "lb2", "L2")},
        |ixsem2 AS (SELECT cell, vec_id, e, nrm FROM ixms
        |  UNION ALL SELECT cell, vec_id, e, nrm FROM ixs1
@@ -462,7 +517,7 @@ object Curation12 {
        |dv2 AS (SELECT * FROM v WHERE vec_id % 8 = 1),
        |${Curation11.cellCtes("dv2", "s2")},
        |${semDay4("s2", "ixsem2")},
-       |dP2 AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 1),
+       |dP2 AS (SELECT doc_id FROM pdocs WHERE doc_id % 8 = 1),
        |idxP2 AS (SELECT doc_id FROM idxP1
        |  UNION ALL SELECT doc_id FROM madm1),
        |${bandedDay("P2", "pbands", "bits", imgJoin, "dP2", "idxP2",
@@ -476,11 +531,11 @@ object Curation12 {
        |  UNION ALL SELECT 9600002,
        |    (SELECT min(doc_id) FROM fin2 WHERE decision = 'admitted')
        |  UNION ALL SELECT 9600003,
-       |    (SELECT min(doc_id) FROM documents
+       |    (SELECT min(doc_id) FROM pdocs
        |      WHERE doc_id % 8 IN (2, 3))),
-       |xdocs AS (SELECT doc_id, text FROM documents
+       |xdocs AS (SELECT doc_id, text FROM pdocs
        |  UNION ALL SELECT sm.sdoc, d.text FROM sm
-       |    JOIN documents d ON d.doc_id = sm.src),
+       |    JOIN pdocs d ON d.doc_id = sm.src),
        |xv AS (SELECT vec_id, e FROM v
        |  UNION ALL SELECT sm.sdoc, v.e FROM sm
        |    JOIN v ON v.vec_id = sm.src),
@@ -503,7 +558,7 @@ object Curation12 {
        |  UNION ALL SELECT sm.sdoc, a0, a1, a2, a3, a4, a5, a6, a7
        |    FROM sm JOIN arb r ON r.doc_id = sm.src),
        |lcorp3 AS MATERIALIZED (SELECT doc_id, text FROM lcorp2
-       |  UNION ALL SELECT d.doc_id, d.text FROM documents d
+       |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
        |    JOIN madm2 USING (doc_id)),
        |lb3 AS (SELECT doc_id, text FROM xdocs
        |  WHERE doc_id % 8 IN (2, 3) OR doc_id IN (SELECT sdoc FROM sm)),
@@ -572,7 +627,7 @@ object Curation12 {
     "q543_mm_stream_cards" ->
       s"""WITH $mmCtes,
          |lcorp4 AS (SELECT doc_id, text FROM lcorp3
-         |  UNION ALL SELECT d.doc_id, d.text FROM documents d
+         |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
          |    JOIN madm3 USING (doc_id)),
          |adm AS (SELECT count(*) AS n1 FROM madm1),
          |adm2c AS (SELECT count(*) AS n2 FROM madm2),
@@ -596,7 +651,7 @@ object Curation12 {
          |  UNION ALL SELECT 'audio', 'n_band_rows',
          |    4 * ((SELECT count(*) FROM idxP3) + (SELECT n3 FROM adm3c))
          |  UNION ALL SELECT 'media', 'n_assets',
-         |    (SELECT count(*) FROM documents) + 3)
+         |    (SELECT count(*) FROM pdocs) + 3)
          |ORDER BY modality, metric""".stripMargin,
 
     "q544_media_hashes" ->
@@ -605,7 +660,26 @@ object Curation12 {
          |  r0, r1, r2, r3, r4, r5, r6, r7,
          |  a0, a1, a2, a3, a4, a5, a6, a7
          |FROM xrb2 p JOIN xarb a ON a.doc_id = p.doc_id
+         |WHERE p.doc_id IN (SELECT doc_id FROM pdocs)
+         |  OR p.doc_id IN (SELECT sdoc FROM sm)
          |ORDER BY media_id""".stripMargin,
+
+    "q555_mm_funnel" -> {
+      val days = (1 to 3).flatMap { k =>
+        Seq(s"SELECT $k AS day, 'lex' AS stage, d_lex AS verdict FROM fin$k",
+          s"SELECT $k, 'sem', d_sem FROM fin$k",
+          s"SELECT $k, 'ph', d_ph FROM fin$k",
+          s"SELECT $k, 'aud', d_aud FROM fin$k",
+          s"SELECT $k, 'overall', decision FROM fin$k")
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $mmCtes
+         |SELECT day, stage, verdict,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM (
+         |  $days)
+         |GROUP BY 1, 2, 3
+         |ORDER BY day, stage, verdict""".stripMargin
+    },
 
     "q546_audio_index_decisions" ->
       s"""WITH $audioLifeCtes
@@ -644,31 +718,39 @@ object Curation12 {
     // re-derivation with the cell count computed from the data.
     "q549_sem_refit_fired" ->
       s"""WITH ${Curation11.semCtes},
-         |kc AS (SELECT (CAST(count(*) AS BIGINT) + 15) // 16 AS k
-         |  FROM idx3),
-         |cvr AS (SELECT e, row_number() OVER (ORDER BY e) AS rn
-         |  FROM (SELECT DISTINCT e FROM idx3) ORDER BY e LIMIT 128),
-         |ccr AS (SELECT count(*) AS c FROM cvr),
-         |seedsr AS (SELECT r.i + 1 AS sid,
-         |    list_transform(cvr.e, x -> round_even(x * 1000000, 0)
-         |      / 1000000) AS se
-         |  FROM (SELECT unnest(range(1024)) AS i) r, kc, ccr, cvr
-         |  WHERE r.i < kc.k AND cvr.rn = (r.i * ccr.c) // kc.k + 1),
-         |snr AS (SELECT sid, se,
-         |    sqrt(list_sum(list_transform(se, x -> x * x))) AS snrm
-         |  FROM seedsr),
-         |csr AS (SELECT idx3.vec_id, sid,
-         |    list_sum(list_transform(range(64),
-         |      i -> idx3.e[i+1] * se[i+1])) / (idx3.nrm * snrm) AS c
-         |  FROM idx3, snr),
-         |cellr AS (SELECT vec_id, CAST(sid AS INT) AS cell FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |     ORDER BY c DESC, sid) AS rn FROM csr) WHERE rn = 1)
+         |$refitCtes
          |SELECT cell, count(*) AS n_vecs,
          |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
          |  bit_xor(${h60("CAST(vec_id AS VARCHAR)")}) AS checksum,
          |  (SELECT k FROM kc) AS n_cells_after
          |FROM cellr GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // IVF retrieval SERVED off the refit index (the same queries as
+    // q525, nprobe = 2, against the ⌈n/16⌉-cell re-bin): the
+    // maintenance cutover leaves a fully serving search artifact.
+    "q556_refit_search" ->
+      s"""WITH ${Curation11.semCtes},
+         |$refitCtes,
+         |qs AS (SELECT vec_id AS qid, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS qn
+         |  FROM v WHERE vec_id % 8 = 6),
+         |qc AS (SELECT qid, cell FROM (
+         |  SELECT qs.qid, snr.sid AS cell,
+         |      row_number() OVER (PARTITION BY qs.qid
+         |      ORDER BY list_sum(list_transform(range(64),
+         |        i -> qs.e[i+1] * se[i+1])) / (qs.qn * snrm) DESC, sid)
+         |      AS rn
+         |  FROM qs, snr) WHERE rn <= 2),
+         |sc AS (SELECT q.qid, x.vec_id,
+         |    list_sum(list_transform(range(64), i -> q.e[i+1] * x.e[i+1]))
+         |      / (q.qn * x.nrm) AS cos
+         |  FROM qc JOIN qs q USING (qid)
+         |    JOIN cellr x ON x.cell = qc.cell)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+         |  round(cos, 6) + 0.0 AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rank FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // The four cards after TTL'ing day 1's admissions: retained =
     // snapshot + day-2 + day-3 admissions; the lexical hash set
@@ -676,11 +758,11 @@ object Curation12 {
     // semantics); the media artifact keeps every decoded asset.
     "q550_mm_ttl_cards" ->
       s"""WITH $mmCtes,
-         |ret AS MATERIALIZED (SELECT doc_id, text FROM documents
+         |ret AS MATERIALIZED (SELECT doc_id, text FROM pdocs
          |  WHERE doc_id % 8 >= 4
-         |  UNION ALL SELECT d.doc_id, d.text FROM documents d
+         |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
          |    JOIN madm2 USING (doc_id)
-         |  UNION ALL SELECT d.doc_id, d.text FROM documents d
+         |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
          |    JOIN madm3 USING (doc_id))
          |SELECT * FROM (
          |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
@@ -695,18 +777,18 @@ object Curation12 {
          |  UNION ALL SELECT 'audio', 'n_band_rows',
          |    4 * count(*) FROM ret
          |  UNION ALL SELECT 'media', 'n_assets',
-         |    (SELECT count(*) FROM documents) + 3)
+         |    (SELECT count(*) FROM pdocs) + 3)
          |ORDER BY modality, metric""".stripMargin,
 
     // Day-1 re-offer against the retained indexes: the day-1 stage
     // machinery verbatim, index sets = snapshot + day-2/-3 admissions.
     "q551_mm_ttl_reoffer" ->
       s"""WITH $mmCtes,
-         |lcorpT AS MATERIALIZED (SELECT doc_id, text FROM documents
+         |lcorpT AS MATERIALIZED (SELECT doc_id, text FROM pdocs
          |  WHERE doc_id % 8 >= 4
-         |  UNION ALL SELECT d.doc_id, d.text FROM documents d
+         |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
          |    JOIN madm2 USING (doc_id)
-         |  UNION ALL SELECT d.doc_id, d.text FROM documents d
+         |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
          |    JOIN madm3 USING (doc_id)),
          |${Curation.dedupDecisionCtes("lcorpT", "lb1", "LT")},
          |ixsemT AS (SELECT cell, vec_id, e, nrm FROM ixms
@@ -715,7 +797,7 @@ object Curation12 {
          |  UNION ALL SELECT cell, vec_id, e, nrm FROM ixs3
          |    WHERE vec_id IN (SELECT doc_id FROM madm3)),
          |${semDay4("sT", "ixsemT", "ixs1")},
-         |idxPT AS (SELECT doc_id FROM documents WHERE doc_id % 8 >= 4
+         |idxPT AS (SELECT doc_id FROM pdocs WHERE doc_id % 8 >= 4
          |  UNION ALL SELECT doc_id FROM madm2
          |  UNION ALL SELECT doc_id FROM madm3),
          |${bandedDay("PT", "xpbands", "xbits", imgJoin, "dP1", "idxPT",

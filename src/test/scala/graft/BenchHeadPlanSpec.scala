@@ -42,7 +42,11 @@ class BenchHeadPlanSpec extends AnyFunSuite {
     ("q303_winnow_matches", 4, 0),
     ("q270_soft_dedup", 9, 0),
     ("q353_repetition_signals", 1, 0),
-    ("q232_pxl_dns_filtered", 4, 0))
+    ("q232_pxl_dns_filtered", 4, 0),
+    // r12: the two contention-inflated pxl heads the r11 bench triples
+    // flagged — pinned so the next noisy bench is self-refuting
+    ("q133_pxl_amqp_data", 12, 0),
+    ("q171_pxl_http_trace", 9, 0))
 
   test("bench-head plans hold their audited shape (exchanges/BNLJ/cartesian)") {
     val derive = sys.env.contains("GRAFT_DERIVE_PINS")

@@ -51,6 +51,11 @@ class Round12Spec extends AnyFunSuite {
       graft.ops.MediaHashes.extend(spark, path, media) // replay
       assert(spark.read.parquet(path).count() == n1)
       assert(n1 == 10L)
+      // compaction: content invariant, file count settles to one
+      val pre = spark.read.parquet(path).collect().map(_.toSeq).toSet
+      graft.ops.MediaHashes.compact(spark, path)
+      assert(spark.read.parquet(path).collect().map(_.toSeq).toSet == pre)
+      assert(graft.ops.Scale.parquetFileCount(spark, path) == 1L)
     } finally graft.queries.Curation2.deleteDir(
       new java.io.File(root).getParent)
   }
@@ -169,6 +174,40 @@ class Round12Spec extends AnyFunSuite {
     val ok = graft.ops.Corpus.budgetAdmit(df, "doc_id", "n_tok",
       (col("prio") * 1000000).cast("long"), 100L)
     assert(ok.count() == 2L)
+  }
+
+  test("one micro-batch carrying TWO days applies them in day order") {
+    val root = tmp("graft_r12_batch2_")
+    try {
+      val p = graft.ops.MultiDay.Paths4(root)
+      graft.ops.MultiDay.bootstrap4(spark, sf, p)
+      val fetch = graft.core.Tables(spark, sf, "documents")
+      // ONE landing file holding both days: the file source delivers
+      // it as a single micro-batch, and the in-batch day loop must
+      // run day 1 before day 2 (day 2's body REQUIRES day 1's pin, so
+      // wrong order fails loudly rather than passing vacuously)
+      val both = spark.read.parquet(p.dropDay(1)).withColumn("day", lit(1))
+        .unionByName(
+          spark.read.parquet(p.dropDay(2)).withColumn("day", lit(2)))
+      val stage = s"$root/stage_both"
+      both.repartition(1).write.parquet(stage)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(stage).getFileSystem(conf)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .find(s => s.isFile && s.getPath.getName.startsWith("part-")).get
+      fs.mkdirs(new org.apache.hadoop.fs.Path(p.landing)): Unit
+      assert(fs.rename(part.getPath,
+        new org.apache.hadoop.fs.Path(p.landing, "days12.parquet")))
+      val q = graft.streaming.MultiStream.start(spark, p, fetch)
+      try { q.processAllAvailable() } finally q.stop()
+      assert(graft.ops.CurationNDay.ledgerDays(spark, p.ledger)
+        == Seq("mm1", "mm2"))
+      (1 to 2).foreach { k =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(
+          p.decisionsDay(k) + "/_SUCCESS")), s"day $k pin missing")
+      }
+    } finally graft.queries.Curation2.deleteDir(
+      new java.io.File(root).getParent)
   }
 
   test("incremental bpeTrain equals a full per-merge recount") {
