@@ -376,6 +376,39 @@ object CurationNDay {
     retractDay(spark, a, dayId, victims, manifestIn, manifestOut)
   }
 
+  /** SIZE-CAPPED retention — the reference's ring buffer is capped by
+    * SIZE, not age (src/table_store/table/table.cc:44: expire oldest
+    * batches until under the byte cap); this is that trigger on the
+    * day lifecycle: choose the OLDEST admission horizon whose
+    * retained token mass fits `maxTokens` (whole-day granularity —
+    * the row-batch analog), then run the [[ttlDay]] machinery at that
+    * horizon. Day masses come from the persisted PACK layouts (one
+    * sum per day file — no corpus scan, the dataCard rule), and the
+    * chosen horizon is exact integer arithmetic any engine re-derives
+    * from the same masses. Loud-fails when even the newest day alone
+    * exceeds the cap (whole-day expiry cannot satisfy it). Returns
+    * the chosen `keepFromDay`, or 0 when `dayId` already committed.
+    */
+  def capDay(spark: SparkSession, a: CurationDay.Artifacts,
+             dayId: String, maxTokens: Long, manifestIn: String,
+             manifestOut: String): Int = {
+    if (ledgerSeen(spark, a.ledger, dayId)) 0
+    else {
+      val masses = (1 to NDays).map { k =>
+        k -> spark.read.parquet(a.packDay(k))
+          .agg(coalesce(sum(col("n_tok")), lit(0L)).as("m"))
+          .head().getLong(0) // one row per day file — model-sized
+      }.toMap
+      val keepFrom = (1 to NDays).find { k =>
+        (k to NDays).map(masses).sum <= maxTokens
+      }.getOrElse(sys.error(
+        s"capDay: day $NDays alone exceeds the $maxTokens-token cap — " +
+          "whole-day expiry cannot satisfy it"))
+      ttlDay(spark, a, dayId, keepFrom, manifestIn, manifestOut): Unit
+      keepFrom
+    }
+  }
+
   /** The lifecycle DATASHEET (the "data card" every curated training
     * corpus ships with — Gebru et al. 2021, "Datasheets for
     * Datasets"): one long-format (section, metric, value) frame

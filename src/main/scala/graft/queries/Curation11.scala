@@ -265,10 +265,10 @@ object Curation11 {
     // after compaction must equal the pre-compaction oracle (contents
     // invariant — only the file layout changes). Content-invariance
     // makes gate ORDER irrelevant (q521/q522/q525/q529 answer the
-    // same before or after); the in-place rewrite itself assumes the
-    // sequential gate harness (a concurrent reader could catch the
-    // rewrite window) — production runs compaction in the maintenance
-    // slot like the dedup-index compactor.
+    // same before or after). Since r12 the rewrite goes through the
+    // staging + rename-swap cutover (Layout.swapInto) — no instant
+    // leaves half-written data at the live path, closing the r11
+    // concurrent-reader disclosure.
     "q526_sem_index_compacted" -> ((s, dir) => {
       val p = semLife(s, dir)._1
       graft.ops.SemIndex.compact(s, p)

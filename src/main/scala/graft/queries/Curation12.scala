@@ -193,7 +193,36 @@ object Curation12 {
       (a, dec)
     })
 
+  /** SIZE-capped retention on its own fresh lifecycle (pack layouts
+    * must be intact — the masses are read from them): the 7000-token
+    * cap forces the horizon to day 3 on this fixture (tail masses
+    * 9827 > 7000 ≥ 6502), a genuinely computed decision the oracle
+    * re-derives from the same per-day masses.
+    */
+  private val capCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.ops.CurationDay.Artifacts, Int)]()
+  private def capLife(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (graft.ops.CurationDay.Artifacts, Int) =
+    capCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_curation_cap_")
+      val a = graft.ops.CurationDay.Artifacts(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      CurationNDay.runDaysBatch(s, d, a)
+      val k = CurationNDay.capDay(s, a, "cap1", maxTokens = 7000L,
+        a.manifestDay(CurationNDay.NDays), a.manifestRetract(1))
+      (a, k)
+    })
+
   val queries: Map[String, QFn] = Map(
+
+    // Size-capped retention: the manifest after expiring to the
+    // computed horizon, the horizon disclosed on every row.
+    "q557_cap_manifest" -> ((s, dir) => {
+      val (a, k) = capLife(s, dir)
+      s.read.parquet(a.manifestRetract(1))
+        .withColumn("keep_from_day", lit(k.toLong))
+        .orderBy("shard")
+    }),
 
     // The occupancy health card over the grown lifecycle index — the
     // numbers that DECIDE the refit (trigger genuinely firing at
@@ -859,6 +888,47 @@ object Curation12 {
          |  (cum - n_tok) // ${graft.ops.Pack.SeqLen} AS first_seq,
          |  (cum - 1) // ${graft.ops.Pack.SeqLen} AS last_seq
          |FROM tape ORDER BY doc_id""".stripMargin,
+
+    // Size-capped retention: the horizon is COMPUTED from the per-day
+    // token masses (smallest k whose tail mass fits the cap), then
+    // the manifest is the q552 shape at that horizon.
+    "q557_cap_manifest" ->
+      s"""WITH ${Curation9.nDayCtes},
+         |mass AS (
+         |  SELECT 1 AS day, CAST(sum(len(string_split(text, ' ')))
+         |    AS BIGINT) AS m FROM admf1
+         |  UNION ALL SELECT 2, CAST(sum(len(string_split(text, ' ')))
+         |    AS BIGINT) FROM admf2
+         |  UNION ALL SELECT 3, CAST(sum(len(string_split(text, ' ')))
+         |    AS BIGINT) FROM admf3
+         |  UNION ALL SELECT 4, CAST(sum(len(string_split(text, ' ')))
+         |    AS BIGINT) FROM admf4),
+         |keepk AS (SELECT CAST(min(k) AS BIGINT) AS k FROM (
+         |  SELECT ks.k, sum(m) AS tail
+         |  FROM (SELECT unnest(range(1, 5)) AS k) ks
+         |  JOIN mass ON mass.day >= ks.k GROUP BY ks.k)
+         |  WHERE tail <= 7000),
+         |corpusC AS MATERIALIZED (
+         |  SELECT doc_id, text FROM admf1
+         |    WHERE (SELECT k FROM keepk) <= 1
+         |  UNION ALL SELECT doc_id, text FROM admf2
+         |    WHERE (SELECT k FROM keepk) <= 2
+         |  UNION ALL SELECT doc_id, text FROM admf3
+         |    WHERE (SELECT k FROM keepk) <= 3
+         |  UNION ALL SELECT doc_id, text FROM admf4
+         |    WHERE (SELECT k FROM keepk) <= 4),
+         |mC AS (SELECT doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${graft.ops.CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (${h60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS h
+         |  FROM corpusC)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum,
+         |  (SELECT k FROM keepk) AS keep_from_day
+         |FROM mC GROUP BY shard ORDER BY shard""".stripMargin,
 
     // TTL re-offer: the oldest victim's text readmits (unless a
     // retained doc still carries it), the surviving control stays
