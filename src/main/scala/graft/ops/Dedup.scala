@@ -543,20 +543,25 @@ object Dedup {
   /** Compact a persisted dedup index after many [[appendDedupIndex]]
     * folds — the [[graft.ops.Similarity.compactSq8Index]] pattern for
     * the hash/band tables: each append leaves its own small parquet
-    * files; both tables are materialized (lineage-truncating
-    * checkpoint, so the rewrite never reads its own output) and
-    * rewritten into `partitions` right-sized files. Decisions are
-    * untouched — the gate proves a post-compaction delta run still
-    * matches the grown-corpus oracle.
+    * files; both tables are rewritten into `partitions` right-sized
+    * files via the staging + rename-swap cutover
+    * ([[graft.core.Layout.swapInto]] — the rewrite never touches the
+    * directory it reads, and no reader ever sees half-written data).
+    * Decisions are untouched — the gate proves a post-compaction
+    * delta run still matches the grown-corpus oracle.
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, partitions: Int): Unit = {
     spark.read.parquet(s"$path/hashes.parquet")
-      .repartition(partitions).localCheckpoint(true)
-      .write.mode("overwrite").parquet(s"$path/hashes.parquet")
+      .repartition(partitions)
+      .write.mode("overwrite").parquet(s"$path/hashes.parquet__staging")
+    graft.core.Layout.swapInto(spark, s"$path/hashes.parquet__staging",
+      s"$path/hashes.parquet")
     spark.read.parquet(s"$path/bands.parquet")
-      .repartition(partitions).localCheckpoint(true)
-      .write.mode("overwrite").parquet(s"$path/bands.parquet")
+      .repartition(partitions)
+      .write.mode("overwrite").parquet(s"$path/bands.parquet__staging")
+    graft.core.Layout.swapInto(spark, s"$path/bands.parquet__staging",
+      s"$path/bands.parquet")
   }
 
   /** Incremental (snapshot + delta) dedup: admit only the `batch` docs

@@ -328,6 +328,35 @@ object MultiDay {
     processDay4(spark, p, 3, spark.read.parquet(p.dropDay(3)), fetch): Unit
   }
 
+  /** The batch path WITH MAINTENANCE INTERLEAVED — the operational
+    * calendar a production pipeline actually runs (admit, then settle
+    * the file debt in the maintenance slot, then admit again):
+    * content-invariant compactions of the lexical hash/band tables,
+    * the semantic cell partitions, and the media artifact execute
+    * BETWEEN the days. Decisions must be bit-identical to the plain
+    * chain — q558 gates this path against the SAME composed oracle as
+    * q542/q545 (third engine path, one oracle), turning "compaction
+    * changes nothing" from a per-op claim into a lifecycle-level
+    * proof.
+    */
+  def runDays4BatchMaintained(spark: SparkSession, dir: String,
+                              p: Paths4): Unit = {
+    bootstrap4(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    def maintain(): Unit = {
+      Dedup.compactDedupIndex(spark, p.lex, partitions = 1)
+      SemIndex.compact(spark, p.sem)
+      MediaHashes.compact(spark, p.media)
+    }
+    (1 to 2).foreach { k =>
+      processDay4(spark, p, k, spark.read.parquet(p.dropDay(k)),
+        fetch): Unit
+      maintain()
+    }
+    writeDay3Drop(spark, dir, p)
+    processDay4(spark, p, 3, spark.read.parquet(p.dropDay(3)), fetch): Unit
+  }
+
   /** All N days' pinned verdicts as one frame. */
   def allDecisions4(spark: SparkSession, p: Paths4): DataFrame =
     (1 to NDays4).map { k =>

@@ -193,11 +193,31 @@ object Curation12 {
       (a, dec)
     })
 
+  /** The maintained batch lifecycle (compactions interleaved between
+    * days — lexical tables, semantic cells, media artifact): a third
+    * engine path whose decisions must equal the same composed oracle.
+    */
+  private val mmMaintCache = new java.util.concurrent.ConcurrentHashMap[
+    String, MultiDay.Paths4]()
+  private def mmMaintained(s: org.apache.spark.sql.SparkSession,
+                           dir: String): MultiDay.Paths4 =
+    mmMaintCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm_maint_")
+      val p = MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      MultiDay.runDays4BatchMaintained(s, d, p)
+      p
+    })
+
   /** SIZE-capped retention on its own fresh lifecycle (pack layouts
-    * must be intact — the masses are read from them): the 7000-token
-    * cap forces the horizon to day 3 on this fixture (tail masses
-    * 9827 > 7000 ≥ 6502), a genuinely computed decision the oracle
-    * re-derives from the same per-day masses.
+    * must be intact — the masses are read from them). The gate's cap
+    * is SCALE-PROPORTIONAL — 55% of the total admitted token mass,
+    * exact integer arithmetic both engines derive from the same
+    * persisted masses — so the horizon decision is genuinely computed
+    * at every sf (on the sf0.01 fixture: total 12560, cap 6908, tail
+    * masses 9827 > 6908 ≥ 6502 ⇒ keepFrom = 3) and the q557 row
+    * never trips [[CurationNDay.capDay]]'s newest-day loud-fail on a
+    * bigger fixture the way a fixture-sized absolute cap would.
     */
   private val capCache = new java.util.concurrent.ConcurrentHashMap[
     String, (graft.ops.CurationDay.Artifacts, Int)]()
@@ -208,7 +228,13 @@ object Curation12 {
       val a = graft.ops.CurationDay.Artifacts(root)
       sys.addShutdownHook(Curation2.deleteDir(root))
       CurationNDay.runDaysBatch(s, d, a)
-      val k = CurationNDay.capDay(s, a, "cap1", maxTokens = 7000L,
+      val total = (1 to CurationNDay.NDays).map { k =>
+        s.read.parquet(a.packDay(k))
+          .agg(coalesce(sum(col("n_tok")), lit(0L)).as("m"))
+          .head().getLong(0)
+      }.sum
+      val k = CurationNDay.capDay(s, a, "cap1",
+        maxTokens = total * 55L / 100L,
         a.manifestDay(CurationNDay.NDays), a.manifestRetract(1))
       (a, k)
     })
@@ -290,6 +316,13 @@ object Curation12 {
     // must equal q542's oracle row for row.
     "q545_mm_batch_decisions" -> ((s, dir) =>
       MultiDay.allDecisions4(s, mmBatch(s, dir))
+        .orderBy("day", "doc_id")),
+
+    // The MAINTAINED chain (compactions between days) — decisions
+    // bit-identical to the plain chain and the stream: maintenance
+    // invariance proved at lifecycle level, not per op.
+    "q558_mm_maintained_decisions" -> ((s, dir) =>
+      MultiDay.allDecisions4(s, mmMaintained(s, dir))
         .orderBy("day", "doc_id")),
 
     // The admission-funnel card: per (day, stage) verdict mix straight
@@ -653,6 +686,9 @@ object Curation12 {
     // two delivery engines, one answer
     "q545_mm_batch_decisions" -> mmDecisionsSql,
 
+    // third path: maintenance interleaved, same answer
+    "q558_mm_maintained_decisions" -> mmDecisionsSql,
+
     "q543_mm_stream_cards" ->
       s"""WITH $mmCtes,
          |lcorp4 AS (SELECT doc_id, text FROM lcorp3
@@ -903,11 +939,13 @@ object Curation12 {
          |    AS BIGINT) FROM admf3
          |  UNION ALL SELECT 4, CAST(sum(len(string_split(text, ' ')))
          |    AS BIGINT) FROM admf4),
+         |cap AS (SELECT (CAST(sum(m) AS BIGINT) * 55) // 100 AS c
+         |  FROM mass),
          |keepk AS (SELECT CAST(min(k) AS BIGINT) AS k FROM (
          |  SELECT ks.k, sum(m) AS tail
          |  FROM (SELECT unnest(range(1, 5)) AS k) ks
          |  JOIN mass ON mass.day >= ks.k GROUP BY ks.k)
-         |  WHERE tail <= 7000),
+         |  WHERE tail <= (SELECT c FROM cap)),
          |corpusC AS MATERIALIZED (
          |  SELECT doc_id, text FROM admf1
          |    WHERE (SELECT k FROM keepk) <= 1
