@@ -189,23 +189,29 @@ object MultiDay {
     * source's own corpus check dictates) and it can never be
     * admitted.
     */
+  /** A FULL-CLONE sentinel row: all modalities (text, embedding,
+    * image payload group — the audio track follows the text) of the
+    * smallest id in `src`, re-badged as `newId`.
+    */
+  private def cloneOf(spark: SparkSession, dir: String, src: DataFrame,
+                      newId: Long): DataFrame =
+    src.orderBy("doc_id").limit(1)
+      .join(graft.core.Tables(spark, dir, "documents")
+        .select("doc_id", "text"), "doc_id")
+      .join(graft.core.Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .select(lit(newId).as("doc_id"), col("text"), col("embedding"),
+        pngUdf(col("doc_id") - pmod(col("doc_id"), lit(2L))).as("img"))
+
   def writeDay3Drop(spark: SparkSession, dir: String, p: Paths4): Unit = {
     val organic = organicDrop(spark, dir, m8(col("doc_id")).isin(2L, 3L))
-    def cloneOf(src: DataFrame, newId: Long): DataFrame =
-      src.orderBy("doc_id").limit(1)
-        .join(graft.core.Tables(spark, dir, "documents")
-          .select("doc_id", "text"), "doc_id")
-        .join(graft.core.Tables(spark, dir, "embeddings")
-          .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
-        .select(lit(newId).as("doc_id"), col("text"), col("embedding"),
-          pngUdf(col("doc_id") - pmod(col("doc_id"), lit(2L))).as("img"))
     def admittedOf(k: Int): DataFrame =
       spark.read.parquet(p.decisionsDay(k))
         .where(col("decision") === "admitted").select("doc_id")
     organic
-      .unionByName(cloneOf(admittedOf(1), 9600001L))
-      .unionByName(cloneOf(admittedOf(2), 9600002L))
-      .unionByName(cloneOf(organic.select("doc_id"), 9600003L))
+      .unionByName(cloneOf(spark, dir, admittedOf(1), 9600001L))
+      .unionByName(cloneOf(spark, dir, admittedOf(2), 9600002L))
+      .unionByName(cloneOf(spark, dir, organic.select("doc_id"), 9600003L))
       .write.mode("overwrite").parquet(p.dropDay(3))
   }
 
@@ -217,9 +223,14 @@ object MultiDay {
     * missing any modality gets the loud `missing_modality` combined
     * verdict — never admitted, never silently dropped.
     */
-  def decisions4(spark: SparkSession, p: Paths4, drop: DataFrame,
-                 imgHashed: DataFrame, audHashed: DataFrame,
-                 corpusFetch: DataFrame): DataFrame = {
+  /** The four near-dup stage columns, FULL-joined on the shared id
+    * with nulls preserved (a missing modality surfaces as a null
+    * stage value for the combiners to flag loudly).
+    */
+  private def stageVerdicts(spark: SparkSession, p: Paths4,
+                            drop: DataFrame, imgHashed: DataFrame,
+                            audHashed: DataFrame,
+                            corpusFetch: DataFrame): DataFrame = {
     val lex = Dedup.incrementalDedupIndexed(p.lex, corpusFetch,
         drop.select("doc_id", "text"), "text", "doc_id", NGram, K,
         Bands, Threshold)
@@ -234,10 +245,16 @@ object MultiDay {
     val aud = PhashIndex.decisions(spark, p.aud, audHashed,
         withinBatch = true, label = "audio")
       .select(col("media_id").as("doc_id"), col("decision").as("d_aud"))
-    val stages = Seq(col("d_lex"), col("d_sem"), col("d_ph"), col("d_aud"))
     lex.join(sem, Seq("doc_id"), "full")
       .join(ph, Seq("doc_id"), "full")
       .join(aud, Seq("doc_id"), "full")
+  }
+
+  def decisions4(spark: SparkSession, p: Paths4, drop: DataFrame,
+                 imgHashed: DataFrame, audHashed: DataFrame,
+                 corpusFetch: DataFrame): DataFrame = {
+    val stages = Seq(col("d_lex"), col("d_sem"), col("d_ph"), col("d_aud"))
+    stageVerdicts(spark, p, drop, imgHashed, audHashed, corpusFetch)
       .select(col("doc_id"), col("d_lex"), col("d_sem"), col("d_ph"),
         col("d_aud"),
         when(stages.map(_.isNull).reduce(_ || _), lit("missing_modality"))
@@ -245,6 +262,54 @@ object MultiDay {
           .when(col("d_sem") =!= "admitted", col("d_sem"))
           .when(col("d_ph") =!= "admitted", col("d_ph"))
           .when(col("d_aud") =!= "admitted", col("d_aud"))
+          .otherwise(lit("admitted")).as("decision"))
+  }
+
+  /** The FULL admission stack — the four near-dup stages composed
+    * with the lexical curation day's POST-GATES: benchmark
+    * CONTAMINATION ([[Corpus.contamination]] at the q488 contract —
+    * flag when shared distinct 8-grams exceed
+    * [[CurationDay.ContamPpm]] ppm of the doc's grams) and the
+    * repetition QUALITY gate (duplicate 2-gram mass over
+    * [[CurationDay.RepTenths]] tenths). Six verdict columns
+    * disclosed; the combined priority appends the two gates after
+    * the dedup stages (dedup > contamination > quality — the
+    * [[graft.queries.Curation8]] postGate order). The gates are pure
+    * per-doc functions of the day's own text + the model-sized bench
+    * gram set — no index state, so they add zero cross-day machinery
+    * but DO govern the appends: a contaminated or low-quality doc
+    * never touches any index (q559's day-2 sentinel witnesses this
+    * through a clone of a day-1 post-gate-rejected doc coming back
+    * dedup-clean).
+    */
+  def decisions6(spark: SparkSession, p: Paths4, drop: DataFrame,
+                 imgHashed: DataFrame, audHashed: DataFrame,
+                 corpusFetch: DataFrame, bench: DataFrame): DataFrame = {
+    val contam = Corpus.contamination(drop.select("doc_id", "text"),
+        bench, "text", "doc_id", 8)
+      .select(col("doc_id"),
+        when(col("n_contaminated") * 1000000L >
+            lit(CurationDay.ContamPpm) * col("n_grams"),
+          lit("contaminated")).otherwise(lit("admitted")).as("d_contam"))
+    val g2 = Dedup.shingles(col("text"), 2)
+    val qual = drop.select(col("doc_id"),
+      when((size(g2) - size(array_distinct(g2))).cast("long") * 10L >
+          lit(CurationDay.RepTenths) * size(g2).cast("long"),
+        lit("low_quality")).otherwise(lit("admitted")).as("d_qual"))
+    val stages = Seq(col("d_lex"), col("d_sem"), col("d_ph"),
+      col("d_aud"), col("d_contam"), col("d_qual"))
+    stageVerdicts(spark, p, drop, imgHashed, audHashed, corpusFetch)
+      .join(contam, Seq("doc_id"), "full")
+      .join(qual, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("d_lex"), col("d_sem"), col("d_ph"),
+        col("d_aud"), col("d_contam"), col("d_qual"),
+        when(stages.map(_.isNull).reduce(_ || _), lit("missing_modality"))
+          .when(col("d_lex") =!= "admitted", col("d_lex"))
+          .when(col("d_sem") =!= "admitted", col("d_sem"))
+          .when(col("d_ph") =!= "admitted", col("d_ph"))
+          .when(col("d_aud") =!= "admitted", col("d_aud"))
+          .when(col("d_contam") =!= "admitted", col("d_contam"))
+          .when(col("d_qual") =!= "admitted", col("d_qual"))
           .otherwise(lit("admitted")).as("decision"))
   }
 
@@ -268,13 +333,32 @@ object MultiDay {
     }
   }
 
+  /** [[processDay4]] with the FULL six-stage verdict
+    * ([[decisions6]]): same ledger, same pin, same anti-joined
+    * appends — but the append set is the six-stage overall admission,
+    * so post-gate-rejected docs never touch any index.
+    */
+  def processDay6(spark: SparkSession, p: Paths4, k: Int,
+                  drop: DataFrame, corpusFetch: DataFrame,
+                  bench: DataFrame): Boolean = {
+    val dayId = s"mm$k"
+    if (CurationNDay.ledgerSeen(spark, p.ledger, dayId)) false
+    else {
+      processDay4Body(spark, p, k, drop, corpusFetch, Some(bench))
+      CurationNDay.appendLedger(spark, p.ledger, dayId)
+      true
+    }
+  }
+
   /** Everything except the ledger commit — the crash window, exposed
     * for the torn-day spec. Days must arrive in order (day k needs
     * day k−1's pin).
     */
   private[graft] def processDay4Body(spark: SparkSession, p: Paths4,
                                      k: Int, drop: DataFrame,
-                                     corpusFetch: DataFrame): Unit = {
+                                     corpusFetch: DataFrame,
+                                     bench: Option[DataFrame] = None)
+      : Unit = {
     val fs = new org.apache.hadoop.fs.Path(p.decisionsDay(k))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (k > 1)
@@ -296,8 +380,12 @@ object MultiDay {
       if (pinned)
         spark.read.parquet(p.decisionsDay(k)).localCheckpoint(true)
       else {
-        val x = decisions4(spark, p, d, imgHashed, audHashed, corpusFetch)
-          .localCheckpoint(true)
+        val x = (bench match {
+          case Some(b) =>
+            decisions6(spark, p, d, imgHashed, audHashed, corpusFetch, b)
+          case None =>
+            decisions4(spark, p, d, imgHashed, audHashed, corpusFetch)
+        }).localCheckpoint(true)
         x.write.mode("overwrite").parquet(p.decisionsDay(k))
         x
       }
@@ -363,6 +451,107 @@ object MultiDay {
       spark.read.parquet(p.decisionsDay(k))
         .select(lit(k).as("day"), col("doc_id"), col("d_lex"),
           col("d_sem"), col("d_ph"), col("d_aud"), col("decision"))
+    }.reduce(_.unionByName(_))
+
+  // ---- the FULL-STACK (six-stage) fixture lifecycle ------------------
+
+  /** The benchmark frame: the `src0` source plays the held-out eval
+    * suite (the q488 convention) — text only, no modality needed.
+    */
+  def benchOf(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables(spark, dir, "documents")
+      .where(col("source") === "src0").select("doc_id", "text")
+
+  /** Full-stack organic drop: participants (docs ⋈ embeddings) with
+    * the bench source EXCLUDED from the pool, %4 split.
+    */
+  private def organicDrop6(spark: SparkSession, dir: String,
+                           pred: org.apache.spark.sql.Column): DataFrame =
+    graft.core.Tables(spark, dir, "documents")
+      .where(col("source") =!= "src0" && pred)
+      .select("doc_id", "text")
+      .join(graft.core.Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .withColumn("img",
+        pngUdf(col("doc_id") - pmod(col("doc_id"), lit(2L))))
+
+  private def m4(c: org.apache.spark.sql.Column) = pmod(c, lit(4L))
+
+  /** Bootstrap the four indexes + media artifact from the pool's
+    * %4 ∈ {2,3} snapshot and stage the day-1 organic drop.
+    */
+  def bootstrap6(spark: SparkSession, dir: String, p: Paths4): Unit = {
+    val snap = organicDrop6(spark, dir, m4(col("doc_id")).isin(2L, 3L))
+      .localCheckpoint(true)
+    Dedup.writeDedupIndex(snap, "text", "doc_id", p.lex, NGram, K, Bands)
+    SemIndex.bootstrap(spark,
+      snap.select(col("doc_id").as("vec_id"), col("embedding")), p.sem)
+    MediaHashes.extend(spark, p.media, mediaOf(snap))
+    val ids = snap.select(col("doc_id").as("media_id"))
+    PhashIndex.write(spark,
+      MediaHashes.fetchImage(spark, p.media, ids), p.ph)
+    PhashIndex.write(spark,
+      MediaHashes.fetchAudio(spark, p.media, ids), p.aud)
+    organicDrop6(spark, dir, m4(col("doc_id")) === 0L)
+      .write.mode("overwrite").parquet(p.dropDay(1))
+  }
+
+  /** The spam text the low-quality gate must reject (40 copies of one
+    * word ⇒ duplicate 2-gram mass far over [[CurationDay.RepTenths]]).
+    */
+  val SpamText: String = ("spam " * 39) + "spam"
+
+  /** Day 2 = organic %4 == 1 plus three sentinels:
+    *
+    *  - 9700001: full clone of the smallest day-1 doc that cleared
+    *    EVERY dedup stage but was rejected by a post-gate — on day 2
+    *    its four dedup columns must come back CLEAN (the proof that a
+    *    post-gate rejection kept it out of every index) while the
+    *    post-gate, a pure text function, rejects it again;
+    *  - 9700002: [[SpamText]] with the smallest day-2 organic doc's
+    *    embedding + image — the low-quality branch's witness (its
+    *    semantic column simultaneously shows dup_sem_batch against
+    *    the smaller-id vector source co-arriving the same day);
+    *  - 9700003: full clone of the smallest day-1 overall-ADMITTED
+    *    doc — all four dedup columns must show the corpus dup their
+    *    index absorbed on day 1 (the q542-pattern append witness).
+    */
+  def writeDay2Drop6(spark: SparkSession, dir: String, p: Paths4): Unit = {
+    val organic = organicDrop6(spark, dir, m4(col("doc_id")) === 1L)
+    def dayOf(pred: org.apache.spark.sql.Column): DataFrame =
+      spark.read.parquet(p.decisionsDay(1)).where(pred).select("doc_id")
+    val spam = organic.orderBy("doc_id").limit(1)
+      .select(lit(9700002L).as("doc_id"), lit(SpamText).as("text"),
+        col("embedding"), col("img"))
+    organic
+      .unionByName(cloneOf(spark, dir,
+        dayOf(col("decision").isin("contaminated", "low_quality")),
+        9700001L))
+      .unionByName(spam)
+      .unionByName(cloneOf(spark, dir,
+        dayOf(col("decision") === "admitted"), 9700003L))
+      .write.mode("overwrite").parquet(p.dropDay(2))
+  }
+
+  /** The batch engine path of the full-stack lifecycle. */
+  def runDays6Batch(spark: SparkSession, dir: String, p: Paths4): Unit = {
+    bootstrap6(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    val bench = benchOf(spark, dir)
+    processDay6(spark, p, 1, spark.read.parquet(p.dropDay(1)), fetch,
+      bench): Unit
+    writeDay2Drop6(spark, dir, p)
+    processDay6(spark, p, 2, spark.read.parquet(p.dropDay(2)), fetch,
+      bench): Unit
+  }
+
+  /** Both full-stack days' pinned verdicts, all six stage columns. */
+  def allDecisions6(spark: SparkSession, p: Paths4): DataFrame =
+    (1 to 2).map { k =>
+      spark.read.parquet(p.decisionsDay(k))
+        .select(lit(k).as("day"), col("doc_id"), col("d_lex"),
+          col("d_sem"), col("d_ph"), col("d_aud"), col("d_contam"),
+          col("d_qual"), col("decision"))
     }.reduce(_.unionByName(_))
 
   /** RETENTION (TTL) over the multimodal lifecycle — the reference's

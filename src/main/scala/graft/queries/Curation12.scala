@@ -239,7 +239,36 @@ object Curation12 {
       (a, k)
     })
 
+  /** The FULL-STACK (six-stage) lifecycle: four near-dup indexes plus
+    * the contamination + repetition post-gates in ONE composed day,
+    * two days, with the day-2 sentinel cloning a day-1
+    * post-gate-rejected doc (its dedup columns must come back clean —
+    * post-gate rejections never touch an index).
+    */
+  private val mm6Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, MultiDay.Paths4]()
+  private def mm6(s: org.apache.spark.sql.SparkSession,
+                  dir: String): MultiDay.Paths4 =
+    mm6Cache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm6_")
+      val p = MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      MultiDay.runDays6Batch(s, d, p)
+      p
+    })
+
   val queries: Map[String, QFn] = Map(
+
+    // The full admission stack's pinned verdicts — all six stage
+    // columns disclosed per doc per day.
+    "q559_mm6_decisions" -> ((s, dir) =>
+      MultiDay.allDecisions6(s, mm6(s, dir)).orderBy("day", "doc_id")),
+
+    // The four index cards + media count under six-stage admission:
+    // every artifact counts exactly the six-stage survivors.
+    "q560_mm6_cards" -> ((s, dir) =>
+      MultiDay.indexCards4(s, mm6(s, dir))
+        .orderBy("modality", "metric")),
 
     // Size-capped retention: the manifest after expiring to the
     // computed horizon, the horizon disclosed on every row.
@@ -363,35 +392,38 @@ object Curation12 {
     * bytes via `ord(substr(..))` — the q290 documents-as-media
     * convention (ASCII-exact on the fixture).
     */
-  private[queries] def audioCtes(src: String = "documents"): String = {
+  private[queries] def audioCtes(src: String = "documents",
+                                 sfx: String = ""): String = {
     val bytes = (0 until 8).map(j =>
       s"    CAST(sum(CASE WHEN i >= ${8 * j} AND i < ${8 * (j + 1)} " +
         s"THEN bit * (CAST(1 AS BIGINT) << (i - ${8 * j})) " +
         s"ELSE 0 END) AS BIGINT) AS a$j").mkString(",\n")
-    s"""abr AS (SELECT doc_id, text, len(text) AS n,
+    s"""abr$sfx AS (SELECT doc_id, text, len(text) AS n,
        |    unnest(range(len(text))) AS p FROM $src WHERE len(text) > 0),
-       |aw AS (SELECT doc_id, (p * 65) // n AS w,
+       |aw$sfx AS (SELECT doc_id, (p * 65) // n AS w,
        |    CAST(sum(ord(substr(text, CAST(p AS INTEGER) + 1, 1)))
        |      AS BIGINT) AS s,
        |    CAST(count(*) AS BIGINT) AS c
-       |  FROM abr GROUP BY 1, 2),
-       |awd AS (SELECT d.doc_id, r.w, coalesce(aw.s, 0) AS s,
-       |    coalesce(aw.c, 0) AS c
+       |  FROM abr$sfx GROUP BY 1, 2),
+       |awd$sfx AS (SELECT d.doc_id, r.w, coalesce(aw$sfx.s, 0) AS s,
+       |    coalesce(aw$sfx.c, 0) AS c
        |  FROM (SELECT doc_id FROM $src) d
        |  CROSS JOIN (SELECT unnest(range(65)) AS w) r
-       |  LEFT JOIN aw ON aw.doc_id = d.doc_id AND aw.w = r.w),
-       |abits AS (SELECT a.doc_id, CAST(a.w AS INTEGER) AS i,
+       |  LEFT JOIN aw$sfx ON aw$sfx.doc_id = d.doc_id
+       |    AND aw$sfx.w = r.w),
+       |abits$sfx AS (SELECT a.doc_id, CAST(a.w AS INTEGER) AS i,
        |    CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
-       |  FROM awd a JOIN awd b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+       |  FROM awd$sfx a JOIN awd$sfx b ON b.doc_id = a.doc_id
+       |    AND b.w = a.w + 1
        |  WHERE a.w < 64),
-       |arb AS (SELECT doc_id,
+       |arb$sfx AS (SELECT doc_id,
        |$bytes
-       |  FROM abits GROUP BY doc_id),
-       |abands AS (
-       |  SELECT doc_id, 0 AS band, a0 * 256 + a1 AS bv FROM arb
-       |  UNION ALL SELECT doc_id, 1, a2 * 256 + a3 FROM arb
-       |  UNION ALL SELECT doc_id, 2, a4 * 256 + a5 FROM arb
-       |  UNION ALL SELECT doc_id, 3, a6 * 256 + a7 FROM arb)""".stripMargin
+       |  FROM abits$sfx GROUP BY doc_id),
+       |abands$sfx AS (
+       |  SELECT doc_id, 0 AS band, a0 * 256 + a1 AS bv FROM arb$sfx
+       |  UNION ALL SELECT doc_id, 1, a2 * 256 + a3 FROM arb$sfx
+       |  UNION ALL SELECT doc_id, 2, a4 * 256 + a5 FROM arb$sfx
+       |  UNION ALL SELECT doc_id, 3, a6 * 256 + a7 FROM arb$sfx)""".stripMargin
   }
 
   /** One banded-Hamming stage day over any (bands, bits) table pair:
@@ -642,6 +674,151 @@ object Curation12 {
           "audio")},
        |${fin(3, "decisionsL3", "decSs3", "decBP3", "decBA3")}""".stripMargin
 
+  private val sh8 = graft.ops.Dedup.shinglesSql("text", 8)
+  private val sh2 = graft.ops.Dedup.shinglesSql("text", 2)
+
+  /** One day's contamination + quality post-gate columns over the
+    * `lb$sfx(doc_id, text)` batch CTE — [[graft.ops.MultiDay
+    * .decisions6]]'s two gates verbatim (ContamPpm ppm of distinct
+    * 8-grams shared with the bench gram set `mgr6`; RepTenths tenths
+    * of duplicate 2-gram mass).
+    */
+  private def postGate6(sfx: String): String = {
+    val cp = graft.ops.CurationDay.ContamPpm
+    val rt = graft.ops.CurationDay.RepTenths
+    s"""ct$sfx AS (SELECT doc_id,
+       |    CAST(len(list_distinct($sh8)) AS BIGINT) AS n_grams
+       |  FROM lb$sfx),
+       |cg$sfx AS (SELECT doc_id, unnest(list_distinct($sh8)) AS g
+       |  FROM lb$sfx),
+       |ch$sfx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM cg$sfx JOIN mgr6 USING (g) GROUP BY 1),
+       |decC$sfx AS (SELECT ct$sfx.doc_id,
+       |    CASE WHEN coalesce(c, 0) * 1000000 > $cp * n_grams
+       |      THEN 'contaminated' ELSE 'admitted' END AS decision
+       |  FROM ct$sfx LEFT JOIN ch$sfx USING (doc_id)),
+       |decQ$sfx AS (SELECT doc_id,
+       |    CASE WHEN (CAST(len($sh2) AS BIGINT)
+       |        - CAST(len(list_distinct($sh2)) AS BIGINT)) * 10
+       |      > $rt * CAST(len($sh2) AS BIGINT)
+       |      THEN 'low_quality' ELSE 'admitted' END AS decision
+       |  FROM lb$sfx)""".stripMargin
+  }
+
+  private def fin6(k: Int, sfx: String): String =
+    s"""fin6$k AS MATERIALIZED (SELECT l.doc_id, l.decision AS d_lex,
+       |    s.decision AS d_sem, p.decision AS d_ph, a.decision AS d_aud,
+       |    c.decision AS d_contam, q.decision AS d_qual,
+       |    CASE WHEN l.decision <> 'admitted' THEN l.decision
+       |      WHEN s.decision <> 'admitted' THEN s.decision
+       |      WHEN p.decision <> 'admitted' THEN p.decision
+       |      WHEN a.decision <> 'admitted' THEN a.decision
+       |      WHEN c.decision <> 'admitted' THEN c.decision
+       |      WHEN q.decision <> 'admitted' THEN q.decision
+       |      ELSE 'admitted' END AS decision
+       |  FROM decisions$sfx l JOIN decSs$sfx s ON s.vec_id = l.doc_id
+       |    JOIN decBP$sfx p ON p.doc_id = l.doc_id
+       |    JOIN decBA$sfx a ON a.doc_id = l.doc_id
+       |    JOIN decC$sfx c ON c.doc_id = l.doc_id
+       |    JOIN decQ$sfx q ON q.doc_id = l.doc_id),
+       |madm6$k AS (SELECT doc_id FROM fin6$k
+       |  WHERE decision = 'admitted')""".stripMargin
+
+  /** The full-stack two-day re-derivation: the q542 machinery on the
+    * bench-excluded pool (%4 split) with the two post-gate columns
+    * composed in, sentinel 9700001 derived from day-1's own
+    * post-gate rejections.
+    */
+  private def mm6Ctes: String =
+    s"""v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |mbench AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |  WHERE source = 'src0'),
+       |mgr6 AS MATERIALIZED (SELECT DISTINCT
+       |    unnest(list_distinct($sh8)) AS g FROM mbench),
+       |pool6 AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN v ON v.vec_id = d.doc_id WHERE d.source <> 'src0'),
+       |snap6v AS (SELECT v.vec_id, v.e FROM v
+       |  JOIN pool6 p ON p.doc_id = v.vec_id
+       |  WHERE p.doc_id % 4 IN (2, 3)),
+       |${Curation11.semSeedCtes("snap6v")},
+       |${Curation11.cellCtes("snap6v", "m6")},
+       |${Curation11.phashCtes("(d.doc_id - d.doc_id % 2)")},
+       |${audioCtes()},
+       |lcorp61 AS MATERIALIZED (SELECT doc_id, text FROM pool6
+       |  WHERE doc_id % 4 IN (2, 3)),
+       |lbL61 AS (SELECT doc_id, text FROM pool6 WHERE doc_id % 4 = 0),
+       |${Curation.dedupDecisionCtes("lcorp61", "lbL61", "L61")},
+       |dv61 AS (SELECT v.vec_id, v.e FROM v
+       |  JOIN pool6 p ON p.doc_id = v.vec_id WHERE p.doc_id % 4 = 0),
+       |${Curation11.cellCtes("dv61", "sL61")},
+       |${semDay4("sL61", "ixm6")},
+       |dPL61 AS (SELECT doc_id FROM pool6 WHERE doc_id % 4 = 0),
+       |idxPL61 AS (SELECT doc_id FROM pool6 WHERE doc_id % 4 IN (2, 3)),
+       |${bandedDay("PL61", "pbands", "bits", imgJoin, "dPL61",
+          "idxPL61", "phash")},
+       |${bandedDay("AL61", "abands", "abits", audJoin, "dPL61",
+          "idxPL61", "audio")},
+       |${postGate6("L61")},
+       |${fin6(1, "L61")},
+       |spamt AS (SELECT CAST(9700002 AS BIGINT) AS doc_id,
+       |    repeat('spam ', 39) || 'spam' AS text),
+       |${audioCtes("spamt", "sp")},
+       |sm6 AS MATERIALIZED (
+       |  SELECT CAST(9700001 AS BIGINT) AS sdoc,
+       |    (SELECT min(doc_id) FROM fin61
+       |      WHERE decision IN ('contaminated', 'low_quality')) AS src
+       |  UNION ALL SELECT 9700002,
+       |    (SELECT min(doc_id) FROM pool6 WHERE doc_id % 4 = 1)
+       |  UNION ALL SELECT 9700003,
+       |    (SELECT min(doc_id) FROM fin61 WHERE decision = 'admitted')),
+       |lcorp62 AS MATERIALIZED (SELECT doc_id, text FROM lcorp61
+       |  UNION ALL SELECT p.doc_id, p.text FROM pool6 p
+       |    JOIN madm61 USING (doc_id)),
+       |lbL62 AS (SELECT doc_id, text FROM pool6 WHERE doc_id % 4 = 1
+       |  UNION ALL SELECT sm6.sdoc, p.text FROM sm6
+       |    JOIN pool6 p ON p.doc_id = sm6.src
+       |    WHERE sm6.sdoc <> 9700002
+       |  UNION ALL SELECT doc_id, text FROM spamt),
+       |${Curation.dedupDecisionCtes("lcorp62", "lbL62", "L62")},
+       |ixsem62 AS (SELECT cell, vec_id, e, nrm FROM ixm6
+       |  UNION ALL SELECT cell, vec_id, e, nrm FROM ixsL61
+       |    WHERE vec_id IN (SELECT doc_id FROM madm61)),
+       |dv62 AS (SELECT v.vec_id, v.e FROM v
+       |  JOIN pool6 p ON p.doc_id = v.vec_id WHERE p.doc_id % 4 = 1
+       |  UNION ALL SELECT sm6.sdoc, v.e FROM sm6
+       |    JOIN v ON v.vec_id = sm6.src),
+       |${Curation11.cellCtes("dv62", "sL62")},
+       |${semDay4("sL62", "ixsem62")},
+       |xpb6 AS (SELECT doc_id, band, bv FROM pbands
+       |  UNION ALL SELECT sm6.sdoc, band, bv FROM sm6
+       |    JOIN pbands p ON p.doc_id = sm6.src),
+       |xbi6 AS (SELECT doc_id, cy, cx, bit FROM bits
+       |  UNION ALL SELECT sm6.sdoc, cy, cx, bit FROM sm6
+       |    JOIN bits b ON b.doc_id = sm6.src),
+       |xab6 AS (SELECT doc_id, band, bv FROM abands
+       |  UNION ALL SELECT sm6.sdoc, band, bv FROM sm6
+       |    JOIN abands p ON p.doc_id = sm6.src
+       |    WHERE sm6.sdoc <> 9700002
+       |  UNION ALL SELECT doc_id, band, bv FROM abandssp),
+       |xabi6 AS (SELECT doc_id, i, bit FROM abits
+       |  UNION ALL SELECT sm6.sdoc, i, bit FROM sm6
+       |    JOIN abits b ON b.doc_id = sm6.src
+       |    WHERE sm6.sdoc <> 9700002
+       |  UNION ALL SELECT doc_id, i, bit FROM abitssp),
+       |dPL62 AS (SELECT doc_id FROM pool6 WHERE doc_id % 4 = 1
+       |  UNION ALL SELECT sm6.sdoc AS doc_id FROM sm6
+       |    WHERE sm6.src IS NOT NULL),
+       |idxPL62 AS (SELECT doc_id FROM idxPL61
+       |  UNION ALL SELECT doc_id FROM madm61),
+       |${bandedDay("PL62", "xpb6", "xbi6", imgJoin, "dPL62",
+          "idxPL62", "phash")},
+       |${bandedDay("AL62", "xab6", "xabi6", audJoin, "dPL62",
+          "idxPL62", "audio")},
+       |${postGate6("L62")},
+       |${fin6(2, "L62")}""".stripMargin
+
   private def mmDecisionsSql: String =
     s"""WITH $mmCtes
        |SELECT * FROM (
@@ -728,6 +905,39 @@ object Curation12 {
          |WHERE p.doc_id IN (SELECT doc_id FROM pdocs)
          |  OR p.doc_id IN (SELECT sdoc FROM sm)
          |ORDER BY media_id""".stripMargin,
+
+    "q559_mm6_decisions" ->
+      s"""WITH $mm6Ctes
+         |SELECT * FROM (
+         |  SELECT 1 AS day, doc_id, d_lex, d_sem, d_ph, d_aud,
+         |    d_contam, d_qual, decision FROM fin61
+         |  UNION ALL SELECT 2, doc_id, d_lex, d_sem, d_ph, d_aud,
+         |    d_contam, d_qual, decision FROM fin62)
+         |ORDER BY day, doc_id""".stripMargin,
+
+    "q560_mm6_cards" ->
+      s"""WITH $mm6Ctes,
+         |lcorp63 AS (SELECT doc_id, text FROM lcorp62
+         |  UNION ALL SELECT p.doc_id, p.text FROM pool6 p
+         |    JOIN madm62 USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value
+         |    FROM lcorp63
+         |  UNION ALL SELECT 'lexical', 'n_band_rows',
+         |    4 * count(*) FROM lcorp63
+         |  UNION ALL SELECT 'semantic', 'n_vecs', count(*) FROM lcorp63
+         |  UNION ALL SELECT 'perceptual', 'n_hashes',
+         |    count(*) FROM lcorp63
+         |  UNION ALL SELECT 'perceptual', 'n_band_rows',
+         |    4 * count(*) FROM lcorp63
+         |  UNION ALL SELECT 'audio', 'n_hashes', count(*) FROM lcorp63
+         |  UNION ALL SELECT 'audio', 'n_band_rows',
+         |    4 * count(*) FROM lcorp63
+         |  UNION ALL SELECT 'media', 'n_assets',
+         |    (SELECT count(*) FROM pool6)
+         |      + (SELECT count(*) FROM sm6 WHERE src IS NOT NULL))
+         |ORDER BY modality, metric""".stripMargin,
 
     "q555_mm_funnel" -> {
       val days = (1 to 3).flatMap { k =>
