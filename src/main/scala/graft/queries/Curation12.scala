@@ -257,12 +257,45 @@ object Curation12 {
       p
     })
 
+  /** The STREAMED six-stage lifecycle — second engine path onto
+    * q559/q560's oracle, with the kill/restart + committed-day replay
+    * witnessed in the gate run.
+    */
+  private val mm6StreamCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (MultiDay.Paths4, Boolean, Seq[String])]()
+  private def mm6Stream(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (MultiDay.Paths4, Boolean, Seq[String]) =
+    mm6StreamCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm6_stream_")
+      val p = MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days) =
+        graft.streaming.MultiStream.runDays6Streamed(s, d, p)
+      (p, noop, days)
+    })
+
   val queries: Map[String, QFn] = Map(
 
     // The full admission stack's pinned verdicts — all six stage
     // columns disclosed per doc per day.
     "q559_mm6_decisions" -> ((s, dir) =>
       MultiDay.allDecisions6(s, mm6(s, dir)).orderBy("day", "doc_id")),
+
+    // The STREAMED six-stage path — decisions must equal the batch
+    // chain's oracle row for row.
+    "q561_mm6_stream_decisions" -> ((s, dir) =>
+      MultiDay.allDecisions6(s, mm6Stream(s, dir)._1)
+        .orderBy("day", "doc_id")),
+
+    // Its index cards + the recovery facts pinned (ledger exactly
+    // [mm1, mm2]; the re-offered committed day added nothing).
+    "q562_mm6_stream_cards" -> ((s, dir) => {
+      val (p, noop, days) = mm6Stream(s, dir)
+      MultiDay.indexCards4(s, p)
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .orderBy("modality", "metric")
+    }),
 
     // The four index cards + media count under six-stage admission:
     // every artifact counts exactly the six-stage survivors.
@@ -914,6 +947,41 @@ object Curation12 {
          |  UNION ALL SELECT 2, doc_id, d_lex, d_sem, d_ph, d_aud,
          |    d_contam, d_qual, decision FROM fin62)
          |ORDER BY day, doc_id""".stripMargin,
+
+    // second engine path, same composed six-stage answer
+    "q561_mm6_stream_decisions" ->
+      s"""WITH $mm6Ctes
+         |SELECT * FROM (
+         |  SELECT 1 AS day, doc_id, d_lex, d_sem, d_ph, d_aud,
+         |    d_contam, d_qual, decision FROM fin61
+         |  UNION ALL SELECT 2, doc_id, d_lex, d_sem, d_ph, d_aud,
+         |    d_contam, d_qual, decision FROM fin62)
+         |ORDER BY day, doc_id""".stripMargin,
+
+    "q562_mm6_stream_cards" ->
+      s"""WITH $mm6Ctes,
+         |lcorp63 AS (SELECT doc_id, text FROM lcorp62
+         |  UNION ALL SELECT p.doc_id, p.text FROM pool6 p
+         |    JOIN madm62 USING (doc_id))
+         |SELECT *, 'mm1,mm2' AS ledger_days, '1' AS replay_stable
+         |FROM (
+         |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value
+         |    FROM lcorp63
+         |  UNION ALL SELECT 'lexical', 'n_band_rows',
+         |    4 * count(*) FROM lcorp63
+         |  UNION ALL SELECT 'semantic', 'n_vecs', count(*) FROM lcorp63
+         |  UNION ALL SELECT 'perceptual', 'n_hashes',
+         |    count(*) FROM lcorp63
+         |  UNION ALL SELECT 'perceptual', 'n_band_rows',
+         |    4 * count(*) FROM lcorp63
+         |  UNION ALL SELECT 'audio', 'n_hashes', count(*) FROM lcorp63
+         |  UNION ALL SELECT 'audio', 'n_band_rows',
+         |    4 * count(*) FROM lcorp63
+         |  UNION ALL SELECT 'media', 'n_assets',
+         |    (SELECT count(*) FROM pool6)
+         |      + (SELECT count(*) FROM sm6 WHERE src IS NOT NULL))
+         |ORDER BY modality, metric""".stripMargin,
 
     "q560_mm6_cards" ->
       s"""WITH $mm6Ctes,

@@ -41,8 +41,14 @@ object MultiStream {
     StructField("img", BinaryType),
     StructField("day", IntegerType)))
 
+  /** Start the admission stream. With `bench` set, each day runs the
+    * FULL six-stage verdict ([[MultiDay.processDay6]] — near-dup
+    * stages + contamination/quality post-gates); without it, the
+    * four-stage [[MultiDay.processDay4]].
+    */
   def start(spark: SparkSession, p: MultiDay.Paths4,
-            corpusFetch: DataFrame): StreamingQuery =
+            corpusFetch: DataFrame,
+            bench: Option[DataFrame] = None): StreamingQuery =
     spark.readStream
       .schema(dropSchema)
       .option("maxFilesPerTrigger", 1)
@@ -53,10 +59,14 @@ object MultiStream {
         val days = batch.select("day").distinct()
           .collect().map(_.getInt(0)).sorted // bounded: days per batch
         days.foreach { k =>
-          MultiDay.processDay4(spark, p, k,
-            batch.where(col("day") === k)
-              .select("doc_id", "text", "embedding", "img"),
-            corpusFetch): Unit
+          val drop = batch.where(col("day") === k)
+            .select("doc_id", "text", "embedding", "img")
+          (bench match {
+            case Some(b) =>
+              MultiDay.processDay6(spark, p, k, drop, corpusFetch, b)
+            case None =>
+              MultiDay.processDay4(spark, p, k, drop, corpusFetch)
+          }): Unit
         }
       }
       .start()
@@ -104,6 +114,32 @@ object MultiStream {
     * additionally witnesses a direct re-offer of committed day 3
     * through [[MultiDay.processDay4]] returning false.
     */
+  /** The STREAMED six-stage lifecycle (the q559 batch chain through
+    * the file-source engine): bootstrap, land + stream day 1, STOP
+    * (the kill), derive the sentinel-planted day 2 from day 1's pin,
+    * land it plus a re-offer of committed day 1 under a new file
+    * name, RESTART from the same checkpoint, drain. Returns
+    * (replayNoOp, ledgerDays) — replayNoOp additionally witnesses a
+    * direct re-offer of committed day 2 no-op'ing.
+    */
+  def runDays6Streamed(spark: SparkSession, dir: String,
+                       p: MultiDay.Paths4): (Boolean, Seq[String]) = {
+    MultiDay.bootstrap6(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    val bench = MultiDay.benchOf(spark, dir)
+    landDrop(spark, p, 1)
+    val q1 = start(spark, p, fetch, Some(bench))
+    try { q1.processAllAvailable() } finally q1.stop() // the kill
+    MultiDay.writeDay2Drop6(spark, dir, p)
+    landDrop(spark, p, 2)
+    landDrop(spark, p, 1, name = "day1_replay.parquet")
+    val q2 = start(spark, p, fetch, Some(bench)) // same cp: restart
+    try { q2.processAllAvailable() } finally q2.stop()
+    val replayNoOp = !MultiDay.processDay6(spark, p, 2,
+      spark.read.parquet(p.dropDay(2)), fetch, bench)
+    (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger))
+  }
+
   def runDaysStreamed(spark: SparkSession, dir: String,
                       p: MultiDay.Paths4): (Boolean, Seq[String]) = {
     MultiDay.bootstrap4(spark, dir, p)
