@@ -20,23 +20,36 @@ object Layout {
     * root — the shared cutover primitive for every compaction-class
     * rewrite ([[graft.ops.SemIndex.compact]]/refit, the state
     * compactors): no instant leaves half-written DATA at the live
-    * path (each state is a complete old or new artifact), a crash
-    * leaves the staging root intact to resume from, and a reader that
-    * already resolved its file list keeps its inodes through the
-    * rename. The instant between the renames has no directory at the
-    * live path — metadata-sized; these operations run in the
-    * maintenance slot.
+    * path (each state is a complete old or new artifact), and a
+    * reader that already resolved its file list keeps its inodes
+    * through the rename. The instant between the renames has no
+    * directory at the live path — metadata-sized; these operations
+    * run in the maintenance slot.
+    *
+    * SELF-RECOVERING from its own torn swap: a crash between the two
+    * renames leaves live absent, the pre-swap copy parked at __old and
+    * staging intact. A retry detects the missing live path, skips the
+    * park, promotes staging directly, and only THEN drops __old — so
+    * the sole committed pre-swap copy is never deleted before the new
+    * data is in place (the one state this primitive may not create is
+    * "neither old nor new anywhere"). A leftover __old NEXT TO a live
+    * path is the opposite case — that swap's promote committed and
+    * only its cleanup died — and is safe to drop before parking.
     */
   def swapInto(spark: SparkSession, staging: String, live: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val liveP = new org.apache.hadoop.fs.Path(live)
     val fs = liveP.getFileSystem(conf)
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
     val oldP = new org.apache.hadoop.fs.Path(live + "__old")
-    if (fs.exists(oldP)) { fs.delete(oldP, true): Unit } // crashed swap
-    require(fs.rename(liveP, oldP), s"swapInto: park $live")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), liveP),
+    require(fs.exists(stagingP), s"swapInto: staging $staging missing")
+    if (fs.exists(liveP)) {
+      if (fs.exists(oldP)) { fs.delete(oldP, true): Unit } // dead cleanup
+      require(fs.rename(liveP, oldP), s"swapInto: park $live")
+    } // else: resuming a torn swap — live already parked at __old
+    require(fs.rename(stagingP, liveP),
       s"swapInto: promote $staging -> $live")
-    fs.delete(oldP, true): Unit
+    if (fs.exists(oldP)) { fs.delete(oldP, true): Unit }
   }
 
   /** Write time-partitioned by UTC date derived from the epoch-ns column. */

@@ -386,26 +386,38 @@ object CurationNDay {
     * sum per day file — no corpus scan, the dataCard rule), and the
     * chosen horizon is exact integer arithmetic any engine re-derives
     * from the same masses. Loud-fails when even the newest day alone
-    * exceeds the cap (whole-day expiry cannot satisfy it). Returns
-    * the chosen `keepFromDay`, or 0 when `dayId` already committed.
+    * exceeds the cap (whole-day expiry cannot satisfy it). An
+    * UNDER-CAP corpus is untouched (the reference cap expires only
+    * while over it): when the WHOLE retained mass — day-0 snapshot
+    * included — already fits, the day commits as a ledgered no-op
+    * (keepFrom = 0, no mutation, `manifestOut` not written). Returns
+    * the chosen `keepFromDay`, or 0 for the no-op / already-committed
+    * cases.
     */
   def capDay(spark: SparkSession, a: CurationDay.Artifacts,
              dayId: String, maxTokens: Long, manifestIn: String,
              manifestOut: String): Int = {
     if (ledgerSeen(spark, a.ledger, dayId)) 0
     else {
-      val masses = (1 to NDays).map { k =>
+      val masses = (0 to NDays).map { k =>
         k -> spark.read.parquet(a.packDay(k))
           .agg(coalesce(sum(col("n_tok")), lit(0L)).as("m"))
           .head().getLong(0) // one row per day file — model-sized
       }.toMap
-      val keepFrom = (1 to NDays).find { k =>
-        (k to NDays).map(masses).sum <= maxTokens
-      }.getOrElse(sys.error(
-        s"capDay: day $NDays alone exceeds the $maxTokens-token cap — " +
-          "whole-day expiry cannot satisfy it"))
-      ttlDay(spark, a, dayId, keepFrom, manifestIn, manifestOut): Unit
-      keepFrom
+      if (masses.values.sum <= maxTokens) {
+        // keepFrom = 0: everything (snapshot + every day) fits —
+        // commit the check without expiring anything
+        appendLedger(spark, a.ledger, dayId)
+        0
+      } else {
+        val keepFrom = (1 to NDays).find { k =>
+          (k to NDays).map(masses).sum <= maxTokens
+        }.getOrElse(sys.error(
+          s"capDay: day $NDays alone exceeds the $maxTokens-token cap — " +
+            "whole-day expiry cannot satisfy it"))
+        ttlDay(spark, a, dayId, keepFrom, manifestIn, manifestOut): Unit
+        keepFrom
+      }
     }
   }
 

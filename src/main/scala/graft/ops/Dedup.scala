@@ -664,12 +664,16 @@ object Dedup {
     * append anti-joined: content hashes against the stored hash set
     * (preserving its set semantics — the [[incrementalDedupIndexed]]
     * reader left-joins it, so a duplicate hash row would fan out
-    * decisions), and band rows against the stored indexed-id set
-    * (same `corpus_id` ⇒ same text ⇒ identical band rows, so a
-    * REPLAYED append of an already-indexed doc adds nothing — the
-    * [[SemIndex.append]]/[[PhashIndex.append]] idempotence contract;
-    * without it a replay would silently drift `dedupIndexStats`'
-    * bands_per_doc and false-flag a torn append). The index after
+    * decisions), and band rows against the stored (corpus_id, band)
+    * PAIRS — not the id alone (same `corpus_id` ⇒ same text ⇒
+    * identical band rows, so a REPLAYED append of an already-indexed
+    * doc adds nothing — the [[SemIndex.append]]/[[PhashIndex.append]]
+    * idempotence contract; without it a replay would silently drift
+    * `dedupIndexStats`' bands_per_doc and false-flag a torn append;
+    * and keying the anti-join per BAND means a torn append that
+    * committed only some of a doc's band rows — committer v2 /
+    * object-store semantics — is BACKFILLED by the replay instead of
+    * frozen as permanently reduced recall). The index after
     * append is row-identical to [[writeDedupIndex]] over the grown
     * corpus — gate-proved by a second delta's decisions (q352). At
     * 100 TB only the delta is scanned; both anti-joins are
@@ -685,11 +689,11 @@ object Dedup {
       .join(existing, Seq("content_hash"), "left_anti")
       .write.mode("append").parquet(s"$path/hashes.parquet")
     val indexed = spark.read.parquet(s"$path/bands.parquet")
-      .select("corpus_id").distinct()
+      .select("corpus_id", "band")
     lshBands(minhashSignatures(delta, textCol, idCol, n, k), idCol,
         bands, k / bands)
       .toDF("corpus_id", "band", "band_hash")
-      .join(indexed, Seq("corpus_id"), "left_anti")
+      .join(indexed, Seq("corpus_id", "band"), "left_anti")
       .localCheckpoint(true) // the anti-join reads the table appended to
       .write.mode("append").parquet(s"$path/bands.parquet")
   }

@@ -46,9 +46,19 @@ object SemIndex {
     */
   val MinCos = 0.35
 
+  /** The SERVING PAIR (frozen seeds + cell-partitioned index) lives
+    * under ONE `serving/` subroot so quantizer-changing cutovers
+    * ([[refitIfNeeded]]) swap both artifacts with a single directory
+    * promote — no instant can pair new seeds with the old index (a
+    * reader resolving mid-cutover would cell-prune against bins the
+    * stored vectors were never assigned to and silently miss matches).
+    * Content-invariant per-artifact swaps ([[compact]]) still operate
+    * inside the serving root.
+    */
   case class Paths(root: String) {
-    def seeds: String = s"$root/sem_seeds.parquet"
-    def index: String = s"$root/sem_index"
+    def serving: String = s"$root/serving"
+    def seeds: String = s"$serving/sem_seeds.parquet"
+    def index: String = s"$serving/sem_index"
     def decisionsDay(k: Int): String = s"$root/sem_decisions_day$k.parquet"
   }
 
@@ -421,30 +431,36 @@ object SemIndex {
 
   /** The occupancy-TRIGGERED refit policy: when the card says the
     * index outgrew its cells, [[refit]] to the card's `new_ncells`
-    * into a staging root, then CUT OVER with the [[compact]]
-    * rename-swap on each artifact (seeds, then the cell partitions).
-    * Versus the in-place overwrite this leaves no instant with
-    * half-written DATA on disk — every state is a complete old or new
-    * artifact, and a crash leaves the staging root intact to resume
-    * from; the two-rename window (new seeds visible before the new
-    * index) is metadata-sized and the policy runs in the maintenance
-    * slot like every compaction-class operation here. The index
+    * into a staging root, then CUT OVER by promoting the staged
+    * SERVING PAIR (seeds + index together) with ONE
+    * [[graft.core.Layout.swapInto]] on the serving root — the seeds
+    * and the index they binned can never be observed mismatched, and
+    * a crash at any instant leaves either the complete old pair, the
+    * complete new pair, or (mid-swap) the staging pair intact for
+    * [[graft.core.Layout.swapInto]]'s torn-swap resume. The index
     * CONTENT is invariant (same vectors, re-binned); Round12Spec pins
     * that the stored vector-id set survives the cutover. Returns the
-    * new cell count, or 0 when the trigger did not fire.
+    * new cell count, or 0 when the trigger did not fire — including
+    * on an EMPTY index (no cells → no card rows → nothing to refit,
+    * the quiet no-op, not an exception).
     */
   def refitIfNeeded(spark: SparkSession, p: Paths,
                     targetOcc: Long): Long = {
     val head = occupancyCard(spark, p, targetOcc)
-      .select("refit_needed", "new_ncells").head()
-    if (head.getLong(0) == 0L) 0L
-    else {
-      val nCells = head.getLong(1).toInt
-      val staging = Paths(s"${p.root}__staging")
-      refit(spark, p, staging, nCells)
-      graft.core.Layout.swapInto(spark, staging.seeds, p.seeds)
-      graft.core.Layout.swapInto(spark, staging.index, p.index)
-      nCells.toLong
+      .select("refit_needed", "new_ncells")
+      .collect().headOption // empty index ⇒ empty card ⇒ no-op
+    head match {
+      case None => 0L
+      case Some(h) if h.getLong(0) == 0L => 0L
+      case Some(h) =>
+        val nCells = h.getLong(1).toInt
+        val staging = Paths(s"${p.root}__staging")
+        refit(spark, p, staging, nCells)
+        graft.core.Layout.swapInto(spark, staging.serving, p.serving)
+        val fs = new org.apache.hadoop.fs.Path(staging.root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(staging.root), true): Unit
+        nCells.toLong
     }
   }
 
