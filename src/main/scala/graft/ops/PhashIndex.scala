@@ -171,6 +171,126 @@ object PhashIndex {
       .write.mode("overwrite").parquet(p.bands)
   }
 
+  /** Banded-Hamming TOP-K SEARCH served off the persisted index — the
+    * "find media like this" query path, completing the index's second
+    * duty (the [[SemIndex.search]] contract for the perceptual
+    * modalities; one implementation serves image AND audio, like the
+    * admission side): each query's band rows collide against the
+    * stored band table (the same candidate policy admission uses),
+    * candidates verify EXACT Hamming against the id-pruned hash
+    * fetch, and each query keeps its `k` nearest (distance asc, ties
+    * to the smaller media_id — a total order, so the top-k SET is
+    * well-defined in any engine). A query colliding with no stored
+    * band returns no rows — banded search serves banded candidates by
+    * design; the [[designCurve]] discloses exactly how candidate
+    * probability decays with true distance (certain for dist ≤ 3,
+    * the pigeonhole bound).
+    *
+    * 100 TB shape: per-query work = its 4 buckets' occupancy +
+    * candidate hash rows (9 longs each); the scan never touches
+    * query × corpus. Output: (qid, rank, media_id, dist).
+    */
+  def search(spark: SparkSession, p: Paths, queries: DataFrame,
+             k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = hashRows(queries).localCheckpoint(true)
+    def side(src: DataFrame, n: String) = src.select(
+      col("media_id").as(n) +:
+        (0 until 8).map(i => col(s"r$i").as(s"${n}_r$i")): _*)
+    def hamming(a: String, b: String) = (0 until 8).map(i =>
+      bit_count(col(s"${a}_r$i").bitwiseXOR(col(s"${b}_r$i"))))
+      .reduce(_ + _)
+    val cand = bandRows(q)
+      .select(col("media_id").as("__qid"), col("band"), col("bv"))
+      .join(spark.read.parquet(p.bands)
+        .select(col("media_id").as("__cid"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .select("__qid", "__cid").distinct()
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("dist"), col("__cid"))
+    cand.join(side(q, "__qid"), "__qid")
+      .join(side(spark.read.parquet(p.hashes), "__cid"), "__cid")
+      .withColumn("dist", hamming("__qid", "__cid").cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("rank"),
+        col("__cid").as("media_id"), col("dist"))
+  }
+
+  /** Recall@k of the banded [[search]] against EXACT brute force over
+    * the same stored signatures — the [[SemIndex.searchRecall]]
+    * contract for the perceptual indexes: per query, how much of the
+    * true top-k the band prefilter surfaced, as exact integer ppm
+    * (both top-k sets are total-ordered by (dist, media_id), so
+    * recall is well-defined). The brute-force side is a broadcast
+    * nested loop of the QUERY SAMPLE against the index — the honest
+    * cost anchor; at 100 TB this is a tuning-time operation run on a
+    * sample, exactly like [[SemIndex.recallCurve]], never a serving
+    * path. Planted near-dups (the fixture's payload pair groups)
+    * land at distance 0 and must always be recalled (the pigeonhole
+    * guarantee the gate witnesses).
+    */
+  def searchRecall(spark: SparkSession, p: Paths, queries: DataFrame,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PixieFunctions.idiv
+    val q = hashRows(queries).localCheckpoint(true)
+    def side(src: DataFrame, n: String) = src.select(
+      col("media_id").as(n) +:
+        (0 until 8).map(i => col(s"r$i").as(s"${n}_r$i")): _*)
+    def hamming(a: String, b: String) = (0 until 8).map(i =>
+      bit_count(col(s"${a}_r$i").bitwiseXOR(col(s"${b}_r$i"))))
+      .reduce(_ + _)
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("dist"), col("__cid"))
+    val exact = side(spark.read.parquet(p.hashes), "__cid")
+      .crossJoin(broadcast(side(q, "__qid"))) // sample × index
+      .withColumn("dist", hamming("__qid", "__cid").cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("qid"), col("__cid").as("media_id"))
+    val approx = search(spark, p, q, k)
+      .select(col("qid"), col("media_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("qid", "media_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm",
+        idiv(col("n_hit") * 1000000L, col("k_exact")))
+  }
+
+  /** The BANDING DESIGN CURVE — the closed-form disclosure behind the
+    * (4 bands × 16 bits) choice (the q536 bands×rows collision curve's
+    * analog for Hamming banding): the probability that two signatures
+    * at TRUE Hamming distance d become search/admission candidates,
+    * i.e. share at least one clean band, with the d differing bit
+    * positions uniform over the n = bands·width positions. Exact
+    * inclusion–exclusion over clean bands:
+    *
+    *   P(d) = Σ_{j=1..b} (−1)^{j+1} · C(b,j) · C(n−j·w, d) / C(n, d)
+    *
+    * computed in exact BigInt and floored to ppm — model-sized
+    * arithmetic (n+1 rows), any engine re-derives it from the same
+    * binomials. Anchors: P = 1 for d ≤ b−1 (pigeonhole — the
+    * [[MaxDist]] = 3 exact-recall guarantee), P = 0 for d > n−w
+    * (every band dirty).
+    */
+  def designCurve(spark: SparkSession, bands: Int = 4,
+                  bitsPerBand: Int = 16): DataFrame = {
+    import spark.implicits._
+    val n = bands * bitsPerBand
+    def c(nn: Int, d: Int): BigInt =
+      if (d < 0 || d > nn) BigInt(0)
+      else (1 to d).foldLeft(BigInt(1))((acc, i) => acc * (nn - i + 1) / i)
+    (0 to n).map { d =>
+      val num = (1 to bands).map { j =>
+        val t = c(bands, j) * c(n - j * bitsPerBand, d)
+        if (j % 2 == 1) t else -t
+      }.sum
+      (d.toLong, (num * 1000000 / c(n, d)).toLong)
+    }.toDF("dist", "collide_ppm")
+  }
+
   /** Band-level health card off the index tables alone — the
     * candidate-explosion early warning ([[Dedup.dedupIndexStats]]'s
     * shape for the perceptual bands): per band, row mass, distinct

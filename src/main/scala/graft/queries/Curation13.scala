@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/** Round-13 batch — the perceptual indexes' QUERY path (the r12
+  * verdict's top task): the banded-Hamming index family
+  * ([[graft.ops.PhashIndex]]) gains third-party top-k SEARCH and a
+  * recall card, gated for BOTH modalities against a from-scratch
+  * DuckDB re-derivation over raw signatures, plus the closed-form
+  * banding DESIGN CURVE that discloses the 4×16 band choice:
+  *
+  *  - q563/q564: image dHash search + recall@k vs exact brute force;
+  *  - q565/q566: the same machinery over audio fingerprints — one
+  *    implementation, two modalities, like the admission side;
+  *  - q567: P[candidate] vs true Hamming distance at 4 bands × 16
+  *    bits — exact inclusion–exclusion binomials, engine vs a
+  *    recursive-CTE oracle.
+  */
+object Curation13 {
+
+  import graft.ops.{Multimodal, PhashIndex}
+
+  /** Two persisted perceptual indexes (image dHash over PAIR-grouped
+    * synthetic payloads, audio energy fingerprints over the text
+    * bytes — the q542-family conventions) built from the %4 ∈ {0,1,2}
+    * corpus, with the %4 == 3 docs as the held-out query set: an
+    * image query's pair partner (doc_id − 1, %4 == 2) is IN the index
+    * with an IDENTICAL payload, so every query carries a planted
+    * distance-0 neighbor the banded search MUST surface (the
+    * pigeonhole witness the recall card certifies at 1e6 ppm).
+    */
+  private val searchCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (PhashIndex.Paths, PhashIndex.Paths,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+  private def searchLife(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (PhashIndex.Paths, PhashIndex.Paths,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    searchCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_ph_search_")
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val pImg = PhashIndex.Paths(s"$root/img")
+      val pAud = PhashIndex.Paths(s"$root/aud")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val pngUdf = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      def imgHash(src: org.apache.spark.sql.DataFrame) =
+        Multimodal.dHash(Multimodal.decodeCells(
+          src.select(col("doc_id").as("media_id"),
+            pngUdf(col("doc_id") - pmod(col("doc_id"), lit(2L)))
+              .as("payload"))))
+      def audHash(src: org.apache.spark.sql.DataFrame) =
+        Multimodal.audioFingerprint(
+          src.select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("payload")))
+      val idx = docs.where(pmod(col("doc_id"), lit(4L)).isin(0L, 1L, 2L))
+      val qs = docs.where(pmod(col("doc_id"), lit(4L)) === 3L)
+      PhashIndex.write(s, imgHash(idx), pImg)
+      PhashIndex.write(s, audHash(idx), pAud)
+      (pImg, pAud, imgHash(qs).localCheckpoint(true),
+        audHash(qs).localCheckpoint(true))
+    })
+
+  val queries: Map[String, QFn] = Map(
+
+    // Image top-5: banded candidates, exact-Hamming rank off the
+    // stored signatures.
+    "q563_phash_search" -> ((s, dir) => {
+      val (pi, _, qi, _) = searchLife(s, dir)
+      PhashIndex.search(s, pi, qi, 5).orderBy("qid", "rank")
+    }),
+
+    // Recall@5 of the banded image search vs exact brute force over
+    // the same index — the planted distance-0 pair partners must all
+    // be surfaced.
+    "q564_phash_search_recall" -> ((s, dir) => {
+      val (pi, _, qi, _) = searchLife(s, dir)
+      PhashIndex.searchRecall(s, pi, qi, 5).orderBy("qid")
+    }),
+
+    // The SAME search machinery over the audio index.
+    "q565_audio_search" -> ((s, dir) => {
+      val (_, pa, _, qa) = searchLife(s, dir)
+      PhashIndex.search(s, pa, qa, 5).orderBy("qid", "rank")
+    }),
+
+    "q566_audio_search_recall" -> ((s, dir) => {
+      val (_, pa, _, qa) = searchLife(s, dir)
+      PhashIndex.searchRecall(s, pa, qa, 5).orderBy("qid")
+    }),
+
+    // The banding design curve — pure closed-form arithmetic, no
+    // table input (the disclosure the PhashIndex docstring cites).
+    "q567_banding_curve" -> ((s, dir) =>
+      PhashIndex.designCurve(s).orderBy("dist")))
+
+  // ---- oracles ------------------------------------------------------
+
+  /** Query/index split + banded candidates + exact Hamming distances
+    * for the image signatures ([[Curation11.phashCtes]] raw
+    * re-derivation, pair grouping).
+    */
+  private def imgSearchCtes: String =
+    s"""${Curation11.phashCtes("(d.doc_id - d.doc_id % 2)")},
+       |qsS AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+       |ixS AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (0, 1, 2)),
+       |cS AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS cid
+       |  FROM pbands a JOIN pbands b ON a.band = b.band AND a.bv = b.bv
+       |  WHERE a.doc_id IN (SELECT doc_id FROM qsS)
+       |    AND b.doc_id IN (SELECT doc_id FROM ixS)),
+       |dS AS (SELECT c.qid, c.cid,
+       |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS dist
+       |  FROM cS c JOIN bits x ON x.doc_id = c.qid
+       |    JOIN bits y ON y.doc_id = c.cid AND y.cy = x.cy
+       |      AND y.cx = x.cx
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The audio analog over [[Curation12.audioCtes]]' abands/abits. */
+  private def audSearchCtes: String =
+    s"""${Curation12.audioCtes()},
+       |qsS AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+       |ixS AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (0, 1, 2)),
+       |cS AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS cid
+       |  FROM abands a JOIN abands b ON a.band = b.band AND a.bv = b.bv
+       |  WHERE a.doc_id IN (SELECT doc_id FROM qsS)
+       |    AND b.doc_id IN (SELECT doc_id FROM ixS)),
+       |dS AS (SELECT c.qid, c.cid,
+       |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS dist
+       |  FROM cS c JOIN abits x ON x.doc_id = c.qid
+       |    JOIN abits y ON y.doc_id = c.cid AND y.i = x.i
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def searchSql(ctes: String): String =
+    s"""WITH $ctes
+       |SELECT qid, CAST(rn AS INT) AS rank, cid AS media_id, dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY dist, cid) AS rn FROM dS)
+       |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Brute-force top-5 over the full query × index signature cross
+    * (the exact baseline), recall = surfaced fraction in exact ppm.
+    */
+  private def recallSql(ctes: String, bits: String,
+                        bitJoin: String): String =
+    s"""WITH $ctes,
+       |bfS AS (SELECT x.doc_id AS qid, y.doc_id AS cid,
+       |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS dist
+       |  FROM $bits x JOIN $bits y ON $bitJoin
+       |  WHERE x.doc_id IN (SELECT doc_id FROM qsS)
+       |    AND y.doc_id IN (SELECT doc_id FROM ixS)
+       |  GROUP BY 1, 2),
+       |exS AS (SELECT qid, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY dist, cid) AS rn FROM bfS) WHERE rn <= 5),
+       |apS AS (SELECT qid, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY dist, cid) AS rn FROM dS) WHERE rn <= 5)
+       |SELECT e.qid, CAST(count(*) AS BIGINT) AS k_exact,
+       |  CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  (CAST(sum(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+       |    AS recall_ppm
+       |FROM exS e LEFT JOIN apS a ON a.qid = e.qid AND a.cid = e.cid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q563_phash_search" -> searchSql(imgSearchCtes),
+
+    "q564_phash_search_recall" ->
+      recallSql(imgSearchCtes, "bits", "y.cy = x.cy AND y.cx = x.cx"),
+
+    "q565_audio_search" -> searchSql(audSearchCtes),
+
+    "q566_audio_search_recall" ->
+      recallSql(audSearchCtes, "abits", "y.i = x.i"),
+
+    // Exact binomials by the C(n,d+1) = C(n,d)(n−d)/(d+1) integer
+    // recurrence in HUGEINT; inclusion–exclusion over clean bands.
+    "q567_banding_curve" ->
+      s"""WITH RECURSIVE binom(n, d, v) AS (
+         |  SELECT n, 0, CAST(1 AS HUGEINT)
+         |    FROM (VALUES (64), (48), (32), (16), (0)) t(n)
+         |  UNION ALL
+         |  SELECT n, d + 1, v * (n - d) // (d + 1) FROM binom
+         |    WHERE d < n),
+         |ds AS (SELECT unnest(range(0, 65)) AS d)
+         |SELECT CAST(ds.d AS BIGINT) AS dist,
+         |  CAST(((4 * coalesce(b48.v, 0) - 6 * coalesce(b32.v, 0)
+         |    + 4 * coalesce(b16.v, 0) - coalesce(b0.v, 0)) * 1000000)
+         |    // b64.v AS BIGINT) AS collide_ppm
+         |FROM ds
+         |JOIN binom b64 ON b64.n = 64 AND b64.d = ds.d
+         |LEFT JOIN binom b48 ON b48.n = 48 AND b48.d = ds.d
+         |LEFT JOIN binom b32 ON b32.n = 32 AND b32.d = ds.d
+         |LEFT JOIN binom b16 ON b16.n = 16 AND b16.d = ds.d
+         |LEFT JOIN binom b0 ON b0.n = 0 AND b0.d = ds.d
+         |ORDER BY dist""".stripMargin)
+}
