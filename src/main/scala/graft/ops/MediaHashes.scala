@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * per consumer per query; the artifact itself is hash-sized (17
   * longs per asset) next to the payload bytes.
   *
+  * LAYOUT: partitioned by `mb = media_id % NBuckets` (the
+  * [[graft.core.Layout.writeCellPartitioned]] pattern), so an
+  * id-keyed fetch prunes to the buckets its ids actually touch —
+  * a sentinel re-offer or a small-day fetch reads a fraction of the
+  * artifact's files instead of scanning it (Round13Spec pins
+  * PartitionFilters on the fetch plan). A full-day fetch touching
+  * every bucket degrades gracefully to the previous whole-artifact
+  * hash join.
+  *
   * [[extend]] is REPLAY-IDEMPOTENT the [[Scale.appendDistinctState]]
   * way: new assets anti-join the stored id set before appending, so a
   * crashed-and-replayed day re-decodes only its own (day-sized) drop
@@ -23,8 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object MediaHashes {
 
+  /** Fixed bucket count: the id-pruning granularity. Model-sized and
+    * FROZEN per artifact (changing it is a compaction-class relayout,
+    * like an IVF refit); 16 buckets keeps per-bucket file counts low
+    * while letting sentinel-sized fetches read 1/16 of the files.
+    */
+  val NBuckets = 16L
+
   private def rcols = (0 until 8).map(i => col(s"r$i"))
-  private def acols = (0 until 8).map(i => col(s"a$i"))
+
+  private def mbOf(c: org.apache.spark.sql.Column) = pmod(c, lit(NBuckets))
 
   /** Decode a media frame (media_id, payload, audio) → one signature
     * row per asset: image cells → dHash bytes, audio bytes → energy
@@ -42,6 +59,12 @@ object MediaHashes {
     img.join(aud, "media_id")
   }
 
+  /** The artifact WITHOUT its layout column — what consumers and the
+    * gate read (the bucket is storage, not signature).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("mb")
+
   /** Extend the artifact by a day's assets: decode only assets NOT
     * already stored (anti-join on media_id — replay-safe and
     * decode-once even when two days carry the same asset id).
@@ -55,33 +78,50 @@ object MediaHashes {
         spark.read.parquet(path).select("media_id"),
         Seq("media_id"), "left_anti")
     signatures(spark, fresh)
+      .withColumn("mb", mbOf(col("media_id")))
       .localCheckpoint(true) // the anti-join read the table appended to
-      .write.mode("append").parquet(path)
+      .write.partitionBy("mb").mode("append").parquet(path)
   }
 
   /** Settle the small-files debt the per-day appends leave (one file
-    * batch per day): rewrite the artifact as one right-sized file via
-    * the staging + rename-swap cutover ([[graft.core.Layout.swapInto]]
-    * — content invariant, no reader ever sees half-written data).
+    * batch per day PER TOUCHED BUCKET): rewrite each bucket partition
+    * to one right-sized file via the staging + rename-swap cutover
+    * ([[graft.core.Layout.swapInto]] — content invariant, no reader
+    * ever sees half-written data).
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    spark.read.parquet(path).coalesce(1)
-      .write.mode("overwrite").parquet(path + "__staging")
+    spark.read.parquet(path)
+      .repartition(col("mb")).sortWithinPartitions("media_id")
+      .write.partitionBy("mb").mode("overwrite").parquet(path + "__staging")
     graft.core.Layout.swapInto(spark, path + "__staging", path)
   }
 
-  /** Id-pruned signature fetch for a day's ids: the image rows and the
-    * audio rows (audio renamed to the r0..r7 layout so
-    * [[PhashIndex]] consumes either modality unchanged).
+  /** The bucket partitions an id frame touches — ≤ [[NBuckets]] values
+    * by construction (the bounded collect the cell/band fetches use).
+    */
+  private def bucketsOf(ids: DataFrame): Seq[Long] =
+    ids.select(mbOf(col("media_id")).as("mb")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Id-pruned signature fetch for a day's ids: partition-prune to the
+    * ids' buckets, then hash-join the ids — the image rows and the
+    * audio rows (audio renamed to the r0..r7 layout so [[PhashIndex]]
+    * consumes either modality unchanged).
     */
   def fetchImage(spark: SparkSession, path: String,
                  ids: DataFrame): DataFrame =
-    spark.read.parquet(path).join(ids, "media_id")
-      .select(col("media_id") +: rcols: _*)
+    pruned(spark, path, ids).select(col("media_id") +: rcols: _*)
 
   def fetchAudio(spark: SparkSession, path: String,
                  ids: DataFrame): DataFrame =
-    spark.read.parquet(path).join(ids, "media_id")
-      .select(col("media_id") +:
-        (0 until 8).map(i => col(s"a$i").as(s"r$i")): _*)
+    pruned(spark, path, ids).select(col("media_id") +:
+      (0 until 8).map(i => col(s"a$i").as(s"r$i")): _*)
+
+  private def pruned(spark: SparkSession, path: String,
+                     ids: DataFrame): DataFrame = {
+    val bs = bucketsOf(ids)
+    spark.read.parquet(path)
+      .where(col("mb").isin(bs.map(java.lang.Long.valueOf): _*))
+      .join(ids.select("media_id"), "media_id")
+  }
 }

@@ -578,6 +578,23 @@ object MultiDay {
     * convergently. `corpusDocs` is the indexed-docs text frame
     * (snapshot + admitted days) the lexical stillHeld pass scans.
     */
+  /** [[ttl4]] as a LEDGERED maintenance day — the same exactly-once
+    * contract the admission days carry ([[processDay4]]) and the
+    * curation-side retention already has ([[CurationNDay.ttlDay]]):
+    * a committed TTL day is a pure no-op on replay (returns false),
+    * a TTL that died before its ledger row re-runs convergently
+    * (every [[ttl4]] step is an overwrite or anti-join). The gate
+    * card pins the ledger content and the replay no-op.
+    */
+  def ttl4Day(spark: SparkSession, p: Paths4, dayId: String,
+              expireDays: Seq[Int], corpusDocs: DataFrame): Boolean =
+    if (CurationNDay.ledgerSeen(spark, p.ledger, dayId)) false
+    else {
+      ttl4(spark, p, expireDays, corpusDocs)
+      CurationNDay.appendLedger(spark, p.ledger, dayId)
+      true
+    }
+
   def ttl4(spark: SparkSession, p: Paths4, expireDays: Seq[Int],
            corpusDocs: DataFrame): Unit = {
     val victims = expireDays.map { k =>

@@ -134,9 +134,11 @@ object Curation12 {
     * end-to-end proof the hashes/cells/bands really left.
     */
   private val mmTtlCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (MultiDay.Paths4, org.apache.spark.sql.DataFrame)]()
+    String, (MultiDay.Paths4, org.apache.spark.sql.DataFrame, Boolean,
+      Seq[String])]()
   private def mmTtl(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (MultiDay.Paths4, org.apache.spark.sql.DataFrame) =
+      : (MultiDay.Paths4, org.apache.spark.sql.DataFrame, Boolean,
+         Seq[String]) =
     mmTtlCache.computeIfAbsent(dir, { d: String =>
       val p = mmBatch(s, d)
       val docs = t(s, d, "documents").select("doc_id", "text")
@@ -148,7 +150,10 @@ object Curation12 {
         .where(pmod(col("doc_id"), lit(8L)) >= 4L)
         .unionByName(docs.join(admitted, "doc_id"))
         .localCheckpoint(true)
-      MultiDay.ttl4(s, p, Seq(1), corpusDocs)
+      require(MultiDay.ttl4Day(s, p, "ttl1", Seq(1), corpusDocs),
+        "mmTtl: ttl1 unexpectedly already committed")
+      // the replay: a committed TTL day must be a pure no-op
+      val replayNoOp = !MultiDay.ttl4Day(s, p, "ttl1", Seq(1), corpusDocs)
       val drop1 = s.read.parquet(p.dropDay(1))
       val ids1 = drop1.select(col("doc_id").as("media_id"))
       val reoffer = MultiDay.decisions4(s, p, drop1,
@@ -156,7 +161,8 @@ object Curation12 {
           graft.ops.MediaHashes.fetchAudio(s, p.media, ids1),
           docs)
         .localCheckpoint(true)
-      (p, reoffer)
+      (p, reoffer, replayNoOp,
+        CurationNDay.ledgerDays(s, p.ledger))
     })
 
   /** TTL on the curation N-day lifecycle, on a FRESH batch root (the
@@ -335,6 +341,18 @@ object Curation12 {
       MultiDay.indexCards4(s, mmTtl(s, dir)._1)
         .orderBy("modality", "metric")),
 
+    // The TTL day's LEDGER facts (r12 verdict task 4): the same
+    // retained-index cards with the ledger content pinned (admission
+    // days mm1-mm3 plus the committed ttl1 row) and the replayed TTL
+    // witnessed as a pure no-op.
+    "q568_mm_ttl_ledger" -> ((s, dir) => {
+      val (p, _, noop, days) = mmTtl(s, dir)
+      MultiDay.indexCards4(s, p)
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .orderBy("modality", "metric")
+    }),
+
     // Day 1 re-offered against the retained indexes: previously
     // index-blocked docs whose only obstacle was day-1 state readmit.
     "q551_mm_ttl_reoffer" -> ((s, dir) =>
@@ -372,7 +390,8 @@ object Curation12 {
     // The decode-once media artifact: every asset's image dHash bytes
     // + audio fingerprint bytes, decoded exactly once per lifetime.
     "q544_media_hashes" -> ((s, dir) =>
-      s.read.parquet(mmStream(s, dir)._1.media).orderBy("media_id")),
+      graft.ops.MediaHashes.read(s, mmStream(s, dir)._1.media)
+        .orderBy("media_id")),
 
     // The BATCH engine path over the identical ledgered day step —
     // must equal q542's oracle row for row.
@@ -1108,6 +1127,34 @@ object Curation12 {
          |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
          |    JOIN madm3 USING (doc_id))
          |SELECT * FROM (
+         |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value FROM ret
+         |  UNION ALL SELECT 'lexical', 'n_band_rows',
+         |    4 * count(*) FROM ret
+         |  UNION ALL SELECT 'semantic', 'n_vecs', count(*) FROM ret
+         |  UNION ALL SELECT 'perceptual', 'n_hashes', count(*) FROM ret
+         |  UNION ALL SELECT 'perceptual', 'n_band_rows',
+         |    4 * count(*) FROM ret
+         |  UNION ALL SELECT 'audio', 'n_hashes', count(*) FROM ret
+         |  UNION ALL SELECT 'audio', 'n_band_rows',
+         |    4 * count(*) FROM ret
+         |  UNION ALL SELECT 'media', 'n_assets',
+         |    (SELECT count(*) FROM pdocs) + 3)
+         |ORDER BY modality, metric""".stripMargin,
+
+    // The q550 card with the TTL ledger facts pinned: ledger ==
+    // [mm1, mm2, mm3, ttl1] exactly, replayed TTL a no-op.
+    "q568_mm_ttl_ledger" ->
+      s"""WITH $mmCtes,
+         |ret AS MATERIALIZED (SELECT doc_id, text FROM pdocs
+         |  WHERE doc_id % 8 >= 4
+         |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
+         |    JOIN madm2 USING (doc_id)
+         |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
+         |    JOIN madm3 USING (doc_id))
+         |SELECT *, 'mm1,mm2,mm3,ttl1' AS ledger_days,
+         |  '1' AS replay_stable
+         |FROM (
          |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
          |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value FROM ret
          |  UNION ALL SELECT 'lexical', 'n_band_rows',

@@ -163,6 +163,52 @@ class Round13Spec extends AnyFunSuite {
       new java.io.File(root).getParent)
   }
 
+  test("media_hashes fetch is bucket-pruned; layout survives compact") {
+    val root = tmp("graft_r13_media_")
+    try {
+      val path = s"$root/media_hashes.parquet"
+      val media = graft.core.Tables(spark, sf, "documents")
+        .limit(40)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"),
+          col("text").cast("binary").as("audio"))
+      graft.ops.MediaHashes.extend(spark, path, media)
+      // a sentinel-sized fetch prunes to its ids' buckets: two ids in
+      // the same bucket => a NON-EMPTY PartitionFilters list on mb
+      val twoIds = Seq(0L, 16L).toDF("media_id") // both bucket 0
+      val fetch = graft.ops.MediaHashes.fetchImage(spark, path, twoIds)
+      val scan = fetch.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*mb".r.findFirstIn(scan).isDefined,
+        s"expected mb partition pruning in:\n$scan")
+      // correctness: the pruned fetch returns exactly the stored rows
+      val ids = media.select("media_id").limit(7)
+      val got = graft.ops.MediaHashes.fetchImage(spark, path, ids)
+      assert(got.count() == 7L)
+      // compact keeps content and the bucketed layout
+      val pre = graft.ops.MediaHashes.read(spark, path)
+        .collect().map(_.toSeq).toSet
+      graft.ops.MediaHashes.compact(spark, path)
+      assert(graft.ops.MediaHashes.read(spark, path)
+        .collect().map(_.toSeq).toSet == pre)
+      val scan2 = graft.ops.MediaHashes.fetchAudio(spark, path, twoIds)
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*mb".r.findFirstIn(scan2).isDefined)
+    } finally graft.queries.Curation2.deleteDir(
+      new java.io.File(root).getParent)
+  }
+
+  test("ttl4Day: a committed TTL day is a pure no-op") {
+    val root = tmp("graft_r13_ttl4_")
+    try {
+      val p = graft.ops.MultiDay.Paths4(root)
+      graft.ops.CurationNDay.appendLedger(spark, p.ledger, "ttlX")
+      // corpusDocs = null: the guard must answer from the ledger alone
+      // — ANY touch of the inputs or indexes would throw here
+      assert(!graft.ops.MultiDay.ttl4Day(spark, p, "ttlX", Seq(1), null))
+    } finally graft.queries.Curation2.deleteDir(
+      new java.io.File(root).getParent)
+  }
+
   test("appendDedupIndex backfills a torn (partial-band) append") {
     val root = tmp("graft_r13_band_")
     try {
