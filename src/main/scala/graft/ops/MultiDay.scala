@@ -445,6 +445,41 @@ object MultiDay {
     processDay4(spark, p, 3, spark.read.parquet(p.dropDay(3)), fetch): Unit
   }
 
+  /** The indexed-docs text frame a retention day's lexical stillHeld
+    * pass scans, derived from the lexical index's OWN band table (the
+    * index knows its membership — no lifecycle-specific snapshot
+    * predicate has to travel into the retention calendar): one
+    * id-join of the hash-sized band ids against the corpus fetch.
+    */
+  def indexedDocs(spark: SparkSession, p: Paths4,
+                  corpusFetch: DataFrame): DataFrame =
+    corpusFetch.select("doc_id", "text")
+      .join(spark.read.parquet(s"${p.lex}/bands.parquet")
+        .select(col("corpus_id").as("doc_id")).distinct(), "doc_id")
+
+  /** The batch CALENDAR — admission days with a LEDGERED retention
+    * day interleaved (the r12 verdict's "stream the retention
+    * calendar" task, batch engine path): days 1–2 admit, the ttl2
+    * slot expires day 1's admissions from all four indexes, day 3
+    * admits against the RETAINED state — so a day-3 clone of an
+    * expired day-1 doc genuinely re-admits (retention re-opens
+    * admission THROUGH the calendar, the q551 story as a calendar
+    * slot). Decisions for days 1–2 are bit-identical to the plain
+    * chain; day 3's oracle models the interleaved horizon (q569).
+    */
+  def runDays4Calendar(spark: SparkSession, dir: String,
+                       p: Paths4): Unit = {
+    bootstrap4(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    (1 to 2).foreach { k =>
+      processDay4(spark, p, k, spark.read.parquet(p.dropDay(k)),
+        fetch): Unit
+    }
+    ttl4Day(spark, p, "ttl2", Seq(1), indexedDocs(spark, p, fetch)): Unit
+    writeDay3Drop(spark, dir, p)
+    processDay4(spark, p, 3, spark.read.parquet(p.dropDay(3)), fetch): Unit
+  }
+
   /** All N days' pinned verdicts as one frame. */
   def allDecisions4(spark: SparkSession, p: Paths4): DataFrame =
     (1 to NDays4).map { k =>

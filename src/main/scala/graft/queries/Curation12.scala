@@ -485,7 +485,7 @@ object Curation12 {
     * corpus hits win) — [[graft.ops.PhashIndex.decisions]] with
     * `withinBatch = true`, verbatim.
     */
-  private def bandedDay(sfx: String, bands: String, bits: String,
+  private[queries] def bandedDay(sfx: String, bands: String, bits: String,
                         bitJoin: String, dayIds: String, idxIds: String,
                         label: String): String =
     s"""cB$sfx AS (SELECT DISTINCT a.doc_id AS did, b.doc_id AS cid
@@ -547,7 +547,7 @@ object Curation12 {
     * frame ([[graft.ops.SemIndex.decisions]] `withinBatch = true`).
     * Expects `ix$sfx` from [[Curation11.cellCtes]].
     */
-  private def semDay4(sfx: String, idxSrc: String,
+  private[queries] def semDay4(sfx: String, idxSrc: String,
                       deltaIx: String = ""): String = {
     val dix = if (deltaIx.isEmpty) s"ix$sfx" else deltaIx
     val cos = "list_sum(list_transform(range(64), " +
@@ -627,7 +627,7 @@ object Curation12 {
     * appends alone; 9600003 full-clones the smallest day-3 organic
     * doc — a same-day clone that can never be admitted).
     */
-  private def mmCtes: String =
+  private[queries] def mmCtes: String =
     s"""v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),

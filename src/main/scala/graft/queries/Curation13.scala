@@ -60,7 +60,63 @@ object Curation13 {
         audHash(qs).localCheckpoint(true))
     })
 
+  /** The STREAMED retention calendar lifecycle (r12 verdict task 2):
+    * admission days 1–2, the ledgered ttl2 control slot (expire day
+    * 1) delivered THROUGH the file-source stream with a kill/restart
+    * around it and a replayed control no-op'd, then day 3 admitting
+    * against the retained indexes.
+    */
+  private val mmCalCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.ops.MultiDay.Paths4, Boolean, Seq[String])]()
+  private def mmCal(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (graft.ops.MultiDay.Paths4, Boolean, Seq[String]) =
+    mmCalCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm_cal_")
+      val p = graft.ops.MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days) =
+        graft.streaming.MultiStream.runCalendarStreamed(s, d, p)
+      (p, noop, days)
+    })
+
+  /** The same calendar through the BATCH engine — second path onto
+    * q569's oracle.
+    */
+  private val mmCalBatchCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.MultiDay.Paths4]()
+  private def mmCalBatch(s: org.apache.spark.sql.SparkSession,
+                         dir: String): graft.ops.MultiDay.Paths4 =
+    mmCalBatchCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm_calb_")
+      val p = graft.ops.MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      graft.ops.MultiDay.runDays4Calendar(s, d, p)
+      p
+    })
+
   val queries: Map[String, QFn] = Map(
+
+    // The streamed calendar's pinned verdicts: days 1-2 as the plain
+    // chain, day 3 admitted against the POST-TTL indexes — the
+    // interleaved horizon modeled by one composed oracle.
+    "q569_mm_cal_decisions" -> ((s, dir) =>
+      graft.ops.MultiDay.allDecisions4(s, mmCal(s, dir)._1)
+        .orderBy("day", "doc_id")),
+
+    // Its index cards + calendar recovery facts: ledger exactly
+    // [mm1, mm2, mm3, ttl2]; the replayed control added nothing.
+    "q570_mm_cal_cards" -> ((s, dir) => {
+      val (p, noop, days) = mmCal(s, dir)
+      graft.ops.MultiDay.indexCards4(s, p)
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .orderBy("modality", "metric")
+    }),
+
+    // The batch calendar — second engine path, same oracle as q569.
+    "q571_mm_cal_batch_decisions" -> ((s, dir) =>
+      graft.ops.MultiDay.allDecisions4(s, mmCalBatch(s, dir))
+        .orderBy("day", "doc_id")),
 
     // Image top-5: banded candidates, exact-Hamming rank off the
     // stored signatures.
@@ -166,7 +222,92 @@ object Curation13 {
        |FROM exS e LEFT JOIN apS a ON a.qid = e.qid AND a.cid = e.cid
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  /** The CALENDAR re-derivation: [[Curation12.mmCtes]]' days 1–2
+    * verbatim (TTL follows day 2, so their verdicts are untouched),
+    * then day 3 against the RETAINED index sets — snapshot + day-2
+    * admissions only (day 1's admissions aged out of all four
+    * indexes; the lexical hash set collapses to the retained docs'
+    * hashes via stillHeld semantics, which the from-scratch rebuild
+    * over the retained corpus models exactly). The sentinel derivation
+    * is unchanged (it reads the day-1/-2 PINS, which retention never
+    * touches) — so 9600001, the clone of a day-1 admitted doc, meets
+    * CLEAN indexes on day 3 and its verdict discloses that retention
+    * genuinely re-opened admission through the calendar.
+    */
+  private def mmCalCtes: String =
+    s"""${Curation12.mmCtes},
+       |lcorpR AS MATERIALIZED (SELECT doc_id, text FROM lcorp1
+       |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
+       |    JOIN madm2 USING (doc_id)),
+       |${Curation.dedupDecisionCtes("lcorpR", "lb3", "R3")},
+       |ixsemR AS (SELECT cell, vec_id, e, nrm FROM ixms
+       |  UNION ALL SELECT cell, vec_id, e, nrm FROM ixs2
+       |    WHERE vec_id IN (SELECT doc_id FROM madm2)),
+       |${Curation12.semDay4("sR", "ixsemR", "ixs3")},
+       |idxPR AS (SELECT doc_id FROM idxP1
+       |  UNION ALL SELECT doc_id FROM madm2),
+       |${Curation12.bandedDay("PR", "xpbands", "xbits",
+          "y.cy = x.cy AND y.cx = x.cx", "dP3", "idxPR", "phash")},
+       |${Curation12.bandedDay("AR", "xabands", "xabits",
+          "y.i = x.i", "dP3", "idxPR", "audio")},
+       |finR AS MATERIALIZED (SELECT l.doc_id, l.decision AS d_lex,
+       |    s.decision AS d_sem, p.decision AS d_ph, a.decision AS d_aud,
+       |    CASE WHEN l.decision <> 'admitted' THEN l.decision
+       |      WHEN s.decision <> 'admitted' THEN s.decision
+       |      WHEN p.decision <> 'admitted' THEN p.decision
+       |      WHEN a.decision <> 'admitted' THEN a.decision
+       |      ELSE 'admitted' END AS decision
+       |  FROM decisionsR3 l JOIN decSsR s ON s.vec_id = l.doc_id
+       |    JOIN decBPR p ON p.doc_id = l.doc_id
+       |    JOIN decBAR a ON a.doc_id = l.doc_id),
+       |madmR AS (SELECT doc_id FROM finR
+       |  WHERE decision = 'admitted')""".stripMargin
+
+  private def mmCalDecisionsSql: String =
+    s"""WITH $mmCalCtes
+       |SELECT * FROM (
+       |  SELECT 1 AS day, doc_id, d_lex, d_sem, d_ph, d_aud, decision
+       |    FROM fin1
+       |  UNION ALL SELECT 2, doc_id, d_lex, d_sem, d_ph, d_aud, decision
+       |    FROM fin2
+       |  UNION ALL SELECT 3, doc_id, d_lex, d_sem, d_ph, d_aud, decision
+       |    FROM finR)
+       |ORDER BY day, doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q569_mm_cal_decisions" -> mmCalDecisionsSql,
+
+    // two delivery engines, one interleaved-calendar answer
+    "q571_mm_cal_batch_decisions" -> mmCalDecisionsSql,
+
+    // Cards after the full calendar: retained = snapshot + day-2 +
+    // day-3 admissions (day 1 aged out BEFORE day 3 admitted); the
+    // media artifact keeps every decoded asset (decode-once outlives
+    // admission); ledger pins the ttl2 slot; replayed control no-op.
+    "q570_mm_cal_cards" ->
+      s"""WITH $mmCalCtes,
+         |retC AS MATERIALIZED (SELECT doc_id, text FROM lcorpR
+         |  UNION ALL SELECT d.doc_id, d.text FROM xdocs d
+         |    JOIN madmR ON madmR.doc_id = d.doc_id)
+         |SELECT *, 'mm1,mm2,mm3,ttl2' AS ledger_days,
+         |  '1' AS replay_stable
+         |FROM (
+         |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value
+         |    FROM retC
+         |  UNION ALL SELECT 'lexical', 'n_band_rows',
+         |    4 * count(*) FROM retC
+         |  UNION ALL SELECT 'semantic', 'n_vecs', count(*) FROM retC
+         |  UNION ALL SELECT 'perceptual', 'n_hashes', count(*) FROM retC
+         |  UNION ALL SELECT 'perceptual', 'n_band_rows',
+         |    4 * count(*) FROM retC
+         |  UNION ALL SELECT 'audio', 'n_hashes', count(*) FROM retC
+         |  UNION ALL SELECT 'audio', 'n_band_rows',
+         |    4 * count(*) FROM retC
+         |  UNION ALL SELECT 'media', 'n_assets',
+         |    (SELECT count(*) FROM pdocs) + 3)
+         |ORDER BY modality, metric""".stripMargin,
 
     "q563_phash_search" -> searchSql(imgSearchCtes),
 

@@ -34,17 +34,28 @@ import graft.ops.{CurationNDay, MultiDay}
   */
 object MultiStream {
 
+  /** The landing-record schema. `op` is the CONTROL channel (null =
+    * admission data; "ttl" = a retention-calendar slot whose `doc_id`
+    * carries the admission day to expire) — admission files written
+    * before the column existed read it as null, so old landings
+    * replay unchanged.
+    */
   val dropSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("embedding", ArrayType(FloatType)),
     StructField("img", BinaryType),
-    StructField("day", IntegerType)))
+    StructField("day", IntegerType),
+    StructField("op", StringType)))
 
   /** Start the admission stream. With `bench` set, each day runs the
     * FULL six-stage verdict ([[MultiDay.processDay6]] — near-dup
     * stages + contamination/quality post-gates); without it, the
-    * four-stage [[MultiDay.processDay4]].
+    * four-stage [[MultiDay.processDay4]]. Retention CONTROL records
+    * (op = "ttl") drive the LEDGERED [[MultiDay.ttl4Day]] in their
+    * calendar slot, AFTER the slot's admissions (retention follows
+    * the day it ages against); a replayed control no-ops via the same
+    * ledger that makes replayed admission days no-ops.
     */
   def start(spark: SparkSession, p: MultiDay.Paths4,
             corpusFetch: DataFrame,
@@ -59,14 +70,22 @@ object MultiStream {
         val days = batch.select("day").distinct()
           .collect().map(_.getInt(0)).sorted // bounded: days per batch
         days.foreach { k =>
-          val drop = batch.where(col("day") === k)
+          val rows = batch.where(col("day") === k)
+          val drop = rows.where(col("op").isNull)
             .select("doc_id", "text", "embedding", "img")
-          (bench match {
-            case Some(b) =>
-              MultiDay.processDay6(spark, p, k, drop, corpusFetch, b)
-            case None =>
-              MultiDay.processDay4(spark, p, k, drop, corpusFetch)
-          }): Unit
+          if (!drop.isEmpty)
+            (bench match {
+              case Some(b) =>
+                MultiDay.processDay6(spark, p, k, drop, corpusFetch, b)
+              case None =>
+                MultiDay.processDay4(spark, p, k, drop, corpusFetch)
+            }): Unit
+          val expire = rows.where(col("op") === "ttl")
+            .select("doc_id").distinct()
+            .collect().map(_.getLong(0).toInt).sorted // bounded: controls
+          if (expire.nonEmpty)
+            MultiDay.ttl4Day(spark, p, s"ttl$k", expire.toSeq,
+              MultiDay.indexedDocs(spark, p, corpusFetch)): Unit
         }
       }
       .start()
@@ -84,24 +103,52 @@ object MultiStream {
       .withColumn("day", lit(k))
       .repartition(1)
       .write.mode("overwrite").parquet(tmp)
+    // replays land after their original (k + offset keeps order)
+    promoteLanding(spark, p, tmp,
+      if (name.isEmpty) s"day$k.parquet" else name,
+      k * 60000L + (if (name.isEmpty) 0L else 30000L))
+  }
+
+  /** Land a retention CONTROL record: one row (day = `slot`,
+    * op = "ttl", doc_id = the admission day to expire). Its pinned
+    * modification time sorts AFTER day `slot`'s drop and any replay
+    * of it, and BEFORE day `slot` + 1 — the calendar position.
+    */
+  def landControl(spark: SparkSession, p: MultiDay.Paths4, slot: Int,
+                  expireDay: Int, name: String = ""): Unit = {
+    import spark.implicits._
+    val tmp = s"${p.root}/land_tmp_ctl$slot"
+    Seq((expireDay.toLong, slot, "ttl")).toDF("doc_id", "day", "op")
+      .repartition(1)
+      .write.mode("overwrite").parquet(tmp)
+    promoteLanding(spark, p, tmp,
+      if (name.isEmpty) s"ctl$slot.parquet" else name,
+      slot * 60000L + (if (name.isEmpty) 40000L else 50000L))
+  }
+
+  /** Rename the staged single part file into the landing dir under
+    * `fname` with a pinned strictly-increasing modification time
+    * (anchored on the semantic seeds file the bootstrap wrote — the
+    * [[CurationStream.landDrop]] in-order contract).
+    */
+  private def promoteLanding(spark: SparkSession, p: MultiDay.Paths4,
+                             tmp: String, fname: String,
+                             mtimeOff: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val fs = tmpP.getFileSystem(conf)
     val part = fs.listStatus(tmpP)
       .find(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"landDrop: no part file under $tmp"))
+      .getOrElse(sys.error(s"promoteLanding: no part file under $tmp"))
     val landing = new org.apache.hadoop.fs.Path(p.landing)
     if (!fs.exists(landing)) { fs.mkdirs(landing): Unit }
-    val fname = if (name.isEmpty) s"day$k.parquet" else name
     val dst = new org.apache.hadoop.fs.Path(landing, fname)
     val ok = fs.rename(part.getPath, dst)
-    require(ok, s"landDrop: rename into ${p.landing} failed")
+    require(ok, s"promoteLanding: rename into ${p.landing} failed")
     fs.delete(tmpP, true): Unit
     val anchor = fs.getFileStatus(new org.apache.hadoop.fs.Path(
       p.sem.seeds)).getModificationTime
-    // replays land after their original (k + offset keeps order)
-    val off = if (name.isEmpty) 0L else 30000L
-    fs.setTimes(dst, anchor + k * 60000L + off, -1L)
+    fs.setTimes(dst, anchor + mtimeOff, -1L)
   }
 
   /** The full STREAMED 3-day multimodal lifecycle with a kill/restart
@@ -137,6 +184,35 @@ object MultiStream {
     try { q2.processAllAvailable() } finally q2.stop()
     val replayNoOp = !MultiDay.processDay6(spark, p, 2,
       spark.read.parquet(p.dropDay(2)), fetch, bench)
+    (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger))
+  }
+
+  /** The STREAMED retention calendar (q569/q570 — r12 verdict task 2):
+    * bootstrap; land + stream days 1–2; STOP (the kill); land the
+    * ttl2 CONTROL record (expire day 1) plus a REPLAY of it under a
+    * new file name; derive + land the sentinel-planted day 3; RESTART
+    * from the same checkpoint; drain — the restarted stream runs the
+    * ledgered TTL in its calendar slot, swallows the replayed control
+    * via the same ledger, and admits day 3 against the RETAINED
+    * indexes. Returns (replayNoOp, ledgerDays): replayNoOp
+    * additionally witnesses a direct re-offer of the committed
+    * control no-op'ing.
+    */
+  def runCalendarStreamed(spark: SparkSession, dir: String,
+                          p: MultiDay.Paths4): (Boolean, Seq[String]) = {
+    MultiDay.bootstrap4(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    landDrop(spark, p, 1); landDrop(spark, p, 2)
+    val q1 = start(spark, p, fetch)
+    try { q1.processAllAvailable() } finally q1.stop() // the kill
+    landControl(spark, p, 2, expireDay = 1)
+    landControl(spark, p, 2, expireDay = 1, name = "ctl2_replay.parquet")
+    MultiDay.writeDay3Drop(spark, dir, p)
+    landDrop(spark, p, 3)
+    val q2 = start(spark, p, fetch) // same checkpoint: the restart
+    try { q2.processAllAvailable() } finally q2.stop()
+    val replayNoOp = !MultiDay.ttl4Day(spark, p, "ttl2", Seq(1),
+      MultiDay.indexedDocs(spark, p, fetch))
     (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger))
   }
 
