@@ -582,12 +582,76 @@ object MultiDay {
 
   /** Both full-stack days' pinned verdicts, all six stage columns. */
   def allDecisions6(spark: SparkSession, p: Paths4): DataFrame =
-    (1 to 2).map { k =>
+    allDecisions6Upto(spark, p, 2)
+
+  def allDecisions6Upto(spark: SparkSession, p: Paths4,
+                        nDays: Int): DataFrame =
+    (1 to nDays).map { k =>
       spark.read.parquet(p.decisionsDay(k))
         .select(lit(k).as("day"), col("doc_id"), col("d_lex"),
           col("d_sem"), col("d_ph"), col("d_aud"), col("d_contam"),
           col("d_qual"), col("decision"))
     }.reduce(_.unionByName(_))
+
+  /** Day 3 of the six-stage CALENDAR — a pure WITNESS day derived
+    * entirely from the chain's own pins (scale-robust: the sources
+    * exist at any sf as long as day 1 admitted + post-gate-rejected
+    * something and day 2 admitted something, which q559 already
+    * proves), exercising every per-modality cross-day branch AFTER
+    * the ttl2 retention slot expired day 1:
+    *
+    *  - 9700004 full-clones the smallest day-1 overall-ADMITTED doc —
+    *    the post-TTL re-offer: all four dedup columns must come back
+    *    CLEAN (day-1 state left every index), the post-gates pass
+    *    again (pure text functions), and it RE-ADMITS through the
+    *    calendar;
+    *  - 9700005 full-clones the smallest day-2 overall-admitted doc —
+    *    all four dedup columns must show the corpus dup their
+    *    RETAINED day-2 state serves;
+    *  - 9700006 full-clones the smallest day-1 post-gate-REJECTED doc
+    *    — its post-gate column must fire again while its lexical/
+    *    audio state stays clean (a rejection never touched an index);
+    *  - 9700007 clones 9700004's source AGAIN — a same-day duplicate
+    *    of 9700004, witnessing every stage's within-batch pass on
+    *    day 3 (dup_*_batch, the larger id loses).
+    */
+  def writeDay3Drop6Cal(spark: SparkSession, dir: String,
+                        p: Paths4): Unit = {
+    def dayOf(k: Int, pred: org.apache.spark.sql.Column): DataFrame =
+      spark.read.parquet(p.decisionsDay(k)).where(pred).select("doc_id")
+    val adm1 = dayOf(1, col("decision") === "admitted")
+    val adm2 = dayOf(2, col("decision") === "admitted")
+    val rej1 = dayOf(1,
+      col("decision").isin("contaminated", "low_quality"))
+    cloneOf(spark, dir, adm1, 9700004L)
+      .unionByName(cloneOf(spark, dir, adm2, 9700005L))
+      .unionByName(cloneOf(spark, dir, rej1, 9700006L))
+      .unionByName(cloneOf(spark, dir, adm1, 9700007L))
+      .write.mode("overwrite").parquet(p.dropDay(3))
+  }
+
+  /** The six-stage BATCH CALENDAR (r12 verdict task 3): the proven
+    * two-day full stack verbatim, then the LEDGERED ttl2 retention
+    * slot (expire day 1 from all four indexes), then the
+    * [[writeDay3Drop6Cal]] witness day admitted against the RETAINED
+    * state — N = 3 days with retention interleaved, one oracle across
+    * engines (q572/q574).
+    */
+  def runDays6Calendar(spark: SparkSession, dir: String,
+                       p: Paths4): Unit = {
+    bootstrap6(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    val bench = benchOf(spark, dir)
+    processDay6(spark, p, 1, spark.read.parquet(p.dropDay(1)), fetch,
+      bench): Unit
+    writeDay2Drop6(spark, dir, p)
+    processDay6(spark, p, 2, spark.read.parquet(p.dropDay(2)), fetch,
+      bench): Unit
+    ttl4Day(spark, p, "ttl2", Seq(1), indexedDocs(spark, p, fetch)): Unit
+    writeDay3Drop6Cal(spark, dir, p)
+    processDay6(spark, p, 3, spark.read.parquet(p.dropDay(3)), fetch,
+      bench): Unit
+  }
 
   /** RETENTION (TTL) over the multimodal lifecycle — the reference's
     * ring-buffer age-out (src/table_store/table/table.h:335

@@ -735,7 +735,7 @@ object Curation12 {
     * 8-grams shared with the bench gram set `mgr6`; RepTenths tenths
     * of duplicate 2-gram mass).
     */
-  private def postGate6(sfx: String): String = {
+  private[queries] def postGate6(sfx: String): String = {
     val cp = graft.ops.CurationDay.ContamPpm
     val rt = graft.ops.CurationDay.RepTenths
     s"""ct$sfx AS (SELECT doc_id,
@@ -757,7 +757,7 @@ object Curation12 {
        |  FROM lb$sfx)""".stripMargin
   }
 
-  private def fin6(k: Int, sfx: String): String =
+  private[queries] def fin6(k: Int, sfx: String): String =
     s"""fin6$k AS MATERIALIZED (SELECT l.doc_id, l.decision AS d_lex,
        |    s.decision AS d_sem, p.decision AS d_ph, a.decision AS d_aud,
        |    c.decision AS d_contam, q.decision AS d_qual,
@@ -781,7 +781,7 @@ object Curation12 {
     * composed in, sentinel 9700001 derived from day-1's own
     * post-gate rejections.
     */
-  private def mm6Ctes: String =
+  private[queries] def mm6Ctes: String =
     s"""v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),

@@ -94,7 +94,68 @@ object Curation13 {
       p
     })
 
+  /** The six-stage CALENDAR lifecycles (r12 verdict task 3): the
+    * proven two-day full stack + the ledgered ttl2 slot + the
+    * pin-derived witness day 3, batch and streamed engines.
+    */
+  private val mm6CalCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.MultiDay.Paths4]()
+  private def mm6Cal(s: org.apache.spark.sql.SparkSession,
+                     dir: String): graft.ops.MultiDay.Paths4 =
+    mm6CalCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm6_cal_")
+      val p = graft.ops.MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      graft.ops.MultiDay.runDays6Calendar(s, d, p)
+      p
+    })
+
+  private val mm6CalStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (graft.ops.MultiDay.Paths4, Boolean, Seq[String])]()
+  private def mm6CalStream(s: org.apache.spark.sql.SparkSession,
+                           dir: String)
+      : (graft.ops.MultiDay.Paths4, Boolean, Seq[String]) =
+    mm6CalStreamCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm6_cals_")
+      val p = graft.ops.MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days) =
+        graft.streaming.MultiStream.runDays6CalendarStreamed(s, d, p)
+      (p, noop, days)
+    })
+
   val queries: Map[String, QFn] = Map(
+
+    // The six-stage calendar's pinned verdicts: the q559 two days
+    // bit-identical, then the ttl2 slot, then the witness day 3 — the
+    // post-TTL re-offer re-admits, the day-2 clone shows all four
+    // retained dups, the post-gate rejection fires again, and the
+    // same-day duplicate loses every within-batch pass.
+    "q572_mm6_cal_decisions" -> ((s, dir) =>
+      graft.ops.MultiDay.allDecisions6Upto(s, mm6Cal(s, dir), 3)
+        .orderBy("day", "doc_id")),
+
+    // Its index cards: every artifact counts snapshot + day-2 +
+    // day-3 survivors (day 1 aged out mid-calendar).
+    "q573_mm6_cal_cards" -> ((s, dir) =>
+      graft.ops.MultiDay.indexCards4(s, mm6Cal(s, dir))
+        .orderBy("modality", "metric")),
+
+    // The STREAMED six-stage calendar — same oracle as q572, plus the
+    // recovery facts (ledger exactly [mm1, mm2, mm3, ttl2]; replayed
+    // control added nothing).
+    "q574_mm6_cal_stream_decisions" -> ((s, dir) =>
+      graft.ops.MultiDay.allDecisions6Upto(s, mm6CalStream(s, dir)._1, 3)
+        .orderBy("day", "doc_id")),
+
+    "q575_mm6_cal_stream_cards" -> ((s, dir) => {
+      val (p, noop, days) = mm6CalStream(s, dir)
+      graft.ops.MultiDay.indexCards4(s, p)
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .orderBy("modality", "metric")
+    }),
 
     // The streamed calendar's pinned verdicts: days 1-2 as the plain
     // chain, day 3 admitted against the POST-TTL indexes — the
@@ -263,6 +324,99 @@ object Curation13 {
        |madmR AS (SELECT doc_id FROM finR
        |  WHERE decision = 'admitted')""".stripMargin
 
+  /** The six-stage calendar re-derivation: [[Curation12.mm6Ctes]]'
+    * two days verbatim (the TTL follows day 2), then the witness day
+    * against the RETAINED sets — lexical corpus / semantic cells /
+    * perceptual id sets rebuilt as snapshot + day-2 admissions only,
+    * with the four day-3 sentinels' signatures cloned from their
+    * pinned sources.
+    */
+  private def mm6CalCtes: String = {
+    val imgJ = "y.cy = x.cy AND y.cx = x.cx"
+    val audJ = "y.i = x.i"
+    s"""${Curation12.mm6Ctes},
+       |smN AS MATERIALIZED (SELECT CAST(9700004 AS BIGINT) AS sdoc,
+       |    (SELECT min(doc_id) FROM fin61 WHERE decision = 'admitted')
+       |      AS src
+       |  UNION ALL SELECT 9700005,
+       |    (SELECT min(doc_id) FROM fin62 WHERE decision = 'admitted')
+       |  UNION ALL SELECT 9700006,
+       |    (SELECT min(doc_id) FROM fin61
+       |      WHERE decision IN ('contaminated', 'low_quality'))
+       |  UNION ALL SELECT 9700007,
+       |    (SELECT min(doc_id) FROM fin61 WHERE decision = 'admitted')),
+       |lbN3 AS MATERIALIZED (SELECT smN.sdoc AS doc_id, p.text FROM smN
+       |  JOIN pool6 p ON p.doc_id = smN.src),
+       |lcorpN3 AS MATERIALIZED (SELECT doc_id, text FROM lcorp61
+       |  UNION ALL SELECT p.doc_id, p.text FROM pool6 p
+       |    JOIN madm62 USING (doc_id)),
+       |${Curation.dedupDecisionCtes("lcorpN3", "lbN3", "N3")},
+       |ixsemN3 AS (SELECT cell, vec_id, e, nrm FROM ixm6
+       |  UNION ALL SELECT cell, vec_id, e, nrm FROM ixsL62
+       |    WHERE vec_id IN (SELECT doc_id FROM madm62)),
+       |dvN3 AS (SELECT smN.sdoc AS vec_id, v.e FROM smN
+       |  JOIN v ON v.vec_id = smN.src),
+       |${Curation11.cellCtes("dvN3", "sN3")},
+       |${Curation12.semDay4("sN3", "ixsemN3")},
+       |ypbN AS (SELECT doc_id, band, bv FROM pbands
+       |  UNION ALL SELECT smN.sdoc, band, bv FROM smN
+       |    JOIN pbands p ON p.doc_id = smN.src),
+       |ybiN AS (SELECT doc_id, cy, cx, bit FROM bits
+       |  UNION ALL SELECT smN.sdoc, cy, cx, bit FROM smN
+       |    JOIN bits b ON b.doc_id = smN.src),
+       |yabN AS (SELECT doc_id, band, bv FROM abands
+       |  UNION ALL SELECT smN.sdoc, band, bv FROM smN
+       |    JOIN abands p ON p.doc_id = smN.src),
+       |yabiN AS (SELECT doc_id, i, bit FROM abits
+       |  UNION ALL SELECT smN.sdoc, i, bit FROM smN
+       |    JOIN abits b ON b.doc_id = smN.src),
+       |dPN3 AS (SELECT sdoc AS doc_id FROM smN),
+       |idxPN3 AS (SELECT doc_id FROM idxPL61
+       |  UNION ALL SELECT doc_id FROM madm62),
+       |${Curation12.bandedDay("PN3", "ypbN", "ybiN", imgJ, "dPN3",
+          "idxPN3", "phash")},
+       |${Curation12.bandedDay("AN3", "yabN", "yabiN", audJ, "dPN3",
+          "idxPN3", "audio")},
+       |${Curation12.postGate6("N3")},
+       |${Curation12.fin6(3, "N3")}""".stripMargin
+  }
+
+  private def mm6CalDecisionsSql: String =
+    s"""WITH $mm6CalCtes
+       |SELECT * FROM (
+       |  SELECT 1 AS day, doc_id, d_lex, d_sem, d_ph, d_aud,
+       |    d_contam, d_qual, decision FROM fin61
+       |  UNION ALL SELECT 2, doc_id, d_lex, d_sem, d_ph, d_aud,
+       |    d_contam, d_qual, decision FROM fin62
+       |  UNION ALL SELECT 3, doc_id, d_lex, d_sem, d_ph, d_aud,
+       |    d_contam, d_qual, decision FROM fin63)
+       |ORDER BY day, doc_id""".stripMargin
+
+  private def mm6CalCardsSql(extra: String): String =
+    s"""WITH $mm6CalCtes,
+       |retN AS MATERIALIZED (SELECT doc_id, text FROM lcorpN3
+       |  UNION ALL SELECT x.doc_id, x.text FROM lbN3 x
+       |    JOIN madm63 ON madm63.doc_id = x.doc_id)
+       |SELECT *$extra
+       |FROM (
+       |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
+       |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value
+       |    FROM retN
+       |  UNION ALL SELECT 'lexical', 'n_band_rows',
+       |    4 * count(*) FROM retN
+       |  UNION ALL SELECT 'semantic', 'n_vecs', count(*) FROM retN
+       |  UNION ALL SELECT 'perceptual', 'n_hashes', count(*) FROM retN
+       |  UNION ALL SELECT 'perceptual', 'n_band_rows',
+       |    4 * count(*) FROM retN
+       |  UNION ALL SELECT 'audio', 'n_hashes', count(*) FROM retN
+       |  UNION ALL SELECT 'audio', 'n_band_rows',
+       |    4 * count(*) FROM retN
+       |  UNION ALL SELECT 'media', 'n_assets',
+       |    (SELECT count(*) FROM pool6)
+       |      + (SELECT count(*) FROM sm6 WHERE src IS NOT NULL)
+       |      + (SELECT count(*) FROM smN))
+       |ORDER BY modality, metric""".stripMargin
+
   private def mmCalDecisionsSql: String =
     s"""WITH $mmCalCtes
        |SELECT * FROM (
@@ -275,6 +429,16 @@ object Curation13 {
        |ORDER BY day, doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q572_mm6_cal_decisions" -> mm6CalDecisionsSql,
+
+    // two engines, one three-day-with-retention answer
+    "q574_mm6_cal_stream_decisions" -> mm6CalDecisionsSql,
+
+    "q573_mm6_cal_cards" -> mm6CalCardsSql(""),
+
+    "q575_mm6_cal_stream_cards" -> mm6CalCardsSql(
+      ", 'mm1,mm2,mm3,ttl2' AS ledger_days, '1' AS replay_stable"),
 
     "q569_mm_cal_decisions" -> mmCalDecisionsSql,
 

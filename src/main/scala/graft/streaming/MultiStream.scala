@@ -216,6 +216,36 @@ object MultiStream {
     (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger))
   }
 
+  /** The six-stage STREAMED CALENDAR (q574/q575): the q561 full-stack
+    * stream stretched to N = 3 days with the ttl2 retention slot
+    * delivered as a control record — kill/restart between every leg,
+    * the replayed control no-op'd, day 3 = the pin-derived witness
+    * day admitted against the retained indexes.
+    */
+  def runDays6CalendarStreamed(spark: SparkSession, dir: String,
+                               p: MultiDay.Paths4)
+      : (Boolean, Seq[String]) = {
+    MultiDay.bootstrap6(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    val bench = MultiDay.benchOf(spark, dir)
+    landDrop(spark, p, 1)
+    val q1 = start(spark, p, fetch, Some(bench))
+    try { q1.processAllAvailable() } finally q1.stop() // kill 1
+    MultiDay.writeDay2Drop6(spark, dir, p)
+    landDrop(spark, p, 2)
+    landControl(spark, p, 2, expireDay = 1)
+    landControl(spark, p, 2, expireDay = 1, name = "ctl2_replay.parquet")
+    val q2 = start(spark, p, fetch, Some(bench)) // restart 1
+    try { q2.processAllAvailable() } finally q2.stop() // kill 2
+    MultiDay.writeDay3Drop6Cal(spark, dir, p)
+    landDrop(spark, p, 3)
+    val q3 = start(spark, p, fetch, Some(bench)) // restart 2
+    try { q3.processAllAvailable() } finally q3.stop()
+    val replayNoOp = !MultiDay.ttl4Day(spark, p, "ttl2", Seq(1),
+      MultiDay.indexedDocs(spark, p, fetch))
+    (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger))
+  }
+
   def runDaysStreamed(spark: SparkSession, dir: String,
                       p: MultiDay.Paths4): (Boolean, Seq[String]) = {
     MultiDay.bootstrap4(spark, dir, p)
