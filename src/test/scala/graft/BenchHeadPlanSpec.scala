@@ -46,7 +46,11 @@ class BenchHeadPlanSpec extends AnyFunSuite {
     // r12: the two contention-inflated pxl heads the r11 bench triples
     // flagged — pinned so the next noisy bench is self-refuting
     ("q133_pxl_amqp_data", 12, 0),
-    ("q171_pxl_http_trace", 9, 0))
+    ("q171_pxl_http_trace", 9, 0),
+    // r13: the current top-5 heads are now all pinned — q347 was the
+    // one official head without a plan pin (r12 verdict task 7)
+    ("q347_dedup_diversity", 16, 0),
+    ("q358_curation_card", 9, 0))
 
   test("bench-head plans hold their audited shape (exchanges/BNLJ/cartesian)") {
     val derive = sys.env.contains("GRAFT_DERIVE_PINS")
