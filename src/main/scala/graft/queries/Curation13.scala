@@ -125,7 +125,45 @@ object Curation13 {
       (p, noop, days)
     })
 
+  /** The CURATION N-day lifecycle with its retention slot driven
+    * THROUGH the stream (the other half of r12 verdict task 2): days
+    * 1–4 + the ttl4 control (keepFrom = 2), kill/restart, replayed
+    * control no-op'd by the slot's done row.
+    */
+  private val curTtlStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (graft.ops.CurationDay.Artifacts, Boolean, Seq[String])]()
+  private def curTtlStream(s: org.apache.spark.sql.SparkSession,
+                           dir: String)
+      : (graft.ops.CurationDay.Artifacts, Boolean, Seq[String]) =
+    curTtlStreamCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_cur_ttl_stream_")
+      val a = graft.ops.CurationDay.Artifacts(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days) =
+        graft.streaming.CurationStream.runTtlCalendarStreamed(s, d, a)
+      (a, noop, days)
+    })
+
   val queries: Map[String, QFn] = Map(
+
+    // The streamed curation retention slot: the post-TTL manifest
+    // (the q552 shape) with the calendar facts pinned — ledger holds
+    // the four admission days + the expiry row + the slot's done row,
+    // and the replayed control added nothing.
+    "q576_cur_ttl_stream_manifest" -> ((s, dir) => {
+      val (a, noop, days) = curTtlStream(s, dir)
+      s.read.parquet(a.manifestRetract(1))
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .orderBy("shard")
+    }),
+
+    // The tape the slot rebuilt in-stream (the q553 shape).
+    "q577_cur_ttl_stream_tape" -> ((s, dir) => {
+      val a = curTtlStream(s, dir)._1
+      graft.ops.Pack.fullLayout(s, a, 0).orderBy("doc_id")
+    }),
 
     // The six-stage calendar's pinned verdicts: the q559 two days
     // bit-identical, then the ttl2 slot, then the witness day 3 — the
@@ -428,7 +466,53 @@ object Curation13 {
        |    FROM finR)
        |ORDER BY day, doc_id""".stripMargin
 
+  private def h60(x: String) = graft.ops.Dedup.h60Sql(x)
+
   val oracles: Map[String, String] = Map(
+
+    // q552's manifest re-derivation + the streamed calendar facts.
+    "q576_cur_ttl_stream_manifest" ->
+      s"""WITH ${Curation9.nDayCtes},
+         |corpusT AS MATERIALIZED (
+         |  SELECT doc_id, text FROM admf2
+         |  UNION ALL SELECT doc_id, text FROM admf3
+         |  UNION ALL SELECT doc_id, text FROM admf4),
+         |m AS (SELECT doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${graft.ops.CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (${h60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS h
+         |  FROM corpusT)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum,
+         |  'day1,day2,day3,day4,ttl4,ttl4_done' AS ledger_days,
+         |  '1' AS replay_stable
+         |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q553's rebuilt-tape re-derivation over the retained corpus.
+    "q577_cur_ttl_stream_tape" ->
+      s"""WITH ${Curation9.nDayCtes},
+         |corpusT AS MATERIALIZED (
+         |  SELECT doc_id, text FROM admf2
+         |  UNION ALL SELECT doc_id, text FROM admf3
+         |  UNION ALL SELECT doc_id, text FROM admf4),
+         |pt AS (SELECT 0 AS day, doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${graft.ops.CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM corpusT),
+         |tape AS (SELECT day, doc_id, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY shard, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM pt)
+         |SELECT day, doc_id, shard, n_tok,
+         |  cum - n_tok AS start_tok,
+         |  (cum - n_tok) // ${graft.ops.Pack.SeqLen} AS first_seq,
+         |  (cum - 1) // ${graft.ops.Pack.SeqLen} AS last_seq
+         |FROM tape ORDER BY doc_id""".stripMargin,
 
     "q572_mm6_cal_decisions" -> mm6CalDecisionsSql,
 
