@@ -434,6 +434,8 @@ object MultiDay {
     def maintain(): Unit = {
       Dedup.compactDedupIndex(spark, p.lex, partitions = 1)
       SemIndex.compact(spark, p.sem)
+      PhashIndex.compact(spark, p.ph)
+      PhashIndex.compact(spark, p.aud)
       MediaHashes.compact(spark, p.media)
     }
     (1 to 2).foreach { k =>

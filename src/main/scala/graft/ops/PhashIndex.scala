@@ -152,6 +152,24 @@ object PhashIndex {
     bandRows(adm).write.mode("append").parquet(p.bands)
   }
 
+  /** Rewrite both index tables into `partitions` right-sized files —
+    * the small-files settlement the per-day appends accrue (one file
+    * batch per day per table), via the staging + rename-swap cutover
+    * ([[graft.core.Layout.swapInto]]) like every compaction-class
+    * rewrite here: content invariant, no reader ever sees half-written
+    * data, a torn swap resumes. Completes the maintained chain's
+    * symmetry — all FOUR modality indexes (lexical, semantic, image,
+    * audio) plus the media artifact now have compactors (q558).
+    */
+  def compact(spark: SparkSession, p: Paths,
+              partitions: Int = 1): Unit = {
+    Seq(p.hashes, p.bands).foreach { t =>
+      spark.read.parquet(t).repartition(partitions)
+        .write.mode("overwrite").parquet(t + "__staging")
+      graft.core.Layout.swapInto(spark, t + "__staging", t)
+    }
+  }
+
   /** Delete assets from the index by id — the retention/takedown
     * path: both tables rewritten anti-joined against the victim set.
     * The tables are HASH-sized (9 longs + 4 band rows per asset), so
@@ -257,6 +275,42 @@ object PhashIndex {
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
       .withColumn("recall_ppm",
         idiv(col("n_hit") * 1000000L, col("k_exact")))
+  }
+
+  /** The MEASURED companion of [[designCurve]]: over a query sample ×
+    * the stored index, the realized candidate rate at each true
+    * Hamming distance — pair mass, pairs sharing ≥ 1 band, exact ppm.
+    * The closed-form curve assumes uniformly-placed differing bits;
+    * real signatures are structured, so publishing the measured curve
+    * next to the theoretical one is the honest banding disclosure
+    * (and the pigeonhole rows d ≤ 3 must read 1e6 in BOTH). Brute
+    * force over (sample × index) — a tuning-time operation like
+    * [[searchRecall]], never a serving path.
+    */
+  def bandingMeasured(spark: SparkSession, p: Paths,
+                      queries: DataFrame): DataFrame = {
+    import graft.functions.PixieFunctions.idiv
+    val q = hashRows(queries).localCheckpoint(true)
+    def side(src: DataFrame, n: String) = src.select(
+      col("media_id").as(n) +:
+        (0 until 8).map(i => col(s"r$i").as(s"${n}_r$i")): _*)
+    val dist = (0 until 8).map(i =>
+      bit_count(col(s"__qid_r$i").bitwiseXOR(col(s"__cid_r$i"))))
+      .reduce(_ + _).cast("long")
+    // band collision straight off the row bytes (a band bucket is its
+    // two bytes, so bucket equality == byte-pair equality)
+    val collide = (0 until 4).map { b =>
+      col(s"__qid_r${2 * b}") === col(s"__cid_r${2 * b}") &&
+        col(s"__qid_r${2 * b + 1}") === col(s"__cid_r${2 * b + 1}")
+    }.reduce(_ || _)
+    side(spark.read.parquet(p.hashes), "__cid")
+      .crossJoin(broadcast(side(q, "__qid"))) // sample × index
+      .select(dist.as("dist"),
+        when(collide, 1L).otherwise(0L).as("__c"))
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__c")).as("n_cand"))
+      .withColumn("cand_ppm",
+        idiv(col("n_cand") * 1000000L, col("n_pairs")))
   }
 
   /** The BANDING DESIGN CURVE — the closed-form disclosure behind the

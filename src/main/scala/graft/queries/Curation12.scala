@@ -234,16 +234,26 @@ object Curation12 {
       val a = graft.ops.CurationDay.Artifacts(root)
       sys.addShutdownHook(Curation2.deleteDir(root))
       CurationNDay.runDaysBatch(s, d, a)
-      val total = (1 to CurationNDay.NDays).map { k =>
-        s.read.parquet(a.packDay(k))
-          .agg(coalesce(sum(col("n_tok")), lit(0L)).as("m"))
-          .head().getLong(0)
-      }.sum
+      def mass(k: Int): Long = s.read.parquet(a.packDay(k))
+        .agg(coalesce(sum(col("n_tok")), lit(0L)).as("m"))
+        .head().getLong(0)
+      // the UNDER-CAP check first (q578): a cap covering the WHOLE
+      // retained mass — day-0 snapshot included — must commit as a
+      // ledgered no-op and expire nothing
+      val total0 = (0 to CurationNDay.NDays).map(mass).sum
+      val k0 = CurationNDay.capDay(s, a, "cap0", maxTokens = total0,
+        a.manifestDay(CurationNDay.NDays), s"$root/m_noop")
+      require(k0 == 0, s"capLife: under-cap check expired days ($k0)")
+      val total = (1 to CurationNDay.NDays).map(mass).sum
       val k = CurationNDay.capDay(s, a, "cap1",
         maxTokens = total * 55L / 100L,
         a.manifestDay(CurationNDay.NDays), a.manifestRetract(1))
       (a, k)
     })
+
+  private[queries] def capLifeArtifacts(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.ops.CurationDay.Artifacts = capLife(s, dir)._1
 
   /** The FULL-STACK (six-stage) lifecycle: four near-dup indexes plus
     * the contamination + repetition post-gates in ONE composed day,

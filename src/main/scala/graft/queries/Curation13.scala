@@ -165,6 +165,20 @@ object Curation13 {
       graft.ops.Pack.fullLayout(s, a, 0).orderBy("doc_id")
     }),
 
+    // The UNDER-CAP no-op (the r12 ADVICE fix made gateable): a cap
+    // covering the whole corpus — snapshot included — commits as a
+    // ledgered no-op; the day-4 manifest is untouched, nothing
+    // expires, the ledger pins both cap slots.
+    "q578_cap_noop_manifest" -> ((s, dir) => {
+      val a = Curation12.capLifeArtifacts(s, dir)
+      s.read.parquet(a.manifestDay(graft.ops.CurationNDay.NDays))
+        .withColumn("keep_from_day", lit(0L))
+        .withColumn("ledger_days",
+          lit(graft.ops.CurationNDay.ledgerDays(s, a.ledger)
+            .mkString(",")))
+        .orderBy("shard")
+    }),
+
     // The six-stage calendar's pinned verdicts: the q559 two days
     // bit-identical, then the ttl2 slot, then the witness day 3 — the
     // post-TTL re-offer re-admits, the day-2 clone shows all four
@@ -246,7 +260,15 @@ object Curation13 {
     // The banding design curve — pure closed-form arithmetic, no
     // table input (the disclosure the PhashIndex docstring cites).
     "q567_banding_curve" -> ((s, dir) =>
-      PhashIndex.designCurve(s).orderBy("dist")))
+      PhashIndex.designCurve(s).orderBy("dist")),
+
+    // The MEASURED candidate rate per true Hamming distance over the
+    // fixture's image signatures — the empirical curve published next
+    // to q567's theory (d <= 3 must read 1e6 ppm in both).
+    "q579_banding_measured" -> ((s, dir) => {
+      val (pi, _, qi, _) = searchLife(s, dir)
+      PhashIndex.bandingMeasured(s, pi, qi).orderBy("dist")
+    }))
 
   // ---- oracles ------------------------------------------------------
 
@@ -514,6 +536,25 @@ object Curation13 {
          |  (cum - 1) // ${graft.ops.Pack.SeqLen} AS last_seq
          |FROM tape ORDER BY doc_id""".stripMargin,
 
+    // The under-cap manifest: the q552 shape over the FULL corpus
+    // (grown4 — snapshot + every admitted day), keep_from_day = 0,
+    // both cap slots ledgered.
+    "q578_cap_noop_manifest" ->
+      s"""WITH ${Curation9.nDayCtes},
+         |m AS (SELECT doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${graft.ops.CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (${h60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS h
+         |  FROM grown4)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum,
+         |  CAST(0 AS BIGINT) AS keep_from_day,
+         |  'cap0,cap1,day1,day2,day3,day4' AS ledger_days
+         |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+
     "q572_mm6_cal_decisions" -> mm6CalDecisionsSql,
 
     // two engines, one three-day-with-retention answer
@@ -566,6 +607,26 @@ object Curation13 {
 
     "q566_audio_search_recall" ->
       recallSql(audSearchCtes, "abits", "y.i = x.i"),
+
+    // Measured banding curve: all (query, index) pairs' exact
+    // distances, candidacy = membership in the banded cS pair set.
+    "q579_banding_measured" ->
+      s"""WITH $imgSearchCtes,
+         |bfS AS (SELECT x.doc_id AS qid, y.doc_id AS cid,
+         |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dist
+         |  FROM bits x JOIN bits y ON y.cy = x.cy AND y.cx = x.cx
+         |  WHERE x.doc_id IN (SELECT doc_id FROM qsS)
+         |    AND y.doc_id IN (SELECT doc_id FROM ixS)
+         |  GROUP BY 1, 2)
+         |SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cand,
+         |  (CAST(sum(CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |    AS cand_ppm
+         |FROM bfS b LEFT JOIN cS c ON c.qid = b.qid AND c.cid = b.cid
+         |GROUP BY dist ORDER BY dist""".stripMargin,
 
     // Exact binomials by the C(n,d+1) = C(n,d)(n−d)/(d+1) integer
     // recurrence in HUGEINT; inclusion–exclusion over clean bands.
