@@ -66,6 +66,14 @@ object CurationDay {
     def ledger: String = s"$root/day_ledger"
     def landing: String = s"$root/landing"
     def streamCp: String = s"$root/stream_cp"
+    /** The pinned horizon of a size-capped retention day — written by
+      * [[CurationNDay.capDay]] BEFORE any mutation (the decision-pin
+      * rule applied to retention), so a replayed calendar slot knows
+      * whether the committed cap expired anything (rebuild the tape)
+      * or was an under-cap no-op (touch nothing).
+      */
+    def capHorizon(dayId: String): String =
+      s"$root/cap_horizon_$dayId.parquet"
     /** The pipeline's PRODUCT: the curated corpus, materialized
       * shard-partitioned (what a trainer's loader actually reads;
       * [[graft.core.Layout.writeShardPartitioned]] layout). Bootstrap

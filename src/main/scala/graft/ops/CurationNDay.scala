@@ -404,9 +404,20 @@ object CurationNDay {
           .agg(coalesce(sum(col("n_tok")), lit(0L)).as("m"))
           .head().getLong(0) // one row per day file — model-sized
       }.toMap
+      // the decision-pin rule applied to retention: the computed
+      // horizon is PINNED before any mutation, so a replayed calendar
+      // slot whose cap committed can still read what the cap decided
+      // (the expiry-vs-no-op fact the tape-rebuild step needs)
+      def pinHorizon(kf: Int): Unit = {
+        import spark.implicits._
+        Seq(kf).toDF("keep_from_day")
+          .repartition(1)
+          .write.mode("overwrite").parquet(a.capHorizon(dayId))
+      }
       if (masses.values.sum <= maxTokens) {
         // keepFrom = 0: everything (snapshot + every day) fits —
         // commit the check without expiring anything
+        pinHorizon(0)
         appendLedger(spark, a.ledger, dayId)
         0
       } else {
@@ -415,6 +426,7 @@ object CurationNDay {
         }.getOrElse(sys.error(
           s"capDay: day $NDays alone exceeds the $maxTokens-token cap — " +
             "whole-day expiry cannot satisfy it"))
+        pinHorizon(keepFrom)
         ttlDay(spark, a, dayId, keepFrom, manifestIn, manifestOut): Unit
         keepFrom
       }

@@ -145,7 +145,57 @@ object Curation13 {
       (a, noop, days)
     })
 
+  /** The STREAMED size-cap calendar (the cap control riding the same
+    * file-source stream, horizon pinned before mutation).
+    */
+  private val capStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (graft.ops.CurationDay.Artifacts, Boolean, Seq[String],
+        Int)]()
+  private def capStream(s: org.apache.spark.sql.SparkSession,
+                        dir: String)
+      : (graft.ops.CurationDay.Artifacts, Boolean, Seq[String], Int) =
+    capStreamCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_cap_stream_")
+      val a = graft.ops.CurationDay.Artifacts(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days, horizon) =
+        graft.streaming.CurationStream.runCapCalendarStreamed(s, d, a)
+      (a, noop, days, horizon)
+    })
+
   val queries: Map[String, QFn] = Map(
+
+    // The six-stage calendar's admission-funnel card: per (day, stage,
+    // verdict) counts straight off the pinned decisions — the q555
+    // disclosure at all six stages plus the combined verdict.
+    "q580_mm6_cal_funnel" -> ((s, dir) =>
+      graft.ops.MultiDay.allDecisions6Upto(s, mm6Cal(s, dir), 3)
+        .selectExpr("day",
+          "stack(7, 'aud', d_aud, 'contam', d_contam, 'lex', d_lex, " +
+            "'overall', decision, 'ph', d_ph, 'qual', d_qual, " +
+            "'sem', d_sem) AS (stage, verdict)")
+        .groupBy("day", "stage", "verdict")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("day", "stage", "verdict")),
+
+    // The streamed size-cap slot: the post-cap manifest at the PINNED
+    // horizon, with the calendar facts (ledger rows for the cap slot
+    // and its done row; replayed control a no-op).
+    "q581_cap_stream_manifest" -> ((s, dir) => {
+      val (a, noop, days, horizon) = capStream(s, dir)
+      s.read.parquet(a.manifestRetract(1))
+        .withColumn("keep_from_day", lit(horizon.toLong))
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .orderBy("shard")
+    }),
+
+    // The tape the cap slot rebuilt in-stream, over the capped corpus.
+    "q582_cap_stream_tape" -> ((s, dir) => {
+      val a = capStream(s, dir)._1
+      graft.ops.Pack.fullLayout(s, a, 0).orderBy("doc_id")
+    }),
 
     // The streamed curation retention slot: the post-TTL manifest
     // (the q552 shape) with the calendar facts pinned — ledger holds
@@ -490,7 +540,99 @@ object Curation13 {
 
   private def h60(x: String) = graft.ops.Dedup.h60Sql(x)
 
+  /** The q557 cap machinery (masses → 55% cap → horizon → capped
+    * corpus), shared by the streamed-cap oracles.
+    */
+  private def capCtes: String =
+    s"""mass AS (
+       |  SELECT 1 AS day, CAST(sum(len(string_split(text, ' ')))
+       |    AS BIGINT) AS m FROM admf1
+       |  UNION ALL SELECT 2, CAST(sum(len(string_split(text, ' ')))
+       |    AS BIGINT) FROM admf2
+       |  UNION ALL SELECT 3, CAST(sum(len(string_split(text, ' ')))
+       |    AS BIGINT) FROM admf3
+       |  UNION ALL SELECT 4, CAST(sum(len(string_split(text, ' ')))
+       |    AS BIGINT) FROM admf4),
+       |cap AS (SELECT (CAST(sum(m) AS BIGINT) * 55) // 100 AS c
+       |  FROM mass),
+       |keepk AS (SELECT CAST(min(k) AS BIGINT) AS k FROM (
+       |  SELECT ks.k, sum(m) AS tail
+       |  FROM (SELECT unnest(range(1, 5)) AS k) ks
+       |  JOIN mass ON mass.day >= ks.k GROUP BY ks.k)
+       |  WHERE tail <= (SELECT c FROM cap)),
+       |corpusC AS MATERIALIZED (
+       |  SELECT doc_id, text FROM admf1
+       |    WHERE (SELECT k FROM keepk) <= 1
+       |  UNION ALL SELECT doc_id, text FROM admf2
+       |    WHERE (SELECT k FROM keepk) <= 2
+       |  UNION ALL SELECT doc_id, text FROM admf3
+       |    WHERE (SELECT k FROM keepk) <= 3
+       |  UNION ALL SELECT doc_id, text FROM admf4
+       |    WHERE (SELECT k FROM keepk) <= 4)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    // The six-stage calendar funnel: the same stage stack re-derived
+    // from the composed fin61/fin62/fin63 frames.
+    "q580_mm6_cal_funnel" -> {
+      val days = (1 to 3).flatMap { k =>
+        Seq(s"SELECT $k AS day, 'lex' AS stage, d_lex AS verdict " +
+            s"FROM fin6$k",
+          s"SELECT $k, 'sem', d_sem FROM fin6$k",
+          s"SELECT $k, 'ph', d_ph FROM fin6$k",
+          s"SELECT $k, 'aud', d_aud FROM fin6$k",
+          s"SELECT $k, 'contam', d_contam FROM fin6$k",
+          s"SELECT $k, 'qual', d_qual FROM fin6$k",
+          s"SELECT $k, 'overall', decision FROM fin6$k")
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $mm6CalCtes
+         |SELECT day, stage, verdict,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM (
+         |  $days)
+         |GROUP BY 1, 2, 3
+         |ORDER BY day, stage, verdict""".stripMargin
+    },
+
+    // The streamed size-cap slot: the q557 manifest re-derivation plus
+    // the calendar facts.
+    "q581_cap_stream_manifest" ->
+      s"""WITH ${Curation9.nDayCtes},
+         |$capCtes,
+         |mC AS (SELECT doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${graft.ops.CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (${h60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS h
+         |  FROM corpusC)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum,
+         |  (SELECT k FROM keepk) AS keep_from_day,
+         |  'cap4,cap4_done,day1,day2,day3,day4' AS ledger_days,
+         |  '1' AS replay_stable
+         |FROM mC GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // The tape the cap slot rebuilt, over the capped corpus.
+    "q582_cap_stream_tape" ->
+      s"""WITH ${Curation9.nDayCtes},
+         |$capCtes,
+         |pt AS (SELECT 0 AS day, doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${graft.ops.CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM corpusC),
+         |tape AS (SELECT day, doc_id, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY shard, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM pt)
+         |SELECT day, doc_id, shard, n_tok,
+         |  cum - n_tok AS start_tok,
+         |  (cum - n_tok) // ${graft.ops.Pack.SeqLen} AS first_seq,
+         |  (cum - 1) // ${graft.ops.Pack.SeqLen} AS last_seq
+         |FROM tape ORDER BY doc_id""".stripMargin,
 
     // q552's manifest re-derivation + the streamed calendar facts.
     "q576_cur_ttl_stream_manifest" ->

@@ -94,6 +94,29 @@ object CurationStream {
               CurationNDay.appendLedger(spark, a.ledger, doneId)
             }
           }
+          // SIZE-CAP control (op = "cap", doc_id = maxTokens): same
+          // two-phase slot, but the tape rebuild is governed by the
+          // horizon capDay PINNED before mutating — a slot replayed
+          // after the cap committed still knows whether it expired
+          // anything (rebuild) or was an under-cap no-op (leave the
+          // valid per-day tape untouched).
+          val capCtl = rows.where(col("op") === "cap")
+            .select("doc_id").distinct()
+            .collect().map(_.getLong(0)).sorted // bounded: controls
+          capCtl.foreach { maxTok =>
+            val doneId = s"cap${k}_done"
+            if (!CurationNDay.ledgerSeen(spark, a.ledger, doneId)) {
+              CurationNDay.capDay(spark, a, s"cap$k", maxTok,
+                a.manifestDay(CurationNDay.NDays),
+                a.manifestRetract(1)): Unit
+              val horizon = spark.read
+                .parquet(a.capHorizon(s"cap$k"))
+                .head().getInt(0) // one pinned row
+              if (horizon > 0)
+                graft.ops.Pack.rebuild(spark, a, CurationNDay.NDays)
+              CurationNDay.appendLedger(spark, a.ledger, doneId)
+            }
+          }
         }
       }
       .start()
@@ -137,10 +160,11 @@ object CurationStream {
     * original).
     */
   def landControl(spark: SparkSession, a: CurationDay.Artifacts,
-                  slot: Int, keepFrom: Int, name: String = ""): Unit = {
+                  slot: Int, payload: Long, name: String = "",
+                  op: String = "ttl"): Unit = {
     import spark.implicits._
     val tmp = s"${a.root}/land_tmp_ctl$slot"
-    Seq((keepFrom.toLong, slot, "ttl")).toDF("doc_id", "day", "op")
+    Seq((payload, slot, op)).toDF("doc_id", "day", "op")
       .repartition(1)
       .write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -181,8 +205,8 @@ object CurationStream {
     try { q1.processAllAvailable() } finally q1.stop() // the kill
     CurationNDay.writeDay4Drop(spark, dir, a)
     landDrop(spark, a, 3); landDrop(spark, a, 4)
-    landControl(spark, a, slot = CurationNDay.NDays, keepFrom = 2)
-    landControl(spark, a, slot = CurationNDay.NDays, keepFrom = 2,
+    landControl(spark, a, slot = CurationNDay.NDays, payload = 2L)
+    landControl(spark, a, slot = CurationNDay.NDays, payload = 2L,
       name = "ctl4_replay.parquet")
     val q2 = start(spark, a, fetch) // same checkpoint: the restart
     try { q2.processAllAvailable() } finally q2.stop()
@@ -190,6 +214,47 @@ object CurationStream {
       s"ttl${CurationNDay.NDays}", 2,
       a.manifestDay(CurationNDay.NDays), a.manifestRetract(1))
     (replayNoOp, CurationNDay.ledgerDays(spark, a.ledger))
+  }
+
+  /** The STREAMED SIZE-CAP calendar: days 1–4, the kill, then the cap
+    * control (55% of the admitted token mass — the q557 scale-
+    * proportional contract) plus its replay, the restart, drain. The
+    * slot computes the horizon from the persisted pack masses, PINS
+    * it, expires to it, rebuilds the tape, and commits its done row;
+    * the replayed control is a pure no-op. Returns (replayNoOp,
+    * ledgerDays, pinnedHorizon).
+    */
+  def runCapCalendarStreamed(spark: SparkSession, dir: String,
+                             a: CurationDay.Artifacts)
+      : (Boolean, Seq[String], Int) = {
+    CurationNDay.bootstrapNDay(spark, dir, a)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    landDrop(spark, a, 1); landDrop(spark, a, 2)
+    val q1 = start(spark, a, fetch)
+    try { q1.processAllAvailable() } finally q1.stop()
+    CurationNDay.writeDay4Drop(spark, dir, a)
+    landDrop(spark, a, 3); landDrop(spark, a, 4)
+    val q2 = start(spark, a, fetch)
+    try { q2.processAllAvailable() } finally q2.stop() // the kill
+    val total = (1 to CurationNDay.NDays).map { k =>
+      spark.read.parquet(a.packDay(k))
+        .agg(coalesce(sum(col("n_tok")), lit(0L)).as("m"))
+        .head().getLong(0)
+    }.sum
+    val cap = total * 55L / 100L
+    landControl(spark, a, slot = CurationNDay.NDays, payload = cap,
+      op = "cap")
+    landControl(spark, a, slot = CurationNDay.NDays, payload = cap,
+      op = "cap", name = "cap4_replay.parquet")
+    val q3 = start(spark, a, fetch) // same checkpoint: the restart
+    try { q3.processAllAvailable() } finally q3.stop()
+    val horizon = spark.read
+      .parquet(a.capHorizon(s"cap${CurationNDay.NDays}"))
+      .head().getInt(0)
+    val replayNoOp = CurationNDay.capDay(spark, a,
+      s"cap${CurationNDay.NDays}", cap,
+      a.manifestDay(CurationNDay.NDays), a.manifestRetract(1)) == 0
+    (replayNoOp, CurationNDay.ledgerDays(spark, a.ledger), horizon)
   }
 
   /** The full STREAMED N-day lifecycle with a kill/restart witnessed
