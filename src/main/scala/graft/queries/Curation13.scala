@@ -318,6 +318,15 @@ object Curation13 {
     "q579_banding_measured" -> ((s, dir) => {
       val (pi, _, qi, _) = searchLife(s, dir)
       PhashIndex.bandingMeasured(s, pi, qi).orderBy("dist")
+    }),
+
+    // The audio modality's measured curve — energy fingerprints are
+    // MORE structured than dHashes, so its empirical decay differs
+    // from both the theory and the image curve; publishing all three
+    // is the complete banding disclosure.
+    "q583_banding_measured_audio" -> ((s, dir) => {
+      val (_, pa, _, qa) = searchLife(s, dir)
+      PhashIndex.bandingMeasured(s, pa, qa).orderBy("dist")
     }))
 
   // ---- oracles ------------------------------------------------------
@@ -749,6 +758,24 @@ object Curation13 {
 
     "q566_audio_search_recall" ->
       recallSql(audSearchCtes, "abits", "y.i = x.i"),
+
+    "q583_banding_measured_audio" ->
+      s"""WITH $audSearchCtes,
+         |bfS AS (SELECT x.doc_id AS qid, y.doc_id AS cid,
+         |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dist
+         |  FROM abits x JOIN abits y ON y.i = x.i
+         |  WHERE x.doc_id IN (SELECT doc_id FROM qsS)
+         |    AND y.doc_id IN (SELECT doc_id FROM ixS)
+         |  GROUP BY 1, 2)
+         |SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cand,
+         |  (CAST(sum(CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |    AS cand_ppm
+         |FROM bfS b LEFT JOIN cS c ON c.qid = b.qid AND c.cid = b.cid
+         |GROUP BY dist ORDER BY dist""".stripMargin,
 
     // Measured banding curve: all (query, index) pairs' exact
     // distances, candidacy = membership in the banded cS pair set.

@@ -150,6 +150,10 @@ class Round13Spec extends AnyFunSuite {
       assert(k == 0)
       assert(graft.ops.CurationNDay.ledgerSeen(spark, a.ledger,
         "cap_noop"))
+      // the horizon is PINNED even for the no-op (keep_from_day = 0),
+      // so a replayed calendar slot can read what the cap decided
+      assert(spark.read.parquet(a.capHorizon("cap_noop"))
+        .head().getInt(0) == 0)
       // no mutation: every pack file intact, no manifest written
       (0 to graft.ops.CurationNDay.NDays).foreach { kk =>
         assert(spark.read.parquet(a.packDay(kk)).count() == 1L)
