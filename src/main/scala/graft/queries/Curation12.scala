@@ -263,7 +263,7 @@ object Curation12 {
     */
   private val mm6Cache = new java.util.concurrent.ConcurrentHashMap[
     String, MultiDay.Paths4]()
-  private def mm6(s: org.apache.spark.sql.SparkSession,
+  private[queries] def mm6(s: org.apache.spark.sql.SparkSession,
                   dir: String): MultiDay.Paths4 =
     mm6Cache.computeIfAbsent(dir, { d: String =>
       val root = Curation2.tempIndexDir("graft_mm6_")

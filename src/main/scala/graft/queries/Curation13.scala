@@ -327,6 +327,52 @@ object Curation13 {
     "q583_banding_measured_audio" -> ((s, dir) => {
       val (_, pa, _, qa) = searchLife(s, dir)
       PhashIndex.bandingMeasured(s, pa, qa).orderBy("dist")
+    }),
+
+    // REJECT EVIDENCE — the steward's "who blocked this doc" query,
+    // served off the SAME search path the indexes expose (q563's
+    // machinery): for every day-2 perceptual corpus rejection of the
+    // six-stage lifecycle, the nearest current-corpus partner and its
+    // exact Hamming distance (guaranteed <= MaxDist: the blocking
+    // member is still indexed). The admission ledger says WHAT was
+    // decided; this discloses WHY.
+    "q584_mm6_reject_evidence" -> ((s, dir) => {
+      val p = Curation12.mm6(s, dir)
+      val dec2 = s.read.parquet(p.decisionsDay(2))
+      val ids2 = s.read.parquet(p.dropDay(2))
+        .select(col("doc_id").as("media_id"))
+      def ev(stage: String, decCol: String,
+             fetch: org.apache.spark.sql.DataFrame,
+             paths: PhashIndex.Paths) = {
+        val rej = dec2.where(col(decCol) === s"dup_${stage}_corpus")
+          .select(col("doc_id").as("media_id"))
+        PhashIndex.search(s, paths, fetch.join(rej, "media_id"), 1)
+          .select(lit(stage).as("stage"), col("qid").as("doc_id"),
+            col("media_id").as("partner_id"), col("dist"))
+      }
+      ev("phash", "d_ph",
+          graft.ops.MediaHashes.fetchImage(s, p.media, ids2), p.ph)
+        .unionByName(ev("audio", "d_aud",
+          graft.ops.MediaHashes.fetchAudio(s, p.media, ids2), p.aud))
+        .orderBy("stage", "doc_id")
+    }),
+
+    // The semantic stage's reject evidence: the top-cosine partner in
+    // the rejected doc's own cell (nprobe = 1 — the dedup probe's
+    // regime), served off SemIndex.search. The day-1-admitted clone
+    // sentinel reads back its source at cosine 1.
+    "q585_sem_reject_evidence" -> ((s, dir) => {
+      val p = Curation12.mm6(s, dir)
+      val dec2 = s.read.parquet(p.decisionsDay(2))
+      val rej = dec2.where(col("d_sem") === "dup_sem_corpus")
+        .select(col("doc_id").as("vec_id"))
+      val qvecs = s.read.parquet(p.dropDay(2))
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .join(rej, "vec_id")
+      graft.ops.SemIndex.search(s, p.sem, qvecs, k = 1, nprobe = 1)
+        .select(col("qid").as("doc_id"), col("vec_id").as("partner_id"),
+          col("cos"))
+        .orderBy("doc_id")
     }))
 
   // ---- oracles ------------------------------------------------------
@@ -758,6 +804,63 @@ object Curation13 {
 
     "q566_audio_search_recall" ->
       recallSql(audSearchCtes, "abits", "y.i = x.i"),
+
+    // Reject evidence: per perceptual corpus rejection, the nearest
+    // CURRENT-index partner (rank 1 by dist, id) — banded candidates
+    // then exact Hamming, over the post-day-2 index id sets.
+    "q584_mm6_reject_evidence" -> {
+      def ev(stage: String, decCol: String, bands: String,
+             bits: String, bitJoin: String): String =
+        s"""rej_$stage AS (SELECT doc_id FROM fin62
+           |  WHERE $decCol = 'dup_${stage}_corpus'),
+           |cEv_$stage AS (SELECT DISTINCT a.doc_id AS qid,
+           |    b.doc_id AS cid
+           |  FROM $bands a JOIN $bands b ON a.band = b.band
+           |    AND a.bv = b.bv
+           |  WHERE a.doc_id IN (SELECT doc_id FROM rej_$stage)
+           |    AND b.doc_id IN (SELECT doc_id FROM idxCurE)),
+           |dEv_$stage AS (SELECT c.qid, c.cid,
+           |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS dist
+           |  FROM cEv_$stage c JOIN $bits x ON x.doc_id = c.qid
+           |    JOIN $bits y ON y.doc_id = c.cid AND $bitJoin
+           |  GROUP BY 1, 2),
+           |top_$stage AS (SELECT '$stage' AS stage, qid AS doc_id,
+           |    cid AS partner_id, dist FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |    ORDER BY dist, cid) AS rn FROM dEv_$stage)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $mm6CalCtes,
+         |idxCurE AS (SELECT doc_id FROM idxPL62
+         |  UNION ALL SELECT doc_id FROM madm62),
+         |${ev("phash", "d_ph", "xpb6", "xbi6",
+            "y.cy = x.cy AND y.cx = x.cx")},
+         |${ev("audio", "d_aud", "xab6", "xabi6", "y.i = x.i")}
+         |SELECT * FROM (
+         |  SELECT * FROM top_phash
+         |  UNION ALL SELECT * FROM top_audio)
+         |ORDER BY stage, doc_id""".stripMargin
+    },
+
+    // Semantic reject evidence: top-cosine partner within the
+    // rejected doc's own cell over the post-day-2 cell index.
+    "q585_sem_reject_evidence" ->
+      s"""WITH $mm6CalCtes,
+         |rejS AS (SELECT doc_id FROM fin62
+         |  WHERE d_sem = 'dup_sem_corpus'),
+         |ixcurE AS (SELECT cell, vec_id, e, nrm FROM ixsem62
+         |  UNION ALL SELECT cell, vec_id, e, nrm FROM ixsL62
+         |    WHERE vec_id IN (SELECT doc_id FROM madm62)),
+         |scEv AS (SELECT q.vec_id AS qid, x.vec_id,
+         |    list_sum(list_transform(range(64),
+         |      i -> q.e[i+1] * x.e[i+1])) / (q.nrm * x.nrm) AS cos
+         |  FROM ixsL62 q JOIN ixcurE x ON x.cell = q.cell
+         |  WHERE q.vec_id IN (SELECT doc_id FROM rejS))
+         |SELECT qid AS doc_id, vec_id AS partner_id,
+         |  round(cos, 6) + 0.0 AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rn FROM scEv)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q583_banding_measured_audio" ->
       s"""WITH $audSearchCtes,
