@@ -357,6 +357,15 @@ object Curation13 {
         .orderBy("stage", "doc_id")
     }),
 
+    // The ALTERNATIVE banding config's closed-form curve (8 bands ×
+    // 8 bits over the same 64 signature bits) — the comparison a
+    // deployment reads before picking 4×16: 8×8 is exact to d ≤ 7
+    // but admits far more candidates at every larger distance (the
+    // recall/cost trade the two curves quantify together).
+    "q586_banding_curve_8x8" -> ((s, dir) =>
+      PhashIndex.designCurve(s, bands = 8, bitsPerBand = 8)
+        .orderBy("dist")),
+
     // The semantic stage's reject evidence: the top-cosine partner in
     // the rejected doc's own cell (nprobe = 1 — the dedup probe's
     // regime), served off SemIndex.search. The day-1-admitted clone
@@ -899,6 +908,31 @@ object Curation13 {
          |    AS cand_ppm
          |FROM bfS b LEFT JOIN cS c ON c.qid = b.qid AND c.cid = b.cid
          |GROUP BY dist ORDER BY dist""".stripMargin,
+
+    // The 8×8 config: same inclusion–exclusion machinery with C(8,j)
+    // coefficients and C(64−8j, d) clean-band terms, all from one
+    // recursive binomial CTE.
+    "q586_banding_curve_8x8" ->
+      s"""WITH RECURSIVE binom(n, d, v) AS (
+         |  SELECT n, 0, CAST(1 AS HUGEINT)
+         |    FROM (VALUES (64), (56), (48), (40), (32), (24), (16),
+         |      (8), (0)) t(n)
+         |  UNION ALL
+         |  SELECT n, d + 1, v * (n - d) // (d + 1) FROM binom
+         |    WHERE d < n),
+         |ds AS (SELECT unnest(range(0, 65)) AS d),
+         |terms AS (SELECT ds.d,
+         |    CAST(CASE WHEN j.j % 2 = 1 THEN 1 ELSE -1 END AS HUGEINT)
+         |      * cb.v * coalesce(bn.v, 0) AS t
+         |  FROM ds
+         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS j) j
+         |  JOIN binom cb ON cb.n = 8 AND cb.d = j.j
+         |  LEFT JOIN binom bn ON bn.n = 64 - 8 * j.j AND bn.d = ds.d),
+         |num AS (SELECT d, sum(t) AS nm FROM terms GROUP BY d)
+         |SELECT CAST(num.d AS BIGINT) AS dist,
+         |  CAST((num.nm * 1000000) // b64.v AS BIGINT) AS collide_ppm
+         |FROM num JOIN binom b64 ON b64.n = 64 AND b64.d = num.d
+         |ORDER BY dist""".stripMargin,
 
     // Exact binomials by the C(n,d+1) = C(n,d)(n−d)/(d+1) integer
     // recurrence in HUGEINT; inclusion–exclusion over clean bands.
