@@ -51,7 +51,7 @@ object SparkEntry {
       graft.queries.Curation7.queries ++ graft.queries.Curation8.queries ++
       graft.queries.Curation9.queries ++ graft.queries.Curation10.queries ++
       graft.queries.Curation11.queries ++ graft.queries.Curation12.queries ++
-      graft.queries.Curation13.queries
+      graft.queries.Curation13.queries ++ graft.queries.Curation14.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -73,5 +73,5 @@ object SparkEntry {
       graft.queries.Curation7.oracles ++ graft.queries.Curation8.oracles ++
       graft.queries.Curation9.oracles ++ graft.queries.Curation10.oracles ++
       graft.queries.Curation11.oracles ++ graft.queries.Curation12.oracles ++
-      graft.queries.Curation13.oracles
+      graft.queries.Curation13.oracles ++ graft.queries.Curation14.oracles
 }

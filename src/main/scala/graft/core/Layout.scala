@@ -36,6 +36,39 @@ object Layout {
     * path is the opposite case — that swap's promote committed and
     * only its cleanup died — and is safe to drop before parking.
     */
+  /** Repair a torn [[swapInto]] BEFORE a compaction-class caller
+    * re-reads the live path: the natural replay of a compactor starts
+    * with `spark.read.parquet(live)`, which throws path-not-found
+    * while live is parked at `__old` — so every such caller opens
+    * with this check instead of requiring manual intervention. Three
+    * cases, in the only safe order:
+    *
+    *  - live present → nothing to heal (a leftover staging/__old is
+    *    stale and swapInto's own dead-cleanup handles it);
+    *  - live absent, staging present → the crash hit between the two
+    *    renames and staging is the COMPLETE new artifact (swapInto
+    *    parks only after requiring staging exists): finish the swap;
+    *  - live absent, only __old present → the staging copy is gone
+    *    (or was never complete enough to promote): restore the parked
+    *    pre-swap copy — content-identical for compaction-class
+    *    rewrites, so the retry simply re-stages from it.
+    */
+  def healTorn(spark: SparkSession, live: String,
+               staging: String = ""): Unit = {
+    val stg = if (staging.isEmpty) live + "__staging" else staging
+    val conf = spark.sparkContext.hadoopConfiguration
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    val fs = liveP.getFileSystem(conf)
+    if (!fs.exists(liveP)) {
+      val stagingP = new org.apache.hadoop.fs.Path(stg)
+      val oldP = new org.apache.hadoop.fs.Path(live + "__old")
+      if (fs.exists(stagingP)) swapInto(spark, stg, live)
+      else if (fs.exists(oldP))
+        require(fs.rename(oldP, liveP),
+          s"healTorn: restore $live from __old")
+    }
+  }
+
   def swapInto(spark: SparkSession, staging: String, live: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val liveP = new org.apache.hadoop.fs.Path(live)

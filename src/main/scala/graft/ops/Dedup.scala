@@ -552,6 +552,9 @@ object Dedup {
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, partitions: Int): Unit = {
+    // a replayed compaction resumes its own torn swaps before reading
+    graft.core.Layout.healTorn(spark, s"$path/hashes.parquet")
+    graft.core.Layout.healTorn(spark, s"$path/bands.parquet")
     spark.read.parquet(s"$path/hashes.parquet")
       .repartition(partitions)
       .write.mode("overwrite").parquet(s"$path/hashes.parquet__staging")
@@ -791,6 +794,90 @@ object Dedup {
         Seq("corpus_id"), "left_anti")
       .localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$path/bands.parquet")
+  }
+
+  /** LEXICAL REJECT EVIDENCE — the steward's "which stored doc
+    * blocked me" query, served off the persisted dedup index (the
+    * [[graft.ops.PhashIndex.search]]-based perceptual evidence and
+    * the SemIndex-based semantic evidence's missing sibling, closing
+    * the r13 verdict's task 2): for every corpus-rejected delta doc,
+    * the nearest stored partner —
+    *
+    *  - `exact` (the doc's content hash is IN the stored hash set —
+    *    the same membership test that produced `dup_exact_corpus`):
+    *    partner = the SMALLEST-id indexed doc carrying that hash,
+    *    jaccard_ppm = 1,000,000 by definition;
+    *  - `near` (everything else): band-collide the doc's MinHash
+    *    bands against the stored band table (the exact candidate
+    *    policy [[incrementalDedupIndexed]] used to reject it), verify
+    *    exact n-gram Jaccard against the id-pruned candidate texts,
+    *    partner = rank 1 by (jaccard_ppm DESC, id ASC) among
+    *    candidates at/over the admission `threshold` — reported in
+    *    exact integer ppm (⌊i·1e6 / (nb+nc−i)⌋), so rank and value
+    *    are engine-independent.
+    *
+    * A doc rejected as `near_dup_corpus` always has a partner (its
+    * rejection WAS such a candidate); an exact clone reads back its
+    * source at ppm 1e6 — the q584/q585 sentinel contract. `corpus` is
+    * the indexed membership's text frame (e.g.
+    * [[MultiDay.indexedDocs]]); `rejected` the rejected docs with
+    * text. 100 TB shape: rejection-sized band probes + id-pruned text
+    * fetches — never rejected × corpus.
+    */
+  def rejectEvidence(spark: org.apache.spark.sql.SparkSession,
+                     path: String, corpus: DataFrame,
+                     rejected: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3, k: Int = 16, bands: Int = 4,
+                     threshold: Double = 0.8): DataFrame = {
+    import graft.functions.PixieFunctions.idiv
+    val hash = md5(col(textCol).cast("binary"))
+    val rej = rejected.select(col(idCol), col(textCol))
+      .localCheckpoint(true)
+    // exact: membership via the stored hash SET, partner named via
+    // the id-pruned corpus text frame
+    val blocked = rej.withColumn("content_hash", hash)
+      .join(spark.read.parquet(s"$path/hashes.parquet"),
+        Seq("content_hash"), "left_semi")
+    val exact = blocked
+      .join(corpus.select(hash.as("content_hash"),
+        col(idCol).as("__pid")), "content_hash")
+      .groupBy(col(idCol)).agg(min(col("__pid")).as("partner_id"))
+      .select(col(idCol), lit("exact").as("kind"), col("partner_id"),
+        lit(1000000L).as("jaccard_ppm"))
+      .localCheckpoint(true)
+    val nr = rej.join(exact.select(col(idCol)), Seq(idCol), "left_anti")
+    val bandQ = lshBands(minhashSignatures(nr, textCol, idCol, n, k),
+        idCol, bands, k / bands)
+      .toDF("__qid", "band", "band_hash")
+    val cand = bandQ
+      .join(spark.read.parquet(s"$path/bands.parquet"), // stored bands
+        Seq("band", "band_hash"))
+      .select("__qid", "corpus_id").distinct()
+    val gQ = nr.select(col(idCol).as("__qid"),
+      explode(shingles(col(textCol), n)).as("g")).distinct()
+    val gC = corpus
+      .join(cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol))
+      .select(col(idCol).as("corpus_id"),
+        explode(shingles(col(textCol), n)).as("g")).distinct()
+    val szQ = gQ.groupBy("__qid").agg(count(lit(1)).as("nb"))
+    val szC = gC.groupBy("corpus_id").agg(count(lit(1)).as("nc"))
+    val scored = cand
+      .join(gQ, "__qid").join(gC, Seq("corpus_id", "g"))
+      .groupBy("__qid", "corpus_id").agg(count(lit(1)).as("i"))
+      .join(szQ, "__qid").join(szC, "corpus_id")
+      .where(col("i").cast("double") /
+        (col("nb") + col("nc") - col("i")) >= threshold)
+      .withColumn("jaccard_ppm",
+        idiv(col("i") * 1000000L, col("nb") + col("nc") - col("i")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid")
+      .orderBy(col("jaccard_ppm").desc, col("corpus_id"))
+    val near = scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__qid").as(idCol), lit("near").as("kind"),
+        col("corpus_id").as("partner_id"), col("jaccard_ppm"))
+    exact.unionByName(near)
   }
 
   /** [[incrementalDedup]] against a PERSISTED index

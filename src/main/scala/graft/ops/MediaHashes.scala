@@ -90,6 +90,8 @@ object MediaHashes {
     * ever sees half-written data).
     */
   def compact(spark: SparkSession, path: String): Unit = {
+    // a replayed compaction resumes its own torn swap before reading
+    graft.core.Layout.healTorn(spark, path)
     spark.read.parquet(path)
       .repartition(col("mb")).sortWithinPartitions("media_id")
       .write.partitionBy("mb").mode("overwrite").parquet(path + "__staging")

@@ -121,6 +121,8 @@ object MultiDay {
     def ledger: String = s"$root/day_ledger"
     def landing: String = s"$root/landing"
     def streamCp: String = s"$root/stream_cp"
+    def capHorizon(dayId: String): String =
+      s"$root/cap_horizon_$dayId.parquet"
   }
 
   val NDays4 = 3
@@ -427,21 +429,28 @@ object MultiDay {
     * changes nothing" from a per-op claim into a lifecycle-level
     * proof.
     */
+  /** The full maintenance set — content-invariant compactions of all
+    * FOUR indexes + the media artifact (each staging + rename-swap,
+    * self-healing on replay via [[graft.core.Layout.healTorn]]);
+    * shared by the batch maintained chain and the streamed
+    * `op = "compact"` calendar slot.
+    */
+  def maintain4(spark: SparkSession, p: Paths4): Unit = {
+    Dedup.compactDedupIndex(spark, p.lex, partitions = 1)
+    SemIndex.compact(spark, p.sem)
+    PhashIndex.compact(spark, p.ph)
+    PhashIndex.compact(spark, p.aud)
+    MediaHashes.compact(spark, p.media)
+  }
+
   def runDays4BatchMaintained(spark: SparkSession, dir: String,
                               p: Paths4): Unit = {
     bootstrap4(spark, dir, p)
     val fetch = graft.core.Tables(spark, dir, "documents")
-    def maintain(): Unit = {
-      Dedup.compactDedupIndex(spark, p.lex, partitions = 1)
-      SemIndex.compact(spark, p.sem)
-      PhashIndex.compact(spark, p.ph)
-      PhashIndex.compact(spark, p.aud)
-      MediaHashes.compact(spark, p.media)
-    }
     (1 to 2).foreach { k =>
       processDay4(spark, p, k, spark.read.parquet(p.dropDay(k)),
         fetch): Unit
-      maintain()
+      maintain4(spark, p)
     }
     writeDay3Drop(spark, dir, p)
     processDay4(spark, p, 3, spark.read.parquet(p.dropDay(3)), fetch): Unit
@@ -450,14 +459,41 @@ object MultiDay {
   /** The indexed-docs text frame a retention day's lexical stillHeld
     * pass scans, derived from the lexical index's OWN band table (the
     * index knows its membership — no lifecycle-specific snapshot
-    * predicate has to travel into the retention calendar): one
-    * id-join of the hash-sized band ids against the corpus fetch.
+    * predicate has to travel into the retention calendar). Text
+    * resolution covers BOTH id spaces an index member can live in:
+    * the corpus fetch AND the staged drop files — an admitted
+    * drop-file sentinel (doc_id absent from the corpus table) indexed
+    * before a later retention slot would otherwise be missing from
+    * the stillHeld pass, allowing over-deletion of a content hash it
+    * shares with an expiring victim. Any band id that resolves in
+    * NEITHER source loud-fails — a silent miss is exactly the
+    * over-deletion bug this frame exists to prevent. Costs: the drop
+    * union is day-sized, the membership join is index-sized, the
+    * resolution check one index-sized count.
     */
   def indexedDocs(spark: SparkSession, p: Paths4,
-                  corpusFetch: DataFrame): DataFrame =
-    corpusFetch.select("doc_id", "text")
-      .join(spark.read.parquet(s"${p.lex}/bands.parquet")
-        .select(col("corpus_id").as("doc_id")).distinct(), "doc_id")
+                  corpusFetch: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(p.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drops = (1 to NDays4)
+      .filter(k => fs.exists(new org.apache.hadoop.fs.Path(
+        p.dropDay(k) + "/_SUCCESS")))
+      .map(k => spark.read.parquet(p.dropDay(k)).select("doc_id", "text"))
+    // one text per id: corpus text == drop text for organic ids (the
+    // drops are derived from the corpus tables), and sentinel ids
+    // appear only in drops — min() just collapses the duplicates
+    val texts = (corpusFetch.select("doc_id", "text") +: drops)
+      .reduce(_.unionByName(_))
+      .groupBy("doc_id").agg(min(col("text")).as("text"))
+    val members = spark.read.parquet(s"${p.lex}/bands.parquet")
+      .select(col("corpus_id").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val missing = members.join(texts, Seq("doc_id"), "left_anti").count()
+    require(missing == 0L,
+      s"indexedDocs: $missing indexed ids resolve in neither the " +
+        "corpus fetch nor any staged drop — stillHeld would over-delete")
+    texts.join(members, "doc_id")
+  }
 
   /** The batch CALENDAR — admission days with a LEDGERED retention
     * day interleaved (the r12 verdict's "stream the retention
@@ -707,6 +743,144 @@ object MultiDay {
     SemIndex.delete(spark, p.sem, victims)
     PhashIndex.delete(spark, p.ph, victims)
     PhashIndex.delete(spark, p.aud, victims)
+  }
+
+  /** Retained BYTE mass per admission horizon — the input to the
+    * size-cap trigger ([[cap4Day]]): for every indexed doc (the
+    * lexical band table's own membership via [[indexedDocs]] — so a
+    * doc an earlier slot expired counts zero, exactly "what is in the
+    * ring buffer now"), its text-byte mass bucketed by ADMISSION day
+    * (pinned decisions; day 0 = the snapshot — a member admitted on
+    * no pinned day). The metric is the audio-track payload length —
+    * the byte analog of the reference's byte-capped ring buffer
+    * (src/table_store/table/table.cc:44) on the fixture's one sized
+    * payload column; character length, so any engine re-derives it.
+    * One index-sized pass; the result is one row per day.
+    */
+  def retainedMasses(spark: SparkSession, p: Paths4,
+                     corpusFetch: DataFrame): Map[Int, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(p.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinnedDays = (1 to NDays4).filter(k =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        p.decisionsDay(k) + "/_SUCCESS")))
+    val docs = indexedDocs(spark, p, corpusFetch)
+    val admDay = pinnedDays.map { k =>
+      spark.read.parquet(p.decisionsDay(k))
+        .where(col("decision") === "admitted")
+        .select(col("doc_id"), lit(k).as("__day"))
+    }.reduceOption(_.unionByName(_))
+    val tagged = admDay match {
+      case Some(d) => docs.join(d, Seq("doc_id"), "left")
+        .withColumn("__day", coalesce(col("__day"), lit(0)))
+      case None => docs.withColumn("__day", lit(0))
+    }
+    val measured = tagged.groupBy("__day")
+      .agg(sum(length(col("text"))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ((0 +: pinnedDays).map(k => k -> measured.getOrElse(k, 0L))).toMap
+  }
+
+  /** SIZE-CAPPED retention over the multimodal lifecycle — the
+    * [[CurationNDay.capDay]] product for the four-index side (the
+    * reference's actual ring-buffer trigger is BYTES, table.cc:44;
+    * the mm side previously had only age-TTL): choose the OLDEST
+    * admission horizon whose retained byte mass ([[retainedMasses]])
+    * fits `maxBytes` (whole-day granularity — the row-batch analog;
+    * the snapshot is day 0, so horizon 1 expires the snapshot alone),
+    * PIN the horizon before any mutation (the decision-pin rule for
+    * retention — a replayed calendar slot whose cap committed can
+    * still read what the cap decided), then expire everything older
+    * from all four indexes at once (the [[ttl4]] delete machinery
+    * with membership-derived victims, so the four artifacts stay
+    * consistent views of the capped corpus). An UNDER-CAP corpus
+    * commits as a LEDGERED no-op with horizon 0 (the reference cap
+    * expires only while over); a cap even the newest day alone
+    * exceeds loud-fails (whole-day expiry cannot satisfy it).
+    * Returns the chosen horizon, or 0 for the no-op /
+    * already-committed cases.
+    */
+  def cap4Day(spark: SparkSession, p: Paths4, dayId: String,
+              maxBytes: Long, corpusFetch: DataFrame): Int =
+    if (CurationNDay.ledgerSeen(spark, p.ledger, dayId)) 0
+    else {
+      val masses = retainedMasses(spark, p, corpusFetch)
+      val days = masses.keys.toSeq.sorted
+      def pinHorizon(kf: Int): Unit = {
+        import spark.implicits._
+        Seq(kf).toDF("keep_from_day")
+          .repartition(1)
+          .write.mode("overwrite").parquet(p.capHorizon(dayId))
+      }
+      if (masses.values.sum <= maxBytes) {
+        pinHorizon(0)
+        CurationNDay.appendLedger(spark, p.ledger, dayId)
+        0
+      } else {
+        val keepFrom = days.filter(_ >= 1).find { k =>
+          days.filter(_ >= k).map(masses).sum <= maxBytes
+        }.getOrElse(sys.error(
+          s"cap4Day: day ${days.max} alone exceeds the $maxBytes-byte " +
+            "cap — whole-day expiry cannot satisfy it"))
+        pinHorizon(keepFrom)
+        val docs = indexedDocs(spark, p, corpusFetch)
+          .localCheckpoint(true)
+        val young = (keepFrom to NDays4)
+          .filter(k => masses.contains(k))
+          .map { k =>
+            spark.read.parquet(p.decisionsDay(k))
+              .where(col("decision") === "admitted").select("doc_id")
+          }.reduce(_.unionByName(_))
+        val victims = docs.select("doc_id")
+          .join(young, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // age-out set pinned before mutation
+        Dedup.deleteFromDedupIndex(spark, p.lex, docs,
+          docs.join(victims, "doc_id"), "text", "doc_id")
+        SemIndex.delete(spark, p.sem, victims)
+        PhashIndex.delete(spark, p.ph, victims)
+        PhashIndex.delete(spark, p.aud, victims)
+        CurationNDay.appendLedger(spark, p.ledger, dayId)
+        keepFrom
+      }
+    }
+
+  /** The FIXTURE cap for the mid-calendar slot: `m2 + m1 / 2` bytes —
+    * deterministically BETWEEN tail(2) = m2 and tail(1) = m1 + m2 at
+    * ANY scale factor (m1 > 0 by construction), so the chosen horizon
+    * is always 2: the snapshot AND day 1 expire, day 2 is retained —
+    * the scale-robust analog of the curation side's 55%-of-mass cap
+    * (whose margins depend on the day-mass ratios; this one's do
+    * not). Any engine re-derives it from the same two masses.
+    */
+  def capFixtureBytes(spark: SparkSession, p: Paths4,
+                      corpusFetch: DataFrame): Long = {
+    val masses = retainedMasses(spark, p, corpusFetch)
+    masses.getOrElse(2, 0L) + masses.getOrElse(1, 0L) / 2L
+  }
+
+  /** The batch SIZE-CAP CALENDAR (the q569 shape with the cap slot in
+    * place of the TTL): days 1–2 admit, the cap2 slot expires to the
+    * pinned horizon (deterministically 2 — snapshot + day 1 out, the
+    * [[capFixtureBytes]] contract), day 3 admits against the capped
+    * indexes (the day-1 clone sentinel genuinely RE-ADMITS — the cap
+    * re-opened admission through the calendar), then an UNDER-CAP
+    * slot (cap3 at exactly the retained mass) commits as a ledgered
+    * no-op — both cap branches witnessed in one lifecycle.
+    */
+  def runDays4CapCalendar(spark: SparkSession, dir: String,
+                          p: Paths4): Unit = {
+    bootstrap4(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    (1 to 2).foreach { k =>
+      processDay4(spark, p, k, spark.read.parquet(p.dropDay(k)),
+        fetch): Unit
+    }
+    cap4Day(spark, p, "cap2", capFixtureBytes(spark, p, fetch),
+      fetch): Unit
+    writeDay3Drop(spark, dir, p)
+    processDay4(spark, p, 3, spark.read.parquet(p.dropDay(3)), fetch): Unit
+    cap4Day(spark, p, "cap3",
+      retainedMasses(spark, p, fetch).values.sum, fetch): Unit
   }
 
   /** The four indexes' cards as one long frame — q543's consistency

@@ -139,17 +139,27 @@ object PhashIndex {
     dec
   }
 
-  /** Append hash rows + band rows idempotently (anti-join on
-    * media_id) — public so composed days ([[MultiDay]]) can admit by
-    * their OWN combined verdict.
+  /** Append hash rows + band rows idempotently — public so composed
+    * days ([[MultiDay]]) can admit by their OWN combined verdict.
+    * BOTH tables anti-join INDEPENDENTLY (hashes on media_id, band
+    * rows on the (media_id, band) PAIR — the
+    * [[Dedup.appendDedupIndex]] contract): signatures are pure
+    * payload functions, so a re-derived band row is always identical,
+    * and pair-keyed backfill means a crash BETWEEN the two appends
+    * (id in hashes, bands missing — silent recall loss under an
+    * id-only anti-join) is repaired by the replay instead of frozen.
     */
   def append(spark: SparkSession, p: Paths, admHashed: DataFrame): Unit = {
-    val adm = hashRows(admHashed)
-      .join(spark.read.parquet(p.hashes).select("media_id"),
+    val all = hashRows(admHashed).localCheckpoint(true)
+    all.join(spark.read.parquet(p.hashes).select("media_id"),
         Seq("media_id"), "left_anti")
-      .localCheckpoint(true) // reads the tables being appended
-    adm.write.mode("append").parquet(p.hashes)
-    bandRows(adm).write.mode("append").parquet(p.bands)
+      .localCheckpoint(true) // reads the table being appended to
+      .write.mode("append").parquet(p.hashes)
+    bandRows(all)
+      .join(spark.read.parquet(p.bands).select("media_id", "band"),
+        Seq("media_id", "band"), "left_anti")
+      .localCheckpoint(true)
+      .write.mode("append").parquet(p.bands)
   }
 
   /** Rewrite both index tables into `partitions` right-sized files —
@@ -164,6 +174,8 @@ object PhashIndex {
   def compact(spark: SparkSession, p: Paths,
               partitions: Int = 1): Unit = {
     Seq(p.hashes, p.bands).foreach { t =>
+      // a replayed compaction resumes its own torn swap before reading
+      graft.core.Layout.healTorn(spark, t)
       spark.read.parquet(t).repartition(partitions)
         .write.mode("overwrite").parquet(t + "__staging")
       graft.core.Layout.swapInto(spark, t + "__staging", t)
@@ -207,9 +219,23 @@ object PhashIndex {
     * 100 TB shape: per-query work = its 4 buckets' occupancy +
     * candidate hash rows (9 longs each); the scan never touches
     * query × corpus. Output: (qid, rank, media_id, dist).
+    *
+    * MULTI-PROBE (`probes` = the Hamming probe radius per band, 0 or
+    * 1 — the [[graft.ops.SemIndex]] `nprobe` regime for Hamming
+    * space, guided by the [[designCurve]] recall cliff past
+    * d = [[MaxDist]]): radius 1 additionally probes every 1-bit
+    * variant of each query band value (16 extra buckets per band —
+    * 17× bucket probes, disclosed), which surfaces any stored
+    * signature within band-wise distance 1 of a clean band; the exact
+    * Hamming verify is unchanged, so the expansion only ever ADDS
+    * recall. Pigeonhole: radius-1 probing is exact for true distance
+    * ≤ 2·bands − 1 = 7 (every d ≤ 7 leaves some band with ≤ 1
+    * differing bit), vs 3 for radius 0.
     */
   def search(spark: SparkSession, p: Paths, queries: DataFrame,
-             k: Int): DataFrame = {
+             k: Int, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= 1,
+      "search: probe radius 0 (exact buckets) or 1 (1-bit variants)")
     import org.apache.spark.sql.expressions.Window
     val q = hashRows(queries).localCheckpoint(true)
     def side(src: DataFrame, n: String) = src.select(
@@ -218,8 +244,14 @@ object PhashIndex {
     def hamming(a: String, b: String) = (0 until 8).map(i =>
       bit_count(col(s"${a}_r$i").bitwiseXOR(col(s"${b}_r$i"))))
       .reduce(_ + _)
-    val cand = bandRows(q)
+    val qb = bandRows(q)
       .select(col("media_id").as("__qid"), col("band"), col("bv"))
+    val probed =
+      if (probes == 0) qb
+      else qb.select(col("__qid"), col("band"),
+        explode(array(col("bv") +: (0 until 16).map(i =>
+          col("bv").bitwiseXOR(lit(1L << i))): _*)).as("bv"))
+    val cand = probed
       .join(spark.read.parquet(p.bands)
         .select(col("media_id").as("__cid"), col("band"), col("bv")),
         Seq("band", "bv"))
@@ -249,7 +281,7 @@ object PhashIndex {
     * guarantee the gate witnesses).
     */
   def searchRecall(spark: SparkSession, p: Paths, queries: DataFrame,
-                   k: Int): DataFrame = {
+                   k: Int, probes: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.PixieFunctions.idiv
     val q = hashRows(queries).localCheckpoint(true)
@@ -267,7 +299,7 @@ object PhashIndex {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("__qid").as("qid"), col("__cid").as("media_id"))
-    val approx = search(spark, p, q, k)
+    val approx = search(spark, p, q, k, probes)
       .select(col("qid"), col("media_id"), lit(1L).as("__hit"))
     exact.join(approx, Seq("qid", "media_id"), "left")
       .groupBy("qid")

@@ -338,6 +338,8 @@ object SemIndex {
     */
   def compact(spark: SparkSession, p: Paths): Unit = {
     val staging = s"${p.index}__staging"
+    // a replayed compaction resumes its own torn swap before reading
+    graft.core.Layout.healTorn(spark, p.index, staging)
     spark.read.parquet(p.index)
       .select("vec_id", "e", "n", "cell")
       .repartition(col("cell")).sortWithinPartitions("vec_id")
@@ -446,6 +448,10 @@ object SemIndex {
     */
   def refitIfNeeded(spark: SparkSession, p: Paths,
                     targetOcc: Long): Long = {
+    // a replay whose predecessor died mid-cutover finds the serving
+    // root parked at __old (or fully staged) — heal before reading
+    graft.core.Layout.healTorn(spark, p.serving,
+      Paths(s"${p.root}__staging").serving)
     val head = occupancyCard(spark, p, targetOcc)
       .select("refit_needed", "new_ncells")
       .collect().headOption // empty index ⇒ empty card ⇒ no-op

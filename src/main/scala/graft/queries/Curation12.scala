@@ -881,7 +881,7 @@ object Curation12 {
        |${postGate6("L62")},
        |${fin6(2, "L62")}""".stripMargin
 
-  private def mmDecisionsSql: String =
+  private[queries] def mmDecisionsSql: String =
     s"""WITH $mmCtes
        |SELECT * FROM (
        |  SELECT 1 AS day, doc_id, d_lex, d_sem, d_ph, d_aud, decision

@@ -33,7 +33,7 @@ object Curation13 {
   private val searchCache = new java.util.concurrent.ConcurrentHashMap[
     String, (PhashIndex.Paths, PhashIndex.Paths,
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
-  private def searchLife(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[queries] def searchLife(s: org.apache.spark.sql.SparkSession, dir: String)
       : (PhashIndex.Paths, PhashIndex.Paths,
          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     searchCache.computeIfAbsent(dir, { d: String =>
@@ -390,7 +390,7 @@ object Curation13 {
     * for the image signatures ([[Curation11.phashCtes]] raw
     * re-derivation, pair grouping).
     */
-  private def imgSearchCtes: String =
+  private[queries] def imgSearchCtes: String =
     s"""${Curation11.phashCtes("(d.doc_id - d.doc_id % 2)")},
        |qsS AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
        |ixS AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (0, 1, 2)),
@@ -422,7 +422,7 @@ object Curation13 {
        |    JOIN abits y ON y.doc_id = c.cid AND y.i = x.i
        |  GROUP BY 1, 2)""".stripMargin
 
-  private def searchSql(ctes: String): String =
+  private[queries] def searchSql(ctes: String): String =
     s"""WITH $ctes
        |SELECT qid, CAST(rn AS INT) AS rank, cid AS media_id, dist
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
@@ -432,7 +432,7 @@ object Curation13 {
   /** Brute-force top-5 over the full query × index signature cross
     * (the exact baseline), recall = surfaced fraction in exact ppm.
     */
-  private def recallSql(ctes: String, bits: String,
+  private[queries] def recallSql(ctes: String, bits: String,
                         bitJoin: String): String =
     s"""WITH $ctes,
        |bfS AS (SELECT x.doc_id AS qid, y.doc_id AS cid,

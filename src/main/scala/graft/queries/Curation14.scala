@@ -1,0 +1,520 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+
+/** Round-14 batch — the r13 verdict's ranked tasks:
+  *
+  *  - q587–q590: SIZE-CAP retention for the MULTIMODAL lifecycle
+  *    ([[graft.ops.MultiDay.cap4Day]] — the reference ring buffer's
+  *    actual BYTE trigger, src/table_store/table/table.cc:44, which
+  *    until now only the curation side had): batch + streamed
+  *    engines, horizon pinned before mutation, the ledgered under-cap
+  *    no-op, one oracle;
+  *  - q591/q592: compaction ON the calendar — the q558 maintained
+  *    interleave driven by `op = "compact"` control slots through the
+  *    file-source stream, decisions bit-identical to the plain chain;
+  *  - q593/q594: LEXICAL reject evidence
+  *    ([[graft.ops.Dedup.rejectEvidence]] — the q584/q585 partner
+  *    query for the dedup index): exact hits via the stored hash set,
+  *    near hits via band-collide → id-pruned Jaccard, the planted
+  *    clone reading back its source at ppm 1e6;
+  *  - q595/q596: MULTI-PROBE banded search
+  *    ([[graft.ops.PhashIndex.search]] at probe radius 1 — the
+  *    SemIndex nprobe regime for Hamming space, guided by the q567
+  *    design curve): top-k + the recall delta against the probes = 0
+  *    card (q564).
+  */
+object Curation14 {
+
+  import graft.ops.{Dedup, MultiDay, PhashIndex}
+
+  /** The batch mm SIZE-CAP calendar: days 1–2, the cap2 slot (the
+    * deterministic-horizon fixture cap — snapshot + day 1 expire),
+    * day 3 against the capped indexes, then the under-cap cap3
+    * ledgered no-op.
+    */
+  private val capBatchCache = new java.util.concurrent.ConcurrentHashMap[
+    String, MultiDay.Paths4]()
+  private def capBatch(s: org.apache.spark.sql.SparkSession,
+                       dir: String): MultiDay.Paths4 =
+    capBatchCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm_capb_")
+      val p = MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      MultiDay.runDays4CapCalendar(s, d, p)
+      p
+    })
+
+  /** The same calendar with the cap controls riding the stream
+    * (kill/restart around the slot, replayed control no-op'd).
+    */
+  private val capStream4Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (MultiDay.Paths4, Boolean, Seq[String], Int, Int)]()
+  private def capStream4(s: org.apache.spark.sql.SparkSession,
+                         dir: String)
+      : (MultiDay.Paths4, Boolean, Seq[String], Int, Int) =
+    capStream4Cache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm_caps_")
+      val p = MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days, h2, h3) =
+        graft.streaming.MultiStream.runCapCalendarStreamed4(s, d, p)
+      (p, noop, days, h2, h3)
+    })
+
+  /** The streamed COMPACTION calendar (op = "compact" control slots
+    * interleaved with the admission days).
+    */
+  private val compactStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (MultiDay.Paths4, Boolean, Seq[String])]()
+  private def compactStream(s: org.apache.spark.sql.SparkSession,
+                            dir: String)
+      : (MultiDay.Paths4, Boolean, Seq[String]) =
+    compactStreamCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm_cmps_")
+      val p = MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days) =
+        graft.streaming.MultiStream.runDays4CompactStreamed(s, d, p)
+      (p, noop, days)
+    })
+
+  /** The standalone lexical-evidence lifecycle: a persisted dedup
+    * index over the %4 ∈ {0,1,2} corpus; the delta = the %4 == 3
+    * organic docs plus two PLANTED witnesses (the pin-derived-sentinel
+    * rule — both branches non-vacuous at any sf): 9900001 clones the
+    * smallest corpus doc verbatim (the exact branch), 9900002 takes
+    * the smallest ≥ 30-word corpus doc and APPENDS one token (same
+    * shingle set + 2 — Jaccard (W−2)/W ≥ 0.8, the near branch).
+    * Returns (index path, corpus texts, rejected texts).
+    */
+  private val evidenceCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]()
+  private def evidenceLife(s: org.apache.spark.sql.SparkSession,
+                           dir: String)
+      : (String, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) =
+    evidenceCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_lex_ev_")
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val path = s"$root/lex_index"
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val corpus = docs.where(pmod(col("doc_id"), lit(4L)).isin(0L, 1L, 2L))
+        .localCheckpoint(true)
+      val exactSn = corpus.orderBy("doc_id").limit(1)
+        .select(lit(9900001L).as("doc_id"), col("text"))
+      val nearSn = corpus
+        .where(size(split(col("text"), " ")) >= 30)
+        .orderBy("doc_id").limit(1)
+        .select(lit(9900002L).as("doc_id"),
+          concat(col("text"), lit(" zz9")).as("text"))
+      val batch = docs.where(pmod(col("doc_id"), lit(4L)) === 3L)
+        .unionByName(exactSn).unionByName(nearSn)
+        .localCheckpoint(true)
+      Dedup.writeDedupIndex(corpus, "text", "doc_id", path)
+      val dec = Dedup.incrementalDedupIndexed(path, docs, batch,
+        "text", "doc_id", 3, 16, 4, 0.8)
+      val rejected = batch.join(
+        dec.where(col("decision").isin(
+            "dup_exact_corpus", "near_dup_corpus"))
+          .select("doc_id"), "doc_id")
+        .localCheckpoint(true)
+      (path, corpus, rejected)
+    })
+
+  val queries: Map[String, QFn] = Map(
+
+    // The batch mm size-cap calendar's pinned verdicts: days 1–2 as
+    // the plain chain, the cap2 slot expires snapshot + day 1 (the
+    // pinned deterministic horizon), day 3 admits against the CAPPED
+    // indexes — the day-1 clone sentinel genuinely re-admits through
+    // the calendar.
+    "q587_mm_cap_decisions" -> ((s, dir) =>
+      MultiDay.allDecisions4(s, capBatch(s, dir))
+        .orderBy("day", "doc_id")),
+
+    // Its index cards + the two PINNED horizons (cap2 expired to
+    // day 2; cap3 committed the under-cap no-op at horizon 0) + the
+    // ledger holding all five slots.
+    "q588_mm_cap_cards" -> ((s, dir) => {
+      val p = capBatch(s, dir)
+      def horizon(id: String): Long =
+        s.read.parquet(p.capHorizon(id)).head().getInt(0).toLong
+      MultiDay.indexCards4(s, p)
+        .withColumn("keep_from_2", lit(horizon("cap2")))
+        .withColumn("keep_from_3", lit(horizon("cap3")))
+        .withColumn("ledger_days",
+          lit(graft.ops.CurationNDay.ledgerDays(s, p.ledger)
+            .mkString(",")))
+        .orderBy("modality", "metric")
+    }),
+
+    // The STREAMED cap calendar — the control slots ride the same
+    // file-source stream as the admissions (kill/restart around the
+    // slot); same oracle as q587.
+    "q589_mm_cap_stream_decisions" -> ((s, dir) =>
+      MultiDay.allDecisions4(s, capStream4(s, dir)._1)
+        .orderBy("day", "doc_id")),
+
+    "q590_mm_cap_stream_cards" -> ((s, dir) => {
+      val (p, noop, days, h2, h3) = capStream4(s, dir)
+      MultiDay.indexCards4(s, p)
+        .withColumn("keep_from_2", lit(h2.toLong))
+        .withColumn("keep_from_3", lit(h3.toLong))
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .orderBy("modality", "metric")
+    }),
+
+    // COMPACTION ON THE CALENDAR: the maintained chain's compactions
+    // delivered as op = "compact" control slots through the stream —
+    // decisions bit-identical to the plain chain (the fourth engine
+    // path onto the q542/q545/q558 oracle).
+    "q591_mm_compact_stream_decisions" -> ((s, dir) =>
+      MultiDay.allDecisions4(s, compactStream(s, dir)._1)
+        .orderBy("day", "doc_id")),
+
+    // Its cards + calendar facts: ledger holds the three admission
+    // days AND the two compact slots; the replayed compact control
+    // was a pure no-op; every count identical to the never-compacted
+    // chain (content invariance at lifecycle level).
+    "q592_mm_compact_stream_cards" -> ((s, dir) => {
+      val (p, noop, days) = compactStream(s, dir)
+      MultiDay.indexCards4(s, p)
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .orderBy("modality", "metric")
+    }),
+
+    // LEXICAL REJECT EVIDENCE, standalone lifecycle: every corpus
+    // rejection names its blocking stored partner — the planted
+    // exact clone reads back its source at ppm 1e6, the planted
+    // near-variant names its source with the exact integer Jaccard.
+    "q593_lex_reject_evidence" -> ((s, dir) => {
+      val (path, corpus, rejected) = evidenceLife(s, dir)
+      Dedup.rejectEvidence(s, path, corpus, rejected, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // The same evidence served off the SIX-STAGE lifecycle's index
+    // (the q584/q585 sibling): both days' lexical corpus rejections
+    // ask the post-day-2 index "which stored doc blocks me NOW" —
+    // the day-2 clone sentinel reads back its day-1 source at 1e6.
+    "q594_mm6_lex_reject_evidence" -> ((s, dir) => {
+      val p = Curation12.mm6(s, dir)
+      val rej = (1 to 2).map { k =>
+        s.read.parquet(p.decisionsDay(k))
+          .where(col("d_lex").isin("dup_exact_corpus", "near_dup_corpus"))
+          .select(col("doc_id"), lit(k).as("day"))
+      }.reduce(_.unionByName(_))
+      val rejTexts = (1 to 2).map { k =>
+        s.read.parquet(p.dropDay(k)).select("doc_id", "text")
+      }.reduce(_.unionByName(_)).join(rej.select("doc_id"), "doc_id")
+      val corpusTexts = MultiDay.indexedDocs(s, p,
+        t(s, dir, "documents").select("doc_id", "text"))
+      Dedup.rejectEvidence(s, p.lex, corpusTexts, rejTexts,
+          "text", "doc_id")
+        .join(rej, "doc_id")
+        .select("day", "doc_id", "kind", "partner_id", "jaccard_ppm")
+        .orderBy("day", "doc_id")
+    }),
+
+    // MULTI-PROBE top-5 (probe radius 1): per band also the 16 1-bit
+    // bucket variants — candidates now certain for true distance ≤ 7
+    // (vs 3), the q567 curve's prescribed expansion.
+    "q595_phash_search_probes" -> ((s, dir) => {
+      val (pi, _, qi, _) = Curation13.searchLife(s, dir)
+      PhashIndex.search(s, pi, qi, 5, probes = 1)
+        .orderBy("qid", "rank")
+    }),
+
+    // Recall@5 at probe radius 1 vs the same exact brute force —
+    // read next to q564 (radius 0) for the recall delta the probe
+    // expansion buys at 17× bucket probes.
+    "q596_phash_probe_recall" -> ((s, dir) => {
+      val (pi, _, qi, _) = Curation13.searchLife(s, dir)
+      PhashIndex.searchRecall(s, pi, qi, 5, probes = 1).orderBy("qid")
+    }))
+
+  // ---- oracles ------------------------------------------------------
+
+  /** The mm cap re-derivation: [[Curation12.mmCtes]]' days 1–2
+    * verbatim (the cap slot follows day 2), the slot's arithmetic —
+    * retained byte masses off the admitted texts, the fixture cap
+    * m2 + m1/2, the derived horizon (min k whose retained tail fits —
+    * deterministically 2) — then day 3 against the CAPPED index sets:
+    * day-2 admissions ONLY (snapshot + day 1 aged out; the lexical
+    * hash set collapses to the retained docs' hashes via stillHeld
+    * semantics, which the from-scratch rebuild over the retained
+    * corpus models exactly). The sentinel derivation reads the
+    * day-1/-2 PINS, which the cap never touches.
+    */
+  private def mmCapCtes: String =
+    s"""${Curation12.mmCtes},
+       |emass AS (SELECT 1 AS day,
+       |    CAST(sum(length(d.text)) AS BIGINT) AS m
+       |  FROM pdocs d JOIN madm1 USING (doc_id)
+       |  UNION ALL SELECT 2, CAST(sum(length(d.text)) AS BIGINT)
+       |  FROM pdocs d JOIN madm2 USING (doc_id)),
+       |ecap AS (SELECT (SELECT m FROM emass WHERE day = 2)
+       |  + (SELECT m FROM emass WHERE day = 1) // 2 AS c),
+       |ekeep AS (SELECT CAST(min(k) AS BIGINT) AS k FROM (
+       |  SELECT ks.k, sum(m) AS tail
+       |  FROM (SELECT unnest(range(1, 3)) AS k) ks
+       |  JOIN emass ON emass.day >= ks.k GROUP BY ks.k)
+       |  WHERE tail <= (SELECT c FROM ecap)),
+       |lcorpK AS MATERIALIZED (SELECT d.doc_id, d.text FROM pdocs d
+       |  JOIN madm2 USING (doc_id)),
+       |${Curation.dedupDecisionCtes("lcorpK", "lb3", "K3")},
+       |ixsemK AS (SELECT cell, vec_id, e, nrm FROM ixs2
+       |  WHERE vec_id IN (SELECT doc_id FROM madm2)),
+       |${Curation12.semDay4("sK", "ixsemK", "ixs3")},
+       |idxPK AS (SELECT doc_id FROM madm2),
+       |${Curation12.bandedDay("PK", "xpbands", "xbits",
+          "y.cy = x.cy AND y.cx = x.cx", "dP3", "idxPK", "phash")},
+       |${Curation12.bandedDay("AK", "xabands", "xabits",
+          "y.i = x.i", "dP3", "idxPK", "audio")},
+       |finK AS MATERIALIZED (SELECT l.doc_id, l.decision AS d_lex,
+       |    s.decision AS d_sem, p.decision AS d_ph, a.decision AS d_aud,
+       |    CASE WHEN l.decision <> 'admitted' THEN l.decision
+       |      WHEN s.decision <> 'admitted' THEN s.decision
+       |      WHEN p.decision <> 'admitted' THEN p.decision
+       |      WHEN a.decision <> 'admitted' THEN a.decision
+       |      ELSE 'admitted' END AS decision
+       |  FROM decisionsK3 l JOIN decSsK s ON s.vec_id = l.doc_id
+       |    JOIN decBPK p ON p.doc_id = l.doc_id
+       |    JOIN decBAK a ON a.doc_id = l.doc_id),
+       |madmK AS (SELECT doc_id FROM finK
+       |  WHERE decision = 'admitted')""".stripMargin
+
+  private def mmCapDecisionsSql: String =
+    s"""WITH $mmCapCtes
+       |SELECT * FROM (
+       |  SELECT 1 AS day, doc_id, d_lex, d_sem, d_ph, d_aud, decision
+       |    FROM fin1
+       |  UNION ALL SELECT 2, doc_id, d_lex, d_sem, d_ph, d_aud, decision
+       |    FROM fin2
+       |  UNION ALL SELECT 3, doc_id, d_lex, d_sem, d_ph, d_aud, decision
+       |    FROM finK)
+       |ORDER BY day, doc_id""".stripMargin
+
+  /** Cards after the full cap calendar: retained = day-2 + day-3
+    * admissions; the media artifact keeps every decoded asset
+    * (decode-once outlives retention); keep_from_2 DERIVED from the
+    * masses, keep_from_3 = 0 by definition (the under-cap payload IS
+    * the retained total).
+    */
+  private def mmCapCardsSql(extra: String): String =
+    s"""WITH $mmCapCtes,
+       |retK AS MATERIALIZED (SELECT doc_id, text FROM lcorpK
+       |  UNION ALL SELECT x.doc_id, x.text FROM xdocs x
+       |    JOIN madmK ON madmK.doc_id = x.doc_id)
+       |SELECT *, (SELECT k FROM ekeep) AS keep_from_2,
+       |  CAST(0 AS BIGINT) AS keep_from_3,
+       |  'cap2,cap3,mm1,mm2,mm3' AS ledger_days$extra
+       |FROM (
+       |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
+       |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value
+       |    FROM retK
+       |  UNION ALL SELECT 'lexical', 'n_band_rows',
+       |    4 * count(*) FROM retK
+       |  UNION ALL SELECT 'semantic', 'n_vecs', count(*) FROM retK
+       |  UNION ALL SELECT 'perceptual', 'n_hashes', count(*) FROM retK
+       |  UNION ALL SELECT 'perceptual', 'n_band_rows',
+       |    4 * count(*) FROM retK
+       |  UNION ALL SELECT 'audio', 'n_hashes', count(*) FROM retK
+       |  UNION ALL SELECT 'audio', 'n_band_rows',
+       |    4 * count(*) FROM retK
+       |  UNION ALL SELECT 'media', 'n_assets',
+       |    (SELECT count(*) FROM pdocs) + 3)
+       |ORDER BY modality, metric""".stripMargin
+
+  /** The evidence fixture's oracle CTEs: the %4 split, the two
+    * planted witnesses, and [[Curation.dedupDecisionCtes]] giving
+    * both the decisions AND the candidate/Jaccard internals the
+    * partner ranking reuses.
+    */
+  private def evidenceCtes: String =
+    s"""ecorp AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 4 IN (0, 1, 2)),
+       |esnE AS (SELECT CAST(9900001 AS BIGINT) AS sdoc,
+       |  (SELECT min(doc_id) FROM ecorp) AS src),
+       |esnN AS (SELECT CAST(9900002 AS BIGINT) AS sdoc,
+       |  (SELECT min(doc_id) FROM ecorp
+       |    WHERE len(string_split(text, ' ')) >= 30) AS src),
+       |ebatch AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |    WHERE doc_id % 4 = 3
+       |  UNION ALL SELECT esnE.sdoc, e.text FROM esnE
+       |    JOIN ecorp e ON e.doc_id = esnE.src
+       |  UNION ALL SELECT esnN.sdoc, e.text || ' zz9' FROM esnN
+       |    JOIN ecorp e ON e.doc_id = esnN.src),
+       |${Curation.dedupDecisionCtes("ecorp", "ebatch", "EV")}""".stripMargin
+
+  /** Partner ranking over a [[Curation.dedupDecisionCtes]] run:
+    * exact = min-id corpus doc sharing the md5 (for the ids in
+    * `exactIds`); near = rank 1 by (integer ppm DESC, id ASC) among
+    * threshold-passing candidates (for the ids in `nearIds`) — the
+    * rejected-set selectors are explicit so the evidence can be keyed
+    * on the DAY's pinned verdicts rather than a fresh re-decision.
+    */
+  private def evidenceSelect(corpusSrc: String, batchSrc: String,
+                             sfx: String, exactIds: String,
+                             nearIds: String): String =
+    s"""exev$sfx AS (SELECT b.doc_id, 'exact' AS kind,
+       |    min(c.doc_id) AS partner_id,
+       |    CAST(1000000 AS BIGINT) AS jaccard_ppm
+       |  FROM $batchSrc b JOIN $corpusSrc c ON md5(c.text) = md5(b.text)
+       |  WHERE b.doc_id IN (SELECT doc_id FROM $exactIds)
+       |  GROUP BY b.doc_id),
+       |nsc$sfx AS (SELECT inter$sfx.batch_id, inter$sfx.corpus_id,
+       |    (CAST(i AS BIGINT) * 1000000)
+       |      // (szb$sfx.n + szc$sfx.n - i) AS jppm
+       |  FROM inter$sfx
+       |    JOIN szb$sfx ON szb$sfx.doc_id = inter$sfx.batch_id
+       |    JOIN szc$sfx ON szc$sfx.doc_id = inter$sfx.corpus_id
+       |  WHERE CAST(i AS DOUBLE) / (szb$sfx.n + szc$sfx.n - i) >= 0.8),
+       |nrev$sfx AS (SELECT batch_id AS doc_id, 'near' AS kind,
+       |    corpus_id AS partner_id, jppm AS jaccard_ppm
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY batch_id
+       |      ORDER BY jppm DESC, corpus_id) AS rn FROM nsc$sfx)
+       |  WHERE rn = 1 AND batch_id IN (SELECT doc_id FROM $nearIds)),
+       |evid$sfx AS (SELECT * FROM exev$sfx
+       |  UNION ALL SELECT * FROM nrev$sfx)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q587_mm_cap_decisions" -> mmCapDecisionsSql,
+
+    // two delivery engines, one capped-calendar answer
+    "q589_mm_cap_stream_decisions" -> mmCapDecisionsSql,
+
+    "q588_mm_cap_cards" -> mmCapCardsSql(""),
+
+    "q590_mm_cap_stream_cards" -> mmCapCardsSql(
+      ", '1' AS replay_stable"),
+
+    // compaction is content-invariant: the never-compacted chain's
+    // decisions oracle, verbatim (fourth engine path)
+    "q591_mm_compact_stream_decisions" -> Curation12.mmDecisionsSql,
+
+    // ... and its cards re-derivation with the compact slots ledgered
+    "q592_mm_compact_stream_cards" ->
+      s"""WITH ${Curation12.mmCtes},
+         |lcorp4 AS (SELECT doc_id, text FROM lcorp3
+         |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
+         |    JOIN madm3 USING (doc_id)),
+         |adm AS (SELECT count(*) AS n1 FROM madm1),
+         |adm2c AS (SELECT count(*) AS n2 FROM madm2),
+         |adm3c AS (SELECT count(*) AS n3 FROM madm3)
+         |SELECT *, 'compact1,compact2,mm1,mm2,mm3' AS ledger_days,
+         |  '1' AS replay_stable
+         |FROM (
+         |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value
+         |    FROM lcorp4
+         |  UNION ALL SELECT 'lexical', 'n_band_rows',
+         |    4 * count(*) FROM lcorp4
+         |  UNION ALL SELECT 'semantic', 'n_vecs',
+         |    (SELECT count(*) FROM msnapv) + (SELECT n1 FROM adm)
+         |      + (SELECT n2 FROM adm2c) + (SELECT n3 FROM adm3c)
+         |  UNION ALL SELECT 'perceptual', 'n_hashes',
+         |    (SELECT count(*) FROM idxP3) + (SELECT n3 FROM adm3c)
+         |  UNION ALL SELECT 'perceptual', 'n_band_rows',
+         |    4 * ((SELECT count(*) FROM idxP3) + (SELECT n3 FROM adm3c))
+         |  UNION ALL SELECT 'audio', 'n_hashes',
+         |    (SELECT count(*) FROM idxP3) + (SELECT n3 FROM adm3c)
+         |  UNION ALL SELECT 'audio', 'n_band_rows',
+         |    4 * ((SELECT count(*) FROM idxP3) + (SELECT n3 FROM adm3c))
+         |  UNION ALL SELECT 'media', 'n_assets',
+         |    (SELECT count(*) FROM pdocs) + 3)
+         |ORDER BY modality, metric""".stripMargin,
+
+    "q593_lex_reject_evidence" -> {
+      val ex = "(SELECT doc_id FROM decisionsEV " +
+        "WHERE decision = 'dup_exact_corpus')"
+      val nr = "(SELECT doc_id FROM decisionsEV " +
+        "WHERE decision = 'near_dup_corpus')"
+      s"""WITH $evidenceCtes,
+         |${evidenceSelect("ecorp", "ebatch", "EV", ex, nr)}
+         |SELECT doc_id, kind, partner_id, jaccard_ppm FROM evidEV
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Both days' lexical corpus rejections against the POST-day-2
+    // membership (snapshot + both admitted days, sentinel texts
+    // included): a fresh per-day candidate pass over the current
+    // corpus — the from-scratch re-derivation of the index the
+    // engine serves evidence from, keyed on the days' PINNED d_lex
+    // verdicts (one dedup run per day so a cross-day text twin can't
+    // collapse into the within-run exact-batch branch).
+    "q594_mm6_lex_reject_evidence" -> {
+      def ids(day: Int, dec: String) =
+        s"(SELECT doc_id FROM fin6$day WHERE d_lex = '$dec')"
+      s"""WITH ${Curation12.mm6Ctes},
+         |evcorp AS MATERIALIZED (SELECT doc_id, text FROM lcorp62
+         |  UNION ALL SELECT b.doc_id, b.text FROM lbL62 b
+         |    JOIN madm62 ON madm62.doc_id = b.doc_id),
+         |${Curation.dedupDecisionCtes("evcorp", "lbL61", "E61")},
+         |${evidenceSelect("evcorp", "lbL61", "E61",
+            ids(1, "dup_exact_corpus"), ids(1, "near_dup_corpus"))},
+         |${Curation.dedupDecisionCtes("evcorp", "lbL62", "E62")},
+         |${evidenceSelect("evcorp", "lbL62", "E62",
+            ids(2, "dup_exact_corpus"), ids(2, "near_dup_corpus"))}
+         |SELECT * FROM (
+         |  SELECT 1 AS day, doc_id, kind, partner_id, jaccard_ppm
+         |    FROM evidE61
+         |  UNION ALL SELECT 2, doc_id, kind, partner_id, jaccard_ppm
+         |    FROM evidE62)
+         |ORDER BY day, doc_id""".stripMargin
+    },
+
+    // Probed candidates: a pair is a candidate when SOME band's
+    // 16-bit values are within Hamming 1 (bit_count(xor) ≤ 1 — the
+    // engine's explicit 1-bit bucket variants, closed-form).
+    "q595_phash_search_probes" -> {
+      val probed =
+        s"""${Curation11.phashCtes("(d.doc_id - d.doc_id % 2)")},
+           |qsS AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+           |ixS AS (SELECT doc_id FROM documents
+           |  WHERE doc_id % 4 IN (0, 1, 2)),
+           |cS AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS cid
+           |  FROM pbands a JOIN pbands b ON a.band = b.band
+           |    AND bit_count(xor(CAST(a.bv AS BIGINT),
+           |      CAST(b.bv AS BIGINT))) <= 1
+           |  WHERE a.doc_id IN (SELECT doc_id FROM qsS)
+           |    AND b.doc_id IN (SELECT doc_id FROM ixS)),
+           |dS AS (SELECT c.qid, c.cid,
+           |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS dist
+           |  FROM cS c JOIN bits x ON x.doc_id = c.qid
+           |    JOIN bits y ON y.doc_id = c.cid AND y.cy = x.cy
+           |      AND y.cx = x.cx
+           |  GROUP BY 1, 2)""".stripMargin
+      Curation13.searchSql(probed)
+    },
+
+    "q596_phash_probe_recall" -> {
+      val probed =
+        s"""${Curation11.phashCtes("(d.doc_id - d.doc_id % 2)")},
+           |qsS AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+           |ixS AS (SELECT doc_id FROM documents
+           |  WHERE doc_id % 4 IN (0, 1, 2)),
+           |cS AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS cid
+           |  FROM pbands a JOIN pbands b ON a.band = b.band
+           |    AND bit_count(xor(CAST(a.bv AS BIGINT),
+           |      CAST(b.bv AS BIGINT))) <= 1
+           |  WHERE a.doc_id IN (SELECT doc_id FROM qsS)
+           |    AND b.doc_id IN (SELECT doc_id FROM ixS)),
+           |dS AS (SELECT c.qid, c.cid,
+           |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS dist
+           |  FROM cS c JOIN bits x ON x.doc_id = c.qid
+           |    JOIN bits y ON y.doc_id = c.cid AND y.cy = x.cy
+           |      AND y.cx = x.cx
+           |  GROUP BY 1, 2)""".stripMargin
+      Curation13.recallSql(probed, "bits", "y.cy = x.cy AND y.cx = x.cx")
+    })
+}

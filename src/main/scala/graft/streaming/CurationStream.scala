@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.ops.{CurationDay, CurationNDay}
 
@@ -41,16 +41,15 @@ import graft.ops.{CurationDay, CurationNDay}
   */
 object CurationStream {
 
-  /** Landing-file schema: a day's docs plus the day index. `op` is
-    * the CONTROL channel (null = admission data; "ttl" = a retention
-    * slot whose `doc_id` carries `keepFromDay`) — admission files
-    * written before the column existed read it as null.
+  /** Landing-file schema: the curation payload (doc_id, text) plus
+    * the [[ControlChannel]] contract fields — op = null is admission
+    * data, "ttl"/"cap" are retention slots whose scalar (keepFromDay
+    * / maxTokens) rides `doc_id` (see [[ControlChannel]] for the full
+    * channel contract both calendars share).
     */
-  val dropSchema: StructType = StructType(Seq(
+  val dropSchema: StructType = ControlChannel.schemaWith(
     StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("day", IntegerType),
-    StructField("op", StringType)))
+    StructField("text", StringType))
 
   /** Start the admission stream over `a.landing`, checkpointed at
     * `a.streamCp` (restart with the same paths to resume).
@@ -81,42 +80,34 @@ object CurationStream {
             .select("doc_id", "text")
           if (!drop.isEmpty)
             CurationNDay.processDay(spark, a, k, drop, corpusFetch): Unit
-          val ctl = rows.where(col("op") === "ttl")
-            .select("doc_id").distinct()
-            .collect().map(_.getLong(0).toInt).sorted // bounded: controls
-          ctl.foreach { keepFrom =>
-            val doneId = s"ttl${k}_done"
-            if (!CurationNDay.ledgerSeen(spark, a.ledger, doneId)) {
-              CurationNDay.ttlDay(spark, a, s"ttl$k", keepFrom,
-                a.manifestDay(CurationNDay.NDays),
-                a.manifestRetract(1)): Unit
-              graft.ops.Pack.rebuild(spark, a, CurationNDay.NDays)
-              CurationNDay.appendLedger(spark, a.ledger, doneId)
+          ControlChannel.payloads(rows, ControlChannel.OpTtl)
+            .foreach { keepFrom =>
+              ControlChannel.slot(spark, a.ledger, s"ttl${k}_done") {
+                CurationNDay.ttlDay(spark, a, s"ttl$k", keepFrom.toInt,
+                  a.manifestDay(CurationNDay.NDays),
+                  a.manifestRetract(1)): Unit
+                graft.ops.Pack.rebuild(spark, a, CurationNDay.NDays)
+              }: Unit
             }
-          }
           // SIZE-CAP control (op = "cap", doc_id = maxTokens): same
           // two-phase slot, but the tape rebuild is governed by the
           // horizon capDay PINNED before mutating — a slot replayed
           // after the cap committed still knows whether it expired
           // anything (rebuild) or was an under-cap no-op (leave the
           // valid per-day tape untouched).
-          val capCtl = rows.where(col("op") === "cap")
-            .select("doc_id").distinct()
-            .collect().map(_.getLong(0)).sorted // bounded: controls
-          capCtl.foreach { maxTok =>
-            val doneId = s"cap${k}_done"
-            if (!CurationNDay.ledgerSeen(spark, a.ledger, doneId)) {
-              CurationNDay.capDay(spark, a, s"cap$k", maxTok,
-                a.manifestDay(CurationNDay.NDays),
-                a.manifestRetract(1)): Unit
-              val horizon = spark.read
-                .parquet(a.capHorizon(s"cap$k"))
-                .head().getInt(0) // one pinned row
-              if (horizon > 0)
-                graft.ops.Pack.rebuild(spark, a, CurationNDay.NDays)
-              CurationNDay.appendLedger(spark, a.ledger, doneId)
+          ControlChannel.payloads(rows, ControlChannel.OpCap)
+            .foreach { maxTok =>
+              ControlChannel.slot(spark, a.ledger, s"cap${k}_done") {
+                CurationNDay.capDay(spark, a, s"cap$k", maxTok,
+                  a.manifestDay(CurationNDay.NDays),
+                  a.manifestRetract(1)): Unit
+                val horizon = spark.read
+                  .parquet(a.capHorizon(s"cap$k"))
+                  .head().getInt(0) // one pinned row
+                if (horizon > 0)
+                  graft.ops.Pack.rebuild(spark, a, CurationNDay.NDays)
+              }: Unit
             }
-          }
         }
       }
       .start()
@@ -126,33 +117,13 @@ object CurationStream {
     * the gate/spec runs; see object Scaladoc for the production shape).
     */
   def landDrop(spark: SparkSession, a: CurationDay.Artifacts,
-               k: Int): Unit = {
-    val tmp = s"${a.root}/land_tmp_day$k"
-    spark.read.parquet(a.dropDay(k))
-      .withColumn("day", lit(k))
-      .repartition(1)
-      .write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val fs = tmpP.getFileSystem(conf)
-    val part = fs.listStatus(tmpP)
-      .find(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"landDrop: no part file under $tmp"))
-    val landing = new org.apache.hadoop.fs.Path(a.landing)
-    if (!fs.exists(landing)) { fs.mkdirs(landing): Unit }
-    val dst = new org.apache.hadoop.fs.Path(landing, s"day$k.parquet")
-    val ok = fs.rename(part.getPath, dst)
-    require(ok, s"landDrop: rename into $landing failed")
-    fs.delete(tmpP, true): Unit
-    // the file source orders same-batch files by modification time —
-    // two drops landed within one clock tick could deliver day k+1
-    // before day k and trip the in-order require. Pin mod times to a
-    // strictly-increasing, run-stable ladder anchored on the bootstrap
-    // bench file (recent enough for the source's maxFileAge window).
-    val anchor = fs.getFileStatus(
-      new org.apache.hadoop.fs.Path(a.bench)).getModificationTime
-    fs.setTimes(dst, anchor + k * 60000L, -1L)
-  }
+               k: Int): Unit =
+    // mod times pinned to a strictly-increasing run-stable ladder
+    // anchored on the bootstrap bench file (see ControlChannel.land)
+    ControlChannel.land(spark, a.landing,
+      spark.read.parquet(a.dropDay(k)).withColumn("day", lit(k)),
+      s"${a.root}/land_tmp_day$k", s"day$k.parquet", a.bench,
+      k * 60000L)
 
   /** Land a retention CONTROL record (op = "ttl", doc_id =
     * keepFromDay) at calendar slot `slot` — its pinned modification
@@ -161,30 +132,10 @@ object CurationStream {
     */
   def landControl(spark: SparkSession, a: CurationDay.Artifacts,
                   slot: Int, payload: Long, name: String = "",
-                  op: String = "ttl"): Unit = {
-    import spark.implicits._
-    val tmp = s"${a.root}/land_tmp_ctl$slot"
-    Seq((payload, slot, op)).toDF("doc_id", "day", "op")
-      .repartition(1)
-      .write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val fs = tmpP.getFileSystem(conf)
-    val part = fs.listStatus(tmpP)
-      .find(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"landControl: no part file under $tmp"))
-    val landing = new org.apache.hadoop.fs.Path(a.landing)
-    if (!fs.exists(landing)) { fs.mkdirs(landing): Unit }
-    val fname = if (name.isEmpty) s"ctl$slot.parquet" else name
-    val dst = new org.apache.hadoop.fs.Path(landing, fname)
-    require(fs.rename(part.getPath, dst),
-      s"landControl: rename into $landing failed")
-    fs.delete(tmpP, true): Unit
-    val anchor = fs.getFileStatus(
-      new org.apache.hadoop.fs.Path(a.bench)).getModificationTime
-    fs.setTimes(dst,
-      anchor + slot * 60000L + (if (name.isEmpty) 40000L else 50000L), -1L)
-  }
+                  op: String = "ttl"): Unit =
+    ControlChannel.landControl(spark, a.landing, a.root, slot, op,
+      payload, if (name.isEmpty) s"ctl$slot.parquet" else name, a.bench,
+      slot * 60000L + (if (name.isEmpty) 40000L else 50000L))
 
   /** The STREAMED N-day lifecycle with the RETENTION CALENDAR slot
     * (r12 verdict task 2, curation side): days 1–2, the kill, days

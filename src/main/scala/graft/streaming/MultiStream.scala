@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType, LongType, StringType, StructField, StructType}
 
 import graft.ops.{CurationNDay, MultiDay}
 
@@ -34,28 +34,37 @@ import graft.ops.{CurationNDay, MultiDay}
   */
 object MultiStream {
 
-  /** The landing-record schema. `op` is the CONTROL channel (null =
-    * admission data; "ttl" = a retention-calendar slot whose `doc_id`
-    * carries the admission day to expire) — admission files written
-    * before the column existed read it as null, so old landings
-    * replay unchanged.
+  /** The landing-record schema: the multimodal payload (doc text +
+    * embedding + image bytes) plus the [[ControlChannel]] contract
+    * fields — op = null is admission data; "ttl"/"cap"/"compact" are
+    * maintenance slots whose scalar rides `doc_id` (see
+    * [[ControlChannel]] for the channel contract both calendars
+    * share).
     */
-  val dropSchema: StructType = StructType(Seq(
+  val dropSchema: StructType = ControlChannel.schemaWith(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("embedding", ArrayType(FloatType)),
-    StructField("img", BinaryType),
-    StructField("day", IntegerType),
-    StructField("op", StringType)))
+    StructField("img", BinaryType))
 
   /** Start the admission stream. With `bench` set, each day runs the
     * FULL six-stage verdict ([[MultiDay.processDay6]] — near-dup
     * stages + contamination/quality post-gates); without it, the
-    * four-stage [[MultiDay.processDay4]]. Retention CONTROL records
-    * (op = "ttl") drive the LEDGERED [[MultiDay.ttl4Day]] in their
-    * calendar slot, AFTER the slot's admissions (retention follows
-    * the day it ages against); a replayed control no-ops via the same
-    * ledger that makes replayed admission days no-ops.
+    * four-stage [[MultiDay.processDay4]]. Maintenance CONTROL records
+    * run in their calendar slot, AFTER the slot's admissions
+    * (retention follows the day it ages against):
+    *
+    *  - op = "ttl" (doc_id = the admission day to expire) → the
+    *    LEDGERED [[MultiDay.ttl4Day]];
+    *  - op = "cap" (doc_id = the byte cap) → the LEDGERED
+    *    [[MultiDay.cap4Day]] — horizon pinned before mutation;
+    *  - op = "compact" (doc_id ignored) → the full content-invariant
+    *    maintenance set [[MultiDay.maintain4]] as a ledgered slot
+    *    (each compaction is idempotent and self-healing, so a torn
+    *    slot re-runs convergently).
+    *
+    * A replayed control no-ops via the same ledger that makes
+    * replayed admission days no-ops.
     */
   def start(spark: SparkSession, p: MultiDay.Paths4,
             corpusFetch: DataFrame,
@@ -80,12 +89,21 @@ object MultiStream {
               case None =>
                 MultiDay.processDay4(spark, p, k, drop, corpusFetch)
             }): Unit
-          val expire = rows.where(col("op") === "ttl")
-            .select("doc_id").distinct()
-            .collect().map(_.getLong(0).toInt).sorted // bounded: controls
+          val expire = ControlChannel.payloads(rows, ControlChannel.OpTtl)
           if (expire.nonEmpty)
-            MultiDay.ttl4Day(spark, p, s"ttl$k", expire.toSeq,
+            MultiDay.ttl4Day(spark, p, s"ttl$k", expire.map(_.toInt),
               MultiDay.indexedDocs(spark, p, corpusFetch)): Unit
+          ControlChannel.payloads(rows, ControlChannel.OpCap)
+            .foreach { maxBytes =>
+              MultiDay.cap4Day(spark, p, s"cap$k", maxBytes,
+                corpusFetch): Unit
+            }
+          ControlChannel.payloads(rows, ControlChannel.OpCompact)
+            .foreach { _ =>
+              ControlChannel.slot(spark, p.ledger, s"compact$k") {
+                MultiDay.maintain4(spark, p)
+              }: Unit
+            }
         }
       }
       .start()
@@ -97,58 +115,39 @@ object MultiStream {
     * wrote).
     */
   def landDrop(spark: SparkSession, p: MultiDay.Paths4, k: Int,
-               name: String = ""): Unit = {
-    val tmp = s"${p.root}/land_tmp_day$k"
-    spark.read.parquet(p.dropDay(k))
-      .withColumn("day", lit(k))
-      .repartition(1)
-      .write.mode("overwrite").parquet(tmp)
-    // replays land after their original (k + offset keeps order)
-    promoteLanding(spark, p, tmp,
-      if (name.isEmpty) s"day$k.parquet" else name,
+               name: String = ""): Unit =
+    // replays land after their original (k + offset keeps order);
+    // mtimes anchored on the semantic seeds file the bootstrap wrote
+    ControlChannel.land(spark, p.landing,
+      spark.read.parquet(p.dropDay(k)).withColumn("day", lit(k)),
+      s"${p.root}/land_tmp_day$k",
+      if (name.isEmpty) s"day$k.parquet" else name, p.sem.seeds,
       k * 60000L + (if (name.isEmpty) 0L else 30000L))
-  }
 
-  /** Land a retention CONTROL record: one row (day = `slot`,
-    * op = "ttl", doc_id = the admission day to expire). Its pinned
-    * modification time sorts AFTER day `slot`'s drop and any replay
-    * of it, and BEFORE day `slot` + 1 — the calendar position.
+  /** Land a maintenance CONTROL record: one row (day = `slot`, `op`,
+    * doc_id = the op's scalar — the admission day to expire for
+    * "ttl", the byte cap for "cap", ignored for "compact"). Its
+    * pinned modification time sorts AFTER day `slot`'s drop and any
+    * replay of it, and BEFORE day `slot` + 1 — the calendar position.
     */
   def landControl(spark: SparkSession, p: MultiDay.Paths4, slot: Int,
-                  expireDay: Int, name: String = ""): Unit = {
-    import spark.implicits._
-    val tmp = s"${p.root}/land_tmp_ctl$slot"
-    Seq((expireDay.toLong, slot, "ttl")).toDF("doc_id", "day", "op")
-      .repartition(1)
-      .write.mode("overwrite").parquet(tmp)
-    promoteLanding(spark, p, tmp,
-      if (name.isEmpty) s"ctl$slot.parquet" else name,
-      slot * 60000L + (if (name.isEmpty) 40000L else 50000L))
-  }
+                  payload: Long, name: String = "",
+                  op: String = ControlChannel.OpTtl): Unit =
+    ControlChannel.landControl(spark, p.landing, p.root, slot, op,
+      payload,
+      if (name.isEmpty) s"ctl_${op}$slot.parquet" else name,
+      p.sem.seeds,
+      slot * 60000L + opOff(op) + (if (name.isEmpty) 0L else 5000L))
 
-  /** Rename the staged single part file into the landing dir under
-    * `fname` with a pinned strictly-increasing modification time
-    * (anchored on the semantic seeds file the bootstrap wrote — the
-    * [[CurationStream.landDrop]] in-order contract).
+  /** Same-slot control ordering: ttl before cap before compact (all
+    * after the slot's admissions and their replays, before the next
+    * day), each op's replay 5 s after its original.
     */
-  private def promoteLanding(spark: SparkSession, p: MultiDay.Paths4,
-                             tmp: String, fname: String,
-                             mtimeOff: Long): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val fs = tmpP.getFileSystem(conf)
-    val part = fs.listStatus(tmpP)
-      .find(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"promoteLanding: no part file under $tmp"))
-    val landing = new org.apache.hadoop.fs.Path(p.landing)
-    if (!fs.exists(landing)) { fs.mkdirs(landing): Unit }
-    val dst = new org.apache.hadoop.fs.Path(landing, fname)
-    val ok = fs.rename(part.getPath, dst)
-    require(ok, s"promoteLanding: rename into ${p.landing} failed")
-    fs.delete(tmpP, true): Unit
-    val anchor = fs.getFileStatus(new org.apache.hadoop.fs.Path(
-      p.sem.seeds)).getModificationTime
-    fs.setTimes(dst, anchor + mtimeOff, -1L)
+  private def opOff(op: String): Long = op match {
+    case ControlChannel.OpTtl => 40000L
+    case ControlChannel.OpCap => 46000L
+    case ControlChannel.OpCompact => 52000L
+    case other => sys.error(s"landControl: unknown op $other")
   }
 
   /** The full STREAMED 3-day multimodal lifecycle with a kill/restart
@@ -205,14 +204,91 @@ object MultiStream {
     landDrop(spark, p, 1); landDrop(spark, p, 2)
     val q1 = start(spark, p, fetch)
     try { q1.processAllAvailable() } finally q1.stop() // the kill
-    landControl(spark, p, 2, expireDay = 1)
-    landControl(spark, p, 2, expireDay = 1, name = "ctl2_replay.parquet")
+    landControl(spark, p, 2, payload = 1L)
+    landControl(spark, p, 2, payload = 1L, name = "ctl2_replay.parquet")
     MultiDay.writeDay3Drop(spark, dir, p)
     landDrop(spark, p, 3)
     val q2 = start(spark, p, fetch) // same checkpoint: the restart
     try { q2.processAllAvailable() } finally q2.stop()
     val replayNoOp = !MultiDay.ttl4Day(spark, p, "ttl2", Seq(1),
       MultiDay.indexedDocs(spark, p, fetch))
+    (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger))
+  }
+
+  /** The STREAMED mm SIZE-CAP calendar (the r13 verdict's top task,
+    * streamed engine): days 1–2 admit; STOP (the kill); the cap2
+    * control (the [[MultiDay.capFixtureBytes]] deterministic-horizon
+    * cap) lands plus a REPLAY of it; the pin-derived day 3 lands;
+    * RESTART from the same checkpoint — the restarted stream runs the
+    * ledgered cap slot (horizon pinned BEFORE mutation), swallows the
+    * replayed control, and admits day 3 against the CAPPED indexes
+    * (snapshot + day 1 expired — the day-1 clone sentinel genuinely
+    * re-admits). A second leg lands the UNDER-CAP cap3 control (at
+    * exactly the retained mass) witnessing the ledgered no-op branch
+    * in-stream. Returns (replayNoOp, ledgerDays, horizon2, horizon3):
+    * replayNoOp additionally witnesses a direct re-offer of the
+    * committed cap2 returning 0.
+    */
+  def runCapCalendarStreamed4(spark: SparkSession, dir: String,
+                              p: MultiDay.Paths4)
+      : (Boolean, Seq[String], Int, Int) = {
+    MultiDay.bootstrap4(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    landDrop(spark, p, 1); landDrop(spark, p, 2)
+    val q1 = start(spark, p, fetch)
+    try { q1.processAllAvailable() } finally q1.stop() // the kill
+    val cap = MultiDay.capFixtureBytes(spark, p, fetch)
+    landControl(spark, p, 2, cap, op = ControlChannel.OpCap)
+    landControl(spark, p, 2, cap, op = ControlChannel.OpCap,
+      name = "cap2_replay.parquet")
+    MultiDay.writeDay3Drop(spark, dir, p)
+    landDrop(spark, p, 3)
+    val q2 = start(spark, p, fetch) // same checkpoint: the restart
+    try { q2.processAllAvailable() } finally q2.stop()
+    // the under-cap leg: a cap at exactly the retained mass no-ops
+    landControl(spark, p, 3,
+      MultiDay.retainedMasses(spark, p, fetch).values.sum,
+      op = ControlChannel.OpCap)
+    val q3 = start(spark, p, fetch) // restart 2
+    try { q3.processAllAvailable() } finally q3.stop()
+    def horizon(id: String): Int =
+      spark.read.parquet(p.capHorizon(id)).head().getInt(0)
+    val replayNoOp =
+      MultiDay.cap4Day(spark, p, "cap2", cap, fetch) == 0
+    (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger),
+      horizon("cap2"), horizon("cap3"))
+  }
+
+  /** The STREAMED maintained chain (r13 verdict task 3 — put
+    * compaction on the calendar): the q558 batch interleave driven by
+    * `op = "compact"` control slots THROUGH the file-source stream —
+    * day 1, compact1 slot, kill/restart, day 2, compact2 slot plus a
+    * REPLAY of it, day 3 — decisions must stay bit-identical to the
+    * plain chain (same oracle as q542/q545/q558: the fourth engine
+    * path). Returns (replayNoOp, ledgerDays): replayNoOp additionally
+    * witnesses a direct re-offer of the committed compact2 slot
+    * no-op'ing via [[ControlChannel.slot]].
+    */
+  def runDays4CompactStreamed(spark: SparkSession, dir: String,
+                              p: MultiDay.Paths4)
+      : (Boolean, Seq[String]) = {
+    MultiDay.bootstrap4(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    landDrop(spark, p, 1)
+    landControl(spark, p, 1, 0L, op = ControlChannel.OpCompact)
+    landDrop(spark, p, 2) // mtime ladder: day1 < compact1 < day2
+    val q1 = start(spark, p, fetch)
+    try { q1.processAllAvailable() } finally q1.stop() // the kill
+    landControl(spark, p, 2, 0L, op = ControlChannel.OpCompact)
+    landControl(spark, p, 2, 0L, op = ControlChannel.OpCompact,
+      name = "compact2_replay.parquet")
+    MultiDay.writeDay3Drop(spark, dir, p) // needs the day-1/-2 pins
+    landDrop(spark, p, 3)
+    val q2 = start(spark, p, fetch) // same checkpoint: the restart
+    try { q2.processAllAvailable() } finally q2.stop()
+    val replayNoOp = !ControlChannel.slot(spark, p.ledger, "compact2") {
+      MultiDay.maintain4(spark, p)
+    }
     (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger))
   }
 
@@ -233,8 +309,8 @@ object MultiStream {
     try { q1.processAllAvailable() } finally q1.stop() // kill 1
     MultiDay.writeDay2Drop6(spark, dir, p)
     landDrop(spark, p, 2)
-    landControl(spark, p, 2, expireDay = 1)
-    landControl(spark, p, 2, expireDay = 1, name = "ctl2_replay.parquet")
+    landControl(spark, p, 2, payload = 1L)
+    landControl(spark, p, 2, payload = 1L, name = "ctl2_replay.parquet")
     val q2 = start(spark, p, fetch, Some(bench)) // restart 1
     try { q2.processAllAvailable() } finally q2.stop() // kill 2
     MultiDay.writeDay3Drop6Cal(spark, dir, p)

@@ -67,6 +67,29 @@ class BenchHeadPlanSpec extends AnyFunSuite {
     assert(bad.result().isEmpty, bad.result().mkString("; "))
   }
 
+  // r14: q279_streaming_contamination doubled officially in r13
+  // (~5 → 10.4 s) and was unpinned. Its gate frame is a collected
+  // memory-sink relation (LocalTableScan — nothing to pin), so the
+  // pin targets the TOPOLOGY the stream executes per micro-batch:
+  // streamingContamination applied to the same batch inputs — a
+  // broadcast gram join (no shuffle for candidate generation) + one
+  // keyed aggregate. Plan drift here is the only code-side way that
+  // query can regress; anything else is host contention.
+  test("q279 topology: broadcast gram join + keyed agg, no cartesian") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val p = graft.streaming.Streaming.streamingContamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    val ex = raw"\bExchange\b".r.findAllIn(p).size
+    assert(ex <= 2, s"q279 topology: $ex exchanges (pin 2)")
+    assert(raw"CartesianProduct".r.findAllIn(p).isEmpty)
+    assert(raw"BroadcastNestedLoopJoin".r.findAllIn(p).isEmpty)
+    assert(raw"BroadcastHashJoin|BroadcastExchange".r.findAllIn(p).nonEmpty,
+      "q279 topology: the gram join must stay broadcast")
+  }
+
   test("the shape detector is not vacuous (sees a planted cartesian + exchange)") {
     import spark.implicits._
     val a = Seq(1, 2, 3).toDF("x")
