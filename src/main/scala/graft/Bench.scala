@@ -57,10 +57,15 @@ object Bench {
       val ts = first.map(_._2).sorted
       if (ts.isEmpty) 0.0 else ts(ts.length / 2)
     }
+    // Dev-only (the driver sets neither env): SPARK_GRAFT_BENCH_TRIPLE=1
+    // forces the median-of-3 path for EVERY measured query — the
+    // cold/warm disclosure knob (first sample = cold-JVM, later samples
+    // = warm) the bench-notes head audits use.
+    val forceTriple = sys.env.contains("SPARK_GRAFT_BENCH_TRIPLE")
     val threshold = math.max(2.0, 3 * med)
     val remeasured = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = first.map { case (name, t) =>
-      if (t > threshold && !failed.contains(name)) {
+      if ((forceTriple || t > threshold) && !failed.contains(name)) {
         val t2 = time1(name, SparkEntry.queries(name))
         val t3 = time1(name, SparkEntry.queries(name))
         remeasured(name) = Seq(t, t2, t3)

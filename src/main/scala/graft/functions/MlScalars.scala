@@ -68,11 +68,12 @@ object MlScalars {
     *     explicit opt-in for comparing against r5/r6-era outputs.
     * An ONNX-session implementation drops in as a third branch where a
     * model runtime is available (resolution re-attempted every round —
-    * r7 through r13: `com.microsoft.onnxruntime:onnxruntime` is absent
-    * from the pinned offline mirror (r10-r13: no onnx artifact in any
-    * coursier/ivy cache or the offline artifactory mirror; an r13 sbt
-    * resolution probe fails with 'not found' on every resolver) and COURSIER_MODE=offline blocks
-    * any fetch, so the loud-fail dispatch stands — see README).
+    * r7 through r14: `com.microsoft.onnxruntime:onnxruntime` is absent
+    * from the pinned offline mirror (r10-r14: no onnx/djl/torch
+    * artifact in any coursier/ivy cache, /opt/spark/jars, or the
+    * offline artifactory mirror; the r14 sbt resolution probe again
+    * fails 'not found' on every resolver) and COURSIER_MODE=offline
+    * blocks any fetch, so the loud-fail dispatch stands — see README).
     */
   def textEmbedding(text: Column, dim: Int,
                     mode: Option[String] = sys.env.get("SPARK_GRAFT_EMBEDDING"))

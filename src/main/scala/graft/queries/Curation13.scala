@@ -33,7 +33,7 @@ object Curation13 {
   private val searchCache = new java.util.concurrent.ConcurrentHashMap[
     String, (PhashIndex.Paths, PhashIndex.Paths,
       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
-  private[queries] def searchLife(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[graft] def searchLife(s: org.apache.spark.sql.SparkSession, dir: String)
       : (PhashIndex.Paths, PhashIndex.Paths,
          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
     searchCache.computeIfAbsent(dir, { d: String =>

@@ -659,4 +659,40 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
+
+  test("sf1 probe: perceptual search stays bucket-bounded, recall card is linear") {
+    assume(sys.env.contains("SPARK_GRAFT_SF1_PROBE"), "opt-in probe")
+    generate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      // FIXED 500-query sample at both scales, so the split is purely
+      // the index side: the SERVING path (banded search, radius 0/1)
+      // should track bucket occupancy (sublinear in index mass), the
+      // RECALL CARD (broadcast sample x index brute force) is linear
+      // by construction — its disclosed tuning-time nature.
+      def probe(dir: String, label: String): (Double, Double, Double) = {
+        val (pi, _, qi, _) = graft.queries.Curation13.searchLife(spark, dir)
+        val q = qi.orderBy("media_id").limit(500).localCheckpoint(true)
+        def time(f: => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          f.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val s0 = time(graft.ops.PhashIndex.search(spark, pi, q, 5))
+        val s1 = time(graft.ops.PhashIndex.search(spark, pi, q, 5,
+          probes = 1))
+        val rc = time(graft.ops.PhashIndex.searchRecall(spark, pi, q, 5))
+        println(f"SCALEPROBE phash_search $label search=$s0%.2f s " +
+          f"probed=$s1%.2f s recall_card=$rc%.2f s (500 queries)")
+        (s0, s1, rc)
+      }
+      val (_, _, _) = probe(src, "sf0.1")
+      val (s0b, s1b, rcb) = probe(dst, "sf1")
+      // at 10x index mass the serving path must stay strictly cheaper
+      // than the brute-force anchor — the flat-vs-linear split
+      assert(s0b < rcb, f"banded search $s0b%.2f s not under the " +
+        f"brute-force card $rcb%.2f s at sf1")
+      assert(s1b < rcb, "probed search must also stay under the card")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
 }
