@@ -320,7 +320,9 @@ object PhashIndex {
     * [[searchRecall]], never a serving path.
     */
   def bandingMeasured(spark: SparkSession, p: Paths,
-                      queries: DataFrame): DataFrame = {
+                      queries: DataFrame, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= 1,
+      "bandingMeasured: probe radius 0 or 1 (the search contract)")
     import graft.functions.PixieFunctions.idiv
     val q = hashRows(queries).localCheckpoint(true)
     def side(src: DataFrame, n: String) = src.select(
@@ -330,10 +332,15 @@ object PhashIndex {
       bit_count(col(s"__qid_r$i").bitwiseXOR(col(s"__cid_r$i"))))
       .reduce(_ + _).cast("long")
     // band collision straight off the row bytes (a band bucket is its
-    // two bytes, so bucket equality == byte-pair equality)
+    // two bytes, so bucket equality == byte-pair equality); at probe
+    // radius 1 a band collides when its two byte pairs differ by at
+    // most ONE bit in total — exactly the [[search]] 1-bit-variant set
     val collide = (0 until 4).map { b =>
-      col(s"__qid_r${2 * b}") === col(s"__cid_r${2 * b}") &&
-        col(s"__qid_r${2 * b + 1}") === col(s"__cid_r${2 * b + 1}")
+      val bd = bit_count(col(s"__qid_r${2 * b}")
+          .bitwiseXOR(col(s"__cid_r${2 * b}"))) +
+        bit_count(col(s"__qid_r${2 * b + 1}")
+          .bitwiseXOR(col(s"__cid_r${2 * b + 1}")))
+      bd <= probes
     }.reduce(_ || _)
     side(spark.read.parquet(p.hashes), "__cid")
       .crossJoin(broadcast(side(q, "__qid"))) // sample × index
@@ -374,6 +381,41 @@ object PhashIndex {
         if (j % 2 == 1) t else -t
       }.sum
       (d.toLong, (num * 1000000 / c(n, d)).toLong)
+    }.toDF("dist", "collide_ppm")
+  }
+
+  /** The [[designCurve]] at PROBE RADIUS 1 ([[search]]'s multi-probe
+    * regime): the probability that two signatures at true Hamming
+    * distance d become candidates when every 1-bit band-bucket
+    * variant is also probed — i.e. SOME band carries at most one of
+    * the d differing bits. Complementary inclusion–exclusion over
+    * bands forced to ≤ 1 dirty bit:
+    *
+    *   A(d) = Σ_{j=0..b} (−1)^j C(b,j) Σ_{t=0..j} C(j,t) w^t C(n−jw, d−t)
+    *   P(d) = 1 − A(d) / C(n,d)
+    *
+    * (A counts placements where EVERY band has ≥ 2 dirty bits — the
+    * only non-candidates). Anchors: P = 1 for d ≤ 2b−1 (pigeonhole —
+    * radius-1 recall is exact to d = 7 at 4×16, vs 3 at radius 0),
+    * P = 0 at d = n. Exact BigInt, floored to ppm; model-sized.
+    */
+  def designCurveProbed(spark: SparkSession, bands: Int = 4,
+                        bitsPerBand: Int = 16): DataFrame = {
+    import spark.implicits._
+    val n = bands * bitsPerBand
+    def c(nn: Int, d: Int): BigInt =
+      if (d < 0 || d > nn) BigInt(0)
+      else (1 to d).foldLeft(BigInt(1))((acc, i) => acc * (nn - i + 1) / i)
+    (0 to n).map { d =>
+      val a = (0 to bands).map { j =>
+        val nj = (0 to j).map(t =>
+          c(j, t) * BigInt(bitsPerBand).pow(t) *
+            c(n - j * bitsPerBand, d - t)).sum
+        val term = c(bands, j) * nj
+        if (j % 2 == 0) term else -term
+      }.sum
+      val tot = c(n, d)
+      (d.toLong, ((tot - a) * 1000000 / tot).toLong)
     }.toDF("dist", "collide_ppm")
   }
 

@@ -237,6 +237,29 @@ object Curation14 {
     "q596_phash_probe_recall" -> ((s, dir) => {
       val (pi, _, qi, _) = Curation13.searchLife(s, dir)
       PhashIndex.searchRecall(s, pi, qi, 5, probes = 1).orderBy("qid")
+    }),
+
+    // The PROBED banding design curve (radius 1, 4×16) — the
+    // closed-form disclosure behind q595/q596: P[candidate] = 1 until
+    // d = 7 (pigeonhole at radius 1), then the complementary
+    // inclusion–exclusion decay; published next to q567 so the
+    // radius trade is quantified end to end.
+    "q597_banding_curve_probed" -> ((s, dir) =>
+      PhashIndex.designCurveProbed(s).orderBy("dist")),
+
+    // Its MEASURED companion over the real image signatures (the
+    // q579 pattern at radius 1): realized candidate rate per true
+    // distance, d ≤ 7 must read 1e6 ppm in both theory and practice.
+    "q598_banding_measured_probed" -> ((s, dir) => {
+      val (pi, _, qi, _) = Curation13.searchLife(s, dir)
+      PhashIndex.bandingMeasured(s, pi, qi, probes = 1).orderBy("dist")
+    }),
+
+    // Audio probed recall — one implementation, two modalities (the
+    // q564/q566 symmetry at radius 1).
+    "q599_audio_probe_recall" -> ((s, dir) => {
+      val (_, pa, _, qa) = Curation13.searchLife(s, dir)
+      PhashIndex.searchRecall(s, pa, qa, 5, probes = 1).orderBy("qid")
     }))
 
   // ---- oracles ------------------------------------------------------
@@ -494,6 +517,89 @@ object Curation14 {
            |      AND y.cx = x.cx
            |  GROUP BY 1, 2)""".stripMargin
       Curation13.searchSql(probed)
+    },
+
+    // A(d) = Σ_j (−1)^j C(4,j) Σ_t C(j,t) 16^t C(64−16j, d−t) counts
+    // the NON-candidate placements (every band ≥ 2 dirty bits);
+    // collide_ppm = ⌊(C(64,d) − A) · 1e6 / C(64,d)⌋ — exact HUGEINT
+    // binomials by the same integer recurrence as q567.
+    "q597_banding_curve_probed" ->
+      s"""WITH RECURSIVE binom(n, d, v) AS (
+         |  SELECT n, 0, CAST(1 AS HUGEINT)
+         |    FROM (VALUES (64), (48), (32), (16), (4), (3), (2), (1),
+         |      (0)) t(n)
+         |  UNION ALL
+         |  SELECT n, d + 1, v * (n - d) // (d + 1) FROM binom
+         |    WHERE d < n),
+         |p16(t, pv) AS (SELECT * FROM (VALUES (0, CAST(1 AS HUGEINT)),
+         |  (1, CAST(16 AS HUGEINT)), (2, CAST(256 AS HUGEINT)),
+         |  (3, CAST(4096 AS HUGEINT)), (4, CAST(65536 AS HUGEINT))) x),
+         |ds AS (SELECT unnest(range(0, 65)) AS d),
+         |jt AS (SELECT jj.j, tt.t
+         |  FROM (SELECT unnest(range(0, 5)) AS j) jj
+         |  CROSS JOIN (SELECT unnest(range(0, 5)) AS t) tt
+         |  WHERE tt.t <= jj.j),
+         |terms AS (SELECT ds.d,
+         |    CAST(CASE WHEN jt.j % 2 = 0 THEN 1 ELSE -1 END AS HUGEINT)
+         |      * cbj.v * cjt.v * p16.pv * coalesce(rest.v, 0) AS tm
+         |  FROM ds CROSS JOIN jt
+         |  JOIN binom cbj ON cbj.n = 4 AND cbj.d = jt.j
+         |  JOIN binom cjt ON cjt.n = jt.j AND cjt.d = jt.t
+         |  JOIN p16 ON p16.t = jt.t
+         |  LEFT JOIN binom rest ON rest.n = 64 - 16 * jt.j
+         |    AND rest.d = ds.d - jt.t),
+         |aa AS (SELECT d, sum(tm) AS a FROM terms GROUP BY d)
+         |SELECT CAST(aa.d AS BIGINT) AS dist,
+         |  CAST(((b64.v - aa.a) * 1000000) // b64.v AS BIGINT)
+         |    AS collide_ppm
+         |FROM aa JOIN binom b64 ON b64.n = 64 AND b64.d = aa.d
+         |ORDER BY dist""".stripMargin,
+
+    // Measured probed curve: candidacy = SOME band's 16-bit values
+    // within Hamming 1 (the engine's explicit variant probes).
+    "q598_banding_measured_probed" ->
+      s"""WITH ${Curation13.imgSearchCtes},
+         |cS1 AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS cid
+         |  FROM pbands a JOIN pbands b ON a.band = b.band
+         |    AND bit_count(xor(CAST(a.bv AS BIGINT),
+         |      CAST(b.bv AS BIGINT))) <= 1
+         |  WHERE a.doc_id IN (SELECT doc_id FROM qsS)
+         |    AND b.doc_id IN (SELECT doc_id FROM ixS)),
+         |bfS AS (SELECT x.doc_id AS qid, y.doc_id AS cid,
+         |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dist
+         |  FROM bits x JOIN bits y ON y.cy = x.cy AND y.cx = x.cx
+         |  WHERE x.doc_id IN (SELECT doc_id FROM qsS)
+         |    AND y.doc_id IN (SELECT doc_id FROM ixS)
+         |  GROUP BY 1, 2)
+         |SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cand,
+         |  (CAST(sum(CASE WHEN c.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |    AS cand_ppm
+         |FROM bfS b LEFT JOIN cS1 c ON c.qid = b.qid AND c.cid = b.cid
+         |GROUP BY dist ORDER BY dist""".stripMargin,
+
+    "q599_audio_probe_recall" -> {
+      val audProbed =
+        s"""${Curation12.audioCtes()},
+           |qsS AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+           |ixS AS (SELECT doc_id FROM documents
+           |  WHERE doc_id % 4 IN (0, 1, 2)),
+           |cS AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS cid
+           |  FROM abands a JOIN abands b ON a.band = b.band
+           |    AND bit_count(xor(CAST(a.bv AS BIGINT),
+           |      CAST(b.bv AS BIGINT))) <= 1
+           |  WHERE a.doc_id IN (SELECT doc_id FROM qsS)
+           |    AND b.doc_id IN (SELECT doc_id FROM ixS)),
+           |dS AS (SELECT c.qid, c.cid,
+           |    CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS dist
+           |  FROM cS c JOIN abits x ON x.doc_id = c.qid
+           |    JOIN abits y ON y.doc_id = c.cid AND y.i = x.i
+           |  GROUP BY 1, 2)""".stripMargin
+      Curation13.recallSql(audProbed, "abits", "y.i = x.i")
     },
 
     "q596_phash_probe_recall" -> {
