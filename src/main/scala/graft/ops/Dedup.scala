@@ -838,25 +838,30 @@ object Dedup {
     val blocked = rej.withColumn("content_hash", hash)
       .join(spark.read.parquet(s"$path/hashes.parquet"),
         Seq("content_hash"), "left_semi")
-    val exact = blocked
-      .join(corpus.select(hash.as("content_hash"),
-        col(idCol).as("__pid")), "content_hash")
+    // rejection-sized hash probe broadcast against the corpus scan
+    val exact = corpus
+      .select(hash.as("content_hash"), col(idCol).as("__pid"))
+      .join(broadcast(blocked), "content_hash")
       .groupBy(col(idCol)).agg(min(col("__pid")).as("partner_id"))
       .select(col(idCol), lit("exact").as("kind"), col("partner_id"),
         lit(1000000L).as("jaccard_ppm"))
       .localCheckpoint(true)
     val nr = rej.join(exact.select(col(idCol)), Seq(idCol), "left_anti")
-    val bandQ = lshBands(minhashSignatures(nr, textCol, idCol, n, k),
-        idCol, bands, k / bands)
-      .toDF("__qid", "band", "band_hash")
-    val cand = bandQ
-      .join(spark.read.parquet(s"$path/bands.parquet"), // stored bands
-        Seq("band", "band_hash"))
+    // rejection-sized band probe BROADCAST against the stored band
+    // stream (the incrementalDedup candidate-generation discipline:
+    // the 100 TB side never shuffles for candidates)
+    val bandQ = broadcast(
+      lshBands(minhashSignatures(nr, textCol, idCol, n, k),
+          idCol, bands, k / bands)
+        .toDF("__qid", "band", "band_hash"))
+    val cand = spark.read.parquet(s"$path/bands.parquet") // stored bands
+      .join(bandQ, Seq("band", "band_hash"))
       .select("__qid", "corpus_id").distinct()
     val gQ = nr.select(col(idCol).as("__qid"),
       explode(shingles(col(textCol), n)).as("g")).distinct()
     val gC = corpus
-      .join(cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol))
+      .join(broadcast(cand.select(col("corpus_id").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
       .select(col(idCol).as("corpus_id"),
         explode(shingles(col(textCol), n)).as("g")).distinct()
     val szQ = gQ.groupBy("__qid").agg(count(lit(1)).as("nb"))
