@@ -81,6 +81,28 @@ object Curation14 {
       (p, noop, days)
     })
 
+  /** The CURATION-side streamed compaction calendar
+    * ([[graft.streaming.CurationStream.runCompactCalendarStreamed]] —
+    * the q591/q592 symmetry: both calendars serve all three control
+    * ops).
+    */
+  private val curCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (graft.ops.CurationDay.Artifacts, Boolean, Seq[String],
+        Boolean)]()
+  private def curCompactStream(s: org.apache.spark.sql.SparkSession,
+                               dir: String)
+      : (graft.ops.CurationDay.Artifacts, Boolean, Seq[String],
+         Boolean) =
+    curCompactCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_cur_cmps_")
+      val a = graft.ops.CurationDay.Artifacts(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days, settled) =
+        graft.streaming.CurationStream.runCompactCalendarStreamed(s, d, a)
+      (a, noop, days, settled)
+    })
+
   /** The standalone lexical-evidence lifecycle: a persisted dedup
     * index over the %4 ∈ {0,1,2} corpus; the delta = the %4 == 3
     * organic docs plus two PLANTED witnesses (the pin-derived-sentinel
@@ -260,6 +282,27 @@ object Curation14 {
     "q599_audio_probe_recall" -> ((s, dir) => {
       val (_, pa, _, qa) = Curation13.searchLife(s, dir)
       PhashIndex.searchRecall(s, pa, qa, 5, probes = 1).orderBy("qid")
+    }),
+
+    // COMPACTION ON THE CURATION CALENDAR (the q591 symmetry): the
+    // op = "compact" slots settle the dedup index mid-chain;
+    // decisions stay bit-identical to the plain chain — a THIRD
+    // engine path onto the q505/q508 oracle.
+    "q600_cur_compact_stream_decisions" -> ((s, dir) =>
+      graft.ops.CurationNDay.allDecisions(s, curCompactStream(s, dir)._1)
+        .orderBy("day", "doc_id")),
+
+    // Its day-4 manifest + calendar facts: ledger holds the four
+    // admission days AND both compact slots; the replayed compact
+    // control was a pure no-op; the index genuinely fragmented after
+    // day 2 and settled to the target file count after compact4.
+    "q601_cur_compact_stream_cards" -> ((s, dir) => {
+      val (a, noop, days, settled) = curCompactStream(s, dir)
+      s.read.parquet(a.manifestDay(graft.ops.CurationNDay.NDays))
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .withColumn("files_settled", lit(if (settled) "1" else "0"))
+        .orderBy("shard")
     }))
 
   // ---- oracles ------------------------------------------------------
@@ -622,5 +665,31 @@ object Curation14 {
            |      AND y.cx = x.cx
            |  GROUP BY 1, 2)""".stripMargin
       Curation13.recallSql(probed, "bits", "y.cy = x.cy AND y.cx = x.cx")
+    },
+
+    // the plain chain's decision re-derivation, third engine path
+    // (compaction is content-invariant)
+    "q600_cur_compact_stream_decisions" -> Curation9.decisionsOracle,
+
+    // q506's grown4 manifest + the calendar-fact literals: ledger =
+    // four admission days + both compact slots (sorted), replay
+    // no-op'd, files genuinely fragmented-then-settled.
+    "q601_cur_compact_stream_cards" -> {
+      val h60 = (x: String) => graft.ops.Dedup.h60Sql(x)
+      s"""WITH ${Curation9.nDayCtes},
+         |m AS (SELECT doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${graft.ops.CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (${h60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS h
+         |  FROM grown4)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum,
+         |  'compact1_done,compact4_done,day1,day2,day3,day4'
+         |    AS ledger_days,
+         |  '1' AS replay_stable, '1' AS files_settled
+         |FROM m GROUP BY shard ORDER BY shard""".stripMargin
     })
 }

@@ -213,7 +213,7 @@ object Curation9 {
          |FROM final$k""".stripMargin
     }.mkString("\nUNION ALL\n")
 
-  private val decisionsOracle: String =
+  private[queries] val decisionsOracle: String =
     s"""WITH $nDayCtes
        |SELECT * FROM ($allDecisionsSql)
        |ORDER BY day, doc_id""".stripMargin

@@ -44,8 +44,9 @@ object CurationStream {
   /** Landing-file schema: the curation payload (doc_id, text) plus
     * the [[ControlChannel]] contract fields — op = null is admission
     * data, "ttl"/"cap" are retention slots whose scalar (keepFromDay
-    * / maxTokens) rides `doc_id` (see [[ControlChannel]] for the full
-    * channel contract both calendars share).
+    * / maxTokens) rides `doc_id`, "compact" is the index-maintenance
+    * slot (see [[ControlChannel]] for the full channel contract both
+    * calendars share).
     */
   val dropSchema: StructType = ControlChannel.schemaWith(
     StructField("doc_id", LongType),
@@ -108,9 +109,36 @@ object CurationStream {
                   graft.ops.Pack.rebuild(spark, a, CurationNDay.NDays)
               }: Unit
             }
+          // COMPACTION control (op = "compact", payload ignored): the
+          // dedup index's accrued per-day append files settled into
+          // right-sized ones IN the calendar — the mm chain's
+          // op = "compact" slot ([[MultiStream]]) on the curation
+          // side. Content-invariant by construction (staging +
+          // rename-swap, [[graft.ops.Dedup.compactDedupIndex]]), so
+          // every later day's decisions must stay bit-identical;
+          // single-phase, exactly-once via the slot's done row.
+          ControlChannel.payloads(rows, ControlChannel.OpCompact)
+            .foreach { _ =>
+              ControlChannel.slot(spark, a.ledger, s"compact${k}_done") {
+                graft.ops.Dedup.compactDedupIndex(spark, a.index,
+                  CompactParts)
+              }: Unit
+            }
         }
       }
       .start()
+
+  /** Target part-file count per index table after a calendar
+    * compaction slot (fixture-sized; a production calendar sizes this
+    * to `table_bytes / maxPartitionBytes`).
+    */
+  val CompactParts = 2
+
+  private def partFiles(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+  }
 
   /** Stage day k's drop into the landing dir as ONE parquet file named
     * `day<k>.parquet` (deterministic one-file-per-day granularity for
@@ -206,6 +234,53 @@ object CurationStream {
       s"cap${CurationNDay.NDays}", cap,
       a.manifestDay(CurationNDay.NDays), a.manifestRetract(1)) == 0
     (replayNoOp, CurationNDay.ledgerDays(spark, a.ledger), horizon)
+  }
+
+  /** The STREAMED COMPACTION calendar — the mm chain's
+    * [[MultiStream.runDays4CompactStreamed]] on the CURATION side
+    * (closing the op-coverage asymmetry the shared [[ControlChannel]]
+    * contract exposed: both calendars now serve all three ops): day 1,
+    * a compact1 slot, day 2 — the kill — days 3–4 plus the compact4
+    * slot and its REPLAY, the restart, drain. Compaction is
+    * content-invariant, so the decisions must stay bit-identical to
+    * the plain chain (q505/q508's oracle — a third engine path onto
+    * it), while the index's accrued append files settle into
+    * [[CompactParts]] right-sized ones. Returns (replayNoOp,
+    * ledgerDays, filesSettled): filesSettled witnesses NON-VACUITY —
+    * the hash table held more part files than the target after the
+    * day-2 append re-fragmented the compact1 result, and exactly the
+    * target once the compact4 slot committed.
+    */
+  def runCompactCalendarStreamed(spark: SparkSession, dir: String,
+                                 a: CurationDay.Artifacts)
+      : (Boolean, Seq[String], Boolean) = {
+    CurationNDay.bootstrapNDay(spark, dir, a)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    landDrop(spark, a, 1)
+    landControl(spark, a, slot = 1, payload = 0L, op = "compact")
+    landDrop(spark, a, 2) // mtime ladder: day1 < compact1 < day2
+    val q1 = start(spark, a, fetch)
+    try { q1.processAllAvailable() } finally q1.stop() // the kill
+    val fragmented = // day 2's append re-fragmented the compact1 result
+      partFiles(spark, s"${a.index}/hashes.parquet") > CompactParts
+    CurationNDay.writeDay4Drop(spark, dir, a)
+    landDrop(spark, a, 3); landDrop(spark, a, 4)
+    landControl(spark, a, slot = CurationNDay.NDays, payload = 0L,
+      op = "compact")
+    landControl(spark, a, slot = CurationNDay.NDays, payload = 0L,
+      op = "compact", name = "compact4_replay.parquet")
+    val q2 = start(spark, a, fetch) // same checkpoint: the restart
+    try { q2.processAllAvailable() } finally q2.stop()
+    val settled =
+      partFiles(spark, s"${a.index}/hashes.parquet") == CompactParts &&
+      partFiles(spark, s"${a.index}/bands.parquet") == CompactParts
+    // replay witness: the committed compact4 slot re-offered directly
+    val replayNoOp = !ControlChannel.slot(spark, a.ledger,
+      s"compact${CurationNDay.NDays}_done") {
+      graft.ops.Dedup.compactDedupIndex(spark, a.index, CompactParts)
+    }
+    (replayNoOp, CurationNDay.ledgerDays(spark, a.ledger),
+      fragmented && settled)
   }
 
   /** The full STREAMED N-day lifecycle with a kill/restart witnessed
