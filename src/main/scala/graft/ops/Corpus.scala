@@ -420,6 +420,93 @@ object Corpus {
         col("__best.r").as("contamination_ratio"), col("n_suites_hit"))
   }
 
+  /** CONTAMINATION REJECT EVIDENCE — the steward's "which benchmark
+    * document blocked me" query (the [[contaminationAttribution]]
+    * triage at DOC grain, and the contamination member of the
+    * reject-evidence family: [[Dedup.rejectEvidence]] names the
+    * lexical partner, [[graft.ops.PhashIndex.search]] the perceptual,
+    * the SemIndex cells the semantic): per document, the gate's OWN
+    * arithmetic (distinct n-grams, how many appear anywhere in the
+    * eval set, the exact integer ppm the ContamPpm threshold reads)
+    * plus the single most-overlapping eval document — partner =
+    * rank 1 by (shared distinct n-grams DESC, eval id ASC) — and the
+    * count of eval documents hit at all. Docs with zero eval overlap
+    * report null partner columns (a contaminated-flagged doc always
+    * has one — its flag WAS an overlap).
+    *
+    * 100 TB shape: the eval battery is model-sized next to the corpus
+    * — both eval frames (the global gram set and the per-doc gram
+    * pairs) are BROADCAST, so the corpus side streams map-only into
+    * a gram join keyed on its own exploded grams; nothing doc × doc,
+    * nothing driver-side.
+    */
+  def contaminationEvidence(corpus: DataFrame, eval: DataFrame,
+                            textCol: String, idCol: String,
+                            n: Int = 8): DataFrame = {
+    val grams = (c: Column) =>
+      explode(array_distinct(Dedup.shingles(c, n))).as("g")
+    val totals = corpus.select(col(idCol),
+      size(array_distinct(Dedup.shingles(col(textCol), n))).cast("long")
+        .as("n_grams"))
+    val dg = corpus.select(col(idCol), grams(col(textCol)))
+    val bg = eval.select(col(idCol).as("__pid"), grams(col(textCol)))
+      .distinct()
+    val global = dg.join(broadcast(bg.select("g").distinct()), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    // per-(doc, eval-doc) shared distinct grams -> rank-1 partner
+    val top = dg.join(broadcast(bg), "g")
+      .groupBy(col(idCol), col("__pid"))
+      .agg(count(lit(1)).as("shared"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("shared")).as("negs"),
+          col("__pid").as("pid"))).as("__best"),
+        count(lit(1)).as("n_eval_hit"))
+      .select(col(idCol), col("__best.pid").as("partner_id"),
+        (-col("__best.negs")).as("partner_shared"), col("n_eval_hit"))
+    totals.join(global, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contam_ppm",
+        idiv(col("n_contaminated") * 1000000L, col("n_grams")))
+      .join(top, Seq(idCol), "left")
+  }
+
+  /** REPETITION (QUALITY) REJECT EVIDENCE — the explanation behind a
+    * `low_quality` verdict from the duplicate-2-gram-mass gate
+    * ([[graft.ops.MultiDay.decisions6]] / the curation day's RepTenths
+    * contract): per document the gate's own integers (total 2-grams,
+    * distinct 2-grams, duplicate mass ×10 vs the RepTenths budget)
+    * plus the CULPRIT — the single most-repeated 2-gram (rank 1 by
+    * count DESC, gram ASC) and its count, so the steward sees "your
+    * doc repeats «of the» 17 times", not just a ratio. Docs with no
+    * repeated 2-gram report null culprit columns.
+    *
+    * Pure per-doc arithmetic: one shingle explode keyed by (doc,
+    * gram) — map-side combinable, nothing pairwise, output one row
+    * per input doc.
+    */
+  def repetitionEvidence(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame = {
+    val g2 = Dedup.shingles(col(textCol), 2)
+    val totals = df.select(col(idCol),
+      size(g2).cast("long").as("n_2grams"),
+      size(array_distinct(g2)).cast("long").as("n_distinct_2grams"))
+    val culprit = df
+      .select(col(idCol), explode(g2).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2L)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("c")).as("negc"), col("g").as("g")))
+        .as("__best"))
+      .select(col(idCol), col("__best.g").as("top_gram"),
+        (-col("__best.negc")).as("top_gram_n"))
+    totals
+      .withColumn("dup_mass_tenths",
+        (col("n_2grams") - col("n_distinct_2grams")) * 10L)
+      .withColumn("budget_tenths",
+        lit(CurationDay.RepTenths) * col("n_2grams"))
+      .join(culprit, Seq(idCol), "left")
+  }
+
   /** Cross-source syndication report: exact-copy groups that span MORE
     * THAN ONE source (wire-syndicated articles, mirrored pages) — the
     * duplication class a per-source dedup run never sees. One shuffle

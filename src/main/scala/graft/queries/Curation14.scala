@@ -303,6 +303,49 @@ object Curation14 {
         .withColumn("replay_stable", lit(if (noop) "1" else "0"))
         .withColumn("files_settled", lit(if (settled) "1" else "0"))
         .orderBy("shard")
+    }),
+
+    // CONTAMINATION REJECT EVIDENCE (completing the family — every
+    // six-stage rejection kind now explains itself: q584 perceptual,
+    // q585 semantic, q593/q594 lexical, here the contam post-gate):
+    // each d_contam rejection serves the gate's own integers and the
+    // most-overlapping BENCHMARK doc as its named partner.
+    "q602_mm6_contam_evidence" -> ((s, dir) => {
+      val p = Curation12.mm6(s, dir)
+      val rej = (1 to 2).map { k =>
+        s.read.parquet(p.decisionsDay(k))
+          .where(col("d_contam") === "contaminated")
+          .select(col("doc_id"), lit(k).as("day"))
+      }.reduce(_.unionByName(_))
+      val rejTexts = (1 to 2).map { k =>
+        s.read.parquet(p.dropDay(k)).select("doc_id", "text")
+      }.reduce(_.unionByName(_)).join(rej.select("doc_id"), "doc_id")
+      graft.ops.Corpus.contaminationEvidence(rejTexts,
+          MultiDay.benchOf(s, dir), "text", "doc_id")
+        .join(rej, "doc_id")
+        .select("day", "doc_id", "n_grams", "n_contaminated",
+          "contam_ppm", "partner_id", "partner_shared", "n_eval_hit")
+        .orderBy("day", "doc_id")
+    }),
+
+    // QUALITY REJECT EVIDENCE: each low_quality rejection serves the
+    // RepTenths gate's integers plus the culprit — the single
+    // most-repeated 2-gram and its count.
+    "q603_mm6_quality_evidence" -> ((s, dir) => {
+      val p = Curation12.mm6(s, dir)
+      val rej = (1 to 2).map { k =>
+        s.read.parquet(p.decisionsDay(k))
+          .where(col("d_qual") === "low_quality")
+          .select(col("doc_id"), lit(k).as("day"))
+      }.reduce(_.unionByName(_))
+      val rejTexts = (1 to 2).map { k =>
+        s.read.parquet(p.dropDay(k)).select("doc_id", "text")
+      }.reduce(_.unionByName(_)).join(rej.select("doc_id"), "doc_id")
+      graft.ops.Corpus.repetitionEvidence(rejTexts, "text", "doc_id")
+        .join(rej, "doc_id")
+        .select("day", "doc_id", "n_2grams", "n_distinct_2grams",
+          "dup_mass_tenths", "budget_tenths", "top_gram", "top_gram_n")
+        .orderBy("day", "doc_id")
     }))
 
   // ---- oracles ------------------------------------------------------
@@ -691,5 +734,85 @@ object Curation14 {
          |    AS ledger_days,
          |  '1' AS replay_stable, '1' AS files_settled
          |FROM m GROUP BY shard ORDER BY shard""".stripMargin
+    },
+
+    // contamination evidence re-derived from scratch: rejected ids
+    // off fin61/fin62's d_contam column, gram arithmetic over the
+    // drop texts vs the mbench per-doc gram sets, partner = rank 1
+    // by (shared DESC, id ASC) via a window.
+    "q602_mm6_contam_evidence" -> {
+      val sh8 = graft.ops.Dedup.shinglesSql("text", 8)
+      s"""WITH ${Curation12.mm6Ctes},
+         |rejC AS (SELECT 1 AS day, doc_id FROM fin61
+         |    WHERE d_contam = 'contaminated'
+         |  UNION ALL SELECT 2, doc_id FROM fin62
+         |    WHERE d_contam = 'contaminated'),
+         |rtxC AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text FROM lbL61
+         |    UNION ALL SELECT doc_id, text FROM lbL62)
+         |  WHERE doc_id IN (SELECT doc_id FROM rejC)),
+         |totC AS (SELECT doc_id,
+         |    CAST(len(list_distinct($sh8)) AS BIGINT) AS n_grams
+         |  FROM rtxC),
+         |rgC AS (SELECT doc_id, unnest(list_distinct($sh8)) AS g
+         |  FROM rtxC),
+         |globC AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_contaminated
+         |  FROM rgC JOIN mgr6 USING (g) GROUP BY 1),
+         |bpgC AS (SELECT doc_id AS pid,
+         |    unnest(list_distinct($sh8)) AS g FROM mbench),
+         |phC AS (SELECT rgC.doc_id, bpgC.pid,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM rgC JOIN bpgC USING (g) GROUP BY 1, 2),
+         |topC AS (SELECT doc_id, pid, shared, n_eval_hit FROM (
+         |  SELECT doc_id, pid, shared,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY shared DESC, pid) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+         |      AS n_eval_hit
+         |  FROM phC) WHERE rn = 1)
+         |SELECT r.day, r.doc_id, totC.n_grams, globC.n_contaminated,
+         |  CAST(globC.n_contaminated * 1000000 // totC.n_grams
+         |    AS BIGINT) AS contam_ppm,
+         |  topC.pid AS partner_id, topC.shared AS partner_shared,
+         |  topC.n_eval_hit
+         |FROM rejC r JOIN totC USING (doc_id)
+         |  JOIN globC USING (doc_id) JOIN topC USING (doc_id)
+         |ORDER BY day, doc_id""".stripMargin
+    },
+
+    // quality evidence re-derived: the RepTenths integers + the
+    // most-repeated 2-gram via (count DESC, gram ASC) window.
+    "q603_mm6_quality_evidence" -> {
+      val sh2 = graft.ops.Dedup.shinglesSql("text", 2)
+      val rt = graft.ops.CurationDay.RepTenths
+      s"""WITH ${Curation12.mm6Ctes},
+         |rejQ AS (SELECT 1 AS day, doc_id FROM fin61
+         |    WHERE d_qual = 'low_quality'
+         |  UNION ALL SELECT 2, doc_id FROM fin62
+         |    WHERE d_qual = 'low_quality'),
+         |rtxQ AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text FROM lbL61
+         |    UNION ALL SELECT doc_id, text FROM lbL62)
+         |  WHERE doc_id IN (SELECT doc_id FROM rejQ)),
+         |totQ AS (SELECT doc_id, CAST(len($sh2) AS BIGINT) AS n_2grams,
+         |    CAST(len(list_distinct($sh2)) AS BIGINT)
+         |      AS n_distinct_2grams
+         |  FROM rtxQ),
+         |ggQ AS (SELECT doc_id, unnest($sh2) AS g FROM rtxQ),
+         |gcQ AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM ggQ GROUP BY 1, 2),
+         |culQ AS (SELECT doc_id, g AS top_gram, c AS top_gram_n FROM (
+         |  SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, g) AS rn
+         |  FROM gcQ WHERE c >= 2) WHERE rn = 1)
+         |SELECT r.day, r.doc_id, totQ.n_2grams, totQ.n_distinct_2grams,
+         |  (totQ.n_2grams - totQ.n_distinct_2grams) * 10
+         |    AS dup_mass_tenths,
+         |  $rt * totQ.n_2grams AS budget_tenths,
+         |  culQ.top_gram, culQ.top_gram_n
+         |FROM rejQ r JOIN totQ USING (doc_id)
+         |  LEFT JOIN culQ USING (doc_id)
+         |ORDER BY day, doc_id""".stripMargin
     })
 }
