@@ -220,4 +220,34 @@ class Round14Spec extends AnyFunSuite {
     } finally graft.queries.Curation2.deleteDir(
       new java.io.File(root).getParent)
   }
+
+  // The branch the q602/q603 gates never exercise (their inputs are
+  // rejections, which overlap by definition): a CLEAN doc keeps its
+  // totals row and reports null partner/culprit columns.
+  test("contaminationEvidence/repetitionEvidence null contracts") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta eta " +
+      "theta iota kappa")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda"), // shares 8-grams with the eval doc
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val ce = graft.ops.Corpus.contaminationEvidence(docs, eval,
+      "text", "doc_id").orderBy("doc_id").collect()
+    assert(ce.length == 2)
+    assert(ce(0).getLong(3) > 0L // contam_ppm
+      && ce(0).getLong(4) == 100L) // partner_id
+    assert(ce(1).getLong(2) == 0L && ce(1).getLong(3) == 0L
+      && ce(1).isNullAt(4) && ce(1).isNullAt(5) && ce(1).isNullAt(6))
+    val re = graft.ops.Corpus.repetitionEvidence(Seq(
+        (1L, "spam ham spam ham spam eggs"),
+        (2L, "a b c d e f")).toDF("doc_id", "text"),
+      "text", "doc_id").orderBy("doc_id").collect()
+    assert(re.length == 2)
+    // culprit: "ham spam" and "spam ham" both occur twice -> the
+    // lexicographically smaller gram wins the tie
+    assert(re(0).getString(5) == "ham spam" && re(0).getLong(6) == 2L)
+    assert(re(1).getLong(1) == 5L && re(1).getLong(2) == 5L
+      && re(1).getLong(3) == 0L && re(1).isNullAt(5) && re(1).isNullAt(6))
+  }
 }
