@@ -69,6 +69,16 @@ object Layout {
     }
   }
 
+  /** Part-file count of a parquet directory — the calendars'
+    * compaction-slot non-vacuity witness (fragmented before, settled
+    * to the target after).
+    */
+  def partFiles(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+  }
+
   def swapInto(spark: SparkSession, staging: String, live: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val liveP = new org.apache.hadoop.fs.Path(live)

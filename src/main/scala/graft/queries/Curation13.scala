@@ -469,7 +469,7 @@ object Curation13 {
     * CLEAN indexes on day 3 and its verdict discloses that retention
     * genuinely re-opened admission through the calendar.
     */
-  private def mmCalCtes: String =
+  private[queries] def mmCalCtes: String =
     s"""${Curation12.mmCtes},
        |lcorpR AS MATERIALIZED (SELECT doc_id, text FROM lcorp1
        |  UNION ALL SELECT d.doc_id, d.text FROM pdocs d
@@ -591,7 +591,7 @@ object Curation13 {
        |      + (SELECT count(*) FROM smN))
        |ORDER BY modality, metric""".stripMargin
 
-  private def mmCalDecisionsSql: String =
+  private[queries] def mmCalDecisionsSql: String =
     s"""WITH $mmCalCtes
        |SELECT * FROM (
        |  SELECT 1 AS day, doc_id, d_lex, d_sem, d_ph, d_aud, decision

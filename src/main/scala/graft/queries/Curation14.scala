@@ -103,6 +103,25 @@ object Curation14 {
       (a, noop, days, settled)
     })
 
+  /** The FULL maintenance calendar — ttl + cap + compact interleaved
+    * in ONE streamed run
+    * ([[graft.streaming.MultiStream.runFullCalendarStreamed]]).
+    */
+  private val fullCalCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (MultiDay.Paths4, Boolean, Seq[String], Int, Boolean)]()
+  private def fullCal(s: org.apache.spark.sql.SparkSession,
+                      dir: String)
+      : (MultiDay.Paths4, Boolean, Seq[String], Int, Boolean) =
+    fullCalCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_mm_full_")
+      val p = MultiDay.Paths4(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days, horizon, settled) =
+        graft.streaming.MultiStream.runFullCalendarStreamed(s, d, p)
+      (p, noop, days, horizon, settled)
+    })
+
   /** The standalone lexical-evidence lifecycle: a persisted dedup
     * index over the %4 ∈ {0,1,2} corpus; the delta = the %4 == 3
     * organic docs plus two PLANTED witnesses (the pin-derived-sentinel
@@ -346,6 +365,30 @@ object Curation14 {
         .select("day", "doc_id", "n_2grams", "n_distinct_2grams",
           "dup_mass_tenths", "budget_tenths", "top_gram", "top_gram_n")
         .orderBy("day", "doc_id")
+    }),
+
+    // THE FULL MAINTENANCE CALENDAR (capstone): all three control ops
+    // interleaved in one streamed run — decisions bit-identical to
+    // the plain TTL calendar (the q569 oracle, shared verbatim:
+    // compaction is content-invariant, the cap follows the last
+    // admission).
+    "q604_mm_full_cal_decisions" -> ((s, dir) =>
+      MultiDay.allDecisions4(s, fullCal(s, dir)._1)
+        .orderBy("day", "doc_id")),
+
+    // Its cards: retained sets = day-2 + day-3 admissions only (day 1
+    // aged out by ttl2, the snapshot capped out by cap3 — pinned
+    // horizon 1); ledger holds the three admission days and all four
+    // maintenance slots; all three replayed controls no-op'd; the
+    // compact3 slot genuinely settled the lexical hash table.
+    "q605_mm_full_cal_cards" -> ((s, dir) => {
+      val (p, noop, days, horizon, settled) = fullCal(s, dir)
+      MultiDay.indexCards4(s, p)
+        .withColumn("keep_from", lit(horizon.toLong))
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .withColumn("files_settled", lit(if (settled) "1" else "0"))
+        .orderBy("modality", "metric")
     }))
 
   // ---- oracles ------------------------------------------------------
@@ -814,5 +857,39 @@ object Curation14 {
          |FROM rejQ r JOIN totQ USING (doc_id)
          |  LEFT JOIN culQ USING (doc_id)
          |ORDER BY day, doc_id""".stripMargin
-    })
+    },
+
+    // the plain TTL calendar's decisions oracle, shared verbatim —
+    // the capstone's compactions are content-invariant and its cap
+    // follows the last admission
+    "q604_mm_full_cal_decisions" -> Curation13.mmCalDecisionsSql,
+
+    // the q570 cards shape over the post-cap retained sets (day-2 +
+    // day-3 admissions; the snapshot leg of lcorpR capped out) + the
+    // calendar-fact literals
+    "q605_mm_full_cal_cards" ->
+      s"""WITH ${Curation13.mmCalCtes},
+         |retF AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text FROM pdocs d JOIN madm2 USING (doc_id)
+         |  UNION ALL SELECT d.doc_id, d.text FROM xdocs d
+         |    JOIN madmR ON madmR.doc_id = d.doc_id)
+         |SELECT *, CAST(1 AS BIGINT) AS keep_from,
+         |  'cap3,compact1,compact3,mm1,mm2,mm3,ttl2' AS ledger_days,
+         |  '1' AS replay_stable, '1' AS files_settled
+         |FROM (
+         |  SELECT 'lexical' AS modality, 'n_hashes' AS metric,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS value
+         |    FROM retF
+         |  UNION ALL SELECT 'lexical', 'n_band_rows',
+         |    4 * count(*) FROM retF
+         |  UNION ALL SELECT 'semantic', 'n_vecs', count(*) FROM retF
+         |  UNION ALL SELECT 'perceptual', 'n_hashes', count(*) FROM retF
+         |  UNION ALL SELECT 'perceptual', 'n_band_rows',
+         |    4 * count(*) FROM retF
+         |  UNION ALL SELECT 'audio', 'n_hashes', count(*) FROM retF
+         |  UNION ALL SELECT 'audio', 'n_band_rows',
+         |    4 * count(*) FROM retF
+         |  UNION ALL SELECT 'media', 'n_assets',
+         |    (SELECT count(*) FROM pdocs) + 3)
+         |ORDER BY modality, metric""".stripMargin)
 }

@@ -134,11 +134,8 @@ object CurationStream {
     */
   val CompactParts = 2
 
-  private def partFiles(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
-  }
+  private def partFiles(spark: SparkSession, path: String): Int =
+    graft.core.Layout.partFiles(spark, path)
 
   /** Stage day k's drop into the landing dir as ONE parquet file named
     * `day<k>.parquet` (deterministic one-file-per-day granularity for

@@ -215,6 +215,70 @@ object MultiStream {
     (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger))
   }
 
+  /** The FULL MAINTENANCE CALENDAR — all three control ops in ONE
+    * streamed run (every other calendar gate exercises one op per
+    * run; a production calendar interleaves them, and op
+    * composability is exactly what this capstone proves): day 1, a
+    * compact1 slot, day 2 — kill 1 — the ttl2 slot (expire day 1)
+    * plus its replay, the pin-derived day 3 — restart 1, kill 2 — a
+    * POST-day-3 cap3 slot (fixture `m2 + m3 + m0/2`, deterministically
+    * between tail(2) and tail(0) at any sf, so the pinned horizon
+    * always expires exactly the SNAPSHOT — the mass day 1 would have
+    * contributed is already zero after the ttl) plus its replay, a
+    * final compact3 slot — restart 2, drain.
+    *
+    * Decisions are bit-identical to the plain TTL calendar
+    * ([[runCalendarStreamed]] / the q569 oracle): the compactions are
+    * content-invariant and the cap runs after the last admission.
+    * The cards differ — the retained sets are day-2 + day-3
+    * admissions only (snapshot capped out, day 1 aged out). Returns
+    * (replayNoOp, ledgerDays, horizon, settled): replayNoOp re-offers
+    * all three committed controls directly (each must no-op via its
+    * ledger row); settled witnesses the compact3 slot's non-vacuity
+    * (the lexical hash table at exactly maintain4's one part file
+    * AFTER a calendar that appended days 2–3 and deleted twice
+    * post-compact1).
+    */
+  def runFullCalendarStreamed(spark: SparkSession, dir: String,
+                              p: MultiDay.Paths4)
+      : (Boolean, Seq[String], Int, Boolean) = {
+    MultiDay.bootstrap4(spark, dir, p)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    landDrop(spark, p, 1)
+    landControl(spark, p, 1, 0L, op = ControlChannel.OpCompact)
+    landDrop(spark, p, 2) // mtime ladder: day1 < compact1 < day2
+    val q1 = start(spark, p, fetch)
+    try { q1.processAllAvailable() } finally q1.stop() // kill 1
+    landControl(spark, p, 2, payload = 1L)
+    landControl(spark, p, 2, payload = 1L, name = "ctl2_replay.parquet")
+    MultiDay.writeDay3Drop(spark, dir, p)
+    landDrop(spark, p, 3)
+    val q2 = start(spark, p, fetch) // restart 1
+    try { q2.processAllAvailable() } finally q2.stop() // kill 2
+    val m = MultiDay.retainedMasses(spark, p, fetch)
+    val cap = m.getOrElse(2, 0L) + m.getOrElse(3, 0L) +
+      m.getOrElse(0, 0L) / 2L
+    landControl(spark, p, 3, cap, op = ControlChannel.OpCap)
+    landControl(spark, p, 3, cap, op = ControlChannel.OpCap,
+      name = "ctl_cap3_replay.parquet")
+    landControl(spark, p, 3, 0L, op = ControlChannel.OpCompact)
+    val q3 = start(spark, p, fetch) // restart 2
+    try { q3.processAllAvailable() } finally q3.stop()
+    val settled = graft.core.Layout.partFiles(spark,
+      s"${p.lex}/hashes.parquet") == 1
+    val horizon = spark.read.parquet(p.capHorizon("cap3"))
+      .head().getInt(0)
+    val replayNoOp =
+      !MultiDay.ttl4Day(spark, p, "ttl2", Seq(1),
+        MultiDay.indexedDocs(spark, p, fetch)) &&
+      MultiDay.cap4Day(spark, p, "cap3", cap, fetch) == 0 &&
+      !ControlChannel.slot(spark, p.ledger, "compact3") {
+        MultiDay.maintain4(spark, p)
+      }
+    (replayNoOp, CurationNDay.ledgerDays(spark, p.ledger), horizon,
+      settled)
+  }
+
   /** The STREAMED mm SIZE-CAP calendar (the r13 verdict's top task,
     * streamed engine): days 1–2 admit; STOP (the kill); the cap2
     * control (the [[MultiDay.capFixtureBytes]] deterministic-horizon
