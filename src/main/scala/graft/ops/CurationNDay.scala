@@ -393,6 +393,18 @@ object CurationNDay {
     * (keepFrom = 0, no mutation, `manifestOut` not written). Returns
     * the chosen `keepFromDay`, or 0 for the no-op / already-committed
     * cases.
+    *
+    * COMPOSITION BOUNDARY (why the all-three-ops calendar capstone,
+    * q604/q605, runs on the MULTIMODAL side): a ttl slot's
+    * [[Pack.rebuild]] lays the retained corpus out as ONE fresh tape
+    * — day segment 0 — so a cap slot scheduled AFTER a ttl in the
+    * same calendar would read zero mass for days 1..N and choose a
+    * vacuous horizon. Schedule curation cap slots before any
+    * ttl-triggered rebuild (compact slots compose anywhere — they
+    * touch no mass bookkeeping); the mm side's
+    * [[graft.ops.MultiDay.retainedMasses]] re-derives masses from
+    * the index membership + decision pins on every call, so its
+    * slots compose in any order.
     */
   def capDay(spark: SparkSession, a: CurationDay.Artifacts,
              dayId: String, maxTokens: Long, manifestIn: String,
