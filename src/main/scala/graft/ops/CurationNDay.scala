@@ -394,21 +394,22 @@ object CurationNDay {
     * the chosen `keepFromDay`, or 0 for the no-op / already-committed
     * cases.
     *
-    * COMPOSITION BOUNDARY (why the all-three-ops calendar capstone,
-    * q604/q605, runs on the MULTIMODAL side): a ttl slot's
-    * [[Pack.rebuild]] lays the retained corpus out as ONE fresh tape
-    * — day segment 0 — so a cap slot scheduled AFTER a ttl in the
-    * same calendar would read zero mass for days 1..N and choose a
-    * vacuous horizon. Schedule curation cap slots before any
-    * ttl-triggered rebuild (compact slots compose anywhere — they
-    * touch no mass bookkeeping); the mm side's
-    * [[graft.ops.MultiDay.retainedMasses]] re-derives masses from
-    * the index membership + decision pins on every call, so its
-    * slots compose in any order.
+    * COMPOSITION BOUNDARY: a ttl slot's [[Pack.rebuild]] lays the
+    * retained corpus out as ONE fresh tape — day segment 0 — so a cap
+    * slot scheduled AFTER a ttl in the same calendar would read zero
+    * mass for days 1..N here and choose a vacuous horizon. THIS
+    * variant (model-sized pack sums, no corpus scan) is for
+    * calendars whose cap precedes any rebuild; [[capDayPinned]]
+    * re-derives the masses from the decision pins + current corpus
+    * membership on every call (one corpus scan — the
+    * [[graft.ops.MultiDay.retainedMasses]] discipline) and composes
+    * in any order — the streamed cap slot and the q606/q607 full
+    * calendar run on it. Compact slots compose anywhere (they touch
+    * no mass bookkeeping).
     */
   def capDay(spark: SparkSession, a: CurationDay.Artifacts,
              dayId: String, maxTokens: Long, manifestIn: String,
-             manifestOut: String): Int = {
+             manifestOut: String): Int =
     if (ledgerSeen(spark, a.ledger, dayId)) 0
     else {
       val masses = (0 to NDays).map { k =>
@@ -416,32 +417,93 @@ object CurationNDay {
           .agg(coalesce(sum(col("n_tok")), lit(0L)).as("m"))
           .head().getLong(0) // one row per day file — model-sized
       }.toMap
-      // the decision-pin rule applied to retention: the computed
-      // horizon is PINNED before any mutation, so a replayed calendar
-      // slot whose cap committed can still read what the cap decided
-      // (the expiry-vs-no-op fact the tape-rebuild step needs)
-      def pinHorizon(kf: Int): Unit = {
-        import spark.implicits._
-        Seq(kf).toDF("keep_from_day")
-          .repartition(1)
-          .write.mode("overwrite").parquet(a.capHorizon(dayId))
-      }
-      if (masses.values.sum <= maxTokens) {
-        // keepFrom = 0: everything (snapshot + every day) fits —
-        // commit the check without expiring anything
-        pinHorizon(0)
-        appendLedger(spark, a.ledger, dayId)
-        0
-      } else {
-        val keepFrom = (1 to NDays).find { k =>
-          (k to NDays).map(masses).sum <= maxTokens
-        }.getOrElse(sys.error(
-          s"capDay: day $NDays alone exceeds the $maxTokens-token cap — " +
-            "whole-day expiry cannot satisfy it"))
-        pinHorizon(keepFrom)
-        ttlDay(spark, a, dayId, keepFrom, manifestIn, manifestOut): Unit
-        keepFrom
-      }
+      capWith(spark, a, dayId, maxTokens, masses, manifestIn,
+        manifestOut)
+    }
+
+  /** ORDER-INDEPENDENT retained token mass per admission day — the
+    * [[graft.ops.MultiDay.retainedMasses]] discipline on the curation
+    * side: a retained corpus doc admitted on pinned day k contributes
+    * its token mass to day k; a member of no pinned day is snapshot
+    * mass (day 0); an expired doc contributes nothing, because the
+    * masses come from the corpus's CURRENT membership, not from
+    * bookkeeping a prior slot may have rewritten. Costs one curated-
+    * corpus scan (vs [[capDay]]'s model-sized pack-file sums — the
+    * trade that buys any-order slot composition).
+    */
+  def pinnedMasses(spark: SparkSession,
+                   a: CurationDay.Artifacts): Map[Int, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(a.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinnedDays = (1 to NDays).filter(k =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        a.decisionsDay(k) + "/_SUCCESS")))
+    val corpus = spark.read.parquet(a.corpusDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("__tok"))
+    val admDay = pinnedDays.map { k =>
+      spark.read.parquet(a.decisionsDay(k))
+        .where(col("decision") === "admitted")
+        .select(col("doc_id"), lit(k).as("__day"))
+    }.reduceOption(_.unionByName(_))
+    val tagged = admDay match {
+      case Some(d) => corpus.join(d, Seq("doc_id"), "left")
+        .withColumn("__day", coalesce(col("__day"), lit(0)))
+      case None => corpus.withColumn("__day", lit(0))
+    }
+    val measured = tagged.groupBy("__day")
+      .agg(sum(col("__tok")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ((0 +: pinnedDays).map(k => k -> measured.getOrElse(k, 0L))).toMap
+  }
+
+  /** [[capDay]] on [[pinnedMasses]] — the COMPOSITION FIX for the
+    * boundary documented above: horizon choice, pinning, expiry, and
+    * the under-cap/loud-fail contracts are capDay's verbatim
+    * ([[capWith]] is shared), but the masses survive a prior ttl
+    * slot's tape rebuild, so a streamed calendar can schedule its
+    * slots in any order (the q606/q607 capstone). On a calendar where
+    * no prior slot rewrote the tape the two variants choose identical
+    * horizons — the pack segments ARE the per-day admitted masses
+    * there (q581/q582 hold unchanged with the streamed cap slot on
+    * this variant).
+    */
+  def capDayPinned(spark: SparkSession, a: CurationDay.Artifacts,
+                   dayId: String, maxTokens: Long, manifestIn: String,
+                   manifestOut: String): Int =
+    if (ledgerSeen(spark, a.ledger, dayId)) 0
+    else capWith(spark, a, dayId, maxTokens, pinnedMasses(spark, a),
+      manifestIn, manifestOut)
+
+  private def capWith(spark: SparkSession, a: CurationDay.Artifacts,
+                      dayId: String, maxTokens: Long,
+                      masses: Map[Int, Long], manifestIn: String,
+                      manifestOut: String): Int = {
+    // the decision-pin rule applied to retention: the computed
+    // horizon is PINNED before any mutation, so a replayed calendar
+    // slot whose cap committed can still read what the cap decided
+    // (the expiry-vs-no-op fact the tape-rebuild step needs)
+    def pinHorizon(kf: Int): Unit = {
+      import spark.implicits._
+      Seq(kf).toDF("keep_from_day")
+        .repartition(1)
+        .write.mode("overwrite").parquet(a.capHorizon(dayId))
+    }
+    if (masses.values.sum <= maxTokens) {
+      // keepFrom = 0: everything (snapshot + every day) fits —
+      // commit the check without expiring anything
+      pinHorizon(0)
+      appendLedger(spark, a.ledger, dayId)
+      0
+    } else {
+      val keepFrom = (1 to NDays).find { k =>
+        (k to NDays).map(d => masses.getOrElse(d, 0L)).sum <= maxTokens
+      }.getOrElse(sys.error(
+        s"capDay: day $NDays alone exceeds the $maxTokens-token cap — " +
+          "whole-day expiry cannot satisfy it"))
+      pinHorizon(keepFrom)
+      ttlDay(spark, a, dayId, keepFrom, manifestIn, manifestOut): Unit
+      keepFrom
     }
   }
 

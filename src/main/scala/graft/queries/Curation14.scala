@@ -122,6 +122,27 @@ object Curation14 {
       (p, noop, days, horizon, settled)
     })
 
+  /** The CURATION-side full maintenance calendar
+    * ([[graft.streaming.CurationStream.runFullCalendarStreamed]] —
+    * runnable because the streamed cap slot rides capDayPinned).
+    */
+  private val curFullCalCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (graft.ops.CurationDay.Artifacts, Boolean, Seq[String],
+        Int, Boolean)]()
+  private def curFullCal(s: org.apache.spark.sql.SparkSession,
+                         dir: String)
+      : (graft.ops.CurationDay.Artifacts, Boolean, Seq[String], Int,
+         Boolean) =
+    curFullCalCache.computeIfAbsent(dir, { d: String =>
+      val root = Curation2.tempIndexDir("graft_cur_full_")
+      val a = graft.ops.CurationDay.Artifacts(root)
+      sys.addShutdownHook(Curation2.deleteDir(root))
+      val (noop, days, horizon, settled) =
+        graft.streaming.CurationStream.runFullCalendarStreamed(s, d, a)
+      (a, noop, days, horizon, settled)
+    })
+
   /** The standalone lexical-evidence lifecycle: a persisted dedup
     * index over the %4 ∈ {0,1,2} corpus; the delta = the %4 == 3
     * organic docs plus two PLANTED witnesses (the pin-derived-sentinel
@@ -389,6 +410,31 @@ object Curation14 {
         .withColumn("replay_stable", lit(if (noop) "1" else "0"))
         .withColumn("files_settled", lit(if (settled) "1" else "0"))
         .orderBy("modality", "metric")
+    }),
+
+    // THE CURATION FULL CALENDAR (the q604 sibling, runnable because
+    // the streamed cap slot rides capDayPinned — decision-pinned
+    // masses that survive the ttl's tape rebuild): compact + ttl +
+    // cap + compact in one streamed run; decisions bit-identical to
+    // the plain chain (the q505/q508 oracle, fourth engine path).
+    "q606_cur_full_cal_decisions" -> ((s, dir) =>
+      graft.ops.CurationNDay.allDecisions(s, curFullCal(s, dir)._1)
+        .orderBy("day", "doc_id")),
+
+    // Its final manifest + calendar facts: post-cap corpus = days 3–4
+    // admissions (ttl4 aged out snapshot + day 1; cap4's pinned
+    // horizon 3 expired day 2); ledger holds four admission days and
+    // all six maintenance rows; every replayed control no-op'd; the
+    // compact4 slot re-settled the index the cap's rewrite had just
+    // re-fragmented.
+    "q607_cur_full_cal_cards" -> ((s, dir) => {
+      val (a, noop, days, horizon, settled) = curFullCal(s, dir)
+      s.read.parquet(a.manifestRetract(1))
+        .withColumn("keep_from", lit(horizon.toLong))
+        .withColumn("ledger_days", lit(days.mkString(",")))
+        .withColumn("replay_stable", lit(if (noop) "1" else "0"))
+        .withColumn("files_settled", lit(if (settled) "1" else "0"))
+        .orderBy("shard")
     }))
 
   // ---- oracles ------------------------------------------------------
@@ -891,5 +937,35 @@ object Curation14 {
          |    4 * count(*) FROM retF
          |  UNION ALL SELECT 'media', 'n_assets',
          |    (SELECT count(*) FROM pdocs) + 3)
-         |ORDER BY modality, metric""".stripMargin)
+         |ORDER BY modality, metric""".stripMargin,
+
+    // the plain chain's decisions oracle, fourth engine path (every
+    // maintenance slot follows the admissions it governs)
+    "q606_cur_full_cal_decisions" -> Curation9.decisionsOracle,
+
+    // the q576 manifest shape over days 3-4 admissions (ttl keepFrom
+    // 2 aged out snapshot + day 1; the cap's pinned horizon 3 expired
+    // day 2) + the calendar-fact literals
+    "q607_cur_full_cal_cards" -> {
+      val h60 = (x: String) => graft.ops.Dedup.h60Sql(x)
+      s"""WITH ${Curation9.nDayCtes},
+         |corpusF AS MATERIALIZED (
+         |  SELECT doc_id, text FROM admf3
+         |  UNION ALL SELECT doc_id, text FROM admf4),
+         |mF AS (SELECT doc_id,
+         |    CAST((${h60("CAST(doc_id AS VARCHAR)")})
+         |      % ${graft.ops.CurationDay.NShards} AS INT) AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    (${h60("CAST(doc_id AS VARCHAR) || ':' || text")}) AS h
+         |  FROM corpusF)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |  bit_xor(h) AS checksum,
+         |  CAST(3 AS BIGINT) AS keep_from,
+         |  'cap4,cap4_done,compact1_done,compact4_done,'
+         |    || 'day1,day2,day3,day4,ttl4,ttl4_done' AS ledger_days,
+         |  '1' AS replay_stable, '1' AS files_settled
+         |FROM mF GROUP BY shard ORDER BY shard""".stripMargin
+    })
 }

@@ -99,7 +99,11 @@ object CurationStream {
           ControlChannel.payloads(rows, ControlChannel.OpCap)
             .foreach { maxTok =>
               ControlChannel.slot(spark, a.ledger, s"cap${k}_done") {
-                CurationNDay.capDay(spark, a, s"cap$k", maxTok,
+                // the ORDER-INDEPENDENT variant: a calendar may
+                // schedule this slot after a ttl whose rebuild
+                // collapsed the pack day segments (identical horizons
+                // when it doesn't — see capDayPinned)
+                CurationNDay.capDayPinned(spark, a, s"cap$k", maxTok,
                   a.manifestDay(CurationNDay.NDays),
                   a.manifestRetract(1)): Unit
                 val horizon = spark.read
@@ -159,8 +163,21 @@ object CurationStream {
                   slot: Int, payload: Long, name: String = "",
                   op: String = "ttl"): Unit =
     ControlChannel.landControl(spark, a.landing, a.root, slot, op,
-      payload, if (name.isEmpty) s"ctl$slot.parquet" else name, a.bench,
-      slot * 60000L + (if (name.isEmpty) 40000L else 50000L))
+      payload,
+      if (name.isEmpty) s"ctl_${op}$slot.parquet" else name, a.bench,
+      slot * 60000L + opOff(op) + (if (name.isEmpty) 0L else 5000L))
+
+  /** Same-slot control ordering (the [[MultiStream]] ladder): ttl
+    * before cap before compact — all after the slot's admissions and
+    * their replays, before the next day — each op's replay 5 s after
+    * its original.
+    */
+  private def opOff(op: String): Long = op match {
+    case ControlChannel.OpTtl => 40000L
+    case ControlChannel.OpCap => 46000L
+    case ControlChannel.OpCompact => 52000L
+    case other => sys.error(s"landControl: unknown op $other")
+  }
 
   /** The STREAMED N-day lifecycle with the RETENTION CALENDAR slot
     * (r12 verdict task 2, curation side): days 1–2, the kill, days
@@ -227,7 +244,7 @@ object CurationStream {
     val horizon = spark.read
       .parquet(a.capHorizon(s"cap${CurationNDay.NDays}"))
       .head().getInt(0)
-    val replayNoOp = CurationNDay.capDay(spark, a,
+    val replayNoOp = CurationNDay.capDayPinned(spark, a,
       s"cap${CurationNDay.NDays}", cap,
       a.manifestDay(CurationNDay.NDays), a.manifestRetract(1)) == 0
     (replayNoOp, CurationNDay.ledgerDays(spark, a.ledger), horizon)
@@ -278,6 +295,73 @@ object CurationStream {
     }
     (replayNoOp, CurationNDay.ledgerDays(spark, a.ledger),
       fragmented && settled)
+  }
+
+  /** The CURATION-side FULL MAINTENANCE CALENDAR — all three control
+    * ops in ONE streamed run (the q604/q605 mm capstone's sibling,
+    * runnable because the streamed cap slot rides
+    * [[CurationNDay.capDayPinned]], whose decision-pinned masses
+    * survive the ttl slot's tape rebuild): day 1, a compact1 slot,
+    * day 2 — kill 1 — days 3–4, the ttl4 slot (keepFrom = 2: snapshot
+    * + day 1 out) plus its replay — restart 1, kill 2 — the cap4 slot
+    * (fixture `m4 + m3 + m2/2` over the POST-TTL pinned masses,
+    * deterministically between tail(3) and tail(2) at any sf, so the
+    * pinned horizon is always 3: day 2 expires) plus its replay, a
+    * final compact4 slot — restart 2, drain.
+    *
+    * Decisions stay bit-identical to the plain chain (q505/q508's
+    * oracle — every slot follows the admissions it governs; compact1
+    * is content-invariant). Returns (replayNoOp, ledgerDays, horizon,
+    * settled): replayNoOp re-offers all three committed controls
+    * directly; settled witnesses the compact4 slot re-settling the
+    * index the cap's expiry rewrite had just re-fragmented.
+    */
+  def runFullCalendarStreamed(spark: SparkSession, dir: String,
+                              a: CurationDay.Artifacts)
+      : (Boolean, Seq[String], Int, Boolean) = {
+    CurationNDay.bootstrapNDay(spark, dir, a)
+    val fetch = graft.core.Tables(spark, dir, "documents")
+    landDrop(spark, a, 1)
+    landControl(spark, a, slot = 1, payload = 0L, op = "compact")
+    landDrop(spark, a, 2) // mtime ladder: day1 < compact1 < day2
+    val q1 = start(spark, a, fetch)
+    try { q1.processAllAvailable() } finally q1.stop() // kill 1
+    CurationNDay.writeDay4Drop(spark, dir, a)
+    landDrop(spark, a, 3); landDrop(spark, a, 4)
+    landControl(spark, a, slot = CurationNDay.NDays, payload = 2L)
+    landControl(spark, a, slot = CurationNDay.NDays, payload = 2L,
+      name = "ctl_ttl4_replay.parquet")
+    val q2 = start(spark, a, fetch) // restart 1
+    try { q2.processAllAvailable() } finally q2.stop() // kill 2
+    val m = CurationNDay.pinnedMasses(spark, a)
+    val cap = m.getOrElse(4, 0L) + m.getOrElse(3, 0L) +
+      m.getOrElse(2, 0L) / 2L
+    landControl(spark, a, slot = CurationNDay.NDays, payload = cap,
+      op = "cap")
+    landControl(spark, a, slot = CurationNDay.NDays, payload = cap,
+      op = "cap", name = "ctl_cap4_replay.parquet")
+    landControl(spark, a, slot = CurationNDay.NDays, payload = 0L,
+      op = "compact")
+    val q3 = start(spark, a, fetch) // restart 2
+    try { q3.processAllAvailable() } finally q3.stop()
+    val settled =
+      partFiles(spark, s"${a.index}/hashes.parquet") == CompactParts &&
+      partFiles(spark, s"${a.index}/bands.parquet") == CompactParts
+    val horizon = spark.read
+      .parquet(a.capHorizon(s"cap${CurationNDay.NDays}"))
+      .head().getInt(0)
+    val replayNoOp =
+      !CurationNDay.ttlDay(spark, a, s"ttl${CurationNDay.NDays}", 2,
+        a.manifestDay(CurationNDay.NDays), a.manifestRetract(1)) &&
+      CurationNDay.capDayPinned(spark, a, s"cap${CurationNDay.NDays}",
+        cap, a.manifestDay(CurationNDay.NDays),
+        a.manifestRetract(1)) == 0 &&
+      !ControlChannel.slot(spark, a.ledger,
+        s"compact${CurationNDay.NDays}_done") {
+        graft.ops.Dedup.compactDedupIndex(spark, a.index, CompactParts)
+      }
+    (replayNoOp, CurationNDay.ledgerDays(spark, a.ledger), horizon,
+      settled)
   }
 
   /** The full STREAMED N-day lifecycle with a kill/restart witnessed
