@@ -30,7 +30,60 @@ object Tables {
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureTimeConfig(spark)
-    nsView(spark.read.parquet(s"$dir/$name.parquet"))
+    val df = nsView(spark.read.parquet(s"$dir/$name.parquet"))
+    if (spreadTables(spark)(name)) spread(spark, df, s"$dir/$name.parquet")
+    else df
+  }
+
+  /** Tables whose scans are spread by default ([[spread]]). Policy, not
+    * mechanism: `documents` carries the opaque text payload — virtually
+    * every consumer runs CPU-heavy per-row work (shingling, hashing,
+    * winnowing, decode) directly over the scan, where an under-parallel
+    * scan serializes the whole map side (measured 2x+ on the winnowing /
+    * repetition / contamination heads at sf0.1). Relational and event
+    * tables are NOT listed: their queries are exchange-bound, and the
+    * extra exchange measurably hurts (the CPU-heavy event sites — protocol
+    * decode, PII redact — opt in explicitly via Q.spreadIfNarrow instead).
+    * Override with `spark.graft.spreadTables` (comma list, empty = none).
+    */
+  private def spreadTables(spark: SparkSession): Set[String] =
+    spark.conf.get("spark.graft.spreadTables", "documents")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+
+  /** Scale-adaptive scan spread: when a table's on-disk bytes pack into
+    * fewer scan splits than the session has cores (FilePartition packing
+    * is `bytes / maxPartitionBytes`), every downstream per-row expression
+    * runs on that handful of tasks — a single-row-group fixture parquet
+    * executes the whole map side of a query on ONE core of 32. A
+    * round-robin repartition to core count immediately after the scan
+    * costs one exchange of the (by definition small) table and unlocks
+    * full parallelism for the shingling/hashing/decode work above it.
+    *
+    * Scale contract: the trigger is the measured file size, not a tuned
+    * constant — at production scale `scanPartitions >= cores` and this is
+    * a no-op, so no fact table is ever gratuitously shuffled. Tables under
+    * `spark.graft.spreadMinBytes` (default 48k) stay single-task: their
+    * per-row work cannot dominate, and the exchange would be pure
+    * overhead on dimension-table lookups. Filters and column pruning
+    * still reach the scan (PushPredicateThroughNonJoin / ColumnPruning
+    * traverse Repartition; pinned by PlanSpec), and results are
+    * partitioning-invariant by the repo's engine-exactness contract.
+    */
+  private[graft] def spread(spark: SparkSession, df: DataFrame,
+                            path: String): DataFrame = {
+    val minBytes = spark.conf.get("spark.graft.spreadMinBytes", "49152").toLong
+    if (minBytes < 0) return df
+    val cores = spark.sparkContext.defaultParallelism
+    val f = new java.io.File(path)
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.iterator.filter(_.isFile).map(_.length).sum)
+          .getOrElse(0L)
+      else f.length
+    val maxPartBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val scanPartitions = math.max(1L, (bytes + maxPartBytes - 1) / maxPartBytes)
+    if (bytes >= minBytes && scanPartitions < cores) df.repartition(cores) else df
   }
 
   /** int64-ns view of the event-time column. `withColumn` replaces in

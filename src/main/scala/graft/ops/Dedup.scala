@@ -521,6 +521,10 @@ object Dedup {
     e = graft.core.Ckpt(e) // per-round lineage cut; reliable-ckpt swappable
     var converged = false
     var i = 0
+    // Carried across iterations: this round's next.count() IS the next
+    // round's e.count() (e is checkpointed, so the value cannot drift) —
+    // recomputing it was one redundant count job per iteration.
+    var eCount = e.count()
     while (!converged && i < maxIter) {
       val next = graft.core.Ckpt(star(star(e, large = true), large = false))
       // Star steps only ever lower the larger endpoint's target, so an
@@ -528,8 +532,10 @@ object Dedup {
       // gate first (non-converged rounds almost always shrink the edge
       // set); equal cardinality + empty multiset-difference one way
       // implies set equality, so one exceptAll suffices.
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
       i += 1
     }
     // Converged state is a forest of stars: every edge is (member, root).

@@ -137,7 +137,7 @@ object MultiDay {
   private def m8(c: org.apache.spark.sql.Column) = pmod(c, lit(8L))
 
   private val pngUdf =
-    udf((id: Long) => Multimodal.syntheticPngVar(id))
+    Multimodal.pngVarUdf
 
   /** One day's organic drop: (doc_id, text, embedding, img). */
   private def organicDrop(spark: SparkSession, dir: String,

@@ -89,6 +89,28 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Shared payload-synthesis UDFs over [[syntheticPng]] /
+    * [[syntheticPngVar]]. Marked non-deterministic DELIBERATELY even
+    * though both functions are pure in the id: it pins the multi-KB
+    * payload synthesis ABOVE any scan-spread exchange (a deterministic
+    * projection gets sunk below the repartition, generating every image
+    * on the narrow scan's single task and then shuffling the bytes —
+    * backwards: distribute the 8-byte ids, synthesize in parallel) and
+    * stops the optimizer duplicating the synthesis under a pushed
+    * filter. Purity means the marker cannot change any result.
+    */
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates (and later deletes) a temp file, which is pure overhead for
+  // in-memory byte-array round trips and a filesystem contention point
+  // once decode runs on many tasks at once. The memory cache is exactly
+  // right for these payload sizes. JVM-global, set once on class load.
+  ImageIO.setUseCache(false)
+
+  val pngUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long) => syntheticPng(id)).asNondeterministic()
+  val pngVarUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long) => syntheticPngVar(id)).asNondeterministic()
+
   /** Deterministic synthetic grayscale PNG — the gate's image generator.
     * Dimensions and every pixel are pure integer functions of the id
     * (pixel(x,y) = (id*31 + x*7 + y*13) mod 256), so a SQL oracle can

@@ -96,7 +96,7 @@ object Curation11 {
       val root = Curation2.tempIndexDir("graft_phash_index_")
       val p = graft.ops.PhashIndex.Paths(root)
       sys.addShutdownHook(Curation2.deleteDir(root))
-      val png = udf((id: Long) => graft.ops.Multimodal.syntheticPngVar(id))
+      val png = graft.ops.Multimodal.pngVarUdf
       def hashed(pred: org.apache.spark.sql.Column) =
         graft.ops.Multimodal.dHash(graft.ops.Multimodal.decodeCells(
           t(s, d, "documents").where(pred)
@@ -140,7 +140,7 @@ object Curation11 {
       sys.addShutdownHook(Curation2.deleteDir(root))
       val docs = t(s, d, "documents").select("doc_id", "text")
       val emb = t(s, d, "embeddings").select("vec_id", "embedding")
-      val png = udf((id: Long) => graft.ops.Multimodal.syntheticPngVar(id))
+      val png = graft.ops.Multimodal.pngVarUdf
       def hashedOf(pred: org.apache.spark.sql.Column) =
         graft.ops.Multimodal.dHash(graft.ops.Multimodal.decodeCells(
           t(s, d, "documents").where(pred)

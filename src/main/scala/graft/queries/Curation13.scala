@@ -42,7 +42,7 @@ object Curation13 {
       val pImg = PhashIndex.Paths(s"$root/img")
       val pAud = PhashIndex.Paths(s"$root/aud")
       val docs = t(s, d, "documents").select("doc_id", "text")
-      val pngUdf = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      val pngUdf = Multimodal.pngVarUdf
       def imgHash(src: org.apache.spark.sql.DataFrame) =
         Multimodal.dHash(Multimodal.decodeCells(
           src.select(col("doc_id").as("media_id"),

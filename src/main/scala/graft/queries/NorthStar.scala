@@ -603,7 +603,7 @@ object NorthStar {
     // from the generator formula — verifying the actual encode->decode
     // path, not a stub.
     "q36_media_decode" -> ((s, dir) => {
-      val png = udf((id: Long) => Multimodal.syntheticPng(id))
+      val png = Multimodal.pngUdf
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), png(col("doc_id")).as("payload"))
       Multimodal.decodeFeatures(s, media)
@@ -621,7 +621,7 @@ object NorthStar {
     // mean comparisons) — the oracle re-derives every bit from the pixel
     // formula, verifying encode -> decode -> downsample -> hash.
     "q285_image_phash" -> ((s, dir) => {
-      val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      val png = Multimodal.pngVarUdf
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), png(col("doc_id")).as("payload"))
       Multimodal.dHash(Multimodal.decodeCells(media))
@@ -635,7 +635,7 @@ object NorthStar {
     // band; unrelated images have id-dependent gradients and fall out at
     // the Hamming verify. Candidates-then-verify, like MinHash-LSH.
     "q286_image_neardup" -> ((s, dir) => {
-      val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      val png = Multimodal.pngVarUdf
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
           png(col("doc_id") - pmod(col("doc_id"), lit(3L))).as("payload"))
@@ -768,7 +768,7 @@ object NorthStar {
     // replay == the batch q286 band-collision set (the oracle derives
     // the batch candidates from the pixel formula).
     "q298_streaming_phash" -> ((s, dir) => {
-      val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      val png = Multimodal.pngVarUdf
       val media = graft.core.Tables.stream(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
           png(col("doc_id") - pmod(col("doc_id"), lit(3L))).as("payload"))
@@ -978,7 +978,7 @@ object NorthStar {
     // REAL decoded features; the oracle re-derives vectors from the
     // pixel formula and replays the q29 ranking).
     "q304_image_feature_knn" -> ((s, dir) => {
-      val png = udf((id: Long) => Multimodal.syntheticPngVar(id))
+      val png = Multimodal.pngVarUdf
       val media = t(s, dir, "documents")
         .select(col("doc_id").as("media_id"), png(col("doc_id")).as("payload"))
       val feats = Multimodal.decodeCells(media)

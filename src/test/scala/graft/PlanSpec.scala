@@ -314,15 +314,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
   }
 
+  // The two op-shape tests below read documents.parquet RAW (no
+  // Tables.spread): they pin the OPS' own zero-shuffle contracts, which
+  // the table-level scan-spread exchange would otherwise mask.
   test("contextChunks is map-only: zero exchanges, fan-out without repartition") {
-    val docs = graft.core.Tables(spark, dir, "documents")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.ops.Corpus.contextChunks(docs, "text", "doc_id", 64, 32))
     assert(!p.contains("Exchange"), s"chunking must never shuffle:\n${p.take(2000)}")
   }
 
   test("phash pipeline: hash is map-only; near-dup is keyed exchanges, no quadratic join") {
     val png = udf((id: Long) => graft.ops.Multimodal.syntheticPngVar(id))
-    val media = graft.core.Tables(spark, dir, "documents")
+    val media = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"), png(col("doc_id")).as("payload"))
     val hashed = graft.ops.Multimodal.dHash(graft.ops.Multimodal.decodeCells(media))
     val hp = plan(hashed)

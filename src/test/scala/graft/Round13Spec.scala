@@ -171,8 +171,12 @@ class Round13Spec extends AnyFunSuite {
     val root = tmp("graft_r13_media_")
     try {
       val path = s"$root/media_hashes.parquet"
+      // fixture membership by PREDICATE, not prefix-limit: a bare limit
+      // over the (now scan-spread, multi-partition) documents table is
+      // not prefix-consistent across re-evaluations, so the later
+      // 7-id fetch could name rows the extend never stored
       val media = graft.core.Tables(spark, sf, "documents")
-        .limit(40)
+        .where(col("doc_id") < 40L)
         .select(col("doc_id").as("media_id"),
           col("text").cast("binary").as("payload"),
           col("text").cast("binary").as("audio"))
@@ -185,7 +189,7 @@ class Round13Spec extends AnyFunSuite {
       assert("PartitionFilters: \\[[^\\]]*mb".r.findFirstIn(scan).isDefined,
         s"expected mb partition pruning in:\n$scan")
       // correctness: the pruned fetch returns exactly the stored rows
-      val ids = media.select("media_id").limit(7)
+      val ids = media.select("media_id").where(col("media_id") < 7L)
       val got = graft.ops.MediaHashes.fetchImage(spark, path, ids)
       assert(got.count() == 7L)
       // compact keeps content and the bucketed layout

@@ -544,8 +544,10 @@ class Round8Spec extends AnyFunSuite {
   }
 
   test("domainSafeSplit: one split per domain, map-only plan") {
-    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001",
-      "documents").withColumn("url", graft.queries.Curation3.rawUrlCol)
+    // raw scan (no Tables.spread): this pins the OP's zero-shuffle
+    // contract, which the table-level spread exchange would mask
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", graft.queries.Curation3.rawUrlCol)
     val out = UrlOps.domainSafeSplit(docs, "url", "doc_id", 10, 10)
     val perDomain = out.groupBy("domain")
       .agg(countDistinct(col("split")).as("n"))

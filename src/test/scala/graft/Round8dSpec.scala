@@ -16,7 +16,10 @@ class Round8dSpec extends AnyFunSuite {
   test("plan pins: tranche 28 ops are keyed shuffles, no stray cartesians") {
     val sf = "/root/testdata/sf0.001"
     import TestSpark.{plan, bnlj}
-    val docs = graft.core.Tables(spark, sf, "documents")
+    // documents via raw scan (no Tables.spread): the readability pin
+    // asserts the OP adds zero exchanges, which the table-level spread
+    // exchange would mask
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
     val ev = graft.core.Tables(spark, sf, "events")
     // tfidf: word-keyed tf/df aggregates + ONE 1-row broadcast N
     val tk = plan(TextOps.tfidfKeywords(docs, "text", "doc_id"))
