@@ -40,14 +40,18 @@ object Tables {
     * every consumer runs CPU-heavy per-row work (shingling, hashing,
     * winnowing, decode) directly over the scan, where an under-parallel
     * scan serializes the whole map side (measured 2x+ on the winnowing /
-    * repetition / contamination heads at sf0.1). Relational and event
-    * tables are NOT listed: their queries are exchange-bound, and the
-    * extra exchange measurably hurts (the CPU-heavy event sites — protocol
-    * decode, PII redact — opt in explicitly via Q.spreadIfNarrow instead).
+    * repetition / contamination heads at sf0.1); `embeddings` is the
+    * vector sibling — per-row dim-64 dot products against broadcast
+    * centroid/label matrices (measured: the ANN basket q251/q264/q275/
+    * q306/q308/q310/q326 fell from ~37 s to ~15 s at sf0.1). Relational
+    * and event tables are NOT listed: their queries are exchange-bound,
+    * and the extra exchange measurably hurts (the CPU-heavy event sites —
+    * protocol decode, PII redact — opt in explicitly via Q.spreadIfNarrow
+    * instead).
     * Override with `spark.graft.spreadTables` (comma list, empty = none).
     */
   private def spreadTables(spark: SparkSession): Set[String] =
-    spark.conf.get("spark.graft.spreadTables", "documents")
+    spark.conf.get("spark.graft.spreadTables", "documents,embeddings")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
 
   /** Scale-adaptive scan spread: when a table's on-disk bytes pack into

@@ -293,7 +293,12 @@ object PhashIndex {
       .reduce(_ + _)
     val w = Window.partitionBy("__qid")
       .orderBy(col("dist"), col("__cid"))
-    val exact = side(spark.read.parquet(p.hashes), "__cid")
+    // spread the stream side: the brute-force scoring is CPU per
+    // (index row x query), and the hashes artifact scans as one split at
+    // fixture scale (Tables.spread is a size-gated no-op at production
+    // index sizes, where the scan is already parallel)
+    val exact = side(graft.core.Tables.spread(spark,
+        spark.read.parquet(p.hashes), p.hashes), "__cid")
       .crossJoin(broadcast(side(q, "__qid"))) // sample × index
       .withColumn("dist", hamming("__qid", "__cid").cast("long"))
       .withColumn("rank", row_number().over(w))
@@ -342,7 +347,8 @@ object PhashIndex {
           .bitwiseXOR(col(s"__cid_r${2 * b + 1}")))
       bd <= probes
     }.reduce(_ || _)
-    side(spark.read.parquet(p.hashes), "__cid")
+    side(graft.core.Tables.spread(spark, // parallel brute-force side
+        spark.read.parquet(p.hashes), p.hashes), "__cid")
       .crossJoin(broadcast(side(q, "__qid"))) // sample × index
       .select(dist.as("dist"),
         when(collide, 1L).otherwise(0L).as("__c"))

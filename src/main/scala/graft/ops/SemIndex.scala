@@ -116,7 +116,8 @@ object SemIndex {
     val asg = assigned(spark, delta, p).localCheckpoint(true)
     val cells = asg.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by NCells
-    val idx = spark.read.parquet(p.index)
+    val idx = graft.core.Tables.spread(spark, // cell filter still pushes
+        spark.read.parquet(p.index), p.index)   // through the spread
       .where(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(col("cell"), col("e").as("ce"), col("n").as("cn"))
     val hits = asg.join(idx, Seq("cell"))
@@ -223,7 +224,8 @@ object SemIndex {
         explode(col("cells").getField("sid")).as("cell"))
     val cells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by NCells
-    val idx = spark.read.parquet(p.index)
+    val idx = graft.core.Tables.spread(spark, // cell filter still pushes
+        spark.read.parquet(p.index), p.index)   // through the spread
       .where(col("cell").isin(cells.map(Integer.valueOf): _*))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vec_id"))
@@ -295,7 +297,11 @@ object SemIndex {
       .select(col("qid"), col("qe"), col("qn"),
         (col("pos") + 1).cast("long").as("crank"), col("col").as("cell"))
     val scored = probes
-      .join(spark.read.parquet(p.index), Seq("cell"))
+      // spread the index side: per-pair cosine scoring is the cost, and
+      // the index artifact scans as one split at fixture scale
+      // (size-gated no-op at production index sizes)
+      .join(graft.core.Tables.spread(spark,
+        spark.read.parquet(p.index), p.index), Seq("cell"))
       .select(col("qid"), col("vec_id"),
         (Similarity.dot(col("qe"), col("e"))
           / (col("qn") * col("n"))).as("cos"),
