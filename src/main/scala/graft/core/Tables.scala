@@ -35,6 +35,29 @@ object Tables {
     else df
   }
 
+  /** [[apply]] WITHOUT the scan spread — the consumer-sensitive opt-out
+    * (guide §2.4: remove shuffles outright). The spread pays off only
+    * when heavy per-row work runs directly over an under-parallel scan;
+    * two consumer classes measurably LOSE from it instead:
+    *
+    *  - exchange-bound consumers (dedup/CC/index-append): the first
+    *    downstream op is itself a shuffle, so the spread exchange is a
+    *    pure extra pass (measured r14: q240 +0.8 s, q253 +0.9 s,
+    *    q352 +2.3 s at local[32]);
+    *  - lifecycle internals (curation/multimodal calendars): hundreds
+    *    of SMALL jobs re-evaluate the table lineage, and each re-pays
+    *    the exchange as ~cores extra tasks of pure overhead (measured:
+    *    the cap4 calendar's task time is 6x lower without the spread,
+    *    218 s vs 1248 s at sf0.1/local[32]).
+    *
+    * Results are identical by the engine-exactness contract
+    * (partitioning-invariance); only the exchange is removed.
+    */
+  def plain(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureTimeConfig(spark)
+    nsView(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
   /** Tables whose scans are spread by default ([[spread]]). Policy, not
     * mechanism: `documents` carries the opaque text payload — virtually
     * every consumer runs CPU-heavy per-row work (shingling, hashing,
@@ -108,7 +131,7 @@ object Tables {
     *  - the NsEpochPushdown optimizer rule is registered so ns-literal
     *    range predicates over the `ts` ns-view still prune at the scan.
     */
-  private def ensureTimeConfig(spark: SparkSession): Unit = {
+  private def ensureTimeConfig(spark: SparkSession): Unit = synchronized {
     val nanosK = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(nanosK).contains("true")) spark.conf.set(nanosK, "true")
     val ntzK = "spark.sql.parquet.inferTimestampNTZ.enabled"

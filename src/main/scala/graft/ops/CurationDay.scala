@@ -135,15 +135,16 @@ object CurationDay {
                                           a: Artifacts): DataFrame = {
     val curated = curateBatch(pool.where(snapPred), bench)
       .localCheckpoint(true) // feeds index + manifest builds + sentinel
-    Dedup.writeDedupIndex(curated, "text", "doc_id", a.index,
-      NGram, K, Bands)
-    graft.core.Layout.shardManifest(
-        Corpus.shardAssign(curated, "doc_id", NShards)
-          .select("doc_id", "shard")
-          .join(curated.select(col("doc_id"), col("text"),
-            nTok(col("text")).as("n_tok")), "doc_id"),
-        "shard", "doc_id", "n_tok", "text")
-      .write.mode("overwrite").parquet(a.manifest0)
+    graft.core.Par.run( // disjoint artifacts off the pinned snapshot
+      () => Dedup.writeDedupIndex(curated, "text", "doc_id", a.index,
+        NGram, K, Bands),
+      () => graft.core.Layout.shardManifest(
+          Corpus.shardAssign(curated, "doc_id", NShards)
+            .select("doc_id", "shard")
+            .join(curated.select(col("doc_id"), col("text"),
+              nTok(col("text")).as("n_tok")), "doc_id"),
+          "shard", "doc_id", "n_tok", "text")
+        .write.mode("overwrite").parquet(a.manifest0))
     curated
   }
 
@@ -156,13 +157,13 @@ object CurationDay {
     * construction on any future fixture.
     */
   private[ops] def curationEvents(spark: SparkSession, dir: String): DataFrame =
-    graft.core.Tables(spark, dir, "events")
+    graft.core.Tables.plain(spark, dir, "events")
       .where(col("ts").isNotNull && col("event_type").isNotNull)
       .select("event_id", "user_id", "event_type", "ts", "value")
 
   private[ops] def poolBench(spark: SparkSession,
                              dir: String): (DataFrame, DataFrame) = {
-    val docs = graft.core.Tables(spark, dir, "documents")
+    val docs = graft.core.Tables.plain(spark, dir, "documents")
     (docs.where(col("source") =!= "src0").select("doc_id", "text"),
       docs.where(col("source") === "src0").select("doc_id", "text"))
   }
@@ -378,7 +379,7 @@ object CurationDay {
     */
   def writeDay2Drop(spark: SparkSession, dir: String, a: Artifacts,
                     dec1: DataFrame): Unit = {
-    val pool = graft.core.Tables(spark, dir, "documents")
+    val pool = graft.core.Tables.plain(spark, dir, "documents")
       .where(col("source") =!= "src0")
       .select("doc_id", "text")
     val admf1 = dec1.where(col("decision") === "admitted")

@@ -69,35 +69,40 @@ object CurationNDay {
   def bootstrapNDay(spark: SparkSession, dir: String,
                     a: CurationDay.Artifacts): Unit = {
     val (pool, bench) = CurationDay.poolBench(spark, dir)
-    bench.write.mode("overwrite").parquet(a.bench)
     val curated = CurationDay.buildSnapshotArtifacts(pool, bench,
       pmod(col("doc_id"), lit(8L)) >= 4, a)
-    // materialize the PRODUCT: the curated snapshot, shard-partitioned
-    // (same shard rule the decisions assign delta docs with)
-    Corpus.shardAssign(curated, "doc_id", CurationDay.NShards)
-      .select("doc_id", "shard").join(curated, "doc_id")
-      .select(col("doc_id"), col("text"), col("shard"))
-      .write.partitionBy("shard").mode("overwrite").parquet(a.corpusDir)
-    // day 0 of the pack tape: the snapshot laid out from token 0
-    Pack.packDayStep(spark, a, 0,
-      spark.read.parquet(a.corpusDir).select(col("doc_id"), col("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tok")))
-    (1 to 3).foreach { k =>
-      pool.where(pmod(col("doc_id"), lit(8L)) === (k - 1).toLong)
-        .write.mode("overwrite").parquet(a.dropDay(k))
-    }
     val ev = CurationDay.curationEvents(spark, dir)
-    (1 to NDays).foreach { k =>
-      ev.where(dayEventPred(k))
-        .write.mode("overwrite").parquet(a.eventsDay(k))
-    }
     val boot = ev.where(col("ts") < Cuts.head)
-    Scale.aggState(boot, "event_type", CurationDay.guardedValue)
-      .write.mode("overwrite").parquet(a.aggStateDay(0))
-    Scale.writeDistinctState(boot, "event_type", "user_id", 16,
-      a.distinctState)
-    Scale.writeCentHist(boot, "event_type", CurationDay.guardedValue,
-      a.centStateDay(0))
+    // every remaining artifact reads only the pinned snapshot / base
+    // tables and writes its own path — overlap them all (guide §2.6)
+    graft.core.Par.run(
+      (Seq(
+        () => bench.write.mode("overwrite").parquet(a.bench),
+        () => { // corpus product, then day 0 of the pack tape off it
+          // materialize the PRODUCT: the curated snapshot, shard-
+          // partitioned (same shard rule the decisions assign with)
+          Corpus.shardAssign(curated, "doc_id", CurationDay.NShards)
+            .select("doc_id", "shard").join(curated, "doc_id")
+            .select(col("doc_id"), col("text"), col("shard"))
+            .write.partitionBy("shard").mode("overwrite")
+            .parquet(a.corpusDir)
+          Pack.packDayStep(spark, a, 0,
+            spark.read.parquet(a.corpusDir).select(col("doc_id"),
+              col("shard"),
+              size(split(col("text"), " ")).cast("long").as("n_tok")))
+        },
+        () => Scale.aggState(boot, "event_type", CurationDay.guardedValue)
+          .write.mode("overwrite").parquet(a.aggStateDay(0)),
+        () => Scale.writeDistinctState(boot, "event_type", "user_id", 16,
+          a.distinctState),
+        () => Scale.writeCentHist(boot, "event_type",
+          CurationDay.guardedValue, a.centStateDay(0))) ++
+      (1 to 3).map(k => () =>
+        pool.where(pmod(col("doc_id"), lit(8L)) === (k - 1).toLong)
+          .write.mode("overwrite").parquet(a.dropDay(k))) ++
+      (1 to NDays).map(k => () =>
+        ev.where(dayEventPred(k))
+          .write.mode("overwrite").parquet(a.eventsDay(k)))): _*)
   }
 
   /** The day-4 drop: organic doc_id%8 == 3 plus two sentinels that
@@ -210,36 +215,51 @@ object CurationNDay {
         d.write.mode("overwrite").parquet(a.decisionsDay(k))
         d
       }
-    CurationDay.admitDayOf(spark, a, dec, drop,
-      a.manifestDay(k - 1), a.manifestDay(k))
-    // corpus append, replay-safe the appendDistinctState way: the
-    // day's admitted docs anti-join a PARTITION-PRUNED read of only
-    // their own shards before appending
+    // ONE admitted-frame derivation feeds every artifact update below
+    // (previously admitDayOf re-derived + re-checkpointed its own copy)
     val adm = CurationDay.admittedOf(dec, drop)
       .select("doc_id", "text", "shard", "n_tok").localCheckpoint(true)
-    val touched = adm.select("shard").distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by NShards
-    val existing = spark.read.parquet(a.corpusDir)
-      .where(col("shard").isin(touched.map(Integer.valueOf): _*))
-      .select("doc_id", "shard")
-    adm.select("doc_id", "text", "shard")
-      .join(existing, Seq("doc_id", "shard"), "left_anti")
-      .localCheckpoint(true) // the anti-join reads the table being appended
-      .write.partitionBy("shard").mode("append").parquet(a.corpusDir)
-    // extend the pack tape by the day's admissions (overwrite of the
-    // day's own layout + state file: replay-idempotent like the rest)
-    Pack.packDayStep(spark, a, k, adm)
     val ev = spark.read.parquet(a.eventsDay(k))
-    Scale.foldAggState(spark.read.parquet(a.aggStateDay(k - 1)), ev,
-        "event_type", CurationDay.guardedValue)
-      .select("event_type", "n_rows", "sum_cents")
-      .write.mode("overwrite").parquet(a.aggStateDay(k))
-    Scale.appendDistinctState(spark, a.distinctState, ev,
-      "event_type", "user_id", 16)
-    Scale.foldCentHist(spark, a.centStateDay(k - 1), ev,
-        "event_type", CurationDay.guardedValue)
-      .localCheckpoint(true) // reads day k-1's file; pin before write
-      .write.mode("overwrite").parquet(a.centStateDay(k))
+    // the seven artifact updates read only pinned frames / day-(k−1)
+    // files and write disjoint outputs — overlap them (guide §2.6)
+    graft.core.Par.run(
+      // dedup-index append + manifest fold (admitDayOf inlined over the
+      // shared adm)
+      () => Dedup.appendDedupIndex(adm.select("doc_id", "text"), "text",
+        "doc_id", a.index, CurationDay.NGram, CurationDay.K,
+        CurationDay.Bands),
+      () => CurationDay.foldManifest(
+          spark.read.parquet(a.manifestDay(k - 1)),
+          graft.core.Layout.shardManifest(adm, "shard", "doc_id",
+            "n_tok", "text"))
+        .write.mode("overwrite").parquet(a.manifestDay(k)),
+      // corpus append, replay-safe the appendDistinctState way: the
+      // day's admitted docs anti-join a PARTITION-PRUNED read of only
+      // their own shards before appending
+      () => {
+        val touched = adm.select("shard").distinct()
+          .collect().map(_.getInt(0)).sorted // bounded by NShards
+        val existing = spark.read.parquet(a.corpusDir)
+          .where(col("shard").isin(touched.map(Integer.valueOf): _*))
+          .select("doc_id", "shard")
+        adm.select("doc_id", "text", "shard")
+          .join(existing, Seq("doc_id", "shard"), "left_anti")
+          .localCheckpoint(true) // anti-join reads the appended table
+          .write.partitionBy("shard").mode("append").parquet(a.corpusDir)
+      },
+      // extend the pack tape by the day's admissions (overwrite of the
+      // day's own layout + state file: replay-idempotent like the rest)
+      () => Pack.packDayStep(spark, a, k, adm),
+      () => Scale.foldAggState(spark.read.parquet(a.aggStateDay(k - 1)),
+          ev, "event_type", CurationDay.guardedValue)
+        .select("event_type", "n_rows", "sum_cents")
+        .write.mode("overwrite").parquet(a.aggStateDay(k)),
+      () => Scale.appendDistinctState(spark, a.distinctState, ev,
+        "event_type", "user_id", 16),
+      () => Scale.foldCentHist(spark, a.centStateDay(k - 1), ev,
+          "event_type", CurationDay.guardedValue)
+        .localCheckpoint(true) // reads day k-1's file; pin before write
+        .write.mode("overwrite").parquet(a.centStateDay(k)))
   }
 
   /** The batch engine path: bootstrap, three organic days, then the
@@ -249,7 +269,7 @@ object CurationNDay {
   def runDaysBatch(spark: SparkSession, dir: String,
                    a: CurationDay.Artifacts): Unit = {
     bootstrapNDay(spark, dir, a)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     (1 to 3).foreach { k =>
       processDay(spark, a, k, spark.read.parquet(a.dropDay(k)), fetch): Unit
     }

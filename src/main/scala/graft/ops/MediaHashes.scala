@@ -112,11 +112,26 @@ object MediaHashes {
     */
   def fetchImage(spark: SparkSession, path: String,
                  ids: DataFrame): DataFrame =
-    pruned(spark, path, ids).select(col("media_id") +: rcols: _*)
+    imageOf(pruned(spark, path, ids))
 
   def fetchAudio(spark: SparkSession, path: String,
                  ids: DataFrame): DataFrame =
-    pruned(spark, path, ids).select(col("media_id") +:
+    audioOf(pruned(spark, path, ids))
+
+  /** One id-pruned fetch serving BOTH modalities: callers that need the
+    * image AND audio signatures of the same id set (every admission
+    * day) materialize [[fetchBoth]] once and split with [[imageOf]] /
+    * [[audioOf]] — one bucket collect + one fetch job instead of two
+    * of each.
+    */
+  def fetchBoth(spark: SparkSession, path: String,
+                ids: DataFrame): DataFrame = pruned(spark, path, ids)
+
+  def imageOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("media_id") +: rcols: _*)
+
+  def audioOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("media_id") +:
       (0 until 8).map(i => col(s"a$i").as(s"r$i")): _*)
 
   private def pruned(spark: SparkSession, path: String,

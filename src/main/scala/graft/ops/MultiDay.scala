@@ -142,9 +142,9 @@ object MultiDay {
   /** One day's organic drop: (doc_id, text, embedding, img). */
   private def organicDrop(spark: SparkSession, dir: String,
                           pred: org.apache.spark.sql.Column): DataFrame =
-    graft.core.Tables(spark, dir, "documents")
+    graft.core.Tables.plain(spark, dir, "documents")
       .select("doc_id", "text").where(pred)
-      .join(graft.core.Tables(spark, dir, "embeddings")
+      .join(graft.core.Tables.plain(spark, dir, "embeddings")
         .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
       .withColumn("img",
         pngUdf(col("doc_id") - pmod(col("doc_id"), lit(2L))))
@@ -165,19 +165,25 @@ object MultiDay {
   def bootstrap4(spark: SparkSession, dir: String, p: Paths4): Unit = {
     val snap = organicDrop(spark, dir, m8(col("doc_id")) >= 4L)
       .localCheckpoint(true)
-    Dedup.writeDedupIndex(snap, "text", "doc_id", p.lex, NGram, K, Bands)
-    SemIndex.bootstrap(spark,
-      snap.select(col("doc_id").as("vec_id"), col("embedding")), p.sem)
-    MediaHashes.extend(spark, p.media, mediaOf(snap))
-    val ids = snap.select(col("doc_id").as("media_id"))
-    PhashIndex.write(spark,
-      MediaHashes.fetchImage(spark, p.media, ids), p.ph)
-    PhashIndex.write(spark,
-      MediaHashes.fetchAudio(spark, p.media, ids), p.aud)
-    organicDrop(spark, dir, m8(col("doc_id")) === 0L)
-      .write.mode("overwrite").parquet(p.dropDay(1))
-    organicDrop(spark, dir, m8(col("doc_id")) === 1L)
-      .write.mode("overwrite").parquet(p.dropDay(2))
+    // all tracks read only the pinned snapshot / base tables and write
+    // disjoint artifacts — overlap them (guide §2.6)
+    graft.core.Par.run(
+      () => Dedup.writeDedupIndex(snap, "text", "doc_id", p.lex, NGram,
+        K, Bands),
+      () => SemIndex.bootstrap(spark,
+        snap.select(col("doc_id").as("vec_id"), col("embedding")), p.sem),
+      () => { // media chain: extend, then both index writes off it
+        MediaHashes.extend(spark, p.media, mediaOf(snap))
+        val sigs = MediaHashes.fetchBoth(spark, p.media,
+          snap.select(col("doc_id").as("media_id"))).localCheckpoint(true)
+        graft.core.Par.run(
+          () => PhashIndex.write(spark, MediaHashes.imageOf(sigs), p.ph),
+          () => PhashIndex.write(spark, MediaHashes.audioOf(sigs), p.aud))
+      },
+      () => organicDrop(spark, dir, m8(col("doc_id")) === 0L)
+        .write.mode("overwrite").parquet(p.dropDay(1)),
+      () => organicDrop(spark, dir, m8(col("doc_id")) === 1L)
+        .write.mode("overwrite").parquet(p.dropDay(2)))
   }
 
   /** The day-3 drop: organic %8 ∈ {2,3} plus three FULL-CLONE
@@ -198,9 +204,9 @@ object MultiDay {
   private def cloneOf(spark: SparkSession, dir: String, src: DataFrame,
                       newId: Long): DataFrame =
     src.orderBy("doc_id").limit(1)
-      .join(graft.core.Tables(spark, dir, "documents")
+      .join(graft.core.Tables.plain(spark, dir, "documents")
         .select("doc_id", "text"), "doc_id")
-      .join(graft.core.Tables(spark, dir, "embeddings")
+      .join(graft.core.Tables.plain(spark, dir, "embeddings")
         .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
       .select(lit(newId).as("doc_id"), col("text"), col("embedding"),
         pngUdf(col("doc_id") - pmod(col("doc_id"), lit(2L))).as("img"))
@@ -372,10 +378,12 @@ object MultiDay {
     // replay re-decodes only its own drop and appends nothing)
     MediaHashes.extend(spark, p.media, mediaOf(d))
     val ids = d.select(col("doc_id").as("media_id"))
-    val imgHashed = MediaHashes.fetchImage(spark, p.media, ids)
+    // one pruned fetch serves both modalities (one collect + one
+    // materialization instead of two of each)
+    val sigs = MediaHashes.fetchBoth(spark, p.media, ids)
       .localCheckpoint(true)
-    val audHashed = MediaHashes.fetchAudio(spark, p.media, ids)
-      .localCheckpoint(true)
+    val imgHashed = MediaHashes.imageOf(sigs)
+    val audHashed = MediaHashes.audioOf(sigs)
     val pinned = fs.exists(new org.apache.hadoop.fs.Path(
       p.decisionsDay(k) + "/_SUCCESS"))
     val dec =
@@ -393,14 +401,19 @@ object MultiDay {
       }
     val admIds = dec.where(col("decision") === "admitted")
       .select("doc_id").localCheckpoint(true)
-    Dedup.appendDedupIndex(d.join(admIds, "doc_id"), "text", "doc_id",
-      p.lex, NGram, K, Bands)
-    SemIndex.append(spark, p.sem,
-      d.join(admIds, "doc_id")
-        .select(col("doc_id").as("vec_id"), col("embedding")))
+    // the four appends touch disjoint artifacts and read only pinned
+    // frames — overlap them (guide §2.6)
     val admMedia = admIds.select(col("doc_id").as("media_id"))
-    PhashIndex.append(spark, p.ph, imgHashed.join(admMedia, "media_id"))
-    PhashIndex.append(spark, p.aud, audHashed.join(admMedia, "media_id"))
+    graft.core.Par.run(
+      () => Dedup.appendDedupIndex(d.join(admIds, "doc_id"), "text",
+        "doc_id", p.lex, NGram, K, Bands),
+      () => SemIndex.append(spark, p.sem,
+        d.join(admIds, "doc_id")
+          .select(col("doc_id").as("vec_id"), col("embedding"))),
+      () => PhashIndex.append(spark, p.ph,
+        imgHashed.join(admMedia, "media_id")),
+      () => PhashIndex.append(spark, p.aud,
+        audHashed.join(admMedia, "media_id")))
   }
 
   /** The BATCH engine path: bootstrap, days 1–2, derive + apply the
@@ -409,7 +422,7 @@ object MultiDay {
     */
   def runDays4Batch(spark: SparkSession, dir: String, p: Paths4): Unit = {
     bootstrap4(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     (1 to 2).foreach { k =>
       processDay4(spark, p, k, spark.read.parquet(p.dropDay(k)),
         fetch): Unit
@@ -435,18 +448,19 @@ object MultiDay {
     * shared by the batch maintained chain and the streamed
     * `op = "compact"` calendar slot.
     */
-  def maintain4(spark: SparkSession, p: Paths4): Unit = {
-    Dedup.compactDedupIndex(spark, p.lex, partitions = 1)
-    SemIndex.compact(spark, p.sem)
-    PhashIndex.compact(spark, p.ph)
-    PhashIndex.compact(spark, p.aud)
-    MediaHashes.compact(spark, p.media)
-  }
+  def maintain4(spark: SparkSession, p: Paths4): Unit =
+    // five disjoint artifacts, each compaction self-contained — overlap
+    graft.core.Par.run(
+      () => Dedup.compactDedupIndex(spark, p.lex, partitions = 1),
+      () => SemIndex.compact(spark, p.sem),
+      () => PhashIndex.compact(spark, p.ph),
+      () => PhashIndex.compact(spark, p.aud),
+      () => MediaHashes.compact(spark, p.media))
 
   def runDays4BatchMaintained(spark: SparkSession, dir: String,
                               p: Paths4): Unit = {
     bootstrap4(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     (1 to 2).foreach { k =>
       processDay4(spark, p, k, spark.read.parquet(p.dropDay(k)),
         fetch): Unit
@@ -508,7 +522,7 @@ object MultiDay {
   def runDays4Calendar(spark: SparkSession, dir: String,
                        p: Paths4): Unit = {
     bootstrap4(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     (1 to 2).foreach { k =>
       processDay4(spark, p, k, spark.read.parquet(p.dropDay(k)),
         fetch): Unit
@@ -532,7 +546,7 @@ object MultiDay {
     * suite (the q488 convention) — text only, no modality needed.
     */
   def benchOf(spark: SparkSession, dir: String): DataFrame =
-    graft.core.Tables(spark, dir, "documents")
+    graft.core.Tables.plain(spark, dir, "documents")
       .where(col("source") === "src0").select("doc_id", "text")
 
   /** Full-stack organic drop: participants (docs ⋈ embeddings) with
@@ -540,10 +554,10 @@ object MultiDay {
     */
   private def organicDrop6(spark: SparkSession, dir: String,
                            pred: org.apache.spark.sql.Column): DataFrame =
-    graft.core.Tables(spark, dir, "documents")
+    graft.core.Tables.plain(spark, dir, "documents")
       .where(col("source") =!= "src0" && pred)
       .select("doc_id", "text")
-      .join(graft.core.Tables(spark, dir, "embeddings")
+      .join(graft.core.Tables.plain(spark, dir, "embeddings")
         .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
       .withColumn("img",
         pngUdf(col("doc_id") - pmod(col("doc_id"), lit(2L))))
@@ -556,17 +570,21 @@ object MultiDay {
   def bootstrap6(spark: SparkSession, dir: String, p: Paths4): Unit = {
     val snap = organicDrop6(spark, dir, m4(col("doc_id")).isin(2L, 3L))
       .localCheckpoint(true)
-    Dedup.writeDedupIndex(snap, "text", "doc_id", p.lex, NGram, K, Bands)
-    SemIndex.bootstrap(spark,
-      snap.select(col("doc_id").as("vec_id"), col("embedding")), p.sem)
-    MediaHashes.extend(spark, p.media, mediaOf(snap))
-    val ids = snap.select(col("doc_id").as("media_id"))
-    PhashIndex.write(spark,
-      MediaHashes.fetchImage(spark, p.media, ids), p.ph)
-    PhashIndex.write(spark,
-      MediaHashes.fetchAudio(spark, p.media, ids), p.aud)
-    organicDrop6(spark, dir, m4(col("doc_id")) === 0L)
-      .write.mode("overwrite").parquet(p.dropDay(1))
+    graft.core.Par.run(
+      () => Dedup.writeDedupIndex(snap, "text", "doc_id", p.lex, NGram,
+        K, Bands),
+      () => SemIndex.bootstrap(spark,
+        snap.select(col("doc_id").as("vec_id"), col("embedding")), p.sem),
+      () => {
+        MediaHashes.extend(spark, p.media, mediaOf(snap))
+        val sigs = MediaHashes.fetchBoth(spark, p.media,
+          snap.select(col("doc_id").as("media_id"))).localCheckpoint(true)
+        graft.core.Par.run(
+          () => PhashIndex.write(spark, MediaHashes.imageOf(sigs), p.ph),
+          () => PhashIndex.write(spark, MediaHashes.audioOf(sigs), p.aud))
+      },
+      () => organicDrop6(spark, dir, m4(col("doc_id")) === 0L)
+        .write.mode("overwrite").parquet(p.dropDay(1)))
   }
 
   /** The spam text the low-quality gate must reject (40 copies of one
@@ -609,7 +627,7 @@ object MultiDay {
   /** The batch engine path of the full-stack lifecycle. */
   def runDays6Batch(spark: SparkSession, dir: String, p: Paths4): Unit = {
     bootstrap6(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     val bench = benchOf(spark, dir)
     processDay6(spark, p, 1, spark.read.parquet(p.dropDay(1)), fetch,
       bench): Unit
@@ -678,7 +696,7 @@ object MultiDay {
   def runDays6Calendar(spark: SparkSession, dir: String,
                        p: Paths4): Unit = {
     bootstrap6(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     val bench = benchOf(spark, dir)
     processDay6(spark, p, 1, spark.read.parquet(p.dropDay(1)), fetch,
       bench): Unit
@@ -738,11 +756,13 @@ object MultiDay {
       spark.read.parquet(p.decisionsDay(k))
         .where(col("decision") === "admitted").select("doc_id")
     }.reduce(_.unionByName(_)).localCheckpoint(true)
-    Dedup.deleteFromDedupIndex(spark, p.lex, corpusDocs,
-      corpusDocs.join(victims, "doc_id"), "text", "doc_id")
-    SemIndex.delete(spark, p.sem, victims)
-    PhashIndex.delete(spark, p.ph, victims)
-    PhashIndex.delete(spark, p.aud, victims)
+    // four disjoint index artifacts, victims pinned — overlap (§2.6)
+    graft.core.Par.run(
+      () => Dedup.deleteFromDedupIndex(spark, p.lex, corpusDocs,
+        corpusDocs.join(victims, "doc_id"), "text", "doc_id"),
+      () => SemIndex.delete(spark, p.sem, victims),
+      () => PhashIndex.delete(spark, p.ph, victims),
+      () => PhashIndex.delete(spark, p.aud, victims))
   }
 
   /** Retained BYTE mass per admission horizon — the input to the
@@ -758,13 +778,20 @@ object MultiDay {
     * One index-sized pass; the result is one row per day.
     */
   def retainedMasses(spark: SparkSession, p: Paths4,
-                     corpusFetch: DataFrame): Map[Int, Long] = {
+                     corpusFetch: DataFrame): Map[Int, Long] =
+    massesOf(spark, p, indexedDocs(spark, p, corpusFetch))
+
+  /** [[retainedMasses]] over an already-derived indexed-docs frame —
+    * callers holding one (the cap slot needs the same frame for its
+    * victim derivation) avoid re-deriving it.
+    */
+  private def massesOf(spark: SparkSession, p: Paths4,
+                       docs: DataFrame): Map[Int, Long] = {
     val fs = new org.apache.hadoop.fs.Path(p.root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pinnedDays = (1 to NDays4).filter(k =>
       fs.exists(new org.apache.hadoop.fs.Path(
         p.decisionsDay(k) + "/_SUCCESS")))
-    val docs = indexedDocs(spark, p, corpusFetch)
     val admDay = pinnedDays.map { k =>
       spark.read.parquet(p.decisionsDay(k))
         .where(col("decision") === "admitted")
@@ -804,7 +831,10 @@ object MultiDay {
               maxBytes: Long, corpusFetch: DataFrame): Int =
     if (CurationNDay.ledgerSeen(spark, p.ledger, dayId)) 0
     else {
-      val masses = retainedMasses(spark, p, corpusFetch)
+      // derive the membership frame ONCE: the masses and the victim
+      // set both read it (previously re-derived per use)
+      val docs = indexedDocs(spark, p, corpusFetch).localCheckpoint(true)
+      val masses = massesOf(spark, p, docs)
       val days = masses.keys.toSeq.sorted
       def pinHorizon(kf: Int): Unit = {
         import spark.implicits._
@@ -823,8 +853,6 @@ object MultiDay {
           s"cap4Day: day ${days.max} alone exceeds the $maxBytes-byte " +
             "cap — whole-day expiry cannot satisfy it"))
         pinHorizon(keepFrom)
-        val docs = indexedDocs(spark, p, corpusFetch)
-          .localCheckpoint(true)
         val young = (keepFrom to NDays4)
           .filter(k => masses.contains(k))
           .map { k =>
@@ -834,11 +862,12 @@ object MultiDay {
         val victims = docs.select("doc_id")
           .join(young, Seq("doc_id"), "left_anti")
           .localCheckpoint(true) // age-out set pinned before mutation
-        Dedup.deleteFromDedupIndex(spark, p.lex, docs,
-          docs.join(victims, "doc_id"), "text", "doc_id")
-        SemIndex.delete(spark, p.sem, victims)
-        PhashIndex.delete(spark, p.ph, victims)
-        PhashIndex.delete(spark, p.aud, victims)
+        graft.core.Par.run(
+          () => Dedup.deleteFromDedupIndex(spark, p.lex, docs,
+            docs.join(victims, "doc_id"), "text", "doc_id"),
+          () => SemIndex.delete(spark, p.sem, victims),
+          () => PhashIndex.delete(spark, p.ph, victims),
+          () => PhashIndex.delete(spark, p.aud, victims))
         CurationNDay.appendLedger(spark, p.ledger, dayId)
         keepFrom
       }
@@ -870,7 +899,7 @@ object MultiDay {
   def runDays4CapCalendar(spark: SparkSession, dir: String,
                           p: Paths4): Unit = {
     bootstrap4(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     (1 to 2).foreach { k =>
       processDay4(spark, p, k, spark.read.parquet(p.dropDay(k)),
         fetch): Unit

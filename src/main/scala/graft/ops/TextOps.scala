@@ -686,9 +686,17 @@ object TextOps {
                 n: Int = 3, w: Int = 4): DataFrame = {
     val hs = transform(Dedup.shingles(col(textCol), n),
       g => pmod(Dedup.h60(g), lit(Dedup.P)))
-    df.select(col(idCol), hs.as("__hs"))
+    // Guard on the CHEAP equivalent predicate, not on size(__hs):
+    // shingles of a non-null text always yield >= 1 gram hash
+    // (sequence(0, greatest(w-n, 0)) is never empty), so `__n > 0`
+    // only ever excluded null texts — but written over __hs it was
+    // alias-substituted and pushed below the scan-spread exchange
+    // (PushPredicateThroughNonJoin), re-running the whole shingling
+    // chain serially on the narrow scan. IsNotNull pushes down to the
+    // parquet scan for free and the HOF fold runs once, post-spread.
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), hs.as("__hs"))
       .withColumn("__n", size(col("__hs")))
-      .where(col("__n") > 0)
       .select(col(idCol), explode(array_distinct(
         transform(sequence(lit(0), greatest(col("__n") - w, lit(0))),
           i => array_min(slice(col("__hs"), i + 1, lit(w)))))).as("fp"))

@@ -34,7 +34,7 @@ object Curation11 {
       val root = Curation2.tempIndexDir("graft_sem_index_")
       val p = SemIndex.Paths(root)
       sys.addShutdownHook(Curation2.deleteDir(root))
-      val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+      val emb = tp(s, d, "embeddings").select("vec_id", "embedding")
       SemIndex.bootstrap(s,
         emb.where(pmod(col("vec_id"), lit(4L)).isin(2L, 3L)), p)
       val dec1 = SemIndex.processDay(s, p, 1,

@@ -141,7 +141,7 @@ object Curation12 {
          Seq[String]) =
     mmTtlCache.computeIfAbsent(dir, { d: String =>
       val p = mmBatch(s, d)
-      val docs = t(s, d, "documents").select("doc_id", "text")
+      val docs = tp(s, d, "documents").select("doc_id", "text")
       val admitted = (1 to MultiDay.NDays4).map { k =>
         s.read.parquet(p.decisionsDay(k))
           .where(col("decision") === "admitted").select("doc_id")

@@ -163,7 +163,7 @@ object Curation14 {
       val root = Curation2.tempIndexDir("graft_lex_ev_")
       sys.addShutdownHook(Curation2.deleteDir(root))
       val path = s"$root/lex_index"
-      val docs = t(s, d, "documents").select("doc_id", "text")
+      val docs = tp(s, d, "documents").select("doc_id", "text")
       val corpus = docs.where(pmod(col("doc_id"), lit(4L)).isin(0L, 1L, 2L))
         .localCheckpoint(true)
       val exactSn = corpus.orderBy("doc_id").limit(1)

@@ -139,7 +139,8 @@ object Curation3 {
     // re-derives batch2's decisions against the GROWN corpus directly
     // (corpus' = %5 != 1) — proving appended index == rebuilt index.
     "q352_dedup_index_append" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // exchange-bound consumer: spread opt-out (r14 regression +2.3 s)
+      val docs = tp(s, dir, "documents")
       val corpus0 = docs.where(pmod(col("doc_id"), lit(5L)).isin(2L, 3L, 4L))
       val batch1 = docs.where(pmod(col("doc_id"), lit(5L)) === 0)
       val batch2 = docs.where(pmod(col("doc_id"), lit(5L)) === 1)

@@ -44,7 +44,7 @@ object Curation8 {
   private def dayDecisions(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame =
     decCache.computeIfAbsent(dir, { d: String =>
-      CurationDay.decisions(s, day(s, d), t(s, d, "documents"))
+      CurationDay.decisions(s, day(s, d), tp(s, d, "documents"))
         .localCheckpoint(true)
     })
 
@@ -64,7 +64,7 @@ object Curation8 {
       val a = CurationDay.Artifacts(root)
       CurationDay.bootstrapTwoDay(s, d, a)
       sys.addShutdownHook(Curation2.deleteDir(root))
-      val fetch = t(s, d, "documents")
+      val fetch = tp(s, d, "documents")
       val dec1 = CurationDay.decisions(s, a, fetch).localCheckpoint(true)
       CurationDay.admitDay(s, a, dec1, a.deltaDocs, a.manifest0,
         a.manifest1)

@@ -505,7 +505,8 @@ object NorthStar {
     // doc per transitive duplicate CLUSTER (the component minimum), not
     // merely per colliding pair — the principled large-corpus contract.
     "q240_dedup_cc_survivors" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // exchange-bound consumer: spread opt-out (r14 regression -17%)
+      val docs = tp(s, dir, "documents")
       val keepers = Dedup.exact(docs, "text", "doc_id")
         .select(col("keeper_id").as("doc_id"))
       val kept = docs.join(keepers, "doc_id")
@@ -528,7 +529,8 @@ object NorthStar {
     // shuffles; the quantizer follows q251's init-only contract so the
     // whole chain re-derives in SQL end-to-end.
     "q253_dedup_semantic_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // exchange-bound consumer: spread opt-out (r14 regression ~9-18%)
+      val docs = tp(s, dir, "documents")
       // Each stage's output feeds >1 downstream job (the kmeansFit
       // action + the final collect, which itself reads kept twice and
       // runs CC's iterative jobs) — lazy localCheckpoints materialize
@@ -540,7 +542,7 @@ object NorthStar {
       val lexPairs = Dedup
         .ngramJaccard(kept, "text", "doc_id", NGRAM, K, BANDS, 0.8)
         .select("doc_a", "doc_b")
-      val keptEmb = t(s, dir, "embeddings")
+      val keptEmb = tp(s, dir, "embeddings")
         .join(keepers.select(col("doc_id").as("vec_id")), "vec_id")
         .localCheckpoint(false)
       val model = keptEmb.agg(graft.functions.MlAggregators.kmeansFit(

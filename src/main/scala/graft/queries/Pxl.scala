@@ -22,13 +22,14 @@ object Pxl {
   /** The reference's http_events shape synthesized from the events
     * fixture: time_ (ns), upid stand-in (user_id), resp_status, latency.
     */
-  def httpEvents(s: SparkSession, dir: String): DataFrame = {
+  def httpEvents(s: SparkSession, dir: String,
+                 src: Option[DataFrame] = None): DataFrame = {
     val g = when(col("ts") < splitNs, lit(0)).otherwise(lit(1))
     val selfIp = concat(lit("10."), g + 10, lit("."),
       pmod(col("user_id"), lit(250)), lit("."),
       lit(1) + call_function("div", col("user_id"), lit(250L)))
     val status = lit(100) + pmod(col("event_id"), lit(460))
-    t(s, dir, "events").select(
+    src.getOrElse(t(s, dir, "events")).select(
       // the engine stores ns; this table models stirling's µs-resolution
       // capture (also what keeps raw time_ outputs oracle-comparable)
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
@@ -75,12 +76,13 @@ object Pxl {
     * requester address (+port) with the '-'/own-pod-IP convention of
     * [[httpEvents]], and the event latency.
     */
-  private def tracerBase(s: SparkSession, dir: String): DataFrame = {
+  private def tracerBase(s: SparkSession, dir: String,
+                         src: Option[DataFrame]): DataFrame = {
     val g = when(col("ts") < splitNs, lit(0)).otherwise(lit(1))
     val selfIp = concat(lit("10."), g + 10, lit("."),
       pmod(col("user_id"), lit(250)), lit("."),
       lit(1) + call_function("div", col("user_id"), lit(250L)))
-    t(s, dir, "events").select(
+    src.getOrElse(t(s, dir, "events")).select(
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"), col("event_id"),
       graft.types.Upid.makeUpid(col("user_id"), col("event_id"),
@@ -96,8 +98,9 @@ object Pxl {
   /** mysql_events shape (stirling's mysql table): command byte, response
     * code/status, bodies, latency + the tracer base columns.
     */
-  def mysqlEvents(s: SparkSession, dir: String): DataFrame =
-    tracerBase(s, dir)
+  def mysqlEvents(s: SparkSession, dir: String,
+                  src: Option[DataFrame] = None): DataFrame =
+    tracerBase(s, dir, src)
       .withColumn("req_cmd", pmod(col("event_id"), lit(32)))
       .withColumn("resp_code", pmod(col("event_id"), lit(4)))
       .withColumn("resp_status", pmod(col("event_id"), lit(4)))
@@ -110,12 +113,13 @@ object Pxl {
   /** redis_events shape (stirling's redis table): command string, args,
     * response, latency + the tracer base columns.
     */
-  def redisEvents(s: SparkSession, dir: String): DataFrame = {
+  def redisEvents(s: SparkSession, dir: String,
+                  src: Option[DataFrame] = None): DataFrame = {
     val cmds = Seq("GET", "SET", "DEL", "INCR", "EXPIRE", "HGETALL")
     val cmd = cmds.zipWithIndex.foldLeft(lit(cmds.last)) { case (acc, (c, i)) =>
       when(pmod(col("event_id"), lit(6)) === i, lit(c)).otherwise(acc)
     }
-    tracerBase(s, dir)
+    tracerBase(s, dir, src)
       .withColumn("req_cmd", cmd)
       .withColumn("req_args",
         concat(lit("""["k"""), col("event_id"), lit(""""]""")))
@@ -128,8 +132,9 @@ object Pxl {
   /** pgsql_events shape (stirling's pgsql table): request tag + query
     * text with an id literal (sql_queries normalizes it to $1).
     */
-  def pgsqlEvents(s: SparkSession, dir: String): DataFrame =
-    tracerBase(s, dir)
+  def pgsqlEvents(s: SparkSession, dir: String,
+                  src: Option[DataFrame] = None): DataFrame =
+    tracerBase(s, dir, src)
       .withColumn("req_cmd",
         when(pmod(col("event_id"), lit(4)) === 0, "Query")
           .when(pmod(col("event_id"), lit(4)) === 1, "Execute")
@@ -142,12 +147,13 @@ object Pxl {
         concat(lit("SELECT "), pmod(col("event_id"), lit(100))))
 
   /** mongodb_events shape (stirling's mongodb table). */
-  def mongodbEvents(s: SparkSession, dir: String): DataFrame = {
+  def mongodbEvents(s: SparkSession, dir: String,
+                    src: Option[DataFrame] = None): DataFrame = {
     val cmds = Seq("find", "insert", "update", "delete")
     val cmd = cmds.zipWithIndex.foldLeft(lit(cmds.last)) { case (acc, (c, i)) =>
       when(pmod(col("event_id"), lit(4)) === i, lit(c)).otherwise(acc)
     }
-    tracerBase(s, dir)
+    tracerBase(s, dir, src)
       .withColumn("req_cmd", cmd)
       .withColumn("req_body",
         concat(lit("""{"q":"""), pmod(col("event_id"), lit(9)), lit("}")))
@@ -158,8 +164,9 @@ object Pxl {
   /** cql_events shape (stirling's cassandra table): opcodes decoded by
     * px.cql_opcode_name in the script.
     */
-  def cqlEvents(s: SparkSession, dir: String): DataFrame =
-    tracerBase(s, dir)
+  def cqlEvents(s: SparkSession, dir: String,
+                src: Option[DataFrame] = None): DataFrame =
+    tracerBase(s, dir, src)
       .withColumn("req_op", pmod(col("event_id"), lit(20)))
       .withColumn("resp_op", pmod(col("event_id") + 3, lit(20)))
       .withColumn("req_body",
@@ -169,17 +176,19 @@ object Pxl {
   /** mux_events shape (stirling's mux table): frame type over the full
     * signed mux domain (decoded by px.mux_frame_type_name).
     */
-  def muxEvents(s: SparkSession, dir: String): DataFrame =
-    tracerBase(s, dir)
+  def muxEvents(s: SparkSession, dir: String,
+                src: Option[DataFrame] = None): DataFrame =
+    tracerBase(s, dir, src)
       .withColumn("req_type", pmod(col("event_id"), lit(260)) - 130)
 
   /** nats_events.beta shape (stirling's nats table). */
-  def natsEvents(s: SparkSession, dir: String): DataFrame = {
+  def natsEvents(s: SparkSession, dir: String,
+                 src: Option[DataFrame] = None): DataFrame = {
     val cmds = Seq("PUB", "SUB", "MSG", "PING")
     val cmd = cmds.zipWithIndex.foldLeft(lit(cmds.last)) { case (acc, (c, i)) =>
       when(pmod(col("event_id"), lit(4)) === i, lit(c)).otherwise(acc)
     }
-    tracerBase(s, dir)
+    tracerBase(s, dir, src)
       .withColumn("cmd", cmd)
       .withColumn("body", concat(lit("msg-"), col("event_id")))
       .withColumn("resp", lit("+OK"))
@@ -190,7 +199,8 @@ object Pxl {
     * topics/partitions/message_set JSON bodies kafka_overview.pxl
     * unnests (req_cmd 0 = produce, 1 = fetch).
     */
-  def kafkaEvents(s: SparkSession, dir: String): DataFrame = {
+  def kafkaEvents(s: SparkSession, dir: String,
+                  src: Option[DataFrame] = None): DataFrame = {
     def topicsJson(name: Column, idx: Column, size: Column): Column =
       concat(lit("""{"topics":[{"name":""""), name,
         lit("""","partitions":[{"index":"""), idx,
@@ -199,7 +209,7 @@ object Pxl {
     // (kafka_consumer_rebalancing joins them on group/generation/member)
     val e70 = pmod(col("event_id"), lit(70))
     val groupId = concat(lit("""{"group_id":"cg-"""), pmod(col("user_id"), lit(4)))
-    tracerBase(s, dir)
+    tracerBase(s, dir, src)
       .withColumn("req_cmd", e70)
       .withColumn("client_id",
         concat(lit("client-"), pmod(col("user_id"), lit(20))))
@@ -225,8 +235,9 @@ object Pxl {
   /** amqp_events shape (stirling's amqp table): frame/class/method ids
     * decoded by the px.amqp_* family in the script.
     */
-  def amqpEvents(s: SparkSession, dir: String): DataFrame =
-    tracerBase(s, dir)
+  def amqpEvents(s: SparkSession, dir: String,
+                 src: Option[DataFrame] = None): DataFrame =
+    tracerBase(s, dir, src)
       .withColumn("frame_type", pmod(col("event_id"), lit(10)))
       .withColumn("channel", pmod(col("event_id"), lit(8)))
       .withColumn("req_class_id", pmod(col("event_id"), lit(100)))
@@ -246,10 +257,11 @@ object Pxl {
     * pod): pod_id keyed with MONOTONE interface counters — the pod.pxl
     * network_timeseries max-min rollup does real work.
     */
-  def networkStats(s: SparkSession, dir: String): DataFrame = {
+  def networkStats(s: SparkSession, dir: String,
+                   src: Option[DataFrame] = None): DataFrame = {
     val g = when(col("ts") < splitNs, lit(0)).otherwise(lit(1))
     val us = graft.functions.PixieFunctions.idiv(col("ts"), 1000L)
-    t(s, dir, "events").select(
+    src.getOrElse(t(s, dir, "events")).select(
       (us * 1000L).as("time_"),
       concat(lit("pid-"), col("user_id"), lit("-g"), g).as("pod_id"),
       us.as("rx_bytes"),
@@ -265,8 +277,9 @@ object Pxl {
   /** process_stats shape (stirling's process table): per-process
     * counters keyed by upid, synthesized deterministically.
     */
-  def processStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+  def processStats(s: SparkSession, dir: String,
+                   src: Option[DataFrame] = None): DataFrame =
+    src.getOrElse(t(s, dir, "events")).select(
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"),
       graft.types.Upid.makeUpid(col("user_id"), col("event_id"),
@@ -287,12 +300,13 @@ object Pxl {
     * src/stirling/source_connectors/socket_tracer/dns_table.h): query and
     * response headers/bodies as JSON text, trace role, requester address.
     */
-  def dnsEvents(s: SparkSession, dir: String): DataFrame = {
+  def dnsEvents(s: SparkSession, dir: String,
+                src: Option[DataFrame] = None): DataFrame = {
     val g = when(col("ts") < splitNs, lit(0)).otherwise(lit(1))
     val selfIp = concat(lit("10."), g + 10, lit("."),
       pmod(col("user_id"), lit(250)), lit("."),
       lit(1) + call_function("div", col("user_id"), lit(250L)))
-    t(s, dir, "events").select(
+    src.getOrElse(t(s, dir, "events")).select(
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"),
       graft.types.Upid.makeUpid(col("user_id"), col("event_id"),
@@ -324,8 +338,9 @@ object Pxl {
     * as monotone functions of event time and the upid is
     * connection-stable (per user), giving the deltas real work.
     */
-  def connStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+  def connStats(s: SparkSession, dir: String,
+                src: Option[DataFrame] = None): DataFrame =
+    src.getOrElse(t(s, dir, "events")).select(
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"),
       graft.types.Upid.makeUpid(col("user_id"), lit(1000) + col("user_id"),
@@ -347,8 +362,9 @@ object Pxl {
     * connector status reports. Carries user_id + time_ so ctx['node']
     * resolves through the standard as-of dimension path.
     */
-  def stirlingError(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+  def stirlingError(s: SparkSession, dir: String,
+                    src: Option[DataFrame] = None): DataFrame =
+    src.getOrElse(t(s, dir, "events")).select(
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"),
       when(pmod(col("event_id"), lit(5)) === 0, "socket_tracer")
@@ -370,9 +386,10 @@ object Pxl {
     * stack_trace is functionally dependent on stack_trace_id so the
     * script's px.any over it is deterministic.
     */
-  def stackTraces(s: SparkSession, dir: String): DataFrame = {
+  def stackTraces(s: SparkSession, dir: String,
+                  src: Option[DataFrame] = None): DataFrame = {
     val id = pmod(col("event_id"), lit(20))
-    t(s, dir, "events").select(
+    src.getOrElse(t(s, dir, "events")).select(
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"),
       graft.types.Upid.makeUpid(col("user_id"), col("event_id"),
@@ -386,8 +403,9 @@ object Pxl {
   /** probe_status shape (stirling's probe_status table): per-node eBPF
     * tracepoint deployment statuses.
     */
-  def probeStatus(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+  def probeStatus(s: SparkSession, dir: String,
+                  src: Option[DataFrame] = None): DataFrame =
+    src.getOrElse(t(s, dir, "events")).select(
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"),
       concat(lit("tp-"), pmod(col("event_id"), lit(8))).as("tracepoint"),
@@ -403,8 +421,9 @@ object Pxl {
     * counters + heap gauges, upid per PROCESS (q60 convention) so the
     * script's two-level upid-then-pod aggregation does real work.
     */
-  def jvmStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+  def jvmStats(s: SparkSession, dir: String,
+               src: Option[DataFrame] = None): DataFrame =
+    src.getOrElse(t(s, dir, "events")).select(
       (graft.functions.PixieFunctions.idiv(col("ts"), 1000L) * 1000L).as("time_"),
       col("user_id"),
       graft.types.Upid.makeUpid(col("user_id"), col("user_id") * 2,
@@ -431,7 +450,8 @@ object Pxl {
       .forall(_ != "0")
 
   def env(s: SparkSession, dir: String, nowNs: Long,
-          sketchQuantiles: Boolean = defaultSketchQuantiles): PxlEnv = {
+          sketchQuantiles: Boolean = defaultSketchQuantiles,
+          spreadBase: Boolean = true): PxlEnv = {
     // One dimension snapshot per script run: every ctx/metadata call
     // reuses the same frame, so chained lookups share one broadcast
     // build (ReuseExchange dedups identical BroadcastExchanges). The
@@ -442,29 +462,70 @@ object Pxl {
       graft.meta.MetadataOps.fullEntityDim(t(s, dir, "events"), splitNs))
     lazy val podDim = Q.memoDf(s, dir, "__podDim")(
       K8sMetadata.syntheticPodDim(t(s, dir, "events"), splitNs))
+    // PER-QUERY protocol base (guide §8 / §2.4): the synth protocol
+    // tables are wide expression projections (md5 trace ids, JSON
+    // bodies) over ONE events scan, and a script that references its
+    // table N times (or resolves ctx through the events-derived dims)
+    // re-evaluated that scan+projection subtree N times. A lazy
+    // localCheckpoint of the raw scan evaluates it ONCE per query;
+    // every synth projection above it reads executor-local blocks.
+    // The base is additionally SPREAD to core count below the
+    // checkpoint (the §8 move: raw narrow rows cross the exchange once;
+    // every wide projection runs post-spread at full parallelism) —
+    // EXCEPT for queries whose hash-checked output contains a plain
+    // float mean over events values (q122's avg(latency)): IEEE
+    // summation order matches DuckDB only at the scan's original
+    // row-per-partition layout, so those pass `spreadBase = false` and
+    // keep the order-preserving checkpoint alone (still one
+    // evaluation). Gated by narrowScan (at production scale the scan is
+    // already parallel and materializing it wholesale would be wrong —
+    // the base is absent and plans are unchanged). Scoped per env = per
+    // query build: nothing is shared across measured queries.
+    // spark.graft.pxlEventsBase=0 disables the base outright (the
+    // production-shape kill switch; PxlSpec uses it to pin the scan
+    // pushdown contract); spark.graft.pxlSpreadBase=0 keeps the
+    // one-evaluation checkpoint but drops the spread (A/B knob).
+    val evBase: Option[DataFrame] =
+      if (s.conf.get("spark.graft.pxlEventsBase", "1") != "0" &&
+          Q.narrowScan(s, s"$dir/events.parquet")) {
+        val raw = t(s, dir, "events")
+        val doSpread = spreadBase &&
+          s.conf.get("spark.graft.pxlSpreadBase", "1") != "0"
+        Some((if (doSpread)
+          Q.spreadIfNarrow(s, raw, s"$dir/events.parquet")
+        else raw).localCheckpoint(false))
+      } else None
+    val localTabs = new java.util.concurrent.ConcurrentHashMap[
+      String, DataFrame]()
+    val synths: Map[String, () => DataFrame] = Map(
+      "http_events" -> (() => httpEvents(s, dir, evBase)),
+      "mysql_events" -> (() => mysqlEvents(s, dir, evBase)),
+      "redis_events" -> (() => redisEvents(s, dir, evBase)),
+      "process_stats" -> (() => processStats(s, dir, evBase)),
+      "jvm_stats" -> (() => jvmStats(s, dir, evBase)),
+      "dns_events" -> (() => dnsEvents(s, dir, evBase)),
+      "conn_stats" -> (() => connStats(s, dir, evBase)),
+      "pgsql_events" -> (() => pgsqlEvents(s, dir, evBase)),
+      "mongodb_events" -> (() => mongodbEvents(s, dir, evBase)),
+      "cql_events" -> (() => cqlEvents(s, dir, evBase)),
+      "mux_events" -> (() => muxEvents(s, dir, evBase)),
+      "nats_events.beta" -> (() => natsEvents(s, dir, evBase)),
+      "kafka_events.beta" -> (() => kafkaEvents(s, dir, evBase)),
+      "amqp_events" -> (() => amqpEvents(s, dir, evBase)),
+      "network_stats" -> (() => networkStats(s, dir, evBase)),
+      "stirling_error" -> (() => stirlingError(s, dir, evBase)),
+      "probe_status" -> (() => probeStatus(s, dir, evBase)),
+      "stack_traces.beta" -> (() => stackTraces(s, dir, evBase)))
     PxlEnv(
       nowNs,
-      tables = name => Q.memoDf(s, dir, name)(name match {
-        case "http_events" => httpEvents(s, dir)
-        case "mysql_events" => mysqlEvents(s, dir)
-        case "redis_events" => redisEvents(s, dir)
-        case "process_stats" => processStats(s, dir)
-        case "jvm_stats" => jvmStats(s, dir)
-        case "dns_events" => dnsEvents(s, dir)
-        case "conn_stats" => connStats(s, dir)
-        case "pgsql_events" => pgsqlEvents(s, dir)
-        case "mongodb_events" => mongodbEvents(s, dir)
-        case "cql_events" => cqlEvents(s, dir)
-        case "mux_events" => muxEvents(s, dir)
-        case "nats_events.beta" => natsEvents(s, dir)
-        case "kafka_events.beta" => kafkaEvents(s, dir)
-        case "amqp_events" => amqpEvents(s, dir)
-        case "network_stats" => networkStats(s, dir)
-        case "stirling_error" => stirlingError(s, dir)
-        case "probe_status" => probeStatus(s, dir)
-        case "stack_traces.beta" => stackTraces(s, dir)
-        case other => graft.core.Tables(s, dir, other)
-      }),
+      tables = name => synths.get(name) match {
+        // with a per-query base the frame must NOT cross queries (its
+        // checkpoint blocks carry data) — cache per env, not in memoDf
+        case Some(build) if evBase.isDefined =>
+          localTabs.computeIfAbsent(name, _ => build())
+        case Some(build) => Q.memoDf(s, dir, name)(build())
+        case None => Q.memoDf(s, dir, name)(graft.core.Tables(s, dir, name))
+      },
       ctx = (df, prop, out) => {
         // ConvertMetadataRule semantics: resolution is keyed by whatever
         // key columns the frame still carries — the raw fact key (as-of

@@ -70,8 +70,12 @@ object Pxl4 {
     // dns_flow_graph.pxl: client-side DNS edges with the
     // upid_to_pod_name / nslookup fallback, px.debug side table, and the
     // format_nslookup_name split/append.
+    // spreadBase=false: the output's latency_avg is a plain float mean
+    // whose summation order must match the oracle's scan order (see
+    // Pxl.env) — the one-evaluation checkpoint still applies.
     "q122_pxl_dns_flow" -> ((s, dir) =>
-      PxlRunner.runFunction(script(DnsFlowPath), Pxl.env(s, dir, nowNs),
+      PxlRunner.runFunction(script(DnsFlowPath),
+          Pxl.env(s, dir, nowNs, spreadBase = false),
           "dns_flow_graph", Seq("-45d", "", ""))
         .orderBy("from_entity", "to_entity")),
 

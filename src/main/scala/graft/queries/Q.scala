@@ -16,6 +16,14 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.core.Tables(s, dir, name)
 
+  /** [[graft.core.Tables.plain]] — the consumer-sensitive spread
+    * opt-out for exchange-bound consumers (dedup/CC/index-append) and
+    * lifecycle cache builders, where the spread exchange is measured
+    * net-negative (guide §2.4; r15 A/B in OPTIMIZATION_r15.md).
+    */
+  def tp(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.plain(s, dir, name)
+
   /** Order-independent exact sum of a double column (quantized at 1e-6). */
   def qsum(c: Column): Column =
     sum(floor(c * lit(1000000.0) + lit(0.5))) / lit(1000000.0)
@@ -43,7 +51,18 @@ object Q {
     * An unstat-able path (object stores, globs) reports 0 bytes and
     * conservatively leaves the frame alone.
     */
-  def spreadIfNarrow(s: SparkSession, df: DataFrame, sourcePath: String): DataFrame = {
+  def spreadIfNarrow(s: SparkSession, df: DataFrame, sourcePath: String): DataFrame =
+    if (narrowScan(s, sourcePath)) df.repartition(s.sparkContext.defaultParallelism)
+    else df
+
+  /** The narrowness signal of [[spreadIfNarrow]], exposed for callers
+    * that gate MORE than a repartition on it (e.g. the PxL protocol
+    * base's one-shot materialization): true iff the source's on-disk
+    * bytes pack into fewer scan splits than the session has cores.
+    * Always false at production scale — every gated transform is a
+    * structural no-op there.
+    */
+  def narrowScan(s: SparkSession, sourcePath: String): Boolean = {
     val cores = s.sparkContext.defaultParallelism
     val f = new java.io.File(sourcePath)
     val bytes =
@@ -54,7 +73,7 @@ object Q {
     val maxPartBytes = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(s.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val scanPartitions = math.max(1L, (bytes + maxPartBytes - 1) / maxPartBytes)
-    if (bytes > 0 && scanPartitions < cores) df.repartition(cores) else df
+    bytes > 0 && scanPartitions < cores
   }
 
   /** Memoized logical-plan reuse for the synthesized protocol tables:

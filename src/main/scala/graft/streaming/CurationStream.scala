@@ -192,7 +192,7 @@ object CurationStream {
                              a: CurationDay.Artifacts)
       : (Boolean, Seq[String]) = {
     CurationNDay.bootstrapNDay(spark, dir, a)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, a, 1); landDrop(spark, a, 2)
     val q1 = start(spark, a, fetch)
     try { q1.processAllAvailable() } finally q1.stop() // the kill
@@ -221,7 +221,7 @@ object CurationStream {
                              a: CurationDay.Artifacts)
       : (Boolean, Seq[String], Int) = {
     CurationNDay.bootstrapNDay(spark, dir, a)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, a, 1); landDrop(spark, a, 2)
     val q1 = start(spark, a, fetch)
     try { q1.processAllAvailable() } finally q1.stop()
@@ -269,7 +269,7 @@ object CurationStream {
                                  a: CurationDay.Artifacts)
       : (Boolean, Seq[String], Boolean) = {
     CurationNDay.bootstrapNDay(spark, dir, a)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, a, 1)
     landControl(spark, a, slot = 1, payload = 0L, op = "compact")
     landDrop(spark, a, 2) // mtime ladder: day1 < compact1 < day2
@@ -320,7 +320,7 @@ object CurationStream {
                               a: CurationDay.Artifacts)
       : (Boolean, Seq[String], Int, Boolean) = {
     CurationNDay.bootstrapNDay(spark, dir, a)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, a, 1)
     landControl(spark, a, slot = 1, payload = 0L, op = "compact")
     landDrop(spark, a, 2) // mtime ladder: day1 < compact1 < day2
@@ -375,7 +375,7 @@ object CurationStream {
   def runDaysStreamed(spark: SparkSession, dir: String,
                       a: CurationDay.Artifacts): (Boolean, Seq[String]) = {
     CurationNDay.bootstrapNDay(spark, dir, a)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, a, 1); landDrop(spark, a, 2)
     val q1 = start(spark, a, fetch)
     try { q1.processAllAvailable() } finally q1.stop()

@@ -171,7 +171,7 @@ object MultiStream {
   def runDays6Streamed(spark: SparkSession, dir: String,
                        p: MultiDay.Paths4): (Boolean, Seq[String]) = {
     MultiDay.bootstrap6(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     val bench = MultiDay.benchOf(spark, dir)
     landDrop(spark, p, 1)
     val q1 = start(spark, p, fetch, Some(bench))
@@ -200,7 +200,7 @@ object MultiStream {
   def runCalendarStreamed(spark: SparkSession, dir: String,
                           p: MultiDay.Paths4): (Boolean, Seq[String]) = {
     MultiDay.bootstrap4(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, p, 1); landDrop(spark, p, 2)
     val q1 = start(spark, p, fetch)
     try { q1.processAllAvailable() } finally q1.stop() // the kill
@@ -243,7 +243,7 @@ object MultiStream {
                               p: MultiDay.Paths4)
       : (Boolean, Seq[String], Int, Boolean) = {
     MultiDay.bootstrap4(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, p, 1)
     landControl(spark, p, 1, 0L, op = ControlChannel.OpCompact)
     landDrop(spark, p, 2) // mtime ladder: day1 < compact1 < day2
@@ -297,7 +297,7 @@ object MultiStream {
                               p: MultiDay.Paths4)
       : (Boolean, Seq[String], Int, Int) = {
     MultiDay.bootstrap4(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, p, 1); landDrop(spark, p, 2)
     val q1 = start(spark, p, fetch)
     try { q1.processAllAvailable() } finally q1.stop() // the kill
@@ -337,7 +337,7 @@ object MultiStream {
                               p: MultiDay.Paths4)
       : (Boolean, Seq[String]) = {
     MultiDay.bootstrap4(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, p, 1)
     landControl(spark, p, 1, 0L, op = ControlChannel.OpCompact)
     landDrop(spark, p, 2) // mtime ladder: day1 < compact1 < day2
@@ -366,7 +366,7 @@ object MultiStream {
                                p: MultiDay.Paths4)
       : (Boolean, Seq[String]) = {
     MultiDay.bootstrap6(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     val bench = MultiDay.benchOf(spark, dir)
     landDrop(spark, p, 1)
     val q1 = start(spark, p, fetch, Some(bench))
@@ -389,7 +389,7 @@ object MultiStream {
   def runDaysStreamed(spark: SparkSession, dir: String,
                       p: MultiDay.Paths4): (Boolean, Seq[String]) = {
     MultiDay.bootstrap4(spark, dir, p)
-    val fetch = graft.core.Tables(spark, dir, "documents")
+    val fetch = graft.core.Tables.plain(spark, dir, "documents")
     landDrop(spark, p, 1); landDrop(spark, p, 2)
     val q1 = start(spark, p, fetch)
     try { q1.processAllAvailable() } finally q1.stop() // the kill

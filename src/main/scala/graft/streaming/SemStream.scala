@@ -94,7 +94,7 @@ object SemStream {
   def runDaysStreamed(spark: SparkSession, dir: String,
                       p: SemIndex.Paths, landing: String, cp: String,
                       ledger: String): (Seq[String], Boolean) = {
-    val emb = graft.core.Tables(spark, dir, "embeddings")
+    val emb = graft.core.Tables.plain(spark, dir, "embeddings")
       .select("vec_id", "embedding")
     SemIndex.bootstrap(spark,
       emb.where(pmod(col("vec_id"), lit(4L)).isin(2L, 3L)), p)

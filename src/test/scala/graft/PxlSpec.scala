@@ -524,11 +524,19 @@ class PxlSpec extends AnyFunSuite {
       s"fanout branches should plan against the checkpointed param leaf:\n$forked")
     assert(!forked.contains("parquet"),
       s"fanout branches must not re-plan the scan->aggregate subtree:\n$forked")
-    val lin = res("y").queryExecution.optimizedPlan.toString
-    assert(lin.contains("parquet") &&
-        !lin.contains("LogicalRDD") && !lin.contains("ExistingRDD"),
-      s"linear param chain must stay a pushed-down scan:\n$lin")
     assert(res("x").count() > 0 && res("y").count() > 0)
+    // The linear-chain scan-pushdown contract is a PRODUCTION-shape pin:
+    // at fixture scale the per-query events base (Pxl.env) is a
+    // checkpoint leaf by design, so pin the contract with the base
+    // disabled — the shape every plan takes when narrowScan is false.
+    spark.conf.set("spark.graft.pxlEventsBase", "0")
+    try {
+      val res2 = PxlRunner.run(script, Pxl.env(spark, dir, now))
+      val lin = res2("y").queryExecution.optimizedPlan.toString
+      assert(lin.contains("parquet") &&
+          !lin.contains("LogicalRDD") && !lin.contains("ExistingRDD"),
+        s"linear param chain must stay a pushed-down scan:\n$lin")
+    } finally spark.conf.unset("spark.graft.pxlEventsBase")
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
